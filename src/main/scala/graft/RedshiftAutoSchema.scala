@@ -1,0 +1,126 @@
+package graft
+
+import graft.ddl.DdlGenerator
+import graft.diff.SchemaDiff
+import graft.inference.TypeInference
+import graft.inference.TypeInference.ColumnMeta
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Facade mirroring the reference's public API — the 9 methods +
+  * constructor options of `RedshiftAutoSchema`
+  * (RedshiftAutoSchema.py:47-225; README.md:36-46) — re-expressed over
+  * distributed DataFrames.
+  *
+  * Differences from the reference, by design (SURVEY.md §1/§7):
+  *   - `spark` + optional `deployed` DataFrame replace the psycopg2
+  *     `conn`: catalog probes go to the Spark catalog (a JDBC read of
+  *     pg_namespace/information_schema.columns slots into `deployed`
+  *     for a live Redshift).
+  *   - Files load as distributed scans, never into driver memory; CSV
+  *     loads all-string (no Spark inferSchema) so our own single-pass
+  *     inference is the lone source of type truth.
+  *   - File-format choice keys on the ".parquet" extension, not the
+  *     reference's substring-of-whole-path test (RAS:228 would route
+  *     "/data/parquet/x.csv" to the parquet reader — noted bug).
+  *   - Lazy caching of metadata/diff follows RAS:77-79 via Scala lazy vals.
+  */
+final class RedshiftAutoSchema(
+    spark: SparkSession,
+    schema: String,
+    table: String,
+    file: Option[String] = None,
+    exportFieldName: Option[String] = None,
+    exportFieldType: Option[String] = None,
+    primaryKey: Option[String] = None,
+    distKey: Option[String] = None,
+    sortKey: Option[String] = None,
+    delimiter: String = "|",
+    quotechar: String = "\"",
+    encoding: Option[String] = None,
+    defaultGroup: String = "dbreader",
+    fileDf: Option[DataFrame] = None,
+    columns: Option[Seq[String]] = None,
+    deployed: Option[DataFrame] = None) {
+
+  require(file.nonEmpty || fileDf.nonEmpty,
+    "either file or fileDf must be provided (RAS:63)")
+
+  /** Distributed load: parquet by extension, else delimited text with
+    * header row (RAS:227-233); headers normalized `.` → `_` (RAS:233);
+    * optional caller column override (RAS:247-250). */
+  private lazy val loaded: DataFrame = {
+    val raw = fileDf.getOrElse {
+      val path = file.get
+      if (path.toLowerCase.endsWith(".parquet")) spark.read.parquet(path)
+      else {
+        val r = spark.read
+          .option("header", "true")
+          .option("sep", delimiter)
+          .option("quote", quotechar)
+        encoding.foreach(e => r.option("encoding", e))
+        r.csv(path)
+      }
+    }
+    val renamed = raw.toDF(raw.columns.map(_.replace(".", "_")).toIndexedSeq: _*)
+    columns match {
+      case Some(names) => renamed.toDF(names: _*)
+      case None        => renamed
+    }
+  }
+
+  /** Inferred schema — one fused aggregation job; None on empty input
+    * (RAS:243-245). Cached like RAS:77/147. */
+  lazy val metadata: Option[Seq[ColumnMeta]] = TypeInference.inferSchema(loaded)
+
+  /** A1: file header (RAS:82-91) — schema-only read, no data scan. */
+  def getColumnList: Seq[String] = loaded.columns.toSeq
+
+  /** A2: schema existence (RAS:93-107 pg_namespace probe). */
+  def checkSchemaExistence(): Boolean = spark.catalog.databaseExists(schema)
+
+  /** A3: table-or-view existence (RAS:109-123 pg_tables ∪ pg_views). */
+  def checkTableExistence(): Boolean =
+    spark.catalog.tableExists(s"$schema.$table")
+
+  /** A4 (RAS:125-131). */
+  def generateSchemaDdl(): String = DdlGenerator.schemaDdl(schema)
+
+  /** A5 (RAS:133-139). */
+  def generateSchemaPermissions(): String =
+    DdlGenerator.schemaPermissions(schema, defaultGroup)
+
+  /** A6: full CREATE TABLE; None on empty file (RAS:141-175). */
+  def generateTableDdl(): Option[String] =
+    DdlGenerator.tableDdl(schema, table, metadata, exportFieldName,
+      exportFieldType, primaryKey, distKey, sortKey)
+
+  /** A7: ALTER TABLE ADD COLUMN per MISSING diff row (RAS:177-192). */
+  def generateColumnDdl(): Option[String] = {
+    val missing = evaluateTableDdlDiffs()
+      .filter(org.apache.spark.sql.functions.col("reason") === "MISSING")
+      .select("field", "proposed_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    DdlGenerator.columnDdl(schema, table, missing)
+  }
+
+  /** A8 (RAS:194-200). */
+  def generateTablePermissions(): String =
+    DdlGenerator.tablePermissions(schema, table, defaultGroup)
+
+  /** A9: proposed ⟗ deployed diff (RAS:202-225). Deployed side: the
+    * caller-supplied DataFrame(field, deployed_type) if given, else the
+    * Spark catalog. Cached like RAS:79/183. */
+  def evaluateTableDdlDiffs(): DataFrame = diffCached
+
+  private lazy val diffCached: DataFrame = {
+    val proposedRows = metadata.getOrElse(Seq.empty)
+      .map(m => (m.field, m.proposedName))
+    val proposed = spark.createDataFrame(proposedRows)
+      .toDF("field", "proposed_type")
+    val dep = deployed.getOrElse(
+      SchemaDiff.deployedFromCatalog(spark, schema, table))
+    SchemaDiff.diff(proposed, dep)
+  }
+}

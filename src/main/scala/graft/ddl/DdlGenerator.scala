@@ -1,0 +1,98 @@
+package graft.ddl
+
+import graft.inference.TypeInference.ColumnMeta
+import graft.types.RedshiftType
+
+/** DDL string assembly — the reference's output surface
+  * (RedshiftAutoSchema.py:125-200). Text layout follows the reference's
+  * observable format (comma-prefixed column lines, trailing clause
+  * newlines) with its pandas `to_string` padding already squeezed, i.e.
+  * the post-`re.sub(' +', ' ')` form (RAS:156, RAS:190).
+  */
+object DdlGenerator {
+
+  /** CREATE SCHEMA IF NOT EXISTS (RAS:125-131). */
+  def schemaDdl(schema: String): String =
+    s"CREATE SCHEMA IF NOT EXISTS $schema;"
+
+  /** GRANT USAGE ON SCHEMA (RAS:133-139). */
+  def schemaPermissions(schema: String, defaultGroup: String = "dbreader"): String =
+    s"GRANT USAGE ON SCHEMA $schema TO GROUP $defaultGroup;"
+
+  /** GRANT SELECT ON table (RAS:194-200). */
+  def tablePermissions(schema: String, table: String,
+                       defaultGroup: String = "dbreader"): String =
+    s"GRANT SELECT ON $schema.$table TO GROUP $defaultGroup;"
+
+  /** Render one column's DDL type: `notype` → varchar(256) (RAS:153);
+    * complex source types → SUPER (extension — nested types are absent
+    * from the reference's pandas-CSV world; Redshift's nested-data type
+    * is SUPER). */
+  private def ddlType(m: ColumnMeta): String =
+    if (m.sourceType.startsWith("array") || m.sourceType.startsWith("map") ||
+        m.sourceType.startsWith("struct") || m.sourceType == "binary") "super"
+    else m.proposedType.ddl
+
+  /** Full CREATE TABLE (RAS:141-175): quoted comma-prefixed column lines,
+    * optional export field, PRIMARY KEY, DISTKEY (else DISTSTYLE EVEN —
+    * RAS:167-170), SORTKEY. Returns None when metadata is None (empty
+    * file, RAS:149-150). */
+  def tableDdl(schema: String, table: String,
+               metadata: Option[Seq[ColumnMeta]],
+               exportFieldName: Option[String] = None,
+               exportFieldType: Option[String] = None,
+               primaryKey: Option[String] = None,
+               distKey: Option[String] = None,
+               sortKey: Option[String] = None): Option[String] =
+    metadata.map { cols =>
+      val colLines = cols.zipWithIndex.map { case (m, i) =>
+        val prefix = if (i == 0) "" else ", "
+        s"""$prefix"${m.field}" ${ddlType(m)}"""
+      }.mkString("\n")
+      val sb = new StringBuilder
+      sb ++= s"CREATE TABLE $schema.$table (\n$colLines\n"
+      for (n <- exportFieldName; t <- exportFieldType)
+        sb ++= s" , $n $t\n"
+      for (pk <- primaryKey)
+        sb ++= s" , PRIMARY KEY ($pk)\n"
+      sb ++= ")\n"
+      sb ++= (distKey match {
+        case Some(dk) => s"DISTKEY ($dk)\n"
+        case None     => "DISTSTYLE EVEN\n"
+      })
+      for (sk <- sortKey)
+        sb ++= s"SORTKEY ($sk)\n"
+      sb.result()
+    }
+
+  /** ALTER TABLE ADD COLUMN for each MISSING diff row (RAS:177-192,
+    * unquoted field names exactly as the reference emits them). Input
+    * pairs are (field, proposed_type). Returns None when nothing is
+    * missing. */
+  def columnDdl(schema: String, table: String,
+                missing: Seq[(String, String)]): Option[String] =
+    if (missing.isEmpty) None
+    else Some(missing.map { case (field, typ) =>
+      s"ALTER TABLE $schema.$table ADD COLUMN $field $typ;"
+    }.mkString("\n"))
+
+  /** Spark-dialect CREATE TABLE for round-trip tests (execute via
+    * spark.sql, re-read, diff must be empty). */
+  def sparkTableDdl(schema: String, table: String,
+                    metadata: Seq[ColumnMeta]): String = {
+    val cols = metadata.map { m =>
+      val t = m.proposedType match {
+        case RedshiftType.NoType     => "STRING"
+        case RedshiftType.Bool       => "BOOLEAN"
+        case RedshiftType.Int4       => "INT"
+        case RedshiftType.Int8       => "BIGINT"
+        case RedshiftType.Float8     => "DOUBLE"
+        case RedshiftType.Date       => "DATE"
+        case RedshiftType.Timestamp  => "TIMESTAMP"
+        case RedshiftType.Varchar(_) => "STRING"
+      }
+      s"`${m.field}` $t"
+    }.mkString(", ")
+    s"CREATE TABLE IF NOT EXISTS $schema.$table ($cols) USING parquet"
+  }
+}

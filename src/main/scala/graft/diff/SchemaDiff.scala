@@ -1,0 +1,65 @@
+package graft.diff
+
+import graft.types.TypeClass
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The schema-diff engine: proposed ⟗ deployed → per-column reason
+  * classification (RedshiftAutoSchema.py:202-225).
+  *
+  * Expressed as a declarative full-outer join + `when` chain so Catalyst
+  * plans it (the sides are column-count-sized → broadcast join, no
+  * shuffle). Classification precedence reproduces the pandas overwrite
+  * order at RAS:218-220: TYPE MISMATCH is assigned first for every row,
+  * then MISSING and DEPRECATED overwrite it — hence the reversed `when`
+  * order here.
+  */
+object SchemaDiff {
+
+  /** @param proposed DataFrame(field, proposed_type)
+    * @param deployed DataFrame(field, deployed_type)
+    * @return DataFrame(field, proposed_type, deployed_type, reason) with
+    *         only actual diffs (reason non-null), `notype` rows excluded
+    *         (RAS:222 — NaN != 'notype' is true in pandas, so DEPRECATED
+    *         rows with null proposed_type survive the filter). */
+  def diff(proposed: DataFrame, deployed: DataFrame): DataFrame = {
+    val p = col("proposed_type")
+    val d = col("deployed_type")
+    val classify = (c: String) => expr(TypeClass.classifySql(c))
+    proposed.join(broadcast(deployed), Seq("field"), "full_outer")
+      .withColumn("reason",
+        when(p.isNotNull && d.isNull, "MISSING")
+          .when(p.isNull && d.isNotNull, "DEPRECATED")
+          .when(classify("proposed_type") =!= classify("deployed_type"),
+            "TYPE MISMATCH"))
+      .filter(p.isNull || p =!= "notype")
+      .select(col("field"), p, d, col("reason"))
+      .filter(col("reason").isNotNull)
+  }
+
+  /** Deployed-side schema from the Spark catalog, shaped like the
+    * reference's information_schema.columns read (RAS:215-216: udt_name
+    * plus parenthesized length, ordered by position). */
+  def deployedFromCatalog(spark: SparkSession, schema: String,
+                          table: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = spark.table(s"$schema.$table").schema.fields.toSeq
+    val rows = fields.map { f =>
+      val t = f.dataType match {
+        case BooleanType            => "bool"
+        case ByteType | ShortType   => "int2"
+        case IntegerType            => "int4"
+        case LongType               => "int8"
+        case FloatType              => "float4"
+        case DoubleType             => "float8"
+        case _: DecimalType         => "numeric"
+        case DateType               => "date"
+        case _: TimestampType       => "timestamp"
+        case VarcharType(n)         => s"varchar($n)"
+        case _                      => "varchar(256)"
+      }
+      (f.name, t)
+    }
+    spark.createDataFrame(rows).toDF("field", "deployed_type")
+  }
+}

@@ -1,0 +1,179 @@
+package graft.inference
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column statistics needed by the type-inference cascade.
+  *
+  * One instance per column, produced by [[ColumnProfiler.profile]] from a
+  * SINGLE fused aggregation pass over the whole DataFrame (SURVEY.md §4:
+  * the reference makes up to ~6 full scans per column,
+  * RedshiftAutoSchema.py:306-339; we fuse every check for every column
+  * into one distributed partial+final hash aggregate, so only this stats
+  * record — never raw data — reaches the driver; 100 TB-safe).
+  */
+final case class ColumnProfile(
+    field: String,
+    sourceType: DataType,
+    identifier: Boolean,      // name ends "_id" → bool check disabled (RAS:255,311)
+    nonNull: Long,            // count of non-null values (RAS:306,309)
+    boolDomain: Boolean,      // ∀ str(x).lower() ∈ {true,false,t,f,0,1} (RAS:311)
+    numericCount: Long,       // count of float-castable values (RAS:315)
+    integral: Boolean,        // ∀ x == floor(x), finite (RAS:317)
+    minD: Option[Double],     // numeric min (RAS:318)
+    maxD: Option[Double],     // numeric max (RAS:318)
+    tsCount: Long,            // count of complete-datetime-parseable values (RAS:328-330)
+    allMidnight: Boolean,     // ∀ ts == date_trunc(day, ts) (RAS:331)
+    maxLen: Option[Long],     // max stringified length (RAS:336)
+    complex: Boolean          // array/map/struct/binary source (extension; no reference rule)
+)
+
+object ColumnProfiler {
+
+  /** Accepted datetime formats. Every pattern requires an explicit
+    * year+month+day, which subsumes the reference's "complete date" check
+    * (RedshiftAutoSchema.py:329: dateutil double-parse demotes partial
+    * dates like "March" or "12:30" to varchar(256)) — partial dates
+    * simply fail all formats here and fall through to the varchar rule.
+    * Order: most specific first (try_to_timestamp requires a full match).
+    */
+  val sparkTsFormats: Seq[String] = Seq(
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss.SSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd",
+    "yyyy/MM/dd",
+    "MM/dd/yyyy"
+  )
+
+  /** Coarse source-type kinds that determine which checks can apply —
+    * mirroring how pandas dtypes steer the reference's cascade (e.g.
+    * astype(float) on datetime64 raises → datetime columns never test
+    * numeric, RedshiftAutoSchema.py:315). */
+  sealed trait Kind
+  case object NullKind extends Kind
+  case object BoolKind extends Kind
+  case object NumKind extends Kind        // integral + floating + decimal
+  case object TsKind extends Kind         // timestamp / timestamp_ntz
+  case object DateKind extends Kind
+  case object StrKind extends Kind
+  case object ComplexKind extends Kind    // array/map/struct/binary (extension)
+
+  def kindOf(dt: DataType): Kind = dt match {
+    case NullType                                       => NullKind
+    case BooleanType                                    => BoolKind
+    case _: ByteType | _: ShortType | _: IntegerType |
+         _: LongType | _: FloatType | _: DoubleType |
+         _: DecimalType                                 => NumKind
+    case _: TimestampType | _: TimestampNTZType         => TsKind
+    case _: DateType                                    => DateKind
+    case _: StringType | _: VarcharType | _: CharType   => StrKind
+    case _                                              => ComplexKind
+  }
+
+  private def quote(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** The numeric view of a column: exact cast for numeric sources,
+    * try_cast for strings (per-value analogue of Python float() —
+    * RedshiftAutoSchema.py:315 — where one bad value fails the whole
+    * column: we compare numericCount to nonNull instead). */
+  private def numExpr(name: String, kind: Kind): Column = kind match {
+    case NumKind | BoolKind => col(name).cast(DoubleType)
+    case StrKind            => expr(s"try_cast(${quote(name)} AS DOUBLE)")
+    case _                  => lit(null).cast(DoubleType) // pandas astype(float) raises on datetime64
+  }
+
+  /** The datetime view: identity for timestamp/date sources, the strict
+    * multi-format parse chain for strings. */
+  private def tsExpr(name: String, kind: Kind): Column = kind match {
+    case TsKind   => col(name)
+    case DateKind => col(name).cast(TimestampType)
+    case StrKind  =>
+      coalesce(sparkTsFormats.map(f => try_to_timestamp(col(name), lit(f))): _*)
+    case _        => lit(null).cast(TimestampType)
+  }
+
+  /** All aggregate expressions for one column, flat-aliased `p{i}_*`. */
+  private def aggsFor(i: Int, name: String, kind: Kind): Seq[Column] = {
+    val c = col(name)
+    val s = lower(c.cast(StringType))
+    val d0 = numExpr(name, kind)
+    // pandas drops NaN with nulls before every check (RAS:309: NaN is
+    // null in pandas); Spark NaN is a value — mask it out to match.
+    val d = when(!isnan(d0), d0)
+    val t = tsExpr(name, kind)
+    val finiteIntegral =
+      d === floor(d) && abs(d) =!= lit(Double.PositiveInfinity)
+    Seq(
+      count(c).as(s"p${i}_nn"),
+      coalesce(bool_and(s.isin("true", "false", "t", "f", "0", "1")), lit(false))
+        .as(s"p${i}_bool"),
+      count(d).as(s"p${i}_num"),
+      coalesce(bool_and(finiteIntegral), lit(false)).as(s"p${i}_int"),
+      min(d).as(s"p${i}_min"),
+      max(d).as(s"p${i}_max"),
+      count(t).as(s"p${i}_ts"),
+      coalesce(bool_and(t === date_trunc("DAY", t)), lit(false))
+        .as(s"p${i}_mid"),
+      max(length(c.cast(StringType))).as(s"p${i}_len")
+    )
+  }
+
+  /** Profile every column of `df` in `max(1, ceil(cols/maxColsPerJob))`
+    * Spark jobs (default: one job for ≤256 columns).
+    *
+    * Scale note: each job's scan prunes to exactly its chunk's columns
+    * (columnar Parquet), so chunking very wide tables costs no extra
+    * total I/O while keeping each generated whole-stage-codegen method
+    * within JIT limits. The aggregate is associative+commutative →
+    * map-side partial aggregation, no shuffle of raw rows; the only
+    * driver traffic is one stats row per chunk.
+    */
+  def profile(df: DataFrame, maxColsPerJob: Int = 256): Seq[ColumnProfile] =
+    profileWithCount(df, maxColsPerJob)._2
+
+  /** Like [[profile]] but also returns the exact row count, folded into
+    * the same single pass (reference: empty file → metadata None,
+    * RedshiftAutoSchema.py:243-245 — we detect it with no extra job). */
+  def profileWithCount(df: DataFrame, maxColsPerJob: Int = 256)
+      : (Long, Seq[ColumnProfile]) = {
+    val fields = df.schema.fields.toSeq
+    if (fields.isEmpty) return (0L, Seq.empty)
+    var rows = -1L
+    val profiles = fields.grouped(math.max(1, maxColsPerJob)).toSeq.flatMap { chunk =>
+      val aggs = count(lit(1)).as("p_rows") +:
+        chunk.zipWithIndex.flatMap { case (f, i) =>
+          aggsFor(i, f.name, kindOf(f.dataType))
+        }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      rows = row.getAs[Long]("p_rows")
+      chunk.zipWithIndex.map { case (f, i) =>
+        def g[T](suffix: String): T = row.getAs[T](s"p${i}_$suffix")
+        def opt[T](suffix: String): Option[T] = {
+          val idx = row.fieldIndex(s"p${i}_$suffix")
+          if (row.isNullAt(idx)) None else Some(row.getAs[T](idx))
+        }
+        val kind = kindOf(f.dataType)
+        ColumnProfile(
+          field = f.name,
+          sourceType = f.dataType,
+          identifier = f.name.endsWith("_id"),
+          nonNull = g[Long]("nn"),
+          boolDomain = g[Boolean]("bool"),
+          numericCount = g[Long]("num"),
+          integral = g[Boolean]("int"),
+          minD = opt[Double]("min"),
+          maxD = opt[Double]("max"),
+          tsCount = g[Long]("ts"),
+          allMidnight = g[Boolean]("mid"),
+          maxLen = opt[Number]("len").map(_.longValue),
+          complex = kind == ComplexKind
+        )
+      }
+    }
+    (rows, profiles)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.inference
+
+import graft.types.RedshiftType
+import graft.types.RedshiftType._
+import org.apache.spark.sql.DataFrame
+
+/** The pure decision cascade: ColumnProfile → RedshiftType.
+  *
+  * Faithful to RedshiftAutoSchema.py:294-339 (`_evaluate_type`), verified
+  * against the live reference (pandas 2.2.2). Precedence (the spec,
+  * SURVEY.md §1):
+  *   all-null → notype;  bool-domain (unless `_id` name) → bool;
+  *   numeric: integral ∧ in ±2³¹ → int4, integral → int8, else float8;
+  *   complete datetime: all-midnight → date, else timestamp;
+  *   else varchar(256) if max length ≤ 240 (NOT 256 — RAS:336), else
+  *   varchar(65535).
+  *
+  * Documented divergences from the reference (each unit-tested):
+  *   - String columns of pure numerics: the reference's parquet/object
+  *     path hits a latent TypeError at RAS:318 (string min/max compared
+  *     to int) and returns float8; its CSV path never sees them because
+  *     pandas pre-parses numerics to int64/float64. We apply the value
+  *     rule uniformly (integral range → int4/int8), i.e. the CSV-path
+  *     behavior, which is the one the README flow exercises.
+  *   - ±Infinity values: reference raises out of the int cast and lands
+  *     in varchar(256) via two exception hops; we return float8.
+  *   - Partial-date detection (RAS:329 dateutil double-parse) is realized
+  *     as a strict explicit-Y/M/D format list (ColumnProfiler
+  *     .sparkTsFormats); partial dates fail the parse and demote to the
+  *     varchar rule exactly as the reference's observable output does.
+  *   - Complex types (array/map/struct/binary — impossible in the
+  *     reference's pandas-CSV world) map to SUPER in DDL (extension).
+  */
+object TypeInference {
+
+  def decide(p: ColumnProfile): RedshiftType = {
+    if (p.nonNull == 0L) NoType
+    else if (p.complex) Varchar65535 // rendered as SUPER by DdlGenerator
+    else if (p.boolDomain && !p.identifier) Bool
+    else if (p.numericCount == p.nonNull) {
+      if (p.integral) {
+        val lo = p.minD.getOrElse(Double.NegativeInfinity)
+        val hi = p.maxD.getOrElse(Double.PositiveInfinity)
+        if (lo >= Int.MinValue.toDouble && hi <= Int.MaxValue.toDouble) Int4
+        else Int8
+      } else Float8
+    } else if (p.tsCount == p.nonNull) {
+      if (p.allMidnight) Date else Timestamp
+    } else {
+      if (p.maxLen.getOrElse(0L) <= 240L) Varchar256 else Varchar65535
+    }
+  }
+
+  /** One column's inferred metadata (the reference's `metadata` frame row:
+    * RAS:252-256 — index/pandas_type/proposed_type). */
+  final case class ColumnMeta(field: String, sourceType: String,
+                              proposedType: RedshiftType) {
+    def proposedName: String = proposedType.name
+  }
+
+  /** Infer the full schema of a DataFrame: ONE fused aggregation job
+    * (SURVEY.md §3.1 design target: ≤2 jobs — source schema read + this).
+    * Returns None for a zero-row input (reference: empty file → metadata
+    * None → DDL None, RAS:243-245) — detected in the same pass. */
+  def inferSchema(df: DataFrame): Option[Seq[ColumnMeta]] = {
+    val (rows, profiles) = ColumnProfiler.profileWithCount(df)
+    if (rows == 0L) None
+    else Some(profiles.map { p =>
+      ColumnMeta(p.field, p.sourceType.simpleString, decide(p))
+    })
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All are narrow per-row expressions (whole-stage-codegen'd, no UDFs,
+  * no shuffle) followed by optional aggregation — at 100 TB each is a
+  * single map-side pass; aggregations are partial+final with only group
+  * keys shuffled.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (lowercased, empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword-boundary tokenizer: splits on whitespace AND
+    * letter/digit/punctuation boundaries, approximating a byte-pair
+    * pre-tokenization pass. */
+  def bpeishTokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Exact token count per row. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Quality-score features (length / punctuation / stopword ratios).
+    * Returns a struct column; callers select what they need. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    val nPunct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val stop = enStopwords
+    val nStop = size(filter(toks, t => t.isInCollection(stop)))
+    struct(
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      (nChar.cast("double") / greatest(nTok, lit(1)).cast("double"))
+        .as("avg_token_len"),
+      nPunct.as("n_punct"),
+      nStop.as("n_stopwords"))
+  }
+
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Tiny per-language stopword/function-word sets for the heuristic
+    * language scorer. Deterministic and SQL-portable (set membership
+    * counts, argmax with fixed tie order). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和")
+  )
+
+  /** Heuristic language ID: argmax of marker-token hits; ties break by
+    * the fixed order of [[langMarkers]]; zero hits → "und" (unknown). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langMarkers.map { case (lang, words) =>
+      (lang, size(filter(toks, t => t.isInCollection(words))))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val firstBest = scored.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+    // foldRight means earlier entries override later ones on ties
+    firstBest
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set —
+    * rolling-hash-equivalent content signature, invariant to token
+    * order and duplication. md5 is available in both Spark and DuckDB,
+    * keeping the operator oracle-checkable. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
+}

@@ -1,0 +1,134 @@
+package graft.types
+
+/** The eight inferable Redshift types (plus the `notype` sentinel) of the
+  * reference engine, re-expressed as a Scala ADT.
+  *
+  * Spec: /root/reference/redshift_auto_schema/RedshiftAutoSchema.py:294-339
+  * (`_evaluate_type`) — the cascade infers exactly: notype, bool, int4,
+  * int8, float8, date, timestamp, varchar(256), varchar(65535).
+  */
+sealed trait RedshiftType {
+  /** DDL rendering (RedshiftAutoSchema.py:153: `notype` becomes
+    * varchar(256) in emitted CREATE TABLE). */
+  def ddl: String = this match {
+    case RedshiftType.NoType     => "varchar(256)"
+    case other                   => other.name
+  }
+  /** Canonical name as the reference spells it. */
+  def name: String = this match {
+    case RedshiftType.NoType      => "notype"
+    case RedshiftType.Bool        => "bool"
+    case RedshiftType.Int4        => "int4"
+    case RedshiftType.Int8        => "int8"
+    case RedshiftType.Float8      => "float8"
+    case RedshiftType.Date        => "date"
+    case RedshiftType.Timestamp   => "timestamp"
+    case RedshiftType.Varchar(n)  => s"varchar($n)"
+  }
+}
+
+object RedshiftType {
+  case object NoType    extends RedshiftType
+  case object Bool      extends RedshiftType
+  case object Int4      extends RedshiftType
+  case object Int8      extends RedshiftType
+  case object Float8    extends RedshiftType
+  case object Date      extends RedshiftType
+  case object Timestamp extends RedshiftType
+  final case class Varchar(n: Int) extends RedshiftType
+
+  val Varchar256: RedshiftType   = Varchar(256)
+  val Varchar65535: RedshiftType = Varchar(65535)
+
+  def fromName(s: String): RedshiftType = s match {
+    case "notype"         => NoType
+    case "bool"           => Bool
+    case "int4"           => Int4
+    case "int8"           => Int8
+    case "float8"         => Float8
+    case "date"           => Date
+    case "timestamp"      => Timestamp
+    case "varchar(256)"   => Varchar256
+    case "varchar(65535)" => Varchar65535
+    case other => sys.error(s"not a reference-inferable type: $other")
+  }
+
+  /** Spark DataType mapping for round-trip materialization
+    * (SURVEY.md §1 type table). */
+  def toSpark(t: RedshiftType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t match {
+      case NoType     => StringType // DDL substitution target
+      case Bool       => BooleanType
+      case Int4       => IntegerType
+      case Int8       => LongType
+      case Float8     => DoubleType
+      case Date       => DateType
+      case Timestamp  => TimestampType
+      case Varchar(_) => StringType
+    }
+  }
+}
+
+/** Type-alias equivalence classes used by the schema-diff comparator.
+  *
+  * Faithful to RedshiftAutoSchema.py:258-292 (`_classify_type`), with two
+  * documented divergences (SURVEY.md §1 "known reference bugs"):
+  *   - RAS:285 `datatype in ('date')` is a Python substring test (any
+  *     substring of "date" — "a", "at", "ate" — classifies 11). We treat
+  *     it as intended tuple membership: exactly "date" → 11.
+  *   - RAS:273/275 list 'float' under both class 5 (real) and class 6
+  *     (double precision); first match wins in Python, so deployed
+  *     'float' → 5. We reproduce that observable behavior (float → 5)
+  *     and simply omit the dead 'float' alias from class 6.
+  */
+object TypeClass {
+  def classify(datatype: String): Int = {
+    val d = datatype.toLowerCase.trim
+    d match {
+      case "smallint" | "int2"                                   => 1
+      case "integer" | "int" | "int4"                            => 2
+      case "bigint" | "int8"                                     => 3
+      case "decimal" | "numeric"                                 => 4
+      case "real" | "float"                                      => 5
+      case "double precision" | "float8"                         => 6
+      case "boolean" | "bool"                                    => 7
+      case "char" | "character" | "nchar" | "bpchar"             => 8
+      case "varchar" | "varchar(256)" | "character varying" |
+           "character varying(256)" | "nvarchar" | "nvarchar(256)" |
+           "text"                                                => 9
+      case "varchar(65535)" | "character varying(65535)" |
+           "nvarchar(65535)"                                     => 10
+      case "date"                                                => 11
+      case "timestamp" | "timestamp without time zone"           => 12
+      case "timestamptz" | "timestamp with time zone"            => 13
+      case _                                                     => 0
+    }
+  }
+
+  /** The same classifier as a SQL CASE expression over column `col` —
+    * single source of truth reused verbatim by both the Spark diff query
+    * and the DuckDB oracle, so the two engines classify identically. */
+  def classifySql(col: String): String = {
+    def in(vals: String*) =
+      vals.map(v => s"'$v'").mkString("(", ", ", ")")
+    // NULL input: no WHEN matches (NULL IN (...) is not true) → ELSE 0,
+    // matching Python str(None/NaN) → unknown class 0.
+    s"""CASE
+       |  WHEN lower(trim($col)) IN ${in("smallint", "int2")} THEN 1
+       |  WHEN lower(trim($col)) IN ${in("integer", "int", "int4")} THEN 2
+       |  WHEN lower(trim($col)) IN ${in("bigint", "int8")} THEN 3
+       |  WHEN lower(trim($col)) IN ${in("decimal", "numeric")} THEN 4
+       |  WHEN lower(trim($col)) IN ${in("real", "float")} THEN 5
+       |  WHEN lower(trim($col)) IN ${in("double precision", "float8")} THEN 6
+       |  WHEN lower(trim($col)) IN ${in("boolean", "bool")} THEN 7
+       |  WHEN lower(trim($col)) IN ${in("char", "character", "nchar", "bpchar")} THEN 8
+       |  WHEN lower(trim($col)) IN ${in("varchar", "varchar(256)", "character varying", "character varying(256)", "nvarchar", "nvarchar(256)", "text")} THEN 9
+       |  WHEN lower(trim($col)) IN ${in("varchar(65535)", "character varying(65535)", "nvarchar(65535)")} THEN 10
+       |  WHEN lower(trim($col)) = 'date' THEN 11
+       |  WHEN lower(trim($col)) IN ${in("timestamp", "timestamp without time zone")} THEN 12
+       |  WHEN lower(trim($col)) IN ${in("timestamptz", "timestamp with time zone")} THEN 13
+       |  ELSE 0
+       |END""".stripMargin.replaceAll("\\s+", " ").trim
+  }
+}
