@@ -47,7 +47,11 @@ final class RedshiftAutoSchema(
 
   /** Distributed load: parquet by extension, else delimited text with
     * header row (RAS:227-233); headers normalized `.` → `_` (RAS:233);
-    * optional caller column override (RAS:247-250). */
+    * optional caller column override (RAS:247-250). CSV loads all-string
+    * (no Spark inferSchema) and then nulls pandas.read_csv's default NA
+    * tokens, so a numeric column containing 'NULL'/'N/A' markers infers
+    * int/float exactly as the reference does (pandas drops them as null
+    * before inference). */
   private lazy val loaded: DataFrame = {
     val raw = fileDf.getOrElse {
       val path = file.get
@@ -58,7 +62,15 @@ final class RedshiftAutoSchema(
           .option("sep", delimiter)
           .option("quote", quotechar)
         encoding.foreach(e => r.option("encoding", e))
-        r.csv(path)
+        val csv = r.csv(path)
+        // pandas.read_csv default na_values list (pandas 2.x docs).
+        val naTokens = Seq("", "#N/A", "#N/A N/A", "#NA", "-1.#IND",
+          "-1.#QNAN", "-NaN", "-nan", "1.#IND", "1.#QNAN", "<NA>", "N/A",
+          "NA", "NULL", "NaN", "None", "n/a", "nan", "null")
+        import org.apache.spark.sql.functions.{col, when}
+        csv.select(csv.columns.map { c =>
+          when(col(c).isin(naTokens: _*), null).otherwise(col(c)).as(c)
+        }.toIndexedSeq: _*)
       }
     }
     val renamed = raw.toDF(raw.columns.map(_.replace(".", "_")).toIndexedSeq: _*)

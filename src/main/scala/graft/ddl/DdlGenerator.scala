@@ -25,13 +25,10 @@ object DdlGenerator {
     s"GRANT SELECT ON $schema.$table TO GROUP $defaultGroup;"
 
   /** Render one column's DDL type: `notype` → varchar(256) (RAS:153);
-    * complex source types → SUPER (extension — nested types are absent
-    * from the reference's pandas-CSV world; Redshift's nested-data type
-    * is SUPER). */
-  private def ddlType(m: ColumnMeta): String =
-    if (m.sourceType.startsWith("array") || m.sourceType.startsWith("map") ||
-        m.sourceType.startsWith("struct") || m.sourceType == "binary") "super"
-    else m.proposedType.ddl
+    * complex source types carry RedshiftType.Super whose ddl is "super"
+    * (extension — nested types are absent from the reference's
+    * pandas-CSV world; Redshift's nested-data type is SUPER). */
+  private def ddlType(m: ColumnMeta): String = m.proposedType.ddl
 
   /** Full CREATE TABLE (RAS:141-175): quoted comma-prefixed column lines,
     * optional export field, PRIMARY KEY, DISTKEY (else DISTSTYLE EVEN —
@@ -77,19 +74,23 @@ object DdlGenerator {
     }.mkString("\n"))
 
   /** Spark-dialect CREATE TABLE for round-trip tests (execute via
-    * spark.sql, re-read, diff must be empty). */
+    * spark.sql, re-read, diff must be empty). VARCHAR(n) is emitted with
+    * its width (Spark keeps it in column metadata) so the catalog
+    * round-trip preserves the varchar(256)-vs-varchar(65535) class
+    * distinction the diff comparator depends on (RAS:281-284). */
   def sparkTableDdl(schema: String, table: String,
                     metadata: Seq[ColumnMeta]): String = {
     val cols = metadata.map { m =>
       val t = m.proposedType match {
-        case RedshiftType.NoType     => "STRING"
+        case RedshiftType.NoType     => "VARCHAR(256)" // DDL substitution (RAS:153)
         case RedshiftType.Bool       => "BOOLEAN"
         case RedshiftType.Int4       => "INT"
         case RedshiftType.Int8       => "BIGINT"
         case RedshiftType.Float8     => "DOUBLE"
         case RedshiftType.Date       => "DATE"
         case RedshiftType.Timestamp  => "TIMESTAMP"
-        case RedshiftType.Varchar(_) => "STRING"
+        case RedshiftType.Varchar(n) => s"VARCHAR($n)"
+        case RedshiftType.Super      => "STRING" // serialized JSON form
       }
       s"`${m.field}` $t"
     }.mkString(", ")

@@ -2,6 +2,7 @@ package graft.diff
 
 import graft.types.TypeClass
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.functions._
 
 /** The schema-diff engine: proposed ⟗ deployed → per-column reason
@@ -39,13 +40,33 @@ object SchemaDiff {
 
   /** Deployed-side schema from the Spark catalog, shaped like the
     * reference's information_schema.columns read (RAS:215-216: udt_name
-    * plus parenthesized length, ordered by position). */
+    * plus parenthesized length, ordered by position).
+    *
+    * A missing table yields an EMPTY frame — mirroring the reference,
+    * whose information_schema query returns zero rows so every proposed
+    * column classifies MISSING (feeding generate_column_ddl) instead of
+    * throwing. Varchar widths survive the catalog round-trip: Spark
+    * stores `VARCHAR(n)` as StringType plus the __CHAR_VARCHAR_TYPE_STRING
+    * metadata key, which we read back so varchar(256) vs varchar(65535)
+    * (diff classes 9 vs 10, RAS:281-284) stays distinguishable. */
   def deployedFromCatalog(spark: SparkSession, schema: String,
                           table: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val fields = spark.table(s"$schema.$table").schema.fields.toSeq
+    val qualified = s"$schema.$table"
+    if (!spark.catalog.tableExists(qualified)) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("field", StringType),
+                       StructField("deployed_type", StringType))))
+    }
+    val charVarcharKey = "__CHAR_VARCHAR_TYPE_STRING"
+    val fields = spark.table(qualified).schema.fields.toSeq
     val rows = fields.map { f =>
-      val t = f.dataType match {
+      val rawType =
+        if (f.metadata.contains(charVarcharKey))
+          CatalystSqlParser.parseDataType(f.metadata.getString(charVarcharKey))
+        else f.dataType
+      val t = rawType match {
         case BooleanType            => "bool"
         case ByteType | ShortType   => "int2"
         case IntegerType            => "int4"
@@ -56,7 +77,9 @@ object SchemaDiff {
         case DateType               => "date"
         case _: TimestampType       => "timestamp"
         case VarcharType(n)         => s"varchar($n)"
-        case _                      => "varchar(256)"
+        case CharType(n)            => "char"
+        case _: StringType          => "varchar(65535)" // unbounded STRING ≅ max varchar
+        case _                      => "super" // array/map/struct/binary
       }
       (f.name, t)
     }

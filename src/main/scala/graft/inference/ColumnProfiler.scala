@@ -34,19 +34,36 @@ object ColumnProfiler {
   /** Accepted datetime formats. Every pattern requires an explicit
     * year+month+day, which subsumes the reference's "complete date" check
     * (RedshiftAutoSchema.py:329: dateutil double-parse demotes partial
-    * dates like "March" or "12:30" to varchar(256)) — partial dates
-    * simply fail all formats here and fall through to the varchar rule.
+    * dates like "March" or "12:30" to varchar(256)) — partial dates fail
+    * every format AND the guarded default-parse fallback in [[tsExpr]]
+    * (which requires a yyyy-MM-dd prefix), so they fall through to the
+    * varchar rule. Coverage = ISO date/datetime (space or 'T' separator,
+    * optional fraction, optional zone/offset via the fallback), slash
+    * dates with and without time, and English month-name dates; exotic
+    * dateutil-only spellings beyond these demote to varchar — documented
+    * divergence, see TypeInference's scaladoc.
     * Order: most specific first (try_to_timestamp requires a full match).
     */
   val sparkTsFormats: Seq[String] = Seq(
     "yyyy-MM-dd HH:mm:ss.SSSSSS",
     "yyyy-MM-dd HH:mm:ss.SSS",
     "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS",
     "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
     "yyyy-MM-dd HH:mm",
     "yyyy-MM-dd",
+    "yyyy/MM/dd HH:mm:ss",
     "yyyy/MM/dd",
-    "MM/dd/yyyy"
+    "MM/dd/yyyy HH:mm:ss",
+    "MM/dd/yyyy HH:mm",
+    "MM/dd/yyyy",
+    "MMM d yyyy",
+    "MMM d, yyyy",
+    "MMMM d yyyy",
+    "MMMM d, yyyy"
   )
 
   /** Coarse source-type kinds that determine which checks can apply —
@@ -76,42 +93,63 @@ object ColumnProfiler {
 
   private def quote(name: String): String = "`" + name.replace("`", "``") + "`"
 
-  /** The numeric view of a column: exact cast for numeric sources,
-    * try_cast for strings (per-value analogue of Python float() —
-    * RedshiftAutoSchema.py:315 — where one bad value fails the whole
-    * column: we compare numericCount to nonNull instead). */
-  private def numExpr(name: String, kind: Kind): Column = kind match {
-    case NumKind | BoolKind => col(name).cast(DoubleType)
-    case StrKind            => expr(s"try_cast(${quote(name)} AS DOUBLE)")
-    case _                  => lit(null).cast(DoubleType) // pandas astype(float) raises on datetime64
-  }
-
   /** The datetime view: identity for timestamp/date sources, the strict
     * multi-format parse chain for strings. */
-  private def tsExpr(name: String, kind: Kind): Column = kind match {
-    case TsKind   => col(name)
-    case DateKind => col(name).cast(TimestampType)
+  private def tsExpr(c: Column, kind: Kind): Column = kind match {
+    case TsKind   => c
+    case DateKind => c.cast(TimestampType)
     case StrKind  =>
-      coalesce(sparkTsFormats.map(f => try_to_timestamp(col(name), lit(f))): _*)
+      // Explicit format list first; a guarded default-parse fallback
+      // (ISO-8601 with offset/zone/'T'/fractional variants) covers the
+      // long tail — guarded by a date-shaped prefix so partial values
+      // like "March" or "12:30" can never sneak through it.
+      coalesce(
+        (sparkTsFormats.map(f => try_to_timestamp(c, lit(f))) :+
+          when(c.rlike("^\\d{4}-\\d{2}-\\d{2}"), try_to_timestamp(c))): _*)
     case _        => lit(null).cast(TimestampType)
   }
 
-  /** All aggregate expressions for one column, flat-aliased `p{i}_*`. */
+  /** All aggregate expressions for one column, flat-aliased `p{i}_*`.
+    *
+    * NaN semantics (pandas treats floating NaN as null — isnull/dropna at
+    * RAS:306-309 — while Spark NaN is an ordinary value):
+    *   - floating/decimal sources: NaN rows are masked out of the BASE
+    *     column, so every aggregate (nonNull included) sees them as null;
+    *     an all-NaN column is notype, a float col with NaN stays float8.
+    *   - string sources: Python float('nan') SUCCEEDS, so 'NaN' strings
+    *     count as numeric-castable (numericCount) but are excluded from
+    *     integral/min/max — an all-'NaN'-string parquet column lands on
+    *     float8 exactly like the reference's parquet path (astype(int) on
+    *     NaN raises → except → float8, RAS:322-325). The facade's CSV
+    *     loader nulls NA tokens before we ever see them, matching
+    *     pandas.read_csv defaults.
+    */
   private def aggsFor(i: Int, name: String, kind: Kind): Seq[Column] = {
-    val c = col(name)
+    val raw = col(name)
+    // (base column, numeric-castable view, numeric-stats view)
+    val (c, dCount, d) = kind match {
+      case NumKind =>
+        val cd = raw.cast(DoubleType)
+        val masked = when(!isnan(cd), raw)
+        val md = masked.cast(DoubleType)
+        (masked, md, md)
+      case BoolKind =>
+        (raw, raw.cast(DoubleType), raw.cast(DoubleType))
+      case StrKind =>
+        val tc = expr(s"try_cast(${quote(name)} AS DOUBLE)")
+        (raw, tc, when(!isnan(tc), tc))
+      case _ =>
+        (raw, lit(null).cast(DoubleType), lit(null).cast(DoubleType))
+    }
     val s = lower(c.cast(StringType))
-    val d0 = numExpr(name, kind)
-    // pandas drops NaN with nulls before every check (RAS:309: NaN is
-    // null in pandas); Spark NaN is a value — mask it out to match.
-    val d = when(!isnan(d0), d0)
-    val t = tsExpr(name, kind)
+    val t = tsExpr(c, kind)
     val finiteIntegral =
       d === floor(d) && abs(d) =!= lit(Double.PositiveInfinity)
     Seq(
       count(c).as(s"p${i}_nn"),
       coalesce(bool_and(s.isin("true", "false", "t", "f", "0", "1")), lit(false))
         .as(s"p${i}_bool"),
-      count(d).as(s"p${i}_num"),
+      count(dCount).as(s"p${i}_num"),
       coalesce(bool_and(finiteIntegral), lit(false)).as(s"p${i}_int"),
       min(d).as(s"p${i}_min"),
       max(d).as(s"p${i}_max"),

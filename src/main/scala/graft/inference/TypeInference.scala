@@ -35,7 +35,7 @@ object TypeInference {
 
   def decide(p: ColumnProfile): RedshiftType = {
     if (p.nonNull == 0L) NoType
-    else if (p.complex) Varchar65535 // rendered as SUPER by DdlGenerator
+    else if (p.complex) Super // Redshift's nested-data type (extension)
     else if (p.boolDomain && !p.identifier) Bool
     else if (p.numericCount == p.nonNull) {
       if (p.integral) {

@@ -24,6 +24,7 @@ sealed trait RedshiftType {
     case RedshiftType.Date        => "date"
     case RedshiftType.Timestamp   => "timestamp"
     case RedshiftType.Varchar(n)  => s"varchar($n)"
+    case RedshiftType.Super       => "super"
   }
 }
 
@@ -36,6 +37,12 @@ object RedshiftType {
   case object Date      extends RedshiftType
   case object Timestamp extends RedshiftType
   final case class Varchar(n: Int) extends RedshiftType
+  /** Redshift's semi-structured type — our mapping target for
+    * array/map/struct/binary sources (extension; nested types are
+    * impossible in the reference's pandas-CSV world, SURVEY.md §1). A
+    * distinct case so CREATE TABLE, ALTER TABLE ADD COLUMN, and the diff
+    * classifier all agree on complex columns. */
+  case object Super extends RedshiftType
 
   val Varchar256: RedshiftType   = Varchar(256)
   val Varchar65535: RedshiftType = Varchar(65535)
@@ -50,6 +57,7 @@ object RedshiftType {
     case "timestamp"      => Timestamp
     case "varchar(256)"   => Varchar256
     case "varchar(65535)" => Varchar65535
+    case "super"          => Super
     case other => sys.error(s"not a reference-inferable type: $other")
   }
 
@@ -66,6 +74,7 @@ object RedshiftType {
       case Date       => DateType
       case Timestamp  => TimestampType
       case Varchar(_) => StringType
+      case Super      => StringType // serialized JSON round-trip form
     }
   }
 }
@@ -102,6 +111,9 @@ object TypeClass {
       case "date"                                                => 11
       case "timestamp" | "timestamp without time zone"           => 12
       case "timestamptz" | "timestamp with time zone"            => 13
+      // Extension class (not in the reference): keeps a deployed SUPER
+      // column distinct from varchar so complex columns diff clean.
+      case "super"                                               => 14
       case _                                                     => 0
     }
   }
@@ -128,6 +140,7 @@ object TypeClass {
        |  WHEN lower(trim($col)) = 'date' THEN 11
        |  WHEN lower(trim($col)) IN ${in("timestamp", "timestamp without time zone")} THEN 12
        |  WHEN lower(trim($col)) IN ${in("timestamptz", "timestamp with time zone")} THEN 13
+       |  WHEN lower(trim($col)) = 'super' THEN 14
        |  ELSE 0
        |END""".stripMargin.replaceAll("\\s+", " ").trim
   }
