@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Dev-only replica of the driver's t2 correctness gate.
+
+Usage: check_correctness.py <sfDir> <verifyOutDir>
+
+For each query dumped by `graft.Verify` (<out>/<name>/ parquet), run the
+matching SQL from <out>/oracle_sql.json in DuckDB against views over the
+same testdata parquet tables, sort columns by name, and compare shapes +
+values. Reports per-query PASS/FAIL with first differing cells.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+
+def cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sf_dir / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    failures = 0
+    for qdir in sorted(out_dir.iterdir()):
+        if not qdir.is_dir():
+            continue
+        name = qdir.name
+        spark_df = normalize(con.execute(
+            f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df())
+        if name not in oracle:
+            print(f"{name}: NO-ORACLE rows={len(spark_df)}")
+            continue
+        try:
+            duck_df = normalize(con.execute(oracle[name]).df())
+        except Exception as e:
+            print(f"{name}: ORACLE-ERROR {e}")
+            failures += 1
+            continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"{name}: COLUMN-MISMATCH spark={list(spark_df.columns)} "
+                  f"duck={list(duck_df.columns)}")
+            failures += 1
+            continue
+        if len(spark_df) != len(duck_df):
+            print(f"{name}: ROWCOUNT-MISMATCH spark={len(spark_df)} "
+                  f"duck={len(duck_df)}")
+            failures += 1
+            continue
+        bad = []
+        for col in spark_df.columns:
+            sa, da = spark_df[col].tolist(), duck_df[col].tolist()
+            for i, (x, y) in enumerate(zip(sa, da)):
+                if not cells_equal(x, y):
+                    bad.append((col, i, x, y))
+                    if len(bad) >= 3:
+                        break
+            if len(bad) >= 3:
+                break
+        if bad:
+            print(f"{name}: VALUE-MISMATCH {bad}")
+            failures += 1
+        else:
+            print(f"{name}: PASS rows={len(spark_df)}")
+    print(f"== {failures} failures ==")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,484 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.diff.SchemaDiff
+import graft.inference.TypeInference
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.oracle.InferenceOracle
+import graft.types.TypeClass
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 inventory + the training-data-pipeline extensions), each
+  * with a DuckDB-runnable `oracleSql` twin. Column names and row order
+  * are aligned between the two sides (the driver sorts columns by name
+  * and hash-compares values, so every computed column is aliased
+  * identically in both, floats are either raw data values, exact
+  * decimal-derived, or bit-identical divisions, and every query ends in
+  * a deterministic ORDER BY).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Testdata reader. events.parquet stores ts as TIMESTAMP(NANOS), which
+    * Spark's vectorized reader refuses outright; with
+    * spark.sql.legacy.parquet.nanosAsLong=true (set by Verify/Bench) it
+    * arrives as a nanos-since-epoch long, which we truncate to micros —
+    * exactly what DuckDB does when it reads the same file. Integer `div`
+    * keeps full precision (a double round-trip would lose low bits). */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Flagship: full single-pass schema inference over lineitem
+    * (README.md:21-31 use case). Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val metas = TypeInference
+      .inferSchema(t(spark, "/root/testdata/sf0.001", "lineitem"))
+      .getOrElse(Seq.empty)
+    spark.createDataFrame(metas.map(m => (m.field, m.sourceType, m.proposedName)))
+      .toDF("field", "source_type", "proposed_type")
+  }
+
+  /** Exact-decimal sum of a double column, surfaced as DOUBLE — the
+    * cross-engine-stable aggregation form (decimal arithmetic is exact
+    * in both Spark and DuckDB; the final cast of a ≤15-significant-digit
+    * decimal to double is lossless and identical). */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def inferQuery(table: String)(s: SparkSession, dir: String): DataFrame = {
+    val metas = TypeInference.inferSchema(t(s, dir, table)).getOrElse(Seq.empty)
+    s.createDataFrame(metas.map(m => (m.field, m.proposedName)))
+      .toDF("field", "proposed_type").orderBy("field")
+  }
+
+  // ---- schema-diff fixture (literal on both sides) ----
+  private val proposedFixture = Seq(
+    "amount" -> "float8", "created" -> "timestamp", "flag" -> "bool",
+    "ghost" -> "notype", "id" -> "int4", "name" -> "varchar(256)",
+    "newcol" -> "int8", "note" -> "varchar(65535)")
+  private val deployedFixture = Seq(
+    "amount" -> "real", "created" -> "timestamp without time zone",
+    "flag" -> "boolean", "id" -> "integer",
+    "name" -> "character varying(256)", "note" -> "varchar(256)",
+    "oldcol" -> "date")
+  private val classifyFixture = Seq(
+    "int", "integer", "int4", "int2", "smallint", "bigint", "int8",
+    "decimal", "numeric", "real", "float", "float8", "double precision",
+    "boolean", "bool", "char", "bpchar", "varchar", "varchar(256)",
+    "character varying", "text", "varchar(65535)", "date", "timestamp",
+    "timestamp without time zone", "timestamptz", "super", "geometry")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    // ---- §2.3 fused aggregation checks (the inference core) ----
+    "q01_profile_lineitem" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dom = Seq("true", "false", "t", "f", "0", "1")
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_orderkey")).as("nn_orderkey"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        coalesce(bool_and(lower(col("l_linenumber").cast("string"))
+          .isin(dom: _*)), lit(false)).as("bool_dom_linenumber"),
+        coalesce(bool_and(col("l_quantity") === floor(col("l_quantity"))),
+          lit(false)).as("integral_quantity"),
+        min(col("l_quantity")).as("min_quantity"),
+        max(col("l_quantity")).as("max_quantity"),
+        coalesce(bool_and(col("l_shipdate") ===
+          date_trunc("DAY", col("l_shipdate"))), lit(false))
+          .as("all_midnight_shipdate"),
+        max(length(col("l_returnflag"))).cast("long").as("maxlen_returnflag"),
+        max(length(col("l_linestatus"))).cast("long").as("maxlen_linestatus"))
+    }),
+    // ---- full cascade per source-type kind ----
+    "q02_infer_lineitem" -> inferQuery("lineitem") _,
+    "q03_infer_events" -> inferQuery("events") _,
+    "q04_infer_documents" -> inferQuery("documents") _,
+    "q05_infer_embeddings" -> inferQuery("embeddings") _,
+    // ---- §2.8 type-alias classification (incl. bug-compat decisions) ----
+    "q06_type_classify" -> ((s, _) => {
+      s.createDataFrame(classifyFixture.map(Tuple1(_))).toDF("datatype")
+        .select(col("datatype"),
+          expr(TypeClass.classifySql("datatype")).as("type_class"))
+        .orderBy("datatype")
+    }),
+    // ---- §2.4 the schema-diff join + classification ----
+    "q07_schema_diff" -> ((s, _) => {
+      val p = s.createDataFrame(proposedFixture).toDF("field", "proposed_type")
+      val d = s.createDataFrame(deployedFixture).toDF("field", "deployed_type")
+      SchemaDiff.diff(p, d).orderBy("field")
+    }),
+    // ---- relational engine: aggregation / join / window / sort / sets ----
+    "q08_agg_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val one = lit(1).cast("decimal(18,2)")
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (one - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q09_join_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val one = lit(1).cast("decimal(18,2)")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("c_custkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (one - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "q10_window_rank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+    "q11_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+    "q12_set_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey")).distinct()
+      val sp = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")).distinct()
+      c.intersect(sp).orderBy("nationkey")
+    }),
+    "q13_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_no_orders"),
+          min(col("c_custkey")).as("min_custkey"),
+          max(col("c_custkey")).as("max_custkey"))
+    }),
+    "q14_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(15)
+    }),
+    // ---- training-data pipeline: dedup family ----
+    "q15_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        countDistinct(md5(col("text"))).as("n_distinct_digest"))
+    }),
+    "q16_dedup_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("canonical"))
+        .filter(col("cnt") > 1)
+        .orderBy("fingerprint")
+    }),
+    "q17_minhash_pairs" -> ((s, dir) => {
+      Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+    "q18_simhash" -> ((s, dir) => {
+      Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "q19_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- similarity search ----
+    "q20_embedding_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+    "q21_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+    // ---- text analysis ----
+    "q22_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_lang") === col("lang"), 1).otherwise(0))
+            .cast("long").as("n_match"))
+        .orderBy("pred_lang")
+    }),
+    "q23_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      d.select(col("source"), f.as("f"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f.n_chars")).cast("long").as("sum_chars"),
+          sum(col("f.n_tokens")).cast("long").as("sum_tokens"),
+          sum(col("f.n_punct")).cast("long").as("sum_punct"),
+          sum(col("f.n_stopwords")).cast("long").as("sum_stopwords"))
+        .orderBy("source")
+    }),
+    "q24_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text")))).cast("long")
+          .as("total_tokens"),
+        sum(size(TextAnalysis.bpeishTokens(col("text")))).cast("long")
+          .as("total_bpe_tokens"))
+      val b = d.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("distinct_tokens"))
+      a.crossJoin(b)
+    }),
+    // ---- multimodal binary plumbing ----
+    "q25_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+        "doc_id", "text")
+      media.select(
+        col("media_id"), col("media_type"),
+        length(col("payload")).cast("int").as("n_bytes"),
+        substring(hex(col("payload")), 1, 8).as("magic"),
+        md5(lower(hex(col("payload")))).as("checksum"))
+        .orderBy("media_id")
+    }),
+    "q26_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.frameSample(media, n = 3, frameBytes = 8)
+        .select(col("media_id"), col("frame_idx"),
+          lower(hex(col("frame_bytes"))).as("frame_hex"))
+        .orderBy("media_id", "frame_idx")
+    })
+  )
+
+  // ======================= oracle SQL =======================
+
+  private def valuesSql(rows: Seq[(String, String)]): String =
+    rows.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  private val stopIn = TextAnalysis.enStopwords.map(w => s"'$w'")
+    .mkString("(", ", ", ")")
+
+  private def minhashOracle: String = {
+    val hashes = (0 until 16)
+      .map(k => s"min(md5('$k:' || shingle)) AS h$k").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val hs = (b * 4 until b * 4 + 4).map(k => s"h$k").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($hs) AS sig FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+  THEN list_transform(range(0, len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+  ELSE [] END) AS shingle FROM toks),
+sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
+bands AS ($bands)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b"""
+  }
+
+  private def simhashOracle: String = {
+    val votes = (0 until 16).map { i =>
+      val p = i / 4 + 1
+      val j = i % 4
+      s"sum(CASE WHEN (CAST(strpos('123456789abcdef', substr(hx, $p, 1)) AS INTEGER) >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(", ")
+    val sig = (0 until 16)
+      .map(i => s"(CASE WHEN v$i > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT DISTINCT doc_id, unnest(list_distinct($tokensSql)) AS token FROM documents),
+h AS (SELECT doc_id, md5(token) AS hx FROM tk),
+votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+SELECT doc_id, CAST($sig AS INTEGER) AS simhash FROM votes ORDER BY doc_id"""
+  }
+
+  private def langIdOracle: String = {
+    val markers = TextAnalysis.langMarkers
+    val scores = markers.map { case (lang, words) =>
+      val in = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"len(list_filter(tk, t -> t IN $in)) AS s_$lang"
+    }.mkString(", ")
+    val langs = markers.map(_._1)
+    val branches = langs.zipWithIndex.map { case (lang, i) =>
+      val laters = langs.drop(i + 1).map(l2 => s"s_$lang >= s_$l2")
+      val conds = (laters :+ s"s_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH toks AS (SELECT lang, $tokensSql AS tk FROM documents),
+scored AS (SELECT lang, $scores FROM toks),
+pred AS (SELECT lang, CASE $branches ELSE 'und' END AS pred_lang FROM scored)
+SELECT pred_lang, count(*) AS n,
+  CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+FROM pred GROUP BY pred_lang ORDER BY pred_lang"""
+  }
+
+  private def diffOracle: String = {
+    val cp = TypeClass.classifySql("proposed_type")
+    val cd = TypeClass.classifySql("deployed_type")
+    s"""WITH p(field, proposed_type) AS (VALUES ${valuesSql(proposedFixture)}),
+d(field, deployed_type) AS (VALUES ${valuesSql(deployedFixture)}),
+j AS (SELECT coalesce(p.field, d.field) AS field, proposed_type, deployed_type
+      FROM p FULL OUTER JOIN d ON p.field = d.field)
+SELECT field, proposed_type, deployed_type, reason FROM (
+  SELECT field, proposed_type, deployed_type,
+    CASE WHEN proposed_type IS NOT NULL AND deployed_type IS NULL THEN 'MISSING'
+         WHEN proposed_type IS NULL AND deployed_type IS NOT NULL THEN 'DEPRECATED'
+         WHEN $cp <> $cd THEN 'TYPE MISMATCH' END AS reason
+  FROM j WHERE proposed_type IS NULL OR proposed_type <> 'notype')
+WHERE reason IS NOT NULL ORDER BY field"""
+  }
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_profile_lineitem" ->
+      """SELECT count(*) AS n_rows, count(l_orderkey) AS nn_orderkey,
+min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+coalesce(bool_and(lower(CAST(l_linenumber AS VARCHAR)) IN ('true','false','t','f','0','1')), false) AS bool_dom_linenumber,
+coalesce(bool_and(l_quantity = floor(l_quantity)), false) AS integral_quantity,
+min(l_quantity) AS min_quantity, max(l_quantity) AS max_quantity,
+coalesce(bool_and(l_shipdate = date_trunc('day', l_shipdate)), false) AS all_midnight_shipdate,
+CAST(max(length(l_returnflag)) AS BIGINT) AS maxlen_returnflag,
+CAST(max(length(l_linestatus)) AS BIGINT) AS maxlen_linestatus
+FROM lineitem""",
+    "q02_infer_lineitem" ->
+      InferenceOracle.tableSql("lineitem", InferenceOracle.lineitemCols),
+    "q03_infer_events" ->
+      InferenceOracle.tableSql("events", InferenceOracle.eventsCols),
+    "q04_infer_documents" ->
+      InferenceOracle.tableSql("documents", InferenceOracle.documentsCols),
+    "q05_infer_embeddings" ->
+      InferenceOracle.tableSql("embeddings", InferenceOracle.embeddingsCols),
+    "q06_type_classify" -> {
+      val vals = classifyFixture.map(v => s"('$v')").mkString(", ")
+      s"""SELECT datatype, ${TypeClass.classifySql("datatype")} AS type_class
+FROM (VALUES $vals) AS v(datatype) ORDER BY datatype"""
+    },
+    "q07_schema_diff" -> diffOracle,
+    "q08_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+    "q09_join_topk" ->
+      """SELECT o_orderkey, c_custkey,
+CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderkey, c_custkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q10_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+SELECT o_custkey, o_orderkey, o_totalprice,
+row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q11_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q12_set_intersect" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey""",
+    "q13_anti_join" ->
+      """SELECT count(*) AS n_no_orders, min(c_custkey) AS min_custkey,
+max(c_custkey) AS max_custkey
+FROM customer WHERE NOT EXISTS
+(SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q14_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+    "q15_dedup_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_text,
+count(DISTINCT md5(text)) AS n_distinct_digest FROM documents""",
+    "q16_dedup_fingerprint" ->
+      s"""SELECT f AS fingerprint, count(*) AS cnt, min(doc_id) AS canonical FROM (
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS f
+FROM documents) GROUP BY f HAVING count(*) > 1 ORDER BY fingerprint""",
+    "q17_minhash_pairs" -> minhashOracle,
+    "q18_simhash" -> simhashOracle,
+    "q19_jaccard_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+  THEN list_transform(range(0, len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+  ELSE [] END) AS shingle FROM toks),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+  SELECT id_a, id_b, CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) AS j
+  FROM pr JOIN sz x ON pr.id_a = x.doc_id JOIN sz y ON pr.id_b = y.doc_id)
+WHERE j >= 0.5 ORDER BY id_a, id_b""",
+    "q20_embedding_topk" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+row_number() OVER (PARTITION BY a.vec_id ORDER BY
+  list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                         list_transform(b.embedding, x -> CAST(x AS DOUBLE))) DESC,
+  b.vec_id) AS rank
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+WHERE rank <= 3 ORDER BY query_id, rank""",
+    // q21_ann_ivf: approximate by design — no SQL oracle (rows-only check);
+    // recall vs. the exact oracle is asserted in SimilaritySpec.
+    "q22_lang_id" -> langIdOracle,
+    "q23_quality" ->
+      s"""SELECT source, count(*) AS n_docs,
+CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+CAST(sum(len($tokensSql)) AS BIGINT) AS sum_tokens,
+CAST(sum(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) AS BIGINT) AS sum_punct,
+CAST(sum(len(list_filter($tokensSql, t -> t IN $stopIn))) AS BIGINT) AS sum_stopwords
+FROM documents GROUP BY source ORDER BY source""",
+    "q24_token_stats" ->
+      s"""SELECT (SELECT count(*) FROM documents) AS n_docs,
+(SELECT CAST(sum(len($tokensSql)) AS BIGINT) FROM documents) AS total_tokens,
+(SELECT CAST(sum(len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), t -> len(t) > 0))) AS BIGINT) FROM documents) AS total_bpe_tokens,
+(SELECT count(DISTINCT tok) FROM (SELECT unnest($tokensSql) AS tok FROM documents)) AS distinct_tokens""",
+    "q25_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+CAST(octet_length(from_hex(md5(text) || md5(reverse(text)))) AS INTEGER) AS n_bytes,
+upper(substr(md5(text), 1, 8)) AS magic,
+md5(md5(text) || md5(reverse(text))) AS checksum
+FROM documents ORDER BY media_id""",
+    "q26_frame_sample" ->
+      """SELECT doc_id AS media_id, i AS frame_idx,
+substr(md5(text) || md5(reverse(text)), i * 16 + 1, 16) AS frame_hex
+FROM documents, (VALUES (0), (1), (2)) AS f(i)
+ORDER BY media_id, frame_idx"""
+  )
 }

@@ -27,7 +27,9 @@ object SchemaDiff {
     val p = col("proposed_type")
     val d = col("deployed_type")
     val classify = (c: String) => expr(TypeClass.classifySql(c))
-    proposed.join(broadcast(deployed), Seq("field"), "full_outer")
+    // (no broadcast hint: Spark can't broadcast a full-outer build side;
+    // both inputs are column-count-sized, so the shuffle is negligible)
+    proposed.join(deployed, Seq("field"), "full_outer")
       .withColumn("reason",
         when(p.isNotNull && d.isNull, "MISSING")
           .when(p.isNull && d.isNotNull, "DEPRECATED")

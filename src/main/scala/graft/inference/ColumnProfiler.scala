@@ -93,6 +93,16 @@ object ColumnProfiler {
 
   private def quote(name: String): String = "`" + name.replace("`", "``") + "`"
 
+  /** Superset pre-filter for [[sparkTsFormats]]: any string a format (or
+    * the ISO fallback) could accept matches this regex. The guard exists
+    * for THROUGHPUT, not semantics — try_to_timestamp failure is
+    * exception-driven (~µs per miss), so without it a 100 TB string
+    * column pays |formats| exceptions per value; with it, non-date-shaped
+    * strings short-circuit on a codegen'd regex. Keep in sync with
+    * sparkTsFormats. */
+  private val dateShaped =
+    "^(\\d{4}[-/]\\d{1,2}[-/]\\d{1,2}|\\d{2}/\\d{2}/\\d{4}|[A-Za-z]{3,9} \\d{1,2},? \\d{4})"
+
   /** The datetime view: identity for timestamp/date sources, the strict
     * multi-format parse chain for strings. */
   private def tsExpr(c: Column, kind: Kind): Column = kind match {
@@ -103,9 +113,10 @@ object ColumnProfiler {
       // (ISO-8601 with offset/zone/'T'/fractional variants) covers the
       // long tail — guarded by a date-shaped prefix so partial values
       // like "March" or "12:30" can never sneak through it.
-      coalesce(
-        (sparkTsFormats.map(f => try_to_timestamp(c, lit(f))) :+
-          when(c.rlike("^\\d{4}-\\d{2}-\\d{2}"), try_to_timestamp(c))): _*)
+      when(c.rlike(dateShaped),
+        coalesce(
+          (sparkTsFormats.map(f => try_to_timestamp(c, lit(f))) :+
+            when(c.rlike("^\\d{4}-\\d{2}-\\d{2}"), try_to_timestamp(c))): _*))
     case _        => lit(null).cast(TimestampType)
   }
 
@@ -124,7 +135,8 @@ object ColumnProfiler {
     *     loader nulls NA tokens before we ever see them, matching
     *     pandas.read_csv defaults.
     */
-  private def aggsFor(i: Int, name: String, kind: Kind): Seq[Column] = {
+  private def aggsFor(i: Int, name: String, dt: DataType): Seq[Column] = {
+    val kind = kindOf(dt)
     val raw = col(name)
     // (base column, numeric-castable view, numeric-stats view)
     val (c, dCount, d) = kind match {
@@ -136,19 +148,46 @@ object ColumnProfiler {
       case BoolKind =>
         (raw, raw.cast(DoubleType), raw.cast(DoubleType))
       case StrKind =>
-        val tc = expr(s"try_cast(${quote(name)} AS DOUBLE)")
+        // Guard the exception-driven parse with a cheap superset regex:
+        // anything double-castable contains a digit or an inf/nan
+        // spelling, so guarded-out values are exactly the unparseable
+        // ones (same nulls, ~µs exception per miss avoided).
+        val tc = when(raw.rlike("[0-9]|(?i:inf)|(?i:nan)"),
+          expr(s"try_cast(${quote(name)} AS DOUBLE)"))
         (raw, tc, when(!isnan(tc), tc))
       case _ =>
         (raw, lit(null).cast(DoubleType), lit(null).cast(DoubleType))
     }
-    val s = lower(c.cast(StringType))
+    // Bool-domain check WITHOUT per-row stringification where the string
+    // rendering is statically decidable (throughput: rendering every
+    // double/timestamp to text just to .isin() it dominates the scan):
+    //   - string source: lower(c) ∈ domain (no cast — already a string)
+    //   - integral ints / scale-0 decimals: str(x) renders bare digits in
+    //     both pandas and Spark, so domain membership ⇔ value ∈ {0,1}
+    //   - bool source: str renders 'true'/'false' → always in domain
+    //   - floating (renders '1.0'), timestamp/date (renders '…-…'): never
+    val domainHit: Column = kind match {
+      case StrKind  => lower(c).isin("true", "false", "t", "f", "0", "1")
+      case BoolKind => lit(true)
+      case NumKind => dt match {
+        case ByteType | ShortType | IntegerType | LongType => c.isin(0, 1)
+        case dec: DecimalType if dec.scale == 0            => c.isin(0, 1)
+        case _                                             => lit(false)
+      }
+      case _ => lit(false)
+    }
     val t = tsExpr(c, kind)
+    // max stringified length is only consulted when the cascade lands in
+    // the varchar branch — impossible for numeric/bool/ts/date sources
+    // (their numeric- or ts-count always equals nonNull), so only string
+    // sources pay for it.
+    val lenExpr: Column =
+      if (kind == StrKind) length(c) else lit(null).cast(IntegerType)
     val finiteIntegral =
       d === floor(d) && abs(d) =!= lit(Double.PositiveInfinity)
     Seq(
       count(c).as(s"p${i}_nn"),
-      coalesce(bool_and(s.isin("true", "false", "t", "f", "0", "1")), lit(false))
-        .as(s"p${i}_bool"),
+      coalesce(bool_and(domainHit), lit(false)).as(s"p${i}_bool"),
       count(dCount).as(s"p${i}_num"),
       coalesce(bool_and(finiteIntegral), lit(false)).as(s"p${i}_int"),
       min(d).as(s"p${i}_min"),
@@ -156,7 +195,7 @@ object ColumnProfiler {
       count(t).as(s"p${i}_ts"),
       coalesce(bool_and(t === date_trunc("DAY", t)), lit(false))
         .as(s"p${i}_mid"),
-      max(length(c.cast(StringType))).as(s"p${i}_len")
+      max(lenExpr).as(s"p${i}_len")
     )
   }
 
@@ -184,7 +223,7 @@ object ColumnProfiler {
     val profiles = fields.grouped(math.max(1, maxColsPerJob)).toSeq.flatMap { chunk =>
       val aggs = count(lit(1)).as("p_rows") +:
         chunk.zipWithIndex.flatMap { case (f, i) =>
-          aggsFor(i, f.name, kindOf(f.dataType))
+          aggsFor(i, f.name, f.dataType)
         }
       val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
       rows = row.getAs[Long]("p_rows")

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *   - Exact dedup is a hash groupBy on a digest — one shuffle on the
+  *     digest key, map-side partial aggregation, no raw text movement
+  *     beyond the first shuffle (group by md5, not by the text itself).
+  *   - MinHash signatures are per-row narrow expressions + ONE groupBy
+  *     per doc (all K min-aggregates fused in a single hash aggregate).
+  *     LSH banding then joins on (band, signature) — the classic
+  *     sub-quadratic candidate generation; only docs sharing a band
+  *     bucket ever meet, so the join cardinality tracks true-duplicate
+  *     density, not n².
+  *   - SimHash is the same shape with bit-vote aggregates.
+  *   - Pairwise Jaccard is quadratic by nature — use it only on LSH
+  *     candidates or an explicitly bounded subset (callers pass a
+  *     pre-filtered frame).
+  *
+  * All hashing uses md5 hex strings (total order = lexicographic), so
+  * every operator is reproducible in ANSI SQL for the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Whitespace tokens, lowercased, empties dropped (mirrors
+    * TextAnalysis.tokens; kept here to make Dedup self-contained). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles as an array column — pure per-row expression
+    * (no shuffle, whole-stage codegen'd). Rows with fewer than n tokens
+    * yield an empty array. */
+  def shingleArray(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct (id, shingle) pairs — the set representation both MinHash
+    * and Jaccard consume. One explode + one distinct (shuffle on
+    * (id, shingle)). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame =
+    df.select(col(idCol), explode(shingleArray(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** MinHash signature: K independent hash functions h_k(s) =
+    * md5(k || ':' || s); the signature component is the lexicographic
+    * min. Returns (idCol, h0..h{k-1}). Single fused hash aggregate. */
+  def minHashSignatures(shingles: DataFrame, idCol: String,
+                        numHashes: Int = 16): DataFrame = {
+    val aggs = (0 until numHashes).map { k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"h$k")
+    }
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the K-component signature into `bands` bands of
+    * K/bands rows each, hash each band to one bucket key. Returns
+    * (idCol, band, sig) — one row per (doc, band). */
+  def lshBands(signatures: DataFrame, idCol: String, numHashes: Int = 16,
+               bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"h$k"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("sig"))
+    }
+    signatures
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band"), col("bs.sig"))
+  }
+
+  /** MinHash+LSH candidate pairs: docs sharing any band bucket.
+    * The self-join shuffles on (band, sig) only; distinct pairs out.
+    * Returns (id_a, id_b) with id_a < id_b. */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+    val sig = minHashSignatures(sh, idCol, numHashes)
+    val bandsDf = lshBands(sig, idCol, numHashes, bands)
+    val a = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_a"))
+    val b = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Pairwise n-gram Jaccard similarity over shingle sets, via a
+    * shingle-equality self-join (intersection counts) + per-doc set
+    * sizes. Quadratic in bucket size — callers bound the input (LSH
+    * candidates or an id filter). Returns (id_a, id_b, jaccard). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 16-bit SimHash over the distinct token set. Each token hashes to 16
+    * bits (4 hex chars of md5, decoded with an instr-based hex lookup so
+    * the identical expression runs in ANSI SQL); per-bit ±1 votes are
+    * summed per doc; the signature sets bit i iff the vote is positive.
+    *
+    * 16 bits keeps the signature portable (no 64-bit unsigned juggling)
+    * while still grouping near-identical token sets; widen by taking
+    * more hex chars if collision pressure demands.
+    * Returns (idCol, simhash). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksDistinct = df
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val withHex = toksDistinct.withColumn("hx", md5(col("token")))
+    // hex char at position p (1-based) → 0..15; strpos-of-'123456789abcdef'
+    // maps '0' (not found) to 0 and '1'..'f' to 1..15.
+    def hexVal(p: Int): Column =
+      expr(s"instr('123456789abcdef', substr(hx, $p, 1))")
+    val votes = (0 until 16).map { i =>
+      val p = i / 4 + 1
+      val j = i % 4
+      sum(when(shiftright(hexVal(p).cast("int"), j).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val voted = withHex.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 16).map { i =>
+      when(col(s"v$i") > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    voted.select(col(idCol), sig.cast("int").as("simhash"))
+  }
+
+  /** Exact-duplicate groups by content digest: (digest, cnt, canonical =
+    * min id), only groups with >1 member. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("canonical"))
+      .filter(col("cnt") > 1)
+
+  /** Keep one row per distinct digest (the min-id row) — the actual
+    * "dedup" materialization. Window-free formulation: an aggregation on
+    * the digest then a semi-join back, so the heavy side shuffles once
+    * on the digest and never sorts. */
+  def dropExactDuplicates(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val canon = df
+      .groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("digest")
+    df.join(canon, Seq(idCol), "left_semi")
+  }
+}

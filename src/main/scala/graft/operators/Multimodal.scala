@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus decode / feature-extract /
+  * frame-sample stages.
+  *
+  * The Spark-side architecture is real — schema, partition-preserving
+  * batch processing, column pruning (metadata queries never touch the
+  * payload bytes thanks to Parquet column pruning) — while the actual
+  * media codecs are STUBBED with deterministic fakes (this container has
+  * no image/audio libraries). Swap [[decodeStub]]'s body for a real
+  * decoder (JNI/ffmpeg/javacv) without touching any call site: the
+  * batch shape (iterator-of-rows per partition, mirroring a Pandas-UDF
+  * `mapInPandas` batch) and the output schema are the contract.
+  */
+object Multimodal {
+
+  /** One media row: payload is the opaque bytes; media_type is a MIME
+    * string; meta carries source-side metadata. */
+  final case class MediaRow(media_id: Long, media_type: String,
+                            payload: Array[Byte])
+
+  /** Extracted features — the decode stage's output contract. */
+  final case class MediaFeatures(media_id: Long, media_type: String,
+                                 n_bytes: Int, width: Int, height: Int,
+                                 duration_ms: Int, checksum: String)
+
+  /** Wrap any table into a media table with a deterministic fake payload
+    * (md5-derived bytes) — stands in for reading real image/audio blobs.
+    * Payload generation is a pure column expression, so it distributes
+    * and codegen-compiles like a real binary source column. */
+  def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (col(idCol) % 3 + 1).cast("int")).as("media_type"),
+      // 32 deterministic bytes derived from the content.
+      unhex(concat(md5(col(textCol)), md5(reverse(col(textCol))))).as("payload"))
+
+  /** Metadata-only pass: never reads payload content beyond its length —
+    * with a real Parquet media table, the payload column is still read
+    * (length needs it); project the stored size column instead when one
+    * exists. Pure expressions, no UDF. */
+  def mediaMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("media_type"),
+      length(col("payload")).as("n_bytes"),
+      substring(hex(col("payload")), 1, 8).as("magic"),
+      md5(col("payload")).as("checksum"))
+
+  /** STUB decode + feature extraction. Deterministic fake: "decodes"
+    * width/height/duration from payload bytes. The mapPartitions shape is
+    * the real contract — one iterator per partition (the JVM analogue of
+    * a `mapInPandas` batch), partitioning preserved, constant memory.
+    * Replace the body marked STUB with a real codec call. */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          // ---- STUB: deterministic fake decode (no media libs here) ----
+          val b = r.payload
+          def u(i: Int): Int = b(i % b.length) & 0xff
+          val (w, h, d) = r.media_type match {
+            case "image/png" => (64 + u(0) * 8, 64 + u(1) * 8, 0)
+            case "audio/wav" => (0, 0, 1000 + u(2) * 500)
+            case _           => (320 + u(0) * 4, 240 + u(1) * 4, 2000 + u(3) * 250)
+          }
+          // ---- end STUB ----
+          MediaFeatures(r.media_id, r.media_type, b.length, w, h, d,
+            b.map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
+  /** Frame sampling: slice `n` fixed-offset byte windows out of each
+    * payload (stand-in for video frame extraction). Pure expression —
+    * produces (media_id, frame_idx, frame_bytes). */
+  def frameSample(media: DataFrame, n: Int, frameBytes: Int = 8): DataFrame =
+    media.select(col("media_id"), col("payload"),
+        posexplode(sequence(lit(0), lit(n - 1))).as(Seq("pos", "frame_idx")))
+      .select(col("media_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
+          .as("frame_bytes"))
+
+  /** Resize stub: deterministic downsample marker — keeps every k-th byte
+    * (stand-in for image resize; the partitioning/schema story is what's
+    * exercised). */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame =
+    media.withColumn("payload_resized",
+      unhex(regexp_replace(hex(col("payload")),
+        s"(..)" + ("(..)" * (factor - 1)), "$1")))
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query side is tiny and
+  *     broadcast; candidates stream through a codegen'd zip_with/aggregate
+  *     dot product — no shuffle of the candidate table at all, then a
+  *     per-query top-k. Linear in |candidates|; the right baseline and
+  *     the correctness oracle for the approximate path.
+  *   - [[ivfTopK]]: IVF-style approximate search. Build `nCells` centroid
+  *     cells (deterministic seeded assignment refined by Lloyd
+  *     iterations computed AS DataFrame aggregations — no driver-side
+  *     data loops), assign every vector to its nearest centroid, then
+  *     probe only `nProbe` cells per query. At 1000 executors the probe
+  *     join broadcasts the (tiny) centroid set and shuffles only the
+  *     probed fraction ≈ nProbe/nCells of the data — the classic IVF
+  *     trade: recall vs. scanned fraction.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double precision end to end. */
+  def cosine(a: Column, b: Column): Column = {
+    def d(x: Column) = x.cast("array<double>")
+    val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(d(b), lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query row.
+    *
+    * @param candidates (id, vec) frame to search
+    * @param queries    (id, vec) frame of query points (small — broadcast)
+    * @return (query_id, rank, neighbor_id, cos) — rank 1..k by descending
+    *         cosine, ties broken by neighbor id (deterministic). */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic k-means-lite centroids: seed assignment = id % nCells,
+    * then `iters` Lloyd steps, each a single groupBy-average plus a
+    * reassignment join (all distributed; centroids live in a broadcast
+    * frame of nCells rows). Returns (cell, centroid: array<double>). */
+  def trainCentroids(data: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, iters: Int = 2): DataFrame = {
+    val dim = size(col(vecCol))
+    def avgVec(df: DataFrame): DataFrame =
+      df.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("x"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+        .select(col("cell"), transform(col("px"), p => p("x")).as("centroid"))
+    var centroids = avgVec(
+      data.select((col(idCol) % nCells).cast("int").as("cell"),
+        col(vecCol).cast("array<double>").as("v")))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(data, centroids, idCol, vecCol)
+      centroids = avgVec(
+        assigned.select(col("cell"), col(vecCol).cast("array<double>").as("v")))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: broadcast the centroid set, score each
+    * vector against all nCells centroids (a small array of structs per
+    * row — no join explosion), take the argmax. */
+  def assignCells(data: DataFrame, centroids: DataFrame, idCol: String,
+                  vecCol: String): DataFrame = {
+    val cent = broadcast(centroids
+      .groupBy()
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents")))
+    data.crossJoin(cent)
+      .withColumn("best",
+        aggregate(col("cents"),
+          struct(lit(-1).as("cell"), lit(-2.0).as("cos")),
+          (acc, c) => {
+            val cs = cosine(col(vecCol), c("centroid"))
+            when(cs > acc("cos"), struct(c("cell").as("cell"), cs.as("cos")))
+              .otherwise(acc)
+          }))
+      .withColumn("cell", col("best")("cell"))
+      .drop("cents", "best")
+  }
+
+  /** IVF approximate top-k: probe the `nProbe` nearest cells per query.
+    * Recall < 1.0 by design; verified against [[bruteForceTopK]] in the
+    * spec. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 8,
+              nProbe: Int = 2): DataFrame = {
+    val centroids = trainCentroids(candidates, idCol, vecCol, nCells)
+    val indexed = assignCells(candidates, centroids, idCol, vecCol)
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Per query: the nProbe nearest centroids.
+    val qCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("qv"), col("centroid")))
+    val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell"))
+    val probes = broadcast(qCells
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell")))
+    val scored = indexed.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine above
+    * `threshold`. Exact O(n²) formulation for bounded inputs; at scale,
+    * gate through [[Dedup.minHashCandidates]]-style LSH or [[ivfTopK]]
+    * cells first. Returns (id_a, id_b, cos). */
+  def nearDupPairs(data: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = data.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = data.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}
