@@ -67,9 +67,12 @@ final class RedshiftAutoSchema(
         val naTokens = Seq("", "#N/A", "#N/A N/A", "#NA", "-1.#IND",
           "-1.#QNAN", "-NaN", "-nan", "1.#IND", "1.#QNAN", "<NA>", "N/A",
           "NA", "NULL", "NaN", "None", "n/a", "nan", "null")
-        import org.apache.spark.sql.functions.{col, when}
+        import org.apache.spark.sql.functions.when
         csv.select(csv.columns.map { c =>
-          when(col(c).isin(naTokens: _*), null).otherwise(col(c)).as(c)
+          // backtick-quote: a raw header like "a.b" would otherwise be
+          // resolved as a struct path
+          val qc = csv.col("`" + c.replace("`", "``") + "`")
+          when(qc.isin(naTokens: _*), null).otherwise(qc).as(c)
         }.toIndexedSeq: _*)
       }
     }

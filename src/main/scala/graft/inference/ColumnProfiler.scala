@@ -137,7 +137,7 @@ object ColumnProfiler {
     */
   private def aggsFor(i: Int, name: String, dt: DataType): Seq[Column] = {
     val kind = kindOf(dt)
-    val raw = col(name)
+    val raw = col(quote(name)) // backtick-quoted: names may contain any char
     // (base column, numeric-castable view, numeric-stats view)
     val (c, dCount, d) = kind match {
       case NumKind =>

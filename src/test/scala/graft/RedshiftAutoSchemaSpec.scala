@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Facade behavior vs the reference's public API (README.md:36-46). */
+class RedshiftAutoSchemaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCsv(name: String, lines: String*): String = {
+    val p = s"/tmp/graft-test-$name.csv"
+    Files.writeString(Paths.get(p), lines.mkString("\n"))
+    p
+  }
+
+  test("CSV load: pipe delimiter, header, NA tokens nulled, all-string inference") {
+    val p = writeCsv("na",
+      "qty|price|note",
+      "1|9.5|NULL",
+      "2|N/A|hello",
+      "3|11.25|nan")
+    val t = new RedshiftAutoSchema(spark, "s", "t", file = Some(p))
+    val types = t.metadata.get.map(m => m.field -> m.proposedName).toMap
+    assert(types("qty") == "int4")
+    assert(types("price") == "float8") // N/A dropped as null
+    assert(types("note") == "varchar(256)")
+  }
+
+  test("header normalization '.' → '_' (RAS:233) and column override (RAS:247-250)") {
+    val p = writeCsv("hdr", "a.b|c.d", "1|x")
+    val t1 = new RedshiftAutoSchema(spark, "s", "t", file = Some(p))
+    assert(t1.getColumnList == Seq("a_b", "c_d"))
+    val t2 = new RedshiftAutoSchema(spark, "s", "t", file = Some(p),
+      columns = Some(Seq("x1", "x2")))
+    assert(t2.getColumnList == Seq("x1", "x2"))
+  }
+
+  test("generateTableDdl on a DataFrame source; empty input → None") {
+    // value 3e9 forces int8 (a lone 0/1 would legitimately infer bool —
+    // RAS:311 — and small values int4: range decides, not source width)
+    val df = Seq((3000000000L, "a")).toDF("id", "name")
+    val t = new RedshiftAutoSchema(spark, "sch", "tbl", fileDf = Some(df))
+    val ddl = t.generateTableDdl().get
+    assert(ddl.startsWith("CREATE TABLE sch.tbl ("))
+    assert(ddl.contains("\"id\" int8"))
+    assert(ddl.contains(", \"name\" varchar(256)"))
+    val empty = new RedshiftAutoSchema(spark, "sch", "tbl",
+      fileDf = Some(Seq.empty[(Long, String)].toDF("id", "name")))
+    assert(empty.generateTableDdl().isEmpty)
+  }
+
+  test("constructor requires a source (RAS:63)") {
+    intercept[IllegalArgumentException] {
+      new RedshiftAutoSchema(spark, "s", "t")
+    }
+  }
+
+  test("existence checks against the Spark catalog (RAS:93-123)") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val t = new RedshiftAutoSchema(spark, "default", "graft_exist_t",
+      fileDf = Some(df))
+    assert(t.checkSchemaExistence())
+    spark.sql("DROP TABLE IF EXISTS default.graft_exist_t")
+    assert(!t.checkTableExistence())
+    spark.sql("CREATE TABLE default.graft_exist_t (id BIGINT) USING parquet")
+    try assert(t.checkTableExistence())
+    finally spark.sql("DROP TABLE IF EXISTS default.graft_exist_t")
+  }
+
+  test("diff + column DDL against a caller-supplied deployed schema") {
+    val df = Seq((1L, "a", true)).toDF("id", "name", "extra")
+    val deployed = Seq(("id", "int8"), ("name", "varchar(256)"))
+      .toDF("field", "deployed_type")
+    val t = new RedshiftAutoSchema(spark, "s", "t", fileDf = Some(df),
+      deployed = Some(deployed))
+    assert(t.generateColumnDdl().get ==
+      "ALTER TABLE s.t ADD COLUMN extra bool;")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ddl
+
+import graft.inference.TypeInference.ColumnMeta
+import graft.types.RedshiftType
+import graft.types.RedshiftType._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden DDL strings vs the reference's observable format
+  * (RedshiftAutoSchema.py:125-200, whitespace-squeezed form). */
+class DdlGeneratorSpec extends AnyFunSuite {
+
+  private val meta = Seq(
+    ColumnMeta("id", "bigint", Int8),
+    ColumnMeta("name", "string", Varchar256),
+    ColumnMeta("ghost", "string", NoType),
+    ColumnMeta("tags", "array<string>", Super))
+
+  test("schema DDL (RAS:125-131)") {
+    assert(DdlGenerator.schemaDdl("analytics") ==
+      "CREATE SCHEMA IF NOT EXISTS analytics;")
+  }
+
+  test("schema permissions (RAS:133-139)") {
+    assert(DdlGenerator.schemaPermissions("analytics") ==
+      "GRANT USAGE ON SCHEMA analytics TO GROUP dbreader;")
+    assert(DdlGenerator.schemaPermissions("analytics", "etl") ==
+      "GRANT USAGE ON SCHEMA analytics TO GROUP etl;")
+  }
+
+  test("table permissions (RAS:194-200)") {
+    assert(DdlGenerator.tablePermissions("analytics", "users") ==
+      "GRANT SELECT ON analytics.users TO GROUP dbreader;")
+  }
+
+  test("full CREATE TABLE: quoting, comma prefix, notype→varchar(256), super, DISTSTYLE EVEN (RAS:141-175)") {
+    val ddl = DdlGenerator.tableDdl("analytics", "users", Some(meta)).get
+    assert(ddl ==
+      """CREATE TABLE analytics.users (
+"id" int8
+, "name" varchar(256)
+, "ghost" varchar(256)
+, "tags" super
+)
+DISTSTYLE EVEN
+""")
+  }
+
+  test("CREATE TABLE with export field, PK, DISTKEY, SORTKEY (RAS:157-175)") {
+    val ddl = DdlGenerator.tableDdl("s", "t", Some(meta.take(1)),
+      exportFieldName = Some("export_date"),
+      exportFieldType = Some("timestamp"),
+      primaryKey = Some("id"), distKey = Some("id"),
+      sortKey = Some("id")).get
+    assert(ddl.contains(" , export_date timestamp\n"))
+    assert(ddl.contains(" , PRIMARY KEY (id)\n"))
+    assert(ddl.contains("DISTKEY (id)\n"))
+    assert(ddl.contains("SORTKEY (id)\n"))
+    assert(!ddl.contains("DISTSTYLE")) // DISTKEY replaces it (RAS:167-170)
+  }
+
+  test("empty metadata → no DDL (RAS:149-150)") {
+    assert(DdlGenerator.tableDdl("s", "t", None).isEmpty)
+  }
+
+  test("ALTER TABLE ADD COLUMN, unquoted fields (RAS:177-192)") {
+    val ddl = DdlGenerator.columnDdl("s", "t",
+      Seq("a" -> "int4", "b" -> "super")).get
+    assert(ddl ==
+      "ALTER TABLE s.t ADD COLUMN a int4;\nALTER TABLE s.t ADD COLUMN b super;")
+    assert(DdlGenerator.columnDdl("s", "t", Seq.empty).isEmpty)
+  }
+
+  test("Spark dialect carries varchar widths and maps super to STRING") {
+    val ddl = DdlGenerator.sparkTableDdl("s", "t", meta)
+    assert(ddl.contains("`name` VARCHAR(256)"))
+    assert(ddl.contains("`ghost` VARCHAR(256)"))
+    assert(ddl.contains("`tags` STRING"))
+    assert(ddl.contains("`id` BIGINT"))
+  }
+}

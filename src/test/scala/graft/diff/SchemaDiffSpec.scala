@@ -1,0 +1,74 @@
+package graft.diff
+
+import graft.SparkSpec
+import graft.ddl.DdlGenerator
+import graft.inference.TypeInference
+
+/** Schema-diff engine vs RedshiftAutoSchema.py:202-225: reason matrix,
+  * precedence, notype filter, missing-table and round-trip behavior. */
+class SchemaDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runDiff(p: Seq[(String, String)], d: Seq[(String, String)]) =
+    SchemaDiff.diff(
+      p.toDF("field", "proposed_type"),
+      d.toDF("field", "deployed_type"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(3)).orNull))
+      .toMap
+
+  test("reason matrix: MISSING / DEPRECATED / TYPE MISMATCH / equal") {
+    val out = runDiff(
+      p = Seq("a" -> "int4", "b" -> "varchar(256)", "c" -> "float8",
+        "e" -> "int8"),
+      d = Seq("a" -> "integer", "b" -> "varchar(65535)", "c" -> "real",
+        "f" -> "date"))
+    assert(!out.contains("a")) // int4 ≡ integer (class 2)
+    assert(out("b") == "TYPE MISMATCH") // 9 vs 10
+    assert(out("c") == "TYPE MISMATCH") // 6 vs 5
+    assert(out("e") == "MISSING")
+    assert(out("f") == "DEPRECATED")
+  }
+
+  test("notype rows are excluded; DEPRECATED null-proposed rows survive (RAS:222)") {
+    val out = runDiff(
+      p = Seq("g" -> "notype"),
+      d = Seq("h" -> "int4"))
+    assert(!out.contains("g"))
+    assert(out("h") == "DEPRECATED")
+  }
+
+  test("alias equivalence suppresses false mismatches") {
+    val out = runDiff(
+      p = Seq("t" -> "timestamp", "v" -> "varchar(256)", "b" -> "bool"),
+      d = Seq("t" -> "timestamp without time zone",
+        "v" -> "character varying(256)", "b" -> "boolean"))
+    assert(out.isEmpty)
+  }
+
+  test("missing deployed table → every proposed column MISSING (no throw)") {
+    val dep = SchemaDiff.deployedFromCatalog(spark, "default",
+      "graft_no_such_table")
+    assert(dep.isEmpty)
+    val out = SchemaDiff.diff(
+      Seq("a" -> "int4").toDF("field", "proposed_type"), dep)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(out("a") == "MISSING")
+  }
+
+  test("round-trip: infer → spark DDL → catalog → empty diff") {
+    val df = Seq(
+      (1L, "short", "x" * 300, 1.5, true),
+      (2L, "text", "y" * 280, 2.0, false))
+      .toDF("id", "s_small", "s_big", "x", "flag")
+    val metas = TypeInference.inferSchema(df).get
+    spark.sql("DROP TABLE IF EXISTS default.graft_rt")
+    spark.sql(DdlGenerator.sparkTableDdl("default", "graft_rt", metas))
+    try {
+      val proposed = metas.map(m => (m.field, m.proposedName))
+        .toDF("field", "proposed_type")
+      val deployed = SchemaDiff.deployedFromCatalog(spark, "default", "graft_rt")
+      assert(SchemaDiff.diff(proposed, deployed).count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS default.graft_rt")
+  }
+}

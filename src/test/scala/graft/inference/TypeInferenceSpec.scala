@@ -1,0 +1,102 @@
+package graft.inference
+
+import graft.SparkSpec
+import graft.types.RedshiftType._
+
+/** Conformance tests for the decision cascade — the SURVEY.md §1 edge
+  * list is the spec (each case cites the reference line it preserves). */
+class TypeInferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def inferOne(df: org.apache.spark.sql.DataFrame): String =
+    TypeInference.inferSchema(df).get.head.proposedName
+
+  test("all-null column infers notype (RAS:306-307)") {
+    assert(inferOne(Seq[Option[String]](None, None).toDF("c")) == "notype")
+  }
+
+  test("empty input yields None metadata (RAS:243-245)") {
+    assert(TypeInference.inferSchema(
+      Seq.empty[Option[String]].toDF("c")).isEmpty)
+  }
+
+  test("bool beats numeric: 0/1 integers infer bool (RAS:311)") {
+    assert(inferOne(Seq(0L, 1L, 1L).toDF("flag")) == "bool")
+    assert(inferOne(Seq("t", "F", "0").toDF("flag")) == "bool")
+  }
+
+  test("_id-suffixed columns skip the bool check (RAS:255,311)") {
+    assert(inferOne(Seq(0L, 1L).toDF("is_active_id")) == "int4")
+  }
+
+  test("int4/int8 boundary at ±2^31 (RAS:315-321)") {
+    assert(inferOne(Seq(-2147483648L, 2147483647L).toDF("c")) == "int4")
+    assert(inferOne(Seq(0L, 2147483648L).toDF("c")) == "int8")
+    assert(inferOne(Seq(-2147483649L, 0L).toDF("c")) == "int8")
+  }
+
+  test("numeric strings infer ints, never dates (RAS:315 before RAS:328)") {
+    assert(inferOne(Seq("20240305", "20231201").toDF("c")) == "int4")
+  }
+
+  test("non-integral numerics infer float8 (RAS:322-325)") {
+    assert(inferOne(Seq(1.5, 2.0).toDF("c")) == "float8")
+    assert(inferOne(Seq("1.5", "2e3").toDF("c")) == "float8")
+  }
+
+  test("NaN is null: float col with NaN keeps numeric type; all-NaN is notype") {
+    assert(inferOne(Seq(Double.NaN, 3.0).toDF("c")) == "int4")
+    assert(inferOne(Seq(Double.NaN, Double.NaN).toDF("c")) == "notype")
+  }
+
+  test("'NaN' strings count as float-castable (reference parquet path → float8)") {
+    assert(inferOne(Seq("NaN", "nan").toDF("c")) == "float8")
+  }
+
+  test("complete midnight dates infer date, any time component → timestamp (RAS:331-334)") {
+    assert(inferOne(Seq("2024-03-05", "2023-12-01").toDF("c")) == "date")
+    assert(inferOne(Seq("2024-03-05 00:00:00", "2023-12-01 12:30:00")
+      .toDF("c")) == "timestamp")
+    assert(inferOne(Seq("2024-03-05T01:02:03Z").toDF("c")) == "timestamp")
+    assert(inferOne(Seq("01/31/2020 12:30").toDF("c")) == "timestamp")
+    assert(inferOne(Seq("Jan 5 2020", "Mar 7 1999").toDF("c")) == "date")
+  }
+
+  test("partial dates demote to varchar(256) (RAS:329-330 dateutil double-parse)") {
+    assert(inferOne(Seq("March", "April").toDF("c")) == "varchar(256)")
+    assert(inferOne(Seq("12:30", "01:00").toDF("c")) == "varchar(256)")
+    assert(inferOne(Seq("2024-03-05", "March").toDF("c")) == "varchar(256)")
+  }
+
+  test("varchar cutover at 240, not 256 (RAS:336-339)") {
+    assert(inferOne(Seq("x" * 240).toDF("c")) == "varchar(256)")
+    assert(inferOne(Seq("x" * 241).toDF("c")) == "varchar(65535)")
+  }
+
+  test("mixed unparseable strings demote to varchar (RAS:336)") {
+    assert(inferOne(Seq("abc", "1.5").toDF("c")) == "varchar(256)")
+  }
+
+  test("complex (array) columns map to super (extension)") {
+    assert(inferOne(Seq(Tuple1(Seq(1, 2))).toDF("c")) == "super")
+  }
+
+  test("boolean source columns stay bool") {
+    assert(inferOne(Seq(true, false).toDF("c")) == "bool")
+  }
+
+  test("timestamp source columns: midnight-only → date") {
+    val df = Seq("2024-01-01", "2024-01-02").toDF("s")
+      .selectExpr("CAST(s AS TIMESTAMP) AS c")
+    assert(inferOne(df) == "date")
+  }
+
+  test("monotone widening: appending rows only widens along the lattice") {
+    // int4 ⊂ int8 ⊂ float8; date ⊂ timestamp; anything ⊂ varchar
+    assert(inferOne(Seq("5", "2147483648").toDF("c")) == "int8")
+    assert(inferOne(Seq("5", "2147483648", "1.5").toDF("c")) == "float8")
+    assert(inferOne(Seq("2024-01-01", "2024-01-01 01:00:00").toDF("c"))
+      == "timestamp")
+    assert(inferOne(Seq("2024-01-01", "zzz").toDF("c")) == "varchar(256)")
+  }
+}

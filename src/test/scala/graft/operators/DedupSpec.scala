@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+    (4L, "short text")                                    // < 3 tokens after shingling guard
+  ).toDF("doc_id", "text")
+
+  test("shingleArray: n-grams in order; short rows yield empty") {
+    val sh = docs.filter($"doc_id" === 0)
+      .select(Dedup.shingleArray($"text", 3).as("s"))
+      .head.getSeq[String](0)
+    assert(sh.head == "the quick brown")
+    assert(sh.last == "the lazy dog")
+    assert(sh.length == 7) // 9 tokens → 7 trigrams
+    val short = docs.filter($"doc_id" === 4)
+      .select(Dedup.shingleArray($"text", 3).as("s"))
+      .head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup: digest groups and semi-join materialization") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("cnt") == 2)
+    assert(groups.head.getAs[Long]("canonical") == 0L)
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(0L, 1L, 2L, 4L))) // 3 dropped (dup of 0)
+  }
+
+  test("minhash+LSH: exact and near dups collide, distinct docs don't") {
+    val pairs = Dedup.minHashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical → all bands equal
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)),
+      "near-dup should share at least one band")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc must not be a candidate")
+  }
+
+  test("jaccard: identical pair = 1.0; near pair in (0,1); threshold filters") {
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(out((0L, 3L)) == 1.0)
+    val near = out((0L, 1L))
+    assert(near > 0.5 && near < 1.0) // 5 of 9 trigrams shared → 9/13? >0.1
+    assert(!out.contains((0L, 2L)))
+  }
+
+  test("simhash: identical docs share a signature; near-dups are close in hamming") {
+    val sigs = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Int)].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    assert(hamming(sigs(0L), sigs(1L)) <= 6,
+      s"near-dup hamming was ${hamming(sigs(0L), sigs(1L))}")
+    assert(sigs.values.toSet.size >= 3, "distinct docs should mostly differ")
+  }
+}

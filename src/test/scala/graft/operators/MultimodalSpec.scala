@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.syntheticMedia(
+    Seq((0L, "hello world"), (1L, "audio sample"), (2L, "video clip"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+
+  test("synthetic payloads: 32 deterministic bytes, media_type cycles") {
+    val rows = media.select($"media_id", $"media_type",
+      length($"payload").as("len")).as[(Long, String, Int)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._3).forall(_ == 32))
+    assert(rows.map(_._2).toSeq ==
+      Seq("image/png", "audio/wav", "video/mp4"))
+    // determinism: same input → same payload
+    val h1 = media.select(md5(lower(hex($"payload")))).as[String].collect()
+    val h2 = media.select(md5(lower(hex($"payload")))).as[String].collect()
+    assert(h1.sameElements(h2))
+  }
+
+  test("mediaMeta never needs a decoder: length/magic/checksum only") {
+    val m = Multimodal.mediaMeta(media).collect()
+    assert(m.length == 3)
+    assert(m.forall(_.getAs[Int]("n_bytes") == 32))
+    assert(m.forall(_.getAs[String]("magic").length == 8))
+  }
+
+  test("decodeStub: typed features, schema contract, partition-shaped") {
+    val feats = Multimodal.decodeStub(spark, media).collect().sortBy(_.media_id)
+    assert(feats.length == 3)
+    val img = feats(0)
+    assert(img.media_type == "image/png" && img.width > 0 &&
+      img.height > 0 && img.duration_ms == 0)
+    val aud = feats(1)
+    assert(aud.media_type == "audio/wav" && aud.width == 0 &&
+      aud.duration_ms > 0)
+    assert(feats.forall(_.n_bytes == 32))
+    assert(feats.forall(_.checksum.length == 64)) // 32 bytes hex
+  }
+
+  test("frameSample: n frames of fixed width per payload") {
+    val frames = Multimodal.frameSample(media, n = 3, frameBytes = 8)
+      .select($"media_id", $"frame_idx", length($"frame_bytes").as("len"))
+      .as[(Long, Int, Int)].collect()
+    assert(frames.length == 9)
+    assert(frames.forall(_._3 == 8))
+    assert(frames.filter(_._1 == 0L).map(_._2).sorted.sameElements(Array(0, 1, 2)))
+  }
+}

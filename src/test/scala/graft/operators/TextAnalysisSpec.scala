@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercased, whitespace-split, empties dropped") {
+    val out = Seq("  The  QUICK\tbrown\nfox ").toDF("t")
+      .select(TextAnalysis.tokens($"t").as("x"))
+      .head.getSeq[String](0)
+    assert(out == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("bpeish tokens split on non-alphanumerics") {
+    val out = Seq("don't stop-me now123!").toDF("t")
+      .select(TextAnalysis.bpeishTokens($"t").as("x"))
+      .head.getSeq[String](0)
+    assert(out == Seq("don", "t", "stop", "me", "now123"))
+  }
+
+  test("quality features: counts are exact") {
+    val row = Seq("The quick fox, and the dog!").toDF("t")
+      .select(TextAnalysis.qualityFeatures($"t").as("f"))
+      .select("f.n_chars", "f.n_tokens", "f.n_punct", "f.n_stopwords")
+      .head
+    assert(row.getInt(0) == 27)
+    assert(row.getInt(1) == 6)
+    assert(row.getInt(2) == 2)  // comma + bang
+    assert(row.getInt(3) == 3)  // the, and, the
+  }
+
+  test("langId: marker argmax with fixed tie order; unknown → und") {
+    val out = Seq(
+      ("the cat is on the mat", "en"),
+      ("der hund und die katze ist", "de"),
+      ("el perro y la casa es", "es"),
+      ("xyzzy plugh", "und"))
+      .toDF("t", "expected")
+      .select(TextAnalysis.langId($"t").as("got"), $"expected")
+      .as[(String, String)].collect()
+    out.foreach { case (got, expected) => assert(got == expected) }
+  }
+
+  test("fingerprint: order- and duplication-invariant") {
+    val fps = Seq("b a a c", "c b a", "a b x")
+      .toDF("t").select(TextAnalysis.fingerprint($"t").as("f"))
+      .as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
