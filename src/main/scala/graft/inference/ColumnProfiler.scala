@@ -27,7 +27,41 @@ final case class ColumnProfile(
     allMidnight: Boolean,     // ∀ ts == date_trunc(day, ts) (RAS:331)
     maxLen: Option[Long],     // max stringified length (RAS:336)
     complex: Boolean          // array/map/struct/binary source (extension; no reference rule)
-)
+) {
+  /** Merge with another profile of the same column (e.g. a later
+    * micro-batch). Every statistic is a semigroup (sums, ANDs,
+    * min/max), so merged inference ≡ inference over the union —
+    * the basis of incremental/streaming schema inference and of
+    * scale-out profile aggregation. */
+  def merge(o: ColumnProfile): ColumnProfile = {
+    require(field == o.field, s"cannot merge $field with ${o.field}")
+    def mo(f: (Double, Double) => Double)(a: Option[Double],
+                                          b: Option[Double]) =
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(f(x, y))
+        case (x, y)             => x.orElse(y)
+      }
+    def ml(a: Option[Long], b: Option[Long]) = (a, b) match {
+      case (Some(x), Some(y)) => Some(math.max(x, y))
+      case (x, y)             => x.orElse(y)
+    }
+    // forall-stats hold vacuously on empty sides: AND only when both
+    // sides have rows contributing to that check
+    def andIf(aCount: Long, aVal: Boolean, bCount: Long, bVal: Boolean) =
+      (aCount == 0L || aVal) && (bCount == 0L || bVal)
+    ColumnProfile(field, sourceType, identifier,
+      nonNull = nonNull + o.nonNull,
+      boolDomain = andIf(nonNull, boolDomain, o.nonNull, o.boolDomain),
+      numericCount = numericCount + o.numericCount,
+      integral = andIf(numericCount, integral, o.numericCount, o.integral),
+      minD = mo(math.min)(minD, o.minD),
+      maxD = mo(math.max)(maxD, o.maxD),
+      tsCount = tsCount + o.tsCount,
+      allMidnight = andIf(tsCount, allMidnight, o.tsCount, o.allMidnight),
+      maxLen = ml(maxLen, o.maxLen),
+      complex = complex || o.complex)
+  }
+}
 
 object ColumnProfiler {
 

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import graft.inference.{ColumnProfile, ColumnProfiler, TypeInference}
+import graft.inference.TypeInference.ColumnMeta
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming operators (extension — the reference has no
+  * streaming surface at all, SURVEY.md §2.9; these are the north-star
+  * pipeline pieces).
+  *
+  * Scale design: every stateful stage keys its state by a bounded key
+  * (column name, user id, window) and bounds retention with watermarks
+  * or timeouts, so state size is O(keys), never O(events) — the
+  * streaming analogue of "only stats reach the driver".
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window aggregation over the events stream:
+    * the standard late-data-tolerant shape (late rows beyond the
+    * watermark are dropped, state for closed windows is evicted). */
+  def hourlyEventStats(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  // ---------- incremental schema inference ----------
+
+  /** Running schema state: per-column merged profiles. Thread-safe via
+    * synchronization (foreachBatch callbacks are serial per query, but
+    * callers may also poll from another thread). */
+  final class IncrementalInference {
+    private var state = Map.empty[String, ColumnProfile]
+
+    /** Fold one (micro-)batch into the running profiles — one fused
+      * aggregation job per batch, merged by the ColumnProfile semigroup
+      * (monotone: types only widen along the lattice as data arrives). */
+    def update(batch: DataFrame): Unit = {
+      val profiles = ColumnProfiler.profile(batch)
+      synchronized {
+        state = profiles.foldLeft(state) { (acc, p) =>
+          acc.updated(p.field, acc.get(p.field).map(_.merge(p)).getOrElse(p))
+        }
+      }
+    }
+
+    /** Current inferred schema over everything seen so far. */
+    def currentSchema: Seq[ColumnMeta] = synchronized {
+      state.values.toSeq.sortBy(_.field).map { p =>
+        ColumnMeta(p.field, p.sourceType.simpleString, TypeInference.decide(p))
+      }
+    }
+  }
+
+  /** Wire a stream through incremental inference: each micro-batch is
+    * profiled and merged; the returned handle exposes the running
+    * schema. The stream itself is never materialized anywhere. */
+  def inferStream(stream: DataFrame, checkpoint: String)
+      : (IncrementalInference, StreamingQuery) = {
+    val inc = new IncrementalInference
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => inc.update(batch) }
+      .start()
+    (inc, q)
+  }
+
+  // ---------- stateful sessionization ----------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp,
+                         event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class UserSession(user_id: Long,
+                               session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp,
+                               n_events: Int)
+
+  /** Timestamp ↔ epoch-microseconds without precision loss
+    * (`Timestamp.getTime` alone is millis and silently truncates the
+    * microsecond component parquet timestamps carry). */
+  private def toMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Gap-based sessionization with flatMapGroupsWithState: a session
+    * closes when `gapMinutes` pass without an event (processing-time
+    * timeout closes the tail session). State per user is three numbers
+    * (epoch-microsecond bounds + count) — O(users), watermark-evictable. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int)
+      : Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId, fromMicros(s.start),
+              fromMicros(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              cur match {
+                case Some(s) if t - s.last <= gapUs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= UserSession(userId, fromMicros(s.start),
+                    fromMicros(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapUs / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch reference implementation of the same sessionization (for
+    * conformance: streaming output ⊆ batch sessions) — the classic
+    * gap-window via lag + cumulative session ids. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapMs = gapMinutes * 60000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs)
+          .cast("int"))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"))
+      .drop("session_id")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("incremental inference: merged micro-batches widen monotonically") {
+    val inc = new StreamingOps.IncrementalInference
+    inc.update(Seq("1", "2").toDF("c"))
+    assert(inc.currentSchema.head.proposedName == "int4")
+    inc.update(Seq("2147483648").toDF("c"))
+    assert(inc.currentSchema.head.proposedName == "int8")
+    inc.update(Seq("1.5").toDF("c"))
+    assert(inc.currentSchema.head.proposedName == "float8")
+    inc.update(Seq("zzz").toDF("c"))
+    assert(inc.currentSchema.head.proposedName == "varchar(256)")
+    // a second column arriving later merges in
+    inc.update(Seq(("x", "2024-01-01")).toDF("c", "d"))
+    val types = inc.currentSchema.map(m => m.field -> m.proposedName).toMap
+    assert(types("d") == "date")
+  }
+
+  test("incremental inference over a real stream (foreachBatch)") {
+    val mem = MemoryStream[String](spark)
+    mem.addData("1", "2", "9999999999")
+    val (inc, q) = StreamingOps.inferStream(
+      mem.toDF().toDF("c"),
+      s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+    q.awaitTermination(30000)
+    assert(inc.currentSchema.head.proposedName == "int8")
+  }
+
+  test("watermarked hourly aggregation over a stream matches batch") {
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    mem.addData(
+      (ts("2024-01-01 00:10:00"), "click", 1.0),
+      (ts("2024-01-01 00:50:00"), "click", 2.0),
+      (ts("2024-01-01 01:10:00"), "view", 3.0))
+    val agg = StreamingOps.hourlyEventStats(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    // complete mode: every window is visible regardless of watermark
+    // closure, so the aggregation itself is assertable deterministically
+    val q = agg.writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(30000)
+    val rows = spark.table("hourly_test")
+      .select("hour", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows == Set(
+      (ts("2024-01-01 00:00:00"), "click", 2L, 3.0),
+      (ts("2024-01-01 01:00:00"), "view", 1L, 3.0)))
+  }
+
+  test("streaming sessionization matches the batch reference") {
+    val events = Seq(
+      StreamingOps.Event(1L, ts("2024-01-01 00:00:00"), "a"),
+      StreamingOps.Event(1L, ts("2024-01-01 00:10:00"), "b"), // same session
+      StreamingOps.Event(1L, ts("2024-01-01 02:00:00"), "c"), // new session
+      StreamingOps.Event(2L, ts("2024-01-01 00:05:00"), "a"))
+    // batch reference
+    val batch = StreamingOps.sessionizeBatch(
+      events.toDF(), gapMinutes = 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Int)].collect().toSet
+    assert(batch == Set(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2),
+      (1L, ts("2024-01-01 02:00:00"), ts("2024-01-01 02:00:00"), 1),
+      (2L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:05:00"), 1)))
+    // streaming: closed sessions (not the still-open tails) must appear
+    val mem = MemoryStream[StreamingOps.Event](spark)
+    mem.addData(events: _*)
+    val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val closed = spark.table("sessions_test")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Int)].collect().toSet
+    // user 1's first session closed when the 02:00 event arrived; the
+    // open tails (1 @02:00, 2 @00:05) await timeout and stay in state
+    assert(closed == Set(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2)))
+    assert(closed.subsetOf(batch))
+  }
+}
