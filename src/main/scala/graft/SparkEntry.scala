@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.SchemaDiff
 import graft.inference.TypeInference
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -276,6 +276,39 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"),
           lower(hex(col("frame_bytes"))).as("frame_hex"))
         .orderBy("media_id", "frame_idx")
+    }),
+    // ---- embedding-cosine near-duplicate pairs ----
+    "q27_embedding_neardup" -> ((s, dir) => {
+      Similarity.nearDupPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        "vec_id", "embedding", threshold = 0.35)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- sessionization (batch twin of StreamingOps.sessionize) ----
+    "q28_sessionize" -> ((s, dir) => {
+      graft.streaming.StreamingOps.sessionizeBatch(
+        t(s, dir, "events").select("user_id", "ts"), gapMinutes = 30)
+        .orderBy("user_id", "session_start")
+    }),
+    // ---- as-of join (clicks → most recent prior purchase per user) ----
+    "q29_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      TemporalJoins.asOf(clicks, purchases, "user_id", "ts",
+        Seq("event_id", "value"), tiebreak = "event_id", prefix = "p_")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("p_event_id"), col("p_value"))
+        .orderBy("event_id")
+    }),
+    // ---- banded range join (event pairs within 10 min per user) ----
+    "q30_range_join" -> ((s, dir) => {
+      TemporalJoins.bandedRangeJoin(t(s, dir, "events"), "user_id", "ts",
+        "event_id", widthSeconds = 600L)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -479,6 +512,48 @@ FROM documents ORDER BY media_id""",
       """SELECT doc_id AS media_id, i AS frame_idx,
 substr(md5(text) || md5(reverse(text)), i * 16 + 1, 16) AS frame_hex
 FROM documents, (VALUES (0), (1), (2)) AS f(i)
-ORDER BY media_id, frame_idx"""
+ORDER BY media_id, frame_idx""",
+    "q27_embedding_neardup" ->
+      """SELECT id_a, id_b, round(c, 4) AS cos FROM (
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+  / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+   * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) AS c
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id)
+WHERE c >= 0.35 ORDER BY id_a, id_b""",
+    "q28_sessionize" ->
+      """WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+y AS (SELECT user_id, ts,
+  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+  CAST(count(*) AS INTEGER) AS n_events
+FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q29_asof_join" ->
+      """SELECT a.event_id, a.user_id, a.ts,
+  b.event_id AS p_event_id, b.value AS p_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN
+  (SELECT user_id, ts, event_id, value FROM events
+   WHERE event_type = 'purchase') b
+ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY a.event_id""",
+    "q30_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND a.event_id < b.event_id))
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+ORDER BY id_a, id_b"""
   )
 }

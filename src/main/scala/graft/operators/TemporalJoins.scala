@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference lacks entirely (SURVEY.md §2.4
+  * lists the schema-diff full-outer join as its only join): as-of join
+  * and banded range join, the two workhorses of event/feature pipelines.
+  *
+  * Scale design (100 TB):
+  *   - The naive formulations are inequality joins — Catalyst can only
+  *     execute those as broadcast-nested-loop, which explodes at scale.
+  *     Both operators here compile to EQUI-joins/window scans instead:
+  *   - [[asOf]] is the union+window formulation: tag both sides, union
+  *     (no row multiplication), one shuffle+sort on the join key, then a
+  *     running `last(ignoreNulls)` fills each left row with the latest
+  *     right row at-or-before it. Cost = sort-merge over |L|+|R| — the
+  *     same shape Flink/kdb use for as-of.
+  *   - [[bandedRangeJoin]] buckets time into `width`-sized bands; each
+  *     left row probes its own and the following band, so every
+  *     qualifying pair is produced by exactly one equi-join match (band
+  *     pruning), never by an n² nested loop. Shuffle keys are
+  *     (key, band) — adding the band to the key also shears skew.
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, the single most recent right row with
+    * the same `key` and `right.ts <= left.ts` (ties on ts: the right row
+    * with the greatest `tiebreak`). Right payload columns arrive
+    * prefixed; all-null when no prior right row exists (left outer).
+    *
+    * The right row is carried as ONE struct through the window, so all
+    * payload columns come from the same right row even when some of its
+    * fields are null. */
+  def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+           rightCols: Seq[String], tiebreak: String,
+           prefix: String = "r_"): DataFrame = {
+    val payload = rightCols.map(c => col(c).as(c))
+    val r = right.select(
+      col(key), col(tsCol), col(tiebreak).as("_tb"),
+      struct(payload: _*).as("_payload"), lit(0).as("_side"))
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_tb", lit(null).cast(r.schema("_tb").dataType))
+      .withColumn("_payload", lit(null).cast(r.schema("_payload").dataType))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts (>= semantics); among
+    // equal-ts right rows the greatest tiebreak lands last and wins.
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col("_side").asc, col("_tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("_match",
+      last(when(col("_side") === 0, col("_payload")), ignoreNulls = true)
+        .over(w))
+    val out = rightCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(prefix + c, col("_match")(c))
+    }
+    out.filter(col("_side") === 1)
+      .drop("_side", "_tb", "_payload", "_match")
+  }
+
+  /** Banded range join: all pairs of rows sharing `key` with
+    * `0 <= t(b) - t(a) <= widthSeconds` (pairs at equal t ordered by id
+    * so each unordered pair appears once). Returns
+    * (key, id_a, id_b, gap_us).
+    *
+    * Each left row probes band k = t div width and band k+1; a
+    * qualifying partner can only live in those two bands and matches in
+    * exactly one of them, so no distinct pass is needed. */
+  def bandedRangeJoin(df: DataFrame, key: String, tsCol: String,
+                      idCol: String, widthSeconds: Long): DataFrame = {
+    val us = widthSeconds * 1000000L
+    val withUs = df.select(col(key), col(idCol), col(tsCol))
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_band", expr(s"_us div $us"))
+    val a = withUs.select(col(key), col(idCol).as("id_a"),
+      col("_us").as("us_a"),
+      explode(array(col("_band"), col("_band") + 1)).as("_band"))
+    val b = withUs.select(col(key), col(idCol).as("id_b"),
+      col("_us").as("us_b"), col("_band"))
+    a.join(b, Seq(key, "_band"))
+      .filter((col("us_b") > col("us_a")) ||
+        (col("us_b") === col("us_a") && col("id_a") < col("id_b")))
+      .filter(col("us_b") - col("us_a") <= us)
+      .select(col(key), col("id_a"), col("id_b"),
+        (col("us_b") - col("us_a")).as("gap_us"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf picks the most recent right row at-or-before each left row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 12:00:00"), "e2"),
+      (2L, ts("2024-01-01 09:00:00"), "e3")
+    ).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10L, 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 20L, 2.0),
+      (1L, ts("2024-01-01 13:00:00"), 30L, 3.0),
+      (2L, ts("2024-01-01 09:30:00"), 40L, 4.0)
+    ).toDF("k", "ts", "rid", "v")
+    val out = TemporalJoins.asOf(left, right, "k", "ts",
+      Seq("rid", "v"), tiebreak = "rid")
+      .select("name", "r_rid", "r_v").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(out == Set(
+      ("e1", Some(10L), Some(1.0)),
+      ("e2", Some(20L), Some(2.0)),
+      ("e3", None, None))) // the only right row for k=2 is after e3
+  }
+
+  test("asOf treats equal timestamps as matches and breaks ties by id") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "e")).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L, 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 9L, 2.0)
+    ).toDF("k", "ts", "rid", "v")
+    val out = TemporalJoins.asOf(left, right, "k", "ts",
+      Seq("rid", "v"), tiebreak = "rid").collect()
+    assert(out.head.getAs[Long]("r_rid") == 9L)
+    assert(out.head.getAs[Double]("r_v") == 2.0)
+  }
+
+  test("asOf keeps payload columns row-consistent when fields are null") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "e")).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some(1.0)),
+      (1L, ts("2024-01-01 11:00:00"), 2L, None) // latest row has null v
+    ).toDF("k", "ts", "rid", "v")
+    val out = TemporalJoins.asOf(left, right, "k", "ts",
+      Seq("rid", "v"), tiebreak = "rid").collect()
+    assert(out.head.getAs[Long]("r_rid") == 2L)
+    assert(out.head.isNullAt(out.head.fieldIndex("r_v")),
+      "null field of the matched row must not fall back to an older row")
+  }
+
+  test("asOf matches the naive inequality formulation on real events") {
+    import spark.implicits._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter($"event_type" === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val got = TemporalJoins.asOf(clicks, purchases, "user_id", "ts",
+      Seq("event_id", "value"), tiebreak = "event_id", prefix = "p_")
+    // naive oracle: arg-max-by-(ts, id) over the inequality join
+    val pairs = clicks.as("c").join(purchases.as("p"),
+        $"c.user_id" === $"p.user_id" && $"p.ts" <= $"c.ts", "left")
+      .groupBy($"c.event_id".as("event_id"))
+      .agg(max(struct($"p.ts", $"p.event_id", $"p.value")).as("best"))
+      .select($"event_id", $"best.event_id".as("p_event_id"),
+        $"best.value".as("p_value"))
+    assert(got.select("event_id", "p_event_id", "p_value")
+      .except(pairs).count() == 0)
+    assert(got.count() == clicks.count())
+  }
+
+  test("bandedRangeJoin produces each qualifying pair exactly once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:04:00")),  // 4 min after id 1
+      (1L, 3L, ts("2024-01-01 10:08:30")),  // straddles the 5-min band
+      (1L, 4L, ts("2024-01-01 10:30:00")),  // out of range of all
+      (2L, 5L, ts("2024-01-01 10:00:00")),
+      (2L, 6L, ts("2024-01-01 10:05:00"))   // exactly width apart
+    ).toDF("k", "id", "ts")
+    val got = TemporalJoins.bandedRangeJoin(df, "k", "ts", "id", 300L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(got.length == 3, "no duplicate pairs from the two-band probe")
+  }
+
+  test("bandedRangeJoin matches the naive inequality join on real events") {
+    import spark.implicits._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val got = TemporalJoins.bandedRangeJoin(ev, "user_id", "ts",
+      "event_id", 600L).select("id_a", "id_b", "gap_us")
+    val naive = ev.as("a").join(ev.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          ($"b.ts" > $"a.ts" ||
+            ($"b.ts" === $"a.ts" && $"a.event_id" < $"b.event_id")) &&
+          unix_micros($"b.ts") - unix_micros($"a.ts") <= 600L * 1000000L)
+      .select($"a.event_id".as("id_a"), $"b.event_id".as("id_b"),
+        (unix_micros($"b.ts") - unix_micros($"a.ts")).as("gap_us"))
+    assert(got.except(naive).count() == 0)
+    assert(naive.except(got).count() == 0)
+    assert(got.count() > 0)
+  }
+}
