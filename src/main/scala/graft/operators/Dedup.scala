@@ -32,23 +32,29 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles as an array column — pure per-row expression
-    * (no shuffle, whole-stage codegen'd). Rows with fewer than n tokens
-    * yield an empty array. */
-  def shingleArray(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    * column — pure per-row expression (no shuffle, whole-stage
+    * codegen'd). Rows with fewer than n tokens yield an empty array.
+    *
+    * Takes the token array rather than raw text deliberately: inlining
+    * `tokens(text)` here would nest the regex split inside the
+    * `transform` lambda, and codegen evaluates lambda bodies per
+    * element — re-tokenizing the whole document once per shingle
+    * (measured ~5× slowdown). Callers project the token array once,
+    * then shingle from the attribute. */
+  def shingleArray(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Distinct (id, shingle) pairs — the set representation both MinHash
-    * and Jaccard consume. One explode + one distinct (shuffle on
-    * (id, shingle)). */
+    * and Jaccard consume. Tokenize in one projection, shingle+explode in
+    * the next, then one distinct (shuffle on (id, shingle)). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3): DataFrame =
-    df.select(col(idCol), explode(shingleArray(col(textCol), n)).as("shingle"))
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(shingleArray(col("_toks"), n)).as("shingle"))
       .distinct()
 
   /** MinHash signature: K independent hash functions h_k(s) =

@@ -23,15 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Dot product of two double-array columns (zip_with + aggregate —
+    * no shuffle, evaluated per row). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a double-array column. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
   /** Cosine similarity between two float-array columns, computed in
-    * double precision end to end. */
+    * double precision end to end. Self-contained form for one-off use;
+    * the join operators below precompute per-row norms instead so the
+    * O(dim) norm work amortizes over rows, not over pairs. */
   def cosine(a: Column, b: Column): Column = {
     def d(x: Column) = x.cast("array<double>")
-    val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(d(b), lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
+    dot(d(a), d(b)) / (norm(d(a)) * norm(d(b)))
   }
 
   /** Exact top-k neighbors for each query row.
@@ -42,11 +49,14 @@ object Similarity {
     *         cosine, ties broken by neighbor id (deterministic). */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv"))))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -79,25 +89,31 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid assignment: broadcast the centroid set, score each
-    * vector against all nCells centroids (a small array of structs per
-    * row — no join explosion), take the argmax. */
+  /** Nearest-centroid assignment: broadcast the centroid set (with
+    * precomputed norms), score each vector against all nCells centroids
+    * (a small array of structs per row — no join explosion), take the
+    * argmax. The row's own norm is computed once, not once per
+    * centroid. */
   def assignCells(data: DataFrame, centroids: DataFrame, idCol: String,
                   vecCol: String): DataFrame = {
     val cent = broadcast(centroids
+      .withColumn("cn", norm(col("centroid")))
       .groupBy()
-      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents")))
+      .agg(collect_list(struct(col("cell"), col("centroid"), col("cn")))
+        .as("cents")))
     data.crossJoin(cent)
+      .withColumn("_v", col(vecCol).cast("array<double>"))
+      .withColumn("_vn", norm(col("_v")))
       .withColumn("best",
         aggregate(col("cents"),
           struct(lit(-1).as("cell"), lit(-2.0).as("cos")),
           (acc, c) => {
-            val cs = cosine(col(vecCol), c("centroid"))
+            val cs = dot(col("_v"), c("centroid")) / (col("_vn") * c("cn"))
             when(cs > acc("cos"), struct(c("cell").as("cell"), cs.as("cos")))
               .otherwise(acc)
           }))
       .withColumn("cell", col("best")("cell"))
-      .drop("cents", "best")
+      .drop("cents", "best", "_v", "_vn")
   }
 
   /** IVF approximate top-k: probe the `nProbe` nearest cells per query.
@@ -108,20 +124,24 @@ object Similarity {
               nProbe: Int = 2): DataFrame = {
     val centroids = trainCentroids(candidates, idCol, vecCol, nCells)
     val indexed = assignCells(candidates, centroids, idCol, vecCol)
-      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .select(col("cell"), col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
     // Per query: the nProbe nearest centroids.
     val qCells = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
       .crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine(col("qv"), col("centroid")))
     val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell"))
     val probes = broadcast(qCells
       .withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell")))
+      .select(col("query_id"), col("qv"), col("cell"))
+      .withColumn("qn", norm(col("qv"))))
     val scored = indexed.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -136,10 +156,13 @@ object Similarity {
     * cells first. Returns (id_a, id_b, cos). */
   def nearDupPairs(data: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val a = data.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = data.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val d = data.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+    val a = d.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = d.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -16,13 +16,13 @@ class DedupSpec extends SparkSpec {
 
   test("shingleArray: n-grams in order; short rows yield empty") {
     val sh = docs.filter($"doc_id" === 0)
-      .select(Dedup.shingleArray($"text", 3).as("s"))
+      .select(Dedup.shingleArray(Dedup.tokens($"text"), 3).as("s"))
       .head.getSeq[String](0)
     assert(sh.head == "the quick brown")
     assert(sh.last == "the lazy dog")
     assert(sh.length == 7) // 9 tokens → 7 trigrams
     val short = docs.filter($"doc_id" === 4)
-      .select(Dedup.shingleArray($"text", 3).as("s"))
+      .select(Dedup.shingleArray(Dedup.tokens($"text"), 3).as("s"))
       .head.getSeq[String](0)
     assert(short.isEmpty)
   }
