@@ -309,6 +309,18 @@ object SparkEntry {
       TemporalJoins.bandedRangeJoin(t(s, dir, "events"), "user_id", "ts",
         "event_id", widthSeconds = 600L)
         .orderBy("id_a", "id_b")
+    }),
+    // ---- inference over the date- and varchar-rich tables ----
+    "q31_infer_orders" -> inferQuery("orders") _,
+    "q32_infer_part" -> inferQuery("part") _,
+    // ---- grouping sets / rollup ----
+    "q33_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
     })
   )
 
@@ -554,6 +566,16 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id
  AND (b.ts > a.ts OR (b.ts = a.ts AND a.event_id < b.event_id))
  AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
-ORDER BY id_a, id_b"""
+ORDER BY id_a, id_b""",
+    "q31_infer_orders" ->
+      InferenceOracle.tableSql("orders", InferenceOracle.ordersCols),
+    "q32_infer_part" ->
+      InferenceOracle.tableSql("part", InferenceOracle.partCols),
+    "q33_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
   )
 }

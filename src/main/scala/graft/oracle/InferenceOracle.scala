@@ -106,4 +106,12 @@ object InferenceOracle {
 
   val embeddingsCols: Seq[(String, Kind)] = Seq(
     "vec_id" -> Num, "embedding" -> Complex, "label" -> Num)
+
+  val ordersCols: Seq[(String, Kind)] = Seq(
+    "o_orderkey" -> Num, "o_custkey" -> Num, "o_orderstatus" -> Str,
+    "o_totalprice" -> Num, "o_orderdate" -> Ts, "o_orderpriority" -> Str)
+
+  val partCols: Seq[(String, Kind)] = Seq(
+    "p_partkey" -> Num, "p_name" -> Str, "p_brand" -> Str,
+    "p_type" -> Str, "p_size" -> Num, "p_retailprice" -> Num)
 }
