@@ -321,6 +321,16 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
+    }),
+    // ---- skew-safe two-phase salted aggregation ----
+    "q34_salted_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(18,2)").as("v"))
+      graft.operators.Scale.saltedSumCount(ev, Seq("user_id"), "v",
+        saltBuckets = 8)
+        .select(col("user_id"), col("sum").cast("double").as("sum_value"),
+          col("cnt").as("n"))
+        .orderBy("user_id")
     })
   )
 
@@ -576,6 +586,11 @@ ORDER BY id_a, id_b""",
 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
 count(*) AS n
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q34_salted_agg" ->
+      """SELECT user_id,
+CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+count(CAST(value AS DECIMAL(18,2))) AS n
+FROM events GROUP BY user_id ORDER BY user_id"""
   )
 }

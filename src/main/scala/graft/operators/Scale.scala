@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for skewed workloads (no reference counterpart —
+  * the reference is single-machine pandas; these are the 100 TB
+  * mechanics SURVEY.md §7 calls for).
+  *
+  * AQE already re-splits skewed SHUFFLE JOIN partitions at runtime;
+  * what it cannot fix is a hash AGGREGATION whose hot key funnels into
+  * one reducer. [[saltedAggregate]] is the standard two-phase answer:
+  * shuffle on (key, salt) — the hot key spreads over `salt` reducers —
+  * aggregate partially, then re-aggregate the `salt` partial rows per
+  * key. Works for any algebraic aggregate the caller can express as a
+  * (partial, final) pair: sum/sum, count/sum, min/min, max/max,
+  * (sum,count)/(sum,sum) for avg, …
+  */
+object Scale {
+
+  /** Two-phase salted aggregation.
+    *
+    * @param partials aggregates over raw rows, keyed by output name
+    * @param finals   aggregates over the partial columns (refer to the
+    *                 partial output names), keyed by final output name
+    * @param saltBuckets number of shards a single hot key spreads over
+    *
+    * Phase 1 groups by (keys…, pmod(hash(whole row key-independent
+    * spread), saltBuckets)); phase 2 groups by keys alone. The salt is
+    * derived from `spark_partition_id` + a per-row monotonic id, i.e.
+    * uniform and cheap, never from the data (a skewed salt source
+    * would defeat the point). */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+                      partials: Seq[(String, Column)],
+                      finals: Seq[(String, Column)]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val p = salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(partials.head._2.as(partials.head._1),
+        partials.tail.map { case (n, c) => c.as(n) }: _*)
+    p.groupBy(keys.map(col): _*)
+      .agg(finals.head._2.as(finals.head._1),
+        finals.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Salted sum+count (avg = sum/count at the call site) — the common
+    * case packaged. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     saltBuckets: Int = 16): DataFrame =
+    saltedAggregate(df, keys, saltBuckets,
+      partials = Seq(
+        "p_sum" -> sum(col(valueCol)),
+        "p_cnt" -> count(col(valueCol))),
+      finals = Seq(
+        "sum" -> sum(col("p_sum")),
+        "cnt" -> sum(col("p_cnt"))))
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("saltedAggregate equals direct aggregation on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val df = spark.range(0, 20000)
+      .select(when($"id" % 10 === 0, $"id" % 7).otherwise(lit(42L)).as("k"),
+        ($"id" % 100).cast("double").as("v"))
+    val direct = df.groupBy("k")
+      .agg(sum($"v").as("sum"), count($"v").as("cnt"))
+    val salted = Scale.saltedSumCount(df, Seq("k"), "v", saltBuckets = 8)
+    assert(direct.except(salted).count() == 0)
+    assert(salted.except(direct).count() == 0)
+  }
+
+  test("saltedAggregate supports min/max style algebraic pairs") {
+    import spark.implicits._
+    val df = spark.range(0, 5000)
+      .select(($"id" % 3).as("k"), ($"id" * 17 % 991).as("v"))
+    val got = Scale.saltedAggregate(df, Seq("k"), 4,
+      partials = Seq("p_min" -> min($"v"), "p_max" -> max($"v")),
+      finals = Seq("min_v" -> min($"p_min"), "max_v" -> max($"p_max")))
+    val want = df.groupBy("k").agg(min($"v").as("min_v"), max($"v").as("max_v"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .withColumn("c_custkey", $"c_custkey")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    // disable broadcast so the co-location is what saves the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_customer"),
+        $"o_custkey" === $"c_custkey")
+      joined.collect() // force execution so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle, found: ${shuffles.size}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
