@@ -48,14 +48,23 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct (id, shingle) pairs — the set representation both MinHash
-    * and Jaccard consume. Tokenize in one projection, shingle+explode in
-    * the next, then one distinct (shuffle on (id, shingle)). */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String,
-                  n: Int = 3): DataFrame =
+  /** (id, shingle) pairs WITH duplicates — no shuffle at all (projection
+    * + explode). Enough for any duplicate-insensitive consumer
+    * (min/max/distinct-count aggregates). */
+  def shingleMultiset(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(shingleArray(col("_toks"), n)).as("shingle"))
-      .distinct()
+
+  /** Distinct (id, shingle) pairs — the set representation Jaccard
+    * consumes (intersection/union counts need set semantics). One
+    * shuffle on (id, shingle). MinHash deliberately skips this:
+    * min-aggregates are duplicate-insensitive, so it feeds the
+    * multiset straight into the signature aggregation and saves the
+    * distinct shuffle. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame =
+    shingleMultiset(df, idCol, textCol, n).distinct()
 
   /** MinHash signature: K independent hash functions h_k(s) =
     * md5(k || ':' || s); the signature component is the lexicographic
@@ -89,7 +98,7 @@ object Dedup {
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 16,
                         bands: Int = 4): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, shingleN)
+    val sh = shingleMultiset(df, idCol, textCol, shingleN)
     val sig = minHashSignatures(sh, idCol, numHashes)
     val bandsDf = lshBands(sig, idCol, numHashes, bands)
     val a = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_a"))

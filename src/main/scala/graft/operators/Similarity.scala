@@ -66,18 +66,20 @@ object Similarity {
   }
 
   /** Deterministic k-means-lite centroids: seed assignment = id % nCells,
-    * then `iters` Lloyd steps, each a single groupBy-average plus a
-    * reassignment join (all distributed; centroids live in a broadcast
-    * frame of nCells rows). Returns (cell, centroid: array<double>). */
+    * then `iters` Lloyd steps, each ONE groupBy whose mean is computed by
+    * `Summarizer.mean` over vector buffers (a single typed-imperative
+    * aggregate: partial sums travel as one compact vector per
+    * (cell, partition)). The earlier posexplode formulation multiplied
+    * every row by dim through the shuffle and needed a second groupBy to
+    * reassemble arrays. Returns (cell, centroid: array<double>). */
   def trainCentroids(data: DataFrame, idCol: String, vecCol: String,
                      nCells: Int, iters: Int = 2): DataFrame = {
-    val dim = size(col(vecCol))
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
     def avgVec(df: DataFrame): DataFrame =
-      df.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("x"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
-        .select(col("cell"), transform(col("px"), p => p("x")).as("centroid"))
+      df.groupBy("cell")
+        .agg(Summarizer.mean(array_to_vector(col("v"))).as("mv"))
+        .select(col("cell"), vector_to_array(col("mv")).as("centroid"))
     var centroids = avgVec(
       data.select((col(idCol) % nCells).cast("int").as("cell"),
         col(vecCol).cast("array<double>").as("v")))
