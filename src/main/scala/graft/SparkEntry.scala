@@ -331,6 +331,21 @@ object SparkEntry {
         .select(col("user_id"), col("sum").cast("double").as("sum_value"),
           col("cnt").as("n"))
         .orderBy("user_id")
+    }),
+    // ---- end-to-end training-data pipeline composition:
+    //      language filter → quality filter → exact dedup ----
+    "q35_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      val kept = d.select(col("doc_id"), col("text"),
+          TextAnalysis.langId(col("text")).as("pred_lang"), f.as("f"))
+        .filter(col("pred_lang") === "en" &&
+          col("f.n_tokens") >= 20 &&
+          col("f.n_stopwords").cast("double") /
+            col("f.n_tokens").cast("double") >= 0.05)
+      kept.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").orderBy("doc_id")
     })
   )
 
@@ -396,6 +411,29 @@ pred AS (SELECT lang, CASE $branches ELSE 'und' END AS pred_lang FROM scored)
 SELECT pred_lang, count(*) AS n,
   CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
 FROM pred GROUP BY pred_lang ORDER BY pred_lang"""
+  }
+
+  private def pipelineOracle: String = {
+    val markers = TextAnalysis.langMarkers
+    val scores = markers.map { case (lang, words) =>
+      val in = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"len(list_filter(tk, t -> t IN $in)) AS s_$lang"
+    }.mkString(", ")
+    val langs = markers.map(_._1)
+    val branches = langs.zipWithIndex.map { case (lang, i) =>
+      val laters = langs.drop(i + 1).map(l2 => s"s_$lang >= s_$l2")
+      val conds = (laters :+ s"s_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, text, $tokensSql AS tk FROM documents),
+scored AS (SELECT doc_id, text, tk, $scores FROM toks),
+pred AS (SELECT doc_id, text, tk, CASE $branches ELSE 'und' END AS pred_lang
+         FROM scored),
+flt AS (SELECT doc_id, text FROM pred
+  WHERE pred_lang = 'en' AND len(tk) >= 20
+    AND CAST(len(list_filter(tk, t -> t IN $stopIn)) AS DOUBLE)
+        / CAST(len(tk) AS DOUBLE) >= 0.05)
+SELECT min(doc_id) AS doc_id FROM flt GROUP BY md5(text) ORDER BY doc_id"""
   }
 
   private def diffOracle: String = {
@@ -591,6 +629,7 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
       """SELECT user_id,
 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
 count(CAST(value AS DECIMAL(18,2))) AS n
-FROM events GROUP BY user_id ORDER BY user_id"""
+FROM events GROUP BY user_id ORDER BY user_id""",
+    "q35_pipeline" -> pipelineOracle
   )
 }

@@ -31,6 +31,19 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Streaming exact dedup: drop rows whose `idCols` were already seen
+    * within the watermark window. `dropDuplicatesWithinWatermark` keys
+    * state by `idCols` alone and evicts entries once the watermark
+    * passes them — a duplicate arriving later than `watermark` after
+    * the original is no longer guaranteed dropped, which is the price
+    * of bounded state (unbounded dedup state is a non-starter at
+    * 100 TB/day rates). */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   // ---------- incremental schema inference ----------
 
   /** Running schema state: per-column merged profiles. Thread-safe via

@@ -59,6 +59,29 @@ class StreamingOpsSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "view", 1L, 3.0)))
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps distinct ids") {
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    mem.addData(
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-01 00:00:05"), "a-replay"), // dup id within watermark
+      (2L, ts("2024-01-01 00:01:00"), "b"),
+      (3L, ts("2024-01-01 00:02:00"), "c"),
+      (2L, ts("2024-01-01 00:02:30"), "b-replay")) // dup id within watermark
+    val deduped = StreamingOps.dedupStream(
+      mem.toDF().toDF("event_id", "ts", "payload"),
+      "ts", watermark = "10 minutes", idCols = Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(30000)
+    val ids = spark.table("dedup_test")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), "one survivor per event_id")
+  }
+
   test("streaming sessionization matches the batch reference") {
     val events = Seq(
       StreamingOps.Event(1L, ts("2024-01-01 00:00:00"), "a"),
