@@ -346,6 +346,16 @@ object SparkEntry {
       kept.groupBy(md5(col("text")).as("digest"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id").orderBy("doc_id")
+    }),
+    // ---- exact percentiles (sort-based distribution statistics) ----
+    "q36_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))
+        .orderBy("event_type")
     })
   )
 
@@ -630,6 +640,12 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
 count(CAST(value AS DECIMAL(18,2))) AS n
 FROM events GROUP BY user_id ORDER BY user_id""",
-    "q35_pipeline" -> pipelineOracle
+    "q35_pipeline" -> pipelineOracle,
+    "q36_percentiles" ->
+      """SELECT event_type,
+quantile_cont(value, 0.5) AS p50,
+quantile_cont(value, 0.9) AS p90,
+quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -99,4 +99,17 @@ class TypeInferenceSpec extends SparkSpec {
       == "timestamp")
     assert(inferOne(Seq("2024-01-01", "zzz").toDF("c")) == "varchar(256)")
   }
+
+  test("full-table inference runs at most 2 Spark jobs (SURVEY §3.1/§4)") {
+    val sc = spark.sparkContext
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sc.setJobGroup("infer-job-count", "inference job-count pin")
+    try {
+      val metas = TypeInference.inferSchema(df)
+      assert(metas.get.size == 11)
+    } finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup("infer-job-count").length
+    assert(jobs <= 2,
+      s"inference must stay <=2 jobs regardless of column count, ran $jobs")
+  }
 }
