@@ -98,4 +98,30 @@ class RedshiftAutoSchemaSpec extends SparkSpec {
       "big_int" -> "int8", "nan_str" -> "float8")
     assert(got == want)
   }
+
+  test("live-reference edge parity golden: bool-beats-int, 240 cutover, …") {
+    // Reference (pandas, run 2026-08-12) agrees on every column except
+    // inf_col: it lands varchar(256) via two exception hops
+    // (RAS:322-325); we deliberately return float8 (documented
+    // divergence, TypeInference scaladoc).
+    val l240 = "x" * 240; val l241 = "y" * 241
+    val p = writeCsv("ref-parity2",
+      "only01|numlike_date|len240|len241|inf_col|sci_not|neg_zero|spaces_num|mixed_case_bool|empty_and_val",
+      s"0|20240305|$l240|$l241|inf|1e3|-0.0|  7 |TRUE|",
+      s"1|20210101|$l240|$l241|2.5|2e-3|0.0|8|f|hello")
+    val t = new RedshiftAutoSchema(spark, "s", "t", file = Some(p))
+    val got = t.metadata.get.map(m => m.field -> m.proposedName).toMap
+    val want = Map(
+      "only01" -> "bool",            // bool beats numeric (RAS:311)
+      "numlike_date" -> "int4",      // numeric precedes datetime (RAS:315)
+      "len240" -> "varchar(256)",    // cutover is 240, not 256 (RAS:336)
+      "len241" -> "varchar(65535)",
+      "inf_col" -> "float8",         // reference: varchar(256) — divergence
+      "sci_not" -> "float8",
+      "neg_zero" -> "int4",
+      "spaces_num" -> "int4",        // whitespace-tolerant numeric parse
+      "mixed_case_bool" -> "bool",
+      "empty_and_val" -> "varchar(256)") // "" is an NA token, like pandas
+    assert(got == want)
+  }
 }
