@@ -80,13 +80,20 @@ object Similarity {
       df.groupBy("cell")
         .agg(Summarizer.mean(array_to_vector(col("v"))).as("mv"))
         .select(col("cell"), vector_to_array(col("mv")).as("centroid"))
-    var centroids = avgVec(
+    // Materialize each iteration's centroids (nCells rows — stats-sized):
+    // left lazy, iteration i's lineage would re-run iterations 0..i-1.
+    def localize(df: DataFrame): DataFrame = {
+      val rows = df.collect().toSeq
+      data.sparkSession.createDataFrame(
+        data.sparkSession.sparkContext.parallelize(rows, 1), df.schema)
+    }
+    var centroids = localize(avgVec(
       data.select((col(idCol) % nCells).cast("int").as("cell"),
-        col(vecCol).cast("array<double>").as("v")))
+        col(vecCol).cast("array<double>").as("v"))))
     for (_ <- 0 until iters) {
       val assigned = assignCells(data, centroids, idCol, vecCol)
-      centroids = avgVec(
-        assigned.select(col("cell"), col(vecCol).cast("array<double>").as("v")))
+      centroids = localize(avgVec(
+        assigned.select(col("cell"), col(vecCol).cast("array<double>").as("v"))))
     }
     centroids
   }
@@ -124,6 +131,8 @@ object Similarity {
   def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 8,
               nProbe: Int = 2): DataFrame = {
+    // trainCentroids returns an already-materialized local frame, so its
+    // three consumers below never re-execute the Lloyd pipeline.
     val centroids = trainCentroids(candidates, idCol, vecCol, nCells)
     val indexed = assignCells(candidates, centroids, idCol, vecCol)
       .select(col("cell"), col(idCol).as("neighbor_id"),
