@@ -90,7 +90,10 @@ object DdlGenerator {
         case RedshiftType.Date       => "DATE"
         case RedshiftType.Timestamp  => "TIMESTAMP"
         case RedshiftType.Varchar(n) => s"VARCHAR($n)"
-        case RedshiftType.Super      => "STRING" // serialized JSON form
+        // Serialized JSON form; the comment marker survives the catalog
+        // round-trip so deployedFromCatalog can map the column back to
+        // super instead of misreading it as varchar(65535).
+        case RedshiftType.Super      => "STRING COMMENT 'graft:super'"
       }
       s"`${m.field}` $t"
     }.mkString(", ")

@@ -80,6 +80,9 @@ object SchemaDiff {
         case _: TimestampType       => "timestamp"
         case VarcharType(n)         => s"varchar($n)"
         case CharType(n)            => "char"
+        case _: StringType
+          if f.getComment().contains("graft:super") =>
+          "super" // sparkTableDdl's marker for serialized nested data
         case _: StringType          => "varchar(65535)" // unbounded STRING ≅ max varchar
         case _                      => "super" // array/map/struct/binary
       }

@@ -71,4 +71,27 @@ class SchemaDiffSpec extends SparkSpec {
       assert(SchemaDiff.diff(proposed, deployed).count() == 0)
     } finally spark.sql("DROP TABLE IF EXISTS default.graft_rt")
   }
+
+  test("round-trip holds for every testdata table kind (incl. super)") {
+    // Covers the full type palette the testdata exercises: int4/int8,
+    // float8, date, timestamp, varchar widths, and a nested-array
+    // column (super ↔ Spark STRING round-trip — the ADVICE r1 class-10
+    // vs class-0 bug regression).
+    for (t <- Seq("lineitem", "orders", "events", "documents",
+        "embeddings")) {
+      val df = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+      val metas = TypeInference.inferSchema(df).get
+      val tbl = s"graft_rt_$t"
+      spark.sql(s"DROP TABLE IF EXISTS default.$tbl")
+      spark.sql(DdlGenerator.sparkTableDdl("default", tbl, metas))
+      try {
+        val proposed = metas.map(m => (m.field, m.proposedName))
+          .toDF("field", "proposed_type")
+        val deployed = SchemaDiff.deployedFromCatalog(spark, "default", tbl)
+        val diffs = SchemaDiff.diff(proposed, deployed).collect()
+        assert(diffs.isEmpty,
+          s"$t round-trip diff: ${diffs.mkString("; ")}")
+      } finally spark.sql(s"DROP TABLE IF EXISTS default.$tbl")
+    }
+  }
 }
