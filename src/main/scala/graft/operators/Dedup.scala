@@ -92,6 +92,28 @@ object Dedup {
       .select(col(idCol), col("bs.band"), col("bs.sig"))
   }
 
+  /** Estimated Jaccard for candidate pairs from their MinHash
+    * signatures: the fraction of matching signature components is an
+    * unbiased estimator of the true Jaccard similarity. Joins the
+    * signature table (one row per doc) to both sides of the candidate
+    * pairs — at scale this touches only candidate-pair rows, never
+    * re-reading text. Returns (id_a, id_b, est_jaccard). */
+  def minHashJaccardEstimate(pairs: DataFrame, signatures: DataFrame,
+                             idCol: String,
+                             numHashes: Int = 16): DataFrame = {
+    val sigCols = (0 until numHashes).map(k => s"h$k")
+    def side(suffix: String) = signatures.select(
+      (col(idCol).as(s"id_$suffix") +:
+        sigCols.map(c => col(c).as(s"${c}_$suffix"))): _*)
+    val matches = (0 until numHashes)
+      .map(k => when(col(s"h${k}_a") === col(s"h${k}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(side("a"), "id_a").join(side("b"), "id_b")
+      .withColumn("est_jaccard",
+        matches.cast("double") / lit(numHashes.toDouble))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** MinHash+LSH candidate pairs: docs sharing any band bucket.
     * The self-join shuffles on (band, sig) only; distinct pairs out.
     * Returns (id_a, id_b) with id_a < id_b. */

@@ -100,6 +100,16 @@ class TypeInferenceSpec extends SparkSpec {
     assert(inferOne(Seq("2024-01-01", "zzz").toDF("c")) == "varchar(256)")
   }
 
+  test("wide tables (>256 cols) profile correctly through the batched path") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = spark.range(0, 10).toDF("id")
+    val wide = base.select(
+      (col("id") +: (0 until 300).map(i => (lit(i) + col("id")).as(s"w$i"))): _*)
+    val metas = TypeInference.inferSchema(wide).get
+    assert(metas.size == 301)
+    assert(metas.filter(_.field != "id").forall(_.proposedName == "int4"))
+  }
+
   test("full-table inference runs at most 2 Spark jobs (SURVEY §3.1/§4)") {
     val sc = spark.sparkContext
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

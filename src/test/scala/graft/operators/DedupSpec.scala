@@ -57,6 +57,20 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((0L, 2L)))
   }
 
+  test("minhash jaccard estimate tracks exact jaccard on candidates") {
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+    val sig = Dedup.minHashSignatures(sh, "doc_id")
+    val pairs = Dedup.minHashCandidates(docs, "doc_id", "text")
+    val est = Dedup.minHashJaccardEstimate(pairs, sig, "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(est((0L, 3L)) == 1.0, "identical docs estimate exactly 1.0")
+    est.get((0L, 1L)).foreach { e =>
+      assert(e > 0.2 && e < 1.0,
+        s"near-dup estimate should be strictly between: $e")
+    }
+  }
+
   test("simhash: identical docs share a signature; near-dups are close in hamming") {
     val sigs = Dedup.simHash(docs, "doc_id", "text")
       .as[(Long, Int)].collect().toMap
