@@ -347,6 +347,15 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- LSH near-dup (scale path of q27; seeded planes → no SQL
+    //      oracle; SimilaritySpec asserts subset-of-exact + recall) ----
+    "q37_neardup_lsh" -> ((s, dir) => {
+      Similarity.nearDupPairsLSH(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        "vec_id", "embedding", threshold = 0.35, dim = 64)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("id_a", "id_b")
+    }),
     // ---- exact percentiles (sort-based distribution statistics) ----
     "q36_percentiles" -> ((s, dir) => {
       t(s, dir, "events")

@@ -165,6 +165,51 @@ object Similarity {
     * `threshold`. Exact O(n²) formulation for bounded inputs; at scale,
     * gate through [[Dedup.minHashCandidates]]-style LSH or [[ivfTopK]]
     * cells first. Returns (id_a, id_b, cos). */
+  /** Sign-random-projection LSH near-duplicate pairs — the scale path
+    * for [[nearDupPairs]]. K seeded Gaussian hyperplanes give each
+    * vector a K-bit signature (bit k = sign(v·p_k)); bits are banded à
+    * la MinHash and only vectors sharing a band bucket ever meet, so
+    * the join cardinality tracks near-dup density instead of n². True
+    * cosine is then verified exactly on the candidates. For a pair at
+    * angle θ, a band of r bits collides with probability (1−θ/π)^r —
+    * near-identical vectors (θ→0) are found with probability → 1.
+    *
+    * @param dim embedding dimensionality (all rows must match it)
+    * @param seed deterministic hyperplane seed — same seed, same
+    *             buckets, reproducible across runs and engines */
+  def nearDupPairsLSH(data: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, dim: Int, numPlanes: Int = 16,
+                      bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
+    val bits = planes.toSeq.map { p =>
+      val plane = array(p.toSeq.map(lit): _*)
+      when(dot(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val rowsPerBand = numPlanes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val sig = concat(bits.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val banded = data
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+      .select(col("id"), col("v"), col("n"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("v"), col("n"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = banded.select(col("band"), col("sig"), col("id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = banded.select(col("band"), col("sig"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
   def nearDupPairs(data: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     val d = data.select(col(idCol).as("id"),

@@ -62,4 +62,26 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect half).size.toDouble / exact.size
     assert(recall >= 0.25, s"IVF half-probe recall@3 was $recall")
   }
+
+  test("LSH near-dup finds planted near-identical vectors sub-quadratically") {
+    // 40 random base vectors + a +0.01-perturbed twin for the first 5:
+    // twins have cosine ≈ 1 and must all surface; the candidate set
+    // must stay far below the n² cross-join.
+    val rng = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val twins = (0 until 5).map(i =>
+      (100L + i, base(i)._2.map(x => x + 0.01f)))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairsLSH(df, "vec_id", "embedding",
+      threshold = 0.95, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val wantTwins = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(wantTwins.subsetOf(got),
+      s"all planted twins must be found; missing ${wantTwins -- got}")
+    // exact-verify stage keeps precision: nothing below threshold leaks
+    val exact = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), "LSH result must be a subset of exact")
+  }
 }
