@@ -365,6 +365,26 @@ object SparkEntry {
           expr("percentile(value, 0.9)").as("p90"),
           expr("percentile(value, 0.99)").as("p99"))
         .orderBy("event_type")
+    }),
+    // ---- set ops: union + except (high-value converters minus
+    //      high-value error users) ----
+    "q38_set_union_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def users(kind: String) = ev
+        .filter(col("event_type") === kind && col("value") > 90)
+        .select(col("user_id")).distinct()
+      users("purchase").union(users("signup")).distinct()
+        .except(users("error")).orderBy("user_id")
+    }),
+    // ---- pivot (conditional aggregation to columns) ----
+    "q39_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
     })
   )
 
@@ -655,6 +675,24 @@ FROM events GROUP BY user_id ORDER BY user_id""",
 quantile_cont(value, 0.5) AS p50,
 quantile_cont(value, 0.9) AS p90,
 quantile_cont(value, 0.99) AS p99
-FROM events GROUP BY event_type ORDER BY event_type"""
+FROM events GROUP BY event_type ORDER BY event_type""",
+    "q38_set_union_except" ->
+      """(SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 90
+ UNION
+ SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'signup' AND value > 90)
+EXCEPT
+SELECT DISTINCT user_id FROM events
+ WHERE event_type = 'error' AND value > 90
+ORDER BY user_id""",
+    "q39_pivot" ->
+      """SELECT user_id,
+CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY user_id ORDER BY user_id"""
   )
 }
