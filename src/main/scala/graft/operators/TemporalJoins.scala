@@ -72,7 +72,12 @@ object TemporalJoins {
     val us = widthSeconds * 1000000L
     val withUs = df.select(col(key), col(idCol), col(tsCol))
       .withColumn("_us", unix_micros(col(tsCol)))
-      .withColumn("_band", expr(s"_us div $us"))
+      // floor division, not `div`: SQL div truncates toward zero, which
+      // merges [-w, w) into one double-width band around epoch 0 for
+      // pre-1970 data (no missed pairs — boundaries stay ≥ w apart —
+      // but up to 2× spurious candidates there). pmod is non-negative,
+      // so this floors uniformly for any sign.
+      .withColumn("_band", expr(s"(_us - pmod(_us, $us)) div $us"))
     val a = withUs.select(col(key), col(idCol).as("id_a"),
       col("_us").as("us_a"),
       explode(array(col("_band"), col("_band") + 1)).as("_band"))

@@ -95,6 +95,23 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.length == 3, "no duplicate pairs from the two-band probe")
   }
 
+  test("bandedRangeJoin bands pre-1970 (negative-epoch) timestamps correctly") {
+    import spark.implicits._
+    // 1969-12-31 23:58 and 1970-00:01 are 3 minutes apart across epoch 0;
+    // truncating division would band both near 0 the same way, but a
+    // negative ts one width earlier must still pair across its boundary.
+    val df = Seq(
+      (1L, 1L, ts("1969-12-31 23:58:00")),
+      (1L, 2L, ts("1970-01-01 00:01:00")),  // 3 min later, crosses epoch
+      (1L, 3L, ts("1969-12-31 23:51:00")),  // 7 min before id 1
+      (1L, 4L, ts("1969-12-31 23:40:00"))   // out of 5-min range of all
+    ).toDF("k", "id", "ts")
+    val got = TemporalJoins.bandedRangeJoin(df, "k", "ts", "id", 300L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((1L, 2L)))
+    assert(got.length == 1)
+  }
+
   test("bandedRangeJoin matches the naive inequality join on real events") {
     import spark.implicits._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
