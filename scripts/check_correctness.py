@@ -54,6 +54,12 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     failures = 0
+    # A query that crashed inside Verify writes no output dir; it must
+    # read as a failure, not silently vanish from the report.
+    produced = {d.name for d in out_dir.iterdir() if d.is_dir()}
+    for name in sorted(set(oracle) - produced):
+        print(f"{name}: MISSING-OUTPUT (query crashed in Verify?)")
+        failures += 1
     for qdir in sorted(out_dir.iterdir()):
         if not qdir.is_dir():
             continue

@@ -602,7 +602,7 @@ FROM documents GROUP BY source ORDER BY source""",
 (SELECT count(DISTINCT tok) FROM (SELECT unnest($tokensSql) AS tok FROM documents)) AS distinct_tokens""",
     "q25_multimodal_meta" ->
       """SELECT doc_id AS media_id,
-CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+CASE CAST((doc_id % 3 + 3) % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
 CAST(octet_length(from_hex(md5(text) || md5(reverse(text)))) AS INTEGER) AS n_bytes,
 upper(substr(md5(text), 1, 8)) AS magic,
 md5(md5(text) || md5(reverse(text))) AS checksum

@@ -95,7 +95,8 @@ object DdlGenerator {
         // super instead of misreading it as varchar(65535).
         case RedshiftType.Super      => "STRING COMMENT 'graft:super'"
       }
-      s"`${m.field}` $t"
+      // double embedded backticks — same escaping as ColumnProfiler.quote
+      s"`${m.field.replace("`", "``")}` $t"
     }.mkString(", ")
     s"CREATE TABLE IF NOT EXISTS $schema.$table ($cols) USING parquet"
   }

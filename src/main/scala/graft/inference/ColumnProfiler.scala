@@ -20,6 +20,9 @@ final case class ColumnProfile(
     nonNull: Long,            // count of non-null values (RAS:306,309)
     boolDomain: Boolean,      // ∀ str(x).lower() ∈ {true,false,t,f,0,1} (RAS:311)
     numericCount: Long,       // count of float-castable values (RAS:315)
+    intCount: Long,           // count of non-NaN numeric values — the rows
+                              // integral/min/max actually see ('NaN' strings
+                              // are numeric-castable but masked from them)
     integral: Boolean,        // ∀ x == floor(x), finite (RAS:317)
     minD: Option[Double],     // numeric min (RAS:318)
     maxD: Option[Double],     // numeric max (RAS:318)
@@ -53,7 +56,11 @@ final case class ColumnProfile(
       nonNull = nonNull + o.nonNull,
       boolDomain = andIf(nonNull, boolDomain, o.nonNull, o.boolDomain),
       numericCount = numericCount + o.numericCount,
-      integral = andIf(numericCount, integral, o.numericCount, o.integral),
+      intCount = intCount + o.intCount,
+      // keyed on intCount, NOT numericCount: an all-'NaN'-string batch
+      // has numericCount > 0 but contributes no rows to the integral
+      // check, and must not poison the AND (merge ≡ direct profiling)
+      integral = andIf(intCount, integral, o.intCount, o.integral),
       minD = mo(math.min)(minD, o.minD),
       maxD = mo(math.max)(maxD, o.maxD),
       tsCount = tsCount + o.tsCount,
@@ -223,6 +230,7 @@ object ColumnProfiler {
       count(c).as(s"p${i}_nn"),
       coalesce(bool_and(domainHit), lit(false)).as(s"p${i}_bool"),
       count(dCount).as(s"p${i}_num"),
+      count(d).as(s"p${i}_intc"),
       coalesce(bool_and(finiteIntegral), lit(false)).as(s"p${i}_int"),
       min(d).as(s"p${i}_min"),
       max(d).as(s"p${i}_max"),
@@ -275,6 +283,7 @@ object ColumnProfiler {
           nonNull = g[Long]("nn"),
           boolDomain = g[Boolean]("bool"),
           numericCount = g[Long]("num"),
+          intCount = g[Long]("intc"),
           integral = g[Boolean]("int"),
           minD = opt[Double]("min"),
           maxD = opt[Double]("max"),

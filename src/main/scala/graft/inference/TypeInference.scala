@@ -38,7 +38,10 @@ object TypeInference {
     else if (p.complex) Super // Redshift's nested-data type (extension)
     else if (p.boolDomain && !p.identifier) Bool
     else if (p.numericCount == p.nonNull) {
-      if (p.integral) {
+      // intCount > 0 guard: a merged all-'NaN' profile has a vacuously
+      // true integral AND but no contributing rows (and no min/max) —
+      // it must land float8, like the direct-profiling coalesce(false)
+      if (p.intCount > 0 && p.integral) {
         val lo = p.minD.getOrElse(Double.NegativeInfinity)
         val hi = p.maxD.getOrElse(Double.PositiveInfinity)
         if (lo >= Int.MinValue.toDouble && hi <= Int.MaxValue.toDouble) Int4

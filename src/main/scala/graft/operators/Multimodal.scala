@@ -35,8 +35,10 @@ object Multimodal {
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("media_id"),
+      // pmod, not %: Spark % yields negative remainders for negative
+      // ids (element_at index 0 throws; -1 wraps from the array end)
       element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-        (col(idCol) % 3 + 1).cast("int")).as("media_type"),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("media_type"),
       // 32 deterministic bytes derived from the content.
       unhex(concat(md5(col(textCol)), md5(reverse(col(textCol))))).as("payload"))
 

@@ -22,13 +22,18 @@ object InferenceOracle {
   private val boolDomain =
     "('true', 'false', 't', 'f', '0', '1')"
 
-  /** DuckDB try_strptime chain ≈ ColumnProfiler.sparkTsFormats. Only
-    * needs to agree with Spark on the strings actually present; every
-    * format requires explicit Y+M+D (partial dates fall through). */
+  /** DuckDB try_strptime chain ≈ ColumnProfiler.sparkTsFormats (one
+    * strptime entry per Spark format, same order). Only needs to agree
+    * with Spark on the strings actually present; every format requires
+    * explicit Y+M+D (partial dates fall through). */
   private def tsParse(c: String): String = {
-    val fmts = Seq("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
-      "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M", "%Y-%m-%d",
-      "%Y/%m/%d", "%m/%d/%Y %H:%M:%S", "%m/%d/%Y")
+    val fmts = Seq(
+      "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+      "%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S",
+      "%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%d %H:%M", "%Y-%m-%d",
+      "%Y/%m/%d %H:%M:%S", "%Y/%m/%d",
+      "%m/%d/%Y %H:%M:%S", "%m/%d/%Y %H:%M", "%m/%d/%Y",
+      "%b %d %Y", "%b %d, %Y", "%B %d %Y", "%B %d, %Y")
     fmts.map(f => s"try_strptime($c, '$f')").mkString("coalesce(", ", ", ")")
   }
 

@@ -159,12 +159,15 @@ object StreamingOps {
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")
-    val gapMs = gapMinutes * 60000L
+    // microseconds, like the streaming sessionizer and the q28 oracle's
+    // epoch_us — unix_millis would truncate sub-ms gap components and
+    // disagree exactly at the gap boundary
+    val gapUs = gapMinutes * 60000000L
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         (col("prev_ts").isNull ||
-          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs)
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapUs)
           .cast("int"))
       .withColumn("session_id",
         sum(col("new_session")).over(byUser.rowsBetween(

@@ -10,6 +10,18 @@ class StreamingOpsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("merge across an all-'NaN' batch equals direct profiling") {
+    // 'NaN' strings are numeric-castable but contribute nothing to the
+    // integral check; an all-'NaN' first batch must not poison the AND
+    // (the vacuous-integral merge bug found in round-2 review).
+    val inc = new StreamingOps.IncrementalInference
+    inc.update(Seq("NaN").toDF("c"))
+    assert(inc.currentSchema.head.proposedName == "float8") // all-NaN → float8
+    inc.update(Seq("1", "2").toDF("c"))
+    assert(inc.currentSchema.head.proposedName == "int4",
+      "ints after a NaN-only batch must still infer integral")
+  }
+
   test("incremental inference: merged micro-batches widen monotonically") {
     val inc = new StreamingOps.IncrementalInference
     inc.update(Seq("1", "2").toDF("c"))
