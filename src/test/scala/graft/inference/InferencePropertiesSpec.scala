@@ -44,7 +44,14 @@ class InferencePropertiesSpec extends SparkSpec {
     n <- Gen.chooseNum(1, 8)
     vs <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6))
     frac <- Gen.chooseNum(0.001, 0.999) // guarantees a non-integral value
-  } yield (Float8, ((1.5 + frac) :: vs).map(_.toString))
+    nan <- Gen.oneOf(Nil, List("NaN")) // NaN strings stay float-castable
+  } yield (Float8, ((1.5 + frac) :: vs).map(_.toString) ++ nan)
+
+  // 'NaN' strings are numeric-castable (Python float('nan') succeeds)
+  // but contribute no integral/min/max rows → float8, like the
+  // reference's parquet path (RAS:322-325)
+  private val genAllNaN: Gen[(RedshiftType, List[String])] =
+    Gen.chooseNum(1, 4).map(n => (Float8, List.fill(n)("NaN")))
 
   private val genDate: Gen[(RedshiftType, List[String])] = for {
     n <- Gen.chooseNum(1, 8)
@@ -77,6 +84,14 @@ class InferencePropertiesSpec extends SparkSpec {
   } yield (Varchar65535, long :: vs)
 
   private val genAny: Gen[(RedshiftType, List[String])] = Gen.oneOf(
+    genBool, genInt4, genInt8, genFloat8, genAllNaN, genDate,
+    genTimestamp, genVarchar256, genVarchar65535)
+
+  // For the monotonicity property only: an all-'NaN' column's float8 is
+  // a DEFAULT (no integral evidence), so appending integer rows
+  // legitimately "narrows" it to int4 — the lattice claim applies to
+  // evidence-based types, exactly as it excludes notype.
+  private val genEvidence: Gen[(RedshiftType, List[String])] = Gen.oneOf(
     genBool, genInt4, genInt8, genFloat8, genDate, genTimestamp,
     genVarchar256, genVarchar65535)
 
@@ -120,8 +135,8 @@ class InferencePropertiesSpec extends SparkSpec {
       case Varchar65535 => 6
       case _ => 7
     }
-    val as = sample(genAny, 120, seed = 0xBEEF)
-    val bs = sample(genAny, 120, seed = 0xF00D)
+    val as = sample(genEvidence, 120, seed = 0xBEEF)
+    val bs = sample(genEvidence, 120, seed = 0xF00D)
     val dfA = pack(as.map(_._2))
     val dfAB = pack(as.zip(bs).map { case ((_, a), (_, b)) => a ++ b })
     val tA = TypeInference.inferSchema(dfA).get
