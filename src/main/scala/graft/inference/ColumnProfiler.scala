@@ -170,11 +170,16 @@ object ColumnProfiler {
     *     an all-NaN column is notype, a float col with NaN stays float8.
     *   - string sources: Python float('nan') SUCCEEDS, so 'NaN' strings
     *     count as numeric-castable (numericCount) but are excluded from
-    *     integral/min/max — an all-'NaN'-string parquet column lands on
-    *     float8 exactly like the reference's parquet path (astype(int) on
-    *     NaN raises → except → float8, RAS:322-325). The facade's CSV
-    *     loader nulls NA tokens before we ever see them, matching
-    *     pandas.read_csv defaults.
+    *     integral/min/max: mixed NaN+ints → int4, all-'NaN' → float8
+    *     (no integral evidence → the float default). DELIBERATE
+    *     divergence from the reference's object-dtype path, which lands
+    *     varchar(256) for both (exception hops out of RAS:315-318;
+    *     verified live 2026-08-12): we apply NaN-as-null uniformly —
+    *     the round-1 ADVICE design and the behavior of the reference's
+    *     PRIMARY path (pandas.read_csv parses 'NaN' to null before its
+    *     inference ever runs). The facade's CSV loader nulls NA tokens
+    *     the same way, so the divergence is observable only for literal
+    *     'NaN' strings inside parquet columns.
     */
   private def aggsFor(i: Int, name: String, dt: DataType): Seq[Column] = {
     val kind = kindOf(dt)
