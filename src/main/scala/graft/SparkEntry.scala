@@ -385,6 +385,15 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("user_id")
+    }),
+    // ---- semi join (high-value customers that placed urgent orders) ----
+    "q40_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .filter(col("c_acctbal") > 9000)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
     })
   )
 
@@ -693,6 +702,12 @@ CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
 CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-FROM events GROUP BY user_id ORDER BY user_id"""
+FROM events GROUP BY user_id ORDER BY user_id""",
+    "q40_semi_join" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+WHERE c_acctbal > 9000 AND EXISTS
+  (SELECT 1 FROM orders
+   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey"""
   )
 }

@@ -44,6 +44,32 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Watermarked stream-stream interval join: each purchase joined to
+    * the same user's clicks within the preceding `windowMinutes`
+    * (click-to-purchase attribution). Both sides carry event-time
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can evict join state on both sides — the required shape for
+    * an unbounded stream-stream join (state stays O(in-window rows),
+    * never O(stream)). */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                          watermark: String = "1 hour",
+                          windowMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c, expr(
+      s"""c_user = user_id AND
+          click_ts <= purchase_ts AND
+          click_ts >= purchase_ts - INTERVAL $windowMinutes MINUTES"""))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("value"), col("click_id"), col("click_ts"))
+  }
+
   // ---------- incremental schema inference ----------
 
   /** Running schema state: per-column merged profiles. Thread-safe via

@@ -94,6 +94,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), "one survivor per event_id")
   }
 
+  test("stream-stream interval join matches the batch inequality join") {
+    val clicks = MemoryStream[(Long, Timestamp, Long)](spark)
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    clicks.addData(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 10:20:00"), 101L),  // both within 30 min of p1
+      (1L, ts("2024-01-01 09:00:00"), 102L),  // too old for p1
+      (2L, ts("2024-01-01 10:25:00"), 103L))  // other user
+    purchases.addData(
+      (1L, ts("2024-01-01 10:29:00"), 200L, 9.99),
+      (2L, ts("2024-01-01 10:26:00"), 201L, 5.00))
+    val cDf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pDf = purchases.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = StreamingOps.purchaseAttribution(cDf, pDf)
+      .writeStream.format("memory").queryName("attrib_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("attrib_test")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((200L, 100L), (200L, 101L), (201L, 103L)))
+  }
+
   test("streaming sessionization matches the batch reference") {
     val events = Seq(
       StreamingOps.Event(1L, ts("2024-01-01 00:00:00"), "a"),
