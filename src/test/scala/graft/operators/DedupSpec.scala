@@ -57,6 +57,20 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((0L, 2L)))
   }
 
+  test("approx_count_distinct digest cardinality within 5% of exact") {
+    // the sketch path for exact-dedup statistics at 100 TB: HLL++ keeps
+    // the distinct-digest count a fixed-size aggregate instead of a
+    // count-distinct shuffle
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val row = real.agg(
+      countDistinct(md5(col("text"))).as("exact"),
+      approx_count_distinct(md5(col("text")), 0.02).as("approx")).head
+    val exact = row.getAs[Long]("exact").toDouble
+    val approx = row.getAs[Long]("approx").toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("minhash jaccard estimate tracks exact jaccard on candidates") {
     val sh = Dedup.shingleSets(docs, "doc_id", "text")
     val sig = Dedup.minHashSignatures(sh, "doc_id")
