@@ -79,11 +79,16 @@ object ColumnProfiler {
     * every format AND the guarded default-parse fallback in [[tsExpr]]
     * (which requires a yyyy-MM-dd prefix), so they fall through to the
     * varchar rule. Coverage = ISO date/datetime (space or 'T' separator,
-    * optional fraction, optional zone/offset via the fallback), slash
-    * dates with and without time, and English month-name dates; exotic
+    * optional fraction, optional zone/offset via the fallback), slash and
+    * dotted dates with and without time, and English month-name dates
+    * (month-first and day-first, with and without time); exotic
     * dateutil-only spellings beyond these demote to varchar — documented
     * divergence, see TypeInference's scaladoc.
     * Order: most specific first (try_to_timestamp requires a full match).
+    * LOCKSTEP CONTRACT: every entry here has a try_strptime twin in
+    * InferenceOracle.tsParse (same acceptance set, same order), and the
+    * guarded default-parse fallback in [[tsExpr]] is mirrored there by
+    * explicit %z/offset entries — edit both files together.
     */
   val sparkTsFormats: Seq[String] = Seq(
     "yyyy-MM-dd HH:mm:ss.SSSSSS",
@@ -98,13 +103,23 @@ object ColumnProfiler {
     "yyyy-MM-dd",
     "yyyy/MM/dd HH:mm:ss",
     "yyyy/MM/dd",
+    "yyyy.MM.dd HH:mm:ss",
+    "yyyy.MM.dd",
     "MM/dd/yyyy HH:mm:ss",
     "MM/dd/yyyy HH:mm",
     "MM/dd/yyyy",
+    "MMM d yyyy HH:mm:ss",
+    "MMM d, yyyy HH:mm:ss",
+    "MMMM d yyyy HH:mm:ss",
+    "MMMM d, yyyy HH:mm:ss",
     "MMM d yyyy",
     "MMM d, yyyy",
     "MMMM d yyyy",
-    "MMMM d, yyyy"
+    "MMMM d, yyyy",
+    "d MMM yyyy HH:mm:ss",
+    "d MMMM yyyy HH:mm:ss",
+    "d MMM yyyy",
+    "d MMMM yyyy"
   )
 
   /** Coarse source-type kinds that determine which checks can apply —
@@ -142,7 +157,7 @@ object ColumnProfiler {
     * strings short-circuit on a codegen'd regex. Keep in sync with
     * sparkTsFormats. */
   private val dateShaped =
-    "^(\\d{4}[-/]\\d{1,2}[-/]\\d{1,2}|\\d{2}/\\d{2}/\\d{4}|[A-Za-z]{3,9} \\d{1,2},? \\d{4})"
+    "^(\\d{4}[-/.]\\d{1,2}[-/.]\\d{1,2}|\\d{2}/\\d{2}/\\d{4}|[A-Za-z]{3,9} \\d{1,2},? \\d{4}|\\d{1,2} [A-Za-z]{3,9} \\d{4})"
 
   /** The datetime view: identity for timestamp/date sources, the strict
     * multi-format parse chain for strings. */

@@ -82,6 +82,10 @@ object Dedup {
     * (idCol, band, sig) — one row per (doc, band). */
   def lshBands(signatures: DataFrame, idCol: String, numHashes: Int = 16,
                bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
+        "a remainder would silently drop trailing signature components " +
+        "and weaken LSH recall")
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"h$k"))
@@ -148,6 +152,44 @@ object Dedup {
     val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard gated through MinHash+LSH candidate pairs —
+    * the 100 TB composition (round-2 verdict item 3): candidate
+    * generation is the banded equi-join (cardinality tracks duplicate
+    * density), and the exact intersection join then touches only
+    * candidate-pair shingle rows instead of self-joining the full
+    * shingle table (whose hot shingles explode quadratically).
+    *
+    * Relative to [[jaccardPairs]]: same output COLUMNS and exact Jaccard
+    * values, but restricted to pairs that share at least one LSH band —
+    * a pair above `threshold` that misses every band is absent (classic
+    * LSH recall trade; at 16 hashes / 4 bands a J=0.5 pair collides with
+    * prob 1-(1-0.5⁴)⁴ ≈ 0.23 per its true J... rising steeply toward 1
+    * for near-identical docs). The oracle applies the same candidate
+    * restriction, so the gate checks the composition exactly. */
+  def jaccardOverCandidates(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, threshold: Double = 0.5,
+                            numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val cand = minHashCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // Intersection via the candidate pairs: attach the A-side shingle
+    // set (|cand| × |avg shingles| rows), then equi-join on
+    // (id_b, shingle) — never shingle-vs-shingle on the full table.
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")

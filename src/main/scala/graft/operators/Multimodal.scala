@@ -45,38 +45,60 @@ object Multimodal {
   /** Metadata-only pass: never reads payload content beyond its length —
     * with a real Parquet media table, the payload column is still read
     * (length needs it); project the stored size column instead when one
-    * exists. Pure expressions, no UDF. */
+    * exists. Pure expressions, no UDF.
+    *
+    * The checksum is md5 over the LOWERCASE-HEX rendering of the payload,
+    * not over the raw bytes: md5-of-binary is not expressible in ANSI SQL
+    * (DuckDB's md5 only accepts VARCHAR), and a content digest only needs
+    * to be injective + reproducible — hex rendering is both, so the same
+    * definition runs verbatim in the oracle (gate query q25 calls this
+    * operator directly). */
   def mediaMeta(media: DataFrame): DataFrame =
     media.select(
       col("media_id"), col("media_type"),
       length(col("payload")).as("n_bytes"),
       substring(hex(col("payload")), 1, 8).as("magic"),
-      md5(col("payload")).as("checksum"))
+      md5(lower(hex(col("payload")))).as("checksum"))
 
-  /** STUB decode + feature extraction. Deterministic fake: "decodes"
-    * width/height/duration from payload bytes. The mapPartitions shape is
-    * the real contract — one iterator per partition (the JVM analogue of
-    * a `mapInPandas` batch), partitioning preserved, constant memory.
-    * Replace the body marked STUB with a real codec call. */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  /** A codec turns one media row into its extracted features. Must be
+    * serializable (it ships to executors inside the mapPartitions
+    * closure) — a top-level function value or object method reference. */
+  type Codec = MediaRow => MediaFeatures
+
+  /** STUB codec: deterministic fake that "decodes" width/height/duration
+    * from payload bytes (this container has no image/audio libraries).
+    * The arithmetic is reproducible in ANSI SQL, so gate query q42
+    * oracle-checks the whole decode path end to end. */
+  val stubCodec: Codec = { r =>
+    // ---- STUB: deterministic fake decode (no media libs here) ----
+    val b = r.payload
+    def u(i: Int): Int = b(i % b.length) & 0xff
+    val (w, h, d) = r.media_type match {
+      case "image/png" => (64 + u(0) * 8, 64 + u(1) * 8, 0)
+      case "audio/wav" => (0, 0, 1000 + u(2) * 500)
+      case _           => (320 + u(0) * 4, 240 + u(1) * 4, 2000 + u(3) * 250)
+    }
+    // ---- end STUB ----
+    MediaFeatures(r.media_id, r.media_type, b.length, w, h, d,
+      b.map("%02x".format(_)).mkString)
+  }
+
+  /** Decode + feature extraction over an arbitrary `codec` (defaults to
+    * the [[stubCodec]]; pass a real JNI/ffmpeg/javacv decoder WITHOUT
+    * editing this file — the round-2 verdict's swap-in seam). The
+    * mapPartitions shape is the real contract — one iterator per
+    * partition (the JVM analogue of a `mapInPandas` batch), partitioning
+    * preserved, constant memory. */
+  def decode(spark: SparkSession, media: DataFrame,
+             codec: Codec = stubCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "media_type", "payload").as[MediaRow]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          // ---- STUB: deterministic fake decode (no media libs here) ----
-          val b = r.payload
-          def u(i: Int): Int = b(i % b.length) & 0xff
-          val (w, h, d) = r.media_type match {
-            case "image/png" => (64 + u(0) * 8, 64 + u(1) * 8, 0)
-            case "audio/wav" => (0, 0, 1000 + u(2) * 500)
-            case _           => (320 + u(0) * 4, 240 + u(1) * 4, 2000 + u(3) * 250)
-          }
-          // ---- end STUB ----
-          MediaFeatures(r.media_id, r.media_type, b.length, w, h, d,
-            b.map("%02x".format(_)).mkString)
-        }
-      }
+      .mapPartitions(rows => rows.map(codec))
   }
+
+  /** Back-compat name for [[decode]] with the stub codec. */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] =
+    decode(spark, media)
 
   /** Frame sampling: slice `n` fixed-offset byte windows out of each
     * payload (stand-in for video frame extraction). Pure expression —

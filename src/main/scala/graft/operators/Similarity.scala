@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -43,6 +42,14 @@ object Similarity {
 
   /** Exact top-k neighbors for each query row.
     *
+    * Top-k selection is a [[TopK]] partial aggregation, NOT a
+    * `row_number` window: a window puts every scored candidate row for
+    * one query into a single reducer partition (a per-query straggler at
+    * scale — the round-2 verdict finding); the aggregate keeps ≤k rows
+    * per (query, partition) on the map side and merges bounded buffers,
+    * so the shuffle volume is O(queries × k × partitions), independent of
+    * |candidates|.
+    *
     * @param candidates (id, vec) frame to search
     * @param queries    (id, vec) frame of query points (small — broadcast)
     * @return (query_id, rank, neighbor_id, cos) — rank 1..k by descending
@@ -57,11 +64,8 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopK.perGroup(scored.select("query_id", "neighbor_id", "cos"),
+      "query_id", "cos", "neighbor_id", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
@@ -126,8 +130,13 @@ object Similarity {
   }
 
   /** IVF approximate top-k: probe the `nProbe` nearest cells per query.
-    * Recall < 1.0 by design; verified against [[bruteForceTopK]] in the
-    * spec. */
+    * Recall < 1.0 for nProbe < nCells; at nProbe = nCells the probe set
+    * is the whole table and the result is deterministically EQUAL to
+    * [[bruteForceTopK]] (asserted in SimilaritySpec, which is what lets
+    * the full-probe gate query reuse the exact oracle). Both top-k
+    * selections (probe cells per query, neighbors per query) are [[TopK]]
+    * partial aggregations — no `row_number` window anywhere (see
+    * [[bruteForceTopK]] for why). */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 8,
               nProbe: Int = 2): DataFrame = {
@@ -138,26 +147,24 @@ object Similarity {
       .select(col("cell"), col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
-    // Per query: the nProbe nearest centroids.
-    val qCells = queries
+    // Per query: the nProbe nearest centroids (tiny — queries × nCells).
+    val q = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val qCells = q
       .crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine(col("qv"), col("centroid")))
-    val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell"))
-    val probes = broadcast(qCells
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
-      .withColumn("qn", norm(col("qv"))))
+    val probes = broadcast(
+      TopK.perGroup(qCells.select("query_id", "cell", "ccos"),
+        "query_id", "ccos", "cell", nProbe)
+        .select("query_id", "cell")
+        .join(q, Seq("query_id")))
     val scored = indexed.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopK.perGroup(scored.select("query_id", "neighbor_id", "cos"),
+      "query_id", "cos", "neighbor_id", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
@@ -180,6 +187,10 @@ object Similarity {
   def nearDupPairsLSH(data: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, dim: Int, numPlanes: Int = 16,
                       bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(numPlanes % bands == 0,
+      s"numPlanes ($numPlanes) must divide evenly into bands ($bands); " +
+        "a remainder would silently drop trailing signature bits and " +
+        "weaken LSH recall")
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
     val bits = planes.toSeq.map { p =>

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded partial top-k aggregation — the scale-safe replacement for
+  * `row_number().over(Window.partitionBy(g).orderBy(score))` + filter.
+  *
+  * The window formulation is a correctness-only shape: it shuffles EVERY
+  * scored row to the single reducer partition owning its group, then
+  * sorts the whole group — one hot query with 10⁹ candidates becomes one
+  * straggler task (the round-2 verdict's q20/q21 finding). This operator
+  * instead aggregates into a buffer that never exceeds k entries:
+  *   - map side: each partition folds its rows into a ≤k sorted buffer
+  *     (partial aggregation — Spark plans a partial_topK before the
+  *     exchange, so the shuffle carries at most k rows per (group,
+  *     partition), not the candidate set);
+  *   - reduce side: buffers merge (merge of two sorted ≤k lists, take k);
+  *   - finish: the final ≤k list explodes into (rank, id, score) rows.
+  *
+  * Ordering is total — score DESC, id ASC on ties — so the result is
+  * deterministic under any partitioning (the top-k of a set is
+  * well-defined; ids are unique within a group).
+  *
+  * Implemented as a typed [[Aggregator]] registered through
+  * `functions.udaf`: it plans as an ObjectHashAggregate with
+  * partial+final modes, the same two-phase shape as builtin declarative
+  * aggregates. A builtin can't express this (collect_list+slice buffers
+  * the WHOLE group; max_by gives only k=1), which makes it the designed
+  * custom-aggregate seam (SURVEY.md §7.3 preference: builtin > typed
+  * aggregate > UDF).
+  */
+object TopK {
+
+  /** One scored entry. `id` is widened to long on the way in and cast
+    * back to the source id type on the way out by [[perGroup]]. */
+  final case class Scored(score: Double, id: Long)
+
+  /** score DESC, ties id ASC — a total order (ids unique per group). */
+  private val ord: Ordering[Scored] =
+    Ordering.by((s: Scored) => (-s.score, s.id))
+
+  final class TopKAgg(k: Int)
+      extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k > 0, s"k must be positive, got $k")
+    def zero: Seq[Scored] = Vector.empty
+
+    def reduce(buf: Seq[Scored], e: Scored): Seq[Scored] =
+      if (buf.size >= k && ord.gteq(e, buf.last)) buf // fast path: not in top-k
+      else {
+        val (lt, gt) = buf.span(ord.lt(_, e)) // buf kept sorted
+        (lt ++ (e +: gt)).take(k)
+      }
+
+    def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = {
+      // merge of two sorted lists, stop at k
+      val out = Vector.newBuilder[Scored]
+      var (x, y, n) = (a, b, 0)
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && ord.lteq(x.head, y.head))) {
+          out += x.head; x = x.tail
+        } else { out += y.head; y = y.tail }
+        n += 1
+      }
+      out.result()
+    }
+
+    def finish(r: Seq[Scored]): Seq[Scored] = r
+    def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  }
+
+  /** The aggregate as a column function: `topK(3)(col("cos"),
+    * col("id"))` inside any `.agg(...)`. Returns array<struct<score,id>>
+    * sorted best-first (≤ k entries). */
+  def topK(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
+      .apply(score.cast("double"), id.cast("long"))
+
+  /** Whole-operator form: top `k` rows per `groupCol` from `scored`,
+    * ranked by `scoreCol` DESC (ties: `idCol` ASC). Output columns:
+    * (groupCol, rank ∈ 1..k, idCol, scoreCol), with idCol cast back to
+    * its input type. One ObjectHashAggregate, no Window. */
+  def perGroup(scored: DataFrame, groupCol: String, scoreCol: String,
+               idCol: String, k: Int): DataFrame = {
+    val idType = scored.schema(idCol).dataType
+    scored
+      .groupBy(col(groupCol))
+      .agg(topK(k)(col(scoreCol), col(idCol)).as("_topk"))
+      .select(col(groupCol), posexplode(col("_topk")).as(Seq("_pos", "_e")))
+      .select(col(groupCol), (col("_pos") + 1).cast("int").as("rank"),
+        col("_e.id").cast(idType).as(idCol),
+        col("_e.score").as(scoreCol))
+  }
+}

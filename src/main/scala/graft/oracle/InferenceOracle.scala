@@ -25,15 +25,28 @@ object InferenceOracle {
   /** DuckDB try_strptime chain ≈ ColumnProfiler.sparkTsFormats (one
     * strptime entry per Spark format, same order). Only needs to agree
     * with Spark on the strings actually present; every format requires
-    * explicit Y+M+D (partial dates fall through). */
+    * explicit Y+M+D (partial dates fall through).
+    * LOCKSTEP CONTRACT (twin of ColumnProfiler.sparkTsFormats): the
+    * trailing %z entries mirror ColumnProfiler.tsExpr's guarded
+    * default-parse fallback (ISO forms with a zone offset, space- or
+    * 'T'-separated), so a string column of offset timestamps infers
+    * `timestamp` on BOTH sides — edit both files together. */
   private def tsParse(c: String): String = {
     val fmts = Seq(
       "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
       "%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S",
-      "%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%d %H:%M", "%Y-%m-%d",
+      "%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%S.%f%z",
+      "%Y-%m-%d %H:%M", "%Y-%m-%d",
       "%Y/%m/%d %H:%M:%S", "%Y/%m/%d",
+      "%Y.%m.%d %H:%M:%S", "%Y.%m.%d",
       "%m/%d/%Y %H:%M:%S", "%m/%d/%Y %H:%M", "%m/%d/%Y",
-      "%b %d %Y", "%b %d, %Y", "%B %d %Y", "%B %d, %Y")
+      "%b %d %Y %H:%M:%S", "%b %d, %Y %H:%M:%S",
+      "%B %d %Y %H:%M:%S", "%B %d, %Y %H:%M:%S",
+      "%b %d %Y", "%b %d, %Y", "%B %d %Y", "%B %d, %Y",
+      "%d %b %Y %H:%M:%S", "%d %B %Y %H:%M:%S",
+      "%d %b %Y", "%d %B %Y",
+      // tsExpr's default-parse fallback, made explicit:
+      "%Y-%m-%d %H:%M:%S%z", "%Y-%m-%d %H:%M:%S.%f%z")
     fmts.map(f => s"try_strptime($c, '$f')").mkString("coalesce(", ", ", ")")
   }
 

@@ -161,7 +161,13 @@ object StreamingOps {
               val t = toMicros(e.ts)
               cur match {
                 case Some(s) if t - s.last <= gapUs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
+                  // min/max, not unconditional overwrite: rows are sorted
+                  // only WITHIN a batch, so a late event from a later
+                  // micro-batch can carry t < s.last (or even < s.start) —
+                  // blindly setting last = t would shrink the session and
+                  // could emit session_end < session_start.
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= UserSession(userId, fromMicros(s.start),
                     fromMicros(s.last), s.n)

@@ -99,6 +99,24 @@ class RedshiftAutoSchemaSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("live-reference datetime-tail parity golden (day-first, dotted, month-name+time)") {
+    // Expected types produced by RUNNING the actual reference on this
+    // exact file (pandas 2.x + psycopg2 stub, 2026-08-12): the round-2
+    // ADVICE datetime-tail formats. pd.to_datetime accepts all seven;
+    // complete date-only forms land `date`, timed forms `timestamp`.
+    val p = writeCsv("ref-parity3",
+      "dayfirst|dayfirst_full|dotted|monthname_time|monthname_full_time|dotted_time|iso_offset_space",
+      "5 Jan 2020|5 January 2020|2020.01.02|Jan 5 2020 10:30:00|January 5, 2020 10:30:00|2020.01.02 03:04:05|2020-01-02 03:04:05+01",
+      "6 Feb 2021|6 February 2021|2021.03.04|Feb 6 2021 11:45:30|February 6, 2021 11:45:30|2021.03.04 05:06:07|2021-03-04 05:06:07+01")
+    val t = new RedshiftAutoSchema(spark, "s", "t", file = Some(p))
+    val got = t.metadata.get.map(m => m.field -> m.proposedName).toMap
+    val want = Map(
+      "dayfirst" -> "date", "dayfirst_full" -> "date", "dotted" -> "date",
+      "monthname_time" -> "timestamp", "monthname_full_time" -> "timestamp",
+      "dotted_time" -> "timestamp", "iso_offset_space" -> "timestamp")
+    assert(got == want)
+  }
+
   test("live-reference edge parity golden: bool-beats-int, 240 cutover, …") {
     // Reference (pandas, run 2026-08-12) agrees on every column except
     // inf_col: it lands varchar(256) via two exception hops

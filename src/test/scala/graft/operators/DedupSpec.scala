@@ -57,6 +57,26 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((0L, 2L)))
   }
 
+  test("jaccardOverCandidates ≡ exact jaccard restricted to LSH candidates") {
+    // the scale composition the gate runs (q19): exact values, candidate
+    // coverage — on the real testdata file, not just the toy fixture
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val cand = Dedup.minHashCandidates(real, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(real, "doc_id", "text", 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter(r => cand.contains((r._1, r._2)))
+      .map(r => ((r._1, r._2), r._3)).toMap
+    val composed = Dedup.jaccardOverCandidates(real, "doc_id", "text",
+      3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(composed == exact,
+      s"composition must equal exact∩candidates (${composed.size} vs ${exact.size})")
+    assert(composed.nonEmpty, "fixture should produce at least one pair")
+  }
+
   test("approx_count_distinct digest cardinality within 5% of exact") {
     // the sketch path for exact-dedup statistics at 100 TB: HLL++ keeps
     // the distinct-digest count a fixed-size aggregate instead of a

@@ -43,6 +43,16 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(_.checksum.length == 64)) // 32 bytes hex
   }
 
+  test("decode accepts a swapped-in codec without touching call sites") {
+    val fixed: Multimodal.Codec = r =>
+      Multimodal.MediaFeatures(r.media_id, r.media_type,
+        r.payload.length, 1920, 1080, 42, "custom")
+    val feats = Multimodal.decode(spark, media, fixed).collect()
+    assert(feats.length == 3)
+    assert(feats.forall(f => f.width == 1920 && f.height == 1080 &&
+      f.duration_ms == 42 && f.checksum == "custom"))
+  }
+
   test("frameSample: n frames of fixed width per payload") {
     val frames = Multimodal.frameSample(media, n = 3, frameBytes = 8)
       .select($"media_id", $"frame_idx", length($"frame_bytes").as("len"))

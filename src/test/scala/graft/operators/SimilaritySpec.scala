@@ -63,6 +63,65 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF half-probe recall@3 was $recall")
   }
 
+  test("TopK aggregator: ordering, tie-break, bounded buffers") {
+    val scored = Seq(
+      ("a", 10L, 0.9), ("a", 11L, 0.7), ("a", 12L, 0.9), // tie 10 vs 12
+      ("a", 13L, 0.1), ("b", 20L, 0.5))
+      .toDF("g", "id", "score")
+    val top = TopK.perGroup(scored, "g", "score", "id", k = 2)
+      .select("g", "rank", "id", "score")
+      .as[(String, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(top.toSeq == Seq(
+      ("a", 1, 10L, 0.9), ("a", 2, 12L, 0.9), // tie → lower id first
+      ("b", 1, 20L, 0.5)))
+    // merge path: force many partitions so partial buffers must combine
+    val big = spark.range(1000)
+      .select(lit("g").as("g"), $"id", ($"id" % 97).cast("double").as("score"))
+      .repartition(16)
+    val got = TopK.perGroup(big, "g", "score", "id", k = 3)
+      .select("rank", "id").as[(Int, Long)].collect().sortBy(_._1)
+    // score = id % 97 → max score 96 at ids 96, 193, 290, …; ties id asc
+    assert(got.toSeq == Seq((1, 96L), (2, 193L), (3, 290L)))
+  }
+
+  test("top-k plans as a partial aggregate, not a per-group window") {
+    // The round-2 verdict finding: row_number().over(partitionBy(query))
+    // funnels every scored candidate for one query into one reducer
+    // partition. The TopK rewrite must leave NO window in the physical
+    // plan and aggregate with partial (map-side) + final modes.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    for (df <- Seq(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3),
+        Similarity.ivfTopK(e, q, "vec_id", "embedding", 3, 8, 8))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"top-k must not plan a window:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"top-k must plan as an object hash aggregate:\n$plan")
+      assert(plan.contains("partial_topkagg"),
+        s"top-k aggregate must have a map-side partial phase:\n$plan")
+    }
+  }
+
+  test("gate-config LSH near-dup has recall 1.0 on the testdata (q27 contract)") {
+    // q27 runs nearDupPairsLSH with these exact settings and is verified
+    // against the EXACT cross-join oracle — that only holds if no
+    // qualifying pair misses every band. 32 bands × 2 bits at cos ≥ 0.35
+    // (θ ≤ 69.5°, per-band hit (1−θ/π)² ≈ 0.38) gives per-pair miss
+    // ≈ 0.62³² ≈ 3e-7; this test pins the empirical fact on the fixture.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 500)
+    val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLSH(e, "vec_id", "embedding",
+      threshold = 0.35, dim = 64, numPlanes = 64, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact,
+      s"LSH at gate settings must equal exact; missing ${exact -- lsh}, " +
+        s"spurious ${lsh -- exact}")
+  }
+
   test("LSH near-dup finds planted near-identical vectors sub-quadratically") {
     // 40 random base vectors + a +0.01-perturbed twin for the first 5:
     // twins have cosine ≈ 1 and must all surface; the candidate set

@@ -155,4 +155,49 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2)))
     assert(closed.subsetOf(batch))
   }
+
+  test("sessionize: cross-batch late event never shrinks a session") {
+    // Rows are sorted only WITHIN a micro-batch; a late event arriving in
+    // a LATER batch with t < state.last (round-2 ADVICE) must extend the
+    // session bounds via min/max, not regress session_end below
+    // session_start. Two AvailableNow runs over ONE checkpoint force the
+    // deterministic batch boundary (flatMapGroupsWithState state is
+    // checkpointed, so run 2 resumes run 1's session state). The sink is
+    // foreachBatch — the memory sink refuses checkpoint recovery, and
+    // processAllAvailable() on a single continuous query never returns
+    // under ProcessingTimeTimeout (the engine schedules timeout-check
+    // batches forever, so `noNewData` never latches).
+    val mem = MemoryStream[StreamingOps.Event](spark)
+    val ckpt = s"/tmp/graft-stream-ckpt-${System.nanoTime()}"
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Timestamp, Timestamp, Int)]()
+    def runBatch(): Unit = {
+      val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingOps.UserSession],
+           _: Long) =>
+            df.collect().foreach(s =>
+              out.add((s.user_id, s.session_start, s.session_end, s.n_events)))
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    mem.addData(
+      StreamingOps.Event(1L, ts("2024-01-01 00:10:00"), "a"),
+      StreamingOps.Event(1L, ts("2024-01-01 00:20:00"), "b"))
+    runBatch()
+    mem.addData( // late: before the state's `last`, and before its `start`
+      StreamingOps.Event(1L, ts("2024-01-01 00:05:00"), "late"),
+      // in-order closer: a gap > 30 min closes the merged session
+      StreamingOps.Event(1L, ts("2024-01-01 01:30:00"), "next"))
+    runBatch()
+    val closed = out.toArray(Array.empty[(Long, Timestamp, Timestamp, Int)]).toSet
+    assert(closed == Set(
+      (1L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:20:00"), 3)),
+      s"late event must widen the session (got $closed)")
+  }
 }
