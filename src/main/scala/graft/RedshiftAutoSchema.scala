@@ -12,10 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * distributed DataFrames.
   *
   * Differences from the reference, by design (SURVEY.md §1/§7):
-  *   - `spark` + optional `deployed` DataFrame replace the psycopg2
-  *     `conn`: catalog probes go to the Spark catalog (a JDBC read of
-  *     pg_namespace/information_schema.columns slots into `deployed`
-  *     for a live Redshift).
+  *   - The psycopg2 `conn` becomes three alternatives, in precedence
+  *     order: a caller-supplied `deployed` DataFrame, a [[JdbcConn]]
+  *     (`conn`) that issues the reference's exact catalog SQL against a
+  *     live Redshift/Postgres over `spark.read.jdbc`
+  *     (sources/JdbcCatalog.scala), or the Spark catalog as the
+  *     sandbox default.
   *   - Files load as distributed scans, never into driver memory; CSV
   *     loads all-string (no Spark inferSchema) so our own single-pass
   *     inference is the lone source of type truth.
@@ -40,7 +42,8 @@ final class RedshiftAutoSchema(
     defaultGroup: String = "dbreader",
     fileDf: Option[DataFrame] = None,
     columns: Option[Seq[String]] = None,
-    deployed: Option[DataFrame] = None) {
+    deployed: Option[DataFrame] = None,
+    conn: Option[graft.sources.JdbcConn] = None) {
 
   require(file.nonEmpty || fileDf.nonEmpty,
     "either file or fileDf must be provided (RAS:63)")
@@ -90,12 +93,19 @@ final class RedshiftAutoSchema(
   /** A1: file header (RAS:82-91) — schema-only read, no data scan. */
   def getColumnList: Seq[String] = loaded.columns.toSeq
 
-  /** A2: schema existence (RAS:93-107 pg_namespace probe). */
-  def checkSchemaExistence(): Boolean = spark.catalog.databaseExists(schema)
+  /** A2: schema existence (RAS:93-107 pg_namespace probe) — against the
+    * live catalog when `conn` is set, else the Spark catalog. */
+  def checkSchemaExistence(): Boolean = conn match {
+    case Some(c) => graft.sources.JdbcCatalog.schemaExists(spark, c, schema)
+    case None    => spark.catalog.databaseExists(schema)
+  }
 
   /** A3: table-or-view existence (RAS:109-123 pg_tables ∪ pg_views). */
-  def checkTableExistence(): Boolean =
-    spark.catalog.tableExists(s"$schema.$table")
+  def checkTableExistence(): Boolean = conn match {
+    case Some(c) =>
+      graft.sources.JdbcCatalog.tableExists(spark, c, schema, table)
+    case None => spark.catalog.tableExists(s"$schema.$table")
+  }
 
   /** A4 (RAS:125-131). */
   def generateSchemaDdl(): String = DdlGenerator.schemaDdl(schema)
@@ -124,9 +134,11 @@ final class RedshiftAutoSchema(
   def generateTablePermissions(): String =
     DdlGenerator.tablePermissions(schema, table, defaultGroup)
 
-  /** A9: proposed ⟗ deployed diff (RAS:202-225). Deployed side: the
-    * caller-supplied DataFrame(field, deployed_type) if given, else the
-    * Spark catalog. Cached like RAS:79/183. */
+  /** A9: proposed ⟗ deployed diff (RAS:202-225). Deployed side, in
+    * precedence order: the caller-supplied DataFrame(field,
+    * deployed_type), the JDBC catalog when `conn` is set (the
+    * reference's information_schema.columns read, RAS:215-216), else
+    * the Spark catalog. Cached like RAS:79/183. */
   def evaluateTableDdlDiffs(): DataFrame = diffCached
 
   private lazy val diffCached: DataFrame = {
@@ -134,8 +146,9 @@ final class RedshiftAutoSchema(
       .map(m => (m.field, m.proposedName))
     val proposed = spark.createDataFrame(proposedRows)
       .toDF("field", "proposed_type")
-    val dep = deployed.getOrElse(
-      SchemaDiff.deployedFromCatalog(spark, schema, table))
+    val dep = deployed.orElse(conn.map(c =>
+        graft.sources.JdbcCatalog.deployedFromJdbc(spark, c, schema, table)))
+      .getOrElse(SchemaDiff.deployedFromCatalog(spark, schema, table))
     SchemaDiff.diff(proposed, dep)
   }
 }

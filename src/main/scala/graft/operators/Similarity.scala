@@ -193,32 +193,48 @@ object Similarity {
         "weaken LSH recall")
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
-    val bits = planes.toSeq.map { p =>
-      val plane = array(p.toSeq.map(lit): _*)
-      when(dot(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
-    }
+    // One 2-D literal + a higher-order transform: the sign-bit string is
+    // computed ONCE per row, data-driven. (The per-plane-expression
+    // formulation duplicated numPlanes zip_with/aggregate trees into
+    // every band struct — a numPlanes × dim codegen blowup that
+    // dominated the bench at 64 planes.)
+    val planesCol = array(planes.map(p => array(p.map(lit).toSeq: _*)).toSeq: _*)
+    val sigStr = array_join(
+      transform(planesCol,
+        p => when(dot(col("v"), p) >= 0, lit("1")).otherwise(lit("0"))), "")
     val rowsPerBand = numPlanes / bands
     val bandStructs = (0 until bands).map { b =>
-      val sig = concat(bits.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
-      struct(lit(b).as("band"), sig.as("sig"))
+      struct(lit(b).as("band"),
+        substring(col("_sig"), b * rowsPerBand + 1, rowsPerBand).as("sig"))
     }
+    // Candidate pairs carry ONLY (id_a, id_b): the band equi-join and
+    // the distinct shuffle move two longs per row, never the vectors,
+    // and a pair colliding in many bands costs one dot product, not
+    // one per band. Vectors join back in AFTER dedup — the same
+    // candidates-then-verify structure as Dedup.minHashCandidates →
+    // jaccardOverCandidates.
     val banded = data
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("n", norm(col("v")))
-      .select(col("id"), col("v"), col("n"),
-        explode(array(bandStructs: _*)).as("bs"))
-      .select(col("id"), col("v"), col("n"),
-        col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = banded.select(col("band"), col("sig"), col("id").as("id_a"),
-      col("v").as("va"), col("n").as("na"))
-    val b = banded.select(col("band"), col("sig"), col("id").as("id_b"),
-      col("v").as("vb"), col("n").as("nb"))
-    a.join(b, Seq("band", "sig"))
+      .withColumn("_sig", sigStr)
+      .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = banded.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("sig"), col("id").as("id_b")),
+        Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val d = data
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+    cand
+      .join(d.select(col("id").as("id_a"), col("v").as("va"),
+        col("n").as("na")), "id_a")
+      .join(d.select(col("id").as("id_b"), col("v").as("vb"),
+        col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
   }
 
   def nearDupPairs(data: DataFrame, idCol: String, vecCol: String,

@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   *     qualifying pair is produced by exactly one equi-join match (band
   *     pruning), never by an n² nested loop. Shuffle keys are
   *     (key, band) — adding the band to the key also shears skew.
+  *
+  * Skew contract (hot-key fixture in TemporalJoinsSpec):
+  *   - [[bandedRangeJoin]]: a key with k× the rows spreads over its
+  *     bands — per-task work is bounded by rows-per-(key, band)², not
+  *     rows-per-key², so a hot user dilutes across time.
+  *   - [[asOf]] (and StreamingOps.sessionize, which shares the shape):
+  *     partitioned by the bare key, so one hot key is one sorted task —
+  *     O(n log n) in that key's rows, never n². If a single key
+  *     outgrows an executor, pre-split by a time-range salt and run
+  *     asOf per slice with boundary rows replicated; not built in
+  *     because the window formulation absorbs realistic skew (sort,
+  *     not product).
   */
 object TemporalJoins {
 

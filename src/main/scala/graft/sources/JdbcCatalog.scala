@@ -1,0 +1,90 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** JDBC connection descriptor — the engine's analogue of the reference's
+  * psycopg2 `conn` constructor parameter (RedshiftAutoSchema.py:50).
+  * `properties` carries user/password/driver exactly as
+  * `spark.read.jdbc` expects them.
+  */
+final case class JdbcConn(url: String,
+                          properties: Properties = new Properties())
+
+/** Live-catalog probes over JDBC — the reference's raison d'être is
+  * interrogating a real Redshift catalog (RedshiftAutoSchema.py:104,
+  * 120, 215-216); this module issues the reference's EXACT catalog SQL
+  * through `spark.read.jdbc`, so a user pointing the engine at a live
+  * Redshift/Postgres gets byte-identical catalog semantics.
+  *
+  * Scale/plan shape: every query here is catalog-sized (rows = columns
+  * of one table, or 0/1 existence probes) and executes ON the remote
+  * catalog — the whole SQL is pushed down as a JDBC subquery, so Spark
+  * reads back only the final projection. Nothing distributed touches
+  * this path.
+  *
+  * Dialect note: the default SQL is the Redshift/Postgres dialect
+  * verbatim (pg_namespace / pg_tables ∪ pg_views /
+  * information_schema.columns). Each entry point takes an optional
+  * `sqlOverride` so a non-Postgres catalog (or a test against Derby,
+  * which has no information_schema) can substitute an
+  * equivalently-SHAPED query without touching this file — the result
+  * contract, not the SQL text, is the interface.
+  */
+object JdbcCatalog {
+
+  /** RAS:104 — schema existence probe (sans trailing ';': it embeds as
+    * a JDBC subquery). */
+  def schemaExistsSql(schema: String): String =
+    s"SELECT 1 FROM pg_namespace WHERE nspname = '$schema'"
+
+  /** RAS:120 — table-or-view existence probe. */
+  def tableExistsSql(schema: String, table: String): String =
+    s"SELECT 1 FROM pg_tables WHERE schemaname = '$schema' AND " +
+      s"tablename = '$table' UNION SELECT 1 FROM pg_views WHERE " +
+      s"schemaname = '$schema' AND viewname = '$table' LIMIT 1"
+
+  /** RAS:215-216 — the deployed-schema read: udt_name with the
+    * parenthesized character length appended (so varchar widths survive,
+    * feeding diff classes 9/10), one row per column, catalog order. */
+  def deployedSchemaSql(schema: String, table: String): String =
+    s"""SELECT "column_name" AS index, "udt_name" || CASE WHEN """ +
+      "character_maximum_length IS NOT NULL THEN '(' || " +
+      "CAST(character_maximum_length AS VARCHAR) || ')' ELSE '' END " +
+      "AS deployed_type FROM information_schema.columns WHERE " +
+      s"table_schema = '$schema' AND table_name = '$table' " +
+      "ORDER BY ordinal_position"
+
+  private def readSql(spark: SparkSession, conn: JdbcConn,
+                      sql: String): DataFrame =
+    spark.read.jdbc(conn.url, s"($sql) AS graft_catalog_probe",
+      conn.properties)
+
+  /** A2 over JDBC (RAS:93-107): does the schema exist in the remote
+    * catalog? */
+  def schemaExists(spark: SparkSession, conn: JdbcConn, schema: String,
+                   sqlOverride: Option[String] = None): Boolean =
+    !readSql(spark, conn, sqlOverride.getOrElse(schemaExistsSql(schema)))
+      .isEmpty
+
+  /** A3 over JDBC (RAS:109-123): does the table OR view exist? */
+  def tableExists(spark: SparkSession, conn: JdbcConn, schema: String,
+                  table: String,
+                  sqlOverride: Option[String] = None): Boolean =
+    !readSql(spark, conn,
+      sqlOverride.getOrElse(tableExistsSql(schema, table))).isEmpty
+
+  /** Deployed-side frame for SchemaDiff.diff, shaped (field,
+    * deployed_type) — the JDBC twin of SchemaDiff.deployedFromCatalog.
+    * A missing table yields an EMPTY frame (the reference's
+    * information_schema query returns zero rows → every proposed column
+    * classifies MISSING), never a throw. */
+  def deployedFromJdbc(spark: SparkSession, conn: JdbcConn, schema: String,
+                       table: String,
+                       sqlOverride: Option[String] = None): DataFrame =
+    readSql(spark, conn,
+      sqlOverride.getOrElse(deployedSchemaSql(schema, table)))
+      .select(col("index").as("field"), col("deployed_type"))
+}

@@ -142,4 +142,32 @@ class RedshiftAutoSchemaSpec extends SparkSpec {
       "empty_and_val" -> "varchar(256)") // "" is an NA token, like pandas
     assert(got == want)
   }
+
+  test("super column end-to-end: infer → DDL → catalog diff → ALTER emits super") {
+    // The round-1 ADVICE `super` item, locked end-to-end: a nested
+    // parquet column (array<float>) infers `super`, CREATE TABLE carries
+    // the graft:super marker through the catalog, the diff round-trip is
+    // clean, and — with a deployed table that LACKS the nested column —
+    // generateColumnDdl emits `ADD COLUMN ... super`.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = new RedshiftAutoSchema(spark, "default", "graft_super_rt",
+      fileDf = Some(emb))
+    assert(full.metadata.get.find(_.field == "embedding")
+      .get.proposedName == "super")
+    // CREATE TABLE (Spark dialect) then diff against the live catalog
+    spark.sql("DROP TABLE IF EXISTS default.graft_super_rt")
+    spark.sql(graft.ddl.DdlGenerator.sparkTableDdl("default",
+      "graft_super_rt", full.metadata.get))
+    try {
+      assert(full.evaluateTableDdlDiffs().isEmpty,
+        "full round-trip must produce a clean diff")
+      // deployed side missing the nested column → MISSING → ALTER super
+      val partial = new RedshiftAutoSchema(spark, "default", "t",
+        fileDf = Some(emb),
+        deployed = Some(Seq(("vec_id", "int8"), ("label", "int4"))
+          .toDF("field", "deployed_type")))
+      val alter = partial.generateColumnDdl().get
+      assert(alter == "ALTER TABLE default.t ADD COLUMN embedding super;")
+    } finally spark.sql("DROP TABLE IF EXISTS default.graft_super_rt")
+  }
 }

@@ -129,4 +129,54 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(naive.except(got).count() == 0)
     assert(got.count() > 0)
   }
+
+  test("hot-key skew: one user with 50x the rows stays correct in both joins") {
+    // Skew-evidence fixture (round-2 verdict item 8): user 1 carries 50×
+    // the events of every other user. bandedRangeJoin's shuffle key is
+    // (key, band), so the hot user's rows spread over its bands — the
+    // per-task ceiling is events-per-band², not events-per-user². asOf
+    // (and sessionize) shuffle on the bare key: the hot user IS one
+    // sorted partition; correctness is unaffected (asserted here), cost
+    // is one O(n log n) sort task — the documented contract in
+    // TemporalJoins' scaladoc.
+    import spark.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (1 to 500).map { i =>  // hot user 1: 500 events, 1/min
+      (1L, new java.sql.Timestamp(base + i * 60000L), i.toLong)
+    } ++ (2L to 11L).flatMap { u =>   // cold users: 10 events each
+      (1 to 10).map(i =>
+        (u, new java.sql.Timestamp(base + i * 60000L), u * 10000L + i))
+    }
+    val ev = rows.toDF("user_id", "ts", "event_id")
+    // banded range join vs naive on the skewed data
+    val got = TemporalJoins.bandedRangeJoin(ev, "user_id", "ts",
+      "event_id", 120L).select("id_a", "id_b")
+    val naive = ev.as("a").join(ev.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          ($"b.ts" > $"a.ts" ||
+            ($"b.ts" === $"a.ts" && $"a.event_id" < $"b.event_id")) &&
+          unix_micros($"b.ts") - unix_micros($"a.ts") <= 120L * 1000000L)
+      .select($"a.event_id".as("id_a"), $"b.event_id".as("id_b"))
+    assert(got.except(naive).count() == 0)
+    assert(naive.except(got).count() == 0)
+    // the hot key dominates the pair count (each hot event pairs with 2)
+    assert(got.filter(col("id_a") < 10000).count() == 499 + 498)
+    // as-of join vs naive on the same skew
+    val left = ev.filter($"event_id" % 2 === 0)
+    val right = ev.filter($"event_id" % 2 === 1)
+      .withColumnRenamed("event_id", "r_id").withColumn("v", $"r_id" * 2)
+    val asof = TemporalJoins.asOf(left, right, "user_id", "ts",
+      Seq("r_id", "v"), tiebreak = "r_id", prefix = "p_")
+    val naiveAsof = left.as("l").join(right.as("r"),
+        $"l.user_id" === $"r.user_id" && $"r.ts" <= $"l.ts", "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"l.user_id", $"l.event_id")
+          .orderBy($"r.ts".desc, $"r.r_id".desc)))
+      .filter($"rk" === 1)
+      .select($"l.event_id", $"r.r_id".as("p_r_id"), $"r.v".as("p_v"))
+    val a = asof.select("event_id", "p_r_id", "p_v")
+    assert(a.except(naiveAsof).count() == 0)
+    assert(naiveAsof.except(a).count() == 0)
+  }
 }

@@ -1,0 +1,127 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.sql.DriverManager
+
+/** JdbcCatalog: the reference's exact catalog SQL (unit-tested verbatim
+  * against RedshiftAutoSchema.py:104/120/215-216) + a live integration
+  * round-trip through `spark.read.jdbc` against in-memory Derby (the
+  * only JDBC engine on the sandbox classpath). Derby has no
+  * information_schema and no int→varchar cast, so the integration tests
+  * exercise the `sqlOverride` seam with an equivalently-SHAPED query
+  * over a fixture table — the default (Postgres/Redshift) SQL text is
+  * pinned by the unit tests, the plumbing by the Derby tests.
+  */
+class JdbcCatalogSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftcat;create=true"
+
+  private lazy val fixture: Unit = {
+    val c = DriverManager.getConnection(url)
+    val st = c.createStatement()
+    st.execute("CREATE SCHEMA info_schema")
+    // character_maximum_length stored as VARCHAR: Derby cannot cast
+    // INTEGER→VARCHAR, and the cast lives in the (Postgres) default SQL
+    // this fixture deliberately does not run.
+    st.execute("""CREATE TABLE info_schema.cols (
+      "column_name" VARCHAR(128), "udt_name" VARCHAR(64),
+      character_maximum_length VARCHAR(16), ordinal_position INT,
+      table_schema VARCHAR(64), table_name VARCHAR(64))""")
+    Seq(
+      ("user_id", "int8", null, 1),
+      ("email", "varchar", "256", 2),
+      ("bio", "varchar", "65535", 3),
+      ("created_at", "timestamp", null, 4)
+    ).foreach { case (n, t, len, pos) =>
+      val ps = c.prepareStatement(
+        "INSERT INTO info_schema.cols VALUES (?, ?, ?, ?, 'public', 'users')")
+      ps.setString(1, n); ps.setString(2, t); ps.setString(3, len)
+      ps.setInt(4, pos); ps.execute()
+    }
+    st.close(); c.close()
+  }
+
+  private def derbyDeployedSql(schema: String, table: String): String =
+    s"""SELECT "column_name" AS "index", "udt_name" || CASE WHEN """ +
+      "character_maximum_length IS NOT NULL THEN '(' || " +
+      "character_maximum_length || ')' ELSE '' END AS deployed_type " +
+      "FROM info_schema.cols WHERE " +
+      s"table_schema = '$schema' AND table_name = '$table' " +
+      "ORDER BY ordinal_position"
+
+  test("default catalog SQL is the reference's, verbatim") {
+    // RAS:215-216 (modulo the trailing ';', which cannot embed in a
+    // JDBC subquery, and the multi-line indentation)
+    assert(JdbcCatalog.deployedSchemaSql("public", "users") ==
+      """SELECT "column_name" AS index, "udt_name" || CASE WHEN """ +
+        "character_maximum_length IS NOT NULL THEN '(' || " +
+        "CAST(character_maximum_length AS VARCHAR) || ')' ELSE '' END " +
+        "AS deployed_type FROM information_schema.columns WHERE " +
+        "table_schema = 'public' AND table_name = 'users' " +
+        "ORDER BY ordinal_position")
+    // RAS:104
+    assert(JdbcCatalog.schemaExistsSql("public") ==
+      "SELECT 1 FROM pg_namespace WHERE nspname = 'public'")
+    // RAS:120
+    assert(JdbcCatalog.tableExistsSql("public", "users") ==
+      "SELECT 1 FROM pg_tables WHERE schemaname = 'public' AND " +
+        "tablename = 'users' UNION SELECT 1 FROM pg_views WHERE " +
+        "schemaname = 'public' AND viewname = 'users' LIMIT 1")
+  }
+
+  test("deployedFromJdbc round-trips the catalog shape over a live JDBC") {
+    fixture
+    val got = JdbcCatalog.deployedFromJdbc(spark, JdbcConn(url), "public",
+        "users", sqlOverride = Some(derbyDeployedSql("public", "users")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("user_id", "int8"), ("email", "varchar(256)"),
+      ("bio", "varchar(65535)"), ("created_at", "timestamp")))
+  }
+
+  test("deployedFromJdbc: missing table yields an empty frame, not a throw") {
+    fixture
+    val got = JdbcCatalog.deployedFromJdbc(spark, JdbcConn(url), "public",
+      "no_such", sqlOverride = Some(derbyDeployedSql("public", "no_such")))
+    assert(got.isEmpty)
+    assert(got.columns.toSeq == Seq("field", "deployed_type"))
+  }
+
+  test("existence probes over a live JDBC") {
+    fixture
+    def probe(sql: String) = Some(sql)
+    assert(JdbcCatalog.schemaExists(spark, JdbcConn(url), "public",
+      probe("SELECT 1 FROM info_schema.cols WHERE table_schema = 'public'")))
+    assert(!JdbcCatalog.tableExists(spark, JdbcConn(url), "public", "nope",
+      probe("SELECT 1 FROM info_schema.cols WHERE table_name = 'nope'")))
+  }
+
+  test("JDBC deployed side feeds the diff engine end-to-end") {
+    fixture
+    import spark.implicits._
+    val dep = JdbcCatalog.deployedFromJdbc(spark, JdbcConn(url), "public",
+      "users", sqlOverride = Some(derbyDeployedSql("public", "users")))
+    val proposed = Seq(
+      ("user_id", "int8"),          // match → no row
+      ("email", "varchar(256)"),    // match → no row
+      ("bio", "varchar(256)"),      // width class changed → TYPE MISMATCH
+      ("signup_ip", "varchar(256)") // new → MISSING; created_at → DEPRECATED
+    ).toDF("field", "proposed_type")
+    val got = graft.diff.SchemaDiff.diff(proposed, dep)
+      .collect().map(r => (r.getString(0), r.getString(3))).toSet
+    assert(got == Set(
+      ("bio", "TYPE MISMATCH"), ("signup_ip", "MISSING"),
+      ("created_at", "DEPRECATED")))
+  }
+
+  test("facade precedence: explicit deployed frame wins over conn") {
+    import spark.implicits._
+    // conn points at a URL that would fail on contact — deployed must
+    // short-circuit it (precedence: deployed > conn > spark.catalog).
+    val ras = new graft.RedshiftAutoSchema(spark, "s", "t",
+      fileDf = Some(Seq(1L, 2L).toDF("user_id")),
+      deployed = Some(Seq(("user_id", "int4")).toDF("field", "deployed_type")),
+      conn = Some(JdbcConn("jdbc:derby:memory:never_created")))
+    assert(ras.evaluateTableDdlDiffs().isEmpty)
+  }
+}
