@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.SchemaDiff
 import graft.inference.TypeInference
-import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -448,6 +448,41 @@ object SparkEntry {
     "q43_dedup_materialize" -> ((s, dir) => {
       Dedup.dropExactDuplicates(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
+    }),
+    // ---- deterministic train/val/test split: md5-bucket expression,
+    //      reproducible under any partitioning (never random()) ----
+    "q44_split_assign" -> ((s, dir) => {
+      Curation.assignSplits(t(s, dir, "documents"), "doc_id")
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
+    // ---- PII redaction over deterministically-planted PII (the raw
+    //      fixture text carries none): counts on the original text,
+    //      email→phone→ip replacement, all codegen'd regex ----
+    "q45_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text2",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com")))
+            .when(pmod(col("doc_id"), lit(3)) === 1,
+              lit(" call 555-123-4567"))
+            .otherwise(concat(lit(" from 10.0.0."),
+              pmod(col("doc_id"), lit(256)).cast("string")))))
+      Curation.redactPii(planted, "text2")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          md5(col("redacted")).as("rhash"))
+        .orderBy("doc_id")
+    }),
+    // ---- benchmark decontamination: drop corpus docs sharing any
+    //      5-gram with the benchmark slice (doc_id % 50 == 0) — a
+    //      shingle semi-join + anti join, no pairwise comparison ----
+    "q46_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 5)
+        .select("doc_id").orderBy("doc_id")
     })
   )
 
@@ -829,6 +864,58 @@ FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q42_decode_features" -> decodeOracle,
     "q43_dedup_materialize" ->
       """SELECT min(doc_id) AS doc_id FROM documents
-GROUP BY md5(text) ORDER BY doc_id"""
+GROUP BY md5(text) ORDER BY doc_id""",
+    "q44_split_assign" -> splitAssignOracle,
+    "q45_pii_redact" -> piiRedactOracle,
+    "q46_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 5
+  THEN list_transform(range(0, len(tk) - 4), i -> array_to_string(tk[i+1:i+5], ' '))
+  ELSE [] END) AS shingle FROM toks),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % 50 <> 0)
+SELECT doc_id FROM documents WHERE doc_id % 50 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id"""
   )
+
+  /** q44: Curation.hashBucket replayed in SQL — first 4 hex chars of
+    * md5(id) as an integer, mod 100 (instr('123456789abcdef', ch) maps
+    * a hex char to its value, '0' → 0 via not-found). */
+  private def splitAssignOracle: String = {
+    def hv(p: Int) =
+      s"instr('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1))"
+    val bucket =
+      s"(4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)} + ${hv(4)}) % 100"
+    s"""SELECT doc_id,
+  CASE WHEN $bucket < 80 THEN 'train'
+       WHEN $bucket < 90 THEN 'validation'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id"""
+  }
+
+  /** q45: the same PII planting + redaction in SQL. DuckDB
+    * regexp_replace needs the 'g' flag (Spark replaces all matches by
+    * default); counts via len(regexp_extract_all). Patterns are
+    * verbatim [[Curation]] regexes — valid in both Java regex and
+    * RE2. */
+  private def piiRedactOracle: String = {
+    val email = Curation.emailRe
+    val phone = Curation.phoneRe
+    val ip = Curation.ipv4Re
+    s"""WITH planted AS (SELECT doc_id, text ||
+  CASE WHEN (doc_id % 3 + 3) % 3 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       WHEN (doc_id % 3 + 3) % 3 = 1 THEN ' call 555-123-4567'
+       ELSE ' from 10.0.0.' || CAST((doc_id % 256 + 256) % 256 AS VARCHAR)
+  END AS text2 FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text2, '$email')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(text2, '$phone')) AS INTEGER) AS n_phone,
+  CAST(len(regexp_extract_all(text2, '$ip')) AS INTEGER) AS n_ip,
+  md5(regexp_replace(regexp_replace(regexp_replace(text2,
+    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+    '$ip', '<IP>', 'g')) AS rhash
+FROM planted ORDER BY doc_id"""
+  }
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic split assignment,
+  * PII redaction, and benchmark decontamination — the standard final
+  * stages of a large-scale LLM data pipeline (C4/RefinedWeb-style),
+  * absent from the reference (which stops at schema inference) and
+  * added here as engine extensions alongside Dedup/TextAnalysis.
+  *
+  * Scale design (100 TB):
+  *   - [[assignSplits]] and [[redactPii]] are pure per-row expressions —
+  *     whole-stage-codegen'd map passes, zero shuffle, trivially
+  *     data-parallel. Split assignment is a hash of the ID, not a
+  *     random() draw, so it is reproducible across runs, engines, and
+  *     re-partitioning (the property training pipelines actually need:
+  *     a document's split never changes when the corpus grows).
+  *   - [[decontaminate]] is a shingle semi-join: corpus shingles shuffle
+  *     by shingle (the natural key), the benchmark side is
+  *     benchmark-sized (≪ corpus — broadcast when small), and the
+  *     contaminated-ID set is |matching docs|, joined back anti. No
+  *     pairwise comparison anywhere — cost tracks overlap density, the
+  *     same candidates-first shape as Dedup.minHashCandidates.
+  */
+object Curation {
+
+  /** Deterministic bucket in [0, 100) from an id: the first FOUR hex
+    * chars of md5(id) → 0..65535 → mod 100. Stable across engines — the
+    * DuckDB oracle reproduces it with the same md5 arithmetic. Four hex
+    * chars keep the mod bias ≤ 1/655 per bucket (two chars would skew
+    * buckets 0..55 by a full 4 percentage points at an 80/10/10 split —
+    * measured, not hypothetical). */
+  def hashBucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100)
+
+  /** Adds a `split` column ∈ {train, validation, test} keyed on
+    * md5(idCol): bucket < trainPct → train, < trainPct + valPct →
+    * validation, else test. Per-row expression, no shuffle,
+    * reproducible under any partitioning. */
+  def assignSplits(df: DataFrame, idCol: String, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"train ($trainPct) + validation ($valPct) must fit in 100")
+    val b = hashBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "validation")
+        .otherwise("test"))
+  }
+
+  /** PII patterns — deliberately restricted to syntax valid in BOTH
+    * Java regex and RE2 (DuckDB), so the oracle runs them verbatim. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redacts emails, phone numbers, and IPv4 addresses from `textCol`,
+    * returning the input plus `redacted` and per-category counts
+    * (counts measured on the ORIGINAL text; replacements applied
+    * email → phone → ip, in that order — the patterns are mutually
+    * non-overlapping by construction, phone requires [-.] separators
+    * with a 4-digit tail while ipv4 is dot-separated ≤3-digit groups).
+    * Pure codegen'd expressions, single map pass. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("n_email", regexp_count(t, lit(emailRe)))
+      .withColumn("n_phone", regexp_count(t, lit(phoneRe)))
+      .withColumn("n_ip", regexp_count(t, lit(ipv4Re)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          ipv4Re, "<IP>"))
+  }
+
+  /** Removes corpus documents that share ANY word n-gram with a
+    * benchmark set (eval-set decontamination). Returns the surviving
+    * corpus rows unchanged. Documents shorter than `n` tokens have no
+    * shingles and always survive — callers screening tiny documents
+    * should lower `n` or pre-filter.
+    *
+    * @param corpus    rows to screen (idCol must be unique)
+    * @param benchmark rows whose n-grams are contaminating
+    * @param n         shingle width in tokens (13 is the common
+    *                  contamination window; the sandbox fixtures use
+    *                  smaller docs, so tests pass 5) */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 13): DataFrame = {
+    val benchShingles = Dedup.shingleSets(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    val contaminated = Dedup.shingleMultiset(corpus, idCol, textCol, n)
+      .join(benchShingles, Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

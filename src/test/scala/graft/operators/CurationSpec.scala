@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignSplits is deterministic, partition-invariant, and ~80/10/10") {
+    val df = spark.range(10000).toDF("id")
+    val once = Curation.assignSplits(df, "id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    // hash split tracks the requested fractions within a few percent
+    assert(math.abs(once("train") - 8000L) < 400, s"train=${once("train")}")
+    assert(math.abs(once("validation") - 1000L) < 200)
+    assert(math.abs(once("test") - 1000L) < 200)
+    // same ids, different partitioning → identical assignment per id
+    val a = Curation.assignSplits(df, "id").select("id", "split")
+    val b = Curation.assignSplits(df.repartition(17), "id")
+      .select("id", "split")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // growing the corpus never reassigns an existing id
+    val grown = Curation.assignSplits(spark.range(20000).toDF("id"), "id")
+      .select("id", "split").filter($"id" < 10000)
+    assert(a.except(grown).count() == 0)
+  }
+
+  test("assignSplits validates percentages") {
+    val df = spark.range(10).toDF("id")
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(df, "id", trainPct = 80, valPct = 30)
+    }
+  }
+
+  test("redactPii replaces emails, phones, IPs and counts each") {
+    val rows = Seq(
+      (1L, "write to alice.smith+x@example.co.uk today"),
+      (2L, "call 555-123-4567 or 555.987.6543"),
+      (3L, "server at 192.168.0.1 and 10.0.0.255"),
+      (4L, "mixed: bob@x.io, 111-222-3333, 8.8.8.8"),
+      (5L, "clean text, no pii at all; v1.2 stays")
+    ).toDF("id", "text")
+    val got = Curation.redactPii(rows, "text")
+      .select("id", "n_email", "n_phone", "n_ip", "redacted")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1, 0, 0, "write to <EMAIL> today")))
+    assert(got(1) == ((2L, 0, 2, 0, "call <PHONE> or <PHONE>")))
+    assert(got(2) == ((3L, 0, 0, 2, "server at <IP> and <IP>")))
+    assert(got(3) == ((4L, 1, 1, 1, "mixed: <EMAIL>, <PHONE>, <IP>")))
+    assert(got(4) == ((5L, 0, 0, 0, "clean text, no pii at all; v1.2 stays")))
+  }
+
+  test("decontaminate drops docs sharing an n-gram with the benchmark") {
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a quick brown fox jumps over my fence"), // 5-gram overlap
+      (2L, "completely unrelated sentence about spark engines here"),
+      (3L, "the quick brown fox jumps"),             // exact 5-gram
+      (4L, "tiny doc")                               // < n tokens → survives
+    ).toDF("doc_id", "text")
+    val surviving = Curation.decontaminate(corpus, benchmark,
+      "doc_id", "text", n = 5).select("doc_id").as[Long].collect().sorted
+    assert(surviving.toSeq == Seq(2L, 4L))
+  }
+
+  test("decontaminate plans a shingle semi-join, not a pairwise product") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val plan = Curation.decontaminate(corpus, bench, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontaminate must never plan a product join:\n$plan")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected semi + anti joins in:\n$plan")
+  }
+}
