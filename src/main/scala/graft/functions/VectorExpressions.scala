@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.GraftColumnBridge
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the similarity family's hot inner
+  * loop.
+  *
+  * The declarative formulation — `aggregate(zip_with(a, b, _*_), 0.0,
+  * _+_)` — is correct but runs OUTSIDE whole-stage codegen: Spark
+  * evaluates higher-order functions by interpreting the lambda per
+  * element with a variable pool, and `zip_with` materializes the
+  * products array before `aggregate` folds it. For an O(|pairs| × dim)
+  * similarity join that interpreted detour IS the workload. This
+  * expression generates the obvious fused loop instead (one pass, no
+  * intermediate array, inlined into the enclosing WholeStageCodegen
+  * stage) — the designed custom-Expression seam (SURVEY.md §7.3:
+  * builtin > native codegen'd Expression > typed aggregate > UDF).
+  *
+  * Null semantics match the declarative twin exactly: null array →
+  * null; mismatched lengths → null (zip_with pads with null, and
+  * null * x propagates); any null ELEMENT → null.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      // fresh names: whole-stage codegen inlines many expressions into
+      // one Java method, so bare locals would collide
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  /** Codegen'd dot product of two array-of-numeric columns (the cast
+    * to array<double> is a no-op for already-double inputs and erased
+    * by the optimizer). Drop-in for the aggregate/zip_with
+    * formulation. */
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a.cast("array<double>")),
+      GraftColumnBridge.expression(b.cast("array<double>"))))
+
+  /** L2 norm via the fused dot loop. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+}

@@ -22,14 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double-array columns (zip_with + aggregate —
-    * no shuffle, evaluated per row). */
+  /** Dot product of two double-array columns — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (a fused loop inlined
+    * into whole-stage codegen; the declarative zip_with/aggregate twin
+    * is interpreted per element and materializes the products array —
+    * see VectorExpressions' scaladoc). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot(a, b)
 
-  /** L2 norm of a double-array column. */
+  /** L2 norm of a double-array column (fused dot loop + sqrt). */
   def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    graft.functions.VectorExpressions.norm(v)
 
   /** Cosine similarity between two float-array columns, computed in
     * double precision end to end. Self-contained form for one-off use;

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column ⇄ Expression converters —
+  * the standard extension-library technique (Spark's own connectors and
+  * third-party catalogs ship classes in `org.apache.spark.sql.*` for
+  * exactly this) so graft's native Catalyst expressions
+  * (graft.functions.DotProduct) can be exposed as plain `Column`s
+  * without registering a FunctionRegistry extension per session. Keep
+  * this file free of any logic — it exists only to re-export access.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

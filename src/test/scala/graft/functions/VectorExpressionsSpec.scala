@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def declarativeDot(a: org.apache.spark.sql.Column,
+                             b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("dot matches the declarative zip_with/aggregate twin bitwise") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(200)(
+      (Array.fill(64)(rng.nextGaussian()), Array.fill(64)(rng.nextGaussian())))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VectorExpressions.dot($"a", $"b").as("fast"),
+      declarativeDot($"a", $"b").as("slow"))
+    // same left-to-right summation order → bit-identical doubles
+    assert(got.filter($"fast" =!= $"slow" ||
+      $"fast".isNull =!= $"slow".isNull).count() == 0)
+  }
+
+  test("null semantics: null array, null element, length mismatch") {
+    val df = Seq(
+      (1L, Array(1.0, 2.0), Array(3.0, 4.0)),   // 11.0
+      (2L, null, Array(1.0, 2.0)),              // null array
+      (3L, Array(1.0, 2.0), Array(1.0))         // length mismatch
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", VectorExpressions.dot($"a", $"b").as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(11.0))
+    assert(got(2L).isEmpty)
+    assert(got(3L).isEmpty)
+    // null ELEMENT → null (matches zip_with null propagation)
+    val withNullElem = Seq(1L).toDF("id")
+      .select(VectorExpressions.dot(
+        array(lit(1.0), lit(null).cast("double")),
+        array(lit(2.0), lit(3.0))).as("d"))
+    assert(withNullElem.collect()(0).isNullAt(0))
+  }
+
+  test("float arrays coerce and the expression runs inside codegen") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.select(
+      VectorExpressions.dot($"embedding".cast("array<double>"),
+        $"embedding".cast("array<double>")).as("sq"))
+    // sanity: |v|² positive for real embeddings
+    assert(q.filter($"sq" <= 0).count() == 0)
+    // the projection stays inside a WholeStageCodegen stage (rendered
+    // as the `*(n)` prefix in the compact plan string) — the whole
+    // point of the native expression; the declarative twin is
+    // evaluated interpreted
+    val plan = q.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[graft_dot".r.findFirstIn(plan).nonEmpty,
+      s"graft_dot must sit inside a codegen stage:\n$plan")
+    // and codegen actually compiles (no fallback): force evaluation
+    // with codegen-only to surface any doGenCode bug as a hard error
+    withSQLConf("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      assert(q.count() == e.count())
+    }
+  }
+
+  private def withSQLConf[T](kv: (String, String))(f: => T): T = {
+    val (k, v) = kv
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try f
+    finally old match {
+      case Some(o) => spark.conf.set(k, o)
+      case None    => spark.conf.unset(k)
+    }
+  }
+}
