@@ -498,20 +498,29 @@ object SparkEntry {
     .mkString("(", ", ", ")")
 
   /** Shared CTE prefix for the MinHash-family oracles (q17/q19/q37):
-    * toks → sh (distinct shingles) → sig (16 min-hashes) → bands →
-    * cand (LSH candidate pairs). Mirrors Dedup.minHashCandidates. */
+    * toks → sh (distinct shingles) → hh (one base digest per shingle) →
+    * sig (16 universal-hash mins) → bands → cand (LSH candidate pairs).
+    * Mirrors Dedup.minHashSignatures exactly: same base hash (first 15
+    * hex chars of md5 mod p), same seeded (a_k, b_k) coefficients —
+    * interpolated from Dedup.minHashCoeffs so there is one source of
+    * truth — and the identical 64-bit arithmetic (every product fits in
+    * 63 bits by construction). */
   private def minhashCtes: String = {
-    val hashes = (0 until 16)
-      .map(k => s"min(md5('$k:' || shingle)) AS h$k").mkString(", ")
+    val p = Dedup.minHashP
+    val hashes = Dedup.minHashCoeffs(16).zipWithIndex
+      .map { case ((a, b), k) => s"min(($a * hh + $b) % $p) AS h$k" }
+      .mkString(", ")
     val bands = (0 until 4).map { b =>
-      val hs = (b * 4 until b * 4 + 4).map(k => s"h$k").mkString(" || ")
-      s"SELECT doc_id, $b AS band, md5($hs) AS sig FROM sig"
+      val hs = (b * 4 until b * 4 + 4).map(k => s"h$k").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(':', $hs)) AS sig FROM sig"
     }.mkString(" UNION ALL ")
     s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
   THEN list_transform(range(0, len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
   ELSE [] END) AS shingle FROM toks),
-sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
+hh AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % $p AS hh FROM sh),
+sig AS (SELECT doc_id, $hashes FROM hh GROUP BY doc_id),
 bands AS ($bands),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
