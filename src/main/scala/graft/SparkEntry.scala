@@ -483,6 +483,17 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(50)) === 0),
         "doc_id", "text", n = 5)
         .select("doc_id").orderBy("doc_id")
+    }),
+    // ---- sequence packing: distributed global prefix sum (range
+    //      partitions + driver-side offset merge), never a one-reducer
+    //      global window; pack = 2048-token window a doc starts in ----
+    "q47_pack_sequences" -> ((s, dir) => {
+      val withTok = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Curation.packSequences(withTok, "doc_id", "n_tokens", 2048L)
+        .select("doc_id", "n_tokens", "pack_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -876,6 +887,18 @@ FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
 GROUP BY md5(text) ORDER BY doc_id""",
     "q44_split_assign" -> splitAssignOracle,
     "q45_pii_redact" -> piiRedactOracle,
+    // q47: the oracle uses the straightforward global window — legal in
+    // DuckDB at oracle scale; the engine's distributed prefix sum must
+    // produce identical values (partition-independence of a prefix sum
+    // under a total order)
+    "q47_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+  CAST(len($tokensSql) AS INTEGER) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+  sum(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+SELECT doc_id, n_tokens, (cum - n_tokens) // 2048 AS pack_id
+FROM c ORDER BY doc_id""",
     "q46_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 5

@@ -97,4 +97,52 @@ object Curation {
       .select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Sequence packing: assign each document the index of the
+    * `budgetTokens`-sized window in which it STARTS when all documents
+    * are concatenated in `orderCol` order — the layout step before
+    * writing fixed-length training sequences. `pack_id = (prefix-sum of
+    * tokens before this doc) div budget`; a document straddling a
+    * boundary belongs to the pack it starts in (documented semantics —
+    * exact bin-close greedy packing is inherently sequential and not
+    * worth a non-parallel operator).
+    *
+    * The global prefix sum is computed DISTRIBUTED, never through one
+    * reducer: range-repartition by `orderCol`, per-partition subtotals
+    * (one aggregation, numPartitions rows to the driver), prefix-sum the
+    * subtotals on the driver, then a per-partition window adds each
+    * row's local running sum to its partition's offset. The single
+    * `Window.orderBy(orderCol)` formulation — which funnels the WHOLE
+    * table into one task — is exactly the shape this avoids; the result
+    * is identical because a global prefix sum is partition-independent
+    * under a total order.
+    *
+    * @param orderCol total order (unique values — ties would make the
+    *                 prefix sum ambiguous across engines) */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+                    budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    val ranged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val subtotals = ranged.groupBy(col("_pid"))
+      .agg(sum(col(tokenCol).cast("long")).as("_sub"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = subtotals.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, sub)) => (pid, acc + sub)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }
+      .toMap
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(e)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ranged
+      .withColumn("_cum", sum(col(tokenCol).cast("long")).over(w) + offsetExpr)
+      .withColumn("pack_id",
+        expr(s"(_cum - `$tokenCol`) div $budgetTokens"))
+      .drop("_pid", "_cum")
+  }
 }

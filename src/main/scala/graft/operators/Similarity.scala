@@ -80,9 +80,21 @@ object Similarity {
     * every row by dim through the shuffle and needed a second groupBy to
     * reassemble arrays. Returns (cell, centroid: array<double>). */
   def trainCentroids(data: DataFrame, idCol: String, vecCol: String,
-                     nCells: Int, iters: Int = 2): DataFrame = {
+                     nCells: Int, iters: Int = 2,
+                     trainSamplePct: Int = 25): DataFrame = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
+    require(trainSamplePct > 0 && trainSamplePct <= 100,
+      s"trainSamplePct must be in (0, 100]: $trainSamplePct")
+    // Centroid TRAINING runs on a deterministic hash-sample of the
+    // corpus (md5-bucket, reproducible under any partitioning — never
+    // rand()): at 100 TB nobody Lloyd-iterates the full table; cell
+    // quality needs a representative sample, and every row still gets
+    // ASSIGNED to its nearest trained centroid afterwards. Quality
+    // affects only recall-per-probe, never full-probe correctness.
+    val train =
+      if (trainSamplePct >= 100) data
+      else data.filter(Curation.hashBucket(col(idCol)) < trainSamplePct)
     def avgVec(df: DataFrame): DataFrame =
       df.groupBy("cell")
         .agg(Summarizer.mean(array_to_vector(col("v"))).as("mv"))
@@ -95,10 +107,10 @@ object Similarity {
         data.sparkSession.sparkContext.parallelize(rows, 1), df.schema)
     }
     var centroids = localize(avgVec(
-      data.select((col(idCol) % nCells).cast("int").as("cell"),
+      train.select((col(idCol) % nCells).cast("int").as("cell"),
         col(vecCol).cast("array<double>").as("v"))))
     for (_ <- 0 until iters) {
-      val assigned = assignCells(data, centroids, idCol, vecCol)
+      val assigned = assignCells(train, centroids, idCol, vecCol)
       centroids = localize(avgVec(
         assigned.select(col("cell"), col(vecCol).cast("array<double>").as("v"))))
     }

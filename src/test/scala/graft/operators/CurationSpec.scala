@@ -65,6 +65,33 @@ class CurationSpec extends SparkSpec {
     assert(surviving.toSeq == Seq(2L, 4L))
   }
 
+  test("packSequences matches the single-window formulation, any partitioning") {
+    val rng = new scala.util.Random(3)
+    val docs = Seq.tabulate(500)(i => (i.toLong, 1 + rng.nextInt(400)))
+      .toDF("doc_id", "n_tokens")
+    // reference: the straightforward (single-reducer) global window
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = docs
+      .withColumn("c", sum($"n_tokens".cast("long")).over(wAll))
+      .withColumn("pack_id", expr("(c - n_tokens) div 2048"))
+      .select("doc_id", "pack_id")
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Curation.packSequences(docs.repartition(parts),
+        "doc_id", "n_tokens", 2048L).select("doc_id", "pack_id")
+      assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+        s"distributed prefix sum must equal the global window at $parts parts")
+    }
+    // packs are contiguous, start at 0, and every pack's START offset is
+    // a multiple of the budget by construction
+    val packs = Curation.packSequences(docs, "doc_id", "n_tokens", 2048L)
+      .select("pack_id").distinct().as[Long].collect().sorted
+    assert(packs.head == 0L && packs.zipWithIndex.forall {
+      case (p, i) => p == i.toLong
+    }, s"pack ids must be dense 0..n: ${packs.take(10).toSeq}")
+  }
+
   test("decontaminate plans a shingle semi-join, not a pairwise product") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
