@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions in the session FunctionRegistry so plain SQL can call
+  * them —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * spark.sql("SELECT graft_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * The Scala DataFrame API does NOT need this (Similarity.dot builds the
+  * expression directly); the registry is for SQL-only surfaces —
+  * spark-sql shells, JDBC/Thrift users, notebook SQL cells. Injection is
+  * idempotent per session build and costs nothing at runtime.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(
+        classOf[DotProduct].getCanonicalName, null, "graft_dot",
+        "graft_dot(a, b) - dot product of two array<double> columns " +
+          "(codegen'd fused loop; null on null array, null element, or " +
+          "length mismatch)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dot expects 2 arguments, got ${children.length}")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions must register graft_dot for pure-SQL callers via the
+  * standard spark.sql.extensions config — its own session builder here,
+  * NOT the shared SparkSpec session (extensions only apply at session
+  * build). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injection exposes graft_dot to SQL") {
+    // getOrCreate would silently return the shared SparkSpec session
+    // (extensions apply only at session BUILD) — clear the default and
+    // active handles first so a fresh session is constructed over the
+    // same SparkContext, and restore them afterwards for other suites.
+    // The injector is applied with .withExtensions: the equivalent
+    // `spark.sql.extensions=graft.GraftExtensions` config string is a
+    // STATIC conf read from the SparkContext at session build, so it
+    // cannot take effect in a JVM whose context predates it (standalone
+    // spark-submit gets the config path; this test covers the injector).
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val row = spark.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0)
+      assert(row.getDouble(0) == 11.0)
+      // null contract holds through the SQL surface too
+      val n = spark.sql(
+        "SELECT graft_dot(array(1.0d), array(1.0d, 2.0d)) AS d").collect()(0)
+      assert(n.isNullAt(0))
+      // registered with usage text
+      val desc = spark.sql("DESCRIBE FUNCTION graft_dot")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains("graft_dot"))
+    } finally {
+      // do NOT spark.stop(): that would kill the SHARED SparkContext
+      // other suites in this JVM are still using — just restore the
+      // session handles.
+      prevDefault match {
+        case Some(s) => SparkSession.setDefaultSession(s)
+        case None    => SparkSession.clearDefaultSession()
+      }
+      prevActive match {
+        case Some(s) => SparkSession.setActiveSession(s)
+        case None    => SparkSession.clearActiveSession()
+      }
+    }
+  }
+}
