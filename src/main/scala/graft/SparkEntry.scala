@@ -375,7 +375,10 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val sig = Dedup.minHashSignatures(
         Dedup.shingleMultiset(d, "doc_id", "text"), "doc_id")
-      val pairs = Dedup.minHashCandidates(d, "doc_id", "text")
+      // candidates derived FROM the same signature frame — the corpus is
+      // tokenized and hashed once, not re-shingled inside the candidate
+      // generator
+      val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id"), "doc_id")
       Dedup.minHashJaccardEstimate(pairs, sig, "doc_id")
         .orderBy("id_a", "id_b")
     }),

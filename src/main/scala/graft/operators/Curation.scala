@@ -108,41 +108,57 @@ object Curation {
     * worth a non-parallel operator).
     *
     * The global prefix sum is computed DISTRIBUTED, never through one
-    * reducer: range-repartition by `orderCol`, per-partition subtotals
-    * (one aggregation, numPartitions rows to the driver), prefix-sum the
-    * subtotals on the driver, then a per-partition window adds each
-    * row's local running sum to its partition's offset. The single
-    * `Window.orderBy(orderCol)` formulation — which funnels the WHOLE
-    * table into one task — is exactly the shape this avoids; the result
-    * is identical because a global prefix sum is partition-independent
-    * under a total order.
+    * reducer: split the order domain into range buckets at quantile
+    * boundaries COLLECTED ONCE as literals, aggregate per-bucket
+    * subtotals (numBuckets rows to the driver), prefix-sum those on the
+    * driver, then a per-bucket window adds each row's local running sum
+    * to its bucket's offset. The single `Window.orderBy(orderCol)`
+    * formulation — which funnels the WHOLE table into one task — is
+    * exactly the shape this avoids; the result is identical because a
+    * global prefix sum is partition-independent under a total order.
+    * Buckets are a pure function of the row's VALUE against frozen
+    * literal bounds — never `spark_partition_id()`, which can differ
+    * between the subtotal job and the final job (range-partitioner
+    * sampling and AQE coalescing are not stable across executions) and
+    * would silently shift every offset.
     *
-    * @param orderCol total order (unique values — ties would make the
-    *                 prefix sum ambiguous across engines) */
+    * @param orderCol total order; must be numeric (quantile-split) and
+    *                 unique — ties would make the prefix sum ambiguous
+    *                 across engines */
   def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
                     budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
-    val ranged = df
-      .repartitionByRange(col(orderCol))
-      .withColumn("_pid", spark_partition_id())
-    val subtotals = ranged.groupBy(col("_pid"))
+    val nBuckets = math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001)
+    // bucket = #bounds strictly below the value — a deterministic pure
+    // function of the row once the bounds are literals
+    val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
+      case (e, (b, i)) => when(col(orderCol).cast("double") > b, i + 1)
+        .otherwise(e)
+    }
+    val bucketed = df.withColumn("_bkt", bucketExpr)
+    val subtotals = bucketed.groupBy(col("_bkt"))
       .agg(sum(col(tokenCol).cast("long")).as("_sub"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = subtotals.scanLeft((0, 0L)) {
-      case ((_, acc), (pid, sub)) => (pid, acc + sub)
-    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }
+      case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
+    }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }
       .toMap
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(e)
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (bkt, off)) =>
+      when(col("_bkt") === bkt, lit(off)).otherwise(e)
     }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_pid").orderBy(orderCol)
+      .partitionBy("_bkt").orderBy(orderCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    ranged
+    bucketed
       .withColumn("_cum", sum(col(tokenCol).cast("long")).over(w) + offsetExpr)
       .withColumn("pack_id",
         expr(s"(_cum - `$tokenCol`) div $budgetTokens"))
-      .drop("_pid", "_cum")
+      .drop("_bkt", "_cum")
   }
 }

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   *     candidates or an explicitly bounded subset (callers pass a
   *     pre-filtered frame).
   *
-  * All hashing uses md5 hex strings (total order = lexicographic), so
-  * every operator is reproducible in ANSI SQL for the DuckDB oracle.
+  * Hashing is SQL-portable by construction: exact dedup, SimHash, and
+  * LSH band signatures use md5 hex strings; MinHash signatures are
+  * numeric longs from a seeded universal hash family over one md5-based
+  * base digest ([[minHashSignatures]]/[[minHashCoeffs]] — the DuckDB
+  * oracle interpolates the same coefficients and replays the identical
+  * 64-bit arithmetic).
   */
 object Dedup {
 
@@ -114,7 +118,7 @@ object Dedup {
   def lshBands(signatures: DataFrame, idCol: String, numHashes: Int = 16,
                bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
+      s"bands ($bands) must divide numHashes ($numHashes) evenly; " +
         "a remainder would silently drop trailing signature components " +
         "and weaken LSH recall")
     val rowsPerBand = numHashes / bands
@@ -159,7 +163,15 @@ object Dedup {
                         bands: Int = 4): DataFrame = {
     val sh = shingleMultiset(df, idCol, textCol, shingleN)
     val sig = minHashSignatures(sh, idCol, numHashes)
-    val bandsDf = lshBands(sig, idCol, numHashes, bands)
+    candidatePairs(lshBands(sig, idCol, numHashes, bands), idCol)
+  }
+
+  /** Candidate pairs from an EXISTING banded frame (id, band, sig) —
+    * the from-signatures entry point, so compositions that already hold
+    * signatures (estimate, exact-verify) never re-shingle or re-hash
+    * the corpus. Shuffles on (band, sig) only; distinct pairs out,
+    * id_a < id_b. */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
     val a = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_a"))
     val b = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "sig"))
@@ -167,6 +179,21 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
   }
+
+  /** Shared Jaccard tail: given intersection counts (id_a, id_b, inter)
+    * and per-doc set sizes (idCol, sz), compute |∩| / |∪| and apply the
+    * threshold. One definition keeps [[jaccardPairs]],
+    * [[jaccardOverCandidates]], and the DuckDB oracle in lockstep. */
+  private def jaccardFinish(inter: DataFrame, sizes: DataFrame,
+                            idCol: String, threshold: Double): DataFrame =
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
 
   /** Pairwise n-gram Jaccard similarity over shingle sets, via a
     * shingle-equality self-join (intersection counts) + per-doc set
@@ -186,14 +213,7 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    jaccardFinish(inter, sizes, idCol, threshold)
   }
 
   /** Exact n-gram Jaccard gated through MinHash+LSH candidate pairs —
@@ -213,8 +233,10 @@ object Dedup {
   def jaccardOverCandidates(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, threshold: Double = 0.5,
                             numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val cand = minHashCandidates(df, idCol, textCol, shingleN, numHashes, bands)
-    val sh = shingleSets(df, idCol, textCol, shingleN)
+    val shMulti = shingleMultiset(df, idCol, textCol, shingleN)
+    val sig = minHashSignatures(shMulti, idCol, numHashes)
+    val cand = candidatePairs(lshBands(sig, idCol, numHashes, bands), idCol)
+    val sh = shMulti.distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // Intersection via the candidate pairs: attach the A-side shingle
     // set (|cand| × |avg shingles| rows), then equi-join on
@@ -224,14 +246,7 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    jaccardFinish(inter, sizes, idCol, threshold)
   }
 
   /** 16-bit SimHash over the distinct token set. Each token hashes to 16

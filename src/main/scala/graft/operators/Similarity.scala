@@ -92,9 +92,16 @@ object Similarity {
     // quality needs a representative sample, and every row still gets
     // ASSIGNED to its nearest trained centroid afterwards. Quality
     // affects only recall-per-probe, never full-probe correctness.
+    // Small-input guard: a sample that came back empty (possible when
+    // |data| is tiny) would silently train ZERO centroids and empty
+    // every probe — fall back to the full data (the isEmpty probe is a
+    // limit-1 job, negligible).
     val train =
       if (trainSamplePct >= 100) data
-      else data.filter(Curation.hashBucket(col(idCol)) < trainSamplePct)
+      else {
+        val sampled = data.filter(Curation.hashBucket(col(idCol)) < trainSamplePct)
+        if (sampled.isEmpty) data else sampled
+      }
     def avgVec(df: DataFrame): DataFrame =
       df.groupBy("cell")
         .agg(Summarizer.mean(array_to_vector(col("v"))).as("mv"))
@@ -154,10 +161,11 @@ object Similarity {
     * [[bruteForceTopK]] for why). */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 8,
-              nProbe: Int = 2): DataFrame = {
+              nProbe: Int = 2, trainSamplePct: Int = 25): DataFrame = {
     // trainCentroids returns an already-materialized local frame, so its
     // three consumers below never re-execute the Lloyd pipeline.
-    val centroids = trainCentroids(candidates, idCol, vecCol, nCells)
+    val centroids = trainCentroids(candidates, idCol, vecCol, nCells,
+      trainSamplePct = trainSamplePct)
     val indexed = assignCells(candidates, centroids, idCol, vecCol)
       .select(col("cell"), col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
@@ -203,7 +211,7 @@ object Similarity {
                       threshold: Double, dim: Int, numPlanes: Int = 16,
                       bands: Int = 4, seed: Long = 42L): DataFrame = {
     require(numPlanes % bands == 0,
-      s"numPlanes ($numPlanes) must divide evenly into bands ($bands); " +
+      s"bands ($bands) must divide numPlanes ($numPlanes) evenly; " +
         "a remainder would silently drop trailing signature bits and " +
         "weaken LSH recall")
     val rng = new scala.util.Random(seed)

@@ -38,9 +38,20 @@ object TopK {
     * back to the source id type on the way out by [[perGroup]]. */
   final case class Scored(score: Double, id: Long)
 
-  /** score DESC, ties id ASC — a total order (ids unique per group). */
-  private val ord: Ordering[Scored] =
-    Ordering.by((s: Scored) => (-s.score, s.id))
+  /** score DESC, ties id ASC — a total order (ids unique per group).
+    * Comparison via java.lang.Double.compare, whose total order (NaN
+    * greatest, -0.0 < 0.0) is exactly Spark's ORDER BY order — a NaN
+    * score (e.g. cosine of a zero vector) therefore ranks FIRST under
+    * DESC, matching both the row_number-window formulation this
+    * operator replaces and SQL oracles. (Scala's tuple Ordering over
+    * negated scores would rank NaN last — negation keeps NaN unordered
+    * — silently diverging from every SQL engine.) */
+  private val ord: Ordering[Scored] = new Ordering[Scored] {
+    def compare(x: Scored, y: Scored): Int = {
+      val c = java.lang.Double.compare(y.score, x.score) // DESC
+      if (c != 0) c else java.lang.Long.compare(x.id, y.id)
+    }
+  }
 
   final class TopKAgg(k: Int)
       extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
@@ -80,12 +91,26 @@ object TopK {
       .apply(score.cast("double"), id.cast("long"))
 
   /** Whole-operator form: top `k` rows per `groupCol` from `scored`,
-    * ranked by `scoreCol` DESC (ties: `idCol` ASC). Output columns:
-    * (groupCol, rank ∈ 1..k, idCol, scoreCol), with idCol cast back to
-    * its input type. One ObjectHashAggregate, no Window. */
+    * ranked by `scoreCol` DESC (ties: `idCol` ASC; NaN scores first,
+    * like SQL ORDER BY DESC). Output columns: (groupCol, rank ∈ 1..k,
+    * idCol, scoreCol), with idCol cast back to its input type. `idCol`
+    * MUST be an integral column — the buffer carries ids as longs, and
+    * a string/decimal id would fail the cast under ANSI mode (checked
+    * here, eagerly). One ObjectHashAggregate, no Window. */
   def perGroup(scored: DataFrame, groupCol: String, scoreCol: String,
                idCol: String, k: Int): DataFrame = {
     val idType = scored.schema(idCol).dataType
+    val integral = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _                                             => false
+      }
+    }
+    require(integral,
+      s"TopK.perGroup requires an integral id column; `$idCol` is " +
+        s"${idType.catalogString}. Map non-numeric ids to a surrogate " +
+        "long (e.g. monotonically_increasing_id or a join key) first.")
     scored
       .groupBy(col(groupCol))
       .agg(topK(k)(col(scoreCol), col(idCol)).as("_topk"))

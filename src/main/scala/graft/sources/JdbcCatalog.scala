@@ -35,16 +35,24 @@ final case class JdbcConn(url: String,
   */
 object JdbcCatalog {
 
+  /** SQL-literal escape for the schema/table names interpolated into
+    * the catalog queries: doubles embedded single quotes. The reference
+    * interpolates raw f-strings (RAS:104/120/215 — a name like
+    * "o'brien", legal in Postgres, breaks every probe and is a SQL
+    * injection vector on a live connection); escaping is a deliberate
+    * safety divergence with identical behavior for quote-free names. */
+  private def esc(ident: String): String = ident.replace("'", "''")
+
   /** RAS:104 — schema existence probe (sans trailing ';': it embeds as
     * a JDBC subquery). */
   def schemaExistsSql(schema: String): String =
-    s"SELECT 1 FROM pg_namespace WHERE nspname = '$schema'"
+    s"SELECT 1 FROM pg_namespace WHERE nspname = '${esc(schema)}'"
 
   /** RAS:120 — table-or-view existence probe. */
   def tableExistsSql(schema: String, table: String): String =
-    s"SELECT 1 FROM pg_tables WHERE schemaname = '$schema' AND " +
-      s"tablename = '$table' UNION SELECT 1 FROM pg_views WHERE " +
-      s"schemaname = '$schema' AND viewname = '$table' LIMIT 1"
+    s"SELECT 1 FROM pg_tables WHERE schemaname = '${esc(schema)}' AND " +
+      s"tablename = '${esc(table)}' UNION SELECT 1 FROM pg_views WHERE " +
+      s"schemaname = '${esc(schema)}' AND viewname = '${esc(table)}' LIMIT 1"
 
   /** RAS:215-216 — the deployed-schema read: udt_name with the
     * parenthesized character length appended (so varchar widths survive,
@@ -54,7 +62,7 @@ object JdbcCatalog {
       "character_maximum_length IS NOT NULL THEN '(' || " +
       "CAST(character_maximum_length AS VARCHAR) || ')' ELSE '' END " +
       "AS deployed_type FROM information_schema.columns WHERE " +
-      s"table_schema = '$schema' AND table_name = '$table' " +
+      s"table_schema = '${esc(schema)}' AND table_name = '${esc(table)}' " +
       "ORDER BY ordinal_position"
 
   private def readSql(spark: SparkSession, conn: JdbcConn,

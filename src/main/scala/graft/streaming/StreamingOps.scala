@@ -160,14 +160,28 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = toMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapUs =>
+                case Some(s)
+                    if t - s.last <= gapUs && t - s.start >= -gapUs =>
                   // min/max, not unconditional overwrite: rows are sorted
                   // only WITHIN a batch, so a late event from a later
-                  // micro-batch can carry t < s.last (or even < s.start) —
-                  // blindly setting last = t would shrink the session and
-                  // could emit session_end < session_start.
+                  // micro-batch can carry t < s.last (or even slightly
+                  // before s.start, within the gap) — blindly setting
+                  // last = t would shrink the session and could emit
+                  // session_end < session_start.
                   cur = Some(s.copy(start = math.min(s.start, t),
                     last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) if t - s.start < -gapUs =>
+                  // cross-batch late event MORE than a gap before the
+                  // open session's start: it belongs to an earlier,
+                  // already-closed time range. Merging would stretch the
+                  // open session backwards over sessions that were
+                  // already emitted; emit it immediately as its own
+                  // closed singleton instead and leave the open state
+                  // untouched. (Sessions it might have bridged are
+                  // irrecoverably emitted — the documented at-once
+                  // semantics of gap sessionization without a watermark.)
+                  closed ::= UserSession(userId, fromMicros(t),
+                    fromMicros(t), 1)
                 case Some(s) =>
                   closed ::= UserSession(userId, fromMicros(s.start),
                     fromMicros(s.last), s.n)

@@ -84,6 +84,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 96L), (2, 193L), (3, 290L)))
   }
 
+  test("TopK ranks NaN scores first, like SQL ORDER BY DESC (and the window twin)") {
+    // A zero-norm vector makes cosine 0/0 = NaN; Spark and DuckDB both
+    // order NaN greatest, so the window formulation ranks it 1 — the
+    // aggregate must agree or the gate hashes silently diverge on any
+    // zero vector.
+    val scored = Seq(
+      ("q", 1L, 0.9), ("q", 2L, Double.NaN), ("q", 3L, 0.5))
+      .toDF("g", "id", "score")
+    val agg = TopK.perGroup(scored, "g", "score", "id", 2)
+      .select("rank", "id").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy($"score".desc, $"id")
+    val win = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 2)
+      .select("rank", "id").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(agg == win, s"agg=$agg vs window=$win")
+    assert(agg == Seq((1, 2L), (2, 1L)), "NaN ranks first under DESC")
+  }
+
+  test("TopK.perGroup rejects non-integral id columns eagerly") {
+    val df = Seq(("g", "doc_a", 1.0)).toDF("g", "id", "score")
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(df, "g", "score", "id", 1)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("top-k plans as a partial aggregate, not a per-group window") {
     // The round-2 verdict finding: row_number().over(partitionBy(query))
     // funnels every scored candidate for one query into one reducer

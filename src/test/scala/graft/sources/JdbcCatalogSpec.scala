@@ -67,6 +67,12 @@ class JdbcCatalogSpec extends SparkSpec {
       "SELECT 1 FROM pg_tables WHERE schemaname = 'public' AND " +
         "tablename = 'users' UNION SELECT 1 FROM pg_views WHERE " +
         "schemaname = 'public' AND viewname = 'users' LIMIT 1")
+    // quote-bearing names escape instead of breaking the statement (a
+    // deliberate safety divergence from the reference's raw f-strings)
+    assert(JdbcCatalog.schemaExistsSql("o'brien") ==
+      "SELECT 1 FROM pg_namespace WHERE nspname = 'o''brien'")
+    assert(JdbcCatalog.deployedSchemaSql("s", "x' UNION SELECT 1 --")
+      .contains("table_name = 'x'' UNION SELECT 1 --'"))
   }
 
   test("deployedFromJdbc round-trips the catalog shape over a live JDBC") {

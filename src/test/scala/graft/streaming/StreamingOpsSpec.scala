@@ -200,4 +200,44 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:20:00"), 3)),
       s"late event must widen the session (got $closed)")
   }
+
+  test("sessionize: event older than gap-before-start never stretches the open session") {
+    // Round-3 review finding: `t - s.last <= gap` is vacuously true for
+    // ANY past t, so a cross-batch event hours before the open session
+    // would merge and stretch it backwards over already-emitted
+    // sessions. Such an event must instead emit as its own closed
+    // singleton, leaving the open state untouched.
+    val mem = MemoryStream[StreamingOps.Event](spark)
+    val ckpt = s"/tmp/graft-stream-ckpt-${System.nanoTime()}"
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Timestamp, Timestamp, Int)]()
+    def runBatch(): Unit = {
+      val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingOps.UserSession],
+           _: Long) =>
+            df.collect().foreach(s =>
+              out.add((s.user_id, s.session_start, s.session_end, s.n_events)))
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    mem.addData(StreamingOps.Event(1L, ts("2024-01-01 10:00:00"), "a"),
+      StreamingOps.Event(1L, ts("2024-01-01 10:10:00"), "b"))
+    runBatch()
+    mem.addData( // 9 hours before the open session's start
+      StreamingOps.Event(1L, ts("2024-01-01 01:05:00"), "very-late"),
+      // forward closer for the still-open 10:00 session
+      StreamingOps.Event(1L, ts("2024-01-01 12:00:00"), "next"))
+    runBatch()
+    val closed = out.toArray(Array.empty[(Long, Timestamp, Timestamp, Int)]).toSet
+    assert(closed == Set(
+      (1L, ts("2024-01-01 01:05:00"), ts("2024-01-01 01:05:00"), 1),
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2)),
+      s"old event must be its own closed session (got $closed)")
+  }
 }
