@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan conformance for the scale-critical gate queries: the
+  * 100 TB story lives in plan SHAPES (broadcasts, equi-joins, fused
+  * aggregates), and a silent regression to a cartesian product or a
+  * global window would still pass value-equality gates at sf0.01 —
+  * these assertions pin the shapes directly. Queries execute first so
+  * AQE's final (runtime-decided) plan is what's inspected.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Run to completion, then return the AQE-final executed plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("no gate query plans a cartesian product or nested-loop join") {
+    // the two canonical scale-killers; every join in the gate must be
+    // hash- or sort-merge-based on real keys
+    for (name <- Seq("q09_join_topk", "q15_dedup_exact",
+        "q17_minhash_pairs", "q19_jaccard_pairs", "q27_embedding_neardup",
+        "q29_asof_join", "q30_range_join", "q40_semi_join",
+        "q46_decontaminate")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("q09 broadcasts its dimension sides under AQE") {
+    val plan = finalPlan(q("q09_join_topk"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small dimension joins must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k limit must plan as TakeOrderedAndProject, not sort-all:\n$plan")
+  }
+
+  test("q02 inference is one fused aggregation — no join, no window, no resort") {
+    val plan = finalPlan(q("q02_infer_lineitem"))
+    assert(!plan.contains("Join"), s"inference must not join:\n$plan")
+    assert(!plan.contains("Window"), s"inference must not window:\n$plan")
+    // partial+final pair over one exchange; any more means the fused
+    // single-pass design regressed to per-check scans
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"inference should need at most stats-sized exchanges, saw $exchanges:\n$plan")
+  }
+
+  test("q44/q45 curation passes are map-only — zero exchanges") {
+    for (name <- Seq("q44_split_assign", "q45_pii_redact")) {
+      // strip the orderBy the gate adds for deterministic comparison —
+      // the OPERATOR under test is the projection underneath
+      val plan = finalPlan(q(name))
+      val dataExchanges = "Exchange".r.findAllIn(plan).size
+      // one range-partitioning exchange for the gate's orderBy is
+      // acceptable; anything beyond means the operator itself shuffles
+      assert(dataExchanges <= 1,
+        s"$name must be map-only plus the gate sort, saw $dataExchanges:\n$plan")
+    }
+  }
+
+  test("parquet scans prune columns: q14 reads only what it projects") {
+    val plan = finalPlan(q("q14_sort_limit"))
+    val scan = plan.linesIterator.find(_.contains("FileScan parquet"))
+      .getOrElse(fail(s"no parquet scan in:\n$plan"))
+    // lineitem has 16 columns; the query projects 3 — the ReadSchema
+    // must not contain unprojected wide columns like l_comment
+    assert(!scan.contains("l_comment"),
+      s"column pruning failed — scan reads unprojected columns:\n$scan")
+  }
+}
