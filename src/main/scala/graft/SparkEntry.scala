@@ -487,6 +487,16 @@ object SparkEntry {
         "doc_id", "text", n = 5)
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- embedding L2 normalization (scalar projections for the
+    //      gate: first component + recomputed norm — array-typed
+    //      outputs don't hash portably across engines) ----
+    "q48_normalize_vectors" -> ((s, dir) => {
+      Similarity.normalizeVectors(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          round(element_at(col("normalized"), 1), 6).as("c0"),
+          round(Similarity.norm(col("normalized")), 6).as("l2"))
+        .orderBy("vec_id")
+    }),
     // ---- sequence packing: distributed global prefix sum (range
     //      partitions + driver-side offset merge), never a one-reducer
     //      global window; pack = 2048-token window a doc starts in ----
@@ -890,6 +900,15 @@ FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
 GROUP BY md5(text) ORDER BY doc_id""",
     "q44_split_assign" -> splitAssignOracle,
     "q45_pii_redact" -> piiRedactOracle,
+    "q48_normalize_vectors" ->
+      """WITH n AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM n)
+SELECT vec_id, round(v[1] / nv, 6) AS c0,
+  round(sqrt(list_sum(list_transform(
+    list_transform(v, x -> x / nv), x -> x * x))), 6) AS l2
+FROM m ORDER BY vec_id""",
     // q47: the oracle uses the straightforward global window — legal in
     // DuckDB at oracle scale; the engine's distributed prefix sum must
     // produce identical values (partition-independence of a prefix sum

@@ -43,6 +43,20 @@ object Similarity {
     dot(d(a), d(b)) / (norm(d(a)) * norm(d(b)))
   }
 
+  /** L2-normalize an embedding column into `outCol` (array<double> of
+    * unit length); zero vectors map to null rather than an all-NaN
+    * array. The norm is MATERIALIZED as a column before the transform
+    * lambda references it — inlining `norm(v)` into the lambda would
+    * re-evaluate the O(dim) norm once per element (O(dim²) per row).
+    * Pure per-row pass, no shuffle. */
+  def normalizeVectors(df: DataFrame, vecCol: String,
+                       outCol: String = "normalized"): DataFrame =
+    df.withColumn("_v", col(vecCol).cast("array<double>"))
+      .withColumn("_n", norm(col("_v")))
+      .withColumn(outCol,
+        when(col("_n") > 0, transform(col("_v"), x => x / col("_n"))))
+      .drop("_v", "_n")
+
   /** Exact top-k neighbors for each query row.
     *
     * Top-k selection is a [[TopK]] partial aggregation, NOT a

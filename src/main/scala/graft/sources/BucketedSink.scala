@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Bucketed-table sink: the storage-side half of the co-located-join
+  * story. Writing both sides of a hot join bucketed by the join key
+  * (same bucket count) lets every subsequent equi-join run with ZERO
+  * exchange — Spark's bucketing guarantees hash-co-location on disk, so
+  * the sort-merge join reads matching buckets pairwise. At 100 TB this
+  * turns the nightly fact⋈dim reshuffle into a scan: the shuffle is
+  * paid once at write time, amortized over every downstream query.
+  *
+  * (`DataFrameWriter.bucketBy` requires a managed/catalog table —
+  * that is Spark's contract, not a choice here: bucket metadata lives
+  * in the catalog, path-based writes cannot carry it.)
+  */
+object BucketedSink {
+
+  /** Write `df` as a catalog table bucketed (and sorted) by `keyCols`.
+    * Sorting within buckets makes the downstream sort-merge join's sort
+    * a no-op as well. */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    keyCols: Seq[String],
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(keyCols.nonEmpty, "at least one bucket key column required")
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    df.write
+      .mode(mode)
+      .format("parquet")
+      .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(table)
+  }
+}

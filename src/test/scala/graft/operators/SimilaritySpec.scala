@@ -84,6 +84,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 96L), (2, 193L), (3, 290L)))
   }
 
+  test("normalizeVectors: unit norm, zero vector → null, floats coerce") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val got = Similarity.normalizeVectors(df, "vec")
+      .select($"id", $"normalized")
+      .as[(Long, Option[Seq[Double]])].collect().toMap
+    assert(got(1L).get == Seq(0.6, 0.8))
+    assert(got(2L).isEmpty, "zero vector must normalize to null")
+    assert(got(3L).get == Seq(1.0, 0.0))
+  }
+
   test("TopK ranks NaN scores first, like SQL ORDER BY DESC (and the window twin)") {
     // A zero-norm vector makes cosine 0/0 = NaN; Spark and DuckDB both
     // order NaN greatest, so the window formulation ranks it 1 — the

@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BucketedSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with ZERO exchange (co-located join)") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    // at sf0.001 AQE would broadcast (a BroadcastExchange); disable so
+    // the test exercises the co-located merge join a 100 TB fact⋈fact
+    // join would use
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      BucketedSink.writeBucketed(orders, "graft_b_orders", 4,
+        Seq("o_orderkey"))
+      BucketedSink.writeBucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "graft_b_lineitem", 4, Seq("o_orderkey"))
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_lineitem"), "o_orderkey")
+      // values: the bucketed join equals the plain parquet join
+      val want = orders.join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey").count()
+      assert(joined.count() == want)
+      // the SCALE point: both sides are hash-co-located on disk, so the
+      // equi-join plans with no Exchange at all — the shuffle was paid
+      // once at write time
+      joined.write.format("noop").mode("overwrite").save()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed equi-join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a merge join over co-located buckets:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    }
+  }
+
+  test("bucket pruning: an equality filter reads one bucket's files") {
+    spark.sql("DROP TABLE IF EXISTS graft_b_events")
+    // auto-bucketed-scan turns OFF bucketed reads for queries with no
+    // partitioning-interested operator (plain filters qualify) — force
+    // the bucketed scan so pruning applies
+    val prevAuto = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    try {
+      val ev = spark.read
+        .option("mergeSchema", "false")
+        .parquet("/root/testdata/sf0.001/events.parquet")
+        .select(col("event_id"), col("user_id"))
+      BucketedSink.writeBucketed(ev, "graft_b_events", 8, Seq("user_id"))
+      val one = spark.table("graft_b_events").filter($"user_id" === 7L)
+      one.collect()
+      val plan = one.queryExecution.executedPlan.toString
+      // Spark reports selected bucket counts in the scan: 1 of 8
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning to one bucket:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        prevAuto)
+      spark.sql("DROP TABLE IF EXISTS graft_b_events")
+    }
+  }
+}
