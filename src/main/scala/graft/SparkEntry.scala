@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.SchemaDiff
 import graft.inference.TypeInference
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Clustering, Curation, Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -286,7 +286,12 @@ object SparkEntry {
     //      64 planes / 32 two-bit bands ⇒ per-pair miss ≈ 0.62³² ≈ 3e-7
     //      at cos 0.35, so the LSH result EQUALS the exact cross-join
     //      oracle on this data (recall 1.0 pinned by SimilaritySpec);
-    //      the O(n²) nearDupPairs stays spec-only as the oracle twin ----
+    //      the O(n²) nearDupPairs stays spec-only as the oracle twin.
+    //      NOTE: recall 1.0 is an empirical property of THIS testdata +
+    //      seed (42) — regenerating testdata or changing the generator
+    //      seed requires re-validating it (run SimilaritySpec's
+    //      LSH≡exact equality test first; if it fails, raise numPlanes
+    //      or gate on an LSH-restricted oracle as q19 does) ----
     "q27_embedding_neardup" -> ((s, dir) => {
       Similarity.nearDupPairsLSH(
         t(s, dir, "embeddings").filter(col("vec_id") < 500),
@@ -507,6 +512,70 @@ object SparkEntry {
       Curation.packSequences(withTok, "doc_id", "n_tokens", 2048L)
         .select("doc_id", "n_tokens", "pack_id")
         .orderBy("doc_id")
+    }),
+    // ---- near-dup CLUSTERS: MinHash+LSH candidate pairs → connected
+    //      components (iterative min-label propagation — per round one
+    //      edge join + one min-aggregate, both keyed on node id; dup
+    //      graphs are near-cliques so rounds ≈ 2-4 at any corpus size).
+    //      Oracle: recursive-CTE transitive min-label closure ----
+    "q49_neardup_clusters" -> ((s, dir) => {
+      Clustering.nearDupClusters(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // ---- Gopher-style repetition stats: duplicate-/top-bigram
+    //      fractions per doc; one (doc, ngram) groupBy + one per-doc
+    //      aggregate, no window, empty docs restored by left join ----
+    "q50_repetition_stats" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(t(s, dir, "documents"),
+        "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
+    // ---- stratified deterministic sampling: md5-cut per language —
+    //      zero-shuffle predicate, reproducible under repartitioning,
+    //      kept-set stable as the corpus grows ----
+    "q51_stratified_sample" -> ((s, dir) => {
+      Curation.stratifiedHashSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.25, "de" -> 0.5),
+        defaultRate = 1.0)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // ---- int8 embedding quantization: per-row max|x|/127 scale +
+    //      round-clamp transform (4-8× index shrink); scalar
+    //      projections for the gate (q8 head, control sum, max
+    //      dequant error — all bit-stable IEEE arithmetic) ----
+    "q52_quantize_int8" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          element_at(col("q8"), 1).as("q0"),
+          aggregate(col("q8"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          col("scale"),
+          Similarity.dequantMaxError(col("embedding"), col("q8"),
+            col("scale")).as("max_err"))
+        .orderBy("vec_id")
+    }),
+    // ---- cube (grouping sets over both dims + grand total): partial
+    //      +final hash agg; grouping() bits computed explicitly so the
+    //      gid convention is engine-independent ----
+    "q53_cube_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).cast("int").as("gid"))
+        .orderBy(col("gid"), coalesce(col("l_returnflag"), lit("~")),
+          coalesce(col("l_linestatus"), lit("~")))
+    }),
+    // ---- canonical-doc selection: near-dup clusters → keep the
+    //      highest-token-count doc per cluster (max_by-style struct
+    //      aggregate + semi-join back; no window over the corpus) ----
+    "q54_keep_best_doc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.withColumn("n_tok",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      val clusters = Clustering.nearDupClusters(docs, "doc_id", "text")
+      Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
+        .select("doc_id").orderBy("doc_id")
     })
   )
 
@@ -792,7 +861,7 @@ FROM documents GROUP BY source ORDER BY source""",
 CASE CAST((doc_id % 3 + 3) % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
 CAST(octet_length(from_hex(md5(text) || md5(reverse(text)))) AS INTEGER) AS n_bytes,
 upper(substr(md5(text), 1, 8)) AS magic,
-md5(md5(text) || md5(reverse(text))) AS checksum
+md5(md5(text) || md5(reverse(text))) AS hex_checksum
 FROM documents ORDER BY media_id""",
     "q26_frame_sample" ->
       """SELECT doc_id AS media_id, i AS frame_idx,
@@ -919,7 +988,8 @@ FROM m ORDER BY vec_id""",
 c AS (SELECT doc_id, n_tokens,
   sum(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
-SELECT doc_id, n_tokens, (cum - n_tokens) // 2048 AS pack_id
+SELECT doc_id, n_tokens,
+  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
 FROM c ORDER BY doc_id""",
     "q46_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
@@ -930,8 +1000,83 @@ bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
 cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
   WHERE s.doc_id % 50 <> 0)
 SELECT doc_id FROM documents WHERE doc_id % 50 <> 0
-  AND doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id"""
+  AND doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id""",
+    // q49/q54: connected components as a recursive-CTE transitive
+    // min-label closure over the SAME LSH candidate pairs the engine
+    // generates (minhashCtes); min reachable id ≡ component min because
+    // the edge list is materialized in both directions.
+    "q49_neardup_clusters" ->
+      s"""$componentCtes
+SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    "q50_repetition_stats" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+  THEN list_transform(range(0, len(tk) - 1), i -> array_to_string(tk[i+1:i+2], ' '))
+  ELSE [] END) AS ngram FROM toks),
+pc AS (SELECT doc_id, ngram, count(*) AS cnt FROM g GROUP BY 1, 2),
+pd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+  count(*) AS distinct_ngrams, max(cnt) AS top_cnt FROM pc GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(pd.n_ngrams, 0) AS n_ngrams,
+  coalesce(pd.distinct_ngrams, 0) AS distinct_ngrams,
+  coalesce(1.0 - CAST(pd.distinct_ngrams AS DOUBLE)
+    / CAST(pd.n_ngrams AS DOUBLE), 0.0) AS dup_ngram_frac,
+  coalesce(CAST(pd.top_cnt AS DOUBLE)
+    / CAST(pd.n_ngrams AS DOUBLE), 0.0) AS top_ngram_frac
+FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
+    // q51: same md5-cut arithmetic as q44 (16-bit bucket vs rate×65536)
+    "q51_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+      AS bkt FROM documents)
+WHERE bkt < CASE lang WHEN 'en' THEN ${math.round(0.25 * 65536)}
+  WHEN 'de' THEN ${math.round(0.5 * 65536)} ELSE 65536 END
+ORDER BY doc_id""",
+    "q52_quantize_int8" ->
+      """WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+q AS (SELECT vec_id, v, scale,
+  CASE WHEN scale > 0 THEN list_transform(v,
+    x -> CAST(least(greatest(round(x / scale), -127), 127) AS INTEGER))
+  ELSE list_transform(v, x -> 0) END AS q8 FROM s)
+SELECT vec_id, q8[1] AS q0, CAST(list_sum(q8) AS BIGINT) AS q_sum, scale,
+  list_max(list_transform(range(1, len(v) + 1),
+    i -> abs(v[i] - q8[i] * scale))) AS max_err
+FROM q ORDER BY vec_id""",
+    "q53_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, coalesce(l_returnflag, '~'), coalesce(l_linestatus, '~')""",
+    "q54_keep_best_doc" ->
+      s"""$componentCtes,
+nt AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tok
+  FROM documents),
+win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
+    ORDER BY nt.n_tok DESC, c.doc_id) AS rn
+  FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
+SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id"""
   )
+
+  /** Connected components over the q17 LSH candidate pairs, as a
+    * recursive transitive closure: labels flow along (both directions
+    * of) every candidate edge; UNION-distinct recursion terminates once
+    * no new (node, label) pair appears; min label per node = component
+    * representative. Legal at oracle scale (components are small
+    * near-cliques); the engine side is the iterative
+    * [[graft.operators.Clustering.connectedComponents]]. */
+  private def componentCtes: String =
+    s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand),
+reach AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)"""
 
   /** q44: Curation.hashBucket replayed in SQL — first 4 hex chars of
     * md5(id) as an integer, mod 100 (instr('123456789abcdef', ch) maps

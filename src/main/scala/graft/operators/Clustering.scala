@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn near-duplicate candidate PAIRS
+  * (from MinHash/SimHash/SRP-LSH) into duplicate GROUPS, then pick one
+  * canonical document per group — the step between candidate generation
+  * and the actual "drop the copies" materialization in a dedup pipeline.
+  * Absent from the reference (which stops at schema inference); added
+  * as an engine extension alongside Dedup/Curation.
+  *
+  * Scale design (100 TB):
+  *   - [[connectedComponents]] is iterative min-label propagation over
+  *     the edge list: each round is one equi-join (labels → edges) plus
+  *     one min-aggregate, both shuffling on node id — never an all-pairs
+  *     product, never a driver-side graph. Rounds needed = graph
+  *     diameter; near-dup graphs are unions of small near-cliques (every
+  *     member of a dup cluster shares LSH buckets with most others), so
+  *     diameter is tiny (2–4) regardless of corpus size. A `maxIter`
+  *     bound plus convergence check caps pathological chains, and
+  *     `localCheckpoint` truncates the per-round lineage so plans don't
+  *     grow superlinearly (the classic iterative-Spark trap).
+  *   - Label values are node ids (min id reachable so far) — the state
+  *     per node is ONE long, and the convergence check is a count of
+  *     changed labels (an aggregate, not a collect of the frame).
+  *   - [[keepBestPerCluster]] is one max_by aggregate per component plus
+  *     a semi-join back — same window-free shape as
+  *     Dedup.dropExactDuplicates, so the heavy side never sorts.
+  */
+object Clustering {
+
+  /** Connected components over an undirected edge list (edges must have
+    * columns `id_a`, `id_b`; `nodes` supplies the universe so isolated
+    * docs keep their own id). Returns (idCol, component) where
+    * `component` = min node id in the component.
+    *
+    * Min-label propagation with convergence detection: labels start as
+    * the node's own id; each round every node takes the min of its own
+    * label and its neighbors' labels; stop when no label changed.
+    * Deterministic for any input (min is order- and
+    * partitioning-insensitive).
+    *
+    * @param maxIter safety bound; components with diameter > maxIter
+    *                would come back unconverged, so the method THROWS
+    *                rather than silently returning a partial clustering.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val spark = nodes.sparkSession
+    // Undirected: materialize both directions once; `src`'s label flows
+    // to `dst`. Cached — re-joined every round.
+    val bidir = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = nodes.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("comp"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels flowing along edges + own label, min per node
+      val msgs = bidir.join(
+        labels.select(col("id").as("src"), col("comp")), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .union(msgs)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(eager = true)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the bound; raise maxIter")
+    labels.select(col("id").as(idCol), col("comp").as("component"))
+  }
+
+  /** Near-duplicate clusters over a corpus: MinHash+LSH candidate pairs
+    * → connected components. Returns (idCol, component); docs with no
+    * near-duplicate are their own singleton component. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4): DataFrame = {
+    val cand = Dedup.minHashCandidates(df, idCol, textCol,
+      shingleN, numHashes, bands)
+    connectedComponents(df.select(idCol), cand, idCol)
+  }
+
+  /** Keep the best row per duplicate cluster: joins the component
+    * assignment, takes argmax of `scoreCol` per component (ties broken
+    * by LOWEST id — deterministic), and returns the surviving rows of
+    * `df` unchanged. One aggregate + one semi-join; no window, no sort
+    * of the corpus. */
+  def keepBestPerCluster(df: DataFrame, clusters: DataFrame, idCol: String,
+                         scoreCol: String): DataFrame = {
+    val winners = df.select(col(idCol), col(scoreCol))
+      .join(clusters, idCol)
+      .groupBy("component")
+      // max of (score, -id): highest score wins, lowest id on ties
+      .agg(max(struct(col(scoreCol).as("s"),
+        (-col(idCol)).as("negId"))).as("w"))
+      .select((-col("w.negId")).cast("long").as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+}

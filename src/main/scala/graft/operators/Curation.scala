@@ -50,6 +50,40 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Deterministic hash sampling: keep a row iff its md5-derived bucket
+    * (16 bits → [0, 65536)) falls below `rate` × 65536. Reproducible
+    * under any partitioning and stable as the corpus grows (a kept row
+    * stays kept), unlike `df.sample` whose output depends on partition
+    * layout and seed plumbing. Pure per-row filter — no shuffle, pushes
+    * past column pruning like any predicate. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    val cut = math.round(rate * 65536).toInt
+    df.filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") < cut)
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep rates (e.g.
+    * downsample boilerplate languages, keep all rare ones). Strata
+    * missing from `rates` fall back to `defaultRate`. Same per-row
+    * hash-cut predicate as [[hashSample]] with the cut chosen by the
+    * stratum column — still zero-shuffle, no per-group pass; the common
+    * alternative (`sampleBy`) needs the fractions map too but draws
+    * nondeterministically. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double = 1.0): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "all rates must be in [0,1]")
+    def cutOf(r: Double) = lit(math.round(r * 65536).toInt)
+    // sorted for a deterministic when-chain (Map order is unspecified)
+    val cut = rates.toSeq.sortBy(_._1).foldLeft(cutOf(defaultRate)) {
+      case (e, (s, r)) => when(col(stratumCol) === s, cutOf(r)).otherwise(e)
+    }
+    df.filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") < cut)
+  }
+
   /** PII patterns — deliberately restricted to syntax valid in BOTH
     * Java regex and RE2 (DuckDB), so the oracle runs them verbatim. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -122,12 +156,30 @@ object Curation {
     * sampling and AQE coalescing are not stable across executions) and
     * would silently shift every offset.
     *
+    * Null contract: rows where `orderCol` or `tokenCol` is null are
+    * REJECTED (IllegalArgumentException) rather than silently dropped or
+    * bucketed — a null order has no position in a total order, and a
+    * null token count would shift every downstream offset depending on
+    * which bucket swallowed it. Callers must pre-clean
+    * (`na.drop(Seq(orderCol, tokenCol))`) with whatever policy fits
+    * their pipeline. The check is one extra aggregate job that scans
+    * only the two columns (column-pruned at the source), cheap next to
+    * the approxQuantile pass the operator already makes.
+    *
     * @param orderCol total order; must be numeric (quantile-split) and
     *                 unique — ties would make the prefix sum ambiguous
     *                 across engines */
   def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
                     budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    val nullCounts = df.agg(
+      count(when(col(orderCol).isNull, 1)).as("no"),
+      count(when(col(tokenCol).isNull, 1)).as("nt")).head()
+    require(nullCounts.getLong(0) == 0 && nullCounts.getLong(1) == 0,
+      s"packSequences requires non-null `$orderCol`/`$tokenCol`: found " +
+        s"${nullCounts.getLong(0)} null order rows and " +
+        s"${nullCounts.getLong(1)} null token rows — pre-clean with " +
+        s"na.drop(Seq($orderCol, $tokenCol))")
     val nBuckets = math.max(1,
       df.sparkSession.sparkContext.defaultParallelism)
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
@@ -143,7 +195,9 @@ object Curation {
     val bucketed = df.withColumn("_bkt", bucketExpr)
     val subtotals = bucketed.groupBy(col("_bkt"))
       .agg(sum(col(tokenCol).cast("long")).as("_sub"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
     val offsets = subtotals.scanLeft((0, 0L)) {
       case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
     }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }

@@ -47,10 +47,12 @@ object Multimodal {
     * (length needs it); project the stored size column instead when one
     * exists. Pure expressions, no UDF.
     *
-    * The checksum is md5 over the LOWERCASE-HEX rendering of the payload,
-    * not over the raw bytes: md5-of-binary is not expressible in ANSI SQL
-    * (DuckDB's md5 only accepts VARCHAR), and a content digest only needs
-    * to be injective + reproducible — hex rendering is both, so the same
+    * The digest column is named `hex_checksum` because it is md5 over the
+    * LOWERCASE-HEX rendering of the payload, not over the raw bytes — it
+    * will NOT match an RFC-1321 md5-of-bytes digest computed elsewhere.
+    * Rationale: md5-of-binary is not expressible in ANSI SQL (DuckDB's
+    * md5 only accepts VARCHAR), and a content digest only needs to be
+    * injective + reproducible — hex rendering is both, so the same
     * definition runs verbatim in the oracle (gate query q25 calls this
     * operator directly). */
   def mediaMeta(media: DataFrame): DataFrame =
@@ -58,7 +60,7 @@ object Multimodal {
       col("media_id"), col("media_type"),
       length(col("payload")).as("n_bytes"),
       substring(hex(col("payload")), 1, 8).as("magic"),
-      md5(lower(hex(col("payload")))).as("checksum"))
+      md5(lower(hex(col("payload")))).as("hex_checksum"))
 
   /** A codec turns one media row into its extracted features. Must be
     * serializable (it ships to executors inside the mapPartitions

@@ -57,6 +57,38 @@ object Similarity {
         when(col("_n") > 0, transform(col("_v"), x => x / col("_n"))))
       .drop("_v", "_n")
 
+  /** Symmetric per-vector int8 quantization: `scale` = max|x| / 127,
+    * `q8[i]` = round(x[i] / scale) clamped to [−127, 127]. Cuts
+    * embedding storage/shuffle bytes 4× (float32) to 8× (float64) — the
+    * standard memory lever for billion-vector ANN indexes; IVF cell
+    * assignment and candidate scoring tolerate the ≤ scale/2 per-
+    * component error (re-rank survivors against the full-precision
+    * vectors when exactness matters). All-zero vectors get scale 0 and
+    * an all-zero q8. Pure per-row expressions (the max|x| is a
+    * higher-order aggregate over the array, not a shuffle); the
+    * arithmetic is ANSI-portable — round-half-away-from-zero and IEEE
+    * division reproduce bit-identically in the DuckDB oracle. */
+  def quantizeInt8(df: DataFrame, vecCol: String, quantCol: String = "q8",
+                   scaleCol: String = "scale"): DataFrame =
+    df.withColumn("_v", col(vecCol).cast("array<double>"))
+      .withColumn(scaleCol,
+        aggregate(col("_v"), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+          / lit(127.0))
+      .withColumn(quantCol,
+        when(col(scaleCol) > 0,
+          transform(col("_v"), x =>
+            least(greatest(round(x / col(scaleCol)), lit(-127L)), lit(127L))
+              .cast("int")))
+          .otherwise(transform(col("_v"), _ => lit(0))))
+      .drop("_v")
+
+  /** Max absolute reconstruction error of an int8 quantization:
+    * max_i |x[i] − q8[i]·scale|. Bounded by scale/2 (+ clamp slack);
+    * per-row expression, used to audit quantization quality. */
+  def dequantMaxError(vec: Column, q8: Column, scale: Column): Column =
+    array_max(zip_with(vec.cast("array<double>"), q8,
+      (x, q) => abs(x - q.cast("double") * scale)))
+
   /** Exact top-k neighbors for each query row.
     *
     * Top-k selection is a [[TopK]] partial aggregation, NOT a

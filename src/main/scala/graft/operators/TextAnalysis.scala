@@ -73,6 +73,46 @@ object TextAnalysis {
     firstBest
   }
 
+  /** Gopher-style repetition statistics per document: how much of the
+    * text is the same n-gram repeated. Returns one row per input row:
+    * (idCol, n_ngrams, distinct_ngrams, dup_ngram_frac = 1 −
+    * distinct/total, top_ngram_frac = occurrences of the most frequent
+    * n-gram / total), with zero-gram docs (shorter than n tokens)
+    * reported as (0, 0, 0.0, 0.0).
+    *
+    * Shape at scale: explode n-grams (narrow) → ONE groupBy on
+    * (id, ngram) — the only shuffle, keyed by document so it
+    * distributes with the corpus — → per-doc aggregate (map-side
+    * partial, keys already co-located after the first shuffle). A
+    * left join back to the id universe restores empty docs. No window,
+    * no per-doc sort; the "most frequent" is a max aggregate, not a
+    * rank. Repetition filters drop the boilerplate/spam tail of web
+    * corpora (Gopher rules use duplicate line/2-gram/3-gram fractions;
+    * the n-gram form covers the latter two). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(Dedup.shingleArray(col("_toks"), n)).as("ngram"))
+    val perDoc = grams
+      .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        sum("cnt").as("n_ngrams"),
+        count(lit(1)).as("distinct_ngrams"),
+        max("cnt").as("_top"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"),
+        coalesce(lit(1.0) - col("distinct_ngrams").cast("double") /
+          col("n_ngrams").cast("double"), lit(0.0)).as("dup_ngram_frac"),
+        coalesce(col("_top").cast("double") /
+          col("n_ngrams").cast("double"), lit(0.0)).as("top_ngram_frac"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * rolling-hash-equivalent content signature, invariant to token
     * order and duplication. md5 is available in both Spark and DuckDB,

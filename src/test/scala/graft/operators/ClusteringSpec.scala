@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chains, cliques, singletons, any partitioning") {
+    // components: {1,2,3,4} (a chain — diameter 3), {10,11,12} (clique),
+    // {20} (isolated), {30,31} (pair)
+    val nodes = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 30L, 31L)).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (31L, 30L)).toDF("id_a", "id_b")
+    for (parts <- Seq(1, 7)) {
+      val got = Clustering.connectedComponents(
+        nodes.repartition(parts), edges.repartition(parts), "id")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L,
+        30L -> 30L, 31L -> 30L), s"at $parts partitions")
+    }
+  }
+
+  test("connectedComponents: long chain beyond maxIter throws, not partial") {
+    val n = 12
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until n.toLong - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.connectedComponents(nodes, edges, "id", maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain is one component
+    val ok = Clustering.connectedComponents(nodes, edges, "id", maxIter = 15)
+      .select("component").distinct().as[Long].collect()
+    assert(ok.toSeq == Seq(0L))
+  }
+
+  test("nearDupClusters groups the LSH near-dups; keepBest keeps argmax") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 0
+      (2L, "completely different content about spark engines at scale"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 0
+      (4L, "unrelated musings on database query optimization")
+    ).toDF("doc_id", "text")
+    val clusters = Clustering.nearDupClusters(docs, "doc_id", "text")
+    val comp = clusters.as[(Long, Long)].collect().toMap
+    assert(comp(0L) == comp(1L) && comp(0L) == comp(3L),
+      s"near-dups must share a component: $comp")
+    assert(comp(2L) != comp(0L) && comp(4L) != comp(0L) && comp(2L) != comp(4L))
+    // keep-best by token count: doc 1 has 10 tokens like 0/3 — score by
+    // doc_id-independent length then tie-break by lowest id ⇒ doc 0 wins
+    val scored = docs.withColumn("n_tok",
+      TextAnalysis.tokenCount($"text").cast("long"))
+    val kept = Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 4L), s"got ${kept.toSeq}")
+  }
+
+  test("keepBestPerCluster: higher score beats lower id") {
+    val rows = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0)).toDF("id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
+    val kept = Clustering.keepBestPerCluster(rows, clusters, "id", "score")
+      .select("id").as[Long].collect()
+    assert(kept.toSeq == Seq(2L)) // score 9.0 wins over 5.0; id 2 over id 3
+  }
+}

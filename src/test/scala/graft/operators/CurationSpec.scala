@@ -25,6 +25,41 @@ class CurationSpec extends SparkSpec {
     assert(a.except(grown).count() == 0)
   }
 
+  test("hashSample: deterministic, rate-accurate, subset-stable") {
+    val df = spark.range(20000).toDF("id")
+    val s10 = Curation.hashSample(df, "id", 0.1)
+    val n = s10.count()
+    assert(math.abs(n - 2000L) < 200, s"10% of 20k ≈ 2000, got $n")
+    // identical under repartitioning
+    val s10b = Curation.hashSample(df.repartition(13), "id", 0.1)
+    assert(s10.except(s10b).count() == 0 && s10b.except(s10).count() == 0)
+    // nested rates: the 10% sample is a subset of the 25% sample
+    val s25 = Curation.hashSample(df, "id", 0.25)
+    assert(s10.except(s25).count() == 0, "smaller rate must nest in larger")
+    assert(Curation.hashSample(df, "id", 0.0).count() == 0)
+    assert(Curation.hashSample(df, "id", 1.0).count() == 20000)
+    intercept[IllegalArgumentException] { Curation.hashSample(df, "id", 1.5) }
+  }
+
+  test("stratifiedHashSample: per-stratum rates, default for the rest") {
+    val df = spark.range(30000).toDF("id")
+      .withColumn("lang", element_at(array(lit("en"), lit("de"), lit("fr")),
+        (pmod($"id", lit(3)) + 1).cast("int")))
+    val out = Curation.stratifiedHashSample(df, "id", "lang",
+      Map("en" -> 0.1, "de" -> 0.5), defaultRate = 1.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(out("en") - 1000L) < 200, s"en=${out("en")}")
+    assert(math.abs(out("de") - 5000L) < 400, s"de=${out("de")}")
+    assert(out("fr") == 10000L, "default rate 1.0 keeps every fr row")
+    // agreement with the unstratified sampler at the same rate: the kept
+    // set within a stratum is exactly hashSample of that stratum
+    val en = Curation.stratifiedHashSample(df, "id", "lang",
+      Map("en" -> 0.1), 1.0).filter($"lang" === "en").select("id")
+    val enDirect = Curation.hashSample(df.filter($"lang" === "en"), "id", 0.1)
+      .select("id")
+    assert(en.except(enDirect).count() == 0 && enDirect.except(en).count() == 0)
+  }
+
   test("assignSplits validates percentages") {
     val df = spark.range(10).toDF("id")
     intercept[IllegalArgumentException] {
@@ -90,6 +125,22 @@ class CurationSpec extends SparkSpec {
     assert(packs.head == 0L && packs.zipWithIndex.forall {
       case (p, i) => p == i.toLong
     }, s"pack ids must be dense 0..n: ${packs.take(10).toSeq}")
+  }
+
+  test("packSequences rejects null order/token rows (fail-fast contract)") {
+    val nullToken = Seq((1L, java.lang.Integer.valueOf(10)),
+      (2L, null.asInstanceOf[java.lang.Integer]))
+      .toDF("doc_id", "n_tokens")
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.packSequences(nullToken, "doc_id", "n_tokens", 2048L).collect()
+    }
+    assert(e1.getMessage.contains("null token"))
+    val nullOrder = Seq((java.lang.Long.valueOf(1L), 10),
+      (null.asInstanceOf[java.lang.Long], 20)).toDF("doc_id", "n_tokens")
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.packSequences(nullOrder, "doc_id", "n_tokens", 2048L).collect()
+    }
+    assert(e2.getMessage.contains("null order"))
   }
 
   test("decontaminate plans a shingle semi-join, not a pairwise product") {

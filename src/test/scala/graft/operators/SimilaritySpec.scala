@@ -184,4 +184,38 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got.subsetOf(exact), "LSH result must be a subset of exact")
   }
+
+  test("quantizeInt8: max|x| maps to ±127, error bounded, zero vec safe") {
+    val df = Seq(
+      (0L, Array(1.27f, -1.27f, 0.635f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(-0.5f, 0.25f, 0.1f, -0.01f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "embedding")
+      .withColumn("err",
+        Similarity.dequantMaxError($"embedding", $"q8", $"scale"))
+      .orderBy("vec_id")
+      .select("q8", "scale", "err")
+      .as[(Seq[Int], Double, Double)].collect()
+    val (q0, s0, e0) = q(0)
+    assert(q0 == Seq(127, -127, 64, 0) || q0 == Seq(127, -127, 63, 0))
+    assert(math.abs(s0 - 1.27 / 127.0) < 1e-9 || math.abs(s0 - 0.01) < 1e-6)
+    assert(e0 <= s0 / 2 + 1e-12, s"error $e0 must be ≤ scale/2 $s0")
+    val (q1, s1, e1) = q(1)
+    assert(q1 == Seq(0, 0, 0, 0) && s1 == 0.0 && e1 == 0.0)
+    val (q2, s2, e2) = q(2)
+    assert(q2.head == -127 && e2 <= s2 / 2 + 1e-12)
+    // quantized cosine stays close to exact cosine for random vectors
+    val rng = new scala.util.Random(11)
+    val rand = (0 until 50).map(i =>
+      (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val qr = Similarity.quantizeInt8(rand, "embedding")
+      .withColumn("deq", transform($"q8",
+        x => x.cast("double") * $"scale"))
+    val drift = qr.select(
+      abs(Similarity.cosine($"embedding", $"deq") - lit(1.0)).as("d"))
+      .agg(max($"d")).head.getDouble(0)
+    assert(drift < 0.01, s"int8 cosine drift $drift should be < 1%")
+  }
 }

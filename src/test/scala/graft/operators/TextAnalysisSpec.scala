@@ -43,6 +43,20 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach { case (got, expected) => assert(got == expected) }
   }
 
+  test("repetitionStats: duplicate and top n-gram fractions; empty docs zero") {
+    val docs = Seq(
+      (0L, "a b a b a b"),       // bigrams: ab ba ab ba ab → 5 total, 2 distinct, top=3
+      (1L, "w x y z"),           // 3 bigrams, all distinct
+      (2L, "solo")               // < 2 tokens → no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got(0) == ((0L, 5L, 2L, 1.0 - 2.0 / 5.0, 3.0 / 5.0)))
+    assert(got(1) == ((1L, 3L, 3L, 0.0, 1.0 / 3.0)))
+    assert(got(2) == ((2L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("fingerprint: order- and duplication-invariant") {
     val fps = Seq("b a a c", "c b a", "a b x")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("f"))
