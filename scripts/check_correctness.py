@@ -85,6 +85,26 @@ def main():
                   f"duck={len(duck_df)}")
             failures += 1
             continue
+        # The driver's hash gate renders values to strings, so a dtype
+        # KIND flip changes the hash even when values are numerically
+        # equal: int64 1 renders "1" but a HUGEINT-widened oracle column
+        # lands as float64 and renders "1.0" (the q47 round-3 failure).
+        # Width-only differences (int32 vs int64) render identically and
+        # are fine. Fail on kind mismatches so they never hide locally.
+        def kind(dt: str) -> str:
+            if dt.startswith(("int", "uint")):
+                return "int"
+            if dt.startswith("float"):
+                return "float"
+            return dt
+        sd, dd = spark_df.dtypes.astype(str), duck_df.dtypes.astype(str)
+        dt_bad = [(c, sd[c], dd[c]) for c in spark_df.columns
+                  if kind(sd[c]) != kind(dd[c])]
+        if dt_bad:
+            print(f"{name}: DTYPE-KIND-MISMATCH {dt_bad} "
+                  "(driver hash gate would fail)")
+            failures += 1
+            continue
         bad = []
         for col in spark_df.columns:
             sa, da = spark_df[col].tolist(), duck_df[col].tolist()

@@ -47,34 +47,45 @@ object Clustering {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val spark = nodes.sparkSession
     // Undirected: materialize both directions once; `src`'s label flows
-    // to `dst`. Cached — re-joined every round.
+    // to `dst`. Checkpointed — re-joined every round.
     val bidir = edges
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .union(edges.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
       .distinct()
       .localCheckpoint(eager = true)
     var labels = nodes.select(col(idCol).cast("long").as("id"),
       col(idCol).cast("long").as("comp"))
       .localCheckpoint(eager = true)
+    // FRONTIER optimization: only nodes whose label CHANGED last round
+    // need to re-broadcast it — messages from unchanged neighbors were
+    // already folded in. Round 1's frontier is everyone; afterwards it
+    // collapses to the still-moving boundary (near-empty for the
+    // near-clique graphs dedup produces), so late rounds join a tiny
+    // (AQE-broadcastable) frame against the edge list instead of
+    // re-shuffling every label.
+    var frontier = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor labels flowing along edges + own label, min per node
       val msgs = bidir.join(
-        labels.select(col("id").as("src"), col("comp")), "src")
+        frontier.select(col("id").as("src"), col("comp")), "src")
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp"))
-        .union(msgs)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .groupBy("id").agg(min("comp").as("mcomp"))
+      // One update join per round; `chg` rides along so both the next
+      // frontier and the convergence probe are local reads of the
+      // checkpointed result, not extra shuffles.
+      val next = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          when(col("mcomp") < col("comp"), col("mcomp"))
+            .otherwise(col("comp")).as("comp"),
+          coalesce(col("mcomp") < col("comp"), lit(false)).as("chg"))
         .localCheckpoint(eager = true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .limit(1).count()
-      converged = changed == 0
-      labels = next
+      frontier = next.filter(col("chg")).select("id", "comp")
+      converged = frontier.isEmpty
+      labels = next.select("id", "comp")
       iter += 1
     }
     require(converged,

@@ -69,6 +69,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("new round-4 queries keep scale-safe shapes") {
+    // q49/q54 (connected components) join only on node/edge keys —
+    // never a cartesian; q50 aggregates, never windows; q51 is a pure
+    // filter (map-only plus the gate sort); q52 is per-row (same).
+    for (name <- Seq("q49_neardup_clusters", "q54_keep_best_doc")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must join on keys only:\n$plan")
+    }
+    val p50 = finalPlan(q("q50_repetition_stats"))
+    assert(!p50.contains("Window"),
+      s"repetition stats must aggregate, not window:\n$p50")
+    for (name <- Seq("q51_stratified_sample", "q52_quantize_int8")) {
+      val plan = finalPlan(q(name))
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"$name must be map-only plus the gate sort, saw $exchanges:\n$plan")
+    }
+    // q53's cube is a single expand+aggregate — no join, no window
+    val p53 = finalPlan(q("q53_cube_agg"))
+    assert(!p53.contains("Join") && p53.contains("Expand"),
+      s"cube must plan as Expand + aggregate:\n$p53")
+  }
+
   test("parquet scans prune columns: q14 reads only what it projects") {
     val plan = finalPlan(q("q14_sort_limit"))
     val scan = plan.linesIterator.find(_.contains("FileScan parquet"))
