@@ -48,17 +48,25 @@ final class RedshiftAutoSchema(
   require(file.nonEmpty || fileDf.nonEmpty,
     "either file or fileDf must be provided (RAS:63)")
 
-  /** Distributed load: parquet by extension, else delimited text with
-    * header row (RAS:227-233); headers normalized `.` → `_` (RAS:233);
-    * optional caller column override (RAS:247-250). CSV loads all-string
-    * (no Spark inferSchema) and then nulls pandas.read_csv's default NA
-    * tokens, so a numeric column containing 'NULL'/'N/A' markers infers
-    * int/float exactly as the reference does (pandas drops them as null
-    * before inference). */
+  /** Distributed load: parquet/JSON by extension, else delimited text
+    * with header row (RAS:227-233); headers normalized `.` → `_`
+    * (RAS:233); optional caller column override (RAS:247-250). CSV
+    * loads all-string (no Spark inferSchema) and then nulls
+    * pandas.read_csv's default NA tokens, so a numeric column
+    * containing 'NULL'/'N/A' markers infers int/float exactly as the
+    * reference does (pandas drops them as null before inference).
+    * JSON(L) is an engine extension (the reference reads only delimited
+    * + parquet): values load as STRINGS (primitivesAsString) so our
+    * cascade stays the single source of type truth, matching the
+    * all-string CSV path; nested objects/arrays keep their structure
+    * and classify to `super` in DDL like nested parquet does. */
   private lazy val loaded: DataFrame = {
     val raw = fileDf.getOrElse {
       val path = file.get
       if (path.toLowerCase.endsWith(".parquet")) spark.read.parquet(path)
+      else if (path.toLowerCase.endsWith(".json") ||
+               path.toLowerCase.endsWith(".jsonl"))
+        spark.read.option("primitivesAsString", "true").json(path)
       else {
         val r = spark.read
           .option("header", "true")

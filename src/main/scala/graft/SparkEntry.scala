@@ -576,6 +576,14 @@ object SparkEntry {
       val clusters = Clustering.nearDupClusters(docs, "doc_id", "text")
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
+    }),
+    // ---- SimHash near-dup pairs: banded 4×8-bit buckets (256 per
+    //      band), PROVABLY exact for hamming ≤ 3 (pigeonhole — no
+    //      empirical recall premise), verified by bit_count(xor) ----
+    "q55_simhash_neardup" -> ((s, dir) => {
+      Dedup.simHashNearDup(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 4, bits = 32)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -674,20 +682,38 @@ SELECT media_id,
 FROM m ORDER BY media_id"""
   }
 
-  private def simhashOracle: String = {
-    val votes = (0 until 16).map { i =>
+  /** CTE chain ending in `ssig AS (SELECT doc_id, simhash ...)` —
+    * shared by the q18 signature gate (16-bit) and the q55 near-dup
+    * pair gate (32-bit), replaying Dedup.simHash bit for bit. */
+  private def simhashCtes(bits: Int): String = {
+    val votes = (0 until bits).map { i =>
       val p = i / 4 + 1
       val j = i % 4
       s"sum(CASE WHEN (CAST(strpos('123456789abcdef', substr(hx, $p, 1)) AS INTEGER) >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
     }.mkString(", ")
-    val sig = (0 until 16)
-      .map(i => s"(CASE WHEN v$i > 0 THEN ${1 << i} ELSE 0 END)")
+    val sig = (0 until bits)
+      .map(i => s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
     s"""WITH tk AS (SELECT DISTINCT doc_id, unnest(list_distinct($tokensSql)) AS token FROM documents),
 h AS (SELECT doc_id, md5(token) AS hx FROM tk),
-votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
-SELECT doc_id, CAST($sig AS INTEGER) AS simhash FROM votes ORDER BY doc_id"""
+votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+ssig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes)"""
   }
+
+  private def simhashOracle: String =
+    s"""${simhashCtes(16)}
+SELECT doc_id, simhash FROM ssig ORDER BY doc_id"""
+
+  /** q55: the banded join is EXACT for hamming ≤ bands−1 (pigeonhole),
+    * so the oracle is the straightforward quadratic pair filter —
+    * legal at oracle scale, and no empirical recall premise. */
+  private def simhashNearDupOracle: String =
+    s"""${simhashCtes(32)}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b"""
 
   private def langIdOracle: String = {
     val markers = TextAnalysis.langMarkers
@@ -1059,7 +1085,8 @@ nt AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tok
 win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
     ORDER BY nt.n_tok DESC, c.doc_id) AS rn
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
-SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id"""
+SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
+    "q55_simhash_neardup" -> simhashNearDupOracle
   )
 
   /** Connected components over the q17 LSH candidate pairs, as a

@@ -249,16 +249,21 @@ object Dedup {
     jaccardFinish(inter, sizes, idCol, threshold)
   }
 
-  /** 16-bit SimHash over the distinct token set. Each token hashes to 16
-    * bits (4 hex chars of md5, decoded with an instr-based hex lookup so
-    * the identical expression runs in ANSI SQL); per-bit ±1 votes are
-    * summed per doc; the signature sets bit i iff the vote is positive.
+  /** SimHash over the distinct token set. Each token hashes to `bits`
+    * bits (bits/4 hex chars of md5, decoded with an instr-based hex
+    * lookup so the identical expression runs in ANSI SQL); per-bit ±1
+    * votes are summed per doc; the signature sets bit i iff the vote is
+    * positive. Returns (idCol, simhash: long).
     *
-    * 16 bits keeps the signature portable (no 64-bit unsigned juggling)
-    * while still grouping near-identical token sets; widen by taking
-    * more hex chars if collision pressure demands.
-    * Returns (idCol, simhash). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * `bits` sizes the signature (≤ 60 keeps everything in one signed
+    * 64-bit long, portable to any SQL engine): 16 is compact for
+    * grouping near-identical token sets; [[simHashNearDup]] wants ≥ 32
+    * so its band buckets stay selective (2^(bits/bands) buckets per
+    * band — the knob that keeps the candidate join sub-quadratic). */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 16): DataFrame = {
+    require(bits > 0 && bits <= 60 && bits % 4 == 0,
+      s"bits ($bits) must be a positive multiple of 4, at most 60")
     val toksDistinct = df
       .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
     val withHex = toksDistinct.withColumn("hx", md5(col("token")))
@@ -266,17 +271,68 @@ object Dedup {
     // maps '0' (not found) to 0 and '1'..'f' to 1..15.
     def hexVal(p: Int): Column =
       expr(s"instr('123456789abcdef', substr(hx, $p, 1))")
-    val votes = (0 until 16).map { i =>
+    val votes = (0 until bits).map { i =>
       val p = i / 4 + 1
       val j = i % 4
       sum(when(shiftright(hexVal(p).cast("int"), j).bitwiseAND(lit(1)) === 1, 1)
         .otherwise(-1)).as(s"v$i")
     }
     val voted = withHex.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 16).map { i =>
-      when(col(s"v$i") > 0, lit(1 << i)).otherwise(lit(0))
+    val sig = (0 until bits).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    voted.select(col(idCol), sig.cast("int").as("simhash"))
+    voted.select(col(idCol), sig.cast("long").as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: all pairs whose `bits`-bit signatures
+    * differ in at most `maxHamming` bits. Banded sub-quadratic
+    * formulation: the bits split into `bands` equal slices, docs
+    * equi-join on (band, slice value), and the true Hamming distance is
+    * verified with `bit_count(xor)` on the candidates.
+    *
+    * EXACTNESS (not an empirical recall): by pigeonhole, a pair
+    * differing in ≤ bands−1 bits leaves at least one band untouched, so
+    * for maxHamming ≤ bands−1 every qualifying pair shares a band
+    * bucket — the banded join provably finds all of them.
+    *
+    * SCALE: the shuffle key is (band, bits/bands-bit slice) — the
+    * bucket space per band is 2^(bits/bands), so signature width is the
+    * selectivity knob. 32 bits / 4 bands = 256 buckets per band; at a
+    * billion docs use 60/4 (32k buckets) — narrow 16-bit signatures
+    * leave only 16 buckets per band and degrade toward all-pairs.
+    * Returns (id_a, id_b, hamming). */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, bands: Int = 4,
+                     bits: Int = 32): DataFrame = {
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(maxHamming <= bands - 1,
+      s"maxHamming ($maxHamming) must be ≤ bands−1 (${bands - 1}) for the " +
+        "banded join to be exact; raise bands or lower the threshold")
+    val rb = bits / bands
+    val sig = simHash(df, idCol, textCol, bits)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * rb).bitwiseAND(lit((1L << rb) - 1))
+          .as("bv"))
+    }
+    val banded = sig
+      .select(col(idCol).as("id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("simhash"), col("bs.band"), col("bs.bv"))
+    // signatures (small ints) ride through the join — no join-back pass
+    val cand = banded
+      .select(col("band"), col("bv"), col("id").as("id_a"),
+        col("simhash").as("sig_a"))
+      .join(banded.select(col("band"), col("bv"), col("id").as("id_b"),
+        col("simhash").as("sig_b")), Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** Exact-duplicate groups by content digest: (digest, cnt, canonical =

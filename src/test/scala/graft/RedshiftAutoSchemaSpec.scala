@@ -25,6 +25,22 @@ class RedshiftAutoSchemaSpec extends SparkSpec {
     assert(types("note") == "varchar(256)")
   }
 
+  test("JSONL load (extension): all-string primitives through the cascade; nested → super") {
+    val p = "/tmp/graft-test-src.jsonl"
+    Files.writeString(Paths.get(p), Seq(
+      """{"qty": 1, "price": 9.5, "flag": true, "note": "hello", "meta": {"k": 1}, "d": "2020-01-02"}""",
+      """{"qty": 2, "price": 11.25, "flag": false, "note": "world", "meta": {"k": 2}, "d": "2020-03-04"}"""
+    ).mkString("\n"))
+    val t = new RedshiftAutoSchema(spark, "s", "t", file = Some(p))
+    val types = t.metadata.get.map(m => m.field -> m.proposedName).toMap
+    assert(types("qty") == "int4")
+    assert(types("price") == "float8")
+    assert(types("flag") == "bool")
+    assert(types("note") == "varchar(256)")
+    assert(types("d") == "date")
+    assert(types("meta") == "super", s"nested object must map to super: $types")
+  }
+
   test("header normalization '.' → '_' (RAS:233) and column override (RAS:247-250)") {
     val p = writeCsv("hdr", "a.b|c.d", "1|x")
     val t1 = new RedshiftAutoSchema(spark, "s", "t", file = Some(p))

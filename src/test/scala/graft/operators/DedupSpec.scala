@@ -107,11 +107,48 @@ class DedupSpec extends SparkSpec {
 
   test("simhash: identical docs share a signature; near-dups are close in hamming") {
     val sigs = Dedup.simHash(docs, "doc_id", "text")
-      .as[(Long, Int)].collect().toMap
+      .as[(Long, Long)].collect().toMap
     assert(sigs(0L) == sigs(3L))
-    def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sigs(0L), sigs(1L)) <= 6,
       s"near-dup hamming was ${hamming(sigs(0L), sigs(1L))}")
     assert(sigs.values.toSet.size >= 3, "distinct docs should mostly differ")
+  }
+
+  test("simHashNearDup: banded join equals the quadratic form (pigeonhole)") {
+    // richer corpus: 30 docs from a fixed vocabulary so several pairs
+    // land within hamming 3 without being identical
+    val rng = new scala.util.Random(5)
+    val vocab = Seq("spark", "query", "table", "join", "scan", "agg",
+      "shuffle", "row", "column", "plan")
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(8)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val banded = Dedup.simHashNearDup(corpus, "doc_id", "text", 3, 4, bits = 16)
+      .as[(Long, Long, Int)].collect().toSet
+    // quadratic reference over the signatures
+    val sigs = Dedup.simHash(corpus, "doc_id", "text", bits = 16)
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(want.nonEmpty, "fixture must produce at least one close pair")
+    assert(banded == want,
+      s"banded must EQUAL quadratic: missing ${want -- banded}, " +
+        s"extra ${banded -- want}")
+    // and at the 32-bit gate width too (selective 8-bit band buckets)
+    val banded32 = Dedup.simHashNearDup(corpus, "doc_id", "text", 3, 4, 32)
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs32 = Dedup.simHash(corpus, "doc_id", "text", bits = 32)
+      .as[(Long, Long)].collect()
+    val want32 = (for {
+      (ia, sa) <- sigs32; (ib, sb) <- sigs32 if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(banded32 == want32)
+    intercept[IllegalArgumentException] {
+      Dedup.simHashNearDup(corpus, "doc_id", "text", maxHamming = 4, bands = 4)
+    }
   }
 }
