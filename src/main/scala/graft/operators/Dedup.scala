@@ -310,29 +310,47 @@ object Dedup {
         "banded join to be exact; raise bands or lower the threshold")
     val rb = bits / bands
     val sig = simHash(df, idCol, textCol, bits)
+    // SIGNATURE-DEDUP-FIRST: the banded self-join runs over DISTINCT
+    // signatures, not documents — on dup-dense corpora (the whole point
+    // of running dedup) identical docs collapse to one row before the
+    // quadratic-in-bucket step, and the doc-level result is restored by
+    // two sig-keyed expansion joins whose output IS the result set (no
+    // overhead beyond the true pair density). Hamming verification runs
+    // before the distinct, so the dedup shuffle carries only qualifying
+    // signature pairs (≤ bands copies each).
+    val distinctSigs = sig.select(col("simhash")).distinct()
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * rb).bitwiseAND(lit((1L << rb) - 1))
           .as("bv"))
     }
-    val banded = sig
-      .select(col(idCol).as("id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("bs"))
-      .select(col("id"), col("simhash"), col("bs.band"), col("bs.bv"))
-    // signatures (small ints) ride through the join — no join-back pass
-    val cand = banded
-      .select(col("band"), col("bv"), col("id").as("id_a"),
-        col("simhash").as("sig_a"))
-      .join(banded.select(col("band"), col("bv"), col("id").as("id_b"),
+    val banded = distinctSigs
+      .select(col("simhash"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("simhash"), col("bs.band"), col("bs.bv"))
+    val sigPairs = banded
+      .select(col("band"), col("bv"), col("simhash").as("sig_a"))
+      .join(banded.select(col("band"), col("bv"),
         col("simhash").as("sig_b")), Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .distinct()
-    cand
+      .filter(col("sig_a") < col("sig_b"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("sig_a", "sig_b", "hamming")
+      .distinct()
+    val ids = sig.select(col(idCol).as("id"), col("simhash"))
+    // same-signature docs: hamming 0 by definition
+    val intra = ids.select(col("simhash"), col("id").as("id_a"))
+      .join(ids.select(col("simhash"), col("id").as("id_b")), Seq("simhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    // cross-signature docs: expand each qualifying signature pair; ids
+    // from different sig groups need explicit id-order normalization
+    val cross = sigPairs
+      .join(ids.select(col("simhash").as("sig_a"), col("id").as("ia")), "sig_a")
+      .join(ids.select(col("simhash").as("sig_b"), col("id").as("ib")), "sig_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    intra.union(cross)
   }
 
   /** Exact-duplicate groups by content digest: (digest, cnt, canonical =
