@@ -577,6 +577,13 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- TF-IDF top terms per doc: two hash aggs + term-keyed join;
+    //      per-doc window over single-doc vocabularies only ----
+    "q56_tfidf_topterms" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+        k = 5)
+        .orderBy("doc_id", "rank")
+    }),
     // ---- SimHash near-dup pairs: banded 4×8-bit buckets (256 per
     //      band), PROVABLY exact for hamming ≤ 3 (pigeonhole — no
     //      empirical recall premise), verified by bit_count(xor) ----
@@ -1086,7 +1093,19 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
     ORDER BY nt.n_tok DESC, c.doc_id) AS rn
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
-    "q55_simhash_neardup" -> simhashNearDupOracle
+    "q55_simhash_neardup" -> simhashNearDupOracle,
+    "q56_tfidf_topterms" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, term, tf, df,
+  round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+  ORDER BY tfidf DESC, term) AS rank FROM scored)
+SELECT doc_id, rank, term, tf, df, tfidf FROM w WHERE rank <= 5
+ORDER BY doc_id, rank"""
   )
 
   /** Connected components over the q17 LSH candidate pairs, as a

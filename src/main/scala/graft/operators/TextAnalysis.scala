@@ -113,6 +113,39 @@ object TextAnalysis {
           col("n_ngrams").cast("double"), lit(0.0)).as("top_ngram_frac"))
   }
 
+  /** Top-k most distinctive terms per document by TF-IDF (tf ×
+    * ln(N/df)). The corpus pass is two hash aggregations — (doc, term)
+    * counts, then per-term document frequency over that frame (already
+    * distinct by construction, no extra distinct shuffle) — and a
+    * term-keyed join; the per-document top-k window partitions by
+    * document, so its partitions are single-doc vocabularies (bounded
+    * by doc length), never a global sort. N rides in as a broadcast
+    * one-row frame, keeping the whole plan one lazy pipeline.
+    *
+    * Scores are ROUNDED (6 dp) before ranking: distinct (tf, df) pairs
+    * can produce mathematically equal scores computed through different
+    * FP paths (2·ln(x) vs ln(x²)); rounding makes the rank
+    * engine-portable, with ties broken by term. Returns
+    * (idCol, rank, term, tf, df, tfidf). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = broadcast(df.agg(count(lit(1)).as("n_docs")))
+    val scored = tf.join(dfreq, "term").crossJoin(n)
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") /
+          col("df").cast("double")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * rolling-hash-equivalent content signature, invariant to token
     * order and duplication. md5 is available in both Spark and DuckDB,

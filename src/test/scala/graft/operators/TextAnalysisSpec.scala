@@ -57,6 +57,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == ((2L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("tfidfTopTerms: distinctive terms rank above ubiquitous ones") {
+    val docs = Seq(
+      (0L, "common common common rare0"),
+      (1L, "common rare1 rare1"),
+      (2L, "common other")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term")
+      .as[(Long, Int, String)].collect()
+    // 'common' appears in every doc → idf = ln(1) = 0 → never beats a
+    // doc-unique term despite higher tf
+    assert(top.filter(_._1 == 0L).map(_._3).head == "rare0")
+    assert(top.filter(_._1 == 1L).map(_._3).head == "rare1")
+    assert(top.filter(_._1 == 2L).map(_._3).head == "other")
+    // zero-score terms still fill remaining ranks deterministically
+    assert(top.filter(_._1 == 0L).map(_._3).toSeq == Seq("rare0", "common"))
+  }
+
   test("fingerprint: order- and duplication-invariant") {
     val fps = Seq("b a a c", "c b a", "a b x")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("f"))
