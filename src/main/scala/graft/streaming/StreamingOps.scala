@@ -44,6 +44,37 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming benchmark decontamination: drop streamed documents that
+    * share any word n-gram with a STATIC benchmark set. Decontamination
+    * is stateless per document, so it applies batch-locally: each
+    * micro-batch runs the exact batch operator
+    * ([[graft.operators.Curation.decontaminate]] — shingle semi-join
+    * against the static benchmark, anti-join back) inside
+    * `foreachBatch`, and results land in `sink`. The semi/anti
+    * formulation the batch operator uses is a stream-side SELF-join,
+    * which append-mode streaming can't plan directly — `foreachBatch`
+    * is the standard (and here semantics-exact) escape hatch, the same
+    * one [[inferStream]] uses. No streaming state, nothing to
+    * watermark; the benchmark shingle frame is static and reused
+    * (broadcast when benchmark-sized) every batch.
+    *
+    * @param sink receives each decontaminated micro-batch (row-for-row
+    *             equal to the batch operator on the same data —
+    *             asserted in StreamingOpsSpec) */
+  def decontaminateStream(stream: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, n: Int,
+                          checkpoint: String)
+                         (sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Curation.decontaminate(
+          batch, benchmark, idCol, textCol, n))
+      }
+      .start()
+
   /** Watermarked stream-stream interval join: each purchase joined to
     * the same user's clicks within the preceding `windowMinutes`
     * (click-to-purchase attribution). Both sides carry event-time

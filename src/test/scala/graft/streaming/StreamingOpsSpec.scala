@@ -94,6 +94,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), "one survivor per event_id")
   }
 
+  test("streaming decontamination matches the batch operator per micro-batch") {
+    import org.apache.spark.sql.DataFrame
+    val bench = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val corpusRows = Seq(
+      (1L, "we saw the quick brown fox jumps high"), // contaminated
+      (2L, "totally unrelated text about engines"),
+      (3L, "tiny"))                                   // < n tokens → survives
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData(corpusRows: _*)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamingOps.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", n = 5,
+      s"/tmp/graft-stream-ckpt-${System.nanoTime()}") { clean: DataFrame =>
+      got.synchronized { got ++= clean.select("doc_id").as[Long].collect() }
+    }
+    q.awaitTermination(30000)
+    val batchWant = graft.operators.Curation.decontaminate(
+      corpusRows.toDF("doc_id", "text"), bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got.sorted.toSeq == batchWant && batchWant == Seq(2L, 3L))
+  }
+
   test("stream-stream interval join matches the batch inequality join") {
     val clicks = MemoryStream[(Long, Timestamp, Long)](spark)
     val purchases = MemoryStream[(Long, Timestamp, Long, Double)](spark)
