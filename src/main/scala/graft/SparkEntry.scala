@@ -577,6 +577,18 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- hopping (sliding) event-time windows: 1h windows every 30min
+    //      — each event lands in exactly 2 windows (batch twin of
+    //      `window(ts, "1 hour", "30 minutes")` streaming aggs) ----
+    "q57_events_hopping" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
     // ---- TF-IDF top terms per doc: two hash aggs + term-keyed join;
     //      per-doc window over single-doc vocabularies only ----
     "q56_tfidf_topterms" -> ((s, dir) => {
@@ -1094,6 +1106,15 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
+    // q57: every event belongs to exactly the two 1h-wide windows whose
+    // starts are its 30-min bucket and the bucket before it
+    "q57_events_hopping" ->
+      """SELECT w_start, event_type, count(*) AS n,
+CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (SELECT time_bucket(INTERVAL '30 minutes', ts)
+        - o * INTERVAL '30 minutes' AS w_start, event_type, value
+      FROM events, (VALUES (0), (1)) AS offs(o))
+GROUP BY 1, 2 ORDER BY w_start, event_type""",
     "q56_tfidf_topterms" ->
       s"""WITH terms AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
