@@ -36,6 +36,35 @@ class ClusteringSpec extends SparkSpec {
     assert(ok.toSeq == Seq(0L))
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 60
+      val nEdges = rng.nextInt(80)
+      val edgeSeq = Seq.fill(nEdges)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edgeSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Clustering.connectedComponents(
+        (0L until n.toLong).toDF("id"),
+        edgeSeq.toDF("id_a", "id_b"), "id", maxIter = 64)
+        .as[(Long, Long)].collect().toMap
+      // union-find parents aren't canonical min labels per se — compare
+      // PARTITIONS: same component sets, and the engine's label is the min
+      val wantParts = want.groupBy(_._2).values.map(_.keySet).toSet
+      val gotParts = got.groupBy(_._2).values.map(_.keySet).toSet
+      assert(gotParts == wantParts, s"trial $trial: partition mismatch")
+      assert(got.forall { case (id, c) => c == got.filter(_._2 == c).keys.min },
+        s"trial $trial: labels must be component minima")
+    }
+  }
+
   test("nearDupClusters groups the LSH near-dups; keepBest keeps argmax") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"),
