@@ -577,6 +577,24 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- corpus vocabulary: top-100 tokens by frequency (tokenizer-
+    //      training input) — one hash agg + TakeOrderedAndProject ----
+    "q58_vocab_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(100)
+    }),
+    // ---- document length histogram: 32-token buckets (integer floor
+    //      division — exact in any engine), min/max within bucket ----
+    "q59_length_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .groupBy(expr("n_tok div 32").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min("n_tok").as("min_tok"),
+          max("n_tok").as("max_tok"))
+        .orderBy("bucket")
+    }),
     // ---- hopping (sliding) event-time windows: 1h windows every 30min
     //      — each event lands in exactly 2 windows (batch twin of
     //      `window(ts, "1 hour", "30 minutes")` streaming aggs) ----
@@ -1106,6 +1124,16 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
+    "q58_vocab_topk" ->
+      s"""SELECT token, count(*) AS cnt
+FROM (SELECT unnest($tokensSql) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
+    "q59_length_histogram" ->
+      s"""WITH t AS (SELECT CAST(len($tokensSql) AS INTEGER) AS n_tok
+  FROM documents)
+SELECT n_tok // 32 AS bucket, count(*) AS n_docs,
+  min(n_tok) AS min_tok, max(n_tok) AS max_tok
+FROM t GROUP BY 1 ORDER BY bucket""",
     // q57: every event belongs to exactly the two 1h-wide windows whose
     // starts are its 30-min bucket and the bucket before it
     "q57_events_hopping" ->
