@@ -87,6 +87,21 @@ class ClusteringSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L, 2L, 4L), s"got ${kept.toSeq}")
   }
 
+  test("round-4 operators are total on empty input") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Clustering.nearDupClusters(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Clustering.connectedComponents(emptyDocs.select("doc_id"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "doc_id").count() == 0)
+    assert(TextAnalysis.repetitionStats(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.tfidfTopTerms(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Curation.hashSample(emptyDocs, "doc_id", 0.5).count() == 0)
+    assert(Curation.stratifiedHashSample(emptyDocs, "doc_id", "text",
+      Map("en" -> 0.5)).count() == 0)
+    assert(Similarity.quantizeInt8(emptyVecs, "embedding").count() == 0)
+    assert(Dedup.simHashNearDup(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
   test("keepBestPerCluster: higher score beats lower id") {
     val rows = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0)).toDF("id", "score")
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
