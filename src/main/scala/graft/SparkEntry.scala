@@ -577,6 +577,17 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- EXACT + COMPLETE Jaccard via prefix filtering (SSJoin
+    //      principle): rarest-first global shingle order, prefix
+    //      equi-join, candidate-bounded verification — every
+    //      qualifying pair found by proof, no LSH recall premise;
+    //      oracle is the unrestricted quadratic form ----
+    "q60_jaccard_complete" -> ((s, dir) => {
+      Dedup.jaccardPairsComplete(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
     // ---- corpus vocabulary: top-100 tokens by frequency (tokenizer-
     //      training input) — one hash agg + TakeOrderedAndProject ----
     "q58_vocab_topk" -> ((s, dir) => {
@@ -1124,6 +1135,22 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
+    // q60: UNRESTRICTED quadratic Jaccard — every pair, not just LSH
+    // candidates; the engine's prefix-filtered plan must equal it
+    "q60_jaccard_complete" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+  THEN list_transform(range(0, len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+  ELSE [] END) AS shingle FROM toks),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+  SELECT id_a, id_b,
+    CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) AS j
+  FROM pr JOIN sz x ON pr.id_a = x.doc_id JOIN sz y ON pr.id_b = y.doc_id)
+WHERE j >= 0.8 ORDER BY id_a, id_b""",
     "q58_vocab_topk" ->
       s"""SELECT token, count(*) AS cnt
 FROM (SELECT unnest($tokensSql) AS token FROM documents)

@@ -216,6 +216,74 @@ object Dedup {
     jaccardFinish(inter, sizes, idCol, threshold)
   }
 
+  /** Exact intersection counts for given candidate pairs: attach the
+    * A-side shingle set, equi-join on (id_b, shingle) — never
+    * shingle-vs-shingle on the full table. Shared by the LSH-gated and
+    * prefix-filtered Jaccard variants. */
+  private def interOnCandidates(cand: DataFrame, sh: DataFrame,
+                                idCol: String): DataFrame =
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+
+  /** EXACT and COMPLETE pairwise Jaccard ≥ threshold, sub-quadratic via
+    * PREFIX FILTERING (the SSJoin/ppjoin principle) — unlike
+    * [[jaccardOverCandidates]] there is no LSH recall loss: every
+    * qualifying pair is returned, with a proof rather than a
+    * probability.
+    *
+    * Principle: order all shingles by a global total order (ascending
+    * corpus frequency, rarest first, ties by value). If
+    * J(a,b) ≥ t then |a∩b| ≥ ⌈t·max(|a|,|b|)⌉, and a set x can only
+    * fit that overlap if some common shingle falls in its first
+    * |x| − ⌈t·|x|⌉ + 1 shingles (else all common shingles squeeze into
+    * a suffix smaller than the overlap — contradiction). So joining
+    * PREFIXES on shingle equality finds a superset of all qualifying
+    * pairs; exact Jaccard verification on those candidates makes the
+    * result exact.
+    *
+    * Scale shape: one frequency aggregate (shuffle by shingle), one
+    * per-document ranking window (partitions = single-doc shingle sets,
+    * bounded by doc length), a prefix equi-join whose key is the
+    * rarest-first prefix — hot ubiquitous shingles sort LAST and rarely
+    * enter prefixes, which is what tames the hot-shingle k² blowup the
+    * naive self-join suffers — then candidate-bounded verification.
+    * Higher thresholds shrink prefixes (t=0.9 keeps ~10% of shingles),
+    * so cost tracks the duplicate density being hunted.
+    * Returns (id_a, id_b, jaccard). */
+  def jaccardPairsComplete(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3,
+                           threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1]: $threshold")
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("gf"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("gf").asc, col("shingle").asc)
+    val pref = sh
+      .join(freq, "shingle")
+      .join(sizes, idCol)
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(idCol), col("shingle"), col("sz"))
+    // LENGTH filter inside the join (J ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t):
+    // prunes size-incompatible pairs before the distinct, for free —
+    // sizes already ride on the prefix rows
+    val cand = pref.select(col(idCol).as("id_a"), col("shingle"),
+        col("sz").as("sz_a"))
+      .join(pref.select(col(idCol).as("id_b"), col("shingle"),
+        col("sz").as("sz_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b") >= ceil(lit(threshold) * col("sz_a")) &&
+        col("sz_a") >= ceil(lit(threshold) * col("sz_b")))
+      .select("id_a", "id_b")
+      .distinct()
+    jaccardFinish(interOnCandidates(cand, sh, idCol), sizes, idCol, threshold)
+  }
+
   /** Exact n-gram Jaccard gated through MinHash+LSH candidate pairs —
     * the 100 TB composition (round-2 verdict item 3): candidate
     * generation is the banded equi-join (cardinality tracks duplicate
@@ -238,15 +306,7 @@ object Dedup {
     val cand = candidatePairs(lshBands(sig, idCol, numHashes, bands), idCol)
     val sh = shMulti.distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // Intersection via the candidate pairs: attach the A-side shingle
-    // set (|cand| × |avg shingles| rows), then equi-join on
-    // (id_b, shingle) — never shingle-vs-shingle on the full table.
-    val inter = cand
-      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    jaccardFinish(inter, sizes, idCol, threshold)
+    jaccardFinish(interOnCandidates(cand, sh, idCol), sizes, idCol, threshold)
   }
 
   /** SimHash over the distinct token set. Each token hashes to `bits`

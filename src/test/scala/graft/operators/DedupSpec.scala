@@ -105,6 +105,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairsComplete ≡ quadratic jaccardPairs — no recall loss") {
+    // corpus engineered so LSH COULD miss moderate-similarity pairs but
+    // prefix filtering must not: many mid-similarity pairs around the
+    // threshold plus exact dups
+    val rng = new scala.util.Random(13)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(12)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon eta"))  // J high
+    val df = corpus.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val complete = Dedup.jaccardPairsComplete(df, "doc_id", "text", 3, t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val quadratic = Dedup.jaccardPairs(df, "doc_id", "text", 3, t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(complete == quadratic,
+        s"t=$t: missing ${quadratic -- complete}, extra ${complete -- quadratic}")
+    }
+    // sanity: the fixture actually has qualifying pairs at 0.3
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.3).count() > 0)
+  }
+
   test("simhash: identical docs share a signature; near-dups are close in hamming") {
     val sigs = Dedup.simHash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
