@@ -577,6 +577,32 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- grouped Pearson correlation from EXACT decimal moment sums
+    //      (n, Σx, Σy, Σxy, Σx², Σy²) — the order-insensitive form;
+    //      builtin corr() sums doubles in partition order and is not
+    //      bit-reproducible across engines or even runs ----
+    "q61_corr_stats" -> ((s, dir) => {
+      // integer-cents encoding: Pearson correlation is invariant to
+      // linear scaling, so exact BIGINT moments replace fragile
+      // decimal×decimal products (DuckDB caps the product width)
+      def isum(c: Column) = sum(c.cast("decimal(28,0)")).cast("double")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("xi"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("yi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          isum(col("xi")).as("sx"), isum(col("yi")).as("sy"),
+          isum(col("xi") * col("yi")).as("sxy"),
+          isum(col("xi") * col("xi")).as("sxx"),
+          isum(col("yi") * col("yi")).as("syy"))
+        .withColumn("corr_qty_price",
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+        .select("l_returnflag", "n", "corr_qty_price")
+        .orderBy("l_returnflag")
+    }),
     // ---- EXACT + COMPLETE Jaccard via prefix filtering (SSJoin
     //      principle): rarest-first global shingle order, prefix
     //      equi-join, candidate-bounded verification — every
@@ -1135,6 +1161,21 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
+    "q61_corr_stats" ->
+      """WITH c AS (SELECT l_returnflag,
+  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yi
+FROM lineitem),
+m AS (SELECT l_returnflag, count(*) AS n,
+  CAST(sum(xi) AS DOUBLE) AS sx, CAST(sum(yi) AS DOUBLE) AS sy,
+  CAST(sum(xi * yi) AS DOUBLE) AS sxy,
+  CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+  CAST(sum(yi * yi) AS DOUBLE) AS syy
+FROM c GROUP BY 1)
+SELECT l_returnflag, n,
+  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+  AS corr_qty_price
+FROM m ORDER BY l_returnflag""",
     // q60: UNRESTRICTED quadratic Jaccard — every pair, not just LSH
     // candidates; the engine's prefix-filtered plan must equal it
     "q60_jaccard_complete" ->
