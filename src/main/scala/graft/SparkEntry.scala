@@ -577,6 +577,25 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- 7-row moving average over per-day aggregates: daily rollup
+    //      first (the heavy agg), then a window over the TINY daily
+    //      frame — decimal sums through the window keep the average
+    //      bit-stable (a double window sum depends on frame arithmetic
+    //      internals) ----
+    "q62_moving_avg" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("day_sum"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("ma7",
+          round((sum(col("day_sum")).over(w).cast("double") /
+            count(lit(1)).over(w)), 6))
+        .select(col("day"), col("event_type"),
+          col("day_sum").cast("double").as("day_sum"), col("ma7"))
+        .orderBy("day", "event_type")
+    }),
     // ---- grouped Pearson correlation from EXACT decimal moment sums
     //      (n, Σx, Σy, Σxy, Σx², Σy²) — the order-insensitive form;
     //      builtin corr() sums doubles in partition order and is not
@@ -1161,6 +1180,17 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
+    "q62_moving_avg" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+  sum(CAST(value AS DECIMAL(18,2))) AS day_sum
+FROM events GROUP BY 1, 2)
+SELECT day, event_type, CAST(day_sum AS DOUBLE) AS day_sum,
+  round(CAST(sum(day_sum) OVER w AS DOUBLE)
+    / (count(*) OVER w), 6) AS ma7
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day, event_type""",
     "q61_corr_stats" ->
       """WITH c AS (SELECT l_returnflag,
   CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi,

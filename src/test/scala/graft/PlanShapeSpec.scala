@@ -92,6 +92,17 @@ class PlanShapeSpec extends SparkSpec {
     val p53 = finalPlan(q("q53_cube_agg"))
     assert(!p53.contains("Join") && p53.contains("Expand"),
       s"cube must plan as Expand + aggregate:\n$p53")
+    // q60's prefix-filtered Jaccard must stay equi-join based — the
+    // whole point is avoiding the quadratic/cartesian shape
+    val p60 = finalPlan(q("q60_jaccard_complete"))
+    assert(!p60.contains("CartesianProduct") &&
+      !p60.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filtered Jaccard must join on keys only:\n$p60")
+    // q61/q62: aggregation-only shapes (q62's window runs over the
+    // already-aggregated daily frame, not the raw events)
+    val p61 = finalPlan(q("q61_corr_stats"))
+    assert(!p61.contains("Join") && !p61.contains("Window"),
+      s"moment-sum correlation must be one aggregation:\n$p61")
   }
 
   test("parquet scans prune columns: q14 reads only what it projects") {
