@@ -577,6 +577,16 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- document chunking: overlapping 64-token windows, stride 48
+    //      (RAG/training context prep) — pure per-row expressions,
+    //      zero shuffle ----
+    "q63_chunk_documents" -> ((s, dir) => {
+      Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+        .withColumn("chunk_md5", md5(col("chunk_text")))
+        .drop("chunk_text")
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // ---- 7-row moving average over per-day aggregates: daily rollup
     //      first (the heavy agg), then a window over the TINY daily
     //      frame — decimal sums through the window keep the average
@@ -1180,6 +1190,18 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
+    // q63: chunk k covers tokens [48k, 48k+64); md5 of the joined chunk
+    // keeps the gate row narrow (the text itself is document-sized)
+    "q63_chunk_documents" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+ch AS (SELECT doc_id, unnest(range(0, (n - 1) // 48 + 1)) AS k, tk, n
+  FROM nz)
+SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+  CAST(least(64, n - k * 48) AS INTEGER) AS chunk_tokens,
+  md5(array_to_string(tk[k * 48 + 1 : least(k * 48 + 64, n)], ' '))
+    AS chunk_md5
+FROM ch ORDER BY doc_id, chunk_idx""",
     "q62_moving_avg" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
   sum(CAST(value AS DECIMAL(18,2))) AS day_sum

@@ -132,6 +132,34 @@ object Curation {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Split documents into overlapping token-window chunks — the
+    * context-window preparation step for RAG indexes and training
+    * examples. Chunk k covers tokens [k·(chunkTokens−overlap),
+    * k·(chunkTokens−overlap)+chunkTokens); starts advance by the
+    * stride until the document is exhausted (the final chunk may be
+    * short). Empty documents yield no chunks.
+    *
+    * Pure per-row expressions (tokenize once, `sequence` of starts,
+    * explode, `slice`) — zero shuffle, whole-stage codegen, trivially
+    * data-parallel at any corpus size. Returns (idCol, chunk_idx,
+    * chunk_text, chunk_tokens). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap ($overlap) must be in [0, chunkTokens)")
+    val step = chunkTokens - overlap
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      .withColumn("k", explode(expr(s"sequence(0, (`_n` - 1) div $step)")))
+      .select(col(idCol), col("k").cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("_toks"), col("k") * step + 1,
+          lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), col("_n") - col("k") * step).cast("int")
+          .as("chunk_tokens"))
+  }
+
   /** Sequence packing: assign each document the index of the
     * `budgetTokens`-sized window in which it STARTS when all documents
     * are concatenated in `orderCol` order — the layout step before

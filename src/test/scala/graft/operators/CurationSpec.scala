@@ -100,6 +100,28 @@ class CurationSpec extends SparkSpec {
     assert(surviving.toSeq == Seq(2L, 4L))
   }
 
+  test("chunkDocuments: stride/overlap arithmetic, tails, empty docs") {
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "a b c"),                                  // shorter than one chunk
+      (2L, "")                                        // empty → no chunks
+    ).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 4, overlap = 1).orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String, Int)].collect()
+    // doc 0: starts 0,3,6,9 → [t1..t4],[t4..t7],[t7..t10],[t10]
+    val d0 = chunks.filter(_._1 == 0L)
+    assert(d0.map(_._3).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7",
+      "t7 t8 t9 t10", "t10"))
+    assert(d0.map(_._4).toSeq == Seq(4, 4, 4, 1))
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq("a b c") && d1.head._4 == 3)
+    assert(!chunks.exists(_._1 == 2L), "empty doc yields no chunks")
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(docs, "doc_id", "text", 4, overlap = 4)
+    }
+  }
+
   test("packSequences matches the single-window formulation, any partitioning") {
     val rng = new scala.util.Random(3)
     val docs = Seq.tabulate(500)(i => (i.toLong, 1 + rng.nextInt(400)))
