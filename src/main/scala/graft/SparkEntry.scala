@@ -577,6 +577,38 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- ordered event funnel view→click→purchase: three per-user
+    //      conditional-min aggregations chained by strict-after joins,
+    //      all keyed on user_id (co-partitioned; no windows over raw
+    //      events, no per-user sort) ----
+    "q64_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("user_id", "ts", "event_type")
+      def firstAfter(events: DataFrame, stage: String, prev: DataFrame,
+                     prevCol: String, outCol: String): DataFrame =
+        events.filter(col("event_type") === stage)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevCol))
+          .groupBy("user_id").agg(min("ts").as(outCol))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = firstAfter(ev, "click", v, "t_view", "t_click")
+      val p = firstAfter(ev, "purchase", c, "t_click", "t_purchase")
+      v.join(c, "user_id").join(p, "user_id")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    }),
+    // ---- JSON property extraction + aggregation: get_json_object
+    //      path access on the props column (string JSON at rest —
+    //      the schema-on-read pattern), grouped stats ----
+    "q65_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
     // ---- document chunking: overlapping 64-token windows, stride 48
     //      (RAG/training context prep) — pure per-row expressions,
     //      zero shuffle ----
@@ -1190,6 +1222,24 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
+    "q64_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+  JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+  JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT v.user_id AS user_id, t_view, t_click, t_purchase
+FROM v JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id""",
+    "q65_json_props" ->
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+  min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+GROUP BY 1 ORDER BY event_type""",
     // q63: chunk k covers tokens [48k, 48k+64); md5 of the joined chunk
     // keeps the gate row narrow (the text itself is document-sized)
     "q63_chunk_documents" ->
