@@ -577,6 +577,17 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- resize geometry over decoded features: box-fit scale
+    //      (aspect-preserving, no upscale), audio passes through —
+    //      per-row expressions on top of the q42 decode path ----
+    "q66_resize_plan" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.resizePlan(Multimodal.decode(s, media).toDF(), 256, 256)
+        .select("media_id", "media_type", "width", "height", "scale",
+          "out_width", "out_height")
+        .orderBy("media_id")
+    }),
     // ---- ordered event funnel view→click→purchase: three per-user
     //      conditional-min aggregations chained by strict-after joins,
     //      all keyed on user_id (co-partitioned; no windows over raw
@@ -1222,6 +1233,20 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
+    "q66_resize_plan" ->
+      s"""WITH feats AS (${decodeOracle.replace("ORDER BY media_id", "")}),
+r AS (SELECT media_id, media_type, width, height,
+  CASE WHEN width > 0 AND height > 0
+    THEN round(least(1.0, CAST(256 AS DOUBLE) / width,
+                          CAST(256 AS DOUBLE) / height), 6)
+    ELSE 1.0 END AS scale
+FROM feats)
+SELECT media_id, media_type, width, height, scale,
+  CASE WHEN width > 0 AND height > 0
+    THEN CAST(floor(width * scale) AS INTEGER) ELSE width END AS out_width,
+  CASE WHEN width > 0 AND height > 0
+    THEN CAST(floor(height * scale) AS INTEGER) ELSE height END AS out_height
+FROM r ORDER BY media_id""",
     "q64_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
   WHERE event_type = 'view' GROUP BY 1),

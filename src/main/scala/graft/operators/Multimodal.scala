@@ -102,6 +102,32 @@ object Multimodal {
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] =
     decode(spark, media)
 
+  /** Resize plan over decoded features: target box fit (preserve aspect
+    * ratio, never upscale) computed as pure per-row expressions — the
+    * metadata half of an image/video resize stage. The actual pixel
+    * resample belongs in a [[Codec]] (same swap-in seam as decode; this
+    * container has no image libs), but the geometry — which is what
+    * downstream batching/packing needs — is exact and engine-checkable:
+    * scale = min(1, targetW/width, targetH/height), out dims =
+    * floor(dim·scale), audio rows (width 0) pass through unscaled.
+    * Returns the input plus (scale, out_width, out_height). */
+  def resizePlan(features: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"target box must be positive: ${targetW}x$targetH")
+    val visual = col("width") > 0 && col("height") > 0
+    val scale = least(lit(1.0),
+      lit(targetW).cast("double") / col("width").cast("double"),
+      lit(targetH).cast("double") / col("height").cast("double"))
+    features
+      .withColumn("scale", when(visual, round(scale, 6)).otherwise(1.0))
+      .withColumn("out_width",
+        when(visual, floor(col("width") * col("scale")).cast("int"))
+          .otherwise(col("width")))
+      .withColumn("out_height",
+        when(visual, floor(col("height") * col("scale")).cast("int"))
+          .otherwise(col("height")))
+  }
+
   /** Frame sampling: slice `n` fixed-offset byte windows out of each
     * payload (stand-in for video frame extraction). Pure expression —
     * produces (media_id, frame_idx, frame_bytes). */

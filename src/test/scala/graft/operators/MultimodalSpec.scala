@@ -53,6 +53,24 @@ class MultimodalSpec extends SparkSpec {
       f.duration_ms == 42 && f.checksum == "custom"))
   }
 
+  test("resizePlan: box-fit scale, no upscale, audio passthrough") {
+    val feats = Seq(
+      (1L, "image/png", 512, 256),  // landscape → scale by width
+      (2L, "image/png", 100, 100),  // smaller than box → no upscale
+      (3L, "audio/wav", 0, 0)       // non-visual passthrough
+    ).toDF("media_id", "media_type", "width", "height")
+    val out = Multimodal.resizePlan(feats, 256, 256)
+      .orderBy("media_id")
+      .select("scale", "out_width", "out_height")
+      .as[(Double, Int, Int)].collect()
+    assert(out(0) == ((0.5, 256, 128)))
+    assert(out(1) == ((1.0, 100, 100)), "never upscale")
+    assert(out(2) == ((1.0, 0, 0)), "audio passes through")
+    intercept[IllegalArgumentException] {
+      Multimodal.resizePlan(feats, 0, 256)
+    }
+  }
+
   test("frameSample: n frames of fixed width per payload") {
     val frames = Multimodal.frameSample(media, n = 3, frameBytes = 8)
       .select($"media_id", $"frame_idx", length($"frame_bytes").as("len"))
