@@ -103,6 +103,18 @@ class PlanShapeSpec extends SparkSpec {
     val p61 = finalPlan(q("q61_corr_stats"))
     assert(!p61.contains("Join") && !p61.contains("Window"),
       s"moment-sum correlation must be one aggregation:\n$p61")
+    // q63/q66: per-row pipelines — at most the gate-sort exchange
+    for (name <- Seq("q63_chunk_documents", "q66_resize_plan")) {
+      val plan = finalPlan(q(name))
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"$name must be map-only plus the gate sort, saw $exchanges:\n$plan")
+    }
+    // q64: keyed aggregations and equi-joins only
+    val p64 = finalPlan(q("q64_funnel"))
+    assert(!p64.contains("CartesianProduct") &&
+      !p64.contains("BroadcastNestedLoopJoin") && !p64.contains("Window"),
+      s"funnel must stay keyed-agg + equi-join:\n$p64")
   }
 
   test("parquet scans prune columns: q14 reads only what it projects") {
