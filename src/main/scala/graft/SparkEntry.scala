@@ -577,6 +577,14 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- temperature resampling (mT5 recipe): flatten the language
+    //      distribution with alpha=0.3 — counts aggregate + broadcast
+    //      rate join + per-row md5 cut, corpus never shuffled ----
+    "q67_temperature_sample" -> ((s, dir) => {
+      Curation.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.3)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // ---- resize geometry over decoded features: box-fit scale
     //      (aspect-preserving, no upscale), audio passes through —
     //      per-row expressions on top of the q42 decode path ----
@@ -1233,6 +1241,17 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
+    "q67_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+t AS (SELECT count(*) AS n_total FROM documents),
+r AS (SELECT lang, pow(CAST(n_l AS DOUBLE) / n_total, 0.3 - 1.0) AS ratio
+  FROM c CROSS JOIN t),
+m AS (SELECT max(ratio) AS mr FROM r),
+rt AS (SELECT lang, round(ratio / mr, 6) AS rate FROM r CROSS JOIN m)
+SELECT d.doc_id, d.lang FROM documents d JOIN rt ON d.lang = rt.lang
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+  < round(rate * 65536)
+ORDER BY doc_id""",
     "q66_resize_plan" ->
       s"""WITH feats AS (${decodeOracle.replace("ORDER BY media_id", "")}),
 r AS (SELECT media_id, media_type, width, height,

@@ -56,9 +56,11 @@ object Clustering {
         col("id_a").cast("long").as("dst")))
       .distinct()
       .localCheckpoint(eager = true)
+    // initial labels are a trivial projection of `nodes` — NOT
+    // checkpointed (a checkpoint here costs a full blocking job and
+    // saves nothing; round 1 recomputes only the projection)
     var labels = nodes.select(col(idCol).cast("long").as("id"),
       col(idCol).cast("long").as("comp"))
-      .localCheckpoint(eager = true)
     // FRONTIER optimization: only nodes whose label CHANGED last round
     // need to re-broadcast it — messages from unchanged neighbors were
     // already folded in. Round 1's frontier is everyone; afterwards it

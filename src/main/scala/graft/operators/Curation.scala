@@ -84,6 +84,39 @@ object Curation {
       .cast("int") < cut)
   }
 
+  /** Temperature-based multilingual resampling (the mT5/XLM-R recipe):
+    * flatten the corpus language distribution toward uniform with
+    * exponent `alpha` ∈ (0, 1]. With empirical shares p_l, adjusted
+    * shares q_l ∝ p_l^alpha, each stratum keeps rate
+    * r_l = (q_l / p_l) / max_m(q_m / p_m) ∈ (0, 1] — the rarest
+    * language keeps everything, dominant languages downsample, and
+    * alpha = 1 keeps the corpus unchanged.
+    *
+    * Shape at scale: one count aggregate (#strata rows), rate
+    * arithmetic on that tiny frame, broadcast join back, then the
+    * same per-row md5-cut predicate as [[hashSample]] — the corpus
+    * itself is never shuffled. Rates round to 6 dp before the cut so
+    * the kept set is reproducible across engines (pow() may differ in
+    * the last ulp). */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_l"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("p_l", col("n_l").cast("double") / col("n_total"))
+      // q_l/p_l ∝ p_l^(alpha-1); normalize by the max ratio
+      .withColumn("ratio", pow(col("p_l"), alpha - 1.0))
+    val maxRatio = broadcast(rates.agg(max(col("ratio")).as("max_ratio")))
+    val withRate = rates.crossJoin(maxRatio)
+      .withColumn("rate", round(col("ratio") / col("max_ratio"), 6))
+      .select(col(stratumCol), col("rate"))
+    df.join(broadcast(withRate), stratumCol)
+      .filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("int") < round(col("rate") * 65536))
+      .drop("rate")
+  }
+
   /** PII patterns — deliberately restricted to syntax valid in BOTH
     * Java regex and RE2 (DuckDB), so the oracle runs them verbatim. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -100,6 +100,23 @@ class CurationSpec extends SparkSpec {
     assert(surviving.toSeq == Seq(2L, 4L))
   }
 
+  test("temperatureSample: alpha=1 keeps all; low alpha flattens toward uniform") {
+    val df = spark.range(10000).toDF("id")
+      .withColumn("lang", when($"id" % 10 === 0, "rare").otherwise("common"))
+    assert(Curation.temperatureSample(df, "id", "lang", 1.0).count() == 10000,
+      "alpha=1 must keep the corpus unchanged")
+    val flat = Curation.temperatureSample(df, "id", "lang", 0.3)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(flat("rare") == 1000L, "the rarest stratum keeps everything")
+    assert(flat("common") < 9000L, "dominant strata downsample")
+    // flattening: the kept shares are closer to uniform than the input
+    val keptShareRare = flat("rare").toDouble / (flat("rare") + flat("common"))
+    assert(keptShareRare > 0.1, s"rare share must rise above input 0.1: $keptShareRare")
+    intercept[IllegalArgumentException] {
+      Curation.temperatureSample(df, "id", "lang", 0.0)
+    }
+  }
+
   test("chunkDocuments: stride/overlap arithmetic, tails, empty docs") {
     val docs = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
