@@ -577,6 +577,13 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- deterministic eval carving: 5 docs per language in md5-hash
+    //      order, selected by the bounded partial top-k aggregate ----
+    "q68_eval_carve" -> ((s, dir) => {
+      Curation.evalCarve(t(s, dir, "documents"), "doc_id", "lang", k = 5)
+        .select("lang", "rank", "doc_id")
+        .orderBy("lang", "rank")
+    }),
     // ---- temperature resampling (mT5 recipe): flatten the language
     //      distribution with alpha=0.3 — counts aggregate + broadcast
     //      rate join + per-row md5 cut, corpus never shuffled ----
@@ -1241,6 +1248,13 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
+    "q68_eval_carve" ->
+      """SELECT lang, rank, doc_id FROM (
+  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+      AS BIGINT) DESC, doc_id) AS INTEGER) AS rank
+  FROM documents)
+WHERE rank <= 5 ORDER BY lang, rank""",
     "q67_temperature_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
 t AS (SELECT count(*) AS n_total FROM documents),

@@ -84,6 +84,24 @@ object Curation {
       .cast("int") < cut)
   }
 
+  /** Deterministic per-stratum eval-set carving: the k documents per
+    * stratum that rank first in md5-hash order — a reproducible
+    * pseudo-random selection (stable across runs, engines, and corpus
+    * repartitioning; a carved doc stays carved when unrelated docs are
+    * added). Selection runs through [[TopK.perGroup]]'s bounded partial
+    * aggregate, so the shuffle carries at most k rows per (stratum,
+    * partition) — never a window sort of the corpus. The 48-bit hash
+    * (12 hex chars) is exact in a double. Returns
+    * (stratumCol, rank, idCol, hscore). */
+  def evalCarve(df: DataFrame, idCol: String, stratumCol: String,
+                k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val scored = df.select(col(stratumCol), col(idCol),
+      conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+        .cast("double").as("hscore"))
+    TopK.perGroup(scored, stratumCol, "hscore", idCol, k)
+  }
+
   /** Temperature-based multilingual resampling (the mT5/XLM-R recipe):
     * flatten the corpus language distribution toward uniform with
     * exponent `alpha` ∈ (0, 1]. With empirical shares p_l, adjusted

@@ -100,6 +100,24 @@ class CurationSpec extends SparkSpec {
     assert(surviving.toSeq == Seq(2L, 4L))
   }
 
+  test("evalCarve: k per stratum, partition-invariant, growth-stable") {
+    val df = spark.range(3000).toDF("id")
+      .withColumn("lang", element_at(array(lit("en"), lit("de"), lit("fr")),
+        (pmod($"id", lit(3)) + 1).cast("int")))
+    val carved = Curation.evalCarve(df, "id", "lang", 4)
+    assert(carved.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap.values.forall(_ == 4L))
+    val again = Curation.evalCarve(df.repartition(13), "id", "lang", 4)
+      .select("lang", "rank", "id")
+    assert(carved.select("lang", "rank", "id").except(again).count() == 0)
+    // adding unrelated docs never evicts a carved doc of another stratum
+    val grown = Curation.evalCarve(
+      df.union(spark.range(5000, 5100).toDF("id")
+        .withColumn("lang", lit("zh"))), "id", "lang", 4)
+    assert(grown.filter($"lang" =!= "zh").select("lang", "rank", "id")
+      .except(carved.select("lang", "rank", "id")).count() == 0)
+  }
+
   test("temperatureSample: alpha=1 keeps all; low alpha flattens toward uniform") {
     val df = spark.range(10000).toDF("id")
       .withColumn("lang", when($"id" % 10 === 0, "rare").otherwise("common"))
