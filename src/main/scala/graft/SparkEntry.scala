@@ -577,6 +577,17 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- JL random projection 64→8 (seeded Gaussian, 1/√8 scale):
+    //      the shrink step before similarity search; oracle replays
+    //      the identical literal matrix with the same fold order ----
+    "q69_random_projection" -> ((s, dir) => {
+      Similarity.randomProjection(t(s, dir, "embeddings"), "embedding",
+        dim = 64, outDim = 8, seed = 7L)
+        .select(col("vec_id"),
+          round(element_at(col("projected"), 1), 6).as("p0"),
+          round(element_at(col("projected"), 2), 6).as("p1"))
+        .orderBy("vec_id")
+    }),
     // ---- deterministic eval carving: 5 docs per language in md5-hash
     //      order, selected by the bounded partial top-k aggregate ----
     "q68_eval_carve" -> ((s, dir) => {
@@ -859,6 +870,23 @@ FROM m ORDER BY media_id"""
 h AS (SELECT doc_id, md5(token) AS hx FROM tk),
 votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
 ssig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes)"""
+  }
+
+  /** q69: components 1 and 2 of the projection — the coefficient
+    * literals come from the SAME projectionPlanes call as the engine
+    * (Double.toString round-trips exactly, so DuckDB parses identical
+    * doubles), and the explicit left-associated sum reproduces the dot
+    * loop's fold order bit for bit. */
+  private def randomProjectionOracle: String = {
+    val planes = graft.operators.Similarity.projectionPlanes(64, 8, 7L)
+    val scale = 1.0 / math.sqrt(8.0)
+    def comp(j: Int): String =
+      (0 until 64).map(i => s"(v[${i + 1}] * (${planes(j)(i)}))")
+        .mkString("(", " + ", s") * $scale")
+    s"""WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+SELECT vec_id, round(${comp(0)}, 6) AS p0, round(${comp(1)}, 6) AS p1
+FROM v ORDER BY vec_id"""
   }
 
   private def simhashOracle: String =
@@ -1248,6 +1276,7 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
   FROM comp c JOIN nt ON nt.doc_id = c.doc_id)
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
+    "q69_random_projection" -> randomProjectionOracle,
     "q68_eval_carve" ->
       """SELECT lang, rank, doc_id FROM (
   SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang

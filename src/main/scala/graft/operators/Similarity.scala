@@ -89,6 +89,38 @@ object Similarity {
     array_max(zip_with(vec.cast("array<double>"), q8,
       (x, q) => abs(x - q.cast("double") * scale)))
 
+  /** Johnson–Lindenstrauss random projection: reduce `dim`-dimensional
+    * embeddings to `outDim` with a seeded Gaussian matrix, scaled by
+    * 1/√outDim so expected pairwise distances are preserved — the
+    * standard shrink step before brute-force/IVF search when the input
+    * dimensionality is large (scanning 8 doubles beats scanning 64 at
+    * identical recall targets for moderate distortion ε ≈ √(ln n /
+    * outDim)). Deterministic: same seed, same matrix, reproducible
+    * across runs and engines. Pure per-row expressions; the per-
+    * component dot runs through the codegen'd [[dot]] loop. */
+  def randomProjection(df: DataFrame, vecCol: String, dim: Int, outDim: Int,
+                       seed: Long = 7L,
+                       outCol: String = "projected"): DataFrame = {
+    require(outDim > 0 && outDim <= dim,
+      s"outDim ($outDim) must be in [1, dim ($dim)]")
+    val planes = projectionPlanes(dim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val planesCol = array(planes.map(p => array(p.map(lit).toSeq: _*)).toSeq: _*)
+    df.withColumn("_v", col(vecCol).cast("array<double>"))
+      .withColumn(outCol,
+        transform(planesCol, p => dot(col("_v"), p) * scale))
+      .drop("_v")
+  }
+
+  /** The seeded Gaussian matrix, public so the DuckDB oracle
+    * interpolates the SAME coefficients (single source of truth —
+    * the MinHash-coefficient pattern). */
+  def projectionPlanes(dim: Int, outDim: Int,
+                       seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(outDim)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
   /** Exact top-k neighbors for each query row.
     *
     * Top-k selection is a [[TopK]] partial aggregation, NOT a

@@ -185,6 +185,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.subsetOf(exact), "LSH result must be a subset of exact")
   }
 
+  test("randomProjection: deterministic, JL distance preservation in expectation") {
+    val rng = new scala.util.Random(23)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjection(vecs, "embedding", 64, 16, seed = 7L)
+    val again = Similarity.randomProjection(vecs.repartition(7),
+      "embedding", 64, 16, seed = 7L)
+    assert(proj.select("vec_id", "projected").except(
+      again.select("vec_id", "projected")).count() == 0,
+      "same seed must give identical projections under any partitioning")
+    // JL: squared norms are preserved in expectation — the MEAN ratio
+    // over vectors concentrates near 1 even at outDim 16
+    val ratios = proj
+      .select((Similarity.norm($"projected") /
+        Similarity.norm($"embedding".cast("array<double>"))).as("r"))
+      .as[Double].collect()
+    val meanSq = ratios.map(r => r * r).sum / ratios.length
+    assert(math.abs(meanSq - 1.0) < 0.35,
+      s"mean squared-norm ratio should concentrate near 1: $meanSq")
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjection(vecs, "embedding", 64, 65)
+    }
+  }
+
   test("quantizeInt8: max|x| maps to ±127, error bounded, zero vec safe") {
     val df = Seq(
       (0L, Array(1.27f, -1.27f, 0.635f, 0.0f)),
