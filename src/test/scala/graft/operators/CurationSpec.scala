@@ -157,6 +157,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: zero-overlap chunks reassemble the tokenization") {
+    val rng = new scala.util.Random(17)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(40))("w" + rng.nextInt(9))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val rebuilt = Curation.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 7, overlap = 0)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct($"chunk_idx", $"chunk_text"))).getField("chunk_text"))
+        .as("rebuilt"))
+    val want = docs.select($"doc_id",
+      concat_ws(" ", TextAnalysis.tokens($"text")).as("want"))
+    val diff = rebuilt.join(want, "doc_id")
+      .filter($"rebuilt" =!= $"want").count()
+    assert(diff == 0, "stride=chunk must partition the token stream")
+  }
+
   test("packSequences matches the single-window formulation, any partitioning") {
     val rng = new scala.util.Random(3)
     val docs = Seq.tabulate(500)(i => (i.toLong, 1 + rng.nextInt(400)))
