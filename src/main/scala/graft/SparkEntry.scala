@@ -656,11 +656,12 @@ object SparkEntry {
         .drop("chunk_text")
         .orderBy("doc_id", "chunk_idx")
     }),
-    // ---- 7-row moving average over per-day aggregates: daily rollup
-    //      first (the heavy agg), then a window over the TINY daily
-    //      frame — decimal sums through the window keep the average
-    //      bit-stable (a double window sum depends on frame arithmetic
-    //      internals) ----
+    // ---- trailing 7-OBSERVATION moving average over per-day
+    //      aggregates (a ROWS frame: gap days stretch the calendar
+    //      span — densify or use a RANGE frame for strict-calendar
+    //      semantics): daily rollup first (the heavy agg), then a
+    //      window over the TINY daily frame — decimal sums through the
+    //      window keep the average bit-stable ----
     "q62_moving_avg" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
@@ -1298,16 +1299,22 @@ ORDER BY doc_id""",
     "q66_resize_plan" ->
       s"""WITH feats AS (${decodeOracle.replace("ORDER BY media_id", "")}),
 r AS (SELECT media_id, media_type, width, height,
-  CASE WHEN width > 0 AND height > 0
-    THEN round(least(1.0, CAST(256 AS DOUBLE) / width,
-                          CAST(256 AS DOUBLE) / height), 6)
-    ELSE 1.0 END AS scale
+  (width > 0 AND height > 0) AS visual,
+  (width <= 256 AND height <= 256) AS fits,
+  (CAST(width AS BIGINT) * 256 >= CAST(height AS BIGINT) * 256) AS wb
 FROM feats)
-SELECT media_id, media_type, width, height, scale,
-  CASE WHEN width > 0 AND height > 0
-    THEN CAST(floor(width * scale) AS INTEGER) ELSE width END AS out_width,
-  CASE WHEN width > 0 AND height > 0
-    THEN CAST(floor(height * scale) AS INTEGER) ELSE height END AS out_height
+SELECT media_id, media_type, width, height,
+  CASE WHEN NOT visual OR fits THEN 1.0
+    WHEN wb THEN round(CAST(256 AS DOUBLE) / width, 6)
+    ELSE round(CAST(256 AS DOUBLE) / height, 6) END AS scale,
+  CASE WHEN NOT visual OR fits THEN width
+    WHEN wb THEN 256
+    ELSE CAST(CAST(width AS BIGINT) * 256 // CAST(height AS BIGINT)
+      AS INTEGER) END AS out_width,
+  CASE WHEN NOT visual OR fits THEN height
+    WHEN wb THEN CAST(CAST(height AS BIGINT) * 256 // CAST(width AS BIGINT)
+      AS INTEGER)
+    ELSE 256 END AS out_height
 FROM r ORDER BY media_id""",
     "q64_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
@@ -1332,7 +1339,8 @@ GROUP BY 1 ORDER BY event_type""",
     "q63_chunk_documents" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
 nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
-ch AS (SELECT doc_id, unnest(range(0, (n - 1) // 48 + 1)) AS k, tk, n
+ch AS (SELECT doc_id,
+  unnest(range(0, greatest(0, (n - 1 - 16) // 48) + 1)) AS k, tk, n
   FROM nz)
 SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
   CAST(least(64, n - k * 48) AS INTEGER) AS chunk_tokens,

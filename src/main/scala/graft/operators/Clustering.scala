@@ -41,12 +41,17 @@ object Clustering {
     * Deterministic for any input (min is order- and
     * partitioning-insensitive).
     *
-    * @param maxIter safety bound; components with diameter > maxIter
-    *                would come back unconverged, so the method THROWS
-    *                rather than silently returning a partial clustering.
+    * @param maxIter safety bound on PROPAGATION ROUNDS. Proving the
+    *                fixpoint takes one quiet round beyond the last
+    *                label change, so a graph of diameter d needs
+    *                d + 1 ≤ maxIter rounds; graphs needing more THROW
+    *                rather than silently returning a partial
+    *                clustering. The default comfortably covers near-
+    *                clique dup graphs (diameter 2–4); raise it for
+    *                long-chain graphs.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 30): DataFrame = {
     // Undirected: materialize both directions once; `src`'s label flows
     // to `dst`. Checkpointed — re-joined every round.
     val bidir = edges
@@ -92,7 +97,7 @@ object Clustering {
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
-        "component diameter exceeds the bound; raise maxIter")
+        "convergence needs component diameter + 1 rounds; raise maxIter")
     labels.select(col("id").as(idCol), col("comp").as("component"))
   }
 

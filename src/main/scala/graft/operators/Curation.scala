@@ -32,8 +32,14 @@ object Curation {
     * buckets 0..55 by a full 4 percentage points at an 80/10/10 split —
     * measured, not hypothetical). */
   def hashBucket(id: Column): Column =
-    (conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100)
+    hashBucket16(id) % 100
+
+  /** The shared 16-bit md5 bucket ([0, 65536)) every sampler's keep
+    * predicate compares against — ONE definition so the q44/q51/q67
+    * oracles (which replay this arithmetic bit for bit) can never
+    * diverge between samplers. */
+  def hashBucket16(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
 
   /** Adds a `split` column ∈ {train, validation, test} keyed on
     * md5(idCol): bucket < trainPct → train, < trainPct + valPct →
@@ -59,8 +65,7 @@ object Curation {
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
     val cut = math.round(rate * 65536).toInt
-    df.filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-      .cast("int") < cut)
+    df.filter(hashBucket16(col(idCol)) < cut)
   }
 
   /** Stratified deterministic sampling: per-stratum keep rates (e.g.
@@ -80,8 +85,7 @@ object Curation {
     val cut = rates.toSeq.sortBy(_._1).foldLeft(cutOf(defaultRate)) {
       case (e, (s, r)) => when(col(stratumCol) === s, cutOf(r)).otherwise(e)
     }
-    df.filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-      .cast("int") < cut)
+    df.filter(hashBucket16(col(idCol)) < cut)
   }
 
   /** Deterministic per-stratum eval-set carving: the k documents per
@@ -115,7 +119,10 @@ object Curation {
     * same per-row md5-cut predicate as [[hashSample]] — the corpus
     * itself is never shuffled. Rates round to 6 dp before the cut so
     * the kept set is reproducible across engines (pow() may differ in
-    * the last ulp). */
+    * the last ulp). A null stratum is a stratum like any other: it
+    * gets its own temperature rate, and the join back is NULL-SAFE so
+    * null-stratum rows are never silently dropped (alpha = 1 keeps
+    * every row, nulls included). */
   def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
                         alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
@@ -128,11 +135,10 @@ object Curation {
     val maxRatio = broadcast(rates.agg(max(col("ratio")).as("max_ratio")))
     val withRate = rates.crossJoin(maxRatio)
       .withColumn("rate", round(col("ratio") / col("max_ratio"), 6))
-      .select(col(stratumCol), col("rate"))
-    df.join(broadcast(withRate), stratumCol)
-      .filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-        .cast("int") < round(col("rate") * 65536))
-      .drop("rate")
+      .select(col(stratumCol).as("_stratum"), col("rate"))
+    df.join(broadcast(withRate), col(stratumCol) <=> col("_stratum"))
+      .filter(hashBucket16(col(idCol)) < round(col("rate") * 65536))
+      .drop("rate", "_stratum")
   }
 
   /** PII patterns — deliberately restricted to syntax valid in BOTH
@@ -187,8 +193,12 @@ object Curation {
     * context-window preparation step for RAG indexes and training
     * examples. Chunk k covers tokens [k·(chunkTokens−overlap),
     * k·(chunkTokens−overlap)+chunkTokens); starts advance by the
-    * stride until the document is exhausted (the final chunk may be
-    * short). Empty documents yield no chunks.
+    * stride while they still reach at least one token BEYOND the
+    * previous chunk's coverage (the final chunk may be short, but a
+    * tail chunk fully contained in its predecessor — possible whenever
+    * the remainder ≤ overlap — is never emitted: it would duplicate
+    * content verbatim in the training/RAG output). Empty documents
+    * yield no chunks; docs shorter than one chunk yield exactly one.
     *
     * Pure per-row expressions (tokenize once, `sequence` of starts,
     * explode, `slice`) — zero shuffle, whole-stage codegen, trivially
@@ -200,10 +210,14 @@ object Curation {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap ($overlap) must be in [0, chunkTokens)")
     val step = chunkTokens - overlap
+    // last start k·step must satisfy k·step + overlap < n (new content
+    // exists past the previous chunk) ⇒ kMax = ⌊(n − overlap − 1)/step⌋,
+    // clamped at 0 so short docs keep their single chunk
     df.select(col(idCol), Dedup.tokens(col(textCol)).as("_toks"))
       .withColumn("_n", size(col("_toks")))
       .filter(col("_n") > 0)
-      .withColumn("k", explode(expr(s"sequence(0, (`_n` - 1) div $step)")))
+      .withColumn("k", explode(expr(
+        s"sequence(0, greatest(0L, (`_n` - 1 - $overlap) div $step))")))
       .select(col(idCol), col("k").cast("int").as("chunk_idx"),
         concat_ws(" ", slice(col("_toks"), col("k") * step + 1,
           lit(chunkTokens))).as("chunk_text"),

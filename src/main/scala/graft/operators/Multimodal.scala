@@ -107,25 +107,42 @@ object Multimodal {
     * metadata half of an image/video resize stage. The actual pixel
     * resample belongs in a [[Codec]] (same swap-in seam as decode; this
     * container has no image libs), but the geometry — which is what
-    * downstream batching/packing needs — is exact and engine-checkable:
-    * scale = min(1, targetW/width, targetH/height), out dims =
-    * floor(dim·scale), audio rows (width 0) pass through unscaled.
+    * downstream batching/packing needs — is computed in INTEGER
+    * arithmetic so the binding edge lands exactly on the target (a
+    * floor over a float scale can undershoot the box by a pixel:
+    * floor(300 · round(256/300, 6)) = 255). The binding axis is decided
+    * by comparing width·targetH vs height·targetW (exact in longs); the
+    * binding edge gets the full target extent, the other edge
+    * floor-divides. Audio rows (width 0) pass through unscaled.
+    * `scale` is the display ratio of the binding axis (6 dp).
     * Returns the input plus (scale, out_width, out_height). */
   def resizePlan(features: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0,
       s"target box must be positive: ${targetW}x$targetH")
-    val visual = col("width") > 0 && col("height") > 0
-    val scale = least(lit(1.0),
-      lit(targetW).cast("double") / col("width").cast("double"),
-      lit(targetH).cast("double") / col("height").cast("double"))
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val visual = w > 0 && h > 0
+    val fits = w <= targetW && h <= targetH
+    // wider-than-target aspect ⇔ width is the binding axis
+    val widthBinds = w * targetH >= h * targetW
     features
-      .withColumn("scale", when(visual, round(scale, 6)).otherwise(1.0))
+      .withColumn("scale",
+        when(!visual || fits, 1.0)
+          .when(widthBinds,
+            round(lit(targetW).cast("double") / w.cast("double"), 6))
+          .otherwise(
+            round(lit(targetH).cast("double") / h.cast("double"), 6)))
       .withColumn("out_width",
-        when(visual, floor(col("width") * col("scale")).cast("int"))
-          .otherwise(col("width")))
+        when(!visual || fits, col("width"))
+          .when(widthBinds, lit(targetW))
+          // floor of the double quotient is the exact integer div here:
+          // operands are exact in double and the smallest nonzero
+          // remainder fraction (1/h ≥ 1e-6) dwarfs double rounding
+          .otherwise(floor(w * targetH / h).cast("int")))
       .withColumn("out_height",
-        when(visual, floor(col("height") * col("scale")).cast("int"))
-          .otherwise(col("height")))
+        when(!visual || fits, col("height"))
+          .when(widthBinds, floor(h * targetW / w).cast("int"))
+          .otherwise(lit(targetH)))
   }
 
   /** Frame sampling: slice `n` fixed-offset byte windows out of each

@@ -133,6 +133,14 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.temperatureSample(df, "id", "lang", 0.0)
     }
+    // null stratum is a stratum like any other — never silently dropped
+    val withNull = spark.range(1000).toDF("id")
+      .withColumn("lang", when($"id" % 2 === 0, "en"))
+    assert(Curation.temperatureSample(withNull, "id", "lang", 1.0)
+      .count() == 1000, "alpha=1 must keep null-stratum rows too")
+    val flatNull = Curation.temperatureSample(withNull, "id", "lang", 0.3)
+    assert(flatNull.filter($"lang".isNull).count() > 0,
+      "null stratum must survive resampling at its own rate")
   }
 
   test("chunkDocuments: stride/overlap arithmetic, tails, empty docs") {
@@ -144,11 +152,13 @@ class CurationSpec extends SparkSpec {
     val chunks = Curation.chunkDocuments(docs, "doc_id", "text",
       chunkTokens = 4, overlap = 1).orderBy("doc_id", "chunk_idx")
       .as[(Long, Int, String, Int)].collect()
-    // doc 0: starts 0,3,6,9 → [t1..t4],[t4..t7],[t7..t10],[t10]
+    // doc 0: starts 0,3,6 → [t1..t4],[t4..t7],[t7..t10]; a chunk at
+    // start 9 would be "t10" — fully contained in its predecessor —
+    // and must NOT be emitted
     val d0 = chunks.filter(_._1 == 0L)
     assert(d0.map(_._3).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7",
-      "t7 t8 t9 t10", "t10"))
-    assert(d0.map(_._4).toSeq == Seq(4, 4, 4, 1))
+      "t7 t8 t9 t10"))
+    assert(d0.map(_._4).toSeq == Seq(4, 4, 4))
     val d1 = chunks.filter(_._1 == 1L)
     assert(d1.map(_._3).toSeq == Seq("a b c") && d1.head._4 == 3)
     assert(!chunks.exists(_._1 == 2L), "empty doc yields no chunks")

@@ -57,7 +57,8 @@ class MultimodalSpec extends SparkSpec {
     val feats = Seq(
       (1L, "image/png", 512, 256),  // landscape → scale by width
       (2L, "image/png", 100, 100),  // smaller than box → no upscale
-      (3L, "audio/wav", 0, 0)       // non-visual passthrough
+      (3L, "audio/wav", 0, 0),      // non-visual passthrough
+      (4L, "image/png", 300, 100)   // binding edge must land ON target
     ).toDF("media_id", "media_type", "width", "height")
     val out = Multimodal.resizePlan(feats, 256, 256)
       .orderBy("media_id")
@@ -66,6 +67,9 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0) == ((0.5, 256, 128)))
     assert(out(1) == ((1.0, 100, 100)), "never upscale")
     assert(out(2) == ((1.0, 0, 0)), "audio passes through")
+    // integer-exact geometry: floor over the ROUNDED float scale would
+    // give out_width 255 here — the binding edge must hit 256 exactly
+    assert(out(3) == ((0.853333, 256, 85)), s"got ${out(3)}")
     intercept[IllegalArgumentException] {
       Multimodal.resizePlan(feats, 0, 256)
     }
