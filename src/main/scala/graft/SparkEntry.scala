@@ -577,6 +577,19 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- Z-order layout key over (user bucket, time bucket): the
+    //      2-D clustering sort key for min/max file pruning — exact
+    //      bit interleave, oracle replays the same shift/and sum ----
+    "q70_zorder_layout" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256)).as("xb"),
+          pmod(col("event_id"), lit(256)).as("yb"))
+      ev.withColumn("zkey",
+          graft.operators.Scale.zorderKey(col("xb"), col("yb"), bits = 8))
+        .orderBy("zkey", "event_id")
+        .limit(100)
+    }),
     // ---- JL random projection 64→8 (seeded Gaussian, 1/√8 scale):
     //      the shrink step before similarity search; oracle replays
     //      the identical literal matrix with the same fold order ----
@@ -1278,6 +1291,16 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
     "q69_random_projection" -> randomProjectionOracle,
+    "q70_zorder_layout" -> {
+      val terms = (0 until 8).map(i =>
+        s"((xb >> $i) & 1) * ${1L << (2 * i)} + ((yb >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""SELECT event_id, xb, yb, CAST($terms AS BIGINT) AS zkey
+FROM (SELECT event_id,
+  ((user_id % 256) + 256) % 256 AS xb,
+  ((event_id % 256) + 256) % 256 AS yb FROM events)
+ORDER BY zkey, event_id LIMIT 100"""
+    },
     "q68_eval_carve" ->
       """SELECT lang, rank, doc_id FROM (
   SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang

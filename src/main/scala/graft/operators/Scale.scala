@@ -55,4 +55,26 @@ object Scale {
       finals = Seq(
         "sum" -> sum(col("p_sum")),
         "cnt" -> sum(col("p_cnt"))))
+
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative dimension columns — bit i of `x` lands at position
+    * 2i, bit i of `y` at 2i+1. Sorting (or range-partitioning) a table
+    * by this key clusters rows that are close in BOTH dimensions into
+    * the same files, so min/max file statistics prune 2-D range
+    * predicates — the standard lakehouse layout technique for the
+    * "filter on user AND time" scan pattern, where a single-column sort
+    * only prunes one dimension. Pure bit arithmetic (shift/and/add) —
+    * codegen'd, engine-portable, exact. `bits` ≤ 31 keeps the key in a
+    * positive long. Dimensions must already be quantized to
+    * [0, 2^bits) — callers bucket raw values first (e.g. `pmod`,
+    * epoch-day, id ranges). */
+  def zorderKey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31]: $bits")
+    val xs = x.cast("long")
+    val ys = y.cast("long")
+    (0 until bits).map { i =>
+      shiftright(xs, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(ys, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
 }

@@ -64,4 +64,23 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("zorderKey: exact Morton interleave; locality beats linear sort") {
+    import spark.implicits._
+    // known values: z(1,0)=1, z(0,1)=2, z(1,1)=3, z(2,2)=12, z(3,5)=39
+    val got = Seq((1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 5L))
+      .toDF("x", "y")
+      .select(Scale.zorderKey($"x", $"y", 8).as("z")).as[Long].collect()
+    assert(got.toSeq == Seq(1L, 2L, 3L, 12L, 39L))
+    // locality: within any aligned 4x4 tile, z-keys form one contiguous
+    // run of 16 — the property min/max file stats exploit
+    val tile = for { x <- 4 until 8; y <- 8 until 12 } yield (x.toLong, y.toLong)
+    val keys = tile.toDF("x", "y")
+      .select(Scale.zorderKey($"x", $"y", 8).as("z")).as[Long].collect().sorted
+    assert(keys.last - keys.head == 15 && keys.distinct.length == 16,
+      s"aligned tile must map to one contiguous key range: ${keys.toSeq}")
+    intercept[IllegalArgumentException] {
+      Scale.zorderKey($"x", $"y", 32)
+    }
+  }
 }
