@@ -577,6 +577,13 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- unigram surprisal (perplexity-proxy quality filter):
+    //      corpus-estimated −mean ln p(token) per doc; decimal sums
+    //      make the mean aggregation-order-free ----
+    "q71_unigram_surprisal" -> ((s, dir) => {
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // ---- Z-order layout key over (user bucket, time bucket): the
     //      2-D clustering sort key for min/max file pruning — exact
     //      bit interleave, oracle replays the same shift/and sum ----
@@ -1291,6 +1298,17 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
     "q69_random_projection" -> randomProjectionOracle,
+    "q71_unigram_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS n_total FROM toks),
+s AS (SELECT doc_id,
+  round(ln(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) AS s
+  FROM toks JOIN cnts USING (tok) CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+  round(CAST(sum(CAST(s AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6)
+    AS avg_surprisal
+FROM s GROUP BY doc_id ORDER BY doc_id""",
     "q70_zorder_layout" -> {
       val terms = (0 until 8).map(i =>
         s"((xb >> $i) & 1) * ${1L << (2 * i)} + ((yb >> $i) & 1) * ${1L << (2 * i + 1)}")

@@ -146,6 +146,31 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** Per-document mean unigram surprisal −(1/n)·Σ ln p(token), with
+    * p estimated from the corpus itself — the unigram proxy for the
+    * language-model perplexity filter (CCNet-style: improbable token
+    * streams score high → gibberish/boilerplate tail; very low scores
+    * flag templated repetition). Two corpus aggregates (token counts,
+    * total) + a token-keyed join + one per-doc aggregate.
+    *
+    * Per-token surprisals round to 6 dp and sum as DECIMAL, so the
+    * per-doc mean is independent of aggregation order (a raw double
+    * sum varies with partitioning) and reproducible in any engine.
+    * Returns (idCol, n_tokens, avg_surprisal). */
+  def unigramSurprisal(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val cnts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = broadcast(toks.agg(count(lit(1)).as("n_total")))
+    toks.join(cnts, "tok").crossJoin(total)
+      .withColumn("s",
+        round(log(col("n_total").cast("double") / col("cnt").cast("double")), 6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("s").cast("decimal(24,6)")).cast("double") /
+          count(lit(1))), 6).as("avg_surprisal"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * rolling-hash-equivalent content signature, invariant to token
     * order and duplication. md5 is available in both Spark and DuckDB,

@@ -76,6 +76,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.filter(_._1 == 0L).map(_._3).toSeq == Seq("rare0", "common"))
   }
 
+  test("unigramSurprisal: rare-token docs score higher; mean is exact") {
+    val docs = Seq(
+      (0L, "common common common common"),  // all high-frequency
+      (1L, "common rareword"),              // half rare
+      (2L, "unique1 unique2")               // all hapax
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    // corpus: 8 tokens; common×5, rareword/unique1/unique2 ×1
+    val ln = (x: Double) => math.log(x)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._2 == 4L && out(0)._3 == r6(r6(ln(8.0 / 5))))
+    assert(out(2)._3 == r6(r6(ln(8.0))), "hapax-only doc scores ln(N)")
+    assert(out(0)._3 < out(1)._3 && out(1)._3 < out(2)._3,
+      "surprisal must rise with token rarity")
+  }
+
   test("fingerprint: order- and duplication-invariant") {
     val fps = Seq("b a a c", "c b a", "a b x")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("f"))
