@@ -577,6 +577,16 @@ object SparkEntry {
       Clustering.keepBestPerCluster(scored, clusters, "doc_id", "n_tok")
         .select("doc_id").orderBy("doc_id")
     }),
+    // ---- sub-document block dedup (RefinedWeb line-dedup analogue):
+    //      16-token blocks, first corpus occurrence wins, documents
+    //      reassembled — min-agg on block digest, no corpus window ----
+    "q72_block_dedup" -> ((s, dir) => {
+      Dedup.dedupBlocksAcrossDocs(t(s, dir, "documents"),
+        "doc_id", "text", blockTokens = 16)
+        .withColumn("text_md5", md5(col("dedup_text")))
+        .drop("dedup_text")
+        .orderBy("doc_id")
+    }),
     // ---- unigram surprisal (perplexity-proxy quality filter):
     //      corpus-estimated −mean ln p(token) per doc; decimal sums
     //      make the mean aggregation-order-free ----
@@ -1298,6 +1308,23 @@ win AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
 SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q55_simhash_neardup" -> simhashNearDupOracle,
     "q69_random_projection" -> randomProjectionOracle,
+    "q72_block_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+b AS (SELECT doc_id, unnest(range(0, (n - 1) // 16 + 1)) AS k, tk, n
+  FROM nz),
+blk AS (SELECT doc_id, k,
+  array_to_string(tk[k * 16 + 1 : least(k * 16 + 16, n)], ' ') AS txt
+  FROM b),
+fo AS (SELECT doc_id, k, txt, row_number() OVER (
+    PARTITION BY md5(txt) ORDER BY doc_id, k) AS rn FROM blk),
+keep AS (SELECT doc_id, k, txt FROM fo WHERE rn = 1),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+  string_agg(txt, ' ' ORDER BY k) AS dedup_text FROM keep GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_blocks FROM blk GROUP BY doc_id)
+SELECT t.doc_id, t.n_blocks, coalesce(r.n_kept, 0) AS n_kept,
+  md5(coalesce(r.dedup_text, '')) AS text_md5
+FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id ORDER BY t.doc_id""",
     "q71_unigram_surprisal" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
 cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),

@@ -419,6 +419,49 @@ object Dedup {
     intra.union(cross)
   }
 
+  /** Sub-document exact dedup (the RefinedWeb/Falcon "line dedup"
+    * pass, over fixed token blocks since the corpus format has no
+    * newlines): split every document into non-overlapping
+    * `blockTokens`-token blocks, keep each distinct block content only
+    * at its FIRST corpus occurrence (ordered by document id, then
+    * block position — deterministic under any partitioning), and
+    * reassemble the surviving blocks per document in original order.
+    * Boilerplate repeated across documents vanishes from every copy
+    * but the first; documents reduced to nothing survive as empty
+    * text (they remain addressable for downstream filtering).
+    *
+    * Shape at scale: block explode is per-row
+    * ([[graft.operators.Curation.chunkDocuments]]); first-occurrence
+    * is ONE min-aggregate keyed by block digest (never a window over
+    * the corpus); reassembly is one per-document aggregate whose
+    * buffers are bounded by document length. Returns
+    * (idCol, n_blocks, n_kept, dedup_text). */
+  def dedupBlocksAcrossDocs(df: DataFrame, idCol: String, textCol: String,
+                            blockTokens: Int = 16): DataFrame = {
+    val blocks = Curation.chunkDocuments(df, idCol, textCol,
+      blockTokens, overlap = 0)
+      .withColumn("_digest", md5(col("chunk_text")))
+    val firstOwner = blocks
+      .groupBy("_digest")
+      .agg(min(struct(col(idCol).as("oid"),
+        col("chunk_idx").as("oidx"))).as("_first"))
+    val kept = blocks.join(firstOwner, "_digest")
+      .filter(col(idCol) === col("_first.oid") &&
+        col("chunk_idx") === col("_first.oidx"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", array_sort(collect_list(
+        struct(col("chunk_idx"), col("chunk_text"))))
+        .getField("chunk_text")).as("dedup_text"))
+    val totals = blocks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"))
+    // left join restores fully-deduplicated documents as empty
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** Exact-duplicate groups by content digest: (digest, cnt, canonical =
     * min id), only groups with >1 member. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

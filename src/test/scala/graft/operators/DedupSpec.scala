@@ -131,6 +131,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.3).count() > 0)
   }
 
+  test("dedupBlocksAcrossDocs: first occurrence wins, docs reassemble in order") {
+    val boiler = (1 to 4).map(i => s"b$i").mkString(" ")  // 4-token block
+    val d = Seq(
+      (0L, s"$boiler u1 u2 u3 u4"),   // owns the boilerplate block
+      (1L, s"$boiler v1 v2 v3 v4"),   // loses it, keeps its own block
+      (2L, boiler)                    // fully deduplicated → empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupBlocksAcrossDocs(d, "doc_id", "text", blockTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((0L, 2L, 2L, s"$boiler u1 u2 u3 u4")))
+    assert(out(1) == ((1L, 2L, 1L, "v1 v2 v3 v4")),
+      "doc 1 keeps only its unique block, in original order")
+    assert(out(2) == ((2L, 1L, 0L, "")),
+      "a fully-deduplicated doc survives with empty text")
+  }
+
   test("simhash: identical docs share a signature; near-dups are close in hamming") {
     val sigs = Dedup.simHash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
