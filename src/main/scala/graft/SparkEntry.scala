@@ -601,7 +601,9 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select(col("event_id"),
           pmod(col("user_id"), lit(256)).as("xb"),
-          pmod(col("event_id"), lit(256)).as("yb"))
+          // a REAL time bucket (epoch day) — the dimension whose range
+          // predicates the z-order layout actually prunes
+          pmod(datediff(col("ts"), lit("1970-01-01")), lit(256)).as("yb"))
       ev.withColumn("zkey",
           graft.operators.Scale.zorderKey(col("xb"), col("yb"), bits = 8))
         .orderBy("zkey", "event_id")
@@ -1331,11 +1333,14 @@ cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
 tot AS (SELECT count(*) AS n_total FROM toks),
 s AS (SELECT doc_id,
   round(ln(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) AS s
-  FROM toks JOIN cnts USING (tok) CROSS JOIN tot)
-SELECT doc_id, count(*) AS n_tokens,
+  FROM toks JOIN cnts USING (tok) CROSS JOIN tot),
+pd AS (SELECT doc_id, count(*) AS n_tokens,
   round(CAST(sum(CAST(s AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6)
     AS avg_surprisal
-FROM s GROUP BY doc_id ORDER BY doc_id""",
+  FROM s GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+  coalesce(pd.avg_surprisal, 0.0) AS avg_surprisal
+FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
     "q70_zorder_layout" -> {
       val terms = (0 until 8).map(i =>
         s"((xb >> $i) & 1) * ${1L << (2 * i)} + ((yb >> $i) & 1) * ${1L << (2 * i + 1)}")
@@ -1343,7 +1348,8 @@ FROM s GROUP BY doc_id ORDER BY doc_id""",
       s"""SELECT event_id, xb, yb, CAST($terms AS BIGINT) AS zkey
 FROM (SELECT event_id,
   ((user_id % 256) + 256) % 256 AS xb,
-  ((event_id % 256) + 256) % 256 AS yb FROM events)
+  ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 256) + 256) % 256
+    AS yb FROM events)
 ORDER BY zkey, event_id LIMIT 100"""
     },
     "q68_eval_carve" ->

@@ -156,19 +156,26 @@ object TextAnalysis {
     * Per-token surprisals round to 6 dp and sum as DECIMAL, so the
     * per-doc mean is independent of aggregation order (a raw double
     * sum varies with partitioning) and reproducible in any engine.
-    * Returns (idCol, n_tokens, avg_surprisal). */
+    * Returns one row per INPUT row — zero-token documents surface as
+    * (0, 0.0), never silently vanish (the q72 empty-doc contract).
+    * The corpus token total derives from the already-aggregated count
+    * frame (`sum(cnt)`), not a third tokenize+explode scan. */
   def unigramSurprisal(df: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val cnts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = broadcast(toks.agg(count(lit(1)).as("n_total")))
-    toks.join(cnts, "tok").crossJoin(total)
+    val total = broadcast(cnts.agg(sum("cnt").as("n_total")))
+    val perDoc = toks.join(cnts, "tok").crossJoin(total)
       .withColumn("s",
         round(log(col("n_total").cast("double") / col("cnt").cast("double")), 6))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round((sum(col("s").cast("decimal(24,6)")).cast("double") /
           count(lit(1))), 6).as("avg_surprisal"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("avg_surprisal"), lit(0.0)).as("avg_surprisal"))
   }
 
   /** Document fingerprint: md5 over the sorted distinct token set —

@@ -119,6 +119,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p64.contains("CartesianProduct") &&
       !p64.contains("BroadcastNestedLoopJoin") && !p64.contains("Window"),
       s"funnel must stay keyed-agg + equi-join:\n$p64")
+    // q70: per-row key + bounded top-100 → TakeOrderedAndProject,
+    // never a full global sort
+    val p70 = finalPlan(q("q70_zorder_layout"))
+    assert(p70.contains("TakeOrderedAndProject"),
+      s"zorder top-100 must plan as TakeOrderedAndProject:\n$p70")
+    // q71/q72: digest-/token-keyed equi-joins only (the 1-row total in
+    // q71 broadcasts as a nested-loop by design — a scalar fan-out, not
+    // a data-sized product — so only cartesian products are banned)
+    for (name <- Seq("q71_unigram_surprisal", "q72_block_dedup")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must never plan a cartesian product:\n$plan")
+    }
   }
 
   test("parquet scans prune columns: q14 reads only what it projects") {

@@ -80,7 +80,8 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq(
       (0L, "common common common common"),  // all high-frequency
       (1L, "common rareword"),              // half rare
-      (2L, "unique1 unique2")               // all hapax
+      (2L, "unique1 unique2"),              // all hapax
+      (3L, "")                              // zero-token → (0, 0.0) row
     ).toDF("doc_id", "text")
     val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
       .orderBy("doc_id")
@@ -93,6 +94,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2)._3 == r6(r6(ln(8.0))), "hapax-only doc scores ln(N)")
     assert(out(0)._3 < out(1)._3 && out(1)._3 < out(2)._3,
       "surprisal must rise with token rarity")
+    assert(out(3) == ((3L, 0L, 0.0)),
+      "zero-token docs surface as (0, 0.0), never vanish")
   }
 
   test("fingerprint: order- and duplication-invariant") {
