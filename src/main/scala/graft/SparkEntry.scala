@@ -283,15 +283,15 @@ object SparkEntry {
     }),
     // ---- embedding-cosine near-duplicate pairs, via the bucketed
     //      SRP-LSH path (round-2 verdict: no crossJoin in gate plans).
-    //      64 planes / 32 two-bit bands ⇒ per-pair miss ≈ 0.62³² ≈ 3e-7
-    //      at cos 0.35, so the LSH result EQUALS the exact cross-join
-    //      oracle on this data (recall 1.0 pinned by SimilaritySpec);
-    //      the O(n²) nearDupPairs stays spec-only as the oracle twin.
-    //      NOTE: recall 1.0 is an empirical property of THIS testdata +
-    //      seed (42) — regenerating testdata or changing the generator
-    //      seed requires re-validating it (run SimilaritySpec's
-    //      LSH≡exact equality test first; if it fails, raise numPlanes
-    //      or gate on an LSH-restricted oracle as q19 does) ----
+    //      The oracle (srpNearDupOracle) replays the SAME 64 seeded
+    //      hyperplanes + 32-band bucketing and restricts the cosine
+    //      check to the LSH candidates — the q19 pattern — so the gate
+    //      verifies the LSH → verify composition with no data-dependent
+    //      recall premise (testdata regeneration cannot silently
+    //      invalidate it). Recall itself (≈1 − 0.62³² per pair at cos
+    //      0.35 with 64 planes / 32 bands) stays pinned separately by
+    //      SimilaritySpec's LSH ≡ exact equality test; the O(n²)
+    //      nearDupPairs remains spec-only as that test's twin. ----
     "q27_embedding_neardup" -> ((s, dir) => {
       Similarity.nearDupPairsLSH(
         t(s, dir, "embeddings").filter(col("vec_id") < 500),
@@ -905,6 +905,50 @@ votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
 ssig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes)"""
   }
 
+  /** q27: the SRP-LSH near-dup composition replayed end to end —
+    * signature bits from the SAME 64 seeded hyperplanes as the engine
+    * (Similarity.projectionPlanes(64, 64, 42) is the identical
+    * generation order to nearDupPairsLSH's internal planes; doubles
+    * round-trip exactly through toString), banded into 32 two-bit
+    * bands, candidate pairs from the band equi-join, THEN exact cosine
+    * ≥ threshold over the candidates. Candidate-restricting the oracle
+    * (the q19 pattern) makes the gate check the LSH → verify
+    * composition itself, with NO empirical recall premise: regenerated
+    * testdata cannot silently invalidate it. Each sign bit's dot
+    * product is an explicit left-associated 64-term sum — the same
+    * fold order as the codegen'd DotProduct loop, so the bit string is
+    * reproduced bit for bit (the q69 technique). */
+  private def srpNearDupOracle: String = {
+    val planes = graft.operators.Similarity.projectionPlanes(64, 64, 42L)
+    def dotP(j: Int): String =
+      (0 until 64).map(i => s"(v[${i + 1}] * (${planes(j)(i)}))")
+        .mkString("(", " + ", ")")
+    // concat(...) with 64 arguments, NOT a `||` chain: the chained form
+    // left-associates into a depth-64 concat tree on top of the depth-64
+    // sum inside each CASE, which overflows DuckDB's 128-deep binder
+    // recursion; concat is one node with 64 children.
+    val sigExpr = (0 until 64)
+      .map(j => s"(CASE WHEN ${dotP(j)} >= 0 THEN '1' ELSE '0' END)")
+      .mkString("concat(", ", ", ")")
+    s"""WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 500),
+sigs AS (SELECT vec_id, $sigExpr AS sig FROM v),
+bands AS (SELECT vec_id, b, substr(sig, b * 2 + 1, 2) AS bsig
+  FROM sigs, range(0, 32) t(b)),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig
+    AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(c, 4) AS cos FROM (
+  SELECT c.id_a, c.id_b,
+    list_dot_product(x.v, y.v)
+      / (sqrt(list_dot_product(x.v, x.v))
+       * sqrt(list_dot_product(y.v, y.v))) AS c
+  FROM cand c JOIN v x ON c.id_a = x.vec_id
+              JOIN v y ON c.id_b = y.vec_id)
+WHERE c >= 0.35 ORDER BY id_a, id_b"""
+  }
+
   /** q69: components 1 and 2 of the projection — the coefficient
     * literals come from the SAME projectionPlanes call as the engine
     * (Double.toString round-trips exactly, so DuckDB parses identical
@@ -1116,18 +1160,7 @@ FROM documents ORDER BY media_id""",
 substr(md5(text) || md5(reverse(text)), i * 16 + 1, 16) AS frame_hex
 FROM documents, (VALUES (0), (1), (2)) AS f(i)
 ORDER BY media_id, frame_idx""",
-    "q27_embedding_neardup" ->
-      """SELECT id_a, id_b, round(c, 4) AS cos FROM (
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
-  / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                           list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
-   * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
-                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) AS c
-FROM embeddings a, embeddings b
-WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id)
-WHERE c >= 0.35 ORDER BY id_a, id_b""",
+    "q27_embedding_neardup" -> srpNearDupOracle,
     "q28_sessionize" ->
       """WITH x AS (
   SELECT user_id, ts,
@@ -1276,10 +1309,12 @@ FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
     "q51_stratified_sample" ->
       s"""SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
-    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
       AS bkt FROM documents)
-WHERE bkt < CASE lang WHEN 'en' THEN ${math.round(0.25 * 65536)}
-  WHEN 'de' THEN ${math.round(0.5 * 65536)} ELSE 65536 END
+WHERE bkt < CASE lang
+  WHEN 'en' THEN ${math.round(0.25 * Curation.bucketScale48)}
+  WHEN 'de' THEN ${math.round(0.5 * Curation.bucketScale48)}
+  ELSE ${Curation.bucketScale48} END
 ORDER BY doc_id""",
     "q52_quantize_int8" ->
       """WITH v AS (SELECT vec_id,
@@ -1324,9 +1359,11 @@ keep AS (SELECT doc_id, k, txt FROM fo WHERE rn = 1),
 reb AS (SELECT doc_id, count(*) AS n_kept,
   string_agg(txt, ' ' ORDER BY k) AS dedup_text FROM keep GROUP BY doc_id),
 tot AS (SELECT doc_id, count(*) AS n_blocks FROM blk GROUP BY doc_id)
-SELECT t.doc_id, t.n_blocks, coalesce(r.n_kept, 0) AS n_kept,
+SELECT d.doc_id, coalesce(t.n_blocks, 0) AS n_blocks,
+  coalesce(r.n_kept, 0) AS n_kept,
   md5(coalesce(r.dedup_text, '')) AS text_md5
-FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id ORDER BY t.doc_id""",
+FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN reb r ON d.doc_id = r.doc_id ORDER BY d.doc_id""",
     "q71_unigram_surprisal" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
 cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
@@ -1360,15 +1397,16 @@ ORDER BY zkey, event_id LIMIT 100"""
   FROM documents)
 WHERE rank <= 5 ORDER BY lang, rank""",
     "q67_temperature_sample" ->
-      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+      s"""WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
 t AS (SELECT count(*) AS n_total FROM documents),
 r AS (SELECT lang, pow(CAST(n_l AS DOUBLE) / n_total, 0.3 - 1.0) AS ratio
   FROM c CROSS JOIN t),
 m AS (SELECT max(ratio) AS mr FROM r),
 rt AS (SELECT lang, round(ratio / mr, 6) AS rate FROM r CROSS JOIN m)
-SELECT d.doc_id, d.lang FROM documents d JOIN rt ON d.lang = rt.lang
-WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
-  < round(rate * 65536)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN rt ON d.lang IS NOT DISTINCT FROM rt.lang
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+  < round(rate * ${Curation.bucketScale48}.0)
 ORDER BY doc_id""",
     "q66_resize_plan" ->
       s"""WITH feats AS (${decodeOracle.replace("ORDER BY media_id", "")}),

@@ -119,13 +119,28 @@ object Clustering {
     * of the corpus. */
   def keepBestPerCluster(df: DataFrame, clusters: DataFrame, idCol: String,
                          scoreCol: String): DataFrame = {
+    // eager id-type check (mirrors TopK.perGroup): the tiebreak negates
+    // the id, so a string/decimal id would otherwise surface as an
+    // opaque analysis/cast error (or null ids under non-ANSI)
+    val idType = df.schema(idCol).dataType
+    val integral = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _                                             => false
+      }
+    }
+    require(integral,
+      s"keepBestPerCluster requires an integral id column; `$idCol` is " +
+        s"${idType.catalogString}. Map non-numeric ids to a surrogate " +
+        "long (e.g. monotonically_increasing_id or a join key) first.")
     val winners = df.select(col(idCol), col(scoreCol))
       .join(clusters, idCol)
       .groupBy("component")
       // max of (score, -id): highest score wins, lowest id on ties
       .agg(max(struct(col(scoreCol).as("s"),
-        (-col(idCol)).as("negId"))).as("w"))
-      .select((-col("w.negId")).cast("long").as(idCol))
+        (-col(idCol).cast("long")).as("negId"))).as("w"))
+      .select((-col("w.negId")).cast(idType).as(idCol))
     df.join(winners, Seq(idCol), "left_semi")
   }
 }

@@ -41,6 +41,20 @@ object Curation {
   def hashBucket16(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
 
+  /** 48-bit md5 bucket ([0, 2⁴⁸)) — the samplers' keep-rate domain.
+    * 16 bits quantized keep-rates to multiples of ~1.5e-5 (any rate
+    * below 1/65536 rounded to keep-nothing — easy to hit when
+    * downsampling a dominant stratum of a large corpus); 12 hex chars
+    * give 2⁻⁴⁸ ≈ 3.6e-15 granularity while staying exact in a long
+    * (and in the evalCarve double). One definition shared by every
+    * sampler so the q51/q67 oracles replay a single arithmetic. */
+  def hashBucket48(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** 2⁴⁸ as the samplers' cut scale (rate 1.0 → cut 2⁴⁸ > every
+    * bucket, keeps all rows). */
+  val bucketScale48: Long = 1L << 48
+
   /** Adds a `split` column ∈ {train, validation, test} keyed on
     * md5(idCol): bucket < trainPct → train, < trainPct + valPct →
     * validation, else test. Per-row expression, no shuffle,
@@ -57,15 +71,17 @@ object Curation {
   }
 
   /** Deterministic hash sampling: keep a row iff its md5-derived bucket
-    * (16 bits → [0, 65536)) falls below `rate` × 65536. Reproducible
+    * (48 bits → [0, 2⁴⁸)) falls below `rate` × 2⁴⁸. Reproducible
     * under any partitioning and stable as the corpus grows (a kept row
     * stays kept), unlike `df.sample` whose output depends on partition
-    * layout and seed plumbing. Pure per-row filter — no shuffle, pushes
-    * past column pruning like any predicate. */
+    * layout and seed plumbing. Effective rates quantize to multiples
+    * of 2⁻⁴⁸ ≈ 3.6e-15 — fine enough for any realistic downsample.
+    * Pure per-row filter — no shuffle, pushes past column pruning like
+    * any predicate. */
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
-    val cut = math.round(rate * 65536).toInt
-    df.filter(hashBucket16(col(idCol)) < cut)
+    val cut = math.round(rate * bucketScale48)
+    df.filter(hashBucket48(col(idCol)) < cut)
   }
 
   /** Stratified deterministic sampling: per-stratum keep rates (e.g.
@@ -80,12 +96,12 @@ object Curation {
                            defaultRate: Double = 1.0): DataFrame = {
     require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
       "all rates must be in [0,1]")
-    def cutOf(r: Double) = lit(math.round(r * 65536).toInt)
+    def cutOf(r: Double) = lit(math.round(r * bucketScale48))
     // sorted for a deterministic when-chain (Map order is unspecified)
     val cut = rates.toSeq.sortBy(_._1).foldLeft(cutOf(defaultRate)) {
       case (e, (s, r)) => when(col(stratumCol) === s, cutOf(r)).otherwise(e)
     }
-    df.filter(hashBucket16(col(idCol)) < cut)
+    df.filter(hashBucket48(col(idCol)) < cut)
   }
 
   /** Deterministic per-stratum eval-set carving: the k documents per
@@ -137,7 +153,8 @@ object Curation {
       .withColumn("rate", round(col("ratio") / col("max_ratio"), 6))
       .select(col(stratumCol).as("_stratum"), col("rate"))
     df.join(broadcast(withRate), col(stratumCol) <=> col("_stratum"))
-      .filter(hashBucket16(col(idCol)) < round(col("rate") * 65536))
+      .filter(hashBucket48(col(idCol)) <
+        round(col("rate") * lit(bucketScale48.toDouble)))
       .drop("rate", "_stratum")
   }
 

@@ -455,9 +455,17 @@ object Dedup {
         .getField("chunk_text")).as("dedup_text"))
     val totals = blocks.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_blocks"))
-    // left join restores fully-deduplicated documents as empty
-    totals.join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_blocks"),
+    // anchor on df's OWN id set, not on the block totals: chunkDocuments
+    // drops zero-token documents (no blocks to emit), but the one-row-
+    // per-input contract promises they survive as (0, 0, "") — the same
+    // left-join-back shape repetitionStats/unigramSurprisal use. The
+    // second left join then restores fully-DEDUPLICATED documents
+    // (blocks existed, none kept) as empty text.
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }

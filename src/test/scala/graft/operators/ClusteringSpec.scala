@@ -109,4 +109,19 @@ class ClusteringSpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(kept.toSeq == Seq(2L)) // score 9.0 wins over 5.0; id 2 over id 3
   }
+
+  test("keepBestPerCluster: int ids come back as ints; string ids rejected eagerly") {
+    val intRows = Seq((1, 5.0), (2, 9.0)).toDF("id", "score")
+    val intClusters = Seq((1, 1L), (2, 1L)).toDF("id", "component")
+    val kept = Clustering.keepBestPerCluster(intRows, intClusters, "id", "score")
+    assert(kept.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(kept.select("id").as[Int].collect().toSeq == Seq(2))
+    val strRows = Seq(("a", 5.0)).toDF("id", "score")
+    val strClusters = Seq(("a", 1L)).toDF("id", "component")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.keepBestPerCluster(strRows, strClusters, "id", "score")
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
 }

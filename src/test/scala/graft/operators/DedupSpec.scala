@@ -148,6 +148,20 @@ class DedupSpec extends SparkSpec {
       "a fully-deduplicated doc survives with empty text")
   }
 
+  test("dedupBlocksAcrossDocs: zero-token docs keep their row as (0, 0, '')") {
+    val d = Seq(
+      (0L, "a b c d"),
+      (1L, ""),        // no tokens at all
+      (2L, "   \t ")   // whitespace-only → no tokens
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupBlocksAcrossDocs(d, "doc_id", "text", blockTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == 3, "one row per input doc, zero-token included")
+    assert(out(1) == ((1L, 0L, 0L, "")))
+    assert(out(2) == ((2L, 0L, 0L, "")))
+  }
+
   test("simhash: identical docs share a signature; near-dups are close in hamming") {
     val sigs = Dedup.simHash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
