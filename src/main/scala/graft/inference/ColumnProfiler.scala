@@ -29,7 +29,12 @@ final case class ColumnProfile(
     tsCount: Long,            // count of complete-datetime-parseable values (RAS:328-330)
     allMidnight: Boolean,     // ∀ ts == date_trunc(day, ts) (RAS:331)
     maxLen: Option[Long],     // max stringified length (RAS:336)
-    complex: Boolean          // array/map/struct/binary source (extension; no reference rule)
+    complex: Boolean,         // array/map/struct/binary source (extension; no reference rule)
+    bigObjCount: Long = 0L    // string source only: integer literals beyond
+                              // pandas' int64∪uint64 parse range — read_csv
+                              // keeps the column `object` and the reference's
+                              // astype(int) OverflowError lands varchar
+                              // (live-verified; see aggsFor)
 ) {
   /** Merge with another profile of the same column (e.g. a later
     * micro-batch). Every statistic is a semigroup (sums, ANDs,
@@ -66,7 +71,8 @@ final case class ColumnProfile(
       tsCount = tsCount + o.tsCount,
       allMidnight = andIf(tsCount, allMidnight, o.tsCount, o.allMidnight),
       maxLen = ml(maxLen, o.maxLen),
-      complex = complex || o.complex)
+      complex = complex || o.complex,
+      bigObjCount = bigObjCount + o.bigObjCount)
   }
 }
 
@@ -244,8 +250,54 @@ object ColumnProfiler {
     // sources pay for it.
     val lenExpr: Column =
       if (kind == StrKind) length(c) else lit(null).cast(IntegerType)
-    val finiteIntegral =
-      d === floor(d) && abs(d) =!= lit(Double.PositiveInfinity)
+    // Integralness — the reference compares astype(float) with
+    // astype(int) (RAS:317), whose behavior depends on the pandas dtype
+    // (all live-verified 2026-08-12 against pandas 2.2.2):
+    //   - int64 source: the comparison promotes int64 → float64, so it
+    //     is ALWAYS equal — even 2⁵³+1, whose float rendering differs
+    //     from the exact int, compares equal after promotion → int8.
+    //     (The round-4 review's float8 premise holds only for object
+    //     dtype, which read_csv never produces for numeric text.)
+    //   - float64 source: astype(int) is an int64 conversion — exact
+    //     for integral values in [−2⁶³, 2⁶³), overflow garbage at or
+    //     beyond ±2⁶³ (1e30 → float8, +2⁶³ → float8, −2⁶³ → int8).
+    //   - string source (CSV path): read_csv pre-parses integer
+    //     literals to int64 when they fit (so "9007199254740993" and
+    //     "9223372036854775807" are int8 — exactness the double cast
+    //     alone can't see near 2⁶³, hence the decimal(38,0) test), to
+    //     uint64 for [2⁶³, 2⁶⁴) (astype(int) wraps → unequal → float8),
+    //     and to `object` beyond (→ bigObj below → varchar). Non-integer
+    //     numeric literals become float64 → the float64 rule.
+    val int64Lo = lit(-9.223372036854776e18) // −2⁶³ exactly
+    val int64Hi = lit(9.223372036854776e18)  // +2⁶³ exactly (exclusive)
+    val floatIntegral = d === floor(d) && d >= int64Lo && d < int64Hi
+    val intLit: Column =
+      if (kind == StrKind) c.rlike("^\\s*[+-]?[0-9]+\\s*$") else lit(false)
+    val decOfStr: Column =
+      if (kind == StrKind) expr(s"try_cast(${quote(name)} AS DECIMAL(38,0))")
+      else lit(null).cast(DecimalType(38, 0))
+    val finiteIntegral = kind match {
+      case StrKind =>
+        val inInt64 = decOfStr.isNotNull &&
+          decOfStr >= lit(Long.MinValue) && decOfStr <= lit(Long.MaxValue)
+        when(intLit, inInt64).otherwise(floatIntegral)
+      case NumKind => dt match {
+        case FloatType | DoubleType => floatIntegral
+        // integral/decimal sources: conversion is exact, no clamp
+        case _ => d === floor(d) && abs(d) =!= lit(Double.PositiveInfinity)
+      }
+      case _ => d === floor(d) && abs(d) =!= lit(Double.PositiveInfinity)
+    }
+    // Integer literal the pandas CSV parser can hold in NO machine
+    // integer (outside int64 ∪ uint64, or over 38 digits): the column
+    // stays `object`, astype(int) raises OverflowError, and the
+    // reference falls through datetime (always fails for these) to the
+    // varchar length rule. TypeInference diverts on bigObjCount > 0.
+    val bigObj: Column =
+      if (kind != StrKind) lit(false)
+      else intLit && !(decOfStr.isNotNull &&
+        decOfStr >= lit(Long.MinValue) &&
+        decOfStr <= lit(new java.math.BigDecimal("18446744073709551615")))
     Seq(
       count(c).as(s"p${i}_nn"),
       coalesce(bool_and(domainHit), lit(false)).as(s"p${i}_bool"),
@@ -257,7 +309,8 @@ object ColumnProfiler {
       count(t).as(s"p${i}_ts"),
       coalesce(bool_and(t === date_trunc("DAY", t)), lit(false))
         .as(s"p${i}_mid"),
-      max(lenExpr).as(s"p${i}_len")
+      max(lenExpr).as(s"p${i}_len"),
+      count(when(bigObj, lit(1))).as(s"p${i}_bigobj")
     )
   }
 
@@ -310,7 +363,8 @@ object ColumnProfiler {
           tsCount = g[Long]("ts"),
           allMidnight = g[Boolean]("mid"),
           maxLen = opt[Number]("len").map(_.longValue),
-          complex = kind == ComplexKind
+          complex = kind == ComplexKind,
+          bigObjCount = g[Long]("bigobj")
         )
       }
     }

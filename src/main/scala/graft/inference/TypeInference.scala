@@ -21,7 +21,14 @@ import org.apache.spark.sql.DataFrame
   *     to int) and returns float8; its CSV path never sees them because
   *     pandas pre-parses numerics to int64/float64. We apply the value
   *     rule uniformly (integral range → int4/int8), i.e. the CSV-path
-  *     behavior, which is the one the README flow exercises.
+  *     behavior, which is the one the README flow exercises. The
+  *     CSV-path emulation is exact at the integer boundaries
+  *     (live-verified, see ColumnProfiler.aggsFor): int64-fitting
+  *     literals (incl. 2⁵³±1 and int64 max) → int4/int8, uint64-only
+  *     literals → float8, beyond-uint64 literals → varchar via
+  *     bigObjCount; float sources clamp the integral test to
+  *     [−2⁶³, 2⁶³) because astype(int64) overflows there (1e30 and
+  *     +2⁶³ → float8, −2⁶³ → int8).
   *   - ±Infinity values: reference raises out of the int cast and lands
   *     in varchar(256) via two exception hops; we return float8.
   *   - Partial-date detection (RAS:329 dateutil double-parse) is realized
@@ -37,6 +44,16 @@ object TypeInference {
     if (p.nonNull == 0L) NoType
     else if (p.complex) Super // Redshift's nested-data type (extension)
     else if (p.boolDomain && !p.identifier) Bool
+    // Integer literals beyond pandas' int64∪uint64 parse range keep the
+    // column `object`; the reference's astype(int) then raises
+    // OverflowError out of the numeric branch and to_datetime always
+    // fails for them, landing the varchar length rule (live-verified
+    // for 2⁶⁴ and −2⁶³−1 literals → varchar(256)). Diverting here —
+    // before the numeric test — mirrors that, because such values ARE
+    // double-castable and would otherwise count as numeric.
+    else if (p.bigObjCount > 0L) {
+      if (p.maxLen.getOrElse(0L) <= 240L) Varchar256 else Varchar65535
+    }
     else if (p.numericCount == p.nonNull) {
       // intCount > 0 guard: a merged all-'NaN' profile has a vacuously
       // true integral AND but no contributing rows (and no min/max) —

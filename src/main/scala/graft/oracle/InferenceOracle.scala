@@ -64,29 +64,56 @@ object InferenceOracle {
           s"ELSE 'timestamp' END AS proposed_type FROM $table"
       case Num =>
         // NaN is masked to NULL up front (pandas treats NaN as null).
+        // Integral test carries the int64-convertibility clamp (twin of
+        // ColumnProfiler.aggsFor): the ±2⁶³ bounds are written as
+        // INTEGER literals so DuckDB's promotion applies them exactly
+        // per source type — BIGINT columns compare in HUGEINT (always
+        // in range, like the engine's unclamped integral-source path),
+        // DOUBLE columns compare in double (the engine's float clamp).
+        val integral = s"bool_and($c = floor($c) " +
+          s"AND $c >= -9223372036854775808 AND $c < 9223372036854775808)"
         val boolBranch =
           if (identifier) ""
           else s"WHEN coalesce(bool_and(lower(CAST($c AS VARCHAR)) IN $boolDomain), false) THEN 'bool' "
         s"SELECT '$c' AS field, CASE WHEN count($c) = 0 THEN 'notype' " +
           boolBranch +
-          s"WHEN coalesce(bool_and($c = floor($c) AND abs(CAST($c AS DOUBLE)) <> CAST('infinity' AS DOUBLE)), false) " +
+          s"WHEN coalesce($integral, false) " +
           s"AND min($c) >= -2147483648 AND max($c) <= 2147483647 THEN 'int4' " +
-          s"WHEN coalesce(bool_and($c = floor($c) AND abs(CAST($c AS DOUBLE)) <> CAST('infinity' AS DOUBLE)), false) THEN 'int8' " +
+          s"WHEN coalesce($integral, false) THEN 'int8' " +
           s"ELSE 'float8' END AS proposed_type " +
           s"FROM (SELECT CASE WHEN isnan(CAST($c AS DOUBLE)) THEN NULL ELSE $c END AS $c FROM $table)"
       case Str =>
         val d = s"try_cast($c AS DOUBLE)"
         val dm = s"CASE WHEN isnan($d) THEN NULL ELSE $d END"
         val ts = tsParse(c)
+        // read_csv integer-literal emulation (twin of ColumnProfiler
+        // .aggsFor's StrKind arithmetic): literals that fit int64 are
+        // integral EXACTLY (decimal(38,0), not the rounding double
+        // cast); uint64-only literals fail the integral test (pandas
+        // astype(int64) wraps → float8); beyond-uint64 literals force
+        // the varchar branch (pandas object dtype → OverflowError).
+        val intLit = s"regexp_matches($c, '^\\s*[+-]?[0-9]+\\s*$$')"
+        val dec = s"try_cast($c AS DECIMAL(38,0))"
+        val decInt64 = s"($dec IS NOT NULL AND $dec >= -9223372036854775808 " +
+          s"AND $dec <= 9223372036854775807)"
+        val bigObj = s"bool_or($intLit AND NOT ($dec IS NOT NULL " +
+          s"AND $dec >= -9223372036854775808 " +
+          s"AND $dec <= 18446744073709551615))"
+        val integral = s"bool_and(CASE WHEN $intLit THEN $decInt64 " +
+          s"ELSE ($dm = floor($dm) AND $dm >= -9223372036854775808 " +
+          s"AND $dm < 9223372036854775808) END)"
         val boolBranch =
           if (identifier) ""
           else s"WHEN coalesce(bool_and(lower($c) IN $boolDomain), false) THEN 'bool' "
         s"SELECT '$c' AS field, CASE WHEN count($c) = 0 THEN 'notype' " +
           boolBranch +
+          s"WHEN coalesce($bigObj, false) THEN " +
+          s"(CASE WHEN coalesce(max(length($c)), 0) <= 240 " +
+          s"THEN 'varchar(256)' ELSE 'varchar(65535)' END) " +
           s"WHEN count($d) = count($c) THEN (CASE " +
-          s"WHEN coalesce(bool_and($dm = floor($dm) AND abs($dm) <> CAST('infinity' AS DOUBLE)), false) " +
+          s"WHEN coalesce($integral, false) " +
           s"AND min($dm) >= -2147483648 AND max($dm) <= 2147483647 THEN 'int4' " +
-          s"WHEN coalesce(bool_and($dm = floor($dm) AND abs($dm) <> CAST('infinity' AS DOUBLE)), false) THEN 'int8' " +
+          s"WHEN coalesce($integral, false) THEN 'int8' " +
           s"ELSE 'float8' END) " +
           s"WHEN count($ts) = count($c) THEN (CASE " +
           s"WHEN coalesce(bool_and($ts = date_trunc('day', $ts)), false) THEN 'date' " +

@@ -39,6 +39,44 @@ class TypeInferenceSpec extends SparkSpec {
     assert(inferOne(Seq("20240305", "20231201").toDF("c")) == "int4")
   }
 
+  test("integer boundaries near 2^53 and 2^63 (live-verified vs pandas 2.2.2)") {
+    // int64 sources: astype(float)==astype(int) promotes to float64 and
+    // is ALWAYS equal — 2^53±1 and int64 max stay int8
+    assert(inferOne(Seq(9007199254740993L, 1L).toDF("c")) == "int8")
+    assert(inferOne(Seq(Long.MaxValue, 1L).toDF("c")) == "int8")
+    assert(inferOne(Seq(Long.MinValue, -1L).toDF("c")) == "int8")
+    // string sources: read_csv parses int64-fitting literals exactly —
+    // 2^53+1 and int64 max are int8 even though their double cast
+    // rounds (the decimal(38,0) check, not the double floor check)
+    assert(inferOne(Seq("9007199254740993", "1").toDF("c")) == "int8")
+    assert(inferOne(Seq("9223372036854775807", "1").toDF("c")) == "int8")
+    assert(inferOne(Seq("-9223372036854775808", "-1").toDF("c")) == "int8")
+    // uint64-only literals: pandas parses to uint64, astype(int64)
+    // wraps, comparison fails → float8
+    assert(inferOne(Seq("9223372036854775808", "1").toDF("c")) == "float8")
+    assert(inferOne(Seq("18446744073709551615", "1").toDF("c")) == "float8")
+    // beyond uint64 (or below int64 min): pandas keeps object,
+    // astype(int) raises OverflowError → varchar by length
+    assert(inferOne(Seq("18446744073709551616", "1").toDF("c"))
+      == "varchar(256)")
+    assert(inferOne(Seq("36893488147419103233", "1").toDF("c"))
+      == "varchar(256)")
+    assert(inferOne(Seq("-9223372036854775809", "-1").toDF("c"))
+      == "varchar(256)")
+    // a 300-digit literal exceeds decimal(38,0) too → still varchar
+    assert(inferOne(Seq("9" * 300).toDF("c")) == "varchar(65535)")
+  }
+
+  test("float64 integral test clamps to int64-convertible range (RAS:317)") {
+    // astype(int) from float64 is an int64 conversion: exact below 2^63,
+    // overflow garbage at/above it → float8 (live-verified: 1e30 and
+    // +2^63 → float8; 9.223372036854775e18 and −2^63 exactly → int8)
+    assert(inferOne(Seq(1e30, 1.0).toDF("c")) == "float8")
+    assert(inferOne(Seq(9.223372036854776e18, 1.0).toDF("c")) == "float8")
+    assert(inferOne(Seq(9.223372036854775e18, 1.0).toDF("c")) == "int8")
+    assert(inferOne(Seq(-9.223372036854776e18, -1.0).toDF("c")) == "int8")
+  }
+
   test("non-integral numerics infer float8 (RAS:322-325)") {
     assert(inferOne(Seq(1.5, 2.0).toDF("c")) == "float8")
     assert(inferOne(Seq("1.5", "2e3").toDF("c")) == "float8")
