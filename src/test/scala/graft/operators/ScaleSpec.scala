@@ -83,4 +83,49 @@ class ScaleSpec extends SparkSpec {
       Scale.zorderKey($"x", $"y", 32)
     }
   }
+
+  test("zorderWrite: 2-D range predicates prune row groups vs unsorted layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // deterministic 256x256 grid — every (xb, yb) cell exactly once
+    val grid = spark.range(0, 65536)
+      .select(($"id" % 256).as("xb"),
+        org.apache.spark.sql.functions.expr("id div 256").as("yb"),
+        ($"id" * 31 % 997).as("v"))
+    val zPath = "/tmp/graft_zorder_test/clustered"
+    val uPath = "/tmp/graft_zorder_test/unsorted"
+    Scale.zorderWrite(grid, "xb", "yb", zPath, numFiles = 64, bits = 8)
+    grid.repartition(64).write.mode("overwrite").parquet(uPath)
+    // rows surfaced by the scan AFTER parquet min/max row-group skipping
+    // (record-level filtering is off by default, so surviving row groups
+    // emit all their rows and the residual Filter runs above the scan)
+    def scannedRows(df: DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    def box(df: DataFrame): DataFrame =
+      df.filter($"xb".between(100, 107) && $"yb".between(50, 57))
+    val zScanned = scannedRows(box(spark.read.parquet(zPath)))
+    val uScanned = scannedRows(box(spark.read.parquet(uPath)))
+    // both layouts return the identical 64 result rows...
+    assert(box(spark.read.parquet(zPath)).count() == 64)
+    assert(box(spark.read.parquet(uPath)).count() == 64)
+    // ...but the z-clustered layout reads a small fraction of the table:
+    // the unsorted files all have full-range xb/yb stats (nothing
+    // skips), while the 8x8 query box intersects only the few z-tiles
+    // that cover it
+    assert(uScanned == 65536L,
+      s"unsorted layout should scan everything, scanned $uScanned")
+    assert(zScanned * 2 <= uScanned,
+      s"z-order must prune >2x: scanned $zScanned of $uScanned")
+    assert(zScanned <= 8192L,
+      s"z-order box scan should touch only covering tiles: $zScanned")
+  }
 }
