@@ -329,6 +329,25 @@ object SparkEntry {
           col("p_event_id"), col("p_value"))
         .orderBy("event_id")
     }),
+    // ---- salted as-of join: the hot-key variant must return the SAME
+    //      rows as q29 (one extra 6-hour time-range salt on the sort
+    //      key), so it shares q29's ASOF oracle verbatim ----
+    "q74_asof_salted" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("_m"))
+        .select(col("user_id"), col("ts"), col("_m.event_id").as("event_id"),
+          col("_m.value").as("value"))
+      TemporalJoins.asOfSalted(clicks, purchases, "user_id", "ts",
+        Seq("event_id", "value"), tiebreak = "event_id",
+        sliceSeconds = 21600L, prefix = "p_")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("p_event_id"), col("p_value"))
+        .orderBy("event_id")
+    }),
     // ---- banded range join (event pairs within 10 min per user) ----
     "q30_range_join" -> ((s, dir) => {
       TemporalJoins.bandedRangeJoin(t(s, dir, "events"), "user_id", "ts",
@@ -1188,6 +1207,19 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
   CAST(count(*) AS INTEGER) AS n_events
 FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q29_asof_join" ->
+      """SELECT a.event_id, a.user_id, a.ts,
+  b.event_id AS p_event_id, b.value AS p_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN
+  (SELECT user_id, ts, max(event_id) AS event_id,
+          arg_max(value, event_id) AS value
+   FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) b
+ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY a.event_id""",
+    // q74: the salted as-of join is semantics-identical to q29 (the salt
+    // only changes the physical partitioning), so the oracle is q29's
+    // ASOF JOIN verbatim
+    "q74_asof_salted" ->
       """SELECT a.event_id, a.user_id, a.ts,
   b.event_id AS p_event_id, b.value AS p_value
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a

@@ -30,10 +30,9 @@ import org.apache.spark.sql.functions._
   *   - [[asOf]] (and StreamingOps.sessionize, which shares the shape):
   *     partitioned by the bare key, so one hot key is one sorted task —
   *     O(n log n) in that key's rows, never n². If a single key
-  *     outgrows an executor, pre-split by a time-range salt and run
-  *     asOf per slice with boundary rows replicated; not built in
-  *     because the window formulation absorbs realistic skew (sort,
-  *     not product).
+  *     outgrows an executor, [[asOfSalted]] pre-splits by a time-range
+  *     salt and runs the same window per (key, slice) with the
+  *     boundary right-row replicated — same results, bounded tasks.
   */
 object TemporalJoins {
 
@@ -69,6 +68,92 @@ object TemporalJoins {
     }
     out.filter(col("_side") === 1)
       .drop("_side", "_tb", "_payload", "_match")
+  }
+
+  /** Salted as-of join — the documented hot-key escape hatch for
+    * [[asOf]] (scaladoc above): when one key's rows outgrow a single
+    * executor's sort, pre-split each key's timeline into
+    * `sliceSeconds`-wide slices and run the union+window per
+    * (key, slice) instead of per key, so a hot key becomes
+    * timeline/sliceSeconds independent sorted tasks.
+    *
+    * Boundary-row replication is the exactness trick: a left row near a
+    * slice's start may need a right row from an EARLIER slice, so each
+    * (key, slice) that contains left rows receives one synthetic right
+    * row — the champion (max by (ts, tiebreak), the same order the asOf
+    * window resolves) of ALL earlier slices. That carry row is computed
+    * from per-slice champions (one aggregate over the right side →
+    * O(keys × slices) rows, then one running-max window over that tiny
+    * frame), never by re-scanning data, so the overhead is one extra
+    * map-side-combinable aggregate per side.
+    *
+    * Semantics equal [[asOf]] (fixture-asserted in TemporalJoinsSpec)
+    * with two caveats: `tsCol` must be a non-null TIMESTAMP (slices are
+    * epoch-microsecond ranges), and when two right rows tie on BOTH
+    * (ts, tiebreak) the carry pick is deterministic by payload while
+    * plain asOf leaves it to sort order — pass a unique tiebreak, as
+    * as-of joins always should. */
+  def asOfSalted(left: DataFrame, right: DataFrame, key: String,
+                 tsCol: String, rightCols: Seq[String], tiebreak: String,
+                 sliceSeconds: Long, prefix: String = "r_"): DataFrame = {
+    require(sliceSeconds > 0, "sliceSeconds must be positive")
+    val us = sliceSeconds * 1000000L
+    // floor division (uniform for negative epochs — same rationale as
+    // bandedRangeJoin's band computation below)
+    def sliceOf = expr(
+      s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${us}L)) div ${us}L")
+    val payload = rightCols.map(c => col(c).as(c))
+    val r = right.select(
+        col(key), col(tsCol), col(tiebreak).as("_tb"),
+        struct(payload: _*).as("_payload"))
+      .withColumn("_slice", sliceOf)
+    // champion right row per (key, slice): max by (ts, tb) — struct
+    // ordering puts null tb smallest, matching the window's
+    // asc_nulls_first/last-wins resolution in asOf
+    val tops = r.groupBy(col(key), col("_slice"))
+      .agg(max(struct(col(tsCol).as("_ts"), col("_tb"),
+        col("_payload"))).as("_top"))
+    // every (key, slice) holding left rows needs a carry-in, even when
+    // that slice has no right rows at all
+    val leftSlices = left.select(col(key), sliceOf.as("_slice")).distinct()
+      .withColumn("_isTop", lit(0))
+      .withColumn("_top", lit(null).cast(tops.schema("_top").dataType))
+    val axis = tops.withColumn("_isTop", lit(1))
+      .select(col(key), col("_slice"), col("_isTop"), col("_top"))
+      .unionByName(leftSlices)
+    // running max over STRICTLY earlier rows: at a left-slice row
+    // (slice s, _isTop 0) the frame holds exactly the champions of
+    // slices < s (same-slice champions sort after via _isTop)
+    val wCarry = Window.partitionBy(key)
+      .orderBy(col("_slice").asc, col("_isTop").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = axis.withColumn("_carry", max(col("_top")).over(wCarry))
+      .filter(col("_isTop") === 0 && col("_carry").isNotNull)
+      .select(col(key), col("_slice"), col("_carry._ts").as(tsCol),
+        col("_carry._tb").as("_tb"), col("_carry._payload").as("_payload"))
+    // carry rows keep their ORIGINAL ts (< slice start ≤ every in-slice
+    // ts), so they sort first inside the slice window and lose to any
+    // in-slice right row at-or-before the left row — exactly asOf
+    val rightAll = r.select(col(key), col("_slice"), col(tsCol),
+        col("_tb"), col("_payload"))
+      .unionByName(carries)
+      .withColumn("_side", lit(0))
+    val l = left.withColumn("_slice", sliceOf)
+      .withColumn("_side", lit(1))
+      .withColumn("_tb", lit(null).cast(r.schema("_tb").dataType))
+      .withColumn("_payload", lit(null).cast(r.schema("_payload").dataType))
+    val unioned = l.unionByName(rightAll, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key), col("_slice"))
+      .orderBy(col(tsCol).asc, col("_side").asc, col("_tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("_match",
+      last(when(col("_side") === 0, col("_payload")), ignoreNulls = true)
+        .over(w))
+    val out = rightCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(prefix + c, col("_match")(c))
+    }
+    out.filter(col("_side") === 1)
+      .drop("_side", "_tb", "_payload", "_match", "_slice")
   }
 
   /** Banded range join: all pairs of rows sharing `key` with

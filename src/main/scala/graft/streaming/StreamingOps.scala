@@ -165,10 +165,72 @@ object StreamingOps {
     t
   }
 
+  /** The shared per-group fold both sessionizers run: emit the state's
+    * session on timeout, otherwise merge the batch's rows into the open
+    * session (closing and emitting as gaps are crossed) and hand the
+    * still-open tail to `arm`, which schedules the variant-specific
+    * timeout. */
+  private def foldSessionGroup(gapUs: Long,
+      arm: (GroupState[SessionState], SessionState) => Unit)(
+      userId: Long, rows: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[UserSession] =
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(UserSession(userId, fromMicros(s.start),
+        fromMicros(s.last), s.n))
+    } else {
+      val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
+      var closed = List.empty[UserSession]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = toMicros(e.ts)
+        cur match {
+          case Some(s)
+              if t - s.last <= gapUs && t - s.start >= -gapUs =>
+            // min/max, not unconditional overwrite: rows are sorted
+            // only WITHIN a batch, so a late event from a later
+            // micro-batch can carry t < s.last (or even slightly
+            // before s.start, within the gap) — blindly setting
+            // last = t would shrink the session and could emit
+            // session_end < session_start.
+            cur = Some(s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1))
+          case Some(s) if t - s.start < -gapUs =>
+            // cross-batch late event MORE than a gap before the
+            // open session's start: it belongs to an earlier,
+            // already-closed time range. Merging would stretch the
+            // open session backwards over sessions that were
+            // already emitted; emit it immediately as its own
+            // closed singleton instead and leave the open state
+            // untouched. (Sessions it might have bridged are
+            // irrecoverably emitted — the documented at-once
+            // semantics of gap sessionization without a watermark.)
+            closed ::= UserSession(userId, fromMicros(t),
+              fromMicros(t), 1)
+          case Some(s) =>
+            closed ::= UserSession(userId, fromMicros(s.start),
+              fromMicros(s.last), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        arm(state, s)
+      }
+      closed.reverseIterator
+    }
+
   /** Gap-based sessionization with flatMapGroupsWithState: a session
     * closes when `gapMinutes` pass without an event (processing-time
     * timeout closes the tail session). State per user is three numbers
-    * (epoch-microsecond bounds + count) — O(users), watermark-evictable. */
+    * (epoch-microsecond bounds + count) — O(users), watermark-evictable.
+    *
+    * Tail-session closure depends on WALL-CLOCK idleness, so output
+    * timing is trigger-dependent; [[sessionizeEventTime]] is the
+    * deterministic variant. */
   def sessionize(events: Dataset[Event], gapMinutes: Int)
       : Dataset[UserSession] = {
     import events.sparkSession.implicits._
@@ -176,58 +238,43 @@ object StreamingOps {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (userId: Long, rows: Iterator[Event],
-         state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(UserSession(userId, fromMicros(s.start),
-              fromMicros(s.last), s.n))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
-            var closed = List.empty[UserSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = toMicros(e.ts)
-              cur match {
-                case Some(s)
-                    if t - s.last <= gapUs && t - s.start >= -gapUs =>
-                  // min/max, not unconditional overwrite: rows are sorted
-                  // only WITHIN a batch, so a late event from a later
-                  // micro-batch can carry t < s.last (or even slightly
-                  // before s.start, within the gap) — blindly setting
-                  // last = t would shrink the session and could emit
-                  // session_end < session_start.
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t), n = s.n + 1))
-                case Some(s) if t - s.start < -gapUs =>
-                  // cross-batch late event MORE than a gap before the
-                  // open session's start: it belongs to an earlier,
-                  // already-closed time range. Merging would stretch the
-                  // open session backwards over sessions that were
-                  // already emitted; emit it immediately as its own
-                  // closed singleton instead and leave the open state
-                  // untouched. (Sessions it might have bridged are
-                  // irrecoverably emitted — the documented at-once
-                  // semantics of gap sessionization without a watermark.)
-                  closed ::= UserSession(userId, fromMicros(t),
-                    fromMicros(t), 1)
-                case Some(s) =>
-                  closed ::= UserSession(userId, fromMicros(s.start),
-                    fromMicros(s.last), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutDuration(gapUs / 1000L)
-            }
-            closed.reverseIterator
-          }
-      }
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        foldSessionGroup(gapUs,
+          (state, _) => state.setTimeoutDuration(gapUs / 1000L)) _)
+  }
+
+  /** Event-time sessionization: like [[sessionize]] but tail sessions
+    * close when the event-time WATERMARK passes session_end + gap —
+    * never on a wall-clock timer — so the output is a deterministic
+    * function of the data regardless of trigger cadence or processing
+    * speed. The price is the watermark contract: events later than
+    * `watermark` relative to the stream's max event time are dropped by
+    * Spark before they reach the state fold (the in-batch and
+    * within-watermark out-of-order handling is the same min/max merge
+    * as [[sessionize]]).
+    *
+    * State stays O(users) and is now properly evictable: a user who
+    * stops sending events has their tail session flushed as soon as the
+    * watermark (driven by OTHER users' events) crosses the gap, rather
+    * than waiting on a processing-time timer that resets with every
+    * trigger. */
+  def sessionizeEventTime(events: Dataset[Event], gapMinutes: Int,
+                          watermark: String): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        foldSessionGroup(gapUs, (state, s) => {
+          // fire when the watermark passes last + gap; clamp above the
+          // current watermark — Spark rejects a timeout at-or-before it
+          // (reachable when a row lands exactly at the watermark edge)
+          val fireAtMs = math.floorDiv(s.last, 1000L) + gapUs / 1000L
+          state.setTimeoutTimestamp(
+            math.max(fireAtMs, state.getCurrentWatermarkMs() + 1))
+        }) _)
   }
 
   /** Batch reference implementation of the same sessionization (for

@@ -130,6 +130,69 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("asOfSalted equals plain asOf on a hot key, including boundary carries") {
+    // Round-4 verdict item 7: the time-range-salted variant must return
+    // EXACTLY what asOf returns while sorting per (key, slice) instead of
+    // per key. Hot user 1 carries 500 left rows across many 10-minute
+    // slices; the fixture forces every carry shape: slices with left rows
+    // but no right rows (carry from far back), left rows before ANY right
+    // row (null match), equal-ts ties, and a cold key confined to one
+    // slice.
+    import spark.implicits._
+    val base = ts("2024-01-01 00:00:00").getTime
+    val left = ((1 to 500).map { i => // hot user: 1 left row/min
+      (1L, new java.sql.Timestamp(base + i * 60000L), i.toLong)
+    } ++ Seq(
+      (2L, ts("2024-01-01 00:03:00"), 9001L),  // before k=2's only right row
+      (2L, ts("2024-01-01 00:07:00"), 9002L))) // after it, same slice
+      .toDF("k", "ts", "id")
+    val right = ((1 to 50).map { j => // sparse right: 1 row/11 min → many
+      // slices have left rows but NO right rows (carry must bridge them)
+      (1L, new java.sql.Timestamp(base + j * 660000L), j * 100L, j * 1.0)
+    } ++ Seq(
+      (1L, ts("2024-01-01 00:11:00"), 101L, -1.0), // equal-ts tie with j=1
+      (2L, ts("2024-01-01 00:05:00"), 7000L, 7.0)))
+      .toDF("k", "ts", "rid", "v")
+    val plain = TemporalJoins.asOf(left, right, "k", "ts",
+      Seq("rid", "v"), tiebreak = "rid")
+    val salted = TemporalJoins.asOfSalted(left, right, "k", "ts",
+      Seq("rid", "v"), tiebreak = "rid", sliceSeconds = 600L)
+    assert(salted.count() == left.count(), "one output row per left row")
+    assert(salted.except(plain).count() == 0 &&
+      plain.except(salted).count() == 0,
+      "salted result must equal plain asOf exactly")
+    // sanity on the fixture itself: the equal-ts tie resolved to the
+    // greater tiebreak, and pre-first-right left rows carry nulls
+    val byId = salted.select("id", "r_rid").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(byId(11L) == Some(101L), "equal-ts tie → max tiebreak")
+    assert(byId(9001L) == None && byId(9002L) == Some(7000L))
+    assert(byId(1L) == None, "left rows before any right row match null")
+  }
+
+  test("asOfSalted matches asOf on real events across slice widths") {
+    import spark.implicits._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter($"event_type" === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val plain = TemporalJoins.asOf(clicks, purchases, "user_id", "ts",
+      Seq("event_id", "value"), tiebreak = "event_id", prefix = "p_")
+      .select("event_id", "p_event_id", "p_value")
+    // a width so small most slices are empty, and one so large every key
+    // fits in one slice (degenerates to plain asOf)
+    for (width <- Seq(3600L, 365L * 86400L)) {
+      val salted = TemporalJoins.asOfSalted(clicks, purchases, "user_id",
+        "ts", Seq("event_id", "value"), tiebreak = "event_id",
+        sliceSeconds = width, prefix = "p_")
+        .select("event_id", "p_event_id", "p_value")
+      assert(salted.except(plain).count() == 0 &&
+        plain.except(salted).count() == 0, s"width=$width diverged")
+    }
+  }
+
   test("hot-key skew: one user with 50x the rows stays correct in both joins") {
     // Skew-evidence fixture (round-2 verdict item 8): user 1 carries 50×
     // the events of every other user. bandedRangeJoin's shuffle key is
