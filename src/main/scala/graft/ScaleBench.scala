@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence main: times the heaviest gate queries at sf0.1 and
+  * at a 10×-replicated "sf1" derived from it, and reports per-query
+  * growth factors (the BASELINE.md scaling table's next decade).
+  *
+  * The sf1 input is NOT new synthetic testdata — correctness gates stay
+  * on the driver's parquet; this derives a bench-only 10× corpus under
+  * `target/sf1` by replicating sf0.1 with disjoint id ranges. Document
+  * TEXT is made shingle-disjoint per replica (every whitespace token
+  * gets a replica suffix), so the corpus behaves like ten independent
+  * shards of the same duplicate density: pair/cluster output grows 10×,
+  * and a sub-quadratic operator should cost ≈10× — replicating
+  * VERBATIM would instead multiply every document by 10 exact copies
+  * and quadratically inflate the pair space, measuring a duplicate
+  * explosion rather than a data-volume decade. Embeddings and lineitem
+  * replicate as-is (ANN cost tracks index size, inference cost tracks
+  * row count; neither semantics cares about near-dup structure).
+  */
+object ScaleBench {
+  private val heavy = Seq(
+    "q60_jaccard_complete", "q55_simhash_neardup", "q54_keep_best_doc",
+    "q49_neardup_clusters", "q19_jaccard_pairs", "q21_ann_ivf",
+    "q02_infer_lineitem")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = "target/sf1"
+    buildScaled(spark, src, sf1, replicas = 10)
+    // untimed warmup (same rationale as Bench: JVM/codegen cost once)
+    heavy.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    def time(dir: String): Seq[(String, Double)] = heavy.map { n =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(n)(spark, dir)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] $n failed at $dir: ${e.getMessage}")
+          false
+        }
+      (n, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val base = time(src)
+    val scaled = time(sf1)
+    val qs = base.zip(scaled).map { case ((n, b), (_, s)) =>
+      val growth = if (b > 0 && s > 0) s / b else -1.0
+      f""""$n":{"sf0_1":$b%.3f,"sf1":$s%.3f,"growth":$growth%.2f}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"scale_growth_10x","unit":"sec","queries":$qs}"""
+    println(json)
+    try {
+      val out = java.nio.file.Paths.get("target/scalebench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalebench] could not write json: $e")
+    }
+    spark.stop()
+  }
+
+  /** Materialize the 10× corpus once (idempotent via a marker file). */
+  def buildScaled(spark: SparkSession, src: String, out: String,
+                  replicas: Int): Unit = {
+    val marker = java.nio.file.Paths.get(out, ".built")
+    if (java.nio.file.Files.exists(marker)) return
+    val idStride = 100000000L // far above any sf0.1 id
+    def replicate(df: DataFrame, per: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until replicas).map(k => per(df, k)).reduce(_ unionByName _)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    replicate(docs, (d, k) => d.select(
+        (col("doc_id") + lit(k * idStride)).as("doc_id"),
+        // suffix every token → replica shards are shingle-disjoint
+        (if (k == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", "$1·" + k)).as("text"),
+        col("lang"), col("source"),
+        length(col("text")).as("n_chars"))) // keep n_chars consistent
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    replicate(emb, (d, k) => d.select(
+        (col("vec_id") + lit(k * idStride)).as("vec_id"),
+        col("embedding"), col("label")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    replicate(li, (d, _) => d)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    java.nio.file.Files.createFile(marker)
+  }
+}
