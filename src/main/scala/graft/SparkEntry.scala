@@ -667,6 +667,14 @@ object SparkEntry {
         alpha = 0.3)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
+    // ---- mixture sampling to explicit target shares (zh is the
+    //      binding stratum — keeps all; fr is deliberately absent
+    //      from the target → dropped entirely) ----
+    "q75_mixture_sample" -> ((s, dir) => {
+      Curation.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.4, "zh" -> 0.25, "de" -> 0.2, "es" -> 0.15))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // ---- resize geometry over decoded features: box-fit scale
     //      (aspect-preserving, no upscale), audio passes through —
     //      per-row expressions on top of the q42 decode path ----
@@ -1478,6 +1486,24 @@ WHERE rank <= 5 ORDER BY lang, rank""",
       s"""WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
 t AS (SELECT count(*) AS n_total FROM documents),
 r AS (SELECT lang, pow(CAST(n_l AS DOUBLE) / n_total, 0.3 - 1.0) AS ratio
+  FROM c CROSS JOIN t),
+m AS (SELECT max(ratio) AS mr FROM r),
+rt AS (SELECT lang, round(ratio / mr, 6) AS rate FROM r CROSS JOIN m)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN rt ON d.lang IS NOT DISTINCT FROM rt.lang
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+  < round(rate * ${Curation.bucketScale48}.0)
+ORDER BY doc_id""",
+    // q75: replays mixtureSample's arithmetic — the same ratio/round/
+    // md5-cut pipeline as q67 with CASE target weights instead of pow;
+    // fr has no weight → ratio 0 → rate 0 → dropped
+    "q75_mixture_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+t AS (SELECT count(*) AS n_total FROM documents),
+r AS (SELECT lang,
+  (CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.25
+             WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.15 ELSE 0.0 END)
+    / (CAST(n_l AS DOUBLE) / n_total) AS ratio
   FROM c CROSS JOIN t),
 m AS (SELECT max(ratio) AS mr FROM r),
 rt AS (SELECT lang, round(ratio / mr, 6) AS rate FROM r CROSS JOIN m)

@@ -158,6 +158,48 @@ object Curation {
       .drop("rate", "_stratum")
   }
 
+  /** Mixture sampling to explicit TARGET shares — the domain-
+    * reweighting step of training-mix construction ("mix to 40% web,
+    * 25% code, …") that [[temperatureSample]]'s uniform-flattening is a
+    * special case of. Given target weights w_l over strata with
+    * empirical shares p_l, each stratum keeps rate
+    * r_l = (w_l / p_l) / max_m(w_m / p_m) ∈ [0, 1], so the kept corpus
+    * composition matches the (renormalized) target while retaining the
+    * maximum possible data: the binding stratum (largest w/p) keeps
+    * everything and every other stratum downsamples toward it.
+    * Downsample-only by construction — no row is duplicated. Strata
+    * absent from `weights` (including a null stratum) get weight 0 and
+    * are dropped: a target mixture is exhaustive by definition.
+    *
+    * Shape at scale: identical to [[temperatureSample]] — one count
+    * aggregate (#strata rows), rate arithmetic on that tiny frame,
+    * broadcast join back, per-row md5-cut predicate; the corpus is
+    * never shuffled. Rates round to 6 dp before the cut so the kept
+    * set reproduces across engines. */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "weights must be non-negative, not all zero")
+    // weight lookup as a sorted when-chain (Map order is unspecified);
+    // null/unlisted strata fall through to 0
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (e, (s, wt)) => when(col(stratumCol) === s, lit(wt)).otherwise(e)
+    }
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_l"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("p_l", col("n_l").cast("double") / col("n_total"))
+      .withColumn("ratio", w / col("p_l"))
+    val maxRatio = broadcast(rates.agg(max(col("ratio")).as("max_ratio")))
+    val withRate = rates.crossJoin(maxRatio)
+      .withColumn("rate", round(col("ratio") / col("max_ratio"), 6))
+      .select(col(stratumCol).as("_stratum"), col("rate"))
+    df.join(broadcast(withRate), col(stratumCol) <=> col("_stratum"))
+      .filter(hashBucket48(col(idCol)) <
+        round(col("rate") * lit(bucketScale48.toDouble)))
+      .drop("rate", "_stratum")
+  }
+
   /** PII patterns — deliberately restricted to syntax valid in BOTH
     * Java regex and RE2 (DuckDB), so the oracle runs them verbatim. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -37,6 +37,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q74 salted as-of sorts per (key, slice) and never joins the data") {
+    // the salted variant exists to BOUND task size: the heavy sort must
+    // be keyed by (user_id, _slice) — not the bare key — and the only
+    // joins in the plan stem from the tiny champion/carry frames, never
+    // a product
+    val plan = finalPlan(q("q74_asof_salted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"salted as-of must not plan a product:\n$plan")
+    assert(plan.contains("_slice"),
+      s"window partitioning must include the time-slice salt:\n$plan")
+  }
+
   test("q09 broadcasts its dimension sides under AQE") {
     val plan = finalPlan(q("q09_join_topk"))
     assert(plan.contains("BroadcastHashJoin"),

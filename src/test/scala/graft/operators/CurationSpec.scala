@@ -143,6 +143,42 @@ class CurationSpec extends SparkSpec {
       "null stratum must survive resampling at its own rate")
   }
 
+  test("mixtureSample: hits target shares, binding stratum keeps all, " +
+      "unlisted strata drop") {
+    // corpus: 70% web, 20% code, 10% books, plus an unlisted stratum
+    val df = spark.range(20000).toDF("id")
+      .withColumn("src",
+        when($"id" % 100 < 70, "web")
+          .when($"id" % 100 < 90, "code")
+          .when($"id" % 100 < 99, "books")
+          .otherwise("junk"))
+    // target: equal thirds. books is binding (w/p = .333/.09 max) →
+    // keeps everything; web/code downsample toward it; junk (no
+    // weight) drops entirely.
+    val third = 1.0 / 3
+    val kept = Curation.mixtureSample(df, "id", "src",
+      Map("web" -> third, "code" -> third, "books" -> third))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("junk"), "unlisted stratum must be dropped")
+    assert(kept("books") == df.filter($"src" === "books").count(),
+      "binding stratum keeps every row")
+    // kept composition ≈ target (md5-cut sampling noise only)
+    val total = kept.values.sum.toDouble
+    for (s <- Seq("web", "code", "books"))
+      assert(math.abs(kept(s) / total - third) < 0.02,
+        s"$s share ${kept(s) / total} must be within 2pp of target $third")
+    // downsample-only: never more rows than the input stratum
+    assert(kept("web") < df.filter($"src" === "web").count())
+    // null stratum has no target weight → dropped like any unlisted one
+    val withNull = spark.range(100).toDF("id")
+      .withColumn("src", when($"id" % 2 === 0, "en"))
+    assert(Curation.mixtureSample(withNull, "id", "src", Map("en" -> 1.0))
+      .filter($"src".isNull).count() == 0)
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(df, "id", "src", Map("web" -> -0.1))
+    }
+  }
+
   test("chunkDocuments: stride/overlap arithmetic, tails, empty docs") {
     val docs = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
