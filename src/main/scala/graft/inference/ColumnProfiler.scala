@@ -271,6 +271,15 @@ object ColumnProfiler {
     val int64Lo = lit(-9.223372036854776e18) // −2⁶³ exactly
     val int64Hi = lit(9.223372036854776e18)  // +2⁶³ exactly (exclusive)
     val floatIntegral = d === floor(d) && d >= int64Lo && d < int64Hi
+    // 2⁵³: below this magnitude every integer-valued double is exact,
+    // so the plain float test IS the exact test. The regex + decimal
+    // parse below are per-value costs that measured 2.5× on full-table
+    // inference when run unconditionally (q02 1.7 s → 4.4 s) — the
+    // `when` guards keep them off the codegen hot path, executing only
+    // for the vanishingly rare magnitudes at/beyond 2⁵³ (and
+    // non-double-castable giants, where d is null/Infinity and the
+    // guard also falls through to the exact branch).
+    val twoTo53 = lit(9.007199254740992e15)
     val intLit: Column =
       if (kind == StrKind) c.rlike("^\\s*[+-]?[0-9]+\\s*$") else lit(false)
     val decOfStr: Column =
@@ -280,7 +289,8 @@ object ColumnProfiler {
       case StrKind =>
         val inInt64 = decOfStr.isNotNull &&
           decOfStr >= lit(Long.MinValue) && decOfStr <= lit(Long.MaxValue)
-        when(intLit, inInt64).otherwise(floatIntegral)
+        when(abs(d) < twoTo53, d === floor(d))
+          .otherwise(when(intLit, inInt64).otherwise(floatIntegral))
       case NumKind => dt match {
         case FloatType | DoubleType => floatIntegral
         // integral/decimal sources: conversion is exact, no clamp
@@ -293,11 +303,14 @@ object ColumnProfiler {
     // stays `object`, astype(int) raises OverflowError, and the
     // reference falls through datetime (always fails for these) to the
     // varchar length rule. TypeInference diverts on bigObjCount > 0.
+    // Same 2⁵³ guard: below it an integer literal always fits int64,
+    // so bigObj is statically false on the hot path.
     val bigObj: Column =
       if (kind != StrKind) lit(false)
-      else intLit && !(decOfStr.isNotNull &&
-        decOfStr >= lit(Long.MinValue) &&
-        decOfStr <= lit(new java.math.BigDecimal("18446744073709551615")))
+      else when(abs(d) < twoTo53, lit(false))
+        .otherwise(intLit && !(decOfStr.isNotNull &&
+          decOfStr >= lit(Long.MinValue) &&
+          decOfStr <= lit(new java.math.BigDecimal("18446744073709551615"))))
     Seq(
       count(c).as(s"p${i}_nn"),
       coalesce(bool_and(domainHit), lit(false)).as(s"p${i}_bool"),
