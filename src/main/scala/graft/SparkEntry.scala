@@ -675,6 +675,16 @@ object SparkEntry {
         Map("en" -> 0.4, "zh" -> 0.25, "de" -> 0.2, "es" -> 0.15))
         .select("doc_id", "lang").orderBy("doc_id")
     }),
+    // ---- budget-constrained selection: best docs by n_chars until
+    //      the 15k-token budget is spent (greedy data-selection) ----
+    "q76_select_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.selectUnderBudget(d, "doc_id", "n_chars", "n_tokens",
+        budgetTokens = 15000L)
+        .select("doc_id", "n_chars", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    }),
     // ---- resize geometry over decoded features: box-fit scale
     //      (aspect-preserving, no upscale), audio passes through —
     //      per-row expressions on top of the q42 decode path ----
@@ -1512,6 +1522,18 @@ JOIN rt ON d.lang IS NOT DISTINCT FROM rt.lang
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
   < round(rate * ${Curation.bucketScale48}.0)
 ORDER BY doc_id""",
+    // q76: the greedy budget prefix replayed as one global cumulative
+    // window (the oracle may single-thread what the engine buckets) —
+    // same (score DESC, id) tie order, same ≤-budget cut
+    "q76_select_budget" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+  CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_chars, n_tokens,
+  CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_tokens FROM d)
+SELECT doc_id, n_chars, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= 15000 ORDER BY doc_id""",
     "q66_resize_plan" ->
       s"""WITH feats AS (${decodeOracle.replace("ORDER BY media_id", "")}),
 r AS (SELECT media_id, media_type, width, height,

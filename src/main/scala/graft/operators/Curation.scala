@@ -158,6 +158,65 @@ object Curation {
       .drop("rate", "_stratum")
   }
 
+  /** Budget-constrained corpus selection: keep the highest-`scoreCol`
+    * rows whose cumulative `tokenCol` fits `budgetTokens` — the greedy
+    * data-selection step ("take the best N-token subset") that follows
+    * quality scoring in a training-mix build. Rows are ranked
+    * (score DESC, id ASC — the id breaks ties deterministically) and
+    * the kept set is the maximal prefix with running total ≤ budget.
+    * Returns the input columns plus `cum_tokens` (the running total at
+    * each kept row).
+    *
+    * Shape at scale: the same distributed prefix sum as
+    * [[packSequences]] — score-range buckets from approxQuantile
+    * literals, per-bucket subtotals (one tiny aggregate; #buckets rows
+    * to the driver), cumulative window only WITHIN each bucket. Rows
+    * with equal score always share a bucket (the bucket is a pure
+    * function of the score), so cross-bucket order never splits a tie.
+    * No global single-partition sort anywhere. */
+  def selectUnderBudget(df: DataFrame, idCol: String, scoreCol: String,
+                        tokenCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    val nNull = df.filter(col(idCol).isNull || col(scoreCol).isNull ||
+      col(tokenCol).isNull).count()
+    require(nNull == 0,
+      s"selectUnderBudget requires non-null `$idCol`/`$scoreCol`/" +
+        s"`$tokenCol`: found $nNull offending rows — pre-clean with " +
+        s"na.drop(Seq($idCol, $scoreCol, $tokenCol))")
+    val nBuckets = math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(scoreCol, probs, 0.001)
+    val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
+      case (e, (b, i)) => when(col(scoreCol).cast("double") > b, i + 1)
+        .otherwise(e)
+    }
+    val bucketed = df.withColumn("_bkt", bucketExpr)
+    val subtotals = bucketed.groupBy(col("_bkt"))
+      .agg(sum(col(tokenCol).cast("long")).as("_sub"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(-_._1) // DESC: high-score buckets come first in the order
+    val offsets = subtotals.scanLeft((0, 0L)) {
+      case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
+    }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }
+      .toMap
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (bkt, off)) =>
+      when(col("_bkt") === bkt, lit(off)).otherwise(e)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_bkt").orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bucketed
+      .withColumn("cum_tokens",
+        sum(col(tokenCol).cast("long")).over(w) + offsetExpr)
+      .filter(col("cum_tokens") <= budgetTokens)
+      .drop("_bkt")
+  }
+
   /** Mixture sampling to explicit TARGET shares — the domain-
     * reweighting step of training-mix construction ("mix to 40% web,
     * 25% code, …") that [[temperatureSample]]'s uniform-flattening is a

@@ -179,6 +179,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("selectUnderBudget matches the single-window greedy prefix") {
+    // 2000 rows, scores with heavy ties (score = id % 50) so tie-break
+    // order and bucket-boundary ties are both exercised; tokens vary
+    val df = spark.range(2000).toDF("id")
+      .withColumn("score", ($"id" % 50).cast("double"))
+      .withColumn("tok", ($"id" % 7 + 1).cast("long"))
+      .repartition(13) // partitioning must not matter
+    val got = Curation.selectUnderBudget(df, "id", "score", "tok", 3000L)
+    // oracle: one global window (fine at test size)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df.withColumn("cum_tokens", sum($"tok").over(w))
+      .filter($"cum_tokens" <= 3000L)
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "bucketed prefix sum must equal the global-window greedy prefix")
+    // spent budget is maximal: adding the next-best row would overflow
+    val spent = got.agg(max($"cum_tokens")).head().getLong(0)
+    assert(spent <= 3000L && spent > 3000L - 8,
+      s"prefix must be maximal (spent $spent of 3000, max row cost 7)")
+    // budget above the corpus total keeps everything
+    assert(Curation.selectUnderBudget(df, "id", "score", "tok", 1000000L)
+      .count() == 2000)
+    intercept[IllegalArgumentException] {
+      Curation.selectUnderBudget(df.withColumn("score",
+        when($"id" === 0, lit(null)).otherwise($"score")),
+        "id", "score", "tok", 100L)
+    }
+  }
+
   test("chunkDocuments: stride/overlap arithmetic, tails, empty docs") {
     val docs = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
