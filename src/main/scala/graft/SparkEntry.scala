@@ -675,6 +675,14 @@ object SparkEntry {
         Map("en" -> 0.4, "zh" -> 0.25, "de" -> 0.2, "es" -> 0.15))
         .select("doc_id", "lang").orderBy("doc_id")
     }),
+    // ---- cross-snapshot dedup: drop docs whose exact text an earlier
+    //      snapshot (doc_id < 100 here) already holds ----
+    "q77_dedup_snapshot" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupAgainstReference(docs,
+        docs.filter(col("doc_id") < 100), "text", "text")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // ---- budget-constrained selection: best docs by n_chars until
     //      the 15k-token budget is spent (greedy data-selection) ----
     "q76_select_budget" -> ((s, dir) => {
@@ -1522,6 +1530,13 @@ JOIN rt ON d.lang IS NOT DISTINCT FROM rt.lang
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
   < round(rate * ${Curation.bucketScale48}.0)
 ORDER BY doc_id""",
+    // q77: NOT EXISTS mirrors the left-anti join's null semantics (a
+    // null digest matches nothing and survives on both engines)
+    "q77_dedup_snapshot" ->
+      """SELECT d.doc_id, d.lang FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM documents r
+                  WHERE r.doc_id < 100 AND md5(r.text) = md5(d.text))
+ORDER BY d.doc_id""",
     // q76: the greedy budget prefix replayed as one global cumulative
     // window (the oracle may single-thread what the engine buckets) —
     // same (score DESC, id) tie order, same ≤-budget cut

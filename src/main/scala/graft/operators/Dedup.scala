@@ -489,4 +489,25 @@ object Dedup {
       .drop("digest")
     df.join(canon, Seq(idCol), "left_semi")
   }
+
+  /** Cross-snapshot exact dedup: drop rows whose content digest already
+    * exists in `reference` — the incremental-ingest step that keeps a
+    * new crawl/batch from re-adding documents an earlier snapshot
+    * already holds. Distinct from [[dropExactDuplicates]] (within one
+    * frame) and from [[graft.operators.Curation.decontaminate]]
+    * (n-gram OVERLAP, not equality).
+    *
+    * Shape at scale: both sides reduce to digests — the reference via
+    * a distinct aggregate — and meet in one left-anti equi-join keyed
+    * on the digest, so the shuffle carries 16-byte keys, never text;
+    * AQE broadcasts the reference side when it is small. Within-batch
+    * duplicates are NOT collapsed (that is dropExactDuplicates'
+    * job — compose them for full idempotent ingest). */
+  def dedupAgainstReference(df: DataFrame, reference: DataFrame,
+                            textCol: String, refTextCol: String): DataFrame = {
+    val seen = reference.select(md5(col(refTextCol)).as("_digest")).distinct()
+    df.withColumn("_digest", md5(col(textCol)))
+      .join(seen, Seq("_digest"), "left_anti")
+      .drop("_digest")
+  }
 }

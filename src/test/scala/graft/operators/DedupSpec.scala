@@ -37,6 +37,25 @@ class DedupSpec extends SparkSpec {
     assert(kept.sameElements(Array(0L, 1L, 2L, 4L))) // 3 dropped (dup of 0)
   }
 
+  test("cross-snapshot dedup drops only reference-seen texts") {
+    // reference snapshot holds docs 0 and 2; doc 3 duplicates doc 0's
+    // text so it must drop too; 1 and 4 are novel and survive — and a
+    // within-batch duplicate pair of novel text survives INTACT (the
+    // operator is cross-frame only, by contract)
+    val ref = docs.filter($"doc_id".isin(0L, 2L))
+    val kept = Dedup.dedupAgainstReference(docs, ref, "text", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 4L)),
+      s"0/2 seen, 3 is a dup of 0; got ${kept.mkString(",")}")
+    val batchDups = Seq((10L, "novel text"), (11L, "novel text"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstReference(batchDups, ref, "text", "text")
+      .count() == 2, "within-batch dups are not this operator's job")
+    // disjoint reference → everything survives
+    assert(Dedup.dedupAgainstReference(docs, batchDups, "text", "text")
+      .count() == docs.count())
+  }
+
   test("minhash+LSH: exact and near dups collide, distinct docs don't") {
     val pairs = Dedup.minHashCandidates(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
