@@ -193,6 +193,46 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("property: asOfSalted equals asOf on random frames and slice widths") {
+    // Deterministic scalacheck sweep (the InferencePropertiesSpec
+    // technique): random key/timestamp layouts — including pre-1970
+    // negative epochs, ts collisions, empty sides, and slice widths from
+    // 1 minute to ~11 days — must make the salted join agree with the
+    // plain one exactly. Unique tiebreaks keep both joins deterministic.
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      nL <- Gen.chooseNum(0, 120)
+      nR <- Gen.chooseNum(0, 120)
+      nKeys <- Gen.chooseNum(1, 4)
+      lRows <- Gen.listOfN(nL, Gen.zip(Gen.chooseNum(1, nKeys),
+        Gen.chooseNum(-500000L, 500000L)))
+      rRows <- Gen.listOfN(nR, Gen.zip(Gen.chooseNum(1, nKeys),
+        Gen.chooseNum(-500000L, 500000L)))
+      width <- Gen.oneOf(60L, 3600L, 86400L, 1000000L)
+    } yield (lRows, rRows, width)
+    for (i <- 0 until 6) {
+      val (lRows, rRows, width) =
+        genCase.pureApply(Gen.Parameters.default, Seed(42L + i))
+      val left = lRows.zipWithIndex.map { case ((k, t), j) =>
+        (k.toLong, new java.sql.Timestamp(t * 1000L), j.toLong)
+      }.toDF("k", "ts", "id")
+      val right = rRows.zipWithIndex.map { case ((k, t), j) =>
+        (k.toLong, new java.sql.Timestamp(t * 1000L), 1000L + j, j * 1.5)
+      }.toDF("k", "ts", "rid", "v")
+      val plain = TemporalJoins.asOf(left, right, "k", "ts",
+        Seq("rid", "v"), tiebreak = "rid")
+      val salted = TemporalJoins.asOfSalted(left, right, "k", "ts",
+        Seq("rid", "v"), tiebreak = "rid", sliceSeconds = width)
+      assert(salted.count() == lRows.size.toLong,
+        s"case $i: one output row per left row")
+      assert(salted.except(plain).count() == 0 &&
+        plain.except(salted).count() == 0,
+        s"case $i (|L|=${lRows.size}, |R|=${rRows.size}, width=$width) diverged")
+    }
+  }
+
   test("hot-key skew: one user with 50x the rows stays correct in both joins") {
     // Skew-evidence fixture (round-2 verdict item 8): user 1 carries 50×
     // the events of every other user. bandedRangeJoin's shuffle key is
