@@ -50,6 +50,15 @@ class PlanShapeSpec extends SparkSpec {
       s"window partitioning must include the time-slice salt:\n$plan")
   }
 
+  test("q76 budget selection never funnels into a single partition") {
+    // the whole point of the bucketed prefix sum is avoiding the global
+    // one-task window; the executed plan's only exchanges must be
+    // hash/range partitionings (SinglePartition would be the funnel)
+    val plan = finalPlan(q("q76_select_budget"))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"budget selection must not plan a single-partition stage:\n$plan")
+  }
+
   test("q09 broadcasts its dimension sides under AQE") {
     val plan = finalPlan(q("q09_join_topk"))
     assert(plan.contains("BroadcastHashJoin"),

@@ -288,6 +288,54 @@ class StreamingOpsSpec extends SparkSpec {
       ((3L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:01:00"), 2)))
   }
 
+  test("sessionizeEventTime: events behind the watermark are dropped, " +
+      "never stretch sessions backwards") {
+    // The watermark CONTRACT of the event-time variant: an event that
+    // arrives later than the watermark delay is filtered before the
+    // state fold, so it can neither extend a session nor appear as its
+    // own singleton (the processing-time variant would emit one — that
+    // difference is the documented price of deterministic output).
+    val mem = MemoryStream[StreamingOps.Event](spark)
+    val ckpt = s"/tmp/graft-stream-ckpt-${System.nanoTime()}"
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Timestamp, Timestamp, Int)]()
+    def runBatch(): Unit = {
+      val q = StreamingOps.sessionizeEventTime(
+        mem.toDS(), gapMinutes = 30, watermark = "10 minutes")
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingOps.UserSession],
+           _: Long) =>
+            df.collect().foreach(s =>
+              out.add((s.user_id, s.session_start, s.session_end, s.n_events)))
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    // run 1: open a session; watermark after = 10:10 − 10m = 10:00
+    mem.addData(StreamingOps.Event(1L, ts("2024-01-01 10:00:00"), "a"),
+      StreamingOps.Event(1L, ts("2024-01-01 10:10:00"), "b"))
+    runBatch()
+    // run 2: 09:00 is a full hour behind the 10:00 watermark → dropped;
+    // 10:20 is in-order and merges
+    mem.addData(StreamingOps.Event(1L, ts("2024-01-01 09:00:00"), "too-late"),
+      StreamingOps.Event(1L, ts("2024-01-01 10:20:00"), "c"))
+    runBatch()
+    // run 3: another user pushes the watermark past 10:20 + gap → the
+    // session closes on event time
+    mem.addData(StreamingOps.Event(2L, ts("2024-01-01 12:00:00"), "a"))
+    runBatch()
+    mem.addData(StreamingOps.Event(2L, ts("2024-01-01 12:01:00"), "b"))
+    runBatch()
+    val closed = out.toArray(Array.empty[(Long, Timestamp, Timestamp, Int)]).toSet
+    assert(closed == Set(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 3)),
+      s"dropped event must leave no trace (got $closed)")
+  }
+
   test("sessionize: event older than gap-before-start never stretches the open session") {
     // Round-3 review finding: `t - s.last <= gap` is vacuously true for
     // ANY past t, so a cross-batch event hours before the open session
