@@ -44,6 +44,22 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming near-dup dedup by document fingerprint — the streaming
+    * twin of the q16 batch operator ([[graft.operators.TextAnalysis
+    * .fingerprint]]): a document whose sorted-distinct-token-set md5
+    * was already seen within the watermark is dropped, so token-order
+    * shuffles and repeated tokens don't defeat the dedup the way they
+    * defeat [[dedupStream]]'s exact-id keying. Same bounded-state
+    * contract: state is keyed by the 32-hex fingerprint alone and
+    * evicted once the watermark passes it. */
+  def fingerprintDedupStream(docs: DataFrame, tsCol: String,
+                             watermark: String, textCol: String): DataFrame =
+    docs
+      .withColumn("_fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_fp"))
+      .drop("_fp")
+
   /** Streaming benchmark decontamination: drop streamed documents that
     * share any word n-gram with a STATIC benchmark set. Decontamination
     * is stateless per document, so it applies batch-locally: each

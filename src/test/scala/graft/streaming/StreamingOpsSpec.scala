@@ -94,6 +94,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), "one survivor per event_id")
   }
 
+  test("streaming fingerprint dedup drops token-order shuffles, keeps distinct docs") {
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    mem.addData(
+      (1L, ts("2024-01-01 00:00:00"), "the quick brown fox"),
+      (2L, ts("2024-01-01 00:01:00"), "fox brown the quick"),   // same token set
+      (3L, ts("2024-01-01 00:02:00"), "quick the QUICK fox brown"), // dup tokens + case
+      (4L, ts("2024-01-01 00:03:00"), "an entirely different doc"))
+    val deduped = StreamingOps.fingerprintDedupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      "ts", watermark = "10 minutes", textCol = "text")
+    val q = deduped.writeStream.format("memory").queryName("fpdedup_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(30000)
+    val ids = spark.table("fpdedup_test")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 4L),
+      s"2 and 3 share 1's fingerprint and must drop (got $ids)")
+    // parity with the batch fingerprint: same grouping key
+    val fps = Seq("the quick brown fox", "fox brown the quick",
+      "quick the QUICK fox brown").toDF("text")
+      .select(graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+      .distinct().count()
+    assert(fps == 1L)
+  }
+
   test("streaming decontamination matches the batch operator per micro-batch") {
     import org.apache.spark.sql.DataFrame
     val bench = Seq((100L, "the quick brown fox jumps"))
