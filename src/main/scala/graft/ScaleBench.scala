@@ -78,7 +78,9 @@ object ScaleBench {
   /** Materialize the 10× corpus once (idempotent via a marker file). */
   def buildScaled(spark: SparkSession, src: String, out: String,
                   replicas: Int): Unit = {
-    val marker = java.nio.file.Paths.get(out, ".built")
+    // v2: n_chars must describe the SUFFIXED text (v1 computed it from
+    // the pre-suffix input, so replicas k>0 carried stale lengths)
+    val marker = java.nio.file.Paths.get(out, ".built-v2")
     if (java.nio.file.Files.exists(marker)) return
     val idStride = 100000000L // far above any sf0.1 id
     def replicate(df: DataFrame, per: (DataFrame, Int) => DataFrame): DataFrame =
@@ -90,8 +92,11 @@ object ScaleBench {
         // suffix every token → replica shards are shingle-disjoint
         (if (k == 0) col("text")
          else regexp_replace(col("text"), "(\\S+)", "$1·" + k)).as("text"),
-        col("lang"), col("source"),
-        length(col("text")).as("n_chars"))) // keep n_chars consistent
+        col("lang"), col("source"))
+      // n_chars must describe the SUFFIXED text, so compute it on the
+      // projected frame (inside the select it would resolve against the
+      // input's original, shorter text)
+      .withColumn("n_chars", length(col("text")).cast("long")))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 

@@ -1376,7 +1376,8 @@ SELECT d.doc_id,
   coalesce(CAST(pd.top_cnt AS DOUBLE)
     / CAST(pd.n_ngrams AS DOUBLE), 0.0) AS top_ngram_frac
 FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
-    // q51: same md5-cut arithmetic as q44 (16-bit bucket vs rate×65536)
+    // q51: the 48-bit md5-cut arithmetic (12 hex chars vs rate×2⁴⁸ —
+    // hashBucket48/bucketScale48), replayed bit for bit
     "q51_stratified_sample" ->
       s"""SELECT doc_id, lang FROM (
   SELECT doc_id, lang,

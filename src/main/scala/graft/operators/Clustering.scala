@@ -137,10 +137,14 @@ object Clustering {
     val winners = df.select(col(idCol), col(scoreCol))
       .join(clusters, idCol)
       .groupBy("component")
-      // max of (score, -id): highest score wins, lowest id on ties
+      // max of (score, ~id): highest score wins, lowest id on ties.
+      // Bitwise NOT (x ↦ −x−1) is the order-REVERSING map that, unlike
+      // arithmetic negation, cannot overflow at Long.MinValue (where
+      // −x = x in two's complement and the tie-break silently inverts,
+      // or throws under ANSI).
       .agg(max(struct(col(scoreCol).as("s"),
-        (-col(idCol).cast("long")).as("negId"))).as("w"))
-      .select((-col("w.negId")).cast(idType).as(idCol))
+        bitwise_not(col(idCol).cast("long")).as("notId"))).as("w"))
+      .select(bitwise_not(col("w.notId")).cast(idType).as(idCol))
     df.join(winners, Seq(idCol), "left_semi")
   }
 }

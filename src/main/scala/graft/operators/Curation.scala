@@ -34,10 +34,10 @@ object Curation {
   def hashBucket(id: Column): Column =
     hashBucket16(id) % 100
 
-  /** The shared 16-bit md5 bucket ([0, 65536)) every sampler's keep
-    * predicate compares against — ONE definition so the q44/q51/q67
-    * oracles (which replay this arithmetic bit for bit) can never
-    * diverge between samplers. */
+  /** 16-bit md5 bucket ([0, 65536)) — used only by [[hashBucket]]'s
+    * percent split (q44); the SAMPLERS' keep predicates all compare
+    * against [[hashBucket48]] since the granularity widening. Oracles
+    * replay whichever bucket their operator uses, bit for bit. */
   def hashBucket16(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
 
@@ -183,14 +183,34 @@ object Curation {
       s"selectUnderBudget requires non-null `$idCol`/`$scoreCol`/" +
         s"`$tokenCol`: found $nNull offending rows — pre-clean with " +
         s"na.drop(Seq($idCol, $scoreCol, $tokenCol))")
+    bucketedCumSum(df, bucketCol = scoreCol, descending = true,
+      orderCols = Seq(col(scoreCol).desc, col(idCol).asc),
+      tokenCol = tokenCol, cumName = "cum_tokens")
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
+  /** The distributed prefix sum [[packSequences]] and
+    * [[selectUnderBudget]] share: `cumName` = running sum of `tokenCol`
+    * over rows ordered by `orderCols` (whose leading dimension is
+    * `bucketCol`), with NO global single-partition window. Buckets are
+    * approxQuantile range literals over `bucketCol` — rows with equal
+    * `bucketCol` always land in the same bucket (the bucket is a pure
+    * function of the value), so cross-bucket order never splits a tie —
+    * per-bucket subtotals make one tiny driver round-trip (#buckets
+    * rows), and the cumulative window runs only WITHIN each bucket. */
+  private def bucketedCumSum(df: DataFrame, bucketCol: String,
+                             descending: Boolean, orderCols: Seq[Column],
+                             tokenCol: String, cumName: String): DataFrame = {
     val nBuckets = math.max(1,
       df.sparkSession.sparkContext.defaultParallelism)
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(scoreCol, probs, 0.001)
+      else df.stat.approxQuantile(bucketCol, probs, 0.001)
+    // bucket = #bounds strictly below the value — a deterministic pure
+    // function of the row once the bounds are literals
     val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
-      case (e, (b, i)) => when(col(scoreCol).cast("double") > b, i + 1)
+      case (e, (b, i)) => when(col(bucketCol).cast("double") > b, i + 1)
         .otherwise(e)
     }
     val bucketed = df.withColumn("_bkt", bucketExpr)
@@ -198,7 +218,7 @@ object Curation {
       .agg(sum(col(tokenCol).cast("long")).as("_sub"))
       .collect()
       .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
-      .sortBy(-_._1) // DESC: high-score buckets come first in the order
+      .sortBy(s => if (descending) -s._1 else s._1)
     val offsets = subtotals.scanLeft((0, 0L)) {
       case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
     }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }
@@ -207,13 +227,12 @@ object Curation {
       when(col("_bkt") === bkt, lit(off)).otherwise(e)
     }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_bkt").orderBy(col(scoreCol).desc, col(idCol).asc)
+      .partitionBy("_bkt").orderBy(orderCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     bucketed
-      .withColumn("cum_tokens",
+      .withColumn(cumName,
         sum(col(tokenCol).cast("long")).over(w) + offsetExpr)
-      .filter(col("cum_tokens") <= budgetTokens)
       .drop("_bkt")
   }
 
@@ -250,8 +269,15 @@ object Curation {
       .withColumn("p_l", col("n_l").cast("double") / col("n_total"))
       .withColumn("ratio", w / col("p_l"))
     val maxRatio = broadcast(rates.agg(max(col("ratio")).as("max_ratio")))
+    // max_ratio = 0 means NO positively-weighted stratum exists in the
+    // data (unreachable for temperatureSample, whose p^(alpha−1) ratios
+    // are always > 0): the contract says everything drops. Without the
+    // guard the rate is 0/0 = NaN, and Spark's total order puts NaN
+    // ABOVE every number — `bucket < round(NaN·2⁴⁸)` would keep the
+    // entire corpus, the exact opposite of the contract.
     val withRate = rates.crossJoin(maxRatio)
-      .withColumn("rate", round(col("ratio") / col("max_ratio"), 6))
+      .withColumn("rate", when(col("max_ratio") > 0,
+        round(col("ratio") / col("max_ratio"), 6)).otherwise(lit(0.0)))
       .select(col(stratumCol).as("_stratum"), col("rate"))
     df.join(broadcast(withRate), col(stratumCol) <=> col("_stratum"))
       .filter(hashBucket48(col(idCol)) <
@@ -391,39 +417,10 @@ object Curation {
         s"${nullCounts.getLong(0)} null order rows and " +
         s"${nullCounts.getLong(1)} null token rows — pre-clean with " +
         s"na.drop(Seq($orderCol, $tokenCol))")
-    val nBuckets = math.max(1,
-      df.sparkSession.sparkContext.defaultParallelism)
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds =
-      if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(orderCol, probs, 0.001)
-    // bucket = #bounds strictly below the value — a deterministic pure
-    // function of the row once the bounds are literals
-    val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
-      case (e, (b, i)) => when(col(orderCol).cast("double") > b, i + 1)
-        .otherwise(e)
-    }
-    val bucketed = df.withColumn("_bkt", bucketExpr)
-    val subtotals = bucketed.groupBy(col("_bkt"))
-      .agg(sum(col(tokenCol).cast("long")).as("_sub"))
-      .collect()
-      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
-      .sortBy(_._1)
-    val offsets = subtotals.scanLeft((0, 0L)) {
-      case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
-    }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }
-      .toMap
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (bkt, off)) =>
-      when(col("_bkt") === bkt, lit(off)).otherwise(e)
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_bkt").orderBy(orderCol)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    bucketed
-      .withColumn("_cum", sum(col(tokenCol).cast("long")).over(w) + offsetExpr)
+    bucketedCumSum(df, bucketCol = orderCol, descending = false,
+      orderCols = Seq(col(orderCol)), tokenCol = tokenCol, cumName = "_cum")
       .withColumn("pack_id",
         expr(s"(_cum - `$tokenCol`) div $budgetTokens"))
-      .drop("_bkt", "_cum")
+      .drop("_cum")
   }
 }

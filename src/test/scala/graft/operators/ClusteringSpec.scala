@@ -110,6 +110,20 @@ class ClusteringSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L)) // score 9.0 wins over 5.0; id 2 over id 3
   }
 
+  test("keepBestPerCluster: Long.MinValue id wins score ties (no negation overflow)") {
+    // arithmetic negation maps Long.MinValue to ITSELF (two's
+    // complement), silently inverting the lowest-id tie rule; the
+    // bitwise-NOT order key cannot overflow
+    val rows = Seq((Long.MinValue, 9.0), (5L, 9.0), (7L, 1.0))
+      .toDF("id", "score")
+    val clusters = Seq((Long.MinValue, 1L), (5L, 1L), (7L, 1L))
+      .toDF("id", "component")
+    val kept = Clustering.keepBestPerCluster(rows, clusters, "id", "score")
+      .select("id").as[Long].collect()
+    assert(kept.toSeq == Seq(Long.MinValue),
+      s"lowest id must win the 9.0 tie (got ${kept.toSeq})")
+  }
+
   test("keepBestPerCluster: int ids come back as ints; string ids rejected eagerly") {
     val intRows = Seq((1, 5.0), (2, 9.0)).toDF("id", "score")
     val intClusters = Seq((1, 1L), (2, 1L)).toDF("id", "component")

@@ -177,6 +177,11 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.mixtureSample(df, "id", "src", Map("web" -> -0.1))
     }
+    // target names ONLY absent strata → rate arithmetic hits 0/0; the
+    // contract (a mixture is exhaustive) demands the empty frame, not
+    // the NaN-keeps-everything failure mode
+    assert(Curation.mixtureSample(df, "id", "src", Map("absent" -> 1.0))
+      .count() == 0, "all-zero-weight corpus must drop entirely")
   }
 
   test("selectUnderBudget matches the single-window greedy prefix") {
