@@ -31,6 +31,24 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Watermarked HOPPING-window aggregation (1-hour windows sliding
+    * every `slideMinutes`): each event contributes to
+    * 60/slideMinutes overlapping windows — the streaming twin of the
+    * q57 batch query, with the same late-data tolerance and closed-
+    * window state eviction as [[hourlyEventStats]]. State is
+    * O(open windows × event types), bounded by the watermark. */
+  def hoppingEventStats(events: DataFrame, watermark: String = "2 hours",
+                        slideMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", s"$slideMinutes minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact dedup: drop rows whose `idCols` were already seen
     * within the watermark window. `dropDuplicatesWithinWatermark` keys
     * state by `idCols` alone and evicts entries once the watermark

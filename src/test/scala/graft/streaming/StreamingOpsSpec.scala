@@ -71,6 +71,37 @@ class StreamingOpsSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "view", 1L, 3.0)))
   }
 
+  test("hopping-window streaming aggregation matches the batch twin") {
+    val rows = Seq(
+      (ts("2024-01-01 00:10:00"), "click", 1.0),  // windows 23:30 & 00:00
+      (ts("2024-01-01 00:40:00"), "click", 2.0),  // windows 00:00 & 00:30
+      (ts("2024-01-01 01:10:00"), "view", 3.0))   // windows 00:30 & 01:00
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    mem.addData(rows: _*)
+    val agg = StreamingOps.hoppingEventStats(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("hopping_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(30000)
+    val got = spark.table("hopping_test")
+      .select("w_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    // batch twin: the q57 formulation over the same rows
+    val want = rows.toDF("ts", "event_type", "value")
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select($"w.start".as("w_start"), $"event_type", $"n", $"sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    // 3 events × 2 windows each = 6 contributions over 5 distinct
+    // (window, type) groups (both clicks share the 00:00 window)
+    assert(got == want && got.size == 5 &&
+      got.toSeq.map(_._3).sum == 6L,
+      s"each event must land in exactly 2 hopping windows (got $got)")
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct ids") {
     val mem = MemoryStream[(Long, Timestamp, String)](spark)
     mem.addData(
