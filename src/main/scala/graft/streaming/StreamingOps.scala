@@ -20,25 +20,30 @@ object StreamingOps {
 
   /** Watermarked tumbling-window aggregation over the events stream:
     * the standard late-data-tolerant shape (late rows beyond the
-    * watermark are dropped, state for closed windows is evicted). */
+    * watermark are dropped, state for closed windows is evicted).
+    * Tumbling IS hopping at slide = window, so this delegates — one
+    * definition of the window/sum semantics for both. */
   def hourlyEventStats(events: DataFrame, watermark: String = "2 hours")
       : DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select(col("window.start").as("hour"), col("event_type"), col("n"),
-        col("sum_value"))
+    hoppingEventStats(events, watermark, slideMinutes = 60)
+      .withColumnRenamed("w_start", "hour")
 
   /** Watermarked HOPPING-window aggregation (1-hour windows sliding
-    * every `slideMinutes`): each event contributes to
+    * every `slideMinutes`): each event contributes to exactly
     * 60/slideMinutes overlapping windows — the streaming twin of the
     * q57 batch query, with the same late-data tolerance and closed-
-    * window state eviction as [[hourlyEventStats]]. State is
-    * O(open windows × event types), bounded by the watermark. */
+    * window state eviction. State is O(open windows × event types),
+    * bounded by the watermark.
+    *
+    * `slideMinutes` must divide 60: a slide above the window length
+    * would leave gaps that silently DROP events between windows, and a
+    * non-divisor breaks the windows-per-event contract — both rejected
+    * eagerly rather than at stream start (or worse, silently). */
   def hoppingEventStats(events: DataFrame, watermark: String = "2 hours",
-                        slideMinutes: Int = 30): DataFrame =
+                        slideMinutes: Int = 30): DataFrame = {
+    require(slideMinutes > 0 && slideMinutes <= 60 &&
+      60 % slideMinutes == 0,
+      s"slideMinutes must be a divisor of 60 in [1, 60]: $slideMinutes")
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour", s"$slideMinutes minutes"),
@@ -48,6 +53,7 @@ object StreamingOps {
           .as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
+  }
 
   /** Streaming exact dedup: drop rows whose `idCols` were already seen
     * within the watermark window. `dropDuplicatesWithinWatermark` keys

@@ -100,6 +100,62 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == want && got.size == 5 &&
       got.toSeq.map(_._3).sum == 6L,
       s"each event must land in exactly 2 hopping windows (got $got)")
+    intercept[IllegalArgumentException] {
+      StreamingOps.hoppingEventStats(
+        mem.toDF().toDF("ts", "event_type", "value"), slideMinutes = 45)
+    }
+  }
+
+  test("hopping windows in append mode: beyond-watermark rows drop, closed windows emit once") {
+    // The contract complete mode can't exercise: with a 10-minute
+    // watermark delay, a row arriving behind the watermark by more than
+    // the window length contributes to NOTHING (all its windows are
+    // closed), and each finalized window emits exactly once without it.
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val ckpt = s"/tmp/graft-stream-ckpt-${System.nanoTime()}"
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Timestamp, String, Long, Double)]()
+    def runBatch(): Unit = {
+      val q = StreamingOps.hoppingEventStats(
+        mem.toDF().toDF("ts", "event_type", "value"),
+        watermark = "10 minutes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            out.add((r.getTimestamp(0), r.getString(1), r.getLong(2),
+              r.getDouble(3))))
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    // run 1: two on-time clicks; watermark after = 00:40 − 10m = 00:30
+    mem.addData((ts("2024-01-01 00:10:00"), "click", 1.0),
+      (ts("2024-01-01 00:40:00"), "click", 2.0))
+    runBatch()
+    // run 2: advance the watermark to 01:50
+    mem.addData((ts("2024-01-01 02:00:00"), "click", 0.5))
+    runBatch()
+    // run 3: 00:05 is behind the 01:50 watermark by more than the 1-hour
+    // window — every window it could join is closed → fully dropped;
+    // 06:00 advances the watermark to 05:50
+    mem.addData((ts("2024-01-01 00:05:00"), "click", 100.0),
+      (ts("2024-01-01 06:00:00"), "view", 3.0))
+    runBatch()
+    // run 4: one more trigger finalizes everything ending ≤ 05:50
+    mem.addData((ts("2024-01-01 06:30:00"), "view", 1.0))
+    runBatch()
+    val closed = out.toArray(Array.empty[(Timestamp, String, Long, Double)]).toSet
+    val expected = Set(
+      (ts("2023-12-31 23:30:00"), "click", 1L, 1.0),   // 00:10
+      (ts("2024-01-01 00:00:00"), "click", 2L, 3.0),   // 00:10 + 00:40
+      (ts("2024-01-01 00:30:00"), "click", 1L, 2.0),   // 00:40
+      (ts("2024-01-01 01:30:00"), "click", 1L, 0.5),   // 02:00
+      (ts("2024-01-01 02:00:00"), "click", 1L, 0.5))   // 02:00
+    assert(closed == expected,
+      s"late 100.0 row must leave no trace and windows emit once (got $closed)")
   }
 
   test("streaming dedup drops in-watermark duplicates, keeps distinct ids") {
