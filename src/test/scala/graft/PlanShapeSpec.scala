@@ -59,6 +59,18 @@ class PlanShapeSpec extends SparkSpec {
       s"budget selection must not plan a single-partition stage:\n$plan")
   }
 
+  test("q75 mixture sampling broadcasts the rates frame, never sort-merges") {
+    // the corpus-side contract: rates are a #strata-row frame that must
+    // reach the corpus as a broadcast; a SortMergeJoin here would mean
+    // the full corpus shuffles on the stratum column just to pick up a
+    // per-stratum keep rate
+    val plan = finalPlan(q("q75_mixture_sample"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the rate lookup:\n$plan")
+  }
+
   test("q09 broadcasts its dimension sides under AQE") {
     val plan = finalPlan(q("q09_join_topk"))
     assert(plan.contains("BroadcastHashJoin"),
