@@ -406,14 +406,26 @@ object SparkEntry {
       Dedup.minHashJaccardEstimate(pairs, sig, "doc_id")
         .orderBy("id_a", "id_b")
     }),
-    // ---- exact percentiles (sort-based distribution statistics) ----
+    // ---- percentiles (sketch-based distribution statistics) ----
+    //      approx_percentile, NOT exact percentile: Spark's exact
+    //      `percentile` buffers a value→count map per GROUP in executor
+    //      memory — with a high-cardinality double at 100 TB one group's
+    //      buffer is O(distinct values in a trillion-row group), an OOM
+    //      by construction. The Greenwald-Khanna sketch is mergeable and
+    //      bounded at O(accuracy·log(εn)) regardless of group size. At
+    //      accuracy=1e5 the rank error ε·n stays < 0.5 through sf0.1
+    //      (≈20k rows/group), so the sketch answer IS the exact rank
+    //      element and hash-matches DuckDB's quantile_disc — verified
+    //      empirically at sf0.01 and pinned by ApproxPercentileSpec's
+    //      exact-vs-sketch fixture. PlanShapeSpec bans the exact form
+    //      from every gate plan.
     "q36_percentiles" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          expr("percentile(value, 0.5)").as("p50"),
-          expr("percentile(value, 0.9)").as("p90"),
-          expr("percentile(value, 0.99)").as("p99"))
+          expr("approx_percentile(value, 0.5, 100000)").as("p50"),
+          expr("approx_percentile(value, 0.9, 100000)").as("p90"),
+          expr("approx_percentile(value, 0.99, 100000)").as("p99"))
         .orderBy("event_type")
     }),
     // ---- set ops: union + except (high-value converters minus
@@ -1282,9 +1294,9 @@ FROM events GROUP BY user_id ORDER BY user_id""",
     "q37_minhash_est_jaccard" -> minhashEstimateOracle,
     "q36_percentiles" ->
       """SELECT event_type,
-quantile_cont(value, 0.5) AS p50,
-quantile_cont(value, 0.9) AS p90,
-quantile_cont(value, 0.99) AS p99
+quantile_disc(value, 0.5) AS p50,
+quantile_disc(value, 0.9) AS p90,
+quantile_disc(value, 0.99) AS p99
 FROM events GROUP BY event_type ORDER BY event_type""",
     "q38_set_union_except" ->
       """(SELECT DISTINCT user_id FROM events

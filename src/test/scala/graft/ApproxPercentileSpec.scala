@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q36's scale contract: the gate query uses `approx_percentile`
+  * (mergeable Greenwald-Khanna sketch, bounded executor memory) because
+  * Spark's exact `percentile` buffers every distinct value of a group in
+  * one executor — an OOM at 100 TB group sizes, not a slow query. These
+  * fixtures pin the property that makes the sketch gate-able at all:
+  * while ε·n < 0.5 (accuracy=1e5 covers sf0.01's ~2k-row and sf0.1's
+  * ~20k-row groups), the sketch answer IS the exact rank element, so it
+  * hash-matches a discrete-quantile oracle bit-for-bit. The exact
+  * `percentile` stays here as the small-side oracle it was demoted to.
+  */
+class ApproxPercentileSpec extends SparkSpec {
+
+  test("sketch at accuracy=1e5 equals the exact rank element on a dense fixture") {
+    import spark.implicits._
+    // 3 groups × 5000 high-cardinality doubles — same shape as events'
+    // (event_type, value) at gate scale, values deliberately non-round
+    val df = (0 until 15000)
+      .map(i => (s"g${i % 3}", math.sin(i) * 1000 + i * 0.37))
+      .toDF("k", "v")
+    val ps = Seq(0.5, 0.9, 0.99)
+    val sketch = df.groupBy("k")
+      .agg(ps.map(p => expr(s"approx_percentile(v, $p, 100000)").as(s"p$p")).head,
+        ps.map(p => expr(s"approx_percentile(v, $p, 100000)").as(s"p$p")).tail: _*)
+      .orderBy("k").collect()
+    // exact rank element, derived independently of any Spark aggregate:
+    // sort each group's values and index like a discrete quantile does
+    val grouped = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).sorted }
+    for (row <- sketch; (p, idx) <- ps.zipWithIndex) {
+      val vs = grouped(row.getString(0))
+      // GK with ε·n < 0.5 must return a genuine element of the group
+      // whose rank differs from ceil(p·n) by at most the <1 error bound
+      val got = row.getDouble(1 + idx)
+      val rank = vs.indexOf(got)
+      assert(rank >= 0, s"sketch returned a non-element $got for p=$p")
+      val target = math.ceil(p * vs.length).toLong - 1
+      assert(math.abs(rank - target) <= 1,
+        s"p=$p: sketch element at rank $rank, exact rank $target")
+    }
+  }
+
+  test("sketch and exact percentile agree on the events fixture (gate parity)") {
+    // the actual gate table at the smallest SF: the sketch must return
+    // exactly the discrete-quantile element the DuckDB oracle computes
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ps = Seq(0.5, 0.9, 0.99)
+    val sketch = ev.groupBy("event_type")
+      .agg(ps.map(p => expr(s"approx_percentile(value, $p, 100000)").as(s"a$p")).head,
+        ps.map(p => expr(s"approx_percentile(value, $p, 100000)").as(s"a$p")).tail: _*)
+      .orderBy("event_type").collect()
+    val grouped = ev.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).sorted }
+    for (row <- sketch; (p, idx) <- ps.zipWithIndex) {
+      val vs = grouped(row.getString(0))
+      // discrete quantile: smallest element whose cumulative fraction
+      // reaches p — the quantile_disc definition the oracle uses
+      val exact = vs(math.max(0, math.ceil(p * vs.length).toInt - 1))
+      assert(row.getDouble(1 + idx) == exact,
+        s"${row.getString(0)} p=$p: sketch ${row.getDouble(1 + idx)} != disc $exact")
+    }
+  }
+}

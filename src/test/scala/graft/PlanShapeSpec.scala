@@ -168,6 +168,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("no gate query buffers full group values in an imperative aggregate") {
+    // Exact `percentile` (and friends) buffer a value→count map per
+    // GROUP in one executor: with a high-cardinality column, a
+    // trillion-row group at 100 TB is an OOM by construction, invisible
+    // at sf0.01. Sweep EVERY gate plan: the exact form is banned
+    // outright (q36 uses the bounded approx_percentile sketch), and
+    // collect_list is pinned to the explicit allowlist of call sites
+    // whose groups are bounded by design, so any new query that buffers
+    // an unbounded group fails here before it ships.
+    val collectListAllowed = Set(
+      "q21_ann_ivf",        // per-cell centroid structs: ≤ nCells rows total
+      "q73_ann_quantized",  // same bounded centroid frame, int8 variant
+      "q72_block_dedup")    // per-document surviving blocks: doc-sized
+    for ((name, fn) <- SparkEntry.queries) {
+      // physical planning only — no execution needed to read agg choices
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.matches("(?s).*(?<!approx_)percentile\\(.*"),
+        s"$name plans the exact percentile aggregate (unbounded buffer):\n$plan")
+      if (plan.contains("collect_list") || plan.contains("collect_set"))
+        assert(collectListAllowed.contains(name),
+          s"$name buffers group values via collect_list/_set outside the " +
+            s"bounded-group allowlist:\n$plan")
+    }
+  }
+
   test("parquet scans prune columns: q14 reads only what it projects") {
     val plan = finalPlan(q("q14_sort_limit"))
     val scan = plan.linesIterator.find(_.contains("FileScan parquet"))
