@@ -142,16 +142,47 @@ object Curation {
   def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
                         alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_l"))
-    val total = df.agg(count(lit(1)).as("n_total"))
-    val rates = counts.crossJoin(broadcast(total))
-      .withColumn("p_l", col("n_l").cast("double") / col("n_total"))
-      // q_l/p_l ∝ p_l^(alpha-1); normalize by the max ratio
-      .withColumn("ratio", pow(col("p_l"), alpha - 1.0))
-    val maxRatio = broadcast(rates.agg(max(col("ratio")).as("max_ratio")))
-    val withRate = rates.crossJoin(maxRatio)
-      .withColumn("rate", round(col("ratio") / col("max_ratio"), 6))
-      .select(col(stratumCol).as("_stratum"), col("rate"))
+    // q_l/p_l ∝ p_l^(alpha-1); normalize by the max ratio
+    samplerRates(df, idCol, stratumCol,
+      (_, nL, nTotal) => math.pow(nL / nTotal, alpha - 1.0))
+  }
+
+  /** Shared sampler tail: ONE corpus aggregation collects the
+    * #strata-row counts frame; the rate arithmetic (`ratioOf(stratum,
+    * n_l, n_total)` → normalized by the max ratio → rounded to 6 dp)
+    * runs on the DRIVER over those few rows, and the resulting rate
+    * table broadcast-joins back onto the corpus for the per-row md5-cut
+    * predicate. The former formulation derived n_total and the max
+    * ratio as separate `df.agg` subplans — at 100 TB each was another
+    * corpus scan (exchange reuse notwithstanding) to compute a number
+    * already present in the tiny counts frame. Driver doubles use the
+    * same IEEE ops and `BigDecimal.valueOf` HALF_UP rounding as the old
+    * executor-side `round(_, 6)`, so kept sets are bit-identical. */
+  private def samplerRates(df: DataFrame, idCol: String, stratumCol: String,
+                           ratioOf: (Any, Double, Double) => Double): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_l")).collect()
+    val nTotal = counts.map(_.getLong(1)).sum.toDouble
+    val ratios = counts.map(r => ratioOf(r.get(0), r.getLong(1).toDouble, nTotal))
+    val maxRatio = if (ratios.isEmpty) 0.0 else ratios.max
+    // max_ratio = 0 means NO positively-weighted stratum exists in the
+    // data (unreachable for temperatureSample, whose p^(alpha−1) ratios
+    // are always > 0): the contract says everything drops. Without the
+    // guard the rate is 0/0 = NaN and every row would pass the cut.
+    val rateRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(counts.zip(ratios).map { case (r, ratio) =>
+        val rate = if (maxRatio > 0)
+          BigDecimal(ratio / maxRatio)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+        org.apache.spark.sql.Row(r.get(0), rate)
+      }: _*)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_stratum",
+        df.schema(stratumCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("rate",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val withRate = df.sparkSession.createDataFrame(rateRows, schema)
     df.join(broadcast(withRate), col(stratumCol) <=> col("_stratum"))
       .filter(hashBucket48(col(idCol)) <
         round(col("rate") * lit(bucketScale48.toDouble)))
@@ -177,15 +208,22 @@ object Curation {
   def selectUnderBudget(df: DataFrame, idCol: String, scoreCol: String,
                         tokenCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
-    val nNull = df.filter(col(idCol).isNull || col(scoreCol).isNull ||
-      col(tokenCol).isNull).count()
-    require(nNull == 0,
-      s"selectUnderBudget requires non-null `$idCol`/`$scoreCol`/" +
-        s"`$tokenCol`: found $nNull offending rows — pre-clean with " +
-        s"na.drop(Seq($idCol, $scoreCol, $tokenCol))")
+    // the null/NaN guard is FUSED into bucketedCumSum's subtotal
+    // aggregate (no dedicated guard scan). NaN scores are rejected
+    // alongside nulls: NaN compares false against every quantile bound
+    // (→ bucket 0, the lowest offset) while the window's score-desc
+    // order sorts NaN HIGHEST — the cumulative sums would silently
+    // diverge from the documented global greedy prefix.
     bucketedCumSum(df, bucketCol = scoreCol, descending = true,
       orderCols = Seq(col(scoreCol).desc, col(idCol).asc),
-      tokenCol = tokenCol, cumName = "cum_tokens")
+      tokenCol = tokenCol, cumName = "cum_tokens",
+      slimCols = Seq(idCol, scoreCol, tokenCol),
+      guards = Seq((col(idCol).isNull || col(scoreCol).isNull ||
+        isnan(col(scoreCol).cast("double")) || col(tokenCol).isNull,
+        s"selectUnderBudget requires non-null `$idCol`/`$tokenCol` and " +
+          s"non-null, non-NaN `$scoreCol`: found %d offending rows — " +
+          s"pre-clean with na.drop(Seq($idCol, $scoreCol, $tokenCol)) " +
+          s"and filter(!isnan($scoreCol))")))
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
@@ -197,43 +235,71 @@ object Curation {
     * `bucketCol` always land in the same bucket (the bucket is a pure
     * function of the value), so cross-bucket order never splits a tie —
     * per-bucket subtotals make one tiny driver round-trip (#buckets
-    * rows), and the cumulative window runs only WITHIN each bucket. */
+    * rows), and the cumulative window runs only WITHIN each bucket.
+    *
+    * Scan economy: the two internal passes (approxQuantile, subtotals)
+    * run over a CACHED projection of just `slimCols` — the corpus
+    * (text and all) upstream of this operator computes once to fill
+    * that narrow cache, not once per internal job; the cache is
+    * dropped as soon as the subtotal literals are collected. Callers'
+    * validity checks ride the subtotal aggregate as `guards`
+    * (predicate → error template with a %d slot): a guard hit raises
+    * before anything is returned, and no dedicated guard scan exists. */
   private def bucketedCumSum(df: DataFrame, bucketCol: String,
                              descending: Boolean, orderCols: Seq[Column],
-                             tokenCol: String, cumName: String): DataFrame = {
-    val nBuckets = math.max(1,
-      df.sparkSession.sparkContext.defaultParallelism)
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds =
-      if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(bucketCol, probs, 0.001)
-    // bucket = #bounds strictly below the value — a deterministic pure
-    // function of the row once the bounds are literals
-    val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
-      case (e, (b, i)) => when(col(bucketCol).cast("double") > b, i + 1)
-        .otherwise(e)
-    }
-    val bucketed = df.withColumn("_bkt", bucketExpr)
-    val subtotals = bucketed.groupBy(col("_bkt"))
-      .agg(sum(col(tokenCol).cast("long")).as("_sub"))
-      .collect()
-      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
-      .sortBy(s => if (descending) -s._1 else s._1)
-    val offsets = subtotals.scanLeft((0, 0L)) {
-      case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
-    }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }
-      .toMap
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (bkt, off)) =>
-      when(col("_bkt") === bkt, lit(off)).otherwise(e)
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_bkt").orderBy(orderCols: _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    bucketed
-      .withColumn(cumName,
-        sum(col(tokenCol).cast("long")).over(w) + offsetExpr)
-      .drop("_bkt")
+                             tokenCol: String, cumName: String,
+                             slimCols: Seq[String],
+                             guards: Seq[(Column, String)]): DataFrame = {
+    require(!df.columns.contains("_bkt") && !df.columns.contains(cumName),
+      s"input must not already contain the reserved columns `_bkt`/" +
+        s"`$cumName` — rename them before calling (they would be " +
+        "silently overwritten)")
+    val slim = df.select(slimCols.distinct.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBuckets = math.max(1,
+        df.sparkSession.sparkContext.defaultParallelism)
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val bounds =
+        if (probs.isEmpty) Array.empty[Double]
+        else slim.stat.approxQuantile(bucketCol, probs, 0.001)
+      // bucket = #bounds strictly below the value — a deterministic pure
+      // function of the row once the bounds are literals
+      val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
+        case (e, (b, i)) => when(col(bucketCol).cast("double") > b, i + 1)
+          .otherwise(e)
+      }
+      val guardAggs = guards.zipWithIndex.map { case ((pred, _), i) =>
+        sum(when(pred, 1L).otherwise(0L)).as(s"_g$i")
+      }
+      val rows = slim.withColumn("_bkt", bucketExpr)
+        .groupBy(col("_bkt"))
+        .agg(sum(col(tokenCol).cast("long")).as("_sub"), guardAggs: _*)
+        .collect()
+      guards.zipWithIndex.foreach { case ((_, msg), i) =>
+        val bad = rows.map(r => if (r.isNullAt(2 + i)) 0L
+          else r.getLong(2 + i)).sum
+        require(bad == 0, msg.format(bad))
+      }
+      val subtotals = rows
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+        .sortBy(s => if (descending) -s._1 else s._1)
+      val offsets = subtotals.scanLeft((0, 0L)) {
+        case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
+      }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }
+        .toMap
+      val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (bkt, off)) =>
+        when(col("_bkt") === bkt, lit(off)).otherwise(e)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_bkt").orderBy(orderCols: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      df.withColumn("_bkt", bucketExpr)
+        .withColumn(cumName,
+          sum(col(tokenCol).cast("long")).over(w) + offsetExpr)
+        .drop("_bkt")
+    } finally slim.unpersist(false)
   }
 
   /** Mixture sampling to explicit TARGET shares — the domain-
@@ -258,31 +324,15 @@ object Curation {
                     weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
       weights.values.sum > 0, "weights must be non-negative, not all zero")
-    // weight lookup as a sorted when-chain (Map order is unspecified);
-    // null/unlisted strata fall through to 0
-    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
-      case (e, (s, wt)) => when(col(stratumCol) === s, lit(wt)).otherwise(e)
-    }
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_l"))
-    val total = df.agg(count(lit(1)).as("n_total"))
-    val rates = counts.crossJoin(broadcast(total))
-      .withColumn("p_l", col("n_l").cast("double") / col("n_total"))
-      .withColumn("ratio", w / col("p_l"))
-    val maxRatio = broadcast(rates.agg(max(col("ratio")).as("max_ratio")))
-    // max_ratio = 0 means NO positively-weighted stratum exists in the
-    // data (unreachable for temperatureSample, whose p^(alpha−1) ratios
-    // are always > 0): the contract says everything drops. Without the
-    // guard the rate is 0/0 = NaN, and Spark's total order puts NaN
-    // ABOVE every number — `bucket < round(NaN·2⁴⁸)` would keep the
-    // entire corpus, the exact opposite of the contract.
-    val withRate = rates.crossJoin(maxRatio)
-      .withColumn("rate", when(col("max_ratio") > 0,
-        round(col("ratio") / col("max_ratio"), 6)).otherwise(lit(0.0)))
-      .select(col(stratumCol).as("_stratum"), col("rate"))
-    df.join(broadcast(withRate), col(stratumCol) <=> col("_stratum"))
-      .filter(hashBucket48(col(idCol)) <
-        round(col("rate") * lit(bucketScale48.toDouble)))
-      .drop("rate", "_stratum")
+    // null/unlisted strata get weight 0 (and are thus dropped)
+    samplerRates(df, idCol, stratumCol, (stratum, nL, nTotal) => {
+      val wt = stratum match {
+        case null => 0.0
+        case s: String => weights.getOrElse(s, 0.0)
+        case other => weights.getOrElse(other.toString, 0.0)
+      }
+      wt / (nL / nTotal)
+    })
   }
 
   /** PII patterns — deliberately restricted to syntax valid in BOTH
@@ -399,9 +449,8 @@ object Curation {
     * null token count would shift every downstream offset depending on
     * which bucket swallowed it. Callers must pre-clean
     * (`na.drop(Seq(orderCol, tokenCol))`) with whatever policy fits
-    * their pipeline. The check is one extra aggregate job that scans
-    * only the two columns (column-pruned at the source), cheap next to
-    * the approxQuantile pass the operator already makes.
+    * their pipeline. The check costs no extra scan: it rides the
+    * per-bucket subtotal aggregate as a fused guard count.
     *
     * @param orderCol total order; must be numeric (quantile-split) and
     *                 unique — ties would make the prefix sum ambiguous
@@ -409,16 +458,17 @@ object Curation {
   def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
                     budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
-    val nullCounts = df.agg(
-      count(when(col(orderCol).isNull, 1)).as("no"),
-      count(when(col(tokenCol).isNull, 1)).as("nt")).head()
-    require(nullCounts.getLong(0) == 0 && nullCounts.getLong(1) == 0,
-      s"packSequences requires non-null `$orderCol`/`$tokenCol`: found " +
-        s"${nullCounts.getLong(0)} null order rows and " +
-        s"${nullCounts.getLong(1)} null token rows — pre-clean with " +
-        s"na.drop(Seq($orderCol, $tokenCol))")
+    require(!df.columns.contains("pack_id"),
+      "input must not already contain the reserved column `pack_id`")
+    // null guard rides bucketedCumSum's subtotal aggregate — no
+    // dedicated guard scan
     bucketedCumSum(df, bucketCol = orderCol, descending = false,
-      orderCols = Seq(col(orderCol)), tokenCol = tokenCol, cumName = "_cum")
+      orderCols = Seq(col(orderCol)), tokenCol = tokenCol, cumName = "_cum",
+      slimCols = Seq(orderCol, tokenCol),
+      guards = Seq((col(orderCol).isNull || col(tokenCol).isNull,
+        s"packSequences requires non-null `$orderCol`/`$tokenCol`: found " +
+          s"%d offending rows — pre-clean with " +
+          s"na.drop(Seq($orderCol, $tokenCol))")))
       .withColumn("pack_id",
         expr(s"(_cum - `$tokenCol`) div $budgetTokens"))
       .drop("_cum")

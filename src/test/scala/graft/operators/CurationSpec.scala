@@ -216,6 +216,70 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("selectUnderBudget rejects NaN scores (they break the greedy order)") {
+    // NaN lands in bucket 0 (compares false against every bound) but
+    // sorts HIGHEST under score-desc — the guard must reject it, not
+    // let the prefix sums silently diverge
+    val df = spark.range(100).toDF("id")
+      .withColumn("score", when($"id" === 7, lit(Double.NaN))
+        .otherwise($"id".cast("double")))
+      .withColumn("tok", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      Curation.selectUnderBudget(df, "id", "score", "tok", 50L)
+    }
+    assert(e.getMessage.contains("non-NaN") &&
+      e.getMessage.contains("1 offending rows"))
+  }
+
+  test("prefix-sum operators reject reserved working/output column names") {
+    // an input that already carries cum_tokens/pack_id/_bkt would be
+    // silently overwritten by withColumn — the operators must refuse
+    val base = spark.range(10).toDF("id")
+      .withColumn("score", $"id".cast("double"))
+      .withColumn("tok", lit(1L))
+    intercept[IllegalArgumentException] {
+      Curation.selectUnderBudget(base.withColumn("cum_tokens", lit(0L)),
+        "id", "score", "tok", 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.selectUnderBudget(base.withColumn("_bkt", lit(0)),
+        "id", "score", "tok", 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(base.withColumn("pack_id", lit(0L)),
+        "id", "tok", 5L)
+    }
+  }
+
+  test("selectUnderBudget makes exactly 2 internal passes (quantile + fused subtotal)") {
+    // the round-5 shape made 3 internal passes: a dedicated null-guard
+    // count, the quantile pass, and the subtotal pass — each re-deriving
+    // the scored input. The guard now rides the subtotal aggregate and
+    // both internal passes read a cached slim projection. In Spark 4
+    // job terms: approxQuantile submits 3 jobs (its named treeAggregate
+    // plus one AQE-staged pair) and the fused subtotal collect is one
+    // AQE pair (2) → 5; the old dedicated guard scan added 2 more, so
+    // a bound of 5 catches any reintroduced extra pass.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val df = spark.range(5000).toDF("id")
+      .withColumn("score", ($"id" % 97).cast("double"))
+      .withColumn("tok", ($"id" % 5 + 1).cast("long"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Curation.selectUnderBudget(df, "id", "score", "tok", 1000L)
+      // listener events post asynchronously; give the bus a beat
+      Thread.sleep(1500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 5,
+      s"operator construction should need ≤5 jobs (2 passes), ran ${jobs.get()}")
+  }
+
   test("chunkDocuments: stride/overlap arithmetic, tails, empty docs") {
     val docs = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
@@ -293,13 +357,13 @@ class CurationSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       Curation.packSequences(nullToken, "doc_id", "n_tokens", 2048L).collect()
     }
-    assert(e1.getMessage.contains("null token"))
+    assert(e1.getMessage.contains("1 offending rows"))
     val nullOrder = Seq((java.lang.Long.valueOf(1L), 10),
       (null.asInstanceOf[java.lang.Long], 20)).toDF("doc_id", "n_tokens")
     val e2 = intercept[IllegalArgumentException] {
       Curation.packSequences(nullOrder, "doc_id", "n_tokens", 2048L).collect()
     }
-    assert(e2.getMessage.contains("null order"))
+    assert(e2.getMessage.contains("1 offending rows"))
   }
 
   test("decontaminate plans a shingle semi-join, not a pairwise product") {
