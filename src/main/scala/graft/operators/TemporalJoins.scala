@@ -97,11 +97,23 @@ object TemporalJoins {
                  tsCol: String, rightCols: Seq[String], tiebreak: String,
                  sliceSeconds: Long, prefix: String = "r_"): DataFrame = {
     require(sliceSeconds > 0, "sliceSeconds must be positive")
+    require(left.schema(tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType &&
+        right.schema(tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+      s"asOfSalted slices epoch microseconds: `$tsCol` must be TIMESTAMP " +
+        s"on both sides (left: ${left.schema(tsCol).dataType.simpleString}, " +
+        s"right: ${right.schema(tsCol).dataType.simpleString})")
     val us = sliceSeconds * 1000000L
     // floor division (uniform for negative epochs — same rationale as
-    // bandedRangeJoin's band computation below)
+    // bandedRangeJoin's band computation below). SQL `div` keeps the
+    // arithmetic integral (a double `/` loses exactness past 2⁵³ µs);
+    // the identifier is backtick-quoted so a ts column whose name needs
+    // quoting can't break analysis.
+    val tsQuoted = "`" + tsCol.replace("`", "``") + "`"
     def sliceOf = expr(
-      s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${us}L)) div ${us}L")
+      s"(unix_micros($tsQuoted) - pmod(unix_micros($tsQuoted), ${us}L)) " +
+        s"div ${us}L")
     val payload = rightCols.map(c => col(c).as(c))
     val r = right.select(
         col(key), col(tsCol), col(tiebreak).as("_tb"),

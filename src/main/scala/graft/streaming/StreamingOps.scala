@@ -75,14 +75,27 @@ object StreamingOps {
     * shuffles and repeated tokens don't defeat the dedup the way they
     * defeat [[dedupStream]]'s exact-id keying. Same bounded-state
     * contract: state is keyed by the 32-hex fingerprint alone and
-    * evicted once the watermark passes it. */
+    * evicted once the watermark passes it (eviction is
+    * numStateRows-asserted in StreamingOpsSpec).
+    *
+    * Null text PASSES THROUGH undeduplicated: concat_ws would fold a
+    * null token array to md5("") — the empty-document fingerprint — so
+    * without the split, distinct null-text documents would silently
+    * dedup against each other AND against genuinely empty documents.
+    * A null document's content is unknown; it cannot be declared a
+    * duplicate of anything. (Empty strings still dedup together:
+    * identical text is identical.) */
   def fingerprintDedupStream(docs: DataFrame, tsCol: String,
-                             watermark: String, textCol: String): DataFrame =
-    docs
-      .withColumn("_fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+                             watermark: String, textCol: String): DataFrame = {
+    val marked = docs
+      .withColumn("_fp", when(col(textCol).isNotNull,
+        graft.operators.TextAnalysis.fingerprint(col(textCol))))
       .withWatermark(tsCol, watermark)
+    marked.filter(col("_fp").isNotNull)
       .dropDuplicatesWithinWatermark(Seq("_fp"))
+      .unionByName(marked.filter(col("_fp").isNull))
       .drop("_fp")
+  }
 
   /** Streaming benchmark decontamination: drop streamed documents that
     * share any word n-gram with a STATIC benchmark set. Decontamination

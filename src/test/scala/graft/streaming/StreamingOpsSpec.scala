@@ -210,6 +210,65 @@ class StreamingOpsSpec extends SparkSpec {
     assert(fps == 1L)
   }
 
+  test("fingerprint dedup passes null-text docs through undeduplicated") {
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    mem.addData(
+      (1L, ts("2024-01-01 00:00:00"), null),
+      (2L, ts("2024-01-01 00:00:30"), null), // distinct doc, unknown text
+      (3L, ts("2024-01-01 00:01:00"), ""),   // empty text
+      (4L, ts("2024-01-01 00:01:30"), ""),   // true dup of 3 → drops
+      (5L, ts("2024-01-01 00:02:00"), "real content"))
+    val deduped = StreamingOps.fingerprintDedupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      "ts", watermark = "10 minutes", textCol = "text")
+    val q = deduped.writeStream.format("memory").queryName("fpnull_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(30000)
+    val ids = spark.table("fpnull_test")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 5L),
+      s"null-text docs must both survive; empty-text dups must not (got $ids)")
+  }
+
+  test("fingerprint dedup EVICTS state once the watermark passes it") {
+    // the bounded-state contract, asserted on the state store itself:
+    // 3 fingerprints enter state; after the watermark advances past
+    // their expiry, the store must hold only the fresh entries — not
+    // the cumulative history
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val deduped = StreamingOps.fingerprintDedupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      "ts", watermark = "10 minutes", textCol = "text")
+    val q = deduped.writeStream.format("memory").queryName("fpevict_test")
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:00"), "doc one"),
+        (2L, ts("2024-01-01 00:01:00"), "doc two"),
+        (3L, ts("2024-01-01 00:02:00"), "doc three"))
+      q.processAllAvailable()
+      def stateRows: Long = q.recentProgress
+        .flatMap(_.stateOperators).lastOption.map(_.numRowsTotal)
+        .getOrElse(-1L)
+      assert(stateRows == 3L, s"3 fingerprints must be in state: $stateRows")
+      // advance event time far past 00:02 + 10m; the watermark updates
+      // at batch END, so a second batch is needed to apply eviction
+      mem.addData((4L, ts("2024-01-01 01:00:00"), "doc four"))
+      q.processAllAvailable()
+      mem.addData((5L, ts("2024-01-01 01:01:00"), "doc five"))
+      q.processAllAvailable()
+      assert(stateRows == 2L,
+        s"watermark-expired fingerprints must evict (state: $stateRows)")
+    } finally q.stop()
+  }
+
   test("streaming decontamination matches the batch operator per micro-batch") {
     import org.apache.spark.sql.DataFrame
     val bench = Seq((100L, "the quick brown fox jumps"))
