@@ -148,6 +148,34 @@ class TypeInferenceSpec extends SparkSpec {
     assert(metas.filter(_.field != "id").forall(_.proposedName == "int4"))
   }
 
+  test("Hive-partitioned directory: partition columns type from path values") {
+    // the 100 TB layout is a partitioned directory, not one file —
+    // partition columns aren't stored in the parquet data; they come
+    // back through Spark's partition-value inference ("3" → int,
+    // "R" → string) and must flow through the cascade to the same
+    // proposed types the stored columns would get
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val dest = s"/tmp/graft-test-partinfer-${System.nanoTime()}"
+    val src = spark.range(0, 40).toDF("id")
+      .withColumn("flag", when(col("id") % 2 === 0, "R").otherwise("A"))
+      .withColumn("part_num", (col("id") % 3 + 1).cast("int"))
+      .withColumn("amount", col("id").cast("double") * lit(1.5))
+    src.write.partitionBy("flag", "part_num").parquet(dest)
+    try {
+      val metas = TypeInference.inferSchema(spark.read.parquet(dest)).get
+        .map(m => m.field -> m.proposedName).toMap
+      assert(metas("flag") == "varchar(256)",
+        s"string partition column must infer varchar: $metas")
+      assert(metas("part_num") == "int4",
+        s"int partition column (values 1..3 from paths) must infer int4: $metas")
+      assert(metas("id") == "int4" && metas("amount") == "float8",
+        s"stored columns keep their single-file answers: $metas")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dest)).deleteRecursively()
+    }
+  }
+
   test("full-table inference runs at most 2 Spark jobs (SURVEY §3.1/§4)") {
     val sc = spark.sparkContext
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
