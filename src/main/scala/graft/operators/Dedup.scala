@@ -252,7 +252,20 @@ object Dedup {
     * naive self-join suffers — then candidate-bounded verification.
     * Higher thresholds shrink prefixes (t=0.9 keeps ~10% of shingles),
     * so cost tracks the duplicate density being hunted.
-    * Returns (id_a, id_b, jaccard). */
+    *
+    * POSITIONAL filtering (the ppjoin refinement, Xiao et al. 2008)
+    * prunes the verify set further, at zero extra shuffle: the
+    * candidate dedup is a per-pair aggregate anyway, so it also counts
+    * the common prefix shingles `c` and takes the LAST match's
+    * positions (ia, ib) in each doc's global-order ranking. Global
+    * order consistency makes every common shingle earlier than the
+    * last match — in EITHER doc — itself a prefix match (it precedes
+    * the match in both docs, hence sits in both prefixes), so the true
+    * overlap is bounded by c + min(|a|−ia, |b|−ib); a pair that can't
+    * reach the overlap threshold α = ⌈t/(1+t)·(|a|+|b|)⌉ skips
+    * verification entirely. Only sub-threshold pairs are pruned, so
+    * the output is bit-identical (spec-pinned against the unfiltered
+    * formulation). Returns (id_a, id_b, jaccard). */
   def jaccardPairsComplete(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 3,
                            threshold: Double = 0.5): DataFrame = {
@@ -274,19 +287,32 @@ object Dedup {
       .join(sizes, idCol)
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col(idCol), col("shingle"), col("sz"))
+      .select(col(idCol), col("shingle"), col("sz"), col("pos"))
     // LENGTH filter inside the join (J ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t):
-    // prunes size-incompatible pairs before the distinct, for free —
-    // sizes already ride on the prefix rows
-    val cand = pref.select(col(idCol).as("id_a"), col("shingle"),
-        col("sz").as("sz_a"))
+    // prunes size-incompatible pairs before the pair-aggregate, for
+    // free — sizes already ride on the prefix rows
+    val matches = pref.select(col(idCol).as("id_a"), col("shingle"),
+        col("sz").as("sz_a"), col("pos").as("pos_a"))
       .join(pref.select(col(idCol).as("id_b"), col("shingle"),
-        col("sz").as("sz_b")), Seq("shingle"))
+        col("sz").as("sz_b"), col("pos").as("pos_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b") &&
         col("sz_b") >= ceil(lit(threshold) * col("sz_a")) &&
         col("sz_a") >= ceil(lit(threshold) * col("sz_b")))
+    // the dedup the old `.distinct()` did, upgraded to the positional
+    // filter: same shuffle (one hash agg by pair), tighter output.
+    // max(pos_a)/max(pos_b) land on the SAME shingle — the latest match
+    // in the global order is latest in both docs — and sz is constant
+    // per doc, so max() is just a carry.
+    val cand = matches
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_c"),
+        max(col("pos_a")).as("_ia"), max(col("pos_b")).as("_ib"),
+        max(col("sz_a")).as("_sza"), max(col("sz_b")).as("_szb"))
+      .filter(col("_c") +
+        least(col("_sza") - col("_ia"), col("_szb") - col("_ib")) >=
+        ceil(lit(threshold / (1 + threshold)) *
+          (col("_sza") + col("_szb"))))
       .select("id_a", "id_b")
-      .distinct()
     jaccardFinish(interOnCandidates(cand, sh, idCol), sizes, idCol, threshold)
   }
 
