@@ -42,10 +42,27 @@ object Multimodal {
       // 32 deterministic bytes derived from the content.
       unhex(concat(md5(col(textCol)), md5(reverse(col(textCol))))).as("payload"))
 
-  /** Metadata-only pass: never reads payload content beyond its length —
-    * with a real Parquet media table, the payload column is still read
-    * (length needs it); project the stored size column instead when one
-    * exists. Pure expressions, no UDF.
+  /** Ingest-side metadata extraction: the columns a media WRITE should
+    * persist alongside the payload (size, magic prefix, content digest),
+    * computed from the blob exactly once. At 100 TB the blob column is
+    * the table — every later metadata query that recomputes
+    * `length(payload)` re-reads the whole corpus — so the write path
+    * stores these and [[mediaMeta]] projects them WITHOUT touching the
+    * payload (Parquet column pruning then skips the blob entirely;
+    * plan-asserted in MultimodalSpec). */
+  def withStoredMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("magic", substring(hex(col("payload")), 1, 8))
+      .withColumn("hex_checksum", md5(lower(hex(col("payload")))))
+
+  /** Metadata-only pass. When the ingest stored the metadata columns
+    * ([[withStoredMeta]]), they are PROJECTED and the payload is never
+    * referenced — the scan prunes the blob column, which is the
+    * difference between a metadata query and a full-corpus read at
+    * 100 TB. Tables without stored metadata (e.g. the q25 gate's
+    * in-memory synthetic frame) fall back to computing each column from
+    * the payload — same values either way, pure expressions, no UDF.
     *
     * The digest column is named `hex_checksum` because it is md5 over the
     * LOWERCASE-HEX rendering of the payload, not over the raw bytes — it
@@ -55,12 +72,16 @@ object Multimodal {
     * injective + reproducible — hex rendering is both, so the same
     * definition runs verbatim in the oracle (gate query q25 calls this
     * operator directly). */
-  def mediaMeta(media: DataFrame): DataFrame =
+  def mediaMeta(media: DataFrame): DataFrame = {
+    val stored = media.columns.toSet
+    def colOr(name: String, compute: => org.apache.spark.sql.Column) =
+      if (stored(name)) col(name) else compute.as(name)
     media.select(
       col("media_id"), col("media_type"),
-      length(col("payload")).as("n_bytes"),
-      substring(hex(col("payload")), 1, 8).as("magic"),
-      md5(lower(hex(col("payload")))).as("hex_checksum"))
+      colOr("n_bytes", length(col("payload"))),
+      colOr("magic", substring(hex(col("payload")), 1, 8)),
+      colOr("hex_checksum", md5(lower(hex(col("payload"))))))
+  }
 
   /** A codec turns one media row into its extracted features. Must be
     * serializable (it ships to executors inside the mapPartitions

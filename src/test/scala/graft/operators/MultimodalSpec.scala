@@ -83,4 +83,33 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_._3 == 8))
     assert(frames.filter(_._1 == 0L).map(_._2).sorted.sameElements(Array(0, 1, 2)))
   }
+
+  test("mediaMeta over stored metadata prunes the payload from the scan") {
+    // the 100 TB contract: with ingest-stored metadata columns, a
+    // metadata query must never read the blob — the parquet ReadSchema
+    // is the proof, not the values (which must match either path)
+    import spark.implicits._
+    val docs = Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "gamma doc"))
+      .toDF("doc_id", "text")
+    val dest = s"/tmp/graft-test-mediameta-${System.nanoTime()}"
+    Multimodal.withStoredMeta(Multimodal.syntheticMedia(docs, "doc_id", "text"))
+      .write.parquet(dest)
+    try {
+      val meta = Multimodal.mediaMeta(spark.read.parquet(dest))
+      meta.write.format("noop").mode("overwrite").save()
+      val scan = meta.queryExecution.executedPlan.toString.linesIterator
+        .find(_.contains("FileScan parquet"))
+        .getOrElse(fail("no parquet scan in plan"))
+      assert(!scan.contains("payload"),
+        s"stored-metadata query must prune the blob column:\n$scan")
+      // same values as the compute-from-payload path
+      val computed = Multimodal.mediaMeta(
+        Multimodal.syntheticMedia(docs, "doc_id", "text"))
+      assert(meta.orderBy("media_id").collect().toSeq ==
+        computed.orderBy("media_id").collect().toSeq)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dest)).deleteRecursively()
+    }
+  }
 }
