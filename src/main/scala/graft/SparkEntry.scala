@@ -631,6 +631,23 @@ object SparkEntry {
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     }),
+    // ---- IVF-PQ ANN: k-medians IVF cells, product-quantized residuals
+    //      (m=4 × 8-entry codebooks), asymmetric-distance shortlist,
+    //      full-precision re-rank. Full probe (nProbe = nCells) and a
+    //      DuckDB oracle that replays the ENTIRE train → encode → ADC →
+    //      re-rank composition (k-medians codebooks are exact rank
+    //      elements — bit-replayable, unlike means), so the gate checks
+    //      the composition with no recall assumption ----
+    "q79_ann_ivfpq" -> ((s, dir) => {
+      import graft.oracle.{PqOracle => P}
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < P.queryCut),
+        "vec_id", "embedding", k = P.k, rerankK = P.rerankK, dim = P.dim,
+        m = P.m, ksub = P.ksub, nCells = P.nCells, nProbe = P.nCells,
+        iters = P.iters, trainSamplePct = 100)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
     // ---- unigram surprisal (perplexity-proxy quality filter):
     //      corpus-estimated −mean ln p(token) per doc; decimal sums
     //      make the mean aggregation-order-free ----
@@ -1573,6 +1590,9 @@ ORDER BY doc_id""",
 WHERE NOT EXISTS (SELECT 1 FROM documents r
                   WHERE r.doc_id < 100 AND md5(r.text) = md5(d.text))
 ORDER BY d.doc_id""",
+    // q79: the generated k-medians + PQ + ADC replay (PqOracle scaladoc
+    // documents the three cross-engine invariants it rests on)
+    "q79_ann_ivfpq" -> graft.oracle.PqOracle.sql,
     // q78: the partitioned scratch copy is content-identical to
     // lineitem, so the oracle replays the SAME cascade over the
     // original table — partition-column typing must round-trip to the

@@ -403,6 +403,238 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  // -------------------------------------------------------------------
+  // IVF-PQ: product-quantized residuals with asymmetric-distance scoring
+  // -------------------------------------------------------------------
+
+  /** Deterministic k-medians over driver-collected training rows — the
+    * codebook trainer for [[ivfPqTopK]]. Faiss-style: codebooks train on
+    * a bounded SAMPLE collected to one machine (at 100 TB nobody
+    * distributes Lloyd over the full table for a ksub-entry codebook);
+    * every corpus row is still encoded against the trained result.
+    *
+    * k-MEDIANS, not k-means, deliberately: each codebook component is an
+    * exact rank element (`quantile_disc` semantics — sorted, index
+    * ⌈n/2⌉−1), so the trained values are BIT-IDENTICAL when the DuckDB
+    * oracle replays the same seed → medians → reassign → medians
+    * cascade; a mean would fold doubles in engine-dependent order and
+    * break hash equality. Seeding is `floorMod(id, k)`; reassignment is
+    * strict-min L2 with earliest-code ties, distances accumulated in
+    * ascending component order (the same fold the engine expressions
+    * and `list_dot_product` use). Empty clusters become zero vectors
+    * (the replayable spine rule). */
+  private[operators] def kMediansLocal(rows: Array[(Long, Array[Double])],
+                                       k: Int, iters: Int): Array[Array[Double]] = {
+    require(rows.nonEmpty, "k-medians needs a non-empty training sample")
+    val dim = rows.head._2.length
+    def median(vs: Array[Double]): Double = {
+      java.util.Arrays.sort(vs)
+      vs(math.ceil(0.5 * vs.length).toInt - 1)
+    }
+    def medians(assign: Array[Int]): Array[Array[Double]] =
+      Array.tabulate(k) { c =>
+        val members = rows.indices.filter(assign(_) == c)
+        if (members.isEmpty) Array.fill(dim)(0.0)
+        else Array.tabulate(dim) { d =>
+          median(members.map(i => rows(i)._2(d)).toArray)
+        }
+      }
+    var assign = rows.map(r => math.floorMod(r._1, k).toInt)
+    var cb = medians(assign)
+    for (_ <- 0 until iters) {
+      assign = rows.map { case (_, v) => argminL2Local(v, cb) }
+      cb = medians(assign)
+    }
+    cb
+  }
+
+  /** Strict-min L2 assignment, earliest code on ties; component-ascending
+    * accumulation (the order every replaying engine uses). */
+  private[operators] def argminL2Local(v: Array[Double],
+                                       cb: Array[Array[Double]]): Int = {
+    var best = -1; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cb.length) {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - cb(c)(i); s += d * d; i += 1 }
+      if (s < bestD) { best = c; bestD = s }
+      c += 1
+    }
+    best
+  }
+
+  private def litVec(v: Array[Double]): Column =
+    array(v.map(lit).toIndexedSeq: _*)
+
+  private def litMatrix(m: Array[Array[Double]]): Column =
+    array(m.map(litVec).toIndexedSeq: _*)
+
+  /** Argmin-L2 of `v` against a literal codebook, as a single
+    * `aggregate` over the entry list (no when-chain tree blowup):
+    * strict `<` keeps the earliest code — the same total order the
+    * driver trainer and the SQL `row_number() ORDER BY dist, code`
+    * replay use. */
+  private def argminL2Expr(v: Column, cb: Array[Array[Double]]): Column = {
+    val entries = array(cb.zipWithIndex.map { case (e, i) =>
+      struct(lit(i).as("code"), litVec(e).as("ent"))
+    }.toIndexedSeq: _*)
+    aggregate(entries,
+      struct(lit(-1).as("code"), lit(Double.MaxValue).as("dist")),
+      (acc, ce) => {
+        val d = aggregate(
+          zip_with(v, ce("ent"), (x, e) => (x - e) * (x - e)),
+          lit(0.0), (a, b) => a + b)
+        when(d < acc("dist"),
+          struct(ce("code").as("code"), d.as("dist"))).otherwise(acc)
+      })("code")
+  }
+
+  /** IVF-PQ approximate top-k — the composition real billion-vector
+    * indexes run (faiss IndexIVFPQ), layered on [[ivfTopKQuantized]]'s
+    * probe → shortlist → full-precision re-rank skeleton:
+    *
+    *   - IVF cells from [[kMediansLocal]] (driver-trained on a
+    *     `trainSamplePct` md5-hash sample, broadcast as LITERALS — the
+    *     centroid table never joins, it compiles into the row
+    *     expressions);
+    *   - residuals r = v − centroid(cell) are PRODUCT-quantized: `m`
+    *     subvectors of dim/m components, each encoded as the argmin-L2
+    *     code into its own `ksub`-entry codebook (also k-medians on the
+    *     sample's residuals). An index row carries (cell, id, m codes,
+    *     recon norm) — m ints + a double instead of dim doubles, the
+    *     8×–32× memory/shuffle cut that makes billion-vector indexes
+    *     fit;
+    *   - scoring is ASYMMETRIC distance: per query, an m × ksub table of
+    *     subvector dot products against every codebook entry is computed
+    *     once (tiny, rides the broadcast probe frame); each candidate
+    *     scores as table lookups + adds — O(m) per candidate, not
+    *     O(dim) — normalized by the stored reconstruction norm:
+    *     cos ≈ (⟨q, centroid⟩ + Σ_j table[j][code_j]) / (‖q‖·‖recon‖);
+    *   - the `rerankK` best approximate candidates per query re-rank
+    *     against the full-precision vectors ((queries × rerankK)-row
+    *     join, never a corpus scan).
+    *
+    * Exactness/recall: the final ranking is exact cosine over the
+    * shortlist; recall vs [[bruteForceTopK]] is the PQ trade (distortion
+    * falls as m·log₂(ksub) bits grow) and is spec-pinned on fixtures.
+    * The q79 gate runs FULL probe and its DuckDB oracle replays the
+    * entire train → encode → ADC → re-rank composition bit-for-bit
+    * (k-medians codebooks are exact rank elements — see
+    * [[kMediansLocal]]), so gate greenness never rests on a recall
+    * assumption. */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, rerankK: Int, dim: Int,
+                m: Int = 4, ksub: Int = 8, nCells: Int = 4,
+                nProbe: Int = 4, iters: Int = 1,
+                trainSamplePct: Int = 100): DataFrame = {
+    require(rerankK >= k,
+      s"rerankK ($rerankK) must be at least k ($k)")
+    require(m > 0 && dim % m == 0,
+      s"m ($m) must divide dim ($dim): subvectors need equal length")
+    val sub = dim / m
+    // ---- driver-side training (bounded sample, deterministic) ----
+    val sampled =
+      if (trainSamplePct >= 100) candidates
+      else {
+        val s = candidates.filter(
+          Curation.hashBucket(col(idCol)) < trainSamplePct)
+        if (s.isEmpty) candidates else s
+      }
+    val sample = sampled
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = kMediansLocal(sample, nCells, iters)
+    val residSample = sample.map { case (id, v) =>
+      val c = cents(argminL2Local(v, cents))
+      (id, Array.tabulate(dim)(i => v(i) - c(i)))
+    }
+    val cbs: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      kMediansLocal(
+        residSample.map { case (id, r) =>
+          (id, java.util.Arrays.copyOfRange(r, j * sub, (j + 1) * sub))
+        }, ksub, iters)
+    }
+    // ---- index build: every corpus row encodes against the literals ----
+    val centsLit = litMatrix(cents)
+    val v = col("_v")
+    val cellExpr = argminL2Expr(v, cents)
+    val rv = zip_with(v, element_at(centsLit, col("cell") + 1),
+      (x, c) => x - c)
+    val indexed0 = candidates
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("cell", cellExpr)
+      .withColumn("_r", rv)
+      .withColumn("codes", array((0 until m).map { j =>
+        argminL2Expr(slice(col("_r"), j * sub + 1, sub), cbs(j))
+      }: _*))
+    // reconstruction = centroid + concat(codebook entries); its norm is
+    // computed ONCE at build time and stored (the ADC denominator)
+    val reconResid = concat((0 until m).map { j =>
+      element_at(litMatrix(cbs(j)), element_at(col("codes"), j + 1) + 1)
+    }: _*)
+    val indexed = indexed0
+      .withColumn("rnorm",
+        norm(zip_with(element_at(centsLit, col("cell") + 1), reconResid,
+          (c, r) => c + r)))
+      .select("cell", "neighbor_id", "codes", "rnorm")
+    // ---- query side: probe cells + the per-query ADC lookup table ----
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val centFrame = {
+      val s = candidates.sparkSession
+      s.createDataFrame(
+        s.sparkContext.parallelize(
+          cents.zipWithIndex.map { case (c, i) =>
+            org.apache.spark.sql.Row(i, c.toSeq) }.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("centroid",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false))))
+    }
+    val qCells = q.crossJoin(broadcast(centFrame))
+      .withColumn("ccos", cosine(col("qv"), col("centroid")))
+    val probes = broadcast(
+      TopK.perGroup(qCells.select("query_id", "cell", "ccos"),
+        "query_id", "ccos", "cell", nProbe)
+        .select("query_id", "cell")
+        .join(q, Seq("query_id"))
+        .withColumn("cdot", dot(col("qv"),
+          element_at(centsLit, col("cell") + 1)))
+        .withColumn("tab", array((0 until m).map { j =>
+          transform(litMatrix(cbs(j)),
+            e => dot(slice(col("qv"), j * sub + 1, sub), e))
+        }: _*)))
+    // ---- ADC scoring: O(m) lookups per candidate ----
+    val scored = indexed.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc",
+        (col("cdot") + aggregate(
+          zip_with(col("codes"), col("tab"),
+            (c, row) => element_at(row, c + 1)),
+          lit(0.0), (a, b) => a + b)) / (col("qn") * col("rnorm")))
+    val shortlist = TopK.perGroup(
+      scored.select("query_id", "neighbor_id", "adc"),
+      "query_id", "adc", "neighbor_id", rerankK)
+      .select("query_id", "neighbor_id")
+    // ---- full-precision re-rank of the shortlist ----
+    val full = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("fv"))
+      .withColumn("fn", norm(col("fv")))
+    val rescored = shortlist
+      .join(full, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", dot(col("qv"), col("fv")) / (col("qn") * col("fn")))
+    TopK.perGroup(rescored.select("query_id", "neighbor_id", "cos"),
+      "query_id", "cos", "neighbor_id", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   def nearDupPairs(data: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     val d = data.select(col(idCol).as("id"),

@@ -1,0 +1,141 @@
+package graft.oracle
+
+/** Generates the DuckDB SQL that replays [[graft.operators.Similarity
+  * .ivfPqTopK]]'s ENTIRE composition — deterministic k-medians IVF
+  * cells, per-subspace residual codebooks, encoding, asymmetric-distance
+  * scoring, shortlist, exact re-rank — for the q79 gate.
+  *
+  * Replayability rests on three cross-engine invariants (see
+  * Similarity.kMediansLocal's scaladoc): codebook components are exact
+  * rank elements (`quantile_disc` semantics, bit-identical to the
+  * driver trainer's sorted-index pick), every distance/dot accumulates
+  * in ascending component order on both engines (q20/q73 precedent for
+  * `list_dot_product` vs the codegen'd dot loop), and all tie-breaks
+  * are total orders (strict-min earliest-code; score DESC then id).
+  * The ADC numerator is written with the engine's exact parenthesization
+  * (`cdot + (0.0 + t0 + … + t_{m-1})`) so the float folds match. */
+object PqOracle {
+
+  // gate parameters — single source of truth, used by SparkEntry's q79
+  // query AND this oracle
+  val dim = 64
+  val m = 4
+  val ksub = 8
+  val nCells = 4
+  val iters = 1
+  val rerankK = 32
+  val k = 3
+  val queryCut = 10
+  def sub: Int = dim / m
+
+  /** Squared-L2 between two list expressions, component-ascending. */
+  private def distSql(v: String, c: String, d: Int): String = {
+    val diff = s"list_transform(range($d), i -> $v[i+1] - $c[i+1])"
+    s"list_dot_product($diff, $diff)"
+  }
+
+  /** Deterministic k-medians replay over `inRel(vec_id, vv)`: emits CTEs
+    * `${p}_…` ending with `${p}_cb(code, ent)` (the trained codebook,
+    * zero-vector spine for empty clusters) and `${p}_asn(vec_id, code)`
+    * (every inRel row assigned against the FINAL codebook). Mirrors
+    * kMediansLocal exactly: seed = floorMod(id, k); each iteration
+    * reassigns by strict-min L2 (earliest code on ties) then takes
+    * per-component `quantile_disc(0.5)` medians. */
+  private def kMediansSql(p: String, inRel: String, k: Int, d: Int): String = {
+    val zero = s"list_transform(range($d), x -> 0.0)"
+    def mediansCte(src: String, out: String): String =
+      s"""${out}_m AS (SELECT code, d, quantile_disc(x, 0.5) AS md FROM (
+  SELECT code, unnest(vv) AS x, unnest(range(1, $d + 1)) AS d FROM $src)
+  GROUP BY code, d),
+$out AS (SELECT s.code, coalesce(c.ent, $zero) AS ent FROM range($k) s(code)
+  LEFT JOIN (SELECT code, list(md ORDER BY d) AS ent FROM ${out}_m
+             GROUP BY code) c USING (code)),
+"""
+    val sb = new StringBuilder
+    sb ++= s"${p}_a0 AS (SELECT vec_id, ((vec_id % $k) + $k) % $k AS code, " +
+      s"vv FROM $inRel),\n"
+    sb ++= mediansCte(s"${p}_a0", s"${p}_c0")
+    var prevC = s"${p}_c0"
+    for (it <- 1 to iters) {
+      val a = s"${p}_a$it"; val cOut = s"${p}_c$it"
+      sb ++= s"""$a AS (SELECT vec_id, vv, code FROM (
+  SELECT x.vec_id, x.vv, c.code, row_number() OVER (PARTITION BY x.vec_id
+    ORDER BY ${distSql("x.vv", "c.ent", d)} ASC, c.code ASC) AS rn
+  FROM $inRel x CROSS JOIN $prevC c) WHERE rn = 1),
+"""
+      sb ++= mediansCte(a, cOut)
+      prevC = cOut
+    }
+    sb ++= s"""${p}_cb AS (SELECT code, ent FROM $prevC),
+${p}_asn AS (SELECT vec_id, code FROM (
+  SELECT x.vec_id, c.code, row_number() OVER (PARTITION BY x.vec_id
+    ORDER BY ${distSql("x.vv", "c.ent", d)} ASC, c.code ASC) AS rn
+  FROM $inRel x CROSS JOIN ${p}_cb c) WHERE rn = 1),
+"""
+    sb.toString
+  }
+
+  /** The full q79 oracle. */
+  def sql: String = {
+    val js = 0 until m
+    // training replays: IVF cells over the vectors, then one codebook
+    // per residual subspace
+    val ivf = kMediansSql("ivf", "v", nCells, dim)
+    val pqSrcs = js.map { j =>
+      val lo = j * sub
+      s"psrc$j AS (SELECT vec_id, r[${lo + 1}:${lo + sub}] AS vv FROM resid),\n"
+    }.mkString
+    val pqs = js.map(j => kMediansSql(s"pq$j", s"psrc$j", ksub, sub)).mkString
+    val encJoins = js.map(j => s"JOIN pq${j}_asn p$j USING (vec_id)")
+      .mkString(" ")
+    val encCodes = js.map(j => s"p$j.code AS c$j").mkString(", ")
+    val cbJoins = js.map(j => s"JOIN pq${j}_cb b$j ON b$j.code = e.c$j")
+      .mkString(" ")
+    val reconConcat = js.map(j => s"b$j.ent")
+      .reduceLeft((a, b) => s"list_concat($a, $b)")
+    val idxCbJoins = js.map(j => s"JOIN pq${j}_cb b$j ON b$j.code = i.c$j")
+      .mkString(" ")
+    val tabTerms = js.map { j =>
+      val lo = j * sub
+      s"list_dot_product(q.qv[${lo + 1}:${lo + sub}], b$j.ent)"
+    }.mkString(" + ")
+    val cCols = js.map(j => s"c$j").mkString(", ")
+    s"""WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+$ivf
+resid AS (SELECT a.vec_id, a.code AS cell,
+  list_transform(range($dim), i -> x.vv[i+1] - c.ent[i+1]) AS r
+  FROM ivf_asn a JOIN v x USING (vec_id) JOIN ivf_cb c ON c.code = a.code),
+$pqSrcs
+$pqs
+enc AS (SELECT r.vec_id, r.cell, $encCodes
+  FROM resid r $encJoins),
+idxr AS (SELECT e.vec_id, e.cell, $cCols,
+  list_transform(range($dim),
+    i -> ic.ent[i+1] + $reconConcat[i+1]) AS rec
+  FROM enc e JOIN ivf_cb ic ON ic.code = e.cell $cbJoins),
+idx AS (SELECT vec_id AS neighbor_id, cell, $cCols,
+  sqrt(list_dot_product(rec, rec)) AS rnorm FROM idxr),
+qrel AS (SELECT vec_id AS query_id, vv AS qv,
+  sqrt(list_dot_product(vv, vv)) AS qn FROM v WHERE vec_id < $queryCut),
+adc AS (SELECT q.query_id, i.neighbor_id,
+  (list_dot_product(q.qv, ic.ent) + (0.0 + $tabTerms))
+    / (q.qn * i.rnorm) AS s
+  FROM qrel q CROSS JOIN idx i
+  JOIN ivf_cb ic ON ic.code = i.cell $idxCbJoins
+  WHERE i.neighbor_id <> q.query_id),
+short AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn FROM adc)
+  WHERE rn <= $rerankK)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT sh.query_id, sh.neighbor_id, row_number() OVER (
+    PARTITION BY sh.query_id ORDER BY
+      list_dot_product(q.vv, c.vv)
+        / (sqrt(list_dot_product(q.vv, q.vv))
+         * sqrt(list_dot_product(c.vv, c.vv))) DESC, sh.neighbor_id) AS rank
+  FROM short sh JOIN v q ON q.vec_id = sh.query_id
+                JOIN v c ON c.vec_id = sh.neighbor_id)
+WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+}
