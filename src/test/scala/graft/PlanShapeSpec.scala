@@ -168,6 +168,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q79 IVF-PQ joins broadcast-only and never windows") {
+    // codebooks are literals and the probe/shortlist frames broadcast,
+    // so the CORPUS side must never shuffle for a join (no
+    // SortMergeJoin) and both top-k selections must stay TopK partial
+    // aggregates (no Window). The query×centroid fan-out plans as a
+    // tiny broadcast nested-loop (queries × nCells rows — the scalar
+    // fan-out pattern, not a data-sized product), so only cartesians
+    // are banned outright.
+    val plan = finalPlan(q("q79_ann_ivfpq"))
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF-PQ must never plan a cartesian product:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for an IVF-PQ join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"top-k selections must stay partial aggregates:\n$plan")
+  }
+
   test("no gate query buffers full group values in an imperative aggregate") {
     // Exact `percentile` (and friends) buffer a value→count map per
     // GROUP in one executor: with a high-cardinality column, a

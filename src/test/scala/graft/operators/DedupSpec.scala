@@ -150,6 +150,48 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.3).count() > 0)
   }
 
+  test("property: positional-filtered complete Jaccard ≡ quadratic on random corpora") {
+    // The ppjoin positional filter's soundness proof (every common
+    // shingle earlier than the last prefix match is itself a prefix
+    // match) leans on global-order consistency — the kind of argument
+    // a fixed fixture can't stress. Deterministic scalacheck sweep:
+    // random corpora over tiny vocabularies (dense mid-similarity
+    // pairs, heavy shingle collisions, size skew) across thresholds
+    // must keep the filtered operator EXACTLY equal to the quadratic
+    // formulation.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      nDocs <- Gen.chooseNum(5, 35)
+      vocabSize <- Gen.chooseNum(4, 9)
+      docLens <- Gen.listOfN(nDocs, Gen.chooseNum(3, 18))
+      words <- Gen.listOfN(docLens.sum,
+        Gen.chooseNum(0, vocabSize - 1).map(i => s"w$i"))
+      t <- Gen.oneOf(0.2, 0.4, 0.6, 0.85)
+    } yield {
+      val (docs, _) = docLens.zipWithIndex.foldLeft(
+        (List.empty[(Long, String)], words)) {
+        case ((acc, rest), (len, i)) =>
+          ((i.toLong, rest.take(len).mkString(" ")) :: acc, rest.drop(len))
+      }
+      (docs.reverse, t)
+    }
+    for (i <- 0 until 6) {
+      val (docs, t) =
+        genCase.pureApply(org.scalacheck.Gen.Parameters.default, Seed(7L + i))
+      val df = docs.toDF("doc_id", "text")
+      val complete = Dedup.jaccardPairsComplete(df, "doc_id", "text", 3, t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val quadratic = Dedup.jaccardPairs(df, "doc_id", "text", 3, t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(complete == quadratic,
+        s"case $i (n=${docs.size}, t=$t): missing ${quadratic -- complete}, " +
+          s"extra ${complete -- quadratic}")
+    }
+  }
+
   test("dedupBlocksAcrossDocs: first occurrence wins, docs reassemble in order") {
     val boiler = (1 to 4).map(i => s"b$i").mkString(" ")  // 4-token block
     val d = Seq(
