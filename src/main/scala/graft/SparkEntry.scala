@@ -896,8 +896,11 @@ object SparkEntry {
     //      band), PROVABLY exact for hamming ≤ 3 (pigeonhole — no
     //      empirical recall premise), verified by bit_count(xor) ----
     "q55_simhash_neardup" -> ((s, dir) => {
+      // 2×16-bit bands with single-flip probe enumeration (bandErrors=1):
+      // same exact ham≤3 output by pigeonhole, 65 536 buckets per band
+      // instead of 256 — the selectivity that holds at corpus scale
       Dedup.simHashNearDup(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, bands = 4, bits = 32)
+        maxHamming = 3, bands = 2, bits = 32, bandErrors = 1)
         .orderBy("id_a", "id_b")
     })
   )

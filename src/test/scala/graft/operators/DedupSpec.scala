@@ -265,8 +265,24 @@ class DedupSpec extends SparkSpec {
       h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
     } yield (ia, ib, h)).toSet
     assert(banded32 == want32)
+    // the gate's single-flip scheme (2×16-bit bands, bandErrors=1):
+    // same exact output, pigeonhole over ham ≤ 2·bands−1
+    val flip32 = Dedup.simHashNearDup(corpus, "doc_id", "text", 3,
+      bands = 2, bits = 32, bandErrors = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(flip32 == want32,
+      s"single-flip banding must EQUAL quadratic: missing " +
+        s"${want32 -- flip32}, extra ${flip32 -- want32}")
     intercept[IllegalArgumentException] {
       Dedup.simHashNearDup(corpus, "doc_id", "text", maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      // ham 4 > 2·2−1: single-flip 2-band scheme can't guarantee it
+      Dedup.simHashNearDup(corpus, "doc_id", "text", maxHamming = 4,
+        bands = 2, bandErrors = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simHashNearDup(corpus, "doc_id", "text", bandErrors = 2)
     }
   }
 }
