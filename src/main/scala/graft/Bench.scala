@@ -45,8 +45,12 @@ object Bench {
         // valid figure — -1 marks it in the JSON instead of flattering it
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val valid = times.filter(_ >= 0)
-      (name, if (valid.isEmpty) -1.0 else valid.sorted.apply(valid.size / 2))
+      // ANY failed rep marks the query failed: reporting the median of
+      // the surviving reps would hide an intermittent OOM behind a
+      // healthy-looking figure — exactly the flakiness this report
+      // exists to expose
+      (name, if (times.exists(_ < 0)) -1.0
+             else times.sorted.apply(times.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -723,9 +723,17 @@ object SparkEntry {
     //      content-identical to `lineitem`, so the oracle is the same
     //      inference cascade over the original table. ----
     "q78_infer_partitioned" -> ((s, dir) => {
-      val dest = s"/tmp/graft_part_lineitem_${math.abs(dir.hashCode)}.parquet"
-      // idempotent per sf-dir: Bench's repeat runs reuse the copy (the
-      // operator under test is the directory INFERENCE, not the write)
+      // scratch key includes the SOURCE file's (length, mtime): a
+      // regenerated corpus at the same path must invalidate the copy,
+      // or the gate would silently infer stale data against a fresh
+      // oracle. toHexString sidesteps math.abs(Int.MinValue) < 0.
+      val src = new java.io.File(s"$dir/lineitem.parquet")
+      val key = java.lang.Integer.toHexString(
+        (dir, src.length(), src.lastModified()).hashCode())
+      val dest = s"/tmp/graft_part_lineitem_$key.parquet"
+      // idempotent per (sf-dir, source version): Bench's repeat runs
+      // reuse the copy (the operator under test is the directory
+      // INFERENCE, not the write)
       if (!new java.io.File(dest, "_SUCCESS").exists())
         t(s, dir, "lineitem").write.mode("overwrite")
           .partitionBy("l_returnflag", "l_linenumber").parquet(dest)

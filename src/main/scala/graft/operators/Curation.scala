@@ -158,10 +158,22 @@ object Curation {
     * already present in the tiny counts frame. Driver doubles use the
     * same IEEE ops and `BigDecimal.valueOf` HALF_UP rounding as the old
     * executor-side `round(_, 6)`, so kept sets are bit-identical. */
+  /** Strata are driver-side by design; this caps how many before the
+    * collect turns into the thing it replaced. A stratum column with
+    * more distinct values than this is a key, not a stratum — reject
+    * loudly instead of OOMing the driver. */
+  private val maxStrata = 100000
+
   private def samplerRates(df: DataFrame, idCol: String, stratumCol: String,
                            ratioOf: (Any, Double, Double) => Double): DataFrame = {
+    // limit(max+1) bounds the driver transfer even on a pathological
+    // column — the guard itself must not collect what it guards against
     val counts = df.groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("n_l")).collect()
+      .agg(count(lit(1)).as("n_l")).limit(maxStrata + 1).collect()
+    require(counts.length <= maxStrata,
+      s"sampler stratum column `$stratumCol` has more than $maxStrata " +
+        "distinct values — that is a key, not a stratum; bucket it " +
+        "first (e.g. hash ranges) or sample by a coarser dimension")
     val nTotal = counts.map(_.getLong(1)).sum.toDouble
     val ratios = counts.map(r => ratioOf(r.get(0), r.getLong(1).toDouble, nTotal))
     val maxRatio = if (ratios.isEmpty) 0.0 else ratios.max

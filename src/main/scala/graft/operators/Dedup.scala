@@ -303,15 +303,27 @@ object Dedup {
     // max(pos_a)/max(pos_b) land on the SAME shingle — the latest match
     // in the global order is latest in both docs — and sz is constant
     // per doc, so max() is just a carry.
+    //
+    // The keep-condition is the overlap BOUND run through the exact
+    // Jaccard form jaccardFinish applies — ub/(sza+szb−ub) ≥ t, the
+    // same double division and comparison — NOT a ceil of the
+    // t/(1+t)·(sza+szb) rational: that ratio is irrational in binary
+    // (e.g. t=0.4 → 0.2857…5 > 2/7) and its ceil rounds UP past the
+    // exact threshold at many (t, size) combinations, pruning boundary
+    // pairs the final filter would keep. x/(s−x) is monotone in x and
+    // double rounding preserves monotonicity, so true-overlap ≤ ub
+    // qualifying ⇒ ub qualifies: a proven superset with zero float-
+    // boundary risk.
     val cand = matches
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("_c"),
         max(col("pos_a")).as("_ia"), max(col("pos_b")).as("_ib"),
         max(col("sz_a")).as("_sza"), max(col("sz_b")).as("_szb"))
-      .filter(col("_c") +
-        least(col("_sza") - col("_ia"), col("_szb") - col("_ib")) >=
-        ceil(lit(threshold / (1 + threshold)) *
-          (col("_sza") + col("_szb"))))
+      .withColumn("_ub", col("_c") +
+        least(col("_sza") - col("_ia"), col("_szb") - col("_ib")))
+      .filter(col("_ub").cast("double") /
+        (col("_sza") + col("_szb") - col("_ub")).cast("double")
+        >= threshold)
       .select("id_a", "id_b")
     jaccardFinish(interOnCandidates(cand, sh, idCol), sizes, idCol, threshold)
   }

@@ -522,11 +522,16 @@ object Similarity {
     * (k-medians codebooks are exact rank elements — see
     * [[kMediansLocal]]), so gate greenness never rests on a recall
     * assumption. */
+  /** Hard ceiling on driver-collected PQ training rows: codebooks need
+    * a representative sample, never the corpus — past this, the collect
+    * IS the scale bug. Callers size `trainSamplePct` to stay under. */
+  private val maxTrainRows = 200000
+
   def ivfPqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, rerankK: Int, dim: Int,
                 m: Int = 4, ksub: Int = 8, nCells: Int = 4,
                 nProbe: Int = 4, iters: Int = 1,
-                trainSamplePct: Int = 100): DataFrame = {
+                trainSamplePct: Int = 25): DataFrame = {
     require(rerankK >= k,
       s"rerankK ($rerankK) must be at least k ($k)")
     require(m > 0 && dim % m == 0,
@@ -540,10 +545,17 @@ object Similarity {
           Curation.hashBucket(col(idCol)) < trainSamplePct)
         if (s.isEmpty) candidates else s
       }
+    // limit(max+1) bounds the transfer; the require rejects loudly
+    // instead of OOMing the driver on an under-sampled huge corpus
     val sample = sampled
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(maxTrainRows + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.length <= maxTrainRows,
+      s"PQ training sample exceeds $maxTrainRows rows — lower " +
+        s"trainSamplePct ($trainSamplePct) so codebook training stays " +
+        "a driver-sized sample")
     val cents = kMediansLocal(sample, nCells, iters)
     val residSample = sample.map { case (id, v) =>
       val c = cents(argminL2Local(v, cents))
@@ -626,7 +638,11 @@ object Similarity {
     val full = candidates.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("fv"))
       .withColumn("fn", norm(col("fv")))
-    val rescored = shortlist
+    // the shortlist is (queries × rerankK) rows — broadcast it
+    // EXPLICITLY: its size estimate flows through the TopK aggregate
+    // from corpus-sized children, and an auto-planned SortMergeJoin
+    // here would shuffle the full-precision corpus for a tiny join
+    val rescored = broadcast(shortlist)
       .join(full, Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", dot(col("qv"), col("fv")) / (col("qn") * col("fn")))

@@ -199,7 +199,10 @@ class PlanShapeSpec extends SparkSpec {
       "q73_ann_quantized",  // same bounded centroid frame, int8 variant
       "q72_block_dedup")    // per-document surviving blocks: doc-sized
     for ((name, fn) <- SparkEntry.queries) {
-      // physical planning only — no execution needed to read agg choices
+      // reads the PLAN, not the result — though constructing a few
+      // queries does eager work at sf0.001 (q78 writes its partitioned
+      // scratch copy, q79 trains codebooks on a driver collect); small
+      // at this SF, and the sweep must cover every gate query
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.matches("(?s).*(?<!approx_)percentile\\(.*"),
         s"$name plans the exact percentile aggregate (unbounded buffer):\n$plan")

@@ -273,8 +273,11 @@ class CurationSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       Curation.selectUnderBudget(df, "id", "score", "tok", 1000L)
-      // listener events post asynchronously; give the bus a beat
-      Thread.sleep(1500)
+      // listener events post asynchronously; give the bus time to
+      // drain (an undercount only weakens this canary — it can pass
+      // trivially, never false-fail — so a generous sleep suffices;
+      // the bus API itself is private[spark])
+      Thread.sleep(3000)
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(jobs.get() <= 5,
       s"operator construction should need ≤5 jobs (2 passes), ran ${jobs.get()}")

@@ -176,7 +176,7 @@ class DedupSpec extends SparkSpec {
       }
       (docs.reverse, t)
     }
-    for (i <- 0 until 6) {
+    for (i <- 0 until 10) {
       val (docs, t) =
         genCase.pureApply(org.scalacheck.Gen.Parameters.default, Seed(7L + i))
       val df = docs.toDF("doc_id", "text")
@@ -190,6 +190,23 @@ class DedupSpec extends SparkSpec {
         s"case $i (n=${docs.size}, t=$t): missing ${quadratic -- complete}, " +
           s"extra ${complete -- quadratic}")
     }
+  }
+
+  test("positional filter keeps pairs at EXACTLY the threshold boundary") {
+    // J = 2/(4+3-2) = 0.4 at t = 0.4: a ceil of the t/(1+t)·(|a|+|b|)
+    // rational would demand overlap ceil(0.2857…5 × 7) = 3 > 2 (the
+    // double ratio exceeds 2/7) and prune this qualifying pair; the
+    // bound-through-the-Jaccard-form filter must keep it
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),   // shingles {123,234,345,456}
+      (2L, "x0 w1 w2 w3 w4"),      // shingles {x12,123,234} → |∩|=2
+      (3L, "y1 y2 y3 y4 y5")       // unrelated filler
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsComplete(docs, "doc_id", "text", 3, 0.4)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, 2L, 0.4)),
+      s"the J=0.4 boundary pair must survive the positional filter: $got")
   }
 
   test("dedupBlocksAcrossDocs: first occurrence wins, docs reassemble in order") {

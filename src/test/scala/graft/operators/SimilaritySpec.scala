@@ -125,14 +125,14 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     val pqAll = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
       k = 3, rerankK = 500, dim = 64, m = 4, ksub = 8,
-      nCells = 4, nProbe = 4)
+      nCells = 4, nProbe = 4, trainSamplePct = 100)
       .select("query_id", "rank", "neighbor_id")
       .as[(Long, Int, Long)].collect().toSet
     assert(pqAll == exact,
       "all-candidate shortlist + exact re-rank must equal brute force")
     val pq32 = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
       k = 3, rerankK = 32, dim = 64, m = 4, ksub = 8,
-      nCells = 4, nProbe = 4)
+      nCells = 4, nProbe = 4, trainSamplePct = 100)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exactPairs = exact.map(t => (t._1, t._3))
     val recall = (exactPairs intersect pq32).size.toDouble / exactPairs.size
