@@ -350,7 +350,21 @@ object Dedup {
     val cand = candidatePairs(lshBands(sig, idCol, numHashes, bands), idCol)
     val sh = shMulti.distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    jaccardFinish(interOnCandidates(cand, sh, idCol), sizes, idCol, threshold)
+    // LENGTH filter before verification (the jaccardPairsComplete
+    // idiom): J ≥ t needs the bound |∩| ≤ min(|a|,|b|) to clear the
+    // Jaccard form, so a size-incompatible band collision (long doc vs
+    // short doc sharing one hot band) is dropped for the price of a
+    // broadcast-sized sizes join instead of two shingle-set joins + a
+    // count. Output unchanged: only pairs below the final ≥ t filter
+    // are pruned, through the SAME division/comparison it applies.
+    val sized = cand
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("_sa")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("_sb")), "id_b")
+      .filter(least(col("_sa"), col("_sb")).cast("double") /
+        (col("_sa") + col("_sb") - least(col("_sa"), col("_sb")))
+          .cast("double") >= threshold)
+      .select("id_a", "id_b")
+    jaccardFinish(interOnCandidates(sized, sh, idCol), sizes, idCol, threshold)
   }
 
   /** SimHash over the distinct token set. Each token hashes to `bits`
