@@ -648,6 +648,26 @@ object SparkEntry {
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     }),
+    // ---- SemDeDup (Abbas et al. 2023): deterministic k-medians cells,
+    //      intra-cell exact cosine ≥ τ, keep the farthest-from-centroid
+    //      member of every duplicate group (domination anti-join — see
+    //      Similarity.semDedup). The oracle replays train → assign →
+    //      pair → keep via KMediansOracle on the q79 invariants
+    //      (rank-element codebooks, ascending folds, total-order ties),
+    //      so greenness never rests on a recall premise ----
+    "q80_semdedup" -> ((s, dir) => {
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.35, nCells = 4, iters = 1)
+        .withColumn("cdist", round(col("cdist"), 6))
+        .orderBy("vec_id")
+    }),
+    // ---- corpus-level top-k n-grams: one ngram-keyed hash agg, then
+    //      TakeOrderedAndProject (per-partition top-k, k rows to the
+    //      driver — never a global sort); (cnt DESC, ngram) total order
+    //      makes the rank-k cut deterministic ----
+    "q81_top_ngrams" -> ((s, dir) => {
+      TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 20)
+    }),
     // ---- unigram surprisal (perplexity-proxy quality filter):
     //      corpus-estimated −mean ln p(token) per doc; decimal sums
     //      make the mean aggregation-order-free ----
@@ -1024,6 +1044,35 @@ FROM m ORDER BY media_id"""
 h AS (SELECT doc_id, md5(token) AS hx FROM tk),
 votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
 ssig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes)"""
+  }
+
+  /** q80: the SemDeDup composition replayed end to end — the SAME
+    * deterministic k-medians training and final-codebook assignment as
+    * the engine (KMediansOracle, the q79 replay), squared centroid
+    * distances and pair cosines as component-ascending folds
+    * (`list_dot_product` ≡ the codegen'd loops), the intra-cell τ-pair
+    * join, and the domination rule: with id_a < id_b, the pair's loser
+    * is id_b iff cda ≥ cdb (centroid-distance DESC, id ASC total
+    * order) — byte-identical logic to Similarity.semDedup. */
+  private def semDedupOracle: String = {
+    import graft.oracle.KMediansOracle
+    val d = 64
+    s"""WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+${KMediansOracle.kMediansSql("sd", "v", 4, d, 1)}
+w AS (SELECT a.vec_id, a.code AS cell, x.vv,
+  ${KMediansOracle.distSql("x.vv", "c.ent", d)} AS cdist,
+  sqrt(list_dot_product(x.vv, x.vv)) AS nrm
+  FROM sd_asn a JOIN v x USING (vec_id) JOIN sd_cb c ON c.code = a.code),
+p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+    x.cdist AS cda, y.cdist AS cdb,
+    list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm) AS cos
+  FROM w x JOIN w y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+losers AS (SELECT DISTINCT CASE WHEN cda >= cdb THEN id_b ELSE id_a END
+    AS vec_id FROM p WHERE cos >= 0.35)
+SELECT w.vec_id, w.cell, round(w.cdist, 6) AS cdist FROM w
+WHERE w.vec_id NOT IN (SELECT vec_id FROM losers)
+ORDER BY w.vec_id"""
   }
 
   /** q27: the SRP-LSH near-dup composition replayed end to end —
@@ -1604,6 +1653,17 @@ ORDER BY d.doc_id""",
     // q79: the generated k-medians + PQ + ADC replay (PqOracle scaladoc
     // documents the three cross-engine invariants it rests on)
     "q79_ann_ivfpq" -> graft.oracle.PqOracle.sql,
+    "q80_semdedup" -> semDedupOracle,
+    // q81: the q50 n-gram form lifted to corpus level; same tokenizer,
+    // same 2-gram windows, the (cnt DESC, ngram) cut replayed as a
+    // plain ORDER BY + LIMIT
+    "q81_top_ngrams" ->
+      s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
+g AS (SELECT unnest(CASE WHEN len(tk) >= 2
+  THEN list_transform(range(0, len(tk) - 1), i -> array_to_string(tk[i+1:i+2], ' '))
+  ELSE [] END) AS ngram FROM toks),
+c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY ngram)
+SELECT ngram, cnt FROM c ORDER BY cnt DESC, ngram LIMIT 20""",
     // q78: the partitioned scratch copy is content-identical to
     // lineitem, so the oracle replays the SAME cascade over the
     // original table — partition-column typing must round-trip to the

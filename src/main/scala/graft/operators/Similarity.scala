@@ -527,6 +527,32 @@ object Similarity {
     * IS the scale bug. Callers size `trainSamplePct` to stay under. */
   private val maxTrainRows = 200000
 
+  /** Bounded, deterministic driver-side training sample: a
+    * `trainSamplePct` md5-hash cut of the corpus (whole corpus at 100),
+    * hard-capped at [[maxTrainRows]]. `limit(max+1)` bounds the
+    * transfer; the require rejects loudly instead of OOMing the driver
+    * on an under-sampled huge corpus. Shared by [[ivfPqTopK]] and the
+    * SemDeDup operators. */
+  private def trainRows(df: DataFrame, idCol: String, vecCol: String,
+                        trainSamplePct: Int): Array[(Long, Array[Double])] = {
+    val sampled =
+      if (trainSamplePct >= 100) df
+      else {
+        val s = df.filter(Curation.hashBucket(col(idCol)) < trainSamplePct)
+        if (s.isEmpty) df else s
+      }
+    val sample = sampled
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(maxTrainRows + 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.length <= maxTrainRows,
+      s"codebook training sample exceeds $maxTrainRows rows — lower " +
+        s"trainSamplePct ($trainSamplePct) so training stays a " +
+        "driver-sized sample")
+    sample
+  }
+
   def ivfPqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, rerankK: Int, dim: Int,
                 m: Int = 4, ksub: Int = 8, nCells: Int = 4,
@@ -538,24 +564,7 @@ object Similarity {
       s"m ($m) must divide dim ($dim): subvectors need equal length")
     val sub = dim / m
     // ---- driver-side training (bounded sample, deterministic) ----
-    val sampled =
-      if (trainSamplePct >= 100) candidates
-      else {
-        val s = candidates.filter(
-          Curation.hashBucket(col(idCol)) < trainSamplePct)
-        if (s.isEmpty) candidates else s
-      }
-    // limit(max+1) bounds the transfer; the require rejects loudly
-    // instead of OOMing the driver on an under-sampled huge corpus
-    val sample = sampled
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .limit(maxTrainRows + 1)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(sample.length <= maxTrainRows,
-      s"PQ training sample exceeds $maxTrainRows rows — lower " +
-        s"trainSamplePct ($trainSamplePct) so codebook training stays " +
-        "a driver-sized sample")
+    val sample = trainRows(candidates, idCol, vecCol, trainSamplePct)
     val cents = kMediansLocal(sample, nCells, iters)
     val residSample = sample.map { case (id, v) =>
       val c = cents(argminL2Local(v, cents))
@@ -649,6 +658,89 @@ object Similarity {
     TopK.perGroup(rescored.select("query_id", "neighbor_id", "cos"),
       "query_id", "cos", "neighbor_id", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Shared SemDeDup assignment frame: every row with its k-medians
+    * cell, squared centroid distance, and L2 norm. Training is the
+    * bounded driver sample ([[trainRows]]); the codebook compiles into
+    * the row expressions as literals (no centroid join), so this is one
+    * map-side pass over the corpus. `cdist` folds component-ascending
+    * (zip_with squared diffs, then an in-order aggregate) — the same
+    * float ops as the oracle's `list_dot_product(diff, diff)`. */
+  private def semDedupAssign(df: DataFrame, idCol: String, vecCol: String,
+                             nCells: Int, iters: Int,
+                             trainSamplePct: Int): DataFrame = {
+    require(idCol != "cell" && idCol != "cdist",
+      s"idCol ($idCol) collides with a SemDeDup output column")
+    val sample = trainRows(df, idCol, vecCol, trainSamplePct)
+    val cents = kMediansLocal(sample, nCells, iters)
+    val centsLit = litMatrix(cents)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("cell", argminL2Expr(col("_v"), cents))
+      .withColumn("cdist", aggregate(
+        zip_with(col("_v"), element_at(centsLit, col("cell") + 1),
+          (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, t) => acc + t))
+      .withColumn("_n", norm(col("_v")))
+  }
+
+  /** Intra-cell τ-pairs with both sides' centroid distances attached —
+    * the shared core of [[semDedupPairs]] and [[semDedup]]. An equi-join
+    * on `cell` (shuffle keyed by cell, AQE-splittable on skew), never a
+    * cartesian; candidate pairs fall from n²/2 to Σ_c |cell_c|²/2. */
+  private def semDedupPairsFull(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned.select(col("id").as("id_a"), col("cell"),
+      col("_v").as("_va"), col("_n").as("_na"), col("cdist").as("_cda"))
+    val b = assigned.select(col("id").as("id_b"), col("cell"),
+      col("_v").as("_vb"), col("_n").as("_nb"), col("cdist").as("_cdb"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      .filter(col("cos") >= tau)
+  }
+
+  /** SemDeDup semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with deterministic k-medians
+    * (driver-trained codebook broadcast as literals), then compare
+    * pairs ONLY within a cluster — exact cosine ≥ `tau` marks a
+    * semantic duplicate. The cluster restriction is what scales:
+    * `nCells` is the quadratic-bound AND parallelism knob — size it so
+    * the expected cell is a few thousand rows (the paper runs ~11k
+    * cells over LAION); cross-cell near-dups are the accepted miss, by
+    * design. Determinism: cells come from [[kMediansLocal]] (codebook
+    * components are exact rank elements), assignment is strict-min L2
+    * with earliest-code ties, and every distance/cosine folds
+    * component-ascending — the q79 invariants — so the q80 gate's
+    * DuckDB oracle replays train → assign → pair bit-for-bit, with no
+    * recall premise. Returns (id_a, id_b, cell, cos), id_a < id_b. */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, nCells: Int, iters: Int = 1,
+                    trainSamplePct: Int = 100): DataFrame =
+    semDedupPairsFull(
+      semDedupAssign(df, idCol, vecCol, nCells, iters, trainSamplePct), tau)
+      .select(col("id_a"), col("id_b"), col("cell"), col("cos"))
+
+  /** SemDeDup keep-list: drop a row iff SOME τ-neighbor in its cell
+    * outranks it under the total order (centroid distance DESC, id ASC)
+    * — the paper's keep-farthest-from-centroid rule expressed as a
+    * domination anti-join instead of an iterative grouping, so one
+    * pair pass + one distinct + one anti-join settles the corpus. The
+    * farthest member of every duplicate group survives by construction
+    * (it has no outranking neighbor); chained duplicates drop together
+    * (each has a better neighbor), which is the aggressive side of the
+    * paper's per-cluster one-keeper semantics and is deterministic.
+    * Returns the kept rows as (idCol, cell, cdist). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               tau: Double, nCells: Int, iters: Int = 1,
+               trainSamplePct: Int = 100): DataFrame = {
+    val assigned =
+      semDedupAssign(df, idCol, vecCol, nCells, iters, trainSamplePct)
+    val losers = semDedupPairsFull(assigned, tau)
+      .select(when(col("_cda") >= col("_cdb"), col("id_b"))
+        .otherwise(col("id_a")).as("id"))
+      .distinct()
+    assigned.join(losers, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"), col("cdist"))
   }
 
   def nearDupPairs(data: DataFrame, idCol: String, vecCol: String,

@@ -113,6 +113,23 @@ object TextAnalysis {
           col("n_ngrams").cast("double"), lit(0.0)).as("top_ngram_frac"))
   }
 
+  /** Corpus-level top-k n-grams: tokenize + slide n-grams per row (one
+    * map-side pass, no per-document state), ONE hash aggregate keyed by
+    * ngram (map-side partial counts make the shuffle distinct-gram-
+    * sized, not occurrence-sized), then a global top-k by (count DESC,
+    * ngram ASC). The limit plans as TakeOrderedAndProject — per-
+    * partition top-k merged on the driver, k rows of traffic — never a
+    * global sort of the (at corpus scale, billions-row) distinct-gram
+    * frame. The tie-break is a total order, so the cut at rank k is
+    * deterministic and engine-portable. Returns (ngram, cnt). */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 2,
+                k: Int = 100): DataFrame =
+    df.select(tokens(col(textCol)).as("_toks"))
+      .select(explode(Dedup.shingleArray(col("_toks"), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+
   /** Top-k most distinctive terms per document by TF-IDF (tf ×
     * ln(N/df)). The corpus pass is two hash aggregations — (doc, term)
     * counts, then per-term document frequency over that frame (already

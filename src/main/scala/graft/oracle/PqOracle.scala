@@ -28,52 +28,15 @@ object PqOracle {
   val queryCut = 10
   def sub: Int = dim / m
 
-  /** Squared-L2 between two list expressions, component-ascending. */
-  private def distSql(v: String, c: String, d: Int): String = {
-    val diff = s"list_transform(range($d), i -> $v[i+1] - $c[i+1])"
-    s"list_dot_product($diff, $diff)"
-  }
+  /** Squared-L2 between two list expressions, component-ascending
+    * (shared replay helper — see [[KMediansOracle.distSql]]). */
+  private def distSql(v: String, c: String, d: Int): String =
+    KMediansOracle.distSql(v, c, d)
 
-  /** Deterministic k-medians replay over `inRel(vec_id, vv)`: emits CTEs
-    * `${p}_…` ending with `${p}_cb(code, ent)` (the trained codebook,
-    * zero-vector spine for empty clusters) and `${p}_asn(vec_id, code)`
-    * (every inRel row assigned against the FINAL codebook). Mirrors
-    * kMediansLocal exactly: seed = floorMod(id, k); each iteration
-    * reassigns by strict-min L2 (earliest code on ties) then takes
-    * per-component `quantile_disc(0.5)` medians. */
-  private def kMediansSql(p: String, inRel: String, k: Int, d: Int): String = {
-    val zero = s"list_transform(range($d), x -> 0.0)"
-    def mediansCte(src: String, out: String): String =
-      s"""${out}_m AS (SELECT code, d, quantile_disc(x, 0.5) AS md FROM (
-  SELECT code, unnest(vv) AS x, unnest(range(1, $d + 1)) AS d FROM $src)
-  GROUP BY code, d),
-$out AS (SELECT s.code, coalesce(c.ent, $zero) AS ent FROM range($k) s(code)
-  LEFT JOIN (SELECT code, list(md ORDER BY d) AS ent FROM ${out}_m
-             GROUP BY code) c USING (code)),
-"""
-    val sb = new StringBuilder
-    sb ++= s"${p}_a0 AS (SELECT vec_id, ((vec_id % $k) + $k) % $k AS code, " +
-      s"vv FROM $inRel),\n"
-    sb ++= mediansCte(s"${p}_a0", s"${p}_c0")
-    var prevC = s"${p}_c0"
-    for (it <- 1 to iters) {
-      val a = s"${p}_a$it"; val cOut = s"${p}_c$it"
-      sb ++= s"""$a AS (SELECT vec_id, vv, code FROM (
-  SELECT x.vec_id, x.vv, c.code, row_number() OVER (PARTITION BY x.vec_id
-    ORDER BY ${distSql("x.vv", "c.ent", d)} ASC, c.code ASC) AS rn
-  FROM $inRel x CROSS JOIN $prevC c) WHERE rn = 1),
-"""
-      sb ++= mediansCte(a, cOut)
-      prevC = cOut
-    }
-    sb ++= s"""${p}_cb AS (SELECT code, ent FROM $prevC),
-${p}_asn AS (SELECT vec_id, code FROM (
-  SELECT x.vec_id, c.code, row_number() OVER (PARTITION BY x.vec_id
-    ORDER BY ${distSql("x.vv", "c.ent", d)} ASC, c.code ASC) AS rn
-  FROM $inRel x CROSS JOIN ${p}_cb c) WHERE rn = 1),
-"""
-    sb.toString
-  }
+  /** Deterministic k-medians replay — shared with the q80 SemDeDup
+    * oracle; see [[KMediansOracle.kMediansSql]]. */
+  private def kMediansSql(p: String, inRel: String, k: Int, d: Int): String =
+    KMediansOracle.kMediansSql(p, inRel, k, d, iters)
 
   /** The full q79 oracle. */
   def sql: String = {

@@ -328,4 +328,55 @@ class SimilaritySpec extends SparkSpec {
       .agg(max($"d")).head.getDouble(0)
     assert(drift < 0.01, s"int8 cosine drift $drift should be < 1%")
   }
+
+  test("semDedupPairs with one cell ≡ the O(n²) nearDupPairs twin") {
+    // nCells = 1 removes the cluster restriction, so the bucketed
+    // operator must reproduce the brute-force pair set AND the exact
+    // cosines (same double fold on both paths)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 200)
+    val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.3)
+      .select($"id_a", $"id_b", round($"cos", 9).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    val sem = Similarity.semDedupPairs(e, "vec_id", "embedding",
+      tau = 0.3, nCells = 1)
+      .select($"id_a", $"id_b", round($"cos", 9).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sem == brute,
+      s"missing ${brute -- sem}, extra ${sem -- brute}")
+  }
+
+  test("semDedup keep set is EXACTLY the non-dominated rows") {
+    // characterization: a row survives iff NO τ-neighbor in its cell
+    // outranks it under (cdist DESC, id ASC). τ > 1 yields no pairs, so
+    // that run exposes the full deterministic assignment (id → cdist);
+    // the real run's keep set must match the rule recomputed from the
+    // pair list + those cdists.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cdist = Similarity.semDedup(e, "vec_id", "embedding",
+      tau = 2.0, nCells = 4).select("vec_id", "cdist")
+      .as[(Long, Double)].collect().toMap
+    assert(cdist.size == e.count(), "τ>1 must keep everything")
+    val pairs = Similarity.semDedupPairs(e, "vec_id", "embedding",
+      tau = 0.35, nCells = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    def outranks(x: Long, y: Long): Boolean =
+      cdist(x) > cdist(y) || (cdist(x) == cdist(y) && x < y)
+    val dominated = pairs.flatMap { case (a, b) =>
+      Seq(if (outranks(a, b)) b else a) }.toSet
+    val expectKept = cdist.keySet -- dominated
+    val kept = Similarity.semDedup(e, "vec_id", "embedding",
+      tau = 0.35, nCells = 4).select("vec_id")
+      .as[Long].collect().toSet
+    assert(kept == expectKept,
+      s"missing ${expectKept -- kept}, extra ${kept -- expectKept}")
+    assert(kept.size < cdist.size, "fixture must actually drop some rows")
+  }
+
+  test("semDedup rejects a colliding id column name") {
+    val df = Seq((0L, Array(1f, 0f))).toDF("cell", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(df, "cell", "embedding", 0.9, 2)
+    }
+  }
 }

@@ -105,4 +105,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("topNgrams: exact corpus counts, deterministic tie cut, top-k plan") {
+    // "a b" ×3 (one doc contributes two), "b a" ×3, "a x"/"c d" ×1
+    // each; k = 3 cuts inside the cnt=1 tie group → lexicographic
+    // keeps "a x" and drops "c d"
+    val docs = Seq("a b a b", "a b", "b a x", "b a", "c d").toDF("text")
+    val got = TextAnalysis.topNgrams(docs, "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toList
+    assert(got == List(("a b", 3L), ("b a", 3L), ("a x", 1L)))
+    // the global cut must plan as TakeOrderedAndProject (per-partition
+    // top-k), never a full sort of the distinct-gram frame
+    val plan = TextAnalysis.topNgrams(docs, "text", 2, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
