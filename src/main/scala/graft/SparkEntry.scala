@@ -668,6 +668,26 @@ object SparkEntry {
     "q81_top_ngrams" -> ((s, dir) => {
       TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 20)
     }),
+    // ---- DSIR importance-resampling scores (Xie et al. 2023): hashed
+    //      uni+bigram bucket LMs, target (lang='en') vs raw, add-one
+    //      smoothing, per-doc decimal sum of 6-dp log-ratios — the
+    //      oracle replays the md5 bucket arithmetic and the exact
+    //      parenthesization of the smoothing formula ----
+    "q82_dsir_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.dsirScores(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text", buckets = 1024)
+        .orderBy("doc_id")
+    }),
+    // ---- Gopher quality-filter battery (Rae et al. 2021 App. A):
+    //      one per-row expression pass, exact int arithmetic + int/int
+    //      divisions only, so `keep` replays with no float-boundary
+    //      risk ----
+    "q83_gopher_quality" -> ((s, dir) => {
+      TextAnalysis.gopherQualityFlags(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // ---- unigram surprisal (perplexity-proxy quality filter):
     //      corpus-estimated −mean ln p(token) per doc; decimal sums
     //      make the mean aggregation-order-free ----
@@ -1073,6 +1093,37 @@ losers AS (SELECT DISTINCT CASE WHEN cda >= cdb THEN id_b ELSE id_a END
 SELECT w.vec_id, w.cell, round(w.cdist, 6) AS cdist FROM w
 WHERE w.vec_id NOT IN (SELECT vec_id FROM losers)
 ORDER BY w.vec_id"""
+  }
+
+  /** q82: the DSIR composition — see the oracleSql entry's comment. */
+  private def dsirOracle: String = {
+    val bigrams = """CASE WHEN len(tk) >= 2
+  THEN list_transform(range(0, len(tk) - 1), i -> array_to_string(tk[i+1:i+2], ' '))
+  ELSE [] END"""
+    val bucket =
+      "CAST(('0x' || substr(md5(ng), 1, 12)) AS BIGINT) % 1024"
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+f AS (SELECT doc_id, unnest(list_concat(tk, $bigrams)) AS ng FROM toks),
+dc AS (SELECT doc_id, $bucket AS bucket, count(*) AS c
+  FROM f GROUP BY 1, 2),
+rf AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM dc GROUP BY bucket),
+ttoks AS (SELECT $tokensSql AS tk FROM documents WHERE lang = 'en'),
+tfe AS (SELECT unnest(list_concat(tk, $bigrams)) AS ng FROM ttoks),
+tf AS (SELECT $bucket AS bucket, CAST(count(*) AS BIGINT) AS ct
+  FROM tfe GROUP BY 1),
+tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rf) AS nr,
+               (SELECT CAST(sum(ct) AS BIGINT) FROM tf) AS nt),
+lr AS (SELECT bucket,
+  round(ln((coalesce(ct, 0) + 1.0) / CAST(nt + 1024 AS DOUBLE))
+      - ln((cr + 1.0) / CAST(nr + 1024 AS DOUBLE)), 6) AS lr
+  FROM rf LEFT JOIN tf USING (bucket) CROSS JOIN tot),
+pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+  round(CAST(sum(CAST(c AS DECIMAL(12,0)) * CAST(lr AS DECIMAL(18,6)))
+    AS DOUBLE), 6) AS dsir_score
+  FROM dc JOIN lr USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.n_feats, 0) AS n_feats,
+  coalesce(pd.dsir_score, 0.0) AS dsir_score
+FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""
   }
 
   /** q27: the SRP-LSH near-dup composition replayed end to end —
@@ -1664,6 +1715,52 @@ g AS (SELECT unnest(CASE WHEN len(tk) >= 2
   ELSE [] END) AS ngram FROM toks),
 c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY ngram)
 SELECT ngram, cnt FROM c ORDER BY cnt DESC, ngram LIMIT 20""",
+    // q82: DSIR replayed end to end — same tokenizer, same uni+bigram
+    // features, the engine's 48-bit md5 bucket hash mod 1024, add-one
+    // smoothing with IDENTICAL parenthesization (numerator double +1.0,
+    // denominator CAST(n + B AS DOUBLE)), 6-dp rounded log-ratios, and
+    // the per-doc DECIMAL(12,0)×DECIMAL(18,6) sum-of-products
+    "q82_dsir_score" -> dsirOracle,
+    // q83: every Gopher rule replayed with the same integer counts and
+    // int/int divisions; LIKE patterns mirror startsWith/endsWith on
+    // the trimmed line, `//` mirrors the engine's exact /3 on the
+    // non-overlapping '...' replace-count
+    "q83_gopher_quality" ->
+      s"""WITH b AS (SELECT doc_id, text, $tokensSql AS tk,
+  string_split(text, chr(10)) AS ln FROM documents),
+m AS (SELECT doc_id,
+  CAST(len(tk) AS BIGINT) AS n_words,
+  CASE WHEN len(tk) > 0 THEN
+    CAST(length(array_to_string(tk, '')) AS DOUBLE) / len(tk)
+    ELSE 0.0 END AS mwl,
+  (length(text) - length(replace(text, '#', ''))) +
+    (length(text) - length(replace(text, '...', ''))) // 3 AS nsym,
+  CAST(len(list_filter(ln, l -> ltrim(l) LIKE '•%' OR
+    ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS DOUBLE) / len(ln)
+    AS bull,
+  CAST(len(list_filter(ln, l -> rtrim(l) LIKE '%...' OR
+    rtrim(l) LIKE '%…')) AS DOUBLE) / len(ln) AS ell,
+  CASE WHEN len(tk) > 0 THEN
+    CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+      AS DOUBLE) / len(tk) ELSE 0.0 END AS alpha,
+  CAST(len(list_filter(tk,
+    t -> t IN ('the','be','to','of','and','that','have','with')))
+    AS BIGINT) AS n_stop
+  FROM b),
+s AS (SELECT doc_id, n_words, mwl,
+  CASE WHEN n_words > 0 THEN CAST(nsym AS DOUBLE) / n_words
+    ELSE 0.0 END AS sym, bull, ell, alpha, n_stop FROM m)
+SELECT doc_id, n_words,
+  round(mwl, 6) AS mean_word_len,
+  round(sym, 6) AS symbol_ratio,
+  round(bull, 6) AS bullet_frac,
+  round(ell, 6) AS ellipsis_frac,
+  round(alpha, 6) AS alpha_frac,
+  n_stop,
+  (n_words BETWEEN 50 AND 100000 AND mwl >= 3.0 AND mwl <= 10.0
+   AND sym <= 0.1 AND bull <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
+   AND n_stop >= 2) AS keep
+FROM s ORDER BY doc_id""",
     // q78: the partitioned scratch copy is content-identical to
     // lineitem, so the oracle replays the SAME cascade over the
     // original table — partition-column typing must round-trip to the

@@ -385,6 +385,70 @@ object Curation {
     * @param n         shingle width in tokens (13 is the common
     *                  contamination window; the sandbox fixtures use
     *                  smaller docs, so tests pass 5) */
+  /** DSIR importance-resampling scores (Xie et al. 2023,
+    * arXiv:2302.03169): rank raw documents by how much more likely a
+    * TARGET corpus's bag-of-hashed-ngrams model makes them than the
+    * raw corpus's own — the data-selection signal behind
+    * importance-resampled pretraining mixes. Features are unigrams +
+    * bigrams hashed into `buckets` cells (48-bit md5, the engine's
+    * cross-engine hash domain); each side's cell distribution is
+    * add-one smoothed over the bucket space, and a document scores
+    * Σ_cells count · [ln λ_target(cell) − ln λ_raw(cell)].
+    *
+    * Shape at scale: per-doc features compress to (doc, bucket, count)
+    * before any shuffle (distinct-bucket-sized, not occurrence-sized);
+    * raw cell counts derive from that SAME frame (no second corpus
+    * tokenize); the two model frames are ≤`buckets` rows, so the
+    * log-ratio table is broadcast — the corpus shuffles once, keyed by
+    * document, for the final per-doc aggregate.
+    *
+    * Determinism: per-cell log-ratios round to 6 dp and the per-doc
+    * sum-of-products runs in DECIMAL (count ≤ 10¹² per cell × 18,6
+    * ratio = exact 31,6 products), so the score is independent of
+    * aggregation order and replayable by the q82 oracle. Zero-token
+    * docs surface as (0, 0.0), never silently vanish. Returns
+    * (idCol, n_feats, dsir_score); select with
+    * `.orderBy(desc("dsir_score"), col(idCol)).limit(n)` (plans as
+    * TakeOrderedAndProject) or a rate cut. */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, targetTextCol: String,
+                 buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    def feats(d: DataFrame, tc: String, keep: Seq[Column]): DataFrame =
+      d.select(keep :+ TextAnalysis.tokens(col(tc)).as("_toks"): _*)
+        .select(keep :+ explode(concat(col("_toks"),
+          Dedup.shingleArray(col("_toks"), 2))).as("_ng"): _*)
+        .withColumn("bucket", hashBucket48(col("_ng")) % buckets)
+    val docFeats = feats(df, textCol, Seq(col(idCol)))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+    val rawCnt = docFeats.groupBy("bucket").agg(sum("c").as("cr"))
+    val tgtCnt = feats(target, targetTextCol, Seq.empty)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = broadcast(
+      rawCnt.agg(sum("cr").as("nr"))
+        .crossJoin(tgtCnt.agg(sum("ct").as("nt"))))
+    // add-one smoothing over the bucket space; identical
+    // parenthesization to the oracle so the doubles match exactly
+    val logRatio = rawCnt.join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(col("bucket"), round(
+        log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
+          (col("nt") + lit(buckets)).cast("double")) -
+          log((col("cr").cast("double") + 1.0) /
+            (col("nr") + lit(buckets)).cast("double")), 6).as("lr"))
+    val perDoc = docFeats
+      .join(broadcast(logRatio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_feats"),
+        round(sum(col("c").cast("decimal(12,0)") *
+          col("lr").cast("decimal(18,6)")).cast("double"), 6)
+          .as("dsir_score"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
+  }
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 13): DataFrame = {
     val benchShingles = Dedup.shingleSets(benchmark, idCol, textCol, n)

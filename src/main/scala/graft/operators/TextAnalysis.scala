@@ -113,6 +113,74 @@ object TextAnalysis {
           col("n_ngrams").cast("double"), lit(0.0)).as("top_ngram_frac"))
   }
 
+  /** Gopher's required English function words (Rae et al. 2021,
+    * App. A): a document must contain at least two to pass the filter. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-filter rule set (Rae et al. 2021, App. A) as
+    * one per-row expression pass — zero shuffles, fully codegen'd, the
+    * document-level heuristic battery production corpora run before
+    * any model-based scoring:
+    *   - word count ∈ [50, 100 000];
+    *   - mean word length ∈ [3, 10] characters;
+    *   - symbol-to-word ratio (# and … occurrences / words) ≤ 0.1;
+    *   - ≤ 90 % of lines start with a bullet (•, -, *);
+    *   - ≤ 30 % of lines end with an ellipsis (... or …);
+    *   - ≥ 80 % of words contain an alphabetic character;
+    *   - ≥ 2 occurrences of [[gopherStopwords]].
+    * All metrics are exact integer arithmetic or int/int divisions —
+    * bit-identical across engines — so `keep` (the AND of all rules)
+    * replays with no float-boundary risk; reported doubles round to
+    * 6 dp for display. Returns (idCol, n_words, mean_word_len,
+    * symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, n_stop,
+    * keep). */
+  def gopherQualityFlags(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val out = df
+      .select(col(idCol), col(textCol).as("_t"))
+      .withColumn("_toks", tokens(col("_t")))
+      .withColumn("_lines", split(col("_t"), "\n"))
+      .withColumn("n_words", size(col("_toks")).cast("long"))
+      .withColumn("_mwl", when(col("n_words") > 0,
+        length(concat_ws("", col("_toks"))).cast("double") / col("n_words"))
+        .otherwise(lit(0.0)))
+      .withColumn("_nsym",
+        (length(col("_t")) - length(replace(col("_t"), lit("#"), lit("")))) +
+          ((length(col("_t")) -
+            length(replace(col("_t"), lit("..."), lit("")))) / lit(3))
+            .cast("long"))
+      .withColumn("_sym", when(col("n_words") > 0,
+        col("_nsym").cast("double") / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("_bull",
+        size(filter(col("_lines"), l => ltrim(l).startsWith("•") ||
+          ltrim(l).startsWith("-") || ltrim(l).startsWith("*")))
+          .cast("double") / size(col("_lines")))
+      .withColumn("_ell",
+        size(filter(col("_lines"), l => rtrim(l).endsWith("...") ||
+          rtrim(l).endsWith("…")))
+          .cast("double") / size(col("_lines")))
+      .withColumn("_alpha", when(col("n_words") > 0,
+        size(filter(col("_toks"), t => t.rlike("[A-Za-z]")))
+          .cast("double") / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("n_stop",
+        size(filter(col("_toks"),
+          t => t.isInCollection(gopherStopwords))).cast("long"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("_mwl") >= 3.0 && col("_mwl") <= 10.0 &&
+          col("_sym") <= 0.1 && col("_bull") <= 0.9 &&
+          col("_ell") <= 0.3 && col("_alpha") >= 0.8 &&
+          col("n_stop") >= 2L)
+    out.select(col(idCol), col("n_words"),
+      round(col("_mwl"), 6).as("mean_word_len"),
+      round(col("_sym"), 6).as("symbol_ratio"),
+      round(col("_bull"), 6).as("bullet_frac"),
+      round(col("_ell"), 6).as("ellipsis_frac"),
+      round(col("_alpha"), 6).as("alpha_frac"),
+      col("n_stop"), col("keep"))
+  }
+
   /** Corpus-level top-k n-grams: tokenize + slide n-grams per row (one
     * map-side pass, no per-document state), ONE hash aggregate keyed by
     * ngram (map-side partial counts make the shuffle distinct-gram-

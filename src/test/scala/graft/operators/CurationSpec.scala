@@ -382,4 +382,28 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
       s"expected semi + anti joins in:\n$plan")
   }
+
+  test("dsirScores: target-like docs outrank junk; empty docs surface as zero") {
+    // target distribution is "the quick brown fox"-ish text; doc 1
+    // reuses its n-grams, doc 2 shares none, doc 3 is empty. With
+    // add-one smoothing the target-side probability of doc 1's buckets
+    // dominates, so its log-ratio sum must exceed doc 2's (whose
+    // target counts are all zero).
+    val target = Seq("the quick brown fox", "the quick red fox",
+      "quick brown dogs").toDF("text")
+    val raw = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "zyx wvu tsr qpo"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = Curation.dsirScores(raw, "doc_id", "text", target, "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    // "the quick brown fox": 4 unigrams + 3 bigrams
+    assert(byId(1L)._1 == 7L)
+    assert(byId(2L)._1 == 7L)
+    assert(byId(3L) == ((0L, 0.0)), "empty doc must surface as (0, 0.0)")
+    assert(byId(1L)._2 > byId(2L)._2,
+      s"target-like doc must outscore junk: $byId")
+  }
 }

@@ -106,6 +106,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("gopherQualityFlags: each rule trips on its crafted document") {
+    val good = ("the quick brown fox jumps over lazy dogs with vigor and " * 6).trim
+    val docs = Seq(
+      (1L, good),                                   // 66 words, clean
+      (2L, ("1 23 456 " * 20).trim),                // digits: alpha 0
+      (3L, good + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),
+      (4L, "one...\ntwo...\nthree"),                // ellipsis lines + symbols
+      (5L, "")                                      // empty
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val g = m(1L)
+    assert(g._2 == 66L && g._7 == 1.0 && g._8 >= 2L && g._9,
+      s"clean doc must pass every rule: $g")
+    assert(m(2L)._7 == 0.0 && !m(2L)._9, "all-digit doc fails alpha rule")
+    assert(m(3L)._5 > 0.9 && !m(3L)._9,
+      s"10 of 11 bullet lines must trip the bullet rule: ${m(3L)}")
+    assert(math.abs(m(4L)._6 - 2.0 / 3) < 1e-6 && m(4L)._4 > 0.1 &&
+      !m(4L)._9, s"ellipsis lines + symbol ratio must trip: ${m(4L)}")
+    assert(m(5L) == ((5L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0L, false)),
+      s"empty doc must surface as zeros: ${m(5L)}")
+  }
+
   test("topNgrams: exact corpus counts, deterministic tie cut, top-k plan") {
     // "a b" ×3 (one doc contributes two), "b a" ×3, "a x"/"c d" ×1
     // each; k = 3 cuts inside the cnt=1 tie group → lexicographic
