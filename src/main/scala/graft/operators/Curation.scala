@@ -395,25 +395,32 @@ object Curation {
     * add-one smoothed over the bucket space, and a document scores
     * Σ_cells count · [ln λ_target(cell) − ln λ_raw(cell)].
     *
-    * Shape at scale: per-doc features compress to (doc, bucket, count)
-    * before any shuffle (distinct-bucket-sized, not occurrence-sized);
-    * raw cell counts derive from that SAME frame (no second corpus
-    * tokenize); the two model frames are ≤`buckets` rows, so the
-    * log-ratio table is broadcast — the corpus shuffles once, keyed by
-    * document, for the final per-doc aggregate.
+    * Shape at scale: the MODEL is ≤`buckets` rows per side, so it
+    * trains eagerly with two bounded driver collects (raw cell counts,
+    * target cell counts — the ivfPqTopK trained-state pattern) and
+    * ships back as a broadcast literal table; the returned frame then
+    * costs exactly two lazy corpus scans — the scoring pass (features
+    * compressed to (doc, bucket, count) before the document-keyed
+    * shuffle) and the single-column id restore. Without the eager
+    * model, the lazy plan re-derived the feature frame once per
+    * consumer (six scans, measured).
     *
-    * Determinism: per-cell log-ratios round to 6 dp and the per-doc
-    * sum-of-products runs in DECIMAL (count ≤ 10¹² per cell × 18,6
-    * ratio = exact 31,6 products), so the score is independent of
-    * aggregation order and replayable by the q82 oracle. Zero-token
-    * docs surface as (0, 0.0), never silently vanish. Returns
+    * Determinism: per-cell log-ratios round to 6 dp (driver
+    * `Math.log`/HALF_UP ≡ the executor `log`/`round` they replace —
+    * the samplerRates invariant) and the per-doc sum-of-products runs
+    * in DECIMAL (count ≤ 10¹² per cell × 18,6 ratio = exact 31,6
+    * products), so the score is independent of aggregation order and
+    * replayable by the q82 oracle. Zero-token docs surface as
+    * (0, 0.0), never silently vanish. Returns
     * (idCol, n_feats, dsir_score); select with
     * `.orderBy(desc("dsir_score"), col(idCol)).limit(n)` (plans as
     * TakeOrderedAndProject) or a rate cut. */
   def dsirScores(df: DataFrame, idCol: String, textCol: String,
                  target: DataFrame, targetTextCol: String,
                  buckets: Int = 1024): DataFrame = {
-    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets ($buckets) must be in [1, 2^20]: the trained model is " +
+        "collected to the driver, one row per occupied bucket")
     def feats(d: DataFrame, tc: String, keep: Seq[Column]): DataFrame =
       d.select(keep :+ TextAnalysis.tokens(col(tc)).as("_toks"): _*)
         .select(keep :+ explode(concat(col("_toks"),
@@ -421,23 +428,37 @@ object Curation {
         .withColumn("bucket", hashBucket48(col("_ng")) % buckets)
     val docFeats = feats(df, textCol, Seq(col(idCol)))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
-    val rawCnt = docFeats.groupBy("bucket").agg(sum("c").as("cr"))
-    val tgtCnt = feats(target, targetTextCol, Seq.empty)
-      .groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val totals = broadcast(
-      rawCnt.agg(sum("cr").as("nr"))
-        .crossJoin(tgtCnt.agg(sum("ct").as("nt"))))
-    // add-one smoothing over the bucket space; identical
-    // parenthesization to the oracle so the doubles match exactly
-    val logRatio = rawCnt.join(tgtCnt, Seq("bucket"), "left")
-      .crossJoin(totals)
-      .select(col("bucket"), round(
-        log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
-          (col("nt") + lit(buckets)).cast("double")) -
-          log((col("cr").cast("double") + 1.0) /
-            (col("nr") + lit(buckets)).cast("double")), 6).as("lr"))
+    // ---- eager model training: two ≤buckets-row collects ----
+    val rawRows = docFeats.groupBy("bucket")
+      .agg(sum("c").as("cr")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tgtMap = feats(target, targetTextCol, Seq.empty)
+      .groupBy("bucket").agg(count(lit(1)).as("ct")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nr = rawRows.map(_._2).sum
+    val nt = tgtMap.valuesIterator.sum
+    // add-one smoothing; same IEEE ops and HALF_UP 6-dp rounding as the
+    // executor-side round(log(...)) these literals replace
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val lrRows = rawRows.map { case (b, cr) =>
+      val ct = tgtMap.getOrElse(b, 0L)
+      org.apache.spark.sql.Row(b, round6(
+        math.log((ct + 1.0) / (nt + buckets).toDouble) -
+          math.log((cr + 1.0) / (nr + buckets).toDouble)))
+    }
+    val s = df.sparkSession
+    val lrDf = s.createDataFrame(
+      s.sparkContext.parallelize(lrRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lr",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    // ---- lazy scoring pass against the broadcast literal model ----
     val perDoc = docFeats
-      .join(broadcast(logRatio), Seq("bucket"))
+      .join(broadcast(lrDf), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum("c").as("n_feats"),
         round(sum(col("c").cast("decimal(12,0)") *
