@@ -688,6 +688,31 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // ---- benchmark-contamination REPORT (the q46 split, measured
+    //      instead of dropped): distinct 5-gram surface vs the
+    //      benchmark slice, one left-join + doc-keyed aggregate ----
+    "q84_contamination_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.contaminationReport(
+        d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+    // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal
+    //      punctuation / ≥5 words / no "javascript" per line, doc-level
+    //      lorem-ipsum + brace + ≥3-kept-lines rules; exact string
+    //      predicates, rewritten text hash-compared verbatim ----
+    "q85_c4_line_filter" -> ((s, dir) => {
+      // the synthetic corpus is single-line and unpunctuated, which
+      // would make every line rule trivially false; derive a
+      // deterministic multi-line punctuated view (" table " → ".\n" —
+      // the same non-overlapping leftmost replace in both engines) so
+      // the gate exercises real line survival and rejoin
+      val d = t(s, dir, "documents").withColumn("text",
+        replace(col("text"), lit(" table "), lit(".\n")))
+      TextAnalysis.c4LineFilter(d, "doc_id", "text").orderBy("doc_id")
+    }),
     // ---- unigram surprisal (perplexity-proxy quality filter):
     //      corpus-estimated −mean ln p(token) per doc; decimal sums
     //      make the mean aggregation-order-free ----
@@ -1761,6 +1786,48 @@ SELECT doc_id, n_words,
    AND sym <= 0.1 AND bull <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
    AND n_stop >= 2) AS keep
 FROM s ORDER BY doc_id""",
+    // q84: the q46 shingle CTEs with the drop replaced by a
+    // count/count(hit) report; frac is the same double division the
+    // engine runs, rounded 6 dp on both sides
+    "q84_contamination_report" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 5
+  THEN list_transform(range(0, len(tk) - 4), i -> array_to_string(tk[i+1:i+5], ' '))
+  ELSE [] END) AS shingle FROM toks),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+pd AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(count(b.shingle) AS BIGINT) AS n_contaminated
+  FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id)
+SELECT d.doc_id, coalesce(pd.n_shingles, 0) AS n_shingles,
+  coalesce(pd.n_contaminated, 0) AS n_contaminated,
+  round(coalesce(CAST(pd.n_contaminated AS DOUBLE) / pd.n_shingles,
+    0.0), 6) AS contamination_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
+    // q85: every C4 rule replayed with the same exact string tests;
+    // LIKE mirrors endsWith on the rtrimmed line, the shared tokenizer
+    // mirrors the ≥5-words test, array_to_string(chr(10)) mirrors the
+    // \n rejoin
+    "q85_c4_line_filter" ->
+      s"""WITH src AS (SELECT doc_id,
+  replace(text, ' table ', '.' || chr(10)) AS text FROM documents),
+b AS (SELECT doc_id, text,
+  string_split(text, chr(10)) AS ln FROM src),
+k AS (SELECT doc_id, text, len(ln) AS n_lines,
+  list_filter(ln, l ->
+    (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!' OR rtrim(l) LIKE '%?'
+     OR rtrim(l) LIKE '%"')
+    AND len(list_filter(string_split_regex(lower(l), '\\s+'),
+      t -> len(t) > 0)) >= 5
+    AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM b)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+   AND len(kept) >= 3) AS keep,
+  coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text
+FROM k ORDER BY doc_id""",
     // q78: the partitioned scratch copy is content-identical to
     // lineitem, so the oracle replays the SAME cascade over the
     // original table — partition-column typing must round-trip to the

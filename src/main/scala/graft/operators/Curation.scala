@@ -470,6 +470,36 @@ object Curation {
         coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
   }
 
+  /** Per-document benchmark-contamination report — the measurement twin
+    * of [[decontaminate]]: instead of dropping matching documents,
+    * report how much of each document's distinct n-gram surface appears
+    * in the benchmark (the audit artifact eval-integrity reviews ask
+    * for). One aggregate: distinct doc shingles left-join the distinct
+    * benchmark shingle set (benchmark-sized — broadcast when small)
+    * with a hit marker, then a doc-keyed count/count(hit) — cost tracks
+    * the corpus shingle surface, never pairs. Zero-shingle docs surface
+    * as (0, 0, 0.0). Returns (idCol, n_shingles, n_contaminated,
+    * contamination_frac); `decontaminate` ≡ keeping
+    * n_contaminated = 0. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 13): DataFrame = {
+    val benchShingles = Dedup.shingleSets(benchmark, idCol, textCol, n)
+      .select("shingle").distinct().withColumn("_hit", lit(1))
+    val perDoc = Dedup.shingleSets(corpus, idCol, textCol, n)
+      .join(benchShingles, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("_hit")).as("n_contaminated"))
+    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double"), lit(0.0)), 6)
+          .as("contamination_frac"))
+  }
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 13): DataFrame = {
     val benchShingles = Dedup.shingleSets(benchmark, idCol, textCol, n)

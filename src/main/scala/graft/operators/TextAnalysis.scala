@@ -181,6 +181,41 @@ object TextAnalysis {
       col("n_stop"), col("keep"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the rule
+    * set that REWRITES documents rather than flagging them (the
+    * complement of [[gopherQualityFlags]]): a line survives iff it ends
+    * in terminal punctuation (. ! ? "), has ≥ 5 words, and does not
+    * mention "javascript"; the document survives iff it contains
+    * neither "lorem ipsum" nor "{" and retains ≥ 3 lines (the paper's
+    * ≥-3-sentences page rule, applied to retained lines — the
+    * deterministic, tokenizer-free proxy). One per-row expression pass
+    * (split → filter → rejoin), fully codegen'd, no shuffle; all
+    * predicates are exact string tests, so `keep` and `cleaned_text`
+    * replay with no float risk. Returns (idCol, n_lines, n_kept, keep,
+    * cleaned_text) — cleaned_text joins the surviving lines with \n
+    * regardless of `keep`, letting callers audit what the filter would
+    * leave. */
+  def c4LineFilter(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    def lineOk(l: Column): Column = {
+      val r = rtrim(l)
+      (r.endsWith(".") || r.endsWith("!") || r.endsWith("?") ||
+        r.endsWith("\"")) &&
+        size(tokens(l)) >= 5 &&
+        !lower(l).contains("javascript")
+    }
+    df.select(col(idCol), col(textCol).as("_t"))
+      .withColumn("_lines", split(col("_t"), "\n"))
+      .withColumn("_kept", filter(col("_lines"), lineOk _))
+      .select(col(idCol),
+        size(col("_lines")).cast("long").as("n_lines"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        (!lower(col("_t")).contains("lorem ipsum") &&
+          !col("_t").contains("{") &&
+          size(col("_kept")) >= 3).as("keep"),
+        array_join(col("_kept"), "\n").as("cleaned_text"))
+  }
+
   /** Corpus-level top-k n-grams: tokenize + slide n-grams per row (one
     * map-side pass, no per-document state), ONE hash aggregate keyed by
     * ngram (map-side partial counts make the shuffle distinct-gram-

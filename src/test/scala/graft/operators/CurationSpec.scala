@@ -383,6 +383,34 @@ class CurationSpec extends SparkSpec {
       s"expected semi + anti joins in:\n$plan")
   }
 
+  test("contaminationReport: exact overlap counts; clean set ≡ decontaminate") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),        // fully contaminated (1 5-gram? no: 4 tokens, n=3 → 2 shingles, both in bench)
+      (2L, "alpha beta gamma epsilon zeta"), // partial overlap
+      (3L, "one two three four five"),       // clean
+      (4L, "x")                              // too short: zero shingles
+    ).toDF("doc_id", "text")
+    val got = Curation.contaminationReport(corpus, bench, "doc_id", "text",
+      n = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toList
+    // n=3 shingles: doc1 {abc, bcd} both in bench → frac 1.0;
+    // doc2 {abc, bc-eps, c-eps-zeta} → 1 of 3; doc3 none; doc4 empty
+    assert(got == List(
+      (1L, 2L, 2L, 1.0), (2L, 3L, 1L, round(1.0 / 3, 6)),
+      (3L, 3L, 0L, 0.0), (4L, 0L, 0L, 0.0)),
+      s"unexpected report: $got")
+    val clean = got.filter(_._3 == 0).map(_._1).toSet
+    val dec = Curation.decontaminate(corpus, bench, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == dec,
+      "n_contaminated = 0 must coincide with decontaminate's keep set")
+  }
+
+  private def round(x: Double, dp: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+
   test("dsirScores: target-like docs outrank junk; empty docs surface as zero") {
     // target distribution is "the quick brown fox"-ish text; doc 1
     // reuses its n-grams, doc 2 shares none, doc 3 is empty. With

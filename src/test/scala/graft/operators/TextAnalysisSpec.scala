@@ -130,6 +130,30 @@ class TextAnalysisSpec extends SparkSpec {
       s"empty doc must surface as zeros: ${m(5L)}")
   }
 
+  test("c4LineFilter: each line and doc rule trips; cleaned text rejoins exactly") {
+    val okLine1 = "this line has enough words here."
+    val okLine2 = "does this line also have enough words?"
+    val okLine3 = "an exclamation with five words total!"
+    val docs = Seq(
+      (1L, s"$okLine1\n$okLine2\n$okLine3\nno terminal punctuation here\nshort one."),
+      (2L, s"$okLine1\nthe javascript line has many words indeed.\n$okLine2"),
+      (3L, s"$okLine1\n$okLine2\n$okLine3\nsome lorem ipsum filler text."),
+      (4L, s"$okLine1\n$okLine2\n$okLine3\ncode block starts with a brace {.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineFilter(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean, String)].collect().toList
+    // doc1: 5 lines, 3 survive (no-punct and <5-words drop) → keep
+    assert(got(0) == ((1L, 5L, 3L, true,
+      s"$okLine1\n$okLine2\n$okLine3")), s"doc1: ${got(0)}")
+    // doc2: javascript line dropped → only 2 kept → keep = false
+    assert(got(1)._3 == 2L && !got(1)._4, s"doc2: ${got(1)}")
+    // doc3: 4 lines survive but "lorem ipsum" kills the doc
+    assert(got(2)._3 == 4L && !got(2)._4, s"doc3: ${got(2)}")
+    // doc4: the brace kills the doc even with enough kept lines
+    assert(got(3)._3 == 4L && !got(3)._4, s"doc4: ${got(3)}")
+  }
+
   test("topNgrams: exact corpus counts, deterministic tie cut, top-k plan") {
     // "a b" ×3 (one doc contributes two), "b a" ×3, "a x"/"c d" ×1
     // each; k = 3 cuts inside the cnt=1 tie group → lexicographic
