@@ -50,6 +50,33 @@ class PlanShapeSpec extends SparkSpec {
       s"window partitioning must include the time-slice salt:\n$plan")
   }
 
+  test("q82 dsir: the lazy plan reads the corpus exactly twice, model broadcast") {
+    // the eager-trained model exists so the returned frame costs the
+    // scoring pass + the single-column restore and nothing else; a
+    // regression to the lazy model re-derives the feature frame per
+    // consumer (six scans, measured before the fix)
+    val plan = finalPlan(q("q82_dsir_score"))
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 2, s"expected exactly 2 corpus scans, found $scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤buckets-row model table must broadcast:\n$plan")
+  }
+
+  test("q80 semdedup: intra-cell pairing is an equi-join, never a product") {
+    val plan = finalPlan(q("q80_semdedup"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"SemDeDup's cell join must be an equi-join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"the keep rule must plan as an anti-join:\n$plan")
+  }
+
+  test("q81 corpus n-grams: the top-k cut is TakeOrdered, never a global sort") {
+    val plan = finalPlan(q("q81_top_ngrams"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the k-row cut must plan per-partition top-k:\n$plan")
+  }
+
   test("q76 budget selection never funnels into a single partition") {
     // the whole point of the bucketed prefix sum is avoiding the global
     // one-task window; the executed plan's only exchanges must be
