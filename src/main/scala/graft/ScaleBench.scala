@@ -24,7 +24,8 @@ object ScaleBench {
   private val heavy = Seq(
     "q60_jaccard_complete", "q55_simhash_neardup", "q54_keep_best_doc",
     "q49_neardup_clusters", "q19_jaccard_pairs", "q21_ann_ivf",
-    "q02_infer_lineitem", "q79_ann_ivfpq", "q76_select_budget")
+    "q02_infer_lineitem", "q79_ann_ivfpq", "q76_select_budget",
+    "q80_semdedup", "q82_dsir_score")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

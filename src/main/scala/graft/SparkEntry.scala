@@ -703,6 +703,15 @@ object SparkEntry {
     //      punctuation / ≥5 words / no "javascript" per line, doc-level
     //      lorem-ipsum + brace + ≥3-kept-lines rules; exact string
     //      predicates, rewritten text hash-compared verbatim ----
+    // ---- EXACT global quantiles at bounded memory: rank-element
+    //      selection over the distributed prefix sum (the q76
+    //      machinery) — the scale-safe exact complement to q36's
+    //      approx_percentile sketch; the oracle replays the identical
+    //      ceil(q·n) rank pick over the same (value, id) total order ----
+    "q86_exact_quantiles" -> ((s, dir) => {
+      graft.operators.Scale.exactQuantiles(t(s, dir, "events"),
+        "value", "event_id", Seq(0.5, 0.9, 0.99))
+    }),
     "q85_c4_line_filter" -> ((s, dir) => {
       // the synthetic corpus is single-line and unpunctuated, which
       // would make every line rule trivially false; derive a
@@ -1828,6 +1837,17 @@ SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
    AND len(kept) >= 3) AS keep,
   coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text
 FROM k ORDER BY doc_id""",
+    // q86: the discrete-quantile rank pick replayed literally — same
+    // (value, event_id) total order, same IEEE ceil(q·n) (q cast to
+    // DOUBLE so DuckDB's decimal literals don't change the product)
+    "q86_exact_quantiles" ->
+      """WITH r AS (SELECT value, row_number() OVER (ORDER BY value, event_id)
+    AS rank FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS n FROM events WHERE value IS NOT NULL),
+t AS (SELECT CAST(q AS DOUBLE) AS q,
+    greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT)) AS rank
+  FROM (VALUES (0.5), (0.9), (0.99)) v(q) CROSS JOIN n)
+SELECT t.q, t.rank, r.value FROM t JOIN r USING (rank) ORDER BY q""",
     // q78: the partitioned scratch copy is content-identical to
     // lineitem, so the oracle replays the SAME cascade over the
     // original table — partition-column typing must round-trip to the

@@ -257,11 +257,12 @@ object Curation {
     * validity checks ride the subtotal aggregate as `guards`
     * (predicate → error template with a %d slot): a guard hit raises
     * before anything is returned, and no dedicated guard scan exists. */
-  private def bucketedCumSum(df: DataFrame, bucketCol: String,
-                             descending: Boolean, orderCols: Seq[Column],
-                             tokenCol: String, cumName: String,
-                             slimCols: Seq[String],
-                             guards: Seq[(Column, String)]): DataFrame = {
+  private[operators] def bucketedCumSum(df: DataFrame, bucketCol: String,
+                                        descending: Boolean,
+                                        orderCols: Seq[Column],
+                                        tokenCol: String, cumName: String,
+                                        slimCols: Seq[String],
+                                        guards: Seq[(Column, String)]): DataFrame = {
     require(!df.columns.contains("_bkt") && !df.columns.contains(cumName),
       s"input must not already contain the reserved columns `_bkt`/" +
         s"`$cumName` — rename them before calling (they would be " +

@@ -103,4 +103,54 @@ object Scale {
       .drop("_zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** EXACT global quantiles with bounded memory — the scale-safe exact
+    * complement to the q36 `approx_percentile` sketch (whose
+    * imperative exact twin buffers every distinct value per group, the
+    * round-5 OOM finding). Semantics are rank-element selection: the
+    * q-th quantile is the value at 1-based rank ⌈q·n⌉ under the total
+    * order (valueCol ASC, idCol ASC), over the non-null values — the
+    * discrete (type-1) quantile definition, engine-portable because no
+    * interpolation ever manufactures a float.
+    *
+    * Shape: ranks come from [[Curation.bucketedCumSum]]'s distributed
+    * prefix sum (approxQuantile range buckets + per-bucket subtotals +
+    * within-bucket windows — never a single-partition stage, the q76
+    * machinery), with every row weighing 1 so the running sum IS the
+    * rank; the requested ranks then filter that frame and join the
+    * tiny (q, rank) table. Two corpus passes (count + ranked filter)
+    * plus bucketedCumSum's internal slim-cached passes.
+    *
+    * Returns (q, rank, value) sorted by q. */
+  def exactQuantiles(df: DataFrame, valueCol: String, idCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(x => x > 0.0 && x <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol), col(idCol))
+    val n = vals.count()
+    require(n > 0, "exactQuantiles needs at least one non-null value")
+    // ceil(q·n) in driver doubles — the oracle replays the identical
+    // IEEE product and ceil, so the selected rank matches exactly
+    val targets = qs.distinct.map(x =>
+      (x, math.max(1L, math.ceil(x * n).toLong)))
+    val s = df.sparkSession
+    val tDf = s.createDataFrame(
+      s.sparkContext.parallelize(targets.map { case (x, r) =>
+        org.apache.spark.sql.Row(x, r) }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("_rank",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val ranked = Curation.bucketedCumSum(vals.withColumn("_one", lit(1L)),
+      bucketCol = valueCol, descending = false,
+      orderCols = Seq(col(valueCol).asc, col(idCol).asc),
+      tokenCol = "_one", cumName = "_rank",
+      slimCols = Seq(valueCol, "_one"), guards = Seq.empty)
+    ranked.filter(col("_rank").isin(targets.map(_._2): _*))
+      .join(broadcast(tDf), Seq("_rank"))
+      .select(col("q"), col("_rank").as("rank"), col(valueCol))
+      .orderBy("q")
+  }
 }

@@ -128,4 +128,30 @@ class ScaleSpec extends SparkSpec {
     assert(zScanned <= 8192L,
       s"z-order box scan should touch only covering tiles: $zScanned")
   }
+
+  test("exactQuantiles equals the sorted rank pick; never a single-partition stage") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    // duplicates on purpose: the (value, id) total order must break ties
+    val rows = (1L to 997L).map(i => (i, (rng.nextInt(200) / 7.0)))
+    val df = rows.toDF("id", "v")
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 1.0)
+    val got = graft.operators.Scale.exactQuantiles(df, "v", "id", qs)
+      .select("q", "rank", "v").as[(Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val sorted = rows.map { case (i, v) => (v, i) }.sorted
+    for (x <- qs) {
+      val rk = math.max(1L, math.ceil(x * rows.size).toLong)
+      assert(got(x) == ((rk, sorted((rk - 1).toInt)._1)),
+        s"q=$x: got ${got(x)}, want rank $rk → ${sorted((rk - 1).toInt)._1}")
+    }
+    assert(got(1.0)._2 == sorted.last._1, "q=1 must be the maximum")
+    val plan = graft.operators.Scale.exactQuantiles(df, "v", "id", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"exact quantiles must never funnel into one partition:\n$plan")
+    intercept[IllegalArgumentException] {
+      graft.operators.Scale.exactQuantiles(df, "v", "id", Seq(1.5))
+    }
+  }
 }
