@@ -712,6 +712,14 @@ object SparkEntry {
       graft.operators.Scale.exactQuantiles(t(s, dir, "events"),
         "value", "event_id", Seq(0.5, 0.9, 0.99))
     }),
+    // ---- per-group EXACT quantiles — the q36 shape (percentiles per
+    //      event type) with exact rank-element answers and NO per-group
+    //      value buffering: broadcast-framed bounds/offsets/targets +
+    //      (group, bucket)-partitioned windows ----
+    "q87_exact_quantiles_by_group" -> ((s, dir) => {
+      graft.operators.Scale.exactQuantilesByGroup(t(s, dir, "events"),
+        "event_type", "value", "event_id", Seq(0.5, 0.9, 0.99))
+    }),
     "q85_c4_line_filter" -> ((s, dir) => {
       // the synthetic corpus is single-line and unpunctuated, which
       // would make every line rule trivially false; derive a
@@ -1848,6 +1856,19 @@ t AS (SELECT CAST(q AS DOUBLE) AS q,
     greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT)) AS rank
   FROM (VALUES (0.5), (0.9), (0.99)) v(q) CROSS JOIN n)
 SELECT t.q, t.rank, r.value FROM t JOIN r USING (rank) ORDER BY q""",
+    // q87: the same rank pick partitioned by group — ranks replayed by
+    // a per-group row_number over the identical (value, id) order
+    "q87_exact_quantiles_by_group" ->
+      """WITH v AS (SELECT event_type, value, event_id FROM events
+  WHERE value IS NOT NULL),
+r AS (SELECT event_type, value, row_number() OVER (
+    PARTITION BY event_type ORDER BY value, event_id) AS rank FROM v),
+n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+t AS (SELECT event_type, CAST(q AS DOUBLE) AS q,
+    greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT)) AS rank
+  FROM (VALUES (0.5), (0.9), (0.99)) v(q) CROSS JOIN n)
+SELECT t.event_type, t.q, t.rank, r.value FROM t
+JOIN r USING (event_type, rank) ORDER BY event_type, q""",
     // q78: the partitioned scratch copy is content-identical to
     // lineitem, so the oracle replays the SAME cascade over the
     // original table — partition-column typing must round-trip to the

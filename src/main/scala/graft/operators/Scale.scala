@@ -104,6 +104,112 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Per-group EXACT quantiles with bounded memory — [[exactQuantiles]]
+    * generalized to the q36 shape (percentiles per event type): the
+    * q-th quantile of group g is the value at rank ⌈q·n_g⌉ under the
+    * (valueCol ASC, idCol ASC) total order within g, over non-null
+    * values. NOTHING buffers a group: per-group ranks come from the
+    * same range-bucket + subtotal + within-(group, bucket)-window
+    * prefix sum as the global form, with the training artifacts —
+    * per-group bucket bounds (an `approx_percentile` sketch per group,
+    * splitters only: ranks stay exact whatever the sketch returns),
+    * per-(group, bucket) offsets, and per-group ⌈q·n_g⌉ targets —
+    * riding BROADCAST frames instead of literals, so group cardinality
+    * never inflates codegen. Training is three aggregates over a
+    * slim-cached (group, value, id) projection (the bucketedCumSum
+    * scan-economy pattern); the result is one lazy ranked pass.
+    * Driver-collected frames are #groups- and #groups×#buckets-sized —
+    * `maxGroups` rejects a key-like group column loudly. A null group
+    * is a group like any other (null-safe joins throughout). Returns
+    * (groupCol, q, rank, value) sorted by (groupCol, q). */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+                            valueCol: String, idCol: String,
+                            qs: Seq[Double],
+                            maxGroups: Int = 100000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(x => x > 0.0 && x <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    val s = df.sparkSession
+    import org.apache.spark.sql.types._
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"),
+        col(idCol).as("_i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBuckets = math.max(1, s.sparkContext.defaultParallelism)
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+      // pass 1: per-group counts → ⌈q·n_g⌉ targets (driver doubles,
+      // the same IEEE product+ceil the oracle replays)
+      val counts = vals.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+        .limit(maxGroups + 1).collect()
+      require(counts.length <= maxGroups,
+        s"`$groupCol` has more than $maxGroups groups — that is a key, " +
+          "not a grouping; use exactQuantiles per slice or a window")
+      val targets = counts.flatMap { r =>
+        val n = r.getLong(1)
+        qs.distinct.map(x => Row(r.get(0), x,
+          math.max(1L, math.ceil(x * n).toLong)))
+      }
+      // pass 2: per-group bucket SPLITTERS (sketch values; exactness
+      // never depends on them — they only balance the windows)
+      val bucketed =
+        if (probs.isEmpty) vals.withColumn("_bkt", lit(0))
+        else {
+          val bounds = vals.groupBy(col("_g"))
+            .agg(expr(s"approx_percentile(_v, array(${probs.mkString(",")})" +
+              ", 10000)").as("_bs"))
+            .withColumnRenamed("_g", "_bg")
+          vals.join(broadcast(bounds), col("_g") <=> col("_bg"))
+            .select(col("_g"), col("_v"), col("_i"),
+              size(filter(col("_bs"), b => b < col("_v"))).as("_bkt"))
+        }
+      // pass 3: per-(group, bucket) subtotals → rank offsets
+      val offsets = {
+        val subs = bucketed.groupBy(col("_g"), col("_bkt"))
+          .agg(count(lit(1)).as("_sub")).collect()
+          .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+        val byGroup = subs.groupBy(_._1)
+        byGroup.toSeq.flatMap { case (g, rows) =>
+          var acc = 0L
+          rows.sortBy(_._2).map { case (_, bkt, sub) =>
+            val off = acc; acc += sub; Row(g, bkt, off)
+          }
+        }
+      }
+      val gType = vals.schema("_g").dataType
+      def frame(rows: Seq[org.apache.spark.sql.Row],
+                fields: StructField*): DataFrame =
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+          StructType(fields))
+      val offDf = frame(offsets,
+        StructField("_og", gType), StructField("_obkt", IntegerType),
+        StructField("_off", LongType, nullable = false))
+      val tgtDf = frame(targets.toSeq,
+        StructField("_tg", gType), StructField("q", DoubleType,
+          nullable = false),
+        StructField("_trank", LongType, nullable = false))
+      // the lazy ranked pass: windows partition by (group, bucket) —
+      // task size is a bucket slice of one group, never a group
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_g"), col("_bkt"))
+        .orderBy(col("_v").asc, col("_i").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      bucketed
+        .join(broadcast(offDf),
+          col("_g") <=> col("_og") && col("_bkt") === col("_obkt"))
+        .withColumn("_rank", count(lit(1)).over(w) + col("_off"))
+        .join(broadcast(tgtDf),
+          col("_g") <=> col("_tg") && col("_rank") === col("_trank"))
+        .select(col("_g").as(groupCol), col("q"),
+          col("_rank").as("rank"), col("_v").as(valueCol))
+        .orderBy(groupCol, "q")
+    } finally vals.unpersist(false)
+  }
+
+  private def Row(vs: Any*): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(vs: _*)
+
   /** EXACT global quantiles with bounded memory — the scale-safe exact
     * complement to the q36 `approx_percentile` sketch (whose
     * imperative exact twin buffers every distinct value per group, the

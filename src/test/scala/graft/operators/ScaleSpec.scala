@@ -154,4 +154,36 @@ class ScaleSpec extends SparkSpec {
       graft.operators.Scale.exactQuantiles(df, "v", "id", Seq(1.5))
     }
   }
+
+  test("exactQuantilesByGroup equals per-group sorted picks; null group included") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (1L to 600L).map { i =>
+      val g = if (i % 7 == 0) null
+              else s"g${(rng.nextInt(3))}"
+      (i, g, rng.nextInt(100) / 3.0)
+    }
+    val df = rows.toDF("id", "g", "v")
+    val qs = Seq(0.25, 0.5, 0.99)
+    val got = graft.operators.Scale
+      .exactQuantilesByGroup(df, "g", "v", "id", qs)
+      .select("g", "q", "rank", "v")
+      .as[(Option[String], Double, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val byGroup = rows.groupBy(_._2)
+    for ((g, members) <- byGroup; x <- qs) {
+      val sorted = members.map(m => (m._3, m._1)).sorted
+      val rk = math.max(1L, math.ceil(x * members.size).toLong)
+      val want = (rk, sorted((rk - 1).toInt)._1)
+      assert(got((Option(g), x)) == want,
+        s"group $g q=$x: got ${got((Option(g), x))}, want $want")
+    }
+    assert(got.size == byGroup.size * qs.size,
+      "every (group, q) pair — including the null group — must answer")
+    intercept[IllegalArgumentException] {
+      // id is unique per row: a key, not a grouping
+      graft.operators.Scale.exactQuantilesByGroup(df, "id", "v", "id",
+        Seq(0.5), maxGroups = 100)
+    }
+  }
 }
