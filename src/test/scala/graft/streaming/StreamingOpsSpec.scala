@@ -292,6 +292,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.sorted.toSeq == batchWant && batchWant == Seq(2L, 3L))
   }
 
+  test("stateless quality filters are stream-safe: streamed ≡ batch") {
+    // gopherQualityFlags and c4LineFilter are pure per-row expression
+    // passes, so they must compose into readStream unchanged — this
+    // pins that neither ever grows a stateful/blocking operator (a
+    // sort, a window, an aggregate would fail streaming analysis or
+    // change results here)
+    val docs = Seq(
+      (1L, ("the quick brown fox jumps over lazy dogs with vigor and " * 6).trim),
+      (2L, "first good line with five words.\nsecond good line with words too!\nthird fine line has enough words.\nshort."),
+      (3L, ""))
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData(docs: _*)
+    val streamed = graft.operators.TextAnalysis.gopherQualityFlags(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = streamed.writeStream.format("memory")
+      .queryName("gopher_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("gopher_stream").orderBy("doc_id").collect().toSeq
+    val want = graft.operators.TextAnalysis.gopherQualityFlags(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(got == want, s"streamed gopher flags diverge:\n$got\n$want")
+
+    val mem2 = MemoryStream[(Long, String)](spark)
+    mem2.addData(docs: _*)
+    val streamed2 = graft.operators.TextAnalysis.c4LineFilter(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q2 = streamed2.writeStream.format("memory")
+      .queryName("c4_stream").outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val got2 = spark.table("c4_stream").orderBy("doc_id").collect().toSeq
+    val want2 = graft.operators.TextAnalysis.c4LineFilter(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(got2 == want2, s"streamed c4 output diverges:\n$got2\n$want2")
+  }
+
   test("stream-stream interval join matches the batch inequality join") {
     val clicks = MemoryStream[(Long, Timestamp, Long)](spark)
     val purchases = MemoryStream[(Long, Timestamp, Long, Double)](spark)
