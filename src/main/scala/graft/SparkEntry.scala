@@ -703,6 +703,16 @@ object SparkEntry {
     //      punctuation / ≥5 words / no "javascript" per line, doc-level
     //      lorem-ipsum + brace + ≥3-kept-lines rules; exact string
     //      predicates, rewritten text hash-compared verbatim ----
+    "q85_c4_line_filter" -> ((s, dir) => {
+      // the synthetic corpus is single-line and unpunctuated, which
+      // would make every line rule trivially false; derive a
+      // deterministic multi-line punctuated view (" table " → ".\n" —
+      // the same non-overlapping leftmost replace in both engines) so
+      // the gate exercises real line survival and rejoin
+      val d = t(s, dir, "documents").withColumn("text",
+        replace(col("text"), lit(" table "), lit(".\n")))
+      TextAnalysis.c4LineFilter(d, "doc_id", "text").orderBy("doc_id")
+    }),
     // ---- EXACT global quantiles at bounded memory: rank-element
     //      selection over the distributed prefix sum (the q76
     //      machinery) — the scale-safe exact complement to q36's
@@ -719,16 +729,6 @@ object SparkEntry {
     "q87_exact_quantiles_by_group" -> ((s, dir) => {
       graft.operators.Scale.exactQuantilesByGroup(t(s, dir, "events"),
         "event_type", "value", "event_id", Seq(0.5, 0.9, 0.99))
-    }),
-    "q85_c4_line_filter" -> ((s, dir) => {
-      // the synthetic corpus is single-line and unpunctuated, which
-      // would make every line rule trivially false; derive a
-      // deterministic multi-line punctuated view (" table " → ".\n" —
-      // the same non-overlapping leftmost replace in both engines) so
-      // the gate exercises real line survival and rejoin
-      val d = t(s, dir, "documents").withColumn("text",
-        replace(col("text"), lit(" table "), lit(".\n")))
-      TextAnalysis.c4LineFilter(d, "doc_id", "text").orderBy("doc_id")
     }),
     // ---- unigram surprisal (perplexity-proxy quality filter):
     //      corpus-estimated −mean ln p(token) per doc; decimal sums
@@ -1857,7 +1857,11 @@ t AS (SELECT CAST(q AS DOUBLE) AS q,
   FROM (VALUES (0.5), (0.9), (0.99)) v(q) CROSS JOIN n)
 SELECT t.q, t.rank, r.value FROM t JOIN r USING (rank) ORDER BY q""",
     // q87: the same rank pick partitioned by group — ranks replayed by
-    // a per-group row_number over the identical (value, id) order
+    // a per-group row_number over the identical (value, id) order. The
+    // engine treats a null group as a group (null-safe joins), so the
+    // replay joins IS NOT DISTINCT FROM and orders NULLS FIRST (Spark's
+    // ascending default; DuckDB defaults nulls last) — latent on this
+    // fixture (no null event_type) but load-bearing on any that has one
     "q87_exact_quantiles_by_group" ->
       """WITH v AS (SELECT event_type, value, event_id FROM events
   WHERE value IS NOT NULL),
@@ -1868,7 +1872,9 @@ t AS (SELECT event_type, CAST(q AS DOUBLE) AS q,
     greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT)) AS rank
   FROM (VALUES (0.5), (0.9), (0.99)) v(q) CROSS JOIN n)
 SELECT t.event_type, t.q, t.rank, r.value FROM t
-JOIN r USING (event_type, rank) ORDER BY event_type, q""",
+JOIN r ON t.event_type IS NOT DISTINCT FROM r.event_type
+      AND t.rank = r.rank
+ORDER BY t.event_type NULLS FIRST, q""",
     // q78: the partitioned scratch copy is content-identical to
     // lineitem, so the oracle replays the SAME cascade over the
     // original table — partition-column typing must round-trip to the

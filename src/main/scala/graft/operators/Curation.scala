@@ -422,6 +422,10 @@ object Curation {
     require(buckets > 0 && buckets <= (1 << 20),
       s"buckets ($buckets) must be in [1, 2^20]: the trained model is " +
         "collected to the driver, one row per occupied bucket")
+    require(!Set("bucket", "c", "lr", "n_feats", "dsir_score",
+      "_toks", "_ng").contains(idCol),
+      s"idCol ($idCol) collides with a DSIR working/output column — " +
+        "rename it first (withColumn \"bucket\" would silently replace it)")
     def feats(d: DataFrame, tc: String, keep: Seq[Column]): DataFrame =
       d.select(keep :+ TextAnalysis.tokens(col(tc)).as("_toks"): _*)
         .select(keep :+ explode(concat(col("_toks"),
@@ -485,6 +489,10 @@ object Curation {
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String,
                           n: Int = 13): DataFrame = {
+    require(!Set("shingle", "_hit", "n_shingles", "n_contaminated",
+      "contamination_frac").contains(idCol),
+      s"idCol ($idCol) collides with a report working/output column — " +
+        "rename it first")
     val benchShingles = Dedup.shingleSets(benchmark, idCol, textCol, n)
       .select("shingle").distinct().withColumn("_hit", lit(1))
     val perDoc = Dedup.shingleSets(corpus, idCol, textCol, n)

@@ -149,16 +149,32 @@ object Scale {
         qs.distinct.map(x => Row(r.get(0), x,
           math.max(1L, math.ceil(x * n).toLong)))
       }
-      // pass 2: per-group bucket SPLITTERS (sketch values; exactness
-      // never depends on them — they only balance the windows)
+      val gType = vals.schema("_g").dataType
+      def frame(rows: Seq[org.apache.spark.sql.Row],
+                fields: StructField*): DataFrame =
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+          StructType(fields))
+      // pass 2: per-group bucket SPLITTERS, COLLECTED once and shipped
+      // back as a local frame. approx_percentile's sketch merge is
+      // shuffle-order dependent, so a lazily re-executed bounds frame
+      // could return different splitters in the final pass than the
+      // ones the offsets below were pinned against — rows would land in
+      // buckets with stale offsets and ranks would silently shift (the
+      // same reason bucketedCumSum collects its splitters to literals).
+      // Exactness never depends on the splitter VALUES — only on both
+      // passes seeing the SAME values — and the collect is ≤maxGroups
+      // rows.
       val bucketed =
         if (probs.isEmpty) vals.withColumn("_bkt", lit(0))
         else {
-          val bounds = vals.groupBy(col("_g"))
+          val boundRows = vals.groupBy(col("_g"))
             .agg(expr(s"approx_percentile(_v, array(${probs.mkString(",")})" +
-              ", 10000)").as("_bs"))
-            .withColumnRenamed("_g", "_bg")
-          vals.join(broadcast(bounds), col("_g") <=> col("_bg"))
+              ", 10000)").as("_bs")).collect()
+            .map(r => Row(r.get(0), r.getSeq[Double](1)))
+          val boundsDf = frame(boundRows.toSeq,
+            StructField("_bg", gType),
+            StructField("_bs", ArrayType(DoubleType), nullable = false))
+          vals.join(broadcast(boundsDf), col("_g") <=> col("_bg"))
             .select(col("_g"), col("_v"), col("_i"),
               size(filter(col("_bs"), b => b < col("_v"))).as("_bkt"))
         }
@@ -175,11 +191,6 @@ object Scale {
           }
         }
       }
-      val gType = vals.schema("_g").dataType
-      def frame(rows: Seq[org.apache.spark.sql.Row],
-                fields: StructField*): DataFrame =
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1),
-          StructType(fields))
       val offDf = frame(offsets,
         StructField("_og", gType), StructField("_obkt", IntegerType),
         StructField("_off", LongType, nullable = false))
