@@ -992,6 +992,61 @@ object SparkEntry {
       Dedup.simHashNearDup(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, bands = 2, bits = 32, bandErrors = 1)
         .orderBy("id_a", "id_b")
+    }),
+    // ---- SCD2 history collapse (CDC dimension-history build) ----
+    "q88_scd2_collapse" -> ((s, dir) => {
+      TemporalJoins.scd2Collapse(
+        t(s, dir, "events").select("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", tiebreak = "event_id")
+        .orderBy("user_id", "valid_from")
+    }),
+    // ---- interval×interval overlap join (banded equi-join shape;
+    //      intervals derived deterministically from orders) ----
+    "q89_interval_overlap" -> ((s, dir) => {
+      val iv = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("start_ts"),
+        timestamp_micros(unix_micros(col("o_orderdate").cast("timestamp")) +
+          (col("o_orderkey") % 30 + 1) * lit(86400000000L)).as("end_ts"))
+      TemporalJoins.intervalOverlapJoin(iv, "o_custkey", "o_orderkey",
+        "start_ts", "end_ts", widthSeconds = 30L * 86400L)
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- exact containment (subset dedup) over LSH candidates ----
+    "q90_containment" -> ((s, dir) => {
+      Dedup.containmentOverCandidates(t(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.6)
+        .orderBy("id_small", "id_big")
+    }),
+    // ---- referential-integrity audit over the star schema ----
+    "q91_fk_audit" -> ((s, dir) => {
+      import graft.operators.Audit.FkRelation
+      graft.operators.Audit.fkAudit(Seq(
+        FkRelation("customer.c_nationkey->nation",
+          t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        FkRelation("lineitem.l_orderkey->orders",
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        FkRelation("lineitem.l_partkey->part",
+          t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        FkRelation("nation.n_regionkey->region",
+          t(s, dir, "nation"), "n_regionkey",
+          t(s, dir, "region"), "r_regionkey"),
+        FkRelation("orders.o_custkey->customer",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey")))
+    }),
+    // ---- key-skew diagnostics (the measurement behind the salting
+    //      knobs) ----
+    "q92_skew_profile" -> ((s, dir) => {
+      graft.operators.Scale.skewProfile(t(s, dir, "events"),
+        Seq("user_id"), topK = 20)
+    }),
+    "q93_group_size_histogram" -> ((s, dir) => {
+      graft.operators.Scale.groupSizeHistogram(t(s, dir, "events"),
+        Seq("user_id"))
     })
   )
 
@@ -2016,8 +2071,100 @@ scored AS (SELECT doc_id, term, tf, df,
 w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
   ORDER BY tfidf DESC, term) AS rank FROM scored)
 SELECT doc_id, rank, term, tf, df, tfidf FROM w WHERE rank <= 5
-ORDER BY doc_id, rank"""
+ORDER BY doc_id, rank""",
+    // q88: run-start detection + interval chaining replayed with the
+    // identical (ts, event_id) total order; change detection is
+    // IS NOT DISTINCT FROM to mirror the engine's null-safe <=>
+    "q88_scd2_collapse" ->
+      """WITH x AS (SELECT user_id, ts, event_type,
+  row_number() OVER w AS rn,
+  count(*) OVER (PARTITION BY user_id) AS n,
+  CASE WHEN row_number() OVER w = 1 THEN 1
+       WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type THEN 0
+       ELSE 1 END AS chg
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_type AS state, ts AS valid_from,
+  lead(ts) OVER w2 AS valid_to,
+  coalesce(lead(rn) OVER w2, n + 1) - rn AS n_events
+FROM x WHERE chg = 1
+WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+ORDER BY user_id, valid_from""",
+    // q89: the banded equi-join's output replayed as the plain overlap
+    // predicate join (legal at oracle scale); same derived intervals,
+    // integer-microsecond arithmetic on both sides
+    "q89_interval_overlap" ->
+      """WITH iv AS (SELECT o_custkey, o_orderkey,
+  epoch_us(o_orderdate) AS s,
+  epoch_us(o_orderdate) + (o_orderkey % 30 + 1) * 86400000000 AS e
+FROM orders)
+SELECT a.o_custkey, a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND greatest(a.s, b.s) <= least(a.e, b.e)
+ORDER BY id_a, id_b""",
+    "q90_containment" -> containmentOracle,
+    "q91_fk_audit" -> fkAuditOracle,
+    "q92_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT user_id, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM c CROSS JOIN t ORDER BY n DESC, user_id LIMIT 20""",
+    "q93_group_size_histogram" ->
+      """WITH c AS (SELECT user_id, count(*) AS group_size FROM events
+  GROUP BY user_id)
+SELECT group_size, count(*) AS n_keys FROM c
+GROUP BY group_size ORDER BY group_size"""
   )
+
+  /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH
+    * candidate pairs as q17/q19 (minhashCtes), oriented smaller-set
+    * first (ties keep id_a, which candidate generation already made the
+    * lower id). */
+  private def containmentOracle: String =
+    s"""$minhashCtes,
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pr AS (SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT CASE WHEN x.n <= y.n THEN id_a ELSE id_b END AS id_small,
+  CASE WHEN x.n <= y.n THEN id_b ELSE id_a END AS id_big,
+  CAST(inter AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) AS containment
+FROM pr JOIN sz x ON pr.id_a = x.doc_id JOIN sz y ON pr.id_b = y.doc_id
+WHERE CAST(inter AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) >= 0.6
+ORDER BY id_small, id_big"""
+
+  /** q91: per-relation key-count + anti-membership CTE pairs, one
+    * SELECT row each (NOT IN is null-safe here — both sides filter
+    * nulls first). Relation list mirrors the q91 FkRelation seq. */
+  private def fkAuditOracle: String = {
+    val rels = Seq(
+      ("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"))
+    val ctes = rels.zipWithIndex.map { case ((_, child, ck, parent, pk), i) =>
+      s"""kc$i AS (SELECT $ck AS k, count(*) AS c FROM $child GROUP BY 1),
+orph$i AS (SELECT k, c FROM kc$i WHERE k IS NOT NULL
+  AND k NOT IN (SELECT $pk FROM $parent WHERE $pk IS NOT NULL))"""
+    }.mkString(",\n")
+    val selects = rels.zipWithIndex.map { case ((name, _, _, _, _), i) =>
+      s"""SELECT '$name' AS relation,
+  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM kc$i) AS n_rows,
+  (SELECT CAST(coalesce(sum(CASE WHEN k IS NULL THEN c END), 0) AS BIGINT)
+     FROM kc$i) AS n_null_key,
+  (SELECT CAST(count(*) AS BIGINT) FROM orph$i) AS n_orphan_keys,
+  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM orph$i) AS n_orphan_rows"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$selects\nORDER BY relation"
+  }
 
   /** Connected components over the q17 LSH candidate pairs, as a
     * recursive transitive closure: labels flow along (both directions

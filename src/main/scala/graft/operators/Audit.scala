@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity audit — the data-quality gate a star-schema
+  * ingest (the reference's Redshift COPY world, RAS:215–216) runs before
+  * trusting joins: per declared foreign-key relationship, how many child
+  * rows/keys point at nothing.
+  *
+  * Scale design (100 TB):
+  *   - The child side collapses to per-key counts FIRST (one map-side
+  *     partial aggregate, shuffle carries one row per distinct key, not
+  *     per child row), so the orphan check is an anti-join between two
+  *     key-only frames. Parent key sets are dimension-sized in a star
+  *     schema — AQE broadcasts them; the child fact table is never
+  *     joined raw.
+  *   - Each relation's result is ONE row built entirely from aggregates
+  *     (no collect); relations evaluate independently and union, so a
+  *     multi-relation audit parallelizes across the cluster as separate
+  *     stages of one job.
+  */
+object Audit {
+
+  /** One FK declaration: `child.childKey` must exist in
+    * `parent.parentKey`. `name` labels the output row. */
+  final case class FkRelation(name: String, child: DataFrame,
+                              childKey: String, parent: DataFrame,
+                              parentKey: String)
+
+  /** Audit every declared relation. Returns one row per relation:
+    * (relation, n_rows, n_null_key, n_orphan_keys, n_orphan_rows) —
+    * total child rows, child rows with a null FK (excluded from the
+    * orphan check: null means "no parent" by declaration, not a broken
+    * pointer), distinct non-null child keys absent from the parent, and
+    * the child rows carrying those keys. Ordered by relation name. */
+  def fkAudit(relations: Seq[FkRelation]): DataFrame = {
+    require(relations.nonEmpty, "fkAudit needs at least one relation")
+    require(relations.map(_.name).distinct.length == relations.length,
+      "relation names must be unique")
+    val rows = relations.map { r =>
+      val kc = r.child.groupBy(col(r.childKey).as("_k"))
+        .agg(count(lit(1)).as("_c"))
+      val stats = kc.agg(
+        coalesce(sum(col("_c")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("_k").isNull, col("_c"))), lit(0L))
+          .as("n_null_key"))
+      val orphans = kc.filter(col("_k").isNotNull)
+        .join(r.parent.select(col(r.parentKey).as("_k"))
+          .filter(col("_k").isNotNull).distinct(),
+          Seq("_k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_keys"),
+          coalesce(sum(col("_c")), lit(0L)).as("n_orphan_rows"))
+      stats.crossJoin(broadcast(orphans))
+        .select(lit(r.name).as("relation"), col("n_rows"),
+          col("n_null_key"), col("n_orphan_keys"), col("n_orphan_rows"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("relation")
+  }
+}

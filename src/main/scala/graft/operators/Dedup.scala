@@ -367,6 +367,55 @@ object Dedup {
     jaccardFinish(interOnCandidates(sized, sh, idCol), sizes, idCol, threshold)
   }
 
+  /** Exact CONTAINMENT over MinHash+LSH candidate pairs:
+    * C(a→b) = |a∩b| / |a| ≥ threshold — "at least `threshold` of a's
+    * shingles also appear in b". Containment is the dedup relation for
+    * SUBSET duplicates (a quote, a mirrored fragment, a doc embedded in
+    * a larger one), which symmetric Jaccard systematically misses: a
+    * 100-shingle doc fully contained in a 10 000-shingle doc has
+    * J ≈ 0.01 but C = 1.0.
+    *
+    * Output is DIRECTED: (id_small, id_big, containment) where
+    * `id_small` is the contained (smaller-set) side — both directions of
+    * every candidate pair are evaluated, ties on size broken toward the
+    * lower id as id_small. Candidate generation is the same banded LSH
+    * equi-join as [[jaccardOverCandidates]] (and shares its recall
+    * trade, which the oracle replays exactly); verification reuses the
+    * candidate-restricted intersection join, so the added cost over a
+    * Jaccard pass is one size comparison. No symmetric-size prefilter is
+    * applied — containment has no two-sided length bound (only
+    * |b| ≥ t·|a| would hold, and the asymmetric prune is not worth a
+    * second sizes join before verification). */
+  def containmentOverCandidates(df: DataFrame, idCol: String,
+                                textCol: String, shingleN: Int = 3,
+                                threshold: Double = 0.5,
+                                numHashes: Int = 16,
+                                bands: Int = 4): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1]: $threshold")
+    val shMulti = shingleMultiset(df, idCol, textCol, shingleN)
+    val sig = minHashSignatures(shMulti, idCol, numHashes)
+    val cand = candidatePairs(lshBands(sig, idCol, numHashes, bands), idCol)
+    val sh = shMulti.distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    interOnCandidates(cand, sh, idCol)
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      // orient: the smaller set is the contained side (ties → lower id)
+      .withColumn("id_small",
+        when(col("sz_a") < col("sz_b") ||
+          (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")),
+          col("id_a")).otherwise(col("id_b")))
+      .withColumn("id_big",
+        when(col("id_small") === col("id_a"), col("id_b"))
+          .otherwise(col("id_a")))
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_small", "id_big", "containment")
+  }
+
   /** SimHash over the distinct token set. Each token hashes to `bits`
     * bits (bits/4 hex chars of md5, decoded with an instr-based hex
     * lookup so the identical expression runs in ANSI SQL); per-bit ±1

@@ -104,6 +104,44 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Key-skew profile: the `topK` hottest key groups with their row
+    * counts and share of the total — the measurement that DECIDES the
+    * salting/AQE knobs the rest of this object provides (a 0.1% top-key
+    * share needs nothing; a 30% share needs [[saltedAggregate]] or a
+    * broadcast). One count aggregate (map-side partial, shuffle on the
+    * keys) + a TakeOrdered top-k; the grand total is the SUM OF THE
+    * GROUP COUNTS frame, never a second pass over the corpus (the
+    * mixtureSample lesson), and rides in as a broadcast 1-row frame.
+    * Returns (keys…, n, share) ordered hottest-first, ties by key. */
+  def skewProfile(df: DataFrame, keys: Seq[String],
+                  topK: Int = 20): DataFrame = {
+    require(keys.nonEmpty, "skewProfile needs at least one key column")
+    require(topK > 0, s"topK must be positive: $topK")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("n").cast("double") / col("_total").cast("double"))
+      .drop("_total")
+      .orderBy(col("n").desc +: keys.map(c => col(c).asc): _*)
+      .limit(topK)
+  }
+
+  /** Group-size distribution ("frequency of frequencies"): how many
+    * keys have exactly `group_size` rows. The complementary skew view
+    * to [[skewProfile]] — top-k shows the head, this shows the whole
+    * shape (a long-tailed histogram means salting, a flat one means
+    * plain hash partitioning is fine). Two aggregates: the per-key
+    * count (the only corpus-sized shuffle) and a re-aggregation of the
+    * already-collapsed counts frame. Returns (group_size, n_keys)
+    * ordered by size. */
+  def groupSizeHistogram(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "groupSizeHistogram needs at least one key column")
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size")).agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("group_size").asc)
+  }
+
   /** Per-group EXACT quantiles with bounded memory — [[exactQuantiles]]
     * generalized to the q36 shape (percentiles per event type): the
     * q-th quantile of group g is the value at rank ⌈q·n_g⌉ under the

@@ -199,4 +199,107 @@ object TemporalJoins {
       .select(col(key), col("id_a"), col("id_b"),
         (col("us_b") - col("us_a")).as("gap_us"))
   }
+
+  /** SCD-type-2 history collapse: per `key`, order rows by (`tsCol`,
+    * `tiebreak`) and merge each maximal run of consecutive rows with the
+    * same `stateCol` into one validity interval. Returns
+    * (key, state, valid_from, valid_to, n_events) where `valid_from` is
+    * the run's first timestamp, `valid_to` the NEXT run's first timestamp
+    * (null for the still-current run — the open interval), and
+    * `n_events` the run length. This is the batch form of a CDC
+    * dimension-history build: an event-sourced attribute stream becomes
+    * its type-2 slowly-changing-dimension table.
+    *
+    * Scale shape: one key-partitioned window pass over the raw rows
+    * (run-start detection — a shuffle+sort on `key`, the same shape as
+    * sessionize/asOf), then the RUN-START rows only (one per interval,
+    * already collapsed) take a second tiny window for interval chaining.
+    * No groupBy ever touches the raw rows, a run's rows are never
+    * buffered together (run length is a row_number difference, not a
+    * collected list), and per-task cost is O(rows-per-key · log) from
+    * the sort. Null states form runs like any other value (change
+    * detection is null-safe `<=>`); a null timestamp raises — validity
+    * intervals from unknown times are meaningless (the guard is fused
+    * into the run-start expression, not a separate scan). */
+  def scd2Collapse(df: DataFrame, key: String, tsCol: String,
+                   stateCol: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col(tiebreak).asc)
+    val marked = df
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(key)))
+      .withColumn("_chg",
+        when(col(tsCol).isNull, raise_error(lit(
+          s"scd2Collapse requires non-null `$tsCol`")).cast("int"))
+          .when(col("_rn") === 1, lit(1))
+          .when(lag(col(stateCol), 1).over(w) <=> col(stateCol), lit(0))
+          .otherwise(lit(1)))
+    val starts = marked.filter(col("_chg") === 1)
+      .select(col(key), col(stateCol).as("state"),
+        col(tsCol).as("valid_from"), col("_rn"), col("_n"))
+    val wr = Window.partitionBy(key).orderBy(col("_rn").asc)
+    starts
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+      .withColumn("n_events",
+        coalesce(lead(col("_rn"), 1).over(wr), col("_n") + 1) - col("_rn"))
+      .select(col(key), col("state"), col("valid_from"), col("valid_to"),
+        col("n_events"))
+  }
+
+  /** Interval-overlap self-join: all pairs of intervals sharing `key`
+    * that overlap (`max(start) <= min(end)`; touching endpoints count).
+    * Returns (key, id_a, id_b, overlap_us) with id_a < id_b, where
+    * `overlap_us` is the overlap length in microseconds (0 for a point
+    * touch).
+    *
+    * Equi-join shape (the [[bandedRangeJoin]] principle extended to
+    * interval×interval): time is cut into `widthSeconds` bands and each
+    * interval is exploded onto every band it covers, so candidates meet
+    * on (key, band) — never a nested-loop inequality join. An
+    * overlapping pair co-occupies every band its overlap touches; the
+    * pair is emitted only from the band containing `max(start_a,
+    * start_b)` (the overlap's first instant), which both intervals cover
+    * by definition — exactly-once without a distinct pass.
+    *
+    * Scale: cost per interval is its band count (duration/width + 1);
+    * size `widthSeconds` near the typical interval length so that stays
+    * O(1). Shuffle keys are (key, band) — a hot key dilutes across its
+    * time range, the same skew shear as [[bandedRangeJoin]]. Open-ended
+    * (null start/end) intervals are rejected: they would cover unbounded
+    * bands. */
+  def intervalOverlapJoin(df: DataFrame, key: String, idCol: String,
+                          startCol: String, endCol: String,
+                          widthSeconds: Long): DataFrame = {
+    require(widthSeconds > 0, s"widthSeconds must be positive: $widthSeconds")
+    val us = widthSeconds * 1000000L
+    // NTZ columns (parquet isAdjustedToUTC=false) are accepted via a
+    // session-tz reinterpretation cast — a no-op for TIMESTAMP inputs
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+    def bandOf(c: Column): Column = {
+      val v = micros(c)
+      ((v - pmod(v, lit(us))) / lit(us)).cast("long")
+    }
+    val iv = df.select(col(key), col(idCol),
+        micros(col(startCol)).as("_s"), micros(col(endCol)).as("_e"),
+        bandOf(col(startCol)).as("_b0"), bandOf(col(endCol)).as("_b1"))
+    val exploded = iv
+      .withColumn("_band", explode(sequence(col("_b0"), col("_b1"))))
+      .select(col(key), col(idCol), col("_s"), col("_e"), col("_band"))
+    val a = exploded.select(col(key), col(idCol).as("id_a"),
+      col("_s").as("s_a"), col("_e").as("e_a"), col("_band"))
+    val b = exploded.select(col(key), col(idCol).as("id_b"),
+      col("_s").as("s_b"), col("_e").as("e_b"), col("_band"))
+    a.join(b, Seq(key, "_band"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(greatest(col("s_a"), col("s_b")) <=
+        least(col("e_a"), col("e_b")))
+      // emit from the single band holding the overlap's first instant
+      .filter(col("_band") ===
+        ((greatest(col("s_a"), col("s_b")) -
+          pmod(greatest(col("s_a"), col("s_b")), lit(us))) / lit(us))
+          .cast("long"))
+      .select(col(key), col("id_a"), col("id_b"),
+        (least(col("e_a"), col("e_b")) -
+          greatest(col("s_a"), col("s_b"))).as("overlap_us"))
+  }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AuditSpec extends SparkSpec {
+
+  test("fkAudit counts rows, null keys, orphan keys and orphan rows") {
+    import spark.implicits._
+    val child = Seq(
+      (1L, Some(10L)), (2L, Some(10L)),  // valid, shared key
+      (3L, Some(20L)),                   // valid
+      (4L, Some(99L)), (5L, Some(99L)),  // orphan key 99 (2 rows)
+      (6L, Some(77L)),                   // orphan key 77 (1 row)
+      (7L, None)                         // null FK: excluded from orphans
+    ).toDF("id", "fk")
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val row = Audit.fkAudit(Seq(
+      Audit.FkRelation("child->parent", child, "fk", parent, "pk")))
+      .collect().head
+    assert(row.getString(0) == "child->parent")
+    assert(row.getLong(1) == 7L, "n_rows")
+    assert(row.getLong(2) == 1L, "n_null_key")
+    assert(row.getLong(3) == 2L, "n_orphan_keys")
+    assert(row.getLong(4) == 3L, "n_orphan_rows")
+  }
+
+  test("fkAudit: clean relation reports zero orphans; null parents ignored") {
+    import spark.implicits._
+    val child = Seq((1L, 10L), (2L, 20L)).toDF("id", "fk")
+    // a null parent key must never "absorb" child keys
+    val parent = Seq(Some(10L), Some(20L), None).toDF("pk")
+    val row = Audit.fkAudit(Seq(
+      Audit.FkRelation("r", child, "fk", parent, "pk"))).collect().head
+    assert(row.getLong(3) == 0L && row.getLong(4) == 0L)
+  }
+
+  test("fkAudit: multiple relations come back as ordered rows") {
+    import spark.implicits._
+    val c1 = Seq((1L, 5L)).toDF("id", "fk")
+    val p = Seq(5L).toDF("pk")
+    val out = Audit.fkAudit(Seq(
+      Audit.FkRelation("zz", c1, "fk", p, "pk"),
+      Audit.FkRelation("aa", c1, "fk", p, "pk")))
+      .select("relation").as[String].collect()
+    assert(out.toSeq == Seq("aa", "zz"))
+    intercept[IllegalArgumentException] {
+      Audit.fkAudit(Seq(
+        Audit.FkRelation("dup", c1, "fk", p, "pk"),
+        Audit.FkRelation("dup", c1, "fk", p, "pk")))
+    }
+    intercept[IllegalArgumentException] { Audit.fkAudit(Seq.empty) }
+  }
+
+  test("fkAudit on the star schema: testdata is referentially clean") {
+    def t(n: String) =
+      spark.read.parquet(s"/root/testdata/sf0.001/$n.parquet")
+    val out = Audit.fkAudit(Seq(
+      Audit.FkRelation("lineitem->orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey"),
+      Audit.FkRelation("orders->customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey")))
+    val rows = out.collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "child tables are non-empty")
+      assert(r.getLong(3) == 0 && r.getLong(4) == 0,
+        s"synthetic star schema must be orphan-free: $r")
+    }
+  }
+}

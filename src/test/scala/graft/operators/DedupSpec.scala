@@ -302,4 +302,50 @@ class DedupSpec extends SparkSpec {
       Dedup.simHashNearDup(corpus, "doc_id", "text", bandErrors = 2)
     }
   }
+
+  test("containmentOverCandidates finds subset duplicates Jaccard misses") {
+    import spark.implicits._
+    // d2 fully contains d1 (d1 is a prefix); d3 is unrelated.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " extra trailing words here"),
+      (3L, "completely different content nothing shared at all " +
+        "pure noise tokens only filler padding words")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentOverCandidates(corpus, "doc_id", "text",
+      threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    // (1,2): every shingle of d1 appears in d2 -> containment 1.0
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 1.0,
+      s"expected full containment for the prefix pair, got $out")
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // Jaccard on the same pair is well below 1 (the relation containment
+    // is FOR): |d1|=18 shingles, |d2|=22, inter=18 -> J = 18/22
+    val j = Dedup.jaccardOverCandidates(corpus, "doc_id", "text",
+      threshold = 0.1).as[(Long, Long, Double)].collect()
+      .collectFirst { case (1L, 2L, v) => v }
+    assert(j.exists(v => v < 0.9))
+  }
+
+  test("containment orients smaller-set first and bounds to [t, 1]") {
+    import spark.implicits._
+    // put the BIGGER doc at the lower id: orientation must flip
+    val base = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val corpus = Seq(
+      (1L, base + " tail padding appended"),
+      (2L, base)
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentOverCandidates(corpus, "doc_id", "text",
+      threshold = 0.5).as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (small, big, c) =>
+      assert(small == 2L && big == 1L,
+        "contained (smaller) side must come first")
+      assert(c >= 0.5 && c <= 1.0)
+    }
+  }
 }

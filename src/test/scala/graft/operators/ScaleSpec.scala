@@ -186,4 +186,36 @@ class ScaleSpec extends SparkSpec {
         Seq(0.5), maxGroups = 100)
     }
   }
+
+  test("skewProfile surfaces the hot key with its exact share") {
+    import spark.implicits._
+    val df = (Seq.fill(50)("hot") ++ (1 to 10).map(i => s"k$i"))
+      .toDF("k")
+    val out = Scale.skewProfile(df, Seq("k"), topK = 3).collect()
+    assert(out.length == 3)
+    assert(out.head.getString(0) == "hot")
+    assert(out.head.getLong(1) == 50L)
+    assert(out.head.getDouble(2) == 50.0 / 60.0)
+    // ties below the head break by key ascending, deterministically
+    assert(out(1).getString(0) == "k1" && out(2).getString(0) == "k10")
+    intercept[IllegalArgumentException] {
+      Scale.skewProfile(df, Seq.empty, 3)
+    }
+  }
+
+  test("skewProfile computes the total from group counts, not a second scan") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(($"id" % 13).as("k"))
+    val shares = Scale.skewProfile(df, Seq("k"), topK = 13)
+      .agg(sum($"share")).collect().head.getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-9, "shares over all keys sum to 1")
+  }
+
+  test("groupSizeHistogram is the frequency-of-frequencies view") {
+    import spark.implicits._
+    val df = (Seq.fill(50)("hot") ++ (1 to 10).map(i => s"k$i")).toDF("k")
+    val out = Scale.groupSizeHistogram(df, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L), (50L, 1L)))
+  }
 }

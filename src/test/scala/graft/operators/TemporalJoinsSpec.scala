@@ -306,4 +306,110 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(a.except(naiveAsof).count() == 0)
     assert(naiveAsof.except(a).count() == 0)
   }
+
+  test("scd2Collapse merges state runs into validity intervals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "A", 1L),
+      (1L, ts("2024-01-01 01:00:00"), "A", 2L),
+      (1L, ts("2024-01-01 02:00:00"), "B", 3L),
+      (1L, ts("2024-01-01 03:00:00"), "A", 4L), // A returns: NEW run
+      (2L, ts("2024-01-01 00:00:00"), "X", 5L)
+    ).toDF("k", "ts", "state", "id")
+    val out = TemporalJoins.scd2Collapse(df, "k", "ts", "state", "id")
+      .orderBy("k", "valid_from").collect()
+    val rows = out.map(r => (r.getLong(0), r.getString(1),
+      Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, "A", Some(ts("2024-01-01 02:00:00")), 2L),
+      (1L, "B", Some(ts("2024-01-01 03:00:00")), 1L),
+      (1L, "A", None, 1L), // current run: open interval
+      (2L, "X", None, 1L)))
+    // valid_from chains exactly: each run starts at its first event
+    assert(out.map(_.getTimestamp(2)).toSeq == Seq(
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00"),
+      ts("2024-01-01 03:00:00"), ts("2024-01-01 00:00:00")))
+  }
+
+  test("scd2Collapse: null states form runs; ties break by tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some("A"), 1L),
+      (1L, ts("2024-01-01 01:00:00"), None, 2L),
+      (1L, ts("2024-01-01 02:00:00"), None, 3L), // same null run
+      // equal ts: id order decides run membership (B before C)
+      (1L, ts("2024-01-01 03:00:00"), Some("B"), 4L),
+      (1L, ts("2024-01-01 03:00:00"), Some("C"), 5L)
+    ).toDF("k", "ts", "state", "id")
+    val out = TemporalJoins.scd2Collapse(df, "k", "ts", "state", "id")
+      .orderBy("valid_from", "state").collect()
+      .map(r => (Option(r.getString(1)), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (Some("A"), 1L), (None, 2L), (Some("B"), 1L), (Some("C"), 1L)))
+  }
+
+  test("scd2Collapse n_events sums to the input row count per key") {
+    import spark.implicits._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("user_id", "ts", "event_type", "event_id")
+    val out = TemporalJoins.scd2Collapse(ev, "user_id", "ts",
+      "event_type", "event_id")
+    val got = out.groupBy("user_id").agg(sum("n_events").as("n"))
+    val want = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // exactly one open (current) interval per key
+    val opens = out.filter(col("valid_to").isNull)
+      .groupBy("user_id").count().filter(col("count") =!= 1).count()
+    assert(opens == 0)
+    // adjacent intervals never carry the same state (runs are maximal)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from")
+    assert(out.withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev") <=> col("state")).count() == 0)
+  }
+
+  test("intervalOverlapJoin finds each overlapping pair exactly once") {
+    import spark.implicits._
+    // width = 1h bands; intervals span multiple bands on purpose
+    val df = Seq(
+      // a: 00:30–03:30 overlaps b: 02:00–04:00 (bands 2,3 both shared)
+      (1L, 10L, ts("2024-01-01 00:30:00"), ts("2024-01-01 03:30:00")),
+      (1L, 20L, ts("2024-01-01 02:00:00"), ts("2024-01-01 04:00:00")),
+      // c touches b at a single point (04:00) — counts, overlap 0
+      (1L, 30L, ts("2024-01-01 04:00:00"), ts("2024-01-01 05:00:00")),
+      // d: disjoint from all
+      (1L, 40L, ts("2024-01-01 07:00:00"), ts("2024-01-01 07:30:00")),
+      // other key: would overlap a but must not match across keys
+      (2L, 50L, ts("2024-01-01 00:00:00"), ts("2024-01-01 09:00:00"))
+    ).toDF("k", "id", "s", "e")
+    val out = TemporalJoins.intervalOverlapJoin(df, "k", "id", "s", "e",
+      widthSeconds = 3600L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (10L, 20L, 5400L * 1000000L), // 02:00–03:30
+      (20L, 30L, 0L)))              // point touch
+  }
+
+  test("intervalOverlapJoin matches the naive predicate join on orders") {
+    import spark.implicits._
+    val iv = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_custkey").as("k"), col("o_orderkey").as("id"),
+        col("o_orderdate").cast("timestamp").as("s"),
+        timestamp_micros(unix_micros(col("o_orderdate").cast("timestamp")) +
+          (col("o_orderkey") % 30 + 1) * lit(86400000000L)).as("e"))
+    val got = TemporalJoins.intervalOverlapJoin(iv, "k", "id", "s", "e",
+      widthSeconds = 30L * 86400L)
+    val naive = iv.as("a").join(iv.as("b"),
+        $"a.k" === $"b.k" && $"a.id" < $"b.id" &&
+          greatest(unix_micros($"a.s"), unix_micros($"b.s")) <=
+            least(unix_micros($"a.e"), unix_micros($"b.e")))
+      .select($"a.k".as("k"), $"a.id".as("id_a"), $"b.id".as("id_b"),
+        (least(unix_micros($"a.e"), unix_micros($"b.e")) -
+          greatest(unix_micros($"a.s"), unix_micros($"b.s"))).as("overlap_us"))
+    assert(got.count() > 0, "fixture must produce overlapping pairs")
+    assert(got.except(naive).count() == 0)
+    assert(naive.except(got).count() == 0)
+  }
 }
