@@ -249,4 +249,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!scan.contains("l_comment"),
       s"column pruning failed — scan reads unprojected columns:\n$scan")
   }
+
+  test("round-6 operator queries keep scale-safe shapes") {
+    // q88 SCD2: key-partitioned windows only — no product, no global
+    // single-partition stage (the run chaining windows by user_id)
+    val p88 = finalPlan(q("q88_scd2_collapse"))
+    assert(!p88.contains("CartesianProduct") &&
+      !p88.contains("BroadcastNestedLoopJoin"),
+      s"scd2 must stay join-free:\n$p88")
+    assert(!p88.contains("Exchange SinglePartition"),
+      s"scd2 must not funnel into one partition:\n$p88")
+    // q89 interval overlap: the ENTIRE point is compiling the
+    // inequality overlap into a banded equi-join — a nested-loop plan
+    // here is the scale-killer this operator exists to avoid
+    val p89 = finalPlan(q("q89_interval_overlap"))
+    assert(!p89.contains("CartesianProduct") &&
+      !p89.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap must plan as a banded equi-join:\n$p89")
+    // q90 containment: candidate-restricted verification — equi-joins
+    // only, like the other LSH-family queries
+    val p90 = finalPlan(q("q90_containment"))
+    assert(!p90.contains("CartesianProduct") &&
+      !p90.contains("BroadcastNestedLoopJoin"),
+      s"containment verification must stay candidate-bounded:\n$p90")
+    // q91 audit: orphan checks must plan as anti-joins over key-only
+    // frames (the single-row stats×orphans glue may broadcast-loop)
+    val p91 = finalPlan(q("q91_fk_audit"))
+    assert(p91.contains("LeftAnti"),
+      s"fk audit must plan anti-joins:\n$p91")
+    assert(!p91.contains("CartesianProduct"),
+      s"fk audit must not plan a cartesian:\n$p91")
+    // q92 skew profile: the top-k cut is a TakeOrdered, never a global
+    // sort of all keys
+    val p92 = finalPlan(q("q92_skew_profile"))
+    assert(p92.contains("TakeOrderedAndProject"),
+      s"skew profile must cut top-k per partition:\n$p92")
+  }
 }
