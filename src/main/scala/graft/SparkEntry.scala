@@ -1047,6 +1047,25 @@ object SparkEntry {
     "q93_group_size_histogram" -> ((s, dir) => {
       graft.operators.Scale.groupSizeHistogram(t(s, dir, "events"),
         Seq("user_id"))
+    }),
+    // ---- salted equi-join (deterministic skew shear; same rows as the
+    //      plain join, which is the oracle) ----
+    "q94_salted_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.Scale.saltedJoin(ord, cust, Seq("o_custkey"),
+        saltBuckets = 8)
+        .orderBy("o_orderkey")
+    }),
+    // ---- Efraimidis–Spirakis weighted sampling (longer docs win
+    //      proportionally more often; fully deterministic) ----
+    "q95_weighted_sample" -> ((s, dir) => {
+      Curation.weightedSample(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 50)
+        .orderBy("doc_id")
     })
   )
 
@@ -2114,7 +2133,22 @@ FROM c CROSS JOIN t ORDER BY n DESC, user_id LIMIT 20""",
       """WITH c AS (SELECT user_id, count(*) AS group_size FROM events
   GROUP BY user_id)
 SELECT group_size, count(*) AS n_keys FROM c
-GROUP BY group_size ORDER BY group_size"""
+GROUP BY group_size ORDER BY group_size""",
+    // q94: the salt only changes the physical partitioning — the oracle
+    // is the plain equi-join verbatim
+    "q94_salted_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey""",
+    // q95: the A-Res priority ln(u)/w replayed with the identical
+    // 48-bit md5 u and double arithmetic
+    "q95_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, n_chars,
+  ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      + 0.5) / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS pri
+  FROM documents),
+s AS (SELECT doc_id, n_chars FROM w ORDER BY pri DESC, doc_id LIMIT 50)
+SELECT doc_id, n_chars FROM s ORDER BY doc_id"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

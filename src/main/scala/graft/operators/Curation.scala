@@ -84,6 +84,41 @@ object Curation {
     df.filter(hashBucket48(col(idCol)) < cut)
   }
 
+  /** Deterministic Efraimidis–Spirakis (A-Res) WEIGHTED sampling
+    * without replacement: row i draws u_i ∈ (0, 1) from the 48-bit md5
+    * bucket of its id (+0.5 so u is never 0), takes priority
+    * ln(u_i) / w_i, and the k LARGEST priorities win — equivalent to
+    * the classic u_i^(1/w_i) order (ln is monotone), and each row's
+    * inclusion probability scales with its weight. Reproducible under
+    * any partitioning (the randomness is the id hash, the same
+    * engine-portable arithmetic as [[hashSample]]).
+    *
+    * Scale shape: one per-row expression pass + a TakeOrdered top-k —
+    * no shuffle of the corpus, no window; the only gathered data is
+    * the k winners. Weights must be positive and non-null (a zero
+    * weight has undefined priority; enforcement is fused into the
+    * priority expression, no guard scan). Cross-engine note: ln() may
+    * differ in the last ulp between engines; two priorities within
+    * 1e-16 of each other could order differently — with 48-bit u and
+    * real-valued weights that is a measure-zero tie, the same exposure
+    * the TF-IDF and DSIR oracles already carry. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(!df.columns.contains("_pri"),
+      "input must not already contain the reserved column `_pri`")
+    val u = (hashBucket48(col(idCol)).cast("double") + lit(0.5)) /
+      lit(bucketScale48.toDouble)
+    val pri = when(col(weightCol).isNull || col(weightCol) <= 0,
+      raise_error(lit(s"weightedSample requires positive non-null " +
+        s"`$weightCol`")).cast("double"))
+      .otherwise(log(u) / col(weightCol).cast("double"))
+    df.withColumn("_pri", pri)
+      .orderBy(col("_pri").desc, col(idCol).asc)
+      .limit(k)
+      .drop("_pri")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates (e.g.
     * downsample boilerplate languages, keep all rare ones). Strata
     * missing from `rates` fall back to `defaultRate`. Same per-row

@@ -104,6 +104,38 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Skew-safe salted EQUI-JOIN — the join-side complement to
+    * [[saltedAggregate]] (AQE's skew-join split handles most cases at
+    * runtime; this is the explicit form for when the right side is too
+    * big to broadcast and a hot key must be sheared DETERMINISTICALLY,
+    * e.g. under a fixed partitioning a later stage reuses). Left rows
+    * take a uniform salt in [0, saltBuckets); the right side replicates
+    * once per salt value; the join key becomes (keys…, _salt), so one
+    * hot key's probes spread over `saltBuckets` reducers.
+    *
+    * Cost model: right side is scanned once but shuffled ×saltBuckets —
+    * size the bucket count to the skew, not higher. Only `inner` and
+    * `left`/`left_outer` are accepted: right/full outer over a
+    * replicated right would emit unmatched right rows once per salt. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "saltedJoin needs at least one key column")
+    require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
+    require(Seq("inner", "left", "left_outer", "leftouter")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only (right side is " +
+        s"replicated): $joinType")
+    require(!left.columns.contains("_salt") &&
+      !right.columns.contains("_salt"),
+      "inputs must not already contain the reserved column `_salt`")
+    val l = left.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
+        .cast("int"))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    l.join(r, keys :+ "_salt", joinType).drop("_salt")
+  }
+
   /** Key-skew profile: the `topK` hottest key groups with their row
     * counts and share of the total — the measurement that DECIDES the
     * salting/AQE knobs the rest of this object provides (a 0.1% top-key
@@ -117,6 +149,8 @@ object Scale {
                   topK: Int = 20): DataFrame = {
     require(keys.nonEmpty, "skewProfile needs at least one key column")
     require(topK > 0, s"topK must be positive: $topK")
+    require(!keys.exists(Seq("n", "share", "_total").contains),
+      "key columns must not use the reserved names `n`/`share`/`_total`")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("_total"))
     counts.crossJoin(broadcast(total))

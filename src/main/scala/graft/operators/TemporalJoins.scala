@@ -223,6 +223,10 @@ object TemporalJoins {
     * into the run-start expression, not a separate scan). */
   def scd2Collapse(df: DataFrame, key: String, tsCol: String,
                    stateCol: String, tiebreak: String): DataFrame = {
+    require(!df.columns.exists(Seq("_rn", "_n", "_chg").contains),
+      "input must not already contain the reserved columns `_rn`/`_n`/`_chg`")
+    require(!Seq("state", "valid_from", "valid_to", "n_events").contains(key),
+      s"key `$key` collides with an output column name")
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol).asc, col(tiebreak).asc)
     val marked = df
@@ -271,6 +275,9 @@ object TemporalJoins {
                           startCol: String, endCol: String,
                           widthSeconds: Long): DataFrame = {
     require(widthSeconds > 0, s"widthSeconds must be positive: $widthSeconds")
+    require(!Seq("_s", "_e", "_band", "_b0", "_b1", "id_a", "id_b",
+      "overlap_us").exists(n => n == key || n == idCol),
+      "key/id columns must not use the operator's reserved/output names")
     val us = widthSeconds * 1000000L
     // NTZ columns (parquet isAdjustedToUTC=false) are accepted via a
     // session-tz reinterpretation cast — a no-op for TIMESTAMP inputs

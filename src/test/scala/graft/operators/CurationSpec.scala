@@ -434,4 +434,46 @@ class CurationSpec extends SparkSpec {
     assert(byId(1L)._2 > byId(2L)._2,
       s"target-like doc must outscore junk: $byId")
   }
+
+  test("weightedSample replays the A-Res priority formula exactly") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, (i % 17 + 1).toDouble))
+      .toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", "w", k = 20)
+      .select("id").as[Long].collect().toSet
+    // independent replay: same md5-derived u, same ln(u)/w priority
+    def pri(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        (1L << 48).toDouble
+      math.log(u) / w
+    }
+    val want = (1L to 200L).map(i => (i, pri(i, (i % 17 + 1).toDouble)))
+      .sortBy { case (i, p) => (-p, i) }.take(20).map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("weightedSample favors heavy rows and rejects bad weights") {
+    import spark.implicits._
+    // one row carries (essentially) all the weight: it must be chosen
+    val df = (1L to 100L).map(i => (i, if (i == 37L) 1e12 else 1e-12))
+      .toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", "w", k = 1)
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(37L))
+    // deterministic: the same call yields the same sample
+    val again = Curation.weightedSample(df, "id", "w", k = 1)
+      .select("id").as[Long].collect()
+    assert(again.toSeq == got.toSeq)
+    val e = intercept[Exception] {
+      Curation.weightedSample(
+        Seq((1L, 0.0)).toDF("id", "w"), "id", "w", 1).collect()
+    }
+    assert(e.getMessage.contains("weightedSample requires positive"))
+    intercept[IllegalArgumentException] {
+      Curation.weightedSample(df, "id", "w", 0)
+    }
+  }
 }

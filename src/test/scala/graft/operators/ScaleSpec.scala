@@ -218,4 +218,30 @@ class ScaleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 10L), (50L, 1L)))
   }
+
+  test("saltedJoin equals the plain join on a skewed key, inner and left") {
+    import spark.implicits._
+    // hot key 42 dominates the left side; key 7 has no right match
+    val left = spark.range(0, 5000)
+      .select(when($"id" % 10 === 0, $"id" % 5).otherwise(lit(42L)).as("k"),
+        $"id".as("lid"))
+    val right = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (3L, "c"))
+      .toDF("k", "name")
+    val plainInner = left.join(right, Seq("k"))
+    val saltedInner = Scale.saltedJoin(left, right, Seq("k"), 8)
+    assert(saltedInner.except(plainInner).count() == 0)
+    assert(plainInner.except(saltedInner).count() == 0)
+    assert(saltedInner.count() == plainInner.count(),
+      "replication must not duplicate matches")
+    val plainLeft = left.join(right, Seq("k"), "left")
+    val saltedLeft = Scale.saltedJoin(left, right, Seq("k"), 8, "left")
+    assert(saltedLeft.except(plainLeft).count() == 0)
+    assert(plainLeft.except(saltedLeft).count() == 0)
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(left, right, Seq("k"), 8, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(left.withColumn("_salt", lit(1)), right, Seq("k"), 8)
+    }
+  }
 }
