@@ -25,7 +25,8 @@ object ScaleBench {
     "q60_jaccard_complete", "q55_simhash_neardup", "q54_keep_best_doc",
     "q49_neardup_clusters", "q19_jaccard_pairs", "q21_ann_ivf",
     "q02_infer_lineitem", "q79_ann_ivfpq", "q76_select_budget",
-    "q80_semdedup", "q82_dsir_score")
+    "q80_semdedup", "q82_dsir_score", "q88_scd2_collapse",
+    "q89_interval_overlap", "q90_containment")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,7 +82,10 @@ object ScaleBench {
                   replicas: Int): Unit = {
     // v2: n_chars must describe the SUFFIXED text (v1 computed it from
     // the pre-suffix input, so replicas k>0 carried stale lengths)
-    val marker = java.nio.file.Paths.get(out, ".built-v2")
+    // v3: + events and orders replicas (q88/q89 join the decade); ids
+    // AND join/window keys (user_id, custkey) get the stride so the
+    // scaled corpus behaves as `replicas` disjoint key shards
+    val marker = java.nio.file.Paths.get(out, ".built-v3")
     if (java.nio.file.Files.exists(marker)) return
     val idStride = 100000000L // far above any sf0.1 id
     def replicate(df: DataFrame, per: (DataFrame, Int) => DataFrame): DataFrame =
@@ -112,6 +116,26 @@ object ScaleBench {
     replicate(li, (d, _) => d)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // events: ts stays (the decade widens keys, not time); user_id
+    // strides so each replica is a disjoint window/join key shard
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    replicate(ev, (d, k) => d.select(
+        (col("event_id") + lit(k * idStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * idStride)).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    replicate(ord, (d, k) => d.select(
+        (col("o_orderkey") + lit(k * idStride)).as("o_orderkey"),
+        (col("o_custkey") + lit(k * idStride)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     java.nio.file.Files.createFile(marker)
   }
