@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.SchemaDiff
 import graft.inference.TypeInference
-import graft.operators.{Clustering, Curation, Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Clustering, Curation, Dedup, Drift, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1066,6 +1066,45 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "n_chars"),
         "doc_id", "n_chars", k = 50)
         .orderBy("doc_id")
+    }),
+    // ---- PSI drift profile between two snapshot halves (the
+    //      distribution-monitoring loop around the pipeline) ----
+    "q96_drift_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Drift.psiProfile(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "value", lo = 0.0, hi = 500.0, nBins = 20)
+    }),
+    // ---- Markov transition counts (event-path analysis) ----
+    "q97_event_paths" -> ((s, dir) => {
+      TemporalJoins.transitionCounts(t(s, dir, "events"), "user_id",
+        "ts", "event_type", tiebreak = "event_id")
+        .orderBy("src", "dst")
+    }),
+    // ---- corpus-wide rank without a single-partition window ----
+    "q98_global_rank" -> ((s, dir) => {
+      Curation.globalRank(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars")
+        .orderBy("rank")
+    }),
+    // ---- hourly event-rate anomaly scores (trailing-window z) ----
+    "q99_rate_anomaly" -> ((s, dir) => {
+      Drift.hourlyRateAnomaly(t(s, dir, "events"), "event_type", "ts",
+        trailing = 24)
+    }),
+    // ---- exact two-sample KS statistic, binning-free drift ----
+    "q100_ks_statistic" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Drift.ksStatistic(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), "value")
+    }),
+    // ---- categorical concentration profile (distincts, modal
+    //      share, Shannon entropy) ----
+    "q101_entropy_profile" -> ((s, dir) => {
+      Drift.entropyProfile(t(s, dir, "documents"), Seq("lang", "source"))
     })
   )
 
@@ -2148,7 +2187,93 @@ ORDER BY o_orderkey""",
       + 0.5) / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS pri
   FROM documents),
 s AS (SELECT doc_id, n_chars FROM w ORDER BY pri DESC, doc_id LIMIT 50)
-SELECT doc_id, n_chars FROM s ORDER BY doc_id"""
+SELECT doc_id, n_chars FROM s ORDER BY doc_id""",
+    // q96: PSI over the fixed spine with the identical Laplace-smoothed
+    // shares and 6-dp ln rounding; 11.5 = 0.5·(nBins+3), 23-bin spine
+    "q96_drift_psi" ->
+      """WITH spine AS (SELECT CAST(range AS INT) AS bin FROM range(-2, 21)),
+r AS (SELECT CASE WHEN value IS NULL THEN -2 WHEN value < 0.0 THEN -1
+    WHEN value >= 500.0 THEN 20
+    ELSE CAST(floor((value - 0.0) / 25.0) AS INT) END AS bin,
+  count(*) AS n FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+c AS (SELECT CASE WHEN value IS NULL THEN -2 WHEN value < 0.0 THEN -1
+    WHEN value >= 500.0 THEN 20
+    ELSE CAST(floor((value - 0.0) / 25.0) AS INT) END AS bin,
+  count(*) AS n FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+j AS (SELECT s.bin, coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur
+  FROM spine s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin),
+t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+  CAST(sum(n_cur) AS BIGINT) AS tc FROM j)
+SELECT bin, n_ref, n_cur,
+  round((n_ref + 0.5) / (tr + 11.5), 6) AS share_ref,
+  round((n_cur + 0.5) / (tc + 11.5), 6) AS share_cur,
+  round(((n_cur + 0.5) / (tc + 11.5) - (n_ref + 0.5) / (tr + 11.5)) *
+    ln(((n_cur + 0.5) / (tc + 11.5)) / ((n_ref + 0.5) / (tr + 11.5))), 6)
+    AS psi
+FROM j CROSS JOIN t ORDER BY bin""",
+    // q97: the per-key lag replayed verbatim; a key's first event (rn=1)
+    // contributes no transition
+    "q97_event_paths" ->
+      """WITH x AS (SELECT user_id, event_type AS dst,
+  lag(event_type) OVER w AS src, row_number() OVER w AS rn
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT src, dst, count(*) AS n FROM x WHERE rn > 1
+GROUP BY 1, 2 ORDER BY src, dst""",
+    // q98: the bucketed prefix sum computes exactly the global
+    // row_number under (score DESC, id ASC)
+    "q98_global_rank" ->
+      """SELECT doc_id, n_chars,
+  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+FROM documents ORDER BY rank""",
+    // q99: trailing-24-observed-hours z from EXACT integer window sums
+    // (Σn, Σn²) — no Welford accumulation, order-independent
+    "q99_rate_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+  count(*) AS n FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, hour, n,
+  count(n) OVER tw AS w, CAST(sum(n) OVER tw AS BIGINT) AS s,
+  CAST(sum(n * n) OVER tw AS BIGINT) AS s2
+  FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour, n,
+  round(CAST(s AS DOUBLE) / w, 6) AS mean_n,
+  CASE WHEN w < 2 THEN NULL
+       WHEN w * s2 - s * s <= 0 THEN NULL
+       ELSE round((n - CAST(s AS DOUBLE) / w) /
+         sqrt(CAST(w * s2 - s * s AS DOUBLE) / (w * (w - 1))), 6) END AS z
+FROM w ORDER BY event_type, hour""",
+    // q100: D from the same exact integer cumulative counts over
+    // distinct values; the CDFs only jump at observed values so the
+    // post-jump max IS the supremum. NaN/null excluded on both sides.
+    "q100_ks_statistic" ->
+      """WITH v AS (SELECT value,
+    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
+t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+             CAST(sum(nb) AS BIGINT) AS tb FROM v),
+c AS (SELECT CAST(sum(na) OVER (ORDER BY value) AS BIGINT) AS ca,
+             CAST(sum(nb) OVER (ORDER BY value) AS BIGINT) AS cb FROM v)
+SELECT round(max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 6)
+    AS d, ta AS n_a, tb AS n_b
+FROM c CROSS JOIN t GROUP BY ta, tb""",
+    // q101: H = ln(N) − (Σ n·ln n)/N from exact integer counts, the
+    // identical 6-dp rounding on both engines; nulls excluded
+    "q101_entropy_profile" ->
+      """WITH m AS (
+  SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS value
+  FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT 'source', CAST(source AS VARCHAR) FROM documents
+  WHERE source IS NOT NULL),
+g AS (SELECT col_name, value, count(*) AS n FROM m GROUP BY 1, 2),
+p AS (SELECT col_name, count(*) AS n_distinct, max(n) AS mx,
+    CAST(sum(n) AS BIGINT) AS tot,
+    sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snln
+  FROM g GROUP BY 1)
+SELECT col_name, n_distinct, round(CAST(mx AS DOUBLE) / tot, 6) AS top_share,
+  round(ln(CAST(tot AS DOUBLE)) - snln / tot, 6) AS entropy
+FROM p ORDER BY col_name"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

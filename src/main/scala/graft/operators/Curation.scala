@@ -274,6 +274,40 @@ object Curation {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** Global rank (dense total order row_number) of every row under
+    * (`scoreCol` DESC/ASC, `idCol` ASC) — the corpus-wide percentile
+    * machinery behind score blending and cutoff selection — WITHOUT the
+    * single-partition window `row_number().over(Window.orderBy(...))`
+    * plans (one task sorts the corpus; an OOM at 100 TB, the q47/q76
+    * lesson). Ranks come from the same bucketed prefix sum as
+    * [[selectUnderBudget]] with a constant-1 token: approxQuantile
+    * range buckets over the score, per-bucket subtotal offsets
+    * (#buckets driver rows), and a row_number window only WITHIN each
+    * bucket. Returns the input columns plus `rank` (1-based, gapless,
+    * deterministic given unique ids).
+    *
+    * Null/NaN scores and null ids are rejected (NaN sorts opposite to
+    * its quantile bucket — the selectUnderBudget divergence) via the
+    * guard fused into the subtotal aggregate; no dedicated guard
+    * scan. */
+  def globalRank(df: DataFrame, idCol: String, scoreCol: String,
+                 descending: Boolean = true): DataFrame = {
+    require(!df.columns.contains("_one"),
+      "input must not already contain the reserved column `_one`")
+    val order =
+      if (descending) Seq(col(scoreCol).desc, col(idCol).asc)
+      else Seq(col(scoreCol).asc, col(idCol).asc)
+    bucketedCumSum(df.withColumn("_one", lit(1L)), bucketCol = scoreCol,
+      descending = descending, orderCols = order,
+      tokenCol = "_one", cumName = "rank",
+      slimCols = Seq(idCol, scoreCol, "_one"),
+      guards = Seq((col(idCol).isNull || col(scoreCol).isNull ||
+        isnan(col(scoreCol).cast("double")),
+        s"globalRank requires non-null `$idCol` and non-null, non-NaN " +
+          s"`$scoreCol`: found %d offending rows")))
+      .drop("_one")
+  }
+
   /** The distributed prefix sum [[packSequences]] and
     * [[selectUnderBudget]] share: `cumName` = running sum of `tokenCol`
     * over rows ordered by `orderCols` (whose leading dimension is

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-monitoring operators — the data-quality loop AROUND a
+  * 100 TB pipeline (no reference counterpart; the reference's mission is
+  * schema inference, these watch the DATA the schemas describe drift).
+  *
+  * Both operators share one scale shape: the corpus is reduced to a tiny
+  * keyed frame (bins, hours) by ONE map-side-combined hash aggregate per
+  * snapshot, and all statistics run on that frame. The raw rows are never
+  * joined, never windowed, never shuffled beyond the #bins/#hours-row
+  * aggregate exchange.
+  */
+object Drift {
+
+  /** Population Stability Index profile of `valueCol` between a
+    * reference and a current snapshot, over fixed-width bins of
+    * [lo, hi) plus three sentinel bins: −2 (null), −1 (underflow,
+    * value < lo) and `nBins` (overflow, value ≥ hi). Every bin of the
+    * spine appears exactly once in the output even when empty on both
+    * sides — the report shape is fixed by (lo, hi, nBins), not by the
+    * data.
+    *
+    * Shares are Laplace-smoothed over the full spine,
+    * p_b = (n_b + 0.5) / (N + 0.5·(nBins+3)), so an empty-on-one-side
+    * bin contributes a finite PSI term instead of ±∞;
+    * psi_b = (p_cur − p_ref) · ln(p_cur / p_ref), rounded to 6 dp (ln
+    * may differ in the last ulp across engines — the q61/DSIR rounding
+    * convention). Σ psi_b > 0.2 is the conventional "investigate"
+    * threshold; summing is left to the consumer so the per-bin
+    * attribution (WHICH bins moved) survives.
+    *
+    * Bin boundaries are computed as floor((value − lo) / width) in
+    * IEEE double on both engines; pass lo/hi whose width is exactly
+    * representable (e.g. 0/500/20 → 25.0) for bit-stable binning of
+    * boundary values. */
+  def psiProfile(ref: DataFrame, cur: DataFrame, valueCol: String,
+                 lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && nBins <= 100000,
+      s"nBins ($nBins) must be in [1, 100000] — the report is a " +
+        "driver-spine-sized frame, one row per bin")
+    require(hi > lo, s"empty bin range: [$lo, $hi)")
+    val width = (hi - lo) / nBins
+    def binOf(c: Column): Column =
+      when(c.isNull, lit(-2))
+        .when(c < lo, lit(-1))
+        .when(c >= hi, lit(nBins))
+        .otherwise(floor((c - lit(lo)) / lit(width)).cast("int"))
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(binOf(col(valueCol)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(name))
+    val spine = ref.sparkSession.range(-2L, nBins + 1L)
+      .select(col("id").cast("int").as("bin"))
+    val k = nBins + 3 // spine size: nBins interior + null/under/over
+    val joined = spine
+      .join(broadcast(counts(ref, "n_ref")), Seq("bin"), "left")
+      .join(broadcast(counts(cur, "n_cur")), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // smoothed shares need the per-side totals — a 1-row aggregate of
+    // the spine-sized frame, broadcast back (the skewProfile idiom); no
+    // corpus pass and no single-partition window
+    val totals = joined.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+    joined
+      .crossJoin(broadcast(totals))
+      .withColumn("share_ref", round(
+        (col("n_ref") + lit(0.5)) / (col("_tr") + lit(0.5 * k)), 6))
+      .withColumn("share_cur", round(
+        (col("n_cur") + lit(0.5)) / (col("_tc") + lit(0.5 * k)), 6))
+      .withColumn("psi", round(
+        ((col("n_cur") + lit(0.5)) / (col("_tc") + lit(0.5 * k)) -
+          (col("n_ref") + lit(0.5)) / (col("_tr") + lit(0.5 * k))) *
+          log(((col("n_cur") + lit(0.5)) / (col("_tc") + lit(0.5 * k))) /
+            ((col("n_ref") + lit(0.5)) / (col("_tr") + lit(0.5 * k)))), 6))
+      .drop("_tr", "_tc")
+      .orderBy("bin")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+    * distributions of two snapshots: D = max over observed values of
+    * |F_a(x) − F_b(x)| (empirical CDFs, evaluated right after each
+    * jump — where the supremum of a step function lives). The
+    * complement to [[psiProfile]]: PSI needs a binning choice, KS is
+    * binning-free and exact. Returns ONE row (d, n_a, n_b), d rounded
+    * to 6 dp. Nulls and NaNs are excluded on both sides (a CDF over
+    * real values); both sides must be non-empty.
+    *
+    * Scale shape: the corpus collapses to one row per DISTINCT value
+    * in a single map-side-combined hash aggregate over the tagged
+    * union (no join). The running sums over that collapsed frame use
+    * the [[Curation.selectUnderBudget]] bucketed-prefix-sum idiom —
+    * approxQuantile range buckets, per-bucket subtotals (one tiny
+    * driver round-trip carrying BOTH sides' sums), and a window only
+    * WITHIN each bucket — never a single-partition sort. The two
+    * cumulative sums ride one shared bucketing (a two-token variant;
+    * two `bucketedCumSum` calls would quantile-scan twice and could
+    * disagree on bounds). The final max is a 1-row aggregate computed
+    * eagerly while the collapsed frame is cached; the returned frame
+    * is a local 1-row table. */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val ss = a.sparkSession
+    val tagged = a.select(col(valueCol).cast("double").as("_v"),
+        lit(1L).as("_ia"), lit(0L).as("_ib"))
+      .unionByName(b.select(col(valueCol).cast("double").as("_v"),
+        lit(0L).as("_ia"), lit(1L).as("_ib")))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+    val v = tagged.groupBy("_v")
+      .agg(sum("_ia").as("_na"), sum("_ib").as("_nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBuckets = math.max(1, ss.sparkContext.defaultParallelism)
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val bounds =
+        if (probs.isEmpty) Array.empty[Double]
+        else v.stat.approxQuantile("_v", probs, 0.001)
+      val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
+        case (e, (bd, i)) => when(col("_v") > bd, i + 1).otherwise(e)
+      }
+      val rows = v.withColumn("_bkt", bucketExpr).groupBy("_bkt")
+        .agg(sum("_na").as("_sa"), sum("_nb").as("_sb")).collect()
+        .map(r => (r.getInt(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2)))
+        .sortBy(_._1)
+      val ta = rows.map(_._2).sum
+      val tb = rows.map(_._3).sum
+      require(ta > 0 && tb > 0,
+        s"ksStatistic requires two non-empty samples (n_a=$ta, n_b=$tb)")
+      def offsetExpr(sums: Array[(Int, Long)]): Column = {
+        val offs = sums.scanLeft((0, 0L)) {
+          case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
+        }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }
+        offs.foldLeft(lit(0L)) { case (e, (bkt, off)) =>
+          when(col("_bkt") === bkt, lit(off)).otherwise(e)
+        }
+      }
+      val w = Window.partitionBy("_bkt").orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d = v.withColumn("_bkt", bucketExpr)
+        .withColumn("_ca", sum("_na").over(w) + offsetExpr(rows.map(t => (t._1, t._2))))
+        .withColumn("_cb", sum("_nb").over(w) + offsetExpr(rows.map(t => (t._1, t._3))))
+        .agg(round(max(abs(col("_ca").cast("double") / ta -
+          col("_cb").cast("double") / tb)), 6).as("d"))
+        .collect()(0).getDouble(0)
+      import ss.implicits._
+      Seq((d, ta, tb)).toDF("d", "n_a", "n_b")
+    } finally v.unpersist(false)
+  }
+
+  /** Categorical-column profile: for each listed column, the distinct
+    * value count, the modal share, and the Shannon entropy (nats) of
+    * the value distribution — the concentration statistics that flag a
+    * collapsed upstream join (entropy ≈ 0) or an exploding key space
+    * before either poisons a training mix. Nulls are excluded (null
+    * rates belong to the inference profile); values compare as their
+    * string forms.
+    *
+    * One corpus scan for ALL columns: the row is `stack`-melted into
+    * (col_name, value) pairs and both aggregates are map-side-combined
+    * hash aggs over ≤ Σ per-column distincts keys. Entropy derives
+    * from exact integer counts, H = ln(N) − (Σ n·ln n)/N, rounded to
+    * 6 dp (double Σ over group terms — the q61/DSIR rounding
+    * convention absorbs last-ulp summation-order drift). */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "entropyProfile needs at least one column")
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)")
+      .mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, value)")
+      .filter(col("value").isNotNull)
+      .groupBy("col_name", "value").agg(count(lit(1)).as("n"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_distinct"),
+        max("n").as("_mx"), sum("n").as("_tot"),
+        sum(col("n").cast("double") * log(col("n").cast("double")))
+          .as("_snln"))
+      .select(col("col_name"), col("n_distinct"),
+        round(col("_mx").cast("double") / col("_tot"), 6).as("top_share"),
+        round(log(col("_tot").cast("double")) - col("_snln") / col("_tot"), 6)
+          .as("entropy"))
+      .orderBy("col_name")
+  }
+
+  /** Event-rate anomaly detection: bucket events into (groupCol,
+    * truncated hour) counts, then score each hour against the mean and
+    * sample stddev of the TRAILING `trailing` observed hours of the
+    * same group — z = (n − mean) / std, null when the trailing window
+    * holds < 2 hours or is constant (std 0). Hours with zero events do
+    * not appear (the hourly frame only has observed hours); a true
+    * gap-aware monitor would join a generated hour spine first —
+    * deliberately out of scope, the trailing-observed contract is what
+    * the oracle replays.
+    *
+    * Determinism: mean and std are derived from EXACT integer window
+    * sums (Σn, Σn² over bigint counts — order-independent, no Welford
+    * accumulation drift across engines), combined in one double
+    * formula rounded to 6 dp: std² = (w·Σn² − (Σn)²) / (w·(w−1)).
+    *
+    * Scale: the corpus collapses to the hourly frame in one hash
+    * aggregate; the window runs per group over ≤ hours-per-month rows
+    * each. */
+  def hourlyRateAnomaly(df: DataFrame, groupCol: String, tsCol: String,
+                        trailing: Int): DataFrame = {
+    require(trailing >= 2,
+      s"trailing ($trailing) must be ≥ 2: stddev needs two observations")
+    val hourly = df
+      .select(col(groupCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .groupBy(col(groupCol), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCol).orderBy("hour")
+      .rowsBetween(-trailing, -1)
+    hourly
+      .withColumn("_w", count(col("n")).over(w))
+      .withColumn("_s", sum(col("n")).over(w))
+      .withColumn("_s2", sum(col("n") * col("n")).over(w))
+      .withColumn("mean_n", round(col("_s").cast("double") / col("_w"), 6))
+      .withColumn("z", when(col("_w") < 2, lit(null).cast("double"))
+        .otherwise {
+          val varTimes = col("_w") * col("_s2") - col("_s") * col("_s")
+          when(varTimes <= 0, lit(null).cast("double"))
+            .otherwise(round(
+              (col("n") - col("_s").cast("double") / col("_w")) /
+                sqrt(varTimes.cast("double") /
+                  (col("_w") * (col("_w") - 1)).cast("double")), 6))
+        })
+      .drop("_w", "_s", "_s2")
+      .orderBy(groupCol, "hour")
+  }
+}

@@ -309,4 +309,30 @@ object TemporalJoins {
         (least(col("e_a"), col("e_b")) -
           greatest(col("s_a"), col("s_b"))).as("overlap_us"))
   }
+
+  /** First-order transition counts (the Markov-chain edge list behind
+    * funnel and path analysis): per `key`, order events by (tsCol,
+    * tiebreak) and count each observed consecutive (src → dst) state
+    * pair across the whole frame. A key's first event has no
+    * predecessor and contributes nothing; null states are legal
+    * transition endpoints (counted like any value). Returns
+    * (src, dst, n).
+    *
+    * Scale: the only window is the per-key lag (partitioned by the
+    * key — no global sort), and the transition aggregate is a hash agg
+    * over ≤ |states|² keys with map-side partial combine. Skewed keys
+    * cost one task their event count — the same exposure (and the same
+    * salting escape) as [[asOf]] vs [[asOfSalted]]. */
+  def transitionCounts(df: DataFrame, key: String, tsCol: String,
+                       stateCol: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col(tiebreak).asc)
+    df.select(col(key), col(tsCol), col(tiebreak),
+        col(stateCol).as("dst"))
+      .withColumn("src", lag(col("dst"), 1).over(w))
+      .withColumn("_first", row_number().over(w) === 1)
+      .filter(!col("_first"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

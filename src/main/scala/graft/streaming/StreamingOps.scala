@@ -128,6 +128,33 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming drift monitor: score each micro-batch's `valueCol`
+    * distribution against a STATIC reference snapshot with
+    * [[graft.operators.Drift.psiProfile]] and hand the per-bin PSI
+    * report to `sink`. Per-batch scoring is stateless (each report
+    * stands alone against the fixed reference), so the batch operator
+    * applies verbatim inside `foreachBatch` — the
+    * [[decontaminateStream]] shape; no streaming state, nothing to
+    * watermark. Batch-twin parity is asserted in StreamingOpsSpec.
+    *
+    * An EMPTY micro-batch still produces a full-spine report (all-zero
+    * `n_cur` — maximum observable drift under smoothing): a silent
+    * upstream stall looks exactly like a drifted distribution, which
+    * is the alarm a rate monitor wants. */
+  def psiMonitorStream(stream: DataFrame, reference: DataFrame,
+                       valueCol: String, lo: Double, hi: Double,
+                       nBins: Int, checkpoint: String)
+                      (sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Drift.psiProfile(
+          reference, batch, valueCol, lo, hi, nBins))
+      }
+      .start()
+
   /** Watermarked stream-stream interval join: each purchase joined to
     * the same user's clicks within the preceding `windowMinutes`
     * (click-to-purchase attribution). Both sides carry event-time
@@ -328,6 +355,72 @@ object StreamingOps {
           state.setTimeoutTimestamp(
             math.max(fireAtMs, state.getCurrentWatermarkMs() + 1))
         }) _)
+  }
+
+  // ---------- streaming SCD2 (state-run collapse) ----------
+
+  final case class RunState(state: Option[String], start: Long,
+                            last: Long, n: Int)
+  final case class StateInterval(user_id: Long, state: String,
+                                 valid_from: java.sql.Timestamp,
+                                 valid_to: java.sql.Timestamp,
+                                 n_events: Int)
+
+  /** Streaming twin of [[graft.operators.TemporalJoins.scd2Collapse]]:
+    * per key, maintain the OPEN state run; when an event carries a
+    * different state, close the run at the new event's timestamp and
+    * emit it as a validity interval. Emits CLOSED intervals only — the
+    * open run is the key's current dimension state and lives in the
+    * store (append mode cannot retract it; batch-side readers get it
+    * from scd2Collapse's null-valid_to row).
+    *
+    * Ordering contract: events fold in (ts, state) order within each
+    * micro-batch; the watermark bounds cross-batch disorder. A
+    * cross-batch late event that lands BEHIND the open run's last
+    * event merges if it carries the same state, else it emits as its
+    * own closed singleton interval — already-emitted history is never
+    * retro-split (the sessionizer's documented at-once semantics).
+    * State per key is one (state, start, last, n) record — O(keys),
+    * deliberately NOT evicted: the open run IS the key's current
+    * state, exactly what a CDC dimension keeps forever. */
+  def scd2Stream(events: Dataset[Event], watermark: String)
+      : Dataset[StateInterval] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, StateInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(foldRuns _)
+  }
+
+  private def foldRuns(userId: Long, rows: Iterator[Event],
+      state: GroupState[RunState]): Iterator[StateInterval] = {
+    val sorted = rows.toSeq.sortBy(e =>
+      (toMicros(e.ts), Option(e.event_type).getOrElse("")))
+    var closed = List.empty[StateInterval]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val t = toMicros(e.ts)
+      val st = Option(e.event_type)
+      cur match {
+        case Some(r) if t < r.last =>
+          if (st == r.state)
+            cur = Some(r.copy(start = math.min(r.start, t), n = r.n + 1))
+          else
+            closed ::= StateInterval(userId, e.event_type,
+              fromMicros(t), fromMicros(t), 1)
+        case Some(r) if st == r.state =>
+          cur = Some(r.copy(last = t, n = r.n + 1))
+        case Some(r) =>
+          closed ::= StateInterval(userId, r.state.orNull,
+            fromMicros(r.start), fromMicros(t), r.n)
+          cur = Some(RunState(st, t, t, 1))
+        case None =>
+          cur = Some(RunState(st, t, t, 1))
+      }
+    }
+    cur.foreach(state.update)
+    closed.reverseIterator
   }
 
   /** Batch reference implementation of the same sessionization (for

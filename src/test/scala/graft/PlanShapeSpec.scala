@@ -284,5 +284,70 @@ class PlanShapeSpec extends SparkSpec {
     val p92 = finalPlan(q("q92_skew_profile"))
     assert(p92.contains("TakeOrderedAndProject"),
       s"skew profile must cut top-k per partition:\n$p92")
+    // q94 salted join: still an equi-join (hash/sort-merge on the
+    // salted key), never a product
+    val p94 = finalPlan(q("q94_salted_join"))
+    assert(!p94.contains("CartesianProduct") &&
+      !p94.contains("BroadcastNestedLoopJoin"),
+      s"salted join must remain an equi-join:\n$p94")
+    // q95 weighted sampling: one expression pass + TakeOrdered top-k —
+    // no shuffle of the corpus, no window
+    val p95 = finalPlan(q("q95_weighted_sample"))
+    assert(p95.contains("TakeOrderedAndProject"),
+      s"weighted sampling must cut top-k per partition:\n$p95")
+    assert(!p95.contains("Window"),
+      s"weighted sampling must not window the corpus:\n$p95")
+  }
+
+  test("q96/q99 drift monitors reduce the corpus before any join or window") {
+    // psi: the corpus collapses to #bins-row count frames; those (and
+    // the 1-row totals) broadcast onto the spine — the corpus itself is
+    // never sort-merge joined and never windowed
+    val p96 = finalPlan(q("q96_drift_psi"))
+    assert(p96.contains("BroadcastHashJoin") ||
+      p96.contains("BroadcastNestedLoopJoin"),
+      s"bin counts and totals must broadcast onto the spine:\n$p96")
+    assert(!p96.contains("SortMergeJoin"),
+      s"nothing in the psi plan is big enough to sort-merge:\n$p96")
+    assert(!p96.contains("Window"),
+      s"psi must not window anything:\n$p96")
+    // rate anomaly: the ONLY window runs over the post-aggregate hourly
+    // frame, partitioned by the group column — never a single partition
+    val p99 = finalPlan(q("q99_rate_anomaly"))
+    assert(!p99.contains("Exchange SinglePartition"),
+      s"the anomaly window must stay group-partitioned:\n$p99")
+  }
+
+  test("q100/q101: KS is a local 1-row result; entropy is pure hash aggs") {
+    // q100 computes eagerly (the bucketed prefix sums and the 1-row
+    // max run while the collapsed value frame is cached — DriftSpec
+    // pins the distributed reference equality at size); what the gate
+    // plan shows is the local 1-row table
+    val p100 = finalPlan(q("q100_ks_statistic"))
+    assert(p100.contains("LocalTableScan"),
+      s"ks result must be a local 1-row frame:\n$p100")
+    // q101: melt + two chained hash aggregates — no window, no join
+    val p101 = finalPlan(q("q101_entropy_profile"))
+    assert(p101.contains("HashAggregate"),
+      s"entropy must hash-aggregate:\n$p101")
+    assert(!p101.contains("Window") && !p101.contains("Join"),
+      s"entropy profile needs neither window nor join:\n$p101")
+  }
+
+  test("q98 global rank never funnels into a single partition") {
+    // the point of the bucketed prefix sum: the classic
+    // row_number().over(orderBy(...)) would plan Exchange
+    // SinglePartition and sort the corpus in one task
+    val p98 = finalPlan(q("q98_global_rank"))
+    assert(!p98.contains("Exchange SinglePartition"),
+      s"global rank must not sort the corpus in one task:\n$p98")
+  }
+
+  test("q97 event paths: the lag window is key-partitioned, agg is hash") {
+    val p97 = finalPlan(q("q97_event_paths"))
+    assert(!p97.contains("Exchange SinglePartition"),
+      s"the transition lag must partition by the key:\n$p97")
+    assert(p97.contains("HashAggregate"),
+      s"transition tallies must hash-aggregate:\n$p97")
   }
 }

@@ -260,11 +260,20 @@ class CurationSpec extends SparkSpec {
     // plus one AQE-staged pair) and the fused subtotal collect is one
     // AQE pair (2) → 5; the old dedicated guard scan added 2 more, so
     // a bound of 5 catches any reintroduced extra pass.
+    // suites share one SparkContext and may run concurrently, so a raw
+    // job counter would tally OTHER suites' jobs and false-fail; tag
+    // this operator's jobs with a job group (inherited by jobs
+    // submitted from this thread) and count only those
+    val group = s"curation-pass-count-${System.nanoTime()}"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        if (js.properties != null &&
+          group == js.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet()
+        }
+        ()
       }
     }
     val df = spark.range(5000).toDF("id")
@@ -272,13 +281,17 @@ class CurationSpec extends SparkSpec {
       .withColumn("tok", ($"id" % 5 + 1).cast("long"))
     spark.sparkContext.addSparkListener(listener)
     try {
+      spark.sparkContext.setJobGroup(group, "pass-count canary")
       Curation.selectUnderBudget(df, "id", "score", "tok", 1000L)
       // listener events post asynchronously; give the bus time to
       // drain (an undercount only weakens this canary — it can pass
       // trivially, never false-fail — so a generous sleep suffices;
       // the bus API itself is private[spark])
       Thread.sleep(3000)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
     assert(jobs.get() <= 5,
       s"operator construction should need ≤5 jobs (2 passes), ran ${jobs.get()}")
   }
@@ -475,5 +488,38 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.weightedSample(df, "id", "w", 0)
     }
+  }
+
+  test("globalRank equals the single-window row_number, without planning one") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, (i * 37 % 211).toDouble))
+      .toDF("id", "score")
+    val got = Curation.globalRank(df, "id", "score")
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val want = (1L to 500L).map(i => (i, (i * 37 % 211).toDouble))
+      .sortBy { case (i, s) => (-s, i) }
+      .zipWithIndex.map { case ((i, _), r) => (i, r + 1L) }.toMap
+    assert(got == want)
+    // ascending variant
+    val asc = Curation.globalRank(df, "id", "score", descending = false)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val wantAsc = (1L to 500L).map(i => (i, (i * 37 % 211).toDouble))
+      .sortBy { case (i, s) => (s, i) }
+      .zipWithIndex.map { case ((i, _), r) => (i, r + 1L) }.toMap
+    assert(asc == wantAsc)
+  }
+
+  test("globalRank rejects null and NaN scores via the fused guard") {
+    import spark.implicits._
+    val bad = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "score")
+    val e = intercept[Exception] {
+      Curation.globalRank(bad, "id", "score").collect()
+    }
+    assert(e.getMessage.contains("globalRank requires"))
+    val nan = Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "score")
+    val e2 = intercept[Exception] {
+      Curation.globalRank(nan, "id", "score").collect()
+    }
+    assert(e2.getMessage.contains("globalRank requires"))
   }
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psiProfile: identical snapshots score zero drift on every bin") {
+    val d = Seq(1.0, 5.0, 5.0, 12.0, 25.0).toDF("v")
+    val out = Drift.psiProfile(d, d, "v", lo = 0.0, hi = 30.0, nBins = 3)
+      .collect()
+    // fixed spine: -2, -1, 0, 1, 2, 3 — present even when empty
+    assert(out.map(_.getInt(0)).toSeq == Seq(-2, -1, 0, 1, 2, 3))
+    assert(out.forall(_.getDouble(5) == 0.0),
+      s"identical snapshots must have psi = 0: ${out.mkString(", ")}")
+    // bin 0 covers [0,10): values 1, 5, 5
+    val b0 = out.find(_.getInt(0) == 0).get
+    assert(b0.getLong(1) == 3 && b0.getLong(2) == 3)
+  }
+
+  test("psiProfile: sentinel bins catch null, underflow, and overflow") {
+    val ref = Seq(Some(5.0), Some(15.0)).toDF("v")
+    val cur = Seq(None, Some(-3.0), Some(99.0)).toDF("v")
+    val rows = Drift.psiProfile(ref, cur, "v", 0.0, 20.0, 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(-2) == (0L, 1L), "null lands in bin -2")
+    assert(rows(-1) == (0L, 1L), "value < lo lands in bin -1")
+    assert(rows(2) == (0L, 1L), "value >= hi lands in the overflow bin")
+    assert(rows(0) == (1L, 0L) && rows(1) == (1L, 0L))
+  }
+
+  test("psiProfile: a shifted distribution yields positive total PSI") {
+    val ref = (1 to 100).map(_.toDouble % 10).toDF("v")
+    val cur = (1 to 100).map(i => (i.toDouble % 10) + 5).toDF("v")
+    val total = Drift.psiProfile(ref, cur, "v", 0.0, 20.0, 4)
+      .agg(sum("psi")).as[Double].head()
+    assert(total > 0.2, s"a 5-unit shift must exceed the 0.2 alarm: $total")
+  }
+
+  test("hourlyRateAnomaly: null z for empty and constant trailing windows") {
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // 10 steady hours of 2 events, then a 12-event spike hour, then a
+    // 1-event hour whose trailing window finally has variance
+    val steady = (0 until 10).flatMap(h => Seq(("a", ts(h, 0)), ("a", ts(h, 30))))
+    val spike = (0 until 12).map(m => ("a", ts(10, m)))
+    val rows = steady ++ spike :+ ("a", ts(11, 0))
+    val zs = Drift.hourlyRateAnomaly(rows.toDF("g", "ts"), "g", "ts",
+      trailing = 8)
+      .select("hour", "z").collect()
+      .map(r => r.getTimestamp(0).toString -> Option(r.get(1))).toMap
+    // first hour: empty trailing window → null z
+    assert(zs("2024-01-01 00:00:00.0").isEmpty)
+    // steady hour against a constant window: std = 0 → null z (a
+    // deviation from a zero-variance history has no scale)
+    assert(zs("2024-01-01 05:00:00.0").isEmpty)
+    assert(zs("2024-01-01 10:00:00.0").isEmpty,
+      "the spike itself follows a constant window: z must be null")
+    // the hour AFTER the spike sees variance; 1 event ≪ spiked mean
+    val post = zs("2024-01-01 11:00:00.0")
+    assert(post.isDefined && post.get.asInstanceOf[Double] < 0,
+      s"a 1-event hour after a spike must score negative z: $post")
+  }
+
+  test("ksStatistic: identical samples score 0, disjoint samples score 1") {
+    val a = Seq(1.0, 2.0, 2.0, 7.0).toDF("v")
+    assert(Drift.ksStatistic(a, a, "v").collect()(0).getDouble(0) == 0.0)
+    val b = Seq(100.0, 200.0).toDF("v")
+    val r = Drift.ksStatistic(a, b, "v").collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getLong(1) == 4 && r.getLong(2) == 2)
+  }
+
+  test("ksStatistic: D matches the hand-computed step-function supremum") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: at x=2, F_a=0.5, F_b=0 → D=0.5
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    assert(Drift.ksStatistic(a, b, "v").collect()(0).getDouble(0) == 0.5)
+    // nulls and NaN are excluded, not counted into n
+    val an = Seq(Some(1.0), Some(2.0), None, Some(Double.NaN)).toDF("v")
+    val r = Drift.ksStatistic(an, b, "v").collect()(0)
+    assert(r.getLong(1) == 2, s"null/NaN must not count: $r")
+  }
+
+  test("ksStatistic: matches a single-partition-window reference at size") {
+    // large enough that values spread across the quantile buckets, so
+    // the per-bucket offsets are actually exercised
+    val a = (1 to 5000).map(i => (i * 37 % 211).toDouble).toDF("v")
+    val b = (1 to 4000).map(i => (i * 53 % 211 + 30).toDouble).toDF("v")
+    val d = Drift.ksStatistic(a, b, "v").collect()(0).getDouble(0)
+    // reference: brute-force CDF comparison on the driver
+    val av = (1 to 5000).map(i => (i * 37 % 211).toDouble).sorted
+    val bv = (1 to 4000).map(i => (i * 53 % 211 + 30).toDouble).sorted
+    val want = (av ++ bv).distinct.map { x =>
+      math.abs(av.count(_ <= x).toDouble / av.size -
+        bv.count(_ <= x).toDouble / bv.size)
+    }.max
+    assert(d == math.rint(want * 1e6) / 1e6, s"got $d, want $want")
+  }
+
+  test("ksStatistic rejects an empty side") {
+    val a = Seq(1.0).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Drift.ksStatistic(a, a.filter($"v" > 9), "v")
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("entropyProfile: distincts, modal share, and entropy per column") {
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "book"), ("de", null))
+      .toDF("lang", "source")
+    val rows = Drift.entropyProfile(df, Seq("lang", "source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // lang: {en:3, de:1} → H = ln4 − (3·ln3)/4
+    val hLang = math.log(4) - 3 * math.log(3) / 4
+    assert(rows("lang")._1 == 2 && rows("lang")._2 == 0.75)
+    assert(rows("lang")._3 == math.rint(hLang * 1e6) / 1e6)
+    // source: null excluded → {web:2, book:1} over N=3
+    val hSrc = math.log(3) - 2 * math.log(2) / 3
+    assert(rows("source")._1 == 2)
+    assert(rows("source")._2 == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(rows("source")._3 == math.rint(hSrc * 1e6) / 1e6)
+  }
+
+  test("entropyProfile: a constant column scores zero entropy") {
+    val df = Seq.fill(10)(("x", 1)).toDF("c", "n")
+    val r = Drift.entropyProfile(df, Seq("c")).collect()(0)
+    assert(r.getLong(1) == 1 && r.getDouble(2) == 1.0 &&
+      r.getDouble(3) == 0.0)
+  }
+
+  test("hourlyRateAnomaly: z matches the hand-computed sample formula") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // window for hour 3 = counts of hours 0..2 = (1, 2, 3)
+    val rows = Seq.fill(1)(("g", ts(0))) ++ Seq.fill(2)(("g", ts(1))) ++
+      Seq.fill(3)(("g", ts(2))) ++ Seq.fill(6)(("g", ts(3)))
+    val z = Drift.hourlyRateAnomaly(rows.toDF("g", "ts"), "g", "ts", 4)
+      .filter($"hour" === ts(3)).select("z").as[Double].head()
+    // mean 2, var ((1-2)^2+(2-2)^2+(3-2)^2)/2 = 1, z = (6-2)/1 = 4
+    assert(z == 4.0, s"expected z = 4.0, got $z")
+  }
+}

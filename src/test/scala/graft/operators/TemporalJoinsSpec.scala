@@ -412,4 +412,37 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.except(naive).count() == 0)
     assert(naive.except(got).count() == 0)
   }
+
+  test("transitionCounts tallies consecutive pairs per key, skipping firsts") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 100L, "view"),
+      (1L, ts(1), 101L, "click"),
+      (1L, ts(2), 102L, "click"),
+      (2L, ts(0), 200L, "view"),
+      (2L, ts(5), 201L, "purchase"),
+      (3L, ts(9), 300L, "signup")) // single event: no transition
+      .toDF("uid", "ts", "eid", "state")
+    val got = TemporalJoins.transitionCounts(ev, "uid", "ts", "state", "eid")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("view", "click", 1L), ("click", "click", 1L),
+      ("view", "purchase", 1L)))
+  }
+
+  test("transitionCounts: null states are countable endpoints; ties break by tiebreak") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // two events share ts(1): eid order decides the path
+    val ev = Seq(
+      (1L, ts(0), 1L, null.asInstanceOf[String]),
+      (1L, ts(1), 2L, "a"),
+      (1L, ts(1), 3L, "b"))
+      .toDF("uid", "ts", "eid", "state")
+    val got = TemporalJoins.transitionCounts(ev, "uid", "ts", "state", "eid")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set((null, "a", 1L), ("a", "b", 1L)),
+      s"null src must count and (ts, eid) must order the path: $got")
+  }
 }

@@ -292,6 +292,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.sorted.toSeq == batchWant && batchWant == Seq(2L, 3L))
   }
 
+  test("streaming PSI monitor scores each micro-batch against the reference") {
+    import org.apache.spark.sql.DataFrame
+    val reference = Seq(1.0, 5.0, 5.0, 12.0, 25.0).toDF("value")
+    val mem = MemoryStream[Double](spark)
+    mem.addData(1.0, 5.0, 5.0, 12.0, 25.0) // identical to the reference
+    val reports = scala.collection.mutable.ArrayBuffer[Seq[(Int, Double)]]()
+    val q = StreamingOps.psiMonitorStream(
+      mem.toDF().toDF("value"), reference, "value",
+      lo = 0.0, hi = 30.0, nBins = 3,
+      s"/tmp/graft-stream-ckpt-${System.nanoTime()}") { rep: DataFrame =>
+      reports.synchronized {
+        reports += rep.select("bin", "psi").as[(Int, Double)]
+          .collect().toSeq
+      }
+    }
+    q.awaitTermination(30000)
+    // identical distribution → psi 0 on every spine bin, exactly the
+    // batch operator's answer on the same frames
+    assert(reports.nonEmpty)
+    assert(reports.head.map(_._1) == Seq(-2, -1, 0, 1, 2, 3))
+    assert(reports.head.forall(_._2 == 0.0),
+      s"identical micro-batch must score zero drift: ${reports.head}")
+  }
+
   test("stateless quality filters are stream-safe: streamed ≡ batch") {
     // gopherQualityFlags and c4LineFilter are pure per-row expression
     // passes, so they must compose into readStream unchanged — this
@@ -586,5 +610,75 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, ts("2024-01-01 01:05:00"), ts("2024-01-01 01:05:00"), 1),
       (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2)),
       s"old event must be its own closed session (got $closed)")
+  }
+
+  test("streaming SCD2 emits exactly the batch twin's closed intervals") {
+    val b1 = Seq(
+      StreamingOps.Event(1L, ts("2024-01-01 00:00:00"), "A"),
+      StreamingOps.Event(1L, ts("2024-01-01 01:00:00"), "A"),
+      StreamingOps.Event(1L, ts("2024-01-01 02:00:00"), "B"),
+      StreamingOps.Event(2L, ts("2024-01-01 00:30:00"), "X"))
+    val b2 = Seq(
+      StreamingOps.Event(1L, ts("2024-01-01 03:00:00"), "A"), // closes B
+      StreamingOps.Event(2L, ts("2024-01-01 04:00:00"), "X"), // extends X
+      StreamingOps.Event(2L, ts("2024-01-01 05:00:00"), "Y")) // closes X
+    val mem = MemoryStream[StreamingOps.Event](spark)
+    val q = StreamingOps.scd2Stream(mem.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+      .start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scd2_stream")
+      .select("user_id", "state", "valid_from", "valid_to", "n_events")
+      .as[(Long, String, Timestamp, Timestamp, Int)].collect().toSet
+    // batch twin over the union: its CLOSED rows are the contract
+    val batch = graft.operators.TemporalJoins.scd2Collapse(
+      (b1 ++ b2).toDF().select($"user_id", $"ts", $"event_type"),
+      "user_id", "ts", "event_type", tiebreak = "event_type")
+      .filter($"valid_to".isNotNull)
+      .select($"user_id", $"state", $"valid_from", $"valid_to",
+        $"n_events".cast("int"))
+      .as[(Long, String, Timestamp, Timestamp, Int)].collect().toSet
+    assert(got == batch, s"streamed closed intervals diverge:\n$got\n$batch")
+    assert(got == Set(
+      (1L, "A", ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00"), 2),
+      (1L, "B", ts("2024-01-01 02:00:00"), ts("2024-01-01 03:00:00"), 1),
+      (2L, "X", ts("2024-01-01 00:30:00"), ts("2024-01-01 05:00:00"), 2)))
+  }
+
+  test("streaming SCD2: a late cross-batch event cannot retro-split history") {
+    val mem = MemoryStream[StreamingOps.Event](spark)
+    val q = StreamingOps.scd2Stream(mem.toDS(), watermark = "10 hours")
+      .writeStream.format("memory").queryName("scd2_late")
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+      .start()
+    mem.addData(
+      StreamingOps.Event(1L, ts("2024-01-01 02:00:00"), "A"),
+      StreamingOps.Event(1L, ts("2024-01-01 03:00:00"), "A"))
+    q.processAllAvailable()
+    // late, within-watermark, DIFFERENT state, behind the open run:
+    // emitted as its own closed singleton, open A run untouched
+    mem.addData(StreamingOps.Event(1L, ts("2024-01-01 00:30:00"), "Q"))
+    q.processAllAvailable()
+    // late SAME state: merges into the open run (extends start), no emit
+    mem.addData(StreamingOps.Event(1L, ts("2024-01-01 01:30:00"), "A"))
+    q.processAllAvailable()
+    // a new state closes the open run: valid_from must reflect the
+    // merged 01:30 start and n the merged count
+    mem.addData(StreamingOps.Event(1L, ts("2024-01-01 06:00:00"), "B"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scd2_late")
+      .select("user_id", "state", "valid_from", "valid_to", "n_events")
+      .as[(Long, String, Timestamp, Timestamp, Int)].collect().toSet
+    assert(got == Set(
+      (1L, "Q", ts("2024-01-01 00:30:00"), ts("2024-01-01 00:30:00"), 1),
+      (1L, "A", ts("2024-01-01 01:30:00"), ts("2024-01-01 06:00:00"), 3)))
   }
 }
