@@ -1105,6 +1105,21 @@ object SparkEntry {
     //      share, Shannon entropy) ----
     "q101_entropy_profile" -> ((s, dir) => {
       Drift.entropyProfile(t(s, dir, "documents"), Seq("lang", "source"))
+    }),
+    // ---- chi-square independence profile (lang × source
+    //      contingency attribution) ----
+    "q102_chisq_profile" -> ((s, dir) => {
+      Drift.chiSquareProfile(t(s, dir, "documents"), "lang", "source")
+    }),
+    // ---- OHLC time-bucket downsampling (series compaction) ----
+    "q103_ohlc_resample" -> ((s, dir) => {
+      TemporalJoins.resampleOhlc(t(s, dir, "events"), "event_type",
+        "ts", "value", tiebreak = "event_id")
+    }),
+    // ---- Pearson correlation matrix from one fused aggregate ----
+    "q104_corr_matrix" -> ((s, dir) => {
+      Drift.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     })
   )
 
@@ -2273,7 +2288,79 @@ p AS (SELECT col_name, count(*) AS n_distinct, max(n) AS mx,
   FROM g GROUP BY 1)
 SELECT col_name, n_distinct, round(CAST(mx AS DOUBLE) / tot, 6) AS top_share,
   round(ln(CAST(tot AS DOUBLE)) - snln / tot, 6) AS entropy
-FROM p ORDER BY col_name"""
+FROM p ORDER BY col_name""",
+    // q102: the full margin-cross spine (never-co-occurring cells
+    // included — their expected counts carry the statistic); contrib
+    // computed from the UNROUNDED expected, then rounded, both engines
+    "q102_chisq_profile" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+ct AS (SELECT source, CAST(sum(n) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM cells)
+SELECT rt.lang, ct.source, coalesce(cells.n, 0) AS n,
+  round(CAST(rtot AS DOUBLE) * ctot / grand, 6) AS expected,
+  round(pow(coalesce(cells.n, 0) - CAST(rtot AS DOUBLE) * ctot / grand, 2) /
+    (CAST(rtot AS DOUBLE) * ctot / grand), 6) AS contrib
+FROM rt CROSS JOIN ct
+LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source
+CROSS JOIN tot ORDER BY rt.lang, ct.source""",
+    // q103: arg_min/arg_max over the identical zero-padded
+    // (epoch_us, event_id) scalar order key — aggregate-only, no window
+    "q103_ohlc_resample" ->
+      """SELECT event_type, date_trunc('hour', ts) AS bucket,
+  arg_min(value, printf('%020d|%020d', epoch_us(ts), event_id)) AS open,
+  max(value) AS high, min(value) AS low,
+  arg_max(value, printf('%020d|%020d', epoch_us(ts), event_id)) AS close,
+  count(*) AS n, round(avg(value), 6) AS mean_value
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q104: moment sums as exact DECIMAL(38,10) (order-independent on
+    // both engines), correlation formula in IEEE double on those sums
+    "q104_corr_matrix" ->
+      """WITH s AS (SELECT count(*) AS n,
+  sum(CAST(l_quantity AS DECIMAL(38,10))) AS s0,
+  sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS s1,
+  sum(CAST(l_discount AS DECIMAL(38,10))) AS s2,
+  sum(CAST(l_tax AS DECIMAL(38,10))) AS s3,
+  sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS p00,
+  sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS p01,
+  sum(CAST(l_quantity * l_discount AS DECIMAL(38,10))) AS p02,
+  sum(CAST(l_quantity * l_tax AS DECIMAL(38,10))) AS p03,
+  sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS p11,
+  sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))) AS p12,
+  sum(CAST(l_extendedprice * l_tax AS DECIMAL(38,10))) AS p13,
+  sum(CAST(l_discount * l_discount AS DECIMAL(38,10))) AS p22,
+  sum(CAST(l_discount * l_tax AS DECIMAL(38,10))) AS p23,
+  sum(CAST(l_tax * l_tax AS DECIMAL(38,10))) AS p33
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
+SELECT col_a, col_b, round(
+  (CAST(n AS DOUBLE) * pij - si * sj) /
+  sqrt((CAST(n AS DOUBLE) * pii - si * si) *
+       (CAST(n AS DOUBLE) * pjj - sj * sj)), 6) AS corr
+FROM (
+  SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+    CAST(p12 AS DOUBLE) AS pij, CAST(s2 AS DOUBLE) AS si,
+    CAST(s1 AS DOUBLE) AS sj, CAST(p22 AS DOUBLE) AS pii,
+    CAST(p11 AS DOUBLE) AS pjj, n FROM s
+  UNION ALL SELECT 'l_discount', 'l_quantity',
+    CAST(p02 AS DOUBLE), CAST(s2 AS DOUBLE), CAST(s0 AS DOUBLE),
+    CAST(p22 AS DOUBLE), CAST(p00 AS DOUBLE), n FROM s
+  UNION ALL SELECT 'l_discount', 'l_tax',
+    CAST(p23 AS DOUBLE), CAST(s2 AS DOUBLE), CAST(s3 AS DOUBLE),
+    CAST(p22 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM s
+  UNION ALL SELECT 'l_extendedprice', 'l_quantity',
+    CAST(p01 AS DOUBLE), CAST(s1 AS DOUBLE), CAST(s0 AS DOUBLE),
+    CAST(p11 AS DOUBLE), CAST(p00 AS DOUBLE), n FROM s
+  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+    CAST(p13 AS DOUBLE), CAST(s1 AS DOUBLE), CAST(s3 AS DOUBLE),
+    CAST(p11 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM s
+  UNION ALL SELECT 'l_quantity', 'l_tax',
+    CAST(p03 AS DOUBLE), CAST(s0 AS DOUBLE), CAST(s3 AS DOUBLE),
+    CAST(p00 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM s
+) ORDER BY col_a, col_b"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

@@ -184,6 +184,103 @@ object Drift {
       .orderBy("col_name")
   }
 
+  /** Chi-square independence profile of two categorical columns: the
+    * full contingency table (every observed rowValue × colValue
+    * combination, including never-co-occurring cells — their expected
+    * counts are what the statistic lives on) with expected counts
+    * e = rowTotal·colTotal/N and per-cell contributions
+    * (n − e)²/e, both rounded to 6 dp. Σ contrib is the chi-square
+    * statistic with (|rows|−1)(|cols|−1) dof; per-cell attribution
+    * (WHICH combinations are over/under-represented — e.g. a language
+    * suddenly concentrated in one source) is the monitoring signal, so
+    * summing is left to the consumer, the [[psiProfile]] convention.
+    * Rows with a null in either column are excluded.
+    *
+    * Scale: one map-side-combined hash agg collapses the corpus to
+    * ≤ |rows|·|cols| cells; the margin totals, the full spine (a cross
+    * of the two margin frames), and the statistic all run on those
+    * tiny frames with broadcast joins. */
+  def chiSquareProfile(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col(rowCol)).agg(sum("n").as("_rt"))
+    val colT = cells.groupBy(col(colCol)).agg(sum("n").as("_ct"))
+    val total = cells.agg(sum("n").as("_N"))
+    rowT.crossJoin(broadcast(colT))
+      .join(broadcast(cells), Seq(rowCol, colCol), "left")
+      .crossJoin(broadcast(total))
+      .select(col(rowCol), col(colCol),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(col("_rt").cast("double") * col("_ct") / col("_N"), 6)
+          .as("expected"),
+        round(pow(coalesce(col("n"), lit(0L)) -
+            col("_rt").cast("double") * col("_ct") / col("_N"), 2) /
+          (col("_rt").cast("double") * col("_ct") / col("_N")), 6)
+          .as("contrib"))
+      .orderBy(rowCol, colCol)
+  }
+
+  /** Pairwise Pearson correlation matrix over numeric columns, from
+    * ONE fused aggregate — the covariance-structure monitor (a feature
+    * pair whose correlation flips between snapshots is drift no
+    * marginal histogram can see). Returns (col_a, col_b, corr) for
+    * each unordered pair in column-name order, corr rounded to 6 dp,
+    * null when either column is constant (zero variance). Rows with a
+    * null in ANY profiled column are excluded (listwise deletion, one
+    * shared n for every pair).
+    *
+    * Determinism across engines: the moment sums Σx and Σxy accumulate
+    * as DECIMAL(38,10) of the per-row double values/products — exact
+    * and order-independent, unlike a double Σ whose partial-aggregation
+    * order differs between Spark and the oracle. The correlation
+    * formula then runs in IEEE double on those exact sums:
+    * corr = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²)·(n·Σy² − Σy²)).
+    *
+    * Scale: one map-side-combined aggregate (k + k(k+1)/2 + 1 sums, no
+    * shuffle of raw rows), one stats row to the driver — the
+    * ColumnProfiler shape; the result is a local k(k−1)/2-row frame. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val ss = df.sparkSession
+    val dec = "decimal(38,10)"
+    val filtered = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i <= j
+    } yield (i, j)
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      sum(col(c).cast("double").cast(dec)).as(s"_s$i")
+    } ++ pairs.map { case (i, j) =>
+      sum((col(cols(i)).cast("double") * col(cols(j)).cast("double"))
+        .cast(dec)).as(s"_p${i}_$j")
+    }
+    val row = filtered.agg(count(lit(1)).as("_n"), aggs: _*).collect()(0)
+    val n = row.getLong(0).toDouble
+    def s(i: Int) = Option(row.getDecimal(1 + i))
+      .map(_.doubleValue).getOrElse(0.0)
+    def p(i: Int, j: Int) = Option(row.getDecimal(
+      1 + cols.size + pairs.indexOf((i, j)))).map(_.doubleValue)
+      .getOrElse(0.0)
+    val out = (for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield {
+      val varI = n * p(i, i) - s(i) * s(i)
+      val varJ = n * p(j, j) - s(j) * s(j)
+      val corr =
+        if (n < 2 || varI <= 0 || varJ <= 0) None
+        else Some(BigDecimal((n * p(i, j) - s(i) * s(j)) /
+            math.sqrt(varI * varJ))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // names lexicographic within the pair (corr is symmetric; the
+      // orientation swap also commutes numerically — same doubles)
+      val (a, b) =
+        if (cols(i) <= cols(j)) (cols(i), cols(j)) else (cols(j), cols(i))
+      (a, b, corr)
+    }).sortBy(t => (t._1, t._2))
+    import ss.implicits._
+    out.toDF("col_a", "col_b", "corr")
+  }
+
   /** Event-rate anomaly detection: bucket events into (groupCol,
     * truncated hour) counts, then score each hour against the mean and
     * sample stddev of the TRAILING `trailing` observed hours of the

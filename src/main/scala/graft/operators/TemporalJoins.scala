@@ -323,6 +323,38 @@ object TemporalJoins {
     * over ≤ |states|² keys with map-side partial combine. Skewed keys
     * cost one task their event count — the same exposure (and the same
     * salting escape) as [[asOf]] vs [[asOfSalted]]. */
+  /** Time-bucket downsampling to OHLC bars (open/high/low/close — the
+    * classic series-compaction shape, equally the right reduction for
+    * any metric stream): per (`key`, `unit`-truncated `tsCol`), the
+    * first and last `valueCol` under (ts, tiebreak) order plus
+    * min/max/count/mean. Null values are excluded; mean rounds to
+    * 6 dp.
+    *
+    * First/last are min_by/max_by AGGREGATES (map-side combined, no
+    * window, no re-shuffle beyond the group-key exchange): the order
+    * key packs (unix_micros(ts), tiebreak) into a zero-padded string
+    * so a plain scalar comparison totally orders rows — the oracle's
+    * arg_min/arg_max only accept scalar order keys, and a 40-char
+    * transient string per row beats a per-group sort. Requires a
+    * non-negative numeric `tiebreak`, unique within (key, bucket) for
+    * a deterministic answer. */
+  def resampleOhlc(df: DataFrame, key: String, tsCol: String,
+                   valueCol: String, tiebreak: String,
+                   unit: String = "hour"): DataFrame = {
+    val ord = format_string("%020d|%020d",
+      unix_micros(col(tsCol)), col(tiebreak))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(key), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 6).as("mean_value"))
+      .orderBy(key, "bucket")
+  }
+
   def transitionCounts(df: DataFrame, key: String, tsCol: String,
                        stateCol: String, tiebreak: String): DataFrame = {
     val w = Window.partitionBy(key)

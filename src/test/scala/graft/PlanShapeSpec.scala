@@ -334,6 +334,27 @@ class PlanShapeSpec extends SparkSpec {
       s"entropy profile needs neither window nor join:\n$p101")
   }
 
+  test("q102-q104: contingency and OHLC stay aggregate-shaped") {
+    // q102: the corpus collapses to cell counts; margins/spine/cells
+    // compose via broadcast — nothing left big enough to sort-merge
+    val p102 = finalPlan(q("q102_chisq_profile"))
+    assert(!p102.contains("SortMergeJoin"),
+      s"chi-square frames are all margin-sized, must broadcast:\n$p102")
+    assert(!p102.contains("Window"), s"no window in chi-square:\n$p102")
+    // q103: OHLC is ONE hash aggregate (min_by/max_by on the packed
+    // order key) — no window, no join, no second shuffle
+    val p103 = finalPlan(q("q103_ohlc_resample"))
+    assert(p103.contains("HashAggregate") || p103.contains("SortAggregate"),
+      s"ohlc must be an aggregate:\n$p103")
+    assert(!p103.contains("Window") && !p103.contains("Join"),
+      s"ohlc needs neither window nor join:\n$p103")
+    // q104: one fused stats row → local result (the ColumnProfiler
+    // shape; distributed equality pinned in DriftSpec)
+    val p104 = finalPlan(q("q104_corr_matrix"))
+    assert(p104.contains("LocalTableScan"),
+      s"corr matrix must be a local pair-row frame:\n$p104")
+  }
+
   test("q98 global rank never funnels into a single partition") {
     // the point of the bucketed prefix sum: the classic
     // row_number().over(orderBy(...)) would plan Exchange

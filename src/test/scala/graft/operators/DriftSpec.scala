@@ -131,6 +131,62 @@ class DriftSpec extends SparkSpec {
       r.getDouble(3) == 0.0)
   }
 
+  test("chiSquareProfile: full spine with hand-computed expected counts") {
+    // 2×2: (a,x):30 (a,y):10 (b,x):10 (b,y):50; N=100
+    val df = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(50)(("b", "y"))
+    val rows = Drift.chiSquareProfile(df.toDF("r", "c"), "r", "c")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    // e(a,x) = 40*40/100 = 16, contrib = (30-16)²/16 = 12.25
+    assert(rows(("a", "x")) == (30L, 16.0, 12.25))
+    assert(rows(("a", "y")) == (10L, 24.0, math.rint((10 - 24.0) * (10 - 24.0) / 24 * 1e6) / 1e6))
+    assert(rows.size == 4)
+    // chi2 = Σ contrib ≈ 34.03 — strongly dependent
+    assert(rows.values.map(_._3).sum > 30)
+  }
+
+  test("chiSquareProfile: never-co-occurring cells appear with n=0") {
+    val df = Seq(("a", "x"), ("b", "y")).toDF("r", "c")
+    val rows = Drift.chiSquareProfile(df, "r", "c")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(rows.size == 4, "the spine is the margin cross, not observed cells")
+    assert(rows(("a", "y")) == 0L && rows(("b", "x")) == 0L)
+  }
+
+  test("corrMatrix: exact ±1 on linear columns, null on constants") {
+    val df = (1 to 100).map { i =>
+      (i.toDouble, 2.0 * i + 3, -0.5 * i, 7.0)
+    }.toDF("x", "y", "z", "k")
+    val rows = Drift.corrMatrix(df, Seq("x", "y", "z", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(rows(("x", "y")) == Some(1.0))
+    assert(rows(("x", "z")) == Some(-1.0))
+    assert(rows(("y", "z")) == Some(-1.0))
+    // constant column: zero variance → null, for every pair it touches
+    assert(rows(("k", "x")) == None && rows(("k", "y")) == None &&
+      rows(("k", "z")) == None)
+    assert(rows.size == 6)
+    // pair names are lexicographic regardless of argument order
+    assert(rows.keySet.forall { case (a, b) => a < b })
+  }
+
+  test("corrMatrix: matches the textbook formula on a small fixture") {
+    val xs = Seq(1.0, 2.0, 4.0, 5.0)
+    val ys = Seq(1.0, 3.0, 2.0, 6.0)
+    val df = xs.zip(ys).toDF("x", "y")
+    val got = Drift.corrMatrix(df, Seq("x", "y")).collect()(0).getDouble(2)
+    val n = xs.size.toDouble
+    val want = (n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum) /
+      math.sqrt((n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        (n * ys.map(b => b * b).sum - ys.sum * ys.sum))
+    assert(got == BigDecimal(want)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("hourlyRateAnomaly: z matches the hand-computed sample formula") {
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     // window for hour 3 = counts of hours 0..2 = (1, 2, 3)

@@ -431,6 +431,29 @@ class TemporalJoinsSpec extends SparkSpec {
       ("view", "purchase", 1L)))
   }
 
+  test("resampleOhlc: open/close follow (ts, tiebreak) order; nulls drop") {
+    import spark.implicits._
+    def ts(m: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    val ev = Seq(
+      // two rows share the bucket-minimum ts: event_id 1 < 2 → open=5
+      ("a", ts(0), 2L, Some(9.0)),
+      ("a", ts(0), 1L, Some(5.0)),
+      ("a", ts(30), 3L, Some(1.0)),
+      // two rows share the bucket-maximum ts: event_id 5 > 4 → close=7
+      ("a", ts(59), 4L, Some(3.0)),
+      ("a", ts(59), 5L, Some(7.0)),
+      ("a", ts(15), 6L, None), // null value: excluded everywhere
+      ("b", ts(10), 7L, Some(2.0)))
+      .toDF("k", "ts", "eid", "v")
+    val rows = TemporalJoins.resampleOhlc(ev, "k", "ts", "v", "eid")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7))).toMap
+    assert(rows("a") == (5.0, 9.0, 1.0, 7.0, 5L, 5.0))
+    assert(rows("b") == (2.0, 2.0, 2.0, 2.0, 1L, 2.0))
+  }
+
   test("transitionCounts: null states are countable endpoints; ties break by tiebreak") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
