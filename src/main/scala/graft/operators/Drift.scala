@@ -230,10 +230,13 @@ object Drift {
     * shared n for every pair).
     *
     * Determinism across engines: the moment sums Σx and Σxy accumulate
-    * as DECIMAL(38,10) of the per-row double values/products — exact
-    * and order-independent, unlike a double Σ whose partial-aggregation
-    * order differs between Spark and the oracle. The correlation
-    * formula then runs in IEEE double on those exact sums:
+    * in DOUBLE — summation order differs between Spark's partial
+    * aggregation and the oracle, but the 6-dp rounding absorbs the
+    * ~1e-10-relative drift (the q61/DSIR convention; a DECIMAL(38,10)
+    * accumulator would be exactly order-independent but measured 16×
+    * slower — BigDecimal-backed above precision 18 — for a figure the
+    * rounding already stabilizes with ~10³× margin). The correlation
+    * formula runs in IEEE double on the sums:
     * corr = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²)·(n·Σy² − Σy²)).
     *
     * Scale: one map-side-combined aggregate (k + k(k+1)/2 + 1 sums, no
@@ -243,24 +246,24 @@ object Drift {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     require(cols.distinct.size == cols.size, "columns must be distinct")
     val ss = df.sparkSession
-    val dec = "decimal(38,10)"
     val filtered = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i <= j
     } yield (i, j)
     val aggs = cols.zipWithIndex.map { case (c, i) =>
-      sum(col(c).cast("double").cast(dec)).as(s"_s$i")
+      sum(col(c).cast("double")).as(s"_s$i")
     } ++ pairs.map { case (i, j) =>
-      sum((col(cols(i)).cast("double") * col(cols(j)).cast("double"))
-        .cast(dec)).as(s"_p${i}_$j")
+      sum(col(cols(i)).cast("double") * col(cols(j)).cast("double"))
+        .as(s"_p${i}_$j")
     }
     val row = filtered.agg(count(lit(1)).as("_n"), aggs: _*).collect()(0)
     val n = row.getLong(0).toDouble
-    def s(i: Int) = Option(row.getDecimal(1 + i))
-      .map(_.doubleValue).getOrElse(0.0)
-    def p(i: Int, j: Int) = Option(row.getDecimal(
-      1 + cols.size + pairs.indexOf((i, j)))).map(_.doubleValue)
-      .getOrElse(0.0)
+    def s(i: Int) =
+      if (row.isNullAt(1 + i)) 0.0 else row.getDouble(1 + i)
+    def p(i: Int, j: Int) = {
+      val idx = 1 + cols.size + pairs.indexOf((i, j))
+      if (row.isNullAt(idx)) 0.0 else row.getDouble(idx)
+    }
     val out = (for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield {

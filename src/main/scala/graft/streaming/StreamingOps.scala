@@ -55,6 +55,37 @@ object StreamingOps {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming twin of
+    * [[graft.operators.TemporalJoins.resampleOhlc]]: per (`key`,
+    * 1-hour event-time window), open/high/low/close/count/mean with
+    * the same packed (unix_micros(ts), tiebreak) scalar order key
+    * driving min_by/max_by — declarative aggregates, so they run as
+    * mergeable partial state inside the watermarked streaming agg (no
+    * flatMapGroupsWithState, no per-group buffering of raw rows).
+    * Append mode: a bar emits once, when the watermark closes its
+    * window; state is O(open windows × keys). Null values are
+    * excluded, matching the batch operator. */
+  def ohlcStream(events: DataFrame, key: String, tsCol: String,
+                 valueCol: String, tiebreak: String,
+                 watermark: String = "2 hours"): DataFrame = {
+    val ord = format_string("%020d|%020d",
+      unix_micros(col(tsCol)), col(tiebreak))
+    events
+      .withWatermark(tsCol, watermark)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(key), window(col(tsCol), "1 hour"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 6).as("mean_value"))
+      .select(col(key), col("window.start").as("bucket"), col("open"),
+        col("high"), col("low"), col("close"), col("n"),
+        col("mean_value"))
+  }
+
   /** Streaming exact dedup: drop rows whose `idCols` were already seen
     * within the watermark window. `dropDuplicatesWithinWatermark` keys
     * state by `idCols` alone and evicts entries once the watermark
