@@ -1120,6 +1120,13 @@ object SparkEntry {
     "q104_corr_matrix" -> ((s, dir) => {
       Drift.corrMatrix(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+    // ---- COMPLETE edit-distance self-join (Ed-Join prefix filter;
+    //      oracle is the unrestricted quadratic) ----
+    "q105_fuzzy_join" -> ((s, dir) => {
+      Dedup.editDistancePairs(t(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 1)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2361,7 +2368,16 @@ FROM (
   UNION ALL SELECT 'l_quantity', 'l_tax',
     CAST(p03 AS DOUBLE), CAST(s0 AS DOUBLE), CAST(s3 AS DOUBLE),
     CAST(p00 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM s
-) ORDER BY col_a, col_b"""
+) ORDER BY col_a, col_b""",
+    // q105: the UNRESTRICTED quadratic — the engine's prefix-filter
+    // blocking is provably complete, so no candidate restriction here
+    // (the q60 contract); length filter is implied by the distance
+    "q105_fuzzy_join" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+  levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+ORDER BY id_a, id_b"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

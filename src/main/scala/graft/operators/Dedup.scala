@@ -636,4 +636,107 @@ object Dedup {
       .join(seen, Seq("_digest"), "left_anti")
       .drop("_digest")
   }
+
+  /** COMPLETE edit-distance self-join (Ed-Join, Xiao et al. 2008): all
+    * pairs id_a < id_b with levenshtein ≤ `maxDist` — fuzzy string
+    * matching (typo'd titles, OCR'd names) that token-set Jaccard
+    * can't see. Same contract as [[jaccardPairsComplete]]: blocking is
+    * provably complete, so the oracle is the UNRESTRICTED quadratic —
+    * no recall premise.
+    *
+    * Candidates come from the q-gram prefix filter: d edits destroy at
+    * most q·d of a string's N = len−q+1 positional q-grams, so
+    * edit(s,t) ≤ d forces a multiset q-gram overlap
+    * ≥ max(N_s, N_t) − q·d (Gravano et al. 2001) — and by the prefix
+    * principle the (q·d+1)-length rarest-first prefixes of the two
+    * gram multisets must intersect. Multiset semantics ride an
+    * occurrence index (the k-th copy of gram g in s can only match the
+    * k-th copy in t), making the block key the exact (gram, occ) pair
+    * under one global (frequency, gram, occ) order. A length filter
+    * |len_a − len_b| ≤ d rides the join; exact `levenshtein`
+    * verification on the deduped candidates makes the result exact.
+    *
+    * Completeness precondition: every string needs N ≥ q·d+1 grams
+    * (len ≥ q·(d+1)) or its prefix is its whole gram set and the
+    * overlap bound can reach 0 — silently missing pairs. Enforced
+    * per-row with a raise_error fused into the scan (no dedicated
+    * guard pass); null strings are excluded (no distance defined).
+    *
+    * Duplicate-dense corpora are the rule at scale (the sf0.1 part
+    * table holds 20k rows over 64 distinct names), so the whole gram
+    * pipeline runs on DISTINCT strings — identical rows collapse to
+    * one representative before any gram explodes, and candidate cost
+    * tracks the distinct-string census. Row-level pairs come back at
+    * the end through output-bound equi-join expansions: same-string
+    * groups emit their dist-0 pairs directly, verified distinct-string
+    * pairs fan out to their member ids. (The row-level formulation
+    * measured 119 s at sf0.1 — every ~300-member name group collided
+    * in every gram bucket; the collapsed form is output-bound.)
+    *
+    * Scale shape: one distinct-string aggregate, gram machinery
+    * (frequency agg, per-string ranking window, prefix equi-join on
+    * q·d+1 rarest keys — the [[jaccardPairsComplete]] idiom) over
+    * distinct strings only, one pair-dedup hash agg, levenshtein on
+    * candidate string pairs, then output-bound expansion equi-joins.
+    * Returns (id_a, id_b, dist). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    require(q >= 2, s"q-gram width must be >= 2: $q")
+    val minLen = q * (maxDist + 1)
+    val strs = df
+      .filter(col(strCol).isNotNull)
+      .select(col(idCol),
+        when(length(col(strCol)) < minLen, raise_error(concat(
+          lit(s"editDistancePairs requires strings of length >= $minLen" +
+            s" (q=$q, maxDist=$maxDist; shorter strings break the" +
+            " prefix filter's completeness); got: "), col(strCol))))
+          .otherwise(col(strCol)).as("_s"))
+    val reps = strs.groupBy(col("_s")).agg(min(col(idCol)).as("_rid"))
+    val grams = reps
+      .select(col("_rid"), length(col("_s")).as("_len"),
+        posexplode(expr(
+          s"transform(sequence(0, length(_s) - $q)," +
+            s" i -> substring(_s, i + 1, $q))")).as(Seq("_pos", "_g")))
+    // occurrence index: k-th copy of a gram only matches k-th copies
+    val occW = Window.partitionBy(col("_rid"), col("_g"))
+      .orderBy(col("_pos").asc)
+    val keyed = grams.withColumn("_occ", row_number().over(occW))
+    val freq = keyed.groupBy("_g").agg(count(lit(1)).as("_gf"))
+    val prefW = Window.partitionBy(col("_rid"))
+      .orderBy(col("_gf").asc, col("_g").asc, col("_occ").asc)
+    val pref = keyed
+      .join(freq, "_g")
+      .withColumn("_rk", row_number().over(prefW))
+      .filter(col("_rk") <= q * maxDist + 1)
+      .select(col("_rid"), col("_g"), col("_occ"), col("_len"))
+    val cand = pref.select(col("_rid").as("_ra"), col("_g"), col("_occ"),
+        col("_len").as("_la"))
+      .join(pref.select(col("_rid").as("_rb"), col("_g"), col("_occ"),
+        col("_len").as("_lb")), Seq("_g", "_occ"))
+      .filter(col("_ra") < col("_rb") &&
+        abs(col("_la") - col("_lb")) <= maxDist)
+      .groupBy("_ra", "_rb").agg(count(lit(1)).as("_shared"))
+      .select("_ra", "_rb")
+    // verified DISTINCT-string pairs (dist ≥ 1 by construction)
+    val repPairs = cand
+      .join(reps.select(col("_rid").as("_ra"), col("_s").as("_na")), "_ra")
+      .join(reps.select(col("_rid").as("_rb"), col("_s").as("_nb")), "_rb")
+      .withColumn("dist", levenshtein(col("_na"), col("_nb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("_na"), col("_nb"), col("dist").cast("long").as("dist"))
+    // expansion 1: identical strings → all within-group id pairs, dist 0
+    val zero = strs.select(col(idCol).as("_ia"), col("_s"))
+      .join(strs.select(col(idCol).as("_ib"), col("_s")), "_s")
+      .filter(col("_ia") < col("_ib"))
+      .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+        lit(0L).as("dist"))
+    // expansion 2: each verified string pair × its two member groups
+    val cross = repPairs
+      .join(strs.select(col(idCol).as("_ia"), col("_s").as("_na")), "_na")
+      .join(strs.select(col(idCol).as("_ib"), col("_s").as("_nb")), "_nb")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("dist"))
+    zero.unionByName(cross)
+  }
 }

@@ -355,6 +355,13 @@ class PlanShapeSpec extends SparkSpec {
       s"corr matrix must be a local pair-row frame:\n$p104")
   }
 
+  test("q105 fuzzy join stays an equi-join on prefix gram keys") {
+    val p105 = finalPlan(q("q105_fuzzy_join"))
+    assert(!p105.contains("CartesianProduct") &&
+      !p105.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance join must block on (gram, occ) keys:\n$p105")
+  }
+
   test("q98 global rank never funnels into a single partition") {
     // the point of the bucketed prefix sum: the classic
     // row_number().over(orderBy(...)) would plan Exchange

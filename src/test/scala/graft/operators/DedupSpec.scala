@@ -330,6 +330,59 @@ class DedupSpec extends SparkSpec {
     assert(j.exists(v => v < 0.9))
   }
 
+  test("editDistancePairs: hand-computed distances; exact dups included") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "kitten"), (2L, "sitten"), // dist 1
+      (3L, "kitten"),                 // dist 0 vs 1
+      (4L, "sitting"),                // dist ≥ 2 from all
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s", maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)),
+      s"got $got")
+  }
+
+  test("editDistancePairs matches the quadratic reference at size") {
+    import spark.implicits._
+    // duplicate-dense vocab: many true pairs at distance ≤ 1, plus
+    // enough strings that prefixes and occurrence indexes matter
+    // (repeated grams inside 'bobobo', shared rare grams across rows)
+    val words = Seq("bobobo", "boboba", "bababa", "bobble", "wobble",
+      "wobbly", "gobble", "gobbles", "bbbbbbb", "bobobob")
+    val rows = (0 until 200).map(i => (i.toLong, words(i % words.size) +
+      (if (i % 3 == 0) "" else i % 7 match {
+        case 0 => "x"; case n => n.toString })))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = lev(sa, sb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    val got = Dedup.editDistancePairs(rows.toDF("id", "s"), "id", "s",
+      maxDist = 1).as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"missing ${(want -- got).take(5)}; extra ${(got -- want).take(5)}")
+  }
+
+  test("editDistancePairs rejects strings too short for the prefix filter") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdef"), (2L, "abc")).toDF("id", "s")
+    val e = intercept[Exception] {
+      Dedup.editDistancePairs(df, "id", "s", maxDist = 1).collect()
+    }
+    assert(e.getMessage.contains("editDistancePairs requires") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("editDistancePairs requires")))
+  }
+
   test("containment orients smaller-set first and bounds to [t, 1]") {
     import spark.implicits._
     // put the BIGGER doc at the lower id: orientation must flip
