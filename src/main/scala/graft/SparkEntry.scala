@@ -1127,6 +1127,21 @@ object SparkEntry {
       Dedup.editDistancePairs(t(s, dir, "part"), "p_partkey", "p_name",
         maxDist = 1)
         .orderBy("id_a", "id_b")
+    }),
+    // ---- retention cohort matrix (first-active-day cohorts ×
+    //      day offsets) ----
+    "q106_retention_cohorts" -> ((s, dir) => {
+      TemporalJoins.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
+    }),
+    // ---- PMI bigram collocations (lexical association top-k) ----
+    "q107_pmi_bigrams" -> ((s, dir) => {
+      TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text",
+        minCount = 5, k = 50)
+    }),
+    // ---- per-group robust stats: exact median + MAD ----
+    "q108_robust_stats" -> ((s, dir) => {
+      graft.operators.Scale.robustStatsByGroup(t(s, dir, "events"),
+        "event_type", "value", "event_id")
     })
   )
 
@@ -2377,7 +2392,64 @@ FROM (
   levenshtein(a.p_name, b.p_name) AS dist
 FROM part a JOIN part b ON a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 1
-ORDER BY id_a, id_b"""
+ORDER BY id_a, id_b""",
+    // q106: distinct (user, day) activity; day 0 is the cohort day
+    "q106_retention_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+coh AS (SELECT u, min(day) AS cohort FROM act GROUP BY u),
+sz AS (SELECT cohort, count(*) AS cn FROM coh GROUP BY cohort),
+m AS (SELECT coh.cohort,
+    CAST(date_diff('day', coh.cohort, act.day) AS BIGINT) AS day_offset,
+    count(*) AS n_active
+  FROM act JOIN coh USING (u) GROUP BY 1, 2)
+SELECT m.cohort, m.day_offset, m.n_active,
+  round(CAST(m.n_active AS DOUBLE) / sz.cn, 6) AS retention
+FROM m JOIN sz USING (cohort) ORDER BY cohort, day_offset""",
+    // q107: identical tokenizer, bigram/unigram hash-agg counts, and
+    // the same division parenthesization inside ln; cnt >= 5 cut
+    // BEFORE the joins; (pmi DESC, ngram) total-order top-50
+    "q107_pmi_bigrams" ->
+      s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
+uni AS (SELECT unnest(tk) AS w FROM toks),
+u AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM uni GROUP BY w),
+n1 AS (SELECT CAST(sum(cw) AS BIGINT) AS n1 FROM u),
+bg AS (SELECT unnest(CASE WHEN len(tk) >= 2
+  THEN list_transform(range(0, len(tk) - 1), i -> array_to_string(tk[i+1:i+2], ' '))
+  ELSE [] END) AS ngram FROM toks),
+b AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM bg
+  GROUP BY ngram HAVING count(*) >= 5),
+n2 AS (SELECT CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) AS n2 FROM toks),
+j AS (SELECT b.ngram, b.cnt,
+    round(ln((CAST(b.cnt AS DOUBLE) / n2.n2) /
+      ((CAST(ux.cw AS DOUBLE) / n1.n1) *
+       (CAST(uy.cw AS DOUBLE) / n1.n1))), 6) AS pmi
+  FROM b
+  JOIN u ux ON ux.w = string_split(b.ngram, ' ')[1]
+  JOIN u uy ON uy.w = string_split(b.ngram, ' ')[2]
+  CROSS JOIN n1 CROSS JOIN n2)
+SELECT ngram, cnt, pmi FROM j ORDER BY pmi DESC, ngram LIMIT 50""",
+    // q108: both medians are the q87 rank-element selection
+    // (rank ⌈n/2⌉ under (value, id) order); the MAD's deviations use
+    // the identical IEEE abs(v − med) doubles
+    "q108_robust_stats" ->
+      """WITH v AS (SELECT event_type AS g, value AS v, event_id AS i
+  FROM events WHERE value IS NOT NULL),
+n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+r AS (SELECT g, v, row_number() OVER (
+    PARTITION BY g ORDER BY v, i) AS rk FROM v),
+med AS (SELECT r.g, r.v AS med FROM r JOIN n USING (g)
+  WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+a AS (SELECT v.g, abs(v.v - med.med) AS av, v.i
+  FROM v JOIN med ON v.g IS NOT DISTINCT FROM med.g),
+n2 AS (SELECT g, count(*) AS n FROM a GROUP BY g),
+r2 AS (SELECT g, av, row_number() OVER (
+    PARTITION BY g ORDER BY av, i) AS rk FROM a),
+mad AS (SELECT r2.g, r2.av AS mad FROM r2 JOIN n2 USING (g)
+  WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
+SELECT med.g AS event_type, med.med AS median, mad.mad AS mad
+FROM med JOIN mad ON med.g IS NOT DISTINCT FROM mad.g
+ORDER BY event_type NULLS FIRST"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

@@ -342,4 +342,42 @@ object Scale {
       .select(col("q"), col("_rank").as("rank"), col(valueCol))
       .orderBy("q")
   }
+
+  /** Per-group robust location/spread — exact median and MAD (median
+    * absolute deviation), the outlier-immune complement to q36's
+    * moment statistics (one wild value shifts a mean arbitrarily but
+    * moves a median at most one rank). Both medians are the
+    * rank-element selection of [[exactQuantilesByGroup]] (rank
+    * ⌈n/2⌉ under the (value, id) total order — no interpolation, so
+    * both figures are actual data values and engine-portable bit for
+    * bit); the MAD's input |v − median_g| rides a broadcast join of
+    * the ≤`maxGroups`-row median frame onto the corpus. Consumers
+    * wanting a robust z divide by 1.4826·mad themselves — returning
+    * the raw pair keeps this frame tiny and the scaling choice
+    * explicit. Null values are excluded; a null GROUP is a group like
+    * any other (null-safe joins, the exactQuantilesByGroup contract).
+    * Returns (groupCol, median, mad).
+    *
+    * Scale: two exactQuantilesByGroup passes (each bounded-memory, no
+    * per-group value buffering) plus one broadcast-join corpus pass
+    * for the deviations — no window over raw rows anywhere. */
+  def robustStatsByGroup(df: DataFrame, groupCol: String,
+                         valueCol: String, idCol: String,
+                         maxGroups: Int = 100000): DataFrame = {
+    val med = exactQuantilesByGroup(df, groupCol, valueCol, idCol,
+      Seq(0.5), maxGroups)
+      .select(col(groupCol).as("_mg"), col(valueCol).as("_med"))
+    val absdev = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(med), col(groupCol) <=> col("_mg"))
+      .select(col(groupCol),
+        abs(col(valueCol).cast("double") - col("_med")).as("_ad"),
+        col(idCol))
+    exactQuantilesByGroup(absdev, groupCol, "_ad", idCol,
+      Seq(0.5), maxGroups)
+      .select(col(groupCol).as("_ag"), col("_ad").as("mad"))
+      .join(med, col("_ag") <=> col("_mg"))
+      .select(col("_mg").as(groupCol), col("_med").as("median"),
+        col("mad"))
+      .orderBy(groupCol)
+  }
 }

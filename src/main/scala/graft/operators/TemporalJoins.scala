@@ -310,6 +310,39 @@ object TemporalJoins {
           greatest(col("s_a"), col("s_b"))).as("overlap_us"))
   }
 
+  /** Retention cohort matrix — the product-analytics staple: users
+    * cohorted by their FIRST active day, then for each (cohort,
+    * day-offset) cell the distinct users active that many days after
+    * their cohort day, with the retention rate against the cohort's
+    * size. Day 0 is the cohort day itself (retention 1 by
+    * construction — kept as the self-check row). Returns
+    * (cohort, day_offset, n_active, retention), rate rounded to 6 dp.
+    *
+    * Scale: per-user first-day and the distinct (user, day) activity
+    * frame are map-side-combined hash aggs keyed by user; they meet in
+    * ONE user-keyed equi-join (same-key shuffles, AQE-coalesced), the
+    * matrix is a second hash agg over ≤ cohorts×span cells, and cohort
+    * sizes broadcast back onto it. No window anywhere. */
+  def retentionCohorts(df: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val active = df
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_day"))
+      .filter(col("_u").isNotNull && col("_day").isNotNull)
+      .distinct()
+    val cohorts = active.groupBy(col("_u")).agg(min(col("_day")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("_cohort_n"))
+    active.join(cohorts, "_u")
+      .groupBy(col("cohort"),
+        datediff(col("_day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("day_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("_cohort_n"), 6)
+          .as("retention"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** First-order transition counts (the Markov-chain edge list behind
     * funnel and path analysis): per `key`, order events by (tsCol,
     * tiebreak) and count each observed consecutive (src → dst) state

@@ -233,6 +233,53 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  /** Top-k bigram collocations by pointwise mutual information —
+    * PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) ) with P(x,y) from corpus
+    * bigram counts (over N₂ total bigrams) and P(x) from unigram
+    * counts (over N₁ total tokens) — the lexical-association signal
+    * behind phrase mining and collocation extraction (Church & Hanks
+    * 1990). Bigrams below `minCount` are dropped first (rare pairs
+    * have degenerately inflated PMI). Rounded to 6 dp, ranked
+    * (pmi DESC, ngram ASC) — a total order, so the cut at k is
+    * engine-portable. Returns (ngram, cnt, pmi).
+    *
+    * Scale: two hash aggs over the exploded grams (map-side combined);
+    * the minCount filter shrinks the bigram side BEFORE its two
+    * term-keyed equi-joins against the unigram frame; totals ride as
+    * broadcast 1-row frames; TakeOrdered cuts top-k per partition —
+    * nothing global ever sorts. */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long = 5,
+                 k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad minCount=$minCount / k=$k")
+    val toks = df.select(tokens(col(textCol)).as("_toks"))
+    val uni = toks.select(explode(col("_toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val bi = toks
+      .select(explode(Dedup.shingleArray(col("_toks"), 2)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val n1 = uni.agg(sum("cw").as("_n1"))
+    val n2 = toks
+      .select(greatest(size(col("_toks")) - 1, lit(0)).as("_nb"))
+      .agg(sum("_nb").as("_n2"))
+    bi
+      // tokens are whitespace-split, so the single space is the
+      // bigram's exact separator
+      .withColumn("_x", split(col("ngram"), " ").getItem(0))
+      .withColumn("_y", split(col("ngram"), " ").getItem(1))
+      .join(uni.select(col("w").as("_x"), col("cw").as("_cx")), "_x")
+      .join(uni.select(col("w").as("_y"), col("cw").as("_cy")), "_y")
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .withColumn("pmi", round(log(
+        (col("cnt").cast("double") / col("_n2")) /
+          ((col("_cx").cast("double") / col("_n1")) *
+            (col("_cy").cast("double") / col("_n1")))), 6))
+      .select(col("ngram"), col("cnt"), col("pmi"))
+      .orderBy(col("pmi").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Top-k most distinctive terms per document by TF-IDF (tf ×
     * ln(N/df)). The corpus pass is two hash aggregations — (doc, term)
     * counts, then per-term document frequency over that frame (already

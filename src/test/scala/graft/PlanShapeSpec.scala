@@ -362,6 +362,22 @@ class PlanShapeSpec extends SparkSpec {
       s"edit-distance join must block on (gram, occ) keys:\n$p105")
   }
 
+  test("q106-q108: cohort/PMI/robust stats keep distributed shapes") {
+    // retention: hash aggs + a user-keyed equi-join + broadcast sizes
+    val p106 = finalPlan(q("q106_retention_cohorts"))
+    assert(!p106.contains("CartesianProduct") && !p106.contains("Window"),
+      s"retention is aggregate+equi-join only:\n$p106")
+    // pmi: the top-k is a per-partition cut, never a global sort
+    val p107 = finalPlan(q("q107_pmi_bigrams"))
+    assert(p107.contains("TakeOrderedAndProject"),
+      s"pmi must cut top-k per partition:\n$p107")
+    // robust stats: the per-group rank windows partition by (group,
+    // bucket) — never a single-partition funnel
+    val p108 = finalPlan(q("q108_robust_stats"))
+    assert(!p108.contains("Exchange SinglePartition"),
+      s"median/MAD must stay group-bucket-partitioned:\n$p108")
+  }
+
   test("q98 global rank never funnels into a single partition") {
     // the point of the bucketed prefix sum: the classic
     // row_number().over(orderBy(...)) would plan Exchange

@@ -244,4 +244,20 @@ class ScaleSpec extends SparkSpec {
       Scale.saltedJoin(left.withColumn("_salt", lit(1)), right, Seq("k"), 8)
     }
   }
+
+  test("robustStatsByGroup: hand-computed median/MAD, outlier-immune") {
+    import spark.implicits._
+    // group a: values 1..5 plus a wild outlier 1000 (n=6):
+    //   rank ⌈6/2⌉=3 → median 3; absdevs (2,1,0,1,2,997) sorted
+    //   (0,1,1,2,2,997) → rank 3 → mad 1
+    // group b: constant column → median 7, mad 0
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 5.0), ("a", 1000.0)) ++ Seq.fill(4)(("b", 7.0)))
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      .toDF("g", "v", "id")
+    val got = Scale.robustStatsByGroup(df, "g", "v", "id")
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == Map("a" -> (3.0, 1.0), "b" -> (7.0, 0.0)), s"$got")
+  }
 }

@@ -431,6 +431,27 @@ class TemporalJoinsSpec extends SparkSpec {
       ("view", "purchase", 1L)))
   }
 
+  test("retentionCohorts: hand-computed cohort matrix") {
+    import spark.implicits._
+    def ts(d: Int, h: Int = 9) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      // u1, u2 cohort day 1; u1 returns day 2 and 3, u2 only day 3
+      (1L, ts(1)), (1L, ts(1, 15)), (1L, ts(2)), (1L, ts(3)),
+      (2L, ts(1)), (2L, ts(3)),
+      // u3 cohort day 2, never returns
+      (3L, ts(2)))
+      .toDF("user_id", "ts")
+    val got = TemporalJoins.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("2024-01-01", 0L)) == (2L, 1.0))
+    assert(got(("2024-01-01", 1L)) == (1L, 0.5))
+    assert(got(("2024-01-01", 2L)) == (2L, 1.0), "both return on day 3")
+    assert(got(("2024-01-02", 0L)) == (1L, 1.0))
+    assert(got.size == 4, s"no empty cells: $got")
+  }
+
   test("resampleOhlc: open/close follow (ts, tiebreak) order; nulls drop") {
     import spark.implicits._
     def ts(m: Int, s: Int = 0) =

@@ -154,6 +154,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3)._3 == 4L && !got(3)._4, s"doc4: ${got(3)}")
   }
 
+  test("pmiBigrams: strong collocations outrank frequent-but-independent") {
+    // "strong bond" always co-occurs (x only ever precedes y);
+    // "the cat"/"the dog" are frequent but 'the' spreads over both
+    val docs = (Seq.fill(6)("strong bond") ++
+      Seq.fill(12)("the cat runs") ++ Seq.fill(12)("the dog runs"))
+      .toDF("text")
+    val got = TextAnalysis.pmiBigrams(docs, "text", minCount = 5, k = 10)
+      .as[(String, Long, Double)].collect()
+    assert(got.head._1 == "strong bond", s"got ${got.toList}")
+    val byName = got.map(r => r._1 -> r._3).toMap
+    // exact check: N1 = 6*2 + 24*3 = 84 tokens, N2 = 6 + 24*2 = 54
+    // bigrams; pmi("strong bond") = ln((6/54) / ((6/84)*(6/84)))
+    val want = math.log((6.0 / 54) / ((6.0 / 84) * (6.0 / 84)))
+    assert(byName("strong bond") ==
+      BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(byName("strong bond") > byName("the cat"))
+    // min-count cut: nothing below 5 appears
+    assert(got.forall(_._2 >= 5))
+    // top-k cuts per partition, never a global sort
+    val plan = TextAnalysis.pmiBigrams(docs, "text", 5, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("topNgrams: exact corpus counts, deterministic tie cut, top-k plan") {
     // "a b" ×3 (one doc contributes two), "b a" ×3, "a x"/"c d" ×1
     // each; k = 3 cuts inside the cnt=1 tie group → lexicographic
