@@ -1142,6 +1142,16 @@ object SparkEntry {
     "q108_robust_stats" -> ((s, dir) => {
       graft.operators.Scale.robustStatsByGroup(t(s, dir, "events"),
         "event_type", "value", "event_id")
+    }),
+    // ---- inter-arrival gap histogram (log2-second buckets) ----
+    "q109_interarrival" -> ((s, dir) => {
+      TemporalJoins.interArrivalHistogram(t(s, dir, "events"), "user_id",
+        "ts", "event_type", tiebreak = "event_id")
+    }),
+    // ---- 2-itemset association rules (support/confidence/lift) ----
+    "q110_market_basket" -> ((s, dir) => {
+      graft.operators.Associations.pairRules(t(s, dir, "events"),
+        "user_id", "event_type", minSupport = 5)
     })
   )
 
@@ -2449,7 +2459,46 @@ mad AS (SELECT r2.g, r2.av AS mad FROM r2 JOIN n2 USING (g)
   WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
 SELECT med.g AS event_type, med.med AS median, mad.mad AS mad
 FROM med JOIN mad ON med.g IS NOT DISTINCT FROM mad.g
-ORDER BY event_type NULLS FIRST"""
+ORDER BY event_type NULLS FIRST""",
+    // q109: per-key lag in epoch MICROS, integer // to whole seconds,
+    // then the identical integer floor-log2 comparison ladder (no
+    // double log2 — power-of-two boundaries must bucket identically)
+    "q109_interarrival" ->
+      """WITH g AS (SELECT event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events),
+s AS (SELECT event_type, gap_us // 1000000 AS gap_s FROM g
+  WHERE gap_us IS NOT NULL),
+c AS (SELECT event_type,
+    CASE WHEN gap_s < 1 THEN -1
+         ELSE CAST(length(bin(CAST(gap_s AS BIGINT))) - 1 AS INT) END
+      AS bucket
+  FROM s),
+cells AS (SELECT event_type, bucket, count(*) AS n FROM c GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt FROM cells GROUP BY 1)
+SELECT cells.event_type, cells.bucket, cells.n,
+  round(CAST(cells.n AS DOUBLE) / t.tt, 6) AS share
+FROM cells JOIN t USING (event_type)
+ORDER BY event_type, bucket""",
+    // q110: DISTINCT (basket, item), basket-keyed pair self-join,
+    // marginals and the basket total in the identical double ratios
+    "q110_market_basket" ->
+      """WITH it AS (SELECT DISTINCT user_id AS b, event_type AS i
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+ci AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY i),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM it),
+p AS (SELECT a.i AS item_a, x.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM it a JOIN it x ON a.b = x.b AND a.i < x.i
+  GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT p.item_a, p.item_b, p.n_ab,
+  round(CAST(p.n_ab AS DOUBLE) / nb.n, 6) AS support,
+  round(CAST(p.n_ab AS DOUBLE) / ca.c, 6) AS conf_a_b,
+  round(CAST(p.n_ab AS DOUBLE) / cb.c, 6) AS conf_b_a,
+  round(CAST(p.n_ab AS DOUBLE) * nb.n / (CAST(ca.c AS DOUBLE) * cb.c), 6)
+    AS lift
+FROM p JOIN ci ca ON ca.i = p.item_a JOIN ci cb ON cb.i = p.item_b
+CROSS JOIN nb ORDER BY item_a, item_b"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Association-rule mining over (basket, item) co-occurrence — the
+  * 2-itemset slice of Apriori (Agrawal & Srikant 1994): which items
+  * appear together in the same basket more than independence predicts.
+  * The same machinery reads as market-basket affinity (user × product),
+  * behavioral co-occurrence (user × event type), or corpus topic
+  * co-membership (document × tag).
+  */
+object Associations {
+
+  /** All unordered item pairs with basket co-occurrence ≥ `minSupport`,
+    * scored by support (share of baskets holding both), directional
+    * confidences, and lift (observed-over-independent co-occurrence;
+    * lift > 1 = affinity, < 1 = repulsion). Baskets and items are
+    * DISTINCT by construction (a repeated (basket, item) row counts
+    * once); null baskets/items are excluded. Rates round to 6 dp.
+    * Returns (item_a, item_b, n_ab, support, conf_a_b, conf_b_a, lift)
+    * with item_a < item_b, ordered by (item_a, item_b).
+    *
+    * Scale: the distinct (basket, item) frame self-joins on the BASKET
+    * key — pair cardinality is Σ_b k_b², driven by per-basket item
+    * counts, not corpus size; a basket holding k items emits k(k−1)/2
+    * pairs, so cap pathological baskets upstream if k can reach
+    * thousands (the classic Apriori caveat, and the same hot-key
+    * exposure every pair generator in this engine documents). Item
+    * marginals and the basket total ride broadcast joins; the
+    * minSupport cut runs in the pair aggregate before any join. */
+  def pairRules(df: DataFrame, basketCol: String, itemCol: String,
+                minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val items = df
+      .select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .filter(col("_b").isNotNull && col("_i").isNotNull)
+      .distinct()
+    val itemN = items.groupBy(col("_i")).agg(count(lit(1)).as("_ci"))
+    val total = items.agg(count_distinct(col("_b")).as("_nb"))
+    val pairs = items.select(col("_b"), col("_i").as("item_a"))
+      .join(items.select(col("_b"), col("_i").as("item_b")), Seq("_b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    // item marginals join item-keyed WITHOUT a broadcast hint: the
+    // vocabulary can be catalog-sized at scale — AQE broadcasts it
+    // when it is actually small (the event-type case)
+    pairs
+      .join(itemN.select(col("_i").as("item_a"),
+        col("_ci").as("_ca")), Seq("item_a"))
+      .join(itemN.select(col("_i").as("item_b"),
+        col("_ci").as("_cb")), Seq("item_b"))
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("_nb"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("_ca"), 6).as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("_cb"), 6).as("conf_b_a"),
+        round(col("n_ab").cast("double") * col("_nb") /
+          (col("_ca").cast("double") * col("_cb")), 6).as("lift"))
+      .orderBy("item_a", "item_b")
+  }
+}

@@ -343,6 +343,54 @@ object TemporalJoins {
       .orderBy("cohort", "day_offset")
   }
 
+  /** Inter-arrival-time histogram: per `groupCol`, the distribution of
+    * gaps between a key's consecutive events, bucketed by power-of-two
+    * seconds (bucket b covers [2^b, 2^(b+1)) seconds; bucket −1 is a
+    * sub-second gap, including exact ties). The latency/cadence
+    * profile behind session-gap and watermark tuning — pick a session
+    * gap where this histogram has its valley, a watermark where its
+    * tail ends. Returns (groupCol, bucket, n, share) with share
+    * rounded to 6 dp.
+    *
+    * Scale: one per-key lag window (key-partitioned — the
+    * [[transitionCounts]] shape, no global sort), then a hash agg over
+    * ≤ |groups|·64 cells; group totals ride a broadcast join back.
+    * The log₂ bucket comes from integer bit-length (63 − leading
+    * zeros of the microsecond gap ÷ 1e6 in integer arithmetic is
+    * engine-portable; a double log2 at bucket boundaries is not). */
+  def interArrivalHistogram(df: DataFrame, key: String, tsCol: String,
+                            groupCol: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col(tiebreak).asc)
+    val gaps = df
+      .select(col(key), col(groupCol), col(tsCol), col(tiebreak))
+      .withColumn("_prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .withColumn("_gap_us", unix_micros(col(tsCol)) - col("_prev"))
+      // integer `div`, not `/`: the double quotient truncated back to
+      // BIGINT can mis-bucket exact power-of-two boundaries
+      .withColumn("_gap_s", expr("_gap_us div 1000000"))
+      // integer floor-log2 bucket; −1 for sub-second gaps (incl. ties)
+      .withColumn("bucket",
+        when(col("_gap_s") < 1, lit(-1)).otherwise(floorLog2(col("_gap_s"))))
+    val cells = gaps.groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col(groupCol)).agg(sum("n").as("_t"))
+    cells.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("bucket"), col("n"),
+        round(col("n").cast("double") / col("_t"), 6).as("share"))
+      .orderBy(groupCol, "bucket")
+  }
+
+  /** floor(log2(x)) for x ≥ 1 via an integer comparison ladder (the
+    * largest b with x ≥ 2^b) — a codegen'd nested conditional with no
+    * doubles, so bucket boundaries are engine-portable where a double
+    * log2 at exact powers of two is not. */
+  private def floorLog2(x: Column): Column =
+    (1 to 62).foldLeft(lit(0)) { (e, b) =>
+      when(x >= lit(1L << b), b).otherwise(e)
+    }
+
   /** First-order transition counts (the Markov-chain edge list behind
     * funnel and path analysis): per `key`, order events by (tsCol,
     * tiebreak) and count each observed consecutive (src → dst) state

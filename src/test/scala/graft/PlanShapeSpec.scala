@@ -378,6 +378,23 @@ class PlanShapeSpec extends SparkSpec {
       s"median/MAD must stay group-bucket-partitioned:\n$p108")
   }
 
+  test("q109/q110: gap histogram and basket rules stay partitioned") {
+    // q109: the only window is the per-key lag; cells/totals are hash
+    // aggs — never a single-partition funnel
+    val p109 = finalPlan(q("q109_interarrival"))
+    assert(!p109.contains("Exchange SinglePartition"),
+      s"the gap lag must partition by the key:\n$p109")
+    // q110: pair generation is a basket-keyed equi-join — the only
+    // nested-loop is the broadcast of the 1-row basket total (the
+    // engine's designed totals idiom), never a data-sized product
+    val p110 = finalPlan(q("q110_market_basket"))
+    assert(!p110.contains("CartesianProduct"),
+      s"basket pairs must join on the basket key:\n$p110")
+    assert(p110.contains("HashJoin [_b") || p110.contains("Join [_b") ||
+      p110.contains("SortMergeJoin [_b"),
+      s"the pair join must key on the basket column:\n$p110")
+  }
+
   test("q98 global rank never funnels into a single partition") {
     // the point of the bucketed prefix sum: the classic
     // row_number().over(orderBy(...)) would plan Exchange

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AssociationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairRules: hand-computed support/confidence/lift; dups collapse") {
+    // baskets: 1:{x,y} 2:{x,y} 3:{x,z} 4:{y} — and basket 1 repeats
+    // (x) twice, which must count once
+    val rows = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y"))
+    val got = Associations.pairRules(rows.toDF("b", "i"), "b", "i")
+      .as[(String, String, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // (x,y): n_ab=2 of 4 baskets; cx=3, cy=3 → conf 2/3 both ways;
+    // lift = 2*4/(3*3) = 8/9
+    val xy = got(("x", "y"))
+    assert(xy._3 == 2L && xy._4 == 0.5)
+    assert(xy._5 == 0.666667 && xy._6 == 0.666667)
+    assert(xy._7 == BigDecimal(8.0 / 9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // (x,z): n=1, cz=1 → conf_b_a = 1.0, lift = 1*4/(3*1) = 4/3 > 1
+    val xz = got(("x", "z"))
+    assert(xz._3 == 1L && xz._6 == 1.0 && xz._7 > 1.0)
+    // (y,z) never co-occur → absent entirely
+    assert(!got.contains(("y", "z")) && got.size == 2)
+  }
+
+  test("pairRules: minSupport cuts pairs before scoring") {
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (3L, "c"))
+    val got = Associations.pairRules(rows.toDF("b", "i"), "b", "i",
+      minSupport = 2)
+      .as[(String, String, Long, Double, Double, Double, Double)]
+      .collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set(("a", "b")),
+      s"only the 2-basket pair survives: ${got.toList}")
+    intercept[IllegalArgumentException] {
+      Associations.pairRules(rows.toDF("b", "i"), "b", "i", 0)
+    }
+  }
+}

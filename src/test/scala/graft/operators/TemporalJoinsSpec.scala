@@ -431,6 +431,23 @@ class TemporalJoinsSpec extends SparkSpec {
       ("view", "purchase", 1L)))
   }
 
+  test("interArrivalHistogram: integer log2 buckets, boundary-exact") {
+    import spark.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // one user, gaps of exactly 0s (tie), 1s, 2s, 3s, 4s, 1024s:
+    // buckets -1, 0, 1, 1, 2, 10 — powers of two land in THEIR bucket
+    val times = Seq(0L, 0L, 1L, 3L, 6L, 10L, 1034L)
+    val ev = times.zipWithIndex.map { case (s, i) =>
+      (1L, at(s), i.toLong, "a") }
+      .toDF("uid", "ts", "eid", "g")
+    val got = TemporalJoins.interArrivalHistogram(ev, "uid", "ts", "g", "eid")
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(-1 -> (1L, 0.166667), 0 -> (1L, 0.166667),
+      1 -> (2L, 0.333333), 2 -> (1L, 0.166667), 10 -> (1L, 0.166667)),
+      s"got $got")
+  }
+
   test("retentionCohorts: hand-computed cohort matrix") {
     import spark.implicits._
     def ts(d: Int, h: Int = 9) =
