@@ -364,9 +364,23 @@ object Scale {
   def robustStatsByGroup(df: DataFrame, groupCol: String,
                          valueCol: String, idCol: String,
                          maxGroups: Int = 100000): DataFrame = {
-    val med = exactQuantilesByGroup(df, groupCol, valueCol, idCol,
+    val s = df.sparkSession
+    // MATERIALIZE the median frame (≤maxGroups rows) to a local table:
+    // left lazy, its whole quantile pipeline — a corpus pass — would
+    // re-execute inside every internal job of the second quantile pass
+    // (counts, splitters, subtotals, final), measured 7.1 s vs 2.5 s
+    // at sf0.1. The collect is group-sized driver traffic, the same
+    // budget exactQuantilesByGroup itself already spends.
+    val medRows = exactQuantilesByGroup(df, groupCol, valueCol, idCol,
       Seq(0.5), maxGroups)
-      .select(col(groupCol).as("_mg"), col(valueCol).as("_med"))
+      .select(col(groupCol), col(valueCol)).collect()
+    val gType = df.schema(groupCol).dataType
+    val med = s.createDataFrame(
+      s.sparkContext.parallelize(medRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_mg", gType),
+        org.apache.spark.sql.types.StructField("_med",
+          org.apache.spark.sql.types.DoubleType))))
     val absdev = df.filter(col(valueCol).isNotNull)
       .join(broadcast(med), col(groupCol) <=> col("_mg"))
       .select(col(groupCol),
@@ -375,7 +389,7 @@ object Scale {
     exactQuantilesByGroup(absdev, groupCol, "_ad", idCol,
       Seq(0.5), maxGroups)
       .select(col(groupCol).as("_ag"), col("_ad").as("mad"))
-      .join(med, col("_ag") <=> col("_mg"))
+      .join(broadcast(med), col("_ag") <=> col("_mg"))
       .select(col("_mg").as(groupCol), col("_med").as("median"),
         col("mad"))
       .orderBy(groupCol)
