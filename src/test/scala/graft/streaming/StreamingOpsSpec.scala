@@ -301,6 +301,44 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC emits closed bars in append mode and evicts state") {
+    val mem = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    val bars = StreamingOps.ohlcStream(
+      mem.toDF().toDF("k", "ts", "eid", "v"), "k", "ts", "v", "eid",
+      watermark = "30 minutes")
+    val q = bars.writeStream.format("memory").queryName("ohlc_evict")
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, 5.0),
+        (1L, ts("2024-01-01 10:40:00"), 2L, 9.0))
+      q.processAllAvailable()
+      assert(spark.table("ohlc_evict").count() == 0,
+        "open window must not emit in append mode")
+      def stateRows: Long = q.recentProgress
+        .flatMap(_.stateOperators).lastOption.map(_.numRowsTotal)
+        .getOrElse(-1L)
+      assert(stateRows == 1L, s"one open bar in state: $stateRows")
+      // event time far past 11:00 + 30m closes hour 10; watermark
+      // applies at the NEXT batch
+      mem.addData((1L, ts("2024-01-01 12:00:00"), 3L, 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 12:10:00"), 4L, 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("ohlc_evict")
+        .as[(Long, Timestamp, Double, Double, Double, Double, Long, Double)]
+        .collect().toSet
+      assert(closed == Set(
+        (1L, ts("2024-01-01 10:00:00"), 5.0, 9.0, 5.0, 9.0, 2L, 7.0)),
+        s"hour 10 must close exactly once: $closed")
+      assert(stateRows == 1L,
+        s"closed bar must evict; only hour 12 stays open: $stateRows")
+    } finally q.stop()
+  }
+
   test("streaming decontamination matches the batch operator per micro-batch") {
     import org.apache.spark.sql.DataFrame
     val bench = Seq((100L, "the quick brown fox jumps"))
