@@ -26,7 +26,13 @@ object ScaleBench {
     "q49_neardup_clusters", "q19_jaccard_pairs", "q21_ann_ivf",
     "q02_infer_lineitem", "q79_ann_ivfpq", "q76_select_budget",
     "q80_semdedup", "q82_dsir_score", "q88_scd2_collapse",
-    "q89_interval_overlap", "q90_containment")
+    "q89_interval_overlap", "q90_containment",
+    // round-6 heavies. Deliberately NOT q105: the sf1 corpus
+    // replicates part names VERBATIM (only document text gets
+    // shingle-disjoint suffixes), so its name groups grow 10× and its
+    // TRUE pair output grows ~100× — a decade of duplicate density,
+    // not volume, which is not the question this harness asks.
+    "q100_ks_statistic", "q108_robust_stats")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
