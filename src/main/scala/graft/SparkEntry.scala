@@ -1152,6 +1152,20 @@ object SparkEntry {
     "q110_market_basket" -> ((s, dir) => {
       graft.operators.Associations.pairRules(t(s, dir, "events"),
         "user_id", "event_type", minSupport = 5)
+    }),
+    // ---- Benford first-digit audit over monetary columns (integer
+    //      cents digit extraction — engine-exact, no log10) ----
+    "q111_benford_audit" -> ((s, dir) => {
+      graft.operators.Audit.benfordAudit(t(s, dir, "lineitem"),
+        Seq("l_extendedprice", "l_tax"), scale = 100L)
+    }),
+    // ---- bigram LM scoring, Stupid Backoff (CCNet-style perplexity
+    //      filter): train on the en slice, score every document ----
+    "q112_bigram_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramLmScore(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -2498,7 +2512,67 @@ SELECT p.item_a, p.item_b, p.n_ab,
   round(CAST(p.n_ab AS DOUBLE) * nb.n / (CAST(ca.c AS DOUBLE) * cb.c), 6)
     AS lift
 FROM p JOIN ci ca ON ca.i = p.item_a JOIN ci cb ON cb.i = p.item_b
-CROSS JOIN nb ORDER BY item_a, item_b"""
+CROSS JOIN nb ORDER BY item_a, item_b""",
+    "q111_benford_audit" -> {
+      // exact-integer digit extraction (cents), mirroring the engine:
+      // no log10, so both engines agree bit-for-bit at digit boundaries
+      def colCte(c: String) =
+        s"""SELECT '$c' AS "column", CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM (SELECT CAST(round(abs(CAST($c AS DOUBLE)) * 100) AS BIGINT) AS v
+        FROM lineitem)
+  WHERE v IS NOT NULL AND v <> 0"""
+      s"""WITH d AS (${colCte("l_extendedprice")} UNION ALL ${colCte("l_tax")}),
+spine AS (SELECT c.col AS "column", g.digit,
+    round(log10(1.0 + 1.0 / g.digit), 6) AS exp_r
+  FROM (SELECT 'l_extendedprice' AS col UNION ALL SELECT 'l_tax') c
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) g),
+cnt AS (SELECT "column", digit, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2),
+j AS (SELECT s."column", s.digit, s.exp_r, coalesce(cnt.n, 0) AS n
+  FROM spine s LEFT JOIN cnt USING ("column", digit)),
+tot AS (SELECT "column", sum(n) AS n_total FROM j GROUP BY 1)
+SELECT j."column", j.digit, j.n,
+  round(CAST(j.n AS DOUBLE) / t.n_total, 6) AS obs_share,
+  j.exp_r AS exp_share,
+  round(t.n_total *
+    pow(CAST(j.n AS DOUBLE) / t.n_total - j.exp_r, 2) / j.exp_r, 6)
+    AS chi2_term
+FROM j JOIN tot t USING ("column") ORDER BY "column", digit"""
+    },
+    "q112_bigram_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $tokensSql AS tk FROM documents),
+-- tokens are whitespace-split, so ' '-joining a 2-slice is lossless
+-- (the proven q107 bigram pattern)
+bg0 AS (SELECT doc_id, lang, unnest(CASE WHEN len(tk) >= 2
+  THEN list_transform(range(0, len(tk) - 1),
+    i -> array_to_string(tk[i+1:i+2], ' '))
+  ELSE [] END) AS ngram FROM toks),
+bg AS (SELECT doc_id, lang, string_split(ngram, ' ')[1] AS w1,
+  string_split(ngram, ' ')[2] AS w2 FROM bg0),
+u AS (SELECT unnest(tk) AS w FROM toks WHERE lang = 'en'),
+c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY w),
+tt AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM c1),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+sc AS (SELECT doc_id,
+    round(-ln(CASE
+      WHEN c2.c2 IS NOT NULL THEN CAST(c2.c2 AS DOUBLE) / u1.c1
+      WHEN u2.c1 IS NOT NULL THEN 0.4 * CAST(u2.c1 AS DOUBLE) / tt.t
+      ELSE 0.4 / tt.t END), 6) AS nls
+  FROM bg
+  LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+  LEFT JOIN c1 u1 ON u1.w = bg.w1
+  LEFT JOIN c1 u2 ON u2.w = bg.w2
+  CROSS JOIN tt),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    CAST(sum(CAST(nls AS DECIMAL(24,6))) * 1000000 AS BIGINT)
+      AS sum_nls_micro
+  FROM sc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+  coalesce(pd.sum_nls_micro, 0) AS sum_nls_micro,
+  CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+    THEN pd.sum_nls_micro // pd.n_bigrams ELSE 0 END AS avg_nls_micro
+FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

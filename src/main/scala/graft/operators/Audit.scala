@@ -57,4 +57,66 @@ object Audit {
     }
     rows.reduce(_.unionByName(_)).orderBy("relation")
   }
+
+  /** Benford first-digit audit — the fabricated-data / unit-mixup smell
+    * test an ingest runs over monetary and count columns: natural
+    * multiplicative data follows P(d) = log10(1 + 1/d) for the first
+    * significant digit; uniform or clerical data does not.
+    *
+    * `scale` fixes the digit extraction: the value is converted to an
+    * exact integer at `round(abs(x) * scale)` (e.g. 100 → cents) and the
+    * first digit is read off the integer's decimal string. This is
+    * deliberate: `floor(x / 10^floor(log10(x)))` differs between engines
+    * by one ulp of `log10` at power-of-ten boundaries, while an integer's
+    * decimal rendering is exact everywhere — the q109 comparison-ladder
+    * principle applied to base 10. Zero values (no significant digit)
+    * and nulls are excluded from the shares.
+    *
+    * Returns one row per (column, digit 1..9): n, observed share,
+    * Benford's expected share, and the chi-square contribution
+    * n_total*(obs-exp)²/exp — all rounded to 6 for engine portability.
+    *
+    * Scale design (100 TB): one fused aggregate per column over a
+    * two-column projection (digit extraction is a narrow codegen'd
+    * expression), shuffling 10 rows per column; the digit spine is a
+    * broadcast literal frame so absent digits still surface with n=0.
+    */
+  def benfordAudit(df: DataFrame, valueCols: Seq[String],
+                   scale: Long = 100L): DataFrame = {
+    require(valueCols.nonEmpty, "benfordAudit needs at least one column")
+    require(scale >= 1L, "scale must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = broadcast(
+      valueCols.flatMap(c => (1 to 9).map(d =>
+          (c, d, math.log10(1.0 + 1.0 / d))))
+        .toDF("column", "digit", "exp_share"))
+    val perCol = valueCols.map { c =>
+      val ints = df.select(
+        round(abs(col(c).cast("double")) * scale).cast("bigint").as("_v"))
+      ints.select(
+          when(col("_v").isNull || col("_v") === 0L, lit(null))
+            .otherwise(substring(col("_v").cast("string"), 1, 1)
+              .cast("int")).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .select(lit(c).as("column"), col("digit"), col("n"))
+    }.reduce(_.unionByName(_))
+    val joined = digits.join(perCol, Seq("column", "digit"), "left")
+      .select(col("column"), col("digit"), col("exp_share"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val totals = joined.groupBy("column")
+      .agg(sum("n").as("n_total"))
+    // chi2 is computed from the ROUNDED expected share so both engines
+    // feed bit-identical doubles into pow/division (libm log10 may
+    // differ by one ulp between engines; 6-dp decimals do not)
+    joined.join(broadcast(totals), Seq("column"))
+      .withColumn("exp_r", round(col("exp_share"), 6))
+      .select(col("column"), col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("obs_share"),
+        col("exp_r").as("exp_share"),
+        round(col("n_total") *
+          pow(col("n").cast("double") / col("n_total") - col("exp_r"), 2)
+          / col("exp_r"), 6).as("chi2_term"))
+      .orderBy("column", "digit")
+  }
 }

@@ -345,6 +345,79 @@ object TextAnalysis {
         coalesce(col("avg_surprisal"), lit(0.0)).as("avg_surprisal"))
   }
 
+  /** Bigram language-model scoring with Stupid Backoff (Brants et al.
+    * 2007) — the CCNet-style perplexity filter: train counts on a
+    * reference slice of the corpus (e.g. the target language), score
+    * EVERY document by its average per-bigram negative log score, and
+    * filter or bucket on the result. High scores = unlike the
+    * reference distribution.
+    *
+    * Scoring for an adjacent pair (w1, w2) against the trained counts:
+    *   S = c2(w1,w2) / c1(w1)                 if the bigram was seen
+    *   S = 0.4 * c1(w2) / T                   else if w2 was seen
+    *   S = 0.4 * 1 / T                        else (OOV floor)
+    * where c1/c2 are unigram/bigram counts in `train` and T the train
+    * token total. Returns one row per corpus document: (id, n_bigrams,
+    * sum_nls_micro, avg_nls_micro) — the negative-log-score total and
+    * mean in INTEGER MICRONATS (6-dp-rounded per-bigram scores reduced
+    * as exact integers; floor-divided mean). Documents with < 2 tokens
+    * return (0, 0, 0).
+    *
+    * Scale design (100 TB): the two count frames are classic map-side
+    * partial aggregates (shuffle carries distinct n-grams, not tokens);
+    * scoring joins the exploded corpus bigrams against them on the
+    * n-gram key — both shuffle joins on compact string keys, AQE
+    * broadcasts the count side when the trained vocabulary is small.
+    * Per-document reduction sums decimal(24,6) so the mean is
+    * aggregation-order-free. No UDFs; everything is codegen'd.
+    */
+  def bigramLmScore(corpus: DataFrame, train: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    def bigrams(df: DataFrame, cols: Column*): DataFrame = {
+      val tk = tokens(col(textCol))
+      df.select(cols :+ tk.as("_tk"): _*)
+        .select(cols :+ explode(zip_with(
+          slice(col("_tk"), lit(1), greatest(size(col("_tk")) - 1, lit(0))),
+          slice(col("_tk"), lit(2), greatest(size(col("_tk")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"): _*)
+        .select(cols :+ col("_bg.w1") :+ col("_bg.w2"): _*)
+    }
+    val c1 = train
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val total = broadcast(c1.agg(sum("c1").as("t_total")))
+    val c2 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1w1 = c1.select(col("w").as("w1"), col("c1").as("c1_w1"))
+    val c1w2 = c1.select(col("w").as("w2"), col("c1").as("c1_w2"))
+    val scored = bigrams(corpus, col(idCol))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1w1, Seq("w1"), "left")
+      .join(c1w2, Seq("w2"), "left")
+      .crossJoin(total)
+      .withColumn("s", when(col("c2").isNotNull,
+          col("c2").cast("double") / col("c1_w1").cast("double"))
+        .when(col("c1_w2").isNotNull,
+          lit(0.4) * col("c1_w2").cast("double") / col("t_total"))
+        .otherwise(lit(0.4) / col("t_total")))
+      // per-bigram scores round to 6 dp, then reduce in EXACT integer
+      // micros (decimal sum → bigint, floor division): a double mean
+      // like sum/50 lands exactly on .5e-6 rounding boundaries where
+      // Spark's BigDecimal HALF_UP and DuckDB's double round disagree —
+      // integer micros are bit-identical in every engine
+      .withColumn("nls", round(-log(col("s")), 6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nls").cast("decimal(24,6)")) * 1000000)
+          .cast("bigint").as("sum_nls_micro"))
+    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_nls_micro"), lit(0L)).as("sum_nls_micro"))
+      .withColumn("avg_nls_micro",
+        when(col("n_bigrams") > 0,
+          expr("sum_nls_micro div n_bigrams")).otherwise(lit(0L)))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * rolling-hash-equivalent content signature, invariant to token
     * order and duplication. md5 is available in both Spark and DuckDB,

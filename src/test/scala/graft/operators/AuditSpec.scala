@@ -68,4 +68,37 @@ class AuditSpec extends SparkSpec {
         s"synthetic star schema must be orphan-free: $r")
     }
   }
+
+  test("benfordAudit: digit extraction, spine completeness, shares") {
+    import spark.implicits._
+    // cents-scale extraction: 12.34 -> 1234 -> digit 1; 0.05 -> 5 -> 5;
+    // 900.00 -> 90000 -> 9; -23.00 -> 2300 -> 2 (abs); 0.0 and null drop
+    val df = Seq(Some(12.34), Some(0.05), Some(900.0), Some(-23.0),
+      Some(0.0), None).toDF("v")
+    val out = Audit.benfordAudit(df, Seq("v")).collect()
+    assert(out.length == 9, "full 1..9 spine even with absent digits")
+    val byDigit = out.map(r => r.getInt(1) -> r).toMap
+    assert(byDigit(1).getLong(2) == 1L)
+    assert(byDigit(2).getLong(2) == 1L)
+    assert(byDigit(5).getLong(2) == 1L)
+    assert(byDigit(9).getLong(2) == 1L)
+    assert(byDigit(3).getLong(2) == 0L, "absent digit surfaces with n=0")
+    // shares over the 4 counted rows (zero/null excluded)
+    assert(math.abs(byDigit(1).getDouble(3) - 0.25) < 1e-9)
+    assert(math.abs(byDigit(1).getDouble(4) - 0.301030) < 1e-9,
+      "Benford expected share for d=1")
+    // chi2 term is 0 where obs == exp would be; here obs=0.25 vs 0.301030
+    assert(byDigit(1).getDouble(5) > 0.0)
+  }
+
+  test("benfordAudit: multi-column output is keyed and ordered") {
+    import spark.implicits._
+    val df = Seq((10.0, 1.0), (20.0, 2.0)).toDF("a", "b")
+    val out = Audit.benfordAudit(df, Seq("b", "a"))
+      .select("column", "digit").as[(String, Int)].collect()
+    assert(out.length == 18)
+    assert(out.take(9).forall(_._1 == "a") &&
+      out.drop(9).forall(_._1 == "b"), "ordered by column then digit")
+    assert(out.map(_._2).take(9).toSeq == (1 to 9))
+  }
 }

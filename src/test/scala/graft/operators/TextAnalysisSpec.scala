@@ -193,4 +193,34 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("bigramLmScore: seen / unigram-backoff / OOV branches, micros exact") {
+    // train "a b a b": c1(a)=2 c1(b)=2 T=4; c2(a,b)=2 c2(b,a)=1
+    val train = Seq("a b a b").toDF("text").withColumn("id", lit(0L))
+    val corpus = Seq(
+      (1L, "a b c"), // (a,b) seen S=1 -> 0; (b,c) OOV S=0.4/4 -> ln(10)
+      (2L, "b a"),   // (b,a) seen S=1/2 -> ln 2
+      (3L, "b b"),   // unseen bigram, seen unigram: S=0.4*2/4 -> ln 5
+      (4L, "x"),     // <2 tokens -> (0, 0, 0)
+      (5L, "")       // empty -> (0, 0, 0)
+    ).toDF("id", "text")
+    val got = TextAnalysis.bigramLmScore(corpus, train, "id", "text")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 2L, 2302585L, 1151292L), // floor((0 + 2302585)/2)
+      (2L, 1L, 693147L, 693147L),
+      (3L, 1L, 1609438L, 1609438L),
+      (4L, 0L, 0L, 0L),
+      (5L, 0L, 0L, 0L)))
+  }
+
+  test("bigramLmScore: scoring the training corpus never hits backoff") {
+    val docs = Seq((1L, "a b"), (2L, "b a b")).toDF("id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, docs, "id", "text")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toList
+    // c1(a)=2 c1(b)=3; c2(a,b)=2 c2(b,a)=1
+    // doc1: (a,b) S=2/2=1 -> 0
+    // doc2: (b,a) S=1/3 -> ln 3 = 1.098612; (a,b) -> 0
+    assert(got == List((1L, 1L, 0L, 0L), (2L, 2L, 1098612L, 549306L)))
+  }
 }
