@@ -1166,8 +1166,24 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(docs,
         docs.filter(col("lang") === "en"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+    // ---- BM25 top-k retrieval (eval-mining search over the corpus).
+    //      k1=1.5, b=0.75: binary-exact constants, so engine and
+    //      oracle feed identical doubles into every term ----
+    "q113_bm25_topk" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", bm25Queries, k = 10, k1 = 1.5, b = 0.75)
     })
   )
+
+  /** q113's query set: a common-term pair, the one rare term ("dup",
+    * df≈5% — the discriminative-idf case), a 3-term query, and one with
+    * an out-of-vocabulary term (contributes zero). */
+  private val bm25Queries: Seq[(String, String)] = Seq(
+    "q1" -> "hash join",
+    "q2" -> "dup table",
+    "q3" -> "fast sort merge",
+    "q4" -> "zzzunknown spark")
 
   // ======================= oracle SQL =======================
 
@@ -2572,7 +2588,37 @@ SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
   coalesce(pd.sum_nls_micro, 0) AS sum_nls_micro,
   CASE WHEN coalesce(pd.n_bigrams, 0) > 0
     THEN pd.sum_nls_micro // pd.n_bigrams ELSE 0 END AS avg_nls_micro
-FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
+FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
+    "q113_bm25_topk" -> {
+      val qvals = bm25Queries.flatMap { case (qid, qtext) =>
+        qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+          .map(t => (qid, t))
+      }
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(coalesce(len(tk), 0)) AS DOUBLE) / count(*) AS avgdl
+  FROM (SELECT $tokensSql AS tk FROM documents)),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+q(query_id, term) AS (VALUES ${valuesSql(qvals)}),
+sc AS (SELECT q.query_id, p.doc_id,
+    CAST(sum(CAST(round(
+      ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+        (p.tf * 2.5) /
+        (p.tf + 1.5 * (0.25 + 0.75 * dl.dl / st.avgdl)) * 1000000
+    ) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM post p JOIN q ON q.term = p.term JOIN dfq d ON d.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, score_micro,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+  FROM sc)
+SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 10
+ORDER BY query_id, rank"""
+    }
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the document corpus — the "find me training
+  * examples like X" / eval-set mining primitive a data pipeline runs
+  * against its own corpus (the search side of curation; dedup is the
+  * inverse).
+  *
+  * Scale design (100 TB):
+  *   - The corpus collapses to a postings frame (doc, term, tf) — one
+  *     explode + one map-side-partial aggregate; every later step joins
+  *     POSTINGS, never raw text.
+  *   - The query set is driver-sized and broadcast; the postings join
+  *     is a broadcast semi-join that discards every non-matching term
+  *     at the scan side of the shuffle.
+  *   - Document-frequency and length statistics are term-level /
+  *     corpus-level aggregates (rows = vocabulary size, 1 row), both
+  *     broadcast back — no per-document second scan.
+  *   - The final per-query cut is [[TopK.perGroup]] — bounded partial
+  *     top-k aggregation, not a window: a query matching 10⁹ documents
+  *     shuffles ≤ k rows per partition, not its full candidate set.
+  */
+object Retrieval {
+
+  /** BM25 (Robertson/Lucene variant) top-k documents per query.
+    *
+    * Per query term t and document d:
+    *   idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *   score    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with tf the in-document term frequency, dl the document token
+    * length and avgdl the corpus mean. Query terms are deduplicated
+    * (classic qtf=1 form); terms absent from the corpus contribute 0.
+    *
+    * Scores are emitted in INTEGER MICROS (`score_micro`): each
+    * (term, doc) contribution is rounded to the nearest micro and the
+    * per-document sum is exact integer arithmetic — engine-portable
+    * (the q112 lesson: double means/sums at rounding boundaries split
+    * engines; integer micros never do). Ranking ties break on doc id
+    * ASC. Output: (query_id, rank ∈ 1..k, idCol, score_micro), ordered.
+    *
+    * @param queries (query_id, query_text) literals; tokenized with the
+    *                same lowercase/whitespace rule as the corpus.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "query ids must be unique")
+    require(k > 0, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // postings (doc, term, tf); per-doc length re-derives from postings
+    // (dl = Σ tf) so the text is tokenized exactly twice: here and in
+    // the 1-row corpus-stats aggregate below
+    val toks = docs.select(col(idCol), explode(TextAnalysis.tokens(
+      col(textCol))).as("term"))
+    val postings = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = postings.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+
+    // corpus stats: N and avgdl from docs (zero-token docs count in N),
+    // df per term from postings
+    val stats = broadcast(docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(coalesce(size(TextAnalysis.tokens(col(textCol))), lit(0)))
+        .cast("double") / count(lit(1))).as("avgdl")))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+    // driver-side query tokenization, same rule as the corpus tokens
+    val qterms = broadcast(queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }.toDF("query_id", "term"))
+
+    val scored = postings
+      .join(qterms, Seq("term"))            // broadcast: non-query terms die here
+      .join(broadcast(dfreq.join(qterms, Seq("term")).select("term", "df")
+        .distinct()), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(stats)
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib_micro",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))) * 1000000L)
+          .cast("bigint"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("contrib_micro").as("score_micro"))
+
+    TopK.perGroup(scored, "query_id", "score_micro", idCol, k)
+      .withColumn("score_micro", col("score_micro").cast("bigint"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b a"),
+    (2L, "a c"),
+    (3L, "b b b")
+  ).toDF("doc_id", "text")
+
+  /** The operator's exact arithmetic, replicated in plain Scala. */
+  private def expectedMicro(tf: Long, df: Long, dl: Long, nDocs: Long,
+                            avgdl: Double, k1: Double, b: Double): Long = {
+    val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    val s = idf * (tf * (k1 + 1.0)) /
+      (tf + k1 * ((1.0 - b) + b * dl / avgdl)) * 1000000L
+    math.round(s)
+  }
+
+  test("bm25TopK: exact micro scores on a hand-built corpus") {
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("q1" -> "a c"), k = 3, k1 = 1.5, b = 0.75)
+      .as[(String, Int, Long, Long)].collect().toList
+    val avgdl = 8.0 / 3.0
+    // doc2 matches a(tf1,df2) and c(tf1,df1); doc1 matches a(tf2,df2)
+    val d2 = expectedMicro(1, 2, 2, 3, avgdl, 1.5, 0.75) +
+      expectedMicro(1, 1, 2, 3, avgdl, 1.5, 0.75)
+    val d1 = expectedMicro(2, 2, 3, 3, avgdl, 1.5, 0.75)
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      List(("q1", 1, 2L), ("q1", 2, 1L)), got.toString)
+    assert(got.map(_._4) == List(d2, d1), got.toString)
+  }
+
+  test("bm25TopK: OOV terms contribute exactly zero") {
+    def run(q: String) = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("q" -> q), k = 3).as[(String, Int, Long, Long)].collect().toList
+    assert(run("zzz b") == run("b"), "absent term must not shift scores")
+  }
+
+  test("bm25TopK: k bounds output; ties break on doc id asc") {
+    val tied = Seq((10L, "x"), (2L, "x"), (7L, "x")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(tied, "doc_id", "text",
+        Seq("q" -> "x"), k = 2)
+      .as[(String, Int, Long, Long)].collect().toList
+    assert(got.map(_._3) == List(2L, 7L), got.toString)
+    assert(got.map(_._2) == List(1, 2))
+  }
+
+  test("bm25TopK: plans the bounded TopK aggregate, not a window") {
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("q1" -> "a"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), "per-query cut must not be a window")
+  }
+
+  test("bm25TopK: invariant under input partitioning") {
+    val a = Retrieval.bm25TopK(docs.repartition(7), "doc_id", "text",
+      Seq("q1" -> "a c", "q2" -> "b"), k = 3)
+      .as[(String, Int, Long, Long)].collect().toList
+    val b = Retrieval.bm25TopK(docs.coalesce(1), "doc_id", "text",
+      Seq("q1" -> "a c", "q2" -> "b"), k = 3)
+      .as[(String, Int, Long, Long)].collect().toList
+    assert(a == b)
+  }
+}
