@@ -1173,6 +1173,13 @@ object SparkEntry {
     "q113_bm25_topk" -> ((s, dir) => {
       graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", bm25Queries, k = 10, k1 = 1.5, b = 0.75)
+    }),
+    // ---- repeated-substring detection (Lee et al. ExactSubstr
+    //      signal): content-defined-sampled char 20-grams (digest ≡ 0
+    //      mod 5 — alignment-invariant) shared by ≥2 docs ----
+    "q114_repeated_substrings" -> ((s, dir) => {
+      Dedup.repeatedSubstrings(t(s, dir, "documents"), "doc_id", "text",
+        k = 20, sampleMod = 5, minDocs = 2, topN = 100)
     })
   )
 
@@ -2618,7 +2625,20 @@ r AS (SELECT query_id, doc_id, score_micro,
   FROM sc)
 SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 10
 ORDER BY query_id, rank"""
-    }
+    },
+    "q114_repeated_substrings" ->
+      """WITH g AS (SELECT doc_id, gram FROM (
+    SELECT doc_id, substr(text, p + 1, 20) AS gram
+    FROM (SELECT doc_id, text, unnest(CASE WHEN len(text) >= 20
+      THEN range(0, len(text) - 20 + 1) ELSE [] END) AS p
+      FROM documents))
+  WHERE CAST(('0x' || substr(md5(gram), 1, 12)) AS BIGINT) % 5 = 0),
+pd AS (SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM g GROUP BY 1, 2),
+o AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n) AS BIGINT) AS n_occ
+  FROM pd GROUP BY gram HAVING count(*) >= 2)
+SELECT gram, n_docs, n_occ FROM o ORDER BY n_occ DESC, gram LIMIT 100"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

@@ -739,4 +739,63 @@ object Dedup {
         greatest(col("_ia"), col("_ib")).as("id_b"), col("dist"))
     zero.unionByName(cross)
   }
+
+  /** Repeated fixed-length substring detection — the character-level
+    * exact-duplication signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * pass): boilerplate, licenses, templated spam repeat VERBATIM
+    * across documents at the character level even when whole-document
+    * hashes differ.
+    *
+    * This is the bounded, engine-friendly form of the suffix-array
+    * pass, with CONTENT-DEFINED sampling (the winnowing / Broder mod-p
+    * idea): every position's k-gram is enumerated, but only grams whose
+    * 48-bit digest ≡ 0 (mod `sampleMod`) survive to the shuffle.
+    * Offset-stride sampling would be alignment-DEPENDENT — two
+    * documents sharing a run sample different in-run offsets and never
+    * emit the same gram — while a content-defined choice picks the
+    * same grams in every document that contains them, wherever they
+    * sit. A shared run of length L ≥ k is caught iff any of its
+    * L − k + 1 grams is selected (expected hit for runs ⪆ sampleMod +
+    * k chars; `sampleMod = 1` is the exhaustive check). Returns grams
+    * occurring in ≥ `minDocs` distinct documents: (gram, n_docs,
+    * n_occ), heaviest first (ties: gram ASC), top `topN`.
+    *
+    * Scale design (100 TB): per-row CPU is O(n_chars) narrow codegen'd
+    * expressions; the sample filter sits directly on the generator
+    * output, so the SHUFFLE carries ~1/sampleMod of the (gram, doc)
+    * pairs, pre-aggregated map-side to distinct pairs; the distinct-doc
+    * count is the second, gram-keyed aggregate (candidates-first: no
+    * count-distinct buffering); the global cut is
+    * TakeOrderedAndProject (per-partition top-N). Nothing driver-side.
+    */
+  def repeatedSubstrings(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, sampleMod: Int = 1, minDocs: Int = 2,
+                         topN: Int = 100): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2 (a repeat needs 2 docs)")
+    require(topN >= 1, "topN must be >= 1")
+    val grams = df
+      .select(col(idCol),
+        explode(when(length(col(textCol)) >= k,
+            sequence(lit(0), length(col(textCol)) - k, lit(1)))
+          .otherwise(array().cast("array<int>"))).as("_p"),
+        col(textCol))
+      .select(col(idCol),
+        expr(s"substring(`$textCol`, _p + 1, $k)").as("gram"))
+    val sampled =
+      if (sampleMod == 1) grams
+      else grams.filter(
+        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long")
+          % sampleMod === 0)
+    sampled
+      .groupBy(col("gram"), col(idCol))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), sum("_n").as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(topN)
+  }
 }

@@ -401,4 +401,68 @@ class DedupSpec extends SparkSpec {
       assert(c >= 0.5 && c <= 1.0)
     }
   }
+
+  test("repeatedSubstrings: cross-doc repeats found, singletons dropped") {
+    import spark.implicits._
+    // "LICENSE-TEXT" boilerplate shared by docs 1 and 2 (doc 2 twice);
+    // doc 3 is unique text; doc 4 too short; doc 5 null
+    val docs = Seq(
+      (1L, Some("xxLICENSE-TEXTyyyyyy")),
+      (2L, Some("LICENSE-TEXTabLICENSE-TEXT")),
+      (3L, Some("completely different content")),
+      (4L, Some("tiny")),
+      (5L, None)
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSubstrings(docs, "doc_id", "text",
+        k = 12, sampleMod = 1, minDocs = 2, topN = 10)
+      .as[(String, Long, Long)].collect().toList
+    assert(got.contains(("LICENSE-TEXT", 2L, 3L)),
+      s"shared boilerplate must surface: $got")
+    assert(got.forall(_._2 >= 2), "every output gram spans >= 2 docs")
+    assert(got.forall(!_._1.contains("different")),
+      "unique text must not appear")
+  }
+
+  test("repeatedSubstrings: content-defined sampling is alignment-invariant") {
+    import spark.implicits._
+    // the same run at DIFFERENT offsets in each doc — an offset-stride
+    // sampler can never emit a common gram here (in-run sample offsets
+    // are congruence classes of the global position), while the
+    // content-defined sampler picks identical grams in both docs
+    val repeat = "ABCDEFGHIJKLMNOPQRSTUVWXY"
+    val docs = Seq(
+      (1L, "pad1" + repeat + "tail"),
+      (2L, "longerpadding2" + repeat)
+    ).toDF("doc_id", "text")
+    val exhaustive = Dedup.repeatedSubstrings(docs, "doc_id", "text",
+        k = 10, sampleMod = 1, minDocs = 2, topN = 100)
+      .as[(String, Long, Long)].collect().toList
+    assert(exhaustive.size == repeat.length - 10 + 1,
+      s"every in-run gram repeats: $exhaustive")
+    val sampled = Dedup.repeatedSubstrings(docs, "doc_id", "text",
+        k = 10, sampleMod = 2, minDocs = 2, topN = 100)
+      .as[(String, Long, Long)].collect().toList
+    assert(sampled.nonEmpty,
+      "16 candidate grams at mod 2: this fixture deterministically hits")
+    assert(sampled.toSet.subsetOf(exhaustive.toSet),
+      "sampling only ever drops grams, never invents them")
+    assert(sampled.forall(g => repeat.contains(g._1)),
+      s"hits must come from the shared run: $sampled")
+  }
+
+  test("repeatedSubstrings: deterministic top-N cut and ordering") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaaaa"), (2L, "aaaaaaaaaa"), (3L, "aaaaaaaaaa"),
+      (4L, "bbbbbbbbbb"), (5L, "bbbbbbbbbb")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSubstrings(docs, "doc_id", "text",
+        k = 10, sampleMod = 1, minDocs = 2, topN = 1)
+      .as[(String, Long, Long)].collect().toList
+    assert(got == List(("aaaaaaaaaa", 3L, 3L)),
+      "heaviest gram wins the top-N cut")
+    val plan = Dedup.repeatedSubstrings(docs, "doc_id", "text", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
