@@ -1180,6 +1180,13 @@ object SparkEntry {
     "q114_repeated_substrings" -> ((s, dir) => {
       Dedup.repeatedSubstrings(t(s, dir, "documents"), "doc_id", "text",
         k = 20, sampleMod = 5, minDocs = 2, topN = 100)
+    }),
+    // ---- portable deterministic HLL distinct sketch: per-source
+    //      estimates + a register-merged global row (the incremental
+    //      profile; exact counts ride along for the comparison) ----
+    "q115_hll_profile" -> ((s, dir) => {
+      graft.operators.Sketch.hllProfile(t(s, dir, "documents"),
+        "text", "source")
     })
   )
 
@@ -2638,7 +2645,39 @@ pd AS (SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS n
 o AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
     CAST(sum(n) AS BIGINT) AS n_occ
   FROM pd GROUP BY gram HAVING count(*) >= 2)
-SELECT gram, n_docs, n_occ FROM o ORDER BY n_occ DESC, gram LIMIT 100"""
+SELECT gram, n_docs, n_occ FROM o ORDER BY n_occ DESC, gram LIMIT 100""",
+    "q115_hll_profile" -> {
+      val ladder = (1 to 39)
+        .map(i => s"(CASE WHEN rem >= ${1L << i} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val alpha = graft.operators.Sketch.alphaLiteral
+      val raw = s"CAST($alpha AS DOUBLE) * 256.0 * 256.0 / (s + (256.0 - nz))"
+      s"""WITH v AS (SELECT source, text FROM documents WHERE text IS NOT NULL),
+h AS (SELECT source,
+    CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h FROM v),
+b AS (SELECT source, CAST(h % 256 AS INTEGER) AS bucket, h >> 8 AS rem
+  FROM h),
+r AS (SELECT source, bucket,
+    CASE WHEN rem = 0 THEN 41 ELSE 40 - ($ladder) END AS reg FROM b),
+reg AS (SELECT source, bucket, max(reg) AS reg FROM r GROUP BY 1, 2),
+st AS (SELECT source AS scope,
+    sum(1.0 / (CAST(1 AS BIGINT) << reg)) AS s, count(*) AS nz
+  FROM reg GROUP BY 1
+  UNION ALL
+  SELECT '__all__', sum(1.0 / (CAST(1 AS BIGINT) << reg)), count(*)
+  FROM (SELECT bucket, max(reg) AS reg FROM reg GROUP BY 1)),
+e AS (SELECT scope, round(CASE
+    WHEN ($raw) <= 640.0 AND (256.0 - nz) > 0
+    THEN 256.0 * ln(256.0 / (256.0 - nz)) ELSE $raw END, 6)
+    AS hll_estimate FROM st),
+ex AS (SELECT source AS scope,
+    CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM v GROUP BY 1
+  UNION ALL
+  SELECT '__all__', CAST(count(DISTINCT text) AS BIGINT) FROM v)
+SELECT e.scope, ex.n_exact, e.hll_estimate,
+  round(abs(e.hll_estimate - ex.n_exact) / ex.n_exact, 6) AS rel_err
+FROM e JOIN ex USING (scope) ORDER BY scope"""
+    }
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches — the incremental-profiling
+  * primitive a 100 TB pipeline runs instead of count(distinct): build a
+  * fixed-size register table per partition/day/source ONCE, persist it,
+  * and answer "distinct over any union of slices" by max-merging
+  * registers — no rescan of the data, ever.
+  *
+  * This is a from-scratch HyperLogLog (Flajolet et al. 2007) built
+  * ENTIRELY from engine-portable arithmetic, unlike opaque binary
+  * sketch blobs (Spark's approx_count_distinct / DataSketches), whose
+  * estimates can't be replayed by another engine:
+  *   - hash: 48-bit md5 prefix (the house digest — identical in any
+  *     engine with md5);
+  *   - bucket: low 8 bits (m = 256); rank: leading-zero count of the
+  *     remaining 40-bit field via an integer comparison ladder (the
+  *     q109 principle — no floating log2 at power-of-two boundaries);
+  *   - register merge: MAX — associative, commutative, idempotent,
+  *     which is what makes the sketch mergeable and re-aggregable at
+  *     any granularity;
+  *   - estimator: Σ 2^(−reg) summed as EXACT dyadic doubles (every
+  *     term is a multiple of 2⁻⁴¹ and the total stays under 2⁹, so all
+  *     partial sums are exactly representable — the sum is
+  *     aggregation-ORDER-FREE, a property float sums normally lack).
+  *
+  * Standard small-range (linear-counting) correction applies below
+  * 2.5·m; the 2⁴⁸ hash space makes the large-range correction
+  * unreachable at any realistic cardinality (documented, not coded).
+  *
+  * Scale design (100 TB): one narrow map pass → groupBy((group),
+  * bucket) max-aggregate: the shuffle carries ≤ m rows per group
+  * (partial max map-side), estimates are per-group 1-row aggregates.
+  * The merged ("__all__") estimate re-aggregates the per-group
+  * REGISTERS, not the data — the whole point of the sketch.
+  */
+object Sketch {
+
+  val m: Int = 256
+  private val alpha: Double = 0.7213 / (1.0 + 1.079 / m)
+
+  /** Exposed for oracle construction: the exact alpha double. */
+  def alphaLiteral: String = alpha.toString
+
+  /** 48-bit md5 digest of the value's string form. */
+  private def h48(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** floor(log2(x)) for x ≥ 1 via comparison ladder (40-bit domain). */
+  private def floorLog2(x: Column): Column =
+    (1 to 39).map(i => when(x >= lit(1L << i), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Per-group HLL registers: (groupCols..., bucket, reg). Rows with a
+    * NULL value are skipped (count-distinct semantics). Re-aggregating
+    * this frame with max(reg) at ANY coarser grouping yields the
+    * registers of the merged sketch. */
+  def hllRegisters(df: DataFrame, valueCol: String,
+                   groupCols: Seq[String]): DataFrame = {
+    val h = h48(col(valueCol))
+    val rem = shiftright(h, 8) // upper 40 bits (h >= 0)
+    val rho = when(rem === 0L, lit(41))
+      .otherwise(lit(40) - floorLog2(rem))
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ (h % m).cast("int").as("bucket")
+        :+ rho.as("reg"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max("reg").as("reg"))
+  }
+
+  /** Estimate from a register frame grouped by `groupCols`: one row per
+    * group with `hll_estimate` (rounded to 6). Empty buckets contribute
+    * 2⁰ = 1 to the harmonic sum. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) regs.agg(
+        sum(lit(1.0) / expr("shiftleft(1L, reg)")).as("_s"),
+        count(lit(1)).as("_nz"))
+      else regs.groupBy(groupCols.map(col): _*).agg(
+        sum(lit(1.0) / expr("shiftleft(1L, reg)")).as("_s"),
+        count(lit(1)).as("_nz"))
+    val mD = lit(m.toDouble)
+    val sTotal = col("_s") + (mD - col("_nz"))
+    val raw = lit(alpha) * mD * mD / sTotal
+    val empty = mD - col("_nz")
+    val est = when(raw <= lit(2.5 * m) && empty > 0,
+      mD * log(mD / empty)).otherwise(raw)
+    grouped.select(groupCols.map(col) :+
+      round(est, 6).as("hll_estimate"): _*)
+  }
+
+  /** The gate-shaped profile: per-group exact distinct vs sketch
+    * estimate, PLUS a merged "__all__" row whose estimate comes from
+    * max-merging the per-group registers (never rescanning the data;
+    * its exact count is a second aggregate here only for the
+    * comparison). Output: (scope, n_exact, hll_estimate, rel_err). */
+  def hllProfile(df: DataFrame, valueCol: String,
+                 groupCol: String): DataFrame = {
+    val regs = hllRegisters(df, valueCol, Seq(groupCol))
+    val perGroup = hllEstimate(regs, Seq(groupCol))
+      .withColumnRenamed(groupCol, "scope")
+    val merged = hllEstimate(
+      regs.groupBy("bucket").agg(max("reg").as("reg")), Seq.empty)
+      .select(lit("__all__").as("scope"), col("hll_estimate"))
+    val exactPer = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("scope"))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    val exactAll = df.filter(col(valueCol).isNotNull)
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+      .select(lit("__all__").as("scope"), col("n_exact"))
+    perGroup.unionByName(merged)
+      .join(exactPer.unionByName(exactAll), Seq("scope"))
+      .select(col("scope"), col("n_exact"), col("hll_estimate"),
+        round(abs(col("hll_estimate") - col("n_exact")) /
+          col("n_exact"), 6).as("rel_err"))
+      .orderBy("scope")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hllRegisters: max-merge of slice sketches == sketch of the union") {
+    // THE sketch property: registers built per-slice then max-merged
+    // must equal registers built over the whole frame
+    val all = (1 to 3000).map(i => (s"val$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("v", "g")
+    val whole = Sketch.hllRegisters(all, "v", Seq.empty)
+      .as[(Int, Int)].collect().toMap
+    val merged = Sketch.hllRegisters(all, "v", Seq("g"))
+      .groupBy("bucket").agg(max("reg").as("reg"))
+      .as[(Int, Int)].collect().toMap
+    assert(merged == whole)
+  }
+
+  test("hllEstimate: within 15% of exact at 20k distinct (m=256)") {
+    // m=256 -> theoretical std error 1.04/sqrt(256) = 6.5%
+    val df = (1 to 20000).map(i => s"item-$i").toDF("v")
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(df, "v", Seq.empty), Seq.empty)
+      .head.getDouble(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.15, s"est=$est")
+  }
+
+  test("hllEstimate: small-range linear counting is exact-ish and kicks in") {
+    val df = (1 to 30).map(i => s"x$i").toDF("v")
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(df, "v", Seq.empty), Seq.empty)
+      .head.getDouble(0)
+    // 30 distinct, 256 buckets: linear counting is very tight
+    assert(math.abs(est - 30.0) < 3.0, s"est=$est")
+  }
+
+  test("hllProfile: duplicates don't move the estimate; partitioning-invariant") {
+    val base = (1 to 500).map(i => (s"t${i % 100}", s"g${i % 4}"))
+      .toDF("text", "src") // 100 distinct values, heavy duplication
+    val a = Sketch.hllProfile(base.repartition(13), "text", "src")
+      .collect().map(_.toSeq).toList
+    val b = Sketch.hllProfile(base.coalesce(1), "text", "src")
+      .collect().map(_.toSeq).toList
+    assert(a == b, "register max is idempotent and order-free")
+    val all = a.find(_.head == "__all__").get
+    assert(math.abs(all(2).asInstanceOf[Double] - 100.0) < 10.0,
+      s"global estimate near 100: $all")
+  }
+
+  test("hllProfile: nulls are skipped, scopes complete and ordered") {
+    val df = Seq((Some("x"), "s1"), (None, "s1"), (Some("y"), "s2"))
+      .toDF("text", "src")
+    val rows = Sketch.hllProfile(df, "text", "src").collect()
+    assert(rows.map(_.getString(0)).toList == List("__all__", "s1", "s2"))
+    assert(rows.find(_.getString(0) == "s1").get.getLong(1) == 1L,
+      "null text must not count")
+    assert(rows.head.getLong(1) == 2L, "__all__ exact = 2 distinct")
+  }
+}
