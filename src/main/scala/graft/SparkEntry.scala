@@ -1187,6 +1187,15 @@ object SparkEntry {
     "q115_hll_profile" -> ((s, dir) => {
       graft.operators.Sketch.hllProfile(t(s, dir, "documents"),
         "text", "source")
+    }),
+    // ---- empirical-CDF calibration: purchase values scored by their
+    //      percentile under the view-event reference CDF (integer
+    //      micro percentiles — exact cross-engine) ----
+    "q116_cdf_calibration" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Drift.cdfCalibration(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), "value")
     })
   )
 
@@ -2677,7 +2686,18 @@ ex AS (SELECT source AS scope,
 SELECT e.scope, ex.n_exact, e.hll_estimate,
   round(abs(e.hll_estimate - ex.n_exact) / ex.n_exact, 6) AS rel_err
 FROM e JOIN ex USING (scope) ORDER BY scope"""
-    }
+    },
+    "q116_cdf_calibration" ->
+      """WITH v AS (SELECT value AS v,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+  FROM events WHERE event_type IN ('view', 'purchase')
+    AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
+t AS (SELECT CAST(sum(na) AS BIGINT) AS ta FROM v),
+c AS (SELECT v, nb, CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS ca FROM v)
+SELECT c.v AS value, CAST(c.nb AS BIGINT) AS n_cur,
+  (c.ca * 1000000) // t.ta AS pct_ref_micro
+FROM c CROSS JOIN t WHERE c.nb > 0 ORDER BY value"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

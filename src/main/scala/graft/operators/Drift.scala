@@ -151,6 +151,72 @@ object Drift {
     } finally v.unpersist(false)
   }
 
+  /** Empirical-CDF calibration — WHERE a shifted distribution sits,
+    * not just that it shifted (the localization complement to
+    * [[ksStatistic]]'s single supremum): every distinct value of the
+    * current sample is scored with its percentile under the REFERENCE
+    * sample's empirical CDF, F_ref(v) = |{ref ≤ v}| / n_ref. A
+    * calibrated current sample scatters percentiles uniformly;
+    * mass piling near 0 or 1 shows the direction and location of
+    * drift, and the frame doubles as the value→percentile lookup for
+    * percentile-normalizing features against a training snapshot.
+    *
+    * Percentiles are INTEGER MICROS — floor(10⁶·ca/n_ref) computed in
+    * exact integer arithmetic (engine-portable; a double ratio would
+    * sit on rounding boundaries). Returns one row per distinct current
+    * value: (value, n_cur, pct_ref_micro), ordered by value. Nulls and
+    * NaNs are excluded on both sides; the reference must be non-empty.
+    *
+    * Scale shape: identical to [[ksStatistic]] — tagged union collapsed
+    * to distinct values in one hash aggregate, running reference count
+    * via the shared bucketed prefix sum (approxQuantile range buckets,
+    * subtotal offsets in one driver round-trip, windows only WITHIN a
+    * bucket — never a single-partition sort). */
+  def cdfCalibration(ref: DataFrame, cur: DataFrame,
+                     valueCol: String): DataFrame = {
+    val tagged = ref.select(col(valueCol).cast("double").as("_v"),
+        lit(1L).as("_ia"), lit(0L).as("_ib"))
+      .unionByName(cur.select(col(valueCol).cast("double").as("_v"),
+        lit(0L).as("_ia"), lit(1L).as("_ib")))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+    val ss = ref.sparkSession
+    val v = tagged.groupBy("_v")
+      .agg(sum("_ia").as("_na"), sum("_ib").as("_nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBuckets = math.max(1, ss.sparkContext.defaultParallelism)
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val bounds =
+        if (probs.isEmpty) Array.empty[Double]
+        else v.stat.approxQuantile("_v", probs, 0.001)
+      val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
+        case (e, (bd, i)) => when(col("_v") > bd, i + 1).otherwise(e)
+      }
+      val rows = v.withColumn("_bkt", bucketExpr).groupBy("_bkt")
+        .agg(sum("_na").as("_sa")).collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+        .sortBy(_._1)
+      val ta = rows.map(_._2).sum
+      require(ta > 0, "cdfCalibration requires a non-empty reference")
+      val offExpr = {
+        val offs = rows.scanLeft((0, 0L)) {
+          case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
+        }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }
+        offs.foldLeft(lit(0L)) { case (e, (bkt, off)) =>
+          when(col("_bkt") === bkt, lit(off)).otherwise(e)
+        }
+      }
+      val w = Window.partitionBy("_bkt").orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      v.withColumn("_bkt", bucketExpr)
+        .withColumn("_ca", sum("_na").over(w) + offExpr)
+        .filter(col("_nb") > 0)
+        .select(col("_v").as(valueCol), col("_nb").as("n_cur"),
+          expr(s"(_ca * 1000000L) div ${ta}L").as("pct_ref_micro"))
+        .orderBy(valueCol)
+    } finally v.unpersist(false)
+  }
+
   /** Categorical-column profile: for each listed column, the distinct
     * value count, the modal share, and the Shannon entropy (nats) of
     * the value distribution — the concentration statistics that flag a

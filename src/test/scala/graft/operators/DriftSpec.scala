@@ -197,4 +197,44 @@ class DriftSpec extends SparkSpec {
     // mean 2, var ((1-2)^2+(2-2)^2+(3-2)^2)/2 = 1, z = (6-2)/1 = 4
     assert(z == 4.0, s"expected z = 4.0, got $z")
   }
+
+  test("cdfCalibration: exact micro percentiles under the reference CDF") {
+    val ref = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")
+    val cur = Seq(5.0, 10.0, 10.0, 25.0, 40.0, 60.0).toDF("v")
+    val got = Drift.cdfCalibration(ref, cur, "v")
+      .as[(Double, Long, Long)].collect().toList
+    assert(got == List(
+      (5.0, 1L, 0L),        // below everything
+      (10.0, 2L, 250000L),  // 1 of 4 refs <= 10; appears twice in cur
+      (25.0, 1L, 500000L),
+      (40.0, 1L, 1000000L),
+      (60.0, 1L, 1000000L)  // above everything
+    ), got.toString)
+  }
+
+  test("cdfCalibration: null/NaN excluded; empty reference rejected") {
+    val ref = Seq(Some(1.0), None, Some(Double.NaN)).toDF("v")
+    val cur = Seq(Some(0.5), Some(2.0), None).toDF("v")
+    val got = Drift.cdfCalibration(ref, cur, "v")
+      .as[(Double, Long, Long)].collect().toList
+    assert(got == List((0.5, 1L, 0L), (2.0, 1L, 1000000L)))
+    val bad = Seq.empty[Option[Double]].toDF("v")
+    intercept[IllegalArgumentException] {
+      Drift.cdfCalibration(bad, cur, "v")
+    }
+  }
+
+  test("cdfCalibration: invariant under partitioning (bucketed prefix sums)") {
+    val rng = new scala.util.Random(7)
+    val ref = (1 to 2000).map(_ => rng.nextDouble() * 100).toDF("v")
+    val cur = (1 to 500).map(_ => rng.nextDouble() * 120).toDF("v")
+    val a = Drift.cdfCalibration(ref.repartition(11), cur.coalesce(1), "v")
+      .collect().map(_.toSeq).toList
+    val b = Drift.cdfCalibration(ref.coalesce(1), cur.repartition(5), "v")
+      .collect().map(_.toSeq).toList
+    assert(a == b)
+    // percentiles are a non-decreasing function of the value
+    val ps = a.map(_(2).asInstanceOf[Long])
+    assert(ps == ps.sorted)
+  }
 }
