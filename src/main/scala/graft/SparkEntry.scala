@@ -1196,6 +1196,13 @@ object SparkEntry {
       Drift.cdfCalibration(
         ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "purchase"), "value")
+    }),
+    // ---- cross-source content-overlap matrix on the token-set
+    //      fingerprint (provenance / leakage audit) ----
+    "q117_source_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("fp",
+        TextAnalysis.fingerprint(col("text")))
+      Dedup.overlapMatrix(d, "source", "fp")
     })
   )
 
@@ -2697,7 +2704,20 @@ t AS (SELECT CAST(sum(na) AS BIGINT) AS ta FROM v),
 c AS (SELECT v, nb, CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS ca FROM v)
 SELECT c.v AS value, CAST(c.nb AS BIGINT) AS n_cur,
   (c.ca * 1000000) // t.ta AS pct_ref_micro
-FROM c CROSS JOIN t WHERE c.nb > 0 ORDER BY value"""
+FROM c CROSS JOIN t WHERE c.nb > 0 ORDER BY value""",
+    "q117_source_overlap" ->
+      s"""WITH kg AS (SELECT DISTINCT
+    md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS k,
+    source AS g
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM kg GROUP BY g),
+p AS (SELECT a.g AS group_a, b.g AS group_b,
+    CAST(count(*) AS BIGINT) AS n_shared
+  FROM kg a JOIN kg b ON a.k = b.k AND a.g < b.g GROUP BY 1, 2)
+SELECT p.group_a, p.group_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
+  (p.n_shared * 1000000) // least(sa.n, sb.n) AS overlap_micro
+FROM p JOIN sz sa ON sa.g = p.group_a JOIN sz sb ON sb.g = p.group_b
+ORDER BY group_a, group_b"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

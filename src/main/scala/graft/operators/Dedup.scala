@@ -740,6 +740,49 @@ object Dedup {
     zero.unionByName(cross)
   }
 
+  /** Cross-group content-overlap matrix — the corpus-audit question
+    * "which sources leak into which": for every pair of groups, how
+    * many distinct content keys (fingerprints, digests, urls — any
+    * caller-computed key column) occur in BOTH. The classic use is
+    * train-corpus provenance (CommonCrawl-vs-Wikipedia style overlap)
+    * and pre-merge leakage checks between corpus slices.
+    *
+    * Output per unordered group pair (group_a < group_b) sharing ≥ 1
+    * key: (group_a, group_b, n_shared, n_a, n_b, overlap_micro) where
+    * n_a/n_b are the groups' distinct-key totals and overlap_micro =
+    * floor(10⁶·n_shared / min(n_a, n_b)) — the overlap coefficient in
+    * exact integer micros. Null keys and null groups are excluded.
+    *
+    * Scale design (100 TB): the corpus collapses FIRST to distinct
+    * (key, group) — one map-side-combined aggregate; the pair
+    * expansion is a key-equi self-join whose per-key fanout is bounded
+    * by (#groups choose 2), never corpus-sized; group totals are a
+    * groups-sized frame broadcast back onto the matrix.
+    */
+  def overlapMatrix(df: DataFrame, groupCol: String,
+                    keyCol: String): DataFrame = {
+    val kg = df
+      .filter(col(keyCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(groupCol).as("_g"))
+      .distinct()
+    val sizes = kg.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    val pairs = kg.as("a")
+      .join(kg.as("b"),
+        col("a._k") === col("b._k") && col("a._g") < col("b._g"))
+      .groupBy(col("a._g").as("group_a"), col("b._g").as("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("_g").as("group_a"),
+        col("_n").as("n_a"))), Seq("group_a"))
+      .join(broadcast(sizes.select(col("_g").as("group_b"),
+        col("_n").as("n_b"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("(n_shared * 1000000L) div least(n_a, n_b)")
+          .as("overlap_micro"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** Repeated fixed-length substring detection — the character-level
     * exact-duplication signal of Lee et al. 2022 ("Deduplicating
     * Training Data Makes Language Models Better", the ExactSubstr

@@ -423,6 +423,35 @@ class DedupSpec extends SparkSpec {
       "unique text must not appear")
   }
 
+  test("overlapMatrix: shared keys counted once per pair, sizes and micros exact") {
+    import spark.implicits._
+    val df = Seq(
+      ("k1", "a"), ("k1", "a"),      // dup (key,group) collapses
+      ("k1", "b"), ("k1", "c"),
+      ("k2", "a"), ("k2", "b"),
+      ("k3", "c"),
+      (null.asInstanceOf[String], "a"), ("k4", null.asInstanceOf[String])
+    ).toDF("fp", "src")
+    val got = Dedup.overlapMatrix(df, "src", "fp")
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    // sizes: a={k1,k2}=2, b={k1,k2}=2, c={k1,k3}=2
+    assert(got == List(
+      ("a", "b", 2L, 2L, 2L, 1000000L), // full overlap
+      ("a", "c", 1L, 2L, 2L, 500000L),
+      ("b", "c", 1L, 2L, 2L, 500000L)), got.toString)
+  }
+
+  test("overlapMatrix: disjoint groups produce no rows; order canonical") {
+    import spark.implicits._
+    val df = Seq(("k1", "a"), ("k2", "b")).toDF("fp", "src")
+    assert(Dedup.overlapMatrix(df, "src", "fp").count() == 0)
+    val tri = Seq(("k", "z"), ("k", "m"), ("k", "a")).toDF("fp", "src")
+    val pairs = Dedup.overlapMatrix(tri, "src", "fp")
+      .select("group_a", "group_b").as[(String, String)].collect().toList
+    assert(pairs == List(("a", "m"), ("a", "z"), ("m", "z")),
+      "every unordered pair once, lexicographic orientation")
+  }
+
   test("repeatedSubstrings: content-defined sampling is alignment-invariant") {
     import spark.implicits._
     // the same run at DIFFERENT offsets in each doc — an offset-stride
