@@ -1203,6 +1203,12 @@ object SparkEntry {
       val d = t(s, dir, "documents").withColumn("fp",
         TextAnalysis.fingerprint(col("text")))
       Dedup.overlapMatrix(d, "source", "fp")
+    }),
+    // ---- semantic outliers: robust rank-median centroid per label,
+    //      5 lowest-cosine members each (embedding curation) ----
+    "q118_semantic_outliers" -> ((s, dir) => {
+      Similarity.semanticOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 5)
     })
   )
 
@@ -2717,7 +2723,30 @@ p AS (SELECT a.g AS group_a, b.g AS group_b,
 SELECT p.group_a, p.group_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
   (p.n_shared * 1000000) // least(sa.n, sb.n) AS overlap_micro
 FROM p JOIN sz sa ON sa.g = p.group_a JOIN sz sb ON sb.g = p.group_b
-ORDER BY group_a, group_b"""
+ORDER BY group_a, group_b""",
+    // q118: quantile_disc(0.5) ≡ the engine's ⌈n/2⌉ rank-element
+    // median (the KMediansOracle invariant); cosine replays the q20
+    // dot/sqrt form with the same ascending fold
+    "q118_semantic_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS VARCHAR) AS lbl,
+    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS vv
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+m AS (SELECT lbl, d, quantile_disc(x, 0.5) AS md FROM (
+    SELECT lbl, unnest(vv) AS x, unnest(range(1, len(vv) + 1)) AS d
+    FROM e) GROUP BY 1, 2),
+c AS (SELECT lbl, list(md ORDER BY d) AS cent FROM m GROUP BY lbl),
+s AS (SELECT e.vec_id, e.lbl,
+    CAST(round(CASE WHEN sqrt(list_dot_product(e.vv, e.vv)) *
+        sqrt(list_dot_product(c.cent, c.cent)) = 0 THEN 0.0
+      ELSE list_dot_product(e.vv, c.cent) /
+        (sqrt(list_dot_product(e.vv, e.vv)) *
+         sqrt(list_dot_product(c.cent, c.cent))) END * 1000000)
+      AS BIGINT) AS cm
+  FROM e JOIN c USING (lbl)),
+r AS (SELECT lbl, vec_id, cm, CAST(row_number() OVER (PARTITION BY lbl
+    ORDER BY cm ASC, vec_id ASC) AS INTEGER) AS rank FROM s)
+SELECT lbl AS label, rank, vec_id, cm AS cos_micro FROM r
+WHERE rank <= 5 ORDER BY label, rank"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

@@ -755,4 +755,56 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Semantic outlier detection — the embedding-space curation filter
+    * "which members least belong to their own group": each group gets
+    * a ROBUST centroid (coordinate-wise rank-median — a mean would let
+    * the outliers drag the centroid toward themselves, and its float
+    * sum order would differ across engines; an exact rank element is
+    * both robust and deterministic), and the k lowest-cosine members
+    * per group surface as (labelCol, rank, idCol, cos_micro), rank 1 =
+    * most isolated, cosine in integer micros, ties on id ASC.
+    *
+    * The label is compared AS A STRING and must not contain '|' (it
+    * keys the per-coordinate median grouping).
+    *
+    * Scale design (100 TB): the per-coordinate medians run through
+    * [[Scale.exactQuantilesByGroup]] (bucketed rank selection — no
+    * per-group value buffering); the centroid frame is groups-sized
+    * and broadcast; scoring is one narrow codegen'd pass; the
+    * per-group cut is the bounded [[TopK]] aggregate, not a window.
+    */
+  def semanticOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val el = base.select(col(idCol), col(labelCol).cast("string").as("_lbl"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_x")))
+      .withColumn("_gk", concat_ws("|", col("_lbl"), col("_pos")))
+    val med = Scale.exactQuantilesByGroup(el, "_gk", "_x", idCol, Seq(0.5))
+    val cent = med.select(
+        substring_index(col("_gk"), "|", 1).as("_lbl"),
+        substring_index(col("_gk"), "|", -1).cast("int").as("_pos"),
+        col("_x"))
+      .groupBy("_lbl")
+      .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_x")))),
+        s => s.getField("_x")).as("_cent"))
+    // zero-norm guard: a rank-median centroid CAN be the zero vector
+    // (e.g. two orthogonal members); cosine is undefined there, and the
+    // engines disagree on 0/0 (ANSI error vs inf) — score 0 ("no
+    // consistent group direction") on both sides instead
+    val vv = col(vecCol).cast("array<double>")
+    val np = norm(vv) * norm(col("_cent"))
+    val cos = when(np === 0.0, lit(0.0))
+      .otherwise(dot(vv, col("_cent")) / np)
+    val scored = base
+      .select(col(idCol), col(labelCol).cast("string").as("_lbl"),
+        col(vecCol))
+      .join(broadcast(cent), Seq("_lbl"))
+      .withColumn("_neg", -round(cos * 1000000L).cast("bigint"))
+    TopK.perGroup(scored, "_lbl", "_neg", idCol, k)
+      .select(col("_lbl").as(labelCol), col("rank"), col(idCol),
+        (-col("_neg")).cast("bigint").as("cos_micro"))
+      .orderBy(labelCol, "rank")
+  }
 }

@@ -379,4 +379,40 @@ class SimilaritySpec extends SparkSpec {
       Similarity.semDedup(df, "cell", "embedding", 0.9, 2)
     }
   }
+
+  test("semanticOutliers: rank-median centroid resists the outlier it finds") {
+    import spark.implicits._
+    // label a: xs (1, 1, 0.9, -1) -> median rank ⌈4/2⌉ = 0.9;
+    // ys -> 0; centroid (0.9, 0). The -x vector scores cos = -1 and
+    // must rank first; a MEAN centroid would have been dragged by it.
+    val df = Seq(
+      (1L, Array(1f, 0f), 7),
+      (2L, Array(1f, 0.1f), 7),
+      (3L, Array(0.9f, 0f), 7),
+      (4L, Array(-1f, 0f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticOutliers(df, "vec_id", "embedding",
+        "label", k = 2)
+      .as[(String, Int, Long, Long)].collect().toList
+    assert(got.map(_._3) == List(4L, 2L), got.toString)
+    assert(got.head._4 == -1000000L, "cos(-x, centroid) = -1 exactly")
+    assert(got.map(_._2) == List(1, 2))
+  }
+
+  test("semanticOutliers: per-label isolation, null rows excluded, k bounds") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Array(1f, 0f)), Some(1)),
+      (2L, Some(Array(0f, 1f)), Some(1)),
+      (3L, Some(Array(1f, 1f)), Some(2)),
+      (4L, None, Some(1)),               // null vector dropped
+      (5L, Some(Array(1f, 0f)), None)    // null label dropped
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticOutliers(df, "vec_id", "embedding",
+        "label", k = 10)
+      .as[(String, Int, Long, Long)].collect().toList
+    assert(got.map(_._1).distinct == List("1", "2"))
+    assert(got.count(_._1 == "1") == 2 && got.count(_._1 == "2") == 1,
+      s"nulls must not appear: $got")
+  }
 }
