@@ -86,6 +86,33 @@ object StreamingOps {
         col("mean_value"))
   }
 
+  /** Trending-terms stream: watermarked tumbling-window term counts
+    * over a timestamped document stream — the live vocabulary monitor
+    * (spam bursts, new-topic surges, scraper loops show up as term
+    * spikes long before corpus-level stats move). Tokenization is the
+    * batch [[graft.operators.TextAnalysis.tokens]] rule, so a window's
+    * emitted counts equal the batch tokenize+window aggregate over the
+    * same rows (spec-pinned). `minCount` cuts singleton noise AFTER
+    * aggregation (the cut shrinks emission, not state).
+    *
+    * State is O(open windows × distinct terms within them), bounded by
+    * the watermark; closed windows emit once in append mode and their
+    * state evicts (spec-pinned, the OHLC-bar pattern). */
+  def trendingTermsStream(docs: DataFrame, tsCol: String, textCol: String,
+                          windowMinutes: Int = 60,
+                          watermark: String = "2 hours",
+                          minCount: Long = 2): DataFrame = {
+    require(windowMinutes >= 1, "windowMinutes must be >= 1")
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.operators.TextAnalysis.tokens(col(textCol)))
+          .as("term"))
+      .groupBy(window(col(tsCol), s"$windowMinutes minutes"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("window.start").as("w_start"), col("term"), col("n"))
+  }
+
   /** Streaming exact dedup: drop rows whose `idCols` were already seen
     * within the watermark window. `dropDuplicatesWithinWatermark` keys
     * state by `idCols` alone and evicts entries once the watermark

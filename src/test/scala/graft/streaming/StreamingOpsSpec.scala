@@ -751,4 +751,61 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, "Q", ts("2024-01-01 00:30:00"), ts("2024-01-01 00:30:00"), 1),
       (1L, "A", ts("2024-01-01 01:30:00"), ts("2024-01-01 06:00:00"), 3)))
   }
+
+  test("trending terms stream equals the batch tokenize+window aggregate") {
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "spark spark rules"),
+      (ts("2024-01-01 10:40:00"), "spark streams"),
+      (ts("2024-01-01 11:10:00"), "totally different"))
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    mem.addData(rows: _*)
+    val agg = StreamingOps.trendingTermsStream(
+      mem.toDF().toDF("ts", "text"), "ts", "text", minCount = 2)
+    val q = agg.writeStream.format("memory").queryName("trend_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(30000)
+    val got = spark.table("trend_stream")
+      .as[(Timestamp, String, Long)].collect().toSet
+    // hour 10: spark ×3 survives the minCount=2 cut; everything else
+    // (rules, streams, hour-11 singletons) is noise-cut
+    assert(got == Set((ts("2024-01-01 10:00:00"), "spark", 3L)), got.toString)
+  }
+
+  test("trending terms stream emits closed windows and evicts state") {
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val agg = StreamingOps.trendingTermsStream(
+      mem.toDF().toDF("ts", "text"), "ts", "text",
+      watermark = "30 minutes", minCount = 1)
+    val q = agg.writeStream.format("memory").queryName("trend_evict")
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+      .start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "alpha beta"),
+        (ts("2024-01-01 10:40:00"), "alpha"))
+      q.processAllAvailable()
+      assert(spark.table("trend_evict").count() == 0,
+        "open window must not emit in append mode")
+      def stateRows: Long = q.recentProgress
+        .flatMap(_.stateOperators).lastOption.map(_.numRowsTotal)
+        .getOrElse(-1L)
+      assert(stateRows == 2L, s"two open terms in state: $stateRows")
+      mem.addData((ts("2024-01-01 12:00:00"), "gamma"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 12:10:00"), "gamma"))
+      q.processAllAvailable()
+      val closed = spark.table("trend_evict")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(closed == Set(
+        (ts("2024-01-01 10:00:00"), "alpha", 2L),
+        (ts("2024-01-01 10:00:00"), "beta", 1L)),
+        s"hour 10 must close exactly once: $closed")
+      assert(stateRows == 1L,
+        s"closed window must evict; only hour 12's gamma stays: $stateRows")
+    } finally q.stop()
+  }
 }
