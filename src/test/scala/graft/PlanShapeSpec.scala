@@ -224,7 +224,11 @@ class PlanShapeSpec extends SparkSpec {
     val collectListAllowed = Set(
       "q21_ann_ivf",        // per-cell centroid structs: ≤ nCells rows total
       "q73_ann_quantized",  // same bounded centroid frame, int8 variant
-      "q72_block_dedup")    // per-document surviving blocks: doc-sized
+      "q72_block_dedup",    // per-document surviving blocks: doc-sized
+      // centroid reassembly over the MEDIANS frame: one (pos, value)
+      // struct per vector coordinate — group size = embedding dim,
+      // bounded by design, never corpus-sized
+      "q118_semantic_outliers")
     for ((name, fn) <- SparkEntry.queries) {
       // reads the PLAN, not the result — though constructing a few
       // queries does eager work at sf0.001 (q78 writes its partitioned
@@ -410,5 +414,60 @@ class PlanShapeSpec extends SparkSpec {
       s"the transition lag must partition by the key:\n$p97")
     assert(p97.contains("HashAggregate"),
       s"transition tallies must hash-aggregate:\n$p97")
+  }
+
+  test("late-round-6 queries (q111-q118) keep scale-safe shapes") {
+    // q111 Benford: pure hash aggregates over narrow projections; the
+    // digit spine and totals broadcast — no product, no window
+    val p111 = finalPlan(q("q111_benford_audit"))
+    assert(!p111.contains("CartesianProduct") &&
+      !p111.contains("Window"), s"benford must stay aggregate-only:\n$p111")
+    // q112 bigram LM: count frames join the exploded corpus on n-gram
+    // keys via hash joins (the only non-equi join is the 1-row
+    // broadcast token-total glue — the adjudicated crossJoin idiom)
+    val p112 = finalPlan(q("q112_bigram_lm_score"))
+    assert(!p112.contains("CartesianProduct"),
+      s"LM scoring must not plan a product:\n$p112")
+    assert(p112.contains("HashJoin") || p112.contains("SortMergeJoin"),
+      s"n-gram count joins must be hash/merge equi-joins:\n$p112")
+    // q113 BM25: the per-query cut is the bounded TopK aggregate
+    // (ObjectHashAggregate), NEVER a window over candidates
+    val p113 = finalPlan(q("q113_bm25_topk"))
+    assert(p113.contains("ObjectHashAggregate") &&
+      !p113.contains("Window"),
+      s"bm25 must cut via bounded TopK, not a window:\n$p113")
+    // q114 repeated substrings: two-level hash agg + TakeOrdered cut
+    val p114 = finalPlan(q("q114_repeated_substrings"))
+    assert(p114.contains("TakeOrderedAndProject") &&
+      !p114.contains("Exchange SinglePartition"),
+      s"gram cut must be per-partition top-N:\n$p114")
+    // q115 HLL: registers are hash aggregates; estimates are 1-row
+    // per-group aggregates — no window, no product
+    val p115 = finalPlan(q("q115_hll_profile"))
+    assert(!p115.contains("CartesianProduct") &&
+      !p115.contains("Window"),
+      s"sketch must stay aggregate-only:\n$p115")
+    // q116 CDF calibration: the prefix-sum window partitions by the
+    // range bucket — never a single global partition
+    val p116 = finalPlan(q("q116_cdf_calibration"))
+    assert(!p116.contains("Exchange SinglePartition"),
+      s"prefix sums must stay bucket-partitioned:\n$p116")
+    // q117 overlap matrix: distinct-collapse first, equi-join on the
+    // key, sizes broadcast — no product
+    val p117 = finalPlan(q("q117_source_overlap"))
+    assert(!p117.contains("CartesianProduct") &&
+      !p117.contains("BroadcastNestedLoopJoin"),
+      s"overlap matrix must stay key-equi-joined:\n$p117")
+    assert(p117.contains("BroadcastHashJoin"),
+      s"group sizes must broadcast:\n$p117")
+    // q118 semantic outliers: centroids broadcast onto the corpus;
+    // the outlier cut is the bounded TopK aggregate, not a window
+    // over members (the quantile machinery's internal bucket windows
+    // are fine — they partition by (group, bucket))
+    val p118 = finalPlan(q("q118_semantic_outliers"))
+    assert(p118.contains("ObjectHashAggregate"),
+      s"outlier cut must be the bounded TopK aggregate:\n$p118")
+    assert(!p118.contains("CartesianProduct"),
+      s"outliers must not plan a product:\n$p118")
   }
 }
