@@ -1209,6 +1209,14 @@ object SparkEntry {
     "q118_semantic_outliers" -> ((s, dir) => {
       Similarity.semanticOutliers(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label", k = 5)
+    }),
+    // ---- vocabulary drift (Fightin' Words log-odds z): the 50 most
+    //      en-enriched terms vs the es slice ----
+    "q119_vocab_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.vocabularyDrift(
+        d.filter(col("lang") === "en"),
+        d.filter(col("lang") === "es"), "text", k = 50)
     })
   )
 
@@ -2746,7 +2754,26 @@ s AS (SELECT e.vec_id, e.lbl,
 r AS (SELECT lbl, vec_id, cm, CAST(row_number() OVER (PARTITION BY lbl
     ORDER BY cm ASC, vec_id ASC) AS INTEGER) AS rank FROM s)
 SELECT lbl AS label, rank, vec_id, cm AS cos_micro FROM r
-WHERE rank <= 5 ORDER BY label, rank"""
+WHERE rank <= 5 ORDER BY label, rank""",
+    "q119_vocab_drift" ->
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS term,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+    CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS ib
+  FROM documents WHERE lang IN ('en', 'es')),
+c AS (SELECT term, CAST(sum(ia) AS BIGINT) AS n_a,
+    CAST(sum(ib) AS BIGINT) AS n_b FROM tok GROUP BY term),
+t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+    CAST(sum(n_b) AS BIGINT) AS tb, CAST(count(*) AS BIGINT) AS v
+  FROM c),
+z AS (SELECT term, n_a, n_b, round(
+    (ln((n_a + CAST(0.01 AS DOUBLE)) /
+        (ta + CAST(0.01 AS DOUBLE) * v - n_a - CAST(0.01 AS DOUBLE))) -
+     ln((n_b + CAST(0.01 AS DOUBLE)) /
+        (tb + CAST(0.01 AS DOUBLE) * v - n_b - CAST(0.01 AS DOUBLE))))
+    / sqrt(1.0 / (n_a + CAST(0.01 AS DOUBLE)) +
+           1.0 / (n_b + CAST(0.01 AS DOUBLE))), 6) AS z
+  FROM c CROSS JOIN t)
+SELECT term, n_a, n_b, z FROM z ORDER BY z DESC, term LIMIT 50"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

@@ -418,6 +418,56 @@ object TextAnalysis {
           expr("sum_nls_micro div n_bigrams")).otherwise(lit(0L)))
   }
 
+  /** Vocabulary drift between two corpus slices — Monroe et al. 2008
+    * "Fightin' Words": per-term log-odds-ratio with an (uninformative)
+    * Dirichlet prior, z-scored by the delta's approximate variance.
+    * The corpus-comparison question PMI can't answer: not "which terms
+    * associate" but "which terms CHANGED between snapshot A and B" —
+    * scraper drift, topic surges, template injections surface as
+    * high-|z| terms.
+    *
+    *   δ_w = ln((y_aw + α) / (n_a + αV − y_aw − α))
+    *       − ln((y_bw + α) / (n_b + αV − y_bw − α))
+    *   σ²_w ≈ 1/(y_aw + α) + 1/(y_bw + α),   z_w = δ_w / √σ²_w
+    *
+    * with y the term counts, n the token totals, V the joint
+    * vocabulary size and α = 0.01. Returns the `k` most a-enriched
+    * terms (z DESC, ties term ASC): (term, n_a, n_b, z) with z rounded
+    * to 6 dp. Swap the arguments for the b-enriched direction.
+    *
+    * Scale design (100 TB): both slices collapse to per-term counts in
+    * ONE tagged-union hash aggregate (the q100 idiom — no join); the
+    * scalar totals ride in as a broadcast 1-row frame; the cut is
+    * TakeOrdered under a total order. Shuffle carries distinct terms
+    * only.
+    */
+  def vocabularyDrift(a: DataFrame, b: DataFrame, textCol: String,
+                      k: Int = 50, alpha: Double = 0.01): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(alpha > 0.0, "alpha must be positive")
+    val tagged = a.select(explode(tokens(col(textCol))).as("term"),
+        lit(1L).as("_ia"), lit(0L).as("_ib"))
+      .unionByName(b.select(explode(tokens(col(textCol))).as("term"),
+        lit(0L).as("_ia"), lit(1L).as("_ib")))
+    val counts = tagged.groupBy("term")
+      .agg(sum("_ia").as("n_a"), sum("_ib").as("n_b"))
+    val totals = broadcast(counts.agg(
+      sum("n_a").as("_ta"), sum("n_b").as("_tb"),
+      count(lit(1)).as("_v")))
+    def side(y: Column, n: Column, v: Column): Column =
+      log((y + lit(alpha)) / (n + lit(alpha) * v - y - lit(alpha)))
+    counts.crossJoin(totals)
+      .withColumn("_d",
+        side(col("n_a"), col("_ta"), col("_v")) -
+          side(col("n_b"), col("_tb"), col("_v")))
+      .withColumn("z", round(col("_d") /
+        sqrt(lit(1.0) / (col("n_a") + lit(alpha)) +
+          lit(1.0) / (col("n_b") + lit(alpha))), 6))
+      .select(col("term"), col("n_a"), col("n_b"), col("z"))
+      .orderBy(col("z").desc, col("term"))
+      .limit(k)
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * rolling-hash-equivalent content signature, invariant to token
     * order and duplication. md5 is available in both Spark and DuckDB,

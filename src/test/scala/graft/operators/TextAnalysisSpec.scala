@@ -214,6 +214,36 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 0L, 0L, 0L)))
   }
 
+  test("vocabularyDrift: enriched terms rank by signed z, shared terms sink") {
+    // slice a: heavy "cats"; slice b: heavy "dogs"; "the" common to both
+    val a = Seq("the cats cats cats", "cats the").toDF("text")
+    val b = Seq("the dogs dogs", "dogs the dogs").toDF("text")
+    val got = TextAnalysis.vocabularyDrift(a, b, "text", k = 10)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got.map(_._1) == List("cats", "the", "dogs"),
+      s"a-enriched first, b-enriched last: $got")
+    val z = got.map(t => t._1 -> t._4).toMap
+    assert(z("cats") > 0 && z("dogs") < 0, z.toString)
+    assert(math.abs(z("the")) < math.abs(z("cats")),
+      "a balanced term must score nearer zero than an enriched one")
+    val cats = got.find(_._1 == "cats").get
+    assert(cats._2 == 4L && cats._3 == 0L, "counts carried through")
+  }
+
+  test("vocabularyDrift: symmetric — swapping slices negates z") {
+    val a = Seq("alpha alpha beta").toDF("text")
+    val b = Seq("beta gamma gamma").toDF("text")
+    val ab = TextAnalysis.vocabularyDrift(a, b, "text", k = 10)
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> t._4).toMap
+    val ba = TextAnalysis.vocabularyDrift(b, a, "text", k = 10)
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> t._4).toMap
+    ab.foreach { case (term, zv) =>
+      assert(math.abs(zv + ba(term)) < 1e-5, s"$term: $zv vs ${ba(term)}")
+    }
+  }
+
   test("bigramLmScore: scoring the training corpus never hits backoff") {
     val docs = Seq((1L, "a b"), (2L, "b a b")).toDF("id", "text")
     val got = TextAnalysis.bigramLmScore(docs, docs, "id", "text")
