@@ -32,7 +32,10 @@ object ScaleBench {
     // shingle-disjoint suffixes), so its name groups grow 10× and its
     // TRUE pair output grows ~100× — a decade of duplicate density,
     // not volume, which is not the question this harness asks.
-    "q100_ks_statistic", "q108_robust_stats")
+    "q100_ks_statistic", "q108_robust_stats",
+    // late-round-6 heavies: char-gram explode (q114) and the
+    // per-coordinate quantile machinery (q118)
+    "q114_repeated_substrings", "q118_semantic_outliers")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
