@@ -1217,6 +1217,13 @@ object SparkEntry {
       TextAnalysis.vocabularyDrift(
         d.filter(col("lang") === "en"),
         d.filter(col("lang") === "es"), "text", k = 50)
+    }),
+    // ---- n-gram novelty vs the src0 reference slice (dedup-aware
+    //      sampling score; graded decontaminate complement) ----
+    "q120_novelty_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.noveltyScore(d, d.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3)
     })
   )
 
@@ -2773,7 +2780,27 @@ z AS (SELECT term, n_a, n_b, round(
     / sqrt(1.0 / (n_a + CAST(0.01 AS DOUBLE)) +
            1.0 / (n_b + CAST(0.01 AS DOUBLE))), 6) AS z
   FROM c CROSS JOIN t)
-SELECT term, n_a, n_b, z FROM z ORDER BY z DESC, term LIMIT 50"""
+SELECT term, n_a, n_b, z FROM z ORDER BY z DESC, term LIMIT 50""",
+    "q120_novelty_score" ->
+      s"""WITH tk AS (SELECT doc_id, source, $tokensSql AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, source, unnest(CASE WHEN len(tk) >= 3
+    THEN list_transform(range(0, len(tk) - 2),
+      i -> array_to_string(tk[i+1:i+3], ' '))
+    ELSE [] END) AS shingle FROM tk),
+ref AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM sh GROUP BY 1),
+seen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seen
+  FROM sh WHERE shingle IN (SELECT shingle FROM ref) GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(tot.n_shingles, 0) AS n_shingles,
+  coalesce(tot.n_shingles, 0) - coalesce(seen.n_seen, 0) AS n_novel,
+  CASE WHEN coalesce(tot.n_shingles, 0) > 0
+    THEN ((coalesce(tot.n_shingles, 0) - coalesce(seen.n_seen, 0))
+      * 1000000) // tot.n_shingles
+    ELSE 0 END AS novelty_micro
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN seen USING (doc_id)
+ORDER BY doc_id"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

@@ -588,6 +588,51 @@ object Curation {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** N-gram novelty scoring — the graded companion to the binary
+    * [[decontaminate]]: instead of dropping documents that share ANY
+    * shingle with a reference set, score every document by the
+    * fraction of its DISTINCT n-gram shingles absent from the
+    * reference corpus. Dedup-aware sampling ranks by this (novel
+    * content first), boilerplate-heavy sources sink toward 0, and a
+    * fresh crawl snapshot can be budgeted by incremental novelty
+    * against the previous snapshot.
+    *
+    * Returns one row per corpus document: (idCol, n_shingles, n_novel,
+    * novelty_micro) with novelty_micro = floor(10⁶·n_novel /
+    * n_shingles) in exact integer arithmetic. Documents with fewer
+    * than `n` tokens have no shingles and score (0, 0, 0) — an empty
+    * document has nothing novel to contribute, by contract (the
+    * opposite convention would rank blank junk first).
+    *
+    * Scale design (100 TB): both sides collapse to distinct shingle
+    * frames (map-side-combined); membership is one semi-join on the
+    * shingle key (AQE broadcasts reference-sized sets); both per-doc
+    * counts aggregate the SAME distinct (id, shingle) frame; nothing
+    * driver-side.
+    */
+  def noveltyScore(corpus: DataFrame, reference: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, "shingle width must be >= 1")
+    val refSh = Dedup.shingleSets(reference, idCol, textCol, n)
+      .select("shingle").distinct()
+    val docSh = Dedup.shingleSets(corpus, idCol, textCol, n)
+    val tot = docSh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val seen = docSh.join(refSh, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_seen"))
+    corpus.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(seen, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        (coalesce(col("n_shingles"), lit(0L)) -
+          coalesce(col("_seen"), lit(0L))).as("n_novel"))
+      .withColumn("novelty_micro",
+        when(col("n_shingles") > 0,
+          expr("(n_novel * 1000000L) div n_shingles")).otherwise(lit(0L)))
+      .orderBy(idCol)
+  }
+
   /** Split documents into overlapping token-window chunks — the
     * context-window preparation step for RAG indexes and training
     * examples. Chunk k covers tokens [k·(chunkTokens−overlap),

@@ -522,4 +522,33 @@ class CurationSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("globalRank requires"))
   }
+
+  test("noveltyScore: exact shingle fractions against the reference") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    // ref trigrams: {a b c, b c d}
+    val corpus = Seq(
+      (1L, "a b c d"),      // both trigrams seen -> novelty 0
+      (2L, "a b c x"),      // {a b c(seen), b c x} -> 1/2 novel
+      (3L, "x y z w"),      // fully novel -> 1000000
+      (4L, "a b"),          // < 3 tokens -> (0,0,0)
+      (5L, "b c d a b c")   // {b c d, c d a, d a b, a b c}: 2/4 novel
+    ).toDF("doc_id", "text")
+    val got = Curation.noveltyScore(corpus, ref, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 2L, 0L, 0L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 2L, 2L, 1000000L),
+      (4L, 0L, 0L, 0L),
+      (5L, 4L, 2L, 500000L)), got.toString)
+  }
+
+  test("noveltyScore: self-reference scores zero novelty everywhere") {
+    import spark.implicits._
+    val docs = Seq((1L, "p q r s"), (2L, "s t u")).toDF("doc_id", "text")
+    val got = Curation.noveltyScore(docs, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got.forall(r => r._3 == 0L && r._4 == 0L), got.toString)
+  }
 }
