@@ -452,6 +452,34 @@ class DedupSpec extends SparkSpec {
       "every unordered pair once, lexicographic orientation")
   }
 
+  test("property: exhaustive repeatedSubstrings == brute force on random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val alphabet = "abc" // tiny alphabet -> dense repeats
+      val docs = (1L to 8L).map { id =>
+        val len = 4 + rng.nextInt(20)
+        (id, Seq.fill(len)(alphabet(rng.nextInt(alphabet.length))).mkString)
+      }
+      val k = 3 + rng.nextInt(3)
+      // brute force in plain Scala
+      val grams = docs.flatMap { case (id, text) =>
+        (0 to text.length - k).map(p => (text.substring(p, p + k), id))
+      }
+      val brute = grams.groupBy(_._1).toSeq
+        .map { case (g, occ) =>
+          (g, occ.map(_._2).distinct.size.toLong, occ.size.toLong)
+        }
+        .filter(_._2 >= 2)
+        .sortBy { case (g, _, occ) => (-occ, g) }
+        .take(50)
+      val got = Dedup.repeatedSubstrings(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k = k, sampleMod = 1, minDocs = 2, topN = 50)
+        .as[(String, Long, Long)].collect().toList
+      assert(got == brute.toList, s"trial $trial (k=$k): $got vs $brute")
+    }
+  }
+
   test("repeatedSubstrings: content-defined sampling is alignment-invariant") {
     import spark.implicits._
     // the same run at DIFFERENT offsets in each doc — an offset-stride
