@@ -1224,6 +1224,12 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Curation.noveltyScore(d, d.filter(col("source") === "src0"),
         "doc_id", "text", n = 3)
+    }),
+    // ---- ROUGE-2 clipped P/R/F1 over the LSH candidate pairs (the
+    //      graded view of near-dup verdicts, integer micros) ----
+    "q121_rouge_pairs" -> ((s, dir) => {
+      Dedup.rougeOverCandidates(t(s, dir, "documents"), "doc_id",
+        "text", n = 2)
     })
   )
 
@@ -2800,7 +2806,35 @@ SELECT d.doc_id,
       * 1000000) // tot.n_shingles
     ELSE 0 END AS novelty_micro
 FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN seen USING (doc_id)
-ORDER BY doc_id"""
+ORDER BY doc_id""",
+    "q121_rouge_pairs" ->
+      s"""$minhashCtes,
+bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+    THEN list_transform(range(0, len(tk) - 1),
+      i -> array_to_string(tk[i+1:i+2], ' '))
+    ELSE [] END) AS ngram FROM toks),
+cnt AS (SELECT doc_id, ngram, CAST(count(*) AS BIGINT) AS c
+  FROM bg GROUP BY 1, 2),
+tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+cl AS (SELECT ca.id_a, ca.id_b, CAST(sum(least(x.c, y.c)) AS BIGINT)
+    AS clip
+  FROM cand ca JOIN cnt x ON x.doc_id = ca.id_a
+  JOIN cnt y ON y.doc_id = ca.id_b AND y.ngram = x.ngram
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b, coalesce(cl.clip, 0) AS clip,
+  coalesce(ta.tot, 0) AS n_a, coalesce(tb.tot, 0) AS n_b,
+  CASE WHEN coalesce(ta.tot, 0) > 0
+    THEN (coalesce(cl.clip, 0) * 1000000) // ta.tot ELSE 0 END AS p_micro,
+  CASE WHEN coalesce(tb.tot, 0) > 0
+    THEN (coalesce(cl.clip, 0) * 1000000) // tb.tot ELSE 0 END AS r_micro,
+  CASE WHEN coalesce(ta.tot, 0) + coalesce(tb.tot, 0) > 0
+    THEN (2 * coalesce(cl.clip, 0) * 1000000) // (ta.tot + tb.tot)
+    ELSE 0 END AS f1_micro
+FROM cand c
+LEFT JOIN cl ON cl.id_a = c.id_a AND cl.id_b = c.id_b
+LEFT JOIN tt ta ON ta.doc_id = c.id_a
+LEFT JOIN tt tb ON tb.doc_id = c.id_b
+ORDER BY c.id_a, c.id_b"""
   )
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

@@ -740,6 +740,69 @@ object Dedup {
     zero.unionByName(cross)
   }
 
+  /** ROUGE-N overlap metrics over LSH candidate pairs — the eval
+    * metric run as a corpus operator: clipped n-gram precision /
+    * recall / F1 (Lin 2004) for every near-duplicate candidate pair,
+    * the graded view the binary dedup verdicts collapse away
+    * (summarization-style boilerplate, partial rewrites, and
+    * template-with-slots pairs separate cleanly on P vs R asymmetry).
+    *
+    * For a pair (a, b) with per-document n-gram counts c_a, c_b:
+    *   clip = Σ_g min(c_a(g), c_b(g))     (clipped overlap)
+    *   P = clip / |a|,  R = clip / |b|,  F1 = 2·clip / (|a| + |b|)
+    * where |·| is the document's total n-gram count. Scores are exact
+    * integer micros (floor division). `a` is the lower id (the
+    * candidate-pair orientation); swap P and R to flip the reference
+    * direction. Candidate pairs with zero shared n-grams still emit
+    * (clip = 0) — candidates never silently vanish.
+    *
+    * Scale design (100 TB): candidates come from the house MinHash+LSH
+    * path (sub-quadratic, duplicate-density-bounded); the clip join
+    * fans each pair out by ONE side's distinct n-grams only, keyed
+    * (id, gram) — never a cross product; totals are doc-level
+    * aggregates joined back.
+    */
+  def rougeOverCandidates(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 2, numHashes: Int = 16,
+                          bands: Int = 4): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val cnt = shingleMultiset(df, idCol, textCol, n)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("_c"))
+    val totals = cnt.groupBy(col(idCol)).agg(sum("_c").as("_tot"))
+    val shMulti = shingleMultiset(df, idCol, textCol, 3)
+    val sig = minHashSignatures(shMulti, idCol, numHashes)
+    val cand = candidatePairs(lshBands(sig, idCol, numHashes, bands), idCol)
+    val clip = cand
+      .join(cnt.select(col(idCol).as("id_a"), col("shingle"),
+        col("_c").as("_ca")), Seq("id_a"))
+      .join(cnt.select(col(idCol).as("id_b"), col("shingle"),
+        col("_c").as("_cb")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("_ca"), col("_cb"))).as("clip"))
+    // totals join LEFT + zero-guarded divisions: with n > 3 a
+    // candidate doc can carry trigrams (so LSH sees it) yet zero
+    // n-grams — its pairs score 0, they don't divide by zero or vanish
+    cand
+      .join(clip, Seq("id_a", "id_b"), "left")
+      .join(totals.select(col(idCol).as("id_a"), col("_tot").as("n_a")),
+        Seq("id_a"), "left")
+      .join(totals.select(col(idCol).as("id_b"), col("_tot").as("n_b")),
+        Seq("id_b"), "left")
+      .withColumn("clip", coalesce(col("clip"), lit(0L)))
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .select(col("id_a"), col("id_b"), col("clip"), col("n_a"),
+        col("n_b"),
+        when(col("n_a") > 0, expr("(clip * 1000000L) div n_a"))
+          .otherwise(lit(0L)).as("p_micro"),
+        when(col("n_b") > 0, expr("(clip * 1000000L) div n_b"))
+          .otherwise(lit(0L)).as("r_micro"),
+        when(col("n_a") + col("n_b") > 0,
+          expr("(2L * clip * 1000000L) div (n_a + n_b)"))
+          .otherwise(lit(0L)).as("f1_micro"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Cross-group content-overlap matrix — the corpus-audit question
     * "which sources leak into which": for every pair of groups, how
     * many distinct content keys (fingerprints, digests, urls — any

@@ -423,6 +423,44 @@ class DedupSpec extends SparkSpec {
       "unique text must not appear")
   }
 
+  test("rougeOverCandidates: clipped counts, micro P/R/F1 exact") {
+    import spark.implicits._
+    // same trigram SET -> identical minhash -> guaranteed candidates;
+    // bigram MULTISETS differ so clipping actually clips:
+    // A: {a b:3, b a:2} tot 5;  B: {a b:2, b a:1} tot 3
+    // clip = min(3,2) + min(2,1) = 3
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b a b"),
+      (3L, "completely unrelated content here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.rougeOverCandidates(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    val pair = got.find(r => r._1 == 1L && r._2 == 2L)
+    assert(pair.isDefined, s"trigram-identical docs must be candidates: $got")
+    val (_, _, clip, na, nb, p, r, f1) = pair.get
+    assert((clip, na, nb) == (3L, 5L, 3L), pair.toString)
+    assert(p == 600000L, s"P = 3/5: $p")
+    assert(r == 1000000L, s"R = 3/3: $r")
+    assert(f1 == 750000L, s"F1 = 6/8: $f1")
+    assert(!got.exists(x => x._1 == 3L || x._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("rougeOverCandidates: identical docs score perfect overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat")
+    ).toDF("doc_id", "text")
+    val got = Dedup.rougeOverCandidates(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List((1L, 2L, 5L, 5L, 5L, 1000000L, 1000000L, 1000000L)),
+      got.toString)
+  }
+
   test("overlapMatrix: shared keys counted once per pair, sizes and micros exact") {
     import spark.implicits._
     val df = Seq(
