@@ -28,7 +28,16 @@ object SparkEntry {
     * exactly what DuckDB does when it reads the same file. Integer `div`
     * keeps full precision (a double round-trip would lose low bits). */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
+    val df0 = s.read.parquet(s"$dir/$name.parquet")
+    // Defense against a session without our reader configs (e.g. the
+    // driver's own smoke session): NTZ-annotated testdata timestamps
+    // (isAdjustedToUTC=false micros) are cast to session-tz (UTC)
+    // TIMESTAMP — the same instant DuckDB compares naively.
+    val df = df0.schema.fields.foldLeft(df0) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast("timestamp"))
+      else d
+    }
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

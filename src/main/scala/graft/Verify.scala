@@ -15,6 +15,7 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted
       // to micros in SparkEntry.t (DuckDB-equivalent truncation).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -8,6 +8,18 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sqlc: SparkSession = spark
 
+  /** Testdata reader mirroring SparkEntry's: a nanos-as-long `ts`
+    * (legacy TIMESTAMP(NANOS) testdata) is truncated to micros; the
+    * current NTZ-micros testdata arrives as TIMESTAMP via the session's
+    * inferTimestampNTZ=false and passes through. */
+  def readEvents(path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    val df = spark.read.parquet(path)
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
   /** DataFrame from (value) rows of a single string column. */
   def strCol(name: String, values: Seq[Option[String]]): DataFrame = {
     import spark.implicits._
@@ -24,6 +36,11 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are NTZ-annotated micros
+      // (isAdjustedToUTC=false); read them as session-tz (UTC)
+      // TIMESTAMP so unix_micros & friends resolve, matching DuckDB's
+      // naive-timestamp comparison semantics.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft-test-wh-${System.getProperty("user.name")}")
       .getOrCreate()

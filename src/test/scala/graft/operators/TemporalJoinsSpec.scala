@@ -59,8 +59,7 @@ class TemporalJoinsSpec extends SparkSpec {
 
   test("asOf matches the naive inequality formulation on real events") {
     import spark.implicits._
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = readEvents("/root/testdata/sf0.001/events.parquet")
     val clicks = ev.filter($"event_type" === "click")
       .select("event_id", "user_id", "ts")
     val purchases = ev.filter($"event_type" === "purchase")
@@ -114,8 +113,7 @@ class TemporalJoinsSpec extends SparkSpec {
 
   test("bandedRangeJoin matches the naive inequality join on real events") {
     import spark.implicits._
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = readEvents("/root/testdata/sf0.001/events.parquet")
     val got = TemporalJoins.bandedRangeJoin(ev, "user_id", "ts",
       "event_id", 600L).select("id_a", "id_b", "gap_us")
     val naive = ev.as("a").join(ev.as("b"),
@@ -172,8 +170,7 @@ class TemporalJoinsSpec extends SparkSpec {
 
   test("asOfSalted matches asOf on real events across slice widths") {
     import spark.implicits._
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = readEvents("/root/testdata/sf0.001/events.parquet")
     val clicks = ev.filter($"event_type" === "click")
       .select("event_id", "user_id", "ts")
     val purchases = ev.filter($"event_type" === "purchase")
@@ -350,8 +347,7 @@ class TemporalJoinsSpec extends SparkSpec {
 
   test("scd2Collapse n_events sums to the input row count per key") {
     import spark.implicits._
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = readEvents("/root/testdata/sf0.001/events.parquet")
       .select("user_id", "ts", "event_type", "event_id")
     val out = TemporalJoins.scd2Collapse(ev, "user_id", "ts",
       "event_type", "event_id")
