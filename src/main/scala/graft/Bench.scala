@@ -9,7 +9,14 @@ import org.apache.spark.sql.SparkSession
   * runs 3× and reports the MEDIAN: this box's run-to-run spread is
   * ±15–20% and a single GC pause under single-shot timing fabricated a
   * phantom 16× regression in round 5 (q66 6.98 s recorded vs 0.68 s on
-  * rerun). The median of 3 absorbs one outlier run per query.
+  * rerun). Reps are INTERLEAVED round-robin (rep 1 of every query, then
+  * rep 2, then rep 3) rather than back-to-back per query: a sustained
+  * slow window (GC storm / external box load spanning ~10 s) that lands
+  * on one query's three consecutive reps poisons all of them and the
+  * median absorbs nothing — round 6 recorded 4–6× phantom regressions
+  * on three unchanged queries exactly this way. Spread across the whole
+  * list, the same window touches at most one rep of any query and the
+  * median discards it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,19 +40,24 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        // a failed query must not report its (tiny) elapsed time as a
-        // valid figure — -1 marks it in the JSON instead of flattering it
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
+    val queryList = SparkEntry.queries.toSeq
+    val timesByQuery = queryList.map { case (name, _) =>
+      name -> scala.collection.mutable.ArrayBuffer.empty[Double]
+    }.toMap
+    for (_ <- 1 to reps; (name, fn) <- queryList) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // a failed query must not report its (tiny) elapsed time as a
+      // valid figure — -1 marks it in the JSON instead of flattering it
+      timesByQuery(name) += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val results = queryList.map { case (name, _) =>
+      val times = timesByQuery(name).toSeq
       // ANY failed rep marks the query failed: reporting the median of
       // the surviving reps would hide an intermittent OOM behind a
       // healthy-looking figure — exactly the flakiness this report

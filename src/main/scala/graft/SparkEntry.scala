@@ -31,12 +31,18 @@ object SparkEntry {
     val df0 = s.read.parquet(s"$dir/$name.parquet")
     // Defense against a session without our reader configs (e.g. the
     // driver's own smoke session): NTZ-annotated testdata timestamps
-    // (isAdjustedToUTC=false micros) are cast to session-tz (UTC)
-    // TIMESTAMP — the same instant DuckDB compares naively.
+    // (isAdjustedToUTC=false micros) are cast to session-tz TIMESTAMP —
+    // forcing the session tz to UTC first makes the cast interpret the
+    // NTZ wall-clock as UTC regardless of host tz, the same instant
+    // DuckDB compares naively (a non-UTC session would otherwise shift
+    // every epoch-derived result). Top-level fields only: the testdata
+    // has no nested NTZ, and backticks keep dotted names addressable.
     val df = df0.schema.fields.foldLeft(df0) { (d, f) =>
-      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
-        d.withColumn(f.name, col(f.name).cast("timestamp"))
-      else d
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType) {
+        if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+          s.conf.set("spark.sql.session.timeZone", "UTC")
+        d.withColumn(f.name, d.col(s"`${f.name}`").cast("timestamp"))
+      } else d
     }
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -522,36 +522,60 @@ object Similarity {
     * (k-medians codebooks are exact rank elements — see
     * [[kMediansLocal]]), so gate greenness never rests on a recall
     * assumption. */
-  /** Hard ceiling on driver-collected PQ training rows: codebooks need
-    * a representative sample, never the corpus — past this, the collect
-    * IS the scale bug. Callers size `trainSamplePct` to stay under. */
-  private val maxTrainRows = 200000
+  /** Hard ceiling on driver-collected PQ training DOUBLES (rows × dim):
+    * codebooks need a representative sample, never the corpus — past
+    * this, the collect IS the scale bug. A row cap alone is the wrong
+    * unit: 200k rows is ~200 MB raw at dim 128 but ~1.2 GB at dim 768,
+    * a driver OOM the cap was supposed to prevent. 25.6M doubles keeps
+    * the old 200k-row behavior exactly at dim ≤ 128 and shrinks the row
+    * allowance proportionally for wider vectors (~33k rows at dim 768).
+    * Callers size `trainSamplePct` to stay under. */
+  private val maxTrainDoubles = 25600000L
 
   /** Bounded, deterministic driver-side training sample: a
     * `trainSamplePct` md5-hash cut of the corpus (whole corpus at 100),
-    * hard-capped at [[maxTrainRows]]. `limit(max+1)` bounds the
-    * transfer; the require rejects loudly instead of OOMing the driver
-    * on an under-sampled huge corpus. Shared by [[ivfPqTopK]] and the
-    * SemDeDup operators. */
+    * hard-capped at [[maxTrainDoubles]] / dim rows. `limit(max+1)`
+    * bounds the transfer; the require rejects loudly instead of OOMing
+    * the driver on an under-sampled huge corpus. `dim` < 0 probes the
+    * vector width with a 1-row job (SemDeDup callers don't carry dim).
+    * Shared by [[ivfPqTopK]] and the SemDeDup operators. */
   private def trainRows(df: DataFrame, idCol: String, vecCol: String,
-                        trainSamplePct: Int): Array[(Long, Array[Double])] = {
+                        trainSamplePct: Int, dim: Int = -1,
+                        budgetDoubles: Long = maxTrainDoubles)
+      : Array[(Long, Array[Double])] = {
     val sampled =
       if (trainSamplePct >= 100) df
       else {
         val s = df.filter(Curation.hashBucket(col(idCol)) < trainSamplePct)
         if (s.isEmpty) df else s
       }
+    val d = math.max(1,
+      if (dim > 0) dim
+      else sampled.select(size(col(vecCol)).cast("int")).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(1))
+    val maxRows = math.max(1, (budgetDoubles / d).toInt)
     val sample = sampled
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .limit(maxTrainRows + 1)
+      .limit(maxRows + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(sample.length <= maxTrainRows,
-      s"codebook training sample exceeds $maxTrainRows rows — lower " +
+    require(sample.length <= maxRows,
+      s"codebook training sample exceeds the $budgetDoubles-double " +
+        s"driver budget ($maxRows rows at dim $d) — lower " +
         s"trainSamplePct ($trainSamplePct) so training stays a " +
         "driver-sized sample")
     sample
   }
+
+  /** Test seam for the training-sample budget: same contract as the
+    * private [[trainRows]], with the doubles budget injectable so specs
+    * can pin red/green at the boundary without building a 25.6M-double
+    * frame. */
+  private[graft] def trainSampleForTest(df: DataFrame, idCol: String,
+                                        vecCol: String, trainSamplePct: Int,
+                                        dim: Int, budgetDoubles: Long)
+      : Array[(Long, Array[Double])] =
+    trainRows(df, idCol, vecCol, trainSamplePct, dim, budgetDoubles)
 
   def ivfPqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, rerankK: Int, dim: Int,
@@ -564,7 +588,7 @@ object Similarity {
       s"m ($m) must divide dim ($dim): subvectors need equal length")
     val sub = dim / m
     // ---- driver-side training (bounded sample, deterministic) ----
-    val sample = trainRows(candidates, idCol, vecCol, trainSamplePct)
+    val sample = trainRows(candidates, idCol, vecCol, trainSamplePct, dim)
     val cents = kMediansLocal(sample, nCells, iters)
     val residSample = sample.map { case (id, v) =>
       val c = cents(argminL2Local(v, cents))

@@ -415,4 +415,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count(_._1 == "1") == 2 && got.count(_._1 == "2") == 1,
       s"nulls must not appear: $got")
   }
+
+  test("codebook training cap is byte-aware: rows × dim vs the budget") {
+    import spark.implicits._
+    // 10 rows of dim-4 vectors = 40 doubles
+    val wide = (0 until 10).map(i =>
+      (i.toLong, Array(i.toFloat, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    // green: 40 doubles fits a 40-double budget exactly
+    val ok = Similarity.trainSampleForTest(wide, "vec_id", "embedding",
+      trainSamplePct = 100, dim = 4, budgetDoubles = 40L)
+    assert(ok.length == 10)
+    // red: the same 10 rows blow a 39-double budget (9-row allowance) —
+    // a row-count cap of 10 would have let this through
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainSampleForTest(wide, "vec_id", "embedding",
+        trainSamplePct = 100, dim = 4, budgetDoubles = 39L)
+    }
+    assert(e.getMessage.contains("driver budget"))
+    // dim probe path (dim = -1) discovers width 4 and applies the same
+    // boundary
+    val probed = Similarity.trainSampleForTest(wide, "vec_id", "embedding",
+      trainSamplePct = 100, dim = -1, budgetDoubles = 40L)
+    assert(probed.length == 10)
+  }
 }
