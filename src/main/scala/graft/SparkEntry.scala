@@ -1,7 +1,7 @@
 package graft
 
 import graft.diff.SchemaDiff
-import graft.inference.TypeInference
+import graft.inference.{DirectoryDrift, TypeInference}
 import graft.operators.{Clustering, Curation, Dedup, Drift, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
@@ -1245,6 +1245,33 @@ object SparkEntry {
     "q121_rouge_pairs" -> ((s, dir) => {
       Dedup.rougeOverCandidates(t(s, dir, "documents"), "doc_id",
         "text", n = 2)
+    }),
+    // ---- heterogeneous-directory schema drift: two producer versions
+    //      of orders disagree — v2 outgrows int4 on o_orderkey, goes
+    //      fractional on o_custkey, and drops o_orderpriority. Per-file
+    //      fused profile → semigroup merge (≡ inference over the union,
+    //      the TypeInferenceSpec-pinned property) → per-file drift
+    //      report in the RAS:202-225 reason vocabulary. ----
+    "q122_schema_drift" -> ((s, dir) => {
+      // scratch key includes the SOURCE file's (length, mtime): a
+      // regenerated corpus at the same path must invalidate the copy
+      // (same contract as q78's partitioned scratch)
+      val src = new java.io.File(s"$dir/orders.parquet")
+      val key = java.lang.Integer.toHexString(
+        (dir, src.length(), src.lastModified()).hashCode())
+      val dest = s"/tmp/graft_drift_orders_$key"
+      val o = t(s, dir, "orders")
+      val b = Curation.hashBucket(col("o_orderkey"))
+      def writeIfAbsent(sub: String, df: => DataFrame): Unit =
+        if (!new java.io.File(s"$dest/$sub/_SUCCESS").exists())
+          df.write.mode("overwrite").parquet(s"$dest/$sub")
+      writeIfAbsent("v1.parquet", o.filter(b < 50))
+      writeIfAbsent("v2.parquet", o.filter(b >= 50)
+        .withColumn("o_orderkey", col("o_orderkey") * lit(10000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(0.5))
+        .drop("o_orderpriority"))
+      val (_, report) = DirectoryDrift.inferDirectory(s, dest)
+      report.orderBy("file", "field")
     })
   )
 
@@ -2849,8 +2876,60 @@ FROM cand c
 LEFT JOIN cl ON cl.id_a = c.id_a AND cl.id_b = c.id_b
 LEFT JOIN tt ta ON ta.doc_id = c.id_a
 LEFT JOIN tt tb ON tb.doc_id = c.id_b
-ORDER BY c.id_a, c.id_b"""
+ORDER BY c.id_a, c.id_b""",
+    "q122_schema_drift" -> schemaDriftOracle
   )
+
+  /** q122: the drifted-directory report replayed in SQL. The two
+    * producer versions are reconstructed as slices of `orders` (same
+    * md5-bucket arithmetic as the engine's split), per-file inference
+    * replays the full cascade via InferenceOracle over each slice, the
+    * MERGED schema replays it over the UNION of the slices (merge ≡
+    * inference over union — the semigroup property, so the oracle can
+    * compute the union directly), and the report classifies each
+    * (file, corpus-field) pair: absent → MISSING, all-null file column
+    * (notype) → no evidence, name mismatch → TYPE DRIFT. */
+  private def schemaDriftOracle: String = {
+    import InferenceOracle.{Kind, Str}
+    def hv(p: Int) =
+      s"instr('123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), $p, 1))"
+    val bucket =
+      s"(4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)} + ${hv(4)}) % 100"
+    val base = "o_orderstatus, o_totalprice, o_orderdate"
+    val v1 = s"SELECT o_orderkey, o_custkey, $base, o_orderpriority " +
+      s"FROM orders WHERE $bucket < 50"
+    val v2 = "SELECT o_orderkey * 10000000000 AS o_orderkey, " +
+      s"o_custkey + 0.5 AS o_custkey, $base FROM orders WHERE $bucket >= 50"
+    val u = s"SELECT o_orderkey, o_custkey, $base FROM v1 " +
+      s"UNION ALL SELECT o_orderkey, o_custkey, $base FROM v2"
+    val v2cols = InferenceOracle.ordersCols.filter(_._1 != "o_orderpriority")
+    def inferAll(tbl: String, cols: Seq[(String, Kind)]) =
+      cols.map { case (c, k) =>
+        InferenceOracle.columnSql(tbl, c, k, identifier = c.endsWith("_id"))
+      }.mkString(" UNION ALL ")
+    val f1 = inferAll("v1", InferenceOracle.ordersCols)
+    val f2 = inferAll("v2", v2cols)
+    // merged o_orderpriority: only v1 carries the column, so the union
+    // over carrying files IS the v1 slice
+    val m = inferAll("u", v2cols) + " UNION ALL " +
+      InferenceOracle.columnSql("v1", "o_orderpriority", Str,
+        identifier = false)
+    def side(file: String, f: String) =
+      s"""SELECT '$file' AS file, m.field, f.proposed_type AS file_type,
+  m.proposed_type AS merged_type,
+  CASE WHEN f.proposed_type IS NULL THEN 'MISSING'
+       WHEN f.proposed_type = 'notype' THEN NULL
+       WHEN f.proposed_type <> m.proposed_type THEN 'TYPE DRIFT' END AS reason
+FROM m LEFT JOIN ($f) f ON m.field = f.field
+WHERE m.proposed_type <> 'notype'"""
+    s"""WITH v1 AS ($v1), v2 AS ($v2), u AS ($u),
+m AS (SELECT field, proposed_type FROM ($m))
+SELECT file, field, file_type, merged_type, reason FROM (
+${side("v1.parquet", f1)}
+UNION ALL
+${side("v2.parquet", f2)})
+WHERE reason IS NOT NULL ORDER BY file, field"""
+  }
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH
     * candidate pairs as q17/q19 (minhashCtes), oriented smaller-set
