@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.SchemaDiff
 import graft.inference.{DirectoryDrift, TypeInference}
-import graft.operators.{Clustering, Curation, Dedup, Drift, Multimodal, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Bpe, Clustering, Curation, Dedup, Drift, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1272,6 +1272,21 @@ object SparkEntry {
         .drop("o_orderpriority"))
       val (_, report) = DirectoryDrift.inferDirectory(s, dest)
       report.orderBy("file", "field")
+    }),
+    // ---- corpus-trained byte-level BPE token accounting: the
+    //      production token counter (vs the bpeishTokens heuristic).
+    //      Training (12 merges over the top-1500 word types) and
+    //      application (merge replaces as codegen'd expressions) are
+    //      both deterministic; the oracle RE-TRAINS the same table in
+    //      SQL and must agree bit-for-bit. ----
+    "q123_bpe_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = Bpe.trainMerges(d, "text", nMerges = 12, maxVocab = 1500)
+      d.select(col("doc_id"),
+          coalesce(size(Bpe.words(col("text"))), lit(0)).cast("long")
+            .as("n_words"),
+          Bpe.tokenCount(col("text"), merges).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2877,7 +2892,8 @@ LEFT JOIN cl ON cl.id_a = c.id_a AND cl.id_b = c.id_b
 LEFT JOIN tt ta ON ta.doc_id = c.id_a
 LEFT JOIN tt tb ON tb.doc_id = c.id_b
 ORDER BY c.id_a, c.id_b""",
-    "q122_schema_drift" -> schemaDriftOracle
+    "q122_schema_drift" -> schemaDriftOracle,
+    "q123_bpe_tokens" -> bpeTokensOracle
   )
 
   /** q122: the drifted-directory report replayed in SQL. The two
@@ -2929,6 +2945,61 @@ ${side("v1.parquet", f1)}
 UNION ALL
 ${side("v2.parquet", f2)})
 WHERE reason IS NOT NULL ORDER BY file, field"""
+  }
+
+  /** q123: the BPE pipeline RE-TRAINED in SQL. Word frequencies → the
+    * same top-1500 (count DESC, word) cut → 12 training rounds as
+    * chained CTEs (each round: frequency-weighted adjacent-pair counts
+    * over the current segmentations, argmax by (cnt DESC, sym, nxt),
+    * boundary-safe double-space `replace`) → the learned merges applied
+    * to every document word and summed. The engine trains on the driver
+    * from the same deterministic inputs, so the two independently
+    * trained merge tables — and therefore every per-doc count — must
+    * agree exactly. coalesce(pat, chr(1)) keeps exhausted rounds (no
+    * pair left anywhere) as no-ops instead of NULL-poisoning. */
+  private def bpeTokensOracle: String = {
+    val nMerges = 12
+    val norm = "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')"
+    // MATERIALIZED is load-bearing: each round references the previous
+    // segmentation CTE twice (pair counts + application), so inlined
+    // CTEs would expand to 2^nMerges scans of the parquet source
+    val base =
+      s"""w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+  SELECT unnest(string_split(trim($norm), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 1500),
+s0 AS MATERIALIZED (SELECT c,
+  ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+  AS sp FROM w0)"""
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS (SELECT pr[1] AS sym, pr[2] AS nxt, sum(cw) AS cnt FROM (
+  SELECT c AS cw, unnest(list_transform(range(1, len(syms)),
+    j -> [syms[j], syms[j+1]])) AS pr
+  FROM (SELECT c, string_split(trim(sp), '  ') AS syms FROM s${i - 1}))
+  GROUP BY 1, 2),
+b$i AS MATERIALIZED (SELECT ' ' || sym || '  ' || nxt || ' ' AS pat,
+  ' ' || sym || nxt || ' ' AS rep
+  FROM p$i ORDER BY cnt DESC, sym, nxt LIMIT 1),
+s$i AS MATERIALIZED (SELECT c,
+  replace(sp, coalesce((SELECT pat FROM b$i), chr(1)),
+  coalesce((SELECT rep FROM b$i), '')) AS sp FROM s${i - 1})"""
+    }.mkString(",\n")
+    val applied = (1 to nMerges).foldLeft(
+      "' ' || array_to_string(string_split(w, ''), '  ') || ' '") {
+      (acc, i) =>
+        s"replace($acc, coalesce((SELECT pat FROM b$i), chr(1)), " +
+          s"coalesce((SELECT rep FROM b$i), ''))"
+    }
+    s"""WITH $base,
+$rounds,
+dw AS (SELECT doc_id, unnest(string_split(trim($norm), ' ')) AS w
+  FROM documents),
+seg AS (SELECT doc_id, $applied AS sp FROM dw WHERE w <> ''),
+cnts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(string_split(trim(sp), '  '))) AS BIGINT) AS n_tokens
+  FROM seg GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
+  coalesce(c.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN cnts c USING (doc_id) ORDER BY doc_id"""
   }
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH

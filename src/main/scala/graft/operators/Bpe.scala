@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic byte-level(ish) BPE token accounting — the production
+  * replacement for the whitespace-ish `TextAnalysis.bpeishTokens`
+  * heuristic that every token-budget operator (packing, budget
+  * selection) otherwise inherits.
+  *
+  * Design (classic BPE, Sennrich et al. 2016, restricted to a
+  * deterministic, cross-engine-replayable core):
+  *   - pre-tokenizer: lowercase, collapse every non-[a-z0-9] run to a
+  *     space, split on spaces — all surviving symbols are ASCII
+  *     alphanumeric, so the segmentation separator below can never
+  *     collide with symbol content (and Spark vs DuckDB unicode
+  *     semantics never diverge);
+  *   - TRAINING is driver-sized like the DSIR bucket LMs: a
+  *     distributed word-frequency aggregate, the top `maxVocab` word
+  *     types by (count DESC, word ASC) collected (bounded by limit),
+  *     then `nMerges` rounds of the standard algorithm locally — each
+  *     round merges the adjacent symbol pair with the highest
+  *     frequency-weighted count, ties broken (count DESC, pair ASC),
+  *     fully deterministic so the DuckDB oracle can re-train the SAME
+  *     table in SQL and agree bit-for-bit;
+  *   - APPLICATION is pure codegen'd expressions (zero UDFs): a word's
+  *     segmentation is a DOUBLE-SPACE-joined symbol string padded with
+  *     single spaces (" l  o  w "), and merge (a,b) is
+  *     `replace(seg, " a  b ", " ab ")` — each match consumes one
+  *     space of each boundary pair, leaving the neighbor's separator
+  *     intact, so left-to-right non-overlapping `replace` IS the BPE
+  *     greedy merge scan ("x y x y" merges both pairs, "a a a" merges
+  *     exactly one). Token count = symbols remaining after all merges.
+  *
+  * 100 TB shape: training reads one hash-agg word-frequency frame
+  * (top-K via TakeOrdered, only K rows to the driver); application is
+  * a per-row expression chain — no shuffle, no state, scan-bound. */
+object Bpe {
+
+  /** Normalized word array: lowercase, non-alphanumeric runs → space,
+    * empties dropped. Null text → null (callers coalesce). */
+  def words(text: Column): Column =
+    filter(split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " "),
+      w => length(w) > 0)
+
+  /** One word's initial segmentation: " c1  c2  ...  cn ". The split
+    * on the empty pattern yields a trailing empty string in Spark
+    * (Java `split("", -1)` semantics) — filtered, so both engines see
+    * exactly the character list. */
+  private def spaced(w: Column): Column =
+    concat(lit(" "),
+      array_join(filter(split(w, ""), c => length(c) > 0), "  "),
+      lit(" "))
+
+  /** Apply one merge to a local segmentation, left-to-right
+    * non-overlapping — the exact semantics of string `replace` on the
+    * spaced form (spec-pinned equivalence). */
+  private def applyMerge(seg: List[String], a: String,
+                         b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var rest = seg
+    while (rest.nonEmpty) rest match {
+      case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+      case x :: tail                          => out += x; rest = tail
+      case Nil                                => ()
+    }
+    out.toList
+  }
+
+  /** Train the merge table on a corpus: distributed word-frequency
+    * top-`maxVocab` cut, then `nMerges` deterministic local rounds.
+    * Stops early if no adjacent pair remains (every word fused to one
+    * symbol); the SQL replay's remaining rounds are then no-ops.
+    * Returns merges in rank order. */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  maxVocab: Int): Seq[(String, String)] = {
+    require(nMerges >= 0 && maxVocab > 0,
+      s"nMerges ($nMerges) and maxVocab ($maxVocab) must be positive")
+    val wf = docs.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var segs: Array[(List[String], Long)] =
+      wf.map { case (w, c) => (w.split("").filter(_.nonEmpty).toList, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    for (_ <- 0 until nMerges if !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((seg, c) <- segs; pair <- seg.zip(seg.drop(1)))
+        counts(pair) = counts.getOrElse(pair, 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        // highest count, ties by pair lexicographically — the same
+        // ORDER BY cnt DESC, sym, nxt LIMIT 1 the oracle replays
+        val best = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        segs = segs.map { case (seg, c) =>
+          (applyMerge(seg, best._1, best._2), c)
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Per-word token-count array for a text column under a merge
+    * table — all codegen'd string expressions. */
+  private def wordTokenCounts(text: Column,
+                              merges: Seq[(String, String)]): Column =
+    transform(words(text), w => {
+      val seg = merges.foldLeft(spaced(w)) { case (s, (a, b)) =>
+        replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+      }
+      size(split(trim(seg), "  "))
+    })
+
+  /** Total BPE token count of `text` under `merges` (0 for null/empty
+    * text) — drop-in replacement for `TextAnalysis.tokenCount` in the
+    * token-budget operators (packing, budget selection). */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    coalesce(
+      aggregate(wordTokenCounts(text, merges), lit(0), (acc, x) => acc + x),
+      lit(0))
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE training determinism + expression-application parity. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower newest newest"),
+    (3L, "newest newest newest widest"),
+    (4L, "Low! lower? NEWEST...")
+  ).toDF("doc_id", "text")
+
+  test("trainMerges learns the classic low/lower/newest merges deterministically") {
+    val m = Bpe.trainMerges(corpus, "text", nMerges = 4, maxVocab = 100)
+    // word freqs: low 6, newest 6, lower 3, widest 1
+    // pair counts r1: (l,o) 9, (o,w) 9, (e,s) 7, (s,t) 7, (w,e) 7... —
+    // tie on 9 broken lexicographically: (l,o) first
+    assert(m.head == ("l", "o"))
+    assert(m(1) == ("lo", "w")) // "lo w" now 9 — beats (e,s) 7
+    val m2 = Bpe.trainMerges(corpus, "text", nMerges = 4, maxVocab = 100)
+    assert(m == m2)
+  }
+
+  test("expression application equals the local greedy merge scan") {
+    val merges = Bpe.trainMerges(corpus, "text", nMerges = 6, maxVocab = 100)
+    // local reference count
+    def localCount(text: String): Int = {
+      val ws = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+      ws.map { w =>
+        var seg = w.split("").filter(_.nonEmpty).toList
+        for ((a, b) <- merges) {
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = seg
+          while (rest.nonEmpty) rest match {
+            case x :: y :: t if x == a && y == b => out += (a + b); rest = t
+            case x :: t                          => out += x; rest = t
+            case Nil                             => ()
+          }
+          seg = out.toList
+        }
+        seg.length
+      }.sum
+    }
+    val got = corpus
+      .select($"doc_id", Bpe.tokenCount($"text", merges).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val want = corpus.select($"doc_id", $"text").as[(Long, String)]
+      .collect().map { case (id, t) => id -> localCount(t) }.toMap
+    assert(got == want)
+  }
+
+  test("boundary safety: 'aaa' under merge (a,a) counts 2, 'xyxy' merges both pairs") {
+    val df = Seq((1L, "aaa"), (2L, "xyxy")).toDF("doc_id", "text")
+    val n = df.select($"doc_id",
+        Bpe.tokenCount($"text", Seq(("a", "a"), ("x", "y"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(n(1L) == 2) // [aa, a] — greedy left-to-right, non-overlapping
+    assert(n(2L) == 2) // [xy, xy] — second pair must still merge
+  }
+
+  test("null and empty text count 0 tokens") {
+    val df = Seq((1L, Some("")), (2L, None), (3L, Some("   ...  ")))
+      .toDF("doc_id", "text")
+    val n = df.select($"doc_id",
+        Bpe.tokenCount($"text", Seq(("a", "b"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(n == Map(1L -> 0, 2L -> 0, 3L -> 0))
+  }
+
+  test("packSequences parity: BPE counts pack identically to a precomputed column") {
+    val merges = Bpe.trainMerges(corpus, "text", nMerges = 4, maxVocab = 100)
+    val withBpe = corpus.withColumn("n_tokens",
+      Bpe.tokenCount($"text", merges).cast("long"))
+    val precomputed = withBpe.select($"doc_id", $"text", $"n_tokens")
+      .withColumnRenamed("n_tokens", "nt").withColumn("n_tokens", $"nt")
+      .drop("nt")
+    val a = Curation.packSequences(withBpe, "doc_id", "n_tokens", 10L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().sorted.toList
+    val b = Curation.packSequences(precomputed, "doc_id", "n_tokens", 10L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().sorted.toList
+    assert(a == b && a.nonEmpty)
+  }
+}
