@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.SchemaDiff
 import graft.inference.{DirectoryDrift, TypeInference}
-import graft.operators.{Bpe, Clustering, Curation, Dedup, Drift, Multimodal, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Bpe, Clustering, Curation, Dedup, Drift, Multimodal, Similarity, TemporalJoins, TextAnalysis, UrlOps}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1287,6 +1287,30 @@ object SparkEntry {
             .as("n_words"),
           Bpe.tokenCount(col("text"), merges).cast("long").as("n_tokens"))
         .orderBy("doc_id")
+    }),
+    // ---- URL normalization (the C4-style pre-content pass): URLs are
+    //      PLANTED deterministically from doc_id (the corpus carries
+    //      none — same precedent as q45's planted PII) with scheme/host
+    //      case, default-port, trailing-slash, tracking-param, param-
+    //      order and fragment variation; the normalizer must collapse
+    //      exactly the planted equivalence classes. ----
+    "q124_url_normalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), plantedUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.normalizeUrl(col("url")).as("norm_url"),
+          UrlOps.urlHost(col("url")).as("host"))
+        .orderBy("doc_id")
+    }),
+    // ---- host-level stats over the same planted URLs: one hash agg
+    //      keyed on host; n_unique_urls is the post-URL-dedup size ----
+    "q125_host_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), plantedUrl(col("doc_id")).as("url"))
+      UrlOps.hostStats(d, "doc_id", "url")
+        .select(col("host"), col("n_docs").cast("long"),
+          col("n_unique_urls").cast("long"), col("first_id"))
+        .orderBy("host")
     })
   )
 
@@ -2893,7 +2917,17 @@ LEFT JOIN tt ta ON ta.doc_id = c.id_a
 LEFT JOIN tt tb ON tb.doc_id = c.id_b
 ORDER BY c.id_a, c.id_b""",
     "q122_schema_drift" -> schemaDriftOracle,
-    "q123_bpe_tokens" -> bpeTokensOracle
+    "q123_bpe_tokens" -> bpeTokensOracle,
+    "q124_url_normalize" ->
+      s"""WITH $urlCtes
+SELECT doc_id, url, $urlNormSql AS norm_url, host FROM n2 ORDER BY doc_id""",
+    "q125_host_stats" ->
+      s"""WITH $urlCtes,
+f AS (SELECT doc_id, host, $urlNormSql AS norm_url FROM n2)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT norm_url) AS BIGINT) AS n_unique_urls,
+  min(doc_id) AS first_id
+FROM f GROUP BY host ORDER BY host"""
   )
 
   /** q122: the drifted-directory report replayed in SQL. The two
@@ -3001,6 +3035,73 @@ SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
   coalesce(c.n_tokens, 0) AS n_tokens
 FROM documents d LEFT JOIN cnts c USING (doc_id) ORDER BY doc_id"""
   }
+
+  /** q124/q125: deterministic URL planting from doc_id — scheme/host
+    * case (mod 2 / mod 3), 7 hosts, default port :443 on even ids,
+    * 20 paths (collisions within a host normalize equal), trailing
+    * slash, five query spellings (tracking params, param order), and a
+    * fragment. The SQL twin in [[urlCtes]] is the same arithmetic. */
+  private def plantedUrl(id: Column): Column = {
+    val page = id % 4
+    concat(
+      when(id % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+      when(id % 3 === 0, "WWW.").otherwise(""),
+      lit("Site"), id % 7, lit(".COM"),
+      when(id % 2 === 0, ":443").otherwise(""),
+      lit("/articles/"), id % 20,
+      when(id % 3 === 0, "/").otherwise(""),
+      lit("?"),
+      when(id % 5 === 0, concat(lit("utm_source=feed&page="), page))
+        .when(id % 5 === 1, concat(lit("page="), page, lit("&utm_medium=mail")))
+        .when(id % 5 === 2, concat(lit("z=9&page="), page))
+        .when(id % 5 === 3, concat(lit("page="), page, lit("&z=9")))
+        .otherwise(concat(lit("page="), page)),
+      when(id % 3 === 1, "#sec2").otherwise(""))
+  }
+
+  /** The planted URL + UrlOps field extraction replayed in DuckDB. */
+  private def urlCtes: String = {
+    val page = "CAST(doc_id % 4 AS VARCHAR)"
+    val plant =
+      s"""CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+  'Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+  CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+  '/articles/' || CAST(doc_id % 20 AS VARCHAR) ||
+  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || '?' ||
+  CASE doc_id % 5
+    WHEN 0 THEN 'utm_source=feed&page=' || $page
+    WHEN 1 THEN 'page=' || $page || '&utm_medium=mail'
+    WHEN 2 THEN 'z=9&page=' || $page
+    WHEN 3 THEN 'page=' || $page || '&z=9'
+    ELSE 'page=' || $page END ||
+  CASE WHEN doc_id % 3 = 1 THEN '#sec2' ELSE '' END"""
+    s"""u AS (SELECT doc_id, $plant AS url FROM documents),
+n AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+    AS path0,
+  regexp_extract(url, '\\?([^#]*)', 1) AS q0
+  FROM u),
+n2 AS (SELECT doc_id, url, sch,
+  lower(regexp_replace(auth, ':[0-9]+$$', '')) AS host,
+  regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+  regexp_replace(path0, '/+$$', '') AS path1,
+  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+    p -> p <> '' AND NOT regexp_matches(p,
+      '^(utm_[a-z0-9_]*|fbclid|gclid|ref)(=|$$)'))), '&') AS q
+  FROM n)"""
+  }
+
+  /** The canonical-form reassembly (twin of UrlOps.normalizeUrl's
+    * final concat), over n2's extracted fields. */
+  private def urlNormSql: String =
+    """sch || '://' || host ||
+  CASE WHEN port <> '' AND NOT ((sch = 'https' AND port = '443')
+    OR (sch = 'http' AND port = '80')) THEN ':' || port ELSE '' END ||
+  CASE WHEN path1 = '' THEN '/' ELSE path1 END ||
+  CASE WHEN q <> '' THEN '?' || q ELSE '' END"""
 
   /** q90: exact containment |a∩b| / min(|a|,|b|) over the SAME LSH
     * candidate pairs as q17/q19 (minhashCtes), oriented smaller-set

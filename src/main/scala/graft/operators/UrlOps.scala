@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL normalization and host-level operators — the C4/RefinedWeb-style
+  * pre-content pass: web pipelines dedupe and aggregate by normalized
+  * URL *before* any content dedup, so the normalizer's equivalence
+  * classes directly decide corpus membership.
+  *
+  * Normalization rules (each a pure codegen'd expression; the whole
+  * normalizer is per-row, shuffle-free, and replayed verbatim by the
+  * DuckDB oracle with the same regexes):
+  *   - scheme and host lowercase;
+  *   - default ports stripped (http:80, https:443), explicit
+  *     non-default ports kept;
+  *   - fragment dropped;
+  *   - path: trailing-slash runs stripped, empty path → "/";
+  *   - query: tracking params removed (utm_*, fbclid, gclid, ref),
+  *     the survivors SORTED (param order is not semantic), empty
+  *     query dropped.
+  *
+  * 100 TB shape: normalize is scan-bound; [[dedupeByUrl]] is one hash
+  * aggregate on the normalized key; [[hostStats]] is one hash
+  * aggregate on the host — no joins, no windows, no skew risk beyond
+  * genuinely hot hosts (which AQE splits). */
+object UrlOps {
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val authRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val trackingRe = "^(utm_[a-z0-9_]*|fbclid|gclid|ref)(=|$)"
+
+  private def scheme(url: Column): Column =
+    lower(regexp_extract(url, schemeRe, 1))
+
+  /** Lowercased host, port stripped. Empty string on unparseable input
+    * (regexp_extract's no-match result on both engines). */
+  def urlHost(url: Column): Column =
+    lower(regexp_replace(regexp_extract(url, authRe, 1), ":[0-9]+$", ""))
+
+  /** Canonical form of a URL under the rules above. */
+  def normalizeUrl(url: Column): Column = {
+    val sch = scheme(url)
+    val auth = regexp_extract(url, authRe, 1)
+    val host = urlHost(url)
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((sch === "https" && port === "443") ||
+        (sch === "http" && port === "80"))
+    val path0 = regexp_replace(regexp_extract(url, pathRe, 1), "/+$", "")
+    val path = when(path0 === "", "/").otherwise(path0)
+    val params = filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike(trackingRe))
+    val q = array_join(array_sort(params), "&")
+    concat(sch, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(""),
+      path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(""))
+  }
+
+  /** URL-level dedup: one survivor (min id) per normalized URL. */
+  def dedupeByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.withColumn("norm_url", normalizeUrl(col(urlCol)))
+      .groupBy("norm_url")
+      .agg(min(col(idCol)).as(idCol))
+
+  /** Per-host aggregates over the raw frame: total rows, distinct
+    * normalized URLs (the post-dedup size), earliest id. */
+  def hostStats(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.withColumn("host", urlHost(col(urlCol)))
+      .withColumn("norm_url", normalizeUrl(col(urlCol)))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("norm_url")).as("n_unique_urls"),
+        min(col(idCol)).as("first_id"))
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(url: String): String =
+    Seq(url).toDF("u").select(UrlOps.normalizeUrl($"u")).as[String].head()
+
+  test("scheme+host lowercase, default ports stripped, explicit kept") {
+    assert(norm("HTTPS://WWW.Example.COM:443/a") ==
+      "https://www.example.com/a")
+    assert(norm("http://example.com:80/a") == "http://example.com/a")
+    assert(norm("http://example.com:8080/a") == "http://example.com:8080/a")
+    assert(norm("https://example.com:80/a") == "https://example.com:80/a")
+  }
+
+  test("fragment dropped, trailing slashes stripped, empty path is /") {
+    assert(norm("https://example.com/a/b/#frag") == "https://example.com/a/b")
+    assert(norm("https://example.com") == "https://example.com/")
+    assert(norm("https://example.com///") == "https://example.com/")
+  }
+
+  test("tracking params removed, survivors sorted, empty query dropped") {
+    assert(norm("https://e.com/p?utm_source=x&b=2&a=1") ==
+      "https://e.com/p?a=1&b=2")
+    assert(norm("https://e.com/p?utm_campaign=x&fbclid=y&gclid=z&ref=t") ==
+      "https://e.com/p")
+    assert(norm("https://e.com/p?refresh=1") == "https://e.com/p?refresh=1",
+      "ref must match as a whole param name, not a prefix")
+  }
+
+  test("unparseable input yields empty scheme/host, not an error") {
+    assert(Seq("not a url").toDF("u")
+      .select(UrlOps.urlHost($"u")).as[String].head() == "")
+  }
+
+  test("dedupeByUrl keeps min id per equivalence class") {
+    val df = Seq(
+      (5L, "HTTPS://A.com:443/x/"),
+      (3L, "https://a.com/x"),
+      (9L, "https://a.com/x?utm_source=z"),
+      (7L, "https://b.com/x")
+    ).toDF("id", "url")
+    val kept = UrlOps.dedupeByUrl(df, "id", "url")
+      .select("id").as[Long].collect().sorted.toList
+    assert(kept == List(3L, 7L))
+  }
+
+  test("hostStats counts rows and distinct normalized urls per host") {
+    val df = Seq(
+      (1L, "https://a.com/x"), (2L, "HTTPS://A.COM/x/"),
+      (3L, "https://a.com/y"), (4L, "https://b.com/x")
+    ).toDF("id", "url")
+    val got = UrlOps.hostStats(df, "id", "url")
+      .select("host", "n_docs", "n_unique_urls", "first_id")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List(("a.com", 3L, 2L, 1L), ("b.com", 1L, 1L, 4L)))
+  }
+}
