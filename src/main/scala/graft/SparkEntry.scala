@@ -1311,6 +1311,16 @@ object SparkEntry {
         .select(col("host"), col("n_docs").cast("long"),
           col("n_unique_urls").cast("long"), col("first_id"))
         .orderBy("host")
+    }),
+    // ---- LSH recall audit: on a 60% hash slice, the COMPLETE
+    //      prefix-filtered pair set (ground truth by proof) vs the
+    //      banded MinHash candidates → per-decile recall curve in
+    //      exact integer micros. Measures the recall the LSH-gated
+    //      operators otherwise only assume. ----
+    "q126_lsh_recall" -> ((s, dir) => {
+      Dedup.lshRecallAudit(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5,
+        samplePct = 60)
     })
   )
 
@@ -2927,7 +2937,8 @@ f AS (SELECT doc_id, host, $urlNormSql AS norm_url FROM n2)
 SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT norm_url) AS BIGINT) AS n_unique_urls,
   min(doc_id) AS first_id
-FROM f GROUP BY host ORDER BY host"""
+FROM f GROUP BY host ORDER BY host""",
+    "q126_lsh_recall" -> lshRecallOracle
   )
 
   /** q122: the drifted-directory report replayed in SQL. The two
@@ -3034,6 +3045,39 @@ cnts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
 SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
   coalesce(c.n_tokens, 0) AS n_tokens
 FROM documents d LEFT JOIN cnts c USING (doc_id) ORDER BY doc_id"""
+  }
+
+  /** q126: ground truth = the UNRESTRICTED quadratic Jaccard join
+    * (q60's oracle form, threshold 0.5) restricted to the 60% hash
+    * slice on BOTH ids; candidates = the shared minhashCtes `cand`
+    * (candidacy is pairwise, so filtering corpus-wide candidates to
+    * slice pairs equals running LSH on the slice). Recall per decile
+    * in exact integer micros. */
+  private def lshRecallOracle: String = {
+    def hv(c: String, p: Int) =
+      s"instr('123456789abcdef', substr(md5(CAST($c AS VARCHAR)), $p, 1))"
+    def bucket(c: String) =
+      s"(4096 * ${hv(c, 1)} + 256 * ${hv(c, 2)} + 16 * ${hv(c, 3)} + ${hv(c, 4)}) % 100"
+    s"""$minhashCtes,
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE ${bucket("a.doc_id")} < 60 AND ${bucket("b.doc_id")} < 60
+  GROUP BY 1, 2),
+ex AS (SELECT id_a, id_b, j FROM (
+  SELECT id_a, id_b,
+    CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) AS j
+  FROM pr JOIN sz x ON pr.id_a = x.doc_id JOIN sz y ON pr.id_b = y.doc_id)
+  WHERE j >= 0.5),
+f AS (SELECT e.j,
+  CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS found
+  FROM ex e LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b)
+SELECT CAST(floor(j * 10) AS INTEGER) AS j_bucket,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(found) AS BIGINT) AS n_found,
+  (CAST(sum(found) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+    AS recall_micro
+FROM f GROUP BY 1 ORDER BY j_bucket"""
   }
 
   /** q124/q125: deterministic URL planting from doc_id — scheme/host

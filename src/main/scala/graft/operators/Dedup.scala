@@ -904,4 +904,47 @@ object Dedup {
       .orderBy(col("n_occ").desc, col("gram"))
       .limit(topN)
   }
+
+  /** LSH recall AUDIT — turns the pipeline's "no recall premise" design
+    * stance into a measured number. On a deterministic md5-hash-sampled
+    * slice of the corpus (candidacy and Jaccard are both PAIRWISE
+    * properties, so slice results are exact restrictions of corpus
+    * results, not approximations of them):
+    *   - ground truth: every qualifying pair by proof, via the
+    *     prefix-filtered COMPLETE join ([[jaccardPairsComplete]]) —
+    *     affordable because it runs on the slice, which is the whole
+    *     reason to sample;
+    *   - under test: the banded MinHash candidates
+    *     ([[minHashCandidates]]) with the same shingle width;
+    *   - output: per Jaccard-decile bucket (floor(j·10)), the number of
+    *     true pairs, how many LSH surfaced, and recall in exact integer
+    *     micros — the per-similarity-band recall curve that tells you
+    *     whether the (numHashes, bands) choice hunts the duplicates you
+    *     actually care about.
+    *
+    * 100 TB shape: the slice is a per-row hash cut (no shuffle); both
+    * legs inherit their sub-quadratic shapes; the audit join is
+    * pair-keyed on the true-pair frame (output-bound). Returns
+    * (j_bucket, n_pairs, n_found, recall_micro). */
+  def lshRecallAudit(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 16,
+                     bands: Int = 4, threshold: Double = 0.5,
+                     samplePct: Int = 100): DataFrame = {
+    require(samplePct > 0 && samplePct <= 100,
+      s"samplePct must be in (0,100]: $samplePct")
+    val slice =
+      if (samplePct >= 100) df
+      else df.filter(Curation.hashBucket(col(idCol)) < samplePct)
+    val exact = jaccardPairsComplete(slice, idCol, textCol, shingleN,
+      threshold)
+    val cand = minHashCandidates(slice, idCol, textCol, shingleN,
+      numHashes, bands)
+    exact.join(cand.withColumn("_found", lit(1L)), Seq("id_a", "id_b"),
+        "left")
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("_found"), lit(0L))).as("n_found"))
+      .withColumn("recall_micro", expr("n_found * 1000000 div n_pairs"))
+      .orderBy("j_bucket")
+  }
 }

@@ -560,4 +560,41 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("lshRecallAudit: buckets tally the complete-join truth vs LSH candidates") {
+    import spark.implicits._
+    // 40 docs: 10 exact-dup pairs (j = 1.0, LSH always finds an
+    // identical pair — same signature in every band) + 20 distinct docs
+    val corpus = ((0 until 20).flatMap { i =>
+      val words = (0 until 12).map(w => s"w${i}_$w").mkString(" ")
+      if (i < 10) Seq((2L * i, words), (2L * i + 1, words))
+      else Seq((100L + i, words + s" tail$i extra$i words$i here$i"))
+    }).toDF("doc_id", "text")
+    val audit = Dedup.lshRecallAudit(corpus, "doc_id", "text",
+        threshold = 0.5, samplePct = 100)
+      .as[(Int, Long, Long, Long)].collect().toList
+    // independent tally from the two legs the audit composes
+    val exact = Dedup.jaccardPairsComplete(corpus, "doc_id", "text",
+        3, 0.5).select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toList
+    val cand = Dedup.minHashCandidates(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val want = exact.groupBy(p => math.floor(p._3 * 10).toInt).toList
+      .map { case (b, ps) =>
+        val found = ps.count(p => cand((p._1, p._2)))
+        (b, ps.size.toLong, found.toLong,
+          found.toLong * 1000000L / ps.size)
+      }.sortBy(_._1)
+    assert(audit == want)
+    // the identical pairs land in bucket 10 at full recall
+    val b10 = audit.find(_._1 == 10).get
+    assert(b10._2 == 10L && b10._3 == 10L && b10._4 == 1000000L)
+    // sampling restricts, never invents: every sampled bucket count is
+    // bounded by the full-corpus one
+    val sampled = Dedup.lshRecallAudit(corpus, "doc_id", "text",
+        threshold = 0.5, samplePct = 50)
+      .as[(Int, Long, Long, Long)].collect().toList
+    val full = audit.map(r => r._1 -> r._2).toMap
+    assert(sampled.forall(r => r._2 <= full.getOrElse(r._1, 0L)))
+  }
 }
