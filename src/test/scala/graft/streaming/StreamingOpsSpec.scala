@@ -808,4 +808,62 @@ class StreamingOpsSpec extends SparkSpec {
         s"closed window must evict; only hour 12's gamma stays: $stateRows")
     } finally q.stop()
   }
+
+  test("trending terms: out-of-order replay past the watermark cannot " +
+      "mutate an emitted window") {
+    // The disorder contract append mode is FOR: once the watermark
+    // closes a window and its counts emit, a late row targeting that
+    // window must leave no trace — no second emission, no updated
+    // count — while a disordered row still AHEAD of the watermark
+    // counts normally. Replayed across separate AvailableNow runs so
+    // each batch's watermark is the previous run's high-mark.
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val ckpt = s"/tmp/graft-stream-ckpt-${System.nanoTime()}"
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Timestamp, String, Long)]()
+    def runBatch(): Unit = {
+      val q = StreamingOps.trendingTermsStream(
+        mem.toDF().toDF("ts", "text"), "ts", "text",
+        watermark = "30 minutes", minCount = 1)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            out.add((r.getTimestamp(0), r.getString(1), r.getLong(1 + 1))))
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    // run 1: hour-10 window opens; watermark after = 10:40 − 30m = 10:10
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), "alpha"),
+      (ts("2024-01-01 10:40:00"), "alpha beta"))
+    runBatch()
+    // run 2: DISORDERED but watermark-ahead row (10:20 > 10:10) still
+    // counts toward the open hour-10 window; 12:00 advances the
+    // watermark to 11:30, closing and emitting hour 10
+    mem.addData(
+      (ts("2024-01-01 10:20:00"), "alpha"),
+      (ts("2024-01-01 12:00:00"), "gamma"))
+    runBatch()
+    val afterClose = out.toArray(Array.empty[(Timestamp, String, Long)]).toSet
+    assert(afterClose == Set(
+      (ts("2024-01-01 10:00:00"), "alpha", 3L),
+      (ts("2024-01-01 10:00:00"), "beta", 1L)),
+      s"hour 10 must emit once, with the disordered 10:20 row: $afterClose")
+    // run 3: replay targets the CLOSED hour-10 window (10:15 is behind
+    // the 11:30 watermark) — must leave no trace; 13:45 pushes the
+    // watermark to 13:15 ≥ 13:00, closing hour 12
+    mem.addData(
+      (ts("2024-01-01 10:15:00"), "alpha"),
+      (ts("2024-01-01 13:45:00"), "delta"))
+    runBatch()
+    val afterReplay = out.toArray(Array.empty[(Timestamp, String, Long)]).toSet
+    assert(afterReplay == afterClose ++ Set(
+      (ts("2024-01-01 12:00:00"), "gamma", 1L)),
+      "a closed window is immutable: the late alpha must not re-emit " +
+        s"or update hour 10 (got $afterReplay)")
+  }
 }
