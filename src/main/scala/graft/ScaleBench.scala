@@ -35,7 +35,13 @@ object ScaleBench {
     "q100_ks_statistic", "q108_robust_stats",
     // late-round-6 heavies: char-gram explode (q114) and the
     // per-coordinate quantile machinery (q118)
-    "q114_repeated_substrings", "q118_semantic_outliers")
+    "q114_repeated_substrings", "q118_semantic_outliers",
+    // round-7 heavies: per-file drift profiles over the replicated
+    // orders (q122 — first run at each dir also pays the drifted-
+    // directory scratch write, at both SFs alike), BPE train+apply
+    // (q123 — replica-suffixed vocab grows 10×, the top-K cut must
+    // hold), and the recall audit's complete-join leg (q126)
+    "q122_schema_drift", "q123_bpe_tokens", "q126_lsh_recall")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
