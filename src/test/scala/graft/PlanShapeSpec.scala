@@ -470,4 +470,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p118.contains("CartesianProduct"),
       s"outliers must not plan a product:\n$p118")
   }
+
+  test("round-7 queries (q122-q126) keep scale-safe shapes") {
+    // q122 directory drift: the heavy work is the per-file fused
+    // profile jobs (executed during construction); the report itself
+    // is a driver-local frame — its plan must stay a local scan
+    val p122 = finalPlan(q("q122_schema_drift"))
+    assert(p122.contains("LocalTableScan") &&
+      !p122.contains("CartesianProduct"),
+      s"drift report must be the local stats frame:\n$p122")
+    // q123 BPE: training is driver-local (TakeOrdered word-freq cut,
+    // executed during construction); application is a pure per-row
+    // expression chain — one scan, no join, no window, no UDF
+    val p123 = finalPlan(q("q123_bpe_tokens"))
+    assert(!p123.contains("Join") && !p123.contains("Window") &&
+      !p123.contains("BatchEvalPython"),
+      s"BPE application must be a single expression scan:\n$p123")
+    // q124/q125 URL ops: per-row regex expressions; q125 adds one
+    // hash aggregate keyed on host — no join either way
+    for (name <- Seq("q124_url_normalize", "q125_host_stats")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("Join") && !plan.contains("Window"),
+        s"$name must stay expression/aggregate-only:\n$plan")
+    }
+    // q126 recall audit: both legs are candidate-bounded equi-joins
+    // (prefix filter + LSH bands); the audit join is pair-keyed — no
+    // product, no broadcast nested loop, no single-partition funnel
+    val p126 = finalPlan(q("q126_lsh_recall"))
+    assert(!p126.contains("CartesianProduct") &&
+      !p126.contains("BroadcastNestedLoopJoin") &&
+      !p126.contains("Exchange SinglePartition"),
+      s"recall audit must stay equi-joined and partitioned:\n$p126")
+  }
 }
