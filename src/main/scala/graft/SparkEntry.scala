@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.SchemaDiff
 import graft.inference.{DirectoryDrift, TypeInference}
-import graft.operators.{Bpe, Clustering, Curation, Dedup, Drift, Multimodal, Similarity, TemporalJoins, TextAnalysis, UrlOps}
+import graft.operators.{Bpe, Clustering, Curation, Dedup, Drift, Multimodal, Similarity, Sketch, TemporalJoins, TextAnalysis, UrlOps}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1321,6 +1321,17 @@ object SparkEntry {
       Dedup.lshRecallAudit(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5,
         samplePct = 60)
+    }),
+    // ---- Bloom-filter decontamination audit: the broadcast-free
+    //      scale path (an m-bit literal probed by expression, no
+    //      semi-join) measured against exact membership — the gap is
+    //      the false-positive overcount, measured not assumed. ----
+    "q127_bloom_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sketch.bloomDecontaminationAudit(d,
+        d.filter(col("source") === "src0"), "doc_id", "text",
+        shingleN = 3, m = 1 << 16, k = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -2938,7 +2949,8 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(DISTINCT norm_url) AS BIGINT) AS n_unique_urls,
   min(doc_id) AS first_id
 FROM f GROUP BY host ORDER BY host""",
-    "q126_lsh_recall" -> lshRecallOracle
+    "q126_lsh_recall" -> lshRecallOracle,
+    "q127_bloom_decontaminate" -> bloomAuditOracle
   )
 
   /** q122: the drifted-directory report replayed in SQL. The two
@@ -3078,6 +3090,41 @@ SELECT CAST(floor(j * 10) AS INTEGER) AS j_bucket,
   (CAST(sum(found) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
     AS recall_micro
 FROM f GROUP BY 1 ORDER BY j_bucket"""
+  }
+
+  /** q127: the Bloom arithmetic recomputed bit-for-bit in SQL — every
+    * reference shingle's k=3 positions (48-bit md5 prefix of "i:gram"
+    * mod 2¹⁶) form the position set; a probe hits iff all 3 of its
+    * positions are present (LEFT JOIN + HAVING count = 3, duplicate
+    * positions included on both sides). Exact membership is the plain
+    * shingle join. */
+  private def bloomAuditOracle: String = {
+    def h(i: Int) =
+      s"CAST(('0x' || substr(md5('$i:' || shingle), 1, 12)) AS BIGINT) % 65536"
+    val hs = (0 until 3).map(h).mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 3
+  THEN list_transform(range(0, len(tk) - 2),
+    i -> array_to_string(tk[i+1:i+3], ' '))
+  ELSE [] END) AS shingle FROM toks),
+refsh AS (SELECT DISTINCT shingle FROM sh s
+  JOIN documents d ON s.doc_id = d.doc_id WHERE d.source = 'src0'),
+pos AS (SELECT DISTINCT p FROM (SELECT unnest($hs) AS p FROM refsh)),
+probe AS (SELECT doc_id, shingle, unnest($hs) AS p FROM sh),
+hit AS (SELECT doc_id, shingle FROM probe
+  LEFT JOIN pos ON probe.p = pos.p
+  GROUP BY doc_id, shingle HAVING count(pos.p) = 3),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM sh GROUP BY doc_id),
+nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+  FROM hit GROUP BY doc_id),
+ne AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM sh s JOIN refsh r ON s.shingle = r.shingle GROUP BY s.doc_id)
+SELECT d.doc_id, coalesce(c.n_shingles, 0) AS n_shingles,
+  coalesce(nb.n_bloom, 0) AS n_bloom, coalesce(ne.n_exact, 0) AS n_exact
+FROM documents d LEFT JOIN cnt c USING (doc_id)
+LEFT JOIN nb USING (doc_id) LEFT JOIN ne USING (doc_id)
+ORDER BY d.doc_id"""
   }
 
   /** q124/q125: deterministic URL planting from doc_id — scheme/host

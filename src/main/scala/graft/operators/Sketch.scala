@@ -117,4 +117,89 @@ object Sketch {
           col("n_exact"), 6).as("rel_err"))
       .orderBy("scope")
   }
+
+  // --------------------------------------------------------------------
+  // Portable deterministic Bloom filter — the membership twin of the
+  // HLL above. A 100 TB decontamination pass cannot afford a semi-join
+  // of every corpus n-gram against the reference set on every run; the
+  // production shape is: build an m-bit filter over the reference ONCE
+  // (driver-sized — m bits, not |reference| entries), broadcast it as a
+  // LITERAL, and probe each corpus n-gram with a pure expression — no
+  // join, no shuffle, no state. False positives are the price; like the
+  // LSH recall audit (q126), the gate MEASURES them against exact
+  // membership instead of assuming them away.
+  //
+  // Engine-portable arithmetic throughout: hash_i(x) = 48-bit md5
+  // prefix of "i:x" mod m — replayable in any engine with md5
+  // (the DuckDB oracle recomputes every bit position).
+  // --------------------------------------------------------------------
+
+  /** Position of value `v` under hash seed `i`, in [0, m). */
+  def bloomPos(v: Column, i: Int, m: Int): Column =
+    conv(substring(md5(concat(lit(s"$i:"), v)), 1, 12), 16, 10)
+      .cast("long") % m
+
+  /** Build the filter over the DISTINCT values of `valueCol`: the k·n
+    * positions are set in an m-bit set collected as (m/64) longs.
+    * The collect is bounded by m distinct positions (m ≤ 2²² guard —
+    * 512 KB of bitset at the cap), never by the reference size. */
+  def bloomBuild(ref: DataFrame, valueCol: String, m: Int,
+                 k: Int): Array[Long] = {
+    require(m > 0 && (m & (m - 1)) == 0 && m <= (1 << 22),
+      s"m must be a power of two <= 2^22: $m")
+    require(k >= 1 && k <= 8, s"k must be in [1,8]: $k")
+    val posRows = ref
+      .select(explode(array((0 until k).map(i =>
+        bloomPos(col(valueCol), i, m)): _*)).as("p"))
+      .distinct()
+      .collect() // ≤ m ints by construction
+    val bits = new Array[Long](m / 64)
+    posRows.foreach { r =>
+      val p = r.getLong(0).toInt
+      bits(p >> 6) |= (1L << (p & 63))
+    }
+    bits
+  }
+
+  /** Membership probe as a pure expression: AND of the k bit tests
+    * against the literal bitset. True ⇒ possibly present (FP rate set
+    * by m/n and k); false ⇒ definitely absent. */
+  def bloomProbe(bits: Array[Long], m: Int, k: Int)(v: Column): Column =
+    (0 until k).map { i =>
+      val p = bloomPos(v, i, m)
+      // shiftleft with a COLUMN amount needs the SQL function form
+      // (the Scala helper only accepts a literal shift)
+      (element_at(typedLit(bits.toSeq), (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % 64).cast("int")))) =!= 0L
+    }.reduce(_ && _)
+
+  /** Gate-shaped decontamination audit: per doc, its distinct shingle
+    * count, how many shingles the Bloom filter flags (the broadcast-
+    * free scale path), and how many are EXACTLY in the reference (the
+    * semi-join truth) — bloom ≥ exact always; the gap is the measured
+    * false-positive overcount. Output: (id, n_shingles, n_bloom,
+    * n_exact), docs with no shingles as zero rows. */
+  def bloomDecontaminationAudit(docs: DataFrame, ref: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleN: Int, m: Int,
+                                k: Int): DataFrame = {
+    val sh = Dedup.shingleSets(docs, idCol, textCol, shingleN)
+    val refSh = Dedup.shingleSets(ref, idCol, textCol, shingleN)
+      .select("shingle").distinct()
+    val bits = bloomBuild(refSh, "shingle", m, k)
+    val flagged = sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(bloomProbe(bits, m, k)(col("shingle")).cast("long"))
+          .as("n_bloom"))
+    val exact = sh.join(refSh, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_exact"))
+    docs.select(col(idCol))
+      .join(flagged, Seq(idCol), "left")
+      .join(exact, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
 }

@@ -59,4 +59,43 @@ class SketchSpec extends SparkSpec {
       "null text must not count")
     assert(rows.head.getLong(1) == 2L, "__all__ exact = 2 distinct")
   }
+
+  test("bloom filter: no false negatives; FP rate measurable at tiny m") {
+    import spark.implicits._
+    val ref = (0 until 50).map(i => s"member_$i").toDF("v")
+    val bits = Sketch.bloomBuild(ref, "v", m = 1 << 10, k = 3)
+    // every inserted value probes true — the Bloom guarantee
+    val fn = ref.select(Sketch.bloomProbe(bits, 1 << 10, 3)($"v").as("h"))
+      .as[Boolean].collect()
+    assert(fn.forall(identity), "a member must never probe false")
+    // absent values: tiny m forces measurable FPs, but never all-FP
+    val absent = (0 until 500).map(i => s"absent_$i").toDF("v")
+    val fp = absent.select(Sketch.bloomProbe(bits, 1 << 10, 3)($"v").as("h"))
+      .as[Boolean].collect().count(identity)
+    assert(fp < 500, "some absent value must probe false")
+  }
+
+  test("bloomDecontaminationAudit: bloom >= exact, clean docs zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "src0"),   // reference member
+      (2L, "alpha beta gamma epsilon", "web"),  // shares 'alpha beta gamma'
+      (3L, "zeta eta theta iota", "web"),       // disjoint
+      (4L, null.asInstanceOf[String], "web")    // null text → zeros
+    ).toDF("doc_id", "text", "source")
+    val got = Sketch.bloomDecontaminationAudit(docs,
+        docs.filter($"source" === "src0"), "doc_id", "text",
+        shingleN = 3, m = 1 << 16, k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got.map(_._1) == List(1L, 2L, 3L, 4L))
+    assert(got.forall(r => r._3 >= r._4), s"bloom >= exact: $got")
+    val d1 = got(0); val d2 = got(1); val d4 = got(3)
+    assert(d1._2 == 2L && d1._4 == 2L, s"reference doc all-exact: $d1")
+    assert(d2._4 == 1L, s"doc 2 shares exactly 'alpha beta gamma': $d2")
+    assert(d4 == ((4L, 0L, 0L, 0L)), s"null text zeros: $d4")
+    // at m=2^16 with ~4 reference shingles, FPs are overwhelmingly
+    // unlikely — the disjoint doc must probe clean
+    assert(got(2)._3 == 0L && got(2)._4 == 0L, s"clean doc: ${got(2)}")
+  }
 }
