@@ -1332,6 +1332,24 @@ object SparkEntry {
         d.filter(col("source") === "src0"), "doc_id", "text",
         shingleN = 3, m = 1 << 16, k = 3)
         .orderBy("doc_id")
+    }),
+    // ---- co-located bucketed join: customer ⋈ orders through
+    //      bucketed scratch tables (both sides bucketed on their join
+    //      key, same count) — the SMJ plans with NO Exchange and the
+    //      same-key aggregate inherits the partitioning (spec-pinned);
+    //      the oracle is the plain join. ----
+    "q128_bucketed_join" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/orders.parquet")
+      val tag = java.lang.Integer.toHexString(
+        (dir, src.length(), src.lastModified()).hashCode())
+      val joined = graft.operators.Scale.bucketedJoin(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+        "c_custkey", "o_custkey", buckets = 8, scratchTag = tag)
+      joined.groupBy("c_custkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -2950,7 +2968,14 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
   min(doc_id) AS first_id
 FROM f GROUP BY host ORDER BY host""",
     "q126_lsh_recall" -> lshRecallOracle,
-    "q127_bloom_decontaminate" -> bloomAuditOracle
+    "q127_bloom_decontaminate" -> bloomAuditOracle,
+    // q128: bucketing changes the PLAN, never the rows — the oracle is
+    // the plain equi-join + aggregate
+    "q128_bucketed_join" ->
+      """SELECT c_custkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY 1, 2 ORDER BY c_custkey"""
   )
 
   /** q122: the drifted-directory report replayed in SQL. The two

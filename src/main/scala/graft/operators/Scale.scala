@@ -394,4 +394,44 @@ object Scale {
         col("mad"))
       .orderBy(groupCol)
   }
+
+  /** Register `df` as a BUCKETED (and bucket-sorted) table — the
+    * co-location primitive: two fact tables bucketed on their join
+    * keys into the same bucket count join WITHOUT an Exchange on
+    * either side (and pre-sorted buckets drop the SMJ sorts too), the
+    * single biggest shuffle eliminator for repeated large-fact joins
+    * at 100 TB. Bucketing metadata must live in a catalog, so this
+    * materializes `saveAsTable` with an explicit /tmp-backed path;
+    * the write happens once per (session, table name) — name your
+    * table with a corpus-version tag so a regenerated corpus
+    * invalidates (the q78 scratch contract). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): DataFrame = {
+    val s = df.sparkSession
+    if (!s.catalog.tableExists(table))
+      df.write.format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    s.table(table)
+  }
+
+  /** Co-located equi-join of two frames via bucketed scratch tables:
+    * both sides bucket on their join key into `buckets`, then join —
+    * Catalyst recognizes the matching bucket partitioning and plans
+    * the SMJ with no Exchange (spec-pinned with broadcast disabled).
+    * Downstream groupBy on the same key inherits the partitioning,
+    * so join + aggregate runs shuffle-free end to end. */
+  def bucketedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+                   rightKey: String, buckets: Int,
+                   scratchTag: String): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val l = writeBucketed(left, s"graft_bkt_${scratchTag}_l",
+      s"/tmp/graft_bkt_${scratchTag}_l", leftKey, buckets)
+    val r = writeBucketed(right, s"graft_bkt_${scratchTag}_r",
+      s"/tmp/graft_bkt_${scratchTag}_r", rightKey, buckets)
+    l.join(r, col(leftKey) === col(rightKey))
+  }
 }

@@ -260,4 +260,29 @@ class ScaleSpec extends SparkSpec {
       .map(t => t._1 -> (t._2, t._3)).toMap
     assert(got == Map("a" -> (3.0, 1.0), "b" -> (7.0, 0.0)), s"$got")
   }
+
+  test("bucketedJoin: SMJ with zero Exchanges, join+agg rows equal the plain path") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force SMJ: a broadcast would hide the co-location being pinned
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = (1 to 100).map(i => (i.toLong, s"seg${i % 4}")).toDF("k", "seg")
+      val r = (1 to 300).map(i => ((i % 100 + 1).toLong, i.toDouble))
+        .toDF("fk", "v")
+      val tag = s"spec${System.nanoTime()}"
+      val j = Scale.bucketedJoin(l, r, "k", "fk", buckets = 4,
+        scratchTag = tag)
+      val agg = j.groupBy("k").count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"co-located join + same-key agg must plan no shuffle at all:\n$plan")
+      val got = agg.orderBy("k").as[(Long, Long)].collect().toList
+      val want = l.join(r, $"k" === $"fk").groupBy("k").count()
+        .orderBy("k").as[(Long, Long)].collect().toList
+      assert(got == want && got.nonEmpty)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
