@@ -1350,6 +1350,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("c_custkey")
+    }),
+    // ---- count-min heavy hitters: token counts estimated from a
+    //      3×1024 counter grid (deliberately small so collisions
+    //      actually overcount) vs the exact top-50 vocabulary — the
+    //      overcount is measured per term, never assumed from ε·N ----
+    "q129_cms_heavyhitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val exact = toks.groupBy("term")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(50)
+      val sketch = Sketch.cmsSketch(toks, "term", k = 3, w = 1024)
+      Sketch.cmsEstimate(sketch, exact, "term", k = 3, w = 1024)
+        .join(exact, Seq("term"))
+        .select(col("term"), col("n_exact"),
+          col("cms_count").as("n_cms"),
+          (col("cms_count") - col("n_exact")).as("overcount"))
+        .orderBy("term")
     })
   )
 
@@ -2975,7 +2993,8 @@ FROM f GROUP BY host ORDER BY host""",
       """SELECT c_custkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM customer JOIN orders ON c_custkey = o_custkey
-GROUP BY 1, 2 ORDER BY c_custkey"""
+GROUP BY 1, 2 ORDER BY c_custkey""",
+    "q129_cms_heavyhitters" -> cmsOracle
   )
 
   /** q122: the drifted-directory report replayed in SQL. The two
@@ -3150,6 +3169,32 @@ SELECT d.doc_id, coalesce(c.n_shingles, 0) AS n_shingles,
 FROM documents d LEFT JOIN cnt c USING (doc_id)
 LEFT JOIN nb USING (doc_id) LEFT JOIN ne USING (doc_id)
 ORDER BY d.doc_id"""
+  }
+
+  /** q129: the count-min grid recomputed cell by cell — each token
+    * occurrence increments its k=3 md5-hashed cells (the Bloom hash
+    * family, "i:term" 48-bit prefix mod 1024), and each top-50 term's
+    * estimate is the min over its probed cells (0 when a cell is
+    * empty). min NEVER undercounts, so overcount ≥ 0 by construction
+    * on both engines. */
+  private def cmsOracle: String = {
+    def h(i: Int) =
+      s"CAST(('0x' || substr(md5('$i:' || term), 1, 12)) AS BIGINT) % 1024"
+    s"""WITH toks AS (SELECT unnest($tokensSql) AS term FROM documents),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM toks
+  GROUP BY term ORDER BY n_exact DESC, term LIMIT 50),
+cells AS (SELECT p.i, p.pos, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT i, CASE i WHEN 0 THEN ${h(0)} WHEN 1 THEN ${h(1)}
+    ELSE ${h(2)} END AS pos
+  FROM toks CROSS JOIN (VALUES (0), (1), (2)) s(i)) p GROUP BY 1, 2),
+probe AS (SELECT e.term, s.i, CASE s.i WHEN 0 THEN ${h(0).replace("term", "e.term")}
+    WHEN 1 THEN ${h(1).replace("term", "e.term")}
+    ELSE ${h(2).replace("term", "e.term")} END AS pos
+  FROM exact e CROSS JOIN (VALUES (0), (1), (2)) s(i)),
+est AS (SELECT p.term, min(coalesce(c.cnt, 0)) AS n_cms FROM probe p
+  LEFT JOIN cells c ON c.i = p.i AND c.pos = p.pos GROUP BY p.term)
+SELECT e.term, e.n_exact, est.n_cms, est.n_cms - e.n_exact AS overcount
+FROM exact e JOIN est ON e.term = est.term ORDER BY e.term"""
   }
 
   /** q124/q125: deterministic URL planting from doc_id — scheme/host

@@ -174,6 +174,48 @@ object Sketch {
           (p % 64).cast("int")))) =!= 0L
     }.reduce(_ && _)
 
+  // --------------------------------------------------------------------
+  // Portable deterministic count-min sketch — the FREQUENCY member of
+  // the sketch family (HLL: distinct counts; Bloom: membership; CMS:
+  // per-item counts). A k × w counter grid, mergeable by plain SUM —
+  // per-day/per-source sketches re-aggregate at any granularity
+  // without rescanning, the same contract as the HLL registers. The
+  // estimate min_i(grid[i][h_i(x)]) NEVER undercounts (every cell a
+  // token hashes to holds at least its true count); the overcount is
+  // the collision price, and the gate MEASURES it against exact counts
+  // instead of assuming the ε·N bound. Shares [[bloomPos]]'s 48-bit
+  // md5 hash family, so the oracle replays every cell.
+  // --------------------------------------------------------------------
+
+  /** Build the sketch frame (i, pos, cnt), ≤ k·w rows — one narrow
+    * explode + hash aggregate; null values skipped. Merge sketches of
+    * disjoint slices by summing cnt at the same (i, pos). */
+  def cmsSketch(df: DataFrame, valueCol: String, k: Int,
+                w: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1,8]: $k")
+    require(w > 0, s"w must be positive: $w")
+    df.filter(col(valueCol).isNotNull)
+      .select(explode(array((0 until k).map(i =>
+        struct(lit(i).as("i"),
+          bloomPos(col(valueCol), i, w).as("pos"))): _*)).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Estimated count per item: min over the k probed cells (0 for an
+    * item hashing only to empty cells). The sketch side is ≤ k·w rows
+    * and broadcasts; the item side never shuffles for the probe. */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
+                  k: Int, w: Int): DataFrame =
+    items
+      .select(col(itemCol), explode(array((0 until k).map(i =>
+        struct(lit(i).as("i"),
+          bloomPos(col(itemCol), i, w).as("pos"))): _*)).as("c"))
+      .select(col(itemCol), col("c.i").as("i"), col("c.pos").as("pos"))
+      .join(broadcast(sketch), Seq("i", "pos"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+
   /** Gate-shaped decontamination audit: per doc, its distinct shingle
     * count, how many shingles the Bloom filter flags (the broadcast-
     * free scale path), and how many are EXACTLY in the reference (the

@@ -98,4 +98,39 @@ class SketchSpec extends SparkSpec {
     // unlikely — the disjoint doc must probe clean
     assert(got(2)._3 == 0L && got(2)._4 == 0L, s"clean doc: ${got(2)}")
   }
+
+  test("count-min: never undercounts, exact at ample width, mergeable by sum") {
+    import spark.implicits._
+    val items = (1 to 200).flatMap(i =>
+      Seq.fill(i % 5 + 1)(s"item_${i % 20}")).toDF("v")
+    val queries = (0 until 20).map(i => s"item_$i").toDF("v")
+    val exact = items.groupBy("v").count().as[(String, Long)]
+      .collect().toMap
+    // tiny width forces collisions: estimates must still dominate
+    val tiny = Sketch.cmsEstimate(
+      Sketch.cmsSketch(items, "v", 3, 16), queries, "v", 3, 16)
+      .as[(String, Long)].collect().toMap
+    assert(tiny.forall { case (v, c) => c >= exact(v) },
+      s"CMS must never undercount: $tiny vs $exact")
+    // ample width: 20 items in 3×4096 cells collide with prob ~0 —
+    // estimates are exact
+    val wide = Sketch.cmsEstimate(
+      Sketch.cmsSketch(items, "v", 3, 4096), queries, "v", 3, 4096)
+      .as[(String, Long)].collect().toMap
+    assert(wide == exact, s"$wide")
+    // mergeability: sum of slice sketches == whole-corpus sketch
+    val (a, b) = (items.filter(length($"v") % 2 === 0),
+      items.filter(length($"v") % 2 =!= 0))
+    val mergedSketch = Sketch.cmsSketch(a, "v", 3, 16)
+      .unionByName(Sketch.cmsSketch(b, "v", 3, 16))
+      .groupBy("i", "pos").agg(sum("cnt").as("cnt"))
+    val whole = Sketch.cmsSketch(items, "v", 3, 16)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(mergedSketch.as[(Int, Long, Long)].collect().toSet == whole)
+    // an item hashing only to empty cells estimates 0
+    val absent = Sketch.cmsEstimate(Sketch.cmsSketch(items, "v", 3, 4096),
+      Seq("never_seen_xyz").toDF("v"), "v", 3, 4096)
+      .as[(String, Long)].collect().toMap
+    assert(absent("never_seen_xyz") == 0L)
+  }
 }
