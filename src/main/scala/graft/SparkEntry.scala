@@ -1368,6 +1368,20 @@ object SparkEntry {
           col("cms_count").as("n_cms"),
           (col("cms_count") - col("n_exact")).as("overcount"))
         .orderBy("term")
+    }),
+    // ---- length-bucketed batching for padded inference: ascending
+    //      length rank (bucketed prefix sum, no SinglePartition) cut
+    //      into 32-doc batches; output is the per-batch padding audit
+    //      the bucketing exists to minimize ----
+    "q130_length_batches" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val batches = Curation.lengthBatches(d, "doc_id", "n_tokens",
+        batchSize = 32)
+      Curation.paddingStats(batches, "n_tokens")
+        .select(col("batch_id"), col("n_rows"), col("max_len"),
+          col("sum_len").cast("long").as("sum_len"), col("padding"))
+        .orderBy("batch_id")
     })
   )
 
@@ -2994,7 +3008,20 @@ FROM f GROUP BY host ORDER BY host""",
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY 1, 2 ORDER BY c_custkey""",
-    "q129_cms_heavyhitters" -> cmsOracle
+    "q129_cms_heavyhitters" -> cmsOracle,
+    // q130: the rank replayed as one global window (legal at oracle
+    // scale; the engine's distributed prefix sum must equal it), same
+    // (len, id) tie order, same fixed-size batch cut
+    "q130_length_batches" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT)
+    AS n_tokens FROM documents),
+r AS (SELECT doc_id, n_tokens,
+  row_number() OVER (ORDER BY n_tokens, doc_id) AS rank FROM d),
+b AS (SELECT (rank - 1) // 32 AS batch_id, n_tokens FROM r)
+SELECT batch_id, CAST(count(*) AS BIGINT) AS n_rows,
+  max(n_tokens) AS max_len, CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding
+FROM b GROUP BY 1 ORDER BY batch_id"""
   )
 
   /** q122: the drifted-directory report replayed in SQL. The two

@@ -723,4 +723,33 @@ object Curation {
         expr(s"(_cum - `$tokenCol`) div $budgetTokens"))
       .drop("_cum")
   }
+
+  /** Length-bucketed batch assignment — the padded-inference batching
+    * pass: rank rows by `lenCol` ascending (ties by id, the
+    * [[globalRank]] total order) and cut consecutive runs of
+    * `batchSize` into batches, so similar lengths batch together and
+    * the padding waste batchSize·max(len) − Σlen stays small. Same
+    * distributed machinery as the rank (bucketed prefix sum — never a
+    * SinglePartition window); nulls are rejected loudly by the rank's
+    * guard (pre-clean with na.drop). Returns (id, len, rank,
+    * batch_id). */
+  def lengthBatches(df: DataFrame, idCol: String, lenCol: String,
+                    batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    globalRank(df.select(col(idCol), col(lenCol)), idCol, lenCol,
+      descending = false)
+      .withColumn("batch_id", expr(s"(rank - 1) div $batchSize"))
+  }
+
+  /** Per-batch padding audit over [[lengthBatches]]' assignment:
+    * (batch_id, n_rows, max_len, sum_len, padding). The padding column
+    * is the exact cost of rectangular batching — what the length
+    * bucketing exists to minimize. */
+  def paddingStats(batches: DataFrame, lenCol: String): DataFrame =
+    batches.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_rows"),
+        max(col(lenCol)).as("max_len"),
+        sum(col(lenCol)).as("sum_len"))
+      .withColumn("padding",
+        col("n_rows") * col("max_len") - col("sum_len"))
 }

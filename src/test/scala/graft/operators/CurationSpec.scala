@@ -551,4 +551,31 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toList
     assert(got.forall(r => r._3 == 0L && r._4 == 0L), got.toString)
   }
+
+  test("lengthBatches: ascending-length runs, exact padding accounting") {
+    import spark.implicits._
+    // lengths 10,10,20,30,40,50 at batchSize 2 → batches (10,10),
+    // (20,30), (40,50): padding 0, 10, 10
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 30L), (4L, 20L), (5L, 50L),
+      (6L, 40L)).toDF("id", "len")
+    val batches = Curation.lengthBatches(df, "id", "len", batchSize = 2)
+    val assign = batches.select("id", "batch_id")
+      .as[(Long, Long)].collect().toMap
+    assert(assign == Map(1L -> 0L, 2L -> 0L, 4L -> 1L, 3L -> 1L,
+      5L -> 2L, 6L -> 2L))
+    val stats = Curation.paddingStats(batches, "len")
+      .orderBy("batch_id")
+      .select("batch_id", "n_rows", "max_len", "padding")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(stats == List((0L, 2L, 10L, 0L), (1L, 2L, 30L, 10L),
+      (2L, 2L, 50L, 10L)))
+    // a partial last batch accounts only its own rows
+    val odd = Curation.lengthBatches(
+      df.union(Seq((7L, 60L)).toDF("id", "len")), "id", "len", 2)
+    val last = Curation.paddingStats(odd, "len")
+      .orderBy(col("batch_id").desc).limit(1)
+      .select("n_rows", "max_len", "padding")
+      .as[(Long, Long, Long)].head()
+    assert(last == ((1L, 60L, 0L)))
+  }
 }
