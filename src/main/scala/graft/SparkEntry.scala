@@ -1382,6 +1382,22 @@ object SparkEntry {
         .select(col("batch_id"), col("n_rows"), col("max_len"),
           col("sum_len").cast("long").as("sum_len"), col("padding"))
         .orderBy("batch_id")
+    }),
+    // ---- mergeable log2-histogram quantile sketch: each quantile
+    //      answers with a PROVEN [2^b, 2^(b+1)-1] bracket; the gate
+    //      joins the exact rank element and shows containment ----
+    "q131_log_quantile_sketch" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val est = Sketch.logHistogramQuantiles(d, "n_chars",
+        Seq(0.5, 0.9, 0.99))
+      val exact = graft.operators.Scale.exactQuantiles(d, "n_chars",
+        "doc_id", Seq(0.5, 0.9, 0.99))
+      est.join(exact.select(col("q"), col("n_chars")), Seq("q"))
+        .select(col("q"), col("bucket"), col("lo"), col("hi"),
+          col("n_chars").cast("long").as("exact_value"),
+          (col("lo") <= col("n_chars") && col("n_chars") <= col("hi"))
+            .as("contained"))
+        .orderBy("q")
     })
   )
 
@@ -3021,7 +3037,37 @@ b AS (SELECT (rank - 1) // 32 AS batch_id, n_tokens FROM r)
 SELECT batch_id, CAST(count(*) AS BIGINT) AS n_rows,
   max(n_tokens) AS max_len, CAST(sum(n_tokens) AS BIGINT) AS sum_len,
   CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding
-FROM b GROUP BY 1 ORDER BY batch_id"""
+FROM b GROUP BY 1 ORDER BY batch_id""",
+    // q131: buckets via the integer bin-length idiom (no float log2 at
+    // power-of-two boundaries), the cumulative walk as a window over
+    // the <=65-bucket frame, the exact value as the q86 rank element
+    "q131_log_quantile_sketch" ->
+      """WITH v AS (SELECT n_chars AS val, doc_id FROM documents
+  WHERE n_chars IS NOT NULL),
+h AS (SELECT CASE WHEN val = 0 THEN -1
+    ELSE CAST(length(bin(CAST(val AS BIGINT))) - 1 AS INTEGER) END
+    AS bucket FROM v),
+cells AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM h
+  GROUP BY 1),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+t AS (SELECT CAST(q AS DOUBLE) AS q,
+    greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT)) AS rank
+  FROM (VALUES (0.5), (0.9), (0.99)) qs(q) CROSS JOIN n),
+c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM cells),
+bq AS (SELECT t.q, t.rank, min(c.bucket) AS bucket FROM t
+  JOIN c ON c.cum >= t.rank GROUP BY t.q, t.rank),
+r AS (SELECT val, row_number() OVER (ORDER BY val, doc_id) AS rnk FROM v)
+SELECT bq.q, bq.bucket,
+  CASE WHEN bq.bucket < 0 THEN 0
+    ELSE (CAST(1 AS BIGINT) << bq.bucket) END AS lo,
+  CASE WHEN bq.bucket < 0 THEN 0
+    ELSE (CAST(1 AS BIGINT) << (bq.bucket + 1)) - 1 END AS hi,
+  CAST(r.val AS BIGINT) AS exact_value,
+  (CASE WHEN bq.bucket < 0 THEN 0
+     ELSE (CAST(1 AS BIGINT) << bq.bucket) END <= r.val
+   AND r.val <= CASE WHEN bq.bucket < 0 THEN 0
+     ELSE (CAST(1 AS BIGINT) << (bq.bucket + 1)) - 1 END) AS contained
+FROM bq JOIN r ON r.rnk = bq.rank ORDER BY bq.q"""
   )
 
   /** q122: the drifted-directory report replayed in SQL. The two

@@ -216,6 +216,66 @@ object Sketch {
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
 
+  // --------------------------------------------------------------------
+  // Mergeable log₂ histogram — the QUANTILE member of the sketch
+  // family, for non-negative integer domains (lengths, counts, byte
+  // sizes, latencies — the pipeline's distributions). Buckets are
+  // floor(log2(v)) via an integer comparison ladder (the q109
+  // principle: no floating log2 at power-of-two boundaries; bucket −1
+  // holds zeros), counts merge by plain SUM at any granularity, and a
+  // quantile query answers with a PROVEN BRACKET [2^b, 2^(b+1)−1]
+  // rather than a point estimate — the gate joins the exact quantile
+  // and shows containment, measured not assumed.
+  // --------------------------------------------------------------------
+
+  /** floor(log2(x)) for x ≥ 1 over the full 62-bit domain. */
+  private def floorLog2Wide(x: Column): Column =
+    (1 to 62).map(i => when(x >= lit(1L << i), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** The histogram frame (bucket, cnt), sum-mergeable. Nulls skipped;
+    * negative values rejected loudly (the domain is sizes/counts). */
+  def logHistogram(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .select(when(v < 0, lit(null).cast("int"))
+        .when(v === 0, lit(-1))
+        .otherwise(floorLog2Wide(v)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile brackets from the histogram: for each q, the bucket
+    * holding the rank-⌈q·n⌉ element (the [[Scale.exactQuantiles]] rank
+    * definition) and its [lo, hi] value bracket. The histogram is a
+    * ≤64-row stats frame — collected under a guard, walked on the
+    * driver (the Drift stats-frame contract; the DATA never moves). */
+  def logHistogramQuantiles(df: DataFrame, valueCol: String,
+                            qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    val rows = logHistogram(df, valueCol).limit(66).collect()
+    require(rows.length <= 65, "log histogram cannot exceed 65 buckets")
+    require(rows.forall(!_.isNullAt(0)),
+      s"$valueCol contains negative values — log buckets need a " +
+        "non-negative domain")
+    val hist = rows.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    require(hist.nonEmpty, "logHistogramQuantiles needs at least one " +
+      s"non-null $valueCol value")
+    val n = hist.map(_._2).sum
+    val out = qs.sorted.map { q =>
+      val rank = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L
+      val b = hist.find { case (_, c) => cum += c; cum >= rank }
+        .map(_._1).getOrElse(hist.last._1)
+      val lo = if (b < 0) 0L else 1L << b
+      val hi = if (b < 0) 0L else (1L << (b + 1)) - 1
+      (q, b, lo, hi)
+    }
+    df.sparkSession.createDataFrame(out)
+      .toDF("q", "bucket", "lo", "hi")
+  }
+
   /** Gate-shaped decontamination audit: per doc, its distinct shingle
     * count, how many shingles the Bloom filter flags (the broadcast-
     * free scale path), and how many are EXACTLY in the reference (the

@@ -133,4 +133,37 @@ class SketchSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(absent("never_seen_xyz") == 0L)
   }
+
+  test("log histogram: exact power-of-two boundaries, sum-mergeable, " +
+      "quantile brackets contain the exact rank element") {
+    import spark.implicits._
+    val df = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("v")
+    val buckets = Sketch.logHistogram(df, "v")
+      .as[(Int, Long)].collect().toMap
+    // 0→-1 | 1→b0 | 2,3→b1 | 4,7→b2 | 8→b3 | 1023→b9 | 1024→b10
+    assert(buckets == Map(-1 -> 1L, 0 -> 1L, 1 -> 2L, 2 -> 2L, 3 -> 1L,
+      9 -> 1L, 10 -> 1L), s"$buckets")
+    // merge slices by sum == whole
+    val merged = Sketch.logHistogram(df.filter($"v" < 5), "v")
+      .unionByName(Sketch.logHistogram(df.filter($"v" >= 5), "v"))
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long)].collect().toMap
+    assert(merged == buckets)
+    // brackets: with ids, the q86 rank definition
+    val wide = (1 to 100).map(i => (i.toLong * 7, i.toLong))
+      .toDF("v", "id")
+    val est = Sketch.logHistogramQuantiles(wide, "v", Seq(0.5, 0.99))
+      .as[(Double, Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    val exact = Scale.exactQuantiles(wide, "v", "id", Seq(0.5, 0.99))
+      .select("q", "v").as[(Double, Long)].collect().toMap
+    assert(est.forall { case (q, (lo, hi)) =>
+      lo <= exact(q) && exact(q) <= hi },
+      s"brackets must contain the exact elements: $est vs $exact")
+    // negative domain rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      Sketch.logHistogramQuantiles(Seq(-1L).toDF("v"), "v", Seq(0.5))
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
 }
