@@ -265,6 +265,69 @@ object StreamingOps {
         ColumnMeta(p.field, p.sourceType.simpleString, TypeInference.decide(p))
       }
     }
+
+    /** Fold one batch AND return its drift report against the
+      * PRE-batch corpus — the streaming twin of
+      * [[graft.inference.DirectoryDrift]]'s file-vs-corpus classifier
+      * with the micro-batch as the "file": `TYPE DRIFT` when the
+      * batch's inferred type differs from what the corpus inferred
+      * before this batch, `MISSING` when a known corpus column is
+      * absent from the batch; an all-null batch column is no evidence.
+      * The first batch establishes the corpus and reports nothing.
+      * The state still widens monotonically — a drift ALERT and the
+      * lattice merge are separate concerns. */
+    def updateWithDrift(batch: DataFrame): Seq[SchemaDriftEvent] = {
+      val profiles = ColumnProfiler.profile(batch)
+      synchronized {
+        val report =
+          if (state.isEmpty) Seq.empty
+          else {
+            val corpus = state.view
+              .mapValues(p => TypeInference.decide(p).name)
+              .filter(_._2 != "notype").toMap
+            val batchTypes = profiles
+              .map(p => p.field -> TypeInference.decide(p).name).toMap
+            corpus.toSeq.sortBy(_._1).flatMap { case (field, ct) =>
+              batchTypes.get(field) match {
+                case None =>
+                  Some(SchemaDriftEvent(field, None, ct, "MISSING"))
+                case Some("notype") => None
+                case Some(bt) if bt != ct =>
+                  Some(SchemaDriftEvent(field, Some(bt), ct, "TYPE DRIFT"))
+                case _ => None
+              }
+            }
+          }
+        state = profiles.foldLeft(state) { (acc, p) =>
+          acc.updated(p.field, acc.get(p.field).map(_.merge(p)).getOrElse(p))
+        }
+        report
+      }
+    }
+  }
+
+  final case class SchemaDriftEvent(field: String,
+                                    batchType: Option[String],
+                                    corpusType: String, reason: String)
+
+  /** Wire a stream through the drift monitor: each micro-batch is
+    * profiled, classified against the running corpus, folded in, and
+    * its drift events (often none) handed to `sink` — the live
+    * "producer changed a column type" alarm, at one stats-row
+    * aggregate per batch. */
+  def schemaDriftMonitorStream(stream: DataFrame, checkpoint: String)
+      (sink: Seq[SchemaDriftEvent] => Unit)
+      : (IncrementalInference, StreamingQuery) = {
+    val inc = new IncrementalInference
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(inc.updateWithDrift(batch))
+      }
+      .start()
+    (inc, q)
   }
 
   /** Wire a stream through incremental inference: each micro-batch is

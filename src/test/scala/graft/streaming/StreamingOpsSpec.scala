@@ -38,6 +38,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(types("d") == "date")
   }
 
+  test("schema-drift monitor: batch-vs-corpus events, state still widens") {
+    val inc = new StreamingOps.IncrementalInference
+    // batch 1 establishes the corpus — no drift by definition
+    assert(inc.updateWithDrift(
+      Seq((7L, "x"), (8L, "y")).toDF("k", "s")).isEmpty)
+    // same-shaped batch: quiet
+    assert(inc.updateWithDrift(
+      Seq((9L, "z")).toDF("k", "s")).isEmpty)
+    // k goes fractional: TYPE DRIFT against the pre-batch corpus
+    val drift = inc.updateWithDrift(Seq((1.5, "w")).toDF("k", "s"))
+    assert(drift == Seq(StreamingOps.SchemaDriftEvent(
+      "k", Some("float8"), "int4", "TYPE DRIFT")), drift.toString)
+    // the merge still widened — monitor and lattice are separate
+    assert(inc.currentSchema.find(_.field == "k").get.proposedName
+      == "float8")
+    // a dropped column reports MISSING; an all-null column is silent
+    val missing = inc.updateWithDrift(
+      Seq((Some("v"), None: Option[String]))
+        .toDF("s", "k").select("s")) // k absent entirely
+    assert(missing == Seq(StreamingOps.SchemaDriftEvent(
+      "k", None, "float8", "MISSING")), missing.toString)
+    val allNull = inc.updateWithDrift(
+      Seq((None: Option[Double], "q")).toDF("k", "s"))
+    assert(allNull.isEmpty, s"all-null is no evidence: $allNull")
+  }
+
+  test("schema-drift monitor over a real stream (foreachBatch)") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[
+      StreamingOps.SchemaDriftEvent]()
+    val ckpt = s"/tmp/graft-stream-ckpt-${System.nanoTime()}"
+    mem.addData((7L, "a"), (8L, "b"))
+    val (inc, q) = StreamingOps.schemaDriftMonitorStream(
+      mem.toDF().toDF("k", "s"), ckpt)(evs => evs.foreach(events.add))
+    q.awaitTermination(30000)
+    assert(events.isEmpty, "first batch cannot drift")
+    assert(inc.currentSchema.map(_.proposedName).toList
+      == List("int4", "varchar(256)"))
+  }
+
   test("incremental inference over a real stream (foreachBatch)") {
     val mem = MemoryStream[String](spark)
     mem.addData("1", "2", "9999999999")
