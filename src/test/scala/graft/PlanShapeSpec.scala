@@ -501,5 +501,30 @@ class PlanShapeSpec extends SparkSpec {
       !p126.contains("BroadcastNestedLoopJoin") &&
       !p126.contains("Exchange SinglePartition"),
       s"recall audit must stay equi-joined and partitioned:\n$p126")
+    // q127 bloom audit: the flag leg probes a LITERAL bitset (pure
+    // expression); only the exact-membership truth leg and the final
+    // assembly join — never a product
+    val p127 = finalPlan(q("q127_bloom_decontaminate"))
+    assert(!p127.contains("CartesianProduct") &&
+      !p127.contains("BroadcastNestedLoopJoin"),
+      s"bloom audit joins must stay keyed:\n$p127")
+    // q129 CMS: the sketch side broadcasts (≤ k·w rows); the probe
+    // side never shuffles for the join
+    val p129 = finalPlan(q("q129_cms_heavyhitters"))
+    assert(p129.contains("BroadcastHashJoin"),
+      s"the sketch frame must broadcast:\n$p129")
+    assert(!p129.contains("CartesianProduct"),
+      s"CMS probe must not plan a product:\n$p129")
+    // q130 length batches ride the bucketed prefix-sum rank — never a
+    // global single-partition window (the q98 contract)
+    val p130 = finalPlan(q("q130_length_batches"))
+    assert(!p130.contains("Exchange SinglePartition"),
+      s"the rank must stay bucket-partitioned:\n$p130")
+    // q131 histogram quantiles: the sketch walk happens on a driver
+    // stats frame; the exact-quantile leg keeps the q86 shape
+    val p131 = finalPlan(q("q131_log_quantile_sketch"))
+    assert(!p131.contains("CartesianProduct") &&
+      !p131.contains("BroadcastNestedLoopJoin"),
+      s"quantile sketch joins must stay keyed:\n$p131")
   }
 }
