@@ -1398,6 +1398,58 @@ object SparkEntry {
           (col("lo") <= col("n_chars") && col("n_chars") <= col("hi"))
             .as("contained"))
         .orderBy("q")
+    }),
+    // ---- PageRank over a planted doc-level link graph (the corpus
+    //      carries no links — q124's planting precedent): 3 arithmetic
+    //      out-links per doc mod (max id + 1). Exact integer
+    //      micro-unit supersteps (q112's micronat trick) so the
+    //      chained-CTE oracle replay is bit-identical — a float
+    //      PageRank would hash-differ on double addition order alone.
+    //      Top-20 authority cut. ----
+    "q132_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % m,
+          (col("doc_id") * 13 + 5) % m,
+          (col("doc_id") * 29 + 11) % m)).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .orderBy(col("pr_micro").desc, col("vertex"))
+        .limit(20)
+    }),
+    // ---- IVF recall audit: PARTIAL-probe ANN measured against the
+    //      exact cosine top-k — q126's audit, for the embedding index.
+    //      q21/q79 gate at full probe because Lloyd means aren't
+    //      replay-exact; the k-medians coarse quantizer IS, so the
+    //      probe loss itself is gated here, hit counts in exact
+    //      integers. ----
+    "q133_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfRecallAudit(e, e.filter(col("vec_id") < 25),
+        "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2,
+        iters = 1, trainSamplePct = 100)
+        .orderBy("query_id")
+    }),
+    // ---- hard-negative mining: per query, the top-5 most-similar
+    //      rows with a DIFFERENT label — the confusable-but-wrong
+    //      examples contrastive training wants. Exhaustive form at
+    //      gate scale (oracle-replayable); production restricts
+    //      candidates through the IVF probe first. ----
+    "q134_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 15),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // ---- LSH parameter planner: the (bands × rows) design table for
+    //      numHashes=24 at τ=0.5 — FP/FN mass of each banding curve in
+    //      exact integer micros (no pow anywhere: repeated IEEE
+    //      multiplication + per-point micro fixing makes both engines
+    //      bit-identical). Data-independent: same result at every SF,
+    //      like q06's fixture classification. ----
+    "q135_lsh_plan" -> ((s, dir) => {
+      Dedup.lshPlan(s, numHashes = 24, threshold = 0.5)
     })
   )
 
@@ -3067,8 +3119,134 @@ SELECT bq.q, bq.bucket,
      ELSE (CAST(1 AS BIGINT) << bq.bucket) END <= r.val
    AND r.val <= CASE WHEN bq.bucket < 0 THEN 0
      ELSE (CAST(1 AS BIGINT) << (bq.bucket + 1)) - 1 END) AS contained
-FROM bq JOIN r ON r.rnk = bq.rank ORDER BY bq.q"""
+FROM bq JOIN r ON r.rnk = bq.rank ORDER BY bq.q""",
+    "q132_pagerank" -> pageRankOracle,
+    "q133_ivf_recall" -> ivfRecallOracle,
+    // q134: q20's exact-top-k replay plus the cross-label restriction;
+    // a NULL label on either side fails `<>` in both engines (no pair).
+    "q134_hard_negatives" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+row_number() OVER (PARTITION BY a.vec_id ORDER BY
+  list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                         list_transform(b.embedding, x -> CAST(x AS DOUBLE))) DESC,
+  b.vec_id) AS rank
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 15 AND b.vec_id <> a.vec_id AND b.label <> a.label)
+WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q135: the same no-pow arithmetic — list_reduce over a constant
+    // list is the left-associative multiply chain, every grid point is
+    // fixed to integer micros before the sums. CASTs everywhere: bare
+    // 1.0/200.0 literals are DECIMAL in DuckDB and would truncate.
+    "q135_lsh_plan" ->
+      """WITH f AS (SELECT CAST(x AS INTEGER) AS bands,
+    CAST(24 // x AS INTEGER) AS rows_per_band
+  FROM range(1, 25) t(x) WHERE 24 % x = 0),
+g AS (SELECT CAST(2 * i + 1 AS DOUBLE) / CAST(200 AS DOUBLE) AS s
+  FROM range(100) t(i)),
+c AS (SELECT bands, rows_per_band, s,
+    list_reduce(list_transform(range(rows_per_band),
+      x -> CAST(s AS DOUBLE)), (a, b) -> a * b) AS sr
+  FROM f CROSS JOIN g),
+p AS (SELECT bands, rows_per_band, s,
+    CAST(floor((CAST(1 AS DOUBLE) -
+      list_reduce(list_transform(range(bands),
+        x -> CAST(1 AS DOUBLE) - sr), (a, b) -> a * b))
+      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      AS pm FROM c)
+SELECT bands, rows_per_band,
+  CAST(sum(CASE WHEN s < 0.5 THEN pm ELSE 0 END) AS BIGINT) AS fp_micro,
+  CAST(sum(CASE WHEN s > 0.5 THEN 1000000 - pm ELSE 0 END) AS BIGINT)
+    AS fn_micro,
+  CAST(sum(CASE WHEN s < 0.5 THEN pm ELSE 0 END)
+     + sum(CASE WHEN s > 0.5 THEN 1000000 - pm ELSE 0 END) AS BIGINT)
+    AS cost_micro
+FROM p GROUP BY bands, rows_per_band ORDER BY bands"""
   )
+
+  /** q133: the partial-probe IVF audit replayed end to end — k-medians
+    * train + assign via KMediansOracle (the q79/q80 invariants), probe
+    * = 2 nearest codebook entries by (L2 ASC, code ASC), candidate and
+    * exact cosines as `list_dot_product / (√·√)` (≡ the engine's
+    * ascending folds, the q20-proven parity), both top-k cuts by
+    * (cos DESC, id ASC), hit counts as exact integers. */
+  private def ivfRecallOracle: String = {
+    import graft.oracle.KMediansOracle
+    val d = 64
+    s"""WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+${KMediansOracle.kMediansSql("ra", "v", 8, d, 1)}
+w AS (SELECT a.vec_id AS neighbor_id, a.code AS cell, x.vv,
+  sqrt(list_dot_product(x.vv, x.vv)) AS nrm
+  FROM ra_asn a JOIN v x USING (vec_id)),
+q AS (SELECT vec_id AS query_id, vv AS qv,
+  sqrt(list_dot_product(vv, vv)) AS qn FROM v WHERE vec_id < 25),
+probes AS (SELECT query_id, code AS cell FROM (
+  SELECT q.query_id, c.code, row_number() OVER (PARTITION BY q.query_id
+    ORDER BY ${KMediansOracle.distSql("q.qv", "c.ent", d)} ASC,
+    c.code ASC) AS rn FROM q CROSS JOIN ra_cb c) WHERE rn <= 2),
+cand AS (SELECT q.query_id, w.neighbor_id,
+    list_dot_product(q.qv, w.vv) / (q.qn * w.nrm) AS cos
+  FROM probes p JOIN q ON q.query_id = p.query_id
+  JOIN w ON w.cell = p.cell
+  WHERE w.neighbor_id <> q.query_id),
+approx AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM cand) WHERE rn <= 5),
+exact AS (SELECT query_id, neighbor_id FROM (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY list_dot_product(q.qv, b.vv)
+        / (q.qn * sqrt(list_dot_product(b.vv, b.vv))) DESC,
+      b.vec_id ASC) AS rn
+  FROM q CROSS JOIN v b WHERE b.vec_id <> q.query_id) WHERE rn <= 5)
+SELECT e.query_id, CAST(count(*) AS BIGINT) AS k_eval,
+  CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+  (CAST(count(a.neighbor_id) AS BIGINT) * 1000000)
+    // CAST(count(*) AS BIGINT) AS recall_micro
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id"""
+  }
+
+  /** q132: [[graft.operators.Graph.pageRank]]'s integer micro-unit
+    * supersteps replayed as chained CTEs — every step is 64-bit
+    * integer floor division and exact long sums in BOTH engines, so
+    * the comparison is bit-exact with no float tolerance. */
+  private def pageRankOracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH docs AS (SELECT doc_id FROM documents),
+mx AS (SELECT max(doc_id) + 1 AS m FROM docs),
+eraw AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % m AS dst FROM docs CROSS JOIN mx
+  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % m FROM docs CROSS JOIN mx
+  UNION ALL SELECT doc_id, (doc_id * 29 + 11) % m FROM docs CROSS JOIN mx),
+edges AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+verts AS (SELECT src AS vertex FROM edges
+  UNION SELECT dst AS vertex FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM edges
+  GROUP BY src),
+r0 AS (SELECT vertex, (SELECT 1000000 // n FROM nn) AS pr FROM verts),
+"""
+    for (i <- 1 to 5) {
+      sb ++= s"""c$i AS (SELECT e.dst,
+  CAST(sum(r.pr // o.odeg) AS BIGINT) AS contrib
+  FROM edges e JOIN r${i - 1} r ON e.src = r.vertex
+  JOIN od o ON e.src = o.src GROUP BY e.dst),
+r$i AS (SELECT v.vertex, (SELECT 150000 // n FROM nn)
+    + (85 * coalesce(c.contrib, 0)) // 100 AS pr
+  FROM verts v LEFT JOIN c$i c ON v.vertex = c.dst),
+"""
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb ++= """
+SELECT r.vertex, CAST(r.pr AS BIGINT) AS pr_micro,
+  CAST(coalesce(o.odeg, 0) AS BIGINT) AS outdeg
+FROM r5 r LEFT JOIN od o ON r.vertex = o.src
+ORDER BY pr_micro DESC, vertex LIMIT 20"""
+    sb.toString
+  }
 
   /** q122: the drifted-directory report replayed in SQL. The two
     * producer versions are reconstructed as slices of `orders` (same

@@ -947,4 +947,56 @@ object Dedup {
       .withColumn("recall_micro", expr("n_found * 1000000 div n_pairs"))
       .orderBy("j_bucket")
   }
+
+  /** LSH parameter planner: for every (bands, rowsPerBand)
+    * factorization of `numHashes`, the false-positive and
+    * false-negative mass of the banding collision curve
+    * P(s) = 1 − (1 − s^r)^b against a target Jaccard `threshold` —
+    * the design table that picks b×r BEFORE burning a corpus pass on
+    * the wrong index shape ([[minHashSignatures]]/[[lshCandidates]]
+    * consume the winner). FP mass = Σ_{s<τ} P(s), FN mass =
+    * Σ_{s>τ} (1 − P(s)), midpoint grid of `gridPoints` similarity
+    * levels (s = (2i+1)/(2·gridPoints) — never exactly τ for the
+    * default τ = 0.5).
+    *
+    * Exactness across engines: NO `pow` anywhere — libm pow is not
+    * correctly rounded and differs across runtimes; s^r and (1−s^r)^b
+    * are left-associative repeated IEEE multiplications (identical
+    * bit patterns in any IEEE-754 engine), the grid is built from
+    * exact integer arithmetic and one correctly-rounded division, and
+    * each point is fixed to integer micros (floor(p·10⁶ + 0.5)) BEFORE
+    * summation, so the sums are exact integer math. The frame is
+    * (divisors × grid)-sized — computation, not data; it runs
+    * identically at any SF. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+              threshold: Double, gridPoints: Int = 100): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 4096,
+      s"numHashes must be in [1, 4096], got $numHashes")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    require(gridPoints >= 10 && gridPoints <= 100000,
+      s"gridPoints must be in [10, 100000], got $gridPoints")
+    import spark.implicits._
+    val f = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .toDF("bands", "rows_per_band")
+    val grid = spark.range(gridPoints)
+      .select(((col("id") * 2 + 1).cast("double") /
+        lit(2.0 * gridPoints)).as("s"))
+    def powByRepeatedMul(base: Column, n: Column): Column =
+      aggregate(sequence(lit(1), n), lit(1.0), (acc, _) => acc * base)
+    val curve = broadcast(f).crossJoin(grid)
+      .withColumn("sr", powByRepeatedMul(col("s"), col("rows_per_band")))
+      .withColumn("p_micro",
+        floor((lit(1.0) - powByRepeatedMul(lit(1.0) - col("sr"), col("bands")))
+          * 1000000.0 + 0.5).cast("long"))
+    curve.groupBy("bands", "rows_per_band")
+      .agg(
+        sum(when(col("s") < threshold, col("p_micro")).otherwise(0L))
+          .as("fp_micro"),
+        sum(when(col("s") > threshold, lit(1000000L) - col("p_micro"))
+          .otherwise(0L)).as("fn_micro"))
+      .withColumn("cost_micro", col("fp_micro") + col("fn_micro"))
+      .orderBy("bands")
+  }
 }

@@ -831,4 +831,110 @@ object Similarity {
         (-col("_neg")).cast("bigint").as("cos_micro"))
       .orderBy(labelCol, "rank")
   }
+
+  /** IVF recall audit: the partial-probe twin of q126's LSH audit —
+    * measures, per query, how much of the EXACT cosine top-k the
+    * `nProbe`-of-`nCells` probe actually recovers, instead of assuming
+    * a recall from index theory. q21/q79 gate at FULL probe precisely
+    * because Lloyd-mean centroids aren't replay-exact; this audit runs
+    * the coarse quantizer on [[kMediansLocal]] (exact rank-element
+    * codebooks, the q79/q80 invariant set), so a PARTIAL probe is
+    * bit-replayable end-to-end: train → assign → probe → top-k → hit
+    * counts, no float tolerance anywhere in the output (integers only).
+    *
+    * Probe selection and assignment both score against the LITERAL
+    * broadcast codebook (compiled into row expressions — the centroid
+    * table never joins); the probe list per query is
+    * `array_sort`-by-(L2, code) of the nCells entries sliced to
+    * nProbe (strict total order, same as the replay's
+    * `ORDER BY dist, code`). Candidate scoring touches only rows in
+    * probed cells (the IVF contract: ~nProbe/nCells of the corpus);
+    * both top-k cuts are [[TopK]] bounded partial aggregates.
+    *
+    * Returns (query_id, k_eval, n_hits, recall_micro) — k_eval is the
+    * exact-top-k size actually evaluated (< k only when the corpus has
+    * fewer than k other rows), recall_micro = n_hits·10⁶ div k_eval. */
+  def ivfRecallAudit(data: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nCells: Int, nProbe: Int,
+                     iters: Int = 1, trainSamplePct: Int = 100): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, nCells=$nCells], got $nProbe")
+    val cb = kMediansLocal(
+      trainRows(data, idCol, vecCol, trainSamplePct), nCells, iters)
+    val entries = array(cb.zipWithIndex.map { case (e, i) =>
+      struct(lit(i).as("code"), litVec(e).as("ent"))
+    }.toIndexedSeq: _*)
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val assigned = data
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", argminL2Expr(col("cv"), cb))
+      .withColumn("cn", norm(col("cv")))
+    val probed = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(slice(array_sort(transform(entries, ce =>
+          struct(l2(col("qv"), ce("ent")).as("dist"),
+            ce("code").as("code")))), 1, nProbe)).as("pc"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("pc")("code").as("cell"))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val approx = TopK.perGroup(
+      scored.select("query_id", "neighbor_id", "cos"),
+      "query_id", "cos", "neighbor_id", k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val exact = bruteForceTopK(data, queries, idCol, vecCol, k)
+      .select("query_id", "neighbor_id")
+    exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_eval"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("k_eval"), col("n_hits"),
+        expr("(n_hits * 1000000L) div k_eval").as("recall_micro"))
+  }
+
+  /** Hard-negative mining for retrieval/embedding training: per query,
+    * the top-k most-cosine-similar corpus rows whose `labelCol` DIFFERS
+    * from the query's — the "confusable but wrong" examples contrastive
+    * training wants (DPR/Sentence-BERT practice: random negatives are
+    * too easy, the hard ones sit just across the label boundary).
+    *
+    * Same shape contract as [[bruteForceTopK]]: the query frame is the
+    * small broadcast side, scoring is one corpus pass, the per-query
+    * cut is the bounded [[TopK]] aggregate (shuffle O(queries · k ·
+    * partitions), never the scored set). Null labels (either side)
+    * produce no pairs — a row without a label can't certify "different
+    * class". At billion-row scale, pre-restrict `candidates` to the
+    * probed cells of an IVF index ([[ivfTopK]]'s probe frame) and feed
+    * the shortlist here; the gate runs the exhaustive form, which the
+    * oracle replays exactly. */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(labelCol).as("_qlbl"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv"))))
+    val c = candidates
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("_nlbl"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.join(q,
+      col("neighbor_id") =!= col("query_id") &&
+        col("_nlbl") =!= col("_qlbl"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    TopK.perGroup(scored.select("query_id", "neighbor_id", "cos"),
+      "query_id", "cos", "neighbor_id", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
 }

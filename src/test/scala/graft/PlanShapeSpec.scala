@@ -527,4 +527,41 @@ class PlanShapeSpec extends SparkSpec {
       !p131.contains("BroadcastNestedLoopJoin"),
       s"quantile sketch joins must stay keyed:\n$p131")
   }
+
+  test("late-round-7 queries (q132-q135) keep scale-safe shapes") {
+    // q132 PageRank: every superstep is an equi-join (links src = rank
+    // vertex) + hash aggregate on dst — iterative message passing with
+    // NO product anywhere, and the top-20 cut is TakeOrdered, never a
+    // global sort
+    val p132 = finalPlan(q("q132_pagerank"))
+    assert(!p132.contains("CartesianProduct") &&
+      !p132.contains("BroadcastNestedLoopJoin"),
+      s"pagerank supersteps must stay keyed:\n$p132")
+    assert(p132.contains("TakeOrderedAndProject"),
+      s"the authority cut must be TakeOrdered:\n$p132")
+    // q133 IVF recall: cell assignment and probe selection score
+    // against LITERAL codebooks (no centroid join); the candidate
+    // join is keyed on cell with the probe frame broadcast. The only
+    // nested-loop is the exact-truth leg's tiny broadcast query side —
+    // the documented q20 shape.
+    val p133 = finalPlan(q("q133_ivf_recall"))
+    assert(!p133.contains("CartesianProduct"),
+      s"ivf recall must not plan a product:\n$p133")
+    assert(p133.contains("BroadcastHashJoin"),
+      s"probed candidates must join broadcast-keyed:\n$p133")
+    // q134 hard negatives: the query frame is the broadcast side (q20
+    // contract); the per-query cut is the bounded TopK aggregate, not
+    // a window over scored candidates
+    val p134 = finalPlan(q("q134_hard_negatives"))
+    assert(!p134.contains("CartesianProduct"),
+      s"hard negatives must keep the queries broadcast:\n$p134")
+    assert(!p134.contains("Window"),
+      s"the top-k cut must be the bounded aggregate:\n$p134")
+    // q135 LSH planner: a (divisors × grid) computation frame — the
+    // only join is the broadcast of the 8-row factorization side; no
+    // shuffle beyond the final 8-group aggregate
+    val p135 = finalPlan(q("q135_lsh_plan"))
+    assert(!p135.contains("CartesianProduct"),
+      s"the planner grid must broadcast the factorizations:\n$p135")
+  }
 }

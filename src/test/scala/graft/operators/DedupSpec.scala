@@ -597,4 +597,43 @@ class DedupSpec extends SparkSpec {
     val full = audit.map(r => r._1 -> r._2).toMap
     assert(sampled.forall(r => r._2 <= full.getOrElse(r._1, 0L)))
   }
+
+  test("lshPlan: curve endpoints, micro exactness, FP/FN monotonicity") {
+    val rows = Dedup.lshPlan(spark, numHashes = 24, threshold = 0.5)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // all 8 divisor factorizations of 24, b*r = 24 each
+    assert(rows.length == 8)
+    assert(rows.forall { case (b, r, _, _, _) => b * r == 24 })
+    // cost is the exact sum of its parts
+    assert(rows.forall { case (_, _, fp, fn, c) => c == fp + fn })
+    // replay one point closed-form in the SAME arithmetic: b=24, r=1,
+    // s=0.505 -> P = 1-(1-s)^24, fixed to micros
+    val s = 101.0 / 200.0
+    var q = 1.0
+    for (_ <- 1 to 24) q *= (1.0 - s)
+    val pMicro = math.floor((1.0 - q) * 1000000.0 + 0.5).toLong
+    assert(pMicro == 1000000L) // collision virtually certain at s>τ
+    // monotonicity: more bands (fewer rows) -> catches more -> FP mass
+    // rises and FN mass falls
+    val byBands = rows.sortBy(_._1)
+    assert(byBands.sliding(2).forall { case Array(a, b) =>
+      a._3 <= b._3 && a._4 >= b._4 })
+    // the all-AND extreme (1 band of 24) has ~zero FP; the all-OR
+    // extreme (24 bands of 1) has ~zero FN
+    assert(byBands.head._3 < 1000L && byBands.last._4 < 20000L)
+  }
+
+  test("lshPlan rejects bad parameters") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshPlan(spark, numHashes = 0, threshold = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshPlan(spark, numHashes = 16, threshold = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshPlan(spark, numHashes = 16, threshold = 0.5, gridPoints = 5)
+    }
+  }
 }

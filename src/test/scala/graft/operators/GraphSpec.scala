@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-vertex hand graph: 0→1, 0→2, 1→2, 2→0, 3→2 (3 is a source,
+  // no sinks except none — every vertex has outdeg ≥ 0; vertex 3 has
+  // indeg 0 so it stays at the teleport+0 floor after iteration 1).
+  private val edges =
+    Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+      .toDF("src", "dst")
+
+  /** Reference implementation in plain Scala ints, same semantics. */
+  private def handPageRank(es: Seq[(Long, Long)], iters: Int,
+                           d: Int): Map[Long, Long] = {
+    val e = es.filter { case (a, b) => a != b }.distinct
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = verts.size.toLong
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val teleport = (1000000L * (100 - d) / 100) / n
+    var pr = verts.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (u, _) => pr(u) / outdeg(u) }.sum
+      }
+      pr = verts.map(v =>
+        v -> (teleport + d * contrib.getOrElse(v, 0L) / 100)).toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the hand replay on the 4-vertex graph") {
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = handPageRank(
+      Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L)), 5, 85)
+    assert(got === want)
+  }
+
+  test("pageRank ranks linked vertices above the isolated source") {
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 receives nothing: it sits exactly on the teleport floor and
+    // every linked vertex ranks above it.
+    val teleport = (1000000L * 15 / 100) / 4
+    assert(pr(3L) === teleport)
+    assert(Seq(0L, 1L, 2L).forall(v => pr(v) > pr(3L)))
+    // 0 inherits vertex 2's ENTIRE mass (outdeg(2)=1) while 1 only
+    // gets half of 0's — 0 outranks 1.
+    assert(pr(0L) > pr(1L))
+  }
+
+  test("pageRank is invariant under repartitioning and edge order") {
+    val base = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val shuffled = Graph.pageRank(
+      edges.orderBy(rand(7)).repartition(7), "src", "dst", iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(base === shuffled)
+  }
+
+  test("pageRank drops self-loops and collapses parallel edges") {
+    val noisy = edges
+      .union(Seq((0L, 0L), (0L, 1L), (0L, 1L)).toDF("src", "dst"))
+    val a = Graph.pageRank(edges, "src", "dst", iterations = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.pageRank(noisy, "src", "dst", iterations = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
+  test("pageRank total mass stays within [teleport·n, 1e6]") {
+    // no dangling redistribution: mass may decay but never exceeds the
+    // initial unit, and never drops below the pure-teleport floor.
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .agg(sum("pr_micro")).as[Long].head()
+    val n = 4
+    val teleport = (1000000L * 15 / 100) / n
+    assert(pr <= 1000000L)
+    assert(pr >= teleport * n)
+  }
+
+  test("pageRank outdeg column reports sinks as 0") {
+    val sink = Seq((1L, 9L), (2L, 9L)).toDF("src", "dst")
+    val rows = Graph.pageRank(sink, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(9L) === 0L)
+    assert(rows(1L) === 1L)
+  }
+
+  test("pageRank rejects empty graphs and bad parameters") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", dampingPct = 100)
+    }
+    intercept[IllegalArgumentException] {
+      // only self-loops → empty after cleaning
+      Graph.pageRank(Seq((1L, 1L)).toDF("src", "dst"), "src", "dst")
+    }
+  }
+
+  test("degreeProfile reports both degrees with 0 fill") {
+    val d = Graph.degreeProfile(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(d(0L) === (2L, 1L))
+    assert(d(2L) === (1L, 3L))
+    assert(d(3L) === (1L, 0L))
+  }
+}

@@ -438,4 +438,81 @@ class SimilaritySpec extends SparkSpec {
       trainSamplePct = 100, dim = -1, budgetDoubles = 40L)
     assert(probed.length == 10)
   }
+
+  test("ivfRecallAudit: full probe recalls everything, partial is bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 6)
+    val full = Similarity.ivfRecallAudit(vecs, queries, "vec_id",
+      "embedding", k = 3, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(full.length == 6)
+    // nProbe = nCells probes every cell: the candidate set is the whole
+    // corpus and recall is exactly 1.0 for every query
+    assert(full.forall { case (_, ke, h, rm) => h == ke && rm == 1000000L })
+    val partial = Similarity.ivfRecallAudit(vecs, queries, "vec_id",
+      "embedding", k = 3, nCells = 4, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // partial probe can only lose hits, never invent them
+    assert(partial.values.forall { case (_, rm) => rm >= 0L && rm <= 1000000L })
+    val fullH = full.map(t => t._1 -> t._3).toMap
+    assert(partial.forall { case (q, (h, _)) => h <= fullH(q) })
+  }
+
+  test("ivfRecallAudit is invariant under repartitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(6)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 5)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfRecallAudit(d, q, "vec_id", "embedding",
+        k = 4, nCells = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(run(vecs) === run(vecs.repartition(7)))
+  }
+
+  test("ivfRecallAudit rejects nProbe outside [1, nCells]") {
+    import spark.implicits._
+    val vecs = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRecallAudit(vecs, vecs, "vec_id", "embedding",
+        k = 1, nCells = 2, nProbe = 3)
+    }
+  }
+
+  test("hardNegatives excludes same-label rows and self, ranks by cosine") {
+    import spark.implicits._
+    // labels: 0 for ids 0-2 (near x-axis), 1 for ids 3-5 (near y-axis)
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.8f, 0.2f), 0), (3L, Array(0f, 1f), 1),
+      (4L, Array(0.1f, 0.9f), 1), (5L, Array(0.3f, 0.7f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs,
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", "label",
+      k = 2).collect().map(r => (r.getInt(1), r.getLong(2)))
+    // the hardest negative for (1,0) among label-1 rows is id 5
+    // (cos 0.394), then id 4 (cos 0.110) — never ids 1/2 (same label)
+    assert(got.toSeq === Seq((1, 5L), (2, 4L)))
+  }
+
+  test("hardNegatives: null labels pair with nothing") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f), Some(0)), (1L, Array(1f, 0f), None),
+      (2L, Array(0.9f, 0.4f), Some(1)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, vecs, "vec_id",
+      "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // row 1 (null label) appears neither as query nor as negative
+    assert(!got.exists { case (q, n) => q == 1L || n == 1L })
+    assert(got.toSet === Set((0L, 2L), (2L, 0L)))
+  }
 }
