@@ -41,7 +41,14 @@ object ScaleBench {
     // directory scratch write, at both SFs alike), BPE train+apply
     // (q123 — replica-suffixed vocab grows 10×, the top-K cut must
     // hold), and the recall audit's complete-join leg (q126)
-    "q122_schema_drift", "q123_bpe_tokens", "q126_lsh_recall")
+    "q122_schema_drift", "q123_bpe_tokens", "q126_lsh_recall",
+    // late-round-7 heavies: n-gram explode + literal-bitset probe
+    // (q127), double token explode for exact-vs-CMS (q129), iterative
+    // supersteps over the planted link graph (q132 — vertex set grows
+    // with max doc id, mostly sink vertices at sf1), and the recall
+    // audit whose exact-truth leg is a queries × corpus scan (q133)
+    "q127_bloom_decontaminate", "q129_cms_heavyhitters",
+    "q132_pagerank", "q133_ivf_recall")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

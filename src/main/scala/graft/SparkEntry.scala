@@ -1450,6 +1450,39 @@ object SparkEntry {
     //      like q06's fixture classification. ----
     "q135_lsh_plan" -> ((s, dir) => {
       Dedup.lshPlan(s, numHashes = 24, threshold = 0.5)
+    }),
+    // ---- per-source quota cap: at most 40 docs per source by
+    //      deterministic md5 rank (hashBucket48, the shared sampler
+    //      arithmetic) — the domain-balancing "at most N per host"
+    //      pass fraction-based stratified sampling can't express.
+    //      Bounded TopK cut, never a per-group window. ----
+    "q136_quota_cap" -> ((s, dir) => {
+      Curation.quotaCap(t(s, dir, "documents"), "source", "doc_id",
+        quota = 40)
+        .orderBy("source", "quota_rank")
+    }),
+    // ---- text normalization over PLANTED dirt (q124's planting
+    //      precedent — the corpus is clean ASCII): tabs/vertical-tabs,
+    //      case flips, and doubled spaces keyed on doc_id arithmetic;
+    //      the normalizer must return every variant to the original
+    //      text (roundtrip column). ----
+    "q137_normalize_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dirty = when(col("doc_id") % 3 === 0,
+          concat(lit("\t "), upper(col("text")), lit(" \u000B")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("  "), regexp_replace(col("text"), " ", "  "),
+            lit(" ")))
+        .otherwise(col("text"))
+      d.select(col("doc_id"), col("text"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          length(col("dirty")).cast("long").as("n_chars_dirty"),
+          TextAnalysis.normalizeText(col("dirty")).as("norm_text"),
+          col("text"))
+        .select(col("doc_id"), col("n_chars_dirty"), col("norm_text"),
+          length(col("norm_text")).cast("long").as("n_chars_norm"),
+          (col("norm_text") === col("text")).as("roundtrip"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3161,7 +3194,32 @@ SELECT bands, rows_per_band,
   CAST(sum(CASE WHEN s < 0.5 THEN pm ELSE 0 END)
      + sum(CASE WHEN s > 0.5 THEN 1000000 - pm ELSE 0 END) AS BIGINT)
     AS cost_micro
-FROM p GROUP BY bands, rows_per_band ORDER BY bands"""
+FROM p GROUP BY bands, rows_per_band ORDER BY bands""",
+    // q136: the TopK quota rank replayed as row_number over the SAME
+    // 48-bit md5 bucket (hashBucket48's arithmetic, the q51/q67
+    // sampler precedent), id tie-break.
+    "q136_quota_cap" ->
+      """SELECT source, quota_rank, doc_id FROM (
+SELECT source, doc_id, row_number() OVER (PARTITION BY source
+  ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+    AS BIGINT) ASC, doc_id ASC) AS quota_rank
+FROM documents) WHERE quota_rank <= 40 ORDER BY source, quota_rank""",
+    // q137: plant → normalize replayed with the RE2 spellings of the
+    // same regexes ([[:cntrl:]], \s+); chr(9)/chr(11) are the planted
+    // tab and vertical tab.
+    "q137_normalize_text" ->
+      """WITH dirty AS (SELECT doc_id, text,
+  CASE CAST((doc_id % 3 + 3) % 3 AS INTEGER)
+    WHEN 0 THEN chr(9) || ' ' || upper(text) || ' ' || chr(11)
+    WHEN 1 THEN '  ' || replace(text, ' ', '  ') || ' '
+    ELSE text END AS d FROM documents),
+n AS (SELECT doc_id, text, d,
+  trim(regexp_replace(regexp_replace(lower(d), '[[:cntrl:]]', ' ', 'g'),
+    '\s+', ' ', 'g')) AS norm_text FROM dirty)
+SELECT doc_id, CAST(length(d) AS BIGINT) AS n_chars_dirty, norm_text,
+  CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+  (norm_text = text) AS roundtrip
+FROM n ORDER BY doc_id"""
   )
 
   /** q133: the partial-probe IVF audit replayed end to end — k-medians

@@ -752,4 +752,30 @@ object Curation {
         sum(col(lenCol)).as("sum_len"))
       .withColumn("padding",
         col("n_rows") * col("max_len") - col("sum_len"))
+
+  /** Per-group quota cap: keep at most `quota` rows per group, chosen
+    * by deterministic md5 rank — the domain-balancing pass that stops
+    * one overrepresented source/host from dominating a training mix
+    * (C4/RefinedWeb cap the per-host contribution before mixing;
+    * fraction-based [[stratifiedSample]] can't express "at most N"
+    * when group sizes differ by orders of magnitude).
+    *
+    * The rank key is [[hashBucket48]] — uniform, reproducible under
+    * any partitioning, and shared with every sampler oracle — with id
+    * as the tie-break (48-bit collisions are improbable but not
+    * impossible, and the order must be total). The per-group cut is
+    * the bounded [[TopK]] aggregate (map-side ≤quota buffers), never a
+    * window over the group: a 10⁹-row host on one reducer is exactly
+    * the straggler this operator exists to prevent.
+    *
+    * Returns (groupCol, quota_rank ∈ 1..quota, idCol). */
+  def quotaCap(df: DataFrame, groupCol: String, idCol: String,
+               quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    // TopK orders score DESC; negate the bucket for ascending-hash rank
+    val scored = df.select(col(groupCol), col(idCol),
+      (-hashBucket48(col(idCol))).cast("double").as("_neg"))
+    TopK.perGroup(scored, groupCol, "_neg", idCol, quota)
+      .select(col(groupCol), col("rank").as("quota_rank"), col(idCol))
+  }
 }

@@ -474,4 +474,14 @@ object TextAnalysis {
     * keeping the operator oracle-checkable. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
+
+  /** Deterministic text normalization — the pre-tokenization cleanup
+    * pass (case fold, control characters → space, whitespace-run
+    * collapse, edge trim). Composed from codegen'd string expressions;
+    * the regexes stay in the Java/RE2 common dialect so a SQL replay
+    * (`[[:cntrl:]]`, `\s+`) is character-identical. Normalization is
+    * idempotent: normalizeText(normalizeText(c)) = normalizeText(c). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "\\p{Cntrl}", " "), "\\s+", " "))
 }

@@ -563,5 +563,20 @@ class PlanShapeSpec extends SparkSpec {
     val p135 = finalPlan(q("q135_lsh_plan"))
     assert(!p135.contains("CartesianProduct"),
       s"the planner grid must broadcast the factorizations:\n$p135")
+    // q136 quota cap: the per-group cut is the bounded TopK aggregate
+    // — a row_number window here would funnel each source onto one
+    // reducer, the exact straggler the cap exists to prevent
+    val p136 = finalPlan(q("q136_quota_cap"))
+    assert(!p136.contains("Window"),
+      s"the quota cut must be the bounded aggregate:\n$p136")
+    assert(!p136.contains("CartesianProduct") &&
+      !p136.contains("BroadcastNestedLoopJoin"),
+      s"quota cap must not join at all:\n$p136")
+    // q137 normalization: plant + normalize are pure per-row
+    // expressions — no join, no aggregate, no exchange beyond the
+    // final presentation sort
+    val p137 = finalPlan(q("q137_normalize_text"))
+    assert(!p137.contains("Join") && !p137.contains("HashAggregate"),
+      s"normalization must stay map-only:\n$p137")
   }
 }

@@ -578,4 +578,47 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(last == ((1L, 60L, 0L)))
   }
+
+  test("quotaCap keeps at most quota rows per group, md5-rank order") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i =>
+      (i, if (i < 40) "big" else "small")).toDF("doc_id", "source")
+    val out = Curation.quotaCap(docs, "source", "doc_id", quota = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byGroup = out.groupBy(_._1)
+    // the big group is capped at the quota; the small one fits whole
+    assert(byGroup("big").length == 10)
+    assert(byGroup("small").length == 10)
+    // ranks are 1..n and ordered by ascending 48-bit md5 bucket
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    for ((_, rows) <- byGroup) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length))
+      val buckets = sorted.map(t => bucket(t._3))
+      assert(buckets.zip(buckets.tail).forall { case (a, b) => a <= b })
+    }
+    // the kept "big" members are exactly the 10 smallest buckets
+    val keptBig = byGroup("big").map(_._3).toSet
+    val wantBig = (0L until 40L).sortBy(bucket).take(10).toSet
+    assert(keptBig == wantBig)
+  }
+
+  test("quotaCap is invariant under repartitioning; rejects bad quota") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val a = Curation.quotaCap(docs, "source", "doc_id", 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Curation.quotaCap(docs.repartition(7), "source", "doc_id", 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Curation.quotaCap(docs, "source", "doc_id", 0)
+    }
+  }
 }

@@ -112,4 +112,35 @@ class GraphSpec extends SparkSpec {
     assert(d(2L) === (1L, 3L))
     assert(d(3L) === (1L, 0L))
   }
+
+  test("property: pageRank ≡ the integer hand replay on random graphs") {
+    // the engine's distributed supersteps (joins + hash aggregates)
+    // against the sequential reference on randomized edge lists —
+    // deterministic scalacheck sweep, fixed seeds
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genEdges = for {
+      nVerts <- Gen.chooseNum(3, 14)
+      nEdges <- Gen.chooseNum(2, 40)
+      es <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0, nVerts - 1)
+        b <- Gen.chooseNum(0, nVerts - 1)
+      } yield (a.toLong, b.toLong))
+      iters <- Gen.chooseNum(1, 6)
+    } yield (es, iters)
+    var checked = 0
+    for (i <- 0 until 8) {
+      val (es, iters) =
+        genEdges.pureApply(Gen.Parameters.default, Seed(21L + i))
+      if (es.exists { case (a, b) => a != b }) {
+        val got = Graph.pageRank(es.toDF("src", "dst"), "src", "dst",
+          iterations = iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = handPageRank(es, iters, 85)
+        assert(got === want, s"seed ${21 + i}: engine vs replay")
+        checked += 1
+      }
+    }
+    assert(checked >= 5, s"only $checked non-degenerate cases")
+  }
 }

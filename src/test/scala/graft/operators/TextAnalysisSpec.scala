@@ -253,4 +253,25 @@ class TextAnalysisSpec extends SparkSpec {
     // doc2: (b,a) S=1/3 -> ln 3 = 1.098612; (a,b) -> 0
     assert(got == List((1L, 1L, 0L, 0L), (2L, 2L, 1098612L, 549306L)))
   }
+
+  test("normalizeText: case fold, control chars, whitespace, idempotent") {
+    import spark.implicits._
+    val rows = Seq(
+      "\tHello  WORLD \u000B",       // tab + case + runs + vertical tab
+      "already clean",
+      "  lots\n\nof\r\nlines  ",
+      "",
+      "\u0001\u0002")                 // control-only collapses to empty
+      .toDF("t")
+    val out = rows.select(TextAnalysis.normalizeText(col("t")).as("n"))
+      .as[String].collect().toSeq
+    assert(out == Seq("hello world", "already clean", "lots of lines",
+      "", ""))
+    // idempotence: a second pass changes nothing
+    val twice = rows
+      .select(TextAnalysis.normalizeText(
+        TextAnalysis.normalizeText(col("t"))).as("n"))
+      .as[String].collect().toSeq
+    assert(twice == out)
+  }
 }
