@@ -1483,6 +1483,35 @@ object SparkEntry {
           length(col("norm_text")).cast("long").as("n_chars_norm"),
           (col("norm_text") === col("text")).as("roundtrip"))
         .orderBy("doc_id")
+    }),
+    // ---- corpus dataset card: the one-row release-notes frame a
+    //      pipeline publishes with a training set (docs/sources/langs,
+    //      token and char volume, vocabulary size, empty and
+    //      exact-duplicate counts, mean length in integer micros).
+    //      Three bounded aggregates (corpus pass, vocab pass, digest
+    //      pass) joined as broadcast 1-row frames. ----
+    "q138_corpus_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        sum(size(TextAnalysis.tokens(col("text")))).cast("long")
+          .as("total_tokens"),
+        sum(when(col("text").isNull || col("text") === "", 1L)
+          .otherwise(0L)).as("n_empty"))
+      val vocab = d
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("distinct_tokens"))
+      val dups = d.filter(col("text").isNotNull)
+        .groupBy(md5(col("text")).as("dg"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_exact_dup_docs"),
+          count(lit(1)).as("n_dup_groups"))
+      base.crossJoin(broadcast(vocab)).crossJoin(broadcast(dups))
+        .withColumn("mean_chars_micro",
+          expr("total_chars * 1000000L div n_docs"))
     })
   )
 
@@ -3219,7 +3248,31 @@ n AS (SELECT doc_id, text, d,
 SELECT doc_id, CAST(length(d) AS BIGINT) AS n_chars_dirty, norm_text,
   CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
   (norm_text = text) AS roundtrip
-FROM n ORDER BY doc_id"""
+FROM n ORDER BY doc_id""",
+    // q138: every card column as a scalar subquery (the q24 pattern);
+    // duplicate stats exclude null text on both sides (md5(NULL) is
+    // NULL and must not form a group).
+    "q138_corpus_card" ->
+      s"""WITH dg AS (SELECT count(*) AS c FROM documents
+  WHERE text IS NOT NULL GROUP BY md5(text))
+SELECT
+ (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+ (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+   AS n_sources,
+ (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+ (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+   AS total_chars,
+ (SELECT CAST(sum(len($tokensSql)) AS BIGINT) FROM documents)
+   AS total_tokens,
+ (SELECT CAST(count(*) FILTER (WHERE text IS NULL OR text = '')
+   AS BIGINT) FROM documents) AS n_empty,
+ (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM
+   (SELECT unnest($tokensSql) AS tok FROM documents)) AS distinct_tokens,
+ (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM dg WHERE c > 1)
+   AS n_exact_dup_docs,
+ (SELECT CAST(count(*) AS BIGINT) FROM dg WHERE c > 1) AS n_dup_groups,
+ (SELECT CAST(sum(length(text)) AS BIGINT) * 1000000
+    // CAST(count(*) AS BIGINT) FROM documents) AS mean_chars_micro"""
   )
 
   /** q133: the partial-probe IVF audit replayed end to end — k-medians

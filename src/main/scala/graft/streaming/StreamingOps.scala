@@ -568,4 +568,49 @@ object StreamingOps {
         count(lit(1)).cast("int").as("n_events"))
       .drop("session_id")
   }
+
+  /** One streamed document for [[quotaCapStream]]: (group, id, event
+    * time). Arrival order across micro-batches is the quota order. */
+  final case class QuotaDoc(group: String, doc_id: Long,
+                            ts: java.sql.Timestamp)
+  final case class QuotaState(n: Int)
+
+  /** Streaming per-group quota cap — the incremental twin of the q136
+    * batch operator with STREAM semantics: the batch form keeps the
+    * md5-rank-best `quota` rows of a finished corpus; a stream cannot
+    * revoke an emitted row, so the streaming contract is first-arrival
+    * — each group's first `quota` documents pass, everything after is
+    * dropped forever. Within one micro-batch, ties are ordered by
+    * (ts, doc_id) ascending so the emitted set is a deterministic
+    * function of the batch boundaries (the intra-batch sort buffers
+    * only that batch's group slice — batch-bounded, never stream
+    * history).
+    *
+    * State is ONE counter per group (O(groups), a few bytes each) with
+    * NoTimeout: a lifetime budget never expires, and the counter must
+    * outlive any watermark — this is the documented deliberate
+    * exception to the eviction-pinned pattern the windowed operators
+    * use. At 100 TB group cardinality = sources/hosts, not documents.
+    */
+  def quotaCapStream(docs: Dataset[QuotaDoc], quota: Int)
+      : Dataset[QuotaDoc] = {
+    import docs.sparkSession.implicits._
+    require(quota > 0, s"quota must be positive, got $quota")
+    docs.groupByKey(_.group)
+      .flatMapGroupsWithState[QuotaState, QuotaDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val seen = state.getOption.map(_.n).getOrElse(0)
+          if (seen >= quota) {
+            rows.foreach(_ => ()) // drain; budget already spent
+            Iterator.empty
+          } else {
+            val kept = rows.toSeq
+              .sortBy(d => (d.ts.getTime, d.doc_id))
+              .take(quota - seen)
+            state.update(QuotaState(seen + kept.size))
+            kept.iterator
+          }
+      }
+  }
 }

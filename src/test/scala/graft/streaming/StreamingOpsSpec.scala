@@ -906,4 +906,54 @@ class StreamingOpsSpec extends SparkSpec {
       "a closed window is immutable: the late alpha must not re-emit " +
         s"or update hour 10 (got $afterReplay)")
   }
+
+  test("quotaCapStream: first-arrival budget across batches, state = 1 counter/group") {
+    val mem = MemoryStream[StreamingOps.QuotaDoc](spark)
+    val ckpt = s"/tmp/graft-stream-ckpt-${System.nanoTime()}"
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def runBatch(): Unit = {
+      val q = StreamingOps.quotaCapStream(mem.toDS(), quota = 3)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingOps.QuotaDoc],
+           _: Long) =>
+            df.collect().foreach(d => out.add((d.group, d.doc_id)))
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    def qd(g: String, id: Long, t: String) =
+      StreamingOps.QuotaDoc(g, id, ts(t))
+    // batch 1: two docs for a, one for b — all inside the budget
+    mem.addData(qd("a", 2L, "2024-01-01 00:02:00"),
+      qd("a", 1L, "2024-01-01 00:01:00"),
+      qd("b", 10L, "2024-01-01 00:01:00"))
+    runBatch()
+    assert(out.toArray.toSet ==
+      Set(("a", 1L), ("a", 2L), ("b", 10L)), out.toString)
+    // batch 2: three more for a — only ONE fits; the (ts, id)-smallest
+    // of the batch wins, not arrival order in the addData call
+    out.clear()
+    mem.addData(qd("a", 9L, "2024-01-01 00:09:00"),
+      qd("a", 5L, "2024-01-01 00:05:00"),
+      qd("a", 7L, "2024-01-01 00:05:00"))
+    runBatch()
+    assert(out.toArray.toSet == Set(("a", 5L)), out.toString)
+    // batch 3: a is exhausted forever; b still has budget
+    out.clear()
+    mem.addData(qd("a", 99L, "2024-01-01 00:20:00"),
+      qd("b", 11L, "2024-01-01 00:02:00"))
+    runBatch()
+    assert(out.toArray.toSet == Set(("b", 11L)), out.toString)
+  }
+
+  test("quotaCapStream rejects a non-positive quota") {
+    val mem = MemoryStream[StreamingOps.QuotaDoc](spark)
+    intercept[IllegalArgumentException] {
+      StreamingOps.quotaCapStream(mem.toDS(), quota = 0)
+    }
+  }
 }
