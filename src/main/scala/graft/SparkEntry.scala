@@ -1512,6 +1512,24 @@ object SparkEntry {
       base.crossJoin(broadcast(vocab)).crossJoin(broadcast(dups))
         .withColumn("mean_chars_micro",
           expr("total_chars * 1000000L div n_docs"))
+    }),
+    // ---- personalized PageRank: q132's planted graph, but ALL
+    //      teleport mass returns to the trusted seed set (doc_id
+    //      multiples of 20) — the seed-expansion quality signal; an
+    //      unreachable page scores 0, not a floor. Same integer
+    //      micro-unit replay contract. ----
+    "q139_personalized_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % m,
+          (col("doc_id") * 13 + 5) % m,
+          (col("doc_id") * 29 + 11) % m)).as("dst"))
+      graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+        d.filter(col("doc_id") % 20 === 0), "doc_id", iterations = 5)
+        .orderBy(col("pr_micro").desc, col("vertex"))
+        .limit(25)
     })
   )
 
@@ -3272,8 +3290,51 @@ SELECT
    AS n_exact_dup_docs,
  (SELECT CAST(count(*) AS BIGINT) FROM dg WHERE c > 1) AS n_dup_groups,
  (SELECT CAST(sum(length(text)) AS BIGINT) * 1000000
-    // CAST(count(*) AS BIGINT) FROM documents) AS mean_chars_micro"""
+    // CAST(count(*) AS BIGINT) FROM documents) AS mean_chars_micro""",
+    "q139_personalized_pagerank" -> personalizedPageRankOracle
   )
+
+  /** q139: the seeded-teleport variant of [[pageRankOracle]] — same
+    * integer floor-division supersteps, but pr₀ and the teleport term
+    * are gated on seed membership and sized by |seeds ∩ V|. */
+  private def personalizedPageRankOracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH docs AS (SELECT doc_id FROM documents),
+mx AS (SELECT max(doc_id) + 1 AS m FROM docs),
+eraw AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % m AS dst FROM docs CROSS JOIN mx
+  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % m FROM docs CROSS JOIN mx
+  UNION ALL SELECT doc_id, (doc_id * 29 + 11) % m FROM docs CROSS JOIN mx),
+edges AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+verts0 AS (SELECT src AS vertex FROM edges
+  UNION SELECT dst AS vertex FROM edges),
+sd AS (SELECT doc_id AS vertex FROM documents WHERE doc_id % 20 = 0),
+verts AS (SELECT v.vertex, (s.vertex IS NOT NULL) AS is_seed
+  FROM verts0 v LEFT JOIN sd s ON v.vertex = s.vertex),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts WHERE is_seed),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM edges
+  GROUP BY src),
+r0 AS (SELECT vertex, CASE WHEN is_seed
+  THEN (SELECT 1000000 // n FROM ns) ELSE 0 END AS pr FROM verts),
+"""
+    for (i <- 1 to 5) {
+      sb ++= s"""c$i AS (SELECT e.dst,
+  CAST(sum(r.pr // o.odeg) AS BIGINT) AS contrib
+  FROM edges e JOIN r${i - 1} r ON e.src = r.vertex
+  JOIN od o ON e.src = o.src GROUP BY e.dst),
+r$i AS (SELECT v.vertex, CASE WHEN v.is_seed
+    THEN (SELECT 150000 // n FROM ns) ELSE 0 END
+    + (85 * coalesce(c.contrib, 0)) // 100 AS pr
+  FROM verts v LEFT JOIN c$i c ON v.vertex = c.dst),
+"""
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= """
+SELECT r.vertex, CAST(r.pr AS BIGINT) AS pr_micro, v.is_seed
+FROM r5 r JOIN verts v ON r.vertex = v.vertex
+ORDER BY pr_micro DESC, r.vertex LIMIT 25"""
+    sb.toString
+  }
 
   /** q133: the partial-probe IVF audit replayed end to end — k-medians
     * train + assign via KMediansOracle (the q79/q80 invariants), probe

@@ -578,5 +578,13 @@ class PlanShapeSpec extends SparkSpec {
     val p137 = finalPlan(q("q137_normalize_text"))
     assert(!p137.contains("Join") && !p137.contains("HashAggregate"),
       s"normalization must stay map-only:\n$p137")
+    // q139 personalized PageRank: q132's superstep contract (keyed
+    // joins, TakeOrdered cut)
+    val p139 = finalPlan(q("q139_personalized_pagerank"))
+    assert(!p139.contains("CartesianProduct") &&
+      !p139.contains("BroadcastNestedLoopJoin"),
+      s"seeded supersteps must stay keyed:\n$p139")
+    assert(p139.contains("TakeOrderedAndProject"),
+      s"the seeded authority cut must be TakeOrdered:\n$p139")
   }
 }

@@ -143,4 +143,54 @@ class GraphSpec extends SparkSpec {
     }
     assert(checked >= 5, s"only $checked non-degenerate cases")
   }
+
+  /** Seeded-teleport hand replay, same integer semantics. */
+  private def handPpr(es: Seq[(Long, Long)], seeds: Set[Long],
+                      iters: Int, d: Int): Map[Long, Long] = {
+    val e = es.filter { case (a, b) => a != b }.distinct
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val sv = verts.filter(seeds.contains)
+    val n = sv.size.toLong
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val teleport = (1000000L * (100 - d) / 100) / n
+    var pr = verts.map(v =>
+      v -> (if (seeds.contains(v)) 1000000L / n else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (u, _) => pr(u) / outdeg(u) }.sum
+      }
+      pr = verts.map(v => v ->
+        ((if (seeds.contains(v)) teleport else 0L) +
+          d * contrib.getOrElse(v, 0L) / 100)).toMap
+    }
+    pr
+  }
+
+  test("personalizedPageRank matches the seeded hand replay") {
+    val seeds = Seq(0L).toDF("id")
+    val got = Graph.personalizedPageRank(edges, "src", "dst",
+      seeds, "id", iterations = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    val want = handPpr(
+      Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L)),
+      Set(0L), 5, 85)
+    assert(got.view.mapValues(_._1).toMap === want)
+    assert(got(0L)._2 && !got(1L)._2)
+    // vertex 3 is unreachable from the seed: exactly 0, not a floor
+    assert(got(3L)._1 === 0L)
+    // the seed keeps its teleport income every round
+    assert(got(0L)._1 >= (1000000L * 15 / 100) / 1)
+  }
+
+  test("personalizedPageRank ignores off-graph seeds, rejects empty seed set") {
+    val got = Graph.personalizedPageRank(edges, "src", "dst",
+      Seq(0L, 999L).toDF("id"), "id", iterations = 2)
+      .filter(col("is_seed")).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(0L)) // 999 not a vertex
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "src", "dst",
+        Seq(999L).toDF("id"), "id")
+    }
+  }
 }
