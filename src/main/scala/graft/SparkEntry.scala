@@ -1530,6 +1530,19 @@ object SparkEntry {
         d.filter(col("doc_id") % 20 === 0), "doc_id", iterations = 5)
         .orderBy(col("pr_micro").desc, col("vertex"))
         .limit(25)
+    }),
+    // ---- embedding snapshot drift: per-label cosine between the
+    //      rank-median centroids of two corpus slices (even/odd
+    //      vec_id as the planted "snapshots") — the re-embed audit
+    //      run before trusting ANN indexes across a model change.
+    //      Exact rank-element centroids (q118's machinery), integer
+    //      micros out. ----
+    "q140_embedding_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.centroidDrift(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        "label")
+        .orderBy("label")
     })
   )
 
@@ -3291,7 +3304,37 @@ SELECT
  (SELECT CAST(count(*) AS BIGINT) FROM dg WHERE c > 1) AS n_dup_groups,
  (SELECT CAST(sum(length(text)) AS BIGINT) * 1000000
     // CAST(count(*) AS BIGINT) FROM documents) AS mean_chars_micro""",
-    "q139_personalized_pagerank" -> personalizedPageRankOracle
+    "q139_personalized_pagerank" -> personalizedPageRankOracle,
+    // q140: q118's quantile_disc centroid replay per slice, then the
+    // centroid-pair cosine with the shared zero-norm guard.
+    "q140_embedding_drift" ->
+      """WITH ea AS (SELECT vec_id, CAST(label AS VARCHAR) AS lbl,
+    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS vv
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    AND vec_id % 2 = 0),
+eb AS (SELECT vec_id, CAST(label AS VARCHAR) AS lbl,
+    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS vv
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    AND vec_id % 2 = 1),
+ma AS (SELECT lbl, d, quantile_disc(x, 0.5) AS md FROM (
+    SELECT lbl, unnest(vv) AS x, unnest(range(1, len(vv) + 1)) AS d
+    FROM ea) GROUP BY 1, 2),
+ca AS (SELECT lbl, list(md ORDER BY d) AS cent FROM ma GROUP BY lbl),
+mb AS (SELECT lbl, d, quantile_disc(x, 0.5) AS md FROM (
+    SELECT lbl, unnest(vv) AS x, unnest(range(1, len(vv) + 1)) AS d
+    FROM eb) GROUP BY 1, 2),
+cb AS (SELECT lbl, list(md ORDER BY d) AS cent FROM mb GROUP BY lbl),
+na AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_a FROM ea GROUP BY lbl),
+nb AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_b FROM eb GROUP BY lbl)
+SELECT ca.lbl AS label, na.n_a, nb.n_b,
+  CAST(round(CASE WHEN sqrt(list_dot_product(ca.cent, ca.cent)) *
+      sqrt(list_dot_product(cb.cent, cb.cent)) = 0 THEN 0.0
+    ELSE list_dot_product(ca.cent, cb.cent) /
+      (sqrt(list_dot_product(ca.cent, ca.cent)) *
+       sqrt(list_dot_product(cb.cent, cb.cent))) END * 1000000)
+    AS BIGINT) AS cos_micro
+FROM ca JOIN cb USING (lbl) JOIN na USING (lbl) JOIN nb USING (lbl)
+ORDER BY label"""
   )
 
   /** q139: the seeded-teleport variant of [[pageRankOracle]] — same

@@ -798,21 +798,31 @@ object Similarity {
     * and broadcast; scoring is one narrow codegen'd pass; the
     * per-group cut is the bounded [[TopK]] aggregate, not a window.
     */
-  def semanticOutliers(df: DataFrame, idCol: String, vecCol: String,
-                       labelCol: String, k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
-    val base = df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+  /** Per-label rank-median centroid: each centroid component is the
+    * exact per-coordinate median (rank-element selection through
+    * [[Scale.exactQuantilesByGroup]] — bounded memory, replayable as
+    * `quantile_disc(0.5)`). Returns (_lbl, _cent) — label-count rows.
+    * Shared by [[semanticOutliers]] and [[centroidDrift]]. */
+  private[operators] def rankMedianCentroids(base: DataFrame,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
     val el = base.select(col(idCol), col(labelCol).cast("string").as("_lbl"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_x")))
       .withColumn("_gk", concat_ws("|", col("_lbl"), col("_pos")))
     val med = Scale.exactQuantilesByGroup(el, "_gk", "_x", idCol, Seq(0.5))
-    val cent = med.select(
+    med.select(
         substring_index(col("_gk"), "|", 1).as("_lbl"),
         substring_index(col("_gk"), "|", -1).cast("int").as("_pos"),
         col("_x"))
       .groupBy("_lbl")
       .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_x")))),
         s => s.getField("_x")).as("_cent"))
+  }
+
+  def semanticOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val cent = rankMedianCentroids(base, idCol, vecCol, labelCol)
     // zero-norm guard: a rank-median centroid CAN be the zero vector
     // (e.g. two orthogonal members); cosine is undefined there, and the
     // engines disagree on 0/0 (ANSI error vs inf) — score 0 ("no
@@ -936,5 +946,41 @@ object Similarity {
     TopK.perGroup(scored.select("query_id", "neighbor_id", "cos"),
       "query_id", "cos", "neighbor_id", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Embedding snapshot drift: per label, the cosine between the
+    * rank-median centroids of two corpus snapshots (old embedder vs
+    * re-embedded, last week vs this week) — the model/version drift
+    * audit an embedding-dependent pipeline runs before trusting ANN
+    * indexes or SemDeDup thresholds across a re-embed. cos ≈ 10⁶
+    * (micros) means the label's semantic direction held; a drop
+    * flags re-tuning.
+    *
+    * Centroids come from [[rankMedianCentroids]] (exact rank
+    * elements, replayable as `quantile_disc`), the zero-norm guard is
+    * q118's (engines disagree on 0/0), and the output is integer
+    * micros. Only labels present in BOTH snapshots drift-score; the
+    * two label-count centroid frames join broadcast. Returns
+    * (label, n_a, n_b, cos_micro) — label-count rows. */
+  def centroidDrift(a: DataFrame, b: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String): DataFrame = {
+    def clean(df: DataFrame) =
+      df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val fa = clean(a); val fb = clean(b)
+    val ca = rankMedianCentroids(fa, idCol, vecCol, labelCol)
+    val cb = rankMedianCentroids(fb, idCol, vecCol, labelCol)
+      .select(col("_lbl"), col("_cent").as("_cent_b"))
+    val na = fa.groupBy(col(labelCol).cast("string").as("_lbl"))
+      .agg(count(lit(1)).as("n_a"))
+    val nb = fb.groupBy(col(labelCol).cast("string").as("_lbl"))
+      .agg(count(lit(1)).as("n_b"))
+    val np = norm(col("_cent")) * norm(col("_cent_b"))
+    val cos = when(np === 0.0, lit(0.0))
+      .otherwise(dot(col("_cent"), col("_cent_b")) / np)
+    ca.join(broadcast(cb), Seq("_lbl"))
+      .join(broadcast(na), Seq("_lbl"))
+      .join(broadcast(nb), Seq("_lbl"))
+      .select(col("_lbl").as(labelCol), col("n_a"), col("n_b"),
+        round(cos * 1000000L).cast("bigint").as("cos_micro"))
   }
 }

@@ -586,5 +586,11 @@ class PlanShapeSpec extends SparkSpec {
       s"seeded supersteps must stay keyed:\n$p139")
     assert(p139.contains("TakeOrderedAndProject"),
       s"the seeded authority cut must be TakeOrdered:\n$p139")
+    // q140 drift: centroids ride q118's bucketed rank selection; the
+    // label-count frames join keyed, never a product
+    val p140 = finalPlan(q("q140_embedding_drift"))
+    assert(!p140.contains("CartesianProduct") &&
+      !p140.contains("BroadcastNestedLoopJoin"),
+      s"centroid drift joins must stay keyed:\n$p140")
   }
 }

@@ -515,4 +515,44 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.exists { case (q, n) => q == 1L || n == 1L })
     assert(got.toSet === Set((0L, 2L), (2L, 0L)))
   }
+
+  test("centroidDrift: identical slices score 1.0, flipped slices -1.0") {
+    import spark.implicits._
+    // label 0: same direction in both snapshots; label 1: sign flip
+    val a = Seq(
+      (0L, Array(1f, 0f), 0), (2L, Array(0.8f, 0f), 0),
+      (4L, Array(0f, 1f), 1), (6L, Array(0f, 0.6f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq(
+      (1L, Array(0.9f, 0f), 0), (3L, Array(0.7f, 0f), 0),
+      (5L, Array(0f, -1f), 1), (7L, Array(0f, -0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(a, b, "vec_id", "embedding",
+      "label").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got("0") === ((2L, 2L, 1000000L)))
+    assert(got("1") === ((2L, 2L, -1000000L)))
+  }
+
+  test("centroidDrift: one-sided labels and null labels drop out; zero norm scores 0") {
+    import spark.implicits._
+    val a = Seq(
+      (0L, Array(1f, 0f), Some(0)), (2L, Array(0f, 1f), Some(9)),
+      (4L, Array(1f, 1f), None),
+      // literal zero vector: label 5's centroid has zero norm on both
+      // sides, exercising the 0/0 guard
+      (6L, Array(0f, 0f), Some(5)))
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq(
+      (1L, Array(1f, 0.1f), Some(0)), (3L, Array(0f, 0f), Some(5)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(a, b, "vec_id", "embedding",
+      "label").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // label 9 only in a, null label dropped -> only labels 0 and 5
+    assert(got.keySet === Set("0", "5"))
+    assert(got("5") === 0L) // zero-norm guard, not NaN/error
+    assert(got("0") > 990000L)
+  }
 }
