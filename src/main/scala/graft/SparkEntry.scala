@@ -1543,6 +1543,29 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
         "label")
         .orderBy("label")
+    }),
+    // ---- end-to-end curation pipeline: the operators COMPOSED the
+    //      way a user runs them — normalize → exact-dedup on the
+    //      normalized text (keep min id) → quality floor (≥30
+    //      tokens) → per-source quota (15) → split assignment. Every
+    //      stage has its own proven replay; this gate proves the
+    //      composition. ----
+    "q141_pipeline_e2e" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val norm = d.select(col("doc_id"), col("source"),
+        TextAnalysis.normalizeText(col("text")).as("norm_text"))
+      val deduped = Dedup.dropExactDuplicates(norm, "doc_id", "norm_text")
+      val quality = deduped
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("norm_text")).cast("long"))
+        .filter(col("n_tokens") >= 30)
+      val capped = quality.join(
+        Curation.quotaCap(quality, "source", "doc_id", quota = 15)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      Curation.assignSplits(capped, "doc_id")
+        .select("doc_id", "source", "split", "n_tokens")
+        .orderBy("doc_id")
     })
   )
 
@@ -3334,8 +3357,42 @@ SELECT ca.lbl AS label, na.n_a, nb.n_b,
        sqrt(list_dot_product(cb.cent, cb.cent))) END * 1000000)
     AS BIGINT) AS cos_micro
 FROM ca JOIN cb USING (lbl) JOIN na USING (lbl) JOIN nb USING (lbl)
-ORDER BY label"""
+ORDER BY label""",
+    "q141_pipeline_e2e" -> pipelineE2eOracle
   )
+
+  /** q141: the full curation chain replayed stage by stage — each
+    * stage's SQL is the verbatim replay its own gate already proved
+    * (q137 normalize, q15-family digest dedup, q24 token count, q136
+    * quota rank, q44 split buckets); the nesting proves composition. */
+  private def pipelineE2eOracle: String = {
+    def hv(p: Int) =
+      s"instr('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1))"
+    val splitBucket =
+      s"(4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)} + ${hv(4)}) % 100"
+    val rank48 =
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+    """WITH n AS (SELECT doc_id, source,
+  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+    '\s+', ' ', 'g')) AS norm_text FROM documents),
+canon AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY md5(norm_text)),
+dd AS (SELECT n.* FROM n JOIN canon USING (doc_id)),
+q AS (SELECT doc_id, source,
+  CAST(len(list_filter(string_split_regex(lower(norm_text), '\s+'),
+    t -> len(t) > 0)) AS BIGINT) AS n_tokens
+  FROM dd),
+qf AS (SELECT * FROM q WHERE n_tokens >= 30),
+capped AS (SELECT doc_id, source, n_tokens FROM (
+  SELECT doc_id, source, n_tokens, row_number() OVER (PARTITION BY source
+    ORDER BY """ + rank48 + """ ASC, doc_id ASC) AS qr FROM qf)
+  WHERE qr <= 15)
+SELECT doc_id, source,
+  CASE WHEN """ + splitBucket + """ < 80 THEN 'train'
+       WHEN """ + splitBucket + """ < 90 THEN 'validation'
+       ELSE 'test' END AS split,
+  n_tokens
+FROM capped ORDER BY doc_id"""
+  }
 
   /** q139: the seeded-teleport variant of [[pageRankOracle]] — same
     * integer floor-division supersteps, but pr₀ and the teleport term

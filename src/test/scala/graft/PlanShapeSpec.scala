@@ -592,5 +592,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p140.contains("CartesianProduct") &&
       !p140.contains("BroadcastNestedLoopJoin"),
       s"centroid drift joins must stay keyed:\n$p140")
+    // q141 composed pipeline: dedup and quota joins stay keyed and the
+    // quota cut stays the bounded aggregate through the composition
+    val p141 = finalPlan(q("q141_pipeline_e2e"))
+    assert(!p141.contains("CartesianProduct") &&
+      !p141.contains("BroadcastNestedLoopJoin") &&
+      !p141.contains("Window"),
+      s"the composed pipeline must keep every stage's shape:\n$p141")
   }
 }
