@@ -274,4 +274,32 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(twice == out)
   }
+
+  test("property: normalizeText is idempotent on random strings") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // mixed printable/control/unicode-ish alphabet, deterministic seeds
+    val genStr = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\u000B', '\u0001'),
+      1 -> Gen.oneOf('A', 'Z', '.', ',', '!'),
+      1 -> Gen.oneOf('\u00e9', '\u4e2d', '\u00df'))).map(_.mkString)
+    val cases = (0 until 60).map(i =>
+      genStr.pureApply(Gen.Parameters.default, Seed(3L + i)))
+    val df = cases.toDF("t")
+    val once = df.select(TextAnalysis.normalizeText(col("t")).as("n"))
+      .as[String].collect().toSeq
+    val twice = df.select(TextAnalysis.normalizeText(
+      TextAnalysis.normalizeText(col("t"))).as("n"))
+      .as[String].collect().toSeq
+    assert(once == twice)
+    // invariants: no control chars, no double spaces, no edge spaces
+    for (n <- once) {
+      assert(!n.exists(_ < ' '), s"control char survived: ${n.toList}")
+      assert(!n.contains("  "), s"whitespace run survived: '$n'")
+      assert(n == n.trim, s"edge whitespace survived: '$n'")
+      assert(n == n.toLowerCase, s"upper case survived: '$n'")
+    }
+  }
 }
