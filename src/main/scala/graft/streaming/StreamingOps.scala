@@ -613,4 +613,89 @@ object StreamingOps {
           }
       }
   }
+
+  /** The running release-card totals: every field is a semigroup fold
+    * of per-batch aggregates, so stream state ≡ the batch card over
+    * the union of everything seen (asserted in the spec). */
+  final case class CorpusCardState(nDocs: Long, totalChars: Long,
+                                   totalTokens: Long, nEmpty: Long,
+                                   sources: Set[String],
+                                   langs: Set[String],
+                                   vocabRegisters: Map[Int, Int])
+
+  /** Incremental corpus dataset card — the q138 release frame
+    * maintained across micro-batches of a live ingest. Exact counters
+    * (docs/chars/tokens/empties) fold as sums; sources/langs fold as
+    * set union (bounded by SOURCE/LANG cardinality, not documents —
+    * the same contract as the per-group quota state); the vocabulary,
+    * which is NOT boundedly exact incrementally, is tracked as the
+    * portable HLL register table ([[graft.operators.Sketch]]) whose
+    * MAX-merge is associative+idempotent — so the streamed registers
+    * are BIT-IDENTICAL to a one-shot batch sketch of the union, not
+    * merely close (spec-asserted). Two aggregate jobs per batch (one
+    * scalar row, one ≤256-row register frame); raw rows never reach
+    * the driver. */
+  final class IncrementalCorpusCard {
+    import graft.operators.{Sketch, TextAnalysis}
+    private var state = CorpusCardState(0L, 0L, 0L, 0L,
+      Set.empty, Set.empty, Map.empty)
+
+    /** Fold one micro-batch (columns: text, source, lang). */
+    def update(batch: DataFrame): Unit = {
+      val row = batch.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(length(col("text"))), lit(0L)).cast("long").as("ch"),
+        coalesce(sum(size(TextAnalysis.tokens(col("text")))), lit(0L))
+          .cast("long").as("tk"),
+        coalesce(sum(when(col("text").isNull || col("text") === "", 1L)
+          .otherwise(0L)), lit(0L)).as("emp"),
+        collect_set(col("source")).as("srcs"),
+        collect_set(col("lang")).as("lngs")).head()
+      val regs = Sketch.hllRegisters(
+        batch.select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        "tok", Seq.empty)
+        .collect().map(r => r.getInt(0) -> r.getInt(1))
+      synchronized {
+        state = CorpusCardState(
+          state.nDocs + row.getLong(0),
+          state.totalChars + row.getLong(1),
+          state.totalTokens + row.getLong(2),
+          state.nEmpty + row.getLong(3),
+          state.sources ++ row.getSeq[String](4),
+          state.langs ++ row.getSeq[String](5),
+          regs.foldLeft(state.vocabRegisters) { case (acc, (b, r)) =>
+            acc.updated(b, math.max(acc.getOrElse(b, 0), r))
+          })
+      }
+    }
+
+    def current: CorpusCardState = synchronized(state)
+
+    /** Distinct-vocabulary estimate from the merged registers, through
+      * the SAME estimator the batch sketch uses (register frame →
+      * [[graft.operators.Sketch.hllEstimate]] — no duplicated
+      * formula). */
+    def vocabEstimate(spark: org.apache.spark.sql.SparkSession): Double = {
+      import spark.implicits._
+      val regs = synchronized(state.vocabRegisters).toSeq
+      if (regs.isEmpty) 0.0
+      else Sketch.hllEstimate(regs.toDF("bucket", "reg"), Seq.empty)
+        .head().getDouble(0)
+    }
+  }
+
+  /** Wire a document stream through the incremental card: each
+    * micro-batch folds in; the returned handle exposes the running
+    * release stats. */
+  def corpusCardStream(stream: DataFrame, checkpoint: String)
+      : (IncrementalCorpusCard, StreamingQuery) = {
+    val inc = new IncrementalCorpusCard
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => inc.update(batch) }
+      .start()
+    (inc, q)
+  }
 }

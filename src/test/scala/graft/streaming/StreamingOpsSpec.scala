@@ -956,4 +956,71 @@ class StreamingOpsSpec extends SparkSpec {
       StreamingOps.quotaCapStream(mem.toDS(), quota = 0)
     }
   }
+
+  test("incremental corpus card: stream fold == one-shot batch card on the union") {
+    import graft.operators.{Sketch, TextAnalysis}
+    val mem = MemoryStream[(String, String, String)](spark)
+    val ckpt = s"/tmp/graft-stream-ckpt-${System.nanoTime()}"
+    val b1 = Seq(("alpha beta gamma", "s1", "en"),
+      ("beta beta delta", "s1", "de"), ("", "s2", "en"))
+    val b2 = Seq(("gamma epsilon", "s3", "en"),
+      ("alpha zeta eta theta", "s1", "fr"))
+    // ONE card handle spans both AvailableNow() runs over the shared
+    // checkpoint — the card is driver state (the schema-drift monitor
+    // usage pattern); a fresh handle per run would reset the fold
+    val card = new StreamingOps.IncrementalCorpusCard
+    mem.addData(b1: _*)
+    val q1 = mem.toDF().toDF("text", "source", "lang").writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        card.update(df)
+      }.start()
+    q1.awaitTermination(60000)
+    mem.addData(b2: _*)
+    val q2 = mem.toDF().toDF("text", "source", "lang").writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        card.update(df)
+      }.start()
+    q2.awaitTermination(60000)
+    val got = card.current
+    // batch twin over the union
+    val union = (b1 ++ b2).toDF("text", "source", "lang")
+    assert(got.nDocs === 5L)
+    assert(got.nEmpty === 1L)
+    assert(got.totalChars ===
+      (b1 ++ b2).map(_._1.length.toLong).sum)
+    assert(got.totalTokens ===
+      (b1 ++ b2).map(_._1.split("\\s+").count(_.nonEmpty).toLong).sum)
+    assert(got.sources === Set("s1", "s2", "s3"))
+    assert(got.langs === Set("en", "de", "fr"))
+    // the streamed registers are BIT-identical to the one-shot batch
+    // sketch of the union (max-merge associativity), not merely close
+    val batchRegs = Sketch.hllRegisters(
+      union.select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+      "tok", Seq.empty)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got.vocabRegisters === batchRegs)
+    // and the estimate goes through the same estimator
+    val batchEst = Sketch.hllEstimate(
+      batchRegs.toSeq.toDF("bucket", "reg"), Seq.empty)
+      .head().getDouble(0)
+    assert(card.vocabEstimate(spark) === batchEst)
+  }
+
+  test("corpusCardStream wiring: one run folds the available batches") {
+    val mem = MemoryStream[(String, String, String)](spark)
+    mem.addData(("one two", "sA", "en"), ("three", "sB", "en"))
+    val (inc, q) = StreamingOps.corpusCardStream(
+      mem.toDF().toDF("text", "source", "lang"),
+      s"/tmp/graft-stream-ckpt-${System.nanoTime()}")
+    q.awaitTermination(60000)
+    val got = inc.current
+    assert(got.nDocs === 2L)
+    assert(got.totalTokens === 3L)
+    assert(got.sources === Set("sA", "sB"))
+    assert(inc.vocabEstimate(spark) > 0.0)
+  }
 }
