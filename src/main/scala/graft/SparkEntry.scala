@@ -1566,6 +1566,21 @@ object SparkEntry {
       Curation.assignSplits(capped, "doc_id")
         .select("doc_id", "source", "split", "n_tokens")
         .orderBy("doc_id")
+    }),
+    // ---- fuzzy decontamination: near-dup matches between the corpus
+    //      (source ≠ src0) and a benchmark slice (source = src0) via
+    //      cross-frame LSH banding + exact Jaccard in integer micros —
+    //      catches the paraphrased contamination q46's exact-n-gram
+    //      pass misses. ----
+    "q142_fuzzy_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.fuzzyDecontaminationReport(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"),
+        "doc_id", "text", "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4,
+        thresholdMicros = 500000L)
+        .orderBy("doc_id")
     })
   )
 
@@ -3358,8 +3373,40 @@ SELECT ca.lbl AS label, na.n_a, nb.n_b,
     AS BIGINT) AS cos_micro
 FROM ca JOIN cb USING (lbl) JOIN na USING (lbl) JOIN nb USING (lbl)
 ORDER BY label""",
-    "q141_pipeline_e2e" -> pipelineE2eOracle
+    "q141_pipeline_e2e" -> pipelineE2eOracle,
+    "q142_fuzzy_decontaminate" -> fuzzyDecontaminateOracle
   )
+
+  /** q142: the cross-frame composition replayed on the shared minhash
+    * CTE chain (signatures depend only on a doc's own shingles, so
+    * computing them over ALL documents and restricting sides at the
+    * candidate join is identical to the engine's per-side pipelines);
+    * j_micro is integer floor division, flags at ≥ 500000. */
+  private def fuzzyDecontaminateOracle: String =
+    s"""$minhashCtes,
+xcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  JOIN documents da ON da.doc_id = a.doc_id AND da.source <> 'src0'
+  JOIN documents db ON db.doc_id = b.doc_id AND db.source = 'src0'),
+xsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh
+  GROUP BY doc_id),
+xpr AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM xcand c JOIN sh a ON a.doc_id = c.id_a
+               JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+xjp AS (SELECT id_a, id_b,
+    (inter * 1000000) // (x.n + y.n - inter) AS jm
+  FROM xpr JOIN xsz x ON xpr.id_a = x.doc_id
+           JOIN xsz y ON xpr.id_b = y.doc_id),
+xm AS (SELECT id_a, CAST(count(*) AS BIGINT) AS n_bench_matches,
+    CAST(max(jm) AS BIGINT) AS max_j_micro
+  FROM xjp WHERE jm >= 500000 GROUP BY id_a)
+SELECT d.doc_id,
+  coalesce(m.n_bench_matches, 0) AS n_bench_matches,
+  coalesce(m.max_j_micro, 0) AS max_j_micro,
+  (m.id_a IS NOT NULL) AS flagged
+FROM documents d LEFT JOIN xm m ON m.id_a = d.doc_id
+WHERE d.source <> 'src0' ORDER BY d.doc_id"""
 
   /** q141: the full curation chain replayed stage by stage — each
     * stage's SQL is the verbatim replay its own gate already proved

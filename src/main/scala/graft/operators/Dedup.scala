@@ -999,4 +999,69 @@ object Dedup {
       .withColumn("cost_micro", col("fp_micro") + col("fn_micro"))
       .orderBy("bands")
   }
+
+  /** Fuzzy (near-dup) decontamination report: for every corpus
+    * document, how many BENCHMARK documents it near-duplicates and how
+    * strongly — the cross-frame pass exact-overlap decontamination
+    * ([[graft.operators.Curation.decontaminate]], shared n-grams)
+    * misses when the contamination is a paraphrase or a
+    * partially-edited copy. Candidates come from MinHash+LSH banding
+    * ACROSS the two frames (signatures per side, band-bucket
+    * equi-join — never corpus × benchmark), then exact shingle-set
+    * Jaccard verifies each candidate; a pair counts at
+    * `j_micro ≥ thresholdMicros` where j_micro = ⌊10⁶·|∩|/|∪|⌋
+    * (integer floor division — exact in any engine, no float
+    * threshold boundary).
+    *
+    * Returns one row per corpus document (idCol, n_bench_matches,
+    * max_j_micro, flagged) — the anti-join to actually drop flagged
+    * rows is one `filter(!flagged)` away, and keeping the report
+    * separate makes the drop auditable. Shape at scale: the band join
+    * cardinality tracks near-dup density; verification touches
+    * candidates × document shingles only. */
+  def fuzzyDecontaminationReport(df: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchIdCol: String,
+      benchTextCol: String, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, thresholdMicros: Long = 500000L): DataFrame = {
+    require(thresholdMicros >= 0 && thresholdMicros <= 1000000L,
+      s"thresholdMicros must be in [0, 1e6], got $thresholdMicros")
+    val shC = shingleMultiset(df, idCol, textCol, shingleN)
+    val shB = shingleMultiset(
+      benchmark.select(col(benchIdCol), col(benchTextCol)),
+      benchIdCol, benchTextCol, shingleN)
+    val bandsC = lshBands(minHashSignatures(shC, idCol, numHashes),
+      idCol, numHashes, bands)
+    val bandsB = lshBands(minHashSignatures(shB, benchIdCol, numHashes),
+      benchIdCol, numHashes, bands)
+    val cand = bandsC
+      .select(col(idCol).as("id_a"), col("band"), col("sig"))
+      .join(bandsB.select(col(benchIdCol).as("id_b"), col("band"),
+        col("sig")), Seq("band", "sig"))
+      .select("id_a", "id_b").distinct()
+    val setC = shC.distinct()
+    val setB = shB.distinct()
+    val inter = cand
+      .join(setC.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(setB.select(col(benchIdCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val szC = setC.groupBy(col(idCol).as("id_a"))
+      .agg(count(lit(1)).as("sz_a"))
+    val szB = setB.groupBy(col(benchIdCol).as("id_b"))
+      .agg(count(lit(1)).as("sz_b"))
+    val perDoc = inter.join(szC, "id_a").join(szB, "id_b")
+      .withColumn("j_micro",
+        expr("(inter * 1000000) div (sz_a + sz_b - inter)"))
+      .filter(col("j_micro") >= thresholdMicros)
+      .groupBy("id_a")
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max("j_micro").as("max_j_micro"))
+      .withColumnRenamed("id_a", idCol)
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        coalesce(col("max_j_micro"), lit(0L)).as("max_j_micro"),
+        col("n_bench_matches").isNotNull.as("flagged"))
+  }
 }

@@ -599,5 +599,12 @@ class PlanShapeSpec extends SparkSpec {
       !p141.contains("BroadcastNestedLoopJoin") &&
       !p141.contains("Window"),
       s"the composed pipeline must keep every stage's shape:\n$p141")
+    // q142 fuzzy decontamination: the cross-frame candidate join keys
+    // on (band, sig) and verification on (id, shingle) — never
+    // corpus × benchmark
+    val p142 = finalPlan(q("q142_fuzzy_decontaminate"))
+    assert(!p142.contains("CartesianProduct") &&
+      !p142.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy decontamination must stay band-keyed:\n$p142")
   }
 }

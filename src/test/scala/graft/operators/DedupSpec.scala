@@ -636,4 +636,47 @@ class DedupSpec extends SparkSpec {
       Dedup.lshPlan(spark, numHashes = 16, threshold = 0.5, gridPoints = 5)
     }
   }
+
+  test("fuzzyDecontaminationReport flags near-dups of the benchmark, integer micros") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      // near-copy: one word changed at the end -> high but < 1.0 jaccard
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      // verbatim copy -> jaccard exactly 1.0
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      // unrelated
+      (3L, "completely different words about spark and hashing engines"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyDecontaminationReport(corpus, bench,
+      "doc_id", "text", "bid", "btext", thresholdMicros = 500000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(2L) === ((1L, 1000000L, true)))
+    // doc 1: 10 tokens -> 8 shingles per side, 7 shared:
+    // j = 7/9 -> floor(7e6/9) = 777777
+    assert(got(1L) === ((1L, 777777L, true)))
+    assert(got(3L) === ((0L, 0L, false)))
+  }
+
+  test("fuzzyDecontaminationReport: below-threshold pairs and bad threshold") {
+    import spark.implicits._
+    val bench = Seq((9L, "alpha beta gamma delta")).toDF("bid", "btext")
+    val corpus = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    // raising the threshold to exactly 1.0 keeps only the verbatim copy
+    val strict = Dedup.fuzzyDecontaminationReport(corpus, bench,
+      "doc_id", "text", "bid", "btext", thresholdMicros = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(strict(1L) && !strict(2L))
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyDecontaminationReport(corpus, bench,
+        "doc_id", "text", "bid", "btext", thresholdMicros = 2000000L)
+    }
+  }
 }
