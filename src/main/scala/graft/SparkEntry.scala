@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.SchemaDiff
 import graft.inference.{DirectoryDrift, TypeInference}
-import graft.operators.{Bpe, Clustering, Curation, Dedup, Drift, Multimodal, Similarity, Sketch, TemporalJoins, TextAnalysis, UrlOps}
+import graft.operators.{Audit, Bpe, Clustering, Curation, Dedup, Drift, Multimodal, Similarity, Sketch, Stats, TemporalJoins, TextAnalysis, UrlOps}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1581,7 +1581,62 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 4,
         thresholdMicros = 500000L)
         .orderBy("doc_id")
-    })
+    }),
+    // ---- per-group OLS trend lines: value vs days-since-2024-01-01
+    //      per event_type — one fused 6-sum hash aggregate, closed-form
+    //      fit on the sums (Stats.groupedOls). ----
+    "q143_grouped_ols" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .as("x"),
+          col("value"))
+      Stats.groupedOls(e, "event_type", "x", "value")
+    }),
+    // ---- dyadic-exact exponentially decayed event counts (half-life
+    //      7 days against the frame's max date, weights as integer
+    //      2^(maxK−k) shifts — bit-identical doubles, no float pow
+    //      accumulation). ----
+    "q144_decayed_counts" -> ((s, dir) =>
+      Stats.decayedCounts(t(s, dir, "events"), "event_type", "ts",
+        halfLifeDays = 7, maxK = 12)),
+    // ---- join-size estimation WITHOUT running the join: md5-bucketed
+    //      per-side counts, Σ c_l·c_r upper bound + max-bucket skew
+    //      flag — the pre-flight shuffle-sizing primitive. ----
+    "q145_join_size_estimate" -> ((s, dir) =>
+      Stats.joinSizeEstimate(t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey", nBuckets = 512)),
+    // ---- AUC by rank-sum: does the first embedding coordinate
+    //      separate odd from even labels? (It shouldn't — AUC ≈ 0.5 —
+    //      which is exactly what a leakage audit wants to confirm.)
+    //      Ranks via the bucketed globalRank, ties broken by vec_id. ----
+    "q146_auc_rank_sum" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("score"),
+          (col("label") % 2 === 1).as("is_pos"))
+      Stats.aucRankSum(e, "vec_id", "score", "is_pos")
+    }),
+    // ---- encoding-health audit over PLANTED dirt (q124's planting
+    //      precedent — the corpus is clean): replacement chars, C0
+    //      controls, and non-ASCII keyed on doc_id arithmetic. ----
+    "q147_encoding_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = pmod(col("doc_id"), lit(5))
+      val dirty = when(m === 0,
+          concat(col("text"), lit("\uFFFD bad\uFFFD")))
+        .when(m === 1, concat(col("text"), lit(" \u0001ctl\u0002")))
+        .when(m === 2, concat(col("text"), lit(" caf\u00e9")))
+        .otherwise(col("text"))
+      Audit.encodingAudit(d.withColumn("text", dirty), "source", "text")
+    }),
+    // ---- partition-level content fingerprint: per-source row count +
+    //      commutative 32-bit-row-digest sum — the snapshot-diff
+    //      primitive (compare two runs of this frame to find changed
+    //      partitions without re-reading unchanged ones). ----
+    "q148_table_fingerprint" -> ((s, dir) =>
+      Audit.tableFingerprint(t(s, dir, "documents"), Seq("source"),
+        Seq("doc_id", "text", "lang", "n_chars")))
   )
 
   /** q113's query set: a common-term pair, the one rare term ("dup",
@@ -3374,7 +3429,124 @@ SELECT ca.lbl AS label, na.n_a, nb.n_b,
 FROM ca JOIN cb USING (lbl) JOIN na USING (lbl) JOIN nb USING (lbl)
 ORDER BY label""",
     "q141_pipeline_e2e" -> pipelineE2eOracle,
-    "q142_fuzzy_decontaminate" -> fuzzyDecontaminateOracle
+    "q142_fuzzy_decontaminate" -> fuzzyDecontaminateOracle,
+    // q143: identical sum-then-closed-form structure; the UNROUNDED
+    // slope feeds the intercept on both sides (the engine's expression
+    // tree replayed), 6-dp rounding absorbs double-sum order drift.
+    "q143_grouped_ols" ->
+      """WITH obs AS (SELECT event_type,
+  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE)
+    AS x, value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND NOT isnan(value)),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+  sum(y * y) AS syy FROM obs GROUP BY event_type)
+SELECT event_type, n,
+  round(CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 THEN NULL
+    ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+  round((sy - CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 THEN NULL
+    ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END * sx) / n, 6)
+    AS intercept,
+  round(CASE WHEN n < 2 OR n * sxx - sx * sx <= 0
+      OR n * syy - sy * sy <= 0 THEN NULL
+    ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+FROM s ORDER BY event_type""",
+    // q144: the dyadic weights replayed as integer shifts; float enters
+    // only at the final exact division by 2^12.
+    "q144_decayed_counts" ->
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
+w AS (SELECT event_type,
+  CAST(1 AS BIGINT) << (12 - least(CAST(floor(
+    date_diff('day', CAST(ts AS DATE), r) / 7) AS INTEGER), 12)) AS w
+  FROM events, ref WHERE ts IS NOT NULL)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(w) AS DOUBLE) / 4096.0 AS decayed_count
+FROM w GROUP BY event_type ORDER BY event_type""",
+    // q145: per-bucket count products — every figure an exact bigint
+    // (DuckDB sums of BIGINT widen to HUGEINT; cast back).
+    "q145_join_size_estimate" ->
+      """WITH lb AS (SELECT
+    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+      AS BIGINT) % 512 AS b, CAST(count(*) AS BIGINT) AS cl
+  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY b),
+rb AS (SELECT
+    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4))
+      AS BIGINT) % 512 AS b, CAST(count(*) AS BIGINT) AS cr
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY b),
+p AS (SELECT CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS est_pairs,
+    CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_bucket_pairs
+  FROM lb JOIN rb USING (b)),
+ln AS (SELECT CAST(count(*) AS BIGINT) AS n_left,
+    CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+      AS n_left_null_keys FROM orders),
+rn AS (SELECT CAST(count(*) AS BIGINT) AS n_right,
+    CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+      AS n_right_null_keys FROM lineitem)
+SELECT n_left, n_right, n_left_null_keys, n_right_null_keys,
+  512 AS n_buckets, est_pairs, max_bucket_pairs FROM ln, rn, p""",
+    // q146: the rank-sum identity over the identical (score ASC,
+    // vec_id ASC) total order — exact integer sums, one IEEE division.
+    "q146_auc_rank_sum" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+  ((label % 2 + 2) % 2 = 1) AS is_pos FROM embeddings),
+r AS (SELECT is_pos, CAST(row_number()
+    OVER (ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank FROM s),
+a AS (SELECT
+  CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+  CAST(sum(CASE WHEN is_pos THEN rank ELSE 0 END) AS BIGINT) AS rp
+  FROM r)
+SELECT n_pos, n_neg,
+  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+    ELSE (CAST(rp AS DOUBLE) -
+      CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) / 2.0) /
+      (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+FROM a""",
+    // q147: the same dirt planted via chr(); char counts as
+    // length-differences after a global regexp_replace (RE2 \xhh
+    // classes ≡ the engine's Java-regex classes over these ranges);
+    // `||` null-propagates exactly like Spark concat.
+    "q147_encoding_audit" ->
+      """WITH dirty AS (SELECT source,
+  CASE CAST((doc_id % 5 + 5) % 5 AS INTEGER)
+    WHEN 0 THEN text || (chr(65533) || ' bad' || chr(65533))
+    WHEN 1 THEN text || (' ' || chr(1) || 'ctl' || chr(2))
+    WHEN 2 THEN text || (' caf' || chr(233))
+    ELSE text END AS text FROM documents),
+m AS (SELECT source, text,
+  CASE WHEN text IS NULL THEN 0 ELSE length(text) -
+    length(regexp_replace(text,
+      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) END AS ctrl,
+  CASE WHEN text IS NULL THEN 0 ELSE length(text) -
+    length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) END
+    AS nonascii,
+  CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS chars
+  FROM dirty)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) AS n_null,
+  CAST(count(*) FILTER (WHERE text = '') AS BIGINT) AS n_empty,
+  CAST(count(*) FILTER (WHERE contains(text, chr(65533))) AS BIGINT)
+    AS n_mojibake_docs,
+  CAST(sum(ctrl) AS BIGINT) AS n_ctrl_chars,
+  CAST(sum(nonascii) AS BIGINT) AS n_nonascii_chars,
+  CASE WHEN sum(chars) = 0 THEN NULL
+    ELSE CAST(sum(chars - nonascii) AS BIGINT) * 1000000 //
+      CAST(sum(chars) AS BIGINT) END AS ascii_ratio_micro
+FROM m GROUP BY source ORDER BY source""",
+    // q148: the commutative digest replayed — coalesce to the chr(1)
+    // sentinel, '|' joins, 32-bit md5 prefix summed per partition
+    // (DuckDB BIGINT sums widen to HUGEINT; cast back).
+    "q148_table_fingerprint" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(('0x' || substr(md5(
+    coalesce(CAST(doc_id AS VARCHAR), chr(1)) || '|' ||
+    coalesce(text, chr(1)) || '|' ||
+    coalesce(lang, chr(1)) || '|' ||
+    coalesce(CAST(n_chars AS VARCHAR), chr(1))), 1, 8)) AS BIGINT))
+    AS BIGINT) AS digest
+FROM documents GROUP BY source ORDER BY source"""
   )
 
   /** q142: the cross-frame composition replayed on the shared minhash

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Closed-form statistical operators over grouped frames — the
+  * trend/decay/cardinality primitives a monitoring pipeline runs beside
+  * the drift battery ([[Drift]]): per-group least-squares trend lines,
+  * exponentially decayed activity counters, and sketch-free join-size
+  * estimation for pre-flight shuffle sizing.
+  *
+  * Determinism contract (the q61/corrMatrix convention): every figure is
+  * either an exact integer/decimal aggregate, an IEEE-double formula
+  * over such exact inputs (bit-identical across engines), or a
+  * double-sum-derived figure rounded to 6 dp (the documented ~1e-10
+  * drift absorber for order-dependent double addition).
+  */
+object Stats {
+
+  /** Per-group ordinary-least-squares fit of `yCol` against `xCol`:
+    * one row per group with (n, slope, intercept, r2), rounded to 6 dp.
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+    *
+    * `slope`/`intercept`/`r2` are null when the group is degenerate
+    * (n < 2, zero x-variance, or zero y-variance for r²). Null and NaN
+    * observations are excluded per-row (both coordinates must be
+    * present). Callers should feed a well-conditioned `xCol` (e.g. days
+    * since an epoch, not raw epoch micros): the closed form squares x,
+    * and 6-dp rounding only absorbs drift when the sums carry ≲15
+    * significant digits.
+    *
+    * Scale design (100 TB): ONE fused map-side-combined hash aggregate
+    * (6 sums per group) — the shuffle carries one 6-sum row per group,
+    * never raw observations; the fit formulas are narrow codegen'd
+    * projections over the aggregated frame. No window, no collect, no
+    * second pass. */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val g = df
+      .filter(x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * x).as("_sxx"), sum(x * y).as("_sxy"),
+        sum(y * y).as("_syy"))
+    val n = col("n").cast("double")
+    val sxxN = n * col("_sxx") - col("_sx") * col("_sx")
+    val syyN = n * col("_syy") - col("_sy") * col("_sy")
+    val sxyN = n * col("_sxy") - col("_sx") * col("_sy")
+    val slope = when(col("n") < 2 || sxxN <= 0, lit(null).cast("double"))
+      .otherwise(sxyN / sxxN)
+    g.select(col(groupCol), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("_sy") - slope * col("_sx")) / n, 6).as("intercept"),
+        round(when(col("n") < 2 || sxxN <= 0 || syyN <= 0,
+            lit(null).cast("double"))
+          .otherwise(sxyN * sxyN / (sxxN * syyN)), 6).as("r2"))
+      .orderBy(groupCol)
+  }
+
+  /** Exponentially decayed per-group event counts with DYADIC-EXACT
+    * weights — the "recent activity" counter behind trending/staleness
+    * scoring, computed so both engines produce bit-identical doubles.
+    *
+    * Each event's age relative to the frame's max timestamp is bucketed
+    * into half-lives `k = min(floor(age_days / halfLifeDays), maxK)` and
+    * weighted `2^−k`. The weight is accumulated as the INTEGER
+    * `2^(maxK−k)` (a bigint shift — exact, order-independent,
+    * commutative) and only the final per-group total is divided by
+    * `2^maxK`: division by a power of two is exact in IEEE double while
+    * a float `pow(0.5, k)` sum would be order-dependent. Events with a
+    * null timestamp are excluded.
+    *
+    * Returns one row per group: (group, n_events, decayed_count) where
+    * `decayed_count ∈ (n·2^−maxK, n]`.
+    *
+    * Scale design (100 TB): the reference instant is a 1-row broadcast
+    * aggregate (no driver round-trip, no collect); the weighting is a
+    * narrow codegen'd projection; the counter is one map-side-combined
+    * hash aggregate — one row per group through the shuffle. */
+  def decayedCounts(df: DataFrame, groupCol: String, tsCol: String,
+                    halfLifeDays: Int, maxK: Int = 12): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1: $halfLifeDays")
+    require(maxK >= 0 && maxK <= 52,
+      s"maxK must be in [0, 52] (2^maxK must stay exact in double): $maxK")
+    val ref = df.agg(max(col(tsCol).cast("date")).as("_ref"))
+    val k = least(
+      floor(datediff(col("_ref"), col(tsCol).cast("date")) /
+        halfLifeDays).cast("int"),
+      lit(maxK))
+    df.filter(col(tsCol).isNotNull)
+      .crossJoin(broadcast(ref))
+      .select(col(groupCol),
+        // the Scala shiftleft() helper only takes a literal bit count;
+        // the underlying SQL function accepts a column
+        call_function("shiftleft", lit(1L), lit(maxK) - k).as("_w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("_w")).cast("double") /
+          lit(math.pow(2.0, maxK))).as("decayed_count"))
+      .orderBy(groupCol)
+  }
+
+  /** Join-size ESTIMATION without executing the join — the pre-flight
+    * shuffle-sizing primitive an optimizer (or an operator choosing
+    * between broadcast/salt/plain strategies) consults before launching
+    * a 100 TB join. Both sides collapse to per-bucket counts over a
+    * shared hash bucketing of the key, and the estimate is
+    * Σ_b c_left(b)·c_right(b) — an upper bound on the true equi-join
+    * cardinality that is EXACT when `nBuckets` exceeds the distinct key
+    * count (each bucket then holds one key's rows... modulo hash
+    * collisions, which only ever push the bound up, never under-report).
+    *
+    * The bucket is content-defined — the first 4 hex chars of
+    * `md5(key)` mod `nBuckets` — so both engines (and both sides)
+    * agree on it for any key type rendered as a string. Null keys never
+    * join and are excluded from the estimate (reported separately).
+    *
+    * Returns ONE row: (n_left, n_right, n_left_null_keys,
+    * n_right_null_keys, n_buckets, est_pairs, max_bucket_pairs) — the
+    * max flags the skew a salted join ([[Scale]]) would shear.
+    *
+    * Scale design (100 TB): each side is one map-side-combined
+    * aggregate to ≤ nBuckets rows; the bucket frames join broadcast;
+    * nothing row-sized ever shuffles. All figures are exact bigints. */
+  def joinSizeEstimate(left: DataFrame, leftKey: String,
+                       right: DataFrame, rightKey: String,
+                       nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    def bucketed(df: DataFrame, key: String, cnt: String): DataFrame =
+      df.filter(col(key).isNotNull)
+        .select((conv(substring(md5(col(key).cast("string")), 1, 4),
+          16, 10).cast("long") % nBuckets).as("_b"))
+        .groupBy("_b").agg(count(lit(1)).as(cnt))
+    def nulls(df: DataFrame, key: String) =
+      df.agg(count(lit(1)).as("_total"),
+        sum(when(col(key).isNull, 1L).otherwise(0L)).as("_nulls"))
+    val lb = bucketed(left, leftKey, "_cl")
+    val rb = bucketed(right, rightKey, "_cr")
+    val pairs = lb.join(rb, Seq("_b"))
+      .select((col("_cl") * col("_cr")).as("_p"))
+      .agg(coalesce(sum("_p"), lit(0L)).as("est_pairs"),
+        coalesce(max("_p"), lit(0L)).as("max_bucket_pairs"))
+    nulls(left, leftKey).crossJoin(broadcast(nulls(right, rightKey)
+        .select(col("_total").as("_rt"), col("_nulls").as("_rn"))))
+      .crossJoin(broadcast(pairs))
+      .select(col("_total").as("n_left"), col("_rt").as("n_right"),
+        coalesce(col("_nulls"), lit(0L)).as("n_left_null_keys"),
+        coalesce(col("_rn"), lit(0L)).as("n_right_null_keys"),
+        lit(nBuckets).as("n_buckets"),
+        col("est_pairs"), col("max_bucket_pairs"))
+  }
+
+  /** Area under the ROC curve by the Mann–Whitney rank-sum identity —
+    * the threshold-free evaluation a curation pipeline runs on a quality
+    * score against held-out labels:
+    *
+    *   AUC = (Σ ranks of positives − n_pos·(n_pos+1)/2) / (n_pos·n_neg)
+    *
+    * Ranks are the gapless global total order under (`scoreCol` ASC,
+    * `idCol` ASC) from [[Curation.globalRank]] — the bucketed prefix
+    * sum, NOT a single-partition window. The id tie-break makes the
+    * rank (and therefore the AUC) deterministic under score ties at the
+    * cost of the tie-averaged midrank convention: with continuous
+    * scores the two definitions coincide; with heavy ties this is the
+    * "ties broken by id" AUC on both engines alike.
+    *
+    * `labelCol` must be boolean (true = positive). Returns ONE row:
+    * (n_pos, n_neg, auc) — auc null when either class is empty, else a
+    * single IEEE division of exact integer sums (bit-identical, no
+    * rounding needed).
+    *
+    * Scale design (100 TB): ranking is the [[Curation.globalRank]]
+    * machinery (approx-quantile range buckets, per-bucket windows, a
+    * #buckets-row driver frame — no corpus-wide sort on one task); the
+    * label joins back on the id (AQE-sized exchange) and the rest is
+    * one 3-sum aggregate. */
+  def aucRankSum(df: DataFrame, idCol: String, scoreCol: String,
+                 labelCol: String): DataFrame = {
+    val ranked = Curation.globalRank(
+      df.select(col(idCol), col(scoreCol)), idCol, scoreCol,
+      descending = false)
+    val np = col("_np").cast("double")
+    val nn = col("_nn").cast("double")
+    ranked.join(df.select(col(idCol), col(labelCol)), Seq(idCol))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("_np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("_nn"),
+        sum(when(col(labelCol), col("rank")).otherwise(0L)).as("_rp"))
+      .select(col("_np").as("n_pos"), col("_nn").as("n_neg"),
+        when(col("_np") === 0 || col("_nn") === 0,
+            lit(null).cast("double"))
+          .otherwise((col("_rp").cast("double") -
+            np * (np + 1) / 2.0) / (np * nn)).as("auc"))
+  }
+}

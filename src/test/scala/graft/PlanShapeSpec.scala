@@ -228,7 +228,10 @@ class PlanShapeSpec extends SparkSpec {
       // centroid reassembly over the MEDIANS frame: one (pos, value)
       // struct per vector coordinate — group size = embedding dim,
       // bounded by design, never corpus-sized
-      "q118_semantic_outliers")
+      "q118_semantic_outliers",
+      // same rankMedianCentroids reassembly (the q118 helper) over the
+      // two tagged snapshots — groups stay embedding-dim-bounded
+      "q140_embedding_drift")
     for ((name, fn) <- SparkEntry.queries) {
       // reads the PLAN, not the result — though constructing a few
       // queries does eager work at sf0.001 (q78 writes its partitioned
@@ -606,5 +609,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p142.contains("CartesianProduct") &&
       !p142.contains("BroadcastNestedLoopJoin"),
       s"fuzzy decontamination must stay band-keyed:\n$p142")
+  }
+
+  test("round-7 stats/audit queries (q143-q148) keep scale-safe shapes") {
+    // q143 OLS: ONE fused 6-sum hash aggregate per group — no join, no
+    // window; a second aggregate pass would mean the closed form
+    // regressed to per-statistic scans
+    val p143 = finalPlan(q("q143_grouped_ols"))
+    assert(!p143.contains("Join") && !p143.contains("Window"),
+      s"grouped OLS must be one fused aggregate:\n$p143")
+    val scans143 = p143.split("FileScan parquet").length - 1
+    assert(scans143 == 1, s"OLS reads the corpus once, saw $scans143:\n$p143")
+    // q144 decay: the reference instant is a 1-row broadcast (never a
+    // shuffle of the corpus against its own max), weights are narrow
+    // expressions into one hash aggregate
+    val p144 = finalPlan(q("q144_decayed_counts"))
+    assert(!p144.contains("CartesianProduct") &&
+      !p144.contains("SortMergeJoin"),
+      s"the max-ts frame must broadcast:\n$p144")
+    assert(!p144.contains("Window"),
+      s"decay weighting is an expression, not a window:\n$p144")
+    // q145 join-size estimate: both sides collapse to ≤nBuckets rows
+    // BEFORE any join — the bucket-frame join must be broadcast-hash
+    // and the plan must contain no sort-merge (a sort-merge would mean
+    // a row-sized side reached the join)
+    val p145 = finalPlan(q("q145_join_size_estimate"))
+    assert(p145.contains("BroadcastHashJoin"),
+      s"bucket frames must join broadcast:\n$p145")
+    assert(!p145.contains("SortMergeJoin"),
+      s"nothing row-sized may reach the estimate join:\n$p145")
+    // q146 AUC: ranks ride q98's bucketed machinery — the rank window
+    // must be PARTITIONED by the quantile bucket (a bare global-order
+    // window would funnel the corpus onto one task; the final 3-sum
+    // 1-row aggregate's SinglePartition exchange carries only one
+    // partial row per partition and is fine)
+    val p146 = finalPlan(q("q146_auc_rank_sum"))
+    assert(p146.contains("windowspecdefinition(_bkt"),
+      s"the AUC rank window must be bucket-partitioned:\n$p146")
+    assert(!p146.contains("CartesianProduct"),
+      s"AUC must not plan a product:\n$p146")
+    // q147 encoding audit: planted dirt + counts are narrow per-row
+    // expressions into one hash aggregate — no join
+    val p147 = finalPlan(q("q147_encoding_audit"))
+    assert(!p147.contains("Join"),
+      s"the encoding audit must not join:\n$p147")
+    val scans147 = p147.split("FileScan parquet").length - 1
+    assert(scans147 == 1,
+      s"the audit reads the corpus once, saw $scans147:\n$p147")
+    // q148 fingerprint: one digest projection into one hash aggregate;
+    // the shuffle carries one row per partition key
+    val p148 = finalPlan(q("q148_table_fingerprint"))
+    assert(!p148.contains("Join") && !p148.contains("Window"),
+      s"fingerprinting must be one aggregate:\n$p148")
   }
 }

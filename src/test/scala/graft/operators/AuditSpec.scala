@@ -101,4 +101,72 @@ class AuditSpec extends SparkSpec {
       out.drop(9).forall(_._1 == "b"), "ordered by column then digit")
     assert(out.map(_._2).take(9).toSeq == (1 to 9))
   }
+
+  test("encodingAudit counts mojibake, controls, non-ASCII and the ratio") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some("clean text")),                 // 10 ascii chars
+      ("a", Some("bad \uFFFD here \uFFFD")),     // 2 mojibake chars
+      ("a", Some("ctl \u0001\u0002 end")),       // 2 control chars
+      ("a", Some("caf\u00e9")),                  // 1 non-ascii
+      ("b", Some("")),                           // empty
+      ("b", None)                                // null
+    ).toDF("g", "text")
+    val rows = Audit.encodingAudit(df, "g", "text").collect()
+    val a = rows.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 4L, "n_docs")
+    assert(a.getLong(2) == 0L && a.getLong(3) == 0L)
+    assert(a.getLong(4) == 1L, "one doc contains U+FFFD")
+    assert(a.getLong(5) == 2L, "control chars")
+    // U+FFFD counts as non-ascii too: 2 + 1 (e-acute) = 3
+    assert(a.getLong(6) == 3L, "non-ascii chars")
+    // "clean text"=10, "bad � here �"=12, "ctl <SOH><STX> end"=10, "café"=4
+    val chars = 10L + 12L + 10L + 4L
+    assert(a.getLong(7) == (chars - 3L) * 1000000L / chars,
+      "ascii ratio in exact integer micros")
+    val b = rows.find(_.getString(0) == "b").get
+    assert(b.getLong(2) == 1L && b.getLong(3) == 1L, "null and empty")
+    assert(b.isNullAt(7), "ratio undefined over zero chars")
+  }
+
+  test("encodingAudit: tab/LF/CR are NOT counted as control dirt") {
+    import spark.implicits._
+    val df = Seq(("g", "a\tb\nc\rd")).toDF("g", "text")
+    val row = Audit.encodingAudit(df, "g", "text").collect().head
+    assert(row.getLong(5) == 0L, "whitespace controls are legitimate")
+  }
+
+  test("tableFingerprint: digest is order-independent and change-sensitive") {
+    import spark.implicits._
+    val df1 = Seq((1L, "x", "p0"), (2L, "y", "p0"), (3L, "z", "p1"))
+      .toDF("id", "v", "part")
+    // same rows, different order → identical digests
+    val df2 = Seq((3L, "z", "p1"), (2L, "y", "p0"), (1L, "x", "p0"))
+      .toDF("id", "v", "part")
+    val f1 = Audit.tableFingerprint(df1, Seq("part"), Seq("id", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val f2 = Audit.tableFingerprint(df2, Seq("part"), Seq("id", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(f1.toSeq == f2.toSeq, "commutative digest")
+    // one changed cell flips exactly that partition's digest
+    val df3 = Seq((1L, "X", "p0"), (2L, "y", "p0"), (3L, "z", "p1"))
+      .toDF("id", "v", "part")
+    val f3 = Audit.tableFingerprint(df3, Seq("part"), Seq("id", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val m1 = f1.map(r => r._1 -> r._3).toMap
+    val m3 = f3.map { case (k, _, d) => k -> d }.toMap
+    assert(m1("p1") == m3("p1"), "untouched partition unchanged")
+    assert(m1("p0") != m3("p0"), "changed partition flagged")
+  }
+
+  test("tableFingerprint distinguishes null from empty string") {
+    import spark.implicits._
+    val a = Seq((1L, Option.empty[String], "p")).toDF("id", "v", "part")
+    val b = Seq((1L, Option(""), "p")).toDF("id", "v", "part")
+    val da = Audit.tableFingerprint(a, Seq("part"), Seq("id", "v"))
+      .collect().head.getLong(2)
+    val db = Audit.tableFingerprint(b, Seq("part"), Seq("id", "v"))
+      .collect().head.getLong(2)
+    assert(da != db)
+  }
 }

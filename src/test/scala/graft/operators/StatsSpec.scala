@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+
+  test("groupedOls recovers an exact linear relationship") {
+    import spark.implicits._
+    // y = 3x + 2 exactly for group a; constant y for group b
+    val df = (0 to 9).map(x => ("a", x.toDouble, 3.0 * x + 2.0))
+      .concat((0 to 9).map(x => ("b", x.toDouble, 5.0)))
+      .toDF("g", "x", "y")
+    val rows = Stats.groupedOls(df, "g", "x", "y").collect()
+    val a = rows.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 10L)
+    assert(a.getDouble(2) == 3.0, "slope")
+    assert(a.getDouble(3) == 2.0, "intercept")
+    assert(a.getDouble(4) == 1.0, "r2 of an exact fit")
+    val b = rows.find(_.getString(0) == "b").get
+    assert(b.getDouble(2) == 0.0, "slope of a constant")
+    assert(b.getDouble(3) == 5.0, "intercept of a constant")
+    assert(b.isNullAt(4), "r2 undefined at zero y-variance")
+  }
+
+  test("groupedOls: degenerate groups yield null fits, not garbage") {
+    import spark.implicits._
+    val df = Seq(
+      ("one", 1.0, 4.0),                    // n = 1
+      ("samex", 2.0, 1.0), ("samex", 2.0, 9.0), // zero x-variance
+      ("nan", 1.0, Double.NaN), ("nan", 2.0, 3.0) // NaN row excluded
+    ).toDF("g", "x", "y")
+    val rows = Stats.groupedOls(df, "g", "x", "y").collect()
+    val one = rows.find(_.getString(0) == "one").get
+    assert(one.isNullAt(2) && one.isNullAt(3) && one.isNullAt(4))
+    val samex = rows.find(_.getString(0) == "samex").get
+    assert(samex.isNullAt(2), "zero x-variance has no slope")
+    // the NaN observation is dropped: n = 1 → degenerate
+    val nan = rows.find(_.getString(0) == "nan").get
+    assert(nan.getLong(1) == 1L && nan.isNullAt(2))
+  }
+
+  test("decayedCounts: dyadic weights halve per half-life and floor at maxK") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // max date = 2024-01-29. Ages: 0d → k=0 (w=1), 7d → k=1 (w=0.5),
+    // 14d → k=2 (w=0.25), 28d → k=4 but maxK=3 caps it (w=0.125).
+    val df = Seq(
+      ("a", ts("2024-01-29 12:00:00")),
+      ("a", ts("2024-01-22 12:00:00")),
+      ("a", ts("2024-01-15 12:00:00")),
+      ("a", ts("2024-01-01 12:00:00")),
+      ("b", ts("2024-01-29 00:00:00"))
+    ).toDF("g", "ts")
+    val rows = Stats.decayedCounts(df, "g", "ts", halfLifeDays = 7,
+      maxK = 3).collect()
+    val a = rows.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 4L)
+    assert(a.getDouble(2) == 1.0 + 0.5 + 0.25 + 0.125)
+    val b = rows.find(_.getString(0) == "b").get
+    assert(b.getDouble(2) == 1.0, "event on the reference day is unweighted")
+  }
+
+  test("joinSizeEstimate is exact on distinct keys and bounds the true size") {
+    import spark.implicits._
+    // left: keys 1,2,3 (1 row each); right: key 2 ×3 rows, key 3 ×1,
+    // key 9 ×2 (no left match). True join size = 3 + 1 = 4.
+    val left = Seq(1L, 2L, 3L).toDF("k")
+    val right = Seq(2L, 2L, 2L, 3L, 9L, 9L).toDF("k")
+    val row = Stats.joinSizeEstimate(left, "k", right, "k",
+      nBuckets = 4096).collect().head
+    assert(row.getLong(0) == 3L && row.getLong(1) == 6L)
+    val est = row.getLong(5)
+    val trueSize = left.join(right, Seq("k")).count()
+    assert(est >= trueSize, s"estimate $est must bound true $trueSize")
+    // 4096 buckets over 4 keys: collisions are possible in principle
+    // but these particular md5 buckets are distinct — the estimate is
+    // exactly the true size
+    assert(est == trueSize)
+    assert(row.getLong(6) == 3L, "max bucket pairs = the key-2 bucket")
+  }
+
+  test("joinSizeEstimate: null keys are excluded and reported") {
+    import spark.implicits._
+    val left = Seq(Some(1L), None, None).toDF("k")
+    val right = Seq(Some(1L), Some(1L), None).toDF("k")
+    val row = Stats.joinSizeEstimate(left, "k", right, "k")
+      .collect().head
+    assert(row.getLong(2) == 2L && row.getLong(3) == 1L)
+    assert(row.getLong(5) == 2L, "1 left row × 2 right rows, nulls out")
+  }
+
+  test("aucRankSum: perfect separation → 1.0, inverted → 0.0, AUC of id-score") {
+    import spark.implicits._
+    val perfect = (1 to 10).map(i => (i.toLong, i.toDouble, i > 5))
+      .toDF("id", "score", "y")
+    val r1 = Stats.aucRankSum(perfect, "id", "score", "y").collect().head
+    assert(r1.getLong(0) == 5L && r1.getLong(1) == 5L)
+    assert(r1.getDouble(2) == 1.0)
+    val inverted = (1 to 10).map(i => (i.toLong, -i.toDouble, i > 5))
+      .toDF("id", "score", "y")
+    val r2 = Stats.aucRankSum(inverted, "id", "score", "y").collect().head
+    assert(r2.getDouble(2) == 0.0)
+  }
+
+  test("aucRankSum: single-class input yields null AUC") {
+    import spark.implicits._
+    val df = Seq((1L, 0.3, true), (2L, 0.7, true)).toDF("id", "s", "y")
+    val row = Stats.aucRankSum(df, "id", "s", "y").collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 0L && row.isNullAt(2))
+  }
+
+  test("aucRankSum matches the hand-computed rank-sum on a mixed case") {
+    import spark.implicits._
+    // scores asc: 0.1(n) 0.2(p) 0.3(n) 0.4(p) 0.5(p) → ranks 1..5
+    // positives' ranks: 2+4+5 = 11; U = 11 − 3·4/2 = 5; AUC = 5/(3·2)
+    val df = Seq((1L, 0.1, false), (2L, 0.2, true), (3L, 0.3, false),
+      (4L, 0.4, true), (5L, 0.5, true)).toDF("id", "s", "y")
+    val row = Stats.aucRankSum(df, "id", "s", "y").collect().head
+    assert(row.getDouble(2) == 5.0 / 6.0)
+  }
+}
