@@ -1636,8 +1636,32 @@ object SparkEntry {
     //      partitions without re-reading unchanged ones). ----
     "q148_table_fingerprint" -> ((s, dir) =>
       Audit.tableFingerprint(t(s, dir, "documents"), Seq("source"),
-        Seq("doc_id", "text", "lang", "n_chars")))
+        Seq("doc_id", "text", "lang", "n_chars"))),
+    // ---- Pareto frontier (strict 2-D skyline): the length-vs-quality
+    //      tradeoff curve over a deterministic md5 quality — rows no
+    //      other row strictly beats on BOTH axes; bucketed staircase,
+    //      no global sort window. ----
+    "q149_pareto_frontier" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          Curation.hashBucket16(col("doc_id")).cast("long").as("quality"))
+      Curation.paretoFrontier(d, "doc_id", "n_chars", "quality")
+    }),
+    // ---- lexicon topic classification: term→topic keyword router
+    //      with a total argmax tie-break (most hits, topic ASC),
+    //      fallback 'unknown' for unmatched docs. ----
+    "q150_lexicon_classify" -> ((s, dir) =>
+      TextAnalysis.classifyByLexicon(t(s, dir, "documents"), "doc_id",
+        "text", lexiconFixture))
   )
+
+  /** q150's hand-curated term→topic map (the corpus vocabulary is
+    * database-flavored). Each term maps to exactly one topic. */
+  private val lexiconFixture: Map[String, Seq[String]] = Map(
+    "joins" -> Seq("join", "merge", "hash"),
+    "scans" -> Seq("scan", "filter", "table"),
+    "streaming" -> Seq("stream", "window", "batch"),
+    "sorting" -> Seq("sort", "order", "group"))
 
   /** q113's query set: a common-term pair, the one rare term ("dup",
     * df≈5% — the discriminative-idf case), a 3-term query, and one with
@@ -3546,8 +3570,45 @@ FROM m GROUP BY source ORDER BY source""",
     coalesce(lang, chr(1)) || '|' ||
     coalesce(CAST(n_chars AS VARCHAR), chr(1))), 1, 8)) AS BIGINT))
     AS BIGINT) AS digest
-FROM documents GROUP BY source ORDER BY source"""
+FROM documents GROUP BY source ORDER BY source""",
+    // q149: the staircase identity replayed as one global window over
+    // DISTINCT n_chars (legal at oracle scale) — survivor iff the max
+    // quality among strictly longer docs does not exceed ours.
+    "q149_pareto_frontier" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+    AS quality FROM documents),
+dx AS (SELECT n_chars, max(quality) AS my FROM d GROUP BY n_chars),
+s AS (SELECT n_chars, max(my) OVER (ORDER BY n_chars DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS above FROM dx)
+SELECT d.doc_id, d.n_chars, d.quality
+FROM d JOIN s USING (n_chars)
+WHERE above IS NULL OR above <= d.quality
+ORDER BY n_chars DESC, doc_id""",
+    // q150: the identical tokenize → lexicon join → per-doc argmax
+    // with the (hits DESC, topic ASC) total tie-break as row_number.
+    "q150_lexicon_classify" -> lexiconClassifyOracle
   )
+
+  /** q150: VALUES-literal lexicon interpolated from [[lexiconFixture]]
+    * so engine and oracle share one source of truth. */
+  private def lexiconClassifyOracle: String = {
+    val pairs = lexiconFixture.toSeq
+      .flatMap { case (topic, ws) => ws.map(w => (w.toLowerCase, topic)) }
+      .sortBy(_._1)
+    s"""WITH lex(term, topic) AS (VALUES ${valuesSql(pairs)}),
+tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+h AS (SELECT doc_id, topic, CAST(count(*) AS BIGINT) AS n_hits
+  FROM tok JOIN lex USING (term) GROUP BY doc_id, topic),
+b AS (SELECT doc_id, topic, n_hits, row_number()
+    OVER (PARTITION BY doc_id ORDER BY n_hits DESC, topic ASC) AS rn
+  FROM h)
+SELECT d.doc_id, coalesce(b.topic, 'unknown') AS topic,
+  coalesce(b.n_hits, CAST(0 AS BIGINT)) AS n_hits
+FROM documents d LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
+  USING (doc_id)
+ORDER BY doc_id"""
+  }
 
   /** q142: the cross-frame composition replayed on the shared minhash
     * CTE chain (signatures depend only on a doc's own shingles, so

@@ -778,4 +778,77 @@ object Curation {
     TopK.perGroup(scored, groupCol, "_neg", idCol, quota)
       .select(col(groupCol), col("rank").as("quota_rank"), col(idCol))
   }
+
+  /** Pareto frontier (2-D skyline) under STRICT dominance: keep every
+    * row for which no other row is strictly better in BOTH `xCol` and
+    * `yCol` — the quality-vs-length (or quality-vs-recency) tradeoff
+    * curve a curation pass keeps when no single score blend is agreed
+    * on. Strict dominance (`x' > x AND y' > y`) is deliberate: rows
+    * tied on either axis never eliminate each other, so the rule is
+    * total-order-free and deterministic without tie-break conventions.
+    *
+    * Identity: a row survives iff `max{y' : x' > x} ≤ y` (or no such
+    * row exists). The staircase is computed WITHOUT a global sort
+    * window (the q47/q76 lesson): distinct x-values collapse to
+    * (x, max y) first, approx-quantile range buckets partition the
+    * x-axis, per-bucket suffix maxima make one ≤nBuckets-row driver
+    * round-trip, and the strictly-above running max is a window over
+    * DISTINCT x within each bucket only — preceding rows in x-DESC
+    * order are strictly greater exactly because the frame is distinct.
+    * Thresholds join back broadcast-keyed on (bucket, x).
+    *
+    * Null/NaN coordinates are rejected (NaN sorts opposite to its
+    * quantile bucket — the selectUnderBudget divergence). Returns the
+    * input columns, frontier rows only, ordered (`xCol` DESC, `idCol`).
+    *
+    * Scale design (100 TB): the corpus shuffles once on (bucket, x)
+    * for the distinct-collapse; the window runs per bucket over
+    * distinct values; the threshold frame is distinct-x-sized and
+    * joins back on the same key. No single-partition stage, no
+    * corpus-sized buffering. */
+  def paretoFrontier(df: DataFrame, idCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    require(!df.columns.exists(Set("_bkt", "_my", "_above")),
+      "input must not contain the reserved columns `_bkt`/`_my`/`_above`")
+    val spark = df.sparkSession
+    val x = col(xCol)
+    val y = col(yCol)
+    val bad = df.filter(col(idCol).isNull || x.isNull || y.isNull ||
+      isnan(x.cast("double")) || isnan(y.cast("double"))).limit(1).count()
+    require(bad == 0,
+      s"paretoFrontier requires non-null `$idCol` and non-null, " +
+        s"non-NaN `$xCol`/`$yCol`")
+    val nBuckets = math.max(1, spark.sparkContext.defaultParallelism)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(xCol, probs, 0.001)
+    val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
+      case (e, (b, i)) => when(x.cast("double") > b, i + 1).otherwise(e)
+    }
+    val distinctX = df.select(bucketExpr.as("_bkt"), x.as(xCol), y.as(yCol))
+      .groupBy(col("_bkt"), x).agg(max(y).as("_my"))
+    // suffix maxima of the buckets strictly ABOVE each bucket: the
+    // bucket-max frame is ≤nBuckets rows, so the strictly-greater
+    // self-pairing is a deliberately tiny nested-loop over ≤nBuckets²
+    // literal-sized rows — never data-sized (native types survive,
+    // where a driver round-trip would force a lossy numeric cast)
+    val bm = distinctX.groupBy("_bkt").agg(max("_my").as("_m"))
+    val suffixDf = bm.select(col("_bkt"), col("_m"))
+      .join(bm.select(col("_bkt").as("_b2"), col("_m").as("_m2")),
+        col("_b2") > col("_bkt"), "left")
+      .groupBy("_bkt").agg(max("_m2").as("_suf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_bkt").orderBy(x.desc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val thresholds = distinctX
+      .join(broadcast(suffixDf), Seq("_bkt"))
+      .withColumn("_above", greatest(max(col("_my")).over(w), col("_suf")))
+      .select(x, col("_above"))
+    df.join(thresholds, Seq(xCol))
+      .filter(col("_above").isNull || col("_above") <= y)
+      .select(df.columns.map(col): _*)
+      .orderBy(x.desc, col(idCol))
+  }
 }

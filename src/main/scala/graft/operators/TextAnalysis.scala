@@ -484,4 +484,53 @@ object TextAnalysis {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(c), "\\p{Cntrl}", " "), "\\s+", " "))
+
+  /** Lexicon (keyword-list) topic classification — the cheap
+    * domain/topic router pipelines run before spending model inference
+    * (FineWeb/RefinedWeb-style domain balancing starts from exactly
+    * this: a hand-curated term→topic map, counted per document).
+    * Deterministic by construction, no model weights.
+    *
+    * Every document's lowercase whitespace tokens join against the
+    * term→topic lexicon; per-document topic hit counts argmax to one
+    * label with a TOTAL tie-break (most hits, then topic name ASC —
+    * encoded as `min(struct(-hits, topic))`, an aggregate, never a
+    * per-document window). Documents matching no term (or with null
+    * text) classify as `fallbackTopic` with 0 hits.
+    *
+    * Scale design (100 TB): the lexicon is a broadcast literal frame
+    * (hand-curated lists are KBs); the token explode is narrow and
+    * pre-aggregates map-side to (doc, topic) counts; the argmax is one
+    * more hash aggregate; unmatched docs return via a left join from
+    * the id frame, not a second scan of the text. */
+  def classifyByLexicon(df: DataFrame, idCol: String, textCol: String,
+                        lexicon: Map[String, Seq[String]],
+                        fallbackTopic: String = "unknown"): DataFrame = {
+    require(lexicon.nonEmpty, "lexicon must not be empty")
+    val terms = lexicon.toSeq.flatMap { case (topic, ws) =>
+      ws.map(w => (w.toLowerCase, topic))
+    }
+    require(terms.map(_._1).distinct.size == terms.size,
+      "each term may map to exactly one topic")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = broadcast(terms.toDF("_term", "topic"))
+    val hits = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("_term"))
+      .join(lex, Seq("_term"))
+      .groupBy(col(idCol), col("topic"))
+      .agg(count(lit(1)).as("n_hits"))
+    val best = hits
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("n_hits")).as("_neg"), col("topic")))
+        .as("_best"))
+      .select(col(idCol), col("_best.topic").as("topic"),
+        (-col("_best._neg")).as("n_hits"))
+    df.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("topic"), lit(fallbackTopic)).as("topic"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(idCol)
+  }
 }

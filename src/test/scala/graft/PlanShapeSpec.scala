@@ -661,5 +661,26 @@ class PlanShapeSpec extends SparkSpec {
     val p148 = finalPlan(q("q148_table_fingerprint"))
     assert(!p148.contains("Join") && !p148.contains("Window"),
       s"fingerprinting must be one aggregate:\n$p148")
+    // q149 skyline: the staircase window is partitioned by the
+    // quantile bucket over DISTINCT x (never a bare global-order
+    // window); the only nested-loop is the ≤nBuckets² suffix-max
+    // self-pairing — literal-sized by construction — and the
+    // threshold joins back keyed on x
+    val p149 = finalPlan(q("q149_pareto_frontier"))
+    assert(p149.contains("windowspecdefinition(_bkt"),
+      s"the staircase window must be bucket-partitioned:\n$p149")
+    assert(!p149.contains("CartesianProduct"),
+      s"the skyline must not plan a data-sized product:\n$p149")
+    // q150 lexicon routing: the term→topic map must broadcast onto the
+    // exploded tokens, and the per-doc argmax is the min(struct)
+    // AGGREGATE — a row_number window here would funnel each doc's
+    // topics through a sort for no reason
+    val p150 = finalPlan(q("q150_lexicon_classify"))
+    assert(p150.contains("BroadcastHashJoin"),
+      s"the lexicon must broadcast:\n$p150")
+    assert(!p150.contains("Window"),
+      s"the argmax must be an aggregate, not a window:\n$p150")
+    assert(!p150.contains("CartesianProduct"),
+      s"lexicon routing must stay keyed:\n$p150")
   }
 }

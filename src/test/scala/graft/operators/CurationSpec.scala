@@ -621,4 +621,50 @@ class CurationSpec extends SparkSpec {
       Curation.quotaCap(docs, "source", "doc_id", 0)
     }
   }
+
+  test("paretoFrontier keeps exactly the strictly-undominated rows") {
+    import spark.implicits._
+    // (x, y): frontier under strict dominance = (5,1), (3,4), (1,9).
+    // (2,3) is beaten by (3,4); (1,1) by (3,4); (4,1) is NOT beaten by
+    // (5,1) (y tie is not strict) -> also on the frontier.
+    val df = Seq(
+      (1L, 5.0, 1.0), (2L, 3.0, 4.0), (3L, 1.0, 9.0),
+      (4L, 2.0, 3.0), (5L, 1.0, 1.0), (6L, 4.0, 1.0)
+    ).toDF("id", "x", "y")
+    val out = Curation.paretoFrontier(df, "id", "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 6L))
+  }
+
+  test("paretoFrontier: ties on an axis never eliminate each other") {
+    import spark.implicits._
+    // all rows share x -> nothing strictly dominates anything
+    val df = Seq((1L, 2.0, 1.0), (2L, 2.0, 5.0), (3L, 2.0, 9.0))
+      .toDF("id", "x", "y")
+    val out = Curation.paretoFrontier(df, "id", "x", "y").count()
+    assert(out == 3L)
+  }
+
+  test("paretoFrontier matches the quadratic definition on a random-ish frame") {
+    import spark.implicits._
+    // deterministic pseudo-random points from integer arithmetic
+    val pts = (1 to 200).map { i =>
+      (i.toLong, ((i * 37) % 101).toDouble, ((i * 61) % 97).toDouble)
+    }
+    val df = pts.toDF("id", "x", "y")
+    val expected = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) => x2 > x && y2 > y }
+    }.map(_._1).toSet
+    val got = Curation.paretoFrontier(df, "id", "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
+  test("paretoFrontier rejects null and NaN coordinates") {
+    import spark.implicits._
+    val df = Seq((1L, Some(1.0), 2.0), (2L, None, 3.0)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Curation.paretoFrontier(df, "id", "x", "y").collect()
+    }
+  }
 }

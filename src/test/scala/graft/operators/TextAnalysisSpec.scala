@@ -302,4 +302,36 @@ class TextAnalysisSpec extends SparkSpec {
       assert(n == n.toLowerCase, s"upper case survived: '$n'")
     }
   }
+
+  test("classifyByLexicon: argmax hits with deterministic tie-break") {
+    import spark.implicits._
+    val lex = Map("a" -> Seq("apple", "avocado"), "b" -> Seq("banana"))
+    val df = Seq(
+      (1L, "apple banana apple"),        // a: 2 hits beats b: 1
+      (2L, "banana nothing else"),       // b: 1
+      (3L, "apple banana"),              // tie 1-1 -> topic ASC -> a
+      (4L, "no lexicon words at all"),   // unmatched -> fallback
+      (5L, null.asInstanceOf[String])    // null text -> fallback
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.classifyByLexicon(df, "doc_id", "text", lex)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == ("a", 2L))
+    assert(out(2L) == ("b", 1L))
+    assert(out(3L) == ("a", 1L), "ties break to the ASC topic")
+    assert(out(4L) == ("unknown", 0L))
+    assert(out(5L) == ("unknown", 0L))
+  }
+
+  test("classifyByLexicon: case-insensitive terms, duplicate terms rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "APPLE Apple")).toDF("doc_id", "text")
+    val out = TextAnalysis.classifyByLexicon(df, "doc_id", "text",
+      Map("fruit" -> Seq("Apple"))).collect().head
+    assert(out.getString(1) == "fruit" && out.getLong(2) == 2L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifyByLexicon(df, "doc_id", "text",
+        Map("x" -> Seq("dup"), "y" -> Seq("DUP")))
+    }
+  }
 }
