@@ -1652,8 +1652,34 @@ object SparkEntry {
     //      fallback 'unknown' for unmatched docs. ----
     "q150_lexicon_classify" -> ((s, dir) =>
       TextAnalysis.classifyByLexicon(t(s, dir, "documents"), "doc_id",
-        "text", lexiconFixture))
+        "text", lexiconFixture)),
+    // ---- hybrid retrieval: BM25 top-10 ∪ raw-tf top-10 fused by
+    //      reciprocal rank (integer-micro contributions, k0=60) —
+    //      the score-free combiner for heterogeneous rankers. ----
+    "q151_rrf_fusion" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bm25 = graft.operators.Retrieval.bm25TopK(d, "doc_id", "text",
+        bm25Queries, k = 10, k1 = 1.5, b = 0.75)
+      val tf = graft.operators.Retrieval.termFrequencyTopK(d, "doc_id",
+        "text", bm25Queries, k = 10)
+      graft.operators.Retrieval.reciprocalRankFusion(Seq(bm25, tf),
+        "query_id", "doc_id", "rank", k = 10)
+    }),
+    // ---- pairwise Jensen–Shannon divergence of the language mix
+    //      across sources — the corpus-composition heatmap. ----
+    "q152_jsd_matrix" -> ((s, dir) =>
+      Drift.jsdMatrix(t(s, dir, "documents"), "source", "lang")),
+    // ---- rendezvous (highest-random-weight) shard routing: per-row
+    //      argmax of md5(shard:id) over a literal shard set — removing
+    //      a shard moves only its own rows. ----
+    "q153_rendezvous_shards" -> ((s, dir) =>
+      graft.operators.Scale.rendezvousAssign(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", rendezvousShards).orderBy("doc_id"))
   )
+
+  /** q153's shard set (sorted; the operator sorts internally too). */
+  private val rendezvousShards = Seq("s0", "s1", "s2", "s3", "s4")
 
   /** q150's hand-curated term→topic map (the corpus vocabulary is
     * database-flavored). Each term maps to exactly one topic. */
@@ -3587,7 +3613,47 @@ WHERE above IS NULL OR above <= d.quality
 ORDER BY n_chars DESC, doc_id""",
     // q150: the identical tokenize → lexicon join → per-doc argmax
     // with the (hits DESC, topic ASC) total tie-break as row_number.
-    "q150_lexicon_classify" -> lexiconClassifyOracle
+    "q150_lexicon_classify" -> lexiconClassifyOracle,
+    "q151_rrf_fusion" -> rrfFusionOracle,
+    // q152: the KL-form JSD replayed per (pair, category) with the
+    // identical expression tree; probabilities are single divisions of
+    // exact counts, the ≤|cats|-term sum rounds to 6 dp.
+    "q152_jsd_matrix" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+p AS (SELECT c.source, c.lang,
+    CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+  FROM c JOIN t USING (source)),
+pairs AS (SELECT a.source AS group_a, a.n AS n_a,
+    b.source AS group_b, b.n AS n_b
+  FROM t a JOIN t b ON a.source < b.source),
+cats AS (SELECT DISTINCT lang FROM c),
+sp AS (SELECT * FROM pairs CROSS JOIN cats),
+w AS (SELECT sp.group_a, sp.group_b, sp.n_a, sp.n_b,
+    coalesce(pa.p, 0.0) AS pa, coalesce(pb.p, 0.0) AS pb
+  FROM sp
+  LEFT JOIN p pa ON pa.source = sp.group_a AND pa.lang = sp.lang
+  LEFT JOIN p pb ON pb.source = sp.group_b AND pb.lang = sp.lang)
+SELECT group_a, group_b, n_a, n_b,
+  round(sum(
+    CASE WHEN pa > 0 THEN pa / 2 * ln(pa / ((pa + pb) / 2))
+      ELSE 0 END +
+    CASE WHEN pb > 0 THEN pb / 2 * ln(pb / ((pa + pb) / 2))
+      ELSE 0 END), 6) AS jsd
+FROM w GROUP BY 1, 2, 3, 4 ORDER BY group_a, group_b""",
+    // q153: the argmax replayed as a per-doc row_number over the
+    // shards × docs weight frame (legal at oracle scale).
+    "q153_rendezvous_shards" ->
+      """WITH sh(shard) AS (VALUES ('s0'), ('s1'), ('s2'), ('s3'), ('s4')),
+w AS (SELECT d.doc_id, d.source, sh.shard,
+    CAST(('0x' || substr(md5(sh.shard || ':' ||
+      CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS wgt
+  FROM documents d CROSS JOIN sh),
+r AS (SELECT doc_id, source, shard, row_number()
+    OVER (PARTITION BY doc_id ORDER BY wgt DESC, shard ASC) AS rn
+  FROM w)
+SELECT doc_id, source, shard FROM r WHERE rn = 1 ORDER BY doc_id"""
   )
 
   /** q150: VALUES-literal lexicon interpolated from [[lexiconFixture]]
@@ -3608,6 +3674,52 @@ SELECT d.doc_id, coalesce(b.topic, 'unknown') AS topic,
 FROM documents d LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
   USING (doc_id)
 ORDER BY doc_id"""
+  }
+
+  /** q151: both rankings replayed on the shared postings CTEs (the
+    * q113 BM25 arithmetic with k1=1.5/b=0.75 folded to literals, plus
+    * the raw Σtf ranking), fused as exact integer-micro floor-division
+    * contributions. */
+  private def rrfFusionOracle: String = {
+    val qvals = bm25Queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+    s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(coalesce(len(tk), 0)) AS DOUBLE) / count(*) AS avgdl
+  FROM (SELECT $tokensSql AS tk FROM documents)),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+q(query_id, term) AS (VALUES ${valuesSql(qvals)}),
+sc AS (SELECT q.query_id, p.doc_id,
+    CAST(sum(CAST(round(
+      ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+        (p.tf * 2.5) /
+        (p.tf + 1.5 * (0.25 + 0.75 * dl.dl / st.avgdl)) * 1000000
+    ) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM post p JOIN q ON q.term = p.term JOIN dfq d ON d.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  GROUP BY 1, 2),
+ra AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+    ORDER BY score_micro DESC, doc_id) AS rank FROM sc),
+tfsc AS (SELECT q.query_id, p.doc_id, CAST(sum(p.tf) AS BIGINT) AS tft
+  FROM post p JOIN q ON q.term = p.term GROUP BY 1, 2),
+rb AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+    ORDER BY tft DESC, doc_id) AS rank FROM tfsc),
+u AS (SELECT query_id, doc_id,
+    CAST(1000000 AS BIGINT) // (60 + rank) AS c
+  FROM (SELECT query_id, doc_id, rank FROM ra WHERE rank <= 10
+    UNION ALL SELECT query_id, doc_id, rank FROM rb WHERE rank <= 10)),
+f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+  FROM u GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, rrf_micro, CAST(row_number()
+    OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id)
+    AS INTEGER) AS rank FROM f)
+SELECT query_id, rank, doc_id, rrf_micro FROM r WHERE rank <= 10
+ORDER BY query_id, rank"""
   }
 
   /** q142: the cross-frame composition replayed on the shared minhash

@@ -395,4 +395,72 @@ object Drift {
       .drop("_w", "_s", "_s2")
       .orderBy(groupCol, "hour")
   }
+
+  /** Pairwise Jensen–Shannon divergence matrix over a categorical
+    * distribution per group — "which sources LOOK different" in one
+    * symmetric, bounded figure (JSD ∈ [0, ln 2] nats; 0 = identical
+    * language mix, ln 2 = disjoint). The drift battery's PSI/KS/chi²
+    * compare one frame against one reference; this compares every
+    * group against every other — the corpus-composition heatmap a
+    * mixing decision reads.
+    *
+    *   JSD(P,Q) = ½·KL(P ‖ M) + ½·KL(Q ‖ M),  M = (P+Q)/2
+    *
+    * computed per category as
+    * `p/2·ln(p/m) + q/2·ln(q/m)` with absent categories contributing
+    * their one-sided `p/2·ln 2` mass through the same expression
+    * (m = p/2 when q = 0). Probabilities are single divisions of exact
+    * integer counts; the ≤|cats|-term double sum rounds to 6 dp (the
+    * q61/entropyProfile convention). Null categories are excluded.
+    * Returns (group_a, group_b, n_a, n_b, jsd) for group_a < group_b,
+    * ordered.
+    *
+    * Scale design (100 TB): the corpus collapses to the
+    * (group × category) count frame in ONE map-side-combined hash
+    * aggregate; the pair spine (groups² × categories) is
+    * dimension-sized and every later join is a broadcast over those
+    * tiny frames — the corpus is never rescanned or re-shuffled. */
+  def jsdMatrix(df: DataFrame, groupCol: String,
+                catCol: String): DataFrame = {
+    // the (group × category) frame feeds SIX consumers (totals, p,
+    // both pair sides, the spine, the category set) — materialize it
+    // once (dimension-sized) or the corpus scan replays per consumer
+    // (7 scans measured before the checkpoint; the q132 loop-invariant
+    // pattern)
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val totals = counts.groupBy(groupCol)
+      .agg(sum("_c").as("_n"))
+    val p = counts.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col(catCol),
+        (col("_c").cast("double") / col("_n").cast("double")).as("_p"))
+    val groups = totals
+      .select(col(groupCol).as("group_a"), col("_n").as("n_a"))
+    val pairs = groups.crossJoin(broadcast(totals
+        .select(col(groupCol).as("group_b"), col("_n").as("n_b"))))
+      .filter(col("group_a") < col("group_b"))
+    val cats = counts.select(col(catCol)).distinct()
+    val spine = pairs.crossJoin(broadcast(cats))
+    val pa = p.select(col(groupCol).as("group_a"), col(catCol),
+      col("_p").as("_pa"))
+    val pb = p.select(col(groupCol).as("group_b"), col(catCol),
+      col("_p").as("_pb"))
+    val withP = spine
+      .join(broadcast(pa), Seq("group_a", catCol), "left")
+      .join(broadcast(pb), Seq("group_b", catCol), "left")
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        coalesce(col("_pa"), lit(0.0)).as("_pa"),
+        coalesce(col("_pb"), lit(0.0)).as("_pb"))
+    val m = (col("_pa") + col("_pb")) / 2.0
+    val term =
+      when(col("_pa") > 0.0, col("_pa") / 2.0 * log(col("_pa") / m))
+        .otherwise(0.0) +
+      when(col("_pb") > 0.0, col("_pb") / 2.0 * log(col("_pb") / m))
+        .otherwise(0.0)
+    withP.groupBy("group_a", "group_b", "n_a", "n_b")
+      .agg(round(sum(term), 6).as("jsd"))
+      .orderBy("group_a", "group_b")
+  }
 }

@@ -96,4 +96,72 @@ object Retrieval {
       .withColumn("score_micro", col("score_micro").cast("bigint"))
       .orderBy("query_id", "rank")
   }
+
+  /** Raw term-frequency top-k — the idf-free baseline ranker (and the
+    * second signal hybrid fusion wants): per query, the k documents
+    * with the largest Σ tf over the query's distinct terms. Exact
+    * integer scores, ties broken on doc id ASC ([[TopK.perGroup]]'s
+    * contract). Same postings/broadcast shape as [[bm25TopK]]. */
+  def termFrequencyTopK(docs: DataFrame, idCol: String, textCol: String,
+                        queries: Seq[(String, String)], k: Int): DataFrame = {
+    require(queries.nonEmpty, "termFrequencyTopK needs at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "query ids must be unique")
+    require(k > 0, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val postings = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
+        .as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val qterms = broadcast(queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }.toDF("query_id", "term"))
+    val scored = postings.join(qterms, Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("tf").as("tf_total"))
+    TopK.perGroup(scored, "query_id", "tf_total", idCol, k)
+      .withColumn("tf_total", col("tf_total").cast("bigint"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * score-free combiner for hybrid retrieval (lexical BM25 + a second
+    * signal): each ranking contributes `1 / (k0 + rank)` per listed
+    * document and the fused order is by total contribution.
+    * Contributions are INTEGER MICROS via floor division
+    * (`10⁶ div (k0+rank)`) so the fused scores are exact integers —
+    * no float sum, no cross-engine rounding exposure; k0 = 60 is the
+    * published default. A document absent from a ranking's list simply
+    * contributes nothing from it (the defining RRF property: no score
+    * normalization across heterogeneous rankers).
+    *
+    * Each input frame must carry (`queryCol`, `idCol`, `rankCol`) with
+    * rank ≥ 1 — exactly what [[bm25TopK]] / [[termFrequencyTopK]] /
+    * [[TopK.perGroup]] emit. Ties in fused score break on doc id ASC.
+    * Returns (queryCol, rank ∈ 1..k, idCol, rrf_micro), ordered.
+    *
+    * Scale design (100 TB): the inputs are already-cut top-k frames
+    * (queries × k rows each); the fusion is a union + one hash
+    * aggregate + the bounded TopK cut — nothing corpus-sized. */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], queryCol: String,
+                           idCol: String, rankCol: String, k: Int,
+                           k0: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "fusion needs at least two rankings")
+    require(k > 0, "k must be positive")
+    require(k0 >= 0, s"k0 must be non-negative: $k0")
+    val u = rankings
+      .map(_.select(col(queryCol), col(idCol), col(rankCol)))
+      .reduce(_ unionByName _)
+    val fused = u
+      .select(col(queryCol), col(idCol),
+        expr(s"cast(1000000 as bigint) div ($k0 + `$rankCol`)").as("_c"))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum("_c").as("rrf_micro"))
+    TopK.perGroup(fused, queryCol, "rrf_micro", idCol, k)
+      .withColumn("rrf_micro", col("rrf_micro").cast("bigint"))
+      .orderBy(queryCol, "rank")
+  }
 }

@@ -434,4 +434,37 @@ object Scale {
       s"/tmp/graft_bkt_${scratchTag}_r", rightKey, buckets)
     l.join(r, col(leftKey) === col(rightKey))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the routing
+    * rule that keeps data movement MINIMAL when the shard set changes:
+    * each row goes to the shard maximizing a 48-bit md5 weight of
+    * (shard, id), so removing one shard reassigns ONLY that shard's
+    * rows (every other row's argmax is untouched) — the property
+    * mod-N hashing lacks (N→N−1 reshuffles nearly everything).
+    *
+    * Deterministic and engine-portable: the weight is the shared
+    * md5-prefix arithmetic (the sampler/splitter idiom), the argmax is
+    * a TOTAL order via `array_min` over (−weight, shard) structs —
+    * max weight, then shard name ASC on the (improbable) 48-bit tie.
+    * Pure per-row codegen'd expression: NO shuffle, no join, no
+    * aggregate — the assignment column rides any downstream
+    * `repartition`/write. Returns the input plus `shard`.
+    *
+    * Scale design (100 TB): cost is |shards| md5 evaluations per row,
+    * map-only; shard lists are config-sized (≤ thousands). At cluster
+    * scale this IS the partitioner — `df.repartition(col("shard"))`
+    * co-locates each shard's rows with zero coordination state. */
+  def rendezvousAssign(df: DataFrame, idCol: String,
+                       shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty, "rendezvousAssign needs at least one shard")
+    require(shards.distinct.size == shards.size,
+      "shard names must be unique")
+    val entries = shards.sorted.map { s =>
+      val w = conv(substring(md5(concat_ws(":", lit(s),
+        col(idCol).cast("string"))), 1, 12), 16, 10).cast("long")
+      struct((-w).as("_nw"), lit(s).as("_shard"))
+    }
+    df.withColumn("shard",
+      array_min(array(entries: _*)).getField("_shard"))
+  }
 }

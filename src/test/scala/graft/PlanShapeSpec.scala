@@ -682,5 +682,32 @@ class PlanShapeSpec extends SparkSpec {
       s"the argmax must be an aggregate, not a window:\n$p150")
     assert(!p150.contains("CartesianProduct"),
       s"lexicon routing must stay keyed:\n$p150")
+    // q151 fusion: the union of two already-cut top-k frames — the
+    // fused cut must stay the bounded TopK aggregate, never a window
+    // over fused candidates, and nothing may plan a product
+    val p151 = finalPlan(q("q151_rrf_fusion"))
+    assert(!p151.contains("Window"),
+      s"the fused cut must be the bounded aggregate:\n$p151")
+    assert(!p151.contains("CartesianProduct"),
+      s"fusion must stay keyed:\n$p151")
+    // q152 JSD: the corpus collapses to (source × lang) counts in one
+    // aggregate; every later join is over dimension-sized frames and
+    // must be broadcast — a SortMergeJoin would mean a data-sized
+    // frame reached the pair spine
+    val p152 = finalPlan(q("q152_jsd_matrix"))
+    assert(!p152.contains("SortMergeJoin"),
+      s"the pair spine must stay broadcast:\n$p152")
+    // the (group × category) counts frame is checkpointed at operator
+    // construction (ONE eager corpus scan); the divergence plan itself
+    // must run entirely off that materialized frame — any parquet scan
+    // here means a consumer re-derived the corpus
+    val scans152 = p152.split("FileScan parquet").length - 1
+    assert(scans152 == 0 && p152.contains("Scan ExistingRDD"),
+      s"JSD must run off the checkpointed counts, saw $scans152 scans:\n$p152")
+    // q153 rendezvous: pure per-row argmax expression — no join, no
+    // aggregate; the only exchange is the gate's presentation sort
+    val p153 = finalPlan(q("q153_rendezvous_shards"))
+    assert(!p153.contains("Join") && !p153.contains("HashAggregate"),
+      s"rendezvous routing must stay map-only:\n$p153")
   }
 }

@@ -237,4 +237,32 @@ class DriftSpec extends SparkSpec {
     val ps = a.map(_(2).asInstanceOf[Long])
     assert(ps == ps.sorted)
   }
+
+  test("jsdMatrix: identical mixes score 0, disjoint mixes score ln 2") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "fr"),
+      ("s2", "en"), ("s2", "en"), ("s2", "fr"),   // same mix as s1
+      ("s3", "de"), ("s3", "de")                  // disjoint from both
+    ).toDF("source", "lang")
+    val out = Drift.jsdMatrix(df, "source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out(("s1", "s2")) == 0.0, "identical mixes")
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("s1", "s3")) == ln2, "disjoint mixes hit the ln 2 bound")
+    assert(out(("s2", "s3")) == ln2)
+    assert(out.size == 3, "strictly-ordered pairs only")
+  }
+
+  test("jsdMatrix counts and bounds: 0 <= jsd <= ln 2 on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Drift.jsdMatrix(docs, "source", "lang").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getDouble(4)
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9, s"out of bounds: $r")
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+    }
+  }
 }

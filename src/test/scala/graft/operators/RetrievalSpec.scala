@@ -67,4 +67,42 @@ class RetrievalSpec extends SparkSpec {
       .as[(String, Int, Long, Long)].collect().toList
     assert(a == b)
   }
+
+  test("termFrequencyTopK ranks by exact summed tf with id tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),   // tf(a)=3
+      (2L, "a b b"),     // tf(a)=1, tf(b)=2 -> query "a b" total 3
+      (3L, "c c c")      // no query terms
+    ).toDF("doc_id", "text")
+    val out = Retrieval.termFrequencyTopK(docs, "doc_id", "text",
+      Seq("q1" -> "a b"), k = 3)
+      .as[(String, Int, Long, Long)].collect().toList
+    // doc1: a=3,b=1 -> 4; doc2: 1+2=3; doc3 absent
+    assert(out == List(("q1", 1, 1L, 4L), ("q1", 2, 2L, 3L)))
+  }
+
+  test("reciprocalRankFusion: hand-computed micro contributions") {
+    import spark.implicits._
+    // ranking A: d1@1, d2@2 ; ranking B: d2@1, d3@2
+    val a = Seq(("q", 1, 1L), ("q", 2, 2L)).toDF("query_id", "rank", "doc_id")
+    val b = Seq(("q", 1, 2L), ("q", 2, 3L)).toDF("query_id", "rank", "doc_id")
+    val out = Retrieval.reciprocalRankFusion(Seq(a, b), "query_id",
+      "doc_id", "rank", k = 10)
+      .as[(String, Int, Long, Long)].collect().toList
+    val r1 = 1000000L / 61   // 16393
+    val r2 = 1000000L / 62   // 16129
+    // d2 appears in both lists: 16129 + 16393 = 32522 -> first
+    assert(out == List(
+      ("q", 1, 2L, r1 + r2), ("q", 2, 1L, r1), ("q", 3, 3L, r2)))
+  }
+
+  test("reciprocalRankFusion rejects a single ranking") {
+    import spark.implicits._
+    val a = Seq(("q", 1, 1L)).toDF("query_id", "rank", "doc_id")
+    intercept[IllegalArgumentException] {
+      Retrieval.reciprocalRankFusion(Seq(a), "query_id", "doc_id",
+        "rank", k = 5)
+    }
+  }
 }

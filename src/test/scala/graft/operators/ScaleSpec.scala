@@ -285,4 +285,36 @@ class ScaleSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("rendezvousAssign: removing one shard moves ONLY its rows") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val full = Scale.rendezvousAssign(df, "id",
+      Seq("s0", "s1", "s2", "s3"))
+      .select("id", "shard").as[(Long, String)].collect().toMap
+    val reduced = Scale.rendezvousAssign(df, "id", Seq("s0", "s1", "s2"))
+      .select("id", "shard").as[(Long, String)].collect().toMap
+    val moved = full.filter { case (id, s) => reduced(id) != s }
+    assert(moved.values.toSet == Set("s3"),
+      s"only s3's rows may move, moved: ${moved.values.toSet}")
+    // rows that were NOT on s3 keep their assignment verbatim
+    full.filter(_._2 != "s3").foreach { case (id, s) =>
+      assert(reduced(id) == s)
+    }
+    // the doomed shard's rows spread over the survivors
+    assert(full.values.toSet.size == 4, "all shards get traffic at n=500")
+  }
+
+  test("rendezvousAssign is deterministic and rejects duplicate shards") {
+    import spark.implicits._
+    val df = (1L to 50L).toDF("id")
+    val a = Scale.rendezvousAssign(df, "id", Seq("a", "b"))
+      .select("id", "shard").as[(Long, String)].collect().toList.sorted
+    val b = Scale.rendezvousAssign(df.repartition(7), "id", Seq("b", "a"))
+      .select("id", "shard").as[(Long, String)].collect().toList.sorted
+    assert(a == b, "partitioning and shard-list order are irrelevant")
+    intercept[IllegalArgumentException] {
+      Scale.rendezvousAssign(df, "id", Seq("a", "a"))
+    }
+  }
 }
