@@ -1675,8 +1675,37 @@ object SparkEntry {
     "q153_rendezvous_shards" -> ((s, dir) =>
       graft.operators.Scale.rendezvousAssign(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
-        "doc_id", rendezvousShards).orderBy("doc_id"))
+        "doc_id", rendezvousShards).orderBy("doc_id")),
+    // ---- mixture-budget rates: target token counts and deterministic
+    //      sampling rates per language for a requested mixture — the
+    //      arithmetic between "we want 40/20/20" and
+    //      stratifiedHashSample's rate map; exact integer micros. ----
+    "q154_mixture_rates" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      Curation.mixtureBudgetRates(d, "lang", "tok",
+        mixtureWeightsFixture, budgetTokens = 100000L)
+    }),
+    // ---- leakage-safe split assignment: near-dup CLUSTERS (q49's
+    //      frontier components) split as a unit — the split is keyed
+    //      on the cluster representative, so two near-duplicate
+    //      documents can never straddle train/test (the classic eval
+    //      contamination bug q44's per-doc hash split permits). ----
+    "q155_leakage_safe_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val clusters = Clustering.nearDupClusters(d, "doc_id", "text")
+        .withColumnRenamed("component", "cluster_rep")
+      Curation.assignSplits(clusters, "cluster_rep")
+        .select(col("doc_id"), col("cluster_rep"), col("split"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** q154's requested mixture in integer micros (en-heavy; the two
+    * unlisted corpus languages get weight 0). */
+  private val mixtureWeightsFixture: Map[String, Long] =
+    Map("en" -> 400000L, "de" -> 200000L, "fr" -> 200000L)
 
   /** q153's shard set (sorted; the operator sorts internally too). */
   private val rendezvousShards = Seq("s0", "s1", "s2", "s3", "s4")
@@ -3653,7 +3682,43 @@ w AS (SELECT d.doc_id, d.source, sh.shard,
 r AS (SELECT doc_id, source, shard, row_number()
     OVER (PARTITION BY doc_id ORDER BY wgt DESC, shard ASC) AS rn
   FROM w)
-SELECT doc_id, source, shard FROM r WHERE rn = 1 ORDER BY doc_id"""
+SELECT doc_id, source, shard FROM r WHERE rn = 1 ORDER BY doc_id""",
+    // q154: the exact micro arithmetic replayed — floor divisions on
+    // BIGINTs, weight via a literal CASE, rate clamped at 10⁶.
+    "q154_mixture_rates" -> {
+      val wsum = mixtureWeightsFixture.values.sum
+      val wCase = mixtureWeightsFixture.toSeq.sortBy(_._1)
+        .map { case (g, wm) => s"WHEN '$g' THEN CAST($wm AS BIGINT)" }
+        .mkString(" ")
+      s"""WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len($tokensSql)) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang),
+w AS (SELECT lang, n_docs, tokens,
+    CASE lang $wCase ELSE CAST(0 AS BIGINT) END AS weight_micro
+  FROM g),
+t AS (SELECT lang, n_docs, tokens, weight_micro,
+    CAST(100000 AS BIGINT) * weight_micro // CAST($wsum AS BIGINT)
+      AS target_tokens FROM w)
+SELECT lang, n_docs, tokens, weight_micro, target_tokens,
+  CASE WHEN tokens <= 0 THEN CAST(0 AS BIGINT)
+    ELSE least(CAST(1000000 AS BIGINT),
+      target_tokens * CAST(1000000 AS BIGINT) // tokens) END
+    AS rate_micro
+FROM t ORDER BY lang"""
+    },
+    // q155: the q49 component CTEs (recursive frontier closure), the
+    // representative IS the component label (min doc id), and the
+    // split replays q44's 4-hex-char bucket arithmetic keyed on it.
+    "q155_leakage_safe_split" ->
+      s"""$componentCtes
+SELECT doc_id, component AS cluster_rep,
+  CASE WHEN bkt < 80 THEN 'train'
+       WHEN bkt < 90 THEN 'validation'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id, component,
+  CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4))
+    AS BIGINT) % 100 AS bkt FROM comp)
+ORDER BY doc_id"""
   )
 
   /** q150: VALUES-literal lexicon interpolated from [[lexiconFixture]]

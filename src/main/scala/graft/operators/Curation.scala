@@ -851,4 +851,58 @@ object Curation {
       .select(df.columns.map(col): _*)
       .orderBy(x.desc, col(idCol))
   }
+
+  /** Mixture-budget rate calculator — the arithmetic between "we want
+    * this mixture" and "sample at these rates": given target mixture
+    * WEIGHTS per group (integer micros) and a total token budget, emit
+    * each group's token target and the deterministic sampling rate
+    * that hits it. Feed `rate_micro / 10⁶` to
+    * [[stratifiedHashSample]] and the sampled corpus approaches the
+    * requested mixture, capped where a group is smaller than its
+    * target (rate is clamped to 10⁶ — an undersized group contributes
+    * all it has; re-normalizing the shortfall across the remaining
+    * groups is an iterative policy left to the caller).
+    *
+    * All arithmetic is exact integer micros:
+    * `target = budget·w div Σw`, `rate = min(10⁶, target·10⁶ div
+    * tokens)` — floor division, no float path. Groups observed in the
+    * corpus but absent from `weightsMicro` get weight 0 (target 0,
+    * rate 0); weights for groups absent from the corpus are ignored.
+    *
+    * Returns (group, n_docs, tokens, weight_micro, target_tokens,
+    * rate_micro), ordered.
+    *
+    * Scale design (100 TB): ONE map-side-combined aggregate collapses
+    * the corpus to a groups-sized frame; the rate arithmetic is a
+    * per-group expression over that frame. */
+  def mixtureBudgetRates(df: DataFrame, groupCol: String,
+                         tokenCol: String,
+                         weightsMicro: Map[String, Long],
+                         budgetTokens: Long): DataFrame = {
+    require(weightsMicro.nonEmpty, "weightsMicro must not be empty")
+    require(weightsMicro.values.forall(_ >= 0L),
+      "weights must be non-negative")
+    val wsum = weightsMicro.values.sum
+    require(wsum > 0L, "at least one weight must be positive")
+    require(budgetTokens > 0L, s"budget must be positive: $budgetTokens")
+    val maxW = math.max(1L, weightsMicro.values.max)
+    require(budgetTokens <= Long.MaxValue / maxW &&
+        budgetTokens <= Long.MaxValue / 1000000L,
+      "budget × weight (and target × 10⁶) must fit in 64 bits")
+    // sorted for a deterministic when-chain (Map order is unspecified)
+    val w = weightsMicro.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (e, (g, wm)) => when(col(groupCol) === g, lit(wm)).otherwise(e)
+    }
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("tokens"))
+      .withColumn("weight_micro", w)
+      .withColumn("target_tokens",
+        expr(s"$budgetTokens * weight_micro div ${wsum}L"))
+      .withColumn("rate_micro",
+        when(col("tokens") <= 0L, lit(0L)).otherwise(
+          least(lit(1000000L),
+            expr("target_tokens * 1000000L div tokens"))))
+      .orderBy(groupCol)
+  }
 }

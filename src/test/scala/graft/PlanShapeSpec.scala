@@ -709,5 +709,20 @@ class PlanShapeSpec extends SparkSpec {
     val p153 = finalPlan(q("q153_rendezvous_shards"))
     assert(!p153.contains("Join") && !p153.contains("HashAggregate"),
       s"rendezvous routing must stay map-only:\n$p153")
+    // q154 mixture rates: one fused aggregate to a groups-sized frame,
+    // rate arithmetic as expressions over it — no join, one scan
+    val p154 = finalPlan(q("q154_mixture_rates"))
+    assert(!p154.contains("Join") && !p154.contains("Window"),
+      s"mixture rates must be one aggregate:\n$p154")
+    val scans154 = p154.split("FileScan parquet").length - 1
+    assert(scans154 == 1,
+      s"mixture rates read the corpus once, saw $scans154:\n$p154")
+    // q155 leakage-safe split: the split expression rides the
+    // clustering output (q49's checkpointed components) — the split
+    // itself must add NO join and no window on top
+    val p155 = finalPlan(q("q155_leakage_safe_split"))
+    assert(!p155.contains("CartesianProduct") &&
+      !p155.contains("BroadcastNestedLoopJoin"),
+      s"cluster-keyed split must stay keyed:\n$p155")
   }
 }

@@ -660,6 +660,54 @@ class CurationSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mixtureBudgetRates: exact micro arithmetic, clamping, zero weights") {
+    import spark.implicits._
+    // en: 400 tokens, de: 40 tokens, xx: 100 tokens (unweighted)
+    val df = (Seq.fill(4)(("en", 100L)) ++ Seq(("de", 40L), ("xx", 100L)))
+      .toDF("lang", "tok")
+    val rows = Curation.mixtureBudgetRates(df, "lang", "tok",
+      Map("en" -> 600000L, "de" -> 400000L), budgetTokens = 500L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // en: target = 500*600000/1000000 = 300; rate = 300e6/400 = 750000
+    assert(rows("en") == ((400L, 600000L, 300L, 750000L)))
+    // de: target = 200 but only 40 tokens exist -> rate clamps to 1e6
+    assert(rows("de") == ((40L, 400000L, 200L, 1000000L)))
+    // xx: no weight -> target 0, rate 0
+    assert(rows("xx") == ((100L, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Curation.mixtureBudgetRates(df, "lang", "tok", Map.empty, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureBudgetRates(df, "lang", "tok",
+        Map("en" -> 1000000L), Long.MaxValue / 2)
+    }
+  }
+
+  test("cluster-keyed splits keep near-duplicates in ONE split") {
+    import spark.implicits._
+    // docs 1/2/3 are exact duplicates (Jaccard 1 → every LSH band
+    // matches, clustering is deterministic); 4 is a singleton.
+    // Splitting on the CLUSTER representative must give 1,2,3 the same
+    // split even though their per-doc hashes differ.
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),
+      (4L, "completely different text with other words entirely here")
+    ).toDF("doc_id", "text")
+    val clusters = Clustering.nearDupClusters(docs, "doc_id", "text")
+      .withColumnRenamed("component", "cluster_rep")
+    val split = Curation.assignSplits(clusters, "cluster_rep")
+      .select("doc_id", "cluster_rep", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byCluster = split.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    byCluster.foreach { case (rep, splits) =>
+      assert(splits.size == 1, s"cluster $rep straddles splits: $splits")
+    }
+    assert(split.filter(_._2 == 1L).map(_._1).toSet == Set(1L, 2L, 3L),
+      "the three near-dups share the min-id representative")
+  }
+
   test("paretoFrontier rejects null and NaN coordinates") {
     import spark.implicits._
     val df = Seq((1L, Some(1.0), 2.0), (2L, None, 3.0)).toDF("id", "x", "y")
