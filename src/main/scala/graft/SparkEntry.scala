@@ -1699,6 +1699,20 @@ object SparkEntry {
       Curation.assignSplits(clusters, "cluster_rep")
         .select(col("doc_id"), col("cluster_rep"), col("split"))
         .orderBy("doc_id")
+    }),
+    // ---- exact triangle count + clustering coefficient over the
+    //      q132 planted link graph: degree-ordered DAG orientation
+    //      (compact-forward) — wedge fanout bounded O(√m) per vertex,
+    //      all joins equi-keyed; exact integers throughout. ----
+    "q156_triangle_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % m,
+          (col("doc_id") * 13 + 5) % m,
+          (col("doc_id") * 29 + 11) % m)).as("dst"))
+      graft.operators.Graph.triangleCount(edges, "src", "dst")
     })
   )
 
@@ -3718,7 +3732,35 @@ SELECT doc_id, component AS cluster_rep,
 FROM (SELECT doc_id, component,
   CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4))
     AS BIGINT) % 100 AS bkt FROM comp)
-ORDER BY doc_id"""
+ORDER BY doc_id""",
+    // q156: the q132 edge planting, undirected-canonicalized, and the
+    // textbook a<b<c triangle enumeration (orientation changes the
+    // JOIN SHAPE, never the count); wedges Σ d(d−1)/2 exact.
+    "q156_triangle_count" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+mx AS (SELECT max(doc_id) + 1 AS m FROM docs),
+eraw AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % m AS dst FROM docs CROSS JOIN mx
+  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % m FROM docs CROSS JOIN mx
+  UNION ALL SELECT doc_id, (doc_id * 29 + 11) % m FROM docs CROSS JOIN mx),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM eraw WHERE src <> dst),
+d AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+agg AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+  (SELECT t FROM tri) AS n_triangles,
+  (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+    FROM d) AS n_wedges)
+SELECT n_vertices, n_edges, n_triangles, n_wedges,
+  CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+    ELSE 3 * n_triangles * CAST(1000000 AS BIGINT) // n_wedges END
+    AS clustering_micro
+FROM agg"""
   )
 
   /** q150: VALUES-literal lexicon interpolated from [[lexiconFixture]]

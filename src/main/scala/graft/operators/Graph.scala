@@ -196,4 +196,74 @@ object Graph {
         coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         coalesce(col("indeg"), lit(0L)).as("indeg"))
   }
+
+  /** Exact triangle count + global clustering coefficient over the
+    * UNDIRECTED form of the edge set — the community-density /
+    * link-farm signal (organic link neighborhoods close triangles;
+    * generated spam graphs are locally tree-like).
+    *
+    * The count uses the degree-ordered DAG orientation (the
+    * compact-forward / node-iterator++ algorithm): each undirected
+    * edge points from its (degree, id)-smaller endpoint to the larger,
+    * every triangle then has EXACTLY one vertex with two out-edges, so
+    * triangles = wedges (two out-edges of one vertex, heads ordered by
+    * the same key) that close via an oriented edge between the heads.
+    * Orientation is the scale guarantee: out-degree after orienting is
+    * O(√m) even on power-law graphs, so the wedge join explodes
+    * Σ outdeg² ≈ m^1.5, not the unbounded Σ deg² a skewed hub would
+    * produce — the difference between a feasible and an impossible
+    * 100 TB join. All joins are equi-keyed (vertex, then head-pair).
+    *
+    * Self-loops are dropped, direction and duplicate edges collapse.
+    * Returns ONE row of exact integers: (n_vertices, n_edges,
+    * n_triangles, n_wedges, clustering_micro) where n_wedges counts
+    * unordered open+closed 2-paths Σ d(d−1)/2 and clustering_micro =
+    * 3·triangles·10⁶ div wedges (0 when wedge-free). */
+  def triangleCount(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      // the edge set feeds degree, orientation, closure AND the stats
+      // row — materialize once (the jsdMatrix/q132 invariant pattern)
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("d").as("_da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("_db")), Seq("b"))
+      .select(
+        when(struct(col("_da"), col("a")) < struct(col("_db"), col("b")),
+          struct(col("a").as("u"), col("b").as("w"),
+            col("_db").as("_dw")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"),
+            col("_da").as("_dw"))).as("_o"))
+      .select(col("_o.u").as("u"), col("_o.w").as("w"),
+        col("_o._dw").as("_dw"))
+    val o1 = oriented.select(col("u"), col("w").as("v"),
+      col("_dw").as("_dv"))
+    val o2 = oriented.select(col("u"), col("w"), col("_dw"))
+    val wedges = o1.join(o2, Seq("u"))
+      .filter(struct(col("_dv"), col("v")) < struct(col("_dw"), col("w")))
+      .select(col("v"), col("w"))
+    val tri = wedges
+      .join(oriented.select(col("u").as("v"), col("w")), Seq("v", "w"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_vertices"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))))
+    stats.crossJoin(broadcast(tri))
+      .select(col("n_vertices"), col("n_edges"), col("n_triangles"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        when(coalesce(col("n_wedges"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr(
+            "3 * n_triangles * 1000000L div n_wedges")).as("clustering_micro"))
+  }
 }

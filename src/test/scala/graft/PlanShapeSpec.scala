@@ -724,5 +724,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p155.contains("CartesianProduct") &&
       !p155.contains("BroadcastNestedLoopJoin"),
       s"cluster-keyed split must stay keyed:\n$p155")
+    // q156 triangles: wedge generation and closure are equi-joins on
+    // vertex / head-pair keys — a CartesianProduct here would be the
+    // naive all-pairs enumeration the orientation exists to avoid.
+    // (The two nested-loop joins in the plan are the 1-row stats
+    // frames' scalar crossJoins — the documented broadcast-1-row
+    // shape, not data joins.)
+    val p156 = finalPlan(q("q156_triangle_count"))
+    assert(!p156.contains("CartesianProduct"),
+      s"triangle joins must stay equi-keyed:\n$p156")
+    assert(p156.contains("LeftSemi"),
+      s"the closure check must be a semi-join:\n$p156")
+    assert(p156.contains("BroadcastHashJoin") ||
+      p156.contains("SortMergeJoin"),
+      s"the wedge join must be hash/merge equi-keyed:\n$p156")
   }
 }

@@ -193,4 +193,50 @@ class GraphSpec extends SparkSpec {
         Seq(999L).toDF("id"), "id")
     }
   }
+
+  test("triangleCount: K4 has 4 triangles; direction/dups/loops collapse") {
+    import spark.implicits._
+    // complete graph on 4 vertices, fed as DIRECTED edges with
+    // duplicates, reversals, and a self-loop — all must collapse
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val edges = (k4 ++ Seq((1L, 1L), (2L, 3L), (2L, 3L))).toDF("src", "dst")
+    val r = Graph.triangleCount(edges, "src", "dst").collect().head
+    assert(r.getLong(0) == 4L, "n_vertices")
+    assert(r.getLong(1) == 6L, "n_edges undirected")
+    assert(r.getLong(2) == 4L, "K4 has C(4,3) = 4 triangles")
+    // every wedge closes: clustering coefficient = 1
+    assert(r.getLong(3) == 12L, "wedges = 4 * C(3,2)")
+    assert(r.getLong(4) == 1000000L, "K4 clustering = 1.0 in micros")
+  }
+
+  test("triangleCount matches the brute-force enumeration on a planted graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph over 40 vertices
+    val m = 40L
+    val raw = (0L until m).flatMap(v =>
+      Seq((v, (v * 7 + 1) % m), (v, (v * 13 + 5) % m), (v, (v * 3 + 2) % m)))
+    val canon = raw.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct.toSet
+    val verts = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var brute = 0L
+    for {
+      i <- verts.indices; j <- i + 1 until verts.size
+      k <- j + 1 until verts.size
+      a = verts(i); b = verts(j); c = verts(k)
+      if canon((a, b)) && canon((a, c)) && canon((b, c))
+    } brute += 1
+    val r = Graph.triangleCount(raw.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    assert(r.getLong(2) == brute,
+      s"oriented count ${r.getLong(2)} != brute $brute")
+    assert(r.getLong(1) == canon.size.toLong)
+  }
+
+  test("triangleCount: a tree has zero triangles, zero clustering") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L)).toDF("src", "dst")
+    val r = Graph.triangleCount(edges, "src", "dst").collect().head
+    assert(r.getLong(2) == 0L && r.getLong(4) == 0L)
+    assert(r.getLong(3) > 0L, "a tree still has open wedges")
+  }
 }
