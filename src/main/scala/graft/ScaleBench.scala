@@ -48,7 +48,14 @@ object ScaleBench {
     // with max doc id, mostly sink vertices at sf1), and the recall
     // audit whose exact-truth leg is a queries × corpus scan (q133)
     "q127_bloom_decontaminate", "q129_cms_heavyhitters",
-    "q132_pagerank", "q133_ivf_recall")
+    "q132_pagerank", "q133_ivf_recall",
+    // late-round-7 heavies: the skyline's distinct-x collapse +
+    // bucketed staircase (q149), the rank-sum AUC's bucketed global
+    // rank + label join-back (q146), and the triangle wedge join over
+    // the planted graph, whose vertex set grows with max doc id
+    // (q156). q152 is deliberately absent: its cost is the single
+    // count aggregate, already the q02 scan-bound shape.
+    "q149_pareto_frontier", "q146_auc_rank_sum", "q156_triangle_count")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

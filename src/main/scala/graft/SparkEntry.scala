@@ -1713,6 +1713,16 @@ object SparkEntry {
           (col("doc_id") * 13 + 5) % m,
           (col("doc_id") * 29 + 11) % m)).as("dst"))
       graft.operators.Graph.triangleCount(edges, "src", "dst")
+    }),
+    // ---- ordered schema migration plan: the q07 diff continued into
+    //      executable DDL with a safety classification — adds and
+    //      lossless widenings get statements, narrowings and drops go
+    //      to manual review (a migration tool must never emit those
+    //      unprompted). ----
+    "q157_migration_plan" -> ((s, _) => {
+      val p = s.createDataFrame(proposedFixture).toDF("field", "proposed_type")
+      val d = s.createDataFrame(deployedFixture).toDF("field", "deployed_type")
+      SchemaDiff.migrationPlan(SchemaDiff.diff(p, d), "analytics", "events")
     })
   )
 
@@ -3760,8 +3770,46 @@ SELECT n_vertices, n_edges, n_triangles, n_wedges,
   CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
     ELSE 3 * n_triangles * CAST(1000000 AS BIGINT) // n_wedges END
     AS clustering_micro
-FROM agg"""
+FROM agg""",
+    "q157_migration_plan" -> migrationPlanOracle
   )
+
+  /** q157: the diff CTE continued — the widenable class pairs are
+    * interpolated from [[SchemaDiff]]'s single source of truth, the
+    * DDL strings are the RAS:190 template verbatim. */
+  private def migrationPlanOracle: String = {
+    val cp = TypeClass.classifySql("proposed_type")
+    val cd = TypeClass.classifySql("deployed_type")
+    val widenable = SchemaDiff.safeWideningPairs
+      .map { case (f, to) => f * 100 + to }.toSeq.sorted.mkString(", ")
+    s"""WITH p(field, proposed_type) AS (VALUES ${valuesSql(proposedFixture)}),
+d(field, deployed_type) AS (VALUES ${valuesSql(deployedFixture)}),
+j AS (SELECT coalesce(p.field, d.field) AS field, proposed_type, deployed_type
+      FROM p FULL OUTER JOIN d ON p.field = d.field),
+diffs AS (SELECT field, proposed_type, deployed_type, reason FROM (
+  SELECT field, proposed_type, deployed_type,
+    CASE WHEN proposed_type IS NOT NULL AND deployed_type IS NULL THEN 'MISSING'
+         WHEN proposed_type IS NULL AND deployed_type IS NOT NULL THEN 'DEPRECATED'
+         WHEN $cp <> $cd THEN 'TYPE MISMATCH' END AS reason
+  FROM j WHERE proposed_type IS NULL OR proposed_type <> 'notype')
+WHERE reason IS NOT NULL),
+acts AS (SELECT field, proposed_type, reason,
+  CASE WHEN reason = 'MISSING' THEN 'add_column'
+       WHEN reason = 'TYPE MISMATCH' AND
+         ($cd * 100 + $cp) IN ($widenable) THEN 'widen_type'
+       ELSE 'manual_review' END AS action FROM diffs)
+SELECT CAST(row_number() OVER (ORDER BY
+    CASE action WHEN 'add_column' THEN 0 WHEN 'widen_type' THEN 1
+      ELSE 2 END, field) AS INTEGER) AS step,
+  field, action, (action <> 'manual_review') AS safe,
+  CASE WHEN action = 'add_column' THEN
+      'ALTER TABLE analytics.events ADD COLUMN ' || field || ' ' ||
+        proposed_type || ';'
+    WHEN action = 'widen_type' THEN
+      'ALTER TABLE analytics.events ALTER COLUMN ' || field ||
+        ' TYPE ' || proposed_type || ';' END AS ddl
+FROM acts ORDER BY step"""
+  }
 
   /** q150: VALUES-literal lexicon interpolated from [[lexiconFixture]]
     * so engine and oracle share one source of truth. */

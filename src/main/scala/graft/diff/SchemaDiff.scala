@@ -90,4 +90,70 @@ object SchemaDiff {
     }
     spark.createDataFrame(rows).toDF("field", "deployed_type")
   }
+
+  /** Pairs of type classes ([[TypeClass.classify]] ids) where ALTERing
+    * deployed → proposed is LOSSLESS: integer widening (int2→int4→int8),
+    * any integer → decimal, integer/real → double precision, char →
+    * varchar, and varchar(256) → varchar(65535). Everything else —
+    * including every narrowing and any cross-family change — is
+    * manual-review territory. */
+  val safeWideningPairs: Set[(Int, Int)] = Set(
+    (1, 2), (1, 3), (2, 3),                    // int widening
+    (1, 4), (2, 4), (3, 4),                    // int → decimal
+    (1, 6), (2, 6), (3, 6), (5, 6),            // int/real → float8
+    (8, 9), (8, 10), (9, 10))                  // char/varchar widening
+
+  /** Ordered migration plan from a [[diff]] frame — the executable
+    * continuation of the reference's evaluate_table_ddl_diffs →
+    * generate_column_ddl flow (RAS:177-225), extended with a SAFETY
+    * classification the reference leaves to the operator:
+    *
+    *   - MISSING → `add_column`, safe, the RAS:190 unquoted
+    *     ALTER ADD COLUMN statement ([[graft.ddl.DdlGenerator]]'s
+    *     template verbatim).
+    *   - TYPE MISMATCH along [[safeWideningPairs]] → `widen_type`, safe,
+    *     an ALTER COLUMN TYPE statement.
+    *   - any other TYPE MISMATCH and every DEPRECATED column →
+    *     `manual_review`, unsafe, no DDL (dropping a column or
+    *     narrowing a type loses data; a migration tool must never
+    *     emit those statements unprompted).
+    *
+    * Steps order safe-first (adds, then widens, then reviews),
+    * alphabetical within an action — the order the statements can
+    * actually be executed in. The frame is column-count-sized by the
+    * diff contract, so the step window is bounded (never data-sized).
+    * Returns (step, field, action, safe, ddl). */
+  def migrationPlan(diffFrame: DataFrame, schema: String,
+                    table: String): DataFrame = {
+    val p = col("proposed_type")
+    val widenable = safeWideningPairs
+      .map { case (from, to) => (from * 100 + to) }
+      .toSeq.sorted
+    val pair = expr(TypeClass.classifySql("deployed_type")) * 100 +
+      expr(TypeClass.classifySql("proposed_type"))
+    val action =
+      when(col("reason") === "MISSING", "add_column")
+        .when(col("reason") === "TYPE MISMATCH" &&
+          pair.isin(widenable: _*), "widen_type")
+        .otherwise("manual_review")
+    val ddl =
+      when(col("action") === "add_column", concat(
+        lit(s"ALTER TABLE $schema.$table ADD COLUMN "), col("field"),
+        lit(" "), p, lit(";")))
+      .when(col("action") === "widen_type", concat(
+        lit(s"ALTER TABLE $schema.$table ALTER COLUMN "), col("field"),
+        lit(" TYPE "), p, lit(";")))
+    val order = when(col("action") === "add_column", 0)
+      .when(col("action") === "widen_type", 1).otherwise(2)
+    diffFrame
+      .withColumn("action", action)
+      .withColumn("safe", col("action") =!= "manual_review")
+      .withColumn("ddl", ddl)
+      .withColumn("step", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(order, col("field"))).cast("int"))
+      .select(col("step"), col("field"), col("action"), col("safe"),
+        col("ddl"))
+      .orderBy("step")
+  }
 }

@@ -94,4 +94,37 @@ class SchemaDiffSpec extends SparkSpec {
       } finally spark.sql(s"DROP TABLE IF EXISTS default.$tbl")
     }
   }
+
+  test("migrationPlan: adds first, lossless widenings second, reviews last") {
+    import spark.implicits._
+    val proposed = Seq(
+      ("amount", "float8"),      // deployed real -> safe widen (5,6)
+      ("name", "varchar(65535)"),// deployed varchar(256) -> widen (9,10)
+      ("newcol", "int8"),        // missing -> add
+      ("shrunk", "int2"),        // deployed int8 -> NARROWING -> review
+      ("same", "int4")           // identical class -> not in the diff
+    ).toDF("field", "proposed_type")
+    val deployed = Seq(
+      ("amount", "real"), ("name", "character varying(256)"),
+      ("shrunk", "bigint"), ("same", "integer"), ("gone", "date")
+    ).toDF("field", "deployed_type")
+    val plan = SchemaDiff.migrationPlan(
+      SchemaDiff.diff(proposed, deployed), "s", "t").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getBoolean(3), Option(r.getString(4))))
+    assert(plan.map(_._1).toSeq == (1 to plan.length), "gapless steps")
+    assert(plan.map(p => (p._2, p._3)).toSeq == Seq(
+      ("newcol", "add_column"), ("amount", "widen_type"),
+      ("name", "widen_type"), ("gone", "manual_review"),
+      ("shrunk", "manual_review")), s"plan order: ${plan.toSeq}")
+    val byField = plan.map(p => p._2 -> p).toMap
+    assert(byField("newcol")._5.contains(
+      "ALTER TABLE s.t ADD COLUMN newcol int8;"))
+    assert(byField("amount")._5.contains(
+      "ALTER TABLE s.t ALTER COLUMN amount TYPE float8;"))
+    assert(byField("shrunk")._5.isEmpty && !byField("shrunk")._4,
+      "narrowing must carry no DDL")
+    assert(byField("gone")._5.isEmpty && !byField("gone")._4,
+      "a dropped column must carry no DDL")
+  }
 }

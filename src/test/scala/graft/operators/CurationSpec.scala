@@ -708,6 +708,18 @@ class CurationSpec extends SparkSpec {
       "the three near-dups share the min-id representative")
   }
 
+  test("paretoFrontier is idempotent: the frontier of a frontier is itself") {
+    import spark.implicits._
+    val pts = (1 to 120).map { i =>
+      (i.toLong, ((i * 53) % 89).toDouble, ((i * 31) % 83).toDouble)
+    }
+    val once = Curation.paretoFrontier(pts.toDF("id", "x", "y"),
+      "id", "x", "y")
+    val twice = Curation.paretoFrontier(once, "id", "x", "y")
+    assert(once.select("id").as[Long].collect().toSet ==
+      twice.select("id").as[Long].collect().toSet)
+  }
+
   test("paretoFrontier rejects null and NaN coordinates") {
     import spark.implicits._
     val df = Seq((1L, Some(1.0), 2.0), (2L, None, 3.0)).toDF("id", "x", "y")
