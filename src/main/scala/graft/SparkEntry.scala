@@ -1723,6 +1723,38 @@ object SparkEntry {
       val p = s.createDataFrame(proposedFixture).toDF("field", "proposed_type")
       val d = s.createDataFrame(deployedFixture).toDF("field", "deployed_type")
       SchemaDiff.migrationPlan(SchemaDiff.diff(p, d), "analytics", "events")
+    }),
+    // ---- k-anonymity audit over the (user_id, event_type) quasi
+    //      tuple: the re-identification risk surface a release gate
+    //      reads before publishing — exact integer counts. ----
+    "q158_k_anonymity" -> ((s, dir) =>
+      Audit.kAnonymityAudit(t(s, dir, "events"),
+        Seq("user_id", "event_type"), k = 5L)),
+    // ---- the q154 → sampler composition: rates computed by
+    //      mixtureBudgetRates drive the 48-bit hash cut (exact integer
+    //      cut = rate_micro·2⁴² div 15625 — no float boundary), and
+    //      the gate reports the REALIZED per-language kept mass
+    //      against the target. Fully distributed: the rates frame
+    //      broadcasts back onto the corpus. ----
+    "q159_mixture_apply" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      val rates = Curation.mixtureBudgetRates(d, "lang", "tok",
+        mixtureWeightsFixture, budgetTokens = 100000L)
+        .select(col("lang"), col("rate_micro"), col("target_tokens"))
+      val kept = d
+        .join(broadcast(rates), Seq("lang"))
+        .filter(Curation.hashBucket48(col("doc_id")) <
+          expr(s"rate_micro * ${1L << 42}L div 15625L"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept_docs"),
+          sum("tok").as("kept_tokens"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("target_tokens"),
+          coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy("lang")
     })
   )
 
@@ -3771,8 +3803,59 @@ SELECT n_vertices, n_edges, n_triangles, n_wedges,
     ELSE 3 * n_triangles * CAST(1000000 AS BIGINT) // n_wedges END
     AS clustering_micro
 FROM agg""",
-    "q157_migration_plan" -> migrationPlanOracle
+    "q157_migration_plan" -> migrationPlanOracle,
+    // q158: the group-size frame reduced to one exact-integer row.
+    "q158_k_anonymity" ->
+      """WITH s AS (SELECT user_id, event_type,
+  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_small_groups,
+  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+    AS n_rows_at_risk,
+  min(n) AS min_group_size,
+  CAST(sum(n) AS BIGINT) AS total FROM s)
+SELECT n_groups, n_small_groups, n_rows_at_risk, min_group_size,
+  CASE WHEN total = 0 THEN NULL
+    ELSE n_rows_at_risk * CAST(1000000 AS BIGINT) // total END
+    AS risk_share_micro
+FROM a""",
+    "q159_mixture_apply" -> mixtureApplyOracle
   )
+
+  /** q159: the q154 rate arithmetic nested, the exact integer cut
+    * (rate_micro·2⁴² // 15625 ≡ rate·2⁴⁸ with no float), and the
+    * realized counts — the whole composition in one replay. */
+  private def mixtureApplyOracle: String = {
+    val wsum = mixtureWeightsFixture.values.sum
+    val wCase = mixtureWeightsFixture.toSeq.sortBy(_._1)
+      .map { case (g, wm) => s"WHEN '$g' THEN CAST($wm AS BIGINT)" }
+      .mkString(" ")
+    s"""WITH dd AS (SELECT doc_id, lang,
+    CAST(len($tokensSql) AS BIGINT) AS tok FROM documents),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(tok) AS BIGINT) AS tokens FROM dd GROUP BY lang),
+w AS (SELECT lang, tokens,
+    CASE lang $wCase ELSE CAST(0 AS BIGINT) END AS weight_micro FROM g),
+t AS (SELECT lang, tokens, weight_micro,
+    CAST(100000 AS BIGINT) * weight_micro // CAST($wsum AS BIGINT)
+      AS target_tokens FROM w),
+r AS (SELECT lang, target_tokens,
+    CASE WHEN tokens <= 0 THEN CAST(0 AS BIGINT)
+      ELSE least(CAST(1000000 AS BIGINT),
+        target_tokens * CAST(1000000 AS BIGINT) // tokens) END
+      AS rate_micro FROM t),
+kept AS (SELECT dd.lang, CAST(count(*) AS BIGINT) AS n_kept_docs,
+    CAST(sum(dd.tok) AS BIGINT) AS kept_tokens
+  FROM dd JOIN r USING (lang)
+  WHERE CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 12))
+      AS BIGINT) < r.rate_micro * CAST(${1L << 42} AS BIGINT) // 15625
+  GROUP BY dd.lang)
+SELECT r.lang, r.target_tokens,
+  coalesce(k.n_kept_docs, 0) AS n_kept_docs,
+  coalesce(k.kept_tokens, 0) AS kept_tokens
+FROM r LEFT JOIN kept k USING (lang) ORDER BY lang"""
+  }
 
   /** q157: the diff CTE continued — the widenable class pairs are
     * interpolated from [[SchemaDiff]]'s single source of truth, the

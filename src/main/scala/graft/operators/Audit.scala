@@ -191,6 +191,42 @@ object Audit {
     * Scale design (100 TB): one narrow projection (md5 + conv are
     * codegen'd) into one map-side-combined aggregate; the shuffle
     * carries one (key, sum, count) row per partition. */
+  /** k-anonymity audit over a quasi-identifier tuple — the privacy
+    * gate a release pipeline runs before publishing joined/aggregated
+    * data: a combination of quasi-identifiers (zip+age+gender-style)
+    * shared by fewer than `k` rows re-identifies those rows by
+    * intersection. Reports the risk surface without mutating data
+    * (suppression/generalization policy belongs to the caller).
+    *
+    * Returns ONE row of exact integers: distinct quasi-identifier
+    * groups, groups below `k`, rows in those groups (the re-ID risk
+    * mass), the smallest group size, and the share of at-risk rows in
+    * integer micros. Null components are treated as a distinct value
+    * (SQL GROUP BY semantics — a null zip is itself identifying).
+    *
+    * Scale design (100 TB): one map-side-combined aggregate to the
+    * group-size frame, one 5-sum reduction over it — the corpus
+    * shuffles one row per distinct quasi tuple, never raw rows. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit needs quasi columns")
+    require(k >= 2, s"k must be >= 2: $k")
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    sizes.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_n") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        coalesce(sum(when(col("_n") < k, col("_n"))), lit(0L))
+          .as("n_rows_at_risk"),
+        min("_n").as("min_group_size"),
+        coalesce(sum(col("_n")), lit(0L)).as("_total"))
+      .select(col("n_groups"), col("n_small_groups"),
+        col("n_rows_at_risk"), col("min_group_size"),
+        when(col("_total") === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_rows_at_risk * 1000000 div _total"))
+          .as("risk_share_micro"))
+  }
+
   def tableFingerprint(df: DataFrame, partitionCols: Seq[String],
                        hashCols: Seq[String]): DataFrame = {
     require(partitionCols.nonEmpty, "tableFingerprint needs partition cols")

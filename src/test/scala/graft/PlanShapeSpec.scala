@@ -738,5 +738,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p156.contains("BroadcastHashJoin") ||
       p156.contains("SortMergeJoin"),
       s"the wedge join must be hash/merge equi-keyed:\n$p156")
+    // q158 k-anonymity: one aggregate to the group-size frame, one
+    // reduction over it — no join, one scan
+    val p158 = finalPlan(q("q158_k_anonymity"))
+    assert(!p158.contains("Join") && !p158.contains("Window"),
+      s"the anonymity audit must be two stacked aggregates:\n$p158")
+    val scans158 = p158.split("FileScan parquet").length - 1
+    assert(scans158 == 1,
+      s"the audit reads the corpus once, saw $scans158:\n$p158")
+    // q159 mixture apply: the groups-sized rates frame must broadcast
+    // back onto the corpus (a sort-merge would shuffle the corpus for
+    // a 5-row lookup)
+    val p159 = finalPlan(q("q159_mixture_apply"))
+    assert(p159.contains("BroadcastHashJoin"),
+      s"rates must broadcast onto the corpus:\n$p159")
+    assert(!p159.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the rate lookup:\n$p159")
   }
 }

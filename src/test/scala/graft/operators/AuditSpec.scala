@@ -159,6 +159,34 @@ class AuditSpec extends SparkSpec {
     assert(m1("p0") != m3("p0"), "changed partition flagged")
   }
 
+  test("kAnonymityAudit counts small groups, risk mass, and the share") {
+    import spark.implicits._
+    // groups: (z1,a)x5 (safe at k=3), (z1,b)x2 (small), (z2,a)x1
+    // (small), (null,a)x2 (small; null is a distinct identifying value)
+    val df = (Seq.fill(5)((Some("z1"), "a")) ++
+      Seq.fill(2)((Some("z1"), "b")) ++ Seq((Some("z2"), "a")) ++
+      Seq.fill(2)((Option.empty[String], "a"))).toDF("zip", "grp")
+    val r = Audit.kAnonymityAudit(df, Seq("zip", "grp"), k = 3L)
+      .collect().head
+    assert(r.getLong(0) == 4L, "n_groups")
+    assert(r.getLong(1) == 3L, "n_small_groups")
+    assert(r.getLong(2) == 5L, "rows at risk = 2 + 1 + 2")
+    assert(r.getLong(3) == 1L, "min group size")
+    assert(r.getLong(4) == 5L * 1000000L / 10L, "risk share micros")
+    intercept[IllegalArgumentException] {
+      Audit.kAnonymityAudit(df, Seq("zip"), k = 1L)
+    }
+  }
+
+  test("kAnonymityAudit: fully-safe data reports zero risk") {
+    import spark.implicits._
+    val df = Seq.fill(10)(("z", "a")).toDF("zip", "grp")
+    val r = Audit.kAnonymityAudit(df, Seq("zip", "grp"), k = 5L)
+      .collect().head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.getLong(4) == 0L)
+  }
+
   test("tableFingerprint distinguishes null from empty string") {
     import spark.implicits._
     val a = Seq((1L, Option.empty[String], "p")).toDF("id", "v", "part")
