@@ -1755,6 +1755,21 @@ object SparkEntry {
           coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
           coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
         .orderBy("lang")
+    }),
+    // ---- the fingerprint composition: snapshot B edits src3's text
+    //      and drops src5 entirely; the per-source fingerprint diff
+    //      must classify exactly those — changed/removed — without
+    //      touching row data in the comparison. ----
+    "q160_snapshot_diff" -> ((s, dir) => {
+      val a = t(s, dir, "documents")
+      val b = a.filter(col("source") =!= "src5")
+        .withColumn("text", when(col("source") === "src3",
+          concat(col("text"), lit(" [edited]"))).otherwise(col("text")))
+      val cols = Seq("doc_id", "text", "lang", "n_chars")
+      Audit.snapshotDiff(
+        Audit.tableFingerprint(a, Seq("source"), cols),
+        Audit.tableFingerprint(b, Seq("source"), cols),
+        Seq("source"))
     })
   )
 
@@ -3820,7 +3835,38 @@ SELECT n_groups, n_small_groups, n_rows_at_risk, min_group_size,
     ELSE n_rows_at_risk * CAST(1000000 AS BIGINT) // total END
     AS risk_share_micro
 FROM a""",
-    "q159_mixture_apply" -> mixtureApplyOracle
+    "q159_mixture_apply" -> mixtureApplyOracle,
+    // q160: both snapshot fingerprints + the full-outer classification
+    // replayed; the digest arithmetic is q148's verbatim.
+    "q160_snapshot_diff" ->
+      """WITH fp AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(('0x' || substr(md5(
+      coalesce(CAST(doc_id AS VARCHAR), chr(1)) || '|' ||
+      coalesce(text, chr(1)) || '|' ||
+      coalesce(lang, chr(1)) || '|' ||
+      coalesce(CAST(n_chars AS VARCHAR), chr(1))), 1, 8)) AS BIGINT))
+      AS BIGINT) AS d
+  FROM documents GROUP BY source),
+b0 AS (SELECT doc_id,
+    CASE WHEN source = 'src3' THEN text || ' [edited]' ELSE text END
+      AS text, lang, source, n_chars
+  FROM documents WHERE source <> 'src5'),
+fpb AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(('0x' || substr(md5(
+      coalesce(CAST(doc_id AS VARCHAR), chr(1)) || '|' ||
+      coalesce(text, chr(1)) || '|' ||
+      coalesce(lang, chr(1)) || '|' ||
+      coalesce(CAST(n_chars AS VARCHAR), chr(1))), 1, 8)) AS BIGINT))
+      AS BIGINT) AS d
+  FROM b0 GROUP BY source)
+SELECT coalesce(a.source, b.source) AS source,
+  CASE WHEN a.d IS NULL THEN 'added'
+       WHEN b.d IS NULL THEN 'removed'
+       WHEN a.n = b.n AND a.d = b.d THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  coalesce(a.n, 0) AS n_rows_a, coalesce(b.n, 0) AS n_rows_b
+FROM fp a FULL OUTER JOIN fpb b ON a.source = b.source
+ORDER BY source"""
   )
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut

@@ -207,6 +207,39 @@ object Audit {
     * Scale design (100 TB): one map-side-combined aggregate to the
     * group-size frame, one 5-sum reduction over it — the corpus
     * shuffles one row per distinct quasi tuple, never raw rows. */
+  /** Snapshot diff over two [[tableFingerprint]] frames — the cheap
+    * "what changed since yesterday" read that makes the fingerprint
+    * useful: each partition key classifies as `unchanged` (both sides
+    * agree on count AND digest), `changed`, `added` (new side only) or
+    * `removed` (old side only). Only `changed` partitions need the
+    * expensive row-level diff ([[Dedup]] cross-snapshot machinery);
+    * everything else is settled by this partition-count-sized join.
+    *
+    * Inputs must be [[tableFingerprint]] outputs over the SAME
+    * partition and hash columns. Returns (partitionCols…, status,
+    * n_rows_a, n_rows_b) with absent sides reported as 0 rows,
+    * ordered by the partition key.
+    *
+    * Scale design (100 TB): both inputs are already partition-sized;
+    * the full-outer join and classification never touch row data. */
+  def snapshotDiff(a: DataFrame, b: DataFrame,
+                   partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "snapshotDiff needs partition cols")
+    def shape(df: DataFrame, suffix: String) =
+      df.select(partitionCols.map(col) ++ Seq(
+        col("n_rows").as(s"_n$suffix"), col("digest").as(s"_d$suffix")): _*)
+    shape(a, "a").join(shape(b, "b"), partitionCols, "full_outer")
+      .select(partitionCols.map(col) ++ Seq(
+        when(col("_da").isNull, "added")
+          .when(col("_db").isNull, "removed")
+          .when(col("_na") === col("_nb") && col("_da") === col("_db"),
+            "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("_na"), lit(0L)).as("n_rows_a"),
+        coalesce(col("_nb"), lit(0L)).as("n_rows_b")): _*)
+      .orderBy(partitionCols.map(col): _*)
+  }
+
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
                       k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymityAudit needs quasi columns")

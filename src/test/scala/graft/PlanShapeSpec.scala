@@ -754,5 +754,12 @@ class PlanShapeSpec extends SparkSpec {
       s"rates must broadcast onto the corpus:\n$p159")
     assert(!p159.contains("SortMergeJoin"),
       s"the corpus must not shuffle for the rate lookup:\n$p159")
+    // q160 snapshot diff: the comparison join runs over the two
+    // partition-sized fingerprint frames — never a product, and no
+    // window anywhere
+    val p160 = finalPlan(q("q160_snapshot_diff"))
+    assert(!p160.contains("CartesianProduct") &&
+      !p160.contains("Window"),
+      s"the snapshot comparison must stay keyed:\n$p160")
   }
 }

@@ -187,6 +187,24 @@ class AuditSpec extends SparkSpec {
       r.getLong(4) == 0L)
   }
 
+  test("snapshotDiff classifies unchanged/changed/added/removed exactly") {
+    import spark.implicits._
+    val a = Seq((1L, "x", "p0"), (2L, "y", "p1"), (3L, "z", "p2"))
+      .toDF("id", "v", "part")
+    // p0 unchanged, p1 edited, p2 dropped, p3 new
+    val b = Seq((1L, "x", "p0"), (2L, "Y", "p1"), (4L, "w", "p3"))
+      .toDF("id", "v", "part")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Audit.tableFingerprint(df, Seq("part"), Seq("id", "v"))
+    val out = Audit.snapshotDiff(fp(a), fp(b), Seq("part")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out("p0") == (("unchanged", 1L, 1L)))
+    assert(out("p1") == (("changed", 1L, 1L)))
+    assert(out("p2") == (("removed", 1L, 0L)))
+    assert(out("p3") == (("added", 0L, 1L)))
+  }
+
   test("tableFingerprint distinguishes null from empty string") {
     import spark.implicits._
     val a = Seq((1L, Option.empty[String], "p")).toDF("id", "v", "part")

@@ -88,6 +88,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(inc.currentSchema.head.proposedName == "int8")
   }
 
+  test("table fingerprint streams: incremental digest equals the batch digest") {
+    // the commutative digest (a SUM of row hashes) is mergeable by
+    // construction, so the BATCH operator runs unchanged on a stream
+    // in complete mode — the mergeability claim, asserted
+    val rows = Seq((1L, "x", "p0"), (2L, "y", "p0"), (3L, "z", "p1"),
+      (4L, "w", "p1"), (5L, "v", "p0"))
+    val mem = MemoryStream[(Long, String, String)](spark)
+    mem.addData(rows.take(2): _*)   // batch 1
+    mem.addData(rows.drop(2): _*)   // batch 2
+    val agg = graft.operators.Audit.tableFingerprint(
+      mem.toDF().toDF("id", "v", "part"), Seq("part"), Seq("id", "v"))
+    val q = agg.writeStream.format("memory").queryName("fp_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(30000)
+    val streamed = spark.table("fp_stream")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.operators.Audit.tableFingerprint(
+      rows.toDF("id", "v", "part"), Seq("part"), Seq("id", "v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      "micro-batched digests must merge to the one-shot batch digest")
+  }
+
   test("watermarked hourly aggregation over a stream matches batch") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     mem.addData(
