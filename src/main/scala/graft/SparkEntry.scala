@@ -1770,6 +1770,26 @@ object SparkEntry {
         Audit.tableFingerprint(a, Seq("source"), cols),
         Audit.tableFingerprint(b, Seq("source"), cols),
         Seq("source"))
+    }),
+    // ---- calibration bins for the q146 scorer: rank-based deciles
+    //      (no float bin edges), observed positive rate vs exact score
+    //      mass per bin — all integers. ----
+    "q161_calibration_bins" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("score"),
+          (col("label") % 2 === 1).as("is_pos"))
+      graft.operators.Eval.calibrationBins(e, "vec_id", "score",
+        "is_pos", bins = 10)
+    }),
+    // ---- confusion matrix + exact-micro precision/recall/F1 at
+    //      threshold 0 for the same scorer — one fused aggregate. ----
+    "q162_confusion_matrix" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(element_at(col("embedding"), 1).cast("double").as("score"),
+          (col("label") % 2 === 1).as("is_pos"))
+      graft.operators.Eval.confusionAtThreshold(e, "score", "is_pos",
+        threshold = 0.0)
     })
   )
 
@@ -3866,7 +3886,49 @@ SELECT coalesce(a.source, b.source) AS source,
        ELSE 'changed' END AS status,
   coalesce(a.n, 0) AS n_rows_a, coalesce(b.n, 0) AS n_rows_b
 FROM fp a FULL OUTER JOIN fpb b ON a.source = b.source
-ORDER BY source"""
+ORDER BY source""",
+    // q161: the identical rank-based deciles (row_number total order)
+    // and per-bin exact sums; the only division has a non-negative
+    // numerator.
+    "q161_calibration_bins" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+  ((label % 2 + 2) % 2 = 1) AS is_pos FROM embeddings),
+r AS (SELECT score, is_pos, CAST(row_number()
+    OVER (ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank FROM s),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+SELECT CAST((rank - 1) * 10 // n.n AS INTEGER) AS bin,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT)
+    AS sum_score_micro,
+  CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+    // CAST(count(*) AS BIGINT) AS frac_pos_micro
+FROM r CROSS JOIN n GROUP BY bin, n.n ORDER BY bin""",
+    // q162: the fused confusion counts + division-free F1 identity.
+    "q162_confusion_matrix" ->
+      """WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS score,
+  ((label % 2 + 2) % 2 = 1) AS y FROM embeddings
+  WHERE embedding[1] IS NOT NULL AND label IS NOT NULL
+    AND NOT isnan(CAST(embedding[1] AS DOUBLE))),
+c AS (SELECT
+  CAST(sum(CASE WHEN score > 0.0 AND y THEN 1 ELSE 0 END) AS BIGINT)
+    AS tp,
+  CAST(sum(CASE WHEN score > 0.0 AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+    AS fp,
+  CAST(sum(CASE WHEN NOT (score > 0.0) AND NOT y THEN 1 ELSE 0 END)
+    AS BIGINT) AS tn,
+  CAST(sum(CASE WHEN NOT (score > 0.0) AND y THEN 1 ELSE 0 END)
+    AS BIGINT) AS fn FROM s)
+SELECT tp, fp, tn, fn,
+  CASE WHEN tp + fp = 0 THEN NULL
+    ELSE tp * CAST(1000000 AS BIGINT) // (tp + fp) END
+    AS precision_micro,
+  CASE WHEN tp + fn = 0 THEN NULL
+    ELSE tp * CAST(1000000 AS BIGINT) // (tp + fn) END AS recall_micro,
+  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+    ELSE 2 * tp * CAST(1000000 AS BIGINT) // (2 * tp + fp + fn) END
+    AS f1_micro
+FROM c"""
   )
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut

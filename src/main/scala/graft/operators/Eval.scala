@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators over scored frames — the
+  * threshold-sweep companions to [[Stats.aucRankSum]] a curation
+  * pipeline runs when a quality scorer gates real data: is the score
+  * CALIBRATED (does 0.8 mean 80%?), and what does a concrete threshold
+  * cost in precision/recall?
+  *
+  * Determinism contract: every figure is an exact integer or an
+  * integer-micro floor division — scores enter integer space per-row
+  * (`round(score·10⁶)` of bit-identical doubles), bins come from the
+  * rank order (never float bin edges), and no float accumulates.
+  */
+object Eval {
+
+  /** Reliability / calibration bins: rows ranked by score split into
+    * `bins` equal-count groups (rank-based — NO float bin edges, so
+    * ties and skewed score distributions can't make engines disagree),
+    * each reporting observed positive rate against mean score.
+    *
+    * bin = (rank − 1)·bins div n over the [[Curation.globalRank]]
+    * total order (score ASC, id ASC — the bucketed machinery, no
+    * single-partition window). Returns one row per non-empty bin:
+    * (bin, n, n_pos, sum_score_micro, frac_pos_micro), ordered.
+    * A well-calibrated scorer has frac_pos ≈ sum_score/n per bin.
+    * The score mass is reported as the exact SUM (not a mean): scores
+    * may be negative, and floor-vs-truncate integer division on
+    * negative numerators is exactly the cross-engine divergence the
+    * micro convention exists to avoid — the one division kept
+    * (frac_pos) has a non-negative numerator by construction.
+    *
+    * `labelCol` must be boolean. Scale design (100 TB): ranking is the
+    * bucketed prefix sum; the label/score join back on the id; one
+    * hash aggregate per bin ends the plan. */
+  def calibrationBins(df: DataFrame, idCol: String, scoreCol: String,
+                      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val ranked = Curation.globalRank(
+      df.select(col(idCol), col(scoreCol)), idCol, scoreCol,
+      descending = false)
+    val n = df.count()
+    require(n > 0, "calibrationBins needs a non-empty frame")
+    ranked
+      .join(df.select(col(idCol), col(labelCol)), Seq(idCol))
+      .select(
+        expr(s"(rank - 1) * $bins div ${n}L").cast("int").as("bin"),
+        round(col(scoreCol).cast("double") * 1000000L).cast("long")
+          .as("_sm"),
+        when(col(labelCol), 1L).otherwise(0L).as("_pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_pos").as("n_pos"),
+        sum("_sm").as("sum_score_micro"),
+        expr("sum(_pos) * 1000000 div count(1)").as("frac_pos_micro"))
+      .orderBy("bin")
+  }
+
+  /** Confusion matrix + exact-micro metrics at one threshold:
+    * predicted positive iff `score > threshold`. ONE fused aggregate;
+    * precision/recall/F1 as integer-micro floor divisions of the
+    * exact counts — F1 via the division-free identity
+    * `2·tp·10⁶ div (2·tp + fp + fn)` so no nested rounding. Null when
+    * the denominator is 0. Returns one row: (tp, fp, tn, fn,
+    * precision_micro, recall_micro, f1_micro).
+    *
+    * `labelCol` must be boolean; rows with a null score or label are
+    * excluded (a row that can't be scored is not a negative). */
+  def confusionAtThreshold(df: DataFrame, scoreCol: String,
+                           labelCol: String,
+                           threshold: Double): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val pred = s > threshold
+    val y = col(labelCol)
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+      .agg(
+        cnt(pred && y).as("tp"), cnt(pred && !y).as("fp"),
+        cnt(!pred && !y).as("tn"), cnt(!pred && y).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        when(col("tp") + col("fp") === 0L, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div (tp + fp)"))
+          .as("precision_micro"),
+        when(col("tp") + col("fn") === 0L, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div (tp + fn)"))
+          .as("recall_micro"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L,
+            lit(null).cast("long"))
+          .otherwise(expr("2 * tp * 1000000 div (2 * tp + fp + fn)"))
+          .as("f1_micro"))
+  }
+}

@@ -761,5 +761,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p160.contains("CartesianProduct") &&
       !p160.contains("Window"),
       s"the snapshot comparison must stay keyed:\n$p160")
+    // q161 calibration: ranks ride the bucketed machinery (the q146
+    // contract) — the rank window must be bucket-partitioned
+    val p161 = finalPlan(q("q161_calibration_bins"))
+    assert(p161.contains("windowspecdefinition(_bkt"),
+      s"the calibration rank window must be bucket-partitioned:\n$p161")
+    assert(!p161.contains("CartesianProduct"),
+      s"calibration must not plan a product:\n$p161")
+    // q162 confusion: ONE fused aggregate, no join, one scan
+    val p162 = finalPlan(q("q162_confusion_matrix"))
+    assert(!p162.contains("Join") && !p162.contains("Window"),
+      s"the confusion matrix must be one fused aggregate:\n$p162")
+    val scans162 = p162.split("FileScan parquet").length - 1
+    assert(scans162 == 1,
+      s"the confusion matrix reads the corpus once, saw $scans162:\n$p162")
   }
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+
+  test("calibrationBins: rank deciles, exact counts and score mass") {
+    import spark.implicits._
+    // scores 0.1..1.0; positives are the top half
+    val df = (1 to 10).map(i =>
+      (i.toLong, i.toDouble / 10.0, i > 5)).toDF("id", "s", "y")
+    val rows = Eval.calibrationBins(df, "id", "s", "y", bins = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 2)
+    // bin 0: scores .1..  .5, no positives; bin 1: .6..1.0, all positive
+    assert(rows(0) == ((0, 5L, 0L, 1500000L, 0L)))
+    assert(rows(1) == ((1, 5L, 5L, 4000000L, 1000000L)))
+  }
+
+  test("calibrationBins: uneven n spreads rows by the rank formula") {
+    import spark.implicits._
+    // 7 rows into 3 bins: sizes follow (rank-1)*3 div 7 -> 3/2/2
+    val df = (1 to 7).map(i => (i.toLong, i.toDouble, i % 2 == 0))
+      .toDF("id", "s", "y")
+    val sizes = Eval.calibrationBins(df, "id", "s", "y", bins = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0 -> 3L, 1 -> 2L, 2 -> 2L))
+  }
+
+  test("confusionAtThreshold: hand-computed counts and micro metrics") {
+    import spark.implicits._
+    // t=0.5: predictions (0.9 P)(0.6 P)(0.4 N)(0.2 N)(0.7 P)
+    // labels:  T           F          T         F        T
+    // tp=2 (0.9, 0.7), fp=1 (0.6), fn=1 (0.4), tn=1 (0.2)
+    val df = Seq((0.9, true), (0.6, false), (0.4, true), (0.2, false),
+      (0.7, true)).toDF("s", "y")
+    val r = Eval.confusionAtThreshold(df, "s", "y", 0.5).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 1L)))
+    assert(r.getLong(4) == 2L * 1000000L / 3L, "precision 2/3")
+    assert(r.getLong(5) == 2L * 1000000L / 3L, "recall 2/3")
+    assert(r.getLong(6) == 2L * 2L * 1000000L / 6L, "f1 = 2/3")
+  }
+
+  test("confusionAtThreshold: degenerate cases yield null metrics") {
+    import spark.implicits._
+    // nothing predicted positive -> precision null; no positives ->
+    // recall null
+    val allNeg = Seq((0.1, false), (0.2, false)).toDF("s", "y")
+    val r = Eval.confusionAtThreshold(allNeg, "s", "y", 0.5)
+      .collect().head
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    // null scores are excluded, not counted as negatives
+    val withNull = Seq((Some(0.9), true), (None, true)).toDF("s", "y")
+    val r2 = Eval.confusionAtThreshold(withNull, "s", "y", 0.5)
+      .collect().head
+    assert(r2.getLong(0) == 1L && r2.getLong(3) == 0L)
+  }
+}
