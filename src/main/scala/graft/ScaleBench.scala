@@ -55,7 +55,14 @@ object ScaleBench {
     // the planted graph, whose vertex set grows with max doc id
     // (q156). q152 is deliberately absent: its cost is the single
     // count aggregate, already the q02 scan-bound shape.
-    "q149_pareto_frontier", "q146_auc_rank_sum", "q156_triangle_count")
+    "q149_pareto_frontier", "q146_auc_rank_sum", "q156_triangle_count",
+    // q163+ additions: the 12-pair melt over orders (q163 — the
+    // explode is narrow but the cell shuffle carries 12 keyspaces),
+    // HITS supersteps with two joins + two 1-row normalizations per
+    // iteration over the planted graph (q166), and the FastSS
+    // neighborhood explode (|name|+1 digests per customer row) with
+    // its candidate-restricted levenshtein verify (q167)
+    "q163_fd_discovery", "q166_hits", "q167_record_linkage")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

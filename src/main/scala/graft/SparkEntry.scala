@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.SchemaDiff
 import graft.inference.{DirectoryDrift, TypeInference}
-import graft.operators.{Audit, Bpe, Clustering, Curation, Dedup, Drift, Multimodal, Similarity, Sketch, Stats, TemporalJoins, TextAnalysis, UrlOps}
+import graft.operators.{Audit, Bpe, Clustering, Curation, Dedup, Drift, Multimodal, Scale, Similarity, Sketch, Stats, TemporalJoins, TextAnalysis, UrlOps}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1790,6 +1790,89 @@ object SparkEntry {
           (col("label") % 2 === 1).as("is_pos"))
       graft.operators.Eval.confusionAtThreshold(e, "score", "is_pos",
         threshold = 0.0)
+    }),
+    // ---- FD / candidate-key discovery over a declared column set:
+    //      STRUCTURE inference continuing the reference's per-column
+    //      TYPE inference — which columns determine which others, and
+    //      which are unique keys (the PRIMARY KEY / DISTKEY input the
+    //      reference takes on faith from the caller). One melt scan +
+    //      three cascaded hash aggregates. ----
+    "q163_fd_discovery" -> ((s, dir) =>
+      Audit.fdDiscovery(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority"))),
+    // ---- incremental rollup maintenance: aggregate STATE over two
+    //      disjoint md5-bucket slices of orders, merged WITHOUT
+    //      re-reading either slice's rows, then finalized. The oracle
+    //      recomputes directly over the whole table, so the gate
+    //      proves merge(state(A), state(B)) ≡ state(A ∪ B) — the
+    //      incremental-ETL semigroup. ----
+    "q164_incremental_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val b = Curation.hashBucket(col("o_orderkey"))
+      val keys = Seq("o_orderpriority")
+      val base = Scale.aggState(o.filter(b < 70), keys, "o_totalprice")
+      val delta = Scale.aggState(o.filter(b >= 70), keys, "o_totalprice")
+      Scale.finalizeAggState(
+        Scale.mergeAggStates(Seq(base, delta), keys), keys)
+    }),
+    // ---- range-partitioning plan over documents.n_chars (a tied,
+    //      skewed key): exact integer-ceil rank boundaries via the
+    //      bucketed prefix sum + the realized per-partition counts
+    //      under value routing (ties cannot split). ----
+    "q165_range_plan" -> ((s, dir) =>
+      Scale.rangePartitionPlan(t(s, dir, "documents"), "n_chars",
+        "doc_id", numPartitions = 8)),
+    // ---- HITS hubs & authorities over the q132 planted link graph:
+    //      exact integer micro supersteps with per-half-step L1
+    //      renormalization (the sync HITS inherently needs); top-20
+    //      authorities. ----
+    "q166_hits" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % m,
+          (col("doc_id") * 13 + 5) % m,
+          (col("doc_id") * 29 + 11) % m)).as("dst"))
+      graft.operators.Graph.hits(edges, "src", "dst", iterations = 3)
+        .orderBy(col("auth_micro").desc, col("vertex")).limit(20)
+    }),
+    // ---- record linkage across snapshots via FastSS 1-deletion
+    //      neighborhood blocking (COMPLETE for edit distance ≤ 1 by
+    //      construction, oracle is the unrestricted within-block
+    //      quadratic): original customers vs a deterministically
+    //      perturbed snapshot (delete char 5 / substitute char 4 /
+    //      identity, keyed on custkey mod 3), hard-blocked on
+    //      nation. ----
+    "q167_record_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val b = c.withColumn("c_name",
+        when(col("c_custkey") % 3 === 0,
+          concat(substring(col("c_name"), 1, 4),
+            expr("substr(c_name, 6)")))
+          .when(col("c_custkey") % 3 === 1,
+            concat(substring(col("c_name"), 1, 3), lit("Z"),
+              expr("substr(c_name, 5)")))
+          .otherwise(col("c_name")))
+      graft.operators.Linkage
+        .linkByNameEdit1(c, b, "c_custkey", "c_name", Seq("c_nationkey"))
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- small-file compaction plan: per-(source, lang) "files"
+    //      (byte volume = char volume, first doc_id as the locality
+    //      order) sorted-filled into ≈50k-byte output groups via the
+    //      distributed prefix sum — the OPTIMIZE pre-flight. ----
+    "q168_compaction_plan" -> ((s, dir) => {
+      val sizes = t(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(coalesce(sum("n_chars"), lit(0L)).as("bytes"),
+          min("doc_id").as("first_id"))
+      Scale.compactionPlan(sizes, "first_id", "bytes",
+        targetBytes = 50000L)
     })
   )
 
@@ -3928,7 +4011,90 @@ SELECT tp, fp, tn, fn,
   CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
     ELSE 2 * tp * CAST(1000000 AS BIGINT) // (2 * tp + fp + fn) END
     AS f1_micro
-FROM c"""
+FROM c""",
+    "q163_fd_discovery" -> fdDiscoveryOracle,
+    // q164: the ORACLE recomputes over the whole table directly —
+    // equality with the engine's merged-slices result proves the
+    // semigroup. Formulas are the finalizeAggState ones verbatim.
+    "q164_incremental_rollup" ->
+      """WITH s AS (SELECT o_orderpriority,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+g AS (SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(cents) AS BIGINT) AS n_vals,
+  CAST(sum(cents) AS BIGINT) AS sum_cents,
+  CAST(sum(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
+    AS DECIMAL(38,0)) AS sumsq,
+  min(cents) AS min_cents, max(cents) AS max_cents
+FROM s GROUP BY 1)
+SELECT o_orderpriority, n_rows, n_vals,
+  CAST(sum_cents AS DOUBLE) / 100.0 AS sum_val,
+  CAST(min_cents AS DOUBLE) / 100.0 AS min_val,
+  CAST(max_cents AS DOUBLE) / 100.0 AS max_val,
+  round(CAST(sum_cents AS DOUBLE) /
+    (CAST(n_vals AS DOUBLE) * 100.0), 6) AS mean,
+  round(((CAST(sumsq AS DOUBLE)
+    - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE)
+      / CAST(n_vals AS DOUBLE)) / CAST(n_vals AS DOUBLE)) / 10000.0, 6)
+    AS variance
+FROM g ORDER BY o_orderpriority""",
+    // q165: ranks replayed as one global window (legal at oracle
+    // scale), integer-ceil boundary ranks, value routing by counting
+    // boundaries strictly below, full partition spine.
+    "q165_range_plan" ->
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS val, doc_id
+  FROM documents WHERE n_chars IS NOT NULL),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+r AS (SELECT val, row_number() OVER (ORDER BY val, doc_id) AS rnk FROM v),
+ii AS (SELECT unnest(range(1, 8)) AS i),
+tb AS (SELECT i, (i * n + 7) // 8 AS rnk FROM ii CROSS JOIN nn),
+bd AS (SELECT tb.i, r.val AS b FROM tb JOIN r ON r.rnk = tb.rnk),
+p AS (SELECT v.val,
+  (SELECT CAST(count(*) AS BIGINT) FROM bd WHERE bd.b < v.val) AS pid
+  FROM v),
+c AS (SELECT pid, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pid),
+sp AS (SELECT unnest(range(0, 8)) AS partition_id)
+SELECT CAST(sp.partition_id AS BIGINT) AS partition_id,
+  CASE WHEN sp.partition_id = 7 THEN NULL
+    ELSE (SELECT b FROM bd WHERE i = sp.partition_id + 1) END AS hi_bound,
+  coalesce(c.cnt, 0) AS n_rows,
+  coalesce(c.cnt, 0) * 1000000 // (SELECT n FROM nn) AS share_micro
+FROM sp LEFT JOIN c ON c.pid = sp.partition_id
+ORDER BY partition_id""",
+    "q166_hits" -> hitsOracle,
+    // q167: the unrestricted within-block quadratic — every
+    // within-nation pair scored by levenshtein; the engine's FastSS
+    // blocking must reproduce it exactly (completeness for dist ≤ 1).
+    "q167_record_linkage" ->
+      """WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+  c_nationkey AS nk FROM customer),
+b AS (SELECT c_custkey AS id_b,
+  CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 4) || substr(c_name, 6)
+       WHEN c_custkey % 3 = 1
+         THEN substr(c_name, 1, 3) || 'Z' || substr(c_name, 5)
+       ELSE c_name END AS name_b,
+  c_nationkey AS nk FROM customer)
+SELECT id_a, id_b, name_a, name_b,
+  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM a JOIN b USING (nk)
+WHERE levenshtein(name_a, name_b) <= 1
+ORDER BY id_a, id_b""",
+    // q168: the sorted-fill replayed as one window (legal at oracle
+    // scale); same greatest() guard against the negative-numerator
+    // floor/truncate divergence.
+    "q168_compaction_plan" ->
+      """WITH s AS (SELECT source, lang,
+  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS bytes,
+  min(doc_id) AS first_id FROM documents GROUP BY 1, 2),
+c AS (SELECT first_id, bytes,
+  CAST(sum(bytes) OVER (ORDER BY first_id) AS BIGINT) AS cum FROM s),
+g AS (SELECT (greatest(cum, 1) - 1) // 50000 AS group_id, bytes,
+  first_id FROM c)
+SELECT group_id, CAST(count(*) AS BIGINT) AS n_inputs,
+  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+  min(first_id) AS first_key, max(first_id) AS last_key
+FROM g GROUP BY 1 ORDER BY group_id"""
   )
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut
@@ -4255,6 +4421,78 @@ SELECT r.vertex, CAST(r.pr AS BIGINT) AS pr_micro,
   CAST(coalesce(o.odeg, 0) AS BIGINT) AS outdeg
 FROM r5 r LEFT JOIN od o ON r.vertex = o.src
 ORDER BY pr_micro DESC, vertex LIMIT 20"""
+    sb.toString
+  }
+
+  /** q163: each ordered pair's verdict replayed directly — per-pair
+    * distinct-(det, dep) cells, per-determinant dependent counts, the
+    * same three-level aggregation the engine fuses into one melt scan.
+    * Pair list mirrors the engine call's column order. */
+  private def fdDiscoveryOracle: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val parts = for { a <- cols; b <- cols if a != b } yield
+      s"""SELECT '$a' AS determinant, '$b' AS dependent,
+  CAST(count(*) AS BIGINT) AS n_det_values,
+  CAST(coalesce(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_violating_det_values,
+  coalesce(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END), 0) = 0 AS fd_holds,
+  CAST(count(*) AS BIGINT) = CAST(sum(nr) AS BIGINT) AS det_is_unique_key
+FROM (SELECT va, CAST(count(*) AS BIGINT) AS nb,
+    CAST(sum(c) AS BIGINT) AS nr
+  FROM (SELECT $a AS va, $b AS vb, count(*) AS c FROM orders
+    GROUP BY 1, 2) GROUP BY va)"""
+    parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      ")\nORDER BY determinant, dependent")
+  }
+
+  /** q166: the HITS supersteps as chained CTEs — per half-step the raw
+    * sum, its global total, and the floor-divided renormalization,
+    * exactly the engine's integer arithmetic. Same planted graph as
+    * [[pageRankOracle]]. */
+  private def hitsOracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH docs AS (SELECT doc_id FROM documents),
+mx AS (SELECT max(doc_id) + 1 AS m FROM docs),
+eraw AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % m AS dst FROM docs CROSS JOIN mx
+  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % m FROM docs CROSS JOIN mx
+  UNION ALL SELECT doc_id, (doc_id * 29 + 11) % m FROM docs CROSS JOIN mx),
+edges AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+verts AS (SELECT src AS vertex FROM edges
+  UNION SELECT dst AS vertex FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+h0 AS (SELECT vertex, (SELECT 1000000 // n FROM nn) AS h FROM verts),
+"""
+    for (i <- 1 to 3) {
+      sb ++= s"""ar$i AS (SELECT e.dst AS vertex,
+    CAST(sum(h.h) AS BIGINT) AS ar
+  FROM edges e JOIN h${i - 1} h ON e.src = h.vertex GROUP BY 1),
+at$i AS (SELECT CAST(coalesce(sum(ar), 0) AS BIGINT) AS t FROM ar$i),
+a$i AS (SELECT v.vertex, CASE WHEN t.t > 0
+    THEN coalesce(r.ar, 0) * 1000000 // t.t ELSE 0 END AS a
+  FROM verts v LEFT JOIN ar$i r ON v.vertex = r.vertex
+  CROSS JOIN at$i t),
+hr$i AS (SELECT e.src AS vertex, CAST(sum(a.a) AS BIGINT) AS hr
+  FROM edges e JOIN a$i a ON e.dst = a.vertex GROUP BY 1),
+ht$i AS (SELECT CAST(coalesce(sum(hr), 0) AS BIGINT) AS t FROM hr$i),
+h$i AS (SELECT v.vertex, CASE WHEN t.t > 0
+    THEN coalesce(r.hr, 0) * 1000000 // t.t ELSE 0 END AS h
+  FROM verts v LEFT JOIN hr$i r ON v.vertex = r.vertex
+  CROSS JOIN ht$i t),
+"""
+    }
+    sb ++= """od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg
+  FROM edges GROUP BY 1),
+ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS ideg
+  FROM edges GROUP BY 1)
+SELECT h.vertex, CAST(h.h AS BIGINT) AS hub_micro,
+  CAST(a.a AS BIGINT) AS auth_micro,
+  coalesce(o.odeg, 0) AS outdeg, coalesce(i.ideg, 0) AS indeg
+FROM h3 h JOIN a3 a ON a.vertex = h.vertex
+LEFT JOIN od o ON o.src = h.vertex
+LEFT JOIN ind i ON i.dst = h.vertex
+ORDER BY auth_micro DESC, h.vertex LIMIT 20"""
     sb.toString
   }
 

@@ -260,6 +260,60 @@ object Audit {
           .as("risk_share_micro"))
   }
 
+  /** Functional-dependency + candidate-key discovery over a declared
+    * column set — the data-profiling pass that turns the reference's
+    * per-column TYPE inference (RAS:294–339) into STRUCTURE inference:
+    * which columns determine which others (A → B holds iff every
+    * distinct A-value co-occurs with exactly one B-value), and which
+    * columns are unique keys. A pipeline reads this before choosing
+    * dedup keys, DISTKEYs, or join strategies — an FD-discovered key is
+    * exactly what `generate_table_ddl`'s PRIMARY KEY parameter wants.
+    *
+    * One corpus scan for ALL ordered pairs: each row melts into
+    * |cols|·(|cols|−1) (determinant, dependent, a, b) tuples (the q101
+    * stack-melt idiom — the explode is narrow and partial aggregation
+    * collapses it to distinct value cells map-side, so the shuffle
+    * carries cell counts, never the row multiple), then three cascaded
+    * hash aggregates: distinct (pair, a, b) cells → per-(pair, a)
+    * dependent counts → the per-pair verdict. Values compare via their
+    * string render (injective on every Spark atomic type; NULL gets a
+    * sentinel so it groups as one value, matching SQL GROUP BY).
+    *
+    * Returns one row per ordered pair: (determinant, dependent,
+    * n_det_values, n_violating_det_values — determinant values seen
+    * with ≥2 dependent values, fd_holds, det_is_unique_key — the
+    * determinant's distinct count equals the row count). */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"fdDiscovery needs >= 2 columns: $cols")
+    require(cols.distinct == cols, s"duplicate columns: $cols")
+    require(cols.size <= 12,
+      s"${cols.size} columns melt to ${cols.size * (cols.size - 1)} " +
+        "pairs per row — profile a declared subset, not the whole table")
+    def rendered(c: String): Column =
+      coalesce(col(c).cast("string"), lit("\u0001"))
+    val pairs = for {
+      a <- cols; b <- cols if a != b
+    } yield struct(lit(a).as("det"), lit(b).as("dep"),
+      rendered(a).as("va"), rendered(b).as("vb"))
+    val cells = df
+      .select(explode(array(pairs: _*)).as("_p"))
+      .select(col("_p.det"), col("_p.dep"), col("_p.va"), col("_p.vb"))
+      .groupBy("det", "dep", "va", "vb")
+      .agg(count(lit(1)).as("_n"))
+    val perDet = cells.groupBy("det", "dep", "va")
+      .agg(count(lit(1)).as("_ndep"), sum("_n").as("_nrows"))
+    perDet.groupBy("det", "dep")
+      .agg(count(lit(1)).as("n_det_values"),
+        sum(when(col("_ndep") > 1L, 1L).otherwise(0L))
+          .as("n_violating_det_values"),
+        sum("_nrows").as("_total"))
+      .select(col("det").as("determinant"), col("dep").as("dependent"),
+        col("n_det_values"), col("n_violating_det_values"),
+        (col("n_violating_det_values") === 0L).as("fd_holds"),
+        (col("n_det_values") === col("_total")).as("det_is_unique_key"))
+      .orderBy("determinant", "dependent")
+  }
+
   def tableFingerprint(df: DataFrame, partitionCols: Seq[String],
                        hashCols: Seq[String]): DataFrame = {
     require(partitionCols.nonEmpty, "tableFingerprint needs partition cols")

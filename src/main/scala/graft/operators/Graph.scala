@@ -266,4 +266,76 @@ object Graph {
           .otherwise(expr(
             "3 * n_triangles * 1000000L div n_wedges")).as("clustering_micro"))
   }
+
+  /** HITS hubs & authorities with a FIXED iteration count in exact
+    * integer micro-units — the directory-vs-content complement to
+    * [[pageRank]]: a hub links to many good authorities (a curated
+    * index page), an authority is linked from many good hubs (the
+    * canonical document) — two distinct curation signals PageRank
+    * collapses into one.
+    *
+    * Per superstep (Kleinberg's update with L1 renormalization):
+    *
+    *   a_raw(v) = Σ_{u→v} h(u);  a(v) = a_raw(v)·10⁶ div Σ a_raw
+    *   h_raw(u) = Σ_{u→v} a(v);  h(u) = h_raw(u)·10⁶ div Σ h_raw
+    *
+    * starting from h_0 = 10⁶ div n. Unlike PageRank the update has no
+    * damping, so mass diverges without per-step normalization — the
+    * normalizer is inherent to the algorithm, and costs ONE broadcast
+    * 1-row total per half-step (the only global sync PageRank's shape
+    * avoided). All arithmetic is 64-bit integer floor division —
+    * bit-replayable across engines and summation orders, the q132
+    * contract. Products stay far inside long range: a_raw ≤
+    * 10⁶·indeg, so a_raw·10⁶ needs indeg < 9.2·10⁶ — beyond that,
+    * renormalize units before scaling (not a gate-scale concern).
+    *
+    * Self-loops drop, parallel edges collapse; each superstep is two
+    * equi-join + hash-aggregate passes over the checkpointed edge
+    * frame. Returns (vertex, hub_micro, auth_micro, outdeg, indeg). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+      .localCheckpoint(true)
+    val n = vertices.count()
+    require(n > 0, "hits: empty graph (no non-self-loop edges)")
+    var hubs = vertices.withColumn("h", lit(1000000L / n))
+    var auths = vertices.withColumn("a", lit(0L))
+    for (_ <- 1 to iterations) {
+      val ar = e.join(hubs, e("src") === hubs("vertex"))
+        .groupBy(col("dst")).agg(sum("h").as("_ar"))
+      val at = ar.agg(coalesce(sum("_ar"), lit(0L)).as("_ta"))
+      auths = vertices
+        .join(ar, vertices("vertex") === ar("dst"), "left")
+        .crossJoin(broadcast(at))
+        .select(col("vertex"),
+          when(col("_ta") > 0L,
+            expr("coalesce(_ar, 0L) * 1000000L div _ta"))
+            .otherwise(lit(0L)).as("a"))
+      val hr = e.join(auths, e("dst") === auths("vertex"))
+        .groupBy(col("src")).agg(sum("a").as("_hr"))
+      val ht = hr.agg(coalesce(sum("_hr"), lit(0L)).as("_th"))
+      hubs = vertices
+        .join(hr, vertices("vertex") === hr("src"), "left")
+        .crossJoin(broadcast(ht))
+        .select(col("vertex"),
+          when(col("_th") > 0L,
+            expr("coalesce(_hr, 0L) * 1000000L div _th"))
+            .otherwise(lit(0L)).as("h"))
+    }
+    val deg = degreeProfile(e, "src", "dst")
+    hubs.join(auths, Seq("vertex"))
+      .join(deg, Seq("vertex"))
+      .select(col("vertex"), col("h").as("hub_micro"),
+        col("a").as("auth_micro"), col("outdeg"), col("indeg"))
+  }
 }

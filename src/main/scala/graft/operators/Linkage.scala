@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage (entity resolution) over STRUCTURED records — the
+  * snapshot-reconciliation pass a pipeline runs when the same entities
+  * arrive from two producers with typos: which rows of snapshot A and
+  * snapshot B are the same entity, when exact keys don't line up?
+  * The reference (`/root/reference/redshift_auto_schema/
+  * RedshiftAutoSchema.py`) has no linkage surface — engine extension,
+  * the structured-record complement to the text dedup family
+  * ([[Dedup]]): q105's Ed-Join blocks free text by rare q-grams; here
+  * record FIELDS are short and typo distances tiny, and the right
+  * blocking is the FastSS deletion neighborhood (Bocek et al., "Fast
+  * Similarity Search in Large Dictionaries", 2007):
+  *
+  *   ed(x, y) ≤ 1  ⟺  ({x} ∪ del1(x)) ∩ ({y} ∪ del1(y)) ≠ ∅
+  *
+  * (equal strings meet at themselves; a substitution at i meets at
+  * del_i; a deletion/insertion meets at the shorter string itself) —
+  * so candidates come from ONE equi-join on neighborhood elements and
+  * the complete edit-distance-≤1 pair set is guaranteed by
+  * construction, never by recall hope. Each record emits |name|+1
+  * neighborhood digests: candidate volume is O(n·L), join cardinality
+  * tracks true match density, and the only pairwise work (one
+  * `levenshtein` per candidate, to drop the neighborhood's few false
+  * positives — e.g. two different single-deletions meeting at the same
+  * shorter string) is candidate-restricted. That is the 100 TB shape:
+  * no quadratic stage anywhere, and hard block keys (here: equality on
+  * `blockCols`) shear the join further.
+  */
+object Linkage {
+
+  /** The FastSS 1-deletion neighborhood of `nameCol`: element 0 is the
+    * string itself, element i deletes character i. */
+  private def neighborhood(nameCol: String): Column =
+    expr(s"transform(sequence(0, length(`$nameCol`)), i -> " +
+      s"IF(i = 0, `$nameCol`, concat(substr(`$nameCol`, 1, i - 1), " +
+      s"substr(`$nameCol`, i + 1))))")
+
+  /** Link records of `a` to records of `b` whose `nameCol` is within
+    * edit distance 1, restricted to exact agreement on `blockCols`.
+    * COMPLETE for distance ≤ 1 by the FastSS property above. Shuffle
+    * keys are (blockCols…, md5(neighborhood element)) — 16-byte
+    * digests, never the strings. Returns (id_a, id_b, name_a, name_b,
+    * dist) with one row per linked pair. */
+  def linkByNameEdit1(a: DataFrame, b: DataFrame, idCol: String,
+                      nameCol: String,
+                      blockCols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(blockCols.map(col) ++ Seq(
+          col(idCol).as(s"id_$tag"), col(nameCol).as(s"name_$tag"),
+          explode(neighborhood(nameCol)).as("_var")): _*)
+        .select(blockCols.map(col) ++ Seq(col(s"id_$tag"),
+          col(s"name_$tag"), md5(col("_var")).as("_vd")): _*)
+    val cands = side(a, "a")
+      .join(side(b, "b"), blockCols :+ "_vd")
+      .select("id_a", "id_b", "name_a", "name_b")
+      .distinct()
+    cands
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -467,4 +467,180 @@ object Scale {
     df.withColumn("shard",
       array_min(array(entries: _*)).getField("_shard"))
   }
+
+  // ------------------------------------------------------------------
+  // Mergeable aggregate state — incremental rollup maintenance.
+  // ------------------------------------------------------------------
+
+  /** Per-group aggregate STATE over a 2-dp numeric column: every field
+    * is algebraic (sum/min/max-mergeable), so yesterday's 100 TB
+    * rollup merges with today's delta slice via [[mergeAggStates]]
+    * without re-reading yesterday's rows — the incremental-ETL
+    * primitive, and the batch twin of a streaming state store. Exact
+    * integer representation throughout: values enter as decimal(18,2)
+    * and are carried as CENTS (long) and cents² (decimal(38,0)), so
+    * the state — and everything [[finalizeAggState]] derives — is
+    * bit-identical no matter how the corpus was sliced into deltas
+    * (the q164 gate proves merge(state(A), state(B)) against a full
+    * recompute). Null values count rows but contribute no value
+    * statistics. Returns (keys…, n_rows, n_vals, sum_cents,
+    * sumsq_cents2, min_cents, max_cents). */
+  def aggState(df: DataFrame, keys: Seq[String],
+               valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "aggState needs grouping keys")
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val centsDec = cents.cast("decimal(18,0)")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count(cents).as("n_vals"),
+        coalesce(sum(cents), lit(0L)).as("sum_cents"),
+        coalesce(sum((centsDec * centsDec).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("sumsq_cents2"),
+        min(cents).as("min_cents"),
+        max(cents).as("max_cents"))
+  }
+
+  /** Merge [[aggState]] frames over the same keys: one union + one
+    * hash aggregate — sums add, mins min, maxes max. The whole point:
+    * merging is O(|groups|), never O(|rows|). */
+  def mergeAggStates(states: Seq[DataFrame],
+                     keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAggStates needs at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n_rows").as("n_rows"), sum("n_vals").as("n_vals"),
+        sum("sum_cents").as("sum_cents"),
+        sum("sumsq_cents2").cast("decimal(38,0)").as("sumsq_cents2"),
+        min("min_cents").as("min_cents"),
+        max("max_cents").as("max_cents"))
+  }
+
+  /** Finalize a state frame into consumer statistics. The derived
+    * floats are each ONE fixed formula over the exact integer state
+    * (casts and IEEE ops are correctly rounded, hence engine-identical
+    * given identical integer inputs — the oracle replays the same
+    * formula): sum/min/max rescale cents by /100.0, mean divides
+    * sum_cents by n·100, variance is the textbook
+    * (sumsq − sum²/n)/n on cents² rescaled by 10⁻⁴ — mean and
+    * variance rounded to 6 dp (the q143 OLS contract). Groups with no
+    * values emit null statistics. */
+  def finalizeAggState(state: DataFrame,
+                       keys: Seq[String]): DataFrame = {
+    val n = col("n_vals").cast("double")
+    val s = col("sum_cents").cast("double")
+    val ss = col("sumsq_cents2").cast("double")
+    def guarded(c: Column): Column =
+      when(col("n_vals") === 0L, lit(null).cast("double")).otherwise(c)
+    state.select(keys.map(col) ++ Seq(
+      col("n_rows"), col("n_vals"),
+      guarded(s / 100.0).as("sum_val"),
+      guarded(col("min_cents").cast("double") / 100.0).as("min_val"),
+      guarded(col("max_cents").cast("double") / 100.0).as("max_val"),
+      guarded(round(s / (n * 100.0), 6)).as("mean"),
+      guarded(round(((ss - s * s / n) / n) / 10000.0, 6))
+        .as("variance")): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
+  /** Small-file compaction plan — the "OPTIMIZE" pre-flight every
+    * long-lived 100 TB table needs: given a per-file (or
+    * per-partition) size frame, assign inputs to output groups of
+    * ≈`targetBytes` by the deterministic sorted-fill rule
+    *
+    *   group(f) = (max(cum(f), 1) − 1) div targetBytes
+    *
+    * where cum is the running byte total over files ordered by
+    * `orderCol` (key-locality order, so compacted outputs stay
+    * range-prunable). The max(·, 1) guard keeps a zero-byte prefix out
+    * of negative numerators — floor-vs-truncate division on negatives
+    * is exactly the cross-engine trap (the q161 lesson). A file larger
+    * than the target claims its group id alone and later ids simply
+    * skip forward (gaps are fine — ids only need to be stable). The
+    * running sum is [[Curation.bucketedCumSum]]'s distributed prefix
+    * sum: no single-partition window even when the size frame is
+    * millions of files. `orderCol` must be a TOTAL order (distinct
+    * values — e.g. a first-row id per file); equal keys would make the
+    * running sum order-dependent. Returns (group_id, n_inputs,
+    * total_bytes, first_key, last_key). */
+  def compactionPlan(sizes: DataFrame, orderCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val slim = sizes.select(col(orderCol).cast("long").as("_ord"),
+      coalesce(col(bytesCol).cast("long"), lit(0L)).as("_bytes"))
+    val cum = Curation.bucketedCumSum(slim, bucketCol = "_ord",
+      descending = false, orderCols = Seq(col("_ord").asc),
+      tokenCol = "_bytes", cumName = "_cum",
+      slimCols = Seq("_ord", "_bytes"), guards = Seq.empty)
+    cum
+      .withColumn("group_id",
+        expr(s"(greatest(_cum, 1L) - 1L) div ${targetBytes}L"))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_inputs"),
+        sum("_bytes").as("total_bytes"),
+        min("_ord").as("first_key"), max("_ord").as("last_key"))
+      .orderBy("group_id")
+  }
+
+  /** Range-partitioning plan: K−1 boundary values at the exact ranks
+    * ⌈i·n/K⌉ (integer ceil — (i·n + K − 1) div K, no IEEE anywhere)
+    * under the (value, id) total order, then the EXACT per-partition
+    * row counts those boundaries produce when rows route by VALUE
+    * alone — ties cannot split across partitions, the real
+    * `repartitionByRange` semantics, and the reason a skewed key stays
+    * imbalanced no matter how exact the boundaries are. This is the
+    * pre-flight a 100 TB sorted-write planner reads before committing
+    * to a partitioning: boundaries + realized counts + share.
+    *
+    * Partition p (0-based) receives rows with bound[p−1] < v ≤
+    * bound[p]; the last partition is unbounded above. Routing is a
+    * pure comparison ladder over the ≤K-element boundary literal
+    * (map-only, no join); counts are one hash aggregate joined onto
+    * the full 0..K−1 spine so empty partitions (duplicate boundaries
+    * under heavy ties) report 0 rows. Ranks come from the same
+    * bucketed prefix sum as [[exactQuantiles]] — never a
+    * single-partition window. The boundary collect is K-bounded
+    * driver traffic (required ≤ 4096), the same budget the planner's
+    * output already is.
+    *
+    * Returns (partition_id, hi_bound — null for the last, n_rows,
+    * share_micro). */
+  def rangePartitionPlan(df: DataFrame, valueCol: String, idCol: String,
+                         numPartitions: Int): DataFrame = {
+    require(numPartitions >= 2 && numPartitions <= 4096,
+      s"numPartitions must be in [2, 4096]: $numPartitions")
+    val k = numPartitions
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"), col(idCol))
+    val n = vals.count()
+    require(n > 0, "rangePartitionPlan needs at least one non-null value")
+    val ranks = (1 until k).map(i => (i, (i.toLong * n + k - 1) / k))
+    val ranked = Curation.bucketedCumSum(vals.withColumn("_one", lit(1L)),
+      bucketCol = "_v", descending = false,
+      orderCols = Seq(col("_v").asc, col(idCol).asc),
+      tokenCol = "_one", cumName = "_rank",
+      slimCols = Seq("_v", "_one"), guards = Seq.empty)
+    val byRank = ranked
+      .filter(col("_rank").isin(ranks.map(_._2).distinct: _*))
+      .select(col("_rank"), col("_v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bounds = ranks.map { case (i, r) => (i, byRank(r)) }
+    val pid = bounds.map { case (_, b) =>
+      when(col("_v") > lit(b), 1).otherwise(0)
+    }.reduce(_ + _).cast("long")
+    val counts = vals.groupBy(pid.as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val s = df.sparkSession
+    val spine = s.createDataFrame(
+      (0 until k).map(p => (p.toLong,
+        if (p < k - 1) bounds(p)._2 else -1L)))
+      .toDF("partition_id", "_hb")
+    spine.join(counts, Seq("partition_id"), "left")
+      .select(col("partition_id"),
+        when(col("partition_id") === (k - 1).toLong,
+          lit(null).cast("long")).otherwise(col("_hb")).as("hi_bound"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        expr(s"coalesce(n_rows, 0L) * 1000000L div ${n}L")
+          .as("share_micro"))
+      .orderBy("partition_id")
+  }
 }

@@ -776,4 +776,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans162 == 1,
       s"the confusion matrix reads the corpus once, saw $scans162:\n$p162")
   }
+
+  test("round-7 queries (q163-q167) keep scale-safe shapes") {
+    // q163 FD discovery: one melt scan + three cascaded hash
+    // aggregates — no join, no window, one corpus read
+    val p163 = finalPlan(q("q163_fd_discovery"))
+    assert(!p163.contains("Join") && !p163.contains("Window"),
+      s"fd discovery is aggregate-only:\n$p163")
+    val scans163 = p163.split("FileScan parquet").length - 1
+    assert(scans163 == 1,
+      s"fd discovery reads the corpus once, saw $scans163:\n$p163")
+    // q164 incremental rollup: states union + re-aggregate — group-
+    // keyed hash aggregates only, never a window or product
+    val p164 = finalPlan(q("q164_incremental_rollup"))
+    assert(!p164.contains("Join") && !p164.contains("Window"),
+      s"state merge is union+aggregate only:\n$p164")
+    // q165 range plan: routing is a comparison ladder (map-only);
+    // the only joins glue the K-row spine; prefix-sum windows stay
+    // bucket-partitioned
+    val p165 = finalPlan(q("q165_range_plan"))
+    assert(!p165.contains("CartesianProduct") &&
+      !p165.contains("Exchange SinglePartition"),
+      s"range planning must stay bucket-partitioned:\n$p165")
+    // q166 HITS: supersteps are equi-joins + hash aggregates; the
+    // only nested-loop glue is the broadcast 1-row normalizer; the
+    // top-20 cut is a TakeOrdered
+    val p166 = finalPlan(q("q166_hits"))
+    assert(!p166.contains("CartesianProduct"),
+      s"hits supersteps must stay equi-joined:\n$p166")
+    assert(p166.contains("TakeOrderedAndProject"),
+      s"the authority cut must be per-partition top-k:\n$p166")
+    // q167 linkage: candidates come from the neighborhood-digest
+    // equi-join — never a product, never a window
+    val p167 = finalPlan(q("q167_record_linkage"))
+    assert(!p167.contains("CartesianProduct") &&
+      !p167.contains("BroadcastNestedLoopJoin"),
+      s"linkage must block on neighborhood digests:\n$p167")
+    assert(!p167.contains("Window"),
+      s"linkage needs no window:\n$p167")
+    // q168 compaction: the prefix sum stays bucket-partitioned even
+    // over a file frame — never a global one-task window
+    val p168 = finalPlan(q("q168_compaction_plan"))
+    assert(!p168.contains("Exchange SinglePartition"),
+      s"compaction fill must stay bucket-partitioned:\n$p168")
+    assert(!p168.contains("CartesianProduct"),
+      s"compaction plans no product:\n$p168")
+  }
 }

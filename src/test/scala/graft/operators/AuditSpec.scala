@@ -215,4 +215,38 @@ class AuditSpec extends SparkSpec {
       .collect().head.getLong(2)
     assert(da != db)
   }
+
+  test("fdDiscovery: keys, held and violated FDs, null as one value") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x", Option("p")), (2L, "x", Option("p")),
+      (3L, "y", Option.empty[String]), (4L, "y", Option.empty[String]))
+      .toDF("id", "g", "s")
+    val got = Audit.fdDiscovery(df, Seq("id", "g", "s")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    assert(got.size == 6)
+    // id is a unique key, so id → anything holds
+    assert(got(("id", "g")) === ((4L, 0L, true, true)))
+    assert(got(("id", "s")) === ((4L, 0L, true, true)))
+    // g → s holds: x↦p, y↦null (the null dependent is ONE value)
+    assert(got(("g", "s")) === ((2L, 0L, true, false)))
+    // g → id violated on both g-values; g is not a key
+    assert(got(("g", "id")) === ((2L, 2L, false, false)))
+    // s → g holds (p↦x, null↦y); s is not a key (2 values, 4 rows)
+    assert(got(("s", "g")) === ((2L, 0L, true, false)))
+    assert(got(("s", "id"))._3 === false)
+  }
+
+  test("fdDiscovery rejects degenerate column sets") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "g")
+    intercept[IllegalArgumentException] {
+      Audit.fdDiscovery(df, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Audit.fdDiscovery(df, Seq("id", "id"))
+    }
+  }
 }

@@ -239,4 +239,61 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(2) == 0L && r.getLong(4) == 0L)
     assert(r.getLong(3) > 0L, "a tree still has open wedges")
   }
+
+  /** Hand HITS replay — the same integer half-step arithmetic. */
+  private def handHits(es: Seq[(Long, Long)],
+                       iters: Int): Map[Long, (Long, Long)] = {
+    val e = es.filter { case (x, y) => x != y }.distinct
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = verts.size.toLong
+    var h = verts.map(_ -> 1000000L / n).toMap
+    var a = verts.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val ar = e.groupBy(_._2).map { case (v, in) =>
+        v -> in.map(x => h(x._1)).sum }
+      val ta = ar.values.sum
+      a = verts.map(v => v ->
+        (if (ta > 0) ar.getOrElse(v, 0L) * 1000000L / ta else 0L)).toMap
+      val hr = e.groupBy(_._1).map { case (u, out) =>
+        u -> out.map(x => a(x._2)).sum }
+      val th = hr.values.sum
+      h = verts.map(v => v ->
+        (if (th > 0) hr.getOrElse(v, 0L) * 1000000L / th else 0L)).toMap
+    }
+    verts.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  test("hits matches the hand replay; floor-divided L1 mass stays bounded") {
+    val got = Graph.hits(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val want = handHits(
+      Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L)), 4)
+    assert(got === want)
+    // each renormalization floors n quotients: totals land in
+    // (10⁶ − n, 10⁶]
+    val hs = got.values.map(_._1).sum
+    val as = got.values.map(_._2).sum
+    assert(hs <= 1000000L && hs > 1000000L - 4)
+    assert(as <= 1000000L && as > 1000000L - 4)
+    // vertex 2 (indeg 3) is the top authority; vertex 0 (two out-edges
+    // into the heavy authorities) the top hub
+    assert(got.maxBy { case (v, (_, a2)) => (a2, -v) }._1 === 2L)
+    assert(got.maxBy { case (v, (h2, _)) => (h2, -v) }._1 === 0L)
+  }
+
+  test("hits reports degrees and zero-auth for never-linked vertices") {
+    import spark.implicits._
+    // star: 1→{2,3,4}; vertex 1 has indeg 0 → auth 0 forever
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val rows = Graph.hits(star, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(1L)._2 == 0L, "source-only vertex must have auth 0")
+    assert(rows(1L)._3 == 3L && rows(1L)._4 == 0L)
+    assert(rows(2L)._1 == 0L, "sink vertices have hub 0")
+    // symmetric sinks split authority equally: 10⁶ div 3 each
+    assert(Seq(2L, 3L, 4L).map(rows(_)._2).distinct.size == 1)
+    assert(rows(2L)._2 == 1000000L / 3)
+  }
 }

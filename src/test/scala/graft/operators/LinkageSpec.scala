@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val a = Seq(
+    (1L, "alpha", "g1"), (2L, "beta", "g1"),
+    (3L, "gamma", "g2"), (4L, "delta", "g2"),
+    (5L, "", "g1")).toDF("id", "name", "blk")
+
+  private val b = Seq(
+    (11L, "alpha", "g1"),  // exact match (dist 0)
+    (12L, "betta", "g1"),  // insertion (dist 1 from beta)
+    (13L, "gama", "g2"),   // deletion (dist 1 from gamma)
+    (14L, "delra", "g2"),  // substitution (dist 1 from delta)
+    (15L, "zzzzz", "g1"),  // unrelated
+    (16L, "alpha", "g2"),  // right name, WRONG block — must not link
+    (17L, "bexta", "g1"),  // dist 1 from beta AND 2 from betta
+    (18L, "", "g2")).toDF("id", "name", "blk")
+
+  test("linkByNameEdit1 equals the within-block quadratic ground truth") {
+    val got = Linkage.linkByNameEdit1(a, b, "id", "name", Seq("blk"))
+      .select($"id_a", $"id_b", $"dist")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = a.select($"id".as("id_a"), $"name".as("name_a"), $"blk")
+      .join(b.select($"id".as("id_b"), $"name".as("name_b"), $"blk"),
+        "blk")
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 1)
+      .select($"id_a", $"id_b", $"dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    // the planted edit types all link; the cross-block twin does not
+    assert(got.contains((1L, 11L, 0)))
+    assert(got.contains((2L, 12L, 1)) && got.contains((3L, 13L, 1)) &&
+      got.contains((4L, 14L, 1)) && got.contains((2L, 17L, 1)))
+    assert(!got.exists { case (ia, ib, _) => ia == 1L && ib == 16L })
+    assert(!got.exists(_._2 == 15L), "a 4-edit name must not link")
+  }
+
+  test("linkByNameEdit1 handles empty names without error") {
+    val got = Linkage.linkByNameEdit1(a, b, "id", "name", Seq("blk"))
+      .select($"id_a", $"id_b", $"dist")
+      .as[(Long, Long, Int)].collect().toSet
+    // "" (g1) vs "" (g2): blocks differ — no link; nothing in g1 is
+    // within one edit of ""
+    assert(!got.exists(p => p._1 == 5L || p._2 == 18L))
+  }
+}

@@ -317,4 +317,64 @@ class ScaleSpec extends SparkSpec {
       Scale.rendezvousAssign(df, "id", Seq("a", "a"))
     }
   }
+
+  test("aggState: merging arbitrary slices equals the full recompute") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Option(10.25)), ("a", Option(3.75)), ("a", Option(99.0)),
+      ("b", Option(1.0)), ("b", Option(2.0)), ("c", Option(7.77)),
+      ("c", Option.empty[Double])).toDF("k", "v")
+    val keys = Seq("k")
+    def fin(st: org.apache.spark.sql.DataFrame) =
+      Scale.finalizeAggState(st, keys).collect().map(r =>
+        r.getString(0) -> r.toSeq.drop(1)).toMap
+    val full = fin(Scale.aggState(df, keys, "v"))
+    val merged = fin(Scale.mergeAggStates(Seq(
+      Scale.aggState(df.filter($"v" < 5.0), keys, "v"),
+      Scale.aggState(df.filter($"v" >= 5.0), keys, "v"),
+      Scale.aggState(df.filter($"v".isNull), keys, "v")), keys))
+    assert(merged === full)
+    // spot-check group a against the textbook values
+    val a = full("a")
+    assert(a(0) == 3L && a(1) == 3L)       // n_rows, n_vals
+    assert(a(2) == 113.0)                  // sum
+    assert(a(3) == 3.75 && a(4) == 99.0)   // min, max
+    assert(a(5) == 37.666667)              // mean, 6 dp
+    // null-value row: counted in n_rows, absent from stats
+    val c = full("c")
+    assert(c(0) == 2L && c(1) == 1L && c(6) == 0.0)
+  }
+
+  test("compactionPlan: sorted fill, oversize files, zero-byte prefix") {
+    import spark.implicits._
+    // order 1..6: bytes 0,10,10,50,10,10 with target 25
+    // cums 0,10,20,70,80,90 → groups 0,0,0,2,3,3 (gap at 1 — the
+    // 50-byte file overshoots; ids stay stable, gaps are fine)
+    val sizes = Seq((1L, 0L), (2L, 10L), (3L, 10L), (4L, 50L),
+      (5L, 10L), (6L, 10L)).toDF("k", "b")
+    val got = Scale.compactionPlan(sizes, "k", "b", targetBytes = 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (0L, 3L, 20L, 1L, 3L), (2L, 1L, 50L, 4L, 4L),
+      (3L, 2L, 20L, 5L, 6L)))
+    // every group's span is contiguous in key order and totals add up
+    assert(got.map(_._3).sum == 90L)
+  }
+
+  test("rangePartitionPlan: exact ceil-rank boundaries; ties never split") {
+    import spark.implicits._
+    // sorted values: 1,2,5,5,5,5,9,10 — heavy tie at 5
+    val df = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L), (1L, 10L),
+      (2L, 11L), (9L, 12L), (10L, 13L)).toDF("v", "id")
+    val got = Scale.rangePartitionPlan(df, "v", "id", numPartitions = 4)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // boundary ranks 2,4,6 → values 2,5,5; the tied 5s all route to
+    // partition 1 (v ≤ 5), partition 2 is empty, last is unbounded
+    assert(got === Array(
+      (0L, 2L, 2L, 250000L), (1L, 5L, 4L, 500000L),
+      (2L, 5L, 0L, 0L), (3L, -1L, 2L, 250000L)))
+  }
 }
