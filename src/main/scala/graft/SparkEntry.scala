@@ -1873,7 +1873,31 @@ object SparkEntry {
           min("doc_id").as("first_id"))
       Scale.compactionPlan(sizes, "first_id", "bytes",
         targetBytes = 50000L)
-    })
+    }),
+    // ---- declarative data-quality expectations (the Deequ-style
+    //      publish gate): every row-predicate rule fused into ONE
+    //      aggregate over one scan; each uniqueness rule prices one
+    //      exact distinct count. Mixed pass/fail fixture. ----
+    "q169_quality_rules" -> ((s, dir) => {
+      import graft.operators.Audit.Expectation._
+      Audit.expectationsAudit(t(s, dir, "orders"), Seq(
+        NotNull("r1_custkey_notnull", "o_custkey"),
+        Unique("r2_orderkey_unique", "o_orderkey"),
+        Unique("r3_status_unique", "o_orderstatus"),
+        InRange("r4_price_wide", "o_totalprice", 0.0, 1000000.0),
+        InRange("r5_price_tight", "o_totalprice", 0.0, 100000.0),
+        InSet("r6_status_domain", "o_orderstatus", Seq("F", "O")),
+        MatchesRegex("r7_priority_format", "o_orderpriority", "^[1-5]-"),
+        MaxLength("r8_priority_len", "o_orderpriority", 6)))
+    }),
+    // ---- top principal component: exact integer covariance moments
+    //      (one explode + one hash aggregate, shuffle carries the dim²
+    //      grid) + bit-replayable BigInt power iteration with floor-
+    //      division renormalization — the float-free PCA that can be
+    //      hash-gated at all. ----
+    "q170_pca_power" -> ((s, dir) =>
+      Similarity.pcaTopComponent(t(s, dir, "embeddings"), "embedding",
+        dim = 64, iterations = 8))
   )
 
   /** q154's requested mixture in integer micros (en-heavy; the two
@@ -4094,7 +4118,52 @@ g AS (SELECT (greatest(cum, 1) - 1) // 50000 AS group_id, bytes,
 SELECT group_id, CAST(count(*) AS BIGINT) AS n_inputs,
   CAST(sum(bytes) AS BIGINT) AS total_bytes,
   min(first_id) AS first_key, max(first_id) AS last_key
-FROM g GROUP BY 1 ORDER BY group_id"""
+FROM g GROUP BY 1 ORDER BY group_id""",
+    // q169: every rule replayed as a direct SQL count — null handling
+    // mirrors the operator (only NotNull counts nulls; domain rules
+    // skip them).
+    "q169_quality_rules" ->
+      """SELECT rule_id, rule_type, target_column, n_violations,
+  n_violations = 0 AS pass FROM (
+SELECT 'r1_custkey_notnull' AS rule_id, 'NotNull' AS rule_type,
+  'o_custkey' AS target_column,
+  CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+    AS BIGINT) AS n_violations FROM orders
+UNION ALL
+SELECT 'r2_orderkey_unique', 'Unique', 'o_orderkey',
+  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders WHERE o_orderkey IS NOT NULL
+UNION ALL
+SELECT 'r3_status_unique', 'Unique', 'o_orderstatus',
+  CAST(count(o_orderstatus) - count(DISTINCT o_orderstatus) AS BIGINT)
+  FROM orders WHERE o_orderstatus IS NOT NULL
+UNION ALL
+SELECT 'r4_price_wide', 'InRange', 'o_totalprice',
+  CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+    AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
+    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'r5_price_tight', 'InRange', 'o_totalprice',
+  CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+    AND (o_totalprice < 0.0 OR o_totalprice > 100000.0)
+    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'r6_status_domain', 'InSet', 'o_orderstatus',
+  CAST(coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL
+    AND o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END), 0)
+    AS BIGINT) FROM orders
+UNION ALL
+SELECT 'r7_priority_format', 'MatchesRegex', 'o_orderpriority',
+  CAST(coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL
+    AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'r8_priority_len', 'MaxLength', 'o_orderpriority',
+  CAST(coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL
+    AND length(o_orderpriority) > 6 THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM orders)
+ORDER BY rule_id""",
+    "q170_pca_power" -> pcaPowerOracle
   )
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut
@@ -4444,6 +4513,50 @@ FROM (SELECT va, CAST(count(*) AS BIGINT) AS nb,
     GROUP BY 1, 2) GROUP BY va)"""
     parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       ")\nORDER BY determinant, dependent")
+  }
+
+  /** q170: the whole PCA composition replayed in HUGEINT — micro
+    * quantization with the shared floor, the full product grid + linear
+    * sentinel as plain sums, C = n·S2 − S1·S1ᵀ, 8 power-iteration CTE
+    * rounds with `//` renormalization — DuckDB's `//` TRUNCATES toward
+    * zero on negatives, exactly BigInt `/` (floor division here would
+    * drift by one micro on every negative component) — and the
+    * dominant-coordinate sign convention. Must agree bit for bit. */
+  private def pcaPowerOracle: String = {
+    val dim = 64; val iters = 8
+    val sb = new StringBuilder
+    sb ++= s"""WITH m AS (SELECT list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+  FROM embeddings WHERE embedding IS NOT NULL),
+ii AS (SELECT unnest(range(0, $dim)) AS i),
+jj AS (SELECT unnest(range(0, $dim)) AS j),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM m),
+s1 AS (SELECT i, CAST(sum(mv[i + 1]) AS HUGEINT) AS s
+  FROM m CROSS JOIN ii GROUP BY i),
+s2 AS (SELECT i, j, CAST(sum(mv[i + 1] * mv[j + 1]) AS HUGEINT) AS s
+  FROM m CROSS JOIN ii CROSS JOIN jj GROUP BY i, j),
+cm AS (SELECT s2.i, s2.j, nn.n * s2.s - a.s * b.s AS c
+  FROM s2 JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j CROSS JOIN nn),
+v0 AS (SELECT i, CASE WHEN i = 0 THEN CAST(1000000 AS HUGEINT)
+  ELSE CAST(0 AS HUGEINT) END AS v FROM ii),
+"""
+    for (k <- 1 to iters) {
+      sb ++= s"""w$k AS (SELECT cm.i, CAST(sum(cm.c * v.v) AS HUGEINT) AS w
+  FROM cm JOIN v${k - 1} v ON v.i = cm.j GROUP BY cm.i),
+mx$k AS (SELECT max(abs(w)) AS mx FROM w$k),
+v$k AS (SELECT i, CASE WHEN mx.mx > 0 THEN (w * 1000000) // mx.mx
+  ELSE CAST(0 AS HUGEINT) END AS v FROM w$k CROSS JOIN mx$k mx),
+"""
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb ++= s"""
+SELECT v.i AS pos,
+  CAST(CASE WHEN lead.v < 0 THEN -v.v ELSE v.v END AS BIGINT)
+    AS component_micro
+FROM v$iters v CROSS JOIN
+  (SELECT v FROM v$iters ORDER BY abs(v) DESC, i ASC LIMIT 1) lead
+ORDER BY pos"""
+    sb.toString
   }
 
   /** q166: the HITS supersteps as chained CTEs — per half-step the raw

@@ -260,6 +260,90 @@ object Audit {
           .as("risk_share_micro"))
   }
 
+  /** A declarative data-quality expectation — the Deequ-style contract
+    * a 100 TB ingest gate evaluates before publishing a snapshot. Each
+    * case is a pure row predicate except [[Expectation.Unique]], which
+    * needs a distinct count. */
+  sealed trait Expectation {
+    def id: String; def column: String
+    def kind: String = getClass.getSimpleName.stripSuffix("$")
+  }
+  object Expectation {
+    final case class NotNull(id: String, column: String)
+      extends Expectation
+    final case class Unique(id: String, column: String)
+      extends Expectation
+    final case class InRange(id: String, column: String, lo: Double,
+                             hi: Double) extends Expectation
+    final case class InSet(id: String, column: String,
+                           values: Seq[String]) extends Expectation
+    final case class MatchesRegex(id: String, column: String,
+                                  pattern: String) extends Expectation
+    final case class MaxLength(id: String, column: String, maxLen: Int)
+      extends Expectation
+  }
+
+  /** Evaluate a rule set in (almost) one pass — the publish gate that
+    * turns "is this snapshot sane?" into a frame. ALL row-predicate
+    * rules fuse into ONE aggregate over one corpus scan (the
+    * ColumnProfiler shape: each rule is a `sum(when(violated, 1))`
+    * column of the same `agg`, melted to long form afterwards — the
+    * 1-row explode is free); each [[Expectation.Unique]] rule adds one
+    * exact distinct-count aggregate of its own (duplicates =
+    * non-null rows − distinct values), the only per-rule pass and an
+    * explicitly priced one. Null handling: only NotNull counts nulls —
+    * range/set/regex/length rules skip null values (a null is a
+    * nullability violation, not a domain violation; counting it twice
+    * would double-report one defect).
+    *
+    * Returns (rule_id, rule_type, column, n_violations, pass) ordered
+    * by rule_id. */
+  def expectationsAudit(df: DataFrame,
+                        rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "expectationsAudit needs at least one rule")
+    require(rules.map(_.id).distinct.size == rules.size,
+      s"rule ids must be unique: ${rules.map(_.id)}")
+    import Expectation._
+    val rowRules = rules.filterNot(_.isInstanceOf[Unique])
+    val uniqueRules = rules.collect { case u: Unique => u }
+    def violated(r: Expectation): Column = r match {
+      case NotNull(_, c) => col(c).isNull
+      case InRange(_, c, lo, hi) =>
+        col(c).isNotNull &&
+          (col(c).cast("double") < lo || col(c).cast("double") > hi)
+      case InSet(_, c, vs) =>
+        col(c).isNotNull && !col(c).cast("string").isin(vs: _*)
+      case MatchesRegex(_, c, p) =>
+        col(c).isNotNull && !col(c).cast("string").rlike(p)
+      case MaxLength(_, c, n) =>
+        col(c).isNotNull && length(col(c).cast("string")) > n
+      case _: Unique =>
+        throw new IllegalStateException("unique handled separately")
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (rowRules.nonEmpty) {
+      val aggs = rowRules.map(r =>
+        sum(when(violated(r), 1L).otherwise(0L)).as(s"_v_${r.id}"))
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val melted = one.select(explode(array(rowRules.map(r =>
+        struct(lit(r.id).as("rule_id"), lit(r.kind).as("rule_type"),
+          lit(r.column).as("target_column"),
+          coalesce(col(s"_v_${r.id}"), lit(0L)).as("n_violations"))): _*))
+        .as("_r")).select(col("_r.*"))
+      frames += melted
+    }
+    uniqueRules.foreach { u =>
+      frames += df.filter(col(u.column).isNotNull)
+        .agg((count(col(u.column)) - countDistinct(col(u.column)))
+          .as("n_violations"))
+        .select(lit(u.id).as("rule_id"), lit(u.kind).as("rule_type"),
+          lit(u.column).as("target_column"), col("n_violations"))
+    }
+    frames.reduce(_.unionByName(_))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("rule_id")
+  }
+
   /** Functional-dependency + candidate-key discovery over a declared
     * column set — the data-profiling pass that turns the reference's
     * per-column TYPE inference (RAS:294–339) into STRUCTURE inference:

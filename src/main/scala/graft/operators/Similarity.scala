@@ -996,4 +996,84 @@ object Similarity {
       .select(col("_lbl").as(labelCol), col("n_a"), col("n_b"),
         round(cos * 1000000L).cast("bigint").as("cos_micro"))
   }
+
+  /** Top principal component of an embedding column — EXACT distributed
+    * covariance moments + a bit-replayable integer power iteration.
+    * The direction a corpus's embedding cloud stretches along is a
+    * first-class curation signal (dominant-topic axis, batch-effect
+    * detector before [[embedding snapshot drift]] re-embeds), and PCA
+    * is the textbook reduction — but a float implementation is
+    * UNGATEABLE: parallel double sums are order-dependent and eigen
+    * routines differ per library. This one is deterministic end to
+    * end:
+    *
+    *   1. Each vector quantizes to integer micros (floor(x·10⁶) — the
+    *      same floor both engines share). ONE narrow explode emits the
+    *      full i×j product grid PLUS a sentinel (i, −1) linear term per
+    *      coordinate, so a single hash aggregate yields S2 = Σ x xᵀ,
+    *      S1 = Σ x and n together: map-side partials collapse the
+    *      explode to ≤ dim·(dim+1) rows per partition — the shuffle
+    *      carries the GRID, never the corpus (dim² CPU per row is the
+    *      inherent cost of covariance, not an artifact).
+    *   2. The dim²-row moment frame collects to the driver (bounded:
+    *      dim ≤ 256 ⇒ ≤ 65 792 rows — the codebook-training budget),
+    *      where C = n·S2 − S1·S1ᵀ forms in exact BigInt.
+    *   3. `iterations` rounds of v ← C·v with L∞ renormalization to
+    *      10⁶ scale, all BigInt with TRUNCATING division — BigInt `/`
+    *      and DuckDB's `//` both truncate toward zero (verified:
+    *      −7 // 2 = −3 in DuckDB), so negative components renormalize
+    *      identically; v₀ = 10⁶·e₀. Final sign convention: the
+    *      largest-|component| coordinate (ties → smallest index) is
+    *      made positive.
+    *
+    * The DuckDB oracle replays every step in HUGEINT and must agree
+    * bit for bit. Returns (pos, component_micro) with
+    * component_micro ∈ [−10⁶, 10⁶], ordered by pos. */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
+                      iterations: Int = 8): DataFrame = {
+    require(dim >= 2 && dim <= 256,
+      s"dim must be in [2, 256] (the moment grid is dim² driver rows): $dim")
+    require(iterations >= 1 && iterations <= 30,
+      s"iterations must be in [1, 30]: $iterations")
+    val cells = df.filter(col(vecCol).isNotNull)
+      .select(expr(s"transform(`$vecCol`, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("_m"))
+      .select(explode(expr(
+        """flatten(transform(_m, (xi, i) ->
+          |  array_append(
+          |    transform(_m, (xj, j) -> struct(i AS i, j AS j, xi * xj AS p)),
+          |    struct(i AS i, -1 AS j, xi AS p))))""".stripMargin)).as("_c"))
+      .select(col("_c.i"), col("_c.j"), col("_c.p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(cells.nonEmpty, "pcaTopComponent: no non-null vectors")
+    val n = BigInt(cells.head.getLong(3))
+    val s1 = Array.fill(dim)(BigInt(0))
+    val s2 = Array.fill(dim, dim)(BigInt(0))
+    cells.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val s = BigInt(r.getDecimal(2).toBigInteger)
+      if (j == -1) s1(i) = s else s2(i)(j) = s
+    }
+    val c = Array.tabulate(dim, dim)((i, j) => n * s2(i)(j) - s1(i) * s1(j))
+    var v = Array.tabulate(dim)(i => if (i == 0) BigInt(1000000) else BigInt(0))
+    for (_ <- 1 to iterations) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      v = if (mx > 0) w.map(x => (x * 1000000) / mx)
+          else Array.fill(dim)(BigInt(0))
+    }
+    // sign convention: the dominant coordinate (max |v|, ties to the
+    // smallest pos) points positive
+    val lead = (0 until dim).minBy(i => (-v(i).abs, i))
+    val signed = if (v(lead) < 0) v.map(-_) else v
+    val s = df.sparkSession
+    s.createDataFrame(
+      (0 until dim).map(i => (i, signed(i).toLong)))
+      .toDF("pos", "component_micro")
+      .orderBy("pos")
+  }
 }

@@ -821,5 +821,20 @@ class PlanShapeSpec extends SparkSpec {
       s"compaction fill must stay bucket-partitioned:\n$p168")
     assert(!p168.contains("CartesianProduct"),
       s"compaction plans no product:\n$p168")
+    // q169 expectations: all six row rules fuse into ONE aggregate
+    // scan; the two uniqueness rules price one distinct-count scan
+    // each — exactly 3 corpus reads, no join, no window
+    val p169 = finalPlan(q("q169_quality_rules"))
+    assert(!p169.contains("Join") && !p169.contains("Window"),
+      s"expectations are union+aggregate only:\n$p169")
+    val scans169 = p169.split("FileScan parquet").length - 1
+    assert(scans169 == 3,
+      s"row rules must fuse (1 scan) + 2 unique scans, saw $scans169:\n$p169")
+    // q170 PCA: the distributed work (moment grid) collects to the
+    // bounded dim² frame during construction; the returned vector is a
+    // local frame (the q100/q104 eager-stats shape)
+    val p170 = finalPlan(q("q170_pca_power"))
+    assert(p170.contains("LocalTableScan"),
+      s"the eigenvector must be a local dim-row frame:\n$p170")
   }
 }

@@ -239,6 +239,45 @@ class AuditSpec extends SparkSpec {
     assert(got(("s", "id"))._3 === false)
   }
 
+  test("expectationsAudit: fused row rules + distinct-count uniqueness") {
+    import spark.implicits._
+    import Audit.Expectation._
+    val df = Seq(
+      (Option(1L), Option("aa"), Option(5.0)),
+      (Option(2L), Option("bb"), Option(50.0)),
+      (Option(2L), Option("cc!"), Option(-1.0)),
+      (Option.empty[Long], Option.empty[String], Option.empty[Double]))
+      .toDF("id", "code", "v")
+    val got = Audit.expectationsAudit(df, Seq(
+      NotNull("r1", "id"), Unique("r2", "id"),
+      InRange("r3", "v", 0.0, 10.0), InSet("r4", "code", Seq("aa", "bb")),
+      MatchesRegex("r5", "code", "^[a-z]+$"), MaxLength("r6", "code", 2)))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got("r1") === (("NotNull", "id", 1L, false)))
+    // duplicates among non-null ids: 3 non-null rows, 2 distinct → 1
+    assert(got("r2") === (("Unique", "id", 1L, false)))
+    // 50.0 and -1.0 out of range; the null v is skipped
+    assert(got("r3") === (("InRange", "v", 2L, false)))
+    assert(got("r4") === (("InSet", "code", 1L, false)))
+    assert(got("r5") === (("MatchesRegex", "code", 1L, false)))
+    assert(got("r6") === (("MaxLength", "code", 1L, false)))
+  }
+
+  test("expectationsAudit: clean data passes; duplicate rule ids rejected") {
+    import spark.implicits._
+    import Audit.Expectation._
+    val df = Seq((1L, "aa"), (2L, "bb")).toDF("id", "code")
+    val got = Audit.expectationsAudit(df,
+      Seq(NotNull("a", "id"), Unique("b", "id")))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    assert(got === Array(("a", 0L, true), ("b", 0L, true)))
+    intercept[IllegalArgumentException] {
+      Audit.expectationsAudit(df, Seq(NotNull("a", "id"), Unique("a", "id")))
+    }
+  }
+
   test("fdDiscovery rejects degenerate column sets") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("id", "g")

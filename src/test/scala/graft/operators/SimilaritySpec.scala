@@ -555,4 +555,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got("5") === 0L) // zero-norm guard, not NaN/error
     assert(got("0") > 990000L)
   }
+
+  test("pcaTopComponent recovers a planted dominant axis, sign-fixed") {
+    import spark.implicits._
+    // spread along (0.6, 0.8, 0) with small orthogonal jitter on z —
+    // after centering, the dominant eigenvector is the planted axis
+    val rows = (-20 to 20).map { k =>
+      val a = k / 20.0
+      val z = (k % 3) * 0.01
+      (k.toLong, Array((0.6 * a).toFloat, (0.8 * a).toFloat, z.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val v = Similarity.pcaTopComponent(df, "embedding", dim = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // L∞ scale: the 0.8 coordinate pins to 1e6, 0.6/0.8 → 750000
+    assert(v(1) === 1000000L, s"dominant coord must pin to 1e6: $v")
+    assert(math.abs(v(0) - 750000L) < 2000, s"axis ratio off: $v")
+    assert(math.abs(v(2)) < 20000, s"jitter axis must stay small: $v")
+    // sign convention: the dominant coordinate is positive
+    assert(v(1) > 0)
+    // determinism under repartitioning (integer moments are order-free)
+    val v2 = Similarity.pcaTopComponent(df.repartition(7), "embedding",
+      dim = 3).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(v === v2)
+  }
+
+  test("pcaTopComponent guards dimensions and empty input") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pcaTopComponent(df, "embedding", dim = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pcaTopComponent(
+        df.filter($"vec_id" < 0L), "embedding", dim = 2)
+    }
+  }
 }
