@@ -59,10 +59,14 @@ object ScaleBench {
     // q163+ additions: the 12-pair melt over orders (q163 — the
     // explode is narrow but the cell shuffle carries 12 keyspaces),
     // HITS supersteps with two joins + two 1-row normalizations per
-    // iteration over the planted graph (q166), and the FastSS
+    // iteration over the planted graph (q166), the FastSS
     // neighborhood explode (|name|+1 digests per customer row) with
-    // its candidate-restricted levenshtein verify (q167)
-    "q163_fd_discovery", "q166_hits", "q167_record_linkage")
+    // its candidate-restricted levenshtein verify (q167), and the
+    // dim²-per-row moment grid behind the PCA power iteration (q170 —
+    // the explode collapses map-side to ≤dim² cells per partition,
+    // but the per-row CPU is the inherent dim² covariance cost)
+    "q163_fd_discovery", "q166_hits", "q167_record_linkage",
+    "q170_pca_power")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

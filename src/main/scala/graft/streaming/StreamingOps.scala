@@ -698,4 +698,92 @@ object StreamingOps {
       .start()
     (inc, q)
   }
+
+  /** Incremental rollup maintenance as streaming state — the streaming
+    * twin of [[graft.operators.Scale.aggState]] / `mergeAggStates`
+    * (the q164 semigroup run forever): each micro-batch collapses to
+    * its group-sized aggregate-state frame INSIDE the cluster, and
+    * only that frame reaches the driver, where it folds into a map by
+    * the same exact-integer merge (sums add, mins min, maxes max,
+    * cents/cents² fields). Because every state field is associative
+    * and commutative, the streamed state is BIT-identical to the
+    * one-shot batch state over the union of all batches — not merely
+    * close (spec-asserted, the corpus-card contract). Driver memory is
+    * O(groups), guarded by `maxGroups`. */
+  final class IncrementalRollup(keys: Seq[String], valueCol: String,
+                                maxGroups: Int = 100000) {
+    require(keys.nonEmpty, "IncrementalRollup needs grouping keys")
+    private final case class Cell(nRows: Long, nVals: Long,
+      sumCents: Long, sumsq: BigInt, minCents: Option[Long],
+      maxCents: Option[Long])
+    private def mergeOpt(a: Option[Long], b: Option[Long],
+                         f: (Long, Long) => Long): Option[Long] =
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(f(x, y))
+        case (x, None) => x
+        case (None, y) => y
+      }
+    private var state = Map.empty[Seq[Any], Cell]
+    private var schema: org.apache.spark.sql.types.StructType = _
+
+    /** Fold one micro-batch (must carry `keys` and `valueCol`). */
+    def update(batch: DataFrame): Unit = {
+      val st = graft.operators.Scale.aggState(batch, keys, valueCol)
+      val rows = st.limit(maxGroups + 1).collect()
+      require(rows.length <= maxGroups,
+        s"IncrementalRollup: a single batch exceeded $maxGroups groups")
+      val k = keys.size
+      synchronized {
+        if (schema == null) schema = st.schema
+        rows.foreach { r =>
+          val key = (0 until k).map(r.get)
+          val c = Cell(r.getLong(k), r.getLong(k + 1), r.getLong(k + 2),
+            BigInt(r.getDecimal(k + 3).toBigInteger),
+            if (r.isNullAt(k + 4)) None else Some(r.getLong(k + 4)),
+            if (r.isNullAt(k + 5)) None else Some(r.getLong(k + 5)))
+          val m = state.get(key) match {
+            case None => c
+            case Some(p) => Cell(p.nRows + c.nRows, p.nVals + c.nVals,
+              p.sumCents + c.sumCents, p.sumsq + c.sumsq,
+              mergeOpt(p.minCents, c.minCents, math.min),
+              mergeOpt(p.maxCents, c.maxCents, math.max))
+          }
+          state = state.updated(key, m)
+        }
+        require(state.size <= maxGroups,
+          s"IncrementalRollup: state exceeded $maxGroups groups")
+      }
+    }
+
+    /** The merged state as a frame in the exact [[graft.operators
+      * .Scale.aggState]] shape — feed it to `finalizeAggState` or
+      * merge it onward; groups-sized, never row-sized. */
+    def currentState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      val (snap, sch) = synchronized((state, schema))
+      require(sch != null, "IncrementalRollup: no batch folded yet")
+      val rows = snap.toSeq.map { case (key, c) =>
+        org.apache.spark.sql.Row.fromSeq(key ++ Seq(c.nRows, c.nVals,
+          c.sumCents, new java.math.BigDecimal(c.sumsq.bigInteger),
+          c.minCents.orNull, c.maxCents.orNull))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), sch)
+    }
+  }
+
+  /** Wire a stream through the incremental rollup: each micro-batch
+    * folds its aggregate state in; the handle exposes the running
+    * state frame. */
+  def rollupStream(stream: DataFrame, keys: Seq[String],
+                   valueCol: String, checkpoint: String)
+      : (IncrementalRollup, StreamingQuery) = {
+    val inc = new IncrementalRollup(keys, valueCol)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => inc.update(batch) }
+      .start()
+    (inc, q)
+  }
 }

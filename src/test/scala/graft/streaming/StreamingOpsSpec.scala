@@ -1048,4 +1048,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.sources === Set("sA", "sB"))
     assert(inc.vocabEstimate(spark) > 0.0)
   }
+
+  test("incremental rollup: streamed state == one-shot batch state, bit-identical") {
+    import graft.operators.Scale
+    val mem = MemoryStream[(String, Option[Double])](spark)
+    val ckpt = s"/tmp/graft-stream-ckpt-${System.nanoTime()}"
+    val b1 = Seq(("a", Option(10.25)), ("a", Option(3.75)),
+      ("b", Option(1.0)))
+    val b2 = Seq(("a", Option(99.0)), ("b", Option(2.0)),
+      ("c", Option.empty[Double]), ("c", Option(7.77)))
+    mem.addData(b1: _*)
+    // first run through the wiring helper; the SAME handle then folds
+    // the second AvailableNow run (driver state, the card pattern)
+    val (inc, q1) = StreamingOps.rollupStream(
+      mem.toDF().toDF("k", "v"), Seq("k"), "v", ckpt)
+    q1.awaitTermination(60000)
+    mem.addData(b2: _*)
+    val q2 = mem.toDF().toDF("k", "v").writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        inc.update(df)
+      }.start()
+    q2.awaitTermination(60000)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toSeq.map {
+        case d: java.math.BigDecimal => d.toBigInteger
+        case x => x
+      })
+    // the raw STATE frames are bit-identical, not merely close
+    val streamedState = canon(inc.currentState(spark))
+    val batchState = canon(Scale.aggState(
+      (b1 ++ b2).toDF("k", "v"), Seq("k"), "v"))
+    assert(streamedState === batchState)
+    // and so is everything finalize derives
+    val fs = canon(Scale.finalizeAggState(inc.currentState(spark), Seq("k")))
+    val fb = canon(Scale.finalizeAggState(Scale.aggState(
+      (b1 ++ b2).toDF("k", "v"), Seq("k"), "v"), Seq("k")))
+    assert(fs === fb)
+  }
 }
