@@ -1897,7 +1897,16 @@ object SparkEntry {
     //      hash-gated at all. ----
     "q170_pca_power" -> ((s, dir) =>
       Similarity.pcaTopComponent(t(s, dir, "embeddings"), "embedding",
-        dim = 64, iterations = 8))
+        dim = 64, iterations = 8)),
+    // ---- batch multi-touch linear attribution (the streaming
+    //      purchaseAttribution's gate-exact batch twin): each purchase
+    //      splits 10⁶ micro-credits across its trailing-hour touches
+    //      via the banded equi-join; unattributed mass surfaces
+    //      explicitly. ----
+    "q171_linear_attribution" -> ((s, dir) =>
+      TemporalJoins.linearAttribution(t(s, dir, "events"), "user_id",
+        "ts", "event_type", "event_id", Seq("click", "view"),
+        "purchase", windowSeconds = 3600L))
   )
 
   /** q154's requested mixture in integer micros (en-heavy; the two
@@ -4163,7 +4172,38 @@ SELECT 'r8_priority_len', 'MaxLength', 'o_orderpriority',
     AND length(o_orderpriority) > 6 THEN 1 ELSE 0 END), 0) AS BIGINT)
   FROM orders)
 ORDER BY rule_id""",
-    "q170_pca_power" -> pcaPowerOracle
+    "q170_pca_power" -> pcaPowerOracle,
+    // q171: the trailing-window pairing replayed as a direct
+    // inequality join (legal at oracle scale), identical floor-shares.
+    "q171_linear_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    AND user_id IS NOT NULL),
+tt AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE event_type IN ('click', 'view') AND ts IS NOT NULL
+    AND user_id IS NOT NULL),
+pr AS (SELECT p.pid, tt.event_type FROM p JOIN tt
+  ON tt.user_id = p.user_id AND tt.us <= p.us
+  AND p.us - tt.us < 3600000000),
+per AS (SELECT pid, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+    AS ncl,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    AS nvw
+  FROM pr GROUP BY pid),
+ch AS (
+  SELECT 'click' AS channel,
+    CAST(coalesce(sum(ncl), 0) AS BIGINT) AS n_touches,
+    CAST(coalesce(sum(ncl * (1000000 // n)), 0) AS BIGINT)
+      AS credit_micro FROM per
+  UNION ALL
+  SELECT 'view', CAST(coalesce(sum(nvw), 0) AS BIGINT),
+    CAST(coalesce(sum(nvw * (1000000 // n)), 0) AS BIGINT) FROM per),
+un AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p
+  LEFT JOIN per ON per.pid = p.pid WHERE per.pid IS NULL)
+SELECT channel, n_touches, credit_micro FROM ch
+UNION ALL SELECT '__unattributed__', n, n * 1000000 FROM un
+ORDER BY channel"""
   )
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut

@@ -1035,14 +1035,20 @@ object Similarity {
       s"dim must be in [2, 256] (the moment grid is dim² driver rows): $dim")
     require(iterations >= 1 && iterations <= 30,
       s"iterations must be in [1, 30]: $iterations")
+    // UPPER-TRIANGLE grid only (xi·xj = xj·xi — the mirrored driver
+    // matrix is bit-identical to a full grid, at half the explode and
+    // half the shuffled cells): inner transform runs over
+    // slice(_m, i+1, dim) so cell (i, i+j2) covers j ≥ i; the
+    // sentinel (i, −1) carries the linear term.
     val cells = df.filter(col(vecCol).isNotNull)
       .select(expr(s"transform(`$vecCol`, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("_m"))
       .select(explode(expr(
-        """flatten(transform(_m, (xi, i) ->
-          |  array_append(
-          |    transform(_m, (xj, j) -> struct(i AS i, j AS j, xi * xj AS p)),
-          |    struct(i AS i, -1 AS j, xi AS p))))""".stripMargin)).as("_c"))
+        s"""flatten(transform(_m, (xi, i) ->
+           |  array_append(
+           |    transform(slice(_m, i + 1, $dim), (xj, j2) ->
+           |      struct(i AS i, i + j2 AS j, xi * xj AS p)),
+           |    struct(i AS i, -1 AS j, xi AS p))))""".stripMargin)).as("_c"))
       .select(col("_c.i"), col("_c.j"), col("_c.p"))
       .groupBy("i", "j")
       .agg(sum(col("p").cast("decimal(38,0)")).as("s"),
@@ -1055,7 +1061,8 @@ object Similarity {
     cells.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
       val s = BigInt(r.getDecimal(2).toBigInteger)
-      if (j == -1) s1(i) = s else s2(i)(j) = s
+      if (j == -1) s1(i) = s
+      else { s2(i)(j) = s; s2(j)(i) = s }
     }
     val c = Array.tabulate(dim, dim)((i, j) => n * s2(i)(j) - s1(i) * s1(j))
     var v = Array.tabulate(dim)(i => if (i == 0) BigInt(1000000) else BigInt(0))

@@ -448,4 +448,78 @@ object TemporalJoins {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Batch multi-touch LINEAR attribution — the batch twin of
+    * [[graft.streaming.StreamingOps.purchaseAttribution]], gate-exact:
+    * every conversion splits 10⁶ micro-credits equally (floor
+    * division) across the user's touch events inside the trailing
+    * window (t_conv − W, t_conv], and the per-channel totals answer
+    * "which touch type drives conversions" without last-click's
+    * winner-take-all bias. Conversions with no in-window touch report
+    * under the `__unattributed__` channel at full 10⁶ each — mass that
+    * silently vanishing would overstate every channel's share.
+    *
+    * Scale shape: the conversion×touch pairing is the banded equi-join
+    * (touches explode onto 2 time bands — the [[bandedRangeJoin]]
+    * scheme, each pair produced exactly once; the band key shears
+    * skew), followed by two hash aggregates: per-conversion channel
+    * counts (share = 10⁶ div n computed INSIDE the same row — no
+    * join-back), then the channel totals. Unattributed conversions
+    * are counted as total − attributed (two scalar counts), never via
+    * an anti-join that would re-evaluate the pair join. No window
+    * over raw rows, nothing quadratic.
+    *
+    * Returns one row per touch type (+ `__unattributed__`):
+    * (channel, n_touches, credit_micro), ordered by channel. Rows with
+    * a null user/timestamp are excluded (they can neither convert nor
+    * be credited deterministically). */
+  def linearAttribution(events: DataFrame, userCol: String,
+                        tsCol: String, typeCol: String, idCol: String,
+                        touchTypes: Seq[String], conversionType: String,
+                        windowSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "linearAttribution needs touch types")
+    require(!touchTypes.contains(conversionType),
+      s"conversion type $conversionType cannot also be a touch type")
+    require(windowSeconds > 0, "window must be positive")
+    val us = windowSeconds * 1000000L
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), col(typeCol).as("_t"),
+        col(idCol).as("_id"), unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_band", expr(s"(_us - pmod(_us, ${us}L)) div ${us}L"))
+    val conv = base.filter(col("_t") === conversionType)
+      .select(col("_u"), col("_id").as("_cid"), col("_us").as("_cus"),
+        col("_band"))
+    val touch = base.filter(col("_t").isin(touchTypes: _*))
+      .select(col("_u"), col("_t"), col("_us").as("_tus"),
+        explode(array(col("_band"), col("_band") + 1)).as("_band"))
+    val perConv = conv.join(touch, Seq("_u", "_band"))
+      .filter(col("_tus") <= col("_cus") &&
+        col("_cus") - col("_tus") < us)
+      .groupBy("_cid")
+      .agg(count(lit(1)).as("_n"),
+        touchTypes.map(tt =>
+          sum(when(col("_t") === tt, 1L).otherwise(0L)).as(s"_n_$tt")): _*)
+    // ONE aggregate over the per-conversion frame yields every
+    // channel's totals AND the attributed-conversion count; the 1-row
+    // explode melts it (the q169 shape). Unattributed conversions are
+    // total − attributed (a cheap id-count on the conversion slice) —
+    // an anti-join here would re-evaluate the whole pair join for a
+    // scalar.
+    val aggs = count(lit(1)).as("_attr") +: touchTypes.flatMap(tt => Seq(
+      coalesce(sum(col(s"_n_$tt")), lit(0L)).as(s"_nt_$tt"),
+      coalesce(sum(expr(s"`_n_$tt` * (1000000L div _n)")), lit(0L))
+        .as(s"_cr_$tt")))
+    val tot = perConv.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(conv.agg(count(lit(1)).as("_ctot"))))
+    tot.select(explode(array(touchTypes.map(tt =>
+        struct(lit(tt).as("channel"), col(s"_nt_$tt").as("n_touches"),
+          col(s"_cr_$tt").as("credit_micro"))) :+
+        struct(lit("__unattributed__").as("channel"),
+          (col("_ctot") - col("_attr")).as("n_touches"),
+          ((col("_ctot") - col("_attr")) * 1000000L)
+            .as("credit_micro")): _*)).as("_c"))
+      .select(col("_c.*"))
+      .orderBy("channel")
+  }
 }

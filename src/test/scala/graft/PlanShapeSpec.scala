@@ -836,5 +836,13 @@ class PlanShapeSpec extends SparkSpec {
     val p170 = finalPlan(q("q170_pca_power"))
     assert(p170.contains("LocalTableScan"),
       s"the eigenvector must be a local dim-row frame:\n$p170")
+    // q171 attribution: the conversion×touch pairing is the banded
+    // equi-join — never a product, never a window over raw events
+    val p171 = finalPlan(q("q171_linear_attribution"))
+    assert(!p171.contains("CartesianProduct") &&
+      !p171.contains("BroadcastNestedLoopJoin"),
+      s"attribution must pair on (user, band) keys:\n$p171")
+    assert(!p171.contains("Window"),
+      s"attribution needs no window:\n$p171")
   }
 }

@@ -502,4 +502,49 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == Set((null, "a", 1L), ("a", "b", 1L)),
       s"null src must count and (ts, eid) must order the path: $got")
   }
+
+  test("linearAttribution: floor shares, window boundaries, unattributed mass") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: purchase@10:00 — click@09:55 (in), view@09:59 (in),
+      // view@08:30 (70 min out of the 60-min window)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase"),
+      (2L, ts("2024-01-01 09:55:00"), 1L, "click"),
+      (3L, ts("2024-01-01 09:59:00"), 1L, "view"),
+      (4L, ts("2024-01-01 08:30:00"), 1L, "view"),
+      // user 1: purchase@13:00 with nothing in window → unattributed
+      (5L, ts("2024-01-01 13:00:00"), 1L, "purchase"),
+      // user 2: purchase@10:50 with 3 clicks → floor share 333333
+      (6L, ts("2024-01-01 10:50:00"), 2L, "purchase"),
+      (7L, ts("2024-01-01 10:10:00"), 2L, "click"),
+      (8L, ts("2024-01-01 10:20:00"), 2L, "click"),
+      (9L, ts("2024-01-01 10:49:00"), 2L, "click"),
+      // user 3: view EXACTLY at the window edge (60 min → excluded),
+      // click at the purchase instant (gap 0 → included)
+      (10L, ts("2024-01-01 12:00:00"), 3L, "purchase"),
+      (11L, ts("2024-01-01 11:00:00"), 3L, "view"),
+      (12L, ts("2024-01-01 12:00:00"), 3L, "click"),
+      // cross-user noise: user 9's click must credit nobody
+      (13L, ts("2024-01-01 09:59:30"), 9L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TemporalJoins.linearAttribution(events, "user_id", "ts",
+      "event_type", "event_id", Seq("click", "view"), "purchase",
+      windowSeconds = 3600L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // click: 1 (u1, share 1/2) + 3 (u2, 333333 each) + 1 (u3, full)
+    assert(got("click") === ((5L, 500000L + 3 * 333333L + 1000000L)))
+    assert(got("view") === ((1L, 500000L)))
+    assert(got("__unattributed__") === ((1L, 1000000L)))
+  }
+
+  test("linearAttribution rejects a conversion type listed as a touch") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.linearAttribution(df, "user_id", "ts", "event_type",
+        "event_id", Seq("purchase", "view"), "purchase", 60L)
+    }
+  }
 }
