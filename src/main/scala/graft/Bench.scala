@@ -29,6 +29,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // localCheckpoint blocks (the iterative-graph queries pin one
+      // V-row frame per superstep) are reclaimed by ContextCleaner
+      // only after a DRIVER GC collects the RDD handle — and a 128 GiB
+      // heap under a 15-minute bench may never GC on its own
+      // (default periodicGC.interval is 30 min), so hundreds of dead
+      // checkpoint frames accumulate in executor storage and drag
+      // every later query uniformly. One-minute periodic GC keeps the
+      // run steady-state.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at the smallest SF: pays JVM/classloading/codegen
@@ -44,7 +53,10 @@ object Bench {
     val timesByQuery = queryList.map { case (name, _) =>
       name -> scala.collection.mutable.ArrayBuffer.empty[Double]
     }.toMap
-    for (_ <- 1 to reps; (name, fn) <- queryList) {
+    for (rep <- 1 to reps; (name, fn) <- queryList) {
+      // nudge the cleaner at each sweep boundary so rep N+1 starts
+      // from the same storage state rep 1 did
+      if (name == queryList.head._1 && rep > 1) System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

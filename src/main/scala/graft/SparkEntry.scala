@@ -1906,7 +1906,30 @@ object SparkEntry {
     "q171_linear_attribution" -> ((s, dir) =>
       TemporalJoins.linearAttribution(t(s, dir, "events"), "user_id",
         "ts", "event_type", "event_id", Seq("click", "view"),
-        "purchase", windowSeconds = 3600L))
+        "purchase", windowSeconds = 3600L)),
+    // ---- point-in-time join (the feature-store label-leakage guard):
+    //      each purchase picks the user's non-purchase state version
+    //      valid at the purchase instant — SCD2 dim built by the q88
+    //      machinery, PIT = as-of on valid_from + expiry guard. ----
+    "q172_pit_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = TemporalJoins.scd2Collapse(
+        ev.filter(col("event_type") =!= "purchase")
+          .select("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", tiebreak = "event_id")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      TemporalJoins.pointInTimeJoin(facts, dim, "user_id", "ts",
+        "valid_from", "valid_to", Seq("state"))
+        .select(col("event_id"), col("user_id"), col("v_state"))
+        .orderBy("event_id")
+    }),
+    // ---- vocabulary coverage curve: corpus token mass covered by a
+    //      top-K vocabulary at several K — the tokenizer-sizing
+    //      number; bucketed global rank, one melted aggregate. ----
+    "q173_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text",
+        Seq(100L, 1000L, 5000L)))
   )
 
   /** q154's requested mixture in integer micros (en-heavy; the two
@@ -4203,7 +4226,47 @@ un AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p
   LEFT JOIN per ON per.pid = p.pid WHERE per.pid IS NULL)
 SELECT channel, n_touches, credit_micro FROM ch
 UNION ALL SELECT '__unattributed__', n, n * 1000000 FROM un
-ORDER BY channel"""
+ORDER BY channel""",
+    // q172: the SCD2 CTE (q88's replay restricted to non-purchase
+    // events) + the validity-interval predicate — with contiguous runs
+    // exactly the as-of-on-starts pick, unmatched purchases null.
+    "q172_pit_join" ->
+      """WITH x AS (SELECT user_id, ts, event_type,
+  row_number() OVER w AS rn,
+  CASE WHEN row_number() OVER w = 1 THEN 1
+       WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type THEN 0
+       ELSE 1 END AS chg
+FROM events WHERE event_type <> 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, event_type AS state, ts AS valid_from,
+  lead(ts) OVER w2 AS valid_to
+FROM x WHERE chg = 1
+WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)),
+p AS (SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, s.state AS v_state
+FROM p LEFT JOIN s ON s.user_id = p.user_id AND s.valid_from <= p.ts
+  AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+ORDER BY p.event_id""",
+    // q173: the rank replayed as one global window (legal at oracle
+    // scale), identical (count DESC, token) total order and floor
+    // shares.
+    "q173_vocab_coverage" ->
+      s"""WITH v AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest($tokensSql) AS tok FROM documents) GROUP BY tok),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM v),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nterms,
+  CAST(sum(n) AS BIGINT) AS total FROM r)
+SELECT k.cutoff, least(k.cutoff, tot.nterms) AS n_terms,
+  CAST(coalesce((SELECT sum(n) FROM r WHERE rank <= k.cutoff), 0)
+    AS BIGINT) AS covered_tokens,
+  tot.total AS total_tokens,
+  CAST(coalesce((SELECT sum(n) FROM r WHERE rank <= k.cutoff), 0)
+    AS BIGINT) * 1000000 // greatest(tot.total, 1) AS coverage_micro
+FROM (VALUES (CAST(100 AS BIGINT)), (CAST(1000 AS BIGINT)),
+  (CAST(5000 AS BIGINT))) k(cutoff) CROSS JOIN tot
+ORDER BY k.cutoff"""
   )
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut

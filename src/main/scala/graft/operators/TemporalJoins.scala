@@ -449,6 +449,43 @@ object TemporalJoins {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Point-in-time (PIT) join — each fact row picks the dimension
+    * VERSION that was valid at the fact's own timestamp: the
+    * feature-store primitive that prevents label leakage (joining a
+    * training label to an attribute computed later leaks the future
+    * into the features; every serious feature platform names this
+    * exact join). Versions are SCD2-style (key, valid_from, valid_to —
+    * null valid_to = still current, the [[scd2Collapse]] output
+    * shape).
+    *
+    * Implementation: an AS-OF join on `valid_from` (the version with
+    * the greatest start ≤ fact ts — [[asOf]]'s union+window machinery,
+    * one shuffle/sort, no inequality join), then an expiry guard:
+    * a matched version whose `valid_to` ≤ fact ts has lapsed (a GAP in
+    * the dimension history), so its attributes null out rather than
+    * leak a stale version forward. For gapless SCD2 histories the
+    * guard never fires and PIT ≡ as-of on starts. Facts before a key's
+    * first version keep null attributes. Returns the fact rows plus
+    * `prefix`-named version attributes. */
+  def pointInTimeJoin(facts: DataFrame, versions: DataFrame,
+                      key: String, factTsCol: String,
+                      validFromCol: String, validToCol: String,
+                      attrCols: Seq[String],
+                      prefix: String = "v_"): DataFrame = {
+    require(attrCols.nonEmpty, "pointInTimeJoin needs attribute columns")
+    val vs = versions.select(
+      Seq(col(key), col(validFromCol).as(factTsCol),
+        col(validToCol).as("_vto")) ++ attrCols.map(col): _*)
+    val joined = asOf(facts, vs, key, factTsCol,
+      attrCols :+ "_vto", tiebreak = factTsCol, prefix)
+    val expired = col(s"${prefix}_vto").isNotNull &&
+      col(factTsCol) >= col(s"${prefix}_vto")
+    attrCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(prefix + c,
+        when(expired, lit(null)).otherwise(col(prefix + c)))
+    }.drop(s"${prefix}_vto")
+  }
+
   /** Batch multi-touch LINEAR attribution — the batch twin of
     * [[graft.streaming.StreamingOps.purchaseAttribution]], gate-exact:
     * every conversion splits 10⁶ micro-credits equally (floor

@@ -533,4 +533,49 @@ object TextAnalysis {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .orderBy(idCol)
   }
+
+  /** Vocabulary coverage curve — "what fraction of corpus TOKEN MASS
+    * does a top-K vocabulary cover?", the number that sizes a
+    * tokenizer's vocab (and prices every out-of-vocabulary fallback)
+    * before committing to one. Zipfian corpora concentrate fast; the
+    * curve says exactly how fast THIS corpus does.
+    *
+    * Shape: one corpus tokenize → term-count hash aggregate (the
+    * vocabulary frame, distinct-term-sized), then ONE distributed
+    * global rank over it ([[graft.operators.Curation.globalRank]]'s
+    * bucketed prefix sum — no single-partition window even for a
+    * billion-term vocabulary), then ONE aggregate computing every
+    * cutoff's covered mass as `sum(count) filter (rank ≤ K)` columns,
+    * melted to rows. Ranking is total: (count DESC, token ASC).
+    *
+    * Returns per cutoff: (cutoff, n_terms — min(K, |vocab|),
+    * covered_tokens, total_tokens, coverage_micro — floor division),
+    * ordered by cutoff. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    cutoffs: Seq[Long]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ >= 1),
+      s"cutoffs must be positive: $cutoffs")
+    require(cutoffs.distinct.size == cutoffs.size,
+      s"duplicate cutoffs: $cutoffs")
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ranked = Curation.globalRank(vocab, "token", "n",
+      descending = true)
+    val aggs = count(lit(1)).as("_nterms") +:
+      coalesce(sum("n"), lit(0L)).as("_total") +:
+      cutoffs.sorted.map(k =>
+        coalesce(sum(when(col("rank") <= k, col("n"))), lit(0L))
+          .as(s"_cov_$k"))
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cutoffs.sorted.map(k =>
+        struct(lit(k).as("cutoff"),
+          least(lit(k), col("_nterms")).as("n_terms"),
+          col(s"_cov_$k").as("covered_tokens"),
+          col("_total").as("total_tokens"),
+          expr(s"`_cov_$k` * 1000000L div greatest(_total, 1L)")
+            .as("coverage_micro"))): _*)).as("_c"))
+      .select(col("_c.*"))
+      .orderBy("cutoff")
+  }
 }

@@ -844,5 +844,19 @@ class PlanShapeSpec extends SparkSpec {
       s"attribution must pair on (user, band) keys:\n$p171")
     assert(!p171.contains("Window"),
       s"attribution needs no window:\n$p171")
+    // q172 PIT: as-of machinery — key-partitioned windows, NO
+    // inequality join anywhere (the whole point vs the naive
+    // from ≤ ts < to predicate join)
+    val p172 = finalPlan(q("q172_pit_join"))
+    assert(!p172.contains("CartesianProduct") &&
+      !p172.contains("BroadcastNestedLoopJoin"),
+      s"PIT must be the as-of union+window, never a range join:\n$p172")
+    assert(!p172.contains("Exchange SinglePartition"),
+      s"PIT windows must stay key-partitioned:\n$p172")
+    // q173 coverage: the vocabulary rank rides the bucketed prefix
+    // sum — no single-partition stage even at billion-term vocab
+    val p173 = finalPlan(q("q173_vocab_coverage"))
+    assert(!p173.contains("Exchange SinglePartition"),
+      s"vocab rank must stay bucket-partitioned:\n$p173")
   }
 }

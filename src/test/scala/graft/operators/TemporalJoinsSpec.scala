@@ -538,6 +538,33 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got("__unattributed__") === ((1L, 1000000L)))
   }
 
+  test("pointInTimeJoin: version valid at the fact instant; gaps null out") {
+    import spark.implicits._
+    val versions = Seq(
+      // key 1: v1 [10:00, 11:00), GAP, v2 [12:00, open)
+      (1L, ts("2024-01-01 10:00:00"), Option(ts("2024-01-01 11:00:00")), "v1"),
+      (1L, ts("2024-01-01 12:00:00"), Option.empty[java.sql.Timestamp], "v2"),
+      (2L, ts("2024-01-01 09:00:00"), Option(ts("2024-01-01 10:00:00")), "w1"))
+      .toDF("k", "valid_from", "valid_to", "attr")
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-01 10:30:00")), // inside v1
+      (101L, 1L, ts("2024-01-01 11:00:00")), // exactly at v1 expiry → gap
+      (102L, 1L, ts("2024-01-01 11:30:00")), // in the gap → null
+      (103L, 1L, ts("2024-01-01 12:00:00")), // v2 starts (from ≤ ts)
+      (104L, 1L, ts("2024-01-01 09:00:00")), // before any version
+      (105L, 2L, ts("2024-01-01 09:59:59")), // inside w1
+      (106L, 3L, ts("2024-01-01 10:00:00"))) // key with no versions
+      .toDF("fid", "k", "ts")
+    val got = TemporalJoins.pointInTimeJoin(facts, versions, "k", "ts",
+      "valid_from", "valid_to", Seq("attr"))
+      .select($"fid", $"v_attr").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got === Map(
+      100L -> Some("v1"), 101L -> None, 102L -> None,
+      103L -> Some("v2"), 104L -> None, 105L -> Some("w1"),
+      106L -> None))
+  }
+
   test("linearAttribution rejects a conversion type listed as a touch") {
     import spark.implicits._
     val df = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "purchase"))

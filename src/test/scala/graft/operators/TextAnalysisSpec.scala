@@ -334,4 +334,20 @@ class TextAnalysisSpec extends SparkSpec {
         Map("x" -> Seq("dup"), "y" -> Seq("DUP")))
     }
   }
+
+  test("vocabCoverage: Zipf head mass, tie order, cutoff beyond vocab") {
+    import spark.implicits._
+    // counts: a=4, b=3, c=2, d=1 → total 10
+    val df = Seq("a a a a", "b b b c", "c d").toDF("text")
+    val got = TextAnalysis.vocabCoverage(df, "text", Seq(1L, 2L, 10L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === ((1L, 4L, 10L, 400000L)))
+    assert(got(2L) === ((2L, 7L, 10L, 700000L)))
+    // cutoff past the vocabulary: n_terms caps at |vocab|, full mass
+    assert(got(10L) === ((4L, 10L, 10L, 1000000L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(df, "text", Seq(1L, 1L))
+    }
+  }
 }
