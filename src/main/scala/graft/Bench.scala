@@ -38,6 +38,12 @@ object Bench {
       // every later query uniformly. One-minute periodic GC keeps the
       // run steady-state.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // 173 queries × several codegen stages ≈ 700+ generated classes
+      // per sweep against a 100-entry default cache: every rep
+      // re-compiles nearly every stage (janino compilation is
+      // 50-200 ms a stage — a uniform tax on every small query).
+      // Static conf: must be set before the first session.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at the smallest SF: pays JVM/classloading/codegen

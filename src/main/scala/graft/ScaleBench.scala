@@ -77,6 +77,17 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // the Bench lesson: localCheckpoint blocks from the iterative
+      // queries accumulate until a DRIVER GC runs, and a big idle heap
+      // never GCs inside one session — dragging later queries (q55 at
+      // sf1 measured 4.5x slower purely from running late in the sweep:
+      // 92.0 s -> 20.7 s A/B on identical code)
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      // the second Bench lesson: the default 100-entry codegen cache
+      // thrashes under a many-query sweep and re-compiles nearly
+      // every stage per rep (janino 50-200 ms/stage — Bench total
+      // 208 -> 136 s from this line alone)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -89,6 +100,7 @@ object ScaleBench {
       catch { case _: Throwable => () }
     }
     def time(dir: String): Seq[(String, Double)] = heavy.map { n =>
+      System.gc() // steady storage state per query (see builder note)
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(n)(spark, dir)
@@ -126,7 +138,12 @@ object ScaleBench {
     // v3: + events and orders replicas (q88/q89 join the decade); ids
     // AND join/window keys (user_id, custkey) get the stride so the
     // scaled corpus behaves as `replicas` disjoint key shards
-    val marker = java.nio.file.Paths.get(out, ".built-v3")
+    // v4: + customer replicas for q167 (names get a replica suffix so
+    // deletion neighborhoods stay disjoint across replicas — verbatim
+    // names would make every name a 10-way cross-replica dist-0 match
+    // and measure duplicate density, not volume; the documents-text
+    // principle applied to record linkage)
+    val marker = java.nio.file.Paths.get(out, ".built-v4")
     if (java.nio.file.Files.exists(marker)) return
     val idStride = 100000000L // far above any sf0.1 id
     def replicate(df: DataFrame, per: (DataFrame, Int) => DataFrame): DataFrame =
@@ -177,6 +194,15 @@ object ScaleBench {
         col("o_orderpriority")))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    replicate(cust, (d, k) => d.select(
+        (col("c_custkey") + lit(k * idStride)).as("c_custkey"),
+        (if (k == 0) col("c_name")
+         else concat(col("c_name"), lit("\u00b7" + k))).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
     java.nio.file.Files.createFile(marker)
   }
