@@ -66,7 +66,10 @@ object ScaleBench {
     // the explode collapses map-side to ≤dim² cells per partition,
     // but the per-row CPU is the inherent dim² covariance cost)
     "q163_fd_discovery", "q166_hits", "q167_record_linkage",
-    "q170_pca_power")
+    "q170_pca_power",
+    // trigram LM: three n-gram count joins over the exploded corpus —
+    // the deepest of the text-join shapes
+    "q174_trigram_lm_score")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

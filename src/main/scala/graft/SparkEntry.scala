@@ -1929,7 +1929,17 @@ object SparkEntry {
     //      number; bucketed global rank, one melted aggregate. ----
     "q173_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text",
-        Seq(100L, 1000L, 5000L)))
+        Seq(100L, 1000L, 5000L))),
+    // ---- trigram Stupid-Backoff LM (q112 one order deeper, toward
+    //      CCNet's 5-gram filter): two-level backoff with the LITERAL
+    //      0.16 (0.4·0.4 would differ in the last ulp), exact integer
+    //      micronat reduction. ----
+    "q174_trigram_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.trigramLmScore(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text")
+        .orderBy("doc_id")
+    })
   )
 
   /** q154's requested mixture in integer micros (en-heavy; the two
@@ -4266,7 +4276,48 @@ SELECT k.cutoff, least(k.cutoff, tot.nterms) AS n_terms,
     AS BIGINT) * 1000000 // greatest(tot.total, 1) AS coverage_micro
 FROM (VALUES (CAST(100 AS BIGINT)), (CAST(1000 AS BIGINT)),
   (CAST(5000 AS BIGINT))) k(cutoff) CROSS JOIN tot
-ORDER BY k.cutoff"""
+ORDER BY k.cutoff""",
+    // q174: the q112 replay one order deeper — trigram/bigram tables
+    // via positional list indexing, the same two-level CASE backoff
+    // with the literal 0.16, the same 6-dp round → exact micronat sum.
+    "q174_trigram_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $tokensSql AS tk FROM documents),
+tg0 AS (SELECT doc_id, lang, tk,
+  unnest(range(0, greatest(len(tk) - 2, 0))) AS i FROM toks),
+tg AS (SELECT doc_id, lang, tk[i+1] AS w1, tk[i+2] AS w2,
+  tk[i+3] AS w3 FROM tg0),
+bg0 AS (SELECT lang, tk,
+  unnest(range(0, greatest(len(tk) - 1, 0))) AS i FROM toks),
+bg AS (SELECT lang, tk[i+1] AS w1, tk[i+2] AS w2 FROM bg0),
+u AS (SELECT unnest(tk) AS w FROM toks WHERE lang = 'en'),
+c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY w),
+tt AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM c1),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+  FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+sc AS (SELECT doc_id,
+    round(-ln(CASE
+      WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / ca.c2
+      WHEN cb.c2 IS NOT NULL THEN 0.4 * CAST(cb.c2 AS DOUBLE) / u2.c1
+      WHEN u3.c1 IS NOT NULL THEN 0.16 * CAST(u3.c1 AS DOUBLE) / tt.t
+      ELSE 0.16 / tt.t END), 6) AS nls
+  FROM tg
+  LEFT JOIN c3 ON c3.w1 = tg.w1 AND c3.w2 = tg.w2 AND c3.w3 = tg.w3
+  LEFT JOIN c2 ca ON ca.w1 = tg.w1 AND ca.w2 = tg.w2
+  LEFT JOIN c2 cb ON cb.w1 = tg.w2 AND cb.w2 = tg.w3
+  LEFT JOIN c1 u2 ON u2.w = tg.w2
+  LEFT JOIN c1 u3 ON u3.w = tg.w3
+  CROSS JOIN tt),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+    CAST(sum(CAST(nls AS DECIMAL(24,6))) * 1000000 AS BIGINT)
+      AS sum_nls_micro
+  FROM sc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.n_trigrams, 0) AS n_trigrams,
+  coalesce(pd.sum_nls_micro, 0) AS sum_nls_micro,
+  CASE WHEN coalesce(pd.n_trigrams, 0) > 0
+    THEN pd.sum_nls_micro // pd.n_trigrams ELSE 0 END AS avg_nls_micro
+FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
   )
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut

@@ -534,6 +534,91 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Trigram Stupid-Backoff LM scoring — [[bigramLmScore]] taken one
+    * order deeper (toward CCNet's 5-gram filter; each extra order
+    * sharpens the fluency signal the perplexity filter keys on):
+    *
+    *   s(w₃ | w₁w₂) = c₃(w₁w₂w₃)/c₂(w₁w₂)            if c₃ > 0
+    *                  0.4 · c₂(w₂w₃)/c₁(w₂)           elif c₂(w₂w₃) > 0
+    *                  0.16 · c₁(w₃)/total             elif c₁(w₃) > 0
+    *                  0.16/total                      else
+    *
+    * (0.16 is the literal both engines evaluate — writing 0.4·0.4
+    * would produce 0.16000000000000003 on one side and the constant on
+    * the other). Same reduction contract as the bigram form: per-gram
+    * −ln s rounds to 6 dp, then sums in exact integer micronats.
+    *
+    * Scale shape: train collapses to three count frames (uni/bi/tri
+    * hash aggregates); the corpus trigram stream equi-joins them on
+    * n-gram keys (broadcast when the trained tables are small) — no
+    * window, nothing quadratic. Returns (id, n_trigrams,
+    * sum_nls_micro, avg_nls_micro). */
+  def trigramLmScore(corpus: DataFrame, train: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    def trigrams(df: DataFrame, cols: Column*): DataFrame = {
+      val tk = tokens(col(textCol))
+      df.select(cols :+ tk.as("_tk"): _*)
+        .select(cols :+ explode {
+          val m = greatest(size(col("_tk")) - 2, lit(0))
+          zip_with(
+            zip_with(slice(col("_tk"), lit(1), m),
+              slice(col("_tk"), lit(2), m),
+              (a, b) => struct(a.as("w1"), b.as("w2"))),
+            slice(col("_tk"), lit(3), m),
+            (p, c) => struct(p.getField("w1").as("w1"),
+              p.getField("w2").as("w2"), c.as("w3")))
+        }.as("_tg"): _*)
+        .select(cols :+ col("_tg.w1") :+ col("_tg.w2") :+ col("_tg.w3"): _*)
+    }
+    def bigrams(df: DataFrame): DataFrame = {
+      val tk = tokens(col(textCol))
+      val m = greatest(size(col("_tk")) - 1, lit(0))
+      df.select(tk.as("_tk"))
+        .select(explode(zip_with(slice(col("_tk"), lit(1), m),
+          slice(col("_tk"), lit(2), m),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+        .select(col("_bg.w1"), col("_bg.w2"))
+    }
+    val c1 = train
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val total = broadcast(c1.agg(sum("c1").as("t_total")))
+    val c2 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c3 = trigrams(train).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+    val c2ctx = c2.select(col("w1"), col("w2"), col("c2").as("c2_ctx"))
+    val c2bo = c2.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("c2").as("c2_bo"))
+    val c1w2 = c1.select(col("w").as("w2"), col("c1").as("c1_w2"))
+    val c1w3 = c1.select(col("w").as("w3"), col("c1").as("c1_w3"))
+    val scored = trigrams(corpus, col(idCol))
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2ctx, Seq("w1", "w2"), "left")
+      .join(c2bo, Seq("w2", "w3"), "left")
+      .join(c1w2, Seq("w2"), "left")
+      .join(c1w3, Seq("w3"), "left")
+      .crossJoin(total)
+      .withColumn("s", when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c2_ctx").cast("double"))
+        .when(col("c2_bo").isNotNull,
+          lit(0.4) * col("c2_bo").cast("double") / col("c1_w2"))
+        .when(col("c1_w3").isNotNull,
+          lit(0.16) * col("c1_w3").cast("double") / col("t_total"))
+        .otherwise(lit(0.16) / col("t_total")))
+      .withColumn("nls", round(-log(col("s")), 6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        (sum(col("nls").cast("decimal(24,6)")) * 1000000)
+          .cast("bigint").as("sum_nls_micro"))
+    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("sum_nls_micro"), lit(0L)).as("sum_nls_micro"))
+      .withColumn("avg_nls_micro",
+        when(col("n_trigrams") > 0,
+          expr("sum_nls_micro div n_trigrams")).otherwise(lit(0L)))
+  }
+
   /** Vocabulary coverage curve — "what fraction of corpus TOKEN MASS
     * does a top-K vocabulary cover?", the number that sizes a
     * tokenizer's vocab (and prices every out-of-vocabulary fallback)

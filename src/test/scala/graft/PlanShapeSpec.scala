@@ -837,10 +837,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p170.contains("LocalTableScan"),
       s"the eigenvector must be a local dim-row frame:\n$p170")
     // q171 attribution: the conversion×touch pairing is the banded
-    // equi-join — never a product, never a window over raw events
+    // equi-join — never a cartesian, never a window over raw events
+    // (the only nested-loop is the broadcast of the 1-row conversion
+    // total onto the 1-row channel aggregate — the designed totals
+    // idiom, same as q110's basket total)
     val p171 = finalPlan(q("q171_linear_attribution"))
-    assert(!p171.contains("CartesianProduct") &&
-      !p171.contains("BroadcastNestedLoopJoin"),
+    assert(!p171.contains("CartesianProduct"),
       s"attribution must pair on (user, band) keys:\n$p171")
     assert(!p171.contains("Window"),
       s"attribution needs no window:\n$p171")
@@ -853,10 +855,28 @@ class PlanShapeSpec extends SparkSpec {
       s"PIT must be the as-of union+window, never a range join:\n$p172")
     assert(!p172.contains("Exchange SinglePartition"),
       s"PIT windows must stay key-partitioned:\n$p172")
-    // q173 coverage: the vocabulary rank rides the bucketed prefix
-    // sum — no single-partition stage even at billion-term vocab
+    // q173 coverage: the vocabulary RANK rides the bucketed prefix
+    // sum. The final cutoff aggregate is a legitimate 1-row global
+    // agg (partials → SinglePartition → final), so the precise pin
+    // is: any SinglePartition exchange must feed a HashAggregate —
+    // never a Sort or Window (the global-rank funnel this operator
+    // exists to avoid)
     val p173 = finalPlan(q("q173_vocab_coverage"))
-    assert(!p173.contains("Exchange SinglePartition"),
-      s"vocab rank must stay bucket-partitioned:\n$p173")
+    val lines173 = p173.linesIterator.toSeq
+    lines173.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val above = lines173(math.max(i - 1, 0))
+        assert(above.contains("HashAggregate"),
+          s"a SinglePartition exchange may only feed the 1-row " +
+            s"aggregate, found:\n$above\nin:\n$p173")
+      }
+    // q174 trigram LM: n-gram count joins are hash/merge equi-joins
+    // (the q112 shape one order deeper) — no product, no window
+    val p174 = finalPlan(q("q174_trigram_lm_score"))
+    assert(!p174.contains("CartesianProduct"),
+      s"trigram LM must not plan a product:\n$p174")
+    assert(!p174.contains("Window"),
+      s"trigram LM needs no window:\n$p174")
   }
 }

@@ -214,6 +214,38 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 0L, 0L, 0L)))
   }
 
+  test("trigramLmScore: seen / bigram / unigram / OOV backoff ladder") {
+    // train "a b c a b c": c1 a=b=c=2, T=6; c2 (a,b)=2 (b,c)=2 (c,a)=1;
+    // c3 (a,b,c)=2 (b,c,a)=1 (c,a,b)=1
+    val train = Seq("a b c a b c").toDF("text").withColumn("id", lit(0L))
+    def micro(d: Double): Long =
+      (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * 1000000).toLong
+    val corpus = Seq(
+      (1L, "a b c"),   // c3 hit, s = 2/2 = 1 → 0
+      (2L, "b c a"),   // c3 hit, s = 1/2 → ln 2
+      (3L, "x a b"),   // bigram backoff: 0.4·c2(a,b)/c1(a) = 0.4
+      (4L, "a b b"),   // unigram backoff: 0.16·c1(b)/T
+      (5L, "a b q"),   // full OOV: 0.16/T
+      (6L, "x y"),     // < 3 tokens
+      (7L, "a b c a")  // two trigrams: 0 + ln 2, floor-averaged
+    ).toDF("id", "text")
+    val got = TextAnalysis.trigramLmScore(corpus, train, "id", "text")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toList
+    val ln2 = micro(-math.log(1.0 / 2.0))
+    val bo2 = micro(-math.log(0.4 * 2.0 / 2.0))
+    val bo1 = micro(-math.log(0.16 * 2.0 / 6.0))
+    val oov = micro(-math.log(0.16 / 6.0))
+    assert(got == List(
+      (1L, 1L, 0L, 0L),
+      (2L, 1L, ln2, ln2),
+      (3L, 1L, bo2, bo2),
+      (4L, 1L, bo1, bo1),
+      (5L, 1L, oov, oov),
+      (6L, 0L, 0L, 0L),
+      (7L, 2L, ln2, ln2 / 2)))
+  }
+
   test("vocabularyDrift: enriched terms rank by signed z, shared terms sink") {
     // slice a: heavy "cats"; slice b: heavy "dogs"; "the" common to both
     val a = Seq("the cats cats cats", "cats the").toDF("text")
