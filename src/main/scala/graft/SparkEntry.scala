@@ -1939,6 +1939,35 @@ object SparkEntry {
       TextAnalysis.trigramLmScore(docs,
         docs.filter(col("lang") === "en"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+    // ---- Unicode BPE end-to-end: CJK/accented/Greek text PLANTED
+    //      deterministically from doc_id (the q137 planting precedent),
+    //      BPE re-trained on the planted corpus (the \p{L}\p{N}
+    //      pre-tokenizer — multilingual words budget real tokens, the
+    //      round-7 ASCII gap), then the counts drive packSequences:
+    //      the q47/q76/q130 token-counter rewiring under one gate. ----
+    "q175_bpe_multilingual" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(coalesce(col("text"), lit("")),
+            lit(" Über naïve café déjà 机器学习 训练")))
+          .when(col("doc_id") % 4 === 1,
+            lit("机器学习 模型 训练 数据 机器学习 训练 模型"))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("Ελληνικά κείμενα résumé 北京大学 "),
+              coalesce(col("text"), lit(""))))
+          .otherwise(col("text")).as("text"))
+      val merges = Bpe.trainMerges(planted, "text", nMerges = 10,
+        maxVocab = 1200)
+      val withTok = planted.select(col("doc_id"),
+        coalesce(size(Bpe.words(col("text"))), lit(0)).cast("long")
+          .as("n_words"),
+        Bpe.tokenCount(col("text"), merges).cast("long").as("n_tokens"))
+      val packs = Curation.packSequences(
+        withTok.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 512L)
+      withTok.join(packs.select("doc_id", "pack_id"), Seq("doc_id"))
+        .select("doc_id", "n_words", "n_tokens", "pack_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -4267,7 +4296,7 @@ ORDER BY p.event_id""",
 r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
   FROM v),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS nterms,
-  CAST(sum(n) AS BIGINT) AS total FROM r)
+  CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM r)
 SELECT k.cutoff, least(k.cutoff, tot.nterms) AS n_terms,
   CAST(coalesce((SELECT sum(n) FROM r WHERE rank <= k.cutoff), 0)
     AS BIGINT) AS covered_tokens,
@@ -4317,7 +4346,19 @@ SELECT d.doc_id, coalesce(pd.n_trigrams, 0) AS n_trigrams,
   coalesce(pd.sum_nls_micro, 0) AS sum_nls_micro,
   CASE WHEN coalesce(pd.n_trigrams, 0) > 0
     THEN pd.sum_nls_micro // pd.n_trigrams ELSE 0 END AS avg_nls_micro
-FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
+FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
+    // q175: the q123 replay over PLANTED multilingual text (same CASE
+    // planting, same \p{L}\p{N} normalizer — RE2 and Java agree on the
+    // class assignments of the planted Latin-1/CJK/Greek points), with
+    // the q47 pack-window cum-sum tail over the BPE counts.
+    "q175_bpe_multilingual" -> bpeOracle(nMerges = 10, maxVocab = 1200,
+      plantSql = Some(
+        """CASE CAST((doc_id % 4 + 4) % 4 AS INTEGER)
+    WHEN 0 THEN coalesce(text, '') || ' Über naïve café déjà 机器学习 训练'
+    WHEN 1 THEN '机器学习 模型 训练 数据 机器学习 训练 模型'
+    WHEN 2 THEN 'Ελληνικά κείμενα résumé 北京大学 ' || coalesce(text, '')
+    ELSE text END"""),
+      packWindow = Some(512L))
   )
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut
@@ -4824,16 +4865,32 @@ WHERE reason IS NOT NULL ORDER BY file, field"""
     * trained merge tables — and therefore every per-doc count — must
     * agree exactly. coalesce(pat, chr(1)) keeps exhausted rounds (no
     * pair left anywhere) as no-ops instead of NULL-poisoning. */
-  private def bpeTokensOracle: String = {
-    val nMerges = 12
-    val norm = "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')"
+  private def bpeTokensOracle: String =
+    bpeOracle(nMerges = 12, maxVocab = 1500, plantSql = None,
+      packWindow = None)
+
+  /** Generalized BPE oracle generator: optional deterministic text
+    * planting (`plantSql` replaces the text column, the q137/q124
+    * planting precedent) and an optional sequence-packing tail
+    * (`packWindow` — the q47 global-window cum-sum replay over the BPE
+    * counts). */
+  private def bpeOracle(nMerges: Int, maxVocab: Int,
+                        plantSql: Option[String],
+                        packWindow: Option[Long]): String = {
+    val norm =
+      "regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')"
+    val src = if (plantSql.isDefined) "docs" else "documents"
+    val plant = plantSql.map(p =>
+      s"""docs AS MATERIALIZED (SELECT doc_id,
+  $p AS text FROM documents),
+""").getOrElse("")
     // MATERIALIZED is load-bearing: each round references the previous
     // segmentation CTE twice (pair counts + application), so inlined
     // CTEs would expand to 2^nMerges scans of the parquet source
     val base =
-      s"""w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
-  SELECT unnest(string_split(trim($norm), ' ')) AS w FROM documents)
-  WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 1500),
+      s"""${plant}w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+  SELECT unnest(string_split(trim($norm), ' ')) AS w FROM $src)
+  WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT $maxVocab),
 s0 AS MATERIALIZED (SELECT c,
   ' ' || array_to_string(string_split(w, ''), '  ') || ' '
   AS sp FROM w0)"""
@@ -4856,17 +4913,31 @@ s$i AS MATERIALIZED (SELECT c,
         s"replace($acc, coalesce((SELECT pat FROM b$i), chr(1)), " +
           s"coalesce((SELECT rep FROM b$i), ''))"
     }
+    val tail = packWindow match {
+      case None =>
+        s"""SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
+  coalesce(c.n_tokens, 0) AS n_tokens
+FROM $src d LEFT JOIN cnts c USING (doc_id) ORDER BY doc_id"""
+      case Some(w) =>
+        s"""res AS (SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
+  coalesce(c.n_tokens, 0) AS n_tokens
+  FROM $src d LEFT JOIN cnts c USING (doc_id)),
+cum AS (SELECT doc_id, n_words, n_tokens,
+  sum(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM res)
+SELECT doc_id, n_words, n_tokens,
+  CAST((cum - n_tokens) // $w AS BIGINT) AS pack_id
+FROM cum ORDER BY doc_id"""
+    }
+    val tailCte = if (packWindow.isDefined) ",\n" else "\n"
     s"""WITH $base,
 $rounds,
 dw AS (SELECT doc_id, unnest(string_split(trim($norm), ' ')) AS w
-  FROM documents),
+  FROM $src),
 seg AS (SELECT doc_id, $applied AS sp FROM dw WHERE w <> ''),
 cnts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
   CAST(sum(len(string_split(trim(sp), '  '))) AS BIGINT) AS n_tokens
-  FROM seg GROUP BY doc_id)
-SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
-  coalesce(c.n_tokens, 0) AS n_tokens
-FROM documents d LEFT JOIN cnts c USING (doc_id) ORDER BY doc_id"""
+  FROM seg GROUP BY doc_id)$tailCte$tail"""
   }
 
   /** q126: ground truth = the UNRESTRICTED quadratic Jaccard join

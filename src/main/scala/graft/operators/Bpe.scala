@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * Design (classic BPE, Sennrich et al. 2016, restricted to a
   * deterministic, cross-engine-replayable core):
-  *   - pre-tokenizer: lowercase, collapse every non-[a-z0-9] run to a
-  *     space, split on spaces — all surviving symbols are ASCII
-  *     alphanumeric, so the segmentation separator below can never
-  *     collide with symbol content (and Spark vs DuckDB unicode
-  *     semantics never diverge);
+  *   - pre-tokenizer: lowercase, collapse every non-letter/non-digit
+  *     run (Unicode classes `\p{L}\p{N}` — the q137 Java∩RE2
+  *     precedent: both Spark's Java regex and DuckDB's RE2 spell and
+  *     assign these classes identically) to a space, split on spaces —
+  *     surviving symbols are Unicode letters/digits, never whitespace,
+  *     so the ASCII-space segmentation separator below can never
+  *     collide with symbol content. CJK/accented/Greek words now
+  *     budget real tokens instead of zero;
   *   - TRAINING is driver-sized like the DSIR bucket LMs: a
   *     distributed word-frequency aggregate, the top `maxVocab` word
   *     types by (count DESC, word ASC) collected (bounded by limit),
@@ -37,16 +40,20 @@ import org.apache.spark.sql.functions._
   * a per-row expression chain — no shuffle, no state, scan-bound. */
 object Bpe {
 
-  /** Normalized word array: lowercase, non-alphanumeric runs → space,
-    * empties dropped. Null text → null (callers coalesce). */
+  /** Normalized word array: lowercase, non-letter/non-digit runs
+    * (Unicode `\p{L}\p{N}`) → space, empties dropped. Null text → null
+    * (callers coalesce). */
   def words(text: Column): Column =
-    filter(split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " "),
+    filter(
+      split(trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " ")), " "),
       w => length(w) > 0)
 
   /** One word's initial segmentation: " c1  c2  ...  cn ". The split
     * on the empty pattern yields a trailing empty string in Spark
     * (Java `split("", -1)` semantics) — filtered, so both engines see
-    * exactly the character list. */
+    * exactly the character list. Java's empty-regex split advances by
+    * CODE POINT (surrogate pairs stay whole), matching DuckDB's
+    * per-character `string_split(w, '')`. */
   private def spaced(w: Column): Column =
     concat(lit(" "),
       array_join(filter(split(w, ""), c => length(c) > 0), "  "),

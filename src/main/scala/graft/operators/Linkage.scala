@@ -48,6 +48,17 @@ object Linkage {
   def linkByNameEdit1(a: DataFrame, b: DataFrame, idCol: String,
                       nameCol: String,
                       blockCols: Seq[String]): DataFrame = {
+    // Reserved-name guard (the repo-standard require-reject of sibling
+    // operators): internal working columns and the output schema must
+    // not collide with any input column, or the join keys silently
+    // shadow.
+    val reserved = Set("_var", "_vd", "id_a", "id_b", "name_a",
+      "name_b", "dist")
+    val inputs = (blockCols :+ idCol :+ nameCol).distinct
+    val clash = inputs.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"linkByNameEdit1: reserved column name(s) in inputs: " +
+        s"${clash.mkString(", ")} (reserved: ${reserved.mkString(", ")})")
     def side(df: DataFrame, tag: String): DataFrame =
       df.select(blockCols.map(col) ++ Seq(
           col(idCol).as(s"id_$tag"), col(nameCol).as(s"name_$tag"),

@@ -1040,7 +1040,15 @@ object Similarity {
     // half the shuffled cells): inner transform runs over
     // slice(_m, i+1, dim) so cell (i, i+j2) covers j ≥ i; the
     // sentinel (i, −1) carries the linear term.
+    // Dimension guard fused into the scan (the raise_error precedent
+    // of Dedup.scala:690): a short vector would silently skew moments
+    // and desynchronize per-cell counts; a long one would throw on the
+    // driver. Fail loudly per-row instead.
     val cells = df.filter(col(vecCol).isNotNull)
+      .select(when(size(col(vecCol)) =!= dim, raise_error(concat(
+          lit(s"pcaTopComponent: vector length != $dim: "),
+          size(col(vecCol)).cast("string"))))
+        .otherwise(col(vecCol)).as(vecCol))
       .select(expr(s"transform(`$vecCol`, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("_m"))
       .select(explode(expr(
@@ -1055,7 +1063,13 @@ object Similarity {
         count(lit(1)).as("n"))
       .collect()
     require(cells.nonEmpty, "pcaTopComponent: no non-null vectors")
-    val n = BigInt(cells.head.getLong(3))
+    // n from the DETERMINISTIC sentinel cell (0, -1) — every non-null
+    // (length-guarded) vector contributes exactly one such cell, so
+    // its count is the row count; cells.head of an unordered collect
+    // would be an arbitrary row.
+    val n = BigInt(cells.collectFirst {
+      case r if r.getInt(0) == 0 && r.getInt(1) == -1 => r.getLong(3)
+    }.getOrElse(sys.error("pcaTopComponent: sentinel cell (0,-1) missing")))
     val s1 = Array.fill(dim)(BigInt(0))
     val s2 = Array.fill(dim, dim)(BigInt(0))
     cells.foreach { r =>

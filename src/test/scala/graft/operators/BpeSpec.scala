@@ -29,7 +29,7 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.trainMerges(corpus, "text", nMerges = 6, maxVocab = 100)
     // local reference count
     def localCount(text: String): Int = {
-      val ws = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      val ws = text.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ").trim
         .split(" ").filter(_.nonEmpty)
       ws.map { w =>
         var seg = w.split("").filter(_.nonEmpty).toList
@@ -61,6 +61,75 @@ class BpeSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(n(1L) == 2) // [aa, a] — greedy left-to-right, non-overlapping
     assert(n(2L) == 2) // [xy, xy] — second pair must still merge
+  }
+
+  private val multiCorpus = Seq(
+    (1L, "Über naïve café — déjà vu! Café über alles."),
+    (2L, "机器学习 模型 训练 数据 机器学习 训练"),
+    (3L, "Ελληνικά κείμενα — résumé 北京大学 résumé"),
+    (4L, "mixed ASCII und Über 机器学习 text naïve"),
+    (5L, "plain ascii text only here")
+  ).toDF("doc_id", "text")
+
+  test("unicode pre-tokenizer: CJK/accented/Greek words budget real tokens") {
+    val w = multiCorpus
+      .select($"doc_id", Bpe.words($"text").as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(w(1L) == Seq("über", "naïve", "café", "déjà", "vu", "café",
+      "über", "alles"))
+    assert(w(2L) == Seq("机器学习", "模型", "训练", "数据", "机器学习", "训练"))
+    assert(w(3L) == Seq("ελληνικά", "κείμενα", "résumé", "北京大学", "résumé"))
+    // every doc now counts > 0 tokens under a trained merge table
+    val merges = Bpe.trainMerges(multiCorpus, "text", 6, 100)
+    val n = multiCorpus
+      .select($"doc_id", Bpe.tokenCount($"text", merges).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(n.values.forall(_ > 0), n.toString)
+  }
+
+  test("unicode expression application equals the local greedy merge scan") {
+    val merges = Bpe.trainMerges(multiCorpus, "text", 8, 100)
+    def localCount(text: String): Int = {
+      val ws = text.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+      ws.map { w =>
+        var seg = w.split("").filter(_.nonEmpty).toList
+        for ((a, b) <- merges) {
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = seg
+          while (rest.nonEmpty) rest match {
+            case x :: y :: t if x == a && y == b => out += (a + b); rest = t
+            case x :: t                          => out += x; rest = t
+            case Nil                             => ()
+          }
+          seg = out.toList
+        }
+        seg.length
+      }.sum
+    }
+    val got = multiCorpus
+      .select($"doc_id", Bpe.tokenCount($"text", merges).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val want = multiCorpus.select($"doc_id", $"text").as[(Long, String)]
+      .collect().map { case (id, t) => id -> localCount(t) }.toMap
+    assert(got == want)
+  }
+
+  test("packSequences parity on the multilingual corpus (q47/q76/q130 rewiring)") {
+    val merges = Bpe.trainMerges(multiCorpus, "text", 4, 100)
+    val withBpe = multiCorpus.withColumn("n_tokens",
+      Bpe.tokenCount($"text", merges).cast("long"))
+    val counts = withBpe.select($"doc_id", $"n_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ > 0))
+    val packs = Curation.packSequences(withBpe, "doc_id", "n_tokens", 8L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // local reference: cumulative-sum window the doc STARTS in
+    var cum = 0L
+    val want = counts.toSeq.sortBy(_._1).map { case (id, n) =>
+      val p = cum / 8L; cum += n; id -> p
+    }.toMap
+    assert(packs == want)
   }
 
   test("null and empty text count 0 tokens") {
