@@ -40,10 +40,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DirectoryDrift {
 
-  /** Per-file profiles for a labeled set of frames (label = file name). */
-  def profileFiles(files: Seq[(String, DataFrame)])
-      : Seq[(String, Seq[ColumnProfile])] =
-    files.map { case (label, df) => label -> ColumnProfiler.profile(df) }
+  /** Per-file profiles for a labeled set of frames (label = file name).
+    *
+    * Files are profiled CONCURRENTLY through a bounded thread pool
+    * (`parallelism` submitter threads): Spark schedules jobs from
+    * multiple threads natively, so k per-file fused-agg jobs overlap
+    * instead of queueing serially — on a wide landing directory the
+    * wall time is the longest file, not the sum. Result order is the
+    * input order regardless of completion order, and the downstream
+    * semigroup merge is commutative-associative anyway (spec-pinned),
+    * so profile order cannot affect the report. */
+  def profileFiles(files: Seq[(String, DataFrame)],
+                   parallelism: Int = 8)
+      : Seq[(String, Seq[ColumnProfile])] = {
+    require(parallelism >= 1, s"parallelism must be >= 1: $parallelism")
+    if (files.sizeIs <= 1 || parallelism == 1)
+      files.map { case (label, df) => label -> ColumnProfiler.profile(df) }
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(parallelism, files.size))
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        val futs = files.map { case (label, df) =>
+          Future(label -> ColumnProfiler.profile(df))
+        }
+        Await.result(Future.sequence(futs), Duration.Inf)
+      } finally pool.shutdown()
+    }
+  }
 
   /** Corpus profiles: field-wise semigroup merge across files, field
     * order = first appearance across the file list. */
@@ -90,7 +117,8 @@ object DirectoryDrift {
     * file of the heterogeneous table (child directories — e.g. one
     * Spark write each — read as parquet units). Hadoop FS listing, so
     * the same call works on HDFS/object stores. */
-  def inferDirectory(spark: SparkSession, dir: String)
+  def inferDirectory(spark: SparkSession, dir: String,
+                     parallelism: Int = 8)
       : (Seq[ColumnMeta], DataFrame) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -100,7 +128,7 @@ object DirectoryDrift {
     require(children.nonEmpty, s"no files under $dir")
     val perFile = profileFiles(children.toSeq.map { p =>
       p.getName -> spark.read.parquet(p.toString)
-    })
+    }, parallelism)
     (mergedSchema(perFile), driftReport(spark, perFile))
   }
 }

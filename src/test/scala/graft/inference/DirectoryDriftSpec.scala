@@ -79,4 +79,52 @@ class DirectoryDriftSpec extends SparkSpec {
       ("f1.parquet", "v", "int4", "float8", "TYPE DRIFT"),
       ("f2.parquet", "tag", null, "varchar(256)", "MISSING")))
   }
+
+  test("32-file directory: parallel profiling = serial report, jobs overlap") {
+    val dir = s"/tmp/graft-test-driftdir32-${System.getProperty("user.name")}"
+    // 32 files: every 4th is int8-wide on k, every 7th drops `tag`
+    (0 until 32).foreach { i =>
+      val base =
+        if (i % 4 == 0) Seq((Int.MaxValue.toLong + i, s"t$i")).toDF("k", "tag")
+        else Seq((i.toLong + 2, s"t$i")).toDF("k", "tag")
+      val df = if (i % 7 == 0) base.drop("tag") else base
+      df.write.mode("overwrite").parquet(f"$dir/f$i%02d.parquet")
+    }
+    // concurrency smoke: a listener counting concurrently-live jobs —
+    // 8 submitter threads over 32 files must overlap at least once
+    val live = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val n = live.incrementAndGet()
+        peak.updateAndGet(p => math.max(p, n))
+      }
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        live.decrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (mergedPar, repPar) =
+        DirectoryDrift.inferDirectory(spark, dir, parallelism = 8)
+      // listener events are async; give the bus a moment to drain
+      val deadline = System.nanoTime() + 5000000000L
+      while (live.get() != 0 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val (mergedSer, repSer) =
+        DirectoryDrift.inferDirectory(spark, dir, parallelism = 1)
+      assert(mergedPar == mergedSer)
+      val par = repPar.as[(String, String, String, String, String)]
+        .collect().toList
+      val ser = repSer.as[(String, String, String, String, String)]
+        .collect().toList
+      assert(par == ser && par.nonEmpty)
+      // int8 drift on the narrow files, MISSING tag on the dropped ones
+      assert(par.exists(_._5 == "TYPE DRIFT"))
+      assert(par.exists(_._5 == "MISSING"))
+      assert(peak.get() >= 2,
+        s"expected concurrent per-file jobs, peak=${peak.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
