@@ -94,9 +94,16 @@ final class RedshiftAutoSchema(
     }
   }
 
-  /** Inferred schema — one fused aggregation job; None on empty input
-    * (RAS:243-245). Cached like RAS:77/147. */
-  lazy val metadata: Option[Seq[ColumnMeta]] = TypeInference.inferSchema(loaded)
+  /** Inferred schema — at most one fused aggregation job; None on empty
+    * input (RAS:243-245). Cached like RAS:77/147. Parquet sources take
+    * the footer fast path: numeric columns decide from row-group
+    * metadata ([[graft.inference.FooterProfiler]]), only the remaining
+    * columns are scanned (an all-numeric table infers with zero
+    * data-reading stages). */
+  lazy val metadata: Option[Seq[ColumnMeta]] =
+    if (fileDf.isEmpty && file.exists(_.toLowerCase.endsWith(".parquet")))
+      TypeInference.inferSchemaParquet(spark, file.get, loaded)
+    else TypeInference.inferSchema(loaded)
 
   /** A1: file header (RAS:82-91) — schema-only read, no data scan. */
   def getColumnList: Seq[String] = loaded.columns.toSeq

@@ -360,6 +360,33 @@ object ColumnProfiler {
   def profile(df: DataFrame, maxColsPerJob: Int = 256): Seq[ColumnProfile] =
     profileWithCount(df, maxColsPerJob)._2
 
+  /** [[profileWithCount]] with the parquet-footer fast path: numeric
+    * columns whose row-group statistics fully determine their profile
+    * ([[FooterProfiler]] — exact parity argued there) are decided from
+    * metadata alone; only the undecided columns go through the fused
+    * aggregation scan, which prunes to exactly those columns. An
+    * all-numeric table profiles with ZERO data-reading stages
+    * (spec-pinned by a job-count assertion). Falls back to the full
+    * scan whenever footers can't speak for the table. */
+  def profileParquetWithCount(spark: org.apache.spark.sql.SparkSession,
+                              path: String, df: DataFrame,
+                              maxColsPerJob: Int = 256)
+      : (Long, Seq[ColumnProfile]) =
+    FooterProfiler.footerProfiles(spark, path, df.schema) match {
+      case Some((rows, perCol)) if rows > 0L && perCol.exists(_.isDefined) =>
+        val fields = df.schema.fields.toSeq
+        val undecided = fields.zip(perCol).collect { case (f, None) => f.name }
+        val scanned: Map[String, ColumnProfile] =
+          if (undecided.isEmpty) Map.empty
+          else profile(df.select(undecided.map(n => col(quote(n))): _*),
+            maxColsPerJob).map(p => p.field -> p).toMap
+        (rows, fields.zip(perCol).map {
+          case (_, Some(p)) => p
+          case (f, None)    => scanned(f.name)
+        })
+      case _ => profileWithCount(df, maxColsPerJob)
+    }
+
   /** Like [[profile]] but also returns the exact row count, folded into
     * the same single pass (reference: empty file → metadata None,
     * RedshiftAutoSchema.py:243-245 — we detect it with no extra job). */

@@ -126,9 +126,24 @@ object DirectoryDrift {
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
       .sortBy(_.getName)
     require(children.nonEmpty, s"no files under $dir")
-    val perFile = profileFiles(children.toSeq.map { p =>
-      p.getName -> spark.read.parquet(p.toString)
-    }, parallelism)
+    // per-file profiles take the footer fast path (numeric columns
+    // decide from row-group metadata, FooterProfiler) — same bounded
+    // submitter pool either way
+    val named = children.toSeq.map(p => p.getName -> p.toString)
+    val perFile = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.max(1, math.min(parallelism, named.size)))
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(named.map { case (label, p) =>
+          Future(label -> ColumnProfiler.profileParquetWithCount(
+            spark, p, spark.read.parquet(p))._2)
+        }), Duration.Inf)
+      } finally pool.shutdown()
+    }
     (mergedSchema(perFile), driftReport(spark, perFile))
   }
 }

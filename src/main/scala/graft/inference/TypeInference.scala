@@ -89,4 +89,19 @@ object TypeInference {
       ColumnMeta(p.field, p.sourceType.simpleString, decide(p))
     })
   }
+
+  /** [[inferSchema]] for a parquet-backed frame, using the footer fast
+    * path ([[FooterProfiler]]): numeric columns decide from row-group
+    * metadata, only the rest are scanned. Identical results to
+    * [[inferSchema]] by construction; `df` must be the unfiltered read
+    * of `path` (column renames are fine — matching is positional). */
+  def inferSchemaParquet(spark: org.apache.spark.sql.SparkSession,
+                         path: String, df: DataFrame): Option[Seq[ColumnMeta]] = {
+    val (rows, profiles) =
+      ColumnProfiler.profileParquetWithCount(spark, path, df)
+    if (rows == 0L) None
+    else Some(profiles.map { p =>
+      ColumnMeta(p.field, p.sourceType.simpleString, decide(p))
+    })
+  }
 }
