@@ -1968,6 +1968,40 @@ object SparkEntry {
       withTok.join(packs.select("doc_id", "pack_id"), Seq("doc_id"))
         .select("doc_id", "n_words", "n_tokens", "pack_id")
         .orderBy("doc_id")
+    }),
+    // ---- incremental landing-zone manifest: generation 1 (v1) is
+    //      profiled once and PERSISTED as per-file profile rows; when
+    //      generation 2 (v2, the q122 drift twin) lands, driftSince
+    //      profiles ONLY the newcomer, merges with the stored profiles
+    //      (semigroup ≡ full re-profile), and reports v2 against the
+    //      merged corpus. The manifest round-trips through parquet —
+    //      this gate exercises write → read → merge → report. ----
+    "q176_manifest_drift" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/orders.parquet")
+      val key = java.lang.Integer.toHexString(
+        (dir, src.length(), src.lastModified()).hashCode())
+      val dest = s"/tmp/graft_manifest_orders_$key"
+      val o = t(s, dir, "orders")
+      val b = Curation.hashBucket(col("o_orderkey"))
+      def writeIfAbsent(sub: String, df: => DataFrame): Unit =
+        if (!new java.io.File(s"$dest/$sub/_SUCCESS").exists())
+          df.write.mode("overwrite").parquet(s"$dest/$sub")
+      writeIfAbsent("v1.parquet", o.filter(b < 50))
+      writeIfAbsent("v2.parquet", o.filter(b >= 50)
+        .withColumn("o_orderkey", col("o_orderkey") * lit(10000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(0.5))
+        .drop("o_orderpriority"))
+      // generation-1 manifest: v1 only (outside dest — the manifest
+      // must not be mistaken for a landed file)
+      val mpath = s"$dest-manifest"
+      val gen1 = Seq("v1.parquet" ->
+        graft.inference.ColumnProfiler.profileParquetWithCount(
+          s, s"$dest/v1.parquet", s.read.parquet(s"$dest/v1.parquet"))._2)
+      graft.inference.LandingManifest.write(s, mpath, gen1)
+      val manifest = graft.inference.LandingManifest.read(s, mpath)
+      val (_, report) =
+        graft.inference.LandingManifest.driftSince(s, manifest, dest)
+      report.orderBy("file", "field")
     })
   )
 
@@ -4358,7 +4392,10 @@ FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
     WHEN 1 THEN '机器学习 模型 训练 数据 机器学习 训练 模型'
     WHEN 2 THEN 'Ελληνικά κείμενα résumé 北京大学 ' || coalesce(text, '')
     ELSE text END"""),
-      packWindow = Some(512L))
+      packWindow = Some(512L)),
+    // q176: the q122 replay restricted to the NEWCOMER side — the
+    // merged corpus is the same union (manifest merge ≡ full merge).
+    "q176_manifest_drift" -> schemaDriftOracleCore(newOnly = true)
   )
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut
@@ -4813,7 +4850,14 @@ ORDER BY auth_micro DESC, h.vertex LIMIT 20"""
     * compute the union directly), and the report classifies each
     * (file, corpus-field) pair: absent → MISSING, all-null file column
     * (notype) → no evidence, name mismatch → TYPE DRIFT. */
-  private def schemaDriftOracle: String = {
+  private def schemaDriftOracle: String = schemaDriftOracleCore(false)
+
+  /** Shared by q122 (whole directory) and q176 (newcomers only — the
+    * incremental-manifest gate, where generation 1 = v1 is already in
+    * the manifest and only v2 is profiled and reported). The corpus
+    * (merged) side is identical in both: manifest merge ≡ full merge
+    * by the semigroup property. */
+  private def schemaDriftOracleCore(newOnly: Boolean): String = {
     import InferenceOracle.{Kind, Str}
     def hv(p: Int) =
       s"instr('123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), $p, 1))"
@@ -4846,12 +4890,13 @@ ORDER BY auth_micro DESC, h.vertex LIMIT 20"""
        WHEN f.proposed_type <> m.proposed_type THEN 'TYPE DRIFT' END AS reason
 FROM m LEFT JOIN ($f) f ON m.field = f.field
 WHERE m.proposed_type <> 'notype'"""
+    val sides =
+      if (newOnly) side("v2.parquet", f2)
+      else side("v1.parquet", f1) + "\nUNION ALL\n" + side("v2.parquet", f2)
     s"""WITH v1 AS ($v1), v2 AS ($v2), u AS ($u),
 m AS (SELECT field, proposed_type FROM ($m))
 SELECT file, field, file_type, merged_type, reason FROM (
-${side("v1.parquet", f1)}
-UNION ALL
-${side("v2.parquet", f2)})
+$sides)
 WHERE reason IS NOT NULL ORDER BY file, field"""
   }
 
