@@ -2002,6 +2002,17 @@ object SparkEntry {
       val (_, report) =
         graft.inference.LandingManifest.driftSince(s, manifest, dest)
       report.orderBy("file", "field")
+    }),
+    // ---- sampled inference: the full cascade over the DETERMINISTIC
+    //      md5 slice hashBucket(l_orderkey) < 37 — the cheap first-pass
+    //      proposal for huge landing tables, with the spec-pinned
+    //      one-sided guarantee (sampled type ⊑ full type). The oracle
+    //      replays the same slice with the same cascade. ----
+    "q177_sampled_inference" -> ((s, dir) => {
+      val metas = TypeInference.inferSchemaSampled(
+        t(s, dir, "lineitem"), "l_orderkey", 37).getOrElse(Seq.empty)
+      s.createDataFrame(metas.map(m => (m.field, m.proposedName)))
+        .toDF("field", "proposed_type").orderBy("field")
     })
   )
 
@@ -4395,7 +4406,17 @@ FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
       packWindow = Some(512L)),
     // q176: the q122 replay restricted to the NEWCOMER side — the
     // merged corpus is the same union (manifest merge ≡ full merge).
-    "q176_manifest_drift" -> schemaDriftOracleCore(newOnly = true)
+    "q176_manifest_drift" -> schemaDriftOracleCore(newOnly = true),
+    // q177: the q02 cascade replay over the same md5-slice (the q122
+    // 4-hex-digit bucket arithmetic, bit-for-bit).
+    "q177_sampled_inference" -> {
+      def hv(p: Int) =
+        s"instr('123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), $p, 1))"
+      val bucket =
+        s"(4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)} + ${hv(4)}) % 100"
+      s"""WITH sl AS (SELECT * FROM lineitem WHERE $bucket < 37)
+${InferenceOracle.tableSql("sl", InferenceOracle.lineitemCols)}"""
+    }
   )
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut

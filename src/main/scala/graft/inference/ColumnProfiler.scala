@@ -360,6 +360,29 @@ object ColumnProfiler {
   def profile(df: DataFrame, maxColsPerJob: Int = 256): Seq[ColumnProfile] =
     profileWithCount(df, maxColsPerJob)._2
 
+  /** Deterministic SAMPLED profiling: profile only the md5 slice
+    * `hashBucket(idCol) < pct` (graft.operators.Curation.hashBucket —
+    * the same 4-hex-digit %100 arithmetic every sampler oracle
+    * replays), so the slice is reproducible under any partitioning,
+    * any cluster size, any row order.
+    *
+    * One-sided guarantee (the spec-pinned monotonicity property):
+    * the sampled column's inferred type ⊑ the full type on the
+    * widening lattice — profiling the rest of the rows can only WIDEN
+    * (notype → bool → int4 → int8 → float8 → varchar), never narrow.
+    * Same exclusions as the monotonicity property: notype and the
+    * all-'NaN' float8 are DEFAULTS (no evidence), not lattice points.
+    * Use for cheap first-pass schema proposals over huge landing
+    * tables; confirm with a full profile before locking a DDL. */
+  def profileSampledWithCount(df: DataFrame, idCol: String, pct: Int,
+                              maxColsPerJob: Int = 256)
+      : (Long, Seq[ColumnProfile]) = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1, 100]: $pct")
+    profileWithCount(
+      df.filter(graft.operators.Curation.hashBucket(col(quote(idCol))) < pct),
+      maxColsPerJob)
+  }
+
   /** [[profileWithCount]] with the parquet-footer fast path: numeric
     * columns whose row-group statistics fully determine their profile
     * ([[FooterProfiler]] — exact parity argued there) are decided from

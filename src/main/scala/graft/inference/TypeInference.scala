@@ -90,6 +90,19 @@ object TypeInference {
     })
   }
 
+  /** SAMPLED inference over the deterministic md5 slice
+    * `hashBucket(idCol) < pct` ([[ColumnProfiler.profileSampledWithCount]]
+    * — guarantee and caveats there). None when the slice is empty. */
+  def inferSchemaSampled(df: DataFrame, idCol: String,
+                         pct: Int): Option[Seq[ColumnMeta]] = {
+    val (rows, profiles) =
+      ColumnProfiler.profileSampledWithCount(df, idCol, pct)
+    if (rows == 0L) None
+    else Some(profiles.map { p =>
+      ColumnMeta(p.field, p.sourceType.simpleString, decide(p))
+    })
+  }
+
   /** [[inferSchema]] for a parquet-backed frame, using the footer fast
     * path ([[FooterProfiler]]): numeric columns decide from row-group
     * metadata, only the rest are scanned. Identical results to

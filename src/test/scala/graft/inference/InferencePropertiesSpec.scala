@@ -150,6 +150,42 @@ class InferencePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("sampled inference ⊑ full inference on the widening lattice (120 columns)") {
+    def rank(t: RedshiftType): Int = t match {
+      case NoType => 0
+      case Bool => 1
+      case Int4 | Date => 2
+      case Int8 | Timestamp => 3
+      case Float8 => 4
+      case Varchar256 => 5
+      case Varchar65535 => 6
+      case _ => 7
+    }
+    val cases = sample(genEvidence, 120, seed = 0xD1CE)
+    val df = pack(cases.map(_._2))
+    // deterministic per-row id for the md5 slice (any subset satisfies
+    // the one-sided property; determinism just makes the test stable)
+    val withId = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        df.collect().zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(i.toLong +: r.toSeq)
+        }.toSeq, 4),
+      StructType(StructField("rid", org.apache.spark.sql.types.LongType,
+        nullable = false) +: df.schema.fields.toIndexedSeq))
+    val full = TypeInference.inferSchema(withId).get
+      .map(m => m.field -> m.proposedType).toMap
+    TypeInference.inferSchemaSampled(withId, "rid", 50) match {
+      case None => // empty slice: vacuously ⊑
+      case Some(ms) =>
+        val sampled = ms.map(m => m.field -> m.proposedType).toMap
+        cases.indices.foreach { i =>
+          assert(rank(sampled(s"c$i")) <= rank(full(s"c$i")),
+            s"c$i: sampled ${sampled(s"c$i")} ⋢ full ${full(s"c$i")} " +
+              s"(values ${cases(i)._2.take(5)})")
+        }
+    }
+  }
+
   test("profile merge is equivalent to profiling the concatenation") {
     val as = sample(genAny, 60, seed = 0xABCD)
     val bs = sample(genAny, 60, seed = 0xDCBA)
