@@ -2013,6 +2013,21 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_orderkey", 37).getOrElse(Seq.empty)
       s.createDataFrame(metas.map(m => (m.field, m.proposedName)))
         .toDF("field", "proposed_type").orderBy("field")
+    }),
+    // ---- perceptual-hash image near-dup: dHash over PLANTED 72-byte
+    //      thumbnails (groups of 5 docs share a grid, each variant
+    //      perturbs ≤2 hash bits), Hamming-banded exactly like SimHash
+    //      (8×8-bit bands, exact for maxHamming ≤ 7 by pigeonhole).
+    //      The oracle rebuilds the hex grids and runs the complete
+    //      quadratic Hamming join — legal at oracle scale. ----
+    "q178_phash_neardup" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          plantedThumb(col("doc_id")).as("thumb"))
+      Multimodal.phashNearDup(media, "media_id", "thumb", maxHamming = 6)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int")
+          .as("hamming"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -4416,8 +4431,45 @@ FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
         s"(4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)} + ${hv(4)}) % 100"
       s"""WITH sl AS (SELECT * FROM lineitem WHERE $bucket < 37)
 ${InferenceOracle.tableSql("sl", InferenceOracle.lineitemCols)}"""
-    }
+    },
+    "q178_phash_neardup" -> phashNearDupOracle
   )
+
+  /** q178: the planted thumbnails rebuilt in SQL (identical md5-hex
+    * grid + one-byte perturbation), the 64 dHash comparisons grouped
+    * into the engine's 8 row-bands, and the COMPLETE quadratic Hamming
+    * join (exact ground truth at oracle scale — the engine's banded
+    * join must equal it, which also audits the pigeonhole bound). */
+  private def phashNearDupOracle: String = {
+    val base = (0 until 5).map(k =>
+      s"md5(CAST(doc_id // 5 AS VARCHAR) || ':$k')").mkString(" || ")
+    def byteAt(h: String, p: Int) =
+      s"CAST(('0x' || substr($h, ${2 * p + 1}, 2)) AS INTEGER)"
+    val bandCols = (0 until 8).map { j =>
+      (0 until 8).map { c =>
+        s"CASE WHEN ${byteAt("h", j * 9 + c)} > ${byteAt("h", j * 9 + c + 1)} " +
+          s"THEN ${1 << c} ELSE 0 END"
+      }.mkString("(", " + ", s") AS b$j")
+    }.mkString(",\n  ")
+    val hamming = (0 until 8).map(j =>
+      s"bit_count(xor(a.b$j, b.b$j))").mkString(" + ")
+    s"""WITH grid AS (SELECT doc_id,
+  substr($base, 1, 144) AS g,
+  CAST((doc_id % 5 + 5) % 5 AS INTEGER) AS v FROM documents),
+th AS (SELECT doc_id,
+  substr(g, 1, v * 26) ||
+  CASE v WHEN 0 THEN '00' WHEN 1 THEN '3f' WHEN 2 THEN '7f'
+    WHEN 3 THEN 'bf' ELSE 'ff' END ||
+  substr(g, v * 26 + 3, 142 - v * 26) AS h FROM grid),
+bands AS (SELECT doc_id,
+  $bandCols
+  FROM th)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST($hamming AS INTEGER) AS hamming
+FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+WHERE $hamming <= 6
+ORDER BY id_a, id_b"""
+  }
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut
     * (rate_micro·2⁴² // 15625 ≡ rate·2⁴⁸ with no float), and the
@@ -5105,6 +5157,29 @@ FROM exact e JOIN est ON e.term = est.term ORDER BY e.term"""
     * 20 paths (collisions within a host normalize equal), trailing
     * slash, five query spellings (tracking params, param order), and a
     * fragment. The SQL twin in [[urlCtes]] is the same arithmetic. */
+  /** q178's deterministically planted 72-byte thumbnail: groups of 5
+    * consecutive doc_ids share an md5-derived 8×9 pixel grid; each
+    * variant overwrites ONE byte (position variant·13) with an extreme
+    * value, perturbing at most 2 dHash bits — so same-group pairs are
+    * near-duplicates (hamming ≤ 4) and cross-group hashes are
+    * effectively random (expected hamming ≈ 32). The oracle rebuilds
+    * the identical hex string. */
+  private def plantedThumb(id: Column): Column = {
+    // ids are non-negative: double-divide + cast truncation == div
+    val grp = (id / lit(5)).cast("long")
+    val baseHex = concat((0 until 5).map(k =>
+      md5(concat(grp.cast("string"), lit(s":$k")))): _*)
+    val hex144 = substring(baseHex, 1, 144)
+    val variant = pmod(id, lit(5)).cast("int")
+    val newByte = element_at(array(lit("00"), lit("3f"), lit("7f"),
+      lit("bf"), lit("ff")), variant + 1)
+    val cut = variant * lit(26) // 13 bytes = 26 hex chars
+    unhex(concat(
+      hex144.substr(lit(1), cut),
+      newByte,
+      hex144.substr(cut + lit(3), lit(144) - cut - lit(2))))
+  }
+
   private def plantedUrl(id: Column): Column = {
     val page = id % 4
     concat(

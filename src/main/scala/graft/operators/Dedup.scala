@@ -482,8 +482,23 @@ object Dedup {
     * Returns (id_a, id_b, hamming). */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, bands: Int = 4,
-                     bits: Int = 32, bandErrors: Int = 0): DataFrame = {
+                     bits: Int = 32, bandErrors: Int = 0): DataFrame =
+    signatureNearDup(simHash(df, idCol, textCol, bits), idCol, "simhash",
+      maxHamming, bands, bits, bandErrors)
+
+  /** The banded Hamming near-dup machinery over an ARBITRARY bit
+    * signature frame `(idCol, sigCol: long)` — the engine behind
+    * [[simHashNearDup]] and the perceptual-hash image near-dup
+    * (graft.operators.Multimodal.phashNearDup). Same exactness
+    * argument and same bandErrors knob as documented above; `bits` may
+    * be up to 64 (band extraction masks after the arithmetic shift, so
+    * the sign bit is handled; only SQL-side CONSTRUCTION of signatures
+    * is limited to 60 bits). Returns (id_a, id_b, hamming). */
+  def signatureNearDup(sigFrame: DataFrame, idCol: String, sigCol: String,
+                       maxHamming: Int, bands: Int, bits: Int,
+                       bandErrors: Int = 0): DataFrame = {
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(bits >= 1 && bits <= 64, s"bits ($bits) must be in [1, 64]")
     require(bandErrors == 0 || bandErrors == 1,
       s"bandErrors ($bandErrors) must be 0 (exact bands) or 1 (single-" +
         "flip enumeration); larger tolerances explode combinatorially")
@@ -492,7 +507,8 @@ object Dedup {
         s"(${bands * (bandErrors + 1) - 1}) for the banded join to be " +
         "exact; raise bands/bandErrors or lower the threshold")
     val rb = bits / bands
-    val sig = simHash(df, idCol, textCol, bits)
+    require(rb <= 62, s"band width $rb overflows the long mask; use more bands")
+    val sig = sigFrame.select(col(idCol), col(sigCol).as("simhash"))
     // SIGNATURE-DEDUP-FIRST: the banded self-join runs over DISTINCT
     // signatures, not documents — on dup-dense corpora (the whole point
     // of running dedup) identical docs collapse to one row before the

@@ -183,4 +183,50 @@ object Multimodal {
     media.withColumn("payload_resized",
       unhex(regexp_replace(hex(col("payload")),
         s"(..)" + ("(..)" * (factor - 1)), "$1")))
+
+  /** 64-bit dHash (difference hash — the classic perceptual image
+    * fingerprint) over an 8-row × 9-column grayscale thumbnail stored
+    * as a 72-byte binary column: bit i (= row j·8 + col c) is set iff
+    * pixel (j, c) > pixel (j, c+1). Horizontal gradients survive
+    * re-encoding/brightness shifts, which is what makes the hash
+    * perceptual. Pure codegen'd expressions over the lowercase-hex
+    * rendering (byte p = hex chars 2p+1..2p+2 — the same arithmetic
+    * runs verbatim in ANSI SQL); a wrong-length thumbnail fails loudly
+    * per-row (the raise_error-in-scan precedent).
+    *
+    * The real decode (image → 8×9 grayscale thumbnail) is the stubbed
+    * stage, exactly like [[decodeStub]]: swap in a real resampler
+    * without touching this hash or any call site. */
+  def dHash64(thumb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val guarded = when(length(thumb) =!= 72, raise_error(concat(
+        lit("dHash64: thumbnail must be 72 bytes (8x9 grayscale), got "),
+        length(thumb).cast("string"))))
+      .otherwise(thumb)
+    val hexs = lower(hex(guarded))
+    def byteAt(p: Int) =
+      conv(substring(hexs, p * 2 + 1, 2), 16, 10).cast("int")
+    (0 until 64).map { i =>
+      val j = i / 8
+      val c = i % 8
+      when(byteAt(j * 9 + c) > byteAt(j * 9 + c + 1), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+  }
+
+  /** Perceptual-hash image near-duplicate pairs: dHash over the stored
+    * thumbnail column, then the SimHash banded-Hamming machinery
+    * ([[graft.operators.Dedup.signatureNearDup]] — 8 bands × 8 bits;
+    * by pigeonhole the banded equi-join is EXACT for maxHamming ≤ 7).
+    * Returns (id_a, id_b, hamming), hamming ≤ maxHamming.
+    *
+    * 100 TB shape: one scan computes the 64-bit hash per image (the
+    * thumbnail column is bytes, the full blob is never read), the join
+    * runs over DISTINCT hashes banded into 256-way buckets, and only
+    * qualifying signature pairs expand back to image ids. */
+  def phashNearDup(media: DataFrame, idCol: String, thumbCol: String,
+                   maxHamming: Int = 6, bandErrors: Int = 0): DataFrame = {
+    val sig = media.select(col(idCol), dHash64(col(thumbCol)).as("dhash"))
+    Dedup.signatureNearDup(sig, idCol, "dhash", maxHamming,
+      bands = 8, bits = 64, bandErrors = bandErrors)
+  }
 }

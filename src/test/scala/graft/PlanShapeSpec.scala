@@ -879,4 +879,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p174.contains("Window"),
       s"trigram LM needs no window:\n$p174")
   }
+
+  test("round-8 queries (q175-q178) keep scale-safe shapes") {
+    // q175 multilingual BPE + packing: merge application is per-row
+    // expressions; the pack is the bucketed prefix sum — no window,
+    // no SinglePartition funnel, no product
+    val p175 = finalPlan(q("q175_bpe_multilingual"))
+    assert(!p175.contains("CartesianProduct") &&
+      !p175.contains("BroadcastNestedLoopJoin"),
+      s"BPE+pack must stay join-free on data keys:\n$p175")
+    // the pack prefix sum is a BUCKET-partitioned window (q76's pin):
+    // never a SinglePartition funnel
+    assert(!p175.contains("Exchange SinglePartition"),
+      s"packing must never funnel into one partition:\n$p175")
+    // q176 manifest drift: the report is a driver-local frame over
+    // profile rows; the only scans are the NEW files' fused aggregates
+    val p176 = finalPlan(q("q176_manifest_drift"))
+    assert(!p176.contains("CartesianProduct"),
+      s"manifest drift must not plan a product:\n$p176")
+    // q177 sampled inference: one fused aggregation over the filtered
+    // slice — the md5 filter must ride the scan stage, no join/window
+    val p177 = finalPlan(q("q177_sampled_inference"))
+    assert(!p177.contains("SortMergeJoin") &&
+      !p177.contains("Window") && !p177.contains("CartesianProduct"),
+      s"sampled inference is one fused aggregate:\n$p177")
+    // q178 perceptual near-dup: banded equi-join over distinct hashes,
+    // never a product / nested loop / single-partition funnel
+    val p178 = finalPlan(q("q178_phash_neardup"))
+    assert(!p178.contains("CartesianProduct") &&
+      !p178.contains("BroadcastNestedLoopJoin"),
+      s"phash near-dup must stay a banded equi-join:\n$p178")
+    assert(!p178.contains("Exchange SinglePartition"),
+      s"phash near-dup must not funnel:\n$p178")
+    assert(!p178.contains("Window"),
+      s"phash near-dup needs no window:\n$p178")
+  }
 }

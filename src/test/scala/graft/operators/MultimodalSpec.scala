@@ -112,4 +112,45 @@ class MultimodalSpec extends SparkSpec {
       new Directory(new java.io.File(dest)).deleteRecursively()
     }
   }
+
+  test("dHash64 sets exactly the bits where a pixel exceeds its right neighbor") {
+    import spark.implicits._
+    // grid: row 0 = 9,8,7,...,1 (descending → all 8 bits of band 0 set);
+    // rows 1-7 constant → no bits
+    val grid = ((9 to 1 by -1) ++ Seq.fill(63)(5)).map(_.toByte).toArray
+    val df = Seq((1L, grid)).toDF("media_id", "thumb")
+    val h = df.select(Multimodal.dHash64($"thumb").as("h"))
+      .as[Long].head()
+    assert(h == 0xFFL, s"expected low band 0xff, got ${h.toHexString}")
+    // wrong length fails loudly
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "thumb")
+    val e = intercept[Exception] {
+      bad.select(Multimodal.dHash64($"thumb")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("phashNearDup finds planted near-duplicates and only them") {
+    import spark.implicits._
+    // base grid from a fixed pattern; near-dups perturb ONE pixel
+    // (≤2 dHash bits); the far image is unrelated
+    val base = Array.tabulate(72)(i => ((i * 37 + 11) % 251).toByte)
+    val near = base.clone(); near(40) = (near(40) + 120).toByte
+    val far = Array.tabulate(72)(i => ((i * 101 + 7) % 251).toByte)
+    val df = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("media_id", "thumb")
+    val pairs = Multimodal.phashNearDup(df, "media_id", "thumb",
+        maxHamming = 6)
+      .select($"id_a", $"id_b", $"hamming".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      s"expected only the planted pair, got $pairs")
+    assert(pairs.head._3 <= 2)
+    // identical thumbnails: hamming 0 via the intra (same-signature) leg
+    val dup = Seq((1L, base), (2L, base.clone())).toDF("media_id", "thumb")
+    val p2 = Multimodal.phashNearDup(dup, "media_id", "thumb", 6)
+      .select($"id_a", $"id_b", $"hamming".cast("int"))
+      .as[(Long, Long, Int)].collect().toList
+    assert(p2 == List((1L, 2L, 0)))
+  }
 }
