@@ -87,8 +87,33 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Environment canary: immediately after the sweep, re-time three
+    // cheap queries once each. A rerun that disagrees with its sweep
+    // median by >2× means the BOX (external load / GC storm) was
+    // contaminated during the sweep — the flag tells the reader to
+    // distrust apparent regressions in THIS file rather than
+    // re-adjudicate phantom ones (the round-7 q88/q89/q170 lesson).
+    val canaryNames = Seq("q01_profile_lineitem", "q88_scd2_collapse",
+      "q89_interval_overlap").filter(SparkEntry.queries.contains)
+    val canary = canaryNames.map { n =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val rerun = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val sweep = results.toMap.getOrElse(n, -1.0)
+      (n, sweep, rerun)
+    }
+    val canaryContaminated = canary.exists { case (_, sweep, rerun) =>
+      sweep > 0 && rerun > 0 &&
+        (sweep / rerun > 2.0 || rerun / sweep > 2.0)
+    }
+    val canaryJson = canary.map { case (n, sweep, rerun) =>
+      f""""$n":{"sweep":$sweep%.3f,"rerun":$rerun%.3f}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"canary":$canaryJson,"canary_contaminated":$canaryContaminated,"sf":"$sfDir"}"""
     println(json)
     // Durable twin of the stdout line: a long per-query map can exceed
     // the harness's stdout capture window (round-4 BENCH json was

@@ -71,6 +71,20 @@ object ScaleBench {
     // the deepest of the text-join shapes
     "q174_trigram_lm_score")
 
+  /** q55's OPERATOR-ONLY legs: the full q55 figure is output-bound
+    * (at sf1 the 18.9M-pair result sort/materialization dominates and
+    * its shuffle-spill luck swung the recorded growth 5.8×–18.5×
+    * between runs — round-7 adjudication). The count leg reduces the
+    * output to one row while still executing candidate generation,
+    * Hamming verification and the id expansion joins (the aggregate
+    * consumes `hamming`, so nothing upstream can be pruned). Run TWICE
+    * at different sweep positions: the pair of figures is the
+    * stability evidence (±20% band expected), and `growth` on these
+    * legs is the committed operator-scaling figure. */
+  private def q55CountLeg(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.queries("q55_simhash_neardup")(s, dir)
+      .agg(count(lit(1)).as("n_pairs"), sum("hamming").as("sum_hamming"))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -102,11 +116,17 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    def time(dir: String): Seq[(String, Double)] = heavy.map { n =>
+    // q55 operator-only stability pair: leg A runs early in the sweep,
+    // leg B after everything else — a same-session ±20% band check
+    val legs: Seq[(String, (SparkSession, String) => DataFrame)] =
+      ("q55_simhash_count_a" -> (q55CountLeg _)) +:
+        heavy.map(n => n -> SparkEntry.queries(n)) :+
+        ("q55_simhash_count_b" -> (q55CountLeg _))
+    def time(dir: String): Seq[(String, Double)] = legs.map { case (n, fn) =>
       System.gc() // steady storage state per query (see builder note)
       val t0 = System.nanoTime()
       val ok =
-        try { SparkEntry.queries(n)(spark, dir)
+        try { fn(spark, dir)
           .write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[scalebench] $n failed at $dir: ${e.getMessage}")

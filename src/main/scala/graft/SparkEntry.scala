@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.SchemaDiff
 import graft.inference.{DirectoryDrift, TypeInference}
-import graft.operators.{Audit, Bpe, Clustering, Curation, Dedup, Drift, Multimodal, Scale, Similarity, Sketch, Stats, TemporalJoins, TextAnalysis, UrlOps}
+import graft.operators.{Audit, Bpe, Clustering, Curation, Dedup, Drift, Eval, Multimodal, Scale, Similarity, Sketch, Stats, TemporalJoins, TextAnalysis, UrlOps}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1947,16 +1947,8 @@ object SparkEntry {
     //      round-7 ASCII gap), then the counts drive packSequences:
     //      the q47/q76/q130 token-counter rewiring under one gate. ----
     "q175_bpe_multilingual" -> ((s, dir) => {
-      val planted = t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 4 === 0,
-          concat(coalesce(col("text"), lit("")),
-            lit(" Über naïve café déjà 机器学习 训练")))
-          .when(col("doc_id") % 4 === 1,
-            lit("机器学习 模型 训练 数据 机器学习 训练 模型"))
-          .when(col("doc_id") % 4 === 2,
-            concat(lit("Ελληνικά κείμενα résumé 北京大学 "),
-              coalesce(col("text"), lit(""))))
-          .otherwise(col("text")).as("text"))
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), plantedMultiText.as("text"))
       val merges = Bpe.trainMerges(planted, "text", nMerges = 10,
         maxVocab = 1200)
       val withTok = planted.select(col("doc_id"),
@@ -2028,6 +2020,38 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("int")
           .as("hamming"))
         .orderBy("id_a", "id_b")
+    }),
+    // ---- tokenizer fertility by language: BPE tokens per word per
+    //      lang under the q123 merge table — the vocab-budget number
+    //      for multilingual corpora; one expression pass + one hash
+    //      aggregate, exact integer micros. ----
+    "q179_bpe_fertility" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = Bpe.trainMerges(d, "text", nMerges = 12, maxVocab = 1500)
+      Bpe.fertilityByGroup(d, "text", "lang", merges)
+    }),
+    // ---- script census over planted multilingual text: per-doc
+    //      counts of Latin/Han/Greek letters, digits, whitespace and
+    //      the exact remainder — the writing-system audit before vocab
+    //      sizing (and the mixed-script spam detector). ----
+    "q180_script_mix" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), plantedMultiText.as("text"))
+      TextAnalysis.scriptMix(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // ---- Cohen's kappa between two PLANTED annotators (md5-bucket
+    //      labels, rater B disagreeing on a deterministic ~20% slice):
+    //      chance-corrected agreement in exact integer micros. ----
+    "q181_cohens_kappa" -> ((s, dir) => {
+      val a = Curation.hashBucket16(
+        concat(col("doc_id").cast("string"), lit(":a"))) % 4
+      val flip = Curation.hashBucket16(
+        concat(col("doc_id").cast("string"), lit(":flip"))) % 5
+      val ann = t(s, dir, "documents").select(col("doc_id"), a.as("a"))
+        .withColumn("b",
+          when(flip === 0, (col("a") + 1) % 4).otherwise(col("a")))
+      Eval.cohensKappa(ann, "a", "b")
     })
   )
 
@@ -4422,6 +4446,61 @@ FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
     // q176: the q122 replay restricted to the NEWCOMER side — the
     // merged corpus is the same union (manifest merge ≡ full merge).
     "q176_manifest_drift" -> schemaDriftOracleCore(newOnly = true),
+    // q179: the q123 training replay with a per-language aggregate tail
+    // (same merges — same corpus, same determinism).
+    "q179_bpe_fertility" -> bpeOracle(nMerges = 12, maxVocab = 1500,
+      plantSql = None, packWindow = None, langTail = true),
+    // q180: script census over the q175 planting — RE2 spellings of
+    // the same script classes (\p{Han} vs Java's \p{IsHan}), counts by
+    // strip-and-measure, code points on both engines.
+    "q180_script_mix" -> {
+      def cnt(cls: String, as: String) =
+        s"CAST(length(regexp_replace(t, '[^$cls]', '', 'g')) AS BIGINT) AS $as"
+      s"""WITH p AS (SELECT doc_id, $plantedMultiTextSql AS t FROM documents),
+c AS (SELECT doc_id,
+  CAST(coalesce(length(t), 0) AS BIGINT) AS n_chars,
+  ${cnt("\\p{Latin}", "n_latin")},
+  ${cnt("\\p{Han}", "n_han")},
+  ${cnt("\\p{Greek}", "n_greek")},
+  ${cnt("\\p{Nd}", "n_digit")},
+  ${cnt("\\s", "n_space")}
+  FROM p)
+SELECT doc_id, n_chars,
+  coalesce(n_latin, 0) AS n_latin, coalesce(n_han, 0) AS n_han,
+  coalesce(n_greek, 0) AS n_greek, coalesce(n_digit, 0) AS n_digit,
+  coalesce(n_space, 0) AS n_space,
+  n_chars - coalesce(n_latin, 0) - coalesce(n_han, 0)
+    - coalesce(n_greek, 0) - coalesce(n_digit, 0) - coalesce(n_space, 0)
+    AS n_other
+FROM c ORDER BY doc_id"""
+    },
+    // q181: the kappa identity cleared of denominators — exact integer
+    // arithmetic, same annotator planting (md5 buckets).
+    "q181_cohens_kappa" -> {
+      def hv(c: String, salt: String, p: Int) =
+        s"instr('123456789abcdef', substr(md5(CAST($c AS VARCHAR) || '$salt'), $p, 1))"
+      def bucket(c: String, salt: String, m: Int) =
+        s"(4096 * ${hv(c, salt, 1)} + 256 * ${hv(c, salt, 2)} + " +
+          s"16 * ${hv(c, salt, 3)} + ${hv(c, salt, 4)}) % $m"
+      s"""WITH ann AS (SELECT doc_id,
+  ${bucket("doc_id", ":a", 4)} AS a,
+  CASE WHEN ${bucket("doc_id", ":flip", 5)} = 0
+    THEN (${bucket("doc_id", ":a", 4)} + 1) % 4
+    ELSE ${bucket("doc_id", ":a", 4)} END AS b
+  FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(count(*) FILTER (WHERE a = b) AS BIGINT) AS agree FROM ann),
+ca AS (SELECT a AS lbl, CAST(count(*) AS BIGINT) AS c FROM ann GROUP BY a),
+cb AS (SELECT b AS lbl, CAST(count(*) AS BIGINT) AS c FROM ann GROUP BY b),
+s AS (SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) AS s_chance
+  FROM ca JOIN cb USING (lbl))
+SELECT n, agree, s_chance,
+  CASE WHEN n * n = s_chance
+    THEN CASE WHEN agree = n AND n > 0 THEN 1000000 ELSE 0 END
+    ELSE (agree * n - s_chance) * 1000000 // (n * n - s_chance)
+  END AS kappa_micro
+FROM tot CROSS JOIN s"""
+    },
     // q177: the q02 cascade replay over the same md5-slice (the q122
     // 4-hex-digit bucket arithmetic, bit-for-bit).
     "q177_sampled_inference" -> {
@@ -4994,7 +5073,8 @@ WHERE reason IS NOT NULL ORDER BY file, field"""
     * counts). */
   private def bpeOracle(nMerges: Int, maxVocab: Int,
                         plantSql: Option[String],
-                        packWindow: Option[Long]): String = {
+                        packWindow: Option[Long],
+                        langTail: Boolean = false): String = {
     val norm =
       "regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')"
     val src = if (plantSql.isDefined) "docs" else "documents"
@@ -5032,6 +5112,16 @@ s$i AS MATERIALIZED (SELECT c,
           s"coalesce((SELECT rep FROM b$i), ''))"
     }
     val tail = packWindow match {
+      case _ if langTail =>
+        s"""res AS (SELECT d.doc_id, d.lang,
+  coalesce(c.n_words, 0) AS n_words, coalesce(c.n_tokens, 0) AS n_tokens
+  FROM $src d LEFT JOIN cnts c USING (doc_id))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_words) AS BIGINT) AS n_words,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(sum(n_tokens) AS BIGINT) * 1000000
+    // greatest(CAST(sum(n_words) AS BIGINT), 1) AS fertility_micro
+FROM res GROUP BY lang ORDER BY lang"""
       case None =>
         s"""SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
   coalesce(c.n_tokens, 0) AS n_tokens
@@ -5047,7 +5137,7 @@ SELECT doc_id, n_words, n_tokens,
   CAST((cum - n_tokens) // $w AS BIGINT) AS pack_id
 FROM cum ORDER BY doc_id"""
     }
-    val tailCte = if (packWindow.isDefined) ",\n" else "\n"
+    val tailCte = if (packWindow.isDefined || langTail) ",\n" else "\n"
     s"""WITH $base,
 $rounds,
 dw AS (SELECT doc_id, unnest(string_split(trim($norm), ' ')) AS w
@@ -5157,6 +5247,28 @@ FROM exact e JOIN est ON e.term = est.term ORDER BY e.term"""
     * 20 paths (collisions within a host normalize equal), trailing
     * slash, five query spellings (tracking params, param order), and a
     * fragment. The SQL twin in [[urlCtes]] is the same arithmetic. */
+  /** The q175/q180 multilingual planting: CJK/accented/Greek text
+    * mixed deterministically from doc_id (the corpus is ASCII; these
+    * branches give the Unicode operators real work). The q179 SQL twin
+    * is `plantedMultiTextSql`. */
+  private def plantedMultiText: Column =
+    when(col("doc_id") % 4 === 0,
+      concat(coalesce(col("text"), lit("")),
+        lit(" Über naïve café déjà 机器学习 训练")))
+      .when(col("doc_id") % 4 === 1,
+        lit("机器学习 模型 训练 数据 机器学习 训练 模型"))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("Ελληνικά κείμενα résumé 北京大学 "),
+          coalesce(col("text"), lit(""))))
+      .otherwise(col("text"))
+
+  private val plantedMultiTextSql: String =
+    """CASE CAST((doc_id % 4 + 4) % 4 AS INTEGER)
+    WHEN 0 THEN coalesce(text, '') || ' Über naïve café déjà 机器学习 训练'
+    WHEN 1 THEN '机器学习 模型 训练 数据 机器学习 训练 模型'
+    WHEN 2 THEN 'Ελληνικά κείμενα résumé 北京大学 ' || coalesce(text, '')
+    ELSE text END"""
+
   /** q178's deterministically planted 72-byte thumbnail: groups of 5
     * consecutive doc_ids share an md5-derived 8×9 pixel grid; each
     * variant overwrites ONE byte (position variant·13) with an extreme

@@ -129,4 +129,28 @@ object Bpe {
     coalesce(
       aggregate(wordTokenCounts(text, merges), lit(0), (acc, x) => acc + x),
       lit(0))
+
+  /** Tokenizer FERTILITY by group (conventionally language): BPE
+    * tokens emitted per pre-tokenizer word — the number that says how
+    * well a trained vocabulary serves each language (a merge table
+    * trained on English typically shatters CJK/morphologically-rich
+    * text into many more pieces per word, inflating that language's
+    * effective sequence length and training cost). One per-row
+    * expression pass + ONE hash aggregate keyed on the group; exact
+    * integer arithmetic (micros via floor division) end to end.
+    *
+    * Returns (groupCol, n_docs, n_words, n_tokens, fertility_micro =
+    * ⌊10⁶·n_tokens / max(n_words, 1)⌋), ordered by group. */
+  def fertilityByGroup(docs: DataFrame, textCol: String, groupCol: String,
+                       merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(groupCol),
+        coalesce(size(words(col(textCol))), lit(0)).cast("long").as("_w"),
+        tokenCount(col(textCol), merges).cast("long").as("_t"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_w").as("n_words"),
+        sum("_t").as("n_tokens"))
+      .withColumn("fertility_micro",
+        expr("n_tokens * 1000000L div greatest(n_words, 1L)"))
+      .orderBy(groupCol)
 }

@@ -91,4 +91,41 @@ object Eval {
           .otherwise(expr("2 * tp * 1000000 div (2 * tp + fp + fn)"))
           .as("f1_micro"))
   }
+
+  /** Cohen's kappa — chance-corrected inter-annotator agreement, the
+    * number a labeling pipeline reports before trusting (or paying
+    * for) a second rater pass. κ = (pₒ − pₑ)/(1 − pₑ) with pₒ the raw
+    * agreement rate and pₑ = Σ_k pA(k)·pB(k) the chance rate; cleared
+    * of denominators it is EXACT integer arithmetic:
+    *   κ·10⁶ = (agree·n − S)·10⁶ div (n² − S),  S = Σ_k cntA(k)·cntB(k)
+    * (numerator may be negative — worse-than-chance raters — so the
+    * floor-vs-truncate divergence is avoided by construction: `div`
+    * truncates in Spark, `//` truncates in DuckDB, same result).
+    *
+    * Shape at 100 TB: one fused agreement aggregate over the pair
+    * frame + two label-count hash aggregates joined on the label
+    * (class-count frames are |labels|-sized → broadcast), one 1-row
+    * result. Degenerate pₑ = 1 (both raters constant and identical
+    * marginals): κ is reported 10⁶ on full agreement, else 0 —
+    * the standard convention, applied deterministically.
+    *
+    * Returns one row: (n, agree, s_chance, kappa_micro). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val tot = base.agg(count(lit(1)).as("n"),
+      count(when(col(aCol) === col(bCol), lit(1))).as("agree"))
+    val ca = base.groupBy(col(aCol).as("_lbl"))
+      .agg(count(lit(1)).as("_ca"))
+    val cb = base.groupBy(col(bCol).as("_lbl"))
+      .agg(count(lit(1)).as("_cb"))
+    val s = ca.join(cb, "_lbl")
+      .agg(coalesce(sum(col("_ca") * col("_cb")), lit(0L)).as("s_chance"))
+    tot.crossJoin(s).select(col("n"), col("agree"), col("s_chance"),
+      when(col("n") * col("n") === col("s_chance"),
+        when(col("agree") === col("n") && col("n") > 0, lit(1000000L))
+          .otherwise(lit(0L)))
+        .otherwise(expr(
+          "(agree * n - s_chance) * 1000000L div (n * n - s_chance)"))
+        .as("kappa_micro"))
+  }
 }

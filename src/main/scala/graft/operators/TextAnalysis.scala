@@ -485,6 +485,35 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(c), "\\p{Cntrl}", " "), "\\s+", " "))
 
+  /** Per-document SCRIPT composition — the writing-system census a
+    * multilingual pipeline runs before choosing tokenizer/vocab
+    * budgets (and the cheap detector for mixed-script spam or
+    * mojibake: high `n_other` + several scripts in one doc). Counts
+    * CHARACTERS (code points — Spark `length` and ANSI `length` both
+    * count code points) per Unicode script class via codegen'd
+    * regexp_replace strip-and-measure; scripts are disjoint by
+    * definition, so the counts partition the text exactly. Java
+    * spells the classes `\p{IsHan}`, RE2 `\p{Han}` — the q137
+    * Java∩RE2 precedent, same assignments on both engines.
+    *
+    * Returns (idCol, n_chars, n_latin, n_han, n_greek, n_digit,
+    * n_space, n_other) — all longs, n_other the exact remainder. */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(cls: String) = coalesce(
+      length(regexp_replace(col(textCol), s"[^$cls]", "")).cast("long"),
+      lit(0L))
+    df.select(col(idCol),
+        coalesce(length(col(textCol)), lit(0)).cast("long").as("n_chars"),
+        cnt("\\p{IsLatin}").as("n_latin"),
+        cnt("\\p{IsHan}").as("n_han"),
+        cnt("\\p{IsGreek}").as("n_greek"),
+        cnt("\\p{Nd}").as("n_digit"),
+        cnt("\\s").as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_latin") - col("n_han") - col("n_greek") -
+          col("n_digit") - col("n_space"))
+  }
+
   /** Lexicon (keyword-list) topic classification — the cheap
     * domain/topic router pipelines run before spending model inference
     * (FineWeb/RefinedWeb-style domain balancing starts from exactly

@@ -10,18 +10,28 @@ class FooterProfilerSpec extends SparkSpec {
   import spark.implicits._
 
   private def countJobs[T](body: => T): (T, Int) = {
+    // job-group-scoped: suites share one JVM/session under sbt's
+    // parallel execution, so a global counter would absorb OTHER
+    // suites' concurrent jobs. The group id is thread-local and
+    // inherited by pools created inside `body`.
+    val group = s"graft-jobcount-${java.util.UUID.randomUUID()}"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (group == j.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, "job-count probe")
     try {
       val r = body
       // listener bus is async — drain before reading the counter
       Thread.sleep(300)
       (r, jobs.get())
-    } finally spark.sparkContext.removeSparkListener(l)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
   }
 
   test("mixed table: footer-hybrid profiles == full-scan profiles") {

@@ -132,6 +132,32 @@ class BpeSpec extends SparkSpec {
     assert(packs == want)
   }
 
+  test("fertilityByGroup: exact integer token-per-word ratios per lang") {
+    val docs = Seq(
+      (1L, "low low low low", "en"),     // 4 words
+      (2L, "lower newest", "en"),        // 2 words
+      (3L, "机器学习 模型", "zh"),        // 2 words — shatters per char
+      (4L, null.asInstanceOf[String], "zh")
+    ).toDF("doc_id", "text", "lang")
+    val merges = Bpe.trainMerges(docs, "text", 4, 100)
+    val rows = Bpe.fertilityByGroup(docs, "text", "lang", merges)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(rows.map(_._1) == List("en", "zh"))
+    val byLang = rows.map(r => r._1 -> r).toMap
+    assert(byLang("en")._2 == 2 && byLang("zh")._2 == 2) // n_docs
+    assert(byLang("en")._3 == 6 && byLang("zh")._3 == 2) // n_words
+    // exact identity: fertility_micro = floor(1e6 * tokens / words)
+    rows.foreach { case (_, _, w, t, f) =>
+      assert(f == t * 1000000L / math.max(w, 1L))
+    }
+    // local parity for the token totals
+    def localTokens(text: String): Long =
+      docs.sparkSession.range(1).select(
+        Bpe.tokenCount(lit(text), merges).cast("long")).as[Long].head()
+    assert(byLang("en")._4 == localTokens("low low low low") +
+      localTokens("lower newest"))
+  }
+
   test("null and empty text count 0 tokens") {
     val df = Seq((1L, Some("")), (2L, None), (3L, Some("   ...  ")))
       .toDF("doc_id", "text")

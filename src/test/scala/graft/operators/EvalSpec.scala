@@ -57,4 +57,32 @@ class EvalSpec extends SparkSpec {
       .collect().head
     assert(r2.getLong(0) == 1L && r2.getLong(3) == 0L)
   }
+
+  test("cohensKappa matches the hand-computed identity") {
+    import spark.implicits._
+    // 10 rows, 2 classes: agree on 8; marginals a: 6×0 4×1, b: 6×0 4×1
+    // S = 6·6 + 4·4 = 52; κ·1e6 = (8·10 − 52)·1e6 // (100 − 52) = 583333
+    val rows = Seq(
+      (0, 0), (0, 0), (0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (1, 1),
+      (0, 1), (1, 0)).map { case (a, b) => (a, b) }
+    val df = rows.toDF("a", "b")
+    val r = Eval.cohensKappa(df, "a", "b").collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 8L && r.getLong(2) == 52L)
+    assert(r.getLong(3) == (8L * 10 - 52) * 1000000L / (100 - 52))
+    // perfect agreement → 1e6; constant identical raters (pe = 1) → 1e6
+    val perfect = Seq((1, 1), (2, 2), (1, 1)).toDF("a", "b")
+    assert(Eval.cohensKappa(perfect, "a", "b").collect().head.getLong(3)
+      == 1000000L)
+    val const = Seq((1, 1), (1, 1)).toDF("a", "b")
+    assert(Eval.cohensKappa(const, "a", "b").collect().head.getLong(3)
+      == 1000000L)
+    // worse than chance: systematic disagreement → negative kappa
+    val anti = Seq((0, 1), (1, 0), (0, 1), (1, 0)).toDF("a", "b")
+    assert(Eval.cohensKappa(anti, "a", "b").collect().head.getLong(3) < 0L)
+    // nulls are dropped before every count
+    val withNulls = Seq((Some(1), Some(1)), (None, Some(2)),
+      (Some(2), None)).toDF("a", "b")
+    assert(Eval.cohensKappa(withNulls, "a", "b").collect().head.getLong(0)
+      == 1L)
+  }
 }

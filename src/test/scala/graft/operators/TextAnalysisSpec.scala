@@ -382,4 +382,25 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.vocabCoverage(df, "text", Seq(1L, 1L))
     }
   }
+
+  test("scriptMix partitions characters exactly by script class") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abc 机器学习 αβγ 12!"),
+      (2L, "only ascii here"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMix(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // "abc 机器学习 αβγ 12!" = 3 latin + 4 han + 3 greek + 2 digit +
+    // 3 space + 1 other(!) = 16 chars
+    assert(got(1L) == ((1L, 16L, 3L, 4L, 3L, 2L, 3L, 1L)))
+    assert(got(2L) == ((2L, 15L, 13L, 0L, 0L, 0L, 2L, 0L)))
+    assert(got(3L) == ((3L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // the partition identity holds on every row
+    got.values.foreach { case (_, n, la, ha, gr, di, sp, ot) =>
+      assert(n == la + ha + gr + di + sp + ot)
+    }
+  }
 }
