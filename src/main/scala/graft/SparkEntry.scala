@@ -2052,6 +2052,49 @@ object SparkEntry {
         .withColumn("b",
           when(flip === 0, (col("a") + 1) % 4).otherwise(col("a")))
       Eval.cohensKappa(ann, "a", "b")
+    }),
+    // ---- ROUGE-1 over adjacent-doc pairs (candidate = even doc,
+    //      reference = its successor): multiset unigram overlap with
+    //      exact integer-micro P/R/F1 — the summarization-eval shape
+    //      over a pairs frame. ----
+    "q182_rouge_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d.filter(col("doc_id") % 2 === 0)
+        .join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("ref_text")), Seq("doc_id"))
+      Eval.rougeNgram(pairs, "doc_id", "text", "ref_text", n = 1)
+        .orderBy("doc_id")
+    }),
+    // ---- cross-source exact-dup matrix over PLANTED boilerplate
+    //      (every 7th doc collapses to one of 3 templates — the corpus
+    //      itself carries no exact dups at gate scale): which source
+    //      pairs share how many duplicate pairs. ----
+    "q183_cross_source_dups" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("source"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("boilerplate notice "), (col("doc_id") % 3)
+            .cast("string")))
+          .otherwise(col("text")).as("text"))
+      Dedup.crossSourceDupMatrix(planted, "text", "source")
+    }),
+    // ---- majority-vote consensus over three planted raters (q181's
+    //      two plus a third disagreeing on a ~14% slice): per-doc
+    //      majority label + exact vote-share agreement. ----
+    "q184_majority_label" -> ((s, dir) => {
+      val a = Curation.hashBucket16(
+        concat(col("doc_id").cast("string"), lit(":a"))) % 4
+      val flipB = Curation.hashBucket16(
+        concat(col("doc_id").cast("string"), lit(":flip"))) % 5
+      val flipC = Curation.hashBucket16(
+        concat(col("doc_id").cast("string"), lit(":c"))) % 7
+      val ann = t(s, dir, "documents").select(col("doc_id"), a.as("a"))
+        .withColumn("b",
+          when(flipB === 0, (col("a") + 1) % 4).otherwise(col("a")))
+        .withColumn("c",
+          when(flipC === 0, (col("a") + 2) % 4).otherwise(col("a")))
+      val votes = ann.select(col("doc_id"),
+        explode(array(col("a"), col("b"), col("c"))).as("label"))
+      Eval.majorityLabel(votes, "doc_id", "label").orderBy("doc_id")
     })
   )
 
@@ -4473,6 +4516,78 @@ SELECT doc_id, n_chars,
     - coalesce(n_greek, 0) - coalesce(n_digit, 0) - coalesce(n_space, 0)
     AS n_other
 FROM c ORDER BY doc_id"""
+    },
+    // q182: ROUGE-1 replay — unigram multiset overlap via Σ min of
+    // per-side counts, the same integer-micro divisions.
+    "q182_rouge_overlap" ->
+      s"""WITH c AS (SELECT doc_id, $tokensSql AS tk FROM documents
+  WHERE (doc_id % 2 + 2) % 2 = 0),
+r AS (SELECT doc_id - 1 AS doc_id, $tokensSql AS tk FROM documents
+  WHERE (doc_id % 2 + 2) % 2 = 1),
+p AS (SELECT c.doc_id, c.tk AS tc, r.tk AS tr FROM c JOIN r USING (doc_id)),
+ga AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM
+  (SELECT doc_id, unnest(tc) AS g FROM p) GROUP BY 1, 2),
+gb AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM
+  (SELECT doc_id, unnest(tr) AS g FROM p) GROUP BY 1, 2),
+ov AS (SELECT ga.doc_id, CAST(sum(least(ga.c, gb.c)) AS BIGINT) AS m
+  FROM ga JOIN gb ON ga.doc_id = gb.doc_id AND ga.g = gb.g
+  GROUP BY ga.doc_id),
+tot AS (SELECT doc_id, CAST(coalesce(len(tc), 0) AS BIGINT) AS n_cand,
+  CAST(coalesce(len(tr), 0) AS BIGINT) AS n_ref FROM p)
+SELECT t.doc_id, t.n_cand, t.n_ref,
+  coalesce(o.m, 0) AS n_match,
+  coalesce(o.m, 0) * 1000000 // greatest(t.n_cand, 1) AS precision_micro,
+  coalesce(o.m, 0) * 1000000 // greatest(t.n_ref, 1) AS recall_micro,
+  2 * coalesce(o.m, 0) * 1000000 // greatest(t.n_cand + t.n_ref, 1)
+    AS f1_micro
+FROM tot t LEFT JOIN ov o USING (doc_id) ORDER BY t.doc_id""",
+    // q183: the planted boilerplate collapse + digest group counts;
+    // cross cells Σ nₐ·n_b, diagonal Σ n(n−1)/2.
+    "q183_cross_source_dups" ->
+      """WITH d AS (SELECT source,
+  CASE WHEN (doc_id % 7 + 7) % 7 = 0
+    THEN 'boilerplate notice ' || CAST((doc_id % 3 + 3) % 3 AS VARCHAR)
+    ELSE text END AS text FROM documents),
+g AS (SELECT md5(text) AS dg, source, CAST(count(*) AS BIGINT) AS n
+  FROM d WHERE text IS NOT NULL GROUP BY 1, 2),
+cells AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(sum(a.n * b.n) AS BIGINT) AS n_dup_pairs
+  FROM g a JOIN g b ON a.dg = b.dg AND a.source < b.source GROUP BY 1, 2
+  UNION ALL
+  SELECT source, source, CAST(sum(n * (n - 1) // 2) AS BIGINT)
+  FROM g GROUP BY 1, 2)
+SELECT source_a, source_b, CAST(sum(n_dup_pairs) AS BIGINT) AS n_dup_pairs
+FROM cells GROUP BY 1, 2 HAVING sum(n_dup_pairs) > 0
+ORDER BY source_a, source_b""",
+    // q184: the vote replay — per-(doc,label) counts, argmax by
+    // (count DESC, label), exact vote-share micros.
+    "q184_majority_label" -> {
+      def hv(salt: String, p: Int) =
+        s"instr('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '$salt'), $p, 1))"
+      def bucket(salt: String, m: Int) =
+        s"(4096 * ${hv(salt, 1)} + 256 * ${hv(salt, 2)} + " +
+          s"16 * ${hv(salt, 3)} + ${hv(salt, 4)}) % $m"
+      s"""WITH ann AS (SELECT doc_id, ${bucket(":a", 4)} AS a,
+  CASE WHEN ${bucket(":flip", 5)} = 0 THEN (${bucket(":a", 4)} + 1) % 4
+    ELSE ${bucket(":a", 4)} END AS b,
+  CASE WHEN ${bucket(":c", 7)} = 0 THEN (${bucket(":a", 4)} + 2) % 4
+    ELSE ${bucket(":a", 4)} END AS c
+  FROM documents),
+v AS (SELECT doc_id, a AS label FROM ann
+  UNION ALL SELECT doc_id, b FROM ann
+  UNION ALL SELECT doc_id, c FROM ann),
+cnt AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS c
+  FROM v GROUP BY 1, 2),
+best AS (SELECT doc_id, label, c,
+  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, label) AS rn
+  FROM cnt),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_votes
+  FROM cnt GROUP BY 1)
+SELECT b.doc_id, b.label AS majority_label, t.n_votes,
+  b.c AS n_majority,
+  b.c * 1000000 // greatest(t.n_votes, 1) AS agreement_micro
+FROM best b JOIN tot t USING (doc_id) WHERE rn = 1 ORDER BY b.doc_id"""
     },
     // q181: the kappa identity cleared of denominators — exact integer
     // arithmetic, same annotator planting (md5 buckets).

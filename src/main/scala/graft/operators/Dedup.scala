@@ -1080,4 +1080,40 @@ object Dedup {
         coalesce(col("max_j_micro"), lit(0L)).as("max_j_micro"),
         col("n_bench_matches").isNotNull.as("flagged"))
   }
+
+  /** Cross-source exact-duplicate MATRIX — the provenance-overlap
+    * census a multi-source corpus audit starts with: for every source
+    * pair (a ≤ b), how many exact-duplicate document PAIRS straddle
+    * them? A crawl that largely restates another source shows up as a
+    * heavy off-diagonal cell; the diagonal is each source's internal
+    * duplication. Null texts carry no content and are excluded (the
+    * q138 corpus-card convention).
+    *
+    * Shape at 100 TB: one digest hash aggregate keyed on
+    * (md5(text), source) — duplicate-group-sized, tiny on real data —
+    * then a digest-keyed self-equi-join of GROUP COUNTS (never
+    * documents) and one matrix aggregate: cross cells sum nₐ·n_b,
+    * the diagonal sums n·(n−1)/2. Returns (source_a, source_b,
+    * n_dup_pairs) for cells with at least one pair, ordered. */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String,
+                           sourceCol: String): DataFrame = {
+    val grp = df.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("_d"), col(sourceCol).as("_src"))
+      .agg(count(lit(1)).as("_n"))
+    val cross = grp.select(col("_d"), col("_src").as("source_a"),
+        col("_n").as("_na"))
+      .join(grp.select(col("_d"), col("_src").as("source_b"),
+        col("_n").as("_nb")), Seq("_d"))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (col("_na") * col("_nb")).as("_pairs"))
+    val diag = grp.select(col("_src").as("source_a"),
+      col("_src").as("source_b"),
+      expr("_n * (_n - 1) div 2").as("_pairs")) // integer div — exact
+    cross.unionByName(diag)
+      .groupBy("source_a", "source_b")
+      .agg(sum("_pairs").as("n_dup_pairs"))
+      .filter(col("n_dup_pairs") > 0)
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -92,6 +92,80 @@ object Eval {
           .as("f1_micro"))
   }
 
+  /** ROUGE-N — multiset n-gram overlap between a candidate and a
+    * reference text column on the SAME row (summarization/paraphrase
+    * eval over a pairs frame): match = Σ_g min(cnt_cand(g), cnt_ref(g))
+    * over n-gram multisets, then precision = match/|cand grams|,
+    * recall = match/|ref grams|, F1 = 2·match/(|cand|+|ref|) — each an
+    * exact integer-micro floor division (the F1 identity clears P·R
+    * so no float ever forms).
+    *
+    * Shape at 100 TB: per-side gram counts are one narrow explode +
+    * hash aggregate keyed on (row id, gram); the overlap is an inner
+    * equi-join on the same key (a gram missing on either side
+    * contributes 0 — inner is exact); one per-row aggregate ends it.
+    * Returns (idCol, n_cand, n_ref, n_match, precision_micro,
+    * recall_micro, f1_micro). */
+  def rougeNgram(pairs: DataFrame, idCol: String, candCol: String,
+                 refCol: String, n: Int = 1): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1, 8]: $n")
+    // tokens projected BEFORE shingleArray (its scaladoc contract:
+    // nesting the tokenizer inside the transform lambda re-tokenizes
+    // per shingle element)
+    def gramCounts(c: String, tag: String) =
+      pairs.select(col(idCol), TextAnalysis.tokens(col(c)).as("_toks"))
+        .select(col(idCol),
+          explode(Dedup.shingleArray(col("_toks"), n)).as("_g"))
+        .groupBy(col(idCol), col("_g"))
+        .agg(count(lit(1)).as(s"_c$tag"))
+    val overlap = gramCounts(candCol, "a")
+      .join(gramCounts(refCol, "b"), Seq(idCol, "_g"))
+      .groupBy(col(idCol))
+      .agg(sum(least(col("_ca"), col("_cb"))).as("n_match"))
+    val totals = pairs
+      .select(col(idCol), TextAnalysis.tokens(col(candCol)).as("_ta"),
+        TextAnalysis.tokens(col(refCol)).as("_tb"))
+      .select(col(idCol),
+        coalesce(size(Dedup.shingleArray(col("_ta"), n)), lit(0))
+          .cast("long").as("n_cand"),
+        coalesce(size(Dedup.shingleArray(col("_tb"), n)), lit(0))
+          .cast("long").as("n_ref"))
+    totals.join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_cand"), col("n_ref"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .withColumn("precision_micro",
+        expr("n_match * 1000000L div greatest(n_cand, 1L)"))
+      .withColumn("recall_micro",
+        expr("n_match * 1000000L div greatest(n_ref, 1L)"))
+      .withColumn("f1_micro",
+        expr("2 * n_match * 1000000L div greatest(n_cand + n_ref, 1L)"))
+  }
+
+  /** Majority-vote label aggregation over a LONG annotation frame
+    * (one row per (item, rater) vote) — the consensus step after
+    * [[cohensKappa]] says the raters agree enough to pool. The
+    * majority is the label with the most votes, ties broken by label
+    * order (encoded as `min(struct(-votes, label))` — an aggregate,
+    * never a per-item window); agreement is the majority's vote share
+    * in exact micros. Null labels are dropped (an abstention, not a
+    * vote). Returns (idCol, majority_label, n_votes, n_majority,
+    * agreement_micro). */
+  def majorityLabel(votes: DataFrame, idCol: String,
+                    labelCol: String): DataFrame = {
+    val counted = votes.filter(col(labelCol).isNotNull)
+      .groupBy(col(idCol), col(labelCol).as("_lbl"))
+      .agg(count(lit(1)).as("_v"))
+    counted.groupBy(col(idCol))
+      .agg(
+        min(struct((-col("_v")).as("neg"), col("_lbl").as("l")))
+          .as("_best"),
+        sum("_v").as("n_votes"))
+      .select(col(idCol), col("_best.l").as("majority_label"),
+        col("n_votes"), (-col("_best.neg")).as("n_majority"))
+      .withColumn("agreement_micro",
+        expr("n_majority * 1000000L div greatest(n_votes, 1L)"))
+  }
+
   /** Cohen's kappa — chance-corrected inter-annotator agreement, the
     * number a labeling pipeline reports before trusting (or paying
     * for) a second rater pass. κ = (pₒ − pₑ)/(1 − pₑ) with pₒ the raw

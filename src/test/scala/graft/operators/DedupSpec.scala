@@ -679,4 +679,19 @@ class DedupSpec extends SparkSpec {
         "doc_id", "text", "bid", "btext", thresholdMicros = 2000000L)
     }
   }
+
+  test("crossSourceDupMatrix counts cross and within-source dup pairs") {
+    import spark.implicits._
+    val df = Seq(
+      ("dup", "s1"), ("dup", "s1"), ("dup", "s2"),   // s1×s1: 1, s1×s2: 2
+      ("other", "s2"), ("other", "s3"),              // s2×s3: 1
+      ("unique", "s1"),
+      (null.asInstanceOf[String], "s1"),             // null text: excluded
+      (null.asInstanceOf[String], "s2")
+    ).toDF("text", "source")
+    val got = Dedup.crossSourceDupMatrix(df, "text", "source")
+      .as[(String, String, Long)].collect().toList
+    assert(got == List(("s1", "s1", 1L), ("s1", "s2", 2L),
+      ("s2", "s3", 1L)))
+  }
 }

@@ -58,6 +58,44 @@ class EvalSpec extends SparkSpec {
     assert(r2.getLong(0) == 1L && r2.getLong(3) == 0L)
   }
 
+  test("rougeNgram: multiset overlap, exact micro P/R/F1") {
+    import spark.implicits._
+    val pairs = Seq(
+      // cand "a b a c" vs ref "a b b d": min-counts → a:1, b:1 → match 2
+      (1L, "a b a c", "a b b d"),
+      (2L, "same text here", "same text here"),  // perfect: match 3
+      (3L, "xxx yyy", "zzz www"),                // disjoint: match 0
+      (4L, "", "a b")                            // empty candidate
+    ).toDF("id", "cand", "ref")
+    val got = Eval.rougeNgram(pairs, "id", "cand", "ref", n = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 4L, 2L, 500000L, 500000L, 500000L)))
+    assert(got(2L) == ((2L, 3L, 3L, 3L, 1000000L, 1000000L, 1000000L)))
+    assert(got(3L) == ((3L, 2L, 2L, 0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((4L, 0L, 2L, 0L, 0L, 0L, 0L)))
+    // bigrams: "a b a" vs "a b c" share only "a b"
+    val bi = Eval.rougeNgram(Seq((1L, "a b a", "a b c"))
+        .toDF("id", "cand", "ref"), "id", "cand", "ref", n = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(bi == ((1L, 2L, 2L, 1L, 500000L, 500000L, 500000L)))
+  }
+
+  test("majorityLabel: argmax with total tie-break, abstentions dropped") {
+    import spark.implicits._
+    val votes = Seq(
+      (1L, Some("x")), (1L, Some("x")), (1L, Some("y")),
+      (2L, Some("b")), (2L, Some("a")),          // tie → 'a' (label asc)
+      (3L, Some("z")), (3L, None)                // null = abstention
+    ).toDF("id", "label")
+    val got = Eval.majorityLabel(votes, "id", "label")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "x", 3L, 2L, 666666L)))
+    assert(got(2L) == ((2L, "a", 2L, 1L, 500000L)))
+    assert(got(3L) == ((3L, "z", 1L, 1L, 1000000L)))
+  }
+
   test("cohensKappa matches the hand-computed identity") {
     import spark.implicits._
     // 10 rows, 2 classes: agree on 8; marginals a: 6×0 4×1, b: 6×0 4×1
