@@ -2095,6 +2095,33 @@ object SparkEntry {
       val votes = ann.select(col("doc_id"),
         explode(array(col("a"), col("b"), col("c"))).as("label"))
       Eval.majorityLabel(votes, "doc_id", "label").orderBy("doc_id")
+    }),
+    // ---- content-defined chunking dedup: boundaries are md5-bucket
+    //      hits on TOKENS, so an inserted sentence shifts nothing
+    //      downstream (the rsync/LBFS argument). Planted boilerplate
+    //      (every 11th doc, half with one inserted token) shows shared
+    //      chunks collapsing across the insertion. ----
+    "q185_cdc_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("alpha beta gamma delta epsilon zeta eta theta " +
+            "iota kappa "),
+            when(col("doc_id") % 2 === 0, lit("")).otherwise(lit("inserted ")),
+            lit("lambda mu nu xi omicron pi rho sigma tau upsilon")))
+          .otherwise(col("text")).as("text"))
+      Dedup.cdcChunkDedup(planted, "doc_id", "text", avgChunkTokens = 8)
+    }),
+    // ---- perceptual-hash image CLUSTERS: the q178 pairs closed into
+    //      connected components (min-label frontier propagation) —
+    //      each planted 5-group collapses to one component. ----
+    "q186_phash_clusters" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          plantedThumb(col("doc_id")).as("thumb"))
+      val pairs = Multimodal.phashNearDup(media, "media_id", "thumb",
+        maxHamming = 6).select("id_a", "id_b")
+      Clustering.connectedComponents(media.select("media_id"), pairs,
+        "media_id").orderBy("media_id")
     })
   )
 
@@ -4626,7 +4653,44 @@ FROM tot CROSS JOIN s"""
       s"""WITH sl AS (SELECT * FROM lineitem WHERE $bucket < 37)
 ${InferenceOracle.tableSql("sl", InferenceOracle.lineitemCols)}"""
     },
-    "q178_phash_neardup" -> phashNearDupOracle
+    "q178_phash_neardup" -> phashNearDupOracle,
+    // q185: the CDC replay — positional token unnest, md5-bucket
+    // boundary flags, inclusive window chunk index, ordered string_agg
+    // digests, first-occurrence by (doc, chunk) via row_number.
+    "q185_cdc_dedup" -> {
+      val plant = """CASE WHEN (doc_id % 11 + 11) % 11 = 0
+    THEN 'alpha beta gamma delta epsilon zeta eta theta iota kappa ' ||
+      CASE WHEN (doc_id % 2 + 2) % 2 = 0 THEN '' ELSE 'inserted ' END ||
+      'lambda mu nu xi omicron pi rho sigma tau upsilon'
+    ELSE text END"""
+      s"""WITH d AS (SELECT doc_id, $plant AS text FROM documents),
+toks AS (SELECT doc_id, $tokensSql AS tk FROM d),
+t0 AS (SELECT doc_id, tk,
+  unnest(range(0, coalesce(len(tk), 0))) AS i FROM toks),
+tt AS (SELECT doc_id, i AS pos, tk[i+1] AS tok FROM t0),
+b AS (SELECT doc_id, pos, tok,
+  CASE WHEN CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 8 = 0
+    THEN 1 ELSE 0 END AS f FROM tt),
+wc AS (SELECT doc_id, pos, tok,
+  sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk FROM b),
+ch AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS ctoks,
+  md5(string_agg(tok, ' ' ORDER BY pos)) AS dg FROM wc GROUP BY 1, 2),
+mk AS (SELECT doc_id, chunk, ctoks,
+  row_number() OVER (PARTITION BY dg ORDER BY doc_id, chunk) AS rn
+  FROM ch),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+  CAST(coalesce(sum(ctoks) FILTER (WHERE rn = 1), 0) AS BIGINT)
+    AS n_tokens_kept
+  FROM mk GROUP BY doc_id)
+SELECT d.doc_id, coalesce(p.n_chunks, 0) AS n_chunks,
+  coalesce(p.n_kept, 0) AS n_kept,
+  coalesce(p.n_dropped, 0) AS n_dropped,
+  coalesce(p.n_tokens_kept, 0) AS n_tokens_kept
+FROM d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id"""
+    },
+    "q186_phash_clusters" -> phashClustersOracle
   )
 
   /** q178: the planted thumbnails rebuilt in SQL (identical md5-hex
@@ -4634,7 +4698,9 @@ ${InferenceOracle.tableSql("sl", InferenceOracle.lineitemCols)}"""
     * into the engine's 8 row-bands, and the COMPLETE quadratic Hamming
     * join (exact ground truth at oracle scale — the engine's banded
     * join must equal it, which also audits the pigeonhole bound). */
-  private def phashNearDupOracle: String = {
+  /** Shared CTE block for q178/q186: planted grids → perturbed hex →
+    * 8 row-band bytes → complete quadratic Hamming pairs ≤ 6. */
+  private def phashCtes: String = {
     val base = (0 until 5).map(k =>
       s"md5(CAST(doc_id // 5 AS VARCHAR) || ':$k')").mkString(" || ")
     def byteAt(h: String, p: Int) =
@@ -4647,7 +4713,7 @@ ${InferenceOracle.tableSql("sl", InferenceOracle.lineitemCols)}"""
     }.mkString(",\n  ")
     val hamming = (0 until 8).map(j =>
       s"bit_count(xor(a.b$j, b.b$j))").mkString(" + ")
-    s"""WITH grid AS (SELECT doc_id,
+    s"""grid AS (SELECT doc_id,
   substr($base, 1, 144) AS g,
   CAST((doc_id % 5 + 5) % 5 AS INTEGER) AS v FROM documents),
 th AS (SELECT doc_id,
@@ -4657,13 +4723,28 @@ th AS (SELECT doc_id,
   substr(g, v * 26 + 3, 142 - v * 26) AS h FROM grid),
 bands AS (SELECT doc_id,
   $bandCols
-  FROM th)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  FROM th),
+pcand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST($hamming AS INTEGER) AS hamming
-FROM bands a JOIN bands b ON a.doc_id < b.doc_id
-WHERE $hamming <= 6
-ORDER BY id_a, id_b"""
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+  WHERE $hamming <= 6)"""
   }
+
+  private def phashNearDupOracle: String =
+    s"""WITH $phashCtes
+SELECT id_a, id_b, hamming FROM pcand ORDER BY id_a, id_b"""
+
+  /** q186: the q49 recursive min-label closure over the q178 pairs. */
+  private def phashClustersOracle: String =
+    s"""WITH RECURSIVE $phashCtes,
+edges AS (SELECT id_a AS src, id_b AS dst FROM pcand
+  UNION ALL SELECT id_b, id_a FROM pcand),
+reach AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id AS media_id, min(lbl) AS component FROM reach
+  GROUP BY id)
+SELECT media_id, component FROM comp ORDER BY media_id"""
 
   /** q159: the q154 rate arithmetic nested, the exact integer cut
     * (rate_micro·2⁴² // 15625 ≡ rate·2⁴⁸ with no float), and the

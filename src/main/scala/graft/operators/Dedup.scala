@@ -1081,6 +1081,68 @@ object Dedup {
         col("n_bench_matches").isNotNull.as("flagged"))
   }
 
+  /** Content-defined chunking (CDC) dedup — the insertion-robust
+    * sibling of the fixed-block sub-document dedup: chunk boundaries
+    * are TOKENS whose md5 bucket hits 0 mod `avgChunkTokens`, so a
+    * boundary is a property of the CONTENT, not the position. Insert a
+    * sentence into a shared boilerplate run and fixed blocks all shift
+    * (every block re-hashes as new); CDC boundaries downstream of the
+    * insertion land on the same tokens, the same chunks re-form, and
+    * the duplicate mass still collapses — the rsync/LBFS argument,
+    * applied to corpus text.
+    *
+    * A chunk is KEPT only at its first corpus occurrence in the total
+    * order (doc id, chunk index) — deterministic under any
+    * partitioning. Returns per document: (idCol, n_chunks, n_kept,
+    * n_dropped, n_tokens_kept), ordered by id.
+    *
+    * Shape at 100 TB: token explode is narrow; the chunk index is a
+    * doc-keyed window (key-partitioned, never SinglePartition); chunk
+    * digests hash-aggregate; first-occurrence is one min-struct
+    * aggregate per digest joined back on the digest — no pair space
+    * anywhere. */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+                    avgChunkTokens: Int = 8): DataFrame = {
+    require(avgChunkTokens >= 2 && avgChunkTokens <= 65536,
+      s"avgChunkTokens must be in [2, 65536]: $avgChunkTokens")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("_id"), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+    // boundary ⇔ md5 bucket of the TOKEN ≡ 0 (mod avg) — the shared
+    // 4-hex-digit bucket arithmetic every oracle replays
+    val boundary = (graft.operators.Curation.hashBucket16(col("_tok"))
+      % avgChunkTokens === 0).cast("long")
+    val withChunk = toks.withColumn("_chunk",
+      sum(boundary).over(
+        Window.partitionBy(col("_id")).orderBy(col("_pos"))))
+    val chunks = withChunk.groupBy(col("_id"), col("_chunk"))
+      .agg(count(lit(1)).as("_ctoks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          x => x.getField("_tok")), " ")).as("_d"))
+    val first = chunks.groupBy(col("_d"))
+      .agg(min(struct(col("_id"), col("_chunk"))).as("_first"))
+    val marked = chunks.join(first, Seq("_d"))
+      .withColumn("_kept",
+        col("_id") === col("_first._id") &&
+          col("_chunk") === col("_first._chunk"))
+    val perDoc = marked.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("_kept"), lit(1))).as("n_kept"),
+        count(when(!col("_kept"), lit(1))).as("n_dropped"),
+        coalesce(sum(when(col("_kept"), col("_ctoks"))), lit(0L))
+          .as("n_tokens_kept"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+      .orderBy(idCol)
+  }
+
   /** Cross-source exact-duplicate MATRIX — the provenance-overlap
     * census a multi-source corpus audit starts with: for every source
     * pair (a ≤ b), how many exact-duplicate document PAIRS straddle

@@ -914,4 +914,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p178.contains("Window"),
       s"phash near-dup needs no window:\n$p178")
   }
+
+  test("late-round-8 queries (q179-q186) keep scale-safe shapes") {
+    // q179 fertility: expressions + one lang-keyed hash aggregate
+    val p179 = finalPlan(q("q179_bpe_fertility"))
+    assert(!p179.contains("SortMergeJoin") && !p179.contains("Window") &&
+      !p179.contains("CartesianProduct"),
+      s"fertility is one expression pass + one hash agg:\n$p179")
+    // q180 script census: pure per-row expressions, no shuffle at all
+    val p180 = finalPlan(q("q180_script_mix"))
+    assert(!p180.contains("Exchange hashpartitioning") &&
+      !p180.contains("Window") && !p180.contains("Join"),
+      s"script census must be map-only up to the output sort:\n$p180")
+    // q182 ROUGE: gram-count aggregates + one (id, gram) equi-join
+    val p182 = finalPlan(q("q182_rouge_overlap"))
+    assert(!p182.contains("CartesianProduct") &&
+      !p182.contains("BroadcastNestedLoopJoin") &&
+      !p182.contains("Window"),
+      s"ROUGE joins on (id, gram) keys only:\n$p182")
+    // q183 dup matrix: digest group counts self-equi-join — no product
+    val p183 = finalPlan(q("q183_cross_source_dups"))
+    assert(!p183.contains("CartesianProduct") &&
+      !p183.contains("BroadcastNestedLoopJoin") &&
+      !p183.contains("Window"),
+      s"dup matrix joins group counts on the digest:\n$p183")
+    // q184 consensus: two hash aggregates, no window, no join on data
+    val p184 = finalPlan(q("q184_majority_label"))
+    assert(!p184.contains("Window") && !p184.contains("CartesianProduct"),
+      s"majority vote is aggregate-shaped:\n$p184")
+    // q185 CDC: the chunk index is a DOC-keyed window — never
+    // SinglePartition; first-occurrence is a digest equi-join
+    val p185 = finalPlan(q("q185_cdc_dedup"))
+    assert(!p185.contains("Exchange SinglePartition"),
+      s"CDC chunk windows must stay doc-partitioned:\n$p185")
+    assert(!p185.contains("CartesianProduct") &&
+      !p185.contains("BroadcastNestedLoopJoin"),
+      s"CDC first-occurrence is a digest equi-join:\n$p185")
+    // q186 clusters: iterative propagation — equi-joins only
+    val p186 = finalPlan(q("q186_phash_clusters"))
+    assert(!p186.contains("CartesianProduct"),
+      s"component propagation joins on node ids:\n$p186")
+  }
 }

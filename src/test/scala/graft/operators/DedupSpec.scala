@@ -680,6 +680,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunkDedup: insertion-robust — downstream chunks still dedup") {
+    import spark.implicits._
+    // find a boundary token empirically so the fixture is honest about
+    // the md5-bucket rule (bucket16(tok) % 8 == 0)
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(md.substring(0, 4), 16) % 8
+    }
+    val words = (1 to 200).map(i => s"w$i")
+    val boundary = words.find(bucket(_) == 0).get
+    val plain = words.filter(bucket(_) != 0).take(8)
+    // doc 1: AAAA | boundary BBBB ; doc 2: x AAAA | boundary BBBB —
+    // the inserted head token shifts fixed blocks but not CDC chunks
+    val head = plain.take(4).mkString(" ")
+    val tailW = plain.slice(4, 8).mkString(" ")
+    val df = Seq(
+      (1L, s"$head $boundary $tailW"),
+      (2L, s"inserted0 $head $boundary $tailW")
+    ).toDF("doc_id", "text")
+    assert(bucket("inserted0") != 0, "fixture: head insert must not bound")
+    val got = Dedup.cdcChunkDedup(df, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 keeps both chunks; doc 2's head chunk differs (inserted
+    // token) but its boundary-started tail chunk is the SAME content
+    // → dropped as a duplicate
+    assert(got(1L) == ((1L, 2L, 2L, 0L, 9L)))
+    assert(got(2L) == ((2L, 2L, 1L, 1L, 5L)))
+    // determinism: first occurrence is by (doc_id, chunk) total order
+    val rev = Dedup.cdcChunkDedup(df.orderBy(desc("doc_id")),
+      "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rev == got)
+    // null text → zero chunks, still reported
+    val withNull = Seq((1L, Some("a b")), (2L, None)).toDF("doc_id", "text")
+    val n = Dedup.cdcChunkDedup(withNull, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(n(2L) == ((2L, 0L, 0L, 0L, 0L)))
+  }
+
   test("crossSourceDupMatrix counts cross and within-source dup pairs") {
     import spark.implicits._
     val df = Seq(
