@@ -2122,6 +2122,18 @@ object SparkEntry {
         maxHamming = 6).select("id_a", "id_b")
       Clustering.connectedComponents(media.select("media_id"), pairs,
         "media_id").orderBy("media_id")
+    }),
+    // ---- per-language sequence packing: the q47 prefix-sum restarted
+    //      inside every language — monolingual 2048-token windows,
+    //      (group × id-bucket) partitioned so few giant groups never
+    //      cap parallelism. ----
+    "q187_pack_by_lang" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.packSequencesByGroup(d, "lang", "doc_id", "n_tokens",
+        budgetTokens = 2048L)
+        .select("doc_id", "lang", "n_tokens", "pack_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -4672,11 +4684,14 @@ b AS (SELECT doc_id, pos, tok,
   CASE WHEN CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 8 = 0
     THEN 1 ELSE 0 END AS f FROM tt),
 wc AS (SELECT doc_id, pos, tok,
-  sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk FROM b),
-ch AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS ctoks,
-  md5(string_agg(tok, ' ' ORDER BY pos)) AS dg FROM wc GROUP BY 1, 2),
-mk AS (SELECT doc_id, chunk, ctoks,
-  row_number() OVER (PARTITION BY dg ORDER BY doc_id, chunk) AS rn
+  sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS cchunk FROM b),
+ws AS (SELECT doc_id, pos, tok, cchunk,
+  (row_number() OVER (PARTITION BY doc_id, cchunk ORDER BY pos) - 1)
+    // 64 AS sub FROM wc),
+ch AS (SELECT doc_id, cchunk, sub, CAST(count(*) AS BIGINT) AS ctoks,
+  md5(string_agg(tok, ' ' ORDER BY pos)) AS dg FROM ws GROUP BY 1, 2, 3),
+mk AS (SELECT doc_id, cchunk, sub, ctoks,
+  row_number() OVER (PARTITION BY dg ORDER BY doc_id, cchunk, sub) AS rn
   FROM ch),
 per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
@@ -4690,7 +4705,18 @@ SELECT d.doc_id, coalesce(p.n_chunks, 0) AS n_chunks,
   coalesce(p.n_tokens_kept, 0) AS n_tokens_kept
 FROM d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id"""
     },
-    "q186_phash_clusters" -> phashClustersOracle
+    "q186_phash_clusters" -> phashClustersOracle,
+    // q187: the q47 window replay PARTITIONED BY lang — identical
+    // totals per group, same floor pack arithmetic.
+    "q187_pack_by_lang" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+  CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+SELECT doc_id, lang, n_tokens,
+  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+FROM c ORDER BY doc_id"""
   )
 
   /** q178: the planted thumbnails rebuilt in SQL (identical md5-hex

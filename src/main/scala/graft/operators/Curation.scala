@@ -724,6 +724,108 @@ object Curation {
       .drop("_cum")
   }
 
+  /** PER-GROUP sequence packing — [[packSequences]] restarted inside
+    * every group (conventionally language): monolingual training
+    * batches pack tokens of ONE language per 2048-token window instead
+    * of interleaving scripts, the standard setup when per-language
+    * loss curves (or per-language tokenizers) are tracked. pack_id is
+    * the window the document STARTS in, numbered within its group.
+    *
+    * Scale shape — the group-partitioned-window trap avoided: a corpus
+    * has FEW giant groups (5 languages at 100 TB), so a window
+    * partitioned by the group alone would cap parallelism at the group
+    * count. Instead the [[packSequences]] bucketed-prefix-sum design
+    * extends its subtotal key to (group, id-range bucket): windows
+    * partition by (group, bucket) — parallelism = groups × buckets —
+    * and the per-(group, bucket) offsets (a groups×buckets-sized
+    * driver map, KBs) restart each group's running total at zero.
+    * Returns (groupCol, orderCol, tokenCol, pack_id). */
+  def packSequencesByGroup(df: DataFrame, groupCol: String,
+                           orderCol: String, tokenCol: String,
+                           budgetTokens: Long,
+                           maxGroups: Int = 100000): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    require(!df.columns.contains("pack_id") && !df.columns.contains("_bkt"),
+      "input must not already contain the reserved columns " +
+        "`pack_id`/`_bkt`")
+    val slim = df.select(col(groupCol), col(orderCol), col(tokenCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBuckets = math.max(1,
+        df.sparkSession.sparkContext.defaultParallelism)
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val bounds =
+        if (probs.isEmpty) Array.empty[Double]
+        else slim.stat.approxQuantile(orderCol, probs, 0.001)
+      val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
+        case (e, (b, i)) => when(col(orderCol).cast("double") > b, i + 1)
+          .otherwise(e)
+      }
+      val rows = slim.withColumn("_bkt", bucketExpr)
+        .groupBy(col(groupCol).as("_g"), col("_bkt"))
+        .agg(sum(col(tokenCol).cast("long")).as("_sub"),
+          sum(when(col(groupCol).isNull || col(orderCol).isNull ||
+            col(tokenCol).isNull, 1L).otherwise(0L)).as("_bad"))
+        .limit(maxGroups * (nBuckets + 1) + 1)
+        .collect()
+      require(rows.length <= maxGroups * (nBuckets + 1),
+        s"more than $maxGroups groups — `$groupCol` is a key, not a " +
+          "grouping; pack globally or raise maxGroups")
+      val bad = rows.map(r => if (r.isNullAt(3)) 0L else r.getLong(3)).sum
+      require(bad == 0,
+        s"packSequencesByGroup requires non-null `$groupCol`/" +
+          s"`$orderCol`/`$tokenCol`: found $bad offending rows — " +
+          s"pre-clean with na.drop")
+      // exclusive per-(group, bucket) offsets: the group's subtotal
+      // mass in strictly earlier buckets
+      val offsets: Map[(Any, Int), Long] = rows
+        .map(r => (r.get(0), r.getInt(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2)))
+        .groupBy(_._1)
+        .flatMap { case (g, subs) =>
+          val sorted = subs.sortBy(_._2)
+          sorted.scanLeft((0, 0L)) { case ((_, acc), (_, bkt, sub)) =>
+            (bkt, acc + sub)
+          }.sliding(2).collect {
+            case Array((_, acc), (bkt, _)) => (g, bkt) -> acc
+          }
+        }.toMap
+      // offsets as a BROADCAST frame, not a when-chain: groups may
+      // number in the tens of thousands (maxGroups), far past codegen
+      // limits for a literal chain; the frame is KB-sized regardless
+      val s = df.sparkSession
+      val gType = df.schema(groupCol).dataType
+      val offSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_og", gType),
+        org.apache.spark.sql.types.StructField("_obkt",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("_ooff",
+          org.apache.spark.sql.types.LongType)))
+      val offRows = offsets.toSeq.map { case ((g, bkt), off) =>
+        org.apache.spark.sql.Row(g, bkt, off)
+      }
+      val offFrame = broadcast(s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava),
+        offSchema))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol), col("_bkt")).orderBy(col(orderCol))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      df.select(col(groupCol), col(orderCol), col(tokenCol))
+        .withColumn("_bkt", bucketExpr)
+        .join(offFrame, col(groupCol) === col("_og") &&
+          col("_bkt") === col("_obkt"), "left")
+        .withColumn("_cum",
+          sum(col(tokenCol).cast("long")).over(w) +
+            coalesce(col("_ooff"), lit(0L)))
+        .withColumn("pack_id",
+          expr(s"(_cum - `$tokenCol`) div ${budgetTokens}L"))
+        .drop("_bkt", "_cum", "_og", "_obkt", "_ooff")
+    } finally slim.unpersist(false)
+  }
+
   /** Length-bucketed batch assignment — the padded-inference batching
     * pass: rank rows by `lenCol` ascending (ties by id, the
     * [[globalRank]] total order) and cut consecutive runs of

@@ -1102,9 +1102,13 @@ object Dedup {
     * aggregate per digest joined back on the digest — no pair space
     * anywhere. */
   def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
-                    avgChunkTokens: Int = 8): DataFrame = {
+                    avgChunkTokens: Int = 8,
+                    maxChunkTokens: Int = 64): DataFrame = {
     require(avgChunkTokens >= 2 && avgChunkTokens <= 65536,
       s"avgChunkTokens must be in [2, 65536]: $avgChunkTokens")
+    require(maxChunkTokens >= avgChunkTokens && maxChunkTokens <= 65536,
+      s"maxChunkTokens ($maxChunkTokens) must be in " +
+        s"[$avgChunkTokens, 65536]")
     import org.apache.spark.sql.expressions.Window
     val toks = df
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_toks"))
@@ -1113,9 +1117,20 @@ object Dedup {
     // 4-hex-digit bucket arithmetic every oracle replays
     val boundary = (graft.operators.Curation.hashBucket16(col("_tok"))
       % avgChunkTokens === 0).cast("long")
-    val withChunk = toks.withColumn("_chunk",
-      sum(boundary).over(
-        Window.partitionBy(col("_id")).orderBy(col("_pos"))))
+    val byDoc = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    // HARD cap (the production-CDC max-chunk rule, and the memory
+    // bound that keeps the reconstruction group small): a boundary-
+    // free run splits every maxChunkTokens tokens, POSITIONED RELATIVE
+    // TO ITS CONTENT CHUNK'S START — still insertion-robust downstream
+    // of each content boundary
+    val withChunk = toks
+      .withColumn("_cchunk", sum(boundary).over(byDoc))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_id"), col("_cchunk"))
+          .orderBy(col("_pos"))))
+      .withColumn("_chunk",
+        struct(col("_cchunk"),
+          expr(s"(_rn - 1) div $maxChunkTokens").as("_sub")))
     val chunks = withChunk.groupBy(col("_id"), col("_chunk"))
       .agg(count(lit(1)).as("_ctoks"),
         md5(array_join(transform(

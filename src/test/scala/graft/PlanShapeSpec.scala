@@ -231,7 +231,11 @@ class PlanShapeSpec extends SparkSpec {
       "q118_semantic_outliers",
       // same rankMedianCentroids reassembly (the q118 helper) over the
       // two tagged snapshots — groups stay embedding-dim-bounded
-      "q140_embedding_drift")
+      "q140_embedding_drift",
+      // CDC chunk reconstruction: the group is one chunk, HARD-capped
+      // at maxChunkTokens (default 64) by the positional sub-split —
+      // the production-CDC max-chunk rule doubles as the memory bound
+      "q185_cdc_dedup")
     for ((name, fn) <- SparkEntry.queries) {
       // reads the PLAN, not the result — though constructing a few
       // queries does eager work at sf0.001 (q78 writes its partitioned
@@ -954,5 +958,13 @@ class PlanShapeSpec extends SparkSpec {
     val p186 = finalPlan(q("q186_phash_clusters"))
     assert(!p186.contains("CartesianProduct"),
       s"component propagation joins on node ids:\n$p186")
+    // q187 per-group pack: windows partition by (group, bucket) and
+    // the offsets frame broadcasts — never a SinglePartition funnel,
+    // never a per-group sort-merge of the data
+    val p187 = finalPlan(q("q187_pack_by_lang"))
+    assert(!p187.contains("Exchange SinglePartition"),
+      s"grouped packing must never funnel into one partition:\n$p187")
+    assert(!p187.contains("CartesianProduct"),
+      s"grouped packing joins only the broadcast offsets:\n$p187")
   }
 }

@@ -727,4 +727,32 @@ class CurationSpec extends SparkSpec {
       Curation.paretoFrontier(df, "id", "x", "y").collect()
     }
   }
+
+  test("packSequencesByGroup ≡ packSequences run per group, any partitioning") {
+    import spark.implicits._
+    val rows = (1 to 200).map { i =>
+      (i.toLong, s"g${i % 3}", (i * 37 % 90 + 5).toLong)
+    }
+    val df = rows.toDF("id", "grp", "tok").repartition(7)
+    val got = Curation.packSequencesByGroup(df, "grp", "id", "tok", 256L)
+      .select($"id", $"pack_id").as[(Long, Long)].collect().toMap
+    // reference: the GLOBAL pack machinery applied group by group
+    val want = rows.map(_._2).distinct.flatMap { g =>
+      Curation.packSequences(df.filter($"grp" === g), "id", "tok", 256L)
+        .select($"id", $"pack_id").as[(Long, Long)].collect()
+    }.toMap
+    assert(got == want && got.size == 200)
+    // each group's first doc starts pack 0 (the restart property)
+    rows.map(_._2).distinct.foreach { g =>
+      val firstId = rows.filter(_._2 == g).map(_._1).min
+      assert(got(firstId) == 0L, s"group $g must restart at pack 0")
+    }
+    // null rows are rejected loudly
+    val withNull = Seq((1L, "g", Some(5L)), (2L, "g", None))
+      .toDF("id", "grp", "tok")
+    intercept[IllegalArgumentException] {
+      Curation.packSequencesByGroup(withNull, "grp", "id", "tok", 10L)
+        .collect()
+    }
+  }
 }
