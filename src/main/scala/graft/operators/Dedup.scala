@@ -1101,9 +1101,13 @@ object Dedup {
     * digests hash-aggregate; first-occurrence is one min-struct
     * aggregate per digest joined back on the digest — no pair space
     * anywhere. */
-  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
-                    avgChunkTokens: Int = 8,
-                    maxChunkTokens: Int = 64): DataFrame = {
+  /** The CDC chunk frame behind [[cdcChunkDedup]] (and its streaming
+    * twin): one row per (document, chunk) with the chunk's token count
+    * and content digest. Columns (_id, _chunk: struct(_cchunk, _sub),
+    * _ctoks, _d). */
+  private[graft] def cdcChunks(df: DataFrame, idCol: String,
+                               textCol: String, avgChunkTokens: Int,
+                               maxChunkTokens: Int): DataFrame = {
     require(avgChunkTokens >= 2 && avgChunkTokens <= 65536,
       s"avgChunkTokens must be in [2, 65536]: $avgChunkTokens")
     require(maxChunkTokens >= avgChunkTokens && maxChunkTokens <= 65536,
@@ -1131,24 +1135,25 @@ object Dedup {
       .withColumn("_chunk",
         struct(col("_cchunk"),
           expr(s"(_rn - 1) div $maxChunkTokens").as("_sub")))
-    val chunks = withChunk.groupBy(col("_id"), col("_chunk"))
+    withChunk.groupBy(col("_id"), col("_chunk"))
       .agg(count(lit(1)).as("_ctoks"),
         md5(array_join(transform(
           array_sort(collect_list(struct(col("_pos"), col("_tok")))),
           x => x.getField("_tok")), " ")).as("_d"))
-    val first = chunks.groupBy(col("_d"))
-      .agg(min(struct(col("_id"), col("_chunk"))).as("_first"))
-    val marked = chunks.join(first, Seq("_d"))
-      .withColumn("_kept",
-        col("_id") === col("_first._id") &&
-          col("_chunk") === col("_first._chunk"))
+  }
+
+  /** Per-document survival report over kept-marked chunks — shared by
+    * the batch and streaming CDC paths. `marked` needs (_id, _ctoks,
+    * _kept); `ids` restores zero-chunk documents. */
+  private[graft] def cdcReport(ids: DataFrame, idCol: String,
+                               marked: DataFrame): DataFrame = {
     val perDoc = marked.groupBy(col("_id"))
       .agg(count(lit(1)).as("n_chunks"),
         count(when(col("_kept"), lit(1))).as("n_kept"),
         count(when(!col("_kept"), lit(1))).as("n_dropped"),
         coalesce(sum(when(col("_kept"), col("_ctoks"))), lit(0L))
           .as("n_tokens_kept"))
-    df.select(col(idCol)).distinct()
+    ids.select(col(idCol)).distinct()
       .join(perDoc.withColumnRenamed("_id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
@@ -1156,6 +1161,20 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
       .orderBy(idCol)
+  }
+
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+                    avgChunkTokens: Int = 8,
+                    maxChunkTokens: Int = 64): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, avgChunkTokens,
+      maxChunkTokens)
+    val first = chunks.groupBy(col("_d"))
+      .agg(min(struct(col("_id"), col("_chunk"))).as("_first"))
+    val marked = chunks.join(first, Seq("_d"))
+      .withColumn("_kept",
+        col("_id") === col("_first._id") &&
+          col("_chunk") === col("_first._chunk"))
+    cdcReport(df, idCol, marked)
   }
 
   /** Cross-source exact-duplicate MATRIX — the provenance-overlap

@@ -786,4 +786,66 @@ object StreamingOps {
       .start()
     (inc, q)
   }
+
+  /** Streaming content-defined-chunking dedup — the
+    * [[graft.operators.Dedup.cdcChunkDedup]] first-occurrence rule run
+    * FOREVER: each micro-batch's documents chunk by the same
+    * content-defined boundaries, a chunk survives iff its digest has
+    * never been seen (in any earlier batch OR earlier in this batch by
+    * the batch operator's (doc, chunk) total order), and the surviving
+    * digests append to a parquet digest STORE at `statePath` — the
+    * state is a distributed table, not driver memory, so it scales to
+    * corpus-sized digest sets (the landing-manifest pattern applied to
+    * dedup state; the store is also the recovery point: restart and
+    * the dedup continues where it left off).
+    *
+    * When batches partition a corpus in ascending id order, the
+    * streamed reports are ROW-IDENTICAL to the batch operator over the
+    * whole corpus (first-occurrence is the same total order) —
+    * spec-asserted, the batch-twin contract.
+    *
+    * @param sink receives each batch's per-document survival report
+    *             (same schema as the batch operator) */
+  def cdcDedupStream(stream: DataFrame, idCol: String, textCol: String,
+                     statePath: String, checkpoint: String,
+                     avgChunkTokens: Int = 8, maxChunkTokens: Int = 64)
+                    (sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val chunks = graft.operators.Dedup.cdcChunks(batch, idCol,
+            textCol, avgChunkTokens, maxChunkTokens)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val seen: DataFrame =
+            if (new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+                s.sparkContext.hadoopConfiguration)
+                .exists(new org.apache.hadoop.fs.Path(statePath)))
+              s.read.parquet(statePath).select(col("_d"))
+            else
+              s.createDataFrame(new java.util.ArrayList[
+                  org.apache.spark.sql.Row](),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("_d",
+                    org.apache.spark.sql.types.StringType))))
+          // within-batch first occurrence by the batch operator's
+          // (doc, chunk) total order, then an anti-check against the
+          // accumulated digest store
+          val firstHere = chunks.groupBy(col("_d"))
+            .agg(min(struct(col("_id"), col("_chunk"))).as("_first"))
+          val marked = chunks.join(firstHere, Seq("_d"))
+            .join(seen.withColumn("_seen", lit(true)), Seq("_d"), "left")
+            .withColumn("_kept",
+              col("_seen").isNull &&
+                col("_id") === col("_first._id") &&
+                col("_chunk") === col("_first._chunk"))
+          sink(graft.operators.Dedup.cdcReport(batch, idCol, marked))
+          marked.filter(col("_kept")).select(col("_d")).distinct()
+            .write.mode("append").parquet(statePath)
+        } finally chunks.unpersist(false)
+      }
+      .start()
 }

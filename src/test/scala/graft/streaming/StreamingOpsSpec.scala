@@ -1087,4 +1087,54 @@ class StreamingOpsSpec extends SparkSpec {
       (b1 ++ b2).toDF("k", "v"), Seq("k"), "v"), Seq("k")))
     assert(fs === fb)
   }
+
+  test("streaming CDC dedup equals the batch operator and survives restart") {
+    // boundary token found empirically (bucket16 % 8 == 0), as in
+    // DedupSpec — the fixture stays honest about the boundary rule
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(md.substring(0, 4), 16) % 8
+    }
+    val words = (1 to 200).map(i => s"w$i")
+    val b = words.find(bucket(_) == 0).get
+    val plain = words.filter(bucket(_) != 0)
+    val a4 = plain.take(4).mkString(" ")
+    val tail3 = plain.slice(4, 7).mkString(" ")
+    val batch1 = Seq(
+      (1L, s"$a4 $b $tail3"),
+      (2L, s"$a4 $b $tail3"))          // full dup within batch 1
+    val batch2 = Seq(
+      (3L, s"${plain(8)} $a4 $b $tail3"), // head chunk new, tail dup
+      (4L, plain.slice(9, 12).mkString(" ")))
+    val key = System.nanoTime()
+    val state = s"/tmp/graft-cdc-state-$key"
+    val ckpt = s"/tmp/graft-cdc-ckpt-$key"
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    val mem = MemoryStream[(Long, String)](spark)
+    def run(): Unit = {
+      val q = StreamingOps.cdcDedupStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        state, ckpt) { rep =>
+        reports ++= rep.as[(Long, Long, Long, Long, Long)].collect()
+      }
+      q.awaitTermination(60000)
+    }
+    mem.addData(batch1: _*)
+    run()
+    // RESTART: a fresh query on the same checkpoint + digest store
+    // resumes exactly where the first stopped
+    mem.addData(batch2: _*)
+    run()
+    val streamed = reports.sortBy(_._1).toList
+    val batchTwin = graft.operators.Dedup.cdcChunkDedup(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(streamed == batchTwin,
+      s"streamed $streamed != batch $batchTwin")
+    // the cross-batch duplicate actually dropped something
+    assert(streamed.find(_._1 == 3L).get._4 == 1L,
+      "doc 3's boundary-started chunk must dedup against batch 1")
+  }
 }
