@@ -2134,6 +2134,33 @@ object SparkEntry {
         budgetTokens = 2048L)
         .select("doc_id", "lang", "n_tokens", "pack_id")
         .orderBy("doc_id")
+    }),
+    // ---- domain/path blocklist filter over the planted URLs (the
+    //      C4/Dolma ban-list pass): exact-or-subdomain host match +
+    //      path-prefix match, host reason first; pure literal
+    //      when-chains compiled into the scan. ----
+    "q188_blocklist_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), plantedUrl(col("doc_id")).as("url"))
+      UrlOps.blocklistFilter(d, "doc_id", "url",
+        blockedHosts = Seq("site0.com", "site3.com"),
+        blockedPathPrefixes = Seq("/articles/1"))
+        .orderBy("doc_id")
+    }),
+    // ---- longest intra-doc token run over planted spam runs: the
+    //      per-row fold (zero shuffle) vs the relational
+    //      gaps-and-islands oracle — same first-max winner. ----
+    "q189_max_token_run" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(coalesce(col("text"), lit("")),
+            lit(" spam spam spam spam")))
+          .when(col("doc_id") % 9 === 1,
+            concat(lit("buy buy now now now "),
+              coalesce(col("text"), lit(""))))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.maxTokenRun(planted, "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -4716,7 +4743,49 @@ c AS (SELECT doc_id, lang, n_tokens,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
 SELECT doc_id, lang, n_tokens,
   CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
-FROM c ORDER BY doc_id"""
+FROM c ORDER BY doc_id""",
+    // q188: the ban-list replay over the q124 URL planting — same
+    // host extraction (auth minus port, lowercased), raw path,
+    // exact-or-dot-suffix host rule, host reason first.
+    "q188_blocklist_filter" -> {
+      val hostSql = "lower(regexp_replace(auth, ':[0-9]+$', ''))"
+      val hostHit = Seq("site0.com", "site3.com").map(h =>
+        s"($hostSql = '$h' OR ends_with($hostSql, '.$h'))")
+        .mkString("(", " OR ", ")")
+      val pathHit = "starts_with(path0, '/articles/1')"
+      s"""WITH $urlCtes
+SELECT doc_id, url, $hostSql AS host,
+  ($hostHit OR $pathHit) AS blocked,
+  CASE WHEN $hostHit THEN 'host' WHEN $pathHit THEN 'path' END AS reason
+FROM n ORDER BY doc_id"""
+    },
+    // q189: gaps-and-islands run groups (r1 − r2 per (doc, token)),
+    // max by (len DESC, start ASC) — provably the fold's first-max.
+    "q189_max_token_run" -> {
+      val plant = """CASE CAST((doc_id % 9 + 9) % 9 AS INTEGER)
+    WHEN 0 THEN coalesce(text, '') || ' spam spam spam spam'
+    WHEN 1 THEN 'buy buy now now now ' || coalesce(text, '')
+    ELSE text END"""
+      s"""WITH d AS (SELECT doc_id, $plant AS text FROM documents),
+toks AS (SELECT doc_id, $tokensSql AS tk FROM d),
+t0 AS (SELECT doc_id, tk,
+  unnest(range(0, coalesce(len(tk), 0))) AS i FROM toks),
+tt AS (SELECT doc_id, i AS pos, tk[i+1] AS tok FROM t0),
+rn AS (SELECT doc_id, pos, tok,
+  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS r1,
+  row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS r2
+  FROM tt),
+runs AS (SELECT doc_id, tok, min(pos) AS strt,
+  CAST(count(*) AS BIGINT) AS len
+  FROM rn GROUP BY doc_id, tok, r1 - r2),
+best AS (SELECT doc_id, tok, len,
+  row_number() OVER (PARTITION BY doc_id ORDER BY len DESC, strt) AS b
+  FROM runs)
+SELECT t.doc_id, CAST(coalesce(len(t.tk), 0) AS BIGINT) AS n_tokens,
+  coalesce(be.len, 0) AS max_run, be.tok AS run_token
+FROM toks t LEFT JOIN (SELECT * FROM best WHERE b = 1) be USING (doc_id)
+ORDER BY t.doc_id"""
+    }
   )
 
   /** q178: the planted thumbnails rebuilt in SQL (identical md5-hex

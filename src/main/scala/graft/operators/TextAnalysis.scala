@@ -514,6 +514,42 @@ object TextAnalysis {
           col("n_digit") - col("n_space"))
   }
 
+  /** Longest INTRA-document token run — consecutive repetitions of one
+    * token ("spam spam spam …"), the Gopher-adjacent junk signal that
+    * n-gram duplicate FRACTIONS dilute on long documents (a 50-token
+    * spam run in a 10k-token page barely moves dup_ngram_frac but is
+    * decisive junk evidence on its own).
+    *
+    * Implemented as ONE per-row `aggregate` fold over the token array
+    * — state (prev, current run, best run, best token), strict-> so
+    * the FIRST maximal run wins — which whole-stage-codegen compiles
+    * into the scan: zero shuffle, zero window, the cheapest possible
+    * 100 TB shape. The SQL oracle replays it relationally
+    * (gaps-and-islands run groups, first-max tie-break — provably the
+    * same winner). Returns (idCol, n_tokens, max_run, run_token);
+    * empty/null text → (0, 0, null). */
+  def maxTokenRun(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0).as("run"), lit(0).as("best"),
+      lit(null).cast("string").as("btok"))
+    val folded = aggregate(toks, zero, (acc, t) => {
+      val run2 = when(t.eqNullSafe(acc.getField("prev")),
+        acc.getField("run") + 1).otherwise(lit(1))
+      struct(t.as("prev"), run2.as("run"),
+        when(run2 > acc.getField("best"), run2)
+          .otherwise(acc.getField("best")).as("best"),
+        when(run2 > acc.getField("best"), t)
+          .otherwise(acc.getField("btok")).as("btok"))
+    })
+    df.select(col(idCol),
+      coalesce(size(toks), lit(0)).cast("long").as("n_tokens"),
+      coalesce(folded.getField("best"), lit(0)).cast("long")
+        .as("max_run"),
+      folded.getField("btok").as("run_token"))
+  }
+
   /** Lexicon (keyword-list) topic classification — the cheap
     * domain/topic router pipelines run before spending model inference
     * (FineWeb/RefinedWeb-style domain balancing starts from exactly

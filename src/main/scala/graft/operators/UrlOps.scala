@@ -74,4 +74,37 @@ object UrlOps {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("norm_url")).as("n_unique_urls"),
         min(col(idCol)).as("first_id"))
+
+  /** Domain/path blocklist filtering — the C4/Dolma ban-list pass a
+    * crawl pipeline runs before any content work. A URL is blocked
+    * when its host IS a blocked domain or a SUBDOMAIN of one (exact
+    * match or `.domain` suffix — the standard domain-list semantics,
+    * so `ads.example.com` trips `example.com` but `notexample.com`
+    * does not), or when its normalized path starts with a blocked
+    * prefix. Host rules take precedence in the reported reason.
+    *
+    * Pure per-row expressions over literal when-chains (ban lists are
+    * KB-sized hand-curated artifacts — they compile into the scan, no
+    * join at all). Returns (idCol, urlCol, host, blocked, reason) with
+    * reason ∈ {host, path, null}. */
+  def blocklistFilter(df: DataFrame, idCol: String, urlCol: String,
+                      blockedHosts: Seq[String],
+                      blockedPathPrefixes: Seq[String]): DataFrame = {
+    require(blockedHosts.nonEmpty || blockedPathPrefixes.nonEmpty,
+      "at least one blocklist rule is required")
+    require(blockedHosts.forall(h => h.nonEmpty && h == h.toLowerCase),
+      s"blocked hosts must be non-empty lowercase: $blockedHosts")
+    val host = urlHost(col(urlCol))
+    val path = regexp_extract(col(urlCol), pathRe, 1)
+    val hostHit = blockedHosts.foldLeft(lit(false)) { (e, h) =>
+      e || host === h || host.endsWith("." + h)
+    }
+    val pathHit = blockedPathPrefixes.foldLeft(lit(false)) { (e, p) =>
+      e || path.startsWith(p)
+    }
+    df.select(col(idCol), col(urlCol), host.as("host"),
+        (hostHit || pathHit).as("blocked"),
+        when(hostHit, lit("host")).when(pathHit, lit("path"))
+          .otherwise(lit(null).cast("string")).as("reason"))
+  }
 }

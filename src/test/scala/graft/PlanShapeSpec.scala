@@ -966,5 +966,13 @@ class PlanShapeSpec extends SparkSpec {
       s"grouped packing must never funnel into one partition:\n$p187")
     assert(!p187.contains("CartesianProduct"),
       s"grouped packing joins only the broadcast offsets:\n$p187")
+    // q188 blocklist + q189 max-run: pure per-row expressions — no
+    // join, no window, no aggregate shuffle at all
+    for (n <- Seq("q188_blocklist_filter", "q189_max_token_run")) {
+      val p = finalPlan(q(n))
+      assert(!p.contains("Join") && !p.contains("Window") &&
+        !p.contains("Exchange hashpartitioning"),
+        s"$n must be map-only up to the output sort:\n$p")
+    }
   }
 }

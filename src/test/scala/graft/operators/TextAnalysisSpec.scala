@@ -383,6 +383,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("maxTokenRun: first maximal run wins, fold equals hand count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b b"),            // run of 3 'a'
+      (2L, "x y y z z"),            // tie 2/2 → FIRST max: 'y'
+      (3L, "solo tokens only here"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "Spam SPAM spam")        // lowercased tokenizer: run 3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.maxTokenRun(df, "doc_id", "text")
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 3L, Some("a"))))
+    assert(got(2L) == ((2L, 5L, 2L, Some("y"))))
+    assert(got(3L) == ((3L, 4L, 1L, Some("solo"))))
+    assert(got(4L) == ((4L, 0L, 0L, None)))
+    assert(got(5L) == ((5L, 3L, 3L, Some("spam"))))
+  }
+
   test("scriptMix partitions characters exactly by script class") {
     import spark.implicits._
     val df = Seq(

@@ -59,4 +59,29 @@ class UrlOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
     assert(got == List(("a.com", 3L, 2L, 1L), ("b.com", 1L, 1L, 4L)))
   }
+
+  test("blocklistFilter: exact-or-subdomain hosts, path prefixes, precedence") {
+    val df = Seq(
+      (1L, "https://ads.example.com/x"),      // subdomain of blocked
+      (2L, "https://example.com/ok"),          // exact blocked host
+      (3L, "https://notexample.com/ok"),       // NOT a subdomain
+      (4L, "https://fine.com/tracking/pixel"), // blocked path prefix
+      (5L, "https://fine.com/content"),        // clean
+      (6L, "HTTPS://EXAMPLE.COM:443/tracking/z") // host beats path
+    ).toDF("id", "url")
+    val got = UrlOps.blocklistFilter(df, "id", "url",
+        Seq("example.com"), Seq("/tracking"))
+      .select($"id", $"blocked", $"reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((true, Some("host"))))
+    assert(got(2L) == ((true, Some("host"))))
+    assert(got(3L) == ((false, None)))
+    assert(got(4L) == ((true, Some("path"))))
+    assert(got(5L) == ((false, None)))
+    assert(got(6L) == ((true, Some("host"))))
+    intercept[IllegalArgumentException] {
+      UrlOps.blocklistFilter(df, "id", "url", Seq("UPPER.com"), Nil)
+    }
+  }
 }
