@@ -104,4 +104,68 @@ object VectorExpressions {
 
   /** L2 norm via the fused dot loop. */
   def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Codegen'd 64-bit dHash over a 72-byte (8×9 grayscale) thumbnail —
+    * the native twin of the 128-subexpression hex-decode chain (see
+    * [[graft.operators.Multimodal.dHash64]]'s contract): bit j·8+c set
+    * iff byte[j·9+c] > byte[j·9+c+1], unsigned comparison. */
+  def dhash64(thumb: Column): Column =
+    GraftColumnBridge.column(DHash64(GraftColumnBridge.expression(thumb)))
+}
+
+/** Native dHash64 (difference hash) over a BINARY thumbnail column.
+  *
+  * The composed formulation decodes each of 72 bytes from the hex
+  * rendering with conv/substring (≈128 string subexpressions per row);
+  * this expression reads the bytes directly in one fused loop inlined
+  * into the enclosing WholeStageCodegen stage. Null input → null; a
+  * wrong-length thumbnail throws with the same message contract as the
+  * composed guard (the raise_error-in-scan behavior). */
+case class DHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got " +
+        child.dataType.catalogString)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    DHash64.hash(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, bytes =>
+      s"graft.functions.DHash64.hash($bytes)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DHash64 = copy(child = newChild)
+}
+
+object DHash64 {
+  /** The shared scalar kernel (interpreted eval and codegen both call
+    * it — one definition, no drift). */
+  def hash(b: Array[Byte]): Long = {
+    if (b.length != 72)
+      throw new IllegalArgumentException(
+        s"dHash64: thumbnail must be 72 bytes (8x9 grayscale), got " +
+          s"${b.length}")
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      val j = i / 8
+      val c = i % 8
+      if ((b(j * 9 + c) & 0xFF) > (b(j * 9 + c + 1) & 0xFF))
+        h |= (1L << i)
+      i += 1
+    }
+    h
+  }
 }

@@ -197,7 +197,19 @@ object Multimodal {
     * The real decode (image → 8×9 grayscale thumbnail) is the stubbed
     * stage, exactly like [[decodeStub]]: swap in a real resampler
     * without touching this hash or any call site. */
-  def dHash64(thumb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def dHash64(thumb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // NATIVE codegen'd expression (graft.functions.DHash64): one fused
+    // byte loop inlined into the scan stage, replacing the original
+    // 128-string-subexpression hex-decode chain (same bits, same
+    // wrong-length failure contract; composed-vs-native equality is
+    // spec-pinned in MultimodalSpec)
+    graft.functions.VectorExpressions.dhash64(thumb)
+
+  /** The original composed formulation (hex decode + 64 comparisons in
+    * pure builtins) — kept as the oracle-shaped reference twin the
+    * native expression is spec-checked against. */
+  private[graft] def dHash64Composed(
+      thumb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val guarded = when(length(thumb) =!= 72, raise_error(concat(
         lit("dHash64: thumbnail must be 72 bytes (8x9 grayscale), got "),
         length(thumb).cast("string"))))

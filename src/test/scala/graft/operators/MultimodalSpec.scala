@@ -113,6 +113,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("native dHash64 equals the composed-builtins formulation on random grids") {
+    import spark.implicits._
+    // 64 deterministic pseudo-random thumbnails, incl. unsigned-range
+    // bytes (>127) where a signed comparison would flip bits
+    val grids = (0 until 64).map { k =>
+      (k.toLong, Array.tabulate(72)(i => ((i * 31 + k * 77 + 13) % 256).toByte))
+    }
+    val df = grids.toDF("media_id", "thumb")
+    val both = df.select($"media_id",
+        Multimodal.dHash64($"thumb").as("native"),
+        Multimodal.dHash64Composed($"thumb").as("composed"))
+      .as[(Long, Long, Long)].collect()
+    both.foreach { case (id, n, c) =>
+      assert(n == c, s"grid $id: native ${n.toHexString} != composed ${c.toHexString}")
+    }
+  }
+
   test("dHash64 sets exactly the bits where a pixel exceeds its right neighbor") {
     import spark.implicits._
     // grid: row 0 = 9,8,7,...,1 (descending → all 8 bits of band 0 set);
