@@ -111,6 +111,15 @@ object VectorExpressions {
     * iff byte[j·9+c] > byte[j·9+c+1], unsigned comparison. */
   def dhash64(thumb: Column): Column =
     GraftColumnBridge.column(DHash64(GraftColumnBridge.expression(thumb)))
+
+  /** Codegen'd BPE token count under a literal merge table — the
+    * native twin of the transform/aggregate replace-chain (see
+    * [[BpeTokenCount]]'s parity contract). Null text → null (callers
+    * coalesce, as with the composed form). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(BpeTokenCount(
+      GraftColumnBridge.expression(text),
+      merges.map(_._1).toArray, merges.map(_._2).toArray))
 }
 
 /** Native dHash64 (difference hash) over a BINARY thumbnail column.
@@ -167,5 +176,119 @@ object DHash64 {
       i += 1
     }
     h
+  }
+}
+
+/** Native BPE token count: pre-tokenize + greedy merge application +
+  * symbol count in one scalar kernel, replacing the interpreted
+  * higher-order-function chain (transform/aggregate lambda bodies run
+  * OUTSIDE whole-stage codegen, and the merge-replace chain re-renders
+  * the segmentation string once per merge — for the corpus-wide token
+  * budget passes that interpreted detour is the workload).
+  *
+  * Exact-parity contract with the composed formulation
+  * (graft.operators.Bpe — spec-pinned in BpeSpec):
+  *   - lowercase via UTF8String.toLowerCase — BIT-identical to Spark's
+  *     `lower` (same implementation, not merely the same locale);
+  *   - the `[^\p{L}\p{N}]+` word split is the same Java regex Spark
+  *     compiles for regexp_replace;
+  *   - initial symbols are CODE POINTS (Java's empty-regex split
+  *     semantics, surrogate pairs whole);
+  *   - each merge applies greedily left-to-right non-overlapping, in
+  *     rank order (the applyMerge scan, proven ≡ the double-space
+  *     replace encoding). */
+case class BpeTokenCount(child: Expression,
+                         lefts: Array[String], rights: Array[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  require(lefts.length == rights.length,
+    "merge lefts/rights must align")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.catalogString)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bpe_count"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeKernel.count(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
+    val r = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.BpeKernel.count($s, $l, $r)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeTokenCount = copy(child = newChild)
+}
+
+object BpeKernel {
+  private val wordSplit =
+    java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
+  /** Scalar kernel shared by interpreted eval and codegen. */
+  def count(text: org.apache.spark.unsafe.types.UTF8String,
+            lefts: Array[String], rights: Array[String]): Int = {
+    // UTF8String.toLowerCase IS Spark's `lower` — exact parity
+    val norm = wordSplit.matcher(text.toLowerCase.toString)
+      .replaceAll(" ").trim
+    if (norm.isEmpty) return 0
+    var total = 0
+    var start = 0
+    val n = norm.length
+    while (start < n) {
+      var end = norm.indexOf(' ', start)
+      if (end < 0) end = n
+      if (end > start) total += countWord(norm, start, end, lefts, rights)
+      start = end + 1
+    }
+    total
+  }
+
+  private def countWord(s: String, from: Int, until: Int,
+                        lefts: Array[String],
+                        rights: Array[String]): Int = {
+    // initial symbols: code points
+    var syms = new Array[String](until - from)
+    var m = 0
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      syms(m) = s.substring(i, i + w)
+      m += 1
+      i += w
+    }
+    var len = m
+    var k = 0
+    while (k < lefts.length && len > 1) {
+      val a = lefts(k)
+      val b = rights(k)
+      // greedy left-to-right non-overlapping in-place merge scan
+      var r = 0
+      var w2 = 0
+      while (r < len) {
+        if (r + 1 < len && syms(r) == a && syms(r + 1) == b) {
+          syms(w2) = a + b
+          r += 2
+        } else {
+          syms(w2) = syms(r)
+          r += 1
+        }
+        w2 += 1
+      }
+      len = w2
+      k += 1
+    }
+    len
   }
 }

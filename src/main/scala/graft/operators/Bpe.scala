@@ -124,8 +124,23 @@ object Bpe {
 
   /** Total BPE token count of `text` under `merges` (0 for null/empty
     * text) — drop-in replacement for `TextAnalysis.tokenCount` in the
-    * token-budget operators (packing, budget selection). */
+    * token-budget operators (packing, budget selection).
+    *
+    * NATIVE codegen'd kernel (graft.functions.BpeTokenCount): one
+    * fused pre-tokenize + merge-scan per row, replacing the
+    * interpreted transform/aggregate chain — exact parity with
+    * [[tokenCountComposed]] is spec-pinned in BpeSpec. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    coalesce(
+      graft.functions.VectorExpressions.bpeTokenCount(text, merges),
+      lit(0))
+
+  /** The original composed-builtins formulation (double-space
+    * merge-replace chain over higher-order functions) — the
+    * oracle-shaped reference twin the native kernel is checked
+    * against. */
+  private[graft] def tokenCountComposed(text: Column,
+                                        merges: Seq[(String, String)]): Column =
     coalesce(
       aggregate(wordTokenCounts(text, merges), lit(0), (acc, x) => acc + x),
       lit(0))

@@ -132,6 +132,22 @@ class BpeSpec extends SparkSpec {
     assert(packs == want)
   }
 
+  test("native BPE kernel equals the composed replace-chain on ASCII + multilingual") {
+    val merges = Bpe.trainMerges(corpus.unionByName(multiCorpus), "text",
+      nMerges = 10, maxVocab = 200)
+    val all = corpus.unionByName(multiCorpus)
+      .unionByName(Seq((90L, ""), (91L, "  ..  "),
+        (92L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val both = all.select($"doc_id",
+        Bpe.tokenCount($"text", merges).as("native"),
+        Bpe.tokenCountComposed($"text", merges).as("composed"))
+      .as[(Long, Int, Int)].collect()
+    both.foreach { case (id, n, c) =>
+      assert(n == c, s"doc $id: native $n != composed $c")
+    }
+    assert(both.nonEmpty)
+  }
+
   test("fertilityByGroup: exact integer token-per-word ratios per lang") {
     val docs = Seq(
       (1L, "low low low low", "en"),     // 4 words
