@@ -69,7 +69,12 @@ object ScaleBench {
     "q170_pca_power",
     // trigram LM: three n-gram count joins over the exploded corpus —
     // the deepest of the text-join shapes
-    "q174_trigram_lm_score")
+    "q174_trigram_lm_score",
+    // round-8 heavies: the native-dHash banded Hamming join over
+    // planted thumbnails (q178 — hash count grows with max doc id)
+    // and CDC chunk dedup (q185 — token explode + doc-keyed windows +
+    // digest first-occurrence join)
+    "q178_phash_neardup", "q185_cdc_dedup")
 
   /** q55's OPERATOR-ONLY legs: the full q55 figure is output-bound
     * (at sf1 the 18.9M-pair result sort/materialization dominates and

@@ -157,7 +157,12 @@ object Bpe {
     * Returns (groupCol, n_docs, n_words, n_tokens, fertility_micro =
     * ⌊10⁶·n_tokens / max(n_words, 1)⌋), ordered by group. */
   def fertilityByGroup(docs: DataFrame, textCol: String, groupCol: String,
-                       merges: Seq[(String, String)]): DataFrame =
+                       merges: Seq[(String, String)]): DataFrame = {
+    val reserved = Set("n_docs", "n_words", "n_tokens",
+      "fertility_micro", "_w", "_t")
+    require(!reserved.contains(groupCol),
+      s"fertilityByGroup: groupCol `$groupCol` collides with a " +
+        "working/output column")
     docs.select(col(groupCol),
         coalesce(size(words(col(textCol))), lit(0)).cast("long").as("_w"),
         tokenCount(col(textCol), merges).cast("long").as("_t"))
@@ -168,4 +173,5 @@ object Bpe {
       .withColumn("fertility_micro",
         expr("n_tokens * 1000000L div greatest(n_words, 1L)"))
       .orderBy(groupCol)
+  }
 }

@@ -745,9 +745,12 @@ object Curation {
                            budgetTokens: Long,
                            maxGroups: Int = 100000): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
-    require(!df.columns.contains("pack_id") && !df.columns.contains("_bkt"),
-      "input must not already contain the reserved columns " +
-        "`pack_id`/`_bkt`")
+    val reserved = Set("pack_id", "_bkt", "_cum", "_og", "_obkt", "_ooff")
+    val clash = (Seq(groupCol, orderCol, tokenCol) ++
+      df.columns.toSeq).distinct.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"packSequencesByGroup: reserved column name(s) present: " +
+        s"${clash.mkString(", ")} — rename before calling")
     val slim = df.select(col(groupCol), col(orderCol), col(tokenCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -1166,6 +1166,9 @@ object Dedup {
   def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
                     avgChunkTokens: Int = 8,
                     maxChunkTokens: Int = 64): DataFrame = {
+    val reserved = Set("n_chunks", "n_kept", "n_dropped", "n_tokens_kept")
+    require(!reserved.contains(idCol),
+      s"cdcChunkDedup: idCol `$idCol` collides with an output column")
     val chunks = cdcChunks(df, idCol, textCol, avgChunkTokens,
       maxChunkTokens)
     val first = chunks.groupBy(col("_d"))

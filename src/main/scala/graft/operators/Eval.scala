@@ -109,6 +109,13 @@ object Eval {
   def rougeNgram(pairs: DataFrame, idCol: String, candCol: String,
                  refCol: String, n: Int = 1): DataFrame = {
     require(n >= 1 && n <= 8, s"n must be in [1, 8]: $n")
+    val reserved = Set("_g", "_ca", "_cb", "_toks", "_ta", "_tb",
+      "n_cand", "n_ref", "n_match", "precision_micro", "recall_micro",
+      "f1_micro")
+    val clash = Seq(idCol, candCol, refCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"rougeNgram: reserved column name(s) in inputs: " +
+        s"${clash.mkString(", ")}")
     // tokens projected BEFORE shingleArray (its scaladoc contract:
     // nesting the tokenizer inside the transform lambda re-tokenizes
     // per shingle element)
@@ -152,6 +159,12 @@ object Eval {
     * agreement_micro). */
   def majorityLabel(votes: DataFrame, idCol: String,
                     labelCol: String): DataFrame = {
+    val reserved = Set("_lbl", "_v", "_best", "majority_label",
+      "n_votes", "n_majority", "agreement_micro")
+    val clash = Seq(idCol, labelCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"majorityLabel: reserved column name(s) in inputs: " +
+        s"${clash.mkString(", ")}")
     val counted = votes.filter(col(labelCol).isNotNull)
       .groupBy(col(idCol), col(labelCol).as("_lbl"))
       .agg(count(lit(1)).as("_v"))

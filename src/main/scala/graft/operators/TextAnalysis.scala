@@ -499,6 +499,10 @@ object TextAnalysis {
     * Returns (idCol, n_chars, n_latin, n_han, n_greek, n_digit,
     * n_space, n_other) — all longs, n_other the exact remainder. */
   def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reservedMix = Set("n_chars", "n_latin", "n_han", "n_greek",
+      "n_digit", "n_space", "n_other")
+    require(!reservedMix.contains(idCol),
+      s"scriptMix: idCol `$idCol` collides with an output column")
     def cnt(cls: String) = coalesce(
       length(regexp_replace(col(textCol), s"[^$cls]", "")).cast("long"),
       lit(0L))
@@ -530,6 +534,9 @@ object TextAnalysis {
     * empty/null text → (0, 0, null). */
   def maxTokenRun(df: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
+    val reservedRun = Set("n_tokens", "max_run", "run_token")
+    require(!reservedRun.contains(idCol),
+      s"maxTokenRun: idCol `$idCol` collides with an output column")
     val toks = tokens(col(textCol))
     val zero = struct(lit(null).cast("string").as("prev"),
       lit(0).as("run"), lit(0).as("best"),

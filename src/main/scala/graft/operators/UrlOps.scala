@@ -94,6 +94,11 @@ object UrlOps {
       "at least one blocklist rule is required")
     require(blockedHosts.forall(h => h.nonEmpty && h == h.toLowerCase),
       s"blocked hosts must be non-empty lowercase: $blockedHosts")
+    val reserved = Set("host", "blocked", "reason")
+    val clash = Seq(idCol, urlCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"blocklistFilter: reserved output column name(s) in inputs: " +
+        s"${clash.mkString(", ")}")
     val host = urlHost(col(urlCol))
     val path = regexp_extract(col(urlCol), pathRe, 1)
     val hostHit = blockedHosts.foldLeft(lit(false)) { (e, h) =>
