@@ -2161,6 +2161,31 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       TextAnalysis.maxTokenRun(planted, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+    // ---- per-doc character entropy (mojibake/binary-junk band
+    //      check): n_c·round(ln(N/n_c), 6) reduced in exact decimals
+    //      to integer micronats — the q174 reduction over code
+    //      points. ----
+    "q190_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // ---- Zipf slope of the top-1000 vocabulary: bounded collect,
+    //      BigInt OLS over 6-dp log micros (the q170 driver-exact
+    //      precedent), HUGEINT oracle replay. ----
+    "q191_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text", k = 1000)),
+    // ---- template detection: digit runs collapsed to '#' before the
+    //      digest, so boilerplate differing only in numbers (planted:
+    //      every 13th doc is a numbered template instance) groups. ----
+    "q192_template_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit("Breaking update "),
+            (col("doc_id") % 97).cast("string"),
+            lit(" price "), (col("doc_id") % 41).cast("string"),
+            lit(" dollars today")))
+          .otherwise(col("text")).as("text"))
+      Dedup.templateGroups(planted, "doc_id", "text")
     })
   )
 
@@ -4785,7 +4810,60 @@ SELECT t.doc_id, CAST(coalesce(len(t.tk), 0) AS BIGINT) AS n_tokens,
   coalesce(be.len, 0) AS max_run, be.tok AS run_token
 FROM toks t LEFT JOIN (SELECT * FROM best WHERE b = 1) be USING (doc_id)
 ORDER BY t.doc_id"""
-    }
+    },
+    // q190: the q174 exact-reduction pattern over code points — 6-dp
+    // rounded ln is the only float step, decimal sum × 10⁶ exact.
+    "q190_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cc FROM
+  (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+   WHERE text IS NOT NULL) WHERE c <> '' GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(cc) AS BIGINT) AS n FROM ch GROUP BY 1),
+pd AS (SELECT ch.doc_id, max(tot.n) AS n_chars,
+  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+  CAST(sum(CAST(ch.cc AS DECIMAL(18,0)) *
+    CAST(round(ln(CAST(tot.n AS DOUBLE) / CAST(ch.cc AS DOUBLE)), 6)
+      AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS entropy_micro
+  FROM ch JOIN tot USING (doc_id) GROUP BY ch.doc_id)
+SELECT d.doc_id, coalesce(pd.n_chars, 0) AS n_chars,
+  coalesce(pd.n_distinct_chars, 0) AS n_distinct_chars,
+  coalesce(pd.entropy_micro, 0) AS entropy_micro,
+  coalesce(pd.entropy_micro, 0) // greatest(coalesce(pd.n_chars, 0), 1)
+    AS entropy_per_char_micro
+FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""",
+    // q191: the BigInt OLS identity replayed in HUGEINT — same global
+    // rank total order, same 6-dp log micros, truncating division.
+    "q191_zipf_slope" ->
+      s"""WITH v AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest($tokensSql) AS tok FROM documents) GROUP BY tok),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM v),
+p AS (SELECT
+  CAST(CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6))
+    * 1000000 AS HUGEINT) AS x,
+  CAST(CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))
+    * 1000000 AS HUGEINT) AS y
+  FROM r WHERE rank <= 1000),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(x) AS sx, sum(y) AS sy,
+  sum(x * y) AS sxy, sum(x * x) AS sxx FROM p)
+SELECT CAST(k AS BIGINT) AS n_terms,
+  CAST(CASE WHEN k * sxx - sx * sx = 0 THEN 0
+    ELSE (k * sxy - sx * sy) * 1000000 // (k * sxx - sx * sx) END
+    AS BIGINT) AS slope_micro
+FROM s""",
+    // q192: digit-normalized digests over the planted templates.
+    "q192_template_dedup" ->
+      """WITH d AS (SELECT doc_id,
+  CASE WHEN (doc_id % 13 + 13) % 13 = 0
+    THEN 'Breaking update ' || CAST((doc_id % 97 + 97) % 97 AS VARCHAR)
+      || ' price ' || CAST((doc_id % 41 + 41) % 41 AS VARCHAR)
+      || ' dollars today'
+    ELSE text END AS text FROM documents),
+g AS (SELECT md5(regexp_replace(lower(text), '[0-9]+', '#', 'g')) AS t,
+  min(doc_id) AS first_id, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_raw
+  FROM d WHERE text IS NOT NULL GROUP BY 1)
+SELECT first_id, n_docs, n_distinct_raw FROM g WHERE n_docs > 1
+ORDER BY first_id"""
   )
 
   /** q178: the planted thumbnails rebuilt in SQL (identical md5-hex

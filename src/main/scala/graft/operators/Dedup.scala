@@ -1180,6 +1180,31 @@ object Dedup {
     cdcReport(df, idCol, marked)
   }
 
+  /** TEMPLATE detection — near-exact dedup for documents that differ
+    * only in numbers (timestamps, prices, ids, counters): digest the
+    * text with every digit RUN collapsed to `#` (after lowercasing),
+    * and group. Boilerplate news/listing/log templates — exact dedup's
+    * largest blind spot, since every instance has a fresh number —
+    * collapse to one group each. Returns one row per template with
+    * MORE THAN ONE instance: (first_id — the group's min id, n_docs,
+    * n_distinct_raw — how many distinct RAW texts the template
+    * covers), ordered by first_id.
+    *
+    * One digest hash aggregate; group count and raw-distinct count in
+    * the same pass. Null texts carry no content and are excluded. */
+  def templateGroups(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val norm = md5(regexp_replace(lower(col(textCol)), "[0-9]+", "#"))
+    df.filter(col(textCol).isNotNull)
+      .groupBy(norm.as("_t"))
+      .agg(min(col(idCol)).as("first_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col(textCol)).as("n_distinct_raw"))
+      .filter(col("n_docs") > 1)
+      .select("first_id", "n_docs", "n_distinct_raw")
+      .orderBy("first_id")
+  }
+
   /** Cross-source exact-duplicate MATRIX — the provenance-overlap
     * census a multi-source corpus audit starts with: for every source
     * pair (a ≤ b), how many exact-duplicate document PAIRS straddle

@@ -557,6 +557,96 @@ object TextAnalysis {
       folded.getField("btok").as("run_token"))
   }
 
+  /** Per-document CHARACTER entropy — the mojibake/binary-junk
+    * detector: natural-language text sits in a narrow entropy band
+    * (≈4.1 nats/char for English), while base64 blobs, compressed
+    * garbage and encoding accidents sit far above, and repeated-filler
+    * junk far below. Computed over code points with the q174
+    * exact-reduction convention: each distinct character contributes
+    * n_c · round(ln(N/n_c), 6) — the 6-dp round is the ONLY float
+    * step, bit-identical across engines, and the weighted sum reduces
+    * in exact decimals to integer micronats. Returns (idCol, n_chars,
+    * n_distinct_chars, entropy_micro — TOTAL micronats Σ n_c·ln(N/n_c),
+    * and entropy_per_char_micro = total div n). Empty/null text → 0s.
+    *
+    * Shape at 100 TB: one char explode + (doc, char) hash aggregate,
+    * one doc-keyed total join, one final aggregate — alphabet-sized
+    * groups, no window. */
+  def charEntropy(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val reservedEnt = Set("n_chars", "n_distinct_chars", "entropy_micro",
+      "entropy_per_char_micro", "_ch", "_cc", "_n")
+    require(!reservedEnt.contains(idCol),
+      s"charEntropy: idCol `$idCol` collides with a working/output column")
+    val chars = df.select(col(idCol),
+        explode(filter(split(col(textCol), ""), c => length(c) > 0))
+          .as("_ch"))
+      .groupBy(col(idCol), col("_ch"))
+      .agg(count(lit(1)).as("_cc"))
+    val totals = chars.groupBy(col(idCol)).agg(sum("_cc").as("_n"))
+    val perDoc = chars.join(totals, Seq(idCol))
+      .select(col(idCol), col("_cc"), col("_n"),
+        round(log(col("_n").cast("double") / col("_cc").cast("double")),
+          6).as("_nls"))
+      .groupBy(col(idCol))
+      .agg(max("_n").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        (sum(col("_cc").cast("decimal(18,0)") *
+          col("_nls").cast("decimal(18,6)")) * lit(1000000))
+          .cast("long").as("entropy_micro"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"))
+      .withColumn("entropy_per_char_micro",
+        expr("entropy_micro div greatest(n_chars, 1L)"))
+  }
+
+  /** Zipf slope of the corpus vocabulary — the log-log regression a
+    * corpus health check fits over the top-K term frequencies: natural
+    * corpora slope ≈ −1; heavy boilerplate flattens the head,
+    * synthetic/templated junk steepens it. Terms rank by the
+    * [[graft.operators.Curation.globalRank]] total order
+    * (count DESC, token); the top `k` (rank, count) points — a BOUNDED
+    * frame — collect to the driver, where the OLS slope computes in
+    * exact BigInt over 6-dp-rounded log micros (the q170 driver-exact
+    * precedent; the oracle replays the identity in HUGEINT):
+    *   slope_micro = (k·Σxy − Σx·Σy)·10⁶ ÷ (k·Σx² − (Σx)²),
+    * x = round(ln rank, 6)·10⁶, y = round(ln count, 6)·10⁶,
+    * ÷ truncating. Returns one row (n_terms, slope_micro). */
+  def zipfSlope(df: DataFrame, textCol: String, k: Int = 1000): DataFrame = {
+    require(k >= 3 && k <= 100000,
+      s"k must be in [3, 100000] (driver-collected points): $k")
+    val vocab = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ranked = Curation.globalRank(vocab, "token", "n",
+      descending = true)
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("long"), col("n").cast("long"))
+      .collect()
+    def round6micro(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    val pts = ranked.map(r =>
+      (BigInt(round6micro(math.log(r.getLong(0).toDouble))),
+        BigInt(round6micro(math.log(r.getLong(1).toDouble)))))
+    val kk = BigInt(pts.length)
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val den = kk * sxx - sx * sx
+    val slopeMicro =
+      if (den == 0) 0L
+      else ((kk * sxy - sx * sy) * 1000000 / den).toLong // BigInt / truncates
+    val s = df.sparkSession
+    s.createDataFrame(Seq((pts.length.toLong, slopeMicro)))
+      .toDF("n_terms", "slope_micro")
+  }
+
   /** Lexicon (keyword-list) topic classification — the cheap
     * domain/topic router pipelines run before spending model inference
     * (FineWeb/RefinedWeb-style domain balancing starts from exactly

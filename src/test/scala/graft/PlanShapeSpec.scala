@@ -974,5 +974,12 @@ class PlanShapeSpec extends SparkSpec {
         !p.contains("Exchange hashpartitioning"),
         s"$n must be map-only up to the output sort:\n$p")
     }
+    // q190 entropy: char-keyed hash aggs + doc-keyed join — never a
+    // window, never a product; q192 templates: one digest aggregate
+    for (n <- Seq("q190_char_entropy", "q192_template_dedup")) {
+      val p = finalPlan(q(n))
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+        s"$n stays aggregate-shaped:\n$p")
+    }
   }
 }

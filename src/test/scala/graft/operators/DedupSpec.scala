@@ -723,6 +723,21 @@ class DedupSpec extends SparkSpec {
     assert(n(2L) == ((2L, 0L, 0L, 0L, 0L)))
   }
 
+  test("templateGroups collapses digit-varying boilerplate, skips unique docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Order 123 shipped on 2020-01-05"),
+      (2L, "Order 999 shipped on 2021-12-31"),   // same template as 1
+      (3L, "order 7 SHIPPED on 1-1-1"),          // case-folds in too
+      (4L, "completely different text"),
+      (5L, "completely different text"),          // exact dup group
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.templateGroups(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 3L, 3L), (4L, 2L, 1L)))
+  }
+
   test("crossSourceDupMatrix counts cross and within-source dup pairs") {
     import spark.implicits._
     val df = Seq(

@@ -383,6 +383,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy: uniform text maxes, constant text zeroes, identity holds") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaa"),        // one symbol → 0 entropy
+      (2L, "abab"),        // two symbols 50/50 → N·ln2 = 4·0.693147
+      (3L, null.asInstanceOf[String]),
+      (4L, "abcd")         // uniform over 4 → 4·ln4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, 0L, 0L)))
+    // 4 · round(ln 2, 6) · 1e6 = 4 · 693147 = 2772588
+    assert(got(2L) == ((2L, 4L, 2L, 2772588L, 693147L)))
+    assert(got(3L) == ((3L, 0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((4L, 4L, 4L, 4L * 1386294L, 1386294L)))
+  }
+
+  test("zipfSlope: an exact power-law vocabulary recovers its exponent") {
+    import spark.implicits._
+    // counts ∝ rank^(-1): token t_r appears ⌈120/r⌉ times → slope ≈ −1
+    val docs = (1 to 12).flatMap { r =>
+      Seq.fill(120 / r)(s"tok$r")
+    }.mkString(" ")
+    val df = Seq((1L, docs)).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfSlope(df, "text", k = 12)
+      .as[(Long, Long)].collect().head
+    assert(row._1 == 12L)
+    // integer rounding of 120/r makes it approximate: within 8% of −1
+    assert(row._2 > -1080000L && row._2 < -920000L, s"slope ${row._2}")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.zipfSlope(df, "text", k = 2)
+    }
+  }
+
   test("maxTokenRun: first maximal run wins, fold equals hand count") {
     import spark.implicits._
     val df = Seq(
