@@ -412,6 +412,44 @@ object Audit {
       .orderBy("determinant", "dependent")
   }
 
+  /** Secret/credential scan — the pre-training hygiene pass every
+    * public-corpus pipeline runs before tokenization (leaked cloud
+    * keys, VCS tokens, private-key blocks, long hex/JWT material must
+    * not reach the training set). Five pattern classes, each counted
+    * per document with `regexp_count`; one narrow codegen'd map pass,
+    * no shuffle, no UDFs — at 100 TB this rides the document scan.
+    *
+    * Pattern language is the Java∩RE2 subset (literal runs, explicit
+    * character classes, bounded repetition, `\b` word boundaries whose
+    * word-char set `[A-Za-z0-9_]` agrees between engines), so a DuckDB
+    * oracle replays every pattern verbatim — the q137 precedent
+    * extended to boundary assertions.
+    *
+    * Returns one row per document:
+    * (idCol, n_aws, n_github, n_pem, n_hex, n_jwt, n_secrets,
+    * has_secret), ordered by idCol. */
+  def secretScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = secretPatterns.map { case (name, pat) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+    }
+    val total = secretPatterns.map { case (name, _) => col(s"n_$name") }
+      .reduce(_ + _)
+    df.select(col(idCol) +: counts: _*)
+      .withColumn("n_secrets", total)
+      .withColumn("has_secret", col("n_secrets") > 0L)
+      .orderBy(idCol)
+  }
+
+  /** The scanned classes (name → regex), public so the DuckDB oracle
+    * interpolates the SAME patterns (single source of truth). Ordered;
+    * output columns follow this order. */
+  val secretPatterns: Seq[(String, String)] = Seq(
+    "aws" -> "AKIA[0-9A-Z]{16}",
+    "github" -> "ghp_[A-Za-z0-9]{36}",
+    "pem" -> "-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "hex" -> "\\b[0-9a-f]{32,}\\b",
+    "jwt" -> "eyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}")
+
   def tableFingerprint(df: DataFrame, partitionCols: Seq[String],
                        hashCols: Seq[String]): DataFrame = {
     require(partitionCols.nonEmpty, "tableFingerprint needs partition cols")

@@ -1010,4 +1010,51 @@ object Curation {
             expr("target_tokens * 1000000L div tokens"))))
       .orderBy(groupCol)
   }
+
+  /** Hashed-feature linear quality scorer — the shape of fastText-style
+    * model-based filtering (CCNet's LM filter, the RefinedWeb/FineWeb
+    * quality classifiers) run as pure dataflow: each token hashes into
+    * one of `dim` feature buckets, each bucket carries a fixed integer
+    * weight, and a document's score is the weight sum over its token
+    * MULTISET. Inference is a map-side explode + one hash aggregate on
+    * the doc id — no model runtime, no UDFs; at 100 TB it rides the
+    * token scan like every other text operator.
+    *
+    * Weights here are a deterministic Knuth-hash table over the bucket
+    * index (`((b·2654435761) mod 1001) − 500` ∈ [−500, 500]) — the
+    * engine exercises exactly the arithmetic a trained weight table
+    * would use (swap [[hashedWeight]] for a broadcast lookup to load
+    * real weights); every product stays far inside 63 bits, so a DuckDB
+    * oracle replays the scoring bit-for-bit. `div` truncation toward
+    * zero on negative scores matches DuckDB's `//` (the house
+    * convention for signed integer division).
+    *
+    * Returns (idCol, n_tokens, score, per_token_micro, keep = score>0),
+    * ordered by idCol; zero-token documents score 0 and are kept out
+    * (keep = false). */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20),
+      s"dim must be in [2, 2^20], got $dim")
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
+    val bucket = pmod(conv(substring(md5(col("_tok")), 1, 8), 16, 10)
+      .cast("long"), lit(dim.toLong))
+    val scored = toks.withColumn("_w", hashedWeight(bucket))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("_w").as("score"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("per_token_micro",
+        expr("score * 1000000L div greatest(n_tokens, 1L)"))
+      .withColumn("keep", col("score") > 0L)
+      .orderBy(idCol)
+  }
+
+  /** The fixed bucket→weight table as an expression (single source of
+    * truth — the DuckDB oracle interpolates the same formula). */
+  def hashedWeight(bucket: Column): Column =
+    pmod(bucket * lit(2654435761L), lit(1001L)) - lit(500L)
 }

@@ -304,4 +304,71 @@ object Sketch {
         coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"))
   }
+
+  /** KMV (k-minimum-values, Bar-Yossef et al. 2002) shingle sketch per
+    * `groupCol`: the k smallest distinct shingle hashes of each group.
+    * The sketch is the scale path for corpus-overlap questions the
+    * exact digest matrix (Dedup.overlapMatrix) answers by shuffling
+    * every fingerprint: a fixed k·|groups| frame summarizes any corpus
+    * size, is mergeable (k smallest of a union = k smallest of the
+    * concatenated sketches), and pairwise Jaccard between groups is
+    * estimable from sketches alone — no second scan.
+    *
+    * Hash: the house 60-bit md5 prefix reduced mod 2³¹−1
+    * (Dedup.minHashP — same arithmetic the MinHash oracle family
+    * replays exactly). Bottom-k: ONE bounded ObjectHashAggregate
+    * (TopK over the negated hash — partial buffers never exceed k),
+    * not a per-group sort window. Returns (groupCol, rank ∈ 1..k,
+    * h ascending). */
+  def kmvSketch(df: DataFrame, groupCol: String, textCol: String,
+                k: Int = 32, shingleN: Int = 3): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = Dedup.shingleMultiset(df, groupCol, textCol, shingleN)
+      .select(col(groupCol),
+        pmod(conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long"), lit(Dedup.minHashP)).as("h"))
+      .distinct()
+      .withColumn("_neg", -col("h").cast("double"))
+    TopK.perGroup(hashed, groupCol, "_neg", "h", k)
+      .select(col(groupCol), col("rank"), col("h"))
+  }
+
+  /** Pairwise estimated Jaccard between groups from their KMV
+    * sketches: for each group pair, take the k smallest hashes of the
+    * sketch UNION (the union's own KMV sketch, by mergeability); the
+    * fraction of those present in BOTH sketches estimates J(A,B). When
+    * the union holds fewer than k distinct hashes the sketch IS the
+    * union and the estimate is exact — the denominator is the kept
+    * row count, not k.
+    *
+    * Pair expansion is sketch-sized (|groups|²·k/2 rows — the frames
+    * here are sketches, never corpus data); the per-pair rank runs as
+    * a window over ≤2k-row partitions. Returns (g_a, g_b lexicographic,
+    * n_common, n_sketch, est_jaccard_micro — floor micros), ordered. */
+  def kmvOverlap(sketch: DataFrame, groupCol: String,
+                 k: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = sketch.select(col(groupCol).as("g_a")).distinct()
+    val pairs = groups.crossJoin(
+        broadcast(sketch.select(col(groupCol).as("g_b")).distinct()))
+      .filter(col("g_a") < col("g_b"))
+    val sa = sketch.select(col(groupCol).as("g_a"), col("h"))
+    val sb = sketch.select(col(groupCol).as("g_b"), col("h"))
+    val rows = pairs.join(sa, Seq("g_a")).withColumn("_side", lit("a"))
+      .unionByName(pairs.join(sb, Seq("g_b")).withColumn("_side", lit("b")))
+    val w = Window.partitionBy("g_a", "g_b").orderBy("h")
+    rows.groupBy("g_a", "g_b", "h")
+      .agg(count(lit(1)).as("_nside"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .groupBy("g_a", "g_b")
+      .agg(count(lit(1)).as("n_sketch"),
+        coalesce(sum(when(col("_nside") === 2, 1L)), lit(0L))
+          .as("n_common"))
+      .withColumn("est_jaccard_micro",
+        expr("n_common * 1000000L div greatest(n_sketch, 1L)"))
+      .select(col("g_a"), col("g_b"), col("n_common"), col("n_sketch"),
+        col("est_jaccard_micro"))
+      .orderBy("g_a", "g_b")
+  }
 }

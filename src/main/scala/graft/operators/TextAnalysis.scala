@@ -825,4 +825,83 @@ object TextAnalysis {
       .select(col("_c.*"))
       .orderBy("cutoff")
   }
+
+  /** Cross-document boilerplate-line removal — the CCNet/RefinedWeb
+    * cleaning pass the per-document C4 rules ([[c4LineFilter]]) cannot
+    * express: a line is boilerplate when it recurs across ≥ `minDocs`
+    * DISTINCT documents of the same `groupCol` (host/source) — cookie
+    * banners, footers, nav chrome.
+    *
+    * Scale design: lines are keyed by md5 digest, never by text, so
+    * the recurrence aggregate shuffles 16-byte digests (the sub-doc
+    * dedup precedent); the (group, digest) recurrence frame joins back
+    * to the exploded lines on the same keys — an equi-join AQE can
+    * broadcast when the boilerplate set is small. Two shuffles total;
+    * no windows, no collect.
+    *
+    * Returns one row per document: (idCol, n_lines, n_boiler,
+    * kept_chars, boiler_ratio_micro — removed-chars share in floor
+    * micros), ordered by idCol. Empty lines are dropped before
+    * counting (they are formatting, not content). */
+  def boilerplateStrip(df: DataFrame, idCol: String, groupCol: String,
+                       textCol: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(col(idCol), col(groupCol).as("_grp"),
+        explode(split(col(textCol), "\n")).as("_line"))
+      .filter(length(col("_line")) > 0)
+      .withColumn("_ld", md5(col("_line")))
+    val recurrent = lines.select(col("_grp"), col("_ld"), col(idCol))
+      .distinct()
+      .groupBy("_grp", "_ld").agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("_grp"), col("_ld"), lit(true).as("_boiler"))
+    lines.join(recurrent, Seq("_grp", "_ld"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(when(col("_boiler"), 1L)), lit(0L)).as("n_boiler"),
+        coalesce(sum(when(col("_boiler").isNull,
+          length(col("_line")).cast("long"))), lit(0L)).as("kept_chars"),
+        coalesce(sum(when(col("_boiler"),
+          length(col("_line")).cast("long"))), lit(0L)).as("_rm_chars"))
+      .withColumn("boiler_ratio_micro",
+        expr("_rm_chars * 1000000L div greatest(_rm_chars + kept_chars, 1L)"))
+      .drop("_rm_chars")
+      .orderBy(idCol)
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabK` vocabulary — the tokenizer-coverage number scored
+    * back onto each document (which documents would a vocab of this
+    * size serve badly). Vocabulary rank is total (count DESC, token
+    * ASC) over the bucketed global rank — no single-partition window.
+    * The ≤vocabK vocab frame joins the exploded tokens as a
+    * broadcast-able equi-join.
+    *
+    * Returns (idCol, n_tokens, n_oov, oov_micro — floor micros over
+    * the token multiset), ordered by idCol. Documents with zero
+    * tokens report 0/0/0. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabK: Long): DataFrame = {
+    require(vocabK >= 1, s"vocabK must be positive, got $vocabK")
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    val vocab = Curation.globalRank(
+      toks.groupBy("token").agg(count(lit(1)).as("n")),
+      "token", "n", descending = true)
+      .filter(col("rank") <= vocabK)
+      .select(col("token"), lit(true).as("_inv"))
+    val perDoc = toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("_inv").isNull, 1L)), lit(0L)).as("n_oov"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_micro",
+        expr("n_oov * 1000000L div greatest(n_tokens, 1L)"))
+      .orderBy(idCol)
+  }
 }

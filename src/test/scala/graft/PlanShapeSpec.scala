@@ -982,4 +982,41 @@ class PlanShapeSpec extends SparkSpec {
         s"$n stays aggregate-shaped:\n$p")
     }
   }
+
+  test("round-8b shapes: secret scan map-only; boilerplate, KMV, scorer, OOV") {
+    // q193: five regexp_count columns — pure per-row expressions, no
+    // join, no window, no aggregate shuffle (only the output sort)
+    val p193 = finalPlan(q("q193_secret_scan"))
+    assert(!p193.contains("Join") && !p193.contains("Window") &&
+      !p193.contains("Exchange hashpartitioning"),
+      s"secret scan must be map-only up to the output sort:\n$p193")
+    // q194: digest-keyed recurrence agg + (group, digest) equi-join —
+    // never a window, never a product, never a single-partition funnel
+    val p194 = finalPlan(q("q194_boilerplate_strip"))
+    assert(!p194.contains("Window") && !p194.contains("CartesianProduct") &&
+      !p194.contains("Exchange SinglePartition"),
+      s"boilerplate strip is digest-agg + equi-join shaped:\n$p194")
+    // q195: the corpus side is ONE bounded TopK aggregate (no per-group
+    // sort window over shingle hashes); pair expansion and the per-pair
+    // rank run on sketch-sized frames only — the windows it does plan
+    // are (g_a, g_b)-partitioned, never SinglePartition
+    val p195 = finalPlan(q("q195_source_overlap_kmv"))
+    assert(!p195.contains("Exchange SinglePartition") &&
+      !p195.contains("CartesianProduct"),
+      s"KMV overlap must stay sketch-sized and pair-partitioned:\n$p195")
+    assert(p195.contains("ObjectHashAggregate"),
+      s"the bottom-k must plan as the bounded TopK aggregate:\n$p195")
+    // q196: explode + one hash aggregate + one id equi-join — no window
+    val p196 = finalPlan(q("q196_quality_linear"))
+    assert(!p196.contains("Window") && !p196.contains("CartesianProduct"),
+      s"linear scorer is aggregate-shaped:\n$p196")
+    // q197: vocabulary rank is the bucketed global rank (never a
+    // single-partition window); the vocab join broadcasts
+    val p197 = finalPlan(q("q197_oov_rate"))
+    assert(!p197.contains("Exchange SinglePartition") &&
+      !p197.contains("CartesianProduct"),
+      s"OOV rate must stay bucketed + broadcast-joined:\n$p197")
+    assert(p197.contains("BroadcastHashJoin"),
+      s"the ≤vocabK vocab side must broadcast:\n$p197")
+  }
 }

@@ -755,4 +755,28 @@ class CurationSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("hashedLinearScore: exact integer weights, truncating division") {
+    import spark.implicits._
+    // independent replica of the weight arithmetic (JDK md5, not Spark)
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val bucket = java.lang.Long.parseLong(hex.take(8), 16) % 64L
+      (bucket * 2654435761L) % 1001L - 500L
+    }
+    val docs = Seq((1L, "Alpha beta alpha"), (2L, ""), (3L, "gamma"))
+      .toDF("id", "text")
+    val got = Curation.hashedLinearScore(docs, "id", "text", 64)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // tokenization lowercases: "Alpha" and "alpha" share a bucket
+    val s1 = 2 * weight("alpha") + weight("beta")
+    // Scala Long division truncates toward zero — the div/`//` contract
+    assert(got(1L) == ((1L, 3L, s1, s1 * 1000000L / 3L, s1 > 0L)))
+    assert(got(2L) == ((2L, 0L, 0L, 0L, false)))
+    val s3 = weight("gamma")
+    assert(got(3L) == ((3L, 1L, s3, s3 * 1000000L, s3 > 0L)))
+  }
 }

@@ -166,4 +166,32 @@ class SketchSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-negative"))
   }
+
+  test("kmvSketch: bottom-k distinct hashes, ascending, capped at k") {
+    // one source with many shingles -> exactly k rows, h strictly
+    // ascending with rank
+    val docs = (1 to 100).map(i =>
+      (i.toLong, "s", s"w$i w${i + 1} w${i + 2} w${i + 3}"))
+      .toDF("id", "src", "text")
+    val sk = Sketch.kmvSketch(docs, "src", "text", k = 8, shingleN = 3)
+      .orderBy("rank").as[(String, Int, Long)].collect()
+    assert(sk.length == 8)
+    assert(sk.map(_._2).toSeq == (1 to 8))
+    assert(sk.map(_._3).toSeq == sk.map(_._3).sorted.toSeq)
+    assert(sk.map(_._3).distinct.length == 8)
+  }
+
+  test("kmvOverlap is EXACT Jaccard when the pair union fits the sketch") {
+    // shingle sets: a = {w1w2w3, w2w3w4, w3w4w5}, b = {w1w2w3, w2w3w4,
+    // w3w4w6} -> intersection 2, union 4, J = 1/2; k=32 >= 4 so the
+    // union sketch IS the union and the estimate is exact
+    val docs = Seq(
+      (1L, "a", "w1 w2 w3 w4 w5"),
+      (2L, "b", "w1 w2 w3 w4 w6"))
+      .toDF("id", "src", "text")
+    val sk = Sketch.kmvSketch(docs, "src", "text", k = 32, shingleN = 3)
+    val got = Sketch.kmvOverlap(sk, "src", k = 32)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a", "b", 2L, 4L, 500000L)))
+  }
 }

@@ -457,4 +457,41 @@ class TextAnalysisSpec extends SparkSpec {
       assert(n == la + ha + gr + di + sp + ot)
     }
   }
+
+  test("boilerplateStrip removes lines recurring in >= minDocs docs per group") {
+    import spark.implicits._
+    // 'footer' recurs in all 3 docs of host a (>= 3); 'rare' in only 2;
+    // host b has its own single 'footer' (below threshold there)
+    val docs = Seq(
+      (1L, "a", "alpha\nfooter\nrare"),
+      (2L, "a", "beta\n\nfooter\nrare"), // empty line dropped
+      (3L, "a", "gamma\nfooter"),
+      (4L, "b", "delta\nfooter"))
+      .toDF("id", "host", "text")
+    val got = TextAnalysis.boilerplateStrip(docs, "id", "host", "text", 3)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc1: alpha(5)+rare(4) kept, footer(6) removed -> 6e6 div 15
+    assert(got(1L) == ((1L, 3L, 1L, 9L, 400000L)))
+    assert(got(2L) == ((2L, 3L, 1L, 8L, 6000000L / 14)))
+    assert(got(3L) == ((3L, 2L, 1L, 5L, 6000000L / 11)))
+    // host b: footer appears once there -> nothing removed
+    assert(got(4L) == ((4L, 2L, 0L, 11L, 0L)))
+  }
+
+  test("oovRate scores the token multiset against the top-K vocabulary") {
+    import spark.implicits._
+    // counts: cat 3, the 3, sat 2, mat 1 -> top-2 by (count DESC,
+    // token ASC) = {cat, the}
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the the cat cat sat mat"),
+      (3L, ""))
+      .toDF("id", "text")
+    val got = TextAnalysis.oovRate(docs, "id", "text", 2L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 1L, 333333L)))
+    assert(got(2L) == ((2L, 6L, 2L, 333333L)))
+    // zero-token doc reports 0/0/0, not null
+    assert(got(3L) == ((3L, 0L, 0L, 0L)))
+  }
 }
