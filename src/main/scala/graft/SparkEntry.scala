@@ -2247,7 +2247,58 @@ object SparkEntry {
     //      (bucketed global rank; broadcast vocab join). ----
     "q197_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
-        vocabK = 300L))
+        vocabK = 300L)),
+    // ---- incremental LSH dedup against a PERSISTED signature store:
+    //      generation 1 (doc_id < 250) signs into a parquet store
+    //      (real filesystem round-trip, q176's keyed-scratch pattern);
+    //      generation 2 = the rest PLUS planted replicas of gen-1 docs
+    //      (exact for %100==0, one-token-appended for %100==50). The
+    //      dup decision is integer signature-matches >= 13. ----
+    "q198_lsh_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val gen1 = d.filter(col("doc_id") < 250).select("doc_id", "text")
+      val replicas = gen1.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          when(col("doc_id") % 100 === 50,
+            concat(col("text"), lit(" extra")))
+            .otherwise(col("text")).as("text"))
+      val gen2 = d.filter(col("doc_id") >= 250)
+        .select("doc_id", "text").unionByName(replicas)
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val key = java.lang.Integer.toHexString(
+        (dir, src.length(), src.lastModified()).hashCode())
+      val store = s"/tmp/graft_lsh_store_$key"
+      if (!new java.io.File(s"$store/_SUCCESS").exists())
+        Dedup.minHashSignatures(
+          Dedup.shingleMultiset(gen1, "doc_id", "text"), "doc_id")
+          .write.mode("overwrite").parquet(store)
+      Dedup.lshDedupAgainstStore(gen2, "doc_id", "text",
+        s.read.parquet(store))
+    }),
+    // ---- content-diversity sample: 16-bit SimHash buckets mod 64,
+    //      at most 4 docs per bucket by deterministic md5 rank — the
+    //      template-skew cap, one bounded TopK aggregate. ----
+    "q199_diversity_sample" -> ((s, dir) =>
+      Curation.diversitySample(t(s, dir, "documents"), "doc_id", "text",
+        numBuckets = 64, perBucket = 4)),
+    // ---- SFT conversation validation: message-array JSON PLANTED
+    //      from doc_id (2..6 alternating turns; doc_id%17 plants a
+    //      double-user violation), engine round-trips through
+    //      to_json/from_json and validates structure with pure array
+    //      expressions. ----
+    "q200_sft_turns" -> ((s, dir) => {
+      val nTurns = (col("doc_id") % 5 + 2).cast("int")
+      val msgs = transform(sequence(lit(0), nTurns - 1), i =>
+        struct(
+          when(col("doc_id") % 17 === 0 && i === 1, lit("user"))
+            .otherwise(when(i % 2 === 0, lit("user"))
+              .otherwise(lit("assistant"))).as("role"),
+          concat(lit("m"), col("doc_id").cast("string"), lit("_"),
+            i.cast("string")).as("content")))
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), to_json(msgs).as("convo"))
+      Curation.conversationStats(planted, "doc_id", "convo")
+    })
   )
 
   /** q154's requested mixture in integer micros (en-heavy; the two
@@ -2523,6 +2574,61 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY id_a, id_b"""
+
+  /** q198: both generations' MinHash signatures recomputed logically
+    * (the oracle has no store — the parquet round-trip is the engine's
+    * concern; signatures are a pure function of text), same coefficient
+    * table, band join restricted new×store, integer matches, and the
+    * (matches DESC, store_id ASC) best via one ranked window. */
+  private def lshStoreOracle: String = {
+    val p = Dedup.minHashP
+    val hashes = Dedup.minHashCoeffs(16).zipWithIndex
+      .map { case ((a, b), k) => s"min(($a * hh + $b) % $p) AS h$k" }
+      .mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val hs = (b * 4 until b * 4 + 4).map(k => s"h$k").mkString(", ")
+      s"SELECT doc_id, gen, $b AS band, md5(concat_ws(':', $hs)) AS sig FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until 16)
+      .map(k => s"CASE WHEN x.h$k = y.h$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH corpus AS (
+  SELECT doc_id, text, 0 AS gen FROM documents WHERE doc_id < 250
+  UNION ALL
+  SELECT doc_id, text, 1 AS gen FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text2 AS text, 1 AS gen FROM
+    (SELECT doc_id, text ||
+      CASE WHEN doc_id % 100 = 50 THEN ' extra' ELSE '' END AS text2
+     FROM documents WHERE doc_id < 250 AND doc_id % 50 = 0)),
+toks AS (SELECT doc_id, gen, $tokensSql AS tk FROM corpus),
+sh AS (SELECT DISTINCT doc_id, gen, unnest(CASE WHEN len(tk) >= 3
+  THEN list_transform(range(0, len(tk) - 2),
+    i -> array_to_string(tk[i+1:i+3], ' '))
+  ELSE [] END) AS shingle FROM toks),
+hh AS (SELECT doc_id, gen,
+  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % $p AS hh FROM sh),
+sig AS (SELECT doc_id, gen, $hashes FROM hh GROUP BY doc_id, gen),
+bands AS ($bands),
+cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS store_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.gen = 1 AND b.gen = 0),
+m AS (SELECT c.new_id, c.store_id, $matches AS matches
+  FROM cand c JOIN sig x ON x.doc_id = c.new_id AND x.gen = 1
+              JOIN sig y ON y.doc_id = c.store_id AND y.gen = 0),
+r AS (SELECT new_id, store_id, matches,
+  count(*) OVER (PARTITION BY new_id) AS n_candidates,
+  row_number() OVER (PARTITION BY new_id ORDER BY matches DESC, store_id)
+    AS rk FROM m)
+SELECT g.doc_id,
+  CAST(coalesce(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+  r.store_id AS best_store_id,
+  CAST(coalesce(r.matches, 0) AS INTEGER) AS best_matches,
+  coalesce(r.matches, 0) >= 13 AS is_dup
+FROM (SELECT doc_id FROM corpus WHERE gen = 1) g
+  LEFT JOIN r ON r.new_id = g.doc_id AND r.rk = 1
+ORDER BY g.doc_id"""
+  }
 
   private def langIdOracle: String = {
     val markers = TextAnalysis.langMarkers
@@ -5056,7 +5162,45 @@ SELECT d.doc_id,
   CAST(coalesce(pd.n_oov, 0) * 1000000
     // greatest(coalesce(pd.n_tokens, 0), 1) AS BIGINT) AS oov_micro
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-ORDER BY d.doc_id"""
+ORDER BY d.doc_id""",
+    "q198_lsh_incremental" -> lshStoreOracle,
+    // q199: the engine's 16-bit SimHash replayed (shared CTEs), bucket
+    // = simhash mod 64, per-bucket rank by the 48-bit md5-of-id prefix
+    // (ties doc_id ASC — the TopK total order).
+    "q199_diversity_sample" ->
+      s"""${simhashCtes(16)},
+b AS (SELECT doc_id, simhash % 64 AS bucket,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+    AS hsh FROM ssig),
+r AS (SELECT bucket, doc_id,
+  row_number() OVER (PARTITION BY bucket ORDER BY hsh, doc_id) AS rank
+  FROM b)
+SELECT bucket, CAST(rank AS INTEGER) AS rank, doc_id FROM r
+WHERE rank <= 4 ORDER BY bucket, rank""",
+    // q200: the planted message list rebuilt as DuckDB structs (no
+    // JSON needed — the parse round-trip is the engine's concern) and
+    // the same structural checks as list folds.
+    "q200_sft_turns" ->
+      """WITH p AS (SELECT doc_id,
+  CAST(doc_id % 5 + 2 AS INTEGER) AS n FROM documents),
+m AS (SELECT doc_id, n, list_transform(range(0, n), i -> struct_pack(
+  role := CASE WHEN doc_id % 17 = 0 AND i = 1 THEN 'user'
+    WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+  content := 'm' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)))
+  AS ms FROM p)
+SELECT doc_id, true AS json_ok,
+  n AS n_turns,
+  CAST(len(list_filter(ms, x -> x.role = 'user')) AS INTEGER) AS n_user,
+  CAST(len(list_filter(ms, x -> x.role = 'assistant')) AS INTEGER)
+    AS n_assistant,
+  ms[1].role AS first_role,
+  ms[n].role AS last_role,
+  coalesce(list_sum(list_transform(range(0, n - 1),
+    i -> CASE WHEN ms[i+1].role = ms[i+2].role THEN 1 ELSE 0 END)), 0) = 0
+    AS alternation_ok,
+  CAST(list_sum(list_transform(ms, x -> length(x.content))) AS BIGINT)
+    AS content_chars
+FROM m ORDER BY doc_id"""
   )
 
   /** q178: the planted thumbnails rebuilt in SQL (identical md5-hex

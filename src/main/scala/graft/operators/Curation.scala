@@ -1057,4 +1057,75 @@ object Curation {
     * truth — the DuckDB oracle interpolates the same formula). */
   def hashedWeight(bucket: Column): Column =
     pmod(bucket * lit(2654435761L), lit(1001L)) - lit(500L)
+
+  /** Content-diversity sampling (the D4/SemDeDup-flavored "don't let
+    * one template dominate the sample" pass, without embeddings):
+    * documents bucket by their 16-bit SimHash signature mod
+    * `numBuckets` — near-identical token sets share a bucket — and
+    * each bucket contributes at most `perBucket` documents, chosen by
+    * the deterministic md5 rank of the id (a seedless, re-runnable
+    * draw). Uniform sampling would mirror the corpus's template skew;
+    * this caps it.
+    *
+    * The per-bucket cut is ONE bounded TopK aggregate (buffers never
+    * exceed perBucket — no per-bucket sort window, no skew from a hot
+    * template bucket beyond its aggregate inputs). Returns the sample:
+    * (bucket, rank ∈ 1..perBucket, idCol), ordered by (bucket, rank). */
+  def diversitySample(df: DataFrame, idCol: String, textCol: String,
+                      numBuckets: Int, perBucket: Int): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    require(perBucket >= 1, s"perBucket must be >= 1, got $perBucket")
+    val sig = Dedup.simHash(df, idCol, textCol, bits = 16)
+    val scored = sig
+      .withColumn("bucket", pmod(col("simhash"), lit(numBuckets.toLong)))
+      // 48-bit md5 prefix, exact as a double (< 2^53); negated so the
+      // TopK (score DESC) keeps the SMALLEST hashes, ties id ASC
+      .withColumn("_neg",
+        -conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+          .cast("double"))
+    TopK.perGroup(scored, "bucket", "_neg", idCol, perBucket)
+      .select(col("bucket"), col("rank"), col(idCol))
+      .orderBy("bucket", "rank")
+  }
+
+  /** Conversation (SFT/chat) structural validation — the schema gate a
+    * post-training data pipeline runs over raw message-array JSON
+    * before tokenization: parseability, turn counts per role, opening/
+    * closing roles, strict user/assistant alternation, and content
+    * volume. ENTIRELY per-row array expressions over the parsed
+    * message list (size/filter/exists/zip_with/aggregate) — no
+    * explode, no shuffle, no UDFs; at 100 TB it rides the scan.
+    *
+    * Returns (idCol, json_ok, n_turns, n_user, n_assistant, first_role,
+    * last_role, alternation_ok, content_chars), ordered by idCol.
+    * Unparseable or empty conversations report json_ok=false / zero
+    * counts and null roles. */
+  def conversationStats(df: DataFrame, idCol: String,
+                        jsonCol: String): DataFrame = {
+    val parsed = from_json(col(jsonCol),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "array<struct<role:string,content:string>>"))
+    val m = col("_m")
+    val n = size(m)
+    val roleCount = (r: String) =>
+      size(filter(m, x => x.getField("role") === r)).as(s"n_$r")
+    df.select(col(idCol), parsed.as("_m"))
+      .select(col(idCol),
+        m.isNotNull.as("json_ok"),
+        when(m.isNotNull, n).otherwise(lit(0)).as("n_turns"),
+        when(m.isNotNull, roleCount("user")).otherwise(lit(0)).as("n_user"),
+        when(m.isNotNull, roleCount("assistant")).otherwise(lit(0))
+          .as("n_assistant"),
+        when(n >= 1, element_at(m, 1).getField("role")).as("first_role"),
+        when(n >= 1, element_at(m, -1).getField("role")).as("last_role"),
+        when(m.isNull, lit(false)).otherwise(when(n < 2, lit(true))
+          .otherwise(!exists(
+            zip_with(slice(m, lit(1), n - 1), slice(m, lit(2), n - 1),
+              (x, y) => x.getField("role") === y.getField("role")),
+            b => b))).as("alternation_ok"),
+        when(m.isNotNull, aggregate(m, lit(0L),
+          (acc, x) => acc + coalesce(length(x.getField("content")), lit(0))))
+          .otherwise(lit(0L)).as("content_chars"))
+      .orderBy(idCol)
+  }
 }

@@ -166,6 +166,73 @@ object Dedup {
     candidatePairs(lshBands(sig, idCol, numHashes, bands), idCol)
   }
 
+  /** Incremental LSH near-dup gate against a PERSISTED signature store
+    * — the shape an hourly-fed corpus actually runs: the store holds
+    * one MinHash signature row per already-accepted document (tiny —
+    * doc-count-sized, numHashes longs each, persisted as plain
+    * parquet); each new batch is shingled/signed ONCE, banded, and
+    * joined to the re-banded store. Banding from stored signatures is
+    * pure arithmetic over numHashes columns — re-deriving it each run
+    * beats persisting 4× band rows. Nothing in the store's original
+    * text is ever re-read.
+    *
+    * The dup decision is the q37 estimator kept EXACT-integer: matching
+    * signature components (0..numHashes) against `minMatches` — no
+    * float threshold, so a DuckDB oracle replays the decision
+    * bit-for-bit. Best match per new doc under the total order
+    * (matches DESC, store id ASC), via one min(struct) aggregate.
+    *
+    * Returns one row per NEW document: (idCol, n_candidates,
+    * best_store_id — null when no band collides, best_matches, is_dup),
+    * ordered by idCol. Non-dup rows' signatures are what a pipeline
+    * appends back to the store ([[minHashSignatures]] over the same
+    * batch — already computed here, shared via the plan). */
+  def lshDedupAgainstStore(newDocs: DataFrame, idCol: String,
+                           textCol: String, storeSigs: DataFrame,
+                           shingleN: Int = 3, numHashes: Int = 16,
+                           bands: Int = 4, minMatches: Int = 13): DataFrame = {
+    require(minMatches >= 1 && minMatches <= numHashes,
+      s"minMatches ($minMatches) must be in [1, $numHashes]")
+    val sigCols = (0 until numHashes).map(k => s"h$k")
+    require(sigCols.forall(storeSigs.columns.contains),
+      s"storeSigs must carry signature columns h0..h${numHashes - 1} " +
+        s"(found: ${storeSigs.columns.mkString(", ")})")
+    val newSigs = minHashSignatures(
+      shingleMultiset(newDocs, idCol, textCol, shingleN), idCol, numHashes)
+    val nb = lshBands(newSigs, idCol, numHashes, bands)
+      .withColumnRenamed(idCol, "_new_id")
+    val sb = lshBands(storeSigs, idCol, numHashes, bands)
+      .withColumnRenamed(idCol, "_store_id")
+    val cand = nb.join(sb, Seq("band", "sig"))
+      .select("_new_id", "_store_id").distinct()
+    val matches = (0 until numHashes)
+      .map(k => when(col(s"_a_h$k") === col(s"_b_h$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    def side(src: DataFrame, as: String) = src.select(
+      (col(idCol).as(s"_${as}_id") +:
+        sigCols.map(c => col(c).as(s"_${as}_$c"))): _*)
+    val scored = cand
+      .join(side(newSigs, "a"), col("_new_id") === col("_a_id"))
+      .join(side(storeSigs, "b"), col("_store_id") === col("_b_id"))
+      .select(col("_new_id"), col("_store_id"),
+        matches.cast("int").as("_matches"))
+    val best = scored.groupBy("_new_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        min(struct((lit(numHashes) - col("_matches")).as("_mm"),
+          col("_store_id").as("_sid"))).as("_b"))
+      .select(col("_new_id"), col("n_candidates"),
+        col("_b._sid").as("best_store_id"),
+        (lit(numHashes) - col("_b._mm")).cast("int").as("best_matches"))
+    newDocs.select(col(idCol))
+      .join(best, col(idCol) === col("_new_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_store_id"),
+        coalesce(col("best_matches"), lit(0)).as("best_matches"))
+      .withColumn("is_dup", col("best_matches") >= minMatches)
+      .orderBy(idCol)
+  }
+
   /** Candidate pairs from an EXISTING banded frame (id, band, sig) —
     * the from-signatures entry point, so compositions that already hold
     * signatures (estimate, exact-verify) never re-shingle or re-hash

@@ -1018,5 +1018,25 @@ class PlanShapeSpec extends SparkSpec {
       s"OOV rate must stay bucketed + broadcast-joined:\n$p197")
     assert(p197.contains("BroadcastHashJoin"),
       s"the ≤vocabK vocab side must broadcast:\n$p197")
+    // q198: store dedup is (band, sig) + id equi-joins end to end —
+    // never a product, never a single-partition funnel
+    val p198 = finalPlan(q("q198_lsh_incremental"))
+    assert(!p198.contains("CartesianProduct") &&
+      !p198.contains("BroadcastNestedLoopJoin") &&
+      !p198.contains("Exchange SinglePartition"),
+      s"incremental LSH must join on (band, sig) and ids only:\n$p198")
+    // q199: the per-bucket cut is the bounded TopK aggregate — no
+    // window at all, no product
+    val p199 = finalPlan(q("q199_diversity_sample"))
+    assert(p199.contains("ObjectHashAggregate"),
+      s"diversity sample must plan the bounded TopK aggregate:\n$p199")
+    assert(!p199.contains("Window") && !p199.contains("CartesianProduct"),
+      s"diversity sample never sorts buckets in a window:\n$p199")
+    // q200: conversation validation is pure per-row array expressions —
+    // no join, no window, no aggregate shuffle (only the output sort)
+    val p200 = finalPlan(q("q200_sft_turns"))
+    assert(!p200.contains("Join") && !p200.contains("Window") &&
+      !p200.contains("Exchange hashpartitioning"),
+      s"conversation stats must be map-only up to the output sort:\n$p200")
   }
 }

@@ -779,4 +779,47 @@ class CurationSpec extends SparkSpec {
     val s3 = weight("gamma")
     assert(got(3L) == ((3L, 1L, s3, s3 * 1000000L, s3 > 0L)))
   }
+
+  test("diversitySample caps every bucket at perBucket, deterministically") {
+    import spark.implicits._
+    // 60 near-identical docs (one shared template -> one hot simhash
+    // bucket) + a handful of distinct ones
+    val docs = ((1 to 60).map(i =>
+      (i.toLong, "the same template text repeated across documents")) ++
+      Seq((101L, "completely different content about other things"),
+        (102L, "yet another unique document body here")))
+      .toDF("id", "text")
+    val got = Curation.diversitySample(docs, "id", "text",
+      numBuckets = 16, perBucket = 3)
+      .as[(Long, Int, Long)].collect()
+    val perBucket = got.groupBy(_._1).view.mapValues(_.length)
+    assert(perBucket.values.forall(_ <= 3),
+      s"bucket overflow: ${perBucket.toMap}")
+    // the 60-dup template contributes at most 3 of its members
+    assert(got.count(_._3 <= 60L) <= 3)
+    // deterministic: a second run returns the identical sample
+    val again = Curation.diversitySample(docs, "id", "text",
+      numBuckets = 16, perBucket = 3).as[(Long, Int, Long)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("conversationStats validates structure with pure array expressions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """[{"role":"user","content":"hi"},{"role":"assistant","content":"hello"}]"""),
+      (2L, """[{"role":"user","content":"a"},{"role":"user","content":"b"},{"role":"assistant","content":"c"}]"""),
+      (3L, "not json at all"),
+      (4L, "[]"))
+      .toDF("id", "convo")
+    val got = Curation.conversationStats(docs, "id", "convo")
+      .as[(Long, Boolean, Int, Int, Int, Option[String], Option[String],
+        Boolean, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, true, 2, 1, 1, Some("user"),
+      Some("assistant"), true, 7L)))
+    // double-user opening: alternation violated
+    assert(got(2L) == ((2L, true, 3, 2, 1, Some("user"),
+      Some("assistant"), false, 3L)))
+    assert(got(3L) == ((3L, false, 0, 0, 0, None, None, false, 0L)))
+    assert(got(4L) == ((4L, true, 0, 0, 0, None, None, true, 0L)))
+  }
 }

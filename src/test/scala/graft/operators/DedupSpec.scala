@@ -752,4 +752,51 @@ class DedupSpec extends SparkSpec {
     assert(got == List(("s1", "s1", 1L), ("s1", "s2", 2L),
       ("s2", "s3", 1L)))
   }
+
+  test("lshDedupAgainstStore: exact dup hits 16/16; strangers report zero") {
+    import spark.implicits._
+    val storeDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val store = Dedup.minHashSignatures(
+      Dedup.shingleMultiset(storeDocs, "doc_id", "text"), "doc_id")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // = doc 1
+      (11L, "totally different words with nothing shared here at all"),
+      (12L, "xy"))                                            // < 3 tokens
+      .toDF("doc_id", "text")
+    val got = Dedup.lshDedupAgainstStore(fresh, "doc_id", "text", store)
+      .as[(Long, Long, Option[Long], Int, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, 1L, Some(1L), 16, true)))
+    assert(got(11L) == ((11L, 0L, None, 0, false)))
+    // no shingles -> no signature -> reported, not dropped
+    assert(got(12L) == ((12L, 0L, None, 0, false)))
+  }
+
+  test("lshDedupAgainstStore: best match breaks ties on store id ASC") {
+    import spark.implicits._
+    // two IDENTICAL store docs: the new exact dup matches both with 16
+    // components; best_store_id must be the smaller id
+    val storeDocs = Seq(
+      (5L, "p q r s t u v w x y z"),
+      (3L, "p q r s t u v w x y z"))
+      .toDF("doc_id", "text")
+    val store = Dedup.minHashSignatures(
+      Dedup.shingleMultiset(storeDocs, "doc_id", "text"), "doc_id")
+    val fresh = Seq((20L, "p q r s t u v w x y z")).toDF("doc_id", "text")
+    val got = Dedup.lshDedupAgainstStore(fresh, "doc_id", "text", store)
+      .as[(Long, Long, Option[Long], Int, Boolean)].collect()
+    assert(got.toSeq == Seq((20L, 2L, Some(3L), 16, true)))
+  }
+
+  test("lshDedupAgainstStore rejects a store without signature columns") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L)).toDF("doc_id", "h0")
+    val fresh = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.lshDedupAgainstStore(fresh, "doc_id", "text", bad)
+    }
+  }
 }
