@@ -2298,6 +2298,34 @@ object SparkEntry {
       val planted = t(s, dir, "documents")
         .select(col("doc_id"), to_json(msgs).as("convo"))
       Curation.conversationStats(planted, "doc_id", "convo")
+    }),
+    // ---- DPO preference pairs: responses grouped by planted
+    //      prompt_id (doc_id mod 97), scores a deterministic md5
+    //      draw; best-vs-worst under the (score, id) total order,
+    //      zero-margin prompts dropped. One aggregate, no windows. ----
+    "q201_preference_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        (col("doc_id") % 97).as("prompt_id"),
+        col("doc_id").as("resp_id"),
+        (conv(substring(md5(concat(lit("r"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % 1000).as("score"))
+      Eval.preferencePairs(d, "prompt_id", "resp_id", "score")
+    }),
+    // ---- source-imbalance Gini in exact micros (ascending-rank
+    //      formulation, DECIMAL(38,0) numerator, bucketed rank). ----
+    "q202_source_gini" -> ((s, dir) =>
+      Stats.giniConcentration(t(s, dir, "documents"), "source")),
+    // ---- per-line language consistency (code-switching): an es line
+    //      planted on every doc and a de line on every third — the
+    //      majority share and language census per document. ----
+    "q203_line_lang" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\nel la los y es una"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nder die und das ist hier")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.lineLangConsistency(planted, "doc_id", "text")
     })
   )
 
@@ -2628,6 +2656,44 @@ SELECT g.doc_id,
 FROM (SELECT doc_id FROM corpus WHERE gen = 1) g
   LEFT JOIN r ON r.new_id = g.doc_id AND r.rk = 1
 ORDER BY g.doc_id"""
+  }
+
+  /** q203: the q22 marker-scoring CASE replayed PER LINE, then the
+    * per-doc majority under (count DESC, lang ASC). */
+  private def lineLangOracle: String = {
+    val markers = TextAnalysis.langMarkers
+    val scores = markers.map { case (lang, words) =>
+      val in = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"len(list_filter(tk, t -> t IN $in)) AS s_$lang"
+    }.mkString(", ")
+    val langs = markers.map(_._1)
+    val branches = langs.zipWithIndex.map { case (lang, i) =>
+      val laters = langs.drop(i + 1).map(l2 => s"s_$lang >= s_$l2")
+      val conds = (laters :+ s"s_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH p AS (SELECT doc_id, text || chr(10) || 'el la los y es una' ||
+  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'der die und das ist hier'
+    ELSE '' END AS text FROM documents),
+ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM p),
+tk0 AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(line), '\\s+'),
+    t -> len(t) > 0) AS tk FROM ln WHERE length(line) > 0),
+scored AS (SELECT doc_id, $scores FROM tk0),
+pred AS (SELECT doc_id, CASE $branches ELSE 'und' END AS pl FROM scored),
+c AS (SELECT doc_id, pl, CAST(count(*) AS BIGINT) AS cnt
+  FROM pred GROUP BY 1, 2),
+r AS (SELECT doc_id, pl, cnt,
+  sum(cnt) OVER (PARTITION BY doc_id) AS n_lines,
+  count(*) OVER (PARTITION BY doc_id) AS n_langs,
+  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, pl) AS rk
+  FROM c)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_langs AS BIGINT) AS n_langs, pl AS majority_lang,
+  cnt AS n_majority,
+  CAST(cnt * 1000000 // greatest(n_lines, 1) AS BIGINT)
+    AS consistency_micro
+FROM r WHERE rk = 1 ORDER BY doc_id"""
   }
 
   private def langIdOracle: String = {
@@ -5200,7 +5266,42 @@ SELECT doc_id, true AS json_ok,
     AS alternation_ok,
   CAST(list_sum(list_transform(ms, x -> length(x.content))) AS BIGINT)
     AS content_chars
-FROM m ORDER BY doc_id"""
+FROM m ORDER BY doc_id""",
+    // q201: best/worst per prompt via ranked windows (legal at oracle
+    // scale), the same (score DESC|ASC, id ASC) total orders.
+    "q201_preference_pairs" ->
+      """WITH resp AS (SELECT doc_id % 97 AS prompt_id, doc_id AS resp_id,
+  CAST(('0x' || substr(md5('r' || CAST(doc_id AS VARCHAR)), 1, 8))
+    AS BIGINT) % 1000 AS score FROM documents),
+c AS (SELECT prompt_id, resp_id, score,
+  row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, resp_id)
+    AS rc,
+  row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, resp_id)
+    AS rr,
+  count(*) OVER (PARTITION BY prompt_id) AS n FROM resp),
+ch AS (SELECT prompt_id, CAST(n AS BIGINT) AS n_responses,
+  resp_id AS chosen_id, score AS chosen_score FROM c WHERE rc = 1),
+rj AS (SELECT prompt_id, resp_id AS rejected_id,
+  score AS rejected_score FROM c WHERE rr = 1)
+SELECT ch.prompt_id, ch.n_responses, ch.chosen_id, ch.chosen_score,
+  rj.rejected_id, rj.rejected_score,
+  ch.chosen_score - rj.rejected_score AS margin
+FROM ch JOIN rj ON ch.prompt_id = rj.prompt_id
+WHERE ch.chosen_score - rj.rejected_score > 0
+ORDER BY ch.prompt_id""",
+    // q202: the ascending-rank Gini identity; DuckDB's HUGEINT sum
+    // mirrors the engine's DECIMAL(38,0) numerator exactly.
+    "q202_source_gini" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, source) AS rank
+  FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(cnt) AS BIGINT) AS total,
+  CAST((2 * sum(rank * cnt) - (count(*) + 1) * sum(cnt)) * 1000000
+    // (count(*) * sum(cnt)) AS BIGINT) AS gini_micro
+FROM r""",
+    "q203_line_lang" -> lineLangOracle
   )
 
   /** q178: the planted thumbnails rebuilt in SQL (identical md5-hex

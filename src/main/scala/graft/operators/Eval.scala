@@ -215,4 +215,43 @@ object Eval {
           "(agree * n - s_chance) * 1000000L div (n * n - s_chance)"))
         .as("kappa_micro"))
   }
+
+  /** Preference-pair construction — the DPO/RLHF dataset step: per
+    * prompt, pair the best-scored response (chosen) with the
+    * worst-scored (rejected) under the TOTAL order (score, then id ASC
+    * on ties), keeping only prompts with a strictly positive margin
+    * (equal-score prompts carry no preference signal). ONE hash
+    * aggregate — best and worst are min(struct) folds, not per-prompt
+    * sort windows, so a prompt with millions of sampled responses
+    * costs its aggregate inputs and nothing more.
+    *
+    * Returns (promptCol, n_responses, chosen_id, chosen_score,
+    * rejected_id, rejected_score, margin > 0), ordered by promptCol.
+    * Scores must be integral (exact comparisons; float ranking is
+    * order-dependent). */
+  def preferencePairs(df: DataFrame, promptCol: String, idCol: String,
+                      scoreCol: String): DataFrame = {
+    val integral = {
+      import org.apache.spark.sql.types._
+      df.schema(scoreCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _                                             => false
+      }
+    }
+    require(integral,
+      s"preferencePairs requires an integral score column; `$scoreCol` " +
+        s"is ${df.schema(scoreCol).dataType.catalogString}")
+    df.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_responses"),
+        min(struct((-col(scoreCol)).as("_ns"), col(idCol).as("_id")))
+          .as("_c"),
+        min(struct(col(scoreCol).as("_s"), col(idCol).as("_id")))
+          .as("_r"))
+      .select(col(promptCol), col("n_responses"),
+        col("_c._id").as("chosen_id"), (-col("_c._ns")).as("chosen_score"),
+        col("_r._id").as("rejected_id"), col("_r._s").as("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .filter(col("margin") > 0)
+      .orderBy(promptCol)
+  }
 }

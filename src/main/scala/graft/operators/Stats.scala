@@ -197,4 +197,29 @@ object Stats {
           .otherwise((col("_rp").cast("double") -
             np * (np + 1) / 2.0) / (np * nn)).as("auc"))
   }
+
+  /** Gini concentration of group sizes — the one-number answer to "how
+    * imbalanced is this corpus across sources/hosts/languages", the
+    * screening statistic before mixture reweighting
+    * (Curation.mixtureRates). Exact-integer rank formulation over
+    * ascending-sorted counts: G = (2·Σ rank·cnt − (n+1)·ΣCnt) /
+    * (n·ΣCnt), emitted in floor micros. The rank is the bucketed
+    * global rank (no single-partition window — group cardinality can
+    * be web-host-sized); Σ rank·cnt accumulates as DECIMAL(38,0), so
+    * the numerator arithmetic is exact far past 2⁶³ (DuckDB mirrors
+    * with HUGEINT), and the final floor division is `div`/`//` on
+    * nonnegative operands (the numerator is ≥ 0 by Chebyshev's sum
+    * inequality on ascending counts). Tied counts: rank order within a
+    * tie is id-determined but Σ rank·cnt is tie-permutation-invariant.
+    *
+    * Returns one row: (n_groups, total, gini_micro ∈ [0, 1e6)). */
+  def giniConcentration(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
+    Curation.globalRank(counts, groupCol, "cnt", descending = false)
+      .agg(count(lit(1)).as("n_groups"), sum("cnt").as("total"),
+        sum((col("rank") * col("cnt")).cast("decimal(38,0)")).as("_six"))
+      .select(col("n_groups"), col("total"),
+        expr("""CAST((2 * _six - (n_groups + 1) * total) * 1000000
+          div (n_groups * total) AS BIGINT)""").as("gini_micro"))
+  }
 }

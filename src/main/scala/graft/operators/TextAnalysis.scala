@@ -904,4 +904,40 @@ object TextAnalysis {
         expr("n_oov * 1000000L div greatest(n_tokens, 1L)"))
       .orderBy(idCol)
   }
+
+  /** Per-line language consistency — code-switching detection: each
+    * non-empty line gets the [[langId]] verdict (a pure per-row
+    * expression), lines aggregate per document, and the majority
+    * language is a min(struct) fold under the total order (line count
+    * DESC, language ASC) — no per-document sort window. Two shuffles:
+    * (doc, lang) counts, then the per-doc fold.
+    *
+    * Monolingual documents score consistency 1e6; a document whose
+    * lines split across languages scores the majority share. The
+    * operator feeds corpus routing (send mixed documents to per-line
+    * splitting rather than whole-doc language buckets).
+    *
+    * Returns (idCol, n_lines, n_langs, majority_lang, n_majority,
+    * consistency_micro — floor micros), ordered by idCol. Documents
+    * with no non-empty lines are absent (nothing to classify). */
+  def lineLangConsistency(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val perLine = df
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("_line"))
+      .filter(length(col("_line")) > 0)
+      .withColumn("_pl", langId(col("_line")))
+    perLine.groupBy(col(idCol), col("_pl"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(idCol))
+      .agg(sum("_cnt").as("n_lines"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("_cnt")).as("_nc"), col("_pl").as("_l")))
+          .as("_m"))
+      .select(col(idCol), col("n_lines"), col("n_langs"),
+        col("_m._l").as("majority_lang"),
+        (-col("_m._nc")).as("n_majority"))
+      .withColumn("consistency_micro",
+        expr("n_majority * 1000000L div greatest(n_lines, 1L)"))
+      .orderBy(idCol)
+  }
 }

@@ -1038,5 +1038,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p200.contains("Join") && !p200.contains("Window") &&
       !p200.contains("Exchange hashpartitioning"),
       s"conversation stats must be map-only up to the output sort:\n$p200")
+    // q201: best/worst are min(struct) folds in ONE aggregate — no
+    // window, no join, no product
+    val p201 = finalPlan(q("q201_preference_pairs"))
+    assert(!p201.contains("Window") && !p201.contains("Join") &&
+      !p201.contains("CartesianProduct"),
+      s"preference pairs must be one aggregate:\n$p201")
+    // q202: the rank is the bucketed global rank (hash-partitioned
+    // windows only; the one SinglePartition exchange is the final
+    // single-ROW aggregate, which carries one row per partition) —
+    // and no products anywhere
+    val p202 = finalPlan(q("q202_source_gini"))
+    assert(!p202.contains("CartesianProduct") &&
+      !p202.contains("BroadcastNestedLoopJoin"),
+      s"gini is rank + one aggregate:\n$p202")
+    assert(!p202.contains("Window [") ||
+      !p202.contains("Window [], SinglePartition"),
+      s"the gini rank window must stay bucketed:\n$p202")
+    // q203: per-line langId is a per-row expression; majority is a
+    // min(struct) fold — no window, no join, no product
+    val p203 = finalPlan(q("q203_line_lang"))
+    assert(!p203.contains("Window") && !p203.contains("Join") &&
+      !p203.contains("CartesianProduct"),
+      s"line-language consistency is two hash aggregates:\n$p203")
   }
 }

@@ -123,4 +123,22 @@ class EvalSpec extends SparkSpec {
     assert(Eval.cohensKappa(withNulls, "a", "b").collect().head.getLong(0)
       == 1L)
   }
+
+  test("preferencePairs: best vs worst per prompt, ties on id, zero-margin dropped") {
+    import spark.implicits._
+    val resp = Seq(
+      ("p1", 1L, 10L), ("p1", 2L, 30L), ("p1", 3L, 30L), ("p1", 4L, 5L),
+      ("p2", 5L, 7L), ("p2", 6L, 7L),   // all tied -> dropped
+      ("p3", 7L, 1L))                   // single response -> margin 0
+      .toDF("prompt", "id", "score")
+    val got = Eval.preferencePairs(resp, "prompt", "id", "score")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // p1: chosen = id 2 (30, tie broken by id ASC), rejected = id 4 (5)
+    assert(got.toSeq == Seq(("p1", 4L, 2L, 30L, 4L, 5L, 25L)))
+    // float scores are rejected loudly
+    val fl = Seq(("p", 1L, 0.5)).toDF("prompt", "id", "score")
+    intercept[IllegalArgumentException] {
+      Eval.preferencePairs(fl, "prompt", "id", "score")
+    }
+  }
 }

@@ -119,4 +119,20 @@ class StatsSpec extends SparkSpec {
     val row = Stats.aucRankSum(df, "id", "s", "y").collect().head
     assert(row.getDouble(2) == 5.0 / 6.0)
   }
+
+  test("giniConcentration: 0 on perfectly balanced groups, rises with skew") {
+    import spark.implicits._
+    // 4 groups × 5 rows each: perfectly equal -> gini 0
+    val eq = (1 to 20).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+    val r0 = Stats.giniConcentration(eq, "g").as[(Long, Long, Long)]
+      .collect().head
+    assert(r0 == ((4L, 20L, 0L)))
+    // counts 1,1,1,17: G = (2·(1·1+2·1+3·1+4·17) − 5·20)/(4·20)
+    //                    = (2·74 − 100)/80 = 48/80 = 0.6
+    val sk = ((1 to 17).map(i => (i.toLong, "big")) ++
+      Seq((18L, "a"), (19L, "b"), (20L, "c"))).toDF("id", "g")
+    val r1 = Stats.giniConcentration(sk, "g").as[(Long, Long, Long)]
+      .collect().head
+    assert(r1 == ((4L, 20L, 600000L)))
+  }
 }

@@ -494,4 +494,22 @@ class TextAnalysisSpec extends SparkSpec {
     // zero-token doc reports 0/0/0, not null
     assert(got(3L) == ((3L, 0L, 0L, 0L)))
   }
+
+  test("lineLangConsistency: per-line langId, majority share, lang census") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is a pet\nthe dog is the friend"),          // en, en
+      (2L, "the cat is a pet\nel gato es la mascota\nder hund ist das tier"),
+      (3L, "xyzzy qwerty\n\nel la los y es"),                   // und + es
+      (4L, ""))                                                 // no lines
+      .toDF("id", "text")
+    val got = TextAnalysis.lineLangConsistency(docs, "id", "text")
+      .as[(Long, Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, "en", 2L, 1000000L)))
+    // three lines, three languages: majority breaks on lang ASC -> de
+    assert(got(2L) == ((2L, 3L, 3L, "de", 1L, 333333L)))
+    assert(got(3L) == ((3L, 2L, 2L, "es", 1L, 500000L)))
+    assert(!got.contains(4L))
+  }
 }
