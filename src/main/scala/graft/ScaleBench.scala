@@ -74,7 +74,16 @@ object ScaleBench {
     // planted thumbnails (q178 — hash count grows with max doc id)
     // and CDC chunk dedup (q185 — token explode + doc-keyed windows +
     // digest first-occurrence join)
-    "q178_phash_neardup", "q185_cdc_dedup")
+    "q178_phash_neardup", "q185_cdc_dedup",
+    // round-8b heavies: line explode + digest recurrence join (q194),
+    // KMV shingle hashing + the bounded bottom-k aggregate (q195 —
+    // sketch size constant, hash volume 10×), the incremental LSH
+    // batch vs the fixed 250-doc store (q198 — the BATCH side is the
+    // decade; a real store grows too but store-side cost is one
+    // re-band of doc-count-sized signatures), and the SimHash
+    // bucket/TopK diversity cut (q199 — constant output, 10× input)
+    "q194_boilerplate_strip", "q195_source_overlap_kmv",
+    "q198_lsh_incremental", "q199_diversity_sample")
 
   /** q55's OPERATOR-ONLY legs: the full q55 figure is output-bound
     * (at sf1 the 18.9M-pair result sort/materialization dominates and

@@ -2326,6 +2326,33 @@ object SparkEntry {
             lit("\nder die und das ist hier")).otherwise(lit("")))
           .as("text"))
       TextAnalysis.lineLangConsistency(planted, "doc_id", "text")
+    }),
+    // ---- winnowing fingerprint selection (MOSS): per-doc kgram
+    //      count, selected-fingerprint count, and selection density —
+    //      the doc-partitioned rolling-min over the shingle explode. ----
+    "q204_winnowing" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val fp = Dedup.winnowFingerprints(d, "doc_id", "text",
+        kgram = 3, window = 4)
+      val counts = fp.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"))
+      d.select(col("doc_id"),
+        size(Dedup.shingleArray(TextAnalysis.tokens(col("text")), 3))
+          .cast("long").as("n_kgrams"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_kgrams"),
+          coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"))
+        .withColumn("density_micro",
+          expr("n_fingerprints * 1000000L div greatest(n_kgrams, 1L)"))
+        .orderBy("doc_id")
+    }),
+    // ---- curriculum phases: corpus ordered easy→hard by token count
+    //      (score ASC, id ASC), cut into 4 contiguous phases by exact
+    //      integer-floor boundaries over the bucketed rank. ----
+    "q205_curriculum_phases" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.curriculumPhases(d, "doc_id", "n_tokens", numPhases = 4)
     })
   )
 
@@ -5301,7 +5328,46 @@ SELECT CAST(count(*) AS BIGINT) AS n_groups,
   CAST((2 * sum(rank * cnt) - (count(*) + 1) * sum(cnt)) * 1000000
     // (count(*) * sum(cnt)) AS BIGINT) AS gini_micro
 FROM r""",
-    "q203_line_lang" -> lineLangOracle
+    "q203_line_lang" -> lineLangOracle,
+    // q204: the rolling window-min replayed verbatim (same 60-bit md5
+    // prefix mod 2^31-1, same full-window filter with the short-doc
+    // global-min fallback).
+    "q204_winnowing" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+  THEN list_transform(range(0, len(tk) - 2),
+    i -> array_to_string(tk[i+1:i+3], ' '))
+  ELSE [] END AS gr FROM toks),
+g AS (SELECT doc_id, len(gr) AS m, unnest(range(0, len(gr))) AS i, gr
+  FROM sh),
+h0 AS (SELECT doc_id, m, i,
+  CAST(('0x' || substr(md5(gr[i+1]), 1, 15)) AS BIGINT)
+    % ${Dedup.minHashP} AS h FROM g),
+w AS (SELECT doc_id, m, i, min(h) OVER (PARTITION BY doc_id ORDER BY i
+  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin FROM h0),
+sel AS (SELECT DISTINCT doc_id, wmin FROM w
+  WHERE i <= greatest(m - 4, 0)),
+c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints
+  FROM sel GROUP BY doc_id),
+k AS (SELECT doc_id, CAST(len(gr) AS BIGINT) AS n_kgrams FROM sh)
+SELECT k.doc_id, k.n_kgrams,
+  coalesce(c.n_fingerprints, 0) AS n_fingerprints,
+  CAST(coalesce(c.n_fingerprints, 0) * 1000000
+    // greatest(k.n_kgrams, 1) AS BIGINT) AS density_micro
+FROM k LEFT JOIN c ON k.doc_id = c.doc_id ORDER BY k.doc_id""",
+    // q205: one global rank window (legal at oracle scale), identical
+    // floor-boundary arithmetic.
+    "q205_curriculum_phases" ->
+      s"""WITH d AS (SELECT doc_id,
+  CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents),
+r AS (SELECT doc_id, n_tokens,
+  row_number() OVER (ORDER BY n_tokens, doc_id) AS rank FROM d),
+tot AS (SELECT count(*) AS n FROM r)
+SELECT doc_id, n_tokens, CAST(rank AS BIGINT) AS rank,
+  CAST(((rank - 1) * 4) // n AS INTEGER) AS phase,
+  CAST(rank - ((((rank - 1) * 4) // n) * n + 3) // 4 AS BIGINT)
+    AS pos_in_phase
+FROM r CROSS JOIN tot ORDER BY rank"""
   )
 
   /** q178: the planted thumbnails rebuilt in SQL (identical md5-hex

@@ -1088,6 +1088,47 @@ object Curation {
       .orderBy("bucket", "rank")
   }
 
+  /** Curriculum phase assignment — order the corpus by an integral
+    * difficulty score (easy → hard under score ASC, id ASC on ties) and
+    * cut it into `numPhases` contiguous phases by exact integer-floor
+    * boundaries: phase(rank) = ⌊(rank−1)·P/n⌋, position within phase =
+    * rank − ⌊phase·n/P⌋. The rank is the bucketed global rank (no
+    * rank − ⌈phase·n/P⌉ (phase p starts at the first rank whose
+    * (rank−1)·P reaches p·n — a ceiling, so positions restart at 1
+    * even when P does not divide n). The rank is the bucketed global
+    * rank (no single-partition window); the total count joins back as
+    * a broadcast 1-row frame. Every number is integer arithmetic a SQL
+    * oracle replays with `//`.
+    *
+    * Returns (idCol, scoreCol, rank, phase ∈ 0..P−1, pos_in_phase ≥ 1),
+    * ordered by rank. */
+  def curriculumPhases(df: DataFrame, idCol: String, scoreCol: String,
+                       numPhases: Int): DataFrame = {
+    require(numPhases >= 2 && numPhases <= 1000,
+      s"numPhases must be in [2, 1000], got $numPhases")
+    val integral = {
+      import org.apache.spark.sql.types._
+      df.schema(scoreCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _                                             => false
+      }
+    }
+    require(integral,
+      s"curriculumPhases requires an integral score column; `$scoreCol` " +
+        s"is ${df.schema(scoreCol).dataType.catalogString}")
+    val ranked = globalRank(df.select(col(idCol), col(scoreCol)),
+      idCol, scoreCol, descending = false)
+    val total = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("phase",
+        expr(s"((rank - 1) * $numPhases) div _n").cast("int"))
+      .withColumn("pos_in_phase",
+        expr(s"rank - (phase * _n + $numPhases - 1) div $numPhases"))
+      .select(col(idCol), col(scoreCol), col("rank"), col("phase"),
+        col("pos_in_phase"))
+      .orderBy("rank")
+  }
+
   /** Conversation (SFT/chat) structural validation — the schema gate a
     * post-training data pipeline runs over raw message-array JSON
     * before tokenization: parseability, turn counts per role, opening/

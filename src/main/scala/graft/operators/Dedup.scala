@@ -233,6 +233,44 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): the local-minimum kgram-hash selection whose
+    * guarantee is positional — any shared run of `window + kgram − 1`
+    * tokens between two documents yields at least one shared
+    * fingerprint — at an expected density of 2/(window+1) of the kgram
+    * count. The selection primitive under code/document plagiarism and
+    * overlap detection, complementary to MinHash (which bounds global
+    * resemblance, not local containment).
+    *
+    * Dataflow: kgram hashes ride the shingle explode (the house 60-bit
+    * md5 prefix mod 2³¹−1); the rolling minimum is ONE doc-partitioned
+    * window over `window` following rows — partitioned by document, so
+    * it distributes with the corpus — then distinct (doc, hash).
+    * Windows extending past the last kgram are dropped (full windows
+    * only, per the paper); a document with fewer than `window` kgrams
+    * keeps its single global-minimum fingerprint. Returns
+    * (idCol, fingerprint) distinct. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         kgram: Int = 3, window: Int = 4): DataFrame = {
+    require(kgram >= 1, s"kgram must be >= 1, got $kgram")
+    require(window >= 2, s"window must be >= 2, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val sh = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(shingleArray(col("_toks"), kgram)).as("_m"),
+        posexplode(shingleArray(col("_toks"), kgram))
+          .as(Seq("_pos", "_shingle")))
+      .withColumn("_h", pmod(
+        conv(substring(md5(col("_shingle")), 1, 15), 16, 10).cast("long"),
+        lit(minHashP)))
+    val w = Window.partitionBy(idCol).orderBy("_pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    sh.withColumn("_wmin", min("_h").over(w))
+      .filter(col("_pos") <= greatest(col("_m") - window, lit(0)))
+      .select(col(idCol), col("_wmin").as("fingerprint"))
+      .distinct()
+  }
+
   /** Candidate pairs from an EXISTING banded frame (id, band, sig) —
     * the from-signatures entry point, so compositions that already hold
     * signatures (estimate, exact-verify) never re-shingle or re-hash

@@ -1061,5 +1061,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p203.contains("Window") && !p203.contains("Join") &&
       !p203.contains("CartesianProduct"),
       s"line-language consistency is two hash aggregates:\n$p203")
+    // q204: the rolling min is a DOC-partitioned window — never
+    // SinglePartition — and the join back is an id equi-join
+    val p204 = finalPlan(q("q204_winnowing"))
+    assert(!p204.contains("Exchange SinglePartition") &&
+      !p204.contains("CartesianProduct") &&
+      !p204.contains("BroadcastNestedLoopJoin"),
+      s"winnowing windows must stay doc-partitioned:\n$p204")
+    // q205: bucketed global rank + ONE broadcast 1-row total — the
+    // only nested-loop is that bounded cross
+    val p205 = finalPlan(q("q205_curriculum_phases"))
+    assert(!p205.contains("CartesianProduct"),
+      s"curriculum join must broadcast the 1-row total:\n$p205")
+    assert(!p205.contains("Window [], SinglePartition"),
+      s"curriculum rank must stay bucketed:\n$p205")
   }
 }

@@ -803,6 +803,28 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("curriculumPhases: contiguous floor-boundary phases, easy first") {
+    import spark.implicits._
+    // 10 rows, scores 10..1 -> rank by (score ASC, id ASC); 4 phases
+    // over n=10: boundaries at floor(r-1)*4/10 -> sizes 3,2,3,2
+    val df = (1 to 10).map(i => (i.toLong, (11 - i).toLong))
+      .toDF("id", "difficulty")
+    val got = Curation.curriculumPhases(df, "id", "difficulty", 4)
+      .as[(Long, Long, Long, Int, Long)].collect()
+    assert(got.map(_._3).toSeq == (1L to 10L))           // rank order
+    assert(got.map(_._2).toSeq == (1L to 10L))           // easy first
+    assert(got.map(_._4).toSeq ==
+      Seq(0, 0, 0, 1, 1, 2, 2, 2, 3, 3))                 // phases
+    // positions restart at 1 inside each phase
+    assert(got.map(_._5).toSeq ==
+      Seq(1L, 2L, 3L, 1L, 2L, 1L, 2L, 3L, 1L, 2L))
+    // float scores are rejected loudly
+    intercept[IllegalArgumentException] {
+      Curation.curriculumPhases(
+        Seq((1L, 0.5)).toDF("id", "s"), "id", "s", 4)
+    }
+  }
+
   test("conversationStats validates structure with pure array expressions") {
     import spark.implicits._
     val docs = Seq(

@@ -791,6 +791,32 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((20L, 2L, Some(3L), 16, true)))
   }
 
+  test("winnowFingerprints: shared 6-token run guarantees a shared fingerprint") {
+    import spark.implicits._
+    // kgram=3, window=4: guarantee threshold = window + kgram - 1 = 6
+    // shared tokens. Docs 1/2 share the run "r1 r2 r3 r4 r5 r6" inside
+    // otherwise-disjoint text; doc 3 shares nothing.
+    val docs = Seq(
+      (1L, "a1 a2 a3 r1 r2 r3 r4 r5 r6 a4 a5 a6"),
+      (2L, "b1 b2 r1 r2 r3 r4 r5 r6 b3 b4 b5 b6 b7"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"))
+      .toDF("id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "id", "text",
+      kgram = 3, window = 4).as[(Long, Long)].collect()
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      s"positional guarantee violated: ${byDoc(1L)} vs ${byDoc(2L)}")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // density: selected count is well under the kgram count (expected
+    // 2/(w+1) = 40%; allow a loose upper bound)
+    assert(byDoc(1L).size <= 7, s"doc 1 kept ${byDoc(1L).size} of 10 kgrams")
+    // a doc shorter than the window keeps exactly its global minimum
+    val short = Seq((9L, "x1 x2 x3 x4")).toDF("id", "text") // 2 kgrams
+    val sfp = Dedup.winnowFingerprints(short, "id", "text", 3, 4)
+      .as[(Long, Long)].collect()
+    assert(sfp.length == 1)
+  }
+
   test("lshDedupAgainstStore rejects a store without signature columns") {
     import spark.implicits._
     val bad = Seq((1L, 2L)).toDF("doc_id", "h0")
