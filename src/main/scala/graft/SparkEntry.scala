@@ -2353,7 +2353,70 @@ object SparkEntry {
       val d = t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       Curation.curriculumPhases(d, "doc_id", "n_tokens", numPhases = 4)
-    })
+    }),
+    // ---- mutual top-1 embedding alignment (bitext-style pairing):
+    //      parity split of the embeddings table into two id-disjoint
+    //      sides; a pair survives iff each is the other's cosine
+    //      nearest neighbor. Brute mode here (the exact twin); the
+    //      IVF route is spec-proven ≡ brute at full probe. ----
+    "q206_mutual_align" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mutualAlign(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+    }),
+    // ---- token-balanced snake sharding: rank by n_chars DESC through
+    //      the bucketed global rank, boustrophedon over 8 shards. ----
+    "q207_snake_shard" -> ((s, dir) => {
+      Curation.snakeShard(t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", nShards = 8)
+        .select(col("doc_id"), col("n_chars"), col("rank"), col("shard"))
+        .orderBy("rank")
+    }),
+    // ---- per-document code census over PLANTED snippets (fenced
+    //      python on doc_id%5, js on %7, java on %9 — multi-plant docs
+    //      exercise the argmax tie cascade). ----
+    "q208_code_census" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(
+            "\n```\ndef f():\n    import os\n    return 1\n```"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(
+            "\nfunction g() { const x = 1; }\n\treturn x"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit(
+            "\npublic static void main() {\n    int x;\n}"))
+            .otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.codeStats(planted, "doc_id", "text")
+    }),
+    // ---- Fleiss' kappa over a synthetic 3-rater panel: base label
+    //      cat(doc_id%5); rater r dissents to the next category when
+    //      (doc_id+r)%3 = 0 — deterministic partial agreement. ----
+    "q209_fleiss_kappa" -> ((s, dir) => {
+      val ratings = t(s, dir, "documents")
+        .select(col("doc_id"), explode(typedLit(Seq(0, 1, 2))).as("rater"))
+        .withColumn("label", concat(lit("cat"),
+          when((col("doc_id") + col("rater")) % 3 === 0,
+            (col("doc_id") % 5 + 1) % 5)
+            .otherwise(col("doc_id") % 5).cast("string")))
+      Eval.fleissKappa(ratings, "doc_id", "rater", "label")
+    }),
+    // ---- exact heavy hitters (token share ≥ 1/30) behind the CMS
+    //      row-level pre-filter — no false negatives, so the output
+    //      equals the direct HAVING answer the oracle runs. ----
+    "q210_heavy_hitters" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      Sketch.heavyHitters(tk, "token", k = 30)
+    }),
+    // ---- mutual information lang ↔ source in exact micronats, with
+    //      both marginal entropies in the same convention. ----
+    "q211_mutual_info" -> ((s, dir) =>
+      Stats.mutualInfo(t(s, dir, "documents"), "lang", "source"))
   )
 
   /** q154's requested mixture in integer micros (en-heavy; the two
@@ -5367,7 +5430,135 @@ SELECT doc_id, n_tokens, CAST(rank AS BIGINT) AS rank,
   CAST(((rank - 1) * 4) // n AS INTEGER) AS phase,
   CAST(rank - ((((rank - 1) * 4) // n) * n + 3) // 4 AS BIGINT)
     AS pos_in_phase
-FROM r CROSS JOIN tot ORDER BY rank"""
+FROM r CROSS JOIN tot ORDER BY rank""",
+    // q206: complete quadratic rank-1 in both directions (exact at
+    // oracle scale), mutual join — identical cosine + (cos DESC, id
+    // ASC) tie order as the engine's TopK.
+    "q206_mutual_align" ->
+      """WITH l AS (SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % 2 = 0),
+r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+l2r AS (SELECT left_id, right_id FROM (
+  SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+    row_number() OVER (PARTITION BY l.vec_id ORDER BY
+      list_cosine_similarity(
+        list_transform(l.embedding, x -> CAST(x AS DOUBLE)),
+        list_transform(r.embedding, x -> CAST(x AS DOUBLE))) DESC,
+      r.vec_id) AS rk
+  FROM l, r) WHERE rk = 1),
+r2l AS (SELECT left_id, right_id FROM (
+  SELECT r.vec_id AS right_id, l.vec_id AS left_id,
+    row_number() OVER (PARTITION BY r.vec_id ORDER BY
+      list_cosine_similarity(
+        list_transform(r.embedding, x -> CAST(x AS DOUBLE)),
+        list_transform(l.embedding, x -> CAST(x AS DOUBLE))) DESC,
+      l.vec_id) AS rk
+  FROM r, l) WHERE rk = 1)
+SELECT a.left_id, a.right_id FROM l2r a
+JOIN r2l b ON a.left_id = b.left_id AND a.right_id = b.right_id
+ORDER BY a.left_id""",
+    // q207: one global rank window (legal at oracle scale), identical
+    // snake arithmetic on the non-negative rank−1.
+    "q207_snake_shard" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
+  CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+    ELSE 7 - (rank - 1) % 8 END AS BIGINT) AS shard
+FROM r ORDER BY rank""",
+    // q208: identical planting (chr(10)/chr(9) newlines), every
+    // pattern and the CASE cascade replayed verbatim.
+    "q208_code_census" ->
+      """WITH p AS (SELECT doc_id, text ||
+  CASE WHEN (doc_id % 5 + 5) % 5 = 0 THEN chr(10) || '```' || chr(10)
+    || 'def f():' || chr(10) || '    import os' || chr(10)
+    || '    return 1' || chr(10) || '```' ELSE '' END ||
+  CASE WHEN (doc_id % 7 + 7) % 7 = 0 THEN chr(10)
+    || 'function g() { const x = 1; }' || chr(10) || chr(9)
+    || 'return x' ELSE '' END ||
+  CASE WHEN (doc_id % 9 + 9) % 9 = 0 THEN chr(10)
+    || 'public static void main() {' || chr(10) || '    int x;'
+    || chr(10) || '}' ELSE '' END AS text FROM documents),
+c AS (SELECT doc_id,
+  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+  CAST(len(regexp_extract_all(text, '```')) AS BIGINT)
+    AS n_fence_markers,
+  CAST(len(list_filter(string_split(text, chr(10)),
+    l -> l LIKE '    %' OR substr(l, 1, 1) = chr(9))) AS BIGINT)
+    AS n_indent_lines,
+  CAST(len(regexp_extract_all(text, '(def |import |lambda )'))
+    AS BIGINT) AS kw_python,
+  CAST(len(regexp_extract_all(text, '(function |const |=> )'))
+    AS BIGINT) AS kw_js,
+  CAST(len(regexp_extract_all(text, '(public |void |static )'))
+    AS BIGINT) AS kw_java
+FROM p)
+SELECT doc_id, n_lines, n_fence_markers, n_indent_lines, kw_python,
+  kw_js, kw_java,
+  CASE WHEN kw_python = 0 AND kw_js = 0 AND kw_java = 0 THEN 'none'
+    WHEN kw_python >= kw_js AND kw_python >= kw_java THEN 'python'
+    WHEN kw_js >= kw_java THEN 'js' ELSE 'java' END AS guess_lang,
+  n_indent_lines * 1000000 // greatest(n_lines, 1)
+    AS code_line_ratio_micro
+FROM c ORDER BY doc_id""",
+    // q209: identical synthetic panel; the denominator-cleared kappa
+    // in HUGEINT, truncating //.
+    "q209_fleiss_kappa" ->
+      """WITH rt AS (SELECT doc_id, r, 'cat' ||
+  CAST(CASE WHEN (doc_id + r) % 3 = 0 THEN (doc_id % 5 + 1) % 5
+    ELSE doc_id % 5 END AS VARCHAR) AS label
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS r)),
+cell AS (SELECT doc_id, label, count(*) AS nij FROM rt GROUP BY 1, 2),
+it AS (SELECT count(*) AS n_items, min(rr) AS rmin, max(rr) AS rmax,
+  CAST(sum(s2) AS HUGEINT) AS s2
+  FROM (SELECT doc_id, sum(nij) AS rr, sum(nij * nij) AS s2
+        FROM cell GROUP BY 1)),
+lb AS (SELECT count(*) AS n_categories, CAST(sum(tj * tj) AS HUGEINT)
+  AS t2 FROM (SELECT label, sum(nij) AS tj FROM cell GROUP BY 1)),
+base AS (SELECT n_items, rmax, n_categories, s2, t2,
+  CAST(n_items AS HUGEINT) * rmax AS nr FROM it, lb),
+f AS (SELECT n_items, rmax, n_categories, s2 - nr AS pon,
+  nr * (rmax - 1) AS pod, t2 AS pen, nr * nr AS ped FROM base)
+SELECT n_items, CAST(rmax AS BIGINT) AS n_raters, n_categories,
+  CAST(CASE WHEN pod * ped - pen * pod = 0
+    THEN CASE WHEN n_items > 0 THEN 1000000 ELSE 0 END
+    ELSE (pon * ped - pen * pod) * 1000000 // (pod * ped - pen * pod)
+    END AS BIGINT) AS kappa_micro
+FROM f""",
+    // q210: the direct HAVING answer — the CMS pre-filter has no
+    // false negatives, so the engine's exact pass equals it.
+    "q210_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($tokensSql) AS key FROM documents),
+tot AS (SELECT count(*) AS nt FROM tk)
+SELECT key, count(*) AS n FROM tk CROSS JOIN tot
+GROUP BY key, nt HAVING count(*) * 30 >= nt
+ORDER BY n DESC, key""",
+    // q211: same cell/marginal frames; round(ln(double of exact
+    // integer quotients), 6) is the only float boundary (the q190
+    // reduction), then exact decimal sums.
+    "q211_mutual_info" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS nij
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2),
+ma AS (SELECT a, sum(nij) AS ni FROM cells GROUP BY 1),
+mb AS (SELECT b, sum(nij) AS nj FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+  count(*) AS n_cells FROM cells),
+mi AS (SELECT CAST(coalesce(sum(CAST(nij AS DECIMAL(18,0)) *
+    CAST(round(ln((n * nij) / (ni * nj)), 6) AS DECIMAL(18,6)))
+    * 1000000, 0) AS BIGINT) AS mi_micro
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot),
+ha AS (SELECT count(*) AS n_a,
+  CAST(coalesce(sum(CAST(ni AS DECIMAL(18,0)) *
+    CAST(round(ln(n / ni), 6) AS DECIMAL(18,6))) * 1000000, 0)
+    AS BIGINT) AS h_a_micro FROM ma CROSS JOIN tot),
+hb AS (SELECT count(*) AS n_b,
+  CAST(coalesce(sum(CAST(nj AS DECIMAL(18,0)) *
+    CAST(round(ln(n / nj), 6) AS DECIMAL(18,6))) * 1000000, 0)
+    AS BIGINT) AS h_b_micro FROM mb CROSS JOIN tot)
+SELECT n, n_a, n_b, n_cells, mi_micro, h_a_micro, h_b_micro
+FROM tot, ha, hb, mi"""
   )
 
   /** q178: the planted thumbnails rebuilt in SQL (identical md5-hex

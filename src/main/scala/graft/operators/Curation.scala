@@ -1169,4 +1169,35 @@ object Curation {
           .otherwise(lit(0L)).as("content_chars"))
       .orderBy(idCol)
   }
+
+  /** Token-balanced shard assignment — the "fill S output shards
+    * evenly by cost" step before writing training shards: documents
+    * rank by token count DESC (id ASC on ties) through the bucketed
+    * [[globalRank]] (no single-partition window), then snake
+    * (boustrophedon) over the shards — block b = (rank−1) div S routes
+    * even blocks 0→S−1 and odd blocks S−1→0, the classic greedy
+    * balancer that pairs each block's heavy docs with the next block's
+    * light ones, bounding any two shards' cost gap by one document per
+    * block pair. Deterministic given unique ids; both `div` and `%`
+    * see only the non-negative rank−1, so floor-vs-truncate cannot
+    * diverge across engines.
+    *
+    * Returns (idCol, tokenCol, rank, shard); callers aggregate
+    * per-shard totals or route writes by `shard`. 100 TB shape: the
+    * rank is the bucketed prefix sum (driver sees #buckets rows), the
+    * snake is a per-row expression — no extra shuffle beyond the
+    * rank's. */
+  def snakeShard(df: DataFrame, idCol: String, tokenCol: String,
+                 nShards: Int): DataFrame = {
+    require(nShards >= 2 && nShards <= 100000,
+      s"nShards must be in [2, 100000]: $nShards")
+    val ranked = globalRank(df.select(col(idCol), col(tokenCol)),
+      idCol, tokenCol, descending = true)
+    ranked
+      .withColumn("shard",
+        when(expr(s"((rank - 1) div ${nShards}L) % 2") === 0,
+          expr(s"(rank - 1) % ${nShards}L"))
+          .otherwise(lit(nShards.toLong) - 1L -
+            expr(s"(rank - 1) % ${nShards}L")))
+  }
 }

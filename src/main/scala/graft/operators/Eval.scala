@@ -254,4 +254,70 @@ object Eval {
       .filter(col("margin") > 0)
       .orderBy(promptCol)
   }
+
+  /** Fleiss' kappa — chance-corrected agreement for R ≥ 2 raters per
+    * item (the multi-annotator generalization of [[cohensKappa]], the
+    * label-quality gate before majority-vote consensus ships). With
+    * n_ij = votes item i received for category j, T_j = Σ_i n_ij and
+    * N·R total votes:
+    *
+    *   P_o = (Σ n_ij² − N·R) / (N·R·(R−1)),   P_e = Σ_j T_j² / (N·R)²
+    *   κ   = (P_o − P_e) / (1 − P_e)
+    *
+    * cleared of denominators into ONE exact rational (DECIMAL(38,0)
+    * products — T_j² sums can exceed int64 at corpus scale):
+    *
+    *   κ·10⁶ = (Po_n·Pe_d − Pe_n·Po_d)·10⁶ div (Po_d·Pe_d − Pe_n·Po_d)
+    *
+    * Truncating `div` matches DuckDB `//` on the possibly-negative
+    * numerator (worse-than-chance panels). The degenerate P_e = 1
+    * case (every vote one category) reports 10⁶ — P_o is then
+    * identically 1, the [[cohensKappa]] convention. Fleiss' statistic
+    * is only defined for an EQUAL rater count per item: unequal counts
+    * raise (fused into the stats aggregate — no dedicated guard scan).
+    *
+    * Shape at 100 TB: one (item, label) hash aggregate, one item-level
+    * and one label-level re-aggregate (the label frame is
+    * |categories|-sized), a 1-row result. Returns (n_items, n_raters,
+    * n_categories, kappa_micro). */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+                  labelCol: String): DataFrame = {
+    val base = df.filter(col(itemCol).isNotNull &&
+      col(raterCol).isNotNull && col(labelCol).isNotNull)
+    val cell = base.groupBy(col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("_nij"))
+    val items = cell.groupBy(col(itemCol))
+      .agg(sum("_nij").as("_r"), sum(col("_nij") * col("_nij")).as("_s2"))
+      .agg(count(lit(1)).as("n_items"), min("_r").as("_rmin"),
+        max("_r").as("_rmax"), sum("_s2").cast("decimal(38,0)").as("_s2"))
+    val lbls = cell.groupBy(col(labelCol)).agg(sum("_nij").as("_tj"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum((col("_tj") * col("_tj")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("_t2"))
+    items.crossJoin(lbls)
+      .select(col("n_items"),
+        when(col("_rmin") =!= col("_rmax"), raise_error(concat(
+          lit("fleissKappa requires an equal rater count per item: " +
+            "found counts from "), col("_rmin").cast("string"),
+          lit(" to "), col("_rmax").cast("string"))))
+          .otherwise(col("_rmax")).as("n_raters"),
+        col("n_categories"), col("_s2"), col("_t2"))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        expr("""CAST(n_items * n_raters AS DECIMAL(38,0))""").as("_nr"),
+        col("_s2"), col("_t2"))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        (col("_s2") - col("_nr")).as("_po_n"),
+        (col("_nr") * (col("n_raters") - 1)).cast("decimal(38,0)")
+          .as("_po_d"),
+        col("_t2").as("_pe_n"),
+        (col("_nr") * col("_nr")).as("_pe_d"))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        when(col("_po_d") * col("_pe_d") - col("_pe_n") * col("_po_d")
+            === 0,
+          when(col("n_items") > 0, lit(1000000L)).otherwise(lit(0L)))
+          .otherwise(expr(
+            """CAST((_po_n * _pe_d - _pe_n * _po_d) * 1000000
+               div (_po_d * _pe_d - _pe_n * _po_d) AS BIGINT)"""))
+          .as("kappa_micro"))
+  }
 }

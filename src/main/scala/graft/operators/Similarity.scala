@@ -1097,4 +1097,43 @@ object Similarity {
       .toDF("pos", "component_micro")
       .orderBy("pos")
   }
+
+  /** Mutual top-1 alignment between two embedding frames — the
+    * margin-free core of bitext / cross-collection pairing (the
+    * mutual-nearest-neighbor criterion LASER/CCMatrix-style mining
+    * applies before margin scoring): a pair (l, r) is emitted iff r is
+    * l's cosine nearest neighbor among `right` AND l is r's among
+    * `left`. Ids must be disjoint across the two frames — the top-1
+    * joins drop equal-id candidates (the self-pair rule inherited
+    * from [[bruteForceTopK]]), so a shared id would silently remove
+    * that cross-frame candidate; callers key the two sides on
+    * non-overlapping id spaces (the gate uses a parity split).
+    *
+    * `nCells = 0` runs both directions brute-force; `nCells > 0`
+    * routes both through [[ivfTopK]] — at full probe (`nProbe = 0` ⇒
+    * nProbe = nCells) the result is deterministically ≡ brute force
+    * (the q21 equivalence), at partial probe it is the documented
+    * approximate scale path. Cosine ties break by neighbor id ASC
+    * (the TopK total order), so every mode is a deterministic
+    * function of its inputs.
+    *
+    * Scale shape (100 TB): two candidate-bounded top-1 joins + one
+    * equi-join of the two (query → best) frames; nothing all-pairs
+    * outside the probed cells. */
+  def mutualAlign(left: DataFrame, right: DataFrame, idCol: String,
+                  vecCol: String, nCells: Int = 0,
+                  nProbe: Int = 0): DataFrame = {
+    def top1(c: DataFrame, q: DataFrame): DataFrame =
+      if (nCells <= 0) bruteForceTopK(c, q, idCol, vecCol, k = 1)
+      else ivfTopK(c, q, idCol, vecCol, k = 1, nCells = nCells,
+        nProbe = if (nProbe <= 0) nCells else nProbe)
+    val l2r = top1(right, left).select(col("query_id").as("left_id"),
+      col("neighbor_id").as("right_id"))
+    val r2l = top1(left, right).select(col("query_id").as("_rq"),
+      col("neighbor_id").as("_rn"))
+    l2r.join(r2l, col("right_id") === col("_rq") &&
+        col("left_id") === col("_rn"))
+      .select(col("left_id"), col("right_id"))
+      .orderBy("left_id")
+  }
 }

@@ -371,4 +371,48 @@ object Sketch {
         col("est_jaccard_micro"))
       .orderBy("g_a", "g_b")
   }
+
+  /** EXACT heavy hitters with a CMS pre-filter — the keys whose true
+    * count n satisfies n·k ≥ N (the φ = 1/k frequent-items threshold,
+    * written multiplication-only so no division semantics can
+    * diverge). The [[cmsSketch]] estimate NEVER undercounts, so
+    * filtering rows by est·k ≥ N has no false negatives; the exact
+    * aggregate then runs over candidate rows only. That is the whole
+    * 100 TB story: the full key space (billions of distinct URLs /
+    * tokens) is never shuffled — the d×w grid (≤ 8·65536 cells)
+    * collects to the driver once and rides every row as ONE array
+    * literal probed per-row in the scan (map-side, codegen'd), and the
+    * only shuffle is the candidate subset, ≤ k·(collision overcount)
+    * keys' rows. Both passes read the source (sketch pass + filtered
+    * exact pass) — still two scans, zero wide exchanges of the
+    * non-heavy mass.
+    *
+    * Returns exact (key, n) for true heavy hitters, ordered
+    * (n DESC, key ASC) — identical to the direct HAVING n·k ≥ N
+    * answer, which is the oracle twin. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int,
+                   cmsDepth: Int = 4, cmsWidth: Int = 4096): DataFrame = {
+    require(k >= 2 && k <= 1000000, s"k must be in [2, 1e6]: $k")
+    require(cmsDepth >= 2 && cmsDepth <= 8,
+      s"cmsDepth must be in [2, 8]: $cmsDepth")
+    require(cmsWidth >= 16 && cmsWidth <= 65536,
+      s"cmsWidth must be in [16, 65536] (the grid collects): $cmsWidth")
+    val keys = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"))
+    val nTotal = keys.count()
+    val grid = Array.fill(cmsDepth * cmsWidth)(0L)
+    cmsSketch(keys, "key", cmsDepth, cmsWidth)
+      .limit(cmsDepth * cmsWidth + 1).collect()
+      .foreach(r => grid(r.getInt(0) * cmsWidth + r.getLong(1).toInt) =
+        r.getLong(2))
+    val gridLit = typedLit(grid.toSeq)
+    val est = least((0 until cmsDepth).map(i =>
+      element_at(gridLit,
+        (bloomPos(col("key"), i, cmsWidth) + lit(i.toLong * cmsWidth) +
+          lit(1L)).cast("int"))): _*)
+    keys.filter(est * lit(k.toLong) >= lit(nTotal))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .filter(col("n") * lit(k.toLong) >= lit(nTotal))
+      .orderBy(col("n").desc, col("key").asc)
+  }
 }

@@ -222,4 +222,64 @@ object Stats {
         expr("""CAST((2 * _six - (n_groups + 1) * total) * 1000000
           div (n_groups * total) AS BIGINT)""").as("gini_micro"))
   }
+
+  /** Mutual information between two categorical columns in exact
+    * integer micronats — "how much does source tell you about
+    * language?", the association strength a corpus-mixture designer
+    * reads next to the chi² test (which only answers IF, not HOW
+    * MUCH). With cell counts n_ij and marginals n_i, n_j over n rows:
+    *
+    *   MI·10⁶ = Σ_ij n_ij · round(ln(n·n_ij / (n_i·n_j)), 6)·10⁶
+    *
+    * — the [[TextAnalysis.charEntropy]] reduction: the 6-dp round is
+    * the only float boundary (ln of a double quotient of exact
+    * integers, bit-identical across engines); from there everything
+    * sums in exact decimals. Marginal entropies H(a), H(b) ship in the
+    * same TOTAL-micronats convention (Σ n_i·ln(n/n_i)), so callers can
+    * derive normalized variants without another scan. Terms may be
+    * negative (independent-ish cells round below zero) — the decimal
+    * SUM is order-independent either way.
+    *
+    * Shape at 100 TB: one (a, b) hash aggregate over the data, then
+    * everything downstream operates on the |A|·|B|-sized cell frame
+    * (marginals are broadcast re-aggregates of it — the data is
+    * scanned ONCE). One row out: (n, n_a, n_b, n_cells, mi_micro,
+    * h_a_micro, h_b_micro). */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // The |A|·|B|-sized cell frame feeds four consumers — materialize
+    // once (the Graph.scala localCheckpoint convention for reused
+    // frames) so the data scan happens exactly once.
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_nij"))
+      .localCheckpoint()
+    val ma = cells.groupBy("_a").agg(sum("_nij").as("_ni"))
+    val mb = cells.groupBy("_b").agg(sum("_nij").as("_nj"))
+    val tot = cells.agg(coalesce(sum("_nij"), lit(0L)).as("_n"),
+      count(lit(1)).as("n_cells"))
+    val mi = cells.join(broadcast(ma), "_a").join(broadcast(mb), "_b")
+      .crossJoin(broadcast(tot))
+      .select(col("_nij"),
+        round(log((col("_n") * col("_nij")).cast("double") /
+          (col("_ni") * col("_nj")).cast("double")), 6).as("_t"))
+      .agg(coalesce((sum(col("_nij").cast("decimal(18,0)") *
+        col("_t").cast("decimal(18,6)")) * lit(1000000))
+        .cast("long"), lit(0L)).as("mi_micro"))
+    def hTotal(m: DataFrame, cnt: String, outN: String,
+               outH: String): DataFrame =
+      m.crossJoin(broadcast(tot.select(col("_n"))))
+        .select(col(cnt),
+          round(log(col("_n").cast("double") / col(cnt).cast("double")),
+            6).as("_t"))
+        .agg(count(lit(1)).as(outN),
+          coalesce((sum(col(cnt).cast("decimal(18,0)") *
+            col("_t").cast("decimal(18,6)")) * lit(1000000))
+            .cast("long"), lit(0L)).as(outH))
+    tot.crossJoin(hTotal(ma, "_ni", "n_a", "h_a_micro"))
+      .crossJoin(hTotal(mb, "_nj", "n_b", "h_b_micro"))
+      .crossJoin(mi)
+      .select(col("_n").as("n"), col("n_a"), col("n_b"),
+        col("n_cells"), col("mi_micro"), col("h_a_micro"),
+        col("h_b_micro"))
+  }
 }

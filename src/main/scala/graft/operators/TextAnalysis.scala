@@ -940,4 +940,56 @@ object TextAnalysis {
         expr("n_majority * 1000000L div greatest(n_lines, 1L)"))
       .orderBy(idCol)
   }
+
+  /** Per-document code census — the code-vs-prose routing signals a
+    * corpus builder needs before sending documents down a code
+    * pipeline: fence markers, indent-prefixed lines, per-language
+    * keyword hits over a fixed Java∩RE2 literal lexicon, and a
+    * deterministic language guess. Everything is a per-row
+    * regexp count / line fold in one codegen'd map pass — no shuffle.
+    *
+    * The guess is a CASE cascade with a total tie order (python ≥ js
+    * ≥ java on equal hit counts, 'none' when all three are zero) —
+    * the same decision is replayed verbatim by the SQL oracle, so no
+    * argmax ambiguity can diverge. code_line_ratio_micro =
+    * ⌊10⁶·n_indent_lines/max(n_lines,1)⌋ (non-negative numerator; div
+    * truncation safe).
+    *
+    * Returns (idCol, n_lines, n_fence_markers, n_indent_lines,
+    * kw_python, kw_js, kw_java, guess_lang, code_line_ratio_micro),
+    * ordered by idCol. */
+  def codeStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reservedCs = Set("n_lines", "n_fence_markers", "n_indent_lines",
+      "kw_python", "kw_js", "kw_java", "guess_lang",
+      "code_line_ratio_micro", "_lines")
+    require(!reservedCs.contains(idCol),
+      s"codeStats: idCol `$idCol` collides with a working/output column")
+    df.select(col(idCol),
+        split(col(textCol), "\n", -1).as("_lines"),
+        regexp_count(col(textCol), lit("```")).cast("long")
+          .as("n_fence_markers"),
+        regexp_count(col(textCol), lit("(def |import |lambda )"))
+          .cast("long").as("kw_python"),
+        regexp_count(col(textCol), lit("(function |const |=> )"))
+          .cast("long").as("kw_js"),
+        regexp_count(col(textCol), lit("(public |void |static )"))
+          .cast("long").as("kw_java"))
+      .select(col(idCol),
+        size(col("_lines")).cast("long").as("n_lines"),
+        col("n_fence_markers"),
+        size(filter(col("_lines"),
+          l => l.startsWith("    ") || l.startsWith("\t")))
+          .cast("long").as("n_indent_lines"),
+        col("kw_python"), col("kw_js"), col("kw_java"))
+      .withColumn("guess_lang",
+        when(col("kw_python") === 0 && col("kw_js") === 0 &&
+          col("kw_java") === 0, lit("none"))
+          .when(col("kw_python") >= col("kw_js") &&
+            col("kw_python") >= col("kw_java"), lit("python"))
+          .when(col("kw_js") >= col("kw_java"), lit("js"))
+          .otherwise(lit("java")))
+      .withColumn("code_line_ratio_micro",
+        expr("n_indent_lines * 1000000L div greatest(n_lines, 1L)"))
+      .orderBy(idCol)
+  }
 }

@@ -1076,4 +1076,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p205.contains("Window [], SinglePartition"),
       s"curriculum rank must stay bucketed:\n$p205")
   }
+
+  test("round-8c queries (q206-q211) keep scale-safe shapes") {
+    // q206: the two top-1 scorings are the documented broadcast-NL
+    // brute shape (the q20 allowance — queries side broadcasts); the
+    // MUTUAL pairing itself must be a hash equi-join on the id pair,
+    // never a product
+    val p206 = finalPlan(q("q206_mutual_align"))
+    assert(!p206.contains("CartesianProduct"),
+      s"mutual align must never plan a cartesian:\n$p206")
+    assert(p206.contains("BroadcastHashJoin") ||
+      p206.contains("SortMergeJoin"),
+      s"the mutual pairing must be an equi-join:\n$p206")
+    // q207: the rank is the bucketed prefix sum — no global funnel
+    val p207 = finalPlan(q("q207_snake_shard"))
+    assert(!p207.contains("Exchange SinglePartition"),
+      s"snake sharding must keep the bucketed rank:\n$p207")
+    // q208: pure per-row census — no join, no window, no product
+    val p208 = finalPlan(q("q208_code_census"))
+    assert(!p208.contains("Join") && !p208.contains("Window") &&
+      !p208.contains("CartesianProduct"),
+      s"code census is one codegen'd map pass:\n$p208")
+    // q209: label frame broadcasts; the 1-row stats crosses are the
+    // only nested-loop sources
+    val p209 = finalPlan(q("q209_fleiss_kappa"))
+    assert(!p209.contains("CartesianProduct"),
+      s"fleiss kappa must broadcast its 1-row stats frames:\n$p209")
+    // q210: the CMS pre-filter is a per-row array-literal probe in the
+    // scan (element_at over the broadcast grid), BEFORE any exchange —
+    // the full key space must never shuffle
+    val p210 = finalPlan(q("q210_heavy_hitters"))
+    assert(p210.contains("element_at"),
+      s"heavy hitters must probe the CMS grid per-row:\n$p210")
+    assert(!p210.contains("Join"),
+      s"the candidate filter is an expression, not a join:\n$p210")
+    // q211: cells localCheckpoint once; marginals broadcast back
+    val p211 = finalPlan(q("q211_mutual_info"))
+    assert(!p211.contains("CartesianProduct"),
+      s"mutual info crosses only 1-row frames:\n$p211")
+    assert(p211.contains("BroadcastHashJoin"),
+      s"marginal joins must broadcast:\n$p211")
+  }
 }

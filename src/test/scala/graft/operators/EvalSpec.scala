@@ -141,4 +141,33 @@ class EvalSpec extends SparkSpec {
       Eval.preferencePairs(fl, "prompt", "id", "score")
     }
   }
+
+  test("fleissKappa: hand-computed two-item panel, truncating division") {
+    import spark.implicits._
+    // item 1: both raters say a (agree); item 2: split a/b.
+    // P_o = (6-4)/4 = 1/2; P_e = (9+1)/16 = 5/8; kappa = -1/3
+    val df = Seq((1L, 0, "a"), (1L, 1, "a"), (2L, 0, "a"), (2L, 1, "b"))
+      .toDF("item", "rater", "label")
+    val r = Eval.fleissKappa(df, "item", "rater", "label").collect().head
+    assert(r.getLong(0) == 2L, "n_items")
+    assert(r.getLong(1) == 2L, "n_raters")
+    assert(r.getLong(2) == 2L, "n_categories")
+    // -1000000/3 truncates toward zero in BOTH engines: -333333
+    assert(r.getLong(3) == -333333L, s"kappa_micro: $r")
+  }
+
+  test("fleissKappa: degenerate unanimous panel reports 1.0; unequal counts raise") {
+    import spark.implicits._
+    val unanimous = Seq((1L, 0, "x"), (1L, 1, "x"), (2L, 0, "x"),
+      (2L, 1, "x")).toDF("item", "rater", "label")
+    assert(Eval.fleissKappa(unanimous, "item", "rater", "label")
+      .collect().head.getLong(3) == 1000000L)
+    val ragged = Seq((1L, 0, "a"), (1L, 1, "a"), (2L, 0, "a"))
+      .toDF("item", "rater", "label")
+    val ex = intercept[Exception] {
+      Eval.fleissKappa(ragged, "item", "rater", "label").collect()
+    }
+    assert(ex.getMessage.contains("equal rater count") ||
+      Option(ex.getCause).exists(_.getMessage.contains("equal rater count")))
+  }
 }

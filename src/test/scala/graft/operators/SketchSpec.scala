@@ -194,4 +194,22 @@ class SketchSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long)].collect()
     assert(got.toSeq == Seq(("a", "b", 2L, 4L, 500000L)))
   }
+
+  test("heavyHitters: exact answer survives the CMS pre-filter, skew fixture") {
+    import spark.implicits._
+    // 100×a, 30×b, 40 singletons → N = 170, k = 5 → threshold n·5 ≥ 170
+    // only a (100·5 = 500 ≥ 170) qualifies; b (150 < 170) must NOT —
+    // and no singleton may survive even if CMS collisions inflate it,
+    // because the second pass is exact.
+    val keys = Seq.fill(100)("a") ++ Seq.fill(30)("b") ++
+      (0 until 40).map(i => s"s$i")
+    val df = keys.toDF("k")
+    val got = Sketch.heavyHitters(df, "k", k = 5, cmsDepth = 2,
+      cmsWidth = 16).as[(String, Long)].collect()
+    assert(got.toSeq == Seq(("a", 100L)), s"got ${got.toSeq}")
+    // boundary: n·k == N exactly qualifies (b at k=6: 180 ≥ 170)
+    val got6 = Sketch.heavyHitters(df, "k", k = 6, cmsDepth = 2,
+      cmsWidth = 16).as[(String, Long)].collect()
+    assert(got6.toSeq == Seq(("a", 100L), ("b", 30L)), s"got ${got6.toSeq}")
+  }
 }
