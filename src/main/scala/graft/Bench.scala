@@ -59,10 +59,27 @@ object Bench {
     val timesByQuery = queryList.map { case (name, _) =>
       name -> scala.collection.mutable.ArrayBuffer.empty[Double]
     }.toMap
-    for (rep <- 1 to reps; (name, fn) <- queryList) {
+    // Mid-sweep canary probes: the post-sweep canary (below) brackets
+    // only SWEEP-WIDE contamination — a transient load window that
+    // inflates a few mid-sweep queries' reps and is gone by the end
+    // still reads as a per-query regression (the round-8 q167/q168
+    // ambiguity). One cheap probe at the midpoint of every rep gives
+    // the JSON a time-distributed load record to adjudicate from.
+    val midCanaryName = "q01_profile_lineitem"
+    val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val midIdx = queryList.size / 2
+    for (rep <- 1 to reps; ((name, fn), idx) <- queryList.zipWithIndex) {
       // nudge the cleaner at each sweep boundary so rep N+1 starts
       // from the same storage state rep 1 did
-      if (name == queryList.head._1 && rep > 1) System.gc()
+      if (idx == 0 && rep > 1) System.gc()
+      if (idx == midIdx && SparkEntry.queries.contains(midCanaryName)) {
+        val m0 = System.nanoTime()
+        val mok =
+          try { SparkEntry.queries(midCanaryName)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        midProbes += (if (mok) (System.nanoTime() - m0) / 1e9 else -1.0)
+      }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -105,15 +122,25 @@ object Bench {
       val sweep = results.toMap.getOrElse(n, -1.0)
       (n, sweep, rerun)
     }
-    val canaryContaminated = canary.exists { case (_, sweep, rerun) =>
-      sweep > 0 && rerun > 0 &&
-        (sweep / rerun > 2.0 || rerun / sweep > 2.0)
-    }
+    // Contamination = any post-sweep rerun disagreeing >2× with its
+    // sweep median, OR any mid-sweep probe disagreeing >2× with the
+    // canary query's own sweep median — the latter catches a transient
+    // load window confined to the middle of a rep, which the
+    // post-sweep reruns alone cannot see.
+    val midRef = results.toMap.getOrElse(midCanaryName, -1.0)
+    val midContaminated = midProbes.exists(p => p > 0 && midRef > 0 &&
+      (p / midRef > 2.0 || midRef / p > 2.0))
+    val canaryContaminated = midContaminated ||
+      canary.exists { case (_, sweep, rerun) =>
+        sweep > 0 && rerun > 0 &&
+          (sweep / rerun > 2.0 || rerun / sweep > 2.0)
+      }
     val canaryJson = canary.map { case (n, sweep, rerun) =>
       f""""$n":{"sweep":$sweep%.3f,"rerun":$rerun%.3f}"""
     }.mkString("{", ",", "}")
+    val canaryMidJson = midProbes.map(p => f"$p%.3f").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"canary":$canaryJson,"canary_contaminated":$canaryContaminated,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"canary":$canaryJson,"canary_mid":$canaryMidJson,"canary_contaminated":$canaryContaminated,"sf":"$sfDir"}"""
     println(json)
     // Durable twin of the stdout line: a long per-query map can exceed
     // the harness's stdout capture window (round-4 BENCH json was

@@ -83,7 +83,63 @@ object ScaleBench {
     // re-band of doc-count-sized signatures), and the SimHash
     // bucket/TopK diversity cut (q199 — constant output, 10× input)
     "q194_boilerplate_strip", "q195_source_overlap_kmv",
-    "q198_lsh_incremental", "q199_diversity_sample")
+    "q198_lsh_incremental", "q199_diversity_sample",
+    // round-9 legs: winnowing selection post-quadratic-fix (q204 —
+    // doc-partitioned window over the kgram explode, linear per doc),
+    // mutual top-1 alignment (q206 — the BRUTE exact twin is
+    // Θ(|L|·|R|) BY DESIGN, the documented oracle shape; expect ~100×
+    // per data decade here — the production path is the spec-≡ IVF
+    // route), exact heavy hitters behind the CMS pre-filter (q210 —
+    // two linear scans), the incremental winnowing store gate (q213 —
+    // fixed 250-doc store, 10× batch), and conversation-content exact
+    // dedup (q214 — one digest group-by; group sizes grow 10× but the
+    // agg is linear). q212/q215 are deliberately NOT legged via their
+    // gate queries: both plant cross-replica-identical content (the
+    // shared passage / the %150 turn groups), so their PAIR outputs
+    // grow ~100× per decade — duplicate density, not volume (the q105
+    // precedent); q212's operator is legged below on unplanted text.
+    "q204_winnowing", "q206_mutual_align", "q210_heavy_hitters",
+    "q213_winnow_store", "q214_convo_dedup")
+
+  /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
+    * shards are shingle-disjoint, so true-pair output grows ~10× per
+    * decade and the leg measures the operator (fingerprint explode +
+    * df-banded self-join), not the planted duplicate density. */
+  private def q212OperatorLeg(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    graft.operators.Dedup.winnowOverlapPairs(d, "doc_id", "text",
+      kgram = 3, window = 4, minShared = 1, maxDocFreq = 1000)
+  }
+
+  /** q198 STORE-GROWTH leg: the batch-side decade is covered by the
+    * q198 gate leg (fixed 250-doc store, 10× batch); the production
+    * question for an hourly incremental dedup is the other axis — a
+    * FIXED batch against a store 10× bigger. The batch (doc_id < 500)
+    * is replica-0 text, byte-identical at both dirs; the store
+    * (doc_id ≥ 500) holds 4,500 signatures at sf0.1 and 49,500 at sf1.
+    * Store signatures are PRE-COMPUTED to parquet (untimed, the
+    * production layout — the whole point of a signature store is that
+    * accepted docs are never re-shingled), so the leg times exactly
+    * what a store-growth decade costs: one re-band of store
+    * signatures + the banded join. Expected ≤ ~2×/decade. */
+  private def q198StorePath(dir: String): String =
+    "target/q198store-" + dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def prepQ198Store(s: SparkSession, dir: String): Unit = {
+    val p = q198StorePath(dir)
+    if (!new java.io.File(s"$p/_SUCCESS").exists()) {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") >= 500).select("doc_id", "text")
+      graft.operators.Dedup.minHashSignatures(
+        graft.operators.Dedup.shingleMultiset(d, "doc_id", "text"),
+        "doc_id").write.mode("overwrite").parquet(p)
+    }
+  }
+  private def q198StoreGrowthLeg(s: SparkSession, dir: String): DataFrame = {
+    val batch = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 500).select("doc_id", "text")
+    graft.operators.Dedup.lshDedupAgainstStore(batch, "doc_id", "text",
+      s.read.parquet(q198StorePath(dir)))
+  }
 
   /** q55's OPERATOR-ONLY legs: the full q55 figure is output-bound
     * (at sf1 the 18.9M-pair result sort/materialization dominates and
@@ -130,12 +186,18 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // pre-compute the q198 store-growth signature stores (untimed —
+    // the production store is persisted, never re-derived per batch)
+    prepQ198Store(spark, src)
+    prepQ198Store(spark, sf1)
     // q55 operator-only stability pair: leg A runs early in the sweep,
     // leg B after everything else — a same-session ±20% band check
     val legs: Seq[(String, (SparkSession, String) => DataFrame)] =
-      ("q55_simhash_count_a" -> (q55CountLeg _)) +:
+      (("q55_simhash_count_a" -> (q55CountLeg _)) +:
         heavy.map(n => n -> SparkEntry.queries(n)) :+
-        ("q55_simhash_count_b" -> (q55CountLeg _))
+        ("q212_winnow_overlap_op" -> (q212OperatorLeg _)) :+
+        ("q198_store_growth" -> (q198StoreGrowthLeg _)) :+
+        ("q55_simhash_count_b" -> (q55CountLeg _)))
     def time(dir: String): Seq[(String, Double)] = legs.map { case (n, fn) =>
       System.gc() // steady storage state per query (see builder note)
       val t0 = System.nanoTime()

@@ -2336,8 +2336,11 @@ object SparkEntry {
         kgram = 3, window = 4)
       val counts = fp.groupBy("doc_id")
         .agg(count(lit(1)).as("n_fingerprints"))
+      // kgram count by the arithmetic identity (greatest(|toks|-2, 0)),
+      // not size(shingleArray(...)) — avoids materializing the shingle
+      // array just to measure it (the q204 quadratic-plan fix family).
       d.select(col("doc_id"),
-        size(Dedup.shingleArray(TextAnalysis.tokens(col("text")), 3))
+        greatest(size(TextAnalysis.tokens(col("text"))) - lit(2), lit(0))
           .cast("long").as("n_kgrams"))
         .join(counts, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_kgrams"),
@@ -2416,8 +2419,97 @@ object SparkEntry {
     // ---- mutual information lang ↔ source in exact micronats, with
     //      both marginal entropies in the same convention. ----
     "q211_mutual_info" -> ((s, dir) =>
-      Stats.mutualInfo(t(s, dir, "documents"), "lang", "source"))
+      Stats.mutualInfo(t(s, dir, "documents"), "lang", "source")),
+    // ---- winnowing fingerprint-OVERLAP pairs (the MOSS consumer of
+    //      q204): a 9-token passage planted on every doc_id%50==0 doc
+    //      guarantees positional shared fingerprints on top of the
+    //      corpus's natural near-dups; doc-frequency band [2, 1000]
+    //      bounds the pair join. ----
+    "q212_winnow_overlap" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(winnowPassage)))
+          .otherwise(col("text")).as("text"))
+      Dedup.winnowOverlapPairs(planted, "doc_id", "text",
+        kgram = 3, window = 4, minShared = 1, maxDocFreq = 1000)
+    }),
+    // ---- incremental winnowing gate against a PERSISTED fingerprint
+    //      store (the q198 fixture shape): gen 1 (doc_id < 250)
+    //      fingerprints into a parquet store; gen 2 = the rest plus
+    //      planted gen-1 replicas (exact for %100==0, one-token-
+    //      appended for %100==50). is_flagged = best_shared >= 2. ----
+    "q213_winnow_store" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val gen1 = d.filter(col("doc_id") < 250).select("doc_id", "text")
+      val replicas = gen1.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          when(col("doc_id") % 100 === 50,
+            concat(col("text"), lit(" extra")))
+            .otherwise(col("text")).as("text"))
+      val gen2 = d.filter(col("doc_id") >= 250)
+        .select("doc_id", "text").unionByName(replicas)
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val key = java.lang.Integer.toHexString(
+        (dir, src.length(), src.lastModified(), "winnow").hashCode())
+      val store = s"/tmp/graft_winnow_store_$key"
+      if (!new java.io.File(s"$store/_SUCCESS").exists())
+        Dedup.winnowFingerprints(gen1, "doc_id", "text")
+          .write.mode("overwrite").parquet(store)
+      Dedup.winnowDedupAgainstStore(gen2, "doc_id", "text",
+        s.read.parquet(store))
+    }),
+    // ---- conversation-level SFT dedup on NORMALIZED content:
+    //      convos planted from group key doc_id%150 (turn count
+    //      g%3+2); every doc_id%3==1 copy is re-serialized (upper-
+    //      cased, whitespace-padded) — the digest collapses all
+    //      re-serializations of a group to min-id first occurrence. ----
+    "q214_convo_dedup" -> ((s, dir) => {
+      val g = col("doc_id") % 150
+      val nTurns = (g % 3 + 2).cast("int")
+      val msgs = transform(sequence(lit(0), nTurns - 1), i =>
+        struct(
+          when(i % 2 === 0, lit("user")).otherwise(lit("assistant"))
+            .as("role"),
+          when(col("doc_id") % 3 === 1,
+            upper(concat(lit("  hello   turn "), i.cast("string"),
+              lit("  of group  "), g.cast("string"), lit(" "))))
+            .otherwise(concat(lit("hello turn "), i.cast("string"),
+              lit(" of group "), g.cast("string"))).as("content")))
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), to_json(msgs).as("convo"))
+      Curation.conversationDedup(planted, "doc_id", "convo")
+    }),
+    // ---- conversation NEAR-dup: 8 fixed turns per convo, 7 shared
+    //      within the doc_id%150 group, the closing turn unique per
+    //      doc (turn-set Jaccard 7/9) — normalized turns feed the
+    //      MinHash/LSH family as shingles; the gate reports the q37
+    //      estimator over the banded candidates. ----
+    "q215_convo_neardup" -> ((s, dir) => {
+      val g = col("doc_id") % 150
+      val msgs = transform(sequence(lit(0), lit(7)), i =>
+        struct(
+          when(i % 2 === 0, lit("user")).otherwise(lit("assistant"))
+            .as("role"),
+          when(i === 7,
+            concat(lit("closing "), col("doc_id").cast("string")))
+            .otherwise(concat(lit("g"), g.cast("string"),
+              lit(" turn "), i.cast("string"))).as("content")))
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), to_json(msgs).as("convo"))
+      val turns = Curation.conversationTurns(planted, "doc_id", "convo")
+        .select(col("doc_id"), col("turn").as("shingle"))
+      val sig = Dedup.minHashSignatures(turns, "doc_id")
+      val cand = Dedup.candidatePairs(
+        Dedup.lshBands(sig, "doc_id"), "doc_id")
+      Dedup.minHashJaccardEstimate(cand, sig, "doc_id")
+        .orderBy("id_a", "id_b")
+    })
   )
+
+  /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
+    * the winnowing positional guarantee applies). */
+  private val winnowPassage =
+    " carve the shared granite passage under moonlit archways tonight"
 
   /** q154's requested mixture in integer micros (en-heavy; the two
     * unlisted corpus languages get weight 0). */
@@ -5021,12 +5113,14 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
   CAST(count(*) FILTER (WHERE a = b) AS BIGINT) AS agree FROM ann),
 ca AS (SELECT a AS lbl, CAST(count(*) AS BIGINT) AS c FROM ann GROUP BY a),
 cb AS (SELECT b AS lbl, CAST(count(*) AS BIGINT) AS c FROM ann GROUP BY b),
-s AS (SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) AS s_chance
+s AS (SELECT CAST(coalesce(sum(CAST(ca.c AS HUGEINT) * cb.c), 0)
+    AS HUGEINT) AS s_chance
   FROM ca JOIN cb USING (lbl))
-SELECT n, agree, s_chance,
-  CASE WHEN n * n = s_chance
+SELECT n, agree, CAST(s_chance AS BIGINT) AS s_chance,
+  CASE WHEN CAST(n AS HUGEINT) * n = s_chance
     THEN CASE WHEN agree = n AND n > 0 THEN 1000000 ELSE 0 END
-    ELSE (agree * n - s_chance) * 1000000 // (n * n - s_chance)
+    ELSE CAST((CAST(agree AS HUGEINT) * n - s_chance) * 1000000
+      // (CAST(n AS HUGEINT) * n - s_chance) AS BIGINT)
   END AS kappa_micro
 FROM tot CROSS JOIN s"""
     },
@@ -5388,8 +5482,9 @@ r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, source) AS rank
   FROM c)
 SELECT CAST(count(*) AS BIGINT) AS n_groups,
   CAST(sum(cnt) AS BIGINT) AS total,
-  CAST((2 * sum(rank * cnt) - (count(*) + 1) * sum(cnt)) * 1000000
-    // (count(*) * sum(cnt)) AS BIGINT) AS gini_micro
+  CAST((2 * sum(CAST(rank AS HUGEINT) * cnt)
+      - (CAST(count(*) AS HUGEINT) + 1) * sum(cnt)) * 1000000
+    // (CAST(count(*) AS HUGEINT) * sum(cnt)) AS BIGINT) AS gini_micro
 FROM r""",
     "q203_line_lang" -> lineLangOracle,
     // q204: the rolling window-min replayed verbatim (same 60-bit md5
@@ -5558,8 +5653,131 @@ hb AS (SELECT count(*) AS n_b,
     CAST(round(ln(n / nj), 6) AS DECIMAL(18,6))) * 1000000, 0)
     AS BIGINT) AS h_b_micro FROM mb CROSS JOIN tot)
 SELECT n, n_a, n_b, n_cells, mi_micro, h_a_micro, h_b_micro
-FROM tot, ha, hb, mi"""
+FROM tot, ha, hb, mi""",
+    // q212: the q204 winnowing replay over the passage-planted text,
+    // then the doc-frequency band [2, 1000] and the fingerprint
+    // self-join — exact integer containment micros.
+    "q212_winnow_overlap" ->
+      s"""WITH docs AS (SELECT doc_id,
+  CASE WHEN doc_id % 50 = 0 THEN text || '$winnowPassage' ELSE text END
+    AS text FROM documents),
+${winnowSelChain("", "docs")},
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM sel GROUP BY doc_id),
+fdf AS (SELECT wmin, count(*) AS dfc FROM sel GROUP BY wmin),
+fk AS (SELECT s.doc_id, s.wmin FROM sel s JOIN fdf USING (wmin)
+  WHERE fdf.dfc BETWEEN 2 AND 1000),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(count(*) AS BIGINT) AS n_shared
+  FROM fk a JOIN fk b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared, x.n AS n_a, y.n AS n_b,
+  CAST(n_shared * 1000000 // least(x.n, y.n) AS BIGINT) AS overlap_micro
+FROM pr JOIN sz x ON pr.id_a = x.doc_id JOIN sz y ON pr.id_b = y.doc_id
+WHERE n_shared >= 1 ORDER BY id_a, id_b""",
+    // q213: winnowing replayed over BOTH generations, store hits by
+    // fingerprint equality, best store doc under (shared DESC, id ASC).
+    "q213_winnow_store" ->
+      s"""WITH g1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+g2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 10000,
+    CASE WHEN doc_id % 100 = 50 THEN text || ' extra' ELSE text END
+  FROM documents WHERE doc_id < 250 AND doc_id % 50 = 0),
+${winnowSelChain("a", "g1")},
+${winnowSelChain("b", "g2")},
+hits AS (SELECT n.doc_id AS new_id, s.doc_id AS store_id, n.wmin
+  FROM bsel n JOIN asel s ON n.wmin = s.wmin),
+nm AS (SELECT new_id, CAST(count(DISTINCT wmin) AS BIGINT) AS n_matched
+  FROM hits GROUP BY 1),
+ps AS (SELECT new_id, store_id, count(*) AS shared
+  FROM hits GROUP BY 1, 2),
+best AS (SELECT new_id, store_id AS best_store_id,
+  CAST(shared AS BIGINT) AS best_shared,
+  row_number() OVER (PARTITION BY new_id
+    ORDER BY shared DESC, store_id) AS rn FROM ps),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints
+  FROM bsel GROUP BY 1)
+SELECT g2.doc_id, coalesce(cnt.n_fingerprints, 0) AS n_fingerprints,
+  coalesce(nm.n_matched, 0) AS n_matched, b.best_store_id,
+  coalesce(b.best_shared, 0) AS best_shared,
+  coalesce(b.best_shared, 0) >= 2 AS is_flagged
+FROM g2 LEFT JOIN cnt ON g2.doc_id = cnt.doc_id
+LEFT JOIN nm ON g2.doc_id = nm.new_id
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON g2.doc_id = b.new_id
+ORDER BY g2.doc_id""",
+    // q214: digests rebuilt directly from the plant formula (the q200
+    // oracle convention) — the normalized content is what both the
+    // base and re-serialized variants collapse to, chr(1)-joined.
+    "q214_convo_dedup" ->
+      """WITH k AS (SELECT doc_id, doc_id % 150 AS g,
+  (doc_id % 150) % 3 + 2 AS n FROM documents),
+d AS (SELECT doc_id, md5(array_to_string(list_transform(range(0, n),
+    i -> 'hello turn ' || CAST(i AS VARCHAR) || ' of group '
+      || CAST(g AS VARCHAR)), chr(1))) AS content_digest FROM k),
+grp AS (SELECT content_digest, CAST(count(*) AS BIGINT) AS n_copies,
+  min(doc_id) AS first_id FROM d GROUP BY 1)
+SELECT d.doc_id, d.content_digest, grp.n_copies, grp.first_id,
+  d.doc_id = grp.first_id AS is_kept
+FROM d JOIN grp USING (content_digest) ORDER BY d.doc_id""",
+    // q215: the q37 MinHash replay with normalized conversation TURNS
+    // as the shingle universe (same base hash, coefficients, banding).
+    "q215_convo_neardup" -> convoNearDupOracle
   )
+
+  /** Winnowing selection CTE chain (the q204 replay, parameterized):
+    * appends `${p}sel AS (SELECT DISTINCT doc_id, wmin ...)` over the
+    * doc table `src` (columns doc_id, text) with every intermediate
+    * CTE name prefixed by `p` — so two generations can be winnowed in
+    * one oracle query (q213). kgram=3 / window=4 fixed, as the gate. */
+  private def winnowSelChain(p: String, src: String): String =
+    s"""${p}sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+  THEN list_transform(range(0, len(tk) - 2),
+    i -> array_to_string(tk[i+1:i+3], ' '))
+  ELSE [] END AS gr
+  FROM (SELECT doc_id, $tokensSql AS tk FROM $src) ${p}tk0),
+${p}g AS (SELECT doc_id, len(gr) AS m, unnest(range(0, len(gr))) AS i, gr
+  FROM ${p}sh),
+${p}h0 AS (SELECT doc_id, m, i,
+  CAST(('0x' || substr(md5(gr[i+1]), 1, 15)) AS BIGINT)
+    % ${Dedup.minHashP} AS h FROM ${p}g),
+${p}w AS (SELECT doc_id, m, i, min(h) OVER (PARTITION BY doc_id ORDER BY i
+  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin FROM ${p}h0),
+${p}sel AS (SELECT DISTINCT doc_id, wmin FROM ${p}w
+  WHERE i <= greatest(m - 4, 0))"""
+
+  /** q215: MinHash/LSH candidates + component-match estimator over the
+    * planted conversation turns (8 turns, closing turn unique per doc)
+    * — the minhashCtes structure with turns as the shingle universe. */
+  private def convoNearDupOracle: String = {
+    val p = Dedup.minHashP
+    val hashes = Dedup.minHashCoeffs(16).zipWithIndex
+      .map { case ((a, b), k) => s"min(($a * hh + $b) % $p) AS h$k" }
+      .mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val hs = (b * 4 until b * 4 + 4).map(k => s"h$k").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(':', $hs)) AS sig FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until 16)
+      .map(k => s"CASE WHEN x.h$k = y.h$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tr AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+  i -> CASE WHEN i = 7 THEN 'closing ' || CAST(doc_id AS VARCHAR)
+    ELSE 'g' || CAST(doc_id % 150 AS VARCHAR) || ' turn '
+      || CAST(i AS VARCHAR) END)) AS shingle FROM documents),
+hh AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % $p AS hh
+  FROM tr),
+sig AS (SELECT doc_id, $hashes FROM hh GROUP BY doc_id),
+bands AS ($bands),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b, CAST($matches AS DOUBLE) / 16.0 AS est_jaccard
+FROM cand c JOIN sig x ON c.id_a = x.doc_id
+  JOIN sig y ON c.id_b = y.doc_id
+ORDER BY id_a, id_b"""
+  }
 
   /** q178: the planted thumbnails rebuilt in SQL (identical md5-hex
     * grid + one-byte perturbation), the 64 dHash comparisons grouped

@@ -1092,7 +1092,6 @@ object Curation {
     * difficulty score (easy → hard under score ASC, id ASC on ties) and
     * cut it into `numPhases` contiguous phases by exact integer-floor
     * boundaries: phase(rank) = ⌊(rank−1)·P/n⌋, position within phase =
-    * rank − ⌊phase·n/P⌋. The rank is the bucketed global rank (no
     * rank − ⌈phase·n/P⌉ (phase p starts at the first rank whose
     * (rank−1)·P reaches p·n — a ceiling, so positions restart at 1
     * even when P does not divide n). The rank is the bucketed global
@@ -1167,6 +1166,71 @@ object Curation {
         when(m.isNotNull, aggregate(m, lit(0L),
           (acc, x) => acc + coalesce(length(x.getField("content")), lit(0))))
           .otherwise(lit(0L)).as("content_chars"))
+      .orderBy(idCol)
+  }
+
+  /** Normalized conversation CONTENT turns — the adapter from raw
+    * message-array JSON into the [[graft.operators.Dedup]] digest
+    * family: per conversation, each turn's content is role-stripped
+    * and serialization-normalized (lowercased, trimmed, internal
+    * whitespace collapsed to single spaces), exploded to
+    * (idCol, pos, turn). Two conversations that differ only in
+    * re-serialization — role casing, indentation, whitespace padding,
+    * key order — yield IDENTICAL turn rows, which is the whole point:
+    * post-collection SFT corpora hold the same dialogue re-exported by
+    * multiple tools. Unparseable conversations yield no rows (callers
+    * gate structure first via [[conversationStats]]). Pure per-row
+    * array expressions + one explode — no shuffle, rides the scan. */
+  def conversationTurns(df: DataFrame, idCol: String,
+                        jsonCol: String): DataFrame = {
+    val parsed = from_json(col(jsonCol),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "array<struct<role:string,content:string>>"))
+    val norm = transform(col("_m"), x =>
+      regexp_replace(trim(lower(coalesce(x.getField("content"),
+        lit("")))), "\\s+", " "))
+    df.select(col(idCol), parsed.as("_m"))
+      .filter(col("_m").isNotNull)
+      .select(col(idCol), posexplode(norm).as(Seq("pos", "turn")))
+  }
+
+  /** Conversation-level exact dedup on NORMALIZED CONTENT — the
+    * standard post-collection SFT pass: the dedup key is the digest of
+    * the role-stripped, whitespace/case-normalized turn sequence
+    * ([[conversationTurns]] normalization, order-preserving,
+    * chr(1)-joined so turn boundaries can't alias), NOT the raw JSON
+    * string — so the same dialogue re-serialized by different tools
+    * collapses to one group. First occurrence keeps (min id per
+    * digest — one hash aggregate + one digest equi-join, the q15/q183
+    * exact-dedup shape; at 100 TB the digest group-by is the only
+    * shuffle and it carries one 32-hex digest per conversation).
+    *
+    * Unparseable conversations get a null digest and are kept as-is
+    * (each its own group) — a malformed row must never dedup against
+    * another malformed row on digest collision grounds.
+    *
+    * Returns (idCol, content_digest — null when unparseable, n_copies,
+    * first_id, is_kept), ordered by idCol. */
+  def conversationDedup(df: DataFrame, idCol: String,
+                        jsonCol: String): DataFrame = {
+    val parsed = from_json(col(jsonCol),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "array<struct<role:string,content:string>>"))
+    val norm = transform(col("_m"), x =>
+      regexp_replace(trim(lower(coalesce(x.getField("content"),
+        lit("")))), "\\s+", " "))
+    val keyed = df.select(col(idCol), parsed.as("_m"))
+      .select(col(idCol),
+        when(col("_m").isNotNull,
+          md5(concat_ws("\u0001", norm))).as("content_digest"))
+    val groups = keyed.filter(col("content_digest").isNotNull)
+      .groupBy(col("content_digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("first_id"))
+    keyed.join(groups, Seq("content_digest"), "left")
+      .select(col(idCol), col("content_digest"),
+        coalesce(col("n_copies"), lit(1L)).as("n_copies"),
+        coalesce(col("first_id"), col(idCol)).as("first_id"))
+      .withColumn("is_kept", col(idCol) === col("first_id"))
       .orderBy(idCol)
   }
 

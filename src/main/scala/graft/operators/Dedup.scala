@@ -193,9 +193,20 @@ object Dedup {
                            bands: Int = 4, minMatches: Int = 13): DataFrame = {
     require(minMatches >= 1 && minMatches <= numHashes,
       s"minMatches ($minMatches) must be in [1, $numHashes]")
+    // Reserved-name guard (the repo-standard require-reject of sibling
+    // operators): an idCol named like a working/output column would
+    // silently shadow the band join keys or the report schema.
+    val reserved = Set("band", "sig", "n_candidates", "best_store_id",
+      "best_matches", "is_dup")
+    require(!reserved.contains(idCol),
+      s"lshDedupAgainstStore: idCol `$idCol` collides with a reserved " +
+        s"working/output column (${reserved.toSeq.sorted.mkString(", ")})")
     val sigCols = (0 until numHashes).map(k => s"h$k")
     require(sigCols.forall(storeSigs.columns.contains),
       s"storeSigs must carry signature columns h0..h${numHashes - 1} " +
+        s"(found: ${storeSigs.columns.mkString(", ")})")
+    require(storeSigs.columns.contains(idCol),
+      s"storeSigs must carry the id column `$idCol` " +
         s"(found: ${storeSigs.columns.mkString(", ")})")
     val newSigs = minHashSignatures(
       shingleMultiset(newDocs, idCol, textCol, shingleN), idCol, numHashes)
@@ -255,9 +266,20 @@ object Dedup {
     require(kgram >= 1, s"kgram must be >= 1, got $kgram")
     require(window >= 2, s"window must be >= 2, got $window")
     import org.apache.spark.sql.expressions.Window
+    // _m (the kgram count) via the arithmetic identity
+    // greatest(|toks| − (kgram−1), 0), NOT size(shingleArray(...)):
+    // Catalyst places a second shingleArray projection ABOVE the
+    // Generate, re-running the O(tokens) interpreted transform lambda
+    // once per exploded kgram row — O(tokens²) per document (measured
+    // 25→3–5 s at sf0.1; ~100–1000× wasted work at real 10³–10⁴-token
+    // docs). Pre-projecting `_sa = shingleArray(_toks)` is NOT a fix:
+    // CollapseProject re-inlines tokens() into the lambda (the
+    // shingleArray docstring trap). The generator must sit directly on
+    // the materialized _toks attribute.
     val sh = df
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), size(shingleArray(col("_toks"), kgram)).as("_m"),
+      .select(col(idCol),
+        greatest(size(col("_toks")) - lit(kgram - 1), lit(0)).as("_m"),
         posexplode(shingleArray(col("_toks"), kgram))
           .as(Seq("_pos", "_shingle")))
       .withColumn("_h", pmod(
@@ -269,6 +291,129 @@ object Dedup {
       .filter(col("_pos") <= greatest(col("_m") - window, lit(0)))
       .select(col(idCol), col("_wmin").as("fingerprint"))
       .distinct()
+  }
+
+  /** Winnowing fingerprint-overlap pairs — the MOSS CONSUMER of
+    * [[winnowFingerprints]]: documents sharing selected fingerprints,
+    * with counts and a local-containment estimate. The positional
+    * guarantee is the point: any shared token run of
+    * `window + kgram − 1` tokens yields ≥ 1 shared fingerprint, so
+    * this catches copied PASSAGES (plagiarism, license boilerplate,
+    * contaminated eval questions embedded in a larger page) that
+    * global-resemblance MinHash misses — the complement of q17/q60.
+    *
+    * Dataflow: fingerprints are computed ONCE (localCheckpoint — three
+    * consumers: per-doc sizes and both join sides); per-fingerprint
+    * document frequency is computed first and fingerprints outside
+    * [2, maxDocFreq] never enter the pair join — singletons can't form
+    * pairs, and over-common fingerprints (site chrome, license
+    * headers) are the quadratic blowup knob, the standard MOSS "too
+    * common to be interesting" cut. The pair space is therefore
+    * bounded by Σ_f df(f)² over surviving fingerprints, not corpus².
+    *
+    * overlap_micro = n_shared·10⁶ div min(n_a, n_b) — exact integer
+    * containment of the smaller doc's fingerprint set, floor micros.
+    *
+    * Returns (id_a < id_b, n_shared ≥ minShared, n_a, n_b,
+    * overlap_micro), ordered by (id_a, id_b). */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         kgram: Int = 3, window: Int = 4,
+                         minShared: Int = 1,
+                         maxDocFreq: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val reserved = Set("fingerprint", "id_a", "id_b", "n_shared",
+      "n_a", "n_b", "overlap_micro")
+    require(!reserved.contains(idCol),
+      s"winnowOverlapPairs: idCol `$idCol` collides with a reserved " +
+        s"working/output column (${reserved.toSeq.sorted.mkString(", ")})")
+    val fp = winnowFingerprints(df, idCol, textCol, kgram, window)
+      .localCheckpoint()
+    val sizes = fp.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val joinable = fp.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDocFreq)
+      .select(col("fingerprint"))
+    val fpk = fp.join(joinable, Seq("fingerprint"))
+    fpk.select(col("fingerprint"), col(idCol).as("id_a"))
+      .join(fpk.select(col("fingerprint"), col(idCol).as("id_b")),
+        Seq("fingerprint"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col(idCol).as("id_a"), col("_n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("_n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("n_shared * 1000000L div least(n_a, n_b)")
+          .as("overlap_micro"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Incremental winnowing overlap gate against a PERSISTED fingerprint
+    * store — the plagiarism/contamination check a GROWING corpus
+    * actually runs (the [[lshDedupAgainstStore]] / CDC-store pattern
+    * applied to [[winnowFingerprints]]): the store holds one
+    * (idCol, fingerprint) row per selected fingerprint of every
+    * already-accepted document; each new batch is fingerprinted ONCE
+    * and equi-joined to the store. Nothing in the store's original
+    * text is ever re-read, and non-flagged batches append their own
+    * fingerprint rows back (already computed here, shared via the
+    * plan).
+    *
+    * Per new document: total fingerprints, how many exist ANYWHERE in
+    * the store (distinct containment), and the single best-matching
+    * store document under the total order (shared DESC, store id ASC)
+    * via one min(struct) fold. is_flagged = best_shared ≥ minShared —
+    * exact integers end to end, DuckDB-replayable.
+    *
+    * Returns one row per NEW document: (idCol, n_fingerprints,
+    * n_matched, best_store_id — null when nothing matches,
+    * best_shared, is_flagged), ordered by idCol. */
+  def winnowDedupAgainstStore(newDocs: DataFrame, idCol: String,
+                              textCol: String, storeFps: DataFrame,
+                              kgram: Int = 3, window: Int = 4,
+                              minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val reserved = Set("fingerprint", "n_fingerprints", "n_matched",
+      "best_store_id", "best_shared", "is_flagged")
+    require(!reserved.contains(idCol),
+      s"winnowDedupAgainstStore: idCol `$idCol` collides with a " +
+        s"reserved working/output column " +
+        s"(${reserved.toSeq.sorted.mkString(", ")})")
+    require(storeFps.columns.contains(idCol) &&
+      storeFps.columns.contains("fingerprint"),
+      s"storeFps must carry (`$idCol`, fingerprint) " +
+        s"(found: ${storeFps.columns.mkString(", ")})")
+    val fp = winnowFingerprints(newDocs, idCol, textCol, kgram, window)
+      .withColumnRenamed(idCol, "_new_id")
+      .localCheckpoint()
+    val hits = fp.join(
+      storeFps.select(col(idCol).as("_store_id"), col("fingerprint")),
+      Seq("fingerprint"))
+    val matched = hits.groupBy(col("_new_id"))
+      .agg(count_distinct(col("fingerprint")).as("n_matched"))
+    val best = hits.groupBy(col("_new_id"), col("_store_id"))
+      .agg(count(lit(1)).as("_shared"))
+      .groupBy(col("_new_id"))
+      .agg(min(struct((-col("_shared")).as("_ns"),
+        col("_store_id").as("_sid"))).as("_b"))
+      .select(col("_new_id"), col("_b._sid").as("best_store_id"),
+        (-col("_b._ns")).as("best_shared"))
+    val counts = fp.groupBy(col("_new_id"))
+      .agg(count(lit(1)).as("n_fingerprints"))
+    newDocs.select(col(idCol))
+      .join(counts.withColumnRenamed("_new_id", idCol), Seq(idCol), "left")
+      .join(matched.withColumnRenamed("_new_id", idCol), Seq(idCol), "left")
+      .join(best.withColumnRenamed("_new_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        col("best_store_id"),
+        coalesce(col("best_shared"), lit(0L)).as("best_shared"))
+      .withColumn("is_flagged", col("best_shared") >= minShared)
+      .orderBy(idCol)
   }
 
   /** Candidate pairs from an EXISTING banded frame (id, band, sig) —

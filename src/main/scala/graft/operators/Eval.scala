@@ -206,14 +206,25 @@ object Eval {
     val cb = base.groupBy(col(bCol).as("_lbl"))
       .agg(count(lit(1)).as("_cb"))
     val s = ca.join(cb, "_lbl")
-      .agg(coalesce(sum(col("_ca") * col("_cb")), lit(0L)).as("s_chance"))
-    tot.crossJoin(s).select(col("n"), col("agree"), col("s_chance"),
-      when(col("n") * col("n") === col("s_chance"),
-        when(col("agree") === col("n") && col("n") > 0, lit(1000000L))
-          .otherwise(lit(0L)))
-        .otherwise(expr(
-          "(agree * n - s_chance) * 1000000L div (n * n - s_chance)"))
-        .as("kappa_micro"))
+      .agg(coalesce(sum((col("_ca") * col("_cb")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s_chance"))
+    // All products ride DECIMAL(38,0) (the fleissKappa convention):
+    // the 10⁶-scaled n² terms wrap BIGINT silently past n ≈ 3×10⁶ rows
+    // (non-ANSI Spark wraps rather than erroring) — far below corpus
+    // scale. `div` on decimals still truncates toward zero, matching
+    // DuckDB `//` on HUGEINT.
+    tot.crossJoin(s)
+      .select(col("n"), col("agree"),
+        col("n").cast("decimal(38,0)").as("_nd"),
+        col("agree").cast("decimal(38,0)").as("_ad"), col("s_chance"))
+      .select(col("n"), col("agree"),
+        col("s_chance").cast("long").as("s_chance"),
+        when(col("_nd") * col("_nd") === col("s_chance"),
+          when(col("agree") === col("n") && col("n") > 0, lit(1000000L))
+            .otherwise(lit(0L)))
+          .otherwise(expr(
+            "(_ad * _nd - s_chance) * 1000000 div (_nd * _nd - s_chance)"))
+          .as("kappa_micro"))
   }
 
   /** Preference-pair construction — the DPO/RLHF dataset step: per
@@ -300,6 +311,12 @@ object Eval {
           lit("fleissKappa requires an equal rater count per item: " +
             "found counts from "), col("_rmin").cast("string"),
           lit(" to "), col("_rmax").cast("string"))))
+          // R ≥ 2 or P_o's denominator N·R·(R−1) is zero and the
+          // degenerate branch would report κ = 10⁶ for meaningless
+          // single-rater input — fail loudly instead (fused into the
+          // same stats aggregate, no extra scan).
+          .when(col("n_items") > 0 && col("_rmax") < 2, raise_error(
+            lit("fleissKappa requires at least 2 raters per item")))
           .otherwise(col("_rmax")).as("n_raters"),
         col("n_categories"), col("_s2"), col("_t2"))
       .select(col("n_items"), col("n_raters"), col("n_categories"),

@@ -219,8 +219,15 @@ object Stats {
       .agg(count(lit(1)).as("n_groups"), sum("cnt").as("total"),
         sum((col("rank") * col("cnt")).cast("decimal(38,0)")).as("_six"))
       .select(col("n_groups"), col("total"),
-        expr("""CAST((2 * _six - (n_groups + 1) * total) * 1000000
-          div (n_groups * total) AS BIGINT)""").as("gini_micro"))
+        // (n_groups+1)·total and n_groups·total ride DECIMAL(38,0) too:
+        // the BIGINT products wrap silently once n_groups·total exceeds
+        // 2⁶³ (web-host × corpus-row scale), the cohensKappa fix family.
+        expr("""CAST((2 * _six
+            - (CAST(n_groups AS DECIMAL(38,0)) + 1)
+              * CAST(total AS DECIMAL(38,0))) * 1000000
+          div (CAST(n_groups AS DECIMAL(38,0))
+            * CAST(total AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("gini_micro"))
   }
 
   /** Mutual information between two categorical columns in exact

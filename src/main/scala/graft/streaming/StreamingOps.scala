@@ -804,6 +804,22 @@ object StreamingOps {
     * whole corpus (first-occurrence is the same total order) —
     * spec-asserted, the batch-twin contract.
     *
+    * Replay safety: foreachBatch is AT-LEAST-ONCE — a crash after the
+    * store append but before the checkpoint commit replays the batch
+    * against a store that already holds the batch's own kept digests,
+    * which would mark every chunk dup and diverge from the batch twin.
+    * The store is therefore laid out hive-partitioned by the
+    * foreachBatch batchId (`statePath/_batch_id=N/`): `seen` reads the
+    * store EXCLUDING the current batchId (batchIds are monotone, so
+    * own-batch rows are exactly the possibly-replayed append — earlier
+    * batches always carry smaller ids), and the append OVERWRITES the
+    * own-batch partition directory — idempotent under full replay AND
+    * self-healing under a partial (crashed mid-write) append. The
+    * digest rows themselves are per-batch-deterministic, so the
+    * rewritten partition is content-identical. Spec-asserted by the
+    * restart leg of the batch-parity test plus the dedicated
+    * replayed-batch test.
+    *
     * @param sink receives each batch's per-document survival report
     *             (same schema as the batch operator) */
   def cdcDedupStream(stream: DataFrame, idCol: String, textCol: String,
@@ -814,7 +830,7 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val chunks = graft.operators.Dedup.cdcChunks(batch, idCol,
             textCol, avgChunkTokens, maxChunkTokens)
@@ -824,7 +840,13 @@ object StreamingOps {
             if (new org.apache.hadoop.fs.Path(statePath).getFileSystem(
                 s.sparkContext.hadoopConfiguration)
                 .exists(new org.apache.hadoop.fs.Path(statePath)))
-              s.read.parquet(statePath).select(col("_d"))
+              // exclude own-batch rows: on a replayed batch the store
+              // already holds this batch's digests from the crashed
+              // attempt — partition pruning makes the exclusion a
+              // directory-level skip, not a scan-and-filter
+              s.read.parquet(statePath)
+                .filter(col("_batch_id") =!= lit(batchId))
+                .select(col("_d"))
             else
               s.createDataFrame(new java.util.ArrayList[
                   org.apache.spark.sql.Row](),
@@ -843,8 +865,10 @@ object StreamingOps {
                 col("_id") === col("_first._id") &&
                 col("_chunk") === col("_first._chunk"))
           sink(graft.operators.Dedup.cdcReport(batch, idCol, marked))
+          // idempotent append: overwrite THIS batch's partition dir
           marked.filter(col("_kept")).select(col("_d")).distinct()
-            .write.mode("append").parquet(statePath)
+            .write.mode("overwrite")
+            .parquet(s"$statePath/_batch_id=$batchId")
         } finally chunks.unpersist(false)
       }
       .start()

@@ -1068,6 +1068,15 @@ class PlanShapeSpec extends SparkSpec {
       !p204.contains("CartesianProduct") &&
       !p204.contains("BroadcastNestedLoopJoin"),
       s"winnowing windows must stay doc-partitioned:\n$p204")
+    // ...and the shingle-array lambda must appear ONLY inside the
+    // Generate: a second occurrence is a projection ABOVE the explode
+    // re-running the O(tokens) transform once per kgram row — the
+    // measured O(tokens²) defect (25 s → 3-5 s at sf0.1). The kgram
+    // count must ride the arithmetic identity instead.
+    val shingleLambdas = "transform\\(".r.findAllIn(p204).length
+    assert(shingleLambdas == 1,
+      s"expected exactly 1 shingle-array transform (in the Generate), " +
+        s"found $shingleLambdas:\n$p204")
     // q205: bucketed global rank + ONE broadcast 1-row total — the
     // only nested-loop is that bounded cross
     val p205 = finalPlan(q("q205_curriculum_phases"))

@@ -844,4 +844,49 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((3L, false, 0, 0, 0, None, None, false, 0L)))
     assert(got(4L) == ((4L, true, 0, 0, 0, None, None, true, 0L)))
   }
+
+  test("conversationTurns normalizes away roles, case, and whitespace") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """[{"role":"user","content":"Hello   World"},{"role":"assistant","content":" ok "}]"""),
+      (2L, """[{"role":"USER","content":"  hello world"},{"role":"bot","content":"OK"}]"""),
+      (3L, "not json"))
+      .toDF("id", "convo")
+    val got = Curation.conversationTurns(docs, "id", "convo")
+      .as[(Long, Int, String)].collect().toSet
+    // docs 1 and 2 re-serialize the SAME dialogue: identical turn rows
+    assert(got == Set((1L, 0, "hello world"), (1L, 1, "ok"),
+      (2L, 0, "hello world"), (2L, 1, "ok")))
+  }
+
+  test("conversationDedup collapses re-serialized copies, keeps min id") {
+    import spark.implicits._
+    val a = """[{"role":"user","content":"What is  Spark?"},{"role":"assistant","content":"An engine."}]"""
+    val b = """[{"role":"Human","content":"  what is spark? "},{"role":"AI","content":"an ENGINE."}]"""
+    val c = """[{"role":"user","content":"Different."}]"""
+    val docs = Seq((5L, a), (2L, b), (9L, c), (7L, "not json"),
+      (8L, "also { not json")).toDF("id", "convo")
+    val got = Curation.conversationDedup(docs, "id", "convo")
+      .as[(Long, Option[String], Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // 2 and 5 are the same dialogue re-serialized: min id 2 keeps
+    assert(got(2L)._3 == 2L && got(2L)._4 == 2L && got(2L)._5)
+    assert(got(5L)._3 == 2L && got(5L)._4 == 2L && !got(5L)._5)
+    assert(got(2L)._2 == got(5L)._2 && got(2L)._2.isDefined)
+    // the unique parse keeps; both turn orders matter: (a, b) != (b, a)
+    assert(got(9L)._3 == 1L && got(9L)._5)
+    // malformed rows never dedup against each other: null digests,
+    // each its own single-copy kept group
+    assert(got(7L)._2.isEmpty && got(8L)._2.isEmpty)
+    assert(got(7L)._3 == 1L && got(7L)._4 == 7L && got(7L)._5)
+    assert(got(8L)._3 == 1L && got(8L)._4 == 8L && got(8L)._5)
+    // turn-boundary aliasing is impossible: ["ab","c"] vs ["a","bc"]
+    val alias = Seq(
+      (1L, """[{"role":"u","content":"ab"},{"role":"a","content":"c"}]"""),
+      (2L, """[{"role":"u","content":"a"},{"role":"a","content":"bc"}]"""))
+      .toDF("id", "convo")
+    val ad = Curation.conversationDedup(alias, "id", "convo")
+      .as[(Long, Option[String], Long, Long, Boolean)].collect()
+    assert(ad.forall(_._3 == 1L), s"boundary aliasing: ${ad.toSeq}")
+  }
 }

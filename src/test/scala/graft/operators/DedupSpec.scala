@@ -824,5 +824,69 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.lshDedupAgainstStore(fresh, "doc_id", "text", bad)
     }
+    // reserved idCol names are rejected too
+    val store = Dedup.minHashSignatures(Dedup.shingleMultiset(
+      Seq((1L, "a b c d")).toDF("band", "text"), "band", "text"), "band")
+    intercept[IllegalArgumentException] {
+      Dedup.lshDedupAgainstStore(
+        Seq((1L, "a b c d")).toDF("band", "text"), "band", "text", store)
+    }
+  }
+
+  test("winnowOverlapPairs finds the planted shared passage, bounds the join") {
+    import spark.implicits._
+    // docs 1/2 share a 7-token passage (≥ 6 ⇒ ≥ 1 shared fingerprint);
+    // doc 3 is disjoint; docs 4..8 are five IDENTICAL boilerplate docs
+    // — every one of their fingerprints has doc frequency 5, so
+    // maxDocFreq=4 must CUT all 10 would-be pairs from the join
+    val boiler = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+    val docs = (Seq(
+      (1L, "a1 a2 a3 r1 r2 r3 r4 r5 r6 r7 a4 a5"),
+      (2L, "b1 b2 b3 b4 r1 r2 r3 r4 r5 r6 r7 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")) ++
+      (4L to 8L).map(i => (i, boiler)))
+      .toDF("id", "text")
+    val got = Dedup.winnowOverlapPairs(docs, "id", "text",
+      kgram = 3, window = 4, minShared = 1, maxDocFreq = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1),
+      s"planted passage pair (1,2) missing: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // the 5-doc boilerplate fingerprints exceed maxDocFreq=4: no pair
+    // among docs 4..8 may survive on the boilerplate alone
+    assert(!got.exists(p => p._1 >= 4L && p._2 >= 4L),
+      s"over-common fingerprints must not generate pairs: $got")
+    // overlap_micro is exact floor micros of n_shared/min(n_a, n_b)
+    got.foreach { case (_, _, sh, na, nb, om) =>
+      assert(om == sh * 1000000L / math.min(na, nb)) }
+  }
+
+  test("winnowDedupAgainstStore flags exact and near store replicas") {
+    import spark.implicits._
+    val storeDocs = Seq(
+      (10L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"),
+      (11L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val storeFps = Dedup.winnowFingerprints(storeDocs, "doc_id", "text")
+    val fresh = Seq(
+      (20L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"),  // exact replica of 10
+      (21L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val got = Dedup.winnowDedupAgainstStore(fresh, "doc_id", "text",
+      storeFps, minShared = 2)
+      .as[(Long, Long, Long, Option[Long], Long, Boolean)].collect().toSeq
+    val exact = got.find(_._1 == 20L).get
+    assert(exact._4 == Some(10L) && exact._6,
+      s"exact replica must flag against store doc 10: $exact")
+    assert(exact._2 == exact._3 && exact._3 == exact._5,
+      s"an exact replica matches ALL its fingerprints: $exact")
+    val novel = got.find(_._1 == 21L).get
+    assert(novel._3 == 0L && novel._4.isEmpty && !novel._6)
+    // reserved idCol and malformed store rejected
+    intercept[IllegalArgumentException] {
+      Dedup.winnowDedupAgainstStore(fresh, "fingerprint", "text", storeFps)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowDedupAgainstStore(fresh, "doc_id", "text",
+        storeFps.withColumnRenamed("fingerprint", "fp"))
+    }
   }
 }

@@ -1137,4 +1137,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.find(_._1 == 3L).get._4 == 1L,
       "doc 3's boundary-started chunk must dedup against batch 1")
   }
+
+  test("streaming CDC dedup replays a batch idempotently (at-least-once)") {
+    // foreachBatch is at-least-once: a crash after the digest-store
+    // append but before the checkpoint commit re-runs the SAME batchId
+    // against a store already holding the batch's own digests. Simulate
+    // exactly that: run batch 1 (store gains _batch_id=0), then replay
+    // batch 1 under a FRESH checkpoint (batchId restarts at 0) against
+    // the SAME store — the replayed report must be identical to the
+    // first run's (own-batch digests excluded from `seen`), and the
+    // store must hold no duplicate digest rows (partition overwritten,
+    // not appended).
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"))
+    val key = System.nanoTime()
+    val state = s"/tmp/graft-cdc-replay-state-$key"
+    def runOnce(ckpt: String): List[(Long, Long, Long, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      val mem = MemoryStream[(Long, String)](spark)
+      mem.addData(docs: _*)
+      val q = StreamingOps.cdcDedupStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        state, ckpt) { rep =>
+        out ++= rep.as[(Long, Long, Long, Long, Long)].collect()
+      }
+      q.awaitTermination(60000)
+      out.sortBy(_._1).toList
+    }
+    val first = runOnce(s"/tmp/graft-cdc-replay-ckpt-$key-a")
+    val replayed = runOnce(s"/tmp/graft-cdc-replay-ckpt-$key-b")
+    assert(replayed == first,
+      s"replayed batch report diverged: $replayed != $first")
+    // no duplicate digests in the store, and nothing beyond batch 0
+    val store = spark.read.parquet(state)
+    assert(store.count() == store.select("_d").distinct().count(),
+      "replay must not append duplicate digest rows")
+    assert(store.select("_batch_id").distinct().count() == 1)
+  }
 }
