@@ -99,7 +99,13 @@ object ScaleBench {
     // grow ~100× per decade — duplicate density, not volume (the q105
     // precedent); q212's operator is legged below on unplanted text.
     "q204_winnowing", "q206_mutual_align", "q210_heavy_hitters",
-    "q213_winnow_store", "q214_convo_dedup")
+    "q213_winnow_store", "q214_convo_dedup",
+    // incremental embedding-store SemDeDup gate (q217): both sides
+    // grow 10× and cells are fixed at the gate's 4, so the intra-cell
+    // product grows ~100× — the q80 shape; nCells is the production
+    // knob (size cells to thousands of rows), the leg documents the
+    // fixed-knob growth honestly
+    "q217_embed_store_gate")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per

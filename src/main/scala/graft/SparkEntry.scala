@@ -2503,6 +2503,30 @@ object SparkEntry {
         Dedup.lshBands(sig, "doc_id"), "doc_id")
       Dedup.minHashJaccardEstimate(cand, sig, "doc_id")
         .orderBy("id_a", "id_b")
+    }),
+    // ---- shared-passage document FAMILIES: the q212 overlap edges
+    //      closed into connected components (min-label) — which docs
+    //      form one copied-passage group; the q49 cluster view of the
+    //      MOSS consumer, same planted fixture as q212. ----
+    "q216_winnow_clusters" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(winnowPassage)))
+          .otherwise(col("text")).as("text"))
+      Clustering.winnowOverlapClusters(planted, "doc_id", "text",
+        kgram = 3, window = 4, minShared = 1, maxDocFreq = 1000)
+        .orderBy("doc_id")
+    }),
+    // ---- incremental SemDeDup vs a persisted embedding store: the
+    //      q206 parity split (evens = accepted store, odds = new
+    //      batch); centroids k-medians-trained on the STORE, exact
+    //      intra-cell cosine, is_dup at tau=0.9. ----
+    "q217_embed_store_gate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semDedupAgainstStore(
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        e.filter(col("vec_id") % 2 === 0),
+        tau = 0.9, nCells = 4, iters = 1)
     })
   )
 
@@ -5722,8 +5746,69 @@ SELECT d.doc_id, d.content_digest, grp.n_copies, grp.first_id,
 FROM d JOIN grp USING (content_digest) ORDER BY d.doc_id""",
     // q215: the q37 MinHash replay with normalized conversation TURNS
     // as the shingle universe (same base hash, coefficients, banding).
-    "q215_convo_neardup" -> convoNearDupOracle
+    "q215_convo_neardup" -> convoNearDupOracle,
+    // q216: the q212 pair chain + the q49 recursive min-label closure.
+    "q216_winnow_clusters" ->
+      s"""WITH RECURSIVE docs AS (SELECT doc_id,
+  CASE WHEN doc_id % 50 = 0 THEN text || '$winnowPassage' ELSE text END
+    AS text FROM documents),
+${winnowSelChain("", "docs")},
+fdf AS (SELECT wmin, count(*) AS dfc FROM sel GROUP BY wmin),
+fk AS (SELECT s.doc_id, s.wmin FROM sel s JOIN fdf USING (wmin)
+  WHERE fdf.dfc BETWEEN 2 AND 1000),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fk a JOIN fk b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+  UNION ALL SELECT id_b, id_a FROM pr),
+reach AS (SELECT doc_id AS id, doc_id AS lbl FROM docs
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+SELECT id AS doc_id, min(lbl) AS component FROM reach
+GROUP BY id ORDER BY doc_id""",
+    // q217: the q80 k-medians replay trained on the STORE side, batch
+    // assigned against the trained codebook, intra-cell exact cosine,
+    // (cos DESC, store id ASC) best pick.
+    "q217_embed_store_gate" -> embedStoreOracle
   )
+
+  /** q217: store-trained k-medians (KMediansOracle, the q79/q80
+    * replay), batch rows assigned against `sd_cb`, exact intra-cell
+    * cosines as component-ascending folds, best per new vector under
+    * (cos DESC, store id ASC). */
+  private def embedStoreOracle: String = {
+    import graft.oracle.KMediansOracle
+    val d = 64
+    def asVv(filter: String) =
+      s"SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) " +
+        s"AS vv FROM embeddings WHERE $filter"
+    s"""WITH sv AS (${asVv("vec_id % 2 = 0")}),
+nv AS (${asVv("vec_id % 2 = 1")}),
+${KMediansOracle.kMediansSql("sd", "sv", 4, d, 1)}
+nasn AS (SELECT vec_id, code FROM (
+  SELECT x.vec_id, c.code, row_number() OVER (PARTITION BY x.vec_id
+    ORDER BY ${KMediansOracle.distSql("x.vv", "c.ent", d)} ASC,
+      c.code ASC) AS rn
+  FROM nv x CROSS JOIN sd_cb c) WHERE rn = 1),
+sc AS (SELECT n.vec_id AS bid, s.vec_id AS sid,
+    list_dot_product(nx.vv, sx.vv)
+      / (sqrt(list_dot_product(nx.vv, nx.vv))
+         * sqrt(list_dot_product(sx.vv, sx.vv))) AS cos
+  FROM nasn n JOIN sd_asn s ON n.code = s.code
+  JOIN nv nx ON nx.vec_id = n.vec_id
+  JOIN sv sx ON sx.vec_id = s.vec_id),
+ag AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM sc GROUP BY bid),
+bst AS (SELECT bid, sid AS best_store_id, cos,
+  row_number() OVER (PARTITION BY bid ORDER BY cos DESC, sid ASC) AS rn
+  FROM sc)
+SELECT nv.vec_id, coalesce(ag.n_candidates, 0) AS n_candidates,
+  b.best_store_id, round(b.cos, 6) AS best_cos,
+  coalesce(b.cos >= 0.9, false) AS is_dup
+FROM nv LEFT JOIN ag ON nv.vec_id = ag.bid
+LEFT JOIN (SELECT * FROM bst WHERE rn = 1) b ON nv.vec_id = b.bid
+ORDER BY nv.vec_id"""
+  }
 
   /** Winnowing selection CTE chain (the q204 replay, parameterized):
     * appends `${p}sel AS (SELECT DISTINCT doc_id, wmin ...)` over the

@@ -112,6 +112,23 @@ object Clustering {
     connectedComponents(df.select(idCol), cand, idCol)
   }
 
+  /** Shared-passage document families: [[Dedup.winnowOverlapPairs]]
+    * edges → connected components — the cluster view of the MOSS
+    * consumer (which documents form one copied-passage family), the
+    * winnowing analogue of [[nearDupClusters]]. A pair is an edge when
+    * the docs share ≥ `minShared` selected fingerprints inside the
+    * [2, maxDocFreq] document-frequency band; docs sharing nothing are
+    * their own singleton component. Returns (idCol, component =
+    * min member id). */
+  def winnowOverlapClusters(df: DataFrame, idCol: String, textCol: String,
+                            kgram: Int = 3, window: Int = 4,
+                            minShared: Int = 1,
+                            maxDocFreq: Int = 1000): DataFrame = {
+    val edges = Dedup.winnowOverlapPairs(df, idCol, textCol,
+      kgram, window, minShared, maxDocFreq).select("id_a", "id_b")
+    connectedComponents(df.select(idCol), edges, idCol)
+  }
+
   /** Keep the best row per duplicate cluster: joins the component
     * assignment, takes argmax of `scoreCol` per component (ties broken
     * by LOWEST id — deterministic), and returns the surviving rows of

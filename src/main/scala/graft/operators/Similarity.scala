@@ -767,6 +767,71 @@ object Similarity {
       .select(col("id").as(idCol), col("cell"), col("cdist"))
   }
 
+  /** Incremental SemDeDup gate against a PERSISTED embedding store —
+    * the [[graft.operators.Dedup.lshDedupAgainstStore]] pattern in
+    * embedding space: the hourly question "is this new document
+    * semantically a duplicate of ANYTHING already accepted" answered
+    * without ever re-reading accepted text. The store holds one
+    * (idCol, vecCol) row per accepted document; centroids train on the
+    * STORE (deterministic [[kMediansLocal]] over the bounded
+    * driver-side sample — the store is the distribution the gate
+    * protects), both sides assign by strict-min L2 against the
+    * broadcast codebook literals, and each new vector compares by
+    * exact cosine ONLY against store vectors in its own cell — the
+    * SemDeDup cell restriction is the quadratic bound, `nCells` the
+    * knob (size it so expected cell occupancy stays in the thousands
+    * at production scale). Cross-cell misses are the accepted
+    * approximation, exactly as in [[semDedupPairs]].
+    *
+    * Best match per new vector under the total order (cos DESC, store
+    * id ASC) via one min(struct) fold; every distance/cosine folds
+    * component-ascending (the q79/q80 invariants), so a DuckDB oracle
+    * replays train → assign → compare bit-for-bit.
+    *
+    * Returns one row per NEW vector: (idCol, n_candidates — same-cell
+    * store rows compared, best_store_id — null when the cell holds no
+    * store vector, best_cos — round 6, null likewise, is_dup =
+    * raw best cos ≥ tau), ordered by idCol. */
+  def semDedupAgainstStore(newVecs: DataFrame, idCol: String,
+                           vecCol: String, store: DataFrame, tau: Double,
+                           nCells: Int, iters: Int = 1,
+                           trainSamplePct: Int = 100): DataFrame = {
+    val reserved = Set("cell", "n_candidates", "best_store_id",
+      "best_cos", "is_dup")
+    require(!reserved.contains(idCol),
+      s"semDedupAgainstStore: idCol `$idCol` collides with a reserved " +
+        s"output column (${reserved.toSeq.sorted.mkString(", ")})")
+    require(store.columns.contains(idCol) && store.columns.contains(vecCol),
+      s"store must carry (`$idCol`, `$vecCol`) " +
+        s"(found: ${store.columns.mkString(", ")})")
+    val sample = trainRows(store, idCol, vecCol, trainSamplePct)
+    val cents = kMediansLocal(sample, nCells, iters)
+    def assignSide(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(s"_${as}_id"),
+        col(vecCol).cast("array<double>").as(s"_${as}_v"))
+        .withColumn("cell", argminL2Expr(col(s"_${as}_v"), cents))
+        .withColumn(s"_${as}_n", norm(col(s"_${as}_v")))
+    val scored = assignSide(newVecs, "b").join(assignSide(store, "s"),
+        Seq("cell"))
+      .withColumn("_cos",
+        dot(col("_b_v"), col("_s_v")) / (col("_b_n") * col("_s_n")))
+    val agg = scored.groupBy(col("_b_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(struct((-col("_cos")).as("_nc"), col("_s_id").as("_sid")))
+          .as("_best"))
+      .select(col("_b_id").as(idCol), col("n_candidates"),
+        col("_best._sid").as("best_store_id"),
+        (-col("_best._nc")).as("_bc"))
+    newVecs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_store_id"),
+        round(col("_bc"), 6).as("best_cos"),
+        coalesce(col("_bc") >= tau, lit(false)).as("is_dup"))
+      .orderBy(idCol)
+  }
+
   def nearDupPairs(data: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     val d = data.select(col(idCol).as("id"),

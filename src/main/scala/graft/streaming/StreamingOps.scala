@@ -872,4 +872,70 @@ object StreamingOps {
         } finally chunks.unpersist(false)
       }
       .start()
+
+  /** Streaming winnowing overlap gate — the
+    * [[graft.operators.Dedup.winnowDedupAgainstStore]] check run
+    * FOREVER against a growing parquet fingerprint store: each
+    * micro-batch is gated against every ALREADY-ACCEPTED document's
+    * selected fingerprints (the plagiarism/contamination check a
+    * growing corpus actually runs), and the fingerprints of the
+    * batch's accepted (non-flagged) documents append to the store.
+    * The store is the recovery point — restart and the gate continues
+    * where it left off — and the distributed table IS the state, so
+    * it scales to corpus-sized fingerprint sets (the CDC digest-store
+    * pattern applied to winnowing).
+    *
+    * Each batch's report is EXACTLY the batch operator's output
+    * against the store as of that batch (spec-asserted): batch N's
+    * report ≡ winnowDedupAgainstStore(batch_N, fingerprints of all
+    * accepted docs of batches < N). Within-batch duplicates are NOT
+    * cross-checked (same as the batch operator — that is
+    * winnowOverlapPairs' job); both copies gate against history only.
+    *
+    * Replay safety: the [[cdcDedupStream]] layout — the store is
+    * hive-partitioned by foreachBatch batchId, `seen` excludes the
+    * current batchId (a replayed batch must not see its own crashed
+    * append), and the append OVERWRITES the own-batch partition —
+    * idempotent under full replay, self-healing under partial writes.
+    *
+    * @param sink receives each batch's per-document report (the
+    *             winnowDedupAgainstStore schema) */
+  def winnowDedupStream(stream: DataFrame, idCol: String, textCol: String,
+                        statePath: String, checkpoint: String,
+                        kgram: Int = 3, window: Int = 4,
+                        minShared: Int = 2)
+                       (sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        val seen: DataFrame =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            s.read.parquet(statePath)
+              .filter(col("_batch_id") =!= lit(batchId))
+              .select(col(idCol), col("fingerprint"))
+          else
+            // empty store with the BATCH's id type (limit 0 keeps the
+            // schema without materializing anything)
+            batch.select(col(idCol)).limit(0)
+              .withColumn("fingerprint", lit(0L))
+        val report = graft.operators.Dedup.winnowDedupAgainstStore(
+            batch, idCol, textCol, seen, kgram, window, minShared)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(report)
+          val accepted = report.filter(!col("is_flagged"))
+            .select(col(idCol))
+          graft.operators.Dedup.winnowFingerprints(
+              batch, idCol, textCol, kgram, window)
+            .join(accepted, Seq(idCol), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$statePath/_batch_id=$batchId")
+        } finally report.unpersist(false)
+      }
+      .start()
 }

@@ -1097,6 +1097,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p206.contains("BroadcastHashJoin") ||
       p206.contains("SortMergeJoin"),
       s"the mutual pairing must be an equi-join:\n$p206")
+    // q212/q213/q216: every winnowing-family join is a fingerprint/id
+    // equi-join — never a product — and the q204 transform pin holds
+    // (the kgram count rides the arithmetic identity in all of them)
+    for (name <- Seq("q212_winnow_overlap", "q213_winnow_store",
+        "q216_winnow_clusters")) {
+      val p = finalPlan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must join on fingerprints/ids, never a product:\n$p")
+    }
+    // q214: one digest hash aggregate + the group join-back — no
+    // window, no product
+    val p214 = finalPlan(q("q214_convo_dedup"))
+    assert(!p214.contains("Window") && !p214.contains("CartesianProduct"),
+      s"conversation dedup is one digest aggregate:\n$p214")
+    // q215: banded candidates — equi-joins only
+    val p215 = finalPlan(q("q215_convo_neardup"))
+    assert(!p215.contains("CartesianProduct") &&
+      !p215.contains("BroadcastNestedLoopJoin"),
+      s"conversation near-dup must stay banded:\n$p215")
+    // q217: codebook rides as literals (no centroid join at all); the
+    // store comparison is a cell equi-join — no product anywhere
+    val p217 = finalPlan(q("q217_embed_store_gate"))
+    assert(!p217.contains("CartesianProduct") &&
+      !p217.contains("BroadcastNestedLoopJoin"),
+      s"embed store gate must be a cell equi-join:\n$p217")
     // q207: the rank is the bucketed prefix sum — no global funnel
     val p207 = finalPlan(q("q207_snake_shard"))
     assert(!p207.contains("Exchange SinglePartition"),

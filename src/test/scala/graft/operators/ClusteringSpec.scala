@@ -138,4 +138,21 @@ class ClusteringSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral id column"))
   }
+
+  test("winnowOverlapClusters groups passage-sharing docs transitively") {
+    import spark.implicits._
+    // docs 1-2 share run r*, docs 2-3 share run s* (1 and 3 share
+    // nothing directly → transitivity must link them); 4 is isolated
+    val docs = Seq(
+      (1L, "a1 a2 r1 r2 r3 r4 r5 r6 r7 a3 a4"),
+      (2L, "r1 r2 r3 r4 r5 r6 r7 b1 s1 s2 s3 s4 s5 s6 s7 b2"),
+      (3L, "c1 c2 c3 s1 s2 s3 s4 s5 s6 s7 c4 c5"),
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"))
+      .toDF("id", "text")
+    val got = Clustering.winnowOverlapClusters(docs, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L,
+      s"passage chain 1-2-3 must share one component: $got")
+    assert(got(4L) == 4L, s"isolated doc keeps its own component: $got")
+  }
 }

@@ -373,6 +373,51 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.size < cdist.size, "fixture must actually drop some rows")
   }
 
+  test("semDedupAgainstStore: nCells=1 equals the brute all-pairs gate") {
+    // one cell removes the cluster restriction, so every (new, store)
+    // pair is compared: the report must equal the brute best-match
+    // answer, with identical doubles (same component-ascending folds)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 120)
+    val store = e.filter($"vec_id" % 2 === 0)
+    val batch = e.filter($"vec_id" % 2 === 1)
+    val got = Similarity.semDedupAgainstStore(batch, "vec_id",
+      "embedding", store, tau = 0.5, nCells = 1)
+      .as[(Long, Long, Option[Long], Option[Double], Boolean)]
+      .collect().toSeq
+    val nStore = store.count()
+    assert(got.forall(_._2 == nStore),
+      "one cell: every new vector compares against the WHOLE store")
+    // brute twin via the cross product
+    val brute = batch.select($"vec_id".as("bid"),
+        $"embedding".cast("array<double>").as("bv"))
+      .crossJoin(store.select($"vec_id".as("sid"),
+        $"embedding".cast("array<double>").as("sv")))
+      .withColumn("cos", Similarity.cosine($"bv", $"sv"))
+      .groupBy($"bid")
+      .agg(min(struct((-$"cos").as("nc"), $"sid".as("sid"))).as("b"))
+      .select($"bid", $"b.sid".as("sid"), (-$"b.nc").as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    got.foreach { case (bid, _, bsid, bcos, dup) =>
+      val (esid, ecos) = brute(bid)
+      assert(bsid == Some(esid), s"$bid best: $bsid != $esid")
+      assert(bcos == Some(BigDecimal(ecos).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+        s"$bid cos: $bcos vs $ecos")
+      assert(dup == (ecos >= 0.5))
+    }
+    // empty-cell / guard paths
+    intercept[IllegalArgumentException] {
+      Similarity.semDedupAgainstStore(batch, "cell", "embedding",
+        store, 0.5, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.semDedupAgainstStore(batch, "vec_id", "embedding",
+        store.withColumnRenamed("embedding", "v"), 0.5, 2)
+    }
+  }
+
   test("semDedup rejects a colliding id column name") {
     val df = Seq((0L, Array(1f, 0f))).toDF("cell", "embedding")
     intercept[IllegalArgumentException] {

@@ -1176,4 +1176,79 @@ class StreamingOpsSpec extends SparkSpec {
       "replay must not append duplicate digest rows")
     assert(store.select("_batch_id").distinct().count() == 1)
   }
+
+  test("streaming winnowing gate equals the per-batch operator, " +
+      "survives restart, replays idempotently") {
+    import graft.operators.Dedup
+    // batch 1 seeds two docs; batch 2 (after restart) holds an exact
+    // replica of doc 1 (must flag against the store), a near replica
+    // of doc 2 sharing a long run, and a novel doc
+    val d1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val d2 = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    val batch1 = Seq((1L, d1), (2L, d2))
+    val batch2 = Seq(
+      (10L, d1),                                  // exact replica of 1
+      (11L, s"y1 y2 x1 x2 x3 x4 x5 x6 x7 x8 y3"), // shared run with 2
+      (12L, "z1 z2 z3 z4 z5 z6 z7 z8"))           // novel
+    val key = System.nanoTime()
+    val state = s"/tmp/graft-winnow-stream-state-$key"
+    // ONE MemoryStream spans run 1 and the restart (the checkpoint's
+    // offsets belong to the source instance); the replay leg below
+    // uses a fresh source + fresh checkpoint against the same store
+    def runOnce(ckpt: String, mem: MemoryStream[(Long, String)])
+        : List[(Long, Long, Long, Option[Long], Long, Boolean)] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Option[Long], Long, Boolean)]
+      val q = StreamingOps.winnowDedupStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        state, ckpt, minShared = 1) { rep =>
+        out ++= rep.as[(Long, Long, Long, Option[Long], Long, Boolean)]
+          .collect() }
+      q.awaitTermination(60000)
+      out.sortBy(_._1).toList
+    }
+    val ckptA = s"/tmp/graft-winnow-stream-ckpt-$key-a"
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData(batch1: _*)
+    val rep1 = runOnce(ckptA, mem)
+    // batch 1 vs an empty store: the batch-operator twin
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "fingerprint")
+    val twin1 = Dedup.winnowDedupAgainstStore(
+      batch1.toDF("doc_id", "text"), "doc_id", "text", empty,
+      minShared = 1)
+      .as[(Long, Long, Long, Option[Long], Long, Boolean)]
+      .collect().toList.sortBy(_._1)
+    assert(rep1 == twin1, s"batch 1: $rep1 != $twin1")
+    assert(rep1.forall(!_._6), "an empty store flags nothing")
+    // RESTART: same checkpoint + store; batch 2's report must equal
+    // the operator against batch 1's accepted fingerprints
+    mem.addData(batch2: _*)
+    val rep2 = runOnce(ckptA, mem)
+    val twin2 = Dedup.winnowDedupAgainstStore(
+      batch2.toDF("doc_id", "text"), "doc_id", "text",
+      Dedup.winnowFingerprints(batch1.toDF("doc_id", "text"),
+        "doc_id", "text"), minShared = 1)
+      .as[(Long, Long, Long, Option[Long], Long, Boolean)]
+      .collect().toList.sortBy(_._1)
+    assert(rep2 == twin2, s"batch 2: $rep2 != $twin2")
+    val exact = rep2.find(_._1 == 10L).get
+    assert(exact._4 == Some(1L) && exact._6,
+      s"exact replica must flag against store doc 1: $exact")
+    assert(rep2.find(_._1 == 11L).get._6,
+      "the shared 8-token run must flag doc 11 at minShared=1 " +
+        "(positional guarantee: >= 1 shared fingerprint)")
+    assert(!rep2.find(_._1 == 12L).get._6)
+    // REPLAY: fresh checkpoint, same store — batchId restarts at 0,
+    // simulating the crash-after-append-before-commit replay of
+    // batch 1; the report must be byte-identical to the first run and
+    // the store must hold no duplicate (doc, fingerprint) rows
+    val mem2 = MemoryStream[(Long, String)](spark)
+    mem2.addData(batch1: _*)
+    val replayed = runOnce(s"/tmp/graft-winnow-stream-ckpt-$key-b", mem2)
+    assert(replayed == rep1, s"replayed: $replayed != $rep1")
+    val store = spark.read.parquet(state)
+    assert(store.count() ==
+      store.select("doc_id", "fingerprint").distinct().count(),
+      "replay must not duplicate store fingerprint rows")
+  }
 }
