@@ -105,7 +105,11 @@ object ScaleBench {
     // product grows ~100× — the q80 shape; nCells is the production
     // knob (size cells to thousands of rows), the leg documents the
     // fixed-knob growth honestly
-    "q217_embed_store_gate")
+    "q217_embed_store_gate",
+    // passage decontamination (q218 — eval texts are replica-suffixed
+    // at sf1, so hits stay within-replica and output grows 10×) and
+    // the cell-balanced sample (q219 — constant output, 10× scan)
+    "q218_winnow_decontaminate", "q219_cell_balanced_sample")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per

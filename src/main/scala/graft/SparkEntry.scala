@@ -2527,7 +2527,32 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
         e.filter(col("vec_id") % 2 === 0),
         tau = 0.9, nCells = 4, iters = 1)
-    })
+    }),
+    // ---- passage-level benchmark decontamination: eval set =
+    //      doc_id%20==0; every %20==7 doc is CONTAMINATED by appending
+    //      eval doc (id−7)'s full text; survivors = corpus minus the
+    //      flagged (≥ 2 shared winnowing fingerprints vs eval). ----
+    "q218_winnow_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val evalSet = d.filter(col("doc_id") % 20 === 0)
+        .select("doc_id", "text")
+      val contam = d.filter(col("doc_id") % 20 === 7)
+        .join(evalSet.select((col("doc_id") + 7).as("doc_id"),
+          col("text").as("_etext")), Seq("doc_id"))
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("_etext")).as("text"))
+      val corpus = d
+        .filter(col("doc_id") % 20 =!= 0 && col("doc_id") % 20 =!= 7)
+        .select("doc_id", "text").unionByName(contam)
+      Dedup.winnowDecontaminate(corpus, "doc_id", "text", evalSet)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // ---- cell-balanced embedding sample: k-medians cells (the q80
+    //      assignment), ≤ 40 rows per cell by deterministic md5 rank —
+    //      the q199 diversity rule in embedding space. ----
+    "q219_cell_balanced_sample" -> ((s, dir) =>
+      Similarity.cellBalancedSample(t(s, dir, "embeddings"),
+        "vec_id", "embedding", nCells = 4, perCell = 40))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -5769,7 +5794,45 @@ GROUP BY id ORDER BY doc_id""",
     // q217: the q80 k-medians replay trained on the STORE side, batch
     // assigned against the trained codebook, intra-cell exact cosine,
     // (cos DESC, store id ASC) best pick.
-    "q217_embed_store_gate" -> embedStoreOracle
+    "q217_embed_store_gate" -> embedStoreOracle,
+    // q218: winnowing replayed over the eval set and the planted
+    // corpus; flagged = any eval doc sharing >= 2 fingerprints;
+    // survivors = corpus ids minus flagged.
+    "q218_winnow_decontaminate" ->
+      s"""WITH ev AS (SELECT doc_id, text FROM documents
+  WHERE doc_id % 20 = 0),
+corp AS (SELECT doc_id, text FROM documents
+  WHERE doc_id % 20 NOT IN (0, 7)
+  UNION ALL
+  SELECT c.doc_id, c.text || ' ' || e.text FROM documents c
+  JOIN documents e ON e.doc_id = c.doc_id - 7
+  WHERE c.doc_id % 20 = 7),
+${winnowSelChain("e", "ev")},
+${winnowSelChain("c", "corp")},
+hits AS (SELECT n.doc_id AS cid, s.doc_id AS eid
+  FROM csel n JOIN esel s ON n.wmin = s.wmin),
+flagged AS (SELECT cid FROM (
+  SELECT cid, eid, count(*) AS shared FROM hits GROUP BY 1, 2)
+  GROUP BY cid HAVING max(shared) >= 2)
+SELECT corp.doc_id FROM corp LEFT JOIN flagged ON corp.doc_id = flagged.cid
+WHERE flagged.cid IS NULL ORDER BY corp.doc_id""",
+    // q219: the q80 k-medians assignment + the q199 md5-rank cut per
+    // cell.
+    "q219_cell_balanced_sample" -> {
+      import graft.oracle.KMediansOracle
+      s"""WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings),
+${KMediansOracle.kMediansSql("cs", "v", 4, 64, 1)}
+b AS (SELECT a.code AS cell, a.vec_id,
+  CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 12)) AS BIGINT)
+    AS hsh FROM cs_asn a),
+r AS (SELECT cell, vec_id,
+  row_number() OVER (PARTITION BY cell ORDER BY hsh, vec_id) AS rank
+  FROM b)
+SELECT cell, CAST(rank AS INTEGER) AS rank, vec_id FROM r
+WHERE rank <= 40 ORDER BY cell, rank"""
+    }
   )
 
   /** q217: store-trained k-medians (KMediansOracle, the q79/q80

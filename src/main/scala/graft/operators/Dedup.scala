@@ -416,6 +416,30 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Passage-level benchmark decontamination — the winnowing
+    * application of the q46/q127/q142 family: drop every corpus
+    * document sharing ≥ `minShared` selected fingerprints with the
+    * eval/benchmark set. Exact-match and n-gram decontamination miss a
+    * benchmark QUESTION embedded inside a larger page; the winnowing
+    * positional guarantee (any shared run of `window + kgram − 1`
+    * tokens yields a shared fingerprint) is precisely the
+    * contaminated-passage detector. The eval side is fingerprinted
+    * once (benchmark-sized — broadcastable in practice); the corpus is
+    * fingerprinted once and equi-joined — the [[winnowDedupAgainstStore]]
+    * dataflow with the eval set as the store. Returns the SURVIVING
+    * corpus rows unchanged (the q46 convention). */
+  def winnowDecontaminate(corpus: DataFrame, idCol: String,
+                          textCol: String, evalDocs: DataFrame,
+                          kgram: Int = 3, window: Int = 4,
+                          minShared: Int = 2): DataFrame = {
+    val evalFps = winnowFingerprints(evalDocs, idCol, textCol,
+      kgram, window)
+    val report = winnowDedupAgainstStore(corpus, idCol, textCol,
+      evalFps, kgram, window, minShared)
+    corpus.join(report.filter(!col("is_flagged")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Candidate pairs from an EXISTING banded frame (id, band, sig) —
     * the from-signatures entry point, so compositions that already hold
     * signatures (estimate, exact-verify) never re-shingle or re-hash

@@ -804,6 +804,18 @@ object Similarity {
     require(store.columns.contains(idCol) && store.columns.contains(vecCol),
       s"store must carry (`$idCol`, `$vecCol`) " +
         s"(found: ${store.columns.mkString(", ")})")
+    // Empty-store fast path (the first batch of a fresh pipeline, and
+    // the streaming twin's bootstrap): nothing to train on, nothing to
+    // compare against — every new vector reports clean. The isEmpty
+    // probe is a limit-1 job (the trainCentroids precedent).
+    if (store.isEmpty)
+      return newVecs.select(col(idCol),
+        lit(0L).as("n_candidates"),
+        lit(null).cast(newVecs.schema(idCol).dataType)
+          .as("best_store_id"),
+        lit(null).cast("double").as("best_cos"),
+        lit(false).as("is_dup"))
+        .orderBy(idCol)
     val sample = trainRows(store, idCol, vecCol, trainSamplePct)
     val cents = kMediansLocal(sample, nCells, iters)
     def assignSide(df: DataFrame, as: String): DataFrame =
@@ -830,6 +842,36 @@ object Similarity {
         round(col("_bc"), 6).as("best_cos"),
         coalesce(col("_bc") >= tau, lit(false)).as("is_dup"))
       .orderBy(idCol)
+  }
+
+  /** Cell-balanced embedding sample — [[graft.operators.Curation
+    * .diversitySample]]'s rule in EMBEDDING space (the D4-flavored
+    * "no semantic neighborhood dominates the sample"): documents
+    * bucket by their k-medians cell (deterministic, the SemDeDup
+    * assignment) and each cell contributes at most `perCell` rows by
+    * the deterministic md5 rank of the id (seedless, re-runnable).
+    * Where the SimHash variant caps TEMPLATE skew, this caps TOPIC
+    * skew — the two compose in a real curation pipeline.
+    *
+    * The per-cell cut is one bounded [[TopK]] aggregate (buffers never
+    * exceed perCell; no per-cell sort window). Returns
+    * (cell, rank ∈ 1..perCell, idCol), ordered by (cell, rank). */
+  def cellBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                         nCells: Int, perCell: Int, iters: Int = 1,
+                         trainSamplePct: Int = 100): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val assigned = semDedupAssign(df, idCol, vecCol, nCells, iters,
+      trainSamplePct)
+    val scored = assigned.select(col("id").as(idCol), col("cell"))
+      // 48-bit md5 prefix, exact as a double (< 2^53); negated so the
+      // TopK (score DESC) keeps the SMALLEST hashes, ties id ASC —
+      // the diversitySample rank, verbatim
+      .withColumn("_neg",
+        -conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+          .cast("double"))
+    TopK.perGroup(scored, "cell", "_neg", idCol, perCell)
+      .select(col("cell"), col("rank"), col(idCol))
+      .orderBy("cell", "rank")
   }
 
   def nearDupPairs(data: DataFrame, idCol: String, vecCol: String,

@@ -938,4 +938,63 @@ object StreamingOps {
         } finally report.unpersist(false)
       }
       .start()
+
+  /** Streaming embedding-store dedup — the
+    * [[graft.operators.Similarity.semDedupAgainstStore]] gate run
+    * FOREVER: each micro-batch of (id, vector) rows is checked against
+    * the persisted store of every already-accepted document's
+    * embedding (k-medians cells trained on the store, exact intra-cell
+    * cosine, is_dup at `tau`), and the non-dup rows' vectors append to
+    * the store. The third member of the incremental-store streaming
+    * family ([[cdcDedupStream]] digests, [[winnowDedupStream]]
+    * fingerprints, this one embeddings) — same batch-operator parity
+    * contract (batch N's report ≡ the batch operator against the
+    * store as of N, spec-asserted), same batchId-partitioned
+    * idempotent store layout (`seen` excludes the current batchId; the
+    * append overwrites the own-batch partition), so at-least-once
+    * foreachBatch replay is exact and partial writes self-heal.
+    *
+    * The store persists RAW vectors, not cell assignments: cells are
+    * re-trained per batch from the current store (centroid drift
+    * tracks the accepted distribution), which costs one bounded
+    * driver-side sample per batch — the [[cdcDedupStream]]-style
+    * trade of a small fixed recompute for exact restartability.
+    *
+    * @param sink receives each batch's per-vector report (the
+    *             semDedupAgainstStore schema) */
+  def semDedupStream(stream: DataFrame, idCol: String, vecCol: String,
+                     statePath: String, checkpoint: String, tau: Double,
+                     nCells: Int, iters: Int = 1,
+                     trainSamplePct: Int = 100)
+                    (sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        val seen: DataFrame =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            s.read.parquet(statePath)
+              .filter(col("_batch_id") =!= lit(batchId))
+              .select(col(idCol), col(vecCol))
+          else
+            batch.select(col(idCol), col(vecCol)).limit(0)
+        val report = graft.operators.Similarity.semDedupAgainstStore(
+            batch, idCol, vecCol, seen, tau, nCells, iters,
+            trainSamplePct)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(report)
+          batch.select(col(idCol),
+              col(vecCol).cast("array<double>").as(vecCol))
+            .join(report.filter(!col("is_dup")).select(col(idCol)),
+              Seq(idCol), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$statePath/_batch_id=$batchId")
+        } finally report.unpersist(false)
+      }
+      .start()
 }

@@ -1123,6 +1123,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p217.contains("CartesianProduct") &&
       !p217.contains("BroadcastNestedLoopJoin"),
       s"embed store gate must be a cell equi-join:\n$p217")
+    // q218: fingerprint equi-joins only; q219: the per-cell cut is the
+    // bounded TopK aggregate — no window, no product
+    val p218 = finalPlan(q("q218_winnow_decontaminate"))
+    assert(!p218.contains("CartesianProduct") &&
+      !p218.contains("BroadcastNestedLoopJoin"),
+      s"winnow decontamination must equi-join fingerprints:\n$p218")
+    val p219 = finalPlan(q("q219_cell_balanced_sample"))
+    assert(!p219.contains("CartesianProduct") &&
+      !p219.contains("Window"),
+      s"cell-balanced sample is assignment + one TopK aggregate:\n$p219")
     // q207: the rank is the bucketed prefix sum — no global funnel
     val p207 = finalPlan(q("q207_snake_shard"))
     assert(!p207.contains("Exchange SinglePartition"),

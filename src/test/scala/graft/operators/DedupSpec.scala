@@ -861,6 +861,22 @@ class DedupSpec extends SparkSpec {
       assert(om == sh * 1000000L / math.min(na, nb)) }
   }
 
+  test("winnowDecontaminate drops docs embedding an eval passage") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "e1 e2 e3 e4 e5 e6 e7 e8"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8"),                 // clean
+      (2L, "b1 b2 e1 e2 e3 e4 e5 e6 e7 e8 b3"))        // embeds eval doc
+      .toDF("id", "text")
+    val surv = Dedup.winnowDecontaminate(corpus, "id", "text",
+      evalSet, minShared = 1)
+    assert(surv.select("id").as[Long].collect().toSet == Set(1L),
+      "the contaminated doc must drop, the clean one survive")
+    // survivors come back with their full original rows
+    assert(surv.columns.toSeq == Seq("id", "text"))
+  }
+
   test("winnowDedupAgainstStore flags exact and near store replicas") {
     import spark.implicits._
     val storeDocs = Seq(

@@ -418,6 +418,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cellBalancedSample caps cells and cuts by the md5 rank") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 150)
+    val full = Similarity.cellBalancedSample(e, "vec_id", "embedding",
+      nCells = 3, perCell = 10000)
+      .as[(Long, Int, Long)].collect().toSeq
+    val cut = Similarity.cellBalancedSample(e, "vec_id", "embedding",
+      nCells = 3, perCell = 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    // the perCell cut is exactly the rank<=5 slice of the full
+    // ordering — same cells, same md5 draw, just truncated
+    assert(cut.toSet == full.filter(_._2 <= 5).toSet,
+      s"cut must be the rank<=5 slice")
+    val sizes = cut.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.values.forall(_ <= 5), s"cell overflow: ${sizes.toMap}")
+    // ranks are contiguous from 1 within every cell
+    cut.groupBy(_._1).foreach { case (c, rows) =>
+      assert(rows.map(_._2).sorted == (1 to rows.size).toSeq,
+        s"cell $c ranks not contiguous")
+    }
+  }
+
   test("semDedup rejects a colliding id column name") {
     val df = Seq((0L, Array(1f, 0f))).toDF("cell", "embedding")
     intercept[IllegalArgumentException] {

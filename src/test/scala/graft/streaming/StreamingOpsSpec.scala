@@ -1251,4 +1251,76 @@ class StreamingOpsSpec extends SparkSpec {
       store.select("doc_id", "fingerprint").distinct().count(),
       "replay must not duplicate store fingerprint rows")
   }
+
+  test("streaming embedding gate equals the per-batch operator, " +
+      "survives restart, replays idempotently") {
+    import graft.operators.Similarity
+    val v1 = Seq(1.0, 0.0, 0.0, 0.0)
+    val v2 = Seq(0.0, 1.0, 0.0, 0.0)
+    val v3 = Seq(0.0, 0.0, 1.0, 0.0)
+    val batch1 = Seq((1L, v1), (2L, v2))
+    val batch2 = Seq((10L, v1), (11L, v3)) // 10 = exact dup of 1
+    val key = System.nanoTime()
+    val state = s"/tmp/graft-embed-stream-state-$key"
+    def runOnce(ckpt: String, mem: MemoryStream[(Long, Seq[Double])])
+        : List[(Long, Long, Option[Long], Option[Double], Boolean)] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Option[Long], Option[Double], Boolean)]
+      val q = StreamingOps.semDedupStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        state, ckpt, tau = 0.99, nCells = 1) { rep =>
+        out ++= rep
+          .as[(Long, Long, Option[Long], Option[Double], Boolean)]
+          .collect() }
+      q.awaitTermination(60000)
+      out.sortBy(_._1).toList
+    }
+    val ckptA = s"/tmp/graft-embed-stream-ckpt-$key-a"
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    mem.addData(batch1: _*)
+    val rep1 = runOnce(ckptA, mem)
+    // batch 1 vs the empty store: everything clean, the operator twin
+    val emptyStore = Seq.empty[(Long, Seq[Double])]
+      .toDF("vec_id", "embedding")
+    val twin1 = Similarity.semDedupAgainstStore(
+      batch1.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      emptyStore, tau = 0.99, nCells = 1)
+      .as[(Long, Long, Option[Long], Option[Double], Boolean)]
+      .collect().toList.sortBy(_._1)
+    assert(rep1 == twin1, s"batch 1: $rep1 != $twin1")
+    assert(rep1.forall(r => !r._5 && r._2 == 0L))
+    // restart: batch 2 vs batch 1's accepted vectors
+    mem.addData(batch2: _*)
+    val rep2 = runOnce(ckptA, mem)
+    val twin2 = Similarity.semDedupAgainstStore(
+      batch2.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      batch1.toDF("vec_id", "embedding"), tau = 0.99, nCells = 1)
+      .as[(Long, Long, Option[Long], Option[Double], Boolean)]
+      .collect().toList.sortBy(_._1)
+    assert(rep2 == twin2, s"batch 2: $rep2 != $twin2")
+    val dup = rep2.find(_._1 == 10L).get
+    assert(dup._3 == Some(1L) && dup._4 == Some(1.0) && dup._5,
+      s"exact vector replica must flag against store vec 1: $dup")
+    assert(!rep2.find(_._1 == 11L).get._5, "orthogonal vector is clean")
+    // replay: fresh checkpoint, same store — batchId restarts at 0,
+    // so `seen` must exclude EXACTLY the own-batch partition (batch
+    // 1's rows) while still seeing batch 2's accepted vector; the
+    // report must equal the operator against that store slice, and
+    // the store must not grow duplicate rows
+    val mem2 = MemoryStream[(Long, Seq[Double])](spark)
+    mem2.addData(batch1: _*)
+    val replayed = runOnce(s"/tmp/graft-embed-stream-ckpt-$key-b", mem2)
+    val twinReplay = Similarity.semDedupAgainstStore(
+      batch1.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      Seq((11L, v3)).toDF("vec_id", "embedding"),
+      tau = 0.99, nCells = 1)
+      .as[(Long, Long, Option[Long], Option[Double], Boolean)]
+      .collect().toList.sortBy(_._1)
+    assert(replayed == twinReplay, s"replayed: $replayed != $twinReplay")
+    assert(replayed.forall(!_._5),
+      "replayed batch must not flag against its own crashed append")
+    val store = spark.read.parquet(state)
+    assert(store.count() == store.select("vec_id").distinct().count(),
+      "replay must not duplicate store vector rows")
+  }
 }
