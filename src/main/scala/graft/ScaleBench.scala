@@ -109,7 +109,18 @@ object ScaleBench {
     // passage decontamination (q218 — eval texts are replica-suffixed
     // at sf1, so hits stay within-replica and output grows 10×) and
     // the cell-balanced sample (q219 — constant output, 10× scan)
-    "q218_winnow_decontaminate", "q219_cell_balanced_sample")
+    "q218_winnow_decontaminate", "q219_cell_balanced_sample",
+    // round-9b legs: distinct-n diversity (q223 — bigram explode +
+    // two hash aggs, the gram keyspace grows with the replica-suffixed
+    // vocab), the CUSUM monitor (q224 — per-event-type running
+    // windows, output = input rows so ~10× wall is the honest floor),
+    // label propagation (q225 — 3 supersteps of edge⋈label joins over
+    // the planted graph; vertex set grows with max doc id), modularity
+    // (q226 — two assignment joins + degree aggs over the same graph),
+    // and the truncation-recall audit (q227 — fixed 25-query frame ×
+    // 10× corpus: linear per decade by construction, the q133 shape)
+    "q223_distinct_ngrams", "q224_cusum", "q225_label_prop",
+    "q226_modularity", "q227_truncation_recall")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per

@@ -2552,7 +2552,116 @@ object SparkEntry {
     //      the q199 diversity rule in embedding space. ----
     "q219_cell_balanced_sample" -> ((s, dir) =>
       Similarity.cellBalancedSample(t(s, dir, "embeddings"),
-        "vec_id", "embedding", nCells = 4, perCell = 40))
+        "vec_id", "embedding", nCells = 4, perCell = 40)),
+    // ---- Krippendorff's alpha over the IDENTICAL q209 panel — the
+    //      finite-sample (n−1) expected-disagreement denominator is
+    //      what separates α from Fleiss' κ on the same votes. ----
+    "q220_krippendorff" -> ((s, dir) => {
+      val ratings = t(s, dir, "documents")
+        .select(col("doc_id"), explode(typedLit(Seq(0, 1, 2))).as("rater"))
+        .withColumn("label", concat(lit("cat"),
+          when((col("doc_id") + col("rater")) % 3 === 0,
+            (col("doc_id") % 5 + 1) % 5)
+            .otherwise(col("doc_id") % 5).cast("string")))
+      Eval.krippendorffAlpha(ratings, "doc_id", "rater", "label")
+    }),
+    // ---- pairwise LLM-judge win matrix with the position-bias
+    //      split: models m0–m3, pair partner offset 1 + doc_id%3 (so
+    //      both orderings of every pair occur), verdict A/B/tie by
+    //      doc_id%10 — the planted asymmetry makes every positional
+    //      rate distinct. ----
+    "q221_judge_wins" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val j = d.select(
+        concat(lit("m"), (col("doc_id") % 4).cast("string"))
+          .as("model_a"),
+        concat(lit("m"),
+          ((col("doc_id") % 4 + 1 + col("doc_id") % 3) % 4)
+            .cast("string")).as("model_b"),
+        when(col("doc_id") % 10 < 4, "A")
+          .when(col("doc_id") % 10 < 8, "B")
+          .otherwise("tie").as("verdict"))
+      Eval.judgeWinMatrix(j, "model_a", "model_b", "verdict")
+    }),
+    // ---- Spearman's ρ between two deterministic quality signals
+    //      (n_chars vs n_chars + doc_id%100 — strongly but not
+    //      perfectly monotone-associated); ranks under the house
+    //      (score ASC, id ASC) total order on both engines. ----
+    "q222_spearman" -> ((s, dir) =>
+      Stats.spearmanRho(
+        t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").as("sig_a"),
+          (col("n_chars") + col("doc_id") % 100).as("sig_b")),
+        "doc_id", "sig_a", "sig_b")),
+    // ---- distinct-2 generation diversity per source (Li et al.
+    //      2016) — the corpus-level mode-collapse check; one
+    //      (source, bigram) hash agg + one per-source re-agg. ----
+    "q223_distinct_ngrams" -> ((s, dir) =>
+      TextAnalysis.distinctNgramRatio(t(s, dir, "documents"),
+        "source", "text", n = 2)),
+    // ---- two-sided CUSUM monitor per event type with a PLANTED
+    //      +100 level shift on click values from Jan 20 on — the
+    //      upper sum must latch after the shift; exact integer-micro
+    //      prefix identities replayed by the oracle windows. ----
+    "q224_cusum" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), col("ts"),
+        (col("value") + when(col("event_type") === "click" &&
+          col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp"),
+          100.0).otherwise(0.0)).as("value"))
+      Drift.cusumChangepoints(e, "event_type", "event_id", "ts",
+        "value", targetMicro = 50000000L, slackMicro = 10000000L,
+        thresholdMicro = 500000000L)
+        .orderBy("event_type", "ts", "event_id")
+    }),
+    // ---- deterministic synchronous label propagation over a PLANTED
+    //      modular graph (25-vertex clusters, 2 arithmetic intra-links
+    //      per vertex, one cross-link per cluster head) — 3 supersteps,
+    //      smallest-label tie-break, oracle-replayed as chained CTEs
+    //      (the q166 HITS pattern). ----
+    "q225_label_prop" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val intra = d.select(col("doc_id").as("src"), explode(array(
+        expr("(doc_id div 25) * 25 + (doc_id * 7 + 1) % 25"),
+        expr("(doc_id div 25) * 25 + (doc_id * 13 + 5) % 25"))).as("dst"))
+      val cross = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 25) % m).as("dst"))
+      graft.operators.Graph.labelPropagation(
+        intra.unionByName(cross), "src", "dst", iterations = 3)
+        .orderBy("vertex")
+    }),
+    // ---- Newman modularity of the ground-truth partition (vertex
+    //      div 25) over the same planted graph — exact integer-micro
+    //      rational, DECIMAL(38,0) products. ----
+    "q226_modularity" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val intra = d.select(col("doc_id").as("src"), explode(array(
+        expr("(doc_id div 25) * 25 + (doc_id * 7 + 1) % 25"),
+        expr("(doc_id div 25) * 25 + (doc_id * 13 + 5) % 25"))).as("dst"))
+      val cross = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 25) % m).as("dst"))
+      val edges = intra.unionByName(cross)
+      val verts = edges.select(col("src").as("v"))
+        .union(edges.select(col("dst").as("v"))).distinct()
+      val assign = verts.select(col("v"), expr("v div 25").as("cm"))
+      graft.operators.Graph.modularity(edges, "src", "dst",
+        assign, "v", "cm")
+    }),
+    // ---- Matryoshka truncation-recall audit: exact cosine top-5 on
+    //      the full 64-dim embedding vs the 16-dim prefix, recall in
+    //      exact integer micros over the 25-query sample (the q133
+    //      audit pattern — representation loss instead of probe
+    //      loss). ----
+    "q227_truncation_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.truncationRecallAudit(e, e.filter(col("vec_id") < 25),
+        "vec_id", "embedding", dPrime = 16, k = 5)
+        .orderBy("query_id")
+    })
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -5832,8 +5941,214 @@ r AS (SELECT cell, vec_id,
   FROM b)
 SELECT cell, CAST(rank AS INTEGER) AS rank, vec_id FROM r
 WHERE rank <= 40 ORDER BY cell, rank"""
-    }
+    },
+    // q220: the q209 panel replayed through the alpha identity —
+    // D_o = n·m − Σn_ij², D_e = n² − ΣT_j², all HUGEINT, truncating //.
+    "q220_krippendorff" ->
+      """WITH rt AS (SELECT doc_id, r, 'cat' ||
+  CAST(CASE WHEN (doc_id + r) % 3 = 0 THEN (doc_id % 5 + 1) % 5
+    ELSE doc_id % 5 END AS VARCHAR) AS label
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS r)),
+cell AS (SELECT doc_id, label, count(*) AS nij FROM rt GROUP BY 1, 2),
+it AS (SELECT count(*) AS n_items, min(m) AS mmin, max(m) AS mmax,
+  CAST(sum(s2) AS HUGEINT) AS s2
+  FROM (SELECT doc_id, sum(nij) AS m, sum(nij * nij) AS s2
+        FROM cell GROUP BY 1)),
+lb AS (SELECT count(*) AS n_categories, CAST(sum(tj * tj) AS HUGEINT)
+  AS t2 FROM (SELECT label, sum(nij) AS tj FROM cell GROUP BY 1)),
+b AS (SELECT n_items, mmax AS m, n_categories, s2, t2,
+  CAST(n_items AS HUGEINT) * mmax AS n FROM it, lb),
+f AS (SELECT n_items, m, n_categories, n,
+  n * m - s2 AS do_n, n * n - t2 AS de_n FROM b)
+SELECT n_items, CAST(m AS BIGINT) AS n_raters, n_categories,
+  CAST(n AS BIGINT) AS n_values,
+  CAST(CASE WHEN (m - 1) * de_n = 0
+    THEN CASE WHEN n_items > 0 THEN 1000000 ELSE 0 END
+    ELSE ((m - 1) * de_n - (n - 1) * do_n) * 1000000
+      // ((m - 1) * de_n) END AS BIGINT) AS alpha_micro
+FROM f""",
+    // q221: the same canonicalization (least/greatest, lo_first =
+    // ma <= mb) and the ties-count-half winrate cleared to integers.
+    "q221_judge_wins" ->
+      """WITH j AS (SELECT
+  'm' || CAST(doc_id % 4 AS VARCHAR) AS ma,
+  'm' || CAST((doc_id % 4 + 1 + doc_id % 3) % 4 AS VARCHAR) AS mb,
+  CASE WHEN doc_id % 10 < 4 THEN 'A' WHEN doc_id % 10 < 8 THEN 'B'
+    ELSE 'tie' END AS v FROM documents),
+c AS (SELECT least(ma, mb) AS m_lo, greatest(ma, mb) AS m_hi,
+  ma <= mb AS lo_first, v FROM j),
+g AS (SELECT m_lo, m_hi, count(*) AS n_judgments,
+  CAST(sum(CASE WHEN (v = 'A' AND lo_first)
+    OR (v = 'B' AND NOT lo_first) THEN 1 ELSE 0 END) AS BIGINT)
+    AS wins_lo,
+  CAST(sum(CASE WHEN (v = 'B' AND lo_first)
+    OR (v = 'A' AND NOT lo_first) THEN 1 ELSE 0 END) AS BIGINT)
+    AS wins_hi,
+  CAST(sum(CASE WHEN v = 'tie' THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+  CAST(sum(CASE WHEN lo_first THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_lo_first,
+  CAST(sum(CASE WHEN lo_first AND v = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+    AS wlf,
+  CAST(sum(CASE WHEN lo_first AND v = 'tie' THEN 1 ELSE 0 END)
+    AS BIGINT) AS tf
+  FROM c GROUP BY 1, 2)
+SELECT m_lo, m_hi, n_judgments, wins_lo, wins_hi, ties, n_lo_first,
+  (2 * wins_lo + ties) * 1000000 // (2 * n_judgments)
+    AS winrate_lo_micro,
+  CASE WHEN n_lo_first = 0 THEN NULL
+    ELSE (2 * wlf + tf) * 1000000 // (2 * n_lo_first) END
+    AS winrate_lo_first_micro,
+  CASE WHEN n_judgments = n_lo_first THEN NULL
+    ELSE (2 * (wins_lo - wlf) + (ties - tf)) * 1000000
+      // (2 * (n_judgments - n_lo_first)) END
+    AS winrate_lo_second_micro,
+  CASE WHEN n_lo_first = 0 OR n_judgments = n_lo_first THEN NULL
+    ELSE (2 * wlf + tf) * 1000000 // (2 * n_lo_first)
+      - ((2 * (wins_lo - wlf) + (ties - tf)) * 1000000
+         // (2 * (n_judgments - n_lo_first))) END
+    AS position_gap_micro
+FROM g ORDER BY m_lo, m_hi""",
+    // q222: row_number ranks under the identical (score ASC, id ASC)
+    // order, then the cleared ρ rational in HUGEINT.
+    "q222_spearman" ->
+      """WITH src AS (SELECT doc_id, n_chars AS sa,
+  n_chars + doc_id % 100 AS sb FROM documents),
+ra AS (SELECT doc_id,
+  row_number() OVER (ORDER BY sa, doc_id) AS r FROM src),
+rb AS (SELECT doc_id,
+  row_number() OVER (ORDER BY sb, doc_id) AS r FROM src),
+d AS (SELECT CAST(ra.r - rb.r AS HUGEINT) AS d
+  FROM ra JOIN rb USING (doc_id)),
+f AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+  CAST(coalesce(sum(d * d), 0) AS HUGEINT) AS sd2 FROM d)
+SELECT CAST(n AS BIGINT) AS n, CAST(sd2 AS BIGINT) AS sum_d2,
+  CAST(CASE WHEN n * (n * n - 1) = 0 THEN NULL
+    ELSE (n * (n * n - 1) - 6 * sd2) * 1000000 // (n * (n * n - 1))
+    END AS BIGINT) AS rho_micro
+FROM f""",
+    // q223: the q81 bigram construction keyed by source, two-level
+    // aggregate, floor-micro ratio.
+    "q223_distinct_ngrams" ->
+      s"""WITH toks AS (SELECT source, $tokensSql AS tk FROM documents),
+gr AS (SELECT source, unnest(CASE WHEN len(tk) >= 2
+  THEN list_transform(range(0, len(tk) - 1),
+    i -> array_to_string(tk[i+1:i+2], ' '))
+  ELSE [] END) AS g FROM toks),
+c AS (SELECT source, g, count(*) AS c FROM gr GROUP BY 1, 2)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_total,
+  count(*) AS n_distinct,
+  count(*) * 1000000 // CAST(sum(c) AS BIGINT) AS distinct_micro
+FROM c GROUP BY source ORDER BY source""",
+    // q224: the CUSUM prefix identities as two chained running
+    // windows — S+ = P - min(0, running min P), S- = max(0, running
+    // max Q) - Q — over the identical (ts, event_id) order.
+    "q224_cusum" ->
+      """WITH src AS (SELECT event_id, event_type, ts,
+  value + CASE WHEN event_type = 'click'
+    AND ts >= TIMESTAMP '2024-01-20' THEN 100.0 ELSE 0 END AS v
+  FROM events),
+m AS (SELECT event_id, event_type, ts,
+  CAST(round(v * 1000000) AS BIGINT) AS x_micro FROM src),
+p AS (SELECT event_id, event_type, ts, x_micro,
+  sum(x_micro - 60000000) OVER w AS p,
+  sum(x_micro - 40000000) OVER w AS q
+  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING)),
+r AS (SELECT event_id, event_type, ts, x_micro, p, q,
+  least(0, min(p) OVER w) AS pmin,
+  greatest(0, max(q) OVER w) AS qmax
+  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING))
+SELECT event_type, event_id, ts, x_micro,
+  CAST(p - pmin AS BIGINT) AS s_hi_micro,
+  CAST(qmax - q AS BIGINT) AS s_lo_micro,
+  (p - pmin) > 500000000 AS alarm_hi,
+  (qmax - q) > 500000000 AS alarm_lo
+FROM r ORDER BY event_type, ts, event_id""",
+    // q225: the planted modular graph + 3 synchronous supersteps as
+    // chained CTEs; the (count DESC, label ASC) argmax replays the
+    // engine's min(struct(-c, lbl)) fold.
+    "q225_label_prop" -> {
+      val steps = (1 to 3).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""c$i AS (SELECT e.dst AS vertex, l.lbl, count(*) AS c
+  FROM sym e JOIN $prev l ON e.src = l.vertex GROUP BY 1, 2),
+l$i AS (SELECT vertex, lbl FROM (SELECT vertex, lbl,
+  row_number() OVER (PARTITION BY vertex ORDER BY c DESC, lbl) AS rn
+  FROM c$i) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH $lpaGraphCtes,
+sym AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half)),
+l0 AS (SELECT DISTINCT src AS vertex, src AS lbl FROM sym),
+$steps
+SELECT vertex, lbl AS community FROM l3 ORDER BY vertex"""
+    },
+    // q226: the ground-truth (v div 25) partition scored through the
+    // cleared modularity rational in HUGEINT.
+    "q226_modularity" ->
+      s"""WITH $lpaGraphCtes,
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM half),
+deg AS (SELECT v, count(*) AS d FROM (
+  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+dc AS (SELECT count(*) AS n_communities,
+  CAST(sum(dcv * dcv) AS HUGEINT) AS dc2 FROM (
+  SELECT v // 25 AS cm, CAST(sum(d) AS HUGEINT) AS dcv
+  FROM deg GROUP BY 1)),
+intra AS (SELECT count(*) AS m_edges,
+  CAST(sum(CASE WHEN a // 25 = b // 25 THEN 1 ELSE 0 END) AS BIGINT)
+    AS intra_edges FROM e),
+nv AS (SELECT count(*) AS n_vertices FROM deg)
+SELECT m_edges, n_vertices, n_communities, intra_edges,
+  CAST(CASE WHEN m_edges = 0 THEN NULL
+    ELSE (4 * CAST(m_edges AS HUGEINT) * intra_edges - dc2) * 1000000
+      // (4 * CAST(m_edges AS HUGEINT) * m_edges) END AS BIGINT)
+    AS modularity_micro
+FROM intra, nv, dc""",
+    // q227: both exact top-5 replays — full vectors and the 16-dim
+    // prefix (re-normalized by the prefix norm, the MRL convention) —
+    // under the identical (cos DESC, neighbor_id) total order.
+    "q227_truncation_recall" ->
+      """WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings),
+q AS (SELECT vec_id, vv FROM v WHERE vec_id < 25),
+ex AS (SELECT query_id, neighbor_id FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      list_cosine_similarity(a.vv, b.vv) DESC, b.vec_id) AS rank
+  FROM q a JOIN v b ON b.vec_id <> a.vec_id) WHERE rank <= 5),
+tx AS (SELECT query_id, neighbor_id FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      list_cosine_similarity(a.vv[1:16], b.vv[1:16]) DESC,
+      b.vec_id) AS rank
+  FROM q a JOIN v b ON b.vec_id <> a.vec_id) WHERE rank <= 5)
+SELECT ex.query_id, count(*) AS k_eval,
+  CAST(sum(CASE WHEN tx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_hits,
+  CAST(sum(CASE WHEN tx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) * 1000000
+    // count(*) AS recall_micro
+FROM ex LEFT JOIN tx USING (query_id, neighbor_id)
+GROUP BY ex.query_id ORDER BY query_id"""
   )
+
+  /** q225/q226's planted modular graph: 25-vertex clusters, two
+    * arithmetic intra-cluster links per vertex, one wrap-around
+    * cross-link per cluster head; self-loops dropped (the engine
+    * operators drop them too). */
+  private val lpaGraphCtes: String =
+    """ids AS (SELECT doc_id AS id FROM documents),
+mx AS (SELECT max(id) + 1 AS m FROM ids),
+raw AS (
+  SELECT id AS src, (id // 25) * 25 + (id * 7 + 1) % 25 AS dst FROM ids
+  UNION ALL
+  SELECT id, (id // 25) * 25 + (id * 13 + 5) % 25 FROM ids
+  UNION ALL
+  SELECT id, (id + 25) % (SELECT m FROM mx) FROM ids WHERE id % 25 = 0),
+half AS (SELECT src, dst FROM raw WHERE src <> dst)"""
 
   /** q217: store-trained k-medians (KMediansOracle, the q79/q80
     * replay), batch rows assigned against `sd_cb`, exact intra-cell

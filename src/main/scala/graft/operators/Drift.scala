@@ -396,6 +396,68 @@ object Drift {
       .orderBy(groupCol, "hour")
   }
 
+  /** Two-sided CUSUM changepoint monitor (Page 1954) per group over an
+    * event-time series — the sequential small-shift detector that
+    * complements [[hourlyRateAnomaly]]'s pointwise z-score: a z-test
+    * needs one big outlier, CUSUM accumulates many small deviations
+    * (a metric that drifts 0.2σ per hour alarms here first). Standard
+    * decision-interval recursions with target μ₀ and slack k:
+    *
+    *   S⁺_t = max(0, S⁺_{t-1} + (x_t − μ₀ − k))
+    *   S⁻_t = max(0, S⁻_{t-1} − (x_t − μ₀ + k)),  alarm when S > h
+    *
+    * computed WITHOUT the sequential recursion via the exact prefix
+    * identities S⁺_t = P_t − min(0, min_{j≤t} P_j) over
+    * P = Σ(x − μ₀ − k) (and the mirrored max form for S⁻) — two
+    * chained running windows per group, no driver loop, no UDF. Values
+    * enter integer micro space per-row (`round(x·10⁶)` of
+    * bit-identical doubles — the [[graft.operators.Eval]] convention),
+    * so every cumulative sum is exact integer arithmetic and the
+    * monitor replays bit-for-bit. No post-alarm reset: S stays high
+    * after a shift (the first alarm row per group IS the changepoint
+    * report; a reset variant would re-arm, which a monitoring query
+    * does by restarting from the alarm timestamp).
+    *
+    * Rows order by (`tsCol`, `idCol`) within each group — `idCol` must
+    * be unique per group for the order (hence the monitor) to be
+    * deterministic under timestamp ties. Null/NaN values and null
+    * timestamps are excluded (an unmeasurable point is not a
+    * deviation).
+    *
+    * Scale shape: the window partitions by `groupCol` — parallelism is
+    * per-group (the [[hourlyRateAnomaly]]/sessionize contract); a
+    * single group with billions of rows would serialize and should be
+    * pre-aggregated to a coarser tick first. Returns one row per input
+    * row: (groupCol, idCol, tsCol, x_micro, s_hi_micro, s_lo_micro,
+    * alarm_hi, alarm_lo). */
+  def cusumChangepoints(df: DataFrame, groupCol: String, idCol: String,
+                        tsCol: String, valueCol: String,
+                        targetMicro: Long, slackMicro: Long,
+                        thresholdMicro: Long): DataFrame = {
+    require(slackMicro >= 0, s"slackMicro must be >= 0: $slackMicro")
+    require(thresholdMicro > 0,
+      s"thresholdMicro must be > 0: $thresholdMicro")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = round(col(valueCol).cast("double") * 1000000L).cast("long")
+    df.filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")) && col(tsCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(tsCol), x.as("x_micro"))
+      .withColumn("_p",
+        sum(col("x_micro") - lit(targetMicro + slackMicro)).over(w))
+      .withColumn("_q",
+        sum(col("x_micro") - lit(targetMicro - slackMicro)).over(w))
+      .withColumn("s_hi_micro",
+        col("_p") - least(lit(0L), min("_p").over(w)))
+      .withColumn("s_lo_micro",
+        greatest(lit(0L), max("_q").over(w)) - col("_q"))
+      .select(col(groupCol), col(idCol), col(tsCol), col("x_micro"),
+        col("s_hi_micro"), col("s_lo_micro"),
+        (col("s_hi_micro") > thresholdMicro).as("alarm_hi"),
+        (col("s_lo_micro") > thresholdMicro).as("alarm_lo"))
+  }
+
   /** Pairwise Jensen–Shannon divergence matrix over a categorical
     * distribution per group — "which sources LOOK different" in one
     * symmetric, bounded figure (JSD ∈ [0, ln 2] nats; 0 = identical

@@ -266,6 +266,154 @@ object Eval {
       .orderBy(promptCol)
   }
 
+  /** Krippendorff's alpha (nominal data, equal rater count) — the
+    * third leg of the agreement family: like [[fleissKappa]] it pools
+    * R ≥ 2 raters, but its expected disagreement is the FINITE-SAMPLE
+    * one (drawing vote pairs without replacement from the observed
+    * margin), so α and κ genuinely differ on the same panel — α is
+    * the statistic reviewers ask for on small annotation batches.
+    * With n_ic votes item i received for category c, m raters per
+    * item, N items, n = N·m total votes and T_c = Σ_i n_ic:
+    *
+    *   D_o ∝ Σ_i (m² − Σ_c n_ic²)          (within-item label pairs
+    *                                        that disagree)
+    *   D_e ∝ n² − Σ_c T_c²                 (margin pairs that disagree)
+    *   α = 1 − (n−1)·D_o / ((m−1)·D_e)
+    *
+    * cleared of denominators into one exact rational (DECIMAL(38,0)
+    * products — the T_c² sums exceed int64 at corpus scale):
+    *
+    *   α·10⁶ = ((m−1)·D_e − (n−1)·D_o)·10⁶ div ((m−1)·D_e)
+    *
+    * Truncating `div` matches DuckDB `//` on the possibly-negative
+    * numerator (systematic disagreement drives α below 0). The
+    * degenerate D_e = 0 case (every vote one category — D_o is then
+    * identically 0 too) reports 10⁶, the [[fleissKappa]] convention.
+    * The full Krippendorff statistic admits unequal/missing ratings
+    * via per-item 1/(m_i−1) weights; those weights are non-integer
+    * rationals with item-varying denominators, so THIS operator takes
+    * the equal-count restriction (enforced the [[fleissKappa]] way,
+    * fused into the stats aggregate) and keeps the exact-arithmetic
+    * determinism contract instead.
+    *
+    * Shape at 100 TB: identical to [[fleissKappa]] — one (item, label)
+    * hash aggregate, one item-level and one |categories|-sized
+    * label-level re-aggregate, a 1-row result. Returns (n_items,
+    * n_raters, n_categories, n_values, alpha_micro). */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+                        labelCol: String): DataFrame = {
+    val base = df.filter(col(itemCol).isNotNull &&
+      col(raterCol).isNotNull && col(labelCol).isNotNull)
+    val cell = base.groupBy(col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("_nij"))
+    val items = cell.groupBy(col(itemCol))
+      .agg(sum("_nij").as("_m"), sum(col("_nij") * col("_nij")).as("_s2"))
+      .agg(count(lit(1)).as("n_items"), min("_m").as("_mmin"),
+        max("_m").as("_mmax"), sum("_s2").cast("decimal(38,0)").as("_s2"))
+    val lbls = cell.groupBy(col(labelCol)).agg(sum("_nij").as("_tj"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum((col("_tj") * col("_tj")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("_t2"))
+    items.crossJoin(lbls)
+      .select(col("n_items"),
+        when(col("_mmin") =!= col("_mmax"), raise_error(concat(
+          lit("krippendorffAlpha (equal-count form) requires an equal " +
+            "rater count per item: found counts from "),
+          col("_mmin").cast("string"), lit(" to "),
+          col("_mmax").cast("string"))))
+          .when(col("n_items") > 0 && col("_mmax") < 2, raise_error(
+            lit("krippendorffAlpha requires at least 2 raters per item")))
+          .otherwise(col("_mmax")).as("n_raters"),
+        col("n_categories"), col("_s2"), col("_t2"))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        expr("CAST(n_items * n_raters AS DECIMAL(38,0))").as("_n"),
+        col("_s2"), col("_t2"))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        col("_n").cast("long").as("n_values"),
+        // D_o numerator: Σ_i m² − Σ_i Σ_c n_ic²; D_e: n² − Σ_c T_c².
+        (col("_n") * col("n_raters") - col("_s2")).as("_do_n"),
+        (col("_n") * col("_n") - col("_t2")).as("_de_n"),
+        col("_n"))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        col("n_values"),
+        when((col("n_raters") - 1) * col("_de_n") === 0,
+          when(col("n_items") > 0, lit(1000000L)).otherwise(lit(0L)))
+          .otherwise(expr(
+            """CAST(((n_raters - 1) * _de_n - (_n - 1) * _do_n) * 1000000
+               div ((n_raters - 1) * _de_n) AS BIGINT)"""))
+          .as("alpha_micro"))
+  }
+
+  /** Pairwise LLM-judge aggregation — the win matrix an arena-style
+    * eval reports, with the POSITION-BIAS split the raw win rate
+    * hides: a judge that favors whichever answer is listed first
+    * inflates every model shown first. Each judgment row is
+    * (model_a, model_b, verdict ∈ {A, B, tie}) where A means the
+    * first-listed model won; the operator canonicalizes to the
+    * unordered pair (lo, hi) = (least, greatest) and reports, per
+    * pair:
+    *
+    *   winrate_lo_micro        = (2·wins_lo + ties)·10⁶ div (2·n)
+    *                             (the ties-count-half convention,
+    *                              cleared to integers — no .5 floats)
+    *   winrate_lo_first_micro  = same, restricted to judgments where
+    *                             lo was listed first
+    *   winrate_lo_second_micro = same, where lo was listed second
+    *   position_gap_micro      = first − second (0 for an
+    *                             order-blind judge; null when either
+    *                             side has no judgments)
+    *
+    * ONE fused hash aggregate over the judgment frame (the verdict-
+    * domain guard rides the same aggregate — no dedicated scan);
+    * self-pairs (model_a = model_b) and null fields are rejected the
+    * same way. Output ordered (m_lo, m_hi): (m_lo, m_hi, n_judgments,
+    * wins_lo, wins_hi, ties, n_lo_first, winrate_lo_micro,
+    * winrate_lo_first_micro, winrate_lo_second_micro,
+    * position_gap_micro). */
+  def judgeWinMatrix(df: DataFrame, modelACol: String, modelBCol: String,
+                     verdictCol: String): DataFrame = {
+    val a = col(modelACol)
+    val b = col(modelBCol)
+    val v = col(verdictCol)
+    val loFirst = a <= b // lo listed first iff model_a is the lesser
+    val winLo = (v === "A" && loFirst) || (v === "B" && !loFirst)
+    val winHi = (v === "B" && loFirst) || (v === "A" && !loFirst)
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    df.groupBy(least(a, b).as("m_lo"), greatest(a, b).as("m_hi"))
+      .agg(count(lit(1)).as("n_judgments"),
+        cnt(winLo).as("wins_lo"), cnt(winHi).as("wins_hi"),
+        cnt(v === "tie").as("ties"),
+        cnt(loFirst).as("n_lo_first"),
+        cnt(winLo && loFirst).as("_wlf"),
+        cnt((v === "tie") && loFirst).as("_tf"),
+        cnt(a.isNull || b.isNull || v.isNull || a === b ||
+          !v.isin("A", "B", "tie")).as("_bad"))
+      .select(
+        when(col("_bad") > 0, raise_error(concat(
+          lit("judgeWinMatrix requires non-null model_a <> model_b and " +
+            "verdict in {A, B, tie}: found "), col("_bad").cast("string"),
+          lit(" offending rows"))))
+          .otherwise(col("m_lo")).as("m_lo"),
+        col("m_hi"), col("n_judgments"), col("wins_lo"), col("wins_hi"),
+        col("ties"), col("n_lo_first"),
+        expr("(2 * wins_lo + ties) * 1000000 div (2 * n_judgments)")
+          .as("winrate_lo_micro"),
+        when(col("n_lo_first") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(2 * _wlf + _tf) * 1000000 div (2 * n_lo_first)"))
+          .as("winrate_lo_first_micro"),
+        when(col("n_judgments") === col("n_lo_first"),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """(2 * (wins_lo - _wlf) + (ties - _tf)) * 1000000
+               div (2 * (n_judgments - n_lo_first))"""))
+          .as("winrate_lo_second_micro"))
+      .withColumn("position_gap_micro",
+        col("winrate_lo_first_micro") - col("winrate_lo_second_micro"))
+      .orderBy("m_lo", "m_hi")
+  }
+
   /** Fleiss' kappa — chance-corrected agreement for R ≥ 2 raters per
     * item (the multi-annotator generalization of [[cohensKappa]], the
     * label-quality gate before majority-vote consensus ships). With

@@ -347,4 +347,142 @@ object Graph {
       .select(col("vertex"), col("h").as("hub_micro"),
         col("a").as("auth_micro"), col("outdeg"), col("indeg"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — linear-time
+    * community detection over the undirected link graph, the grouping
+    * step BEFORE [[modularity]] scores the partition: near-duplicate
+    * domains, mirror clusters and interlinked content farms surface as
+    * communities without any similarity computation. Every vertex
+    * starts labeled with its own id; each superstep relabels every
+    * vertex with its neighbors' most frequent label, ties broken by the
+    * SMALLEST label (`min(struct(-count, label))` — an aggregate fold,
+    * no per-vertex window), all vertices updating simultaneously from
+    * the previous round's labels. The synchronous + smallest-label
+    * discipline makes the run DETERMINISTIC — the published algorithm
+    * is asynchronous with random tie-breaks; this variant trades its
+    * faster convergence for bit-replayability (the async schedule is
+    * not expressible as a dataflow anyway). Fixed iteration count, no
+    * convergence test: K supersteps cost K (join + two hash
+    * aggregates); synchronous LPA can 2-cycle on bipartite-ish
+    * structure, so callers wanting a stable partition pick K and
+    * treat the output as "labels after K rounds" (the modularity gate
+    * catches a useless K).
+    *
+    * Self-loops are dropped, edges deduplicated and symmetrized;
+    * vertices are src ∪ dst (every vertex has ≥ 1 neighbor by
+    * construction, so each round relabels every vertex). Scale shape:
+    * the symmetrized edge frame is localCheckpointed once (the
+    * [[pageRank]] invariant pattern) and each superstep is one
+    * edge⋈label equi-join + two map-side-combined aggregates — no
+    * driver-side state, no windows. Returns (vertex, community)
+    * with community = the label after `iterations` rounds. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 5): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    val half = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = half
+      .unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("lbl"))
+    for (_ <- 1 to iterations) {
+      labels = sym
+        .join(labels, sym("src") === labels("vertex"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("_c")).as("nc"), col("lbl").as("l")))
+          .as("_b"))
+        .select(col("dst").as("vertex"), col("_b.l").as("lbl"))
+    }
+    labels.select(col("vertex"), col("lbl").as("community"))
+  }
+
+  /** Newman modularity of a given vertex partition over the undirected
+    * graph — the one-number answer to "did the clustering find real
+    * structure" (Q ≈ 0: no better than random wiring; Q ≳ 0.3:
+    * meaningful communities), scored in EXACT integer micros:
+    *
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ]
+    *   Q·10⁶ = (4m·Σe_c − Σd_c²)·10⁶ div 4m²
+    *
+    * with m = |undirected edges|, e_c = intra-community edges and
+    * d_c = Σ degrees of c's members — the d_c² and 4m² products ride
+    * DECIMAL(38,0) (they pass int64 at web-graph scale), the one
+    * division is the truncating `div`/`//` on a possibly-negative
+    * numerator (anti-community partitions score below 0). Every vertex
+    * must be assigned exactly once: unassigned vertices raise (fused
+    * into the aggregate — no dedicated scan); duplicate assignments
+    * would double-count and are rejected the same way.
+    *
+    * Scale shape: degrees and intra-edge counts are hash aggregates
+    * over the deduplicated edge frame joined twice against the
+    * (vertex, community) map — community frames re-aggregate to
+    * |communities| rows before the final 1-row fold. Returns ONE row:
+    * (m_edges, n_vertices, n_communities, intra_edges,
+    * modularity_micro). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 assign: DataFrame, vertexCol: String,
+                 communityCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val asn = assign
+      .select(col(vertexCol).cast("long").as("v"),
+        col(communityCol).as("_cm"))
+    // duplicate-assignment guard: one tiny aggregate over the map
+    val asnOk = asn.groupBy("v")
+      .agg(count(lit(1)).as("_k"), min("_cm").as("_cm"))
+      .select(col("v"),
+        when(col("_k") > 1, raise_error(concat(
+          lit("modularity: vertex assigned to multiple communities: "),
+          col("v").cast("string"))))
+          .otherwise(col("_cm")).as("_cm"))
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("_d"))
+    // unassigned-vertex guard fused into the degree⋈assignment join
+    val degAsn = deg.join(asnOk, Seq("v"), "left")
+      .select(col("v"), col("_d"),
+        when(col("_cm").isNull, raise_error(concat(
+          lit("modularity: vertex missing from the assignment: "),
+          col("v").cast("string"))))
+          .otherwise(col("_cm")).as("_cm"))
+    val dc = degAsn.groupBy("_cm").agg(sum("_d").as("_dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        coalesce(sum((col("_dc") * col("_dc")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("_dc2"))
+    val intra = e
+      .join(asnOk.select(col("v").as("a"), col("_cm").as("_ca")),
+        Seq("a"))
+      .join(asnOk.select(col("v").as("b"), col("_cm").as("_cb")),
+        Seq("b"))
+      .agg(count(lit(1)).as("m_edges"),
+        count(when(col("_ca") === col("_cb"), lit(1))).as("intra_edges"))
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    intra.crossJoin(nv).crossJoin(dc)
+      .select(col("m_edges"), col("n_vertices"), col("n_communities"),
+        col("intra_edges"),
+        col("m_edges").cast("decimal(38,0)").as("_m"),
+        col("intra_edges").cast("decimal(38,0)").as("_ec"), col("_dc2"))
+      .select(col("m_edges"), col("n_vertices"), col("n_communities"),
+        col("intra_edges"),
+        when(col("_m") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((4 * _m * _ec - _dc2) * 1000000
+               div (4 * _m * _m) AS BIGINT)"""))
+          .as("modularity_micro"))
+  }
 }

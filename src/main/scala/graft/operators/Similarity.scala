@@ -1018,6 +1018,43 @@ object Similarity {
         expr("(n_hits * 1000000L) div k_eval").as("recall_micro"))
   }
 
+  /** Matryoshka truncation-recall audit (Kusupati et al. 2022): how
+    * much of the FULL-dimension cosine top-k survives when vectors are
+    * truncated to their first `dPrime` components — the measurement
+    * that decides whether an MRL-style embedding column can be stored/
+    * searched at a fraction of its width (a 4× dim cut that keeps
+    * recall@k ≈ 0.95 is a 4× I/O and index-memory win at 100 TB).
+    * Same contract as [[ivfRecallAudit]] — which audits the INDEX's
+    * probe loss; this audits the REPRESENTATION's truncation loss:
+    * exact brute-force top-k on both representations over a SMALL
+    * query frame (the audit runs on a sampled query set, never the
+    * corpus × corpus product), hits counted in exact integers.
+    *
+    * Truncated similarity is cosine of the PREFIX (re-normalized by
+    * the prefix norm — the MRL convention), computed by the same
+    * [[bruteForceTopK]] machinery over sliced arrays. Returns
+    * (query_id, k_eval, n_hits, recall_micro) per query. */
+  def truncationRecallAudit(data: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String,
+                            dPrime: Int, k: Int): DataFrame = {
+    require(dPrime >= 1, s"dPrime must be >= 1: $dPrime")
+    require(k >= 1, s"k must be >= 1: $k")
+    def truncated(df: DataFrame) = df.select(col(idCol),
+      slice(col(vecCol).cast("array<double>"), 1, dPrime).as("_tv"))
+    val approx = bruteForceTopK(truncated(data), truncated(queries),
+      idCol, "_tv", k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val exact = bruteForceTopK(data, queries, idCol, vecCol, k)
+      .select("query_id", "neighbor_id")
+    exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_eval"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("k_eval"), col("n_hits"),
+        expr("(n_hits * 1000000L) div k_eval").as("recall_micro"))
+  }
+
   /** Hard-negative mining for retrieval/embedding training: per query,
     * the top-k most-cosine-similar corpus rows whose `labelCol` DIFFERS
     * from the query's — the "confusable but wrong" examples contrastive

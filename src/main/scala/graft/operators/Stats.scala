@@ -198,6 +198,54 @@ object Stats {
             np * (np + 1) / 2.0) / (np * nn)).as("auc"))
   }
 
+  /** Spearman's rank correlation between two score columns — the
+    * monotone-association check a curation pipeline runs between two
+    * quality signals (does the cheap heuristic order documents the way
+    * the expensive classifier does?) without trusting either scale.
+    * Both columns are ranked under the [[Curation.globalRank]] total
+    * order ((score ASC, id ASC) — the [[aucRankSum]] convention: ties
+    * broken by id deterministically rather than mid-ranked, identical
+    * on both engines), then
+    *
+    *   ρ·10⁶ = (n(n²−1) − 6·Σd²)·10⁶ div (n(n²−1)),  d = rank_a − rank_b
+    *
+    * entirely in DECIMAL(38,0) — n(n²−1) is n³-scaled and Σd² is
+    * n³-scaled, both past int64 at corpus scale; the one division is
+    * the truncating `div`/`//` on a possibly-negative numerator
+    * (anti-correlated signals). n ≤ 1 returns a null ρ (the statistic
+    * is undefined). Null/NaN scores are rejected by the globalRank
+    * guard.
+    *
+    * Scale design (100 TB): two bucketed global ranks (no
+    * single-partition window), one id equi-join, one 2-sum aggregate.
+    * Returns ONE row: (n, sum_d2, rho_micro) — rho_micro is exact at
+    * any n (all products in DECIMAL(38,0)); the DIAGNOSTIC sum_d2
+    * column is reported as BIGINT and saturates its type past
+    * n ≈ 3×10⁶ (Σd² ≤ n³/3); ρ itself never does. */
+  def spearmanRho(df: DataFrame, idCol: String, aCol: String,
+                  bCol: String): DataFrame = {
+    val ra = Curation.globalRank(df.select(col(idCol), col(aCol)),
+      idCol, aCol, descending = false)
+      .select(col(idCol), col("rank").as("_ra"))
+    val rb = Curation.globalRank(df.select(col(idCol), col(bCol)),
+      idCol, bCol, descending = false)
+      .select(col(idCol), col("rank").as("_rb"))
+    ra.join(rb, Seq(idCol))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(((col("_ra") - col("_rb")) *
+          (col("_ra") - col("_rb"))).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("_sd2"))
+      .select(col("n"), col("_sd2").cast("long").as("sum_d2"),
+        col("n").cast("decimal(38,0)").as("_nd"), col("_sd2"))
+      .select(col("n"), col("sum_d2"),
+        when(col("_nd") * (col("_nd") * col("_nd") - 1) === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((_nd * (_nd * _nd - 1) - 6 * _sd2) * 1000000
+               div (_nd * (_nd * _nd - 1)) AS BIGINT)"""))
+          .as("rho_micro"))
+  }
+
   /** Gini concentration of group sizes — the one-number answer to "how
     * imbalanced is this corpus across sources/hosts/languages", the
     * screening statistic before mixture reweighting

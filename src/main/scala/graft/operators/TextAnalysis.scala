@@ -233,6 +233,43 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  /** Distinct-n generation-diversity ratio per group — the standard
+    * mode-collapse check on model OUTPUTS (distinct-1/distinct-2 of
+    * Li et al. 2016, "A Diversity-Promoting Objective Function"): a
+    * generator that repeats itself produces few distinct n-grams per
+    * emitted n-gram, long before any single document looks degenerate
+    * ([[repetitionStats]] is the per-document view; this is the
+    * per-model/per-source corpus view).
+    *
+    *   distinct_micro = |distinct n-grams| · 10⁶ div |n-grams|
+    *
+    * Shape at 100 TB: one (group, gram) map-side-combined hash
+    * aggregate over the explode, one |groups×vocab|→|groups|
+    * re-aggregate — no joins, no windows. Groups whose documents are
+    * all shorter than n tokens emit no n-grams and are absent from
+    * the output (0/0 is not a diversity figure). Returns (groupCol,
+    * n_total, n_distinct, distinct_micro), ordered by group. */
+  def distinctNgramRatio(df: DataFrame, groupCol: String,
+                         textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1, 8]: $n")
+    val reserved = Set("_toks", "_g", "_c", "n_total", "n_distinct",
+      "distinct_micro")
+    val clash = Seq(groupCol, textCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"distinctNgramRatio: reserved column name(s) in inputs: " +
+        s"${clash.mkString(", ")}")
+    df.select(col(groupCol), tokens(col(textCol)).as("_toks"))
+      .select(col(groupCol),
+        explode(Dedup.shingleArray(col("_toks"), n)).as("_g"))
+      .groupBy(col(groupCol), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(groupCol))
+      .agg(sum("_c").as("n_total"), count(lit(1)).as("n_distinct"))
+      .select(col(groupCol), col("n_total"), col("n_distinct"),
+        expr("n_distinct * 1000000 div n_total").as("distinct_micro"))
+      .orderBy(groupCol)
+  }
+
   /** Top-k bigram collocations by pointwise mutual information —
     * PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) ) with P(x,y) from corpus
     * bigram counts (over N₂ total bigrams) and P(x) from unigram

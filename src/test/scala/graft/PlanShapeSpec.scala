@@ -1162,4 +1162,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p211.contains("BroadcastHashJoin"),
       s"marginal joins must broadcast:\n$p211")
   }
+
+  test("round-9 operators keep their scale shapes (q221/q223/q224/q225)") {
+    // q221: ONE fused hash aggregate over the judgment frame — the
+    // positional split must not regress to per-pair joins or windows
+    val p221 = finalPlan(q("q221_judge_wins"))
+    assert(!p221.contains("Join") && !p221.contains("Window"),
+      s"judge win matrix is one fused aggregate:\n$p221")
+    // q223: explode + two hash aggregates — no join anywhere
+    val p223 = finalPlan(q("q223_distinct_ngrams"))
+    assert(!p223.contains("Join"),
+      s"distinct-n ratio is two aggregates, no join:\n$p223")
+    // q224: the CUSUM windows partition by the group — a regression
+    // to a global (SinglePartition) window would serialize the corpus
+    val p224 = finalPlan(q("q224_cusum"))
+    assert(!p224.contains("Exchange SinglePartition"),
+      s"CUSUM windows must stay per-group:\n$p224")
+    assert(!p224.contains("Join"),
+      s"CUSUM is windows over one frame, no join:\n$p224")
+    // q225: every superstep is an equi-join + aggregates — never a
+    // product over the edge frame
+    val p225 = finalPlan(q("q225_label_prop"))
+    assert(!p225.contains("CartesianProduct") &&
+      !p225.contains("BroadcastNestedLoopJoin"),
+      s"label propagation supersteps must stay equi-joins:\n$p225")
+  }
 }

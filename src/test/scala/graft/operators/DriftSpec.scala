@@ -265,4 +265,52 @@ class DriftSpec extends SparkSpec {
       assert(r.getLong(2) > 0 && r.getLong(3) > 0)
     }
   }
+
+  test("cusumChangepoints: prefix identities match the hand-run recursion") {
+    import spark.implicits._
+    // values 1,4,4,1 around target 2, slack 0:
+    // d = (-1,2,2,-1) units -> S+ = (0,2,4,3), S- = (1,0,0,1)
+    val df = Seq(
+      ("g", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1.0),
+      ("g", 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 4.0),
+      ("g", 3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 4.0),
+      ("g", 4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:04"), 1.0))
+      .toDF("g", "id", "ts", "v")
+    val rows = Drift.cusumChangepoints(df, "g", "id", "ts", "v",
+      targetMicro = 2000000L, slackMicro = 0L,
+      thresholdMicro = 2500000L)
+      .orderBy("id").collect()
+    assert(rows.map(_.getLong(4)).toSeq ==
+      Seq(0L, 2000000L, 4000000L, 3000000L), "S+ sequence")
+    assert(rows.map(_.getLong(5)).toSeq ==
+      Seq(1000000L, 0L, 0L, 1000000L), "S- sequence")
+    assert(rows.map(_.getBoolean(6)).toSeq ==
+      Seq(false, false, true, true), "upper alarms latch, no reset")
+    assert(rows.forall(!_.getBoolean(7)), "no lower alarms")
+  }
+
+  test("cusumChangepoints: slack suppresses small drift; groups are independent") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // g1 drifts +1 per tick around target 0 — slack 1 absorbs it all;
+    // g2 holds a +3 shift — S+ grows by 2 per tick despite the slack
+    val df = (1 to 5).flatMap(i => Seq(
+      ("g1", i.toLong, new java.sql.Timestamp(ts.getTime + i * 1000), 1.0),
+      ("g2", i.toLong, new java.sql.Timestamp(ts.getTime + i * 1000), 3.0)))
+      .toDF("g", "id", "ts", "v")
+    val out = Drift.cusumChangepoints(df, "g", "id", "ts", "v",
+      targetMicro = 0L, slackMicro = 1000000L,
+      thresholdMicro = 5000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    assert((1 to 5).forall(i => out(("g1", i.toLong)) == 0L),
+      "slack absorbs the in-band drift")
+    assert(out(("g2", 5L)) == 10000000L, "shifted group accumulates 2/tick")
+    // null values are excluded, not treated as deviations
+    val withNull = df.unionByName(Seq(
+      ("g1", 99L, new java.sql.Timestamp(ts.getTime + 9000),
+        null.asInstanceOf[java.lang.Double])).toDF("g", "id", "ts", "v"))
+    assert(Drift.cusumChangepoints(withNull, "g", "id", "ts", "v",
+      0L, 1000000L, 5000000L).count() == 10L)
+  }
 }

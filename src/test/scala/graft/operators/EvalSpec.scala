@@ -170,4 +170,86 @@ class EvalSpec extends SparkSpec {
     assert(ex.getMessage.contains("equal rater count") ||
       Option(ex.getCause).exists(_.getMessage.contains("equal rater count")))
   }
+
+  test("krippendorffAlpha: hand-computed panel differs from Fleiss on the same votes") {
+    import spark.implicits._
+    // The fleissKappa fixture: item 1 agrees (a,a), item 2 splits (a,b).
+    // D_o = 2/(4*1) = 1/2; D_e = 2*3*1/(4*3) = 1/2 -> alpha = 0,
+    // where Fleiss' kappa on the identical votes is -1/3.
+    val df = Seq((1L, 0, "a"), (1L, 1, "a"), (2L, 0, "a"), (2L, 1, "b"))
+      .toDF("item", "rater", "label")
+    val r = Eval.krippendorffAlpha(df, "item", "rater", "label")
+      .collect().head
+    assert(r.getLong(0) == 2L, "n_items")
+    assert(r.getLong(1) == 2L, "n_raters")
+    assert(r.getLong(2) == 2L, "n_categories")
+    assert(r.getLong(3) == 4L, "n_values")
+    assert(r.getLong(4) == 0L, s"alpha_micro: $r")
+  }
+
+  test("krippendorffAlpha: unanimous reports 1.0; ragged and single-rater raise") {
+    import spark.implicits._
+    val unanimous = Seq((1L, 0, "x"), (1L, 1, "x"), (2L, 0, "x"),
+      (2L, 1, "x")).toDF("item", "rater", "label")
+    assert(Eval.krippendorffAlpha(unanimous, "item", "rater", "label")
+      .collect().head.getLong(4) == 1000000L)
+    val ragged = Seq((1L, 0, "a"), (1L, 1, "a"), (2L, 0, "a"))
+      .toDF("item", "rater", "label")
+    val ex = intercept[Exception] {
+      Eval.krippendorffAlpha(ragged, "item", "rater", "label").collect()
+    }
+    assert(ex.getMessage.contains("equal rater count") ||
+      Option(ex.getCause).exists(_.getMessage.contains("equal rater count")))
+    val solo = Seq((1L, 0, "a"), (2L, 0, "b"))
+      .toDF("item", "rater", "label")
+    val ex2 = intercept[Exception] {
+      Eval.krippendorffAlpha(solo, "item", "rater", "label").collect()
+    }
+    assert(ex2.getMessage.contains("at least 2 raters") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("at least 2 raters")))
+  }
+
+  test("judgeWinMatrix: canonicalization, positional split, ties count half") {
+    import spark.implicits._
+    val df = Seq(
+      ("m1", "m2", "A"),   // lo=m1 listed first, lo wins
+      ("m2", "m1", "A"),   // lo listed second, hi wins
+      ("m1", "m2", "tie"), // lo first, tie
+      ("m2", "m1", "B"))   // lo listed second, lo wins
+      .toDF("model_a", "model_b", "verdict")
+    val r = Eval.judgeWinMatrix(df, "model_a", "model_b", "verdict")
+      .collect().head
+    assert(r.getString(0) == "m1" && r.getString(1) == "m2")
+    assert(r.getLong(2) == 4L, "n_judgments")
+    assert(r.getLong(3) == 2L, "wins_lo")
+    assert(r.getLong(4) == 1L, "wins_hi")
+    assert(r.getLong(5) == 1L, "ties")
+    assert(r.getLong(6) == 2L, "n_lo_first")
+    assert(r.getLong(7) == 625000L, "winrate_lo")   // (4+1)/8
+    assert(r.getLong(8) == 750000L, "lo first")     // (2+1)/4
+    assert(r.getLong(9) == 500000L, "lo second")    // 2/4
+    assert(r.getLong(10) == 250000L, "position gap")
+    // one-sided pair: the unseen-position rate (and the gap) is null
+    val oneSided = Seq(("a", "b", "A"), ("a", "b", "B"))
+      .toDF("model_a", "model_b", "verdict")
+    val r2 = Eval.judgeWinMatrix(oneSided, "model_a", "model_b", "verdict")
+      .collect().head
+    assert(r2.getLong(8) == 500000L && r2.isNullAt(9) && r2.isNullAt(10))
+  }
+
+  test("judgeWinMatrix: self-pairs and out-of-domain verdicts raise") {
+    import spark.implicits._
+    val self = Seq(("m1", "m1", "A")).toDF("model_a", "model_b", "verdict")
+    val ex = intercept[Exception] {
+      Eval.judgeWinMatrix(self, "model_a", "model_b", "verdict").collect()
+    }
+    assert(ex.getMessage.contains("judgeWinMatrix") ||
+      Option(ex.getCause).exists(_.getMessage.contains("judgeWinMatrix")))
+    val bad = Seq(("m1", "m2", "C")).toDF("model_a", "model_b", "verdict")
+    val ex2 = intercept[Exception] {
+      Eval.judgeWinMatrix(bad, "model_a", "model_b", "verdict").collect()
+    }
+    assert(ex2.getMessage.contains("judgeWinMatrix") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("judgeWinMatrix")))
+  }
 }

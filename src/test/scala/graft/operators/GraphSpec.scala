@@ -296,4 +296,58 @@ class GraphSpec extends SparkSpec {
     assert(Seq(2L, 3L, 4L).map(rows(_)._2).distinct.size == 1)
     assert(rows(2L)._2 == 1000000L / 3)
   }
+
+  test("labelPropagation: two bridged triangles settle into two communities") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    // hand-run synchronous rounds with min-label tie-break: after 4
+    // rounds {1,2,3} -> 1 and {4,5,6} -> 3 (the bridge leaks label 3
+    // into the right triangle before 4's own label consolidates)
+    val got = Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L), s"left triangle: $got")
+    assert(Seq(4L, 5L, 6L).forall(got(_) == 3L), s"right triangle: $got")
+    // converged: one more round changes nothing
+    val more = Graph.labelPropagation(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == got)
+    // direction/duplicates/self-loops are normalized away
+    val messy = edges.unionByName(Seq((2L, 1L), (1L, 1L), (1L, 2L))
+      .toDF("src", "dst"))
+    assert(Graph.labelPropagation(messy, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+  }
+
+  test("modularity: hand-computed two-triangle partition; guards raise") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val good = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"),
+      (5L, "y"), (6L, "y")).toDF("v", "cm")
+    // m=7, intra=6, d_c = 7 each: Q = (4*7*6 - 98)/196 = 70/196
+    val r = Graph.modularity(edges, "src", "dst", good, "v", "cm")
+      .collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 6L &&
+      r.getLong(2) == 2L && r.getLong(3) == 6L)
+    assert(r.getLong(4) == 357142L, s"modularity: $r")
+    // singleton partition: (0 - 34)*1e6 // 196 truncates toward zero
+    val single = (1 to 6).map(i => (i.toLong, s"c$i")).toDF("v", "cm")
+    assert(Graph.modularity(edges, "src", "dst", single, "v", "cm")
+      .collect().head.getLong(4) == -173469L)
+    val missing = good.filter(col("v") =!= 6L)
+    val ex = intercept[Exception] {
+      Graph.modularity(edges, "src", "dst", missing, "v", "cm").collect()
+    }
+    assert(ex.getMessage.contains("missing from the assignment") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("missing from the assignment")))
+    val dup = good.unionByName(Seq((1L, "y")).toDF("v", "cm"))
+    val ex2 = intercept[Exception] {
+      Graph.modularity(edges, "src", "dst", dup, "v", "cm").collect()
+    }
+    assert(ex2.getMessage.contains("multiple communities") ||
+      Option(ex2.getCause).exists(
+        _.getMessage.contains("multiple communities")))
+  }
 }

@@ -658,4 +658,27 @@ class SimilaritySpec extends SparkSpec {
         df.filter($"vec_id" < 0L), "embedding", dim = 2)
     }
   }
+
+  test("truncationRecallAudit: prefix reshuffles the top-1, full width recovers it") {
+    import spark.implicits._
+    // q = [1,0,1,0]: full-cos winner is id 2 (identical vector);
+    // the 2-dim prefix ties ids 1 and 2 at cos 1 and the id ASC
+    // tie-break picks 1 -> recall@1 = 0 at dPrime=2, 1 at dPrime=4
+    val data = Seq(
+      (0L, Seq(1.0, 0.0, 1.0, 0.0)),
+      (1L, Seq(1.0, 0.0, -1.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 1.0, 0.0)),
+      (3L, Seq(-1.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val queries = data.filter($"vec_id" === 0L)
+    val narrow = Similarity.truncationRecallAudit(
+      data, queries, "vec_id", "embedding", dPrime = 2, k = 1)
+      .collect().head
+    assert(narrow.getLong(1) == 1L && narrow.getLong(2) == 0L &&
+      narrow.getLong(3) == 0L, s"narrow: $narrow")
+    val full = Similarity.truncationRecallAudit(
+      data, queries, "vec_id", "embedding", dPrime = 4, k = 1)
+      .collect().head
+    assert(full.getLong(2) == 1L && full.getLong(3) == 1000000L,
+      s"full: $full")
+  }
 }

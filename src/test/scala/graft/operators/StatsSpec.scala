@@ -135,4 +135,37 @@ class StatsSpec extends SparkSpec {
       .collect().head
     assert(r1 == ((4L, 20L, 600000L)))
   }
+
+  test("spearmanRho: hand-computed, perfect, reversed, undefined") {
+    import spark.implicits._
+    // b swaps the top two ranks: d = (0,0,-1,1), sum d^2 = 2,
+    // rho = (60 - 12)/60 = 0.8
+    val df = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 4L), (4L, 4L, 3L))
+      .toDF("id", "a", "b")
+    val r = Stats.spearmanRho(df, "id", "a", "b").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 800000L, s"rho: $r")
+    val perfect = Seq((1L, 5L, 50L), (2L, 7L, 70L), (3L, 9L, 90L))
+      .toDF("id", "a", "b")
+    assert(Stats.spearmanRho(perfect, "id", "a", "b")
+      .collect().head.getLong(2) == 1000000L)
+    // full reversal on n=4: sum d^2 = 20, rho = (60-120)/60 = -1
+    val rev = Seq((1L, 1L, 4L), (2L, 2L, 3L), (3L, 3L, 2L), (4L, 4L, 1L))
+      .toDF("id", "a", "b")
+    assert(Stats.spearmanRho(rev, "id", "a", "b")
+      .collect().head.getLong(2) == -1000000L)
+    // n = 1: statistic undefined -> null
+    val one = Seq((1L, 3L, 9L)).toDF("id", "a", "b")
+    assert(Stats.spearmanRho(one, "id", "a", "b").collect().head.isNullAt(2))
+  }
+
+  test("spearmanRho: score ties rank deterministically by id on both sides") {
+    import spark.implicits._
+    // a all-tied -> rank_a = id order 1..4; b equals id -> rank_b same
+    // -> d = 0 everywhere, rho = 1 under the house id-tie-break
+    val tied = (1 to 4).map(i => (i.toLong, 7L, i.toLong))
+      .toDF("id", "a", "b")
+    val r = Stats.spearmanRho(tied, "id", "a", "b").collect().head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 1000000L)
+  }
 }

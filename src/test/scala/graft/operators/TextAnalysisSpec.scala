@@ -512,4 +512,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((3L, 2L, 2L, "es", 1L, 500000L)))
     assert(!got.contains(4L))
   }
+
+  test("distinctNgramRatio: collapsed vs diverse groups, short docs drop") {
+    import spark.implicits._
+    val df = Seq(
+      ("rep", "a a a a"),   // bigrams: "a a" x3 -> 1/3 distinct
+      ("div", "a b c"),     // "a b", "b c" -> 2/2
+      ("tiny", "x"))        // no bigrams -> absent
+      .toDF("src", "text")
+    val got = TextAnalysis.distinctNgramRatio(df, "src", "text", n = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("rep") == ((3L, 1L, 333333L)))
+    assert(got("div") == ((2L, 2L, 1000000L)))
+    assert(!got.contains("tiny"))
+    // unigram mode counts tokens directly
+    val uni = TextAnalysis.distinctNgramRatio(df, "src", "text", n = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(uni("rep") == 1L && uni("div") == 3L && uni("tiny") == 1L)
+  }
 }
