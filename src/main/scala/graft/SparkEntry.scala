@@ -2661,7 +2661,37 @@ object SparkEntry {
       Similarity.truncationRecallAudit(e, e.filter(col("vec_id") < 25),
         "vec_id", "embedding", dPrime = 16, k = 5)
         .orderBy("query_id")
-    })
+    }),
+    // ---- ranking metrics (nDCG@8 / RR / P@8 / R@8) over a planted
+    //      retrieval run: 10 queries × ranks 1..8 with arithmetic doc
+    //      ids, graded qrels rel = 2 − (doc+q)%3 over docs < 120 —
+    //      discounts are shared literals (ndcgDiscountsMicro), every
+    //      figure an exact integer. ----
+    "q228_ranking_metrics" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val qs = d.filter(col("doc_id") < 10).select(col("doc_id").as("q"))
+      val results = qs
+        .select(col("q"), explode(sequence(lit(1), lit(8))).as("rank"))
+        .select(col("q"),
+          ((col("q") * 97 + col("rank") * 13) % 120).as("doc"),
+          col("rank"))
+      val qrels = d.filter(col("doc_id") < 120)
+        .select(col("doc_id").as("doc")).crossJoin(qs)
+        .select(col("q"), col("doc"),
+          (lit(2) - (col("doc") + col("q")) % 3).as("rel"))
+        .filter(col("rel") > 0)
+      graft.operators.Retrieval.rankingMetrics(results, qrels, "q", "doc", "rank",
+        "rel", k = 8)
+    }),
+    // ---- unbiased pass@3 per problem (Chen et al. 2021): 10
+    //      problems, deterministic pass pattern varying c per problem;
+    //      both product chains exact in DECIMAL(38,0)/HUGEINT. ----
+    "q229_pass_at_k" -> ((s, dir) =>
+      Eval.passAtK(
+        t(s, dir, "documents").select(
+          (col("doc_id") % 10).as("problem"),
+          (expr("(doc_id div 10) + doc_id % 7") % 3 === 0).as("passed")),
+        "problem", "passed", k = 3))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -6132,7 +6162,64 @@ SELECT ex.query_id, count(*) AS k_eval,
     AS BIGINT) * 1000000
     // count(*) AS recall_micro
 FROM ex LEFT JOIN tx USING (query_id, neighbor_id)
-GROUP BY ex.query_id ORDER BY query_id"""
+GROUP BY ex.query_id ORDER BY query_id""",
+    // q228: the identical discount/prefix literals interpolated from
+    // ndcgDiscountsMicro — no runtime log is ever compared; IDCG via
+    // the grade-block prefix differences, same as the engine.
+    "q228_ranking_metrics" -> {
+      val disc = graft.operators.Retrieval.ndcgDiscountsMicro(8)
+      val dl = disc.mkString("[", ", ", "]")
+      val pl = disc.scanLeft(0L)(_ + _).mkString("[", ", ", "]")
+      s"""WITH qs AS (SELECT doc_id AS q FROM documents WHERE doc_id < 10),
+res AS (SELECT q, i AS rank, (q * 97 + i * 13) % 120 AS doc
+  FROM qs CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS i)),
+qr AS (SELECT q, doc_id AS doc, 2 - (doc_id + q) % 3 AS rel
+  FROM documents CROSS JOIN qs
+  WHERE doc_id < 120 AND 2 - (doc_id + q) % 3 > 0),
+j AS (SELECT r.q, r.rank, coalesce(qr.rel, 0) AS rel
+  FROM res r LEFT JOIN qr ON qr.q = r.q AND qr.doc = r.doc),
+pq AS (SELECT q, count(*) AS n_retrieved,
+  CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  CAST(sum(rel * ($dl)[rank]) AS BIGINT) AS dcg_micro,
+  min(CASE WHEN rel > 0 THEN rank END) AS minr FROM j GROUP BY q),
+id0 AS (SELECT q, rel, count(*) AS c FROM qr GROUP BY 1, 2),
+id1 AS (SELECT q, rel, c, sum(c) OVER (PARTITION BY q
+  ORDER BY rel DESC ROWS UNBOUNDED PRECEDING) AS cum FROM id0),
+idg AS (SELECT q, CAST(sum(c) AS BIGINT) AS n_rel,
+  CAST(sum(rel * (($pl)[CAST(least(cum, 8) + 1 AS INTEGER)]
+    - ($pl)[CAST(least(cum - c, 8) + 1 AS INTEGER)])) AS BIGINT)
+    AS idcg_micro
+  FROM id1 GROUP BY q)
+SELECT pq.q, n_retrieved, coalesce(n_rel, 0) AS n_rel, n_hits,
+  dcg_micro, coalesce(idcg_micro, 0) AS idcg_micro,
+  CAST(CASE WHEN coalesce(idcg_micro, 0) = 0 THEN NULL
+    ELSE dcg_micro * 1000000 // idcg_micro END AS BIGINT) AS ndcg_micro,
+  CAST(CASE WHEN minr IS NULL THEN NULL
+    ELSE 1000000 // minr END AS BIGINT) AS rr_micro,
+  n_hits * 1000000 // 8 AS precision_micro,
+  CAST(CASE WHEN coalesce(n_rel, 0) = 0 THEN NULL
+    ELSE n_hits * 1000000 // n_rel END AS BIGINT) AS recall_micro
+FROM pq LEFT JOIN idg ON pq.q = idg.q ORDER BY pq.q"""
+    },
+    // q229: the same two k-term product chains as a HUGEINT
+    // list_reduce fold; n − c < k passes through the zero term, so
+    // pass@k = 1 falls out with no special case.
+    "q229_pass_at_k" ->
+      """WITH s AS (SELECT doc_id % 10 AS problem,
+  CASE WHEN ((doc_id // 10) + doc_id % 7) % 3 = 0 THEN 1 ELSE 0 END
+    AS p FROM documents),
+g AS (SELECT problem, count(*) AS n_samples,
+  CAST(sum(p) AS BIGINT) AS n_passed FROM s GROUP BY 1),
+f AS (SELECT problem, n_samples, n_passed,
+  list_reduce(list_transform(range(3),
+    i -> CAST(n_samples - n_passed - i AS HUGEINT)), (a, b) -> a * b)
+    AS num,
+  list_reduce(list_transform(range(3),
+    i -> CAST(n_samples - i AS HUGEINT)), (a, b) -> a * b) AS den
+  FROM g)
+SELECT problem, n_samples, n_passed,
+  CAST((den - num) * 1000000 // den AS BIGINT) AS pass_at_k_micro
+FROM f ORDER BY problem"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -344,6 +344,58 @@ object Eval {
           .as("alpha_micro"))
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code") per problem — the code-eval estimator:
+    * from n sampled completions of which c passed, the probability
+    * that at least one of k drawn WITHOUT replacement passes,
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    *          = 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i)
+    *
+    * computed EXACTLY: both k-term products are integer chains in
+    * DECIMAL(38,0) (left-associated, matching the oracle's HUGEINT
+    * fold) and the one division is the truncating micro floor
+    *   pass@k·10⁶ = (den − num)·10⁶ div den.
+    * When n − c < k the numerator chain passes through zero, so the
+    * estimate is exactly 10⁶ with no special case. Guards (fused into
+    * the aggregate): every problem needs n ≥ k samples (the estimator
+    * is undefined below k) and n ≤ 10⁴ (bounds the k-term product
+    * inside 38 decimal digits for k ≤ 8; larger panels should
+    * subsample per the paper).
+    *
+    * Shape at 100 TB: one (problem) hash aggregate over the sample
+    * frame; the product chains are per-row scalar arithmetic on the
+    * aggregated counts. `passedCol` must be boolean; null problems are
+    * excluded. Returns (problem, n_samples, n_passed,
+    * pass_at_k_micro), ordered by problem. */
+  def passAtK(df: DataFrame, problemCol: String, passedCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1, 8]: $k")
+    def chain(base: org.apache.spark.sql.Column) =
+      (0 until k).map(i => (base - i).cast("decimal(38,0)"))
+        .reduce(_ * _)
+    df.filter(col(problemCol).isNotNull)
+      .groupBy(col(problemCol).as("problem"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col(passedCol), 1L).otherwise(0L)).as("n_passed"))
+      .select(col("problem"),
+        when(col("n_samples") < k, raise_error(concat(
+          lit(s"passAtK: problem with fewer than k = $k samples: "),
+          col("problem").cast("string"))))
+          .when(col("n_samples") > 10000, raise_error(concat(
+            lit("passAtK: more than 10000 samples on problem "),
+            col("problem").cast("string"))))
+          .otherwise(col("n_samples")).as("n_samples"),
+        col("n_passed"))
+      .select(col("problem"), col("n_samples"), col("n_passed"),
+        chain(col("n_samples") - col("n_passed")).as("_num"),
+        chain(col("n_samples")).as("_den"))
+      .select(col("problem"), col("n_samples"), col("n_passed"),
+        expr("CAST((_den - _num) * 1000000 div _den AS BIGINT)")
+          .as("pass_at_k_micro"))
+      .orderBy("problem")
+  }
+
   /** Pairwise LLM-judge aggregation — the win matrix an arena-style
     * eval reports, with the POSITION-BIAS split the raw win rate
     * hides: a judge that favors whichever answer is listed first

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the document corpus — the "find me training
@@ -163,5 +164,120 @@ object Retrieval {
     TopK.perGroup(fused, queryCol, "rrf_micro", idCol, k)
       .withColumn("rrf_micro", col("rrf_micro").cast("bigint"))
       .orderBy(queryCol, "rank")
+  }
+
+  /** Per-rank micro discounts 10⁶/log₂(i+1) for i = 1..k — the ONE
+    * source of truth for [[rankingMetrics]] and its SQL oracles: both
+    * engines consume these literals, so no runtime log is ever
+    * compared across engines. */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.round(1000000.0 * math.log(2.0) / math.log(i + 1.0)))
+
+  /** Ranking-quality metrics — nDCG@k, reciprocal rank, precision@k,
+    * recall@k — for a retrieval run against graded relevance judgments
+    * (the eval loop that decides whether [[bm25TopK]], an embedding
+    * index, or their [[reciprocalRankFusion]] actually retrieves the
+    * right documents). All figures are exact integers:
+    *
+    *   DCG@k  = Σ_{i≤k} rel(doc@i) · disc(i),  disc = 10⁶/log₂(i+1)
+    *            as per-rank LITERALS ([[ndcgDiscountsMicro]] — the
+    *            linear-gain convention; no runtime float crosses
+    *            engines)
+    *   IDCG@k = the same sum over the query's relevance grades sorted
+    *            descending; nDCG·10⁶ = DCG·10⁶ div IDCG
+    *   RR     = 10⁶ div rank of the first rel > 0 result
+    *   P@k    = hits·10⁶ div k (the fixed-k convention: an engine that
+    *            retrieves fewer than k is penalized, not excused)
+    *   R@k    = hits·10⁶ div |rel > 0 judgments for the query|
+    *
+    * IDCG never materializes a per-judgment ranking: grades collapse
+    * to (query, grade, count) and each grade's block of ideal
+    * positions contributes `grade · (prefix(end∧k) − prefix(start∧k))`
+    * from a cumulative-discount literal array — the window runs over
+    * the ≤|grades| rows per query, not the judgments. `results` rows
+    * with rank > k are ignored; duplicate (query, doc) judgments
+    * raise (ambiguous input, fused guard); negative grades raise.
+    * Queries with no qrels report null nDCG/recall (0/0 is not a
+    * score). Metrics are per RETRIEVED query — a query with judgments
+    * but no results never reaches the output (the caller's retrieval
+    * produced nothing to score).
+    *
+    * Scale shape: results are already-cut top-k frames (queries × k
+    * rows); qrels are eval-set-sized. One equi-join + three hash
+    * aggregates; the one window runs over the (query, grade) frame.
+    * Returns (queryCol, n_retrieved, n_rel, n_hits, dcg_micro,
+    * idcg_micro, ndcg_micro, rr_micro, precision_micro, recall_micro),
+    * ordered by query. */
+  def rankingMetrics(results: DataFrame, qrels: DataFrame,
+                     queryCol: String, docCol: String, rankCol: String,
+                     relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000]: $k")
+    val disc = ndcgDiscountsMicro(k)
+    val discArr = array(disc.map(lit): _*)
+    // discPrefix(i) = Σ_{j≤i} disc(j), i = 0..k (1-based element_at:
+    // index i+1)
+    val prefixArr = array(
+      disc.scanLeft(0L)(_ + _).map(lit): _*)
+    val qr = qrels
+      .select(col(queryCol).as("_q"), col(docCol).as("_d"),
+        col(relCol).cast("long").as("_rel"))
+      .groupBy("_q", "_d")
+      .agg(count(lit(1)).as("_k"), max("_rel").as("_rel"))
+      .select(col("_q"), col("_d"),
+        when(col("_k") > 1, raise_error(concat(
+          lit("rankingMetrics: duplicate judgment for (query, doc): ("),
+          col("_q").cast("string"), lit(", "), col("_d").cast("string"),
+          lit(")"))))
+          .when(col("_rel") < 0, raise_error(concat(
+            lit("rankingMetrics: negative relevance grade on doc "),
+            col("_d").cast("string"))))
+          .otherwise(col("_rel")).as("_rel"))
+    val res = results
+      .select(col(queryCol).as("_q"), col(docCol).as("_d"),
+        col(rankCol).cast("int").as("_rank"))
+      .filter(col("_rank") >= 1 && col("_rank") <= k)
+    val perQ = res.join(qr, Seq("_q", "_d"), "left")
+      .select(col("_q"), col("_rank"),
+        coalesce(col("_rel"), lit(0L)).as("_rel"))
+      .groupBy(col("_q"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(when(col("_rel") > 0, 1L).otherwise(0L)).as("n_hits"),
+        sum(col("_rel") * element_at(discArr, col("_rank")))
+          .as("dcg_micro"),
+        min(when(col("_rel") > 0, col("_rank"))).as("_minr"))
+    val grades = qr.filter(col("_rel") > 0)
+      .groupBy(col("_q"), col("_rel")).agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy("_q").orderBy(col("_rel").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ideal = grades
+      .withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_start", col("_cum") - col("_c"))
+      .groupBy(col("_q"))
+      .agg(sum("_c").as("n_rel"),
+        sum(col("_rel") *
+          (element_at(prefixArr,
+            (least(col("_cum"), lit(k.toLong)) + 1).cast("int")) -
+           element_at(prefixArr,
+            (least(col("_start"), lit(k.toLong)) + 1).cast("int"))))
+          .as("idcg_micro"))
+    perQ.join(ideal, Seq("_q"), "left")
+      .select(col("_q").as(queryCol), col("n_retrieved"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("n_hits"),
+        col("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        col("_minr"))
+      .select(col(queryCol), col("n_retrieved"), col("n_rel"),
+        col("n_hits"), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") === 0, lit(null).cast("long"))
+          .otherwise(expr("dcg_micro * 1000000 div idcg_micro"))
+          .as("ndcg_micro"),
+        when(col("_minr").isNull, lit(null).cast("long"))
+          .otherwise(expr("1000000 div _minr")).as("rr_micro"),
+        expr(s"n_hits * 1000000 div ${k}L").as("precision_micro"),
+        when(col("n_rel") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_hits * 1000000 div n_rel"))
+          .as("recall_micro"))
+      .orderBy(queryCol)
   }
 }

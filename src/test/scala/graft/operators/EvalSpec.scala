@@ -237,6 +237,28 @@ class EvalSpec extends SparkSpec {
     assert(r2.getLong(8) == 500000L && r2.isNullAt(9) && r2.isNullAt(10))
   }
 
+  test("passAtK: hand-computed estimator, zero-pass, saturated, guard") {
+    import spark.implicits._
+    // a: n=10 c=3 -> 1 - (7·6·5)/(10·9·8) = 510/720 -> 708333 floored
+    // b: n=5  c=0 -> 0
+    // c: n=4  c=2 -> n-c < k, numerator chain hits zero -> exactly 1e6
+    val df = ((1 to 10).map(i => ("a", i <= 3)) ++
+      (1 to 5).map(_ => ("b", false)) ++
+      (1 to 4).map(i => ("c", i <= 2))).toDF("problem", "passed")
+    val got = Eval.passAtK(df, "problem", "passed", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((10L, 3L, 708333L)))
+    assert(got("b") == ((5L, 0L, 0L)))
+    assert(got("c") == ((4L, 2L, 1000000L)))
+    val thin = Seq(("x", true), ("x", false)).toDF("problem", "passed")
+    val ex = intercept[Exception] {
+      Eval.passAtK(thin, "problem", "passed", k = 3).collect()
+    }
+    assert(ex.getMessage.contains("fewer than k") ||
+      Option(ex.getCause).exists(_.getMessage.contains("fewer than k")))
+  }
+
   test("judgeWinMatrix: self-pairs and out-of-domain verdicts raise") {
     import spark.implicits._
     val self = Seq(("m1", "m1", "A")).toDF("model_a", "model_b", "verdict")

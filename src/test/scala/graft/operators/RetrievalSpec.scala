@@ -105,4 +105,53 @@ class RetrievalSpec extends SparkSpec {
         "rank", k = 5)
     }
   }
+
+  test("rankingMetrics: hand-computed nDCG/RR/P/R at k=3") {
+    import spark.implicits._
+    // disc = (1000000, 630930, 500000) at k=3
+    val results = Seq(("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+      ("q2", "d1", 1))
+      .toDF("q", "doc", "rank")
+    val qrels = Seq(("q1", "d1", 2L), ("q1", "d3", 1L), ("q1", "d9", 3L),
+      ("q1", "d10", 1L))
+      .toDF("q", "doc", "rel")
+    val rows = Retrieval.rankingMetrics(results, qrels, "q", "doc",
+      "rank", "rel", k = 3).collect()
+    val r1 = rows(0)
+    assert(r1.getString(0) == "q1")
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 4L &&
+      r1.getLong(3) == 2L)
+    // DCG = 2·1000000 + 0 + 1·500000; IDCG = 3·1000000 + 2·630930 +
+    // 1·500000 = 4761860; nDCG = 2500000·1e6 div 4761860 = 525004
+    assert(r1.getLong(4) == 2500000L, s"dcg: $r1")
+    assert(r1.getLong(5) == 4761860L, s"idcg: $r1")
+    assert(r1.getLong(6) == 525004L, s"ndcg: $r1")
+    assert(r1.getLong(7) == 1000000L, "rr: first hit at rank 1")
+    assert(r1.getLong(8) == 666666L, "P@3 = 2/3 floored")
+    assert(r1.getLong(9) == 500000L, "R@3 = 2/4")
+    // q2 has no judgments: ndcg/rr/recall null, precision 0
+    val r2 = rows(1)
+    assert(r2.getString(0) == "q2" && r2.getLong(2) == 0L &&
+      r2.isNullAt(6) && r2.isNullAt(7) && r2.getLong(8) == 0L &&
+      r2.isNullAt(9))
+  }
+
+  test("rankingMetrics: duplicate and negative judgments raise") {
+    import spark.implicits._
+    val results = Seq(("q1", "d1", 1)).toDF("q", "doc", "rank")
+    val dup = Seq(("q1", "d1", 1L), ("q1", "d1", 2L)).toDF("q", "doc", "rel")
+    val ex = intercept[Exception] {
+      Retrieval.rankingMetrics(results, dup, "q", "doc", "rank", "rel",
+        k = 3).collect()
+    }
+    assert(ex.getMessage.contains("duplicate judgment") ||
+      Option(ex.getCause).exists(_.getMessage.contains("duplicate judgment")))
+    val neg = Seq(("q1", "d1", -1L)).toDF("q", "doc", "rel")
+    val ex2 = intercept[Exception] {
+      Retrieval.rankingMetrics(results, neg, "q", "doc", "rank", "rel",
+        k = 3).collect()
+    }
+    assert(ex2.getMessage.contains("negative relevance") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("negative relevance")))
+  }
 }
