@@ -2691,7 +2691,31 @@ object SparkEntry {
         t(s, dir, "documents").select(
           (col("doc_id") % 10).as("problem"),
           (expr("(doc_id div 10) + doc_id % 7") % 3 === 0).as("passed")),
-        "problem", "passed", k = 3))
+        "problem", "passed", k = 3)),
+    // ---- distinct l-diversity audit on (lang, source) quasi-groups
+    //      with the n_chars%10 sensitive bucket — the k-anonymity
+    //      companion: big groups with too few sensitive values. ----
+    "q230_l_diversity" -> ((s, dir) =>
+      Audit.lDiversityAudit(
+        t(s, dir, "documents").select(col("lang"), col("source"),
+          (col("n_chars") % 10).as("sens")),
+        Seq("lang", "source"), "sens", l = 5)),
+    // ---- Copeland leaderboard from the q221 judgment fixture: each
+    //      judged pair decided by majority, score = beaten − lost;
+    //      judgment totals ride along. ----
+    "q231_copeland" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val j = d.select(
+        concat(lit("m"), (col("doc_id") % 4).cast("string"))
+          .as("model_a"),
+        concat(lit("m"),
+          ((col("doc_id") % 4 + 1 + col("doc_id") % 3) % 4)
+            .cast("string")).as("model_b"),
+        when(col("doc_id") % 10 < 4, "A")
+          .when(col("doc_id") % 10 < 8, "B")
+          .otherwise("tie").as("verdict"))
+      Eval.copelandLeaderboard(j, "model_a", "model_b", "verdict")
+    })
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -6219,7 +6243,65 @@ f AS (SELECT problem, n_samples, n_passed,
   FROM g)
 SELECT problem, n_samples, n_passed,
   CAST((den - num) * 1000000 // den AS BIGINT) AS pass_at_k_micro
-FROM f ORDER BY problem"""
+FROM f ORDER BY problem""",
+    // q230: (quasi…, sensitive) cells → per-group distinct counts →
+    // one fold; the floor-micro share of rows in weak groups.
+    "q230_l_diversity" ->
+      """WITH cells AS (SELECT lang, source, n_chars % 10 AS sens,
+  count(*) AS n FROM documents GROUP BY 1, 2, 3),
+g AS (SELECT lang, source, count(*) AS ndist,
+  CAST(sum(n) AS BIGINT) AS sz FROM cells GROUP BY 1, 2)
+SELECT count(*) AS n_groups,
+  CAST(sum(CASE WHEN ndist < 5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_weak_groups,
+  CAST(coalesce(sum(CASE WHEN ndist < 5 THEN sz END), 0) AS BIGINT)
+    AS n_rows_at_risk,
+  min(ndist) AS min_distinct,
+  CAST(CASE WHEN coalesce(sum(sz), 0) = 0 THEN NULL
+    ELSE coalesce(sum(CASE WHEN ndist < 5 THEN sz END), 0) * 1000000
+      // sum(sz) END AS BIGINT) AS risk_share_micro
+FROM g""",
+    // q231: the q221 canonical win matrix unioned per model side,
+    // pair outcomes by majority, Copeland = beaten − lost.
+    "q231_copeland" ->
+      """WITH j AS (SELECT
+  'm' || CAST(doc_id % 4 AS VARCHAR) AS ma,
+  'm' || CAST((doc_id % 4 + 1 + doc_id % 3) % 4 AS VARCHAR) AS mb,
+  CASE WHEN doc_id % 10 < 4 THEN 'A' WHEN doc_id % 10 < 8 THEN 'B'
+    ELSE 'tie' END AS v FROM documents),
+c AS (SELECT least(ma, mb) AS m_lo, greatest(ma, mb) AS m_hi,
+  ma <= mb AS lo_first, v FROM j),
+g AS (SELECT m_lo, m_hi, count(*) AS n_judgments,
+  CAST(sum(CASE WHEN (v = 'A' AND lo_first)
+    OR (v = 'B' AND NOT lo_first) THEN 1 ELSE 0 END) AS BIGINT)
+    AS wins_lo,
+  CAST(sum(CASE WHEN (v = 'B' AND lo_first)
+    OR (v = 'A' AND NOT lo_first) THEN 1 ELSE 0 END) AS BIGINT)
+    AS wins_hi,
+  CAST(sum(CASE WHEN v = 'tie' THEN 1 ELSE 0 END) AS BIGINT) AS ties
+  FROM c GROUP BY 1, 2),
+u AS (
+  SELECT m_lo AS model,
+    CASE WHEN wins_lo > wins_hi THEN 1
+      WHEN wins_lo < wins_hi THEN -1 ELSE 0 END AS pw,
+    n_judgments, wins_lo AS w, wins_hi AS lx, ties FROM g
+  UNION ALL
+  SELECT m_hi,
+    CASE WHEN wins_hi > wins_lo THEN 1
+      WHEN wins_hi < wins_lo THEN -1 ELSE 0 END,
+    n_judgments, wins_hi, wins_lo, ties FROM g)
+SELECT model, count(*) AS n_pairs,
+  CAST(sum(CASE WHEN pw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pair_wins,
+  CAST(sum(CASE WHEN pw = -1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS pair_losses,
+  CAST(sum(CASE WHEN pw = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pair_ties,
+  CAST(sum(CASE WHEN pw = 1 THEN 1 ELSE 0 END)
+    - sum(CASE WHEN pw = -1 THEN 1 ELSE 0 END) AS BIGINT) AS copeland,
+  CAST(sum(n_judgments) AS BIGINT) AS n_judgments,
+  CAST(sum(w) AS BIGINT) AS wins, CAST(sum(lx) AS BIGINT) AS losses,
+  CAST(sum(ties) AS BIGINT) AS ties
+FROM u GROUP BY model
+ORDER BY copeland DESC, model"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

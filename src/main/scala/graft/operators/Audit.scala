@@ -260,6 +260,45 @@ object Audit {
           .as("risk_share_micro"))
   }
 
+  /** l-diversity audit — the [[kAnonymityAudit]] companion closing its
+    * known gap: a quasi-identifier group can be large (k-anonymous) yet
+    * carry ONE sensitive value for every member, so membership alone
+    * reveals the attribute. A group is weak when its members span
+    * fewer than `l` DISTINCT sensitive values (distinct l-diversity,
+    * Machanavajjhala et al. 2007). Null sensitive values count as a
+    * value of their own (a column that is entirely null for a group
+    * is exactly the disclosure this audit exists to flag — the group
+    * reveals "unknown", still one value).
+    *
+    * Shape at 100 TB: one (quasi…, sensitive) hash aggregate collapses
+    * the corpus, one quasi-level re-aggregate, a 1-row fold — the
+    * kAnonymity shape with one extra narrow level. Returns ONE row:
+    * (n_groups, n_weak_groups, n_rows_at_risk, min_distinct,
+    * risk_share_micro). */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityAudit needs quasi columns")
+    require(l >= 2, s"l must be >= 2: $l")
+    val cells = df
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("_n"))
+    val groups = cells.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_ndist"), sum("_n").as("_size"))
+    groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_ndist") < l, 1L).otherwise(0L))
+          .as("n_weak_groups"),
+        coalesce(sum(when(col("_ndist") < l, col("_size"))), lit(0L))
+          .as("n_rows_at_risk"),
+        min("_ndist").as("min_distinct"),
+        coalesce(sum(col("_size")), lit(0L)).as("_total"))
+      .select(col("n_groups"), col("n_weak_groups"),
+        col("n_rows_at_risk"), col("min_distinct"),
+        when(col("_total") === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_rows_at_risk * 1000000 div _total"))
+          .as("risk_share_micro"))
+  }
+
   /** A declarative data-quality expectation — the Deequ-style contract
     * a 100 TB ingest gate evaluates before publishing a snapshot. Each
     * case is a pure row predicate except [[Expectation.Unique]], which

@@ -466,6 +466,50 @@ object Eval {
       .orderBy("m_lo", "m_hi")
   }
 
+  /** Copeland leaderboard over pairwise judgments — the ranking an
+    * arena derives from [[judgeWinMatrix]]: each unordered model pair
+    * is decided by majority of its judgments (more wins than the
+    * opponent = a pair win; equal = a pair tie), and a model's
+    * Copeland score is pairs-beaten − pairs-lost. Judgment-level
+    * totals ride along so a thin pair record (one pair decided by one
+    * judgment) is visible next to the score. Input contract and
+    * guards are [[judgeWinMatrix]]'s — this operator consumes its
+    * output frame, so the two never disagree on canonicalization.
+    *
+    * Shape at 100 TB: the win matrix is |models|²-sized; everything
+    * here is arithmetic over that tiny frame (two projections + one
+    * hash aggregate). Returns (model, n_pairs, pair_wins, pair_losses,
+    * pair_ties, copeland, n_judgments, wins, losses, ties), ordered
+    * (copeland DESC, model ASC). */
+  def copelandLeaderboard(df: DataFrame, modelACol: String,
+                          modelBCol: String,
+                          verdictCol: String): DataFrame = {
+    val m = judgeWinMatrix(df, modelACol, modelBCol, verdictCol)
+    val lo = m.select(col("m_lo").as("model"),
+      signum(col("wins_lo") - col("wins_hi")).cast("int").as("_pw"),
+      col("n_judgments"), col("wins_lo").as("_w"),
+      col("wins_hi").as("_l"), col("ties"))
+    val hi = m.select(col("m_hi").as("model"),
+      signum(col("wins_hi") - col("wins_lo")).cast("int").as("_pw"),
+      col("n_judgments"), col("wins_hi").as("_w"),
+      col("wins_lo").as("_l"), col("ties"))
+    lo.unionByName(hi)
+      .groupBy(col("model"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_pw") === 1, 1L).otherwise(0L)).as("pair_wins"),
+        sum(when(col("_pw") === -1, 1L).otherwise(0L))
+          .as("pair_losses"),
+        sum(when(col("_pw") === 0, 1L).otherwise(0L)).as("pair_ties"),
+        sum("n_judgments").as("n_judgments"),
+        sum("_w").as("wins"), sum("_l").as("losses"),
+        sum("ties").as("ties"))
+      .withColumn("copeland", col("pair_wins") - col("pair_losses"))
+      .select(col("model"), col("n_pairs"), col("pair_wins"),
+        col("pair_losses"), col("pair_ties"), col("copeland"),
+        col("n_judgments"), col("wins"), col("losses"), col("ties"))
+      .orderBy(col("copeland").desc, col("model"))
+  }
+
   /** Fleiss' kappa — chance-corrected agreement for R ≥ 2 raters per
     * item (the multi-annotator generalization of [[cohensKappa]], the
     * label-quality gate before majority-vote consensus ships). With

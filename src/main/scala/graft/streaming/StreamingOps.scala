@@ -997,4 +997,96 @@ object StreamingOps {
         } finally report.unpersist(false)
       }
       .start()
+
+  /** Streaming two-sided CUSUM monitor —
+    * [[graft.operators.Drift.cusumChangepoints]] run FOREVER: each
+    * micro-batch extends the per-group cumulative sums from a
+    * persisted CARRY store (last prefix sum + running extremum per
+    * group), so S⁺/S⁻ accumulate across batches exactly as the batch
+    * operator would over the concatenated frame. Parity holds when
+    * batches arrive in event-time order (the streaming-twin contract,
+    * spec-pinned); a late row folds at its ARRIVAL position — the
+    * honest semantics of a sequential monitor, which cannot revise
+    * already-emitted alarms.
+    *
+    * The carry store is the recovery point (restart resumes where the
+    * last committed batch left off) and is batch-id-partitioned for
+    * idempotent at-least-once replay: a replayed batch excludes its
+    * own partition when reading the carry and OVERWRITES it on
+    * append — the CDC/winnowing/SemDeDup twin discipline. State is
+    * one row per (group, batch) — O(groups) per batch, never
+    * O(events); groups silent in a batch keep their latest earlier
+    * carry (the per-group argmax over batch ids reads it back). */
+  def cusumMonitorStream(stream: DataFrame, groupCol: String,
+                         idCol: String, tsCol: String, valueCol: String,
+                         targetMicro: Long, slackMicro: Long,
+                         thresholdMicro: Long, statePath: String,
+                         checkpoint: String)
+                        (sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(groupCol))
+          .orderBy(col(tsCol), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val carry: DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(statePath)
+          if (p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .exists(p))
+            s.read.parquet(statePath)
+              .filter(col("_batch_id") =!= lit(batchId))
+              .groupBy(col(groupCol))
+              .agg(min(struct((-col("_batch_id")).as("nb"),
+                col("_p_end").as("pe"), col("_p_min").as("pm"),
+                col("_q_end").as("qe"), col("_q_max").as("qm")))
+                .as("_c"))
+              .select(col(groupCol), col("_c.pe").as("_cpe"),
+                col("_c.pm").as("_cpm"), col("_c.qe").as("_cqe"),
+                col("_c.qm").as("_cqm"))
+          else
+            batch.select(col(groupCol)).limit(0)
+              .select(col(groupCol), lit(0L).as("_cpe"),
+                lit(0L).as("_cpm"), lit(0L).as("_cqe"),
+                lit(0L).as("_cqm"))
+        }
+        val x = round(col(valueCol).cast("double") * 1000000L)
+          .cast("long")
+        val scored = batch
+          .filter(col(valueCol).isNotNull &&
+            !isnan(col(valueCol).cast("double")) && col(tsCol).isNotNull)
+          .select(col(groupCol), col(idCol), col(tsCol), x.as("x_micro"))
+          .join(carry, Seq(groupCol), "left")
+          .na.fill(0L, Seq("_cpe", "_cpm", "_cqe", "_cqm"))
+          .withColumn("_p", col("_cpe") +
+            sum(col("x_micro") - lit(targetMicro + slackMicro)).over(w))
+          .withColumn("_q", col("_cqe") +
+            sum(col("x_micro") - lit(targetMicro - slackMicro)).over(w))
+          .withColumn("_m", least(col("_cpm"), min("_p").over(w)))
+          .withColumn("_xq", greatest(col("_cqm"), max("_q").over(w)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(scored.select(col(groupCol), col(idCol), col(tsCol),
+            col("x_micro"),
+            (col("_p") - col("_m")).as("s_hi_micro"),
+            (col("_xq") - col("_q")).as("s_lo_micro"),
+            (col("_p") - col("_m") > thresholdMicro).as("alarm_hi"),
+            (col("_xq") - col("_q") > thresholdMicro).as("alarm_lo")))
+          // new carry = the last row per group under the (ts, id)
+          // order, with the running extrema as of that row
+          scored.groupBy(col(groupCol))
+            .agg(max(struct(col(tsCol).as("t"), col(idCol).as("i"),
+              col("_p").as("pe"), col("_m").as("pm"),
+              col("_q").as("qe"), col("_xq").as("qm"))).as("_last"))
+            .select(col(groupCol), col("_last.pe").as("_p_end"),
+              col("_last.pm").as("_p_min"), col("_last.qe").as("_q_end"),
+              col("_last.qm").as("_q_max"))
+            .write.mode("overwrite")
+            .parquet(s"$statePath/_batch_id=$batchId")
+        } finally scored.unpersist(false)
+      }
+      .start()
 }

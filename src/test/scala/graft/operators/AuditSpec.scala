@@ -312,4 +312,24 @@ class AuditSpec extends SparkSpec {
     // 31 hex chars: no match; 'x' + 32 hex: no leading word boundary
     assert(got(6L) == ((6L, 0L, 0L, 0L, 0L, 0L, 0L, false)))
   }
+
+  test("lDiversityAudit: weak groups by distinct sensitive values") {
+    import spark.implicits._
+    // g1 spans {a, b} (ndist 2, weak at l=3); g2 spans {a, b, c}
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "a"), ("g2", "b"), ("g2", "c")).toDF("q", "s")
+    val r = Audit.lDiversityAudit(df, Seq("q"), "s", l = 3)
+      .collect().head
+    assert(r.getLong(0) == 2L, "n_groups")
+    assert(r.getLong(1) == 1L, "n_weak_groups")
+    assert(r.getLong(2) == 3L, "n_rows_at_risk")
+    assert(r.getLong(3) == 2L, "min_distinct")
+    assert(r.getLong(4) == 500000L, "risk share 3/6")
+    // null sensitive values count as one value of their own
+    val withNull = Seq(("g1", null), ("g1", null), ("g1", "a"))
+      .toDF("q", "s")
+    assert(Audit.lDiversityAudit(withNull, Seq("q"), "s", l = 3)
+      .collect().head.getLong(3) == 2L,
+      "null is a distinct sensitive value, not dropped")
+  }
 }

@@ -259,6 +259,30 @@ class EvalSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("fewer than k")))
   }
 
+  test("copelandLeaderboard: majority pair outcomes, score = beaten - lost") {
+    import spark.implicits._
+    // (m1,m2): m1 wins 2-1; (m1,m3): m1 wins 1-0 with a tie judgment;
+    // m2-m3 never judged -> absent pair
+    val df = Seq(
+      ("m1", "m2", "A"), ("m1", "m2", "A"), ("m2", "m1", "A"),
+      ("m1", "m3", "tie"), ("m3", "m1", "B"))
+      .toDF("model_a", "model_b", "verdict")
+    val rows = Eval.copelandLeaderboard(df, "model_a", "model_b",
+      "verdict").collect()
+    val m1 = rows(0)
+    assert(m1.getString(0) == "m1" && m1.getLong(1) == 2L &&
+      m1.getLong(2) == 2L && m1.getLong(3) == 0L &&
+      m1.getLong(5) == 2L, s"m1: $m1")
+    assert(m1.getLong(6) == 5L && m1.getLong(7) == 3L &&
+      m1.getLong(8) == 1L && m1.getLong(9) == 1L,
+      "m1 judgment totals: 5 judgments, 3 wins, 1 loss, 1 tie")
+    // the two one-pair losers tie at copeland -1, ordered by model
+    assert(rows(1).getString(0) == "m2" &&
+      rows(1).getLong(5) == -1L)
+    assert(rows(2).getString(0) == "m3" &&
+      rows(2).getLong(5) == -1L && rows(2).getLong(4) == 0L)
+  }
+
   test("judgeWinMatrix: self-pairs and out-of-domain verdicts raise") {
     import spark.implicits._
     val self = Seq(("m1", "m1", "A")).toDF("model_a", "model_b", "verdict")

@@ -1323,4 +1323,79 @@ class StreamingOpsSpec extends SparkSpec {
     assert(store.count() == store.select("vec_id").distinct().count(),
       "replay must not duplicate store vector rows")
   }
+
+  test("streaming CUSUM monitor equals the batch operator across " +
+      "time-ordered batches and survives restart") {
+    // the DriftSpec fixture split in event-time order: the carry must
+    // hand S+ = 2 units into batch 2 so row 3 reaches 4, not 2
+    val rows = Seq(
+      ("g", 1L, ts("2024-01-01 00:00:01"), 1.0),
+      ("g", 2L, ts("2024-01-01 00:00:02"), 4.0),
+      ("g", 3L, ts("2024-01-01 00:00:03"), 4.0),
+      ("g", 4L, ts("2024-01-01 00:00:04"), 1.0),
+      ("h", 5L, ts("2024-01-01 00:00:01"), 2.0),
+      ("h", 6L, ts("2024-01-01 00:00:05"), 9.0))
+    val (batch1, batch2) = rows.partition(_._3.getTime <=
+      ts("2024-01-01 00:00:02").getTime)
+    val key = System.nanoTime()
+    val state = s"/tmp/graft-cusum-state-$key"
+    val ckpt = s"/tmp/graft-cusum-ckpt-$key"
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Timestamp, Long, Long, Long, Boolean, Boolean)]
+    val mem = MemoryStream[(String, Long, Timestamp, Double)](spark)
+    def run(): Unit = {
+      val q = StreamingOps.cusumMonitorStream(
+        mem.toDF().toDF("g", "id", "t", "v"), "g", "id", "t", "v",
+        targetMicro = 2000000L, slackMicro = 0L,
+        thresholdMicro = 2500000L, state, ckpt) { rep =>
+        out ++= rep.as[(String, Long, Timestamp, Long, Long, Long,
+          Boolean, Boolean)].collect()
+      }
+      q.awaitTermination(60000)
+    }
+    mem.addData(batch1: _*)
+    run()
+    // RESTART: fresh query, same checkpoint + carry store
+    mem.addData(batch2: _*)
+    run()
+    val streamed = out.sortBy(_._2).toList
+    val batchTwin = graft.operators.Drift.cusumChangepoints(
+      rows.toDF("g", "id", "t", "v"), "g", "id", "t", "v",
+      2000000L, 0L, 2500000L)
+      .as[(String, Long, Timestamp, Long, Long, Long, Boolean, Boolean)]
+      .collect().sortBy(_._2).toList
+    assert(streamed == batchTwin, s"streamed $streamed != $batchTwin")
+    assert(streamed.find(_._2 == 3L).get._5 == 4000000L,
+      "the batch-2 row must extend batch 1's running sum, not restart it")
+  }
+
+  test("streaming CUSUM monitor replays a batch idempotently") {
+    val rows = Seq(
+      ("g", 1L, ts("2024-01-01 00:00:01"), 5.0),
+      ("g", 2L, ts("2024-01-01 00:00:02"), 5.0))
+    val key = System.nanoTime()
+    val state = s"/tmp/graft-cusum-replay-state-$key"
+    def runOnce(ckpt: String) = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long)]
+      val mem = MemoryStream[(String, Long, Timestamp, Double)](spark)
+      mem.addData(rows: _*)
+      val q = StreamingOps.cusumMonitorStream(
+        mem.toDF().toDF("g", "id", "t", "v"), "g", "id", "t", "v",
+        0L, 0L, 1000000L, state, ckpt) { rep =>
+        out ++= rep.select("g", "id", "s_hi_micro", "s_lo_micro")
+          .as[(String, Long, Long, Long)].collect()
+      }
+      q.awaitTermination(60000)
+      out.sortBy(_._2).toList
+    }
+    val first = runOnce(s"/tmp/graft-cusum-replay-ckpt-$key-a")
+    val replayed = runOnce(s"/tmp/graft-cusum-replay-ckpt-$key-b")
+    assert(replayed == first,
+      s"replayed CUSUM report diverged: $replayed != $first")
+    val store = spark.read.parquet(state)
+    assert(store.count() == 1L && store.select("_batch_id")
+      .distinct().count() == 1L,
+      "replay must overwrite its own carry partition, not append")
+  }
 }
