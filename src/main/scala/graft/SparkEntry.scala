@@ -2715,6 +2715,20 @@ object SparkEntry {
           .when(col("doc_id") % 10 < 8, "B")
           .otherwise("tie").as("verdict"))
       Eval.copelandLeaderboard(j, "model_a", "model_b", "verdict")
+    }),
+    // ---- homoglyph-robust dedup: every doc_id%40==0 doc gets an
+    //      adversarial copy (Latin aeo → Cyrillic аео, a zero-width
+    //      space appended) at id+30000 — plain md5 differs, the
+    //      confusable skeleton collapses the pair; soft-dedup weights
+    //      ride along. ----
+    "q232_homoglyph_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val evil = d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(translate(col("text"), "aeo", "аео"),
+            lit("​")).as("text"))
+      Dedup.homoglyphDupGroups(d.unionByName(evil), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -6301,7 +6315,28 @@ SELECT model, count(*) AS n_pairs,
   CAST(sum(w) AS BIGINT) AS wins, CAST(sum(lx) AS BIGINT) AS losses,
   CAST(sum(ties) AS BIGINT) AS ties
 FROM u GROUP BY model
-ORDER BY copeland DESC, model"""
+ORDER BY copeland DESC, model""",
+    // q232: the identical skeleton — translate with the SAME from/to
+    // literals (interpolated from Dedup.homoglyphFrom/To), then the
+    // normalizeText replay — and the digest group join.
+    "q232_homoglyph_dedup" -> {
+      val f = Dedup.homoglyphFrom
+      val to = Dedup.homoglyphTo
+      s"""WITH a AS (SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000, translate(text, 'aeo', 'аео') || '​'
+  FROM documents WHERE doc_id % 40 = 0),
+sk AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+  lower(translate(lower(text), '$f', '$to')),
+  '[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g'))) AS skeleton_digest
+  FROM a),
+g AS (SELECT skeleton_digest, count(*) AS group_size,
+  min(doc_id) AS canonical_id FROM sk GROUP BY 1)
+SELECT s.doc_id, s.skeleton_digest, g.group_size, g.canonical_id,
+  s.doc_id = g.canonical_id AS is_canonical,
+  1000000 // g.group_size AS weight_micro
+FROM sk s JOIN g USING (skeleton_digest) ORDER BY s.doc_id"""
+    }
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

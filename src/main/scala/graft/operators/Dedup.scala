@@ -893,6 +893,73 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("canonical"))
       .filter(col("cnt") > 1)
 
+  /** Unicode-confusable skeleton pairs — a pragmatic subset of UTS #39
+    * confusables.txt: Cyrillic and Greek lowercase letters that render
+    * identically to Latin glyphs in common fonts map to their Latin
+    * skeletons, fullwidth Latin/digits fold to ASCII, NBSP folds to a
+    * regular space. ONE literal is the source of truth for the engine
+    * and the SQL oracles (the minHashCoeffs discipline). */
+  val homoglyphPairs: Seq[(Char, Char)] =
+    Seq('а' -> 'a', 'е' -> 'e', 'і' -> 'i', 'ј' -> 'j', 'о' -> 'o',
+      'р' -> 'p', 'ѕ' -> 's', 'с' -> 'c', 'у' -> 'y', 'х' -> 'x',
+      'ο' -> 'o', 'ι' -> 'i', ' ' -> ' ') ++
+      ('ａ' to 'ｚ').zip('a' to 'z') ++ ('０' to '９').zip('0' to '9')
+
+  /** Characters DELETED by the skeleton (no Latin counterpart, no
+    * width): zero-width space/joiners, BOM, soft hyphen — the classic
+    * dedup-evasion insertions. */
+  val homoglyphDeleted: String = "​‌‍﻿­"
+
+  val homoglyphFrom: String =
+    homoglyphPairs.map(_._1).mkString + homoglyphDeleted
+  val homoglyphTo: String = homoglyphPairs.map(_._2).mkString
+
+  /** Confusable skeleton of a text column: case fold, confusable
+    * substitution ([[homoglyphFrom]] → [[homoglyphTo]], extras
+    * deleted), then [[TextAnalysis.normalizeText]]'s control/whitespace
+    * normalization. Two texts that differ only by homoglyph swaps,
+    * zero-width insertions, fullwidth styling or whitespace tricks
+    * share a skeleton. Pure codegen'd string expressions — translate +
+    * the normalizeText regexes. */
+  def homoglyphSkeleton(c: Column): Column =
+    TextAnalysis.normalizeText(
+      translate(lower(c), homoglyphFrom, homoglyphTo))
+
+  /** Homoglyph-ROBUST exact-duplicate groups — the adversarial
+    * complement of [[exactDupGroups]]: spam and dedup-evasion copies
+    * swap Latin letters for Cyrillic lookalikes or thread zero-width
+    * characters through the text, so their md5 differs while their
+    * rendered content does not. Documents collapse by the md5 of their
+    * confusable skeleton; each row reports its group and the
+    * SOFT-DEDUP loss weight 10⁶ div group_size (the "keep every copy
+    * but downweight the cluster" alternative to dropping — D4-style
+    * duplicate-aware training). Canonical = min id, the house rule.
+    *
+    * Shape at 100 TB: one digest hash aggregate + one digest equi-join
+    * back (16-byte keys, text never reshuffles — the
+    * [[dropExactDuplicates]] shape plus the count join). Returns
+    * (idCol, skeleton_digest, group_size, canonical_id, is_canonical,
+    * weight_micro). */
+  def homoglyphDupGroups(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val reserved = Set("skeleton_digest", "group_size", "canonical_id",
+      "is_canonical", "weight_micro")
+    val clash = Seq(idCol, textCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"homoglyphDupGroups: reserved column name(s) in inputs: " +
+        s"${clash.mkString(", ")}")
+    val digests = df.select(col(idCol),
+      md5(homoglyphSkeleton(col(textCol))).as("skeleton_digest"))
+    val groups = digests.groupBy("skeleton_digest")
+      .agg(count(lit(1)).as("group_size"),
+        min(col(idCol)).as("canonical_id"))
+    digests.join(groups, Seq("skeleton_digest"))
+      .select(col(idCol), col("skeleton_digest"), col("group_size"),
+        col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("is_canonical"),
+        expr("1000000 div group_size").as("weight_micro"))
+  }
+
   /** Keep one row per distinct digest (the min-id row) — the actual
     * "dedup" materialization. Window-free formulation: an aggregation on
     * the digest then a semi-join back, so the heavy side shuffles once

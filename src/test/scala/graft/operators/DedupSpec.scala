@@ -905,4 +905,25 @@ class DedupSpec extends SparkSpec {
         storeFps.withColumnRenamed("fingerprint", "fp"))
     }
   }
+
+  test("homoglyphDupGroups: confusable swaps, zero-widths and fullwidth collapse") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "send to paypal now"),
+      (2L, "send to pаypаl now"),       // Cyrillic а twice
+      (3L, "send​ to paypal‍ now"), // zero-widths + NBSP
+      (4L, "ＳＥＮＤ ＴＯ ＰＡＹＰＡＬ ＮＯＷ"),  // fullwidth styling
+      (5L, "a different document"))
+      .toDF("doc_id", "text")
+    val got = Dedup.homoglyphDupGroups(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5))))
+      .toMap
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(got(id) == ((4L, 1L, id == 1L, 250000L)),
+        s"doc $id must join the skeleton group: ${got(id)}")
+    assert(got(5L) == ((1L, 5L, true, 1000000L)))
+    // plain exact dedup sees 5 distinct texts — the adversarial gap
+    assert(Dedup.exactDupGroups(df, "doc_id", "text").count() == 0L)
+  }
 }
