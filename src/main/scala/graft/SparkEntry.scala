@@ -2729,6 +2729,36 @@ object SparkEntry {
             lit("​")).as("text"))
       Dedup.homoglyphDupGroups(d.unionByName(evil), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+    // ---- fixed-stride segmentation plan over the q42 decode path:
+    //      1000 ms windows, 600 ms hop, 200 ms minimum final window —
+    //      pure integer boundary arithmetic, the time-axis resizePlan. ----
+    "q233_segment_plan" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.segmentPlan(Multimodal.decode(s, media).toDF(),
+        winMs = 1000, hopMs = 600, minMs = 200)
+        .orderBy("media_id", "seg_idx")
+    }),
+    // ---- Flesch–Kincaid grade per document: exact floor-micro
+    //      formula over sentence runs, house tokens, and the
+    //      vowel-group syllable proxy (floored at 1/word). ----
+    "q234_flesch_kincaid" -> ((s, dir) =>
+      TextAnalysis.fleschKincaid(t(s, dir, "documents"), "doc_id",
+        "text").orderBy("doc_id")),
+    // ---- obfuscation-robust topic classification: Cyrillic-lookalike
+    //      topic terms planted on doc_id%25==0, classified over the
+    //      q232 confusable skeleton — raw tokens never match, the
+    //      skeleton restores the lexicon hits. ----
+    "q235_obfuscated_lexicon" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" jоіn mеrgе hаѕh")))
+          .otherwise(col("text")).as("text"))
+      val skel = planted.select(col("doc_id"),
+        Dedup.homoglyphSkeleton(col("text")).as("text"))
+      TextAnalysis.classifyByLexicon(skel, "doc_id", "text",
+        lexiconFixture)
     })
   )
 
@@ -6336,6 +6366,68 @@ SELECT s.doc_id, s.skeleton_digest, g.group_size, g.canonical_id,
   s.doc_id = g.canonical_id AS is_canonical,
   1000000 // g.group_size AS weight_micro
 FROM sk s JOIN g USING (skeleton_digest) ORDER BY s.doc_id"""
+    },
+    // q233: the q42 duration arithmetic (stub codec replay), then the
+    // integer segment spine — count = (dur − min) // hop + 1, ends
+    // clipped to the duration.
+    "q233_segment_plan" -> {
+      def hv(p: Int) = s"instr('123456789abcdef', substr(cs, $p, 1))"
+      def u(i: Int) = s"(16 * ${hv(2 * i + 1)} + ${hv(2 * i + 2)})"
+      s"""WITH m AS (SELECT doc_id AS media_id,
+  CAST((doc_id % 3 + 3) % 3 AS INTEGER) AS mt,
+  md5(text) || md5(reverse(text)) AS cs FROM documents),
+f AS (SELECT media_id,
+  CAST(CASE mt WHEN 0 THEN 0 WHEN 1 THEN 1000 + ${u(2)} * 500
+    ELSE 2000 + ${u(3)} * 250 END AS BIGINT) AS dur FROM m),
+e AS (SELECT media_id, dur,
+  unnest(range(0, (dur - 200) // 600 + 1)) AS i
+  FROM f WHERE dur >= 200)
+SELECT media_id, CAST(i AS INTEGER) AS seg_idx,
+  CAST(i * 600 AS BIGINT) AS start_ms,
+  CAST(least(i * 600 + 1000, dur) AS BIGINT) AS end_ms
+FROM e ORDER BY media_id, seg_idx"""
+    },
+    // q234: identical split/token counts — string_split_regex keeps
+    // edge empties like Spark split(…, -1); the two floor divisions.
+    "q234_flesch_kincaid" ->
+      s"""WITH b AS (SELECT doc_id,
+  greatest(1, len(string_split_regex(text, '[.!?]+')) - 1) AS s,
+  len($tokensSql) AS w,
+  len(string_split_regex(lower(text), '[aeiouy]+')) - 1 AS v
+  FROM documents)
+SELECT doc_id, CAST(s AS BIGINT) AS n_sentences,
+  CAST(w AS BIGINT) AS n_words,
+  CAST(greatest(v, w) AS BIGINT) AS n_syllables,
+  CAST(CASE WHEN w = 0 THEN NULL
+    ELSE 390000 * w // s + 11800000 * greatest(v, w) // w - 15590000
+    END AS BIGINT) AS fk_grade_micro
+FROM b ORDER BY doc_id""",
+    // q235: the q232 skeleton replay over the planted text, then the
+    // q150 lexicon argmax on skeleton tokens.
+    "q235_obfuscated_lexicon" -> {
+      val f = Dedup.homoglyphFrom
+      val to = Dedup.homoglyphTo
+      val pairs = lexiconFixture.toSeq
+        .flatMap { case (topic, ws) => ws.map(w => (w.toLowerCase, topic)) }
+        .sortBy(_._1)
+      s"""WITH lex(term, topic) AS (VALUES ${valuesSql(pairs)}),
+pl AS (SELECT doc_id, CASE WHEN doc_id % 25 = 0
+  THEN text || ' jоіn mеrgе hаѕh' ELSE text END AS rawt
+  FROM documents),
+sk AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+  lower(translate(lower(rawt), '$f', '$to')),
+  '[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS text FROM pl),
+tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM sk),
+h AS (SELECT doc_id, topic, CAST(count(*) AS BIGINT) AS n_hits
+  FROM tok JOIN lex USING (term) GROUP BY doc_id, topic),
+b AS (SELECT doc_id, topic, n_hits, row_number()
+    OVER (PARTITION BY doc_id ORDER BY n_hits DESC, topic ASC) AS rn
+  FROM h)
+SELECT d.doc_id, coalesce(b.topic, 'unknown') AS topic,
+  coalesce(b.n_hits, CAST(0 AS BIGINT)) AS n_hits
+FROM sk d LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
+  USING (doc_id)
+ORDER BY doc_id"""
     }
   )
 

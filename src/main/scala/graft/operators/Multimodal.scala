@@ -169,6 +169,39 @@ object Multimodal {
   /** Frame sampling: slice `n` fixed-offset byte windows out of each
     * payload (stand-in for video frame extraction). Pure expression —
     * produces (media_id, frame_idx, frame_bytes). */
+  /** Fixed-stride segmentation plan over decoded duration metadata —
+    * the audio/video chunking step (ASR windows, CLIP-per-segment,
+    * VAD-free diarization prep) expressed as pure integer arithmetic
+    * on `duration_ms`: segments start at i·hopMs, span winMs (clipped
+    * to the media's end), and a final partial window is kept only when
+    * it covers ≥ minMs. The decode stays behind the stub-codec seam
+    * ([[decode]]); the PLAN — boundaries, counts, clipping — is real
+    * and oracle-checked, exactly the [[resizePlan]] contract for the
+    * time axis. Untimed media (duration < minMs, e.g. images at 0)
+    * produce no segments.
+    *
+    * Scale shape: one filter + one sequence-explode — no shuffle at
+    * all; output rows = Σ ⌈(duration−minMs)/hopMs⌉+1, the segment
+    * spine downstream per-segment decoders consume. Returns
+    * (media_id, seg_idx, start_ms, end_ms). */
+  def segmentPlan(features: DataFrame, winMs: Int, hopMs: Int,
+                  minMs: Int = 1): DataFrame = {
+    require(winMs > 0, s"winMs must be positive: $winMs")
+    require(hopMs > 0, s"hopMs must be positive: $hopMs")
+    require(minMs >= 1 && minMs <= winMs,
+      s"minMs must be in [1, winMs=$winMs]: $minMs")
+    val dur = col("duration_ms").cast("long")
+    features.filter(dur >= minMs)
+      .select(col("media_id"), dur.as("_dur"),
+        explode(sequence(lit(0L),
+          expr(s"(CAST(duration_ms AS BIGINT) - $minMs) div $hopMs")))
+          .as("seg_idx"))
+      .select(col("media_id"), col("seg_idx").cast("int").as("seg_idx"),
+        (col("seg_idx").cast("long") * hopMs).as("start_ms"),
+        least(col("seg_idx").cast("long") * hopMs + winMs, col("_dur"))
+          .as("end_ms"))
+  }
+
   def frameSample(media: DataFrame, n: Int, frameBytes: Int = 8): DataFrame =
     media.select(col("media_id"), col("payload"),
         posexplode(sequence(lit(0), lit(n - 1))).as(Seq("pos", "frame_idx")))

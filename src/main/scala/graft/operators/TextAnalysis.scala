@@ -233,6 +233,45 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  /** Flesch–Kincaid grade level per document — the readability signal
+    * quality filters stack next to length/stopword ratios (C4 keeps
+    * prose; FK separates prose from keyword soup and legalese). The
+    * classical formula with a DETERMINISTIC syllable proxy:
+    *
+    *   FK = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    *   FK·10⁶ = 390000·W div S + 11800000·Y div W − 15590000
+    *
+    * two exact floor divisions, no float. Sentences = runs of [.!?]
+    * (min 1 — a fragment is one sentence); words = the house
+    * tokenizer; syllables = vowel-group runs [aeiouy]+ in the
+    * lowercased text, floored at one per word (the standard proxy —
+    * true syllabification needs a dictionary; the proxy is monotone
+    * with it on English prose and bit-replayable on both engines).
+    * Documents with zero words report a null grade. One codegen'd map
+    * pass, no shuffle. Returns (idCol, n_sentences, n_words,
+    * n_syllables, fk_grade_micro). */
+  def fleschKincaid(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val reservedFk = Set("n_sentences", "n_words", "n_syllables",
+      "fk_grade_micro")
+    require(!reservedFk.contains(idCol),
+      s"fleschKincaid: idCol `$idCol` collides with an output column")
+    val t = col(textCol)
+    val sentences = greatest(lit(1L),
+      (size(split(t, "[.!?]+")) - 1).cast("long"))
+    val words = coalesce(size(tokens(t)).cast("long"), lit(0L))
+    val vowelGroups =
+      (size(split(lower(t), "[aeiouy]+")) - 1).cast("long")
+    df.select(col(idCol), sentences.as("n_sentences"),
+        words.as("n_words"),
+        greatest(vowelGroups, words).as("n_syllables"))
+      .withColumn("fk_grade_micro",
+        when(col("n_words") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """390000 * n_words div n_sentences
+               + 11800000 * n_syllables div n_words - 15590000""")))
+  }
+
   /** Distinct-n generation-diversity ratio per group — the standard
     * mode-collapse check on model OUTPUTS (distinct-1/distinct-2 of
     * Li et al. 2016, "A Diversity-Promoting Objective Function"): a

@@ -170,4 +170,26 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toList
     assert(p2 == List((1L, 2L, 0)))
   }
+
+  test("segmentPlan: stride boundaries, end clipping, min-window cut") {
+    import spark.implicits._
+    val feats = Seq((1L, 2500L), (2L, 150L), (3L, 0L), (4L, 200L))
+      .toDF("media_id", "duration_ms")
+    val got = Multimodal.segmentPlan(feats, winMs = 1000, hopMs = 600,
+      minMs = 200)
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      .toList
+    // media 1 (2500 ms): starts 0/600/1200/1800; a 2400 start would
+    // cover only 100 ms < minMs and must not appear
+    assert(got.filter(_._1 == 1L) == List(
+      (1L, 0, 0L, 1000L), (1L, 1, 600L, 1600L),
+      (1L, 2, 1200L, 2200L), (1L, 3, 1800L, 2500L)))
+    // 150 ms < minMs and 0 ms (image) produce nothing
+    assert(!got.exists(r => r._1 == 2L || r._1 == 3L))
+    // exactly minMs: one clipped segment
+    assert(got.filter(_._1 == 4L) == List((4L, 0, 0L, 200L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.segmentPlan(feats, winMs = 500, hopMs = 600, minMs = 600)
+    }
+  }
 }

@@ -531,4 +531,25 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(uni("rep") == 1L && uni("div") == 3L && uni("tiny") == 1L)
   }
+
+  test("fleschKincaid: hand-computed grade, floors, empty-text null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat. The dog ran fast!"), // 2 sent, 7 words, 7 vg
+      (2L, "xyz qrst"),  // no vowels: syllables floor at words
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fleschKincaid(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 2L && r1.getLong(2) == 7L &&
+      r1.getLong(3) == 7L)
+    // 390000*7 div 2 + 11800000*7 div 7 - 15590000 = -2425000
+    assert(r1.getLong(4) == -2425000L, s"fk: $r1")
+    val r2 = got(2L)
+    assert(r2.getLong(2) == 2L && r2.getLong(3) == 2L,
+      "vowel-free words still count one syllable each")
+    val r3 = got(3L)
+    assert(r3.getLong(1) == 1L && r3.getLong(2) == 0L && r3.isNullAt(4))
+  }
 }
