@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.SchemaDiff
 import graft.inference.{DirectoryDrift, TypeInference}
-import graft.operators.{Audit, Bpe, Clustering, Curation, Dedup, Drift, Eval, Multimodal, Scale, Similarity, Sketch, Stats, TemporalJoins, TextAnalysis, UrlOps}
+import graft.operators.{Audit, Bpe, Clustering, Curation, Dedup, Drift, Eval, Linkage, Multimodal, Scale, Similarity, Sketch, Stats, TemporalJoins, TextAnalysis, UrlOps}
 import graft.oracle.InferenceOracle
 import graft.types.TypeClass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2759,6 +2759,58 @@ object SparkEntry {
         Dedup.homoglyphSkeleton(col("text")).as("text"))
       TextAnalysis.classifyByLexicon(skel, "doc_id", "text",
         lexiconFixture)
+    }),
+    // ---- t-closeness audit on the q230 quasi-groups: groups whose
+    //      sensitive-bucket DISTRIBUTION strays from the corpus-wide
+    //      one by TVD > 0.25 — the l-diversity gap-closer. ----
+    "q236_t_closeness" -> ((s, dir) =>
+      Audit.tClosenessAudit(
+        t(s, dir, "documents").select(col("lang"), col("source"),
+          (col("n_chars") % 10).as("sens")),
+        Seq("lang", "source"), "sens", tMicro = 250000L)),
+    // ---- BINDER-style unary inclusion-dependency discovery over the
+    //      star-schema key columns: distinct value sets, one
+    //      value-keyed self-join, FK-candidate verdicts. ----
+    "q237_ind_discovery" -> ((s, dir) =>
+      Audit.indDiscovery(Seq(
+        Audit.IndColumn("customer.c_custkey", t(s, dir, "customer"),
+          "c_custkey"),
+        Audit.IndColumn("customer.c_nationkey", t(s, dir, "customer"),
+          "c_nationkey"),
+        Audit.IndColumn("nation.n_nationkey", t(s, dir, "nation"),
+          "n_nationkey"),
+        Audit.IndColumn("nation.n_regionkey", t(s, dir, "nation"),
+          "n_regionkey"),
+        Audit.IndColumn("orders.o_custkey", t(s, dir, "orders"),
+          "o_custkey"),
+        Audit.IndColumn("region.r_regionkey", t(s, dir, "region"),
+          "r_regionkey"),
+        Audit.IndColumn("supplier.s_nationkey", t(s, dir, "supplier"),
+          "s_nationkey")))),
+    // ---- Fellegi–Sunter m/u estimation over a deterministic labeled
+    //      pair fixture (agreement flags + match label from doc_id
+    //      arithmetic; one null-flag lane → counted as disagreement).
+    "q238_fellegi_sunter" -> ((s, dir) =>
+      Linkage.fellegiSunter(
+        t(s, dir, "documents").select(
+          (col("doc_id") % 2 === 0).as("is_match"),
+          (col("doc_id") % 3 === 0).as("name_agree"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("boolean"))
+            .otherwise(col("doc_id") % 5 =!= 1).as("addr_agree"),
+          (col("doc_id") % 11 < 4).as("phone_agree")),
+        "is_match", Seq("name_agree", "addr_agree", "phone_agree"))),
+    // ---- C4-style duplicate three-sentence-span census: the q85
+    //      sentence-izing replace (" table " → ". ") plus a planted
+    //      5-sentence shared passage on every 20th doc so cross-doc
+    //      spans genuinely recur. ----
+    "q239_sentence_span_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text",
+        concat(replace(col("text"), lit(" table "), lit(". ")),
+          when(col("doc_id") % 20 === 0, lit(
+            " Shared passage one. It recurs verbatim. " +
+              "Across many documents. In every planted copy. " +
+              "Tail sentence here.")).otherwise(lit(""))))
+      Dedup.sentenceSpanDedup(d, "doc_id", "text", span = 3)
     })
   )
 
@@ -6428,7 +6480,140 @@ SELECT d.doc_id, coalesce(b.topic, 'unknown') AS topic,
 FROM sk d LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
   USING (doc_id)
 ORDER BY doc_id"""
-    }
+    },
+    // q236: (quasi…, sensitive) cells → per-value totals joined back →
+    // exact TVD numerator per group (present |c_gv·n − c_v·n_g| plus
+    // the absent-value mass n_g·(n − Σ c_v)), floor micros over
+    // 2·n_g·n, then the one-row fold. HUGEINT replays DECIMAL(38,0).
+    "q236_t_closeness" ->
+      """WITH cells AS (SELECT lang, source, n_chars % 10 AS sv,
+  CAST(count(*) AS HUGEINT) AS cgv FROM documents GROUP BY 1, 2, 3),
+vt AS (SELECT sv, sum(cgv) AS cv FROM cells GROUP BY 1),
+tot AS (SELECT sum(cv) AS n FROM vt),
+g AS (SELECT lang, source, sum(cgv) AS ng, max(n) AS nn,
+    sum(abs(cgv * n - cv * ng2.cgv_total)) AS present,
+    sum(cv) AS cvsum
+  FROM cells JOIN vt USING (sv) CROSS JOIN tot
+  JOIN (SELECT lang, source, sum(cgv) AS cgv_total FROM cells
+    GROUP BY 1, 2) ng2 USING (lang, source)
+  GROUP BY lang, source),
+tv AS (SELECT ng, nn,
+    CAST(((present + ng * (nn - cvsum)) * 1000000)
+      // (2 * ng * nn) AS BIGINT) AS tvd_micro FROM g)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN tvd_micro > 250000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_weak_groups,
+  CAST(coalesce(sum(CASE WHEN tvd_micro > 250000 THEN ng END), 0)
+    AS BIGINT) AS n_rows_at_risk,
+  max(tvd_micro) AS max_tvd_micro,
+  CAST(CASE WHEN coalesce(sum(ng), 0) = 0 THEN NULL
+    ELSE coalesce(sum(CASE WHEN tvd_micro > 250000 THEN ng END), 0)
+      * 1000000 // sum(ng) END AS BIGINT) AS risk_share_micro
+FROM tv""",
+    // q237: distinct (column, value-as-string) sets → one value-keyed
+    // self-join for shared counts → verdicts on the label×label pair
+    // axis (zero-shared pairs included; empty lhs ⊆ everything).
+    "q237_ind_discovery" ->
+      """WITH sets AS (
+  SELECT DISTINCT 'customer.c_custkey' AS cid,
+    CAST(c_custkey AS VARCHAR) AS v FROM customer
+    WHERE c_custkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'customer.c_nationkey',
+    CAST(c_nationkey AS VARCHAR) FROM customer
+    WHERE c_nationkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'nation.n_nationkey',
+    CAST(n_nationkey AS VARCHAR) FROM nation
+    WHERE n_nationkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'nation.n_regionkey',
+    CAST(n_regionkey AS VARCHAR) FROM nation
+    WHERE n_regionkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'orders.o_custkey',
+    CAST(o_custkey AS VARCHAR) FROM orders WHERE o_custkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'region.r_regionkey',
+    CAST(r_regionkey AS VARCHAR) FROM region
+    WHERE r_regionkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'supplier.s_nationkey',
+    CAST(s_nationkey AS VARCHAR) FROM supplier
+    WHERE s_nationkey IS NOT NULL),
+st AS (SELECT cid, CAST(count(*) AS BIGINT) AS nd FROM sets
+  GROUP BY 1),
+sh AS (SELECT a.cid AS lhs, b.cid AS rhs, CAST(count(*) AS BIGINT)
+    AS ns FROM sets a JOIN sets b ON a.v = b.v AND a.cid <> b.cid
+  GROUP BY 1, 2),
+lab(l) AS (VALUES ('customer.c_custkey'), ('customer.c_nationkey'),
+  ('nation.n_nationkey'), ('nation.n_regionkey'),
+  ('orders.o_custkey'), ('region.r_regionkey'),
+  ('supplier.s_nationkey')),
+p AS (SELECT a.l AS lhs, b.l AS rhs FROM lab a, lab b
+  WHERE a.l <> b.l)
+SELECT p.lhs, p.rhs,
+  coalesce(st.nd, 0) AS n_lhs_distinct,
+  coalesce(sh.ns, 0) AS n_shared,
+  coalesce(sh.ns, 0) = coalesce(st.nd, 0) AS is_ind
+FROM p LEFT JOIN st ON st.cid = p.lhs
+  LEFT JOIN sh ON sh.lhs = p.lhs AND sh.rhs = p.rhs
+ORDER BY p.lhs, p.rhs""",
+    // q238: the labeled-pair fixture replayed, four counters per
+    // field, floor-micro m/u; the null addr flag lane counts as
+    // disagreement on both sides.
+    "q238_fellegi_sunter" ->
+      """WITH pr AS (SELECT doc_id % 2 = 0 AS m,
+  doc_id % 3 = 0 AS f_name,
+  CASE WHEN doc_id % 13 = 0 THEN NULL
+    ELSE doc_id % 5 <> 1 END AS f_addr,
+  doc_id % 11 < 4 AS f_phone FROM documents),
+c AS (SELECT
+  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+  CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+  CAST(sum(CASE WHEN m AND coalesce(f_name, false) THEN 1 ELSE 0 END)
+    AS BIGINT) AS am_name,
+  CAST(sum(CASE WHEN NOT m AND coalesce(f_name, false) THEN 1
+    ELSE 0 END) AS BIGINT) AS au_name,
+  CAST(sum(CASE WHEN m AND coalesce(f_addr, false) THEN 1 ELSE 0 END)
+    AS BIGINT) AS am_addr,
+  CAST(sum(CASE WHEN NOT m AND coalesce(f_addr, false) THEN 1
+    ELSE 0 END) AS BIGINT) AS au_addr,
+  CAST(sum(CASE WHEN m AND coalesce(f_phone, false) THEN 1
+    ELSE 0 END) AS BIGINT) AS am_phone,
+  CAST(sum(CASE WHEN NOT m AND coalesce(f_phone, false) THEN 1
+    ELSE 0 END) AS BIGINT) AS au_phone FROM pr)
+SELECT field, nm AS n_match, nu AS n_unmatch,
+  CAST(CASE WHEN nm = 0 THEN NULL ELSE am * 1000000 // nm END
+    AS BIGINT) AS m_micro,
+  CAST(CASE WHEN nu = 0 THEN NULL ELSE au * 1000000 // nu END
+    AS BIGINT) AS u_micro
+FROM (
+  SELECT 'addr_agree' AS field, nm, nu, am_addr AS am, au_addr AS au
+    FROM c
+  UNION ALL SELECT 'name_agree', nm, nu, am_name, au_name FROM c
+  UNION ALL SELECT 'phone_agree', nm, nu, am_phone, au_phone FROM c)
+ORDER BY field""",
+    // q239: the q204-style list slicing replays the sliding spans;
+    // sentence split + normalize + chr(1)-joined md5 digests, census,
+    // per-doc rejoin.
+    "q239_sentence_span_dedup" ->
+      """WITH pl AS (SELECT doc_id,
+  replace(text, ' table ', '. ') ||
+  CASE WHEN doc_id % 20 = 0 THEN ' Shared passage one. It recurs verbatim. Across many documents. In every planted copy. Tail sentence here.'
+    ELSE '' END AS tx FROM documents),
+d AS (SELECT doc_id,
+  list_filter(list_transform(string_split_regex(tx, '[.!?]+(\s+|$)'),
+    x -> regexp_replace(trim(lower(x)), '\s+', ' ', 'g')),
+    x -> x <> '') AS ls FROM pl),
+sp AS (SELECT doc_id, md5(array_to_string(ls[i+1:i+3], chr(1))) AS dig
+  FROM (SELECT doc_id, ls, unnest(range(0, len(ls) - 2)) AS i
+    FROM d WHERE len(ls) >= 3)),
+c AS (SELECT dig, count(*) AS cnt FROM sp GROUP BY 1),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM sp JOIN c USING (dig) GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.ls) AS BIGINT) AS n_sentences,
+  coalesce(pd.n_spans, 0) AS n_spans,
+  coalesce(pd.n_dup, 0) AS n_dup_spans,
+  CAST(coalesce(pd.n_dup, 0) * 1000000
+    // greatest(coalesce(pd.n_spans, 0), 1) AS BIGINT)
+    AS dup_span_micro
+FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

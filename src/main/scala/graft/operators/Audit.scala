@@ -299,6 +299,94 @@ object Audit {
           .as("risk_share_micro"))
   }
 
+  /** t-closeness audit — the third leg of the privacy triple beside
+    * [[kAnonymityAudit]] and [[lDiversityAudit]], closing l-diversity's
+    * known gap (Li, Li & Venkatasubramanian 2007): a group can span
+    * many distinct sensitive values yet still leak when its value
+    * DISTRIBUTION differs sharply from the corpus-wide one (e.g. 90%
+    * of one diagnosis in a group vs 2% globally). A group is weak when
+    * the total-variation distance between its sensitive-value
+    * distribution and the global distribution exceeds `t` —
+    * TVD = ½·Σ_v |p_g(v) − p(v)|, the categorical instance of the
+    * paper's Earth-Mover's Distance.
+    *
+    * Exactness: with group size n_g, corpus size n, in-group value
+    * count c_gv and global value count c_v, the TVD numerator is
+    * Σ_{v∈group} |c_gv·n − c_v·n_g| + n_g·(n − Σ_{v∈group} c_v) — the
+    * second term folds every value ABSENT from the group (|0·n −
+    * c_v·n_g| = c_v·n_g) without materializing the group×value cross
+    * frame. tvd_micro = ⌊10⁶·num / (2·n_g·n)⌋. Products ride
+    * DECIMAL(38,0) (the fleissKappa convention) — c_gv·n terms wrap
+    * BIGINT past n ≈ 3·10⁹ rows.
+    *
+    * Shape at 100 TB: one (quasi…, sensitive) hash aggregate collapses
+    * the corpus; everything after operates on cell frames (one
+    * sensitive-level re-aggregate joined back on the sensitive key,
+    * one quasi-level fold, a broadcast 1-row total). No cross joins,
+    * no windows. Returns ONE row: (n_groups, n_weak_groups,
+    * n_rows_at_risk, max_tvd_micro, risk_share_micro). */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessAudit needs quasi columns")
+    require(tMicro >= 0 && tMicro <= 1000000,
+      s"tMicro must be in [0, 1000000]: $tMicro")
+    // Reserved-name guard (repo convention): a quasi column named like
+    // a working/output column would silently shadow the cell frames.
+    val reserved = Set("_sv", "_cgv", "_cv", "_n", "_ng", "_nn",
+      "_present", "_cvsum", "_num", "tvd_micro", "n_groups",
+      "n_weak_groups", "n_rows_at_risk", "max_tvd_micro",
+      "risk_share_micro")
+    val clash = (quasiCols :+ sensitiveCol).filter(reserved)
+    require(clash.isEmpty,
+      s"tClosenessAudit reserved column names in use: ${clash.mkString(", ")}")
+    val qs = quasiCols.map(col)
+    // The cell frame feeds three consumers — materialize once (the
+    // mutualInfo/Graph localCheckpoint convention for reused frames)
+    // so the data scan happens exactly once.
+    val cells = df
+      .groupBy((qs :+ col(sensitiveCol).as("_sv")): _*)
+      .agg(count(lit(1)).as("_cgv"))
+      .localCheckpoint()
+    val valueTotals = cells.groupBy(col("_sv"))
+      .agg(sum("_cgv").as("_cv"))
+    val totals = valueTotals
+      .agg(coalesce(sum("_cv"), lit(0L)).as("_n"))
+    val groupSizes = cells.groupBy(qs: _*)
+      .agg(sum("_cgv").as("_ng"))
+    val joined = cells
+      .join(valueTotals, "_sv")
+      .join(groupSizes, quasiCols)
+      .crossJoin(broadcast(totals))
+    val groups = joined.groupBy(qs: _*)
+      .agg(
+        max("_ng").as("_ng"),
+        max("_n").as("_nn"),
+        sum(abs(col("_cgv").cast("decimal(38,0)") * col("_n")
+          - col("_cv").cast("decimal(38,0)") * col("_ng")))
+          .as("_present"),
+        sum("_cv").as("_cvsum"))
+      .select(col("_ng"), col("_nn"),
+        (col("_present") + col("_ng").cast("decimal(38,0)")
+          * (col("_nn") - col("_cvsum"))).as("_num"))
+      .select(col("_ng"), col("_nn"),
+        expr("""CAST((_num * CAST(1000000 AS DECIMAL(38,0))) div
+          (CAST(2 AS DECIMAL(38,0)) * _ng * _nn) AS BIGINT)""")
+          .as("tvd_micro"))
+    groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("tvd_micro") > tMicro, 1L).otherwise(0L))
+          .as("n_weak_groups"),
+        coalesce(sum(when(col("tvd_micro") > tMicro, col("_ng"))),
+          lit(0L)).as("n_rows_at_risk"),
+        max("tvd_micro").as("max_tvd_micro"),
+        coalesce(sum(col("_ng")), lit(0L)).as("_total"))
+      .select(col("n_groups"), col("n_weak_groups"),
+        col("n_rows_at_risk"), col("max_tvd_micro"),
+        when(col("_total") === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_rows_at_risk * 1000000 div _total"))
+          .as("risk_share_micro"))
+  }
+
   /** A declarative data-quality expectation — the Deequ-style contract
     * a 100 TB ingest gate evaluates before publishing a snapshot. Each
     * case is a pure row predicate except [[Expectation.Unique]], which
@@ -449,6 +537,83 @@ object Audit {
         (col("n_violating_det_values") === 0L).as("fd_holds"),
         (col("n_det_values") === col("_total")).as("det_is_unique_key"))
       .orderBy("determinant", "dependent")
+  }
+
+  /** One column of an inclusion-dependency candidate set: a display
+    * label (conventionally `table.column`), the frame, the column. */
+  final case class IndColumn(label: String, df: DataFrame,
+                             column: String)
+
+  /** Unary inclusion-dependency discovery — the cross-table companion
+    * to [[fdDiscovery]]'s intra-table structure inference, and the
+    * profiling pass that turns the reference's single-table schema
+    * proposal into JOINABILITY knowledge: `A ⊆ B` (every distinct
+    * non-null value of A appears in B) is the prerequisite for a
+    * foreign key, so discovered INDs are exactly the candidate
+    * relations [[fkAudit]] then verifies row-by-row (BINDER / SPIDER,
+    * Papenbrock et al. 2015 — divide-and-conquer over value sets).
+    *
+    * Dataflow: each column collapses to its DISTINCT (column, value)
+    * set FIRST (partial aggregation map-side — the shuffle carries
+    * distinct cells, never rows), all sets union into one frame, and
+    * ONE value-keyed self-equi-join counts shared distinct values per
+    * ordered pair. Per-value fan-out is bounded by |columns|² (a value
+    * appears at most once per column), so the join cannot explode on
+    * skew the way a row-level join would. Verdicts assemble on the
+    * |columns|²-sized pair frame: broadcast column stats × stats,
+    * left join to shared counts. Values compare via their string
+    * render (the fdDiscovery convention — injective per atomic type;
+    * cross-type inclusion like BIGINT ⊆ VARCHAR renders compatibly);
+    * nulls are excluded on both sides (SQL FK semantics: null points
+    * nowhere).
+    *
+    * Returns one row per ordered pair (lhs ≠ rhs):
+    * (lhs, rhs, n_lhs_distinct, n_shared, is_ind — true iff every lhs
+    * value occurs in rhs; an empty lhs is included in everything),
+    * ordered by (lhs, rhs). */
+  def indDiscovery(columns: Seq[IndColumn]): DataFrame = {
+    require(columns.size >= 2,
+      s"indDiscovery needs >= 2 candidate columns: ${columns.size}")
+    require(columns.map(_.label).distinct.size == columns.size,
+      s"duplicate labels: ${columns.map(_.label)}")
+    require(columns.size <= 64,
+      s"${columns.size} columns make ${columns.size * (columns.size - 1)} " +
+        "pairs — declare a candidate subset, not every column")
+    val sets = columns.map { c =>
+      c.df.select(lit(c.label).as("_cid"),
+          col(c.column).cast("string").as("_v"))
+        .filter(col("_v").isNotNull)
+        .distinct()
+    }.reduce(_.unionByName(_))
+      // three consumers (stats, both join sides) — materialize once,
+      // the mutualInfo localCheckpoint convention
+      .localCheckpoint()
+    val stats = sets.groupBy(col("_cid"))
+      .agg(count(lit(1)).as("_nd"))
+    val shared = sets.as("a")
+      .join(sets.as("b"),
+        col("a._v") === col("b._v") && col("a._cid") =!= col("b._cid"))
+      .groupBy(col("a._cid").as("_lhs"), col("b._cid").as("_rhs"))
+      .agg(count(lit(1)).as("_ns"))
+    // every ordered pair appears even with zero shared values; a column
+    // whose values are all null has no `sets` row, so pairs build from
+    // the declared label list, not from `stats`
+    val labels = columns.map(_.label)
+    val lhsAxis = sets.sparkSession
+      .createDataFrame(labels.map(Tuple1(_))).toDF("lhs")
+    val rhsAxis = lhsAxis.select(col("lhs").as("rhs"))
+    lhsAxis.crossJoin(rhsAxis)
+      .filter(col("lhs") =!= col("rhs"))
+      .join(broadcast(stats.select(col("_cid").as("lhs"),
+        col("_nd").as("n_lhs_distinct"))), Seq("lhs"), "left")
+      .join(broadcast(shared.select(col("_lhs").as("lhs"),
+        col("_rhs").as("rhs"), col("_ns").as("n_shared"))),
+        Seq("lhs", "rhs"), "left")
+      .select(col("lhs"), col("rhs"),
+        coalesce(col("n_lhs_distinct"), lit(0L)).as("n_lhs_distinct"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("is_ind", col("n_shared") === col("n_lhs_distinct"))
+      .orderBy("lhs", "rhs")
   }
 
   /** Secret/credential scan — the pre-training hygiene pass every

@@ -1581,4 +1581,72 @@ object Dedup {
       .filter(col("n_dup_pairs") > 0)
       .orderBy("source_a", "source_b")
   }
+
+  /** C4-style duplicate sentence-SPAN census (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring
+    * more than once in the data set") — the sub-document dedup level
+    * between [[crossSourceDupMatrix]]'s whole-document digests and the
+    * line-level boilerplate strip: exact duplication of `span`
+    * consecutive normalized sentences anywhere in the corpus.
+    *
+    * Sentence rule (deterministic, Java∩RE2 so a SQL oracle replays
+    * it): split on `[.!?]+` runs followed by whitespace or
+    * end-of-text, trim, drop empties, normalize by lowercase +
+    * whitespace squeeze. Spans are the n−span+1 sliding windows over
+    * a document's sentence sequence, keyed by the md5 of the
+    * chr(1)-joined window (16-byte digests shuffle, never text — the
+    * boilerplateStrip convention). Documents with < span sentences
+    * carry no span and report zeros.
+    *
+    * Shape at 100 TB: one explode to the span frame (materialized
+    * once — localCheckpoint, the mutualInfo convention — because the
+    * digest census and the per-doc rejoin both consume it), one
+    * digest hash aggregate, one digest equi-join back, one per-doc
+    * aggregate. No windows, no collect; span work per document is
+    * linear in its sentence count (each sentence enters ≤ span
+    * windows).
+    *
+    * Returns one row per input document: (idCol, n_sentences,
+    * n_spans, n_dup_spans — spans whose digest occurs ≥ 2 times
+    * corpus-wide (the doc's own copy counts toward the 2),
+    * dup_span_micro — floor micros over n_spans), ordered by idCol. */
+  def sentenceSpanDedup(df: DataFrame, idCol: String, textCol: String,
+                        span: Int = 3): DataFrame = {
+    require(span >= 1 && span <= 16, s"span must be in [1, 16]: $span")
+    val reserved = Set("_sents", "_ns", "_dig", "_cnt", "n_sentences",
+      "n_spans", "n_dup_spans", "dup_span_micro")
+    val clash = Seq(idCol, textCol).filter(reserved)
+    require(clash.isEmpty,
+      s"sentenceSpanDedup reserved column names in use: ${clash.mkString(", ")}")
+    // normalized sentence array: split on terminal-punctuation runs
+    // (the trailing split cell after "end." is dropped as empty)
+    val sentExpr = expr(
+      s"""filter(transform(split(`$textCol`, '[.!?]+(\\\\s+|$$)'),
+            x -> regexp_replace(trim(lower(x)), '\\\\s+', ' ')),
+          x -> x != '')""")
+    val docs = df.select(col(idCol), sentExpr.as("_sents"))
+      .withColumn("_ns", size(col("_sents")).cast("long"))
+    val spans = docs
+      .filter(col("_ns") >= span)
+      .select(col(idCol), col("_ns"), explode(expr(
+        s"transform(sequence(1, int(_ns) - ${span - 1}), " +
+          s"i -> md5(concat_ws(chr(1), slice(_sents, i, $span))))"))
+        .as("_dig"))
+      .localCheckpoint()
+    val census = spans.groupBy("_dig").agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= 2)
+      .select(col("_dig"), lit(true).as("_dup"))
+    val perDoc = spans.join(census, Seq("_dig"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(when(col("_dup"), 1L)), lit(0L)).as("n_dup_spans"))
+    docs.select(col(idCol), col("_ns").as("n_sentences"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_sentences"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_micro",
+        expr("n_dup_spans * 1000000L div greatest(n_spans, 1L)"))
+      .orderBy(idCol)
+  }
 }

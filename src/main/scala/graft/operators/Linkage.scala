@@ -74,4 +74,60 @@ object Linkage {
       .filter(col("dist") <= 1)
       .orderBy("id_a", "id_b")
   }
+
+  /** Fellegi–Sunter m/u estimation (Fellegi & Sunter 1969) — the
+    * probabilistic-linkage model fit that turns [[linkByNameEdit1]]'s
+    * deterministic candidates into weighted evidence: from a REVIEWED
+    * pair set (per-field agreement flags + a match/unmatch label),
+    * estimate per field f the two conditional probabilities
+    * m_f = P(agree_f | match) and u_f = P(agree_f | unmatch). The
+    * log-ratio of the two is the field's classic match weight; we
+    * report the probabilities themselves in exact floor micros (logs
+    * are irrational — a consumer picks its own band edges, and the
+    * m/u pair carries strictly more information than the ratio).
+    *
+    * Dataflow: ONE fused aggregate over the labeled pair frame (four
+    * counters per field — the expectationsAudit shape), melted to one
+    * row per field by a 1-row explode. Null agreement flags count as
+    * disagreement (an uncomparable field is evidence of nothing).
+    * At 100 TB the reviewed training set is tiny, but the same shape
+    * runs on a full candidate set unchanged: one scan, no shuffle, a
+    * fields-sized result.
+    *
+    * Returns one row per field: (field, n_match, n_unmatch,
+    * m_micro — null when no match pairs, u_micro — null when no
+    * unmatch pairs), ordered by field. */
+  def fellegiSunter(pairs: DataFrame, matchCol: String,
+                    fieldCols: Seq[String]): DataFrame = {
+    require(fieldCols.nonEmpty, "fellegiSunter needs agreement fields")
+    require(fieldCols.distinct == fieldCols,
+      s"duplicate fields: $fieldCols")
+    val reserved = Set("field", "n_match", "n_unmatch", "m_micro",
+      "u_micro")
+    val clash = (fieldCols :+ matchCol).filter(reserved)
+    require(clash.isEmpty,
+      s"fellegiSunter reserved column names in use: ${clash.mkString(", ")}")
+    val isM = col(matchCol) === lit(true)
+    def agree(f: String): Column = coalesce(col(f), lit(false))
+    val aggs =
+      Seq(sum(when(isM, 1L).otherwise(0L)).as("_nm"),
+        sum(when(!isM, 1L).otherwise(0L)).as("_nu")) ++
+      fieldCols.flatMap { f =>
+        Seq(sum(when(isM && agree(f), 1L).otherwise(0L)).as(s"_am_$f"),
+          sum(when(!isM && agree(f), 1L).otherwise(0L)).as(s"_au_$f"))
+      }
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(fieldCols.map(f =>
+        struct(lit(f).as("field"),
+          coalesce(col("_nm"), lit(0L)).as("n_match"),
+          coalesce(col("_nu"), lit(0L)).as("n_unmatch"),
+          expr(s"CASE WHEN coalesce(_nm, 0) = 0 THEN NULL " +
+            s"ELSE coalesce(`_am_$f`, 0) * 1000000 div _nm END")
+            .as("m_micro"),
+          expr(s"CASE WHEN coalesce(_nu, 0) = 0 THEN NULL " +
+            s"ELSE coalesce(`_au_$f`, 0) * 1000000 div _nu END")
+            .as("u_micro"))): _*)).as("_r"))
+      .select(col("_r.*"))
+      .orderBy("field")
+  }
 }

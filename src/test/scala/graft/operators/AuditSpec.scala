@@ -332,4 +332,65 @@ class AuditSpec extends SparkSpec {
       .collect().head.getLong(3) == 2L,
       "null is a distinct sensitive value, not dropped")
   }
+
+  test("tClosenessAudit: exact TVD vs the global distribution") {
+    import spark.implicits._
+    // Corpus: 8 rows, global sens dist a:4 b:4 (p = 1/2, 1/2).
+    // g1 = (a,a,a,b): p_g = (3/4, 1/4) → TVD = 1/4 → 250000 micro.
+    // g2 = (a,b,b,b): symmetric, TVD = 1/4.
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "a"), ("g2", "b"), ("g2", "b"), ("g2", "b"))
+      .toDF("q", "s")
+    val r = Audit.tClosenessAudit(df, Seq("q"), "s", tMicro = 200000L)
+      .collect().head
+    assert(r.getLong(0) == 2L, "n_groups")
+    assert(r.getLong(1) == 2L, "both groups weak at t=0.2")
+    assert(r.getLong(2) == 8L, "n_rows_at_risk")
+    assert(r.getLong(3) == 250000L, "max_tvd_micro = 1/4")
+    assert(r.getLong(4) == 1000000L, "risk share 8/8")
+    // At t = 0.25 neither group exceeds (strict >): zero weak groups.
+    val r2 = Audit.tClosenessAudit(df, Seq("q"), "s", tMicro = 250000L)
+      .collect().head
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 0L)
+  }
+
+  test("tClosenessAudit: absent-value mass and uniform group") {
+    import spark.implicits._
+    // Global: a:3 b:2 c:1 (n=6). g1 = (a,a,a): present |3·6−3·3|=9,
+    // absent (b,c) mass = 3·(6−3)=9 → num 18, TVD = 18/(2·3·6) = 1/2.
+    // g2 = (a,b,c)? no — keep g2 = (b,b,c): present |0·…|…
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"),
+      ("g2", "b"), ("g2", "b"), ("g2", "c")).toDF("q", "s")
+    val rows = Audit.tClosenessAudit(df, Seq("q"), "s", tMicro = 450000L)
+      .collect().head
+    // g1 TVD = 1/2 (500000); g2: present |2·6−2·3| + |1·6−1·3| = 9,
+    // absent a: 3·3 = 9 → num 18 → TVD 1/2 as well.
+    assert(rows.getLong(3) == 500000L, "max_tvd_micro")
+    assert(rows.getLong(1) == 2L, "both exceed t=0.45")
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      Audit.tClosenessAudit(df.withColumnRenamed("q", "tvd_micro"),
+        Seq("tvd_micro"), "s", 0L)
+    }
+  }
+
+  test("indDiscovery: inclusion verdicts, empty lhs, cross-type render") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(2L), None).toDF("fk")
+    val parent = Seq("1", "2", "3").toDF("pk")       // string side
+    val empty = Seq(Option.empty[Long]).toDF("e")    // all-null column
+    val out = Audit.indDiscovery(Seq(
+      Audit.IndColumn("c.fk", child, "fk"),
+      Audit.IndColumn("p.pk", parent, "pk"),
+      Audit.IndColumn("x.e", empty, "e")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size == 6, "3 columns -> 6 ordered pairs")
+    // {1,2} ⊆ {1,2,3} via string render; reverse fails (3 missing)
+    assert(out(("c.fk", "p.pk")) == ((2L, 2L, true)))
+    assert(out(("p.pk", "c.fk")) == ((3L, 2L, false)))
+    // empty lhs is included in everything; nothing includes into empty
+    assert(out(("x.e", "c.fk")) == ((0L, 0L, true)))
+    assert(out(("c.fk", "x.e")) == ((2L, 0L, false)))
+  }
 }

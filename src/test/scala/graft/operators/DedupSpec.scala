@@ -926,4 +926,32 @@ class DedupSpec extends SparkSpec {
     // plain exact dedup sees 5 distinct texts — the adversarial gap
     assert(Dedup.exactDupGroups(df, "doc_id", "text").count() == 0L)
   }
+
+  test("sentenceSpanDedup: C4 three-sentence spans, normalization, shorts") {
+    import spark.implicits._
+    val shared = "One shared line. Two  SHARED lines! Three shared lines? "
+    val df = Seq(
+      (1L, shared + "Unique tail A."),           // 4 sentences, 2 spans
+      (2L, "one shared line.  two shared lines! three shared lines? " +
+        "Unique tail B."),                       // same spans after norm
+      (3L, "Entirely different. Nothing here. Matches nothing else."),
+      (4L, "Too short. Only two."),              // < span → zero spans
+      (5L, "")).toDF("doc_id", "text")
+    val got = Dedup.sentenceSpanDedup(df, "doc_id", "text", span = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc1: sentences 4, spans 2; span(s1..s3) recurs in doc2 → 1 dup
+    assert(got(1L) == ((4L, 2L, 1L, 500000L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((4L, 2L, 1L, 500000L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((3L, 1L, 0L, 0L)))
+    assert(got(4L) == ((2L, 0L, 0L, 0L)))
+    assert(got(5L) == ((0L, 0L, 0L, 0L)))
+    // a span-boundary artifact must not collide: joining with chr(1)
+    // keeps ["ab","c"] distinct from ["a","bc"]
+    val tricky = Seq((1L, "ab. c. x."), (2L, "a. bc. x."))
+      .toDF("doc_id", "text")
+    val t2 = Dedup.sentenceSpanDedup(tricky, "doc_id", "text", span = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(t2(1L) == 0L && t2(2L) == 0L, "no cross-doc collision")
+  }
 }

@@ -49,4 +49,30 @@ class LinkageSpec extends SparkSpec {
     // within one edit of ""
     assert(!got.exists(p => p._1 == 5L || p._2 == 18L))
   }
+
+  test("fellegiSunter estimates m/u in floor micros; null flags disagree") {
+    // 4 match pairs (name agrees 3/4, addr 2/4), 2 unmatch pairs
+    // (name agrees 1/2, addr 0/2 — one null flag = disagreement)
+    val pairs = Seq(
+      (true, Some(true), Some(true)), (true, Some(true), Some(true)),
+      (true, Some(true), Some(false)), (true, Some(false), None),
+      (false, Some(true), Some(false)), (false, Some(false), None)
+    ).toDF("is_match", "name_ok", "addr_ok")
+    val rows = Linkage.fellegiSunter(pairs, "is_match",
+      Seq("name_ok", "addr_ok"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows("name_ok") == ((4L, 2L, 750000L, 500000L)))
+    assert(rows("addr_ok") == ((4L, 2L, 500000L, 0L)))
+    // degenerate: all pairs matched -> u_micro is null
+    val allM = Seq((true, Some(true))).toDF("is_match", "f")
+    val r2 = Linkage.fellegiSunter(allM, "is_match", Seq("f"))
+      .collect().head
+    assert(r2.getLong(3) == 1000000L && r2.isNullAt(4))
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      Linkage.fellegiSunter(pairs.withColumnRenamed("name_ok", "m_micro"),
+        "is_match", Seq("m_micro"))
+    }
+  }
 }
