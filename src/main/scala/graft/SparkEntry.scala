@@ -2811,7 +2811,27 @@ object SparkEntry {
               "Across many documents. In every planted copy. " +
               "Tail sentence here.")).otherwise(lit(""))))
       Dedup.sentenceSpanDedup(d, "doc_id", "text", span = 3)
-    })
+    }),
+    // ---- k-core of the q225 planted graph: synchronous peel at
+    //      k=3 for 6 rounds (past the fixture's peel depth), in-core
+    //      degrees recomputed over the survivors. ----
+    "q240_k_core" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val intra = d.select(col("doc_id").as("src"), explode(array(
+        expr("(doc_id div 25) * 25 + (doc_id * 7 + 1) % 25"),
+        expr("(doc_id div 25) * 25 + (doc_id * 13 + 5) % 25"))).as("dst"))
+      val cross = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 25) % m).as("dst"))
+      graft.operators.Graph.kCore(
+        intra.unionByName(cross), "src", "dst", k = 3, iterations = 6)
+    }),
+    // ---- winsorization of event values at the exact type-1
+    //      [0.05, 0.95] quantile cuts — per-row clip verdicts. ----
+    "q241_winsorize" -> ((s, dir) =>
+      Scale.winsorize(t(s, dir, "events"), "value", "event_id",
+        loQ = 0.05, hiQ = 0.95))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -6613,7 +6633,43 @@ SELECT d.doc_id, CAST(len(d.ls) AS BIGINT) AS n_sentences,
   CAST(coalesce(pd.n_dup, 0) * 1000000
     // greatest(coalesce(pd.n_spans, 0), 1) AS BIGINT)
     AS dup_span_micro
-FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""
+FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
+    // q240: the q225 graph CTEs, symmetrized+deduped, then the peel
+    // unrolled one CTE pair per round — survivors' in-core degrees.
+    "q240_k_core" -> {
+      val rounds = (1 to 6).map { i =>
+        s"""d$i AS (SELECT src, count(*) AS c FROM sym
+  WHERE src IN (SELECT v FROM a${i - 1})
+    AND dst IN (SELECT v FROM a${i - 1}) GROUP BY 1),
+a$i AS (SELECT src AS v FROM d$i WHERE c >= 3)"""
+      }.mkString(",\n")
+      s"""WITH $lpaGraphCtes,
+sym AS (SELECT src, dst FROM half UNION SELECT dst, src FROM half),
+a0 AS (SELECT DISTINCT src AS v FROM sym),
+$rounds
+SELECT src AS vertex, CAST(count(*) AS BIGINT) AS degree FROM sym
+WHERE src IN (SELECT v FROM a6) AND dst IN (SELECT v FROM a6)
+GROUP BY 1 ORDER BY 1"""
+    },
+    // q241: the q86 rank CTEs pick the two cut VALUES, then one
+    // cross-joined clip pass — identical ⌈q·n⌉ IEEE arithmetic.
+    "q241_winsorize" ->
+      """WITH r AS (SELECT value, event_id,
+    row_number() OVER (ORDER BY value, event_id) AS rank
+  FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS n FROM r),
+t AS (SELECT CAST(q AS DOUBLE) AS q,
+    greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT)) AS rank
+  FROM (VALUES (0.05), (0.95)) v(q) CROSS JOIN n),
+c AS (SELECT min(CASE WHEN q = 0.05 THEN value END) AS lo,
+    min(CASE WHEN q = 0.95 THEN value END) AS hi
+  FROM t JOIN r USING (rank))
+SELECT event_id, value,
+  CASE WHEN value < lo THEN lo WHEN value > hi THEN hi
+    ELSE value END AS clipped,
+  value < lo AS clipped_low, value > hi AS clipped_high
+FROM events CROSS JOIN c WHERE value IS NOT NULL
+ORDER BY event_id"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

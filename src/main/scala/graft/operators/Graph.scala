@@ -404,6 +404,64 @@ object Graph {
     labels.select(col("vertex"), col("lbl").as("community"))
   }
 
+  /** k-core decomposition by synchronous peeling (Seidman 1983;
+    * Batagelj–Zaveršnik gives the sequential O(m) peel, but its
+    * vertex-at-a-time schedule is not a dataflow — the synchronous
+    * round-based peel below is the standard distributed formulation):
+    * repeatedly drop EVERY vertex whose degree in the surviving
+    * subgraph is < k, all at once, for exactly `iterations` rounds.
+    * Peeling is monotone (a dropped vertex never returns) and extra
+    * rounds past the fixpoint are no-ops, so "exactly K rounds" both
+    * replays in a SQL oracle (unrolled round CTEs) and equals the true
+    * k-core whenever K reaches the peel depth — pick K generously; the
+    * graph census this feeds ([[degreeProfile]]) bounds the depth.
+    *
+    * Graph normalization matches [[labelPropagation]]: self-loops
+    * dropped, edges deduplicated and symmetrized. Scale shape: the
+    * symmetrized frame localCheckpoints once; each round is two
+    * left-semi equi-joins against the survivor set plus one hash
+    * aggregate, with the survivor frame localCheckpointed per round
+    * (it feeds both semi-joins — the HITS per-iteration pattern, and
+    * the lineage would otherwise double every round). No windows, no
+    * driver-side vertex state.
+    *
+    * Returns the surviving vertices with their IN-CORE degree
+    * (recomputed over the final survivor set): (vertex, degree),
+    * ordered by vertex. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, iterations: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    val half = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = half
+      .unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    def coreDegrees(alive: DataFrame): DataFrame = sym
+      .join(alive.select(col("vertex").as("src")), Seq("src"),
+        "left_semi")
+      .join(alive.select(col("vertex").as("dst")), Seq("dst"),
+        "left_semi")
+      .groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("deg"))
+    var alive = sym.select(col("src").as("vertex")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      alive = coreDegrees(alive)
+        .filter(col("deg") >= k)
+        .select(col("vertex"))
+        .localCheckpoint(true)
+    }
+    coreDegrees(alive)
+      .select(col("vertex"), col("deg").cast("long").as("degree"))
+      .orderBy("vertex")
+  }
+
   /** Newman modularity of a given vertex partition over the undirected
     * graph — the one-number answer to "did the clustering find real
     * structure" (Q ≈ 0: no better than random wiring; Q ≳ 0.3:

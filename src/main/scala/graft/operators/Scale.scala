@@ -343,6 +343,49 @@ object Scale {
       .orderBy("q")
   }
 
+  /** Winsorization — clip `valueCol` at the exact [`loQ`, `hiQ`]
+    * quantile cuts, the robust-feature-prep step between
+    * [[exactQuantiles]] (which names the cuts) and model training
+    * (which can't eat the raw tail): values below the loQ-quantile
+    * move up to it, values above the hiQ-quantile move down to it.
+    * The cuts are [[exactQuantiles]]' type-1 selections (rank ⌈q·n⌉
+    * under the (value, id) total order), so both cut points are
+    * actual data values and the clip is engine-portable bit for bit —
+    * no interpolation ever manufactures a float.
+    *
+    * Shape at 100 TB: the two cut values come from the exactQuantiles
+    * machinery (bucketed prefix ranks, no single-partition stage) as
+    * a 2-row frame, then ride the corpus as a broadcast 1-row cross
+    * join; the clip itself is one codegen'd map pass. Null values are
+    * excluded (the exactQuantiles contract — a null clips to
+    * nothing).
+    *
+    * Returns one row per non-null-value input row: (idCol, valueCol,
+    * clipped, clipped_low, clipped_high), ordered by idCol. */
+  def winsorize(df: DataFrame, valueCol: String, idCol: String,
+                loQ: Double, hiQ: Double): DataFrame = {
+    require(loQ > 0.0 && loQ < hiQ && hiQ <= 1.0,
+      s"need 0 < loQ < hiQ <= 1: ($loQ, $hiQ)")
+    val reserved = Set("clipped", "clipped_low", "clipped_high",
+      "_lo", "_hi")
+    val clash = Seq(idCol, valueCol).filter(reserved)
+    require(clash.isEmpty,
+      s"winsorize reserved column names in use: ${clash.mkString(", ")}")
+    val cuts = exactQuantiles(df, valueCol, idCol, Seq(loQ, hiQ))
+    val bounds = cuts.agg(
+      min(when(col("q") === loQ, col(valueCol))).as("_lo"),
+      min(when(col("q") === hiQ, col(valueCol))).as("_hi"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(col(idCol), col(valueCol),
+        when(col(valueCol) < col("_lo"), col("_lo"))
+          .when(col(valueCol) > col("_hi"), col("_hi"))
+          .otherwise(col(valueCol)).as("clipped"),
+        (col(valueCol) < col("_lo")).as("clipped_low"),
+        (col(valueCol) > col("_hi")).as("clipped_high"))
+      .orderBy(idCol)
+  }
+
   /** Per-group robust location/spread — exact median and MAD (median
     * absolute deviation), the outlier-immune complement to q36's
     * moment statistics (one wild value shifts a mean arbitrarily but

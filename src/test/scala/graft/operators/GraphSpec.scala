@@ -350,4 +350,24 @@ class GraphSpec extends SparkSpec {
       Option(ex2.getCause).exists(
         _.getMessage.contains("multiple communities")))
   }
+
+  test("kCore: cascading peel, in-core degrees, empty core") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant path 3-4-5: at k=2, round 1 drops 5
+    // (deg 1), round 2 drops the now-pendant 4 — the cascade the
+    // one-shot degree filter would miss
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, "src", "dst", k = 2, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round only: the cascade has not reached 4 yet
+    val r1 = Graph.kCore(edges, "src", "dst", k = 2, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.keySet == Set(1L, 2L, 3L, 4L))
+    assert(r1(3L) == 3L, "degree recomputed over survivors incl. 4")
+    // k above the max degree: empty core; self-loops never count
+    assert(Graph.kCore(edges.unionByName(Seq((9L, 9L)).toDF("src", "dst")),
+      "src", "dst", k = 4, iterations = 3).count() == 0L)
+  }
 }

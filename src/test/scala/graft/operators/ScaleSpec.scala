@@ -377,4 +377,25 @@ class ScaleSpec extends SparkSpec {
       (0L, 2L, 2L, 250000L), (1L, 5L, 4L, 500000L),
       (2L, 5L, 0L, 0L), (3L, -1L, 2L, 250000L)))
   }
+
+  test("winsorize clips at the exact type-1 quantile cuts") {
+    import spark.implicits._
+    // 10 values 1..10 (+1 null, excluded). loQ=0.2 → rank ⌈2⌉ = 2,
+    // hiQ=0.8 → rank 8 — cuts are the data values 2 and 8.
+    val df = ((1 to 10).map(i => (Some(i.toDouble), i.toLong)) :+
+      ((Option.empty[Double], 99L))).toDF("v", "id")
+    val got = Scale.winsorize(df, "v", "id", loQ = 0.2, hiQ = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(got.size == 10, "null value row excluded")
+    assert(got(1L) == ((2.0, true, false)), "1 clips up to 2")
+    assert(got(2L) == ((2.0, false, false)), "cut value itself untouched")
+    assert(got(5L) == ((5.0, false, false)))
+    assert(got(8L) == ((8.0, false, false)))
+    assert(got(9L) == ((8.0, false, true)) &&
+      got(10L) == ((8.0, false, true)), "tail clips down to 8")
+    intercept[IllegalArgumentException] {
+      Scale.winsorize(df, "v", "id", 0.9, 0.5)
+    }
+  }
 }
