@@ -2831,7 +2831,54 @@ object SparkEntry {
     //      [0.05, 0.95] quantile cuts — per-row clip verdicts. ----
     "q241_winsorize" -> ((s, dir) =>
       Scale.winsorize(t(s, dir, "events"), "value", "event_id",
-        loQ = 0.05, hiQ = 0.95))
+        loQ = 0.05, hiQ = 0.95)),
+    // ---- degree assortativity of the q225 planted graph: exact
+    //      rational (symmetric marginals kill the sqrt), DECIMAL
+    //      products, one-row verdict. ----
+    "q242_assortativity" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val intra = d.select(col("doc_id").as("src"), explode(array(
+        expr("(doc_id div 25) * 25 + (doc_id * 7 + 1) % 25"),
+        expr("(doc_id div 25) * 25 + (doc_id * 13 + 5) % 25"))).as("dst"))
+      val cross = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 25) % m).as("dst"))
+      graft.operators.Graph.assortativity(
+        intra.unionByName(cross), "src", "dst")
+    }),
+    // ---- per-community conductance of the ground-truth partition
+    //      (vertex div 25) over the same graph — cut quality beside
+    //      q226's modularity. ----
+    "q243_conductance" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val intra = d.select(col("doc_id").as("src"), explode(array(
+        expr("(doc_id div 25) * 25 + (doc_id * 7 + 1) % 25"),
+        expr("(doc_id div 25) * 25 + (doc_id * 13 + 5) % 25"))).as("dst"))
+      val cross = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 25) % m).as("dst"))
+      graft.operators.Graph.conductance(
+        intra.unionByName(cross), "src", "dst",
+        d.select(col("doc_id").as("v"),
+          expr("doc_id div 25").as("cm")), "v", "cm")
+    }),
+    // ---- common-neighbor link prediction over the same graph:
+    //      distance-2 wedge candidates, non-adjacent pairs with ≥2
+    //      shared neighbors, neighborhood Jaccard micros. ----
+    "q244_common_neighbors" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val intra = d.select(col("doc_id").as("src"), explode(array(
+        expr("(doc_id div 25) * 25 + (doc_id * 7 + 1) % 25"),
+        expr("(doc_id div 25) * 25 + (doc_id * 13 + 5) % 25"))).as("dst"))
+      val cross = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 25) % m).as("dst"))
+      graft.operators.Graph.commonNeighborCandidates(
+        intra.unionByName(cross), "src", "dst", minCommon = 2)
+    })
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -6669,7 +6716,74 @@ SELECT event_id, value,
     ELSE value END AS clipped,
   value < lo AS clipped_low, value > hi AS clipped_high
 FROM events CROSS JOIN c WHERE value IS NOT NULL
-ORDER BY event_id"""
+ORDER BY event_id""",
+    // q242: the shared simple-graph CTEs, degree joins onto both
+    // orientations, the sqrt-free symmetric Pearson in HUGEINT.
+    "q242_assortativity" ->
+      s"""WITH $lpaGraphCtes,
+e AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM half
+  GROUP BY 1, 2),
+deg AS (SELECT v, CAST(count(*) AS HUGEINT) AS d FROM
+  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+j AS (SELECT da.d AS dja, db.d AS djb FROM sym
+  JOIN deg da ON da.v = sym.a JOIN deg db ON db.v = sym.b),
+st AS (SELECT CAST(count(*) AS HUGEINT) AS mm, sum(dja * djb) AS sjk,
+  sum(dja) AS sj, sum(dja * dja) AS sj2 FROM j),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM deg)
+SELECT CAST(mm // 2 AS BIGINT) AS m_edges, n_vertices,
+  CAST(CASE WHEN mm * sj2 - sj * sj = 0 THEN NULL
+    ELSE (mm * sjk - sj * sj) * 1000000 // (mm * sj2 - sj * sj)
+    END AS BIGINT) AS assortativity_micro
+FROM st CROSS JOIN nv""",
+    // q243: ground-truth partition v//25; an inter-community edge
+    // cuts both endpoint communities; φ = cut/min(vol, 2m−vol).
+    "q243_conductance" ->
+      s"""WITH $lpaGraphCtes,
+e AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM half
+  GROUP BY 1, 2),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+asn AS (SELECT id AS v, CAST(id // 25 AS VARCHAR) AS cm FROM ids),
+vols AS (SELECT cm, CAST(count(*) AS BIGINT) AS n_vertices,
+  CAST(sum(d) AS BIGINT) AS volume FROM deg JOIN asn USING (v)
+  GROUP BY 1),
+tag AS (SELECT ca.cm AS ca, cb.cm AS cb FROM e
+  JOIN asn ca ON ca.v = e.a JOIN asn cb ON cb.v = e.b),
+cuts AS (SELECT cm, CAST(count(*) AS BIGINT) AS cut_edges FROM
+  (SELECT ca AS cm FROM tag WHERE ca <> cb
+   UNION ALL SELECT cb FROM tag WHERE ca <> cb) GROUP BY 1),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
+SELECT vols.cm AS community, n_vertices, volume,
+  coalesce(cut_edges, 0) AS cut_edges,
+  CAST(CASE WHEN least(volume, 2 * mm.m - volume) <= 0 THEN NULL
+    ELSE coalesce(cut_edges, 0) * 1000000
+      // least(volume, 2 * mm.m - volume) END AS BIGINT)
+    AS conductance_micro
+FROM vols LEFT JOIN cuts USING (cm) CROSS JOIN mm
+ORDER BY community""",
+    // q244: wedge self-join on the midpoint, ≥2 shared neighbors,
+    // adjacency anti-filter, neighborhood Jaccard micros.
+    "q244_common_neighbors" ->
+      s"""WITH $lpaGraphCtes,
+e AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM half
+  GROUP BY 1, 2),
+sym AS (SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM sym
+  GROUP BY 1),
+w AS (SELECT s1.dst AS x, s2.dst AS y FROM sym s1
+  JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst),
+p AS (SELECT x AS id_a, y AS id_b, CAST(count(*) AS BIGINT)
+    AS n_common FROM w GROUP BY 1, 2 HAVING count(*) >= 2),
+np AS (SELECT p.* FROM p WHERE NOT EXISTS
+  (SELECT 1 FROM e WHERE e.a = p.id_a AND e.b = p.id_b))
+SELECT id_a, id_b, n_common, da.d AS deg_a, db.d AS deg_b,
+  CAST(n_common * 1000000 // (da.d + db.d - n_common) AS BIGINT)
+    AS jaccard_micro
+FROM np JOIN deg da ON da.v = np.id_a
+  JOIN deg db ON db.v = np.id_b
+ORDER BY id_a, id_b"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -543,4 +543,195 @@ object Graph {
                div (4 * _m * _m) AS BIGINT)"""))
           .as("modularity_micro"))
   }
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks") — does the graph wire hubs to hubs (r > 0: social
+    * networks) or hubs to leaves (r < 0: the web, biology)? Pearson
+    * correlation of endpoint degrees over the DIRECTED-symmetrized
+    * edge list (each undirected edge contributes both orientations —
+    * the paper's formulation). Symmetry makes the two marginals
+    * identical, which is what keeps the number EXACT: the usual
+    * √(Var_j·Var_k) denominator collapses to one variance and the
+    * whole statistic is the integer rational
+    *
+    *   r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)
+    *
+    * reported in floor micros with every product in DECIMAL(38,0)
+    * (Σjk tops int64 once M·d² passes 2⁶³ — web-graph territory).
+    * A degree-regular graph has zero variance → null (r undefined).
+    *
+    * Normalization matches [[modularity]]: self-loops dropped, edges
+    * deduplicated. Shape: one degree aggregate, two broadcastable
+    * degree joins onto the edge frame, one 1-row fold. Returns ONE
+    * row: (m_edges, n_vertices, assortativity_micro). */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("_d"))
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val joined = sym
+      .join(deg.select(col("v").as("a"), col("_d").as("_da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("_d").as("_db")), Seq("b"))
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    joined.agg(
+        count(lit(1)).as("_mm"),
+        coalesce(sum((col("_da") * col("_db")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("_sjk"),
+        coalesce(sum(col("_da").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("_sj"),
+        coalesce(sum((col("_da") * col("_da")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("_sj2"))
+      .crossJoin(nv)
+      .select(expr("_mm div 2").as("m_edges"),
+        col("n_vertices"),
+        when(expr("CAST(_mm AS DECIMAL(38,0)) * _sj2 - _sj * _sj") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((CAST(_mm AS DECIMAL(38,0)) * _sjk - _sj * _sj)
+               * 1000000 div
+               (CAST(_mm AS DECIMAL(38,0)) * _sj2 - _sj * _sj)
+               AS BIGINT)"""))
+          .as("assortativity_micro"))
+  }
+
+  /** Per-community conductance — the cut-quality score beside
+    * [[modularity]]'s global number: φ(c) = cut(c) / min(vol(c),
+    * 2m − vol(c)), with cut(c) = edges leaving c and vol(c) = Σ
+    * member degrees. Low φ = a real cluster (few escape routes per
+    * internal wire); φ = 1 with zero intra edges = a non-community.
+    * Exact floor micros — every term is an edge count.
+    *
+    * Validation matches [[modularity]]: every vertex assigned exactly
+    * once (in-plan raise_error guards, no extra scan). Shape: the
+    * modularity joins plus one per-community re-aggregate; community
+    * frames are |communities|-sized. Returns one row per community:
+    * (community, n_vertices, volume, cut_edges, conductance_micro —
+    * null for a community with zero volume-complement min), ordered
+    * by community (cast to string for a stable cross-type order). */
+  def conductance(edges: DataFrame, srcCol: String, dstCol: String,
+                  assign: DataFrame, vertexCol: String,
+                  communityCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val asn = assign
+      .select(col(vertexCol).cast("long").as("v"),
+        col(communityCol).cast("string").as("_cm"))
+    val asnOk = asn.groupBy("v")
+      .agg(count(lit(1)).as("_k"), min("_cm").as("_cm"))
+      .select(col("v"),
+        when(col("_k") > 1, raise_error(concat(
+          lit("conductance: vertex assigned to multiple communities: "),
+          col("v").cast("string"))))
+          .otherwise(col("_cm")).as("_cm"))
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("_d"))
+    val degAsn = deg.join(asnOk, Seq("v"), "left")
+      .select(col("v"), col("_d"),
+        when(col("_cm").isNull, raise_error(concat(
+          lit("conductance: vertex missing from the assignment: "),
+          col("v").cast("string"))))
+          .otherwise(col("_cm")).as("_cm"))
+    val vols = degAsn.groupBy("_cm")
+      .agg(count(lit(1)).as("n_vertices"), sum("_d").as("volume"))
+    val tagged = e
+      .join(asnOk.select(col("v").as("a"), col("_cm").as("_ca")),
+        Seq("a"))
+      .join(asnOk.select(col("v").as("b"), col("_cm").as("_cb")),
+        Seq("b"))
+    // an inter-community edge cuts BOTH its endpoint communities
+    val cuts = tagged.filter(col("_ca") =!= col("_cb"))
+      .select(explode(array(col("_ca"), col("_cb"))).as("_cm"))
+      .groupBy("_cm").agg(count(lit(1)).as("cut_edges"))
+    val m = e.agg(coalesce(count(lit(1)), lit(0L)).as("_m"))
+    vols.join(cuts, Seq("_cm"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("_cm").as("community"), col("n_vertices"),
+        col("volume"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        least(col("volume"), lit(2L) * col("_m") - col("volume"))
+          .as("_den"))
+      .select(col("community"), col("n_vertices"), col("volume"),
+        col("cut_edges"),
+        when(col("_den") <= 0L, lit(null).cast("long"))
+          .otherwise(expr("cut_edges * 1000000 div _den"))
+          .as("conductance_micro"))
+      .orderBy("community")
+  }
+
+  /** Common-neighbor link prediction — the classic missing-edge
+    * scorer (Liben-Nowell & Kleinberg 2003): rank NON-adjacent vertex
+    * pairs by how many neighbors they share; report the shared count
+    * and the neighborhood Jaccard |Γa∩Γb| / |Γa∪Γb| in floor micros
+    * (Adamic–Adar's 1/log weights are irrational — the (cn, jaccard)
+    * pair carries the deterministic core). Candidate pairs come from
+    * WEDGES (two edges sharing a midpoint), so only pairs at distance
+    * 2 are ever materialized — never the n² pair space. A hub of
+    * degree d mints d² wedges, so midpoints with degree >
+    * `maxWedgeDegree` are skipped as centers (the standard wedge cap;
+    * skipped hubs still score as endpoints through their other
+    * neighbors) — cap cost is explicit, results below the cap are
+    * exact.
+    *
+    * Normalization matches [[modularity]]. Returns non-adjacent pairs
+    * with ≥ `minCommon` common neighbors: (id_a < id_b, n_common,
+    * deg_a, deg_b, jaccard_micro), ordered by (id_a, id_b). */
+  def commonNeighborCandidates(edges: DataFrame, srcCol: String,
+                               dstCol: String, minCommon: Int = 2,
+                               maxWedgeDegree: Int = 10000): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
+    require(maxWedgeDegree >= 2,
+      s"maxWedgeDegree must be >= 2: $maxWedgeDegree")
+    val half = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = half
+      .unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("_d"))
+    val centers = deg.filter(col("_d") <= maxWedgeDegree)
+      .select(col("v").as("_mid"))
+    val wedgeSide = sym.join(centers, sym("src") === centers("_mid"))
+      .select(col("_mid"), col("dst"))
+    val pairs = wedgeSide.as("l")
+      .join(wedgeSide.as("r"), col("l._mid") === col("r._mid") &&
+        col("l.dst") < col("r.dst"))
+      .groupBy(col("l.dst").as("id_a"), col("r.dst").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    val nonAdjacent = pairs.join(
+      sym.select(col("src").as("id_a"), col("dst").as("id_b")),
+      Seq("id_a", "id_b"), "left_anti")
+    nonAdjacent
+      .join(deg.select(col("v").as("id_a"), col("_d").as("deg_a")),
+        Seq("id_a"))
+      .join(deg.select(col("v").as("id_b"), col("_d").as("deg_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("deg_a"),
+        col("deg_b"),
+        expr("""n_common * 1000000 div
+          (deg_a + deg_b - n_common)""").as("jaccard_micro"))
+      .orderBy("id_a", "id_b")
+  }
 }

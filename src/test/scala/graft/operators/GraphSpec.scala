@@ -370,4 +370,59 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(edges.unionByName(Seq((9L, 9L)).toDF("src", "dst")),
       "src", "dst", k = 4, iterations = 3).count() == 0L)
   }
+
+  test("assortativity: star is -1, regular graph undefined") {
+    import spark.implicits._
+    // K1,3: hubs wire only to leaves — the textbook r = −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = Graph.assortativity(star, "src", "dst").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == -1000000L)
+    // triangle: degree-regular → zero variance → null
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.assortativity(tri, "src", "dst")
+      .collect().head.isNullAt(2))
+  }
+
+  test("conductance: per-community cut over min volume; guards") {
+    import spark.implicits._
+    // triangle {1,2,3} + path 3-4-5; communities {1,2,3} and {4,5}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val asn = Seq((1L, "c1"), (2L, "c1"), (3L, "c1"),
+      (4L, "c2"), (5L, "c2")).toDF("v", "cm")
+    val got = Graph.conductance(edges, "src", "dst", asn, "v", "cm")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // c1: vol 7, cut 1, min(7, 10−7=3) → 1/3; c2: vol 3, cut 1, min 3
+    assert(got("c1") == ((3L, 7L, 1L, 333333L)))
+    assert(got("c2") == ((2L, 3L, 1L, 333333L)))
+    val ex = intercept[Exception] {
+      Graph.conductance(edges, "src", "dst",
+        asn.filter(col("v") =!= 5L), "v", "cm").collect()
+    }
+    assert(ex.getMessage.contains("missing from the assignment") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("missing from the assignment")))
+  }
+
+  test("commonNeighborCandidates: square diagonals, adjacency excluded") {
+    import spark.implicits._
+    // 4-cycle: the two diagonals share both midpoints, Jaccard 1
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.commonNeighborCandidates(sq, "src", "dst",
+      minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L)) == ((2L, 2L, 2L, 1000000L)))
+    // hub cap: with maxWedgeDegree below the hub degree, a star
+    // yields no candidates (its only wedge center is the hub)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(Graph.commonNeighborCandidates(star, "src", "dst",
+      minCommon = 1, maxWedgeDegree = 2).count() == 0L)
+    assert(Graph.commonNeighborCandidates(star, "src", "dst",
+      minCommon = 1).count() == 3L, "uncapped star: all leaf pairs")
+  }
 }
