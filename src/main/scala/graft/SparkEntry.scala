@@ -2878,6 +2878,29 @@ object SparkEntry {
           ((col("doc_id") + 25) % m).as("dst"))
       graft.operators.Graph.commonNeighborCandidates(
         intra.unionByName(cross), "src", "dst", minCommon = 2)
+    }),
+    // ---- CSV dialect sniffing over pipe-delimited lines rendered
+    //      from part (p_type respaced with ", " so commas appear
+    //      inside a field: ',' is modal at FEWER fields and loses
+    //      the fields-DESC tie-break to the true '|'). ----
+    "q245_sniff_delimiter" -> ((s, dir) => {
+      val lines = t(s, dir, "part").select(concat_ws("|",
+        col("p_partkey"), col("p_name"),
+        replace(col("p_type"), lit(" "), lit(", ")),
+        col("p_retailprice")).as("line"))
+      graft.inference.SemiStructured.sniffDelimiter(lines, "line")
+    }),
+    // ---- JSON key census over events.props with a planted richer
+    //      payload lane (float k + string tag on every 5th event) —
+    //      presence + int/float castability + max scalar length. ----
+    "q246_json_key_census" -> ((s, dir) => {
+      val d = t(s, dir, "events").select(
+        when(col("event_id") % 5 === 0,
+          concat(lit("{\"k\": "), col("value"),
+            lit(", \"tag\": \""), col("event_type"), lit("\"}")))
+          .otherwise(col("props")).as("props"))
+      graft.inference.SemiStructured.jsonKeyCensus(d, "props",
+        Seq("k", "tag", "zz"))
     })
   )
 
@@ -6783,7 +6806,63 @@ SELECT id_a, id_b, n_common, da.d AS deg_a, db.d AS deg_b,
     AS jaccard_micro
 FROM np JOIN deg da ON da.v = np.id_a
   JOIN deg db ON db.v = np.id_b
-ORDER BY id_a, id_b"""
+ORDER BY id_a, id_b""",
+    // q245: per-candidate field counts (trailing empties kept by both
+    // split engines), modal share via (count DESC, fields ASC)
+    // window, best by (share DESC, fields DESC, delim ASC).
+    "q245_sniff_delimiter" ->
+      """WITH lines AS (SELECT CAST(p_partkey AS VARCHAR) || '|' ||
+    p_name || '|' || replace(p_type, ' ', ', ') || '|' ||
+    CAST(p_retailprice AS VARCHAR) AS line FROM part),
+cand(d, rx) AS (VALUES (',', ','), (';', ';'), ('|', '\|'),
+  (chr(9), '\t')),
+cells AS (SELECT d, len(string_split_regex(line, rx)) AS nf
+  FROM lines CROSS JOIN cand),
+g AS (SELECT d, nf, count(*) AS c FROM cells GROUP BY 1, 2),
+m2 AS (SELECT d, nf, c,
+    row_number() OVER (PARTITION BY d ORDER BY c DESC, nf ASC) AS rn,
+    sum(c) OVER (PARTITION BY d) AS tot FROM g),
+modal AS (SELECT d, CAST(tot AS BIGINT) AS n_lines,
+    CAST(nf AS BIGINT) AS modal_fields,
+    CAST(c * 1000000 // tot AS BIGINT) AS modal_share_micro
+  FROM m2 WHERE rn = 1),
+best AS (SELECT d FROM modal WHERE modal_fields >= 2
+  ORDER BY modal_share_micro DESC, modal_fields DESC, d ASC LIMIT 1)
+SELECT m.d AS delimiter, n_lines, modal_fields, modal_share_micro,
+  m.d IN (SELECT d FROM best) AS is_best
+FROM modal m ORDER BY delimiter""",
+    // q246: json_extract_string replays get_json_object on scalars;
+    // the int lane is the shared ^-?[0-9]+$ regex, the float lane
+    // TRY_CAST DOUBLE.
+    "q246_json_key_census" ->
+      """WITH d AS (SELECT CASE WHEN event_id % 5 = 0
+    THEN '{"k": ' || CAST(value AS VARCHAR) || ', "tag": "' ||
+      event_type || '"}'
+    ELSE props END AS props FROM events),
+x AS (SELECT json_extract_string(props, '$.k') AS vk,
+  json_extract_string(props, '$.tag') AS vt,
+  json_extract_string(props, '$.zz') AS vz FROM d)
+SELECT k.key,
+  CAST(CASE key WHEN 'k' THEN (SELECT count(vk) FROM x)
+    WHEN 'tag' THEN (SELECT count(vt) FROM x)
+    ELSE (SELECT count(vz) FROM x) END AS BIGINT) AS n_present,
+  CAST(CASE key
+    WHEN 'k' THEN (SELECT count(CASE WHEN regexp_matches(vk,
+      '^-?[0-9]+$') THEN 1 END) FROM x)
+    WHEN 'tag' THEN (SELECT count(CASE WHEN regexp_matches(vt,
+      '^-?[0-9]+$') THEN 1 END) FROM x)
+    ELSE (SELECT count(CASE WHEN regexp_matches(vz,
+      '^-?[0-9]+$') THEN 1 END) FROM x) END AS BIGINT) AS n_int,
+  CAST(CASE key
+    WHEN 'k' THEN (SELECT count(TRY_CAST(vk AS DOUBLE)) FROM x)
+    WHEN 'tag' THEN (SELECT count(TRY_CAST(vt AS DOUBLE)) FROM x)
+    ELSE (SELECT count(TRY_CAST(vz AS DOUBLE)) FROM x)
+    END AS BIGINT) AS n_float,
+  CAST(CASE key WHEN 'k' THEN (SELECT max(len(vk)) FROM x)
+    WHEN 'tag' THEN (SELECT max(len(vt)) FROM x)
+    ELSE (SELECT max(len(vz)) FROM x) END AS BIGINT) AS max_len
+FROM (VALUES ('k'), ('tag'), ('zz')) k(key)
+ORDER BY key"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -1,0 +1,132 @@
+package graft.inference
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semi-structured schema discovery — the two probes that run BEFORE
+  * the reference's typed inference can start: which delimiter does a
+  * landing-zone text file actually use (the reference takes
+  * `delimiter` as a constructor argument —
+  * `/root/reference/redshift_auto_schema/RedshiftAutoSchema.py:50` —
+  * and silently mis-parses when the caller guesses wrong), and what
+  * keys/types live inside a JSON payload column (the column the DDL
+  * emitter maps to Redshift SUPER).
+  *
+  * Scale design (100 TB): both probes are single-pass fused
+  * aggregates over the raw lines / payload column — the
+  * ColumnProfiler shape: every per-candidate / per-key statistic is
+  * one column of the same `agg`, melted to long form by a 1-row
+  * explode. No shuffles beyond the one aggregate, no collect of data
+  * rows, no UDFs — candidate counts are `size(split(...))`
+  * expressions and key probes are `get_json_object`, all codegen'd.
+  */
+object SemiStructured {
+
+  /** The default candidate set every sniffer tries first. */
+  val defaultDelimiters: Seq[String] = Seq(",", ";", "|", "\t")
+
+  private def rxEscape(d: String): String =
+    d.flatMap(c => if ("\\^$.|?*+()[]{}".contains(c)) s"\\$c" else s"$c")
+
+  /** CSV dialect sniffing (the csv.Sniffer idea as a dataflow): for
+    * each candidate delimiter, split every line (trailing empty
+    * fields kept — `split` limit −1) and score the candidate by how
+    * CONSISTENT its per-line field count is: the modal field count's
+    * share of lines. A real delimiter yields the same field count on
+    * (nearly) every line; a character that merely appears sometimes
+    * scatters. Verdict: candidates whose modal field count is ≥ 2
+    * qualify; the best is the qualifier with the highest modal share,
+    * ties broken by MORE fields (a delimiter splitting every line
+    * into one piece is vacuously consistent), then by candidate
+    * order. All shares in floor micros.
+    *
+    * One aggregate computes every (candidate × field-count) cell:
+    * lines explode |candidates|-wide (narrow ints, collapsed
+    * map-side), one hash aggregate, one per-candidate min(struct)
+    * fold for the mode, a broadcast 1-row total. Returns one row per
+    * candidate: (delimiter, n_lines, modal_fields,
+    * modal_share_micro, is_best), ordered by delimiter. */
+  def sniffDelimiter(lines: DataFrame, lineCol: String,
+                     candidates: Seq[String] = defaultDelimiters): DataFrame = {
+    require(candidates.nonEmpty, "sniffDelimiter needs candidates")
+    require(candidates.distinct == candidates,
+      s"duplicate candidates: $candidates")
+    require(candidates.forall(_.length == 1),
+      s"single-character delimiters only: $candidates")
+    val cells = lines
+      .filter(col(lineCol).isNotNull)
+      .select(explode(array(candidates.map(d =>
+        struct(lit(d).as("delim"),
+          size(split(col(lineCol), rxEscape(d), -1)).as("nf"))): _*))
+        .as("_c"))
+      .select(col("_c.delim").as("delim"), col("_c.nf").as("nf"))
+      .groupBy("delim", "nf")
+      .agg(count(lit(1)).as("_cnt"))
+    val modal = cells.groupBy("delim")
+      .agg(coalesce(sum("_cnt"), lit(0L)).as("n_lines"),
+        min(struct((-col("_cnt")).as("nc"), col("nf").as("f")))
+          .as("_m"))
+      .select(col("delim"), col("n_lines"),
+        col("_m.f").cast("long").as("modal_fields"),
+        (-col("_m.nc")).as("_modal_cnt"))
+      .withColumn("modal_share_micro",
+        expr("_modal_cnt * 1000000 div greatest(n_lines, 1)"))
+    // best qualifier under (share DESC, fields DESC, delim ASC) —
+    // a tiny |candidates|-row frame, folded then joined back
+    val best = modal.filter(col("modal_fields") >= 2)
+      .agg(min(struct((-col("modal_share_micro")).as("ns"),
+        (-col("modal_fields")).as("nf"), col("delim").as("d")))
+        .as("_b"))
+      .select(col("_b.d").as("delim"), lit(true).as("_best"))
+    modal.join(broadcast(best), Seq("delim"), "left")
+      .select(col("delim").as("delimiter"), col("n_lines"),
+        col("modal_fields"), col("modal_share_micro"),
+        coalesce(col("_best"), lit(false)).as("is_best"))
+      .orderBy("delimiter")
+  }
+
+  /** JSON key census over a string payload column — the pre-SUPER
+    * schema probe: for each declared key, how often is it present
+    * (non-null scalar extract), and what does it cast to? Counts
+    * feed the same widening decisions as the flat-file cascade
+    * (all-int → int8, else float-castable → float8, else varchar).
+    * Extraction is `get_json_object($.key)` — scalars come back as
+    * their raw JSON text, so presence means "key exists with a
+    * non-null scalar value"; nested objects/arrays also count as
+    * present (their JSON text is returned) but fail both casts,
+    * landing in the varchar lane, which is exactly where SUPER
+    * sub-documents belong.
+    *
+    * ONE fused aggregate (four counters per key), melted by a 1-row
+    * explode. Returns one row per key: (key, n_present, n_int —
+    * BIGINT-castable, n_float — DOUBLE-castable, max_len — longest
+    * extracted text), ordered by key. */
+  def jsonKeyCensus(df: DataFrame, jsonCol: String,
+                    keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "jsonKeyCensus needs keys")
+    require(keys.distinct == keys, s"duplicate keys: $keys")
+    require(keys.forall(k => k.nonEmpty &&
+        k.forall(c => c.isLetterOrDigit || c == '_')),
+      s"identifier-style keys only (letters/digits/underscore): $keys")
+    val aggs = keys.flatMap { k =>
+      val v = get_json_object(col(jsonCol), s"$$.$k")
+      Seq(
+        count(v).as(s"_p_$k"),
+        // integer lane by regex, not cast: Spark CAST('1.5' AS
+        // BIGINT) truncates to 1 where SQL TRY_CAST nulls — the
+        // regex agrees everywhere
+        count(when(v.rlike("^-?[0-9]+$"), lit(1))).as(s"_i_$k"),
+        count(v.try_cast("double")).as(s"_f_$k"),
+        max(length(v)).as(s"_l_$k"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(keys.map(k =>
+        struct(lit(k).as("key"),
+          coalesce(col(s"_p_$k"), lit(0L)).as("n_present"),
+          coalesce(col(s"_i_$k"), lit(0L)).as("n_int"),
+          coalesce(col(s"_f_$k"), lit(0L)).as("n_float"),
+          col(s"_l_$k").cast("long").as("max_len"))): _*)).as("_r"))
+      .select(col("_r.*"))
+      .orderBy("key")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.inference
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SemiStructuredSpec extends SparkSpec {
+
+  test("sniffDelimiter: consistent pipe wins over scattered comma") {
+    import spark.implicits._
+    val lines = Seq(
+      "1|alpha, old|7|one, two and three",
+      "2|beta|9|plain text",
+      "3|gamma, new|4|tail, with comma").toDF("line")
+    val got = SemiStructured.sniffDelimiter(lines, "line")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got("|") == ((3L, 4L, 1000000L, true)), s"pipe: ${got("|")}")
+    // comma counts scatter (3, 1, 3 fields) → modal share 2/3 at 3
+    assert(got(",") == ((3L, 3L, 666666L, false)), s"comma: ${got(",")}")
+    // semicolon never splits: 1 field everywhere — vacuously modal
+    // but disqualified by modal_fields >= 2
+    assert(got(";") == ((3L, 1L, 1000000L, false)))
+    assert(got("\t")._4 == false)
+  }
+
+  test("sniffDelimiter: trailing empty fields count; ties by order") {
+    import spark.implicits._
+    // 'a,,' must be 3 fields (trailing empties kept — the pandas
+    // contract the engine split(-1) mirrors)
+    val lines = Seq("a,,", "b,,").toDF("line")
+    val got = SemiStructured.sniffDelimiter(lines, "line")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got(",") == 3L)
+    intercept[IllegalArgumentException] {
+      SemiStructured.sniffDelimiter(lines, "line", Seq("||"))
+    }
+  }
+
+  test("jsonKeyCensus: presence, int/float lanes, nested to varchar") {
+    import spark.implicits._
+    val df = Seq(
+      """{"a": 7, "b": "x", "c": 1.5}""",
+      """{"a": -3, "c": 2, "d": {"n": 1}}""",
+      """{"a": 7.5, "b": "yy"}""",
+      null).toDF("js")
+    val got = SemiStructured.jsonKeyCensus(df, "js",
+      Seq("a", "b", "c", "d", "zz"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got("a") == ((3L, 2L, 3L, 3L)), s"a: ${got("a")}")
+    assert(got("b") == ((2L, 0L, 0L, 2L)))
+    assert(got("c") == ((2L, 1L, 2L, 3L)))
+    // nested object: present, neither numeric lane (serialized length
+    // is renderer-specific — not asserted)
+    assert(got("d")._1 == 1L && got("d")._2 == 0L && got("d")._3 == 0L,
+      s"d: ${got("d")}")
+    assert(got("zz") == ((0L, 0L, 0L, -1L)))
+  }
+}
