@@ -120,7 +120,15 @@ object ScaleBench {
     // and the truncation-recall audit (q227 — fixed 25-query frame ×
     // 10× corpus: linear per decade by construction, the q133 shape)
     "q223_distinct_ngrams", "q224_cusum", "q225_label_prop",
-    "q226_modularity", "q227_truncation_recall")
+    "q226_modularity", "q227_truncation_recall",
+    // round-9c legs: the C4 sentence-span census (q239 — span explode
+    // + digest census + per-doc rejoin; the planted passage digests
+    // grow only in GROUP SIZE, per-doc output stays linear), k-core
+    // peeling (q240 — 6 rounds of two semi-joins + an aggregate over
+    // the 10×-vertex planted graph), and common-neighbor wedges
+    // (q244 — wedge volume linear here: cluster structure is constant,
+    // only cluster COUNT grows)
+    "q239_sentence_span_dedup", "q240_k_core", "q244_common_neighbors")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per
@@ -160,6 +168,22 @@ object ScaleBench {
       .filter(col("doc_id") < 500).select("doc_id", "text")
     graft.operators.Dedup.lshDedupAgainstStore(batch, "doc_id", "text",
       s.read.parquet(q198StorePath(dir)))
+  }
+
+  /** q237 OPERATOR leg on the replicated tables (the gate's
+    * nation/region/part sides are not part of the scaled corpus):
+    * IND discovery over four key columns whose distinct-value sets
+    * all grow 10× — the value self-join is the decade under test. */
+  private def q237OperatorLeg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Audit
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    Audit.indDiscovery(Seq(
+      Audit.IndColumn("customer.c_custkey", cust, "c_custkey"),
+      Audit.IndColumn("customer.c_nationkey", cust, "c_nationkey"),
+      Audit.IndColumn("orders.o_custkey",
+        s.read.parquet(s"$dir/orders.parquet"), "o_custkey"),
+      Audit.IndColumn("events.user_id",
+        s.read.parquet(s"$dir/events.parquet"), "user_id")))
   }
 
   /** q55's OPERATOR-ONLY legs: the full q55 figure is output-bound
@@ -218,6 +242,7 @@ object ScaleBench {
         heavy.map(n => n -> SparkEntry.queries(n)) :+
         ("q212_winnow_overlap_op" -> (q212OperatorLeg _)) :+
         ("q198_store_growth" -> (q198StoreGrowthLeg _)) :+
+        ("q237_ind_discovery_op" -> (q237OperatorLeg _)) :+
         ("q55_simhash_count_b" -> (q55CountLeg _)))
     def time(dir: String): Seq[(String, Double)] = legs.map { case (n, fn) =>
       System.gc() // steady storage state per query (see builder note)

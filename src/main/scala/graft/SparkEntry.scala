@@ -2901,6 +2901,28 @@ object SparkEntry {
           .otherwise(col("props")).as("props"))
       graft.inference.SemiStructured.jsonKeyCensus(d, "props",
         Seq("k", "tag", "zz"))
+    }),
+    // ---- McNemar's paired test over deterministic per-item model
+    //      correctness (one null lane dropped): discordant cells +
+    //      exact (b−c)²/(b+c) micros. ----
+    "q247_mcnemar" -> ((s, dir) =>
+      Eval.mcnemar(
+        t(s, dir, "documents").select(
+          when(col("doc_id") % 17 === 0, lit(null).cast("boolean"))
+            .otherwise(col("doc_id") % 3 =!= 0).as("a_ok"),
+          (col("doc_id") % 4 =!= 1).as("b_ok")),
+        "a_ok", "b_ok")),
+    // ---- length-ratio bitext filter over planted pairs: truncated,
+    //      emptied, and near-equal target lanes — keep verdicts with
+    //      auditable reasons. ----
+    "q248_length_ratio" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        col("text").as("src"),
+        when(col("doc_id") % 7 === 0, substring(col("text"), 1, 40))
+          .when(col("doc_id") % 11 === 0, lit(""))
+          .otherwise(concat(col("text"), lit(" ok tail"))).as("tgt"))
+      Curation.lengthRatioFilter(pairs, "doc_id", "src", "tgt",
+        minTokens = 1, maxTokens = 500, ratioMicro = 600000L)
     })
   )
 
@@ -6862,7 +6884,53 @@ SELECT k.key,
     WHEN 'tag' THEN (SELECT max(len(vt)) FROM x)
     ELSE (SELECT max(len(vz)) FROM x) END AS BIGINT) AS max_len
 FROM (VALUES ('k'), ('tag'), ('zz')) k(key)
-ORDER BY key"""
+ORDER BY key""",
+    // q247: four concordance cells in one aggregate, HUGEINT replays
+    // the DECIMAL statistic; the %17 null lane drops.
+    "q247_mcnemar" ->
+      """WITH p AS (SELECT
+  CASE WHEN doc_id % 17 = 0 THEN NULL
+    ELSE doc_id % 3 <> 0 END AS a_ok,
+  doc_id % 4 <> 1 AS b_ok FROM documents),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_both_right,
+  CAST(sum(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_both_wrong,
+  CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_a_only,
+  CAST(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_b_only
+  FROM p WHERE a_ok IS NOT NULL AND b_ok IS NOT NULL)
+SELECT n_items, n_both_right, n_both_wrong, n_a_only, n_b_only,
+  CAST(CASE WHEN n_a_only + n_b_only = 0 THEN NULL
+    ELSE (CAST(n_a_only AS HUGEINT) - n_b_only)
+      * (CAST(n_a_only AS HUGEINT) - n_b_only) * 1000000
+      // (CAST(n_a_only AS HUGEINT) + n_b_only) END AS BIGINT)
+    AS mcnemar_micro
+FROM c""",
+    // q248: the planted pair lanes replayed, house whitespace tokens,
+    // min/max ratio micros + the three verdict columns.
+    "q248_length_ratio" ->
+      """WITH p AS (SELECT doc_id, text AS src,
+  CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 40)
+       WHEN doc_id % 11 = 0 THEN ''
+       ELSE text || ' ok tail' END AS tgt FROM documents),
+tn AS (SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(lower(src), '\s+'),
+    t -> len(t) > 0)) AS BIGINT) AS ns,
+  CAST(len(list_filter(string_split_regex(lower(tgt), '\s+'),
+    t -> len(t) > 0)) AS BIGINT) AS nt FROM p),
+r AS (SELECT doc_id, ns, nt,
+  CAST(CASE WHEN greatest(ns, nt) = 0 THEN 0
+    ELSE least(ns, nt) * 1000000 // greatest(ns, nt) END AS BIGINT)
+    AS ratio_micro FROM tn)
+SELECT doc_id, ns AS n_src_tokens, nt AS n_tgt_tokens, ratio_micro,
+  ns BETWEEN 1 AND 500 AND nt BETWEEN 1 AND 500 AS len_ok,
+  ratio_micro >= 600000 AS ratio_ok,
+  (ns BETWEEN 1 AND 500 AND nt BETWEEN 1 AND 500)
+    AND ratio_micro >= 600000 AS keep
+FROM r ORDER BY doc_id"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -1264,4 +1264,44 @@ object Curation {
           .otherwise(lit(nShards.toLong) - 1L -
             expr(s"(rank - 1) % ${nShards}L")))
   }
+
+  /** Length-ratio bitext filter — the first-line parallel-corpus
+    * cleaner every MT/translation-pair pipeline runs (Moses
+    * clean-corpus-n, reproduced as a dataflow): a sentence pair whose
+    * source/target token counts diverge badly is almost never a real
+    * translation (alignment drift, truncation, boilerplate on one
+    * side). Keep a pair iff both sides' token counts lie in
+    * [minTokens, maxTokens] AND min/max count ratio ≥ ratioMicro
+    * (floor micros; empty-side pairs ratio 0). Token rule: the house
+    * `\p{L}\p{N}` tokenizer ([[graft.operators.TextAnalysis.tokens]]).
+    *
+    * One codegen'd map pass, no shuffle — at 100 TB this rides the
+    * pair scan. Returns every input pair with its verdict (filtering
+    * is the caller's `.filter(col("keep"))` — returning verdicts
+    * keeps the drop REASON auditable): (idCol, n_src_tokens,
+    * n_tgt_tokens, ratio_micro, len_ok, ratio_ok, keep), ordered by
+    * idCol. */
+  def lengthRatioFilter(pairs: DataFrame, idCol: String,
+                        srcCol: String, tgtCol: String,
+                        minTokens: Int = 1, maxTokens: Int = 250,
+                        ratioMicro: Long = 111111L): DataFrame = {
+    require(minTokens >= 0 && maxTokens >= minTokens,
+      s"need 0 <= minTokens <= maxTokens: ($minTokens, $maxTokens)")
+    require(ratioMicro >= 0 && ratioMicro <= 1000000,
+      s"ratioMicro must be in [0, 1e6]: $ratioMicro")
+    val ns = size(TextAnalysis.tokens(col(srcCol))).cast("long")
+    val nt = size(TextAnalysis.tokens(col(tgtCol))).cast("long")
+    pairs.select(col(idCol), ns.as("n_src_tokens"),
+        nt.as("n_tgt_tokens"))
+      .withColumn("ratio_micro", expr(
+        """CASE WHEN greatest(n_src_tokens, n_tgt_tokens) = 0 THEN 0
+           ELSE least(n_src_tokens, n_tgt_tokens) * 1000000
+             div greatest(n_src_tokens, n_tgt_tokens) END"""))
+      .withColumn("len_ok",
+        col("n_src_tokens").between(minTokens, maxTokens) &&
+          col("n_tgt_tokens").between(minTokens, maxTokens))
+      .withColumn("ratio_ok", col("ratio_micro") >= ratioMicro)
+      .withColumn("keep", col("len_ok") && col("ratio_ok"))
+      .orderBy(idCol)
+  }
 }

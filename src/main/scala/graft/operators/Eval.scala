@@ -92,6 +92,49 @@ object Eval {
           .as("f1_micro"))
   }
 
+  /** McNemar's paired test (McNemar 1947) — the right significance
+    * shape for "is model B actually better than model A" on the SAME
+    * eval items, where the two accuracy columns are correlated and an
+    * unpaired comparison overstates confidence. Only the DISCORDANT
+    * pairs carry signal: b = items A got right and B got wrong,
+    * c = the reverse; the χ²(1) statistic is (b−c)²/(b+c). We report
+    * the statistic in exact floor micros (the p-value needs the χ²
+    * CDF — irrational; consumers compare the statistic to their own
+    * critical value, e.g. 3.841·10⁶ for α = 0.05) alongside all four
+    * concordance cells, so both-wrong/both-right mass is visible too.
+    * Null correctness on either side drops the item (an unscored item
+    * is evidence of nothing — the fellegiSunter convention).
+    *
+    * ONE fused aggregate over the paired frame; products ride
+    * DECIMAL(38,0) ((b−c)²·10⁶ wraps BIGINT past ~3M discordant
+    * items — the cohensKappa lesson). Returns ONE row: (n_items,
+    * n_both_right, n_both_wrong, n_a_only, n_b_only,
+    * mcnemar_micro — null when b + c = 0). */
+  def mcnemar(df: DataFrame, aCorrectCol: String,
+              bCorrectCol: String): DataFrame = {
+    val a = col(aCorrectCol)
+    val b = col(bCorrectCol)
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n_items"),
+        cnt(a && b).as("n_both_right"),
+        cnt(!a && !b).as("n_both_wrong"),
+        cnt(a && !b).as("n_a_only"),
+        cnt(!a && b).as("n_b_only"))
+      .select(col("n_items"), col("n_both_right"), col("n_both_wrong"),
+        col("n_a_only"), col("n_b_only"),
+        when(col("n_a_only") + col("n_b_only") === 0L,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((CAST(n_a_only AS DECIMAL(38,0)) - n_b_only)
+               * (CAST(n_a_only AS DECIMAL(38,0)) - n_b_only)
+               * 1000000 div
+               (CAST(n_a_only AS DECIMAL(38,0)) + n_b_only)
+               AS BIGINT)"""))
+          .as("mcnemar_micro"))
+  }
+
   /** ROUGE-N — multiset n-gram overlap between a candidate and a
     * reference text column on the SAME row (summarization/paraphrase
     * eval over a pairs frame): match = Σ_g min(cnt_cand(g), cnt_ref(g))

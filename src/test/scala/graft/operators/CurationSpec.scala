@@ -889,4 +889,23 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Option[String], Long, Long, Boolean)].collect()
     assert(ad.forall(_._3 == 1L), s"boundary aliasing: ${ad.toSeq}")
   }
+
+  test("lengthRatioFilter: ratio, bounds and keep verdicts") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "one two three four five", "uno dos tres cuatro"),  // 5 vs 4
+      (2L, "one two three four five six seven eight", "uno"),  // 8 vs 1
+      (3L, "src tokens here", ""),                             // empty tgt
+      (4L, "a b", "c d")).toDF("id", "src", "tgt")
+    val got = Curation.lengthRatioFilter(pairs, "id", "src", "tgt",
+      minTokens = 1, maxTokens = 6, ratioMicro = 500000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(got(1L) == ((5L, 4L, 800000L, true, true, true)))
+    // 8 tokens breaks maxTokens AND ratio 1/8
+    assert(got(2L) == ((8L, 1L, 125000L, false, false, false)))
+    assert(got(3L) == ((3L, 0L, 0L, false, false, false)))
+    assert(got(4L) == ((2L, 2L, 1000000L, true, true, true)))
+  }
 }

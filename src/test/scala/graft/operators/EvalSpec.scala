@@ -298,4 +298,22 @@ class EvalSpec extends SparkSpec {
     assert(ex2.getMessage.contains("judgeWinMatrix") ||
       Option(ex2.getCause).exists(_.getMessage.contains("judgeWinMatrix")))
   }
+
+  test("mcnemar: discordant cells drive the statistic; nulls drop") {
+    import spark.implicits._
+    // b (A-only) = 4, c (B-only) = 1 -> (4-1)^2/(4+1) = 9/5 = 1.8
+    val df = (Seq.fill(4)((Some(true), Some(false))) ++
+      Seq((Some(false), Some(true))) ++
+      Seq.fill(3)((Some(true), Some(true))) ++
+      Seq.fill(2)((Some(false), Some(false))) ++
+      Seq((None, Some(true)))).toDF("a_ok", "b_ok")
+    val r = Eval.mcnemar(df, "a_ok", "b_ok").collect().head
+    assert(r.getLong(0) == 10L, "null-lane row dropped")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 2L, 4L, 1L)))
+    assert(r.getLong(5) == 1800000L)
+    // fully concordant: statistic undefined (null)
+    val conc = Seq((true, true), (false, false)).toDF("a_ok", "b_ok")
+    assert(Eval.mcnemar(conc, "a_ok", "b_ok").collect().head.isNullAt(5))
+  }
 }
