@@ -2923,6 +2923,25 @@ object SparkEntry {
           .otherwise(concat(col("text"), lit(" ok tail"))).as("tgt"))
       Curation.lengthRatioFilter(pairs, "doc_id", "src", "tgt",
         minTokens = 1, maxTokens = 500, ratioMicro = 600000L)
+    }),
+    // ---- ViT patch-grid plan over the stub-decoded visual media:
+    //      ceil grids, padding, and the 2×-halving ladder to a 1024-
+    //      patch budget — all integer arithmetic. ----
+    "q249_patch_grid" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.patchGridPlan(Multimodal.decode(s, media).toDF(),
+        patch = 14, maxPatches = 1024L)
+    }),
+    // ---- regex entity census with a planted entity-rich suffix on
+    //      every 9th doc (email, proper span, ISO date, URL, number).
+    "q250_entity_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(
+          " Contact John Smith at john.smith@example.com on " +
+            "2024-03-05 via https://example.com/x id 42")))
+          .otherwise(col("text")))
+      TextAnalysis.entityCensus(d, "doc_id", "text")
     })
   )
 
@@ -6930,7 +6949,59 @@ SELECT doc_id, ns AS n_src_tokens, nt AS n_tgt_tokens, ratio_micro,
   ratio_micro >= 600000 AS ratio_ok,
   (ns BETWEEN 1 AND 500 AND nt BETWEEN 1 AND 500)
     AND ratio_micro >= 600000 AS keep
-FROM r ORDER BY doc_id"""
+FROM r ORDER BY doc_id""",
+    // q249: the q233 hex-decode helpers give width/height; ceil grids
+    // and the halving ladder unroll as integer CASE arms.
+    "q249_patch_grid" -> {
+      def hv(p: Int) = s"instr('123456789abcdef', substr(cs, $p, 1))"
+      def u(i: Int) = s"(16 * ${hv(2 * i + 1)} + ${hv(2 * i + 2)})"
+      def patchesAt(k: Int): String = {
+        val p2 = 1L << k
+        val w = s"((w + ${p2 - 1}) // $p2)"
+        val h = s"((h + ${p2 - 1}) // $p2)"
+        s"((($w + 13) // 14) * (($h + 13) // 14))"
+      }
+      val ladder = (0 to 12).map(k =>
+        s"WHEN ${patchesAt(k)} <= 1024 THEN $k")
+        .mkString("CASE ", " ", " ELSE 12 END")
+      s"""WITH m AS (SELECT doc_id AS media_id,
+  CAST((doc_id % 3 + 3) % 3 AS INTEGER) AS mt,
+  md5(text) || md5(reverse(text)) AS cs FROM documents),
+f AS (SELECT media_id,
+  CAST(CASE mt WHEN 0 THEN 64 + ${u(0)} * 8 WHEN 1 THEN 0
+    ELSE 320 + ${u(0)} * 4 END AS BIGINT) AS w,
+  CAST(CASE mt WHEN 0 THEN 64 + ${u(1)} * 8 WHEN 1 THEN 0
+    ELSE 240 + ${u(1)} * 4 END AS BIGINT) AS h FROM m),
+v AS (SELECT media_id, w, h FROM f WHERE w > 0 AND h > 0),
+g AS (SELECT media_id, w, h, (w + 13) // 14 AS nx,
+  (h + 13) // 14 AS ny, $ladder AS halv FROM v)
+SELECT media_id, CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(nx AS BIGINT) AS n_x, CAST(ny AS BIGINT) AS n_y,
+  CAST(nx * ny AS BIGINT) AS n_patches,
+  CAST(nx * 14 - w AS BIGINT) AS pad_w,
+  CAST(ny * 14 - h AS BIGINT) AS pad_h,
+  CAST(halv AS INTEGER) AS halvings,
+  halv < 12 OR ${patchesAt(12)} <= 1024 AS fits_after
+FROM g ORDER BY media_id"""
+    },
+    // q250: the entityPatterns interpolated verbatim (single source
+    // of truth), counts via regexp_extract_all lengths.
+    "q250_entity_census" -> {
+      val cols = TextAnalysis.entityPatterns.map { case (n, p) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+      }.mkString(",\n  ")
+      val tot = TextAnalysis.entityPatterns
+        .map { case (n, _) => s"n_$n" }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+    THEN text || ' Contact John Smith at john.smith@example.com on 2024-03-05 via https://example.com/x id 42'
+    ELSE text END AS text FROM documents),
+c AS (SELECT doc_id,
+  $cols FROM d)
+SELECT doc_id, n_email, n_url, n_date, n_number, n_proper,
+  CAST($tot AS BIGINT) AS n_entities
+FROM c ORDER BY doc_id"""
+    }
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

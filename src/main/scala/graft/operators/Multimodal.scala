@@ -202,6 +202,56 @@ object Multimodal {
           .as("end_ms"))
   }
 
+  /** ViT patch-grid plan — the vision-token budgeter between
+    * [[resizePlan]] (pixel box) and sequence packing (token box): for
+    * each visual media's decoded (width, height), the `patch`-sized
+    * grid a ViT-style encoder would cut — ⌈w/P⌉ × ⌈h/P⌉ patches with
+    * right/bottom padding — and, when that grid exceeds
+    * `maxPatches`, the number of 2× DOWNSCALE HALVINGS needed until
+    * it fits (halving is the resolution ladder multi-crop encoders
+    * actually walk; a fractional scale factor would be √-irrational).
+    * Halvings are found by an integer comparison ladder (the
+    * floorLog2 idiom — no doubles, engine-portable), capped at 12
+    * (a 4096× reduction; anything still over budget at that point is
+    * reported as 12 with fits_after=false). Non-visual media
+    * (width/height 0) carry no plan and are filtered out.
+    *
+    * One codegen'd map pass, no shuffle. Returns (media_id, width,
+    * height, n_x, n_y, n_patches, pad_w, pad_h, halvings,
+    * fits_after), ordered by media_id. */
+  def patchGridPlan(features: DataFrame, patch: Int,
+                    maxPatches: Long): DataFrame = {
+    require(patch >= 1, s"patch must be positive: $patch")
+    require(maxPatches >= 1, s"maxPatches must be positive: $maxPatches")
+    def grid(wExpr: String): String =
+      s"((($wExpr) + ${patch - 1}) div $patch)"
+    def patchesAt(k: Int): String = {
+      // ceil(ceil(w/2^k)/P) * ceil(ceil(h/2^k)/P), all integer
+      val w = s"((CAST(width AS BIGINT) + ${(1L << k) - 1}) div ${1L << k})"
+      val h = s"((CAST(height AS BIGINT) + ${(1L << k) - 1}) div ${1L << k})"
+      s"(${grid(w)} * ${grid(h)})"
+    }
+    val halvings = (0 to 12).map(k =>
+      s"WHEN ${patchesAt(k)} <= ${maxPatches}L THEN $k")
+      .mkString("CASE ", " ", " ELSE 12 END")
+    features
+      .filter(col("width").cast("long") > 0 &&
+        col("height").cast("long") > 0)
+      .select(col("media_id"), col("width"), col("height"),
+        expr(grid("CAST(width AS BIGINT)")).as("n_x"),
+        expr(grid("CAST(height AS BIGINT)")).as("n_y"))
+      .withColumn("n_patches", col("n_x") * col("n_y"))
+      .withColumn("pad_w",
+        col("n_x") * patch - col("width").cast("long"))
+      .withColumn("pad_h",
+        col("n_y") * patch - col("height").cast("long"))
+      .withColumn("halvings", expr(halvings).cast("int"))
+      .withColumn("fits_after",
+        expr(halvings) < 12 ||
+          expr(s"${patchesAt(12)} <= ${maxPatches}L"))
+      .orderBy("media_id")
+  }
+
   def frameSample(media: DataFrame, n: Int, frameBytes: Int = 8): DataFrame =
     media.select(col("media_id"), col("payload"),
         posexplode(sequence(lit(0), lit(n - 1))).as(Seq("pos", "frame_idx")))

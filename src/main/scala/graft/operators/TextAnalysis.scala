@@ -1068,4 +1068,38 @@ object TextAnalysis {
         expr("n_indent_lines * 1000000L div greatest(n_lines, 1L)"))
       .orderBy(idCol)
   }
+
+  /** Regex entity census — the cheap NER-shaped structure probe a
+    * corpus card wants before any model-based tagging: per document,
+    * counts of emails, URLs, ISO dates, standalone numbers, and
+    * multi-word capitalized spans (proper-name shaped). Patterns are
+    * the Java∩RE2 subset (the secretScan contract — literal runs,
+    * classes, bounded repetition, `\b` whose word set agrees between
+    * engines; no lookarounds, no backrefs) so a SQL oracle replays
+    * them verbatim from [[entityPatterns]].
+    *
+    * One codegen'd `regexp_count` map pass per class over one scan,
+    * no shuffle. Returns (idCol, n_email, n_url, n_date, n_number,
+    * n_proper, n_entities), ordered by idCol. */
+  def entityCensus(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val counts = entityPatterns.map { case (name, pat) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+    }
+    val total = entityPatterns.map { case (name, _) => col(s"n_$name") }
+      .reduce(_ + _)
+    df.select(col(idCol) +: counts: _*)
+      .withColumn("n_entities", total)
+      .orderBy(idCol)
+  }
+
+  /** The census classes (name → regex), public so the DuckDB oracle
+    * interpolates the SAME patterns (single source of truth). Ordered;
+    * output columns follow this order. */
+  val entityPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url" -> "https?://[^ \\t\\n]+",
+    "date" -> "\\b[0-9]{4}-[0-9]{2}-[0-9]{2}\\b",
+    "number" -> "\\b[0-9]+\\b",
+    "proper" -> "\\b[A-Z][a-z]+( [A-Z][a-z]+)+\\b")
 }

@@ -192,4 +192,25 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.segmentPlan(feats, winMs = 500, hopMs = 600, minMs = 600)
     }
   }
+
+  test("patchGridPlan: ceil grids, padding, halving ladder") {
+    import spark.implicits._
+    val feats = Seq(
+      (1L, 28, 28, 0L),    // exact 2x2 grid, no padding
+      (2L, 30, 29, 0L),    // ceil to 3x3, pads 12 and 13
+      (3L, 0, 0, 500L),    // audio: filtered out
+      (4L, 1400, 1400, 0L) // 100x100 = 10000 patches -> halvings
+    ).toDF("media_id", "width", "height", "duration_ms")
+    val got = Multimodal.patchGridPlan(feats, patch = 14,
+      maxPatches = 1024L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getInt(8), r.getBoolean(9)))).toMap
+    assert(got.size == 3, "audio row filtered")
+    assert(got(1L) == ((2L, 2L, 4L, 0L, 0L, 0, true)))
+    assert(got(2L) == ((3L, 3L, 9L, 12L, 13L, 0, true)))
+    // 1400/14 = 100 -> 10000 patches; one halving -> 700 -> 50x50 =
+    // 2500 still over; two -> 350 -> 25x25 = 625 fits
+    assert(got(4L) == ((100L, 100L, 10000L, 0L, 0L, 2, true)))
+  }
 }

@@ -552,4 +552,21 @@ class TextAnalysisSpec extends SparkSpec {
     val r3 = got(3L)
     assert(r3.getLong(1) == 1L && r3.getLong(2) == 0L && r3.isNullAt(4))
   }
+
+  test("entityCensus: counts per regex class") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Mail Jane Doe at jane@corp.io or see https://x.io/a 2024-01-02"),
+      (2L, "no entities here, just words"),
+      (3L, "numbers 7 and 42 and a Proper Name Span")).toDF("id", "text")
+    val got = TextAnalysis.entityCensus(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // 1: email 1, url 1, date 1, numbers 2024/01/02 = 3, proper
+    // "Mail Jane Doe" = 1 span
+    assert(got(1L) == ((1L, 1L, 1L, 3L, 1L, 7L)), s"1: ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L, 2L, 1L, 3L)), s"3: ${got(3L)}")
+  }
 }
