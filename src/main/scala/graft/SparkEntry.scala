@@ -2942,6 +2942,48 @@ object SparkEntry {
             "2024-03-05 via https://example.com/x id 42")))
           .otherwise(col("text")))
       TextAnalysis.entityCensus(d, "doc_id", "text")
+    }),
+    // ---- Hamilton largest-remainder apportionment of a 1000-doc
+    //      sampling budget across languages — allocations sum to the
+    //      budget exactly, unlike floor targets. ----
+    "q251_apportion" -> ((s, dir) =>
+      Curation.apportionBudget(
+        t(s, dir, "documents").select("lang"), "lang", budget = 1000L)),
+    // ---- decile lift table over (n_chars score, doc_id%4 label):
+    //      bucketed global rank, exact floor boundaries, cumulative
+    //      lift in DECIMAL micros. ----
+    "q252_lift_table" -> ((s, dir) =>
+      Eval.liftTable(
+        t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").as("sc"), (col("doc_id") % 4 === 0).as("y")),
+        "doc_id", "sc", "y", buckets = 10)),
+    // ---- HTML strip over planted markup (script block with a stray
+    //      '<', comment, entities) on every 6th doc — clean text +
+    //      tag/char accounting. ----
+    "q253_html_strip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 6 === 0, concat(
+          lit("<html><body class=\"m\"><p>"), col("text"),
+          lit("</p><script>var a = 1 < 2;</script><!-- note --> " +
+            "tail &amp; &lt;b&gt; &nbsp;end</body></html>")))
+          .otherwise(col("text")))
+      TextAnalysis.htmlStrip(d, "doc_id", "text")
+    }),
+    // ---- incremental C4 span gate: even docs' span digests are the
+    //      store, odd docs the batch; the planted passage appears on
+    //      both sides (%20∈{0,5}) so cross-side dups genuinely flag.
+    "q254_span_store_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text",
+        concat(replace(col("text"), lit(" table "), lit(". ")),
+          when(col("doc_id") % 20 === 0 || col("doc_id") % 20 === 5,
+            lit(" Shared passage one. It recurs verbatim. " +
+              "Across many documents. In every planted copy. " +
+              "Tail sentence here.")).otherwise(lit(""))))
+      val store = Dedup.sentenceSpanDigests(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.spanDedupAgainstStore(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", store,
+        span = 3, minDup = 1)
     })
   )
 
@@ -7001,7 +7043,106 @@ c AS (SELECT doc_id,
 SELECT doc_id, n_email, n_url, n_date, n_number, n_proper,
   CAST($tot AS BIGINT) AS n_entities
 FROM c ORDER BY doc_id"""
-    }
+    },
+    // q251: base = floor share, leftover units to the largest
+    // remainders under (remainder DESC, size DESC, group ASC).
+    "q251_apportion" ->
+      """WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY 1),
+t AS (SELECT sum(n_rows) AS n FROM s),
+b AS (SELECT lang, n_rows,
+  CAST(1000 * n_rows // n AS BIGINT) AS base,
+  CAST((1000 * n_rows) % n AS BIGINT) AS remainder_num
+  FROM s CROSS JOIN t),
+l AS (SELECT 1000 - sum(base) AS leftover FROM b),
+r AS (SELECT *, row_number() OVER (ORDER BY remainder_num DESC,
+    n_rows DESC, lang ASC) AS rk FROM b)
+SELECT lang, n_rows, base, remainder_num,
+  CAST(CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END
+    AS BIGINT) AS extra,
+  base + CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END
+    AS allocation
+FROM r ORDER BY lang""",
+    // q252: global rank (score DESC, id ASC), exact floor buckets,
+    // cumulative window over the 10-row bucket frame.
+    "q252_lift_table" ->
+      """WITH s AS (SELECT doc_id, n_chars AS sc, doc_id % 4 = 0 AS y
+  FROM documents),
+r AS (SELECT doc_id, y, row_number() OVER (ORDER BY sc DESC,
+    doc_id ASC) AS rank FROM s),
+t AS (SELECT count(*) AS n,
+  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos FROM s),
+pb AS (SELECT (rank - 1) * 10 // n AS bucket,
+    CAST(count(*) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    max(n) AS n, max(pos) AS pos
+  FROM r CROSS JOIN t GROUP BY 1),
+c AS (SELECT bucket, n_b, n_pos, n, pos,
+  sum(n_b) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
+  sum(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+    AS cum_pos FROM pb)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_b AS n, n_pos,
+  CAST(n_pos * 1000000 // greatest(n_b, 1) AS BIGINT)
+    AS response_micro,
+  CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+  CAST(CASE WHEN pos = 0 THEN NULL
+    ELSE CAST(cum_pos AS HUGEINT) * n * 1000000
+      // (CAST(cum_n AS HUGEINT) * pos) END AS BIGINT)
+    AS cum_lift_micro
+FROM c ORDER BY bucket""",
+    // q253: the same regex pipeline staged as CTEs — script/style and
+    // comment blocks out first, tag count before tag strip, the six
+    // entity replaces in the engine's order, squeeze + trim.
+    "q253_html_strip" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0
+    THEN '<html><body class="m"><p>' || text ||
+      '</p><script>var a = 1 < 2;</script><!-- note --> tail &amp; &lt;b&gt; &nbsp;end</body></html>'
+    ELSE text END AS text FROM documents),
+s1 AS (SELECT doc_id, text, regexp_replace(regexp_replace(text,
+    '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+    '(?s)<!--.*?-->', ' ', 'g') AS nc FROM d),
+s2 AS (SELECT doc_id, text,
+  CAST(len(regexp_extract_all(nc, '<[^>]*>')) AS BIGINT) AS n_tags,
+  regexp_replace(nc, '<[^>]*>', ' ', 'g') AS nt FROM s1),
+s3 AS (SELECT doc_id, text, n_tags,
+  replace(replace(replace(replace(replace(replace(nt,
+    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+    '&nbsp;', ' '), '&amp;', '&') AS dec FROM s2),
+s4 AS (SELECT doc_id, trim(regexp_replace(dec, '\s+', ' ', 'g'))
+    AS clean, n_tags, CAST(len(text) AS BIGINT) AS raw_chars
+  FROM s3)
+SELECT doc_id, clean, n_tags, raw_chars,
+  CAST(len(clean) AS BIGINT) AS clean_chars
+FROM s4 ORDER BY doc_id""",
+    // q254: the q239 span CTEs split even (store) / odd (batch);
+    // store digests count once per batch span (DISTINCT before the
+    // membership test).
+    "q254_span_store_gate" ->
+      """WITH pl AS (SELECT doc_id,
+  replace(text, ' table ', '. ') ||
+  CASE WHEN doc_id % 20 IN (0, 5) THEN ' Shared passage one. It recurs verbatim. Across many documents. In every planted copy. Tail sentence here.'
+    ELSE '' END AS tx FROM documents),
+d AS (SELECT doc_id,
+  list_filter(list_transform(string_split_regex(tx, '[.!?]+(\s+|$)'),
+    x -> regexp_replace(trim(lower(x)), '\s+', ' ', 'g')),
+    x -> x <> '') AS ls FROM pl),
+sp AS (SELECT doc_id, md5(array_to_string(ls[i+1:i+3], chr(1))) AS dig
+  FROM (SELECT doc_id, ls, unnest(range(0, len(ls) - 2)) AS i
+    FROM d WHERE len(ls) >= 3)),
+store AS (SELECT DISTINCT dig FROM sp WHERE doc_id % 2 = 0),
+bsp AS (SELECT doc_id, dig FROM sp WHERE doc_id % 2 = 1),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(CASE WHEN dig IN (SELECT dig FROM store) THEN 1 ELSE 0
+    END) AS BIGINT) AS nd FROM bsp GROUP BY 1)
+SELECT d.doc_id, CAST(len(d.ls) AS BIGINT) AS n_sentences,
+  coalesce(pd.n_spans, 0) AS n_spans,
+  coalesce(pd.nd, 0) AS n_store_dup_spans,
+  CAST(coalesce(pd.nd, 0) * 1000000
+    // greatest(coalesce(pd.n_spans, 0), 1) AS BIGINT)
+    AS dup_span_micro,
+  coalesce(pd.nd, 0) >= 1 AS is_flagged
+FROM d LEFT JOIN pd USING (doc_id) WHERE d.doc_id % 2 = 1
+ORDER BY doc_id"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -1265,6 +1265,52 @@ object Curation {
             expr(s"(rank - 1) % ${nShards}L")))
   }
 
+  /** Hamilton (largest-remainder) apportionment — the exact-sum
+    * completion of [[mixtureBudgetRates]]' floor targets: allocate an
+    * integer `budget` across groups proportionally to their sizes so
+    * the allocations SUM TO THE BUDGET EXACTLY. Floor division alone
+    * under-allocates by up to |groups|−1 units; Hamilton hands those
+    * leftover units to the groups with the largest remainders
+    * (ties: larger group first, then group name ASC — fully
+    * deterministic). This is how a sampling/packing pass turns "12.7%
+    * of the corpus" into an actual integer document count per source
+    * without losing budget to rounding.
+    *
+    * All integer arithmetic: base = ⌊budget·n_g / n⌋, remainder =
+    * budget·n_g mod n; the leftover count is budget − Σ base, and the
+    * rank over remainders is a window over the |groups|-sized frame
+    * (groups are a grouping, not a key — the q87-style bound).
+    * Products ride the 64-bit guard below. Returns one row per group:
+    * (groupCol, n_rows, base, remainder_num — the mod-n numerator,
+    * extra ∈ {0,1}, allocation), ordered by groupCol; Σ allocation =
+    * budget (spec-pinned). */
+  def apportionBudget(df: DataFrame, groupCol: String,
+                      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = sizes.agg(coalesce(sum("n_rows"), lit(0L)).as("_n"))
+    val based = sizes.crossJoin(broadcast(total))
+      .select(col(groupCol), col("n_rows"),
+        expr(s"CAST(CAST($budget AS DECIMAL(38,0)) * n_rows div _n " +
+          "AS BIGINT)").as("base"),
+        expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * n_rows) % _n " +
+          "AS BIGINT)").as("remainder_num"))
+    val leftover = based
+      .agg((lit(budget) - coalesce(sum("base"), lit(0L))).as("_left"))
+    // rank remainders over the |groups|-sized frame (grouping-bounded)
+    val w = Window.orderBy(col("remainder_num").desc,
+      col("n_rows").desc, col(groupCol).asc)
+    based.crossJoin(broadcast(leftover))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("extra",
+        when(col("_rk") <= col("_left"), 1L).otherwise(0L))
+      .withColumn("allocation", col("base") + col("extra"))
+      .drop("_rk", "_left")
+      .orderBy(groupCol)
+  }
+
   /** Length-ratio bitext filter — the first-line parallel-corpus
     * cleaner every MT/translation-pair pipeline runs (Moses
     * clean-corpus-n, reproduced as a dataflow): a sentence pair whose

@@ -1610,28 +1610,47 @@ object Dedup {
     * n_spans, n_dup_spans — spans whose digest occurs ≥ 2 times
     * corpus-wide (the doc's own copy counts toward the 2),
     * dup_span_micro — floor micros over n_spans), ordered by idCol. */
-  def sentenceSpanDedup(df: DataFrame, idCol: String, textCol: String,
-                        span: Int = 3): DataFrame = {
+  private def spanGuard(idCol: String, textCol: String,
+                        span: Int, who: String): Unit = {
     require(span >= 1 && span <= 16, s"span must be in [1, 16]: $span")
     val reserved = Set("_sents", "_ns", "_dig", "_cnt", "n_sentences",
-      "n_spans", "n_dup_spans", "dup_span_micro")
+      "n_spans", "n_dup_spans", "dup_span_micro",
+      "n_store_dup_spans", "is_flagged")
     val clash = Seq(idCol, textCol).filter(reserved)
     require(clash.isEmpty,
-      s"sentenceSpanDedup reserved column names in use: ${clash.mkString(", ")}")
+      s"$who reserved column names in use: ${clash.mkString(", ")}")
+  }
+
+  /** (idCol, _sents, _ns) normalized sentence frame — the shared
+    * front half of [[sentenceSpanDedup]] and
+    * [[spanDedupAgainstStore]] (sentence rule documented there). */
+  private def sentenceFrame(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
     // normalized sentence array: split on terminal-punctuation runs
     // (the trailing split cell after "end." is dropped as empty)
     val sentExpr = expr(
       s"""filter(transform(split(`$textCol`, '[.!?]+(\\\\s+|$$)'),
             x -> regexp_replace(trim(lower(x)), '\\\\s+', ' ')),
           x -> x != '')""")
-    val docs = df.select(col(idCol), sentExpr.as("_sents"))
+    df.select(col(idCol), sentExpr.as("_sents"))
       .withColumn("_ns", size(col("_sents")).cast("long"))
-    val spans = docs
-      .filter(col("_ns") >= span)
+  }
+
+  /** (idCol, _ns, _dig) exploded span-digest frame over a sentence
+    * frame (chr(1)-joined md5 windows — see [[sentenceSpanDedup]]). */
+  private def spanFrame(docs: DataFrame, idCol: String,
+                        span: Int): DataFrame =
+    docs.filter(col("_ns") >= span)
       .select(col(idCol), col("_ns"), explode(expr(
         s"transform(sequence(1, int(_ns) - ${span - 1}), " +
           s"i -> md5(concat_ws(chr(1), slice(_sents, i, $span))))"))
         .as("_dig"))
+
+  def sentenceSpanDedup(df: DataFrame, idCol: String, textCol: String,
+                        span: Int = 3): DataFrame = {
+    spanGuard(idCol, textCol, span, "sentenceSpanDedup")
+    val docs = sentenceFrame(df, idCol, textCol)
+    val spans = spanFrame(docs, idCol, span)
       .localCheckpoint()
     val census = spans.groupBy("_dig").agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= 2)
@@ -1648,5 +1667,60 @@ object Dedup {
       .withColumn("dup_span_micro",
         expr("n_dup_spans * 1000000L div greatest(n_spans, 1L)"))
       .orderBy(idCol)
+  }
+
+  /** Incremental sentence-span gate against a persisted span-digest
+    * STORE — [[sentenceSpanDedup]]'s cross-batch form, and the C4
+    * member of the incremental-store family ([[cdcChunkDedup]]
+    * digests, [[winnowDedupAgainstStore]] fingerprints): a new
+    * document is flagged when ≥ `minDup` of its spans already exist
+    * in the accepted corpus. The store holds (idCol, span digest)
+    * rows — what a pipeline appends back for accepted docs (the
+    * digests are already computed here; store text is never
+    * re-sentence-split).
+    *
+    * Shape: batch spans explode once; the store side collapses to
+    * DISTINCT digests before the equi-join (a digest present
+    * thousands of times in the store must count once per batch span,
+    * not fan out). Returns one row per batch document: (idCol,
+    * n_sentences, n_spans, n_store_dup_spans, dup_span_micro,
+    * is_flagged), ordered by idCol. */
+  def spanDedupAgainstStore(batch: DataFrame, idCol: String,
+                            textCol: String, storeSpans: DataFrame,
+                            span: Int = 3, minDup: Int = 1): DataFrame = {
+    spanGuard(idCol, textCol, span, "spanDedupAgainstStore")
+    require(minDup >= 1, s"minDup must be >= 1: $minDup")
+    require(storeSpans.columns.contains("_dig"),
+      "storeSpans must carry the `_dig` span-digest column " +
+        "(the spanDedupStream store layout)")
+    val docs = sentenceFrame(batch, idCol, textCol)
+    val spans = spanFrame(docs, idCol, span)
+    val storeDigs = storeSpans.select(col("_dig")).distinct()
+      .withColumn("_dup", lit(true))
+    val perDoc = spans.join(storeDigs, Seq("_dig"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(when(col("_dup"), 1L)), lit(0L))
+          .as("n_store_dup_spans"))
+    docs.select(col(idCol), col("_ns").as("n_sentences"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_sentences"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_store_dup_spans"), lit(0L))
+          .as("n_store_dup_spans"))
+      .withColumn("dup_span_micro",
+        expr("n_store_dup_spans * 1000000L div greatest(n_spans, 1L)"))
+      .withColumn("is_flagged", col("n_store_dup_spans") >= minDup)
+      .orderBy(idCol)
+  }
+
+  /** The span-digest frame for a batch of accepted documents — what
+    * [[graft.streaming.StreamingOps.spanDedupStream]] appends to the
+    * store: (idCol, _dig). */
+  def sentenceSpanDigests(df: DataFrame, idCol: String,
+                          textCol: String, span: Int = 3): DataFrame = {
+    spanGuard(idCol, textCol, span, "sentenceSpanDigests")
+    spanFrame(sentenceFrame(df, idCol, textCol), idCol, span)
+      .select(col(idCol), col("_dig"))
   }
 }

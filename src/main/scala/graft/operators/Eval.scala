@@ -92,6 +92,59 @@ object Eval {
           .as("f1_micro"))
   }
 
+  /** Decile lift table — the campaign/ranking-model report beside
+    * [[calibrationBins]]' reliability view: rows ranked by score
+    * (score DESC, id ASC — the total order that makes ties
+    * deterministic), cut into `buckets` rank bands by the exact
+    * integer-floor boundary ⌊(rank−1)·B/n⌋, then per bucket the
+    * response rate and the CUMULATIVE lift — how many times more
+    * positives the top k bands capture than a random slice of the
+    * same size: lift = (cum_pos·n) / (cum_n·total_pos), exact floor
+    * micros with DECIMAL(38,0) products.
+    *
+    * The rank is [[Curation.globalRank]]'s bucketed global rank (no
+    * single-partition window over data); the cumulative pass is a
+    * window over the B-row bucket frame (B is a parameter, not a
+    * key). Null scores/labels drop. Returns one row per bucket:
+    * (bucket 0-based, n, n_pos, response_micro, cum_n, cum_pos,
+    * cum_lift_micro — null when total_pos = 0), ordered by bucket. */
+  def liftTable(df: DataFrame, idCol: String, scoreCol: String,
+                labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2, 1000]: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol), col(scoreCol), col(labelCol))
+    val ranked = Curation.globalRank(scored, idCol, scoreCol,
+      descending = true)
+      .select(col(idCol), col("rank"))
+      .join(scored.select(col(idCol), col(labelCol)), Seq(idCol))
+    val n = ranked.agg(count(lit(1)).as("_n"),
+      coalesce(sum(when(col(labelCol), 1L).otherwise(0L)), lit(0L))
+        .as("_pos"))
+    val perBucket = ranked.crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"(rank - 1) * $buckets div _n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        max("_n").as("_n"), max("_pos").as("_pos"))
+      .withColumn("response_micro",
+        expr("n_pos * 1000000 div greatest(n, 1)"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .withColumn("cum_lift_micro",
+        when(col("_pos") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(cum_pos AS DECIMAL(38,0)) * _n * 1000000
+               div (CAST(cum_n AS DECIMAL(38,0)) * _pos) AS BIGINT)""")))
+      .drop("_n", "_pos")
+      .orderBy("bucket")
+  }
+
   /** McNemar's paired test (McNemar 1947) — the right significance
     * shape for "is model B actually better than model A" on the SAME
     * eval items, where the two accuracy columns are correlated and an

@@ -1093,6 +1093,49 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** HTML/markup strip — the first transform every crawl corpus
+    * passes through before any text statistic means anything.
+    * Deterministic regex pipeline (Java∩RE2: inline (?is) flags,
+    * lazy quantifiers, no lookarounds — every stage replays verbatim
+    * in a SQL oracle):
+    *   1. script/style blocks removed WITH their content,
+    *   2. HTML comments removed,
+    *   3. remaining tags `<[^>]*>` become a space (block boundaries
+    *      must not glue words),
+    *   4. the six core entities decoded (&amp; last, so &amp;lt;
+    *      decodes to the literal "&lt;" — one pass, not a fixpoint),
+    *   5. whitespace squeezed + trimmed.
+    * This is a cleaning TRANSFORM, not a parser: malformed nesting
+    * degrades gracefully (an unclosed <script> eats to end of text —
+    * the same call a streaming tag-soup cleaner makes).
+    *
+    * One codegen'd map pass, no shuffle. Returns (idCol, clean,
+    * n_tags — tags stripped in stage 3, raw_chars, clean_chars),
+    * ordered by idCol. */
+  def htmlStrip(df: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val raw = col(textCol)
+    val noScript = regexp_replace(raw,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    df.select(col(idCol),
+        trim(regexp_replace(decoded, "\\s+", " ")).as("clean"),
+        regexp_count(regexp_replace(regexp_replace(raw,
+          "(?is)<(script|style)[^>]*>.*?</(script|style)>", " "),
+          "(?s)<!--.*?-->", " "), lit("<[^>]*>")).cast("long")
+          .as("n_tags"),
+        length(raw).cast("long").as("raw_chars"))
+      .withColumn("clean_chars", length(col("clean")).cast("long"))
+      .orderBy(idCol)
+  }
+
   /** The census classes (name → regex), public so the DuckDB oracle
     * interpolates the SAME patterns (single source of truth). Ordered;
     * output columns follow this order. */

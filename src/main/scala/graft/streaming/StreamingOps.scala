@@ -1089,4 +1089,60 @@ object StreamingOps {
         } finally scored.unpersist(false)
       }
       .start()
+
+  /** Streaming C4 sentence-span gate — the
+    * [[graft.operators.Dedup.spanDedupAgainstStore]] check run
+    * FOREVER against a growing parquet span-digest store: each
+    * micro-batch of documents is gated against every
+    * ALREADY-ACCEPTED document's three-sentence span digests, and
+    * the accepted (non-flagged) documents' own span digests append
+    * to the store. The fourth member of the incremental-store family
+    * ([[cdcDedupStream]] chunk digests, [[winnowDedupStream]]
+    * fingerprints, [[semDedupStream]] embeddings, this one sentence
+    * spans) — same batch-operator parity contract (batch N's report
+    * ≡ the batch operator against the store as of N, spec-asserted),
+    * same batchId-partitioned idempotent store layout (`seen`
+    * excludes the current batchId; the append overwrites the
+    * own-batch partition), so at-least-once foreachBatch replay is
+    * exact and partial writes self-heal. Within-batch duplicates are
+    * not cross-checked — both copies gate against history only (the
+    * corpus-wide census is [[graft.operators.Dedup.sentenceSpanDedup]]).
+    *
+    * @param sink receives each batch's per-document report (the
+    *             spanDedupAgainstStore schema) */
+  def spanDedupStream(stream: DataFrame, idCol: String, textCol: String,
+                      statePath: String, checkpoint: String,
+                      span: Int = 3, minDup: Int = 1)
+                     (sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        val seen: DataFrame =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            s.read.parquet(statePath)
+              .filter(col("_batch_id") =!= lit(batchId))
+              .select(col(idCol), col("_dig"))
+          else
+            batch.select(col(idCol)).limit(0)
+              .withColumn("_dig", lit("").cast("string"))
+        val report = graft.operators.Dedup.spanDedupAgainstStore(
+            batch, idCol, textCol, seen, span, minDup)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(report)
+          val accepted = report.filter(!col("is_flagged"))
+            .select(col(idCol))
+          graft.operators.Dedup.sentenceSpanDigests(
+              batch, idCol, textCol, span)
+            .join(accepted, Seq(idCol), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$statePath/_batch_id=$batchId")
+        } finally report.unpersist(false)
+      }
+      .start()
 }

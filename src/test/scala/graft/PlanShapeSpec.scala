@@ -1187,4 +1187,49 @@ class PlanShapeSpec extends SparkSpec {
       !p225.contains("BroadcastNestedLoopJoin"),
       s"label propagation supersteps must stay equi-joins:\n$p225")
   }
+
+  test("round-9c operators keep their scale shapes (q236-q250)") {
+    // q236: cell aggregates + equi-joins; the only nested-loop-shaped
+    // join is the broadcast 1-row total cross (the q211 precedent)
+    val p236 = finalPlan(q("q236_t_closeness"))
+    assert(!p236.contains("CartesianProduct"),
+      s"t-closeness must not plan a cartesian:\n$p236")
+    // q237: the value self-join must be an equi-join (hash or SMJ) on
+    // the value column, never a product; the |cols|² pair axis is the
+    // only nested-loop-eligible frame and it is label-literal-sized
+    val p237 = finalPlan(q("q237_ind_discovery"))
+    assert(!p237.contains("CartesianProduct"),
+      s"IND value join must stay an equi-join:\n$p237")
+    // q239: span census = explode + hash agg + one digest equi-join
+    val p239 = finalPlan(q("q239_sentence_span_dedup"))
+    assert(!p239.contains("CartesianProduct") &&
+      !p239.contains("BroadcastNestedLoopJoin"),
+      s"span census joins on digests only:\n$p239")
+    assert(!p239.contains("Window"),
+      s"span windows are array slices, not SQL windows:\n$p239")
+    // q240/q244: peel rounds and wedges are semi-/equi-joins over the
+    // edge frame — the classic graph scale-killers are products
+    for (name <- Seq("q240_k_core", "q244_common_neighbors")) {
+      val p = finalPlan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay equi-join-based:\n$p")
+    }
+    // q241: the quantile cut rides a broadcast; the per-row clip must
+    // not introduce a SQL window or a non-broadcast join over data
+    val p241 = finalPlan(q("q241_winsorize"))
+    assert(!p241.contains("CartesianProduct"),
+      s"winsorize crosses only the broadcast 1-row bounds:\n$p241")
+    // q245/q246/q248/q250: single-scan fused shapes — no join at all
+    for (name <- Seq("q245_sniff_delimiter", "q246_json_key_census",
+        "q248_length_ratio", "q250_entity_census")) {
+      val p = finalPlan(q(name))
+      assert(!p.split("\n").exists(l => l.contains("Join") &&
+          !l.contains("BroadcastHashJoin")),
+        s"$name joins (if any) must be broadcast:\n$p")
+      assert(!p.contains("Exchange SinglePartition") ||
+        name == "q245_sniff_delimiter" || name == "q246_json_key_census",
+        s"$name must not serialize the corpus:\n$p")
+    }
+  }
 }

@@ -908,4 +908,24 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((3L, 0L, 0L, false, false, false)))
     assert(got(4L) == ((2L, 2L, 1000000L, true, true, true)))
   }
+
+  test("apportionBudget: allocations sum to the budget exactly") {
+    import spark.implicits._
+    // sizes 5, 3, 1 with budget 7: floors 3,2,0 (sum 5) — the 2
+    // leftovers go to the largest remainders 8/9 (a: 35%9=8) and
+    // 3/9... remainders: a: 35%9=8, b: 21%9=3, c: 7%9=7 -> a, c
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("g")
+    val got = Curation.apportionBudget(df, "g", budget = 7L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("a") == ((3L, 8L, 1L, 4L)), s"a: ${got("a")}")
+    assert(got("b") == ((2L, 3L, 0L, 2L)))
+    assert(got("c") == ((0L, 7L, 1L, 1L)))
+    assert(got.values.map(_._4).sum == 7L, "exact budget")
+    // zero budget: all-zero allocations
+    assert(Curation.apportionBudget(df, "g", 0L)
+      .agg(org.apache.spark.sql.functions.sum("allocation"))
+      .collect().head.getLong(0) == 0L)
+  }
 }

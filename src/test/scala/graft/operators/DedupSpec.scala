@@ -954,4 +954,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(t2(1L) == 0L && t2(2L) == 0L, "no cross-doc collision")
   }
+
+  test("spanDedupAgainstStore: store membership, short docs, distinct store") {
+    import spark.implicits._
+    val store = Dedup.sentenceSpanDigests(Seq(
+      (100L, "One shared line. Two shared lines. Three shared lines. Different tail.")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    // duplicate the store rows: membership must still count each
+    // batch span once
+    val fatStore = store.unionByName(store)
+    val batch = Seq(
+      (1L, "One shared line. Two shared lines. Three shared lines. Own tail."),
+      (2L, "Too short. Only two."),
+      (3L, "All novel one. All novel two. All novel three."))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedupAgainstStore(batch, "doc_id", "text",
+      fatStore)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 2 spans, the (s1,s2,s3) span is in store -> 1 dup
+    assert(got(1L) == ((1L, 4L, 2L, 1L, 500000L, true)), s"${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 0L, 0L, 0L, false)))
+    assert(got(3L) == ((3L, 3L, 1L, 0L, 0L, false)))
+  }
 }

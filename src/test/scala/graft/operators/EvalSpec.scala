@@ -316,4 +316,21 @@ class EvalSpec extends SparkSpec {
     val conc = Seq((true, true), (false, false)).toDF("a_ok", "b_ok")
     assert(Eval.mcnemar(conc, "a_ok", "b_ok").collect().head.isNullAt(5))
   }
+
+  test("liftTable: exact buckets, response and cumulative lift") {
+    import spark.implicits._
+    // 10 rows, scores 10..1 (ids 1..10), positives at the top 3
+    val df = (1 to 10).map(i =>
+      (i.toLong, (11 - i).toLong, i <= 3)).toDF("id", "sc", "y")
+    val got = Eval.liftTable(df, "id", "sc", "y", buckets = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // buckets of 2: b0 = ids 1,2 (both pos), b1 = ids 3,4 (one pos)
+    assert(got(0L) == ((2L, 2L, 1000000L, 2L, 2L, 3333333L)),
+      s"b0: ${got(0L)}")
+    // cum lift b1: (3 pos / 4 rows) / (3/10) = 2.5
+    assert(got(1L) == ((2L, 1L, 500000L, 4L, 3L, 2500000L)))
+    assert(got(4L)._6 == 1000000L, "full-table lift is exactly 1")
+  }
 }

@@ -569,4 +569,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
     assert(got(3L) == ((0L, 0L, 0L, 2L, 1L, 3L)), s"3: ${got(3L)}")
   }
+
+  test("htmlStrip: blocks, tags, entities, whitespace") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<p>Hello <b>world</b></p><script>if (a < b) x();</script>" +
+        "<!-- hidden --> bye"),
+      (2L, "plain text stays"),
+      (3L, "Fish &amp; chips &lt;tag&gt; &nbsp; &quot;q&quot; &#39;s&#39;"),
+      (4L, "<style type=\"text/css\">p { color: red; }</style>after"))
+      .toDF("id", "text")
+    val got = TextAnalysis.htmlStrip(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("Hello world bye", 4L)), s"1: ${got(1L)}")
+    assert(got(2L) == (("plain text stays", 0L)))
+    assert(got(3L)._1 == "Fish & chips <tag> \"q\" 's'", s"3: ${got(3L)}")
+    assert(got(4L) == (("after", 0L)), "style content removed whole")
+  }
 }

@@ -1398,4 +1398,62 @@ class StreamingOpsSpec extends SparkSpec {
       .distinct().count() == 1L,
       "replay must overwrite its own carry partition, not append")
   }
+
+  test("streaming span gate equals the per-batch operator, " +
+      "survives restart, replays idempotently") {
+    import graft.operators.Dedup
+    val d1 = "Alpha one here. Beta two here. Gamma three here. Delta four here."
+    val d2 = "Echo five three words. Foxtrot six more words. Golf seven closing words."
+    val batch1 = Seq((1L, d1), (2L, d2))
+    val batch2 = Seq(
+      (10L, d1),                                        // exact replica
+      (11L, "Brand new opening. " + d2),                // shared 3-span
+      (12L, "Novel one. Novel two. Novel three."))      // novel
+    val key = System.nanoTime()
+    val state = s"/tmp/graft-span-stream-state-$key"
+    def runOnce(ckpt: String, mem: MemoryStream[(Long, String)])
+        : List[(Long, Long, Long, Long, Long, Boolean)] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Boolean)]
+      val q = StreamingOps.spanDedupStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        state, ckpt) { rep =>
+        out ++= rep.as[(Long, Long, Long, Long, Long, Boolean)]
+          .collect() }
+      q.awaitTermination(60000)
+      out.sortBy(_._1).toList
+    }
+    val ckptA = s"/tmp/graft-span-stream-ckpt-$key-a"
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData(batch1: _*)
+    val rep1 = runOnce(ckptA, mem)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "_dig")
+    val twin1 = Dedup.spanDedupAgainstStore(
+      batch1.toDF("doc_id", "text"), "doc_id", "text", empty)
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().toList.sortBy(_._1)
+    assert(rep1 == twin1, s"batch 1: $rep1 != $twin1")
+    assert(rep1.forall(!_._6), "an empty store flags nothing")
+    mem.addData(batch2: _*)
+    val rep2 = runOnce(ckptA, mem)
+    val twin2 = Dedup.spanDedupAgainstStore(
+      batch2.toDF("doc_id", "text"), "doc_id", "text",
+      Dedup.sentenceSpanDigests(batch1.toDF("doc_id", "text"),
+        "doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().toList.sortBy(_._1)
+    assert(rep2 == twin2, s"batch 2: $rep2 != $twin2")
+    assert(rep2.find(_._1 == 10L).get._6, "exact replica flags")
+    assert(rep2.find(_._1 == 11L).get._6, "embedded 3-span flags")
+    assert(!rep2.find(_._1 == 12L).get._6, "novel doc passes")
+    // replay leg: fresh checkpoint, same store
+    val mem2 = MemoryStream[(Long, String)](spark)
+    mem2.addData(batch1: _*)
+    val replayed = runOnce(s"/tmp/graft-span-stream-ckpt-$key-b", mem2)
+    assert(replayed == rep1, s"replayed: $replayed != $rep1")
+    val store = spark.read.parquet(state)
+    assert(store.count() ==
+      store.select("doc_id", "_dig").distinct().count(),
+      "replay must not duplicate store span rows")
+  }
 }
