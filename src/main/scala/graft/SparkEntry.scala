@@ -2984,7 +2984,16 @@ object SparkEntry {
       Dedup.spanDedupAgainstStore(
         d.filter(col("doc_id") % 2 === 1), "doc_id", "text", store,
         span = 3, minDup = 1)
-    })
+    }),
+    // ---- Good–Turing frequency spectrum over the corpus tokens:
+    //      count-of-counts + the (r+1)·N_{r+1}/N_r adjusted count. ----
+    "q255_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuringSpectrum(t(s, dir, "documents"), "text")),
+    // ---- per-term burstiness (Fano factor) with zeros handled
+    //      analytically — content words clump, function words don't.
+    "q256_burstiness" -> ((s, dir) =>
+      TextAnalysis.termBurstiness(t(s, dir, "documents"), "doc_id",
+        "text", minCount = 50L))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7142,7 +7151,40 @@ SELECT d.doc_id, CAST(len(d.ls) AS BIGINT) AS n_sentences,
     AS dup_span_micro,
   coalesce(pd.nd, 0) >= 1 AS is_flagged
 FROM d LEFT JOIN pd USING (doc_id) WHERE d.doc_id % 2 = 1
-ORDER BY doc_id"""
+ORDER BY doc_id""",
+    // q255: token counts → count-of-counts → the r+1 self-join;
+    // HUGEINT replays the DECIMAL product.
+    "q255_good_turing" ->
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS token
+  FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS r FROM tok
+  GROUP BY 1),
+sp AS (SELECT r, CAST(count(*) AS BIGINT) AS n_types FROM c
+  GROUP BY 1)
+SELECT sp.r, sp.n_types,
+  CAST(sp.r * sp.n_types AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN nx.n_types IS NULL THEN NULL
+    ELSE (CAST(sp.r AS HUGEINT) + 1) * nx.n_types * 1000000
+      // sp.n_types END AS BIGINT) AS r_star_micro
+FROM sp LEFT JOIN sp nx ON nx.r = sp.r + 1
+ORDER BY sp.r""",
+    // q256: (doc, token) counts, per-token fold, zeros analytic in
+    // the N·Σx² − T² identity.
+    "q256_burstiness" ->
+      s"""WITH pd AS (SELECT doc_id, token,
+    CAST(count(*) AS BIGINT) AS x
+  FROM (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
+  GROUP BY 1, 2),
+nd AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+g AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs_with,
+  CAST(sum(x) AS BIGINT) AS total_count,
+  sum(CAST(x AS HUGEINT) * x) AS sx2 FROM pd GROUP BY 1)
+SELECT token, n_docs_with, total_count,
+  CAST((n * sx2 - CAST(total_count AS HUGEINT) * total_count)
+    * 1000000 // (n * CAST(total_count AS HUGEINT)) AS BIGINT)
+    AS fano_micro
+FROM g CROSS JOIN nd WHERE total_count >= 50
+ORDER BY token"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -1136,6 +1136,79 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Good–Turing frequency spectrum (Good 1953) — the
+    * count-of-counts table language modeling and vocabulary sizing
+    * read: N_r = how many distinct tokens occur exactly r times, with
+    * the Good–Turing adjusted count r* = (r+1)·N_{r+1}/N_r in exact
+    * floor micros (r* < r signals mass the corpus owes to unseen
+    * types; N_1/N is the classic unseen-mass estimate — readable off
+    * the r = 1 row). The q93 group-size histogram applied to the
+    * token multiset, plus the GT column that makes it a smoothing
+    * table.
+    *
+    * Shape: one token explode + two hash aggregates (token counts →
+    * count-of-counts), then a self-join on r+1 over the
+    * spectrum-sized frame (|distinct counts| rows — tiny). Returns
+    * one row per occurrence count r: (r, n_types, n_tokens = r·N_r,
+    * r_star_micro — null when no N_{r+1}), ordered by r. */
+  def goodTuringSpectrum(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("_r"))
+    val spectrum = counts.groupBy(col("_r").as("r"))
+      .agg(count(lit(1)).as("n_types"))
+    val next = spectrum.select((col("r") - 1).as("r"),
+      col("n_types").as("_n_next"))
+    spectrum.join(next, Seq("r"), "left")
+      .select(col("r"), col("n_types"),
+        (col("r") * col("n_types")).as("n_tokens"),
+        when(col("_n_next").isNull, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((CAST(r AS DECIMAL(38,0)) + 1) * _n_next * 1000000
+               div n_types AS BIGINT)"""))
+          .as("r_star_micro"))
+      .orderBy("r")
+  }
+
+  /** Per-term burstiness (Fano factor) — does a term spread evenly
+    * across documents (function words, F ≈ per-doc variance of a
+    * thin process) or clump into few documents (content/topical
+    * words)? F_t = Var(x)/Mean(x) over the per-document count
+    * vector x INCLUDING the zeros of documents not containing t —
+    * handled analytically (zeros add nothing to Σx or Σx², only to
+    * N), so no document×term frame ever forms:
+    *
+    *   F·10⁶ = ⌊10⁶·(N·Σx² − T²) / (N·T)⌋,  T = Σx.
+    *
+    * Only terms with ≥ `minCount` total occurrences report (rare
+    * terms' Fano is noise). Shape: one (doc, token) hash aggregate
+    * from the explode, one per-token aggregate, a broadcast 1-row N.
+    * Products ride DECIMAL(38,0). Returns (token, n_docs_with,
+    * total_count, fano_micro), ordered by token. */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+                     minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val perDoc = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("_x"))
+    val nDocs = df.agg(count(lit(1)).as("_nd"))
+    perDoc.groupBy("token")
+      .agg(count(lit(1)).as("n_docs_with"),
+        sum("_x").as("total_count"),
+        sum((col("_x") * col("_x")).cast("decimal(38,0)")).as("_sx2"))
+      .filter(col("total_count") >= minCount)
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("n_docs_with"), col("total_count"),
+        expr(
+          """CAST((CAST(_nd AS DECIMAL(38,0)) * _sx2
+             - CAST(total_count AS DECIMAL(38,0)) * total_count)
+             * 1000000 div
+             (CAST(_nd AS DECIMAL(38,0)) * total_count)
+             AS BIGINT)""").as("fano_micro"))
+      .orderBy("token")
+  }
+
   /** The census classes (name → regex), public so the DuckDB oracle
     * interpolates the SAME patterns (single source of truth). Ordered;
     * output columns follow this order. */

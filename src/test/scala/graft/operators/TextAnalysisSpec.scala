@@ -587,4 +587,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)._1 == "Fish & chips <tag> \"q\" 's'", s"3: ${got(3L)}")
     assert(got(4L) == (("after", 0L)), "style content removed whole")
   }
+
+  test("goodTuringSpectrum: count-of-counts and adjusted counts") {
+    import spark.implicits._
+    // tokens: a a a  b b  c c  d  e  -> N_1=2 (d,e), N_2=2 (b,c),
+    // N_3=1 (a)
+    val df = Seq("a a a b b", "c c d e").toDF("text")
+    val got = TextAnalysis.goodTuringSpectrum(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // r=1: r* = 2·N_2/N_1 = 2·2/2 = 2.0
+    assert(got(1L) == ((2L, 2L, 2000000L)), s"r1: ${got(1L)}")
+    // r=2: r* = 3·N_3/N_2 = 3·1/2 = 1.5
+    assert(got(2L) == ((2L, 4L, 1500000L)))
+    // r=3: no N_4 -> null
+    assert(got(3L) == ((1L, 3L, -1L)))
+  }
+
+  test("termBurstiness: clumped terms score above spread terms") {
+    import spark.implicits._
+    // 4 docs; "even" once per doc (Fano = (4·4-16)/(4·4) = 0);
+    // "burst" 4 times in one doc (Fano = (4·16-16)/(4·4) = 3)
+    val df = Seq(
+      (1L, "even burst burst burst burst"), (2L, "even x"),
+      (3L, "even y"), (4L, "even z")).toDF("id", "text")
+    val got = TextAnalysis.termBurstiness(df, "id", "text",
+      minCount = 4L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("even") == ((4L, 4L, 0L)), s"even: ${got("even")}")
+    assert(got("burst") == ((1L, 4L, 3000000L)), s"burst: ${got("burst")}")
+    assert(!got.contains("x"), "below minCount")
+  }
 }
