@@ -2993,7 +2993,37 @@ object SparkEntry {
     //      analytically — content words clump, function words don't.
     "q256_burstiness" -> ((s, dir) =>
       TextAnalysis.termBurstiness(t(s, dir, "documents"), "doc_id",
-        "text", minCount = 50L))
+        "text", minCount = 50L)),
+    // ---- two-sample Cramér–von Mises over event values split by id
+    //      parity — the whole-curve drift companion to q100's KS. ----
+    "q257_cvm_statistic" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Drift.cvmStatistic(
+        e.filter(col("event_id") % 2 === 0).select("value"),
+        e.filter(col("event_id") % 2 === 1).select("value"), "value")
+    }),
+    // ---- Brier score over deterministic micro-integer forecasts:
+    //      p = ((doc_id·37) % 101)·10⁴ micros, y = doc_id % 3 = 0. ----
+    "q258_brier" -> ((s, dir) =>
+      Eval.brierScore(
+        t(s, dir, "documents").select(
+          ((col("doc_id") * 37) % 101 * 10000).as("p_micro"),
+          (col("doc_id") % 3 === 0).as("y")),
+        "p_micro", "y")),
+    // ---- leakage-safe split (composition gate): exact-dup canonical
+    //      id per doc, then the q44 hash split keyed on the CANONICAL
+    //      — replicas of one text can never straddle train/test. ----
+    "q259_leakage_safe_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val canon = d.groupBy(md5(col("text")).as("_d"))
+        .agg(min("doc_id").as("canonical"))
+      val withC = d.select(col("doc_id"), md5(col("text")).as("_d"))
+        .join(canon, "_d")
+      Curation.assignSplits(
+        withC.select(col("doc_id"), col("canonical")), "canonical")
+        .select("doc_id", "canonical", "split")
+        .orderBy("doc_id")
+    })
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7184,7 +7214,56 @@ SELECT token, n_docs_with, total_count,
     * 1000000 // (n * CAST(total_count AS HUGEINT)) AS BIGINT)
     AS fano_micro
 FROM g CROSS JOIN nd WHERE total_count >= 50
-ORDER BY token"""
+ORDER BY token""",
+    // q257: pooled distinct values, right-continuous cumulative
+    // counts, Σ w·(ca·m − cb·n)² over N²·n·m in HUGEINT.
+    "q257_cvm_statistic" ->
+      """WITH tg AS (
+  SELECT value AS v, 1 AS ia, 0 AS ib FROM events
+    WHERE event_id % 2 = 0 AND value IS NOT NULL
+  UNION ALL
+  SELECT value, 0, 1 FROM events
+    WHERE event_id % 2 = 1 AND value IS NOT NULL),
+p AS (SELECT v, CAST(sum(ia) AS BIGINT) AS na,
+  CAST(sum(ib) AS BIGINT) AS nb FROM tg GROUP BY 1),
+c AS (SELECT v, na, nb,
+  sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+  sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb FROM p),
+t AS (SELECT CAST(sum(na) AS BIGINT) AS n,
+  CAST(sum(nb) AS BIGINT) AS m FROM p)
+SELECT t.n AS n_a, t.m AS n_b,
+  CAST(sum(CAST(na + nb AS HUGEINT)
+    * (ca * t.m - cb * t.n) * (ca * t.m - cb * t.n)) * 1000000
+    // (CAST(t.n + t.m AS HUGEINT) * (t.n + t.m) * t.n * t.m)
+    AS BIGINT) AS cvm_micro
+FROM c CROSS JOIN t GROUP BY t.n, t.m""",
+    // q258: the micro-prob fixture replayed; squares in HUGEINT.
+    "q258_brier" ->
+      """WITH s AS (SELECT (doc_id * 37) % 101 * 10000 AS p,
+  doc_id % 3 = 0 AS y FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  CAST(sum(CAST(p - CASE WHEN y THEN 1000000 ELSE 0 END AS HUGEINT)
+    * (p - CASE WHEN y THEN 1000000 ELSE 0 END))
+    // (CAST(count(*) AS HUGEINT) * 1000000) AS BIGINT)
+    AS brier_micro
+FROM s""",
+    // q259: canonical = min doc_id over the text digest group, then
+    // the q44 md5 bucket arithmetic on the CANONICAL id.
+    "q259_leakage_safe_split" -> {
+      def hv(p: Int) = s"instr('123456789abcdef', " +
+        s"substr(md5(CAST(canonical AS VARCHAR)), $p, 1))"
+      val bucket =
+        s"(4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)} + ${hv(4)}) % 100"
+      s"""WITH c AS (SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+  FROM documents)
+SELECT doc_id, canonical,
+  CASE WHEN $bucket < 80 THEN 'train'
+       WHEN $bucket < 90 THEN 'validation'
+       ELSE 'test' END AS split
+FROM c ORDER BY doc_id"""
+    }
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

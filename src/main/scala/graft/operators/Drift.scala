@@ -151,6 +151,91 @@ object Drift {
     } finally v.unpersist(false)
   }
 
+  /** Two-sample Cramér–von Mises statistic — the whole-curve companion
+    * to [[ksStatistic]]'s single supremum: T = (nm/N²)·Σ_z
+    * (F_a(z) − F_b(z))² over all N pooled observations, so drift
+    * spread across the distribution registers even when no single
+    * point deviates far (the case KS is weakest on). Ties follow the
+    * pooled-multiplicity convention: each distinct value contributes
+    * its pooled count w·(F_a − F_b)² — with both CDFs right-
+    * continuous at the value.
+    *
+    * EXACT integer form: with per-distinct cumulative counts ca, cb,
+    * T·10⁶ = ⌊10⁶·Σ w·(ca·m − cb·n)² / (N²·n·m)⌋, every product in
+    * DECIMAL(38,0). Exactness bound (guarded, not silent):
+    * (n·m)²·N must stay below 10³⁸ — beyond that (≈ nm·√N > 10¹⁹)
+    * subsample first; a CvM on 10¹¹ points is statistically
+    * indistinguishable from one on 10⁷ anyway.
+    *
+    * Scale shape: identical to [[ksStatistic]] — tagged union, one
+    * distinct-value hash aggregate, the shared bucketed prefix sum
+    * (no global window), one 1-row fold. Returns ONE row:
+    * (n_a, n_b, cvm_micro). */
+  def cvmStatistic(a: DataFrame, b: DataFrame,
+                   valueCol: String): DataFrame = {
+    val ss = a.sparkSession
+    val tagged = a.select(col(valueCol).cast("double").as("_v"),
+        lit(1L).as("_ia"), lit(0L).as("_ib"))
+      .unionByName(b.select(col(valueCol).cast("double").as("_v"),
+        lit(0L).as("_ia"), lit(1L).as("_ib")))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+    val v = tagged.groupBy("_v")
+      .agg(sum("_ia").as("_na"), sum("_ib").as("_nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBuckets = math.max(1, ss.sparkContext.defaultParallelism)
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val bounds =
+        if (probs.isEmpty) Array.empty[Double]
+        else v.stat.approxQuantile("_v", probs, 0.001)
+      val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
+        case (e, (bd, i)) => when(col("_v") > bd, i + 1).otherwise(e)
+      }
+      val rows = v.withColumn("_bkt", bucketExpr).groupBy("_bkt")
+        .agg(sum("_na").as("_sa"), sum("_nb").as("_sb")).collect()
+        .map(r => (r.getInt(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2)))
+        .sortBy(_._1)
+      val ta = rows.map(_._2).sum
+      val tb = rows.map(_._3).sum
+      require(ta > 0 && tb > 0,
+        s"cvmStatistic requires two non-empty samples (n_a=$ta, n_b=$tb)")
+      require(BigInt(ta) * BigInt(tb) * BigInt(ta) * BigInt(tb) *
+          BigInt(ta + tb) < BigInt(10).pow(38),
+        s"cvmStatistic exactness bound exceeded ((n·m)²·N ≥ 1e38 at " +
+          s"n=$ta, m=$tb) — subsample first")
+      def offsetExpr(sums: Array[(Int, Long)]): Column = {
+        val offs = sums.scanLeft((0, 0L)) {
+          case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
+        }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }
+        offs.foldLeft(lit(0L)) { case (e, (bkt, off)) =>
+          when(col("_bkt") === bkt, lit(off)).otherwise(e)
+        }
+      }
+      val w = Window.partitionBy("_bkt").orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val micro = v.withColumn("_bkt", bucketExpr)
+        .withColumn("_ca", sum("_na").over(w) +
+          offsetExpr(rows.map(t => (t._1, t._2))))
+        .withColumn("_cb", sum("_nb").over(w) +
+          offsetExpr(rows.map(t => (t._1, t._3))))
+        .select(((col("_na") + col("_nb")).cast("decimal(38,0)") *
+          (col("_ca") * lit(tb) - col("_cb") * lit(ta))
+            .cast("decimal(38,0)") *
+          (col("_ca") * lit(tb) - col("_cb") * lit(ta))
+            .cast("decimal(38,0)")).as("_t"))
+        .agg(coalesce(sum("_t"), lit(0).cast("decimal(38,0)")).as("_s"))
+        .select(expr(
+          s"""CAST(_s * 1000000 div
+             (CAST(${ta + tb} AS DECIMAL(38,0)) * ${ta + tb}
+              * ${ta}L * ${tb}L) AS BIGINT)""").as("cvm_micro"))
+        .collect()(0).getLong(0)
+      import ss.implicits._
+      Seq((ta, tb, micro)).toDF("n_a", "n_b", "cvm_micro")
+    } finally v.unpersist(false)
+  }
+
   /** Empirical-CDF calibration — WHERE a shifted distribution sits,
     * not just that it shifted (the localization complement to
     * [[ksStatistic]]'s single supremum): every distinct value of the

@@ -92,6 +92,40 @@ object Eval {
           .as("f1_micro"))
   }
 
+  /** Brier score over MICRO-integer probabilities — the proper-scoring
+    * summary [[calibrationBins]] visualizes: mean squared error of the
+    * forecast against the 0/1 outcome. Probabilities arrive as exact
+    * integers in [0, 10⁶] (the house fixed-point convention — a
+    * double-prob column would make the cross-engine sum
+    * order-dependent); out-of-range values raise in-plan. The
+    * decomposition consumers want next (reliability/resolution) is
+    * exactly [[calibrationBins]]' frame.
+    *
+    *   brier_micro = ⌊Σ (p_micro − y·10⁶)² / (n·10⁶)⌋
+    *
+    * ONE fused aggregate, squares in DECIMAL(38,0). Null prob/label
+    * rows drop (the mcnemar convention). Returns ONE row:
+    * (n, n_pos, brier_micro). */
+  def brierScore(df: DataFrame, probMicroCol: String,
+                 labelCol: String): DataFrame = {
+    val p0 = col(probMicroCol).cast("long")
+    val p = when(p0 < 0L || p0 > 1000000L, raise_error(concat(
+        lit(s"brierScore: `$probMicroCol` out of [0, 1e6]: "),
+        p0.cast("string")))).otherwise(p0)
+    val y = col(labelCol)
+    df.filter(p0.isNotNull && y.isNotNull)
+      .select((p - when(y, 1000000L).otherwise(0L)).as("_d"),
+        when(y, 1L).otherwise(0L).as("_y"))
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
+        coalesce(sum((col("_d") * col("_d")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("_s2"))
+      .select(col("n"), col("n_pos"),
+        when(col("n") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(_s2 div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)"))
+          .as("brier_micro"))
+  }
+
   /** Decile lift table — the campaign/ranking-model report beside
     * [[calibrationBins]]' reliability view: rows ranked by score
     * (score DESC, id ASC — the total order that makes ties

@@ -313,4 +313,20 @@ class DriftSpec extends SparkSpec {
     assert(Drift.cusumChangepoints(withNull, "g", "id", "ts", "v",
       0L, 1000000L, 5000000L).count() == 10L)
   }
+
+  test("cvmStatistic: exact pooled squared-CDF distance") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0).toDF("v")
+    val b = Seq(2.0, 3.0).toDF("v")
+    val r = graft.operators.Drift.cvmStatistic(a, b, "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    // values 1,2,3: w·(ca·m−cb·n)² = 4 + 8 + 0 = 12; 12/64 = 0.1875
+    assert(r.getLong(2) == 187500L, s"cvm: ${r.getLong(2)}")
+    // identical samples: zero
+    assert(graft.operators.Drift.cvmStatistic(a, a, "v")
+      .collect().head.getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Drift.cvmStatistic(a, b.limit(0), "v")
+    }
+  }
 }

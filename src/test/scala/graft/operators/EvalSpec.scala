@@ -333,4 +333,16 @@ class EvalSpec extends SparkSpec {
     assert(got(1L) == ((2L, 1L, 500000L, 4L, 3L, 2500000L)))
     assert(got(4L)._6 == 1000000L, "full-table lift is exactly 1")
   }
+
+  test("brierScore: exact micro squared error; range guard") {
+    import spark.implicits._
+    val df = Seq((1000000L, Some(true)), (0L, Some(true)),
+      (500000L, Some(false)), (700000L, None)).toDF("p", "y")
+    val r = Eval.brierScore(df, "p", "y").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    // (0 + 1e12 + 2.5e11) / 3e6 = 416666
+    assert(r.getLong(2) == 416666L, s"brier: ${r.getLong(2)}")
+    val bad = Seq((2000000L, true)).toDF("p", "y")
+    intercept[Exception] { Eval.brierScore(bad, "p", "y").collect() }
+  }
 }
