@@ -3023,7 +3023,28 @@ object SparkEntry {
         withC.select(col("doc_id"), col("canonical")), "canonical")
         .select("doc_id", "canonical", "split")
         .orderBy("doc_id")
-    })
+    }),
+    // ---- multiclass P/R/F1 over a perturbed language prediction:
+    //      a pred-only class ('xx'), a null-label lane, per-class
+    //      exact micros. ----
+    "q260_multiclass_prf" -> ((s, dir) =>
+      Eval.multiclassPrf(
+        t(s, dir, "documents").select(
+          when(col("doc_id") % 31 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("l"),
+          when(col("doc_id") % 10 === 0, lit("xx"))
+            .otherwise(col("lang")).as("pr")),
+        "l", "pr")),
+    // ---- quadratic-weighted kappa over deterministic 0–4 ordinal
+    //      ratings with 1-off and 2-off disagreement lanes. ----
+    "q261_weighted_kappa" -> ((s, dir) =>
+      Eval.weightedKappa(
+        t(s, dir, "documents").select(
+          (col("doc_id") % 5).as("ra"),
+          when(col("doc_id") % 7 === 0, (col("doc_id") % 5 + 2) % 5)
+            .when(col("doc_id") % 3 === 0, (col("doc_id") % 5 + 1) % 5)
+            .otherwise(col("doc_id") % 5).as("rb")),
+        "ra", "rb"))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7263,7 +7284,59 @@ SELECT doc_id, canonical,
        WHEN $bucket < 90 THEN 'validation'
        ELSE 'test' END AS split
 FROM c ORDER BY doc_id"""
-    }
+    },
+    // q260: (label, pred) cells → marginals → full-outer class axis;
+    // F1 by the denominator-cleared 2tp/(n_true+n_pred).
+    "q260_multiclass_prf" ->
+      """WITH p AS (SELECT
+  CASE WHEN doc_id % 31 = 0 THEN NULL ELSE lang END AS l,
+  CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS pr
+  FROM documents),
+cells AS (SELECT l, pr, CAST(count(*) AS BIGINT) AS n FROM p
+  WHERE l IS NOT NULL AND pr IS NOT NULL GROUP BY 1, 2),
+lt AS (SELECT l AS class, CAST(sum(n) AS BIGINT) AS n_true
+  FROM cells GROUP BY 1),
+pt AS (SELECT pr AS class, CAST(sum(n) AS BIGINT) AS n_pred
+  FROM cells GROUP BY 1),
+dg AS (SELECT l AS class, n AS tp FROM cells WHERE l = pr),
+j AS (SELECT class, coalesce(n_true, 0) AS n_true,
+    coalesce(n_pred, 0) AS n_pred
+  FROM lt FULL JOIN pt USING (class))
+SELECT j.class, j.n_true, j.n_pred, coalesce(dg.tp, 0) AS tp,
+  CAST(CASE WHEN j.n_pred = 0 THEN NULL
+    ELSE coalesce(dg.tp, 0) * 1000000 // j.n_pred END AS BIGINT)
+    AS precision_micro,
+  CAST(CASE WHEN j.n_true = 0 THEN NULL
+    ELSE coalesce(dg.tp, 0) * 1000000 // j.n_true END AS BIGINT)
+    AS recall_micro,
+  CAST(CASE WHEN j.n_true + j.n_pred = 0 THEN NULL
+    ELSE 2 * coalesce(dg.tp, 0) * 1000000 // (j.n_true + j.n_pred)
+    END AS BIGINT) AS f1_micro
+FROM j LEFT JOIN dg USING (class) ORDER BY class""",
+    // q261: observed cells and marginal products weighted by (i−j)²,
+    // the denominator-cleared κ_w in HUGEINT.
+    "q261_weighted_kappa" ->
+      """WITH r AS (SELECT doc_id % 5 AS a,
+  CASE WHEN doc_id % 7 = 0 THEN (doc_id % 5 + 2) % 5
+       WHEN doc_id % 3 = 0 THEN (doc_id % 5 + 1) % 5
+       ELSE doc_id % 5 END AS b FROM documents),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM r
+  GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+swo AS (SELECT coalesce(sum(CAST((a - b) * (a - b) AS HUGEINT) * n),
+  CAST(0 AS HUGEINT)) AS v FROM cells),
+swe AS (SELECT coalesce(sum(CAST((ra.a - cb.b) * (ra.a - cb.b)
+    AS HUGEINT) * ra.rn * cb.cn), CAST(0 AS HUGEINT)) AS v
+  FROM ra CROSS JOIN cb),
+k AS (SELECT CAST(count(*) AS BIGINT) AS n_categories FROM
+  (SELECT a AS c FROM ra UNION SELECT b FROM cb))
+SELECT t.nt AS n_items, k.n_categories,
+  CAST(CASE WHEN swe.v = 0 THEN 1000000
+    ELSE (swe.v - CAST(t.nt AS HUGEINT) * swo.v) * 1000000 // swe.v
+    END AS BIGINT) AS kappa_w_micro
+FROM t CROSS JOIN k CROSS JOIN swo CROSS JOIN swe"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

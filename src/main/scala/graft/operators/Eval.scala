@@ -92,6 +92,117 @@ object Eval {
           .as("f1_micro"))
   }
 
+  /** Multiclass precision/recall/F1 — [[confusionAtThreshold]]'s
+    * k-class generalization: per class c, precision = tp/|pred = c|,
+    * recall = tp/|label = c|, F1 = 2·tp/(|pred=c| + |label=c|) (the
+    * denominator-cleared identity — no P·R float ever forms), all in
+    * exact floor micros. Classes are the union of observed labels and
+    * predictions (a class predicted but never true gets precision
+    * against its prediction count and null recall; the reverse gets
+    * null precision). Null label or prediction drops the row.
+    *
+    * Shape: ONE (label, pred) cell aggregate (localCheckpoint — the
+    * marginals and the diagonal all read it), two |classes|-sized
+    * re-aggregates, a full-outer class join. Returns one row per
+    * class: (class — string render, n_true, n_pred, tp,
+    * precision_micro, recall_micro, f1_micro), ordered by class. */
+  def multiclassPrf(df: DataFrame, labelCol: String,
+                    predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).cast("string").as("_l"),
+        col(predCol).cast("string").as("_p"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    val labTot = cells.groupBy(col("_l").as("class"))
+      .agg(sum("_n").as("n_true"))
+    val predTot = cells.groupBy(col("_p").as("class"))
+      .agg(sum("_n").as("n_pred"))
+    val diag = cells.filter(col("_l") === col("_p"))
+      .select(col("_l").as("class"), col("_n").as("tp"))
+    labTot.join(predTot, Seq("class"), "full_outer")
+      .join(diag, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("class"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") === 0L, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div n_pred"))
+          .as("precision_micro"),
+        when(col("n_true") === 0L, lit(null).cast("long"))
+          .otherwise(expr("tp * 1000000 div n_true"))
+          .as("recall_micro"),
+        when(col("n_true") + col("n_pred") === 0L,
+            lit(null).cast("long"))
+          .otherwise(expr("2 * tp * 1000000 div (n_true + n_pred)"))
+          .as("f1_micro"))
+      .orderBy("class")
+  }
+
+  /** Quadratic-weighted kappa (Cohen 1968) — the ordinal-rating
+    * agreement statistic (essay scores, Likert labels): disagreement
+    * between ratings i and j costs (i−j)², so a 1-off disagreement
+    * is mild and a 4-off one severe — the statistic every
+    * human-vs-model essay-scoring eval reports. Requires INTEGRAL
+    * rating columns (the distance is arithmetic, not categorical —
+    * [[cohensKappa]] is the nominal version).
+    *
+    * Denominator-cleared exact rational:
+    *   κ_w·10⁶ = ⌊(ΣwE − n·ΣwO)·10⁶ div ΣwE⌋,
+    * ΣwO = Σ_ij (i−j)²·O_ij (observed cells), ΣwE = Σ_ij
+    * (i−j)²·r_i·c_j (marginal products) — every term DECIMAL(38,0)
+    * (the cohensKappa lesson). Degenerate ΣwE = 0 (both raters
+    * constant and identical) reports 10⁶. Null-rated rows drop.
+    *
+    * Shape: one (a, b) cell aggregate (localCheckpoint), two
+    * |categories|-sized marginals, a cells-sized weighted fold plus a
+    * marginal-pair fold (|cats|² rows — category counts are small by
+    * definition of an ordinal scale). Returns ONE row: (n_items,
+    * n_categories, kappa_w_micro). */
+  def weightedKappa(df: DataFrame, aCol: String,
+                    bCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integral = Seq(aCol, bCol).forall(c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    require(integral,
+      s"weightedKappa needs integral rating columns; got " +
+        s"${df.schema(aCol).dataType.simpleString} / " +
+        s"${df.schema(bCol).dataType.simpleString}")
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("long").as("_a"),
+        col(bCol).cast("long").as("_b"))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    val ra = cells.groupBy(col("_a")).agg(sum("_n").as("_ra"))
+    val cb = cells.groupBy(col("_b")).agg(sum("_n").as("_cb"))
+    val n = cells.agg(coalesce(sum("_n"), lit(0L)).as("_t"))
+    val cats = ra.select(col("_a").as("_c"))
+      .unionByName(cb.select(col("_b").as("_c"))).distinct()
+      .agg(count(lit(1)).as("n_categories"))
+    val swo = cells.agg(coalesce(
+      sum(((col("_a") - col("_b")) * (col("_a") - col("_b")))
+        .cast("decimal(38,0)") * col("_n")),
+      lit(0).cast("decimal(38,0)")).as("_swo"))
+    val swe = ra.crossJoin(cb)
+      .agg(coalesce(
+        sum(((col("_a") - col("_b")) * (col("_a") - col("_b")))
+          .cast("decimal(38,0)") * col("_ra") * col("_cb")),
+        lit(0).cast("decimal(38,0)")).as("_swe"))
+    n.crossJoin(broadcast(cats)).crossJoin(broadcast(swo))
+      .crossJoin(broadcast(swe))
+      .select(col("_t").as("n_items"), col("n_categories"),
+        when(col("_swe") === 0, lit(1000000L))
+          .otherwise(expr(
+            """CAST((_swe - CAST(_t AS DECIMAL(38,0)) * _swo)
+               * 1000000 div _swe AS BIGINT)"""))
+          .as("kappa_w_micro"))
+  }
+
   /** Brier score over MICRO-integer probabilities — the proper-scoring
     * summary [[calibrationBins]] visualizes: mean squared error of the
     * forecast against the 0/1 outcome. Probabilities arrive as exact

@@ -345,4 +345,50 @@ class EvalSpec extends SparkSpec {
     val bad = Seq((2000000L, true)).toDF("p", "y")
     intercept[Exception] { Eval.brierScore(bad, "p", "y").collect() }
   }
+
+  test("multiclassPrf: per-class cells, pred-only and label-only classes") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),   // a: tp 2, fn 1
+      ("b", "b"), ("b", "c"),               // b: tp 1 (+fp 1 from a)
+      ("d", "a"),                           // label-only class d
+      (null.asInstanceOf[String], "a")      // dropped
+    ).toDF("l", "p")
+    val got = Eval.multiclassPrf(df, "l", "p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    // a: n_true 3, n_pred 4 (2 tp + 1 from b? no: preds of a: rows
+    // (a,a)x2, (d,a) -> 3), tp 2
+    assert(got("a") == ((3L, 3L, 2L, 666666L, 666666L, 666666L)),
+      s"a: ${got("a")}")
+    assert(got("b") == ((2L, 2L, 1L, 500000L, 500000L, 500000L)))
+    // c: pred-only -> null recall; d: label-only -> null precision
+    assert(got("c") == ((0L, 1L, 0L, 0L, -1L, 0L)))
+    assert(got("d") == ((1L, 0L, 0L, -1L, 0L, 0L)))
+  }
+
+  test("weightedKappa: quadratic weights, perfect and degenerate cases") {
+    import spark.implicits._
+    // perfect agreement -> 1e6
+    val same = Seq((1, 1), (2, 2), (3, 3)).toDF("a", "b")
+    assert(Eval.weightedKappa(same, "a", "b")
+      .collect().head.getLong(2) == 1000000L)
+    // hand case: pairs (0,0), (0,2), (2,2), (2,0)
+    // ΣwO = 4 + 4 = 8 (two 2-off disagreements); marginals r = c =
+    // {0:2, 2:2}; ΣwE = Σ (i-j)²·r_i·c_j = 4·(2·2) + 4·(2·2) = 32
+    // κ = (32 - 4·8)/32 = 0
+    val h = Seq((0, 0), (0, 2), (2, 2), (2, 0)).toDF("a", "b")
+    val r = Eval.weightedKappa(h, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 0L)))
+    // constant identical raters: degenerate -> 1e6
+    val const = Seq((1, 1), (1, 1)).toDF("a", "b")
+    assert(Eval.weightedKappa(const, "a", "b")
+      .collect().head.getLong(2) == 1000000L)
+    intercept[IllegalArgumentException] {
+      Eval.weightedKappa(Seq(("x", "y")).toDF("a", "b"), "a", "b")
+    }
+  }
 }
