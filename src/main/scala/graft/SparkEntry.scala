@@ -3044,7 +3044,33 @@ object SparkEntry {
           when(col("doc_id") % 7 === 0, (col("doc_id") % 5 + 2) % 5)
             .when(col("doc_id") % 3 === 0, (col("doc_id") % 5 + 1) % 5)
             .otherwise(col("doc_id") % 5).as("rb")),
-        "ra", "rb"))
+        "ra", "rb")),
+    // ---- Cochran's Q across three deterministic models on the same
+    //      items — the k-model omnibus before pairwise McNemars. ----
+    "q262_cochran_q" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        explode(array(
+          struct(lit("m0").as("m"), (col("doc_id") % 3 =!= 0).as("p")),
+          struct(lit("m1").as("m"), (col("doc_id") % 4 =!= 1).as("p")),
+          struct(lit("m2").as("m"), (col("doc_id") % 5 < 3).as("p"))))
+          .as("_e"))
+        .select(col("doc_id"), col("_e.m").as("model"),
+          col("_e.p").as("passed"))
+      Eval.cochranQ(d, "doc_id", "model", "passed")
+    }),
+    // ---- truncated RBO@10 between two arithmetic rankings per
+    //      query — shared geometric-weight micro literals. ----
+    "q263_rbo" -> ((s, dir) => {
+      val q = t(s, dir, "documents").filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query"))
+      def rk(mult: Int) = q
+        .select(col("query"),
+          explode(expr("sequence(1, 10)")).as("rank"))
+        .withColumn("item",
+          (col("query") * 13 + col("rank") * mult) % 50)
+      graft.operators.Retrieval.rankBiasedOverlap(
+        rk(7), rk(11), "query", "item", "rank", k = 10)
+    })
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7336,7 +7362,54 @@ SELECT t.nt AS n_items, k.n_categories,
   CAST(CASE WHEN swe.v = 0 THEN 1000000
     ELSE (swe.v - CAST(t.nt AS HUGEINT) * swo.v) * 1000000 // swe.v
     END AS BIGINT) AS kappa_w_micro
-FROM t CROSS JOIN k CROSS JOIN swo CROSS JOIN swe"""
+FROM t CROSS JOIN k CROSS JOIN swo CROSS JOIN swe""",
+    // q262: per-item and per-model folds, the denominator-cleared
+    // Q in HUGEINT.
+    "q262_cochran_q" ->
+      """WITH r AS (
+  SELECT doc_id, 'm0' AS model, doc_id % 3 <> 0 AS p FROM documents
+  UNION ALL SELECT doc_id, 'm1', doc_id % 4 <> 1 FROM documents
+  UNION ALL SELECT doc_id, 'm2', doc_id % 5 < 3 FROM documents),
+ri AS (SELECT doc_id, CAST(sum(CASE WHEN p THEN 1 ELSE 0 END)
+    AS BIGINT) AS rr FROM r GROUP BY 1),
+f AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(rr) AS HUGEINT) AS s,
+  sum(CAST(rr AS HUGEINT) * rr) AS r2 FROM ri),
+tj AS (SELECT model, CAST(sum(CASE WHEN p THEN 1 ELSE 0 END)
+    AS BIGINT) AS t FROM r GROUP BY 1),
+num AS (SELECT sum((3 * CAST(t AS HUGEINT) - f.s)
+    * (3 * CAST(t AS HUGEINT) - f.s)) AS v FROM tj CROSS JOIN f)
+SELECT f.n_items, CAST(3 AS BIGINT) AS n_models,
+  CAST(CASE WHEN 3 * (3 * f.s - f.r2) = 0 THEN NULL
+    ELSE 2 * num.v * 1000000 // (3 * (3 * f.s - f.r2)) END
+    AS BIGINT) AS q_micro
+FROM f CROSS JOIN num""",
+    // q263: the shared rboWeightsMicro literals, depth explode,
+    // per-depth floor terms.
+    "q263_rbo" -> {
+      val w = graft.operators.Retrieval.rboWeightsMicro(10, 900000L)
+      val terms = (1 to 10).map(d =>
+        s"WHEN d = $d THEN (${w(d - 1)} * ovl) // $d")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH q AS (SELECT doc_id AS query FROM documents
+  WHERE doc_id < 5),
+rk AS (SELECT query, unnest(range(1, 11)) AS rank FROM q),
+a AS (SELECT query, rank, (query * 13 + rank * 7) % 50 AS item
+  FROM rk),
+b AS (SELECT query, rank, (query * 13 + rank * 11) % 50 AS item
+  FROM rk),
+m AS (SELECT a.query, greatest(a.rank, b.rank) AS mm
+  FROM a JOIN b USING (query, item)),
+dep AS (SELECT query, unnest(range(mm, 11)) AS d FROM m),
+ov AS (SELECT query, d, CAST(count(*) AS BIGINT) AS ovl FROM dep
+  GROUP BY 1, 2),
+pq AS (SELECT query,
+  max(CASE WHEN d = 10 THEN ovl END) AS n_common,
+  CAST(sum($terms) AS BIGINT) AS rbo FROM ov GROUP BY 1)
+SELECT q.query, coalesce(pq.n_common, 0) AS n_common,
+  coalesce(pq.rbo, 0) AS rbo_micro
+FROM q LEFT JOIN pq USING (query) ORDER BY query"""
+    }
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -92,6 +92,66 @@ object Eval {
           .as("f1_micro"))
   }
 
+  /** Cochran's Q (Cochran 1950) — [[mcnemar]]'s k-model extension:
+    * did ANY of k models' per-item pass rates differ, on the same
+    * items, before pairwise McNemars localize which? With per-model
+    * totals T_j, per-item totals R_i and S = ΣR_i, the χ²(k−1)
+    * statistic in denominator-cleared exact form:
+    *
+    *   Q·10⁶ = ⌊(k−1)·Σ_j(k·T_j − S)²·10⁶ div (k·(k·S − ΣR_i²))⌋
+    *
+    * (the Σ(T_j − S/k)² numerator cleared of its /k² against the
+    * classic k(k−1) prefactor). Every product rides DECIMAL(38,0).
+    * The design must be a COMPLETE block — every item rated by all k
+    * models exactly once — enforced by an in-plan raise_error (the
+    * krippendorffAlpha convention). Degenerate denominator (every
+    * item passed by all models or none) → null.
+    *
+    * Shape: one (item) aggregate for R_i, one (model) aggregate for
+    * T_j, two tiny folds. Returns ONE row: (n_items, n_models,
+    * q_micro). */
+  def cochranQ(df: DataFrame, itemCol: String, modelCol: String,
+               passedCol: String): DataFrame = {
+    val rated = df.filter(col(itemCol).isNotNull &&
+      col(modelCol).isNotNull && col(passedCol).isNotNull)
+    val perItem = rated.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("_k"),
+        sum(when(col(passedCol), 1L).otherwise(0L)).as("_r"))
+    val itemFold = perItem.agg(
+      count(lit(1)).as("n_items"),
+      min("_k").as("_kmin"), max("_k").as("_kmax"),
+      coalesce(sum("_r"), lit(0L)).as("_s"),
+      coalesce(sum((col("_r") * col("_r")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("_r2"))
+      .select(col("n_items"),
+        when(col("_kmin") =!= col("_kmax"), raise_error(concat(
+          lit("cochranQ requires a complete block: per-item model "),
+          lit("counts range "), col("_kmin").cast("string"),
+          lit(".."), col("_kmax").cast("string"))))
+          .otherwise(col("_kmax")).as("n_models"),
+        col("_s"), col("_r2"))
+    val tj = rated.groupBy(col(modelCol))
+      .agg(sum(when(col(passedCol), 1L).otherwise(0L)).as("_t"))
+    tj.crossJoin(broadcast(itemFold))
+      .select(col("n_items"), col("n_models"), col("_s"), col("_r2"),
+        ((col("n_models") * col("_t") - col("_s"))
+          .cast("decimal(38,0)") *
+          (col("n_models") * col("_t") - col("_s"))
+            .cast("decimal(38,0)")).as("_num1"))
+      .groupBy("n_items", "n_models", "_s", "_r2")
+      .agg(coalesce(sum("_num1"), lit(0).cast("decimal(38,0)"))
+        .as("_num"))
+      .select(col("n_items"), col("n_models"),
+        when(expr("""CAST(n_models AS DECIMAL(38,0))
+              * (n_models * _s - _r2)""") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((n_models - 1) * _num * 1000000 div
+               (CAST(n_models AS DECIMAL(38,0))
+                * (n_models * _s - _r2)) AS BIGINT)"""))
+          .as("q_micro"))
+  }
+
   /** Multiclass precision/recall/F1 — [[confusionAtThreshold]]'s
     * k-class generalization: per class c, precision = tp/|pred = c|,
     * recall = tp/|label = c|, F1 = 2·tp/(|pred=c| + |label=c|) (the

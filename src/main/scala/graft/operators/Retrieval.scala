@@ -280,4 +280,77 @@ object Retrieval {
           .as("recall_micro"))
       .orderBy(queryCol)
   }
+
+  /** Per-depth RBO weight literals ⌊10⁶·(1−p)·p^(d−1)⌋ for d = 1..k,
+    * with p given in micros (p = pMicro/10⁶ — a RATIONAL, so the
+    * powers are exact in BigDecimal before the one floor). The ONE
+    * source of truth for [[rankBiasedOverlap]] and its SQL oracle —
+    * the [[ndcgDiscountsMicro]] convention. */
+  def rboWeightsMicro(k: Int, pMicro: Long): Seq[Long] = {
+    val p = BigDecimal(pMicro) / BigDecimal(1000000L)
+    (1 to k).map(d =>
+      ((BigDecimal(1) - p) * p.pow(d - 1) * BigDecimal(1000000L))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+  }
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010) —
+    * how much do two RANKERS agree, top-weighted: RBO@k =
+    * Σ_{d=1..k} w_d·(|S_{1:d} ∩ T_{1:d}|/d) with geometric weights
+    * w_d = (1−p)·p^(d−1). The ranking-similarity number an A/B of
+    * two retrieval stacks ([[bm25TopK]] vs an embedding index, or a
+    * re-rank before/after) reports per query. Exact-integer form:
+    * weights are the shared micro literals ([[rboWeightsMicro]]);
+    * each depth contributes ⌊w_d·overlap_d / d⌋ micros; this is the
+    * TRUNCATED RBO (no extrapolation residual — the honest
+    * prefix-evidence number; p in micros keeps it rational).
+    *
+    * Inputs are two ranking frames (queryCol, itemCol, rankCol with
+    * ranks in [1, k] — range-guarded in-plan; one item per rank per
+    * query is the caller's contract). An item in both
+    * rankings enters the overlap at depth max(rank_a, rank_b);
+    * overlap_d follows by exploding each match to the depths it
+    * contributes to (≤ k rows per match — k is a parameter, not
+    * data). One equi-join + one bounded explode + one per-query
+    * aggregate. Returns (queryCol, n_common, rbo_micro), ordered by
+    * query; queries present in either frame report (missing side =
+    * zero overlap). */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, queryCol: String,
+                        itemCol: String, rankCol: String, k: Int,
+                        pMicro: Long = 900000L): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000]: $k")
+    require(pMicro >= 1 && pMicro <= 999999,
+      s"pMicro must be in [1, 999999]: $pMicro")
+    val w = rboWeightsMicro(k, pMicro)
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val r = col(rankCol).cast("long")
+      df.select(col(queryCol).as("_q"), col(itemCol).as("_i"),
+        when(r.isNull || r < 1L || r > k, raise_error(concat(
+          lit(s"rankBiasedOverlap: rank out of [1, $k]: "),
+          r.cast("string")))).otherwise(r).as(s"_r$tag"))
+    }
+    val joined = side(a, "a").join(side(b, "b"), Seq("_q", "_i"))
+      .select(col("_q"), greatest(col("_ra"), col("_rb")).as("_m"))
+    // depth explode: a match at depth m contributes overlap 1 to
+    // every d in [m, k]; the weighted term divides by d
+    val termByDepth = (1 to k).map(d =>
+      s"WHEN d = $d THEN (${w(d - 1)}L * _ov) div ${d}L")
+      .mkString("CASE ", " ", " ELSE 0L END")
+    val queries = a.select(col(queryCol).as("_q"))
+      .unionByName(b.select(col(queryCol).as("_q"))).distinct()
+    val perDepth = joined
+      .select(col("_q"), explode(expr(s"sequence(int(_m), $k)"))
+        .as("d"))
+      .groupBy("_q", "d")
+      .agg(count(lit(1)).as("_ov"))
+    val perQuery = perDepth
+      .groupBy("_q")
+      .agg(coalesce(max(when(col("d") === k, col("_ov"))), lit(0L))
+          .as("n_common"),
+        coalesce(sum(expr(termByDepth)), lit(0L)).as("rbo_micro"))
+    queries.join(perQuery, Seq("_q"), "left")
+      .select(col("_q").as(queryCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
+      .orderBy(queryCol)
+  }
 }

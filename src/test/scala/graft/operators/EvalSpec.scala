@@ -391,4 +391,29 @@ class EvalSpec extends SparkSpec {
       Eval.weightedKappa(Seq(("x", "y")).toDF("a", "b"), "a", "b")
     }
   }
+
+  test("cochranQ: omnibus k-model statistic; complete-block guard") {
+    import spark.implicits._
+    // 4 items x 3 models: m0 passes all, m1 none, m2 half
+    val rows = for (i <- 1L to 4L; (m, p) <- Seq(
+      ("m0", true), ("m1", false), ("m2", i <= 2))) yield (i, m, p)
+    val r = Eval.cochranQ(rows.toDF("item", "model", "passed"),
+      "item", "model", "passed").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    // T = (4, 0, 2), S = 6, R_i = (2,2,1,1), ΣR² = 10
+    // num = Σ(3T−6)² = 36 + 36 + 0 = 72; den = 3·(18−10) = 24
+    // Q = 2·72/24 = 6 → 6e6
+    assert(r.getLong(2) == 6000000L, s"q: ${r.getLong(2)}")
+    // degenerate: all pass everywhere -> null
+    val allp = (for (i <- 1L to 3L; m <- Seq("a", "b")) yield
+      (i, m, true)).toDF("item", "model", "passed")
+    assert(Eval.cochranQ(allp, "item", "model", "passed")
+      .collect().head.isNullAt(2))
+    // incomplete block raises
+    val incomplete = Seq((1L, "a", true), (1L, "b", true),
+      (2L, "a", false)).toDF("item", "model", "passed")
+    intercept[Exception] {
+      Eval.cochranQ(incomplete, "item", "model", "passed").collect()
+    }
+  }
 }

@@ -154,4 +154,34 @@ class RetrievalSpec extends SparkSpec {
     assert(ex2.getMessage.contains("negative relevance") ||
       Option(ex2.getCause).exists(_.getMessage.contains("negative relevance")))
   }
+
+  test("rankBiasedOverlap: identical, disjoint and partial rankings") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val a = (1 to 3).map(r => ("q1", s"i$r", r)).toDF("q", "item", "rank")
+    // identical rankings: overlap_d = d at every depth -> Σ w_d
+    val same = Retrieval.rankBiasedOverlap(a, a, "q", "item", "rank",
+      k = 3, pMicro = 500000L).collect().head
+    val w = Retrieval.rboWeightsMicro(3, 500000L)
+    assert(same.getLong(1) == 3L)
+    assert(same.getLong(2) == w.sum, s"${same.getLong(2)} vs ${w.sum}")
+    // disjoint: zero
+    val b = (1 to 3).map(r => ("q1", s"j$r", r)).toDF("q", "item", "rank")
+    val dis = Retrieval.rankBiasedOverlap(a, b, "q", "item", "rank",
+      k = 3, pMicro = 500000L).collect().head
+    assert(dis.getLong(1) == 0L && dis.getLong(2) == 0L)
+    // partial: only i1 shared, at rank 1 both -> overlap 1 at d=1,2,3
+    val c = Seq(("q1", "i1", 1), ("q1", "x2", 2), ("q1", "x3", 3))
+      .toDF("q", "item", "rank")
+    val par = Retrieval.rankBiasedOverlap(a, c, "q", "item", "rank",
+      k = 3, pMicro = 500000L).collect().head
+    val exp = w(0) / 1 + w(1) / 2 + w(2) / 3
+    assert(par.getLong(1) == 1L && par.getLong(2) == exp)
+    // rank out of range raises
+    intercept[Exception] {
+      Retrieval.rankBiasedOverlap(
+        Seq(("q1", "i1", 9)).toDF("q", "item", "rank"), a,
+        "q", "item", "rank", k = 3).collect()
+    }
+  }
 }
