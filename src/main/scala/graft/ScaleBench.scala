@@ -128,7 +128,11 @@ object ScaleBench {
     // the 10×-vertex planted graph), and common-neighbor wedges
     // (q244 — wedge volume linear here: cluster structure is constant,
     // only cluster COUNT grows)
-    "q239_sentence_span_dedup", "q240_k_core", "q244_common_neighbors")
+    "q239_sentence_span_dedup", "q240_k_core", "q244_common_neighbors",
+    // winnow overlap clusters (q216 — edge output grows 10× by
+    // replica-shard construction, the documented output-bound input;
+    // the pointer-jumped CC on top is sublinear per edge)
+    "q216_winnow_clusters")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per

@@ -3010,9 +3010,10 @@ object SparkEntry {
           ((col("doc_id") * 37) % 101 * 10000).as("p_micro"),
           (col("doc_id") % 3 === 0).as("y")),
         "p_micro", "y")),
-    // ---- leakage-safe split (composition gate): exact-dup canonical
-    //      id per doc, then the q44 hash split keyed on the CANONICAL
-    //      — replicas of one text can never straddle train/test. ----
+    // ---- leakage-safe split, EXACT-digest twin of q155 (which keys
+    //      on the q49 near-dup component): canonical = min doc id per
+    //      md5(text) group, then the q44 hash split keyed on it — the
+    //      cheap no-LSH variant when only verbatim replicas matter. ----
     "q259_leakage_safe_split" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val canon = d.groupBy(md5(col("text")).as("_d"))
