@@ -3071,6 +3071,21 @@ object SparkEntry {
           (col("query") * 13 + col("rank") * mult) % 50)
       graft.operators.Retrieval.rankBiasedOverlap(
         rk(7), rk(11), "query", "item", "rank", k = 10)
+    }),
+    // ---- 3-truss of the q225 planted graph: synchronous edge peel
+    //      by triangle support for 5 rounds, in-truss support
+    //      recomputed over the survivors. ----
+    "q264_k_truss" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val intra = d.select(col("doc_id").as("src"), explode(array(
+        expr("(doc_id div 25) * 25 + (doc_id * 7 + 1) % 25"),
+        expr("(doc_id div 25) * 25 + (doc_id * 13 + 5) % 25"))).as("dst"))
+      val cross = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 25) % m).as("dst"))
+      graft.operators.Graph.kTruss(
+        intra.unionByName(cross), "src", "dst", k = 3, iterations = 5)
     })
   )
 
@@ -7410,6 +7425,33 @@ pq AS (SELECT query,
 SELECT q.query, coalesce(pq.n_common, 0) AS n_common,
   coalesce(pq.rbo, 0) AS rbo_micro
 FROM q LEFT JOIN pq USING (query) ORDER BY query"""
+    },
+    // q264: the q225 graph CTEs, 5 unrolled peel rounds (sym +
+    // wedge-join support + filter), survivors' in-truss support.
+    "q264_k_truss" -> {
+      def round(i: Int): String =
+        s"""sym$i AS MATERIALIZED (SELECT a AS src, b AS dst FROM e$i
+  UNION ALL SELECT b, a FROM e$i),
+sup$i AS MATERIALIZED (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS c
+  FROM e$i e JOIN sym$i s1 ON s1.src = e.a
+  JOIN sym$i s2 ON s2.src = e.b AND s2.dst = s1.dst
+  GROUP BY e.a, e.b),
+e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+  JOIN sup$i s ON s.a = e.a AND s.b = e.b WHERE s.c >= 1)"""
+      val rounds = (0 until 5).map(round).mkString(",\n")
+      s"""WITH $lpaGraphCtes,
+e0 AS MATERIALIZED (SELECT least(src, dst) AS a,
+  greatest(src, dst) AS b FROM half GROUP BY 1, 2),
+$rounds,
+symF AS MATERIALIZED (SELECT a AS src, b AS dst FROM e5
+  UNION ALL SELECT b, a FROM e5),
+supF AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS c
+  FROM e5 e JOIN symF s1 ON s1.src = e.a
+  JOIN symF s2 ON s2.src = e.b AND s2.dst = s1.dst
+  GROUP BY e.a, e.b)
+SELECT e.a AS id_a, e.b AS id_b, coalesce(s.c, 0) AS support
+FROM e5 e LEFT JOIN supF s ON s.a = e.a AND s.b = e.b
+ORDER BY id_a, id_b"""
     }
   )
 

@@ -544,6 +544,65 @@ object Graph {
           .as("modularity_micro"))
   }
 
+  /** k-truss decomposition (Cohen 2008) by synchronous EDGE peeling —
+    * [[kCore]]'s cohesion-hardened sibling: repeatedly drop every
+    * edge whose triangle SUPPORT (common neighbors of its endpoints
+    * within the surviving subgraph) is < k−2, all at once, for
+    * exactly `iterations` rounds. A k-truss is a stricter community
+    * core than a k-core (every surviving edge sits in ≥ k−2
+    * triangles; chains and stars that survive degree peeling die
+    * here), which is why dedup/community pipelines use it to separate
+    * genuinely cohesive clusters from hub-chained ones. Like the
+    * k-core peel, extra rounds past the fixpoint are no-ops, so
+    * "exactly K rounds" replays as unrolled SQL CTEs and equals the
+    * true k-truss when K reaches the peel depth.
+    *
+    * Normalization matches [[kCore]]; support counting matches
+    * [[triangleCount]]'s wedge equi-join (per-round cost is one
+    * 3-frame equi-join bounded by wedge volume — hub wedges are the
+    * caller's concern at this operator level; the q244 degree cap
+    * applies upstream where needed). Survivor edge frames
+    * localCheckpoint per round (two consumers each round + lineage).
+    *
+    * Returns surviving edges with their IN-TRUSS support (recomputed
+    * over the final survivor set): (id_a < id_b, support), ordered. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int, iterations: Int = 8): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k−2 triangle support): $k")
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    def support(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      e.join(sym.select(col("src").as("a"), col("dst").as("_c1")),
+          Seq("a"))
+        .join(sym.select(col("src").as("b"), col("dst").as("_c2")),
+          Seq("b"))
+        .filter(col("_c1") === col("_c2"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
+    }
+    var e = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      e = e.join(support(e), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .select("a", "b")
+        .localCheckpoint(true)
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Degree assortativity (Newman 2002, "Assortative mixing in
     * networks") — does the graph wire hubs to hubs (r > 0: social
     * networks) or hubs to leaves (r < 0: the web, biology)? Pearson

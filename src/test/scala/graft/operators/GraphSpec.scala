@@ -425,4 +425,35 @@ class GraphSpec extends SparkSpec {
     assert(Graph.commonNeighborCandidates(star, "src", "dst",
       minCommon = 1).count() == 3L, "uncapped star: all leaf pairs")
   }
+
+  test("kTruss: cascading edge peel by triangle support") {
+    import spark.implicits._
+    // two triangles sharing vertex 3, plus a pendant edge 5-6 and a
+    // chain 6-7: at k=3 every triangle edge has support 1 and
+    // survives; the pendant/chain edges have support 0 and die in
+    // round 1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("src", "dst")
+    val got = Graph.kTruss(edges, "src", "dst", k = 3, iterations = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 1L), (3L, 5L, 1L)), s"got $got")
+    // k=4 (support >= 2): a lone triangle cannot satisfy it -> empty
+    assert(Graph.kTruss(edges, "src", "dst", k = 4, iterations = 3)
+      .count() == 0L)
+    // CASCADE: square with one diagonal — edges (1,2),(2,3) have
+    // support 1 only THROUGH the diagonal... build: 1-2, 2-3, 3-4,
+    // 4-1, 1-3 (diagonal). Triangles: (1,2,3) and (1,3,4). All five
+    // edges have support >= 1 -> all survive at k=3.
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    assert(Graph.kTruss(sq, "src", "dst", k = 3, iterations = 3)
+      .count() == 5L)
+    // k=4 on the diamond: diagonal (1,3) has support 2; the outer
+    // edges have support 1 and peel in round 1 — after which the
+    // diagonal's support drops to 0 and it peels too (the cascade)
+    assert(Graph.kTruss(sq, "src", "dst", k = 4, iterations = 3)
+      .count() == 0L)
+  }
 }
