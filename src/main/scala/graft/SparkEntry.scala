@@ -3086,7 +3086,19 @@ object SparkEntry {
           ((col("doc_id") + 25) % m).as("dst"))
       graft.operators.Graph.kTruss(
         intra.unionByName(cross), "src", "dst", k = 3, iterations = 5)
-    })
+    }),
+    // ---- hourly forward-fill resample of event values per user:
+    //      per-key grid, last-in-bucket by (ts, id), LOCF fill. ----
+    "q265_resample_ffill" -> ((s, dir) =>
+      TemporalJoins.resampleFfill(t(s, dir, "events"), "user_id",
+        "ts", "value", "event_id", stepSeconds = 3600L)),
+    // ---- debounce: same (user, type) payload within 10 minutes of
+    //      the previous occurrence drops — at-least-once delivery
+    //      hygiene over the event stream. ----
+    "q266_debounce" -> ((s, dir) =>
+      TemporalJoins.debounce(t(s, dir, "events"), "user_id", "ts",
+        Seq("event_type"), "event_id", withinSeconds = 600L)
+        .select("event_id", "user_id", "event_type"))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7452,7 +7464,40 @@ supF AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS c
 SELECT e.a AS id_a, e.b AS id_b, coalesce(s.c, 0) AS support
 FROM e5 e LEFT JOIN supF s ON s.a = e.a AND s.b = e.b
 ORDER BY id_a, id_b"""
-    }
+    },
+    // q265: per-key second grid, last-in-bucket by the shared printf
+    // order, IGNORE NULLS LOCF window.
+    "q265_resample_ffill" ->
+      """WITH obs AS (SELECT user_id,
+    epoch_us(ts) // 1000000 AS s, value,
+    printf('%020d|%020d', epoch_us(ts), event_id) AS ord
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+sp AS (SELECT user_id, min(s) AS t0, max(s) AS t1 FROM obs
+  GROUP BY 1),
+grid AS (SELECT user_id, t0 + i * 3600 AS bucket_start
+  FROM sp, unnest(generate_series(0, (t1 - t0) // 3600)) AS g(i)),
+ib AS (SELECT o.user_id,
+    sp.t0 + ((o.s - sp.t0) // 3600) * 3600 AS bucket_start,
+    arg_max(value, ord) AS obsv
+  FROM obs o JOIN sp USING (user_id) GROUP BY 1, 2),
+f AS (SELECT g.user_id, g.bucket_start, ib.obsv FROM grid g
+  LEFT JOIN ib USING (user_id, bucket_start))
+SELECT user_id, CAST(bucket_start AS BIGINT) AS bucket_start,
+  last_value(obsv IGNORE NULLS) OVER (PARTITION BY user_id
+    ORDER BY bucket_start ROWS UNBOUNDED PRECEDING) AS value,
+  obsv IS NULL AS filled
+FROM f ORDER BY user_id, bucket_start""",
+    // q266: one lag per (user, payload digest); > keeps an
+    // exactly-window-apart repeat.
+    "q266_debounce" ->
+      """WITH d AS (SELECT event_id, user_id, event_type, ts,
+  lag(epoch_us(ts)) OVER (PARTITION BY user_id,
+    md5(coalesce(CAST(event_type AS VARCHAR), chr(2)))
+    ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT event_id, user_id, event_type FROM d
+WHERE prev IS NULL OR epoch_us(ts) - prev > 600000000
+ORDER BY user_id, ts, event_id"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -419,6 +419,92 @@ object TemporalJoins {
     * transient string per row beats a per-group sort. Requires a
     * non-negative numeric `tiebreak`, unique within (key, bucket) for
     * a deterministic answer. */
+  /** Gap-filling forward-fill resample (LOCF) — the regular-grid
+    * completion [[resampleOhlc]] deliberately skips: per key, a
+    * `stepSeconds` bucket grid spans the key's own [min, max]
+    * timestamp range, buckets WITH observations take the
+    * last-in-bucket value (ties by `tiebreak` — the resampleOhlc
+    * close convention), and empty buckets carry the previous bucket's
+    * value forward. The step every feature pipeline needs between
+    * irregular events and a fixed-step model input; leading gaps
+    * cannot exist (the grid starts at the key's first observation).
+    *
+    * Shape at 100 TB: one per-(key, bucket) max_by aggregate, one
+    * bounded per-key grid explode (⌈range/step⌉ + 1 rows — guard your
+    * step against the key's time span, not here), and one per-key
+    * last(ignoreNulls) window ordered by bucket — key-partitioned,
+    * no global sort. Returns (key, bucket_start — epoch seconds
+    * aligned to the key's first observation, value, filled — true
+    * when carried forward), ordered by (key, bucket_start). */
+  def resampleFfill(df: DataFrame, key: String, tsCol: String,
+                    valueCol: String, tiebreak: String,
+                    stepSeconds: Long): DataFrame = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1: $stepSeconds")
+    val ord = format_string("%020d|%020d",
+      unix_micros(col(tsCol)), col(tiebreak))
+    val obs = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(key), expr(s"unix_micros(`$tsCol`) div 1000000")
+        .as("_s"), col(valueCol), ord.as("_ord"))
+    val spans = obs.groupBy(col(key))
+      .agg(min("_s").as("_t0"), max("_s").as("_t1"))
+    // per-key grid: bucket index 0..⌈(t1−t0)/step⌉
+    val grid = spans.select(col(key), col("_t0"),
+      explode(expr(
+        s"sequence(0L, (_t1 - _t0) div ${stepSeconds}L)")).as("_i"))
+      .select(col(key), col("_t0"),
+        (col("_t0") + col("_i") * stepSeconds).as("bucket_start"))
+    val inBucket = obs
+      .join(spans.select(col(key), col("_t0")), Seq(key))
+      .withColumn("bucket_start",
+        col("_t0") + expr(s"(_s - _t0) div ${stepSeconds}L")
+          * stepSeconds)
+      .groupBy(col(key), col("bucket_start"))
+      .agg(max_by(col(valueCol), col("_ord")).as("_obs"))
+    val w = Window.partitionBy(key).orderBy("bucket_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(inBucket, Seq(key, "bucket_start"), "left")
+      .withColumn("value", last(col("_obs"), ignoreNulls = true).over(w))
+      .select(col(key), col("bucket_start"), col("value"),
+        col("_obs").isNull.as("filled"))
+      .orderBy(key, "bucket_start")
+  }
+
+  /** Event debounce — telemetry/duplicate-delivery hygiene: drop an
+    * event when the SAME key emitted the SAME payload within
+    * `withinSeconds` of the previous KEPT occurrence... is
+    * order-dependent; the dataflow form used here is the standard
+    * relaxation: drop an event whose previous same-(key, payload)
+    * event (by time, ties by `tiebreak`) is within `withinSeconds` —
+    * one lag window per (key, payload digest), no sequential state.
+    * A 3-burst within the window keeps only its first element iff
+    * gaps are ≥ the window apart pairwise; chained sub-window gaps
+    * each drop (the relaxation documented above — at-least-once
+    * delivery dedup wants exactly this).
+    *
+    * Shape: one (key, md5(payload))-partitioned lag window — the
+    * interArrivalHistogram shape. Returns the kept rows (original
+    * columns), ordered by (key, tsCol, tiebreak). */
+  def debounce(df: DataFrame, key: String, tsCol: String,
+               payloadCols: Seq[String], tiebreak: String,
+               withinSeconds: Long): DataFrame = {
+    require(withinSeconds >= 1, s"withinSeconds must be >= 1: $withinSeconds")
+    require(payloadCols.nonEmpty, "debounce needs payload columns")
+    // \u0001-separated render with a \u0002 null sentinel: no payload
+    // tuple can collide across column boundaries and null != ""
+    val digest = md5(concat_ws("\u0001",
+      payloadCols.map(c => coalesce(col(c).cast("string"),
+        lit("\u0002"))): _*))
+    val w = Window.partitionBy(col(key), digest)
+      .orderBy(col(tsCol).asc, col(tiebreak).asc)
+    df.filter(col(key).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("_prev").isNull ||
+        unix_micros(col(tsCol)) - col("_prev") > withinSeconds * 1000000L)
+      .drop("_prev")
+      .orderBy(col(key), col(tsCol), col(tiebreak))
+  }
+
   def resampleOhlc(df: DataFrame, key: String, tsCol: String,
                    valueCol: String, tiebreak: String,
                    unit: String = "hour"): DataFrame = {

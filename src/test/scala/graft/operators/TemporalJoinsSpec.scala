@@ -574,4 +574,41 @@ class TemporalJoinsSpec extends SparkSpec {
         "event_id", Seq("purchase", "view"), "purchase", 60L)
     }
   }
+
+  test("resampleFfill: grid, last-in-bucket, LOCF fill") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:10", 1.0, 1L),
+      (1L, "2024-01-01 00:00:50", 2.0, 2L),   // same bucket: last wins
+      (1L, "2024-01-01 00:03:30", 9.0, 3L),   // gap of 2 buckets
+      (2L, "2024-01-01 05:00:00", 7.0, 4L))
+      .toDF("k", "ts", "v", "id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = TemporalJoins.resampleFfill(df, "k", "ts", "v", "id",
+      stepSeconds = 60L)
+      .as[(Long, Long, Double, Boolean)].collect().toList
+    val k1 = got.filter(_._1 == 1L).map(t => (t._3, t._4))
+    // buckets at 10s, 70s, 130s, 190s offsets: values 2, 2(f), 2(f), 9
+    assert(k1 == List((2.0, false), (2.0, true), (2.0, true),
+      (9.0, false)), s"k1: $k1")
+    val k2 = got.filter(_._1 == 2L)
+    assert(k2.size == 1 && k2.head._3 == 7.0 && !k2.head._4)
+  }
+
+  test("debounce: same-payload repeats inside the window drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", "click", 1L),
+      (1L, "2024-01-01 00:00:05", "click", 2L),  // within 10s: drop
+      (1L, "2024-01-01 00:00:12", "click", 3L),  // 7s after #2: drop
+      (1L, "2024-01-01 00:00:30", "click", 4L),  // 18s after #3: keep
+      (1L, "2024-01-01 00:00:31", "view", 5L),   // other payload: keep
+      (2L, "2024-01-01 00:00:02", "click", 6L))  // other key: keep
+      .toDF("k", "ts", "p", "id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val kept = TemporalJoins.debounce(df, "k", "ts", Seq("p"), "id",
+      withinSeconds = 10L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 6L), s"kept: $kept")
+  }
 }
