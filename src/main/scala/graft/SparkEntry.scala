@@ -3098,7 +3098,13 @@ object SparkEntry {
     "q266_debounce" -> ((s, dir) =>
       TemporalJoins.debounce(t(s, dir, "events"), "user_id", "ts",
         Seq("event_type"), "event_id", withinSeconds = 600L)
-        .select("event_id", "user_id", "event_type"))
+        .select("event_id", "user_id", "event_type")),
+    // ---- TextRank keywords: adjacent-token co-occurrence graph
+    //      (count ≥ 20) → the q132 integer PageRank → top 20 by
+    //      stationary mass. ----
+    "q267_textrank" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(t(s, dir, "documents"), "text",
+        minCount = 20L, iterations = 5, topK = 20))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7497,7 +7503,50 @@ FROM f ORDER BY user_id, bucket_start""",
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
 SELECT event_id, user_id, event_type FROM d
 WHERE prev IS NULL OR epoch_us(ts) - prev > 600000000
-ORDER BY user_id, ts, event_id"""
+ORDER BY user_id, ts, event_id""",
+    // q267: bigram co-occurrence edges over md5-48 word ids, the
+    // pageRankOracle rounds, top-20 cut with the word joined back.
+    "q267_textrank" -> {
+      def wid(c: String) =
+        s"CAST(('0x' || substr(md5($c), 1, 12)) AS BIGINT)"
+      val sb = new StringBuilder
+      sb ++= s"""WITH tk AS (SELECT $tokensSql AS t FROM documents),
+bg AS (SELECT least(t[i+1], t[i+2]) AS a,
+    greatest(t[i+1], t[i+2]) AS b
+  FROM (SELECT t, unnest(range(0, len(t) - 1)) AS i FROM tk
+    WHERE len(t) >= 2)),
+p AS MATERIALIZED (SELECT a, b, count(*) AS n FROM bg
+  WHERE a <> b GROUP BY 1, 2 HAVING count(*) >= 20),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT ${wid("a")} AS src, ${wid("b")} AS dst FROM p
+  UNION ALL SELECT ${wid("b")}, ${wid("a")} FROM p)),
+verts AS (SELECT src AS vertex FROM edges
+  UNION SELECT dst AS vertex FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM edges
+  GROUP BY src),
+r0 AS (SELECT vertex, (SELECT 1000000 // n FROM nn) AS pr
+  FROM verts),
+"""
+      for (i <- 1 to 5) {
+        sb ++= s"""c$i AS (SELECT e.dst,
+  CAST(sum(r.pr // o.odeg) AS BIGINT) AS contrib
+  FROM edges e JOIN r${i - 1} r ON e.src = r.vertex
+  JOIN od o ON e.src = o.src GROUP BY e.dst),
+r$i AS MATERIALIZED (SELECT v.vertex, (SELECT 150000 // n FROM nn)
+    + (85 * coalesce(c.contrib, 0)) // 100 AS pr
+  FROM verts v LEFT JOIN c$i c ON v.vertex = c.dst),
+"""
+      }
+      sb ++= s"""words AS (SELECT DISTINCT a AS word FROM p
+  UNION SELECT b FROM p),
+ranked AS (SELECT w.word, CAST(r.pr AS BIGINT) AS pr_micro,
+  row_number() OVER (ORDER BY r.pr DESC, w.word ASC) AS rank
+  FROM r5 r JOIN words w ON r.vertex = ${wid("w.word")})
+SELECT CAST(rank AS INTEGER) AS rank, word, pr_micro FROM ranked
+WHERE rank <= 20 ORDER BY rank"""
+      sb.toString
+    }
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

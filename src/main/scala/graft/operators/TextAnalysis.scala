@@ -1069,6 +1069,64 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus
+    * keywords as the stationary mass of a word co-occurrence graph:
+    * adjacent-token pairs (window 1) with corpus count ≥ `minCount`
+    * become undirected edges, [[graft.operators.Graph.pageRank]]'s
+    * integer-micro supersteps run over them, and the top-`topK`
+    * words by (pr DESC, word ASC) come back. The graph composition
+    * complement to [[tfidfTopTerms]]' frequency view — TextRank
+    * surfaces words that glue the vocabulary together, not just
+    * frequent ones.
+    *
+    * Vertices are the 48-bit md5 word ids (the house digest — the
+    * engine-portable long PageRank wants; an astronomically unlikely
+    * collision would replay identically in the oracle, which uses
+    * the same digest). Shape: one bigram explode + hash aggregate
+    * (edge census), the pageRank supersteps over the ≤|vocab|-sized
+    * graph, one digest join back to words, a TakeOrdered top-k cut.
+    *
+    * Returns (rank 1-based, word, pr_micro), ordered by rank. */
+  def textRankKeywords(df: DataFrame, textCol: String,
+                       minCount: Long = 5L, iterations: Int = 5,
+                       topK: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(topK >= 1 && topK <= 10000, s"topK must be in [1, 1e4]: $topK")
+    val toks = df.select(tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 2)
+    val pairs = toks.select(explode(expr(
+        """transform(sequence(1, size(_t) - 1),
+           i -> struct(least(_t[i - 1], _t[i]) AS a,
+                       greatest(_t[i - 1], _t[i]) AS b))"""))
+        .as("_p"))
+      .select(col("_p.a").as("_a"), col("_p.b").as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minCount)
+      .localCheckpoint()
+    def wid(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    val edges = pairs.select(wid(col("_a")).as("src"),
+        wid(col("_b")).as("dst"))
+      .unionAll(pairs.select(wid(col("_b")).as("src"),
+        wid(col("_a")).as("dst")))
+    val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
+      iterations)
+    val words = pairs.select(col("_a").as("word"))
+      .unionByName(pairs.select(col("_b").as("word"))).distinct()
+    val ranked = pr.join(words.withColumn("_wid", wid(col("word"))),
+        pr("vertex") === col("_wid"))
+      .select(col("word"), col("pr_micro"))
+      .orderBy(col("pr_micro").desc, col("word").asc)
+      .limit(topK)
+    import org.apache.spark.sql.expressions.Window
+    ranked.withColumn("rank",
+        row_number().over(Window.orderBy(col("pr_micro").desc,
+          col("word").asc)))
+      .select(col("rank"), col("word"), col("pr_micro"))
+      .orderBy("rank")
+  }
+
   /** Regex entity census — the cheap NER-shaped structure probe a
     * corpus card wants before any model-based tagging: per document,
     * counts of emails, URLs, ISO dates, standalone numbers, and

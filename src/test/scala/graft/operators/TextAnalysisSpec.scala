@@ -620,4 +620,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("burst") == ((1L, 4L, 3000000L)), s"burst: ${got("burst")}")
     assert(!got.contains("x"), "below minCount")
   }
+
+  test("textRankKeywords: hub word outranks leaves") {
+    import spark.implicits._
+    // "hub" co-occurs with everything; leaves only touch the hub.
+    // Repeat each bigram 3 times to clear minCount = 3.
+    val doc = Seq.fill(3)("hub alpha hub beta hub gamma").mkString(" ")
+    val df = Seq(doc).toDF("text")
+    val got = TextAnalysis.textRankKeywords(df, "text", minCount = 3L,
+      iterations = 5, topK = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.head._2 == "hub", s"hub must rank first: ${got.toList}")
+    assert(got.map(_._2).toSet == Set("hub", "alpha", "beta", "gamma"))
+    assert(got.map(_._1).toList == List(1, 2, 3, 4))
+  }
 }
