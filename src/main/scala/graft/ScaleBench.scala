@@ -132,7 +132,13 @@ object ScaleBench {
     // winnow overlap clusters (q216 — edge output grows 10× by
     // replica-shard construction, the documented output-bound input;
     // the pointer-jumped CC on top is sublinear per edge)
-    "q216_winnow_clusters")
+    "q216_winnow_clusters",
+    // round-9d legs: k-truss (q264 — 5 wedge-join peel rounds over
+    // the 10×-cluster planted graph), forward-fill resample (q265 —
+    // per-key grids; 10× keys, same per-key span), and TextRank
+    // (q267 — the replica-suffixed vocab grows the co-occurrence
+    // graph ~10×, PR supersteps ride it)
+    "q264_k_truss", "q265_resample_ffill", "q267_textrank")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per
