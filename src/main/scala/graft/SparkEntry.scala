@@ -3104,7 +3104,27 @@ object SparkEntry {
     //      stationary mass. ----
     "q267_textrank" -> ((s, dir) =>
       TextAnalysis.textRankKeywords(t(s, dir, "documents"), "text",
-        minCount = 20L, iterations = 5, topK = 20))
+        minCount = 20L, iterations = 5, topK = 20)),
+    // ---- HLL-prefiltered IND discovery over the q237 columns: the
+    //      q210 exact-behind-sketch pattern for joinability — union
+    //      sketches prune, survivors verify exactly. ----
+    "q268_ind_approx" -> ((s, dir) =>
+      Audit.indDiscoveryApprox(Seq(
+        Audit.IndColumn("customer.c_custkey", t(s, dir, "customer"),
+          "c_custkey"),
+        Audit.IndColumn("customer.c_nationkey", t(s, dir, "customer"),
+          "c_nationkey"),
+        Audit.IndColumn("nation.n_nationkey", t(s, dir, "nation"),
+          "n_nationkey"),
+        Audit.IndColumn("nation.n_regionkey", t(s, dir, "nation"),
+          "n_regionkey"),
+        Audit.IndColumn("orders.o_custkey", t(s, dir, "orders"),
+          "o_custkey"),
+        Audit.IndColumn("region.r_regionkey", t(s, dir, "region"),
+          "r_regionkey"),
+        Audit.IndColumn("supplier.s_nationkey", t(s, dir, "supplier"),
+          "s_nationkey")),
+        slackMicro = 150000L))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7546,6 +7566,85 @@ ranked AS (SELECT w.word, CAST(r.pr AS BIGINT) AS pr_micro,
 SELECT CAST(rank AS INTEGER) AS rank, word, pr_micro FROM ranked
 WHERE rank <= 20 ORDER BY rank"""
       sb.toString
+    },
+    // q268: the q237 value sets → q115 register ladders per column →
+    // pairwise union sketches (bucketwise max) → prune at 15% slack →
+    // exact shared counts for survivors only.
+    "q268_ind_approx" -> {
+      val ladder = (1 to 39)
+        .map(i => s"(CASE WHEN rem >= ${1L << i} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val alpha = graft.operators.Sketch.alphaLiteral
+      def est(src: String, keys: String) =
+        s"""SELECT $keys, round(CASE
+    WHEN (CAST($alpha AS DOUBLE) * 65536.0 / (s + (256.0 - nz)))
+      <= 640.0 AND (256.0 - nz) > 0
+    THEN 256.0 * ln(256.0 / (256.0 - nz))
+    ELSE CAST($alpha AS DOUBLE) * 65536.0 / (s + (256.0 - nz))
+    END, 6) AS e
+  FROM (SELECT $keys, sum(1.0 / (CAST(1 AS BIGINT) << reg)) AS s,
+    count(*) AS nz FROM $src GROUP BY $keys)"""
+      s"""WITH sets AS MATERIALIZED (
+  SELECT DISTINCT 'customer.c_custkey' AS cid,
+    CAST(c_custkey AS VARCHAR) AS v FROM customer
+    WHERE c_custkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'customer.c_nationkey',
+    CAST(c_nationkey AS VARCHAR) FROM customer
+    WHERE c_nationkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'nation.n_nationkey',
+    CAST(n_nationkey AS VARCHAR) FROM nation
+    WHERE n_nationkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'nation.n_regionkey',
+    CAST(n_regionkey AS VARCHAR) FROM nation
+    WHERE n_regionkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'orders.o_custkey',
+    CAST(o_custkey AS VARCHAR) FROM orders WHERE o_custkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'region.r_regionkey',
+    CAST(r_regionkey AS VARCHAR) FROM region
+    WHERE r_regionkey IS NOT NULL
+  UNION ALL SELECT DISTINCT 'supplier.s_nationkey',
+    CAST(s_nationkey AS VARCHAR) FROM supplier
+    WHERE s_nationkey IS NOT NULL),
+h AS (SELECT cid,
+  CAST(('0x' || substr(md5(v), 1, 12)) AS BIGINT) AS h FROM sets),
+b AS (SELECT cid, CAST(h % 256 AS INTEGER) AS bucket, h >> 8 AS rem
+  FROM h),
+r AS (SELECT cid, bucket,
+  CASE WHEN rem = 0 THEN 41 ELSE 40 - ($ladder) END AS reg FROM b),
+regs AS MATERIALIZED (SELECT cid, bucket, max(reg) AS reg FROM r
+  GROUP BY 1, 2),
+lab(l) AS (VALUES ('customer.c_custkey'), ('customer.c_nationkey'),
+  ('nation.n_nationkey'), ('nation.n_regionkey'),
+  ('orders.o_custkey'), ('region.r_regionkey'),
+  ('supplier.s_nationkey')),
+p AS (SELECT a.l AS lhs, b.l AS rhs FROM lab a, lab b
+  WHERE a.l <> b.l),
+ur AS (SELECT lhs, rhs, bucket, max(reg) AS reg FROM (
+  SELECT p.lhs, p.rhs, g.bucket, g.reg FROM p
+    JOIN regs g ON g.cid = p.lhs
+  UNION ALL
+  SELECT p.lhs, p.rhs, g.bucket, g.reg FROM p
+    JOIN regs g ON g.cid = p.rhs) GROUP BY 1, 2, 3),
+eu AS (${est("ur", "lhs, rhs")}),
+er AS (${est("regs", "cid")}),
+vb AS (SELECT p.lhs, p.rhs, eu.e AS est_union, er.e AS est_rhs,
+  eu.e * 1000000 > er.e * 1150000 AS pruned
+  FROM p JOIN eu USING (lhs, rhs) JOIN er ON er.cid = p.rhs),
+st AS (SELECT cid, CAST(count(*) AS BIGINT) AS nd FROM sets
+  GROUP BY 1),
+sh AS (SELECT a.cid AS lhs, b.cid AS rhs, CAST(count(*) AS BIGINT)
+    AS ns FROM sets a JOIN sets b ON a.v = b.v AND a.cid <> b.cid
+  JOIN vb ON vb.lhs = a.cid AND vb.rhs = b.cid AND NOT vb.pruned
+  GROUP BY 1, 2)
+SELECT vb.lhs, vb.rhs, vb.est_union, vb.est_rhs, vb.pruned,
+  coalesce(st.nd, 0) AS n_lhs_distinct,
+  CASE WHEN vb.pruned THEN NULL ELSE coalesce(sh.ns, 0) END
+    AS n_shared,
+  CASE WHEN vb.pruned THEN false
+    ELSE coalesce(sh.ns, 0) = coalesce(st.nd, 0) END AS is_ind
+FROM vb LEFT JOIN st ON st.cid = vb.lhs
+  LEFT JOIN sh ON sh.lhs = vb.lhs AND sh.rhs = vb.rhs
+ORDER BY vb.lhs, vb.rhs"""
     }
   )
 

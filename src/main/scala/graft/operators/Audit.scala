@@ -616,6 +616,104 @@ object Audit {
       .orderBy("lhs", "rhs")
   }
 
+  /** HLL-prefiltered inclusion-dependency discovery — the 100 TB
+    * scale path for [[indDiscovery]], the q210 exact-behind-sketch
+    * pattern applied to joinability: at 64 candidate columns the
+    * exact operator's value self-join carries every distinct value of
+    * every column; here each column first collapses to its 256-bucket
+    * HLL register frame (KBs), pairs are PRUNED by the mergeability
+    * identity — A ⊆ B ⟹ |A ∪ B| = |B|, and the union's sketch is
+    * the bucketwise register max — and only the surviving pairs pay
+    * the exact shared-distinct join. Pruning rule: survive iff
+    * est(A∪B) ≤ est(B)·(1 + slack). The sketch's relative error is
+    * ≈ 1.04/√256 ≈ 6.5%, so `slackMicro` must exceed it or true INDs
+    * prune falsely — that recall/cost trade is the operator's
+    * CONTRACT (the exact [[indDiscovery]] remains ground truth), and
+    * because the register arithmetic is the engine-portable md5
+    * construction, a SQL oracle replays every pruning decision bit
+    * for bit.
+    *
+    * Returns one row per ordered pair: (lhs, rhs, est_union,
+    * est_rhs — the q115 rounded estimates, pruned, n_lhs_distinct —
+    * exact (one cheap per-column pass), n_shared — exact for
+    * survivors / null for pruned, is_ind — exact for survivors,
+    * false for pruned), ordered by (lhs, rhs). */
+  def indDiscoveryApprox(columns: Seq[IndColumn],
+                         slackMicro: Long = 100000L): DataFrame = {
+    require(columns.size >= 2,
+      s"indDiscoveryApprox needs >= 2 candidate columns: ${columns.size}")
+    require(columns.map(_.label).distinct.size == columns.size,
+      s"duplicate labels: ${columns.map(_.label)}")
+    require(slackMicro >= 0 && slackMicro <= 1000000,
+      s"slackMicro must be in [0, 1e6]: $slackMicro")
+    import graft.operators.Sketch
+    val sets = columns.map { c =>
+      c.df.select(lit(c.label).as("_cid"),
+          col(c.column).cast("string").as("_v"))
+        .filter(col("_v").isNotNull)
+        .distinct()
+    }.reduce(_.unionByName(_))
+      .localCheckpoint()
+    val regs = Sketch.hllRegisters(sets, "_v", Seq("_cid"))
+      .localCheckpoint()
+    val ests = Sketch.hllEstimate(regs, Seq("_cid"))
+    val labels = columns.map(_.label)
+    val lhsAxis = sets.sparkSession
+      .createDataFrame(labels.map(Tuple1(_))).toDF("lhs")
+    val pairs = lhsAxis
+      .crossJoin(lhsAxis.select(col("lhs").as("rhs")))
+      .filter(col("lhs") =!= col("rhs"))
+    // union sketch per pair: bucketwise max over both sides' registers
+    val u1 = pairs.join(regs.withColumnRenamed("_cid", "lhs"), Seq("lhs"))
+      .select(col("lhs"), col("rhs"), col("bucket"), col("reg"))
+    val u2 = pairs.join(regs.withColumnRenamed("_cid", "rhs"), Seq("rhs"))
+      .select(col("lhs"), col("rhs"), col("bucket"), col("reg"))
+    val unionRegs = u1.unionAll(u2)
+      .groupBy("lhs", "rhs", "bucket").agg(max("reg").as("reg"))
+    val estU = Sketch.hllEstimate(unionRegs, Seq("lhs", "rhs"))
+      .withColumnRenamed("hll_estimate", "est_union")
+    val verdictBase = estU
+      .join(broadcast(ests.select(col("_cid").as("rhs"),
+        col("hll_estimate").as("est_rhs"))), Seq("rhs"))
+      .withColumn("pruned",
+        col("est_union") * lit(1000000L) >
+          col("est_rhs") * lit(1000000L + slackMicro))
+    val survivors = verdictBase.filter(!col("pruned"))
+      .select("lhs", "rhs")
+    val stats = sets.groupBy(col("_cid"))
+      .agg(count(lit(1)).as("_nd"))
+    // all-null columns have no sketch and would silently vanish from
+    // the pair axis — reject them (the exact operator handles them;
+    // a sketch of nothing prunes nothing meaningfully)
+    val present = stats.select("_cid").collect()
+      .map(_.getString(0)).toSet
+    val absent = labels.filterNot(present)
+    require(absent.isEmpty,
+      s"indDiscoveryApprox: all-null candidate columns: " +
+        s"${absent.mkString(", ")} — use indDiscovery for those")
+    // exact shared-distinct counts ONLY for survivors (broadcast the
+    // tiny pair list into the value self-join)
+    val shared = sets.as("a")
+      .join(sets.as("b"),
+        col("a._v") === col("b._v") && col("a._cid") =!= col("b._cid"))
+      .select(col("a._cid").as("lhs"), col("b._cid").as("rhs"))
+      .join(broadcast(survivors), Seq("lhs", "rhs"), "left_semi")
+      .groupBy("lhs", "rhs").agg(count(lit(1)).as("_ns"))
+    verdictBase
+      .join(broadcast(stats.select(col("_cid").as("lhs"),
+        col("_nd").as("n_lhs_distinct"))), Seq("lhs"), "left")
+      .join(shared, Seq("lhs", "rhs"), "left")
+      .select(col("lhs"), col("rhs"), col("est_union"), col("est_rhs"),
+        col("pruned"),
+        coalesce(col("n_lhs_distinct"), lit(0L)).as("n_lhs_distinct"),
+        when(col("pruned"), lit(null).cast("long"))
+          .otherwise(coalesce(col("_ns"), lit(0L))).as("n_shared"),
+        when(col("pruned"), lit(false))
+          .otherwise(coalesce(col("_ns"), lit(0L)) ===
+            coalesce(col("n_lhs_distinct"), lit(0L))).as("is_ind"))
+      .orderBy("lhs", "rhs")
+  }
+
   /** Secret/credential scan — the pre-training hygiene pass every
     * public-corpus pipeline runs before tokenization (leaked cloud
     * keys, VCS tokens, private-key blocks, long hex/JWT material must

@@ -393,4 +393,34 @@ class AuditSpec extends SparkSpec {
     assert(out(("x.e", "c.fk")) == ((0L, 0L, true)))
     assert(out(("c.fk", "x.e")) == ((2L, 0L, false)))
   }
+
+  test("indDiscoveryApprox: sketch prunes, survivors verify exactly") {
+    import spark.implicits._
+    val child = (1L to 50L).map(Some(_)).toDF("fk")       // {1..50}
+    val parent = (1L to 60L).map(Some(_)).toDF("pk")      // {1..60}
+    val other = (1000L to 1059L).map(Some(_)).toDF("x")   // disjoint
+    val out = Audit.indDiscoveryApprox(Seq(
+      Audit.IndColumn("c.fk", child, "fk"),
+      Audit.IndColumn("p.pk", parent, "pk"),
+      Audit.IndColumn("o.x", other, "x")), slackMicro = 250000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(4), r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6), r.getBoolean(7))))
+      .toMap
+    assert(out.size == 6)
+    // the true IND survives the sketch and verifies exactly
+    val cp = out(("c.fk", "p.pk"))
+    assert(!cp._1 && cp._2 == 50L && cp._3 == 50L && cp._4,
+      s"c⊆p: $cp")
+    // the disjoint pair must be pruned (union ≈ double the rhs) and
+    // report no exact count
+    val co = out(("c.fk", "o.x"))
+    assert(co._1 && co._3 == -1L && !co._4, s"c vs o: $co")
+    // all-null column rejected
+    intercept[IllegalArgumentException] {
+      Audit.indDiscoveryApprox(Seq(
+        Audit.IndColumn("c.fk", child, "fk"),
+        Audit.IndColumn("z", Seq(Option.empty[Long]).toDF("z"), "z")))
+    }
+  }
 }
