@@ -196,6 +196,24 @@ object ScaleBench {
         s.read.parquet(s"$dir/events.parquet"), "user_id")))
   }
 
+  /** q268 OPERATOR leg — HLL-prefiltered IND discovery over the SAME
+    * replicated key columns as the q237 exact leg: the decade under
+    * test is the per-column register build (one scan each) plus only
+    * the exact verification joins that survive the union-sketch
+    * prune. Shipped after the round-9d sweep, so round 9's committed
+    * table had no row for it (judge finding). */
+  private def q268OperatorLeg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Audit
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    Audit.indDiscoveryApprox(Seq(
+      Audit.IndColumn("customer.c_custkey", cust, "c_custkey"),
+      Audit.IndColumn("customer.c_nationkey", cust, "c_nationkey"),
+      Audit.IndColumn("orders.o_custkey",
+        s.read.parquet(s"$dir/orders.parquet"), "o_custkey"),
+      Audit.IndColumn("events.user_id",
+        s.read.parquet(s"$dir/events.parquet"), "user_id")))
+  }
+
   /** q55's OPERATOR-ONLY legs: the full q55 figure is output-bound
     * (at sf1 the 18.9M-pair result sort/materialization dominates and
     * its shuffle-spill luck swung the recorded growth 5.8×–18.5×
@@ -253,6 +271,7 @@ object ScaleBench {
         ("q212_winnow_overlap_op" -> (q212OperatorLeg _)) :+
         ("q198_store_growth" -> (q198StoreGrowthLeg _)) :+
         ("q237_ind_discovery_op" -> (q237OperatorLeg _)) :+
+        ("q268_ind_approx_op" -> (q268OperatorLeg _)) :+
         ("q55_simhash_count_b" -> (q55CountLeg _)))
     def time(dir: String): Seq[(String, Double)] = legs.map { case (n, fn) =>
       System.gc() // steady storage state per query (see builder note)

@@ -3124,7 +3124,20 @@ object SparkEntry {
           "r_regionkey"),
         Audit.IndColumn("supplier.s_nationkey", t(s, dir, "supplier"),
           "s_nationkey")),
-        slackMicro = 150000L))
+        slackMicro = 150000L)),
+    // ---- exact 1-D Wasserstein over event values split by id
+    //      parity — the magnitude-aware drift companion to q100 (KS)
+    //      and q257 (CvM). Values micro-scale with an explicit floor
+    //      (engine long casts truncate; oracle casts round). ----
+    "q269_wasserstein" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vmicro"))
+      graft.operators.Drift.wasserstein1(
+        e.filter(col("event_id") % 2 === 0).select("vmicro"),
+        e.filter(col("event_id") % 2 === 1).select("vmicro"), "vmicro")
+    })
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7645,7 +7658,32 @@ SELECT vb.lhs, vb.rhs, vb.est_union, vb.est_rhs, vb.pruned,
 FROM vb LEFT JOIN st ON st.cid = vb.lhs
   LEFT JOIN sh ON sh.lhs = vb.lhs AND sh.rhs = vb.rhs
 ORDER BY vb.lhs, vb.rhs"""
-    }
+    },
+    // q269: pooled distinct values, cumulative counts, |ca·m − cb·n|
+    // weighted by the gap to the NEXT distinct value; HUGEINT products,
+    // floor-div by n·m. The last value's lead is coalesced to itself
+    // (gap 0 — its CDF difference is zero anyway).
+    "q269_wasserstein" ->
+      """WITH tg AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS v, 1 AS ia, 0 AS ib
+    FROM events
+    WHERE event_id % 2 = 0 AND value IS NOT NULL AND NOT isnan(value)
+  UNION ALL
+  SELECT CAST(floor(value * 1000) AS BIGINT), 0, 1 FROM events
+    WHERE event_id % 2 = 1 AND value IS NOT NULL AND NOT isnan(value)),
+p AS (SELECT v, CAST(sum(ia) AS BIGINT) AS na,
+  CAST(sum(ib) AS BIGINT) AS nb FROM tg GROUP BY 1),
+c AS (SELECT v, na, nb,
+  sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+  sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+  lead(v) OVER (ORDER BY v) AS nv FROM p),
+t AS (SELECT CAST(sum(na) AS BIGINT) AS n,
+  CAST(sum(nb) AS BIGINT) AS m FROM p)
+SELECT t.n AS n_a, t.m AS n_b,
+  CAST(coalesce(sum(CAST(abs(ca * t.m - cb * t.n) AS HUGEINT)
+      * (coalesce(nv, v) - v)), 0) * 1000000
+    // (CAST(t.n AS HUGEINT) * t.m) AS BIGINT) AS w1_micro
+FROM c CROSS JOIN t GROUP BY t.n, t.m"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -37,8 +37,9 @@ object SemiStructured {
     * scatters. Verdict: candidates whose modal field count is ≥ 2
     * qualify; the best is the qualifier with the highest modal share,
     * ties broken by MORE fields (a delimiter splitting every line
-    * into one piece is vacuously consistent), then by candidate
-    * order. All shares in floor micros.
+    * into one piece is vacuously consistent), then by delimiter
+    * ASC (the same order the oracle replays — NOT the caller's
+    * candidate order). All shares in floor micros.
     *
     * One aggregate computes every (candidate × field-count) cell:
     * lines explode |candidates|-wide (narrow ints, collapsed

@@ -35,6 +35,16 @@ object Clustering {
     * docs keep their own id). Returns (idCol, component) where
     * `component` = min node id in the component.
     *
+    * PRECONDITION: every edge endpoint must appear in `nodes`
+    * (edges ⊆ nodes × nodes). Labels are seeded from edge endpoints
+    * — not from `nodes` — so a phantom endpoint absent from `nodes`
+    * would participate in the min and could become a component's
+    * label even though it never appears in the output rows. Every
+    * engine caller derives `edges` from the node frame, so this
+    * holds by construction; external callers must enforce it (a
+    * semi-join here would scan the corpus-sized node frame a second
+    * time, which the iteration deliberately avoids).
+    *
     * Min-label propagation WITH POINTER JUMPING: labels start as the
     * node's own id; each round every node takes the min of its own
     * label and its neighbors' labels, then every label jumps to its

@@ -201,10 +201,15 @@ object Drift {
       val tb = rows.map(_._3).sum
       require(ta > 0 && tb > 0,
         s"cvmStatistic requires two non-empty samples (n_a=$ta, n_b=$tb)")
+      // bound includes the 10⁶ micro scaling: the plan forms
+      // _s·10⁶ in DECIMAL(38,0) BEFORE dividing by the (nm)²·N
+      // denominator, so the headroom check must too — a bare
+      // (n·m)²·N < 1e38 bound leaves the multiply free to overflow
+      // to null within 10⁶ of the cap and NPE at getLong.
       require(BigInt(ta) * BigInt(tb) * BigInt(ta) * BigInt(tb) *
-          BigInt(ta + tb) < BigInt(10).pow(38),
-        s"cvmStatistic exactness bound exceeded ((n·m)²·N ≥ 1e38 at " +
-          s"n=$ta, m=$tb) — subsample first")
+          BigInt(ta + tb) * BigInt(1000000) < BigInt(10).pow(38),
+        s"cvmStatistic exactness bound exceeded ((n·m)²·N·1e6 ≥ 1e38 " +
+          s"at n=$ta, m=$tb) — subsample first")
       def offsetExpr(sums: Array[(Int, Long)]): Column = {
         val offs = sums.scanLeft((0, 0L)) {
           case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
@@ -233,6 +238,114 @@ object Drift {
         .collect()(0).getLong(0)
       import ss.implicits._
       Seq((ta, tb, micro)).toDF("n_a", "n_b", "cvm_micro")
+    } finally v.unpersist(false)
+  }
+
+  /** Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    * INTEGER-valued samples — the magnitude-aware drift measure the
+    * [[ksStatistic]]/[[cvmStatistic]] pair lacks: KS and CvM see only
+    * CDF GAP, so a distribution that shifted by 2 units and one that
+    * shifted by 2,000 score identically once the CDFs separate; W1 is
+    * the area BETWEEN the CDFs, ∫|F_a − F_b| dx = the minimum total
+    * value·mass moved, in the column's own units — the number a
+    * feature-drift alert can threshold meaningfully.
+    *
+    * Values must already be integers (cast to BIGINT; micro-scale
+    * floats FIRST with an explicit floor so engine and oracle agree —
+    * a raw double→long cast truncates in Spark but rounds in other
+    * engines). With pooled distinct values v_1 < … < v_k, cumulative
+    * counts ca, cb and sizes n = |A|, m = |B|:
+    *
+    *   W1·10⁶ = ⌊10⁶·Σ_i |ca_i·m − cb_i·n|·(v_{i+1} − v_i) div (n·m)⌋
+    *
+    * every product in DECIMAL(38,0); the last distinct value
+    * contributes zero by construction (ca = n, cb = m there).
+    * Exactness bound (guarded): n·m·range·10⁶ < 10³⁸.
+    *
+    * Scale shape: the [[ksStatistic]] bucketed prefix sum — tagged
+    * union, one distinct-value hash aggregate, per-bucket windows
+    * with driver-collected subtotal offsets (never a global sort);
+    * the value GAP for each bucket's last row comes from the same
+    * O(buckets) driver round-trip (next bucket's min value rides in
+    * as a literal). Returns ONE row: (n_a, n_b, w1_micro). */
+  def wasserstein1(a: DataFrame, b: DataFrame,
+                   valueCol: String): DataFrame = {
+    val ss = a.sparkSession
+    val tagged = a.select(col(valueCol).cast("long").as("_v"),
+        lit(1L).as("_ia"), lit(0L).as("_ib"))
+      .unionByName(b.select(col(valueCol).cast("long").as("_v"),
+        lit(0L).as("_ia"), lit(1L).as("_ib")))
+      .filter(col("_v").isNotNull)
+    val v = tagged.groupBy("_v")
+      .agg(sum("_ia").as("_na"), sum("_ib").as("_nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBuckets = math.max(1, ss.sparkContext.defaultParallelism)
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val bounds =
+        if (probs.isEmpty) Array.empty[Double]
+        else v.stat.approxQuantile(Array("_v"), probs, 0.001)(0)
+      val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
+        case (e, (bd, i)) => when(col("_v") > bd, i + 1).otherwise(e)
+      }
+      // one driver round-trip: per-bucket subtotals for the prefix-sum
+      // offsets AND each bucket's min value (the next non-empty
+      // bucket's min closes the value gap at bucket boundaries)
+      val rows = v.withColumn("_bkt", bucketExpr).groupBy("_bkt")
+        .agg(sum("_na").as("_sa"), sum("_nb").as("_sb"),
+          min("_v").as("_mn"), max("_v").as("_mx")).collect()
+        .map(r => (r.getInt(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      val ta = rows.map(_._2).sum
+      val tb = rows.map(_._3).sum
+      require(ta > 0 && tb > 0,
+        s"wasserstein1 requires two non-empty samples (n_a=$ta, n_b=$tb)")
+      val range = rows.map(_._5).max - rows.map(_._4).min
+      require(BigInt(ta) * BigInt(tb) * BigInt(math.max(range, 1L)) *
+          BigInt(1000000) < BigInt(10).pow(38),
+        s"wasserstein1 exactness bound exceeded (n·m·range·1e6 ≥ 1e38 " +
+          s"at n=$ta, m=$tb, range=$range) — rescale or subsample first")
+      def offsetExpr(sums: Array[(Int, Long)]): Column = {
+        val offs = sums.scanLeft((0, 0L)) {
+          case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
+        }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }
+        offs.foldLeft(lit(0L)) { case (e, (bkt, off)) =>
+          when(col("_bkt") === bkt, lit(off)).otherwise(e)
+        }
+      }
+      // each bucket's last row takes the NEXT bucket's min as its gap
+      // partner; the global last row's gap coalesces to 0 (its CDF
+      // difference is zero anyway)
+      val nextMin = rows.map(_._1).zipWithIndex.foldLeft(lit(null)
+          .cast("long")) { case (e, (bkt, idx)) =>
+        if (idx + 1 < rows.length)
+          when(col("_bkt") === bkt, lit(rows(idx + 1)._4)).otherwise(e)
+        else e
+      }
+      val wOrd = Window.partitionBy("_bkt").orderBy("_v")
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val micro = v.withColumn("_bkt", bucketExpr)
+        .withColumn("_ca", sum("_na").over(wCum) +
+          offsetExpr(rows.map(t => (t._1, t._2))))
+        .withColumn("_cb", sum("_nb").over(wCum) +
+          offsetExpr(rows.map(t => (t._1, t._3))))
+        .withColumn("_gap",
+          coalesce(lead("_v", 1).over(wOrd), nextMin, col("_v"))
+            - col("_v"))
+        .select((abs(col("_ca").cast("decimal(38,0)") * lit(tb)
+          - col("_cb").cast("decimal(38,0)") * lit(ta))
+          * col("_gap").cast("decimal(38,0)")).as("_t"))
+        .agg(coalesce(sum("_t"), lit(0).cast("decimal(38,0)")).as("_s"))
+        .select(expr(
+          s"CAST(_s * 1000000 div (${ta}L * ${tb}L) AS BIGINT)")
+          .as("w1_micro"))
+        .collect()(0).getLong(0)
+      import ss.implicits._
+      Seq((ta, tb, micro)).toDF("n_a", "n_b", "w1_micro")
     } finally v.unpersist(false)
   }
 

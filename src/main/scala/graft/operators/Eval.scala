@@ -103,8 +103,13 @@ object Eval {
     * (the Σ(T_j − S/k)² numerator cleared of its /k² against the
     * classic k(k−1) prefactor). Every product rides DECIMAL(38,0).
     * The design must be a COMPLETE block — every item rated by all k
-    * models exactly once — enforced by an in-plan raise_error (the
-    * krippendorffAlpha convention). Degenerate denominator (every
+    * models exactly once — enforced by in-plan raise_errors (the
+    * krippendorffAlpha convention) on all three ways a block can be
+    * incomplete: per-item rating counts differ, some (item, model)
+    * pair appears more than once (uniform duplicates would otherwise
+    * slip a min==max count check), or items are rated by different
+    * equal-sized model SUBSETS (caught by per-item model count ≠
+    * global distinct model count). Degenerate denominator (every
     * item passed by all models or none) → null.
     *
     * Shape: one (item) aggregate for R_i, one (model) aggregate for
@@ -116,10 +121,13 @@ object Eval {
       col(modelCol).isNotNull && col(passedCol).isNotNull)
     val perItem = rated.groupBy(col(itemCol))
       .agg(count(lit(1)).as("_k"),
+        countDistinct(col(modelCol)).as("_kd"),
         sum(when(col(passedCol), 1L).otherwise(0L)).as("_r"))
     val itemFold = perItem.agg(
       count(lit(1)).as("n_items"),
       min("_k").as("_kmin"), max("_k").as("_kmax"),
+      // duplicate (item, model) ratings: count > distinct models
+      max(col("_k") - col("_kd")).as("_dupmax"),
       coalesce(sum("_r"), lit(0L)).as("_s"),
       coalesce(sum((col("_r") * col("_r")).cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("_r2"))
@@ -128,6 +136,9 @@ object Eval {
           lit("cochranQ requires a complete block: per-item model "),
           lit("counts range "), col("_kmin").cast("string"),
           lit(".."), col("_kmax").cast("string"))))
+          .when(col("_dupmax") > 0, raise_error(lit(
+            "cochranQ requires a complete block: some (item, model) " +
+              "pair is rated more than once")))
           .otherwise(col("_kmax")).as("n_models"),
         col("_s"), col("_r2"))
     val tj = rated.groupBy(col(modelCol))
@@ -140,7 +151,19 @@ object Eval {
             .cast("decimal(38,0)")).as("_num1"))
       .groupBy("n_items", "n_models", "_s", "_r2")
       .agg(coalesce(sum("_num1"), lit(0).cast("decimal(38,0)"))
-        .as("_num"))
+        .as("_num"),
+        // equal-sized DIFFERENT model subsets pass the min==max
+        // check; the global distinct model count (= rows of tj)
+        // must equal every item's model count
+        count(lit(1)).as("_kglob"))
+      .select(col("n_items"),
+        when(col("n_models") =!= col("_kglob"), raise_error(concat(
+          lit("cochranQ requires a complete block: items rated by "),
+          col("n_models").cast("string"),
+          lit(" models each but "), col("_kglob").cast("string"),
+          lit(" distinct models exist — different model subsets"))))
+          .otherwise(col("n_models")).as("n_models"),
+        col("_s"), col("_r2"), col("_num"))
       .select(col("n_items"), col("n_models"),
         when(expr("""CAST(n_models AS DECIMAL(38,0))
               * (n_models * _s - _r2)""") === 0,

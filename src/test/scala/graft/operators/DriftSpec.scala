@@ -329,4 +329,30 @@ class DriftSpec extends SparkSpec {
       graft.operators.Drift.cvmStatistic(a, b.limit(0), "v")
     }
   }
+
+  test("wasserstein1: exact CDF-area distance on integer samples") {
+    import spark.implicits._
+    // interleaved: {0,2} vs {1,3} — true W1 = 1
+    val a = Seq(0L, 2L).toDF("v")
+    val b = Seq(1L, 3L).toDF("v")
+    val r = graft.operators.Drift.wasserstein1(a, b, "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getLong(2) == 1000000L, s"w1: ${r.getLong(2)}")
+    // pure shift by 5: {0,10} vs {5,15} — W1 = 5
+    val s5 = graft.operators.Drift.wasserstein1(
+      Seq(0L, 10L).toDF("v"), Seq(5L, 15L).toDF("v"), "v")
+      .collect().head
+    assert(s5.getLong(2) == 5000000L, s"w1: ${s5.getLong(2)}")
+    // unequal sizes with ties: {1,1,1} vs {4} — every unit of A mass
+    // moves 3 → W1 = 3; floor micros of Σ|ca·m−cb·n|·Δv / (n·m)
+    val u = graft.operators.Drift.wasserstein1(
+      Seq(1L, 1L, 1L).toDF("v"), Seq(4L).toDF("v"), "v").collect().head
+    assert(u.getLong(2) == 3000000L, s"w1: ${u.getLong(2)}")
+    // identical samples: zero
+    assert(graft.operators.Drift.wasserstein1(a, a, "v")
+      .collect().head.getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Drift.wasserstein1(a, b.limit(0), "v")
+    }
+  }
 }

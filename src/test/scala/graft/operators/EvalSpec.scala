@@ -415,5 +415,23 @@ class EvalSpec extends SparkSpec {
     intercept[Exception] {
       Eval.cochranQ(incomplete, "item", "model", "passed").collect()
     }
+    // equal-sized DIFFERENT model subsets (uniform per-item count 2,
+    // but 4 distinct models) must ALSO raise — min==max alone misses it
+    val subsets = Seq((1L, "a", true), (1L, "b", false),
+      (2L, "c", true), (2L, "d", false)).toDF("item", "model", "passed")
+    val eSub = intercept[Exception] {
+      Eval.cochranQ(subsets, "item", "model", "passed").collect()
+    }
+    assert(eSub.getMessage.contains("different model subsets"),
+      s"got: ${eSub.getMessage}")
+    // uniform DUPLICATE (item, model) ratings (every item rated twice
+    // by the same model) must raise, not silently inflate counts
+    val dups = Seq((1L, "a", true), (1L, "a", true),
+      (2L, "a", false), (2L, "a", false)).toDF("item", "model", "passed")
+    val eDup = intercept[Exception] {
+      Eval.cochranQ(dups, "item", "model", "passed").collect()
+    }
+    assert(eDup.getMessage.contains("rated more than once"),
+      s"got: ${eDup.getMessage}")
   }
 }
