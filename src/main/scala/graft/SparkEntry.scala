@@ -3137,7 +3137,52 @@ object SparkEntry {
       graft.operators.Drift.wasserstein1(
         e.filter(col("event_id") % 2 === 0).select("vmicro"),
         e.filter(col("event_id") % 2 === 1).select("vmicro"), "vmicro")
-    })
+    }),
+    // ---- per-vertex local clustering coefficient over the q156
+    //      planted graph: same compact-forward orientation, but the
+    //      closure join keeps triangle rows and credits all three
+    //      corners — WHERE the graph is clique-ish, per vertex. ----
+    "q270_local_clustering" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % m,
+          (col("doc_id") * 13 + 5) % m,
+          (col("doc_id") * 29 + 11) % m)).as("dst"))
+      graft.operators.Graph.localClustering(edges, "src", "dst")
+    }),
+    // ---- resource-allocation link prediction over the q244 graph:
+    //      wedge candidates with each shared neighbor down-weighted
+    //      by its degree, Σ⌊10⁶/deg(z)⌋ — hubs stop dominating the
+    //      common-neighbor count. ----
+    "q271_resource_alloc" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val intra = d.select(col("doc_id").as("src"), explode(array(
+        expr("(doc_id div 25) * 25 + (doc_id * 7 + 1) % 25"),
+        expr("(doc_id div 25) * 25 + (doc_id * 13 + 5) % 25"))).as("dst"))
+      val cross = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 25) % m).as("dst"))
+      graft.operators.Graph.resourceAllocationScores(
+        intra.unionByName(cross), "src", "dst", minCommon = 2)
+    }),
+    // ---- approximate FDs with the g3 error (min fraction of rows
+    //      to delete for the FD to hold) — q163's exact verdicts
+    //      graded: almost-FDs a handful of dirty rows away rank
+    //      above pure noise. ----
+    "q272_fd_approx" -> ((s, dir) =>
+      Audit.fdApprox(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_returnflag",
+          "l_linestatus"))),
+    // ---- candidate-key discovery: single-column and minimal
+    //      two-column composite uniqueness — proposes the PRIMARY
+    //      KEY the reference takes on faith from the caller
+    //      ((l_orderkey, l_linenumber) is TPC-H lineitem's key). ----
+    "q273_key_discovery" -> ((s, dir) =>
+      Audit.keyDiscovery(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7683,7 +7728,54 @@ SELECT t.n AS n_a, t.m AS n_b,
   CAST(coalesce(sum(CAST(abs(ca * t.m - cb * t.n) AS HUGEINT)
       * (coalesce(nv, v) - v)), 0) * 1000000
     // (CAST(t.n AS HUGEINT) * t.m) AS BIGINT) AS w1_micro
-FROM c CROSS JOIN t GROUP BY t.n, t.m"""
+FROM c CROSS JOIN t GROUP BY t.n, t.m""",
+    // q270: q156's triangle join kept as rows, 3-wide corner union,
+    // left join back to the degree frame; deg<2 → NULL (undefined).
+    "q270_local_clustering" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+mx AS (SELECT max(doc_id) + 1 AS m FROM docs),
+eraw AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % m AS dst FROM docs CROSS JOIN mx
+  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % m FROM docs CROSS JOIN mx
+  UNION ALL SELECT doc_id, (doc_id * 29 + 11) % m FROM docs CROSS JOIN mx),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM eraw WHERE src <> dst),
+d AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+tr AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+pv AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS t FROM (
+  SELECT u AS x FROM tr UNION ALL SELECT v FROM tr
+  UNION ALL SELECT w FROM tr) GROUP BY 1)
+SELECT d.v AS vertex, d.deg AS degree,
+  coalesce(pv.t, 0) AS n_triangles,
+  CASE WHEN d.deg < 2 THEN NULL
+    ELSE CAST(coalesce(pv.t, 0) * 2000000
+      // (d.deg * (d.deg - 1)) AS BIGINT) END AS lcc_micro
+FROM d LEFT JOIN pv ON pv.v = d.v ORDER BY vertex""",
+    // q271: q244's wedge frame with the midpoint degree riding each
+    // row; per-witness floor(1e6/deg), summed in the pair aggregate.
+    "q271_resource_alloc" ->
+      s"""WITH $lpaGraphCtes,
+e AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM half
+  GROUP BY 1, 2),
+sym AS (SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM sym
+  GROUP BY 1),
+w AS (SELECT s1.dst AS x, s2.dst AS y, dm.d AS dm FROM sym s1
+  JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+  JOIN deg dm ON dm.v = s1.src),
+p AS (SELECT x AS id_a, y AS id_b, CAST(count(*) AS BIGINT)
+    AS n_common, CAST(sum(1000000 // dm) AS BIGINT) AS ra_micro
+  FROM w GROUP BY 1, 2 HAVING count(*) >= 2),
+np AS (SELECT p.* FROM p WHERE NOT EXISTS
+  (SELECT 1 FROM e WHERE e.a = p.id_a AND e.b = p.id_b))
+SELECT id_a, id_b, n_common, ra_micro FROM np
+ORDER BY id_a, id_b""",
+    "q272_fd_approx" -> fdApproxOracle,
+    "q273_key_discovery" -> keyDiscoveryOracle
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two
@@ -8177,6 +8269,61 @@ ORDER BY pr_micro DESC, vertex LIMIT 20"""
     * distinct-(det, dep) cells, per-determinant dependent counts, the
     * same three-level aggregation the engine fuses into one melt scan.
     * Pair list mirrors the engine call's column order. */
+  /** q272: the fdDiscovery melt re-aggregated for g3 — per
+    * determinant value keep the modal dependent count (max), charge
+    * the rest; all non-null integer/char columns so raw-value
+    * grouping equals the engine's string render. */
+  private def fdApproxOracle: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_returnflag",
+      "l_linestatus")
+    val parts = for { a <- cols; b <- cols if a != b } yield
+      s"""SELECT '$a' AS determinant, '$b' AS dependent,
+  CAST(count(*) AS BIGINT) AS n_det_values,
+  CAST(sum(nr) AS BIGINT) AS n_rows,
+  CAST((sum(nr) - sum(mx)) * 1000000 // sum(nr) AS BIGINT)
+    AS g3_micro,
+  sum(mx) = sum(nr) AS fd_holds
+FROM (SELECT va, CAST(max(c) AS BIGINT) AS mx,
+    CAST(sum(c) AS BIGINT) AS nr
+  FROM (SELECT $a AS va, $b AS vb, count(*) AS c FROM lineitem
+    GROUP BY 1, 2) GROUP BY va)"""
+    parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      ")\nORDER BY determinant, dependent")
+  }
+
+  /** q273: single-column distincts once, each pair's distinct count
+    * from its own DISTINCT subquery; minimality = pair unique and
+    * neither member unique. */
+  private def keyDiscoveryOracle: String = {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+      "l_suppkey")
+    def dn(c: String) = s"d_${c.stripPrefix("l_")}"
+    val uCols = cols.map(c =>
+      s"CAST(count(DISTINCT $c) AS BIGINT) AS ${dn(c)}").mkString(",\n  ")
+    val singles = cols.map(c =>
+      s"""SELECT '$c' AS candidate, 1 AS arity, ${dn(c)} AS n_distinct,
+  n AS n_rows, ${dn(c)} = n AS is_key, ${dn(c)} = n AS is_minimal
+FROM u CROSS JOIN nr""")
+    val pairs = cols.combinations(2).toSeq.map { pq =>
+      val (a, b) = (pq(0), pq(1))
+      s"""SELECT '$a+$b' AS candidate, 2 AS arity,
+  (SELECT CAST(count(*) AS BIGINT)
+    FROM (SELECT DISTINCT $a, $b FROM lineitem)) AS n_distinct,
+  n AS n_rows,
+  (SELECT CAST(count(*) AS BIGINT)
+    FROM (SELECT DISTINCT $a, $b FROM lineitem)) = n AS is_key,
+  (SELECT CAST(count(*) AS BIGINT)
+    FROM (SELECT DISTINCT $a, $b FROM lineitem)) = n
+    AND ${dn(a)} <> n AND ${dn(b)} <> n AS is_minimal
+FROM u CROSS JOIN nr"""
+    }
+    s"""WITH nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+u AS (SELECT $uCols FROM lineitem)
+SELECT * FROM (
+${(singles ++ pairs).mkString("\nUNION ALL\n")}
+) ORDER BY arity, candidate"""
+  }
+
   private def fdDiscoveryOracle: String = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_orderpriority")

@@ -539,6 +539,131 @@ object Audit {
       .orderBy("determinant", "dependent")
   }
 
+  /** Approximate functional dependencies — [[fdDiscovery]] with an
+    * ERROR MEASURE instead of a boolean: real tables hold almost-FDs
+    * (a handful of dirty rows away from A → B), and the exact
+    * discoverer reports them indistinguishably from pure noise. The
+    * standard g3 error (Kivinen & Mannila 1995) is the minimum
+    * fraction of rows to DELETE for the FD to hold exactly:
+    *
+    *   g3(A → B) = 1 − Σ_a max_b |rows(a, b)| / n
+    *
+    * — for each determinant value keep its modal dependent, count
+    * everything else as violations. Reported in floor micros;
+    * g3 = 0 ⟺ the exact FD holds. Same unordered-pair melt as
+    * fdDiscovery (C(n,2) structs per row, directions fan out over
+    * the collapsed cell frame), with one extra max-fold per
+    * determinant value; nulls render to a sentinel and count as
+    * ordinary values (the fdDiscovery convention).
+    *
+    * Returns one row per ordered pair: (determinant, dependent,
+    * n_det_values, n_rows, g3_micro, fd_holds), ordered by
+    * (determinant, dependent). */
+  def fdApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"fdApprox needs >= 2 columns: $cols")
+    require(cols.distinct == cols, s"duplicate columns: $cols")
+    require(cols.size <= 12,
+      s"${cols.size} columns melt to ${cols.size * (cols.size - 1)} " +
+        "pairs per row — profile a declared subset, not the whole table")
+    def rendered(c: String): Column =
+      coalesce(col(c).cast("string"), lit("\u0001"))
+    val pairs = cols.combinations(2).map { pq =>
+      val (a, b) = (pq(0), pq(1))
+      struct(lit(a).as("pa"), lit(b).as("pb"),
+        rendered(a).as("va"), rendered(b).as("vb"))
+    }.toSeq
+    val cells = df
+      .select(explode(array(pairs: _*)).as("_p"))
+      .select(col("_p.pa"), col("_p.pb"), col("_p.va"), col("_p.vb"))
+      .groupBy("pa", "pb", "va", "vb")
+      .agg(count(lit(1)).as("_n"))
+    val perDet = cells
+      .select(explode(array(
+        struct(col("pa").as("det"), col("pb").as("dep"),
+          col("va").as("dval")),
+        struct(col("pb").as("det"), col("pa").as("dep"),
+          col("vb").as("dval")))).as("_d"), col("_n"))
+      .select(col("_d.det"), col("_d.dep"), col("_d.dval"), col("_n"))
+      .groupBy("det", "dep", "dval")
+      .agg(max("_n").as("_mx"), sum("_n").as("_rows"))
+    perDet.groupBy("det", "dep")
+      .agg(count(lit(1)).as("n_det_values"),
+        sum("_mx").as("_keep"), sum("_rows").as("n_rows"))
+      .select(col("det").as("determinant"), col("dep").as("dependent"),
+        col("n_det_values"), col("n_rows"),
+        expr("(n_rows - _keep) * 1000000 div n_rows").as("g3_micro"),
+        (col("_keep") === col("n_rows")).as("fd_holds"))
+      .orderBy("determinant", "dependent")
+  }
+
+  /** Candidate-key discovery — the uniqueness face of the same melt:
+    * which declared columns (and which column PAIRS) uniquely
+    * identify rows? The reference takes a primary key as user input
+    * (RedshiftAutoSchema constructor, reference RAS:36); this is the
+    * profiling pass that PROPOSES one. A single column is a key iff
+    * its distinct count equals the row count; a pair is a MINIMAL
+    * composite key iff the pair is unique and neither member is —
+    * the standard first rung of the uniqueness lattice (full UCC
+    * discovery is exponential; one-and-two-column keys cover the
+    * overwhelming share of real tables). Nulls render to a sentinel
+    * and count as ordinary values (the [[fdDiscovery]] convention —
+    * callers wanting SQL-style null-excluded uniqueness filter
+    * first).
+    *
+    * ONE row-count aggregate, one per-column distinct aggregate per
+    * column (fused), and the pair distinct counts ride the same
+    * C(n,2) cell melt as [[fdApprox]]. Returns one row per candidate:
+    * (candidate — `a` or `a+b`, arity, n_distinct, n_rows, is_key,
+    * is_minimal — keys only, singles trivially minimal), ordered by
+    * (arity, candidate). */
+  def keyDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"keyDiscovery needs >= 2 columns: $cols")
+    require(cols.distinct == cols, s"duplicate columns: $cols")
+    require(cols.size <= 12,
+      s"${cols.size} columns melt to ${cols.size * (cols.size - 1) / 2} " +
+        "pairs per row — profile a declared subset, not the whole table")
+    val ss = df.sparkSession
+    def rendered(c: String): Column =
+      coalesce(col(c).cast("string"), lit("\u0001"))
+    val singleAggExprs = count(lit(1)).as("_nrows") +:
+      cols.zipWithIndex.map { case (c, i) =>
+        countDistinct(rendered(c)).as(s"_d$i") }
+    val singleAgg = df.agg(singleAggExprs.head, singleAggExprs.tail: _*)
+      .head()
+    val nRows = singleAgg.getLong(0)
+    val singleDistinct = cols.indices
+      .map(i => cols(i) -> singleAgg.getLong(i + 1)).toMap
+    val pairs = cols.combinations(2).map { pq =>
+      val (a, b) = (pq(0), pq(1))
+      struct(lit(a).as("pa"), lit(b).as("pb"),
+        rendered(a).as("va"), rendered(b).as("vb"))
+    }.toSeq
+    val pairDistinct = df
+      .select(explode(array(pairs: _*)).as("_p"))
+      .select(col("_p.pa"), col("_p.pb"), col("_p.va"), col("_p.vb"))
+      .groupBy("pa", "pb", "va", "vb")
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("_nd"))
+    import ss.implicits._
+    val singles = cols.map { c =>
+      val d = singleDistinct(c)
+      (c, 1, d, nRows, d == nRows, d == nRows)
+    }.toDF("candidate", "arity", "n_distinct", "n_rows", "is_key",
+      "is_minimal")
+    // pair minimality needs the MEMBERS' uniqueness: ride the single
+    // verdicts in as a literal name→unique map (driver-known, tiny)
+    val uniqMap = map(cols.flatMap(c =>
+      Seq(lit(c), lit(singleDistinct(c) == nRows))): _*)
+    val pairRows = pairDistinct
+      .select(concat_ws("+", col("pa"), col("pb")).as("candidate"),
+        lit(2).as("arity"), col("_nd").as("n_distinct"),
+        lit(nRows).as("n_rows"), (col("_nd") === nRows).as("is_key"),
+        ((col("_nd") === nRows) && !element_at(uniqMap, col("pa")) &&
+          !element_at(uniqMap, col("pb"))).as("is_minimal"))
+    singles.unionByName(pairRows).orderBy("arity", "candidate")
+  }
+
   /** One column of an inclusion-dependency candidate set: a display
     * label (conventionally `table.column`), the frame, the column. */
   final case class IndColumn(label: String, df: DataFrame,

@@ -267,6 +267,72 @@ object Graph {
             "3 * n_triangles * 1000000L div n_wedges")).as("clustering_micro"))
   }
 
+  /** Per-vertex local clustering coefficient — WHERE the graph is
+    * clique-ish, not just how much on average ([[triangleCount]]'s
+    * global transitivity hides a corpus whose spam subgraph is
+    * near-clique inside an otherwise tree-like link structure):
+    * lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) in floor micros, the
+    * fraction of v's neighbor pairs that are themselves linked.
+    *
+    * Same compact-forward machinery as [[triangleCount]] — canonical
+    * undirected edges, degree-ordered DAG orientation so wedge fanout
+    * is O(√m) per vertex — but the closure join keeps the triangle
+    * rows instead of counting them, and each triangle credits all
+    * THREE corners via a 3-wide explode before one hash aggregate.
+    * Exact integers throughout; vertices of degree < 2 have no
+    * neighbor pair to close and report null (not 0 — "undefined"
+    * and "open" are different facts).
+    *
+    * Returns one row per vertex: (vertex, degree, n_triangles,
+    * lcc_micro), ordered by vertex. */
+  def localClustering(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("d").as("_da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("_db")), Seq("b"))
+      .select(
+        when(struct(col("_da"), col("a")) < struct(col("_db"), col("b")),
+          struct(col("a").as("u"), col("b").as("w"),
+            col("_db").as("_dw")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"),
+            col("_da").as("_dw"))).as("_o"))
+      .select(col("_o.u").as("u"), col("_o.w").as("w"),
+        col("_o._dw").as("_dw"))
+    val o1 = oriented.select(col("u"), col("w").as("v"),
+      col("_dw").as("_dv"))
+    val o2 = oriented.select(col("u"), col("w"), col("_dw"))
+    // wedge frame KEEPS the midpoint u: the semi-join filters to
+    // closed wedges (= triangles) with all three corners in hand
+    val triangles = o1.join(o2, Seq("u"))
+      .filter(struct(col("_dv"), col("v")) < struct(col("_dw"), col("w")))
+      .select(col("u"), col("v"), col("w"))
+      .join(oriented.select(col("u").as("v"), col("w")), Seq("v", "w"),
+        "left_semi")
+    val perV = triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("_t"))
+    deg.join(perV, Seq("v"), "left")
+      .select(col("v").as("vertex"), col("d").as("degree"),
+        coalesce(col("_t"), lit(0L)).as("n_triangles"),
+        when(col("d") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            "coalesce(_t, 0L) * 2000000 div (d * (d - 1))"))
+          .as("lcc_micro"))
+      .orderBy("vertex")
+  }
+
   /** HITS hubs & authorities with a FIXED iteration count in exact
     * integer micro-units — the directory-vs-content complement to
     * [[pageRank]]: a hub links to many good authorities (a curated
@@ -791,6 +857,61 @@ object Graph {
         col("deg_b"),
         expr("""n_common * 1000000 div
           (deg_a + deg_b - n_common)""").as("jaccard_micro"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009) —
+    * the degree-weighted refinement of [[commonNeighborCandidates]]:
+    * a shared neighbor of degree 2 is strong evidence of a missing
+    * link, a shared hub of degree 10,000 is nearly none, and the raw
+    * common-neighbor count treats them identically. RA down-weights
+    * each witness by its degree: RA(a,b) = Σ_{z ∈ Γa∩Γb} 1/deg(z).
+    * (Adamic–Adar's 1/log weights are irrational; RA's 1/deg terms
+    * are exact rationals — the deterministic-integer variant, and the
+    * better predictor on dense graphs in the original study.) Each
+    * term contributes ⌊10⁶/deg(z)⌋ — per-witness floor, so the sum is
+    * bit-replayable across engines and summation orders.
+    *
+    * Same wedge dataflow as [[commonNeighborCandidates]] (distance-2
+    * candidates only, `maxWedgeDegree` center cap, non-adjacent
+    * filter); the midpoint's degree rides each wedge row into the
+    * pair aggregate, so RA costs the same single groupBy. Returns
+    * non-adjacent pairs with ≥ `minCommon` common neighbors:
+    * (id_a < id_b, n_common, ra_micro), ordered by (id_a, id_b). */
+  def resourceAllocationScores(edges: DataFrame, srcCol: String,
+                               dstCol: String, minCommon: Int = 2,
+                               maxWedgeDegree: Int = 10000): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
+    require(maxWedgeDegree >= 2,
+      s"maxWedgeDegree must be >= 2: $maxWedgeDegree")
+    val half = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = half
+      .unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("_d"))
+    val centers = deg.filter(col("_d") <= maxWedgeDegree)
+      .select(col("v").as("_mid"), col("_d").as("_dmid"))
+    val wedgeSide = sym.join(centers, sym("src") === centers("_mid"))
+      .select(col("_mid"), col("_dmid"), col("dst"))
+    val pairs = wedgeSide.as("l")
+      .join(wedgeSide.as("r"), col("l._mid") === col("r._mid") &&
+        col("l.dst") < col("r.dst"))
+      .select(col("l.dst").as("id_a"), col("r.dst").as("id_b"),
+        col("l._dmid").as("_dm"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 div _dm")).as("ra_micro"))
+      .filter(col("n_common") >= minCommon)
+    pairs.join(
+      sym.select(col("src").as("id_a"), col("dst").as("id_b")),
+      Seq("id_a", "id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"), col("n_common"), col("ra_micro"))
       .orderBy("id_a", "id_b")
   }
 }

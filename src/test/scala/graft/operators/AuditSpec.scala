@@ -423,4 +423,53 @@ class AuditSpec extends SparkSpec {
         Audit.IndColumn("z", Seq(Option.empty[Long]).toDF("z"), "z")))
     }
   }
+  test("fdApprox: g3 is the minimum row-deletion fraction") {
+    import spark.implicits._
+    // g -> s holds except one dirty row: g=1 has s=a,a,b (keep 2 of
+    // 3); g=2 clean. id is unique so id -> * all hold (g3 = 0).
+    val df = Seq((1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "b"),
+      (4L, 2L, "c")).toDF("id", "g", "s")
+    val got = Audit.fdApprox(df, Seq("id", "g", "s")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toList
+    val m = got.map(t => (t._1, t._2) -> t).toMap
+    // g -> s: keep max per g-value = 2 (g=1) + 1 (g=2) = 3 of 4
+    assert(m(("g", "s")) == (("g", "s", 2L, 4L, 250000L, false)))
+    // id -> s: exact
+    assert(m(("id", "s")) == (("id", "s", 4L, 4L, 0L, true)))
+    // s -> g: s=a ->{1}, s=b ->{1}, s=c ->{2}: exact
+    assert(m(("s", "g")) == (("s", "g", 3L, 4L, 0L, true)))
+    // g -> id: g=1 keeps 1 of 3, g=2 keeps 1: (4-2)/4 = 0.5
+    assert(m(("g", "id")) == (("g", "id", 2L, 4L, 500000L, false)))
+    assert(got.size == 6)
+  }
+
+  test("keyDiscovery: singles, composite keys, minimality") {
+    import spark.implicits._
+    // (a, b) is the classic composite key; c is unique on its own
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 12L),
+      (2L, 2L, 13L)).toDF("a", "b", "c")
+    val got = Audit.keyDiscovery(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toList
+    val m = got.map(t => t._1 -> t).toMap
+    assert(m("a") == (("a", 1, 2L, 4L, false, false)))
+    assert(m("c") == (("c", 1, 4L, 4L, true, true)))
+    // a+b unique and neither member is -> minimal
+    assert(m("a+b") == (("a+b", 2, 4L, 4L, true, true)))
+    // a+c unique but c already is -> key, NOT minimal
+    assert(m("a+c") == (("a+c", 2, 4L, 4L, true, false)))
+    assert(m("b+c") == (("b+c", 2, 4L, 4L, true, false)))
+    assert(got.size == 6)
+    // nulls count as a value (the fdDiscovery sentinel convention):
+    // k = {1, null, 2} is 3 distinct over 3 rows -> a key
+    val wn = Seq((Some(1L), "x"), (None, "y"), (Some(2L), "z"))
+      .toDF("k", "v")
+    val kn = Audit.keyDiscovery(wn, Seq("k", "v"))
+      .filter(col("candidate") === "k").collect().head
+    assert(kn.getLong(2) == 3L && kn.getBoolean(4))
+    intercept[IllegalArgumentException] {
+      Audit.keyDiscovery(df, Seq("a"))
+    }
+  }
 }

@@ -456,4 +456,42 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kTruss(sq, "src", "dst", k = 4, iterations = 3)
       .count() == 0L)
   }
+  test("localClustering: triangle corners at 1.0, hinge at 1/3, pendant null") {
+    import spark.implicits._
+    // triangle 1-2-3 with a pendant 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.localClustering(edges, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L), (4L, 1L, 0L, -1L)), s"got $got")
+    // square without diagonals: everyone open -> lcc 0
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Graph.localClustering(sq, "src", "dst").collect()
+      .forall(r => r.getLong(3) == 0L))
+  }
+
+  test("resourceAllocationScores: witnesses down-weighted by degree") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4: pair (1,3) shares {2,4} (deg 2 each) -> RA
+    // 2*500000; pair (2,4) shares {1,3} -> same; both non-adjacent
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.resourceAllocationScores(sq, "src", "dst",
+      minCommon = 2).as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)),
+      s"got $got")
+    // hub witness counts for less: star center 9 connected to 1,2,3
+    // plus direct edge 1-2 -> pair (1,3) shares only hub 9 (deg 3):
+    // RA = 333333; minCommon=1 admits it. (1,2) adjacent -> excluded.
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val s2 = Graph.resourceAllocationScores(star, "src", "dst",
+      minCommon = 1).as[(Long, Long, Long, Long)].collect().toSet
+    assert(s2 == Set((1L, 3L, 1L, 333333L), (2L, 3L, 1L, 333333L)),
+      s"got $s2")
+    intercept[IllegalArgumentException] {
+      Graph.resourceAllocationScores(sq, "src", "dst", minCommon = 0)
+    }
+  }
 }
