@@ -3182,7 +3182,28 @@ object SparkEntry {
     //      ((l_orderkey, l_linenumber) is TPC-H lineitem's key). ----
     "q273_key_discovery" -> ((s, dir) =>
       Audit.keyDiscovery(t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")))
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))),
+    // ---- Kendall concordance (exact pair counts + rational tau-a /
+    //      Goodman–Kruskal gamma) between quantity and price bucket:
+    //      cell-collapsed, so pair work is domain-sized, not
+    //      corpus-sized. ----
+    "q274_kendall" -> ((s, dir) =>
+      graft.operators.Stats.kendallConcordance(
+        t(s, dir, "lineitem").select(
+          floor(col("l_quantity")).as("qx"),
+          floor(col("l_extendedprice") / 10000).as("py")),
+        "qx", "py")),
+    // ---- Cliff's delta effect size between event values split by
+    //      id parity — histogram-collapsed A×B dominance counts;
+    //      whole-unit floor keeps the histograms domain-sized. ----
+    "q275_cliffs_delta" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_id"), floor(col("value")).as("vu"))
+      graft.operators.Drift.cliffsDelta(
+        e.filter(col("event_id") % 2 === 0).select("vu"),
+        e.filter(col("event_id") % 2 === 1).select("vu"), "vu")
+    })
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7775,7 +7796,65 @@ np AS (SELECT p.* FROM p WHERE NOT EXISTS
 SELECT id_a, id_b, n_common, ra_micro FROM np
 ORDER BY id_a, id_b""",
     "q272_fd_approx" -> fdApproxOracle,
-    "q273_key_discovery" -> keyDiscoveryOracle
+    "q273_key_discovery" -> keyDiscoveryOracle,
+    // q274: cell histogram, lex-ordered cell self-join (each
+    // unordered pair once), HUGEINT products, truncating // on the
+    // possibly-negative numerators.
+    "q274_kendall" ->
+      """WITH r AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+  CAST(floor(l_extendedprice / 10000) AS BIGINT) AS y FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1, 2),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+  CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS txy FROM c),
+p AS (SELECT
+  CAST(coalesce(sum(CASE WHEN a.x < b.x AND a.y < b.y
+    THEN CAST(a.n AS HUGEINT) * b.n END), 0) AS HUGEINT) AS cc,
+  CAST(coalesce(sum(CASE WHEN a.x < b.x AND a.y > b.y
+    THEN CAST(a.n AS HUGEINT) * b.n END), 0) AS HUGEINT) AS dd,
+  CAST(coalesce(sum(CASE WHEN a.x = b.x
+    THEN CAST(a.n AS HUGEINT) * b.n END), 0) AS HUGEINT) AS tx,
+  CAST(coalesce(sum(CASE WHEN a.y = b.y
+    THEN CAST(a.n AS HUGEINT) * b.n END), 0) AS HUGEINT) AS ty
+  FROM c a JOIN c b ON a.x < b.x OR (a.x = b.x AND a.y < b.y))
+SELECT t.nn AS n, CAST(p.cc AS BIGINT) AS n_concordant,
+  CAST(p.dd AS BIGINT) AS n_discordant,
+  CAST(p.tx AS BIGINT) AS n_tied_x, CAST(p.ty AS BIGINT) AS n_tied_y,
+  t.txy AS n_tied_xy,
+  CASE WHEN t.nn < 2 THEN NULL ELSE
+    CAST((p.cc - p.dd) * 1000000
+      // (CAST(t.nn AS HUGEINT) * (t.nn - 1) // 2) AS BIGINT) END
+    AS tau_a_micro,
+  CASE WHEN p.cc + p.dd = 0 THEN NULL ELSE
+    CAST((p.cc - p.dd) * 1000000 // (p.cc + p.dd) AS BIGINT) END
+    AS gamma_micro
+FROM t CROSS JOIN p""",
+    // q275: per-side value histograms, one cross join of DISTINCT
+    // values with dominance CASEs, floor-div by n·m.
+    "q275_cliffs_delta" ->
+      """WITH ha AS (SELECT CAST(floor(value) AS BIGINT) AS v,
+    CAST(count(*) AS BIGINT) AS na FROM events
+  WHERE event_id % 2 = 0 AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1),
+hb AS (SELECT CAST(floor(value) AS BIGINT) AS v,
+    CAST(count(*) AS BIGINT) AS nb FROM events
+  WHERE event_id % 2 = 1 AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1),
+p AS (SELECT
+  CAST(coalesce(sum(CASE WHEN ha.v > hb.v
+    THEN CAST(na AS HUGEINT) * nb END), 0) AS HUGEINT) AS gt,
+  CAST(coalesce(sum(CASE WHEN ha.v < hb.v
+    THEN CAST(na AS HUGEINT) * nb END), 0) AS HUGEINT) AS lt,
+  CAST(coalesce(sum(CASE WHEN ha.v = hb.v
+    THEN CAST(na AS HUGEINT) * nb END), 0) AS HUGEINT) AS eq
+  FROM ha CROSS JOIN hb),
+t AS (SELECT (SELECT CAST(sum(na) AS BIGINT) FROM ha) AS n_a,
+  (SELECT CAST(sum(nb) AS BIGINT) FROM hb) AS n_b)
+SELECT t.n_a, t.n_b, CAST(p.gt AS BIGINT) AS n_gt,
+  CAST(p.lt AS BIGINT) AS n_lt, CAST(p.eq AS BIGINT) AS n_eq,
+  CAST((p.gt - p.lt) * 1000000
+    // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS delta_micro
+FROM t CROSS JOIN p"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

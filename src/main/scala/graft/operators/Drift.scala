@@ -349,6 +349,61 @@ object Drift {
     } finally v.unpersist(false)
   }
 
+  /** Cliff's delta — the ORDINAL effect size of a two-sample shift
+    * (Cliff 1993): δ = (#{a > b} − #{a < b}) / (n·m) over all A×B
+    * pairs, i.e. how much more often a current-sample value exceeds a
+    * reference value than the reverse. Reads on the same scale
+    * regardless of units or outliers (|δ| ≈ 0.15 small / 0.33 medium
+    * / 0.47 large in Romano et al.'s benchmarks) — the practical
+    * companion the [[ksStatistic]] p-value machinery lacks: at corpus
+    * scale EVERYTHING is statistically significant and only effect
+    * size tells you whether to care. Exact rational → floor micros.
+    *
+    * Dataflow: both samples collapse to value HISTOGRAMS first, so
+    * the pair count is distinct_a × distinct_b — independent of row
+    * count for integer-valued columns (guarded by `maxDistinct` per
+    * side; micro-scale or bucketize continuous columns first, the
+    * [[wasserstein1]] convention). One hash aggregate per side, one
+    * broadcast nested-loop histogram join, products in
+    * DECIMAL(38,0). Returns ONE row: (n_a, n_b, n_gt, n_lt, n_eq,
+    * delta_micro). */
+  def cliffsDelta(a: DataFrame, b: DataFrame, valueCol: String,
+                  maxDistinct: Int = 20000): DataFrame = {
+    def hist(df: DataFrame, n: String): DataFrame = df
+      .select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy("_v").agg(count(lit(1)).as(n))
+      .localCheckpoint(eager = true)
+    val ha = hist(a, "_na")
+    val hb = hist(b, "_nb")
+    val (da, db) = (ha.count(), hb.count())
+    require(da > 0 && db > 0,
+      s"cliffsDelta requires two non-empty samples ($da, $db distinct)")
+    require(da <= maxDistinct && db <= maxDistinct,
+      s"$da × $db distinct values exceed maxDistinct=$maxDistinct — " +
+        "bucketize or micro-scale coarser first")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val prod = dec(col("_na")) * dec(col("_nb"))
+    val zero = lit(0).cast("decimal(38,0)")
+    ha.crossJoin(broadcast(hb.select(col("_v").as("_w"), col("_nb"))))
+      .agg(
+        coalesce(sum(when(col("_v") > col("_w"), prod)), zero).as("_gt"),
+        coalesce(sum(when(col("_v") < col("_w"), prod)), zero).as("_lt"),
+        coalesce(sum(when(col("_v") === col("_w"), prod)), zero)
+          .as("_eq"))
+      .crossJoin(broadcast(ha.agg(
+        coalesce(sum("_na"), lit(0L)).as("n_a"))))
+      .crossJoin(broadcast(hb.agg(
+        coalesce(sum("_nb"), lit(0L)).as("n_b"))))
+      .select(col("n_a"), col("n_b"),
+        col("_gt").cast("long").as("n_gt"),
+        col("_lt").cast("long").as("n_lt"),
+        col("_eq").cast("long").as("n_eq"),
+        expr("""CAST((_gt - _lt) * 1000000
+          div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+          .as("delta_micro"))
+  }
+
   /** Empirical-CDF calibration — WHERE a shifted distribution sits,
     * not just that it shifted (the localization complement to
     * [[ksStatistic]]'s single supremum): every distinct value of the

@@ -261,6 +261,79 @@ object Stats {
     * tie is id-determined but Σ rank·cnt is tie-permutation-invariant.
     *
     * Returns one row: (n_groups, total, gini_micro ∈ [0, 1e6)). */
+  /** Kendall concordance over two ORDINAL columns — the pair-order
+    * agreement [[spearmanRho]]'s rank differences blur: every pair of
+    * rows either agrees in order on both columns (concordant),
+    * disagrees (discordant), or ties. Reports exact pair counts plus
+    * two closed-form coefficients that stay RATIONAL (Kendall's
+    * tau-b needs a square root, so it cannot be exact-integer):
+    *
+    *   tau_a·10⁶  = (C − D)·10⁶ div (n(n−1)/2)      — all pairs
+    *   gamma·10⁶ = (C − D)·10⁶ div (C + D)          — Goodman–Kruskal,
+    *                                                   ties excluded
+    *
+    * Dataflow: rows collapse to (x, y) CELLS first — for ordinal
+    * data (ratings, grades, buckets) the cell count is the PRODUCT
+    * OF THE DOMAINS, independent of corpus size, so the cell-pair
+    * comparison is a constant-size broadcast nested loop no matter
+    * how many rows fed it (guarded by `maxCells`; bucketize
+    * continuous columns first). One hash aggregate over the corpus,
+    * one lex-ordered cell self-join (each unordered cell pair
+    * counted once), products in DECIMAL(38,0), truncating div on the
+    * possibly-negative numerator (the q222 engine-parity rule).
+    *
+    * Returns ONE row: (n, n_concordant, n_discordant, n_tied_x,
+    * n_tied_y, n_tied_xy, tau_a_micro, gamma_micro — null when every
+    * pair ties). */
+  def kendallConcordance(df: DataFrame, xCol: String, yCol: String,
+                         maxCells: Int = 10000): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"))
+      .groupBy("_x", "_y").agg(count(lit(1)).as("_n"))
+      .localCheckpoint(eager = true)
+    val nCells = cells.count()
+    require(nCells > 0, "kendallConcordance requires a non-empty sample")
+    require(nCells <= maxCells,
+      s"$nCells distinct (x, y) cells exceed maxCells=$maxCells — " +
+        "kendallConcordance is for ordinal domains; bucketize first")
+    val base = cells.agg(
+      coalesce(sum("_n"), lit(0L)).as("n"),
+      coalesce(sum(expr("_n * (_n - 1) div 2")), lit(0L)).as("n_tied_xy"))
+    val c2 = broadcast(cells.select(col("_x").as("_x2"),
+      col("_y").as("_y2"), col("_n").as("_n2")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val prod = dec(col("_n")) * dec(col("_n2"))
+    val zero = lit(0).cast("decimal(38,0)")
+    val pairAgg = cells.join(c2, col("_x") < col("_x2") ||
+        (col("_x") === col("_x2") && col("_y") < col("_y2")))
+      .agg(
+        coalesce(sum(when(col("_x") < col("_x2") &&
+          col("_y") < col("_y2"), prod)), zero).as("_c"),
+        coalesce(sum(when(col("_x") < col("_x2") &&
+          col("_y") > col("_y2"), prod)), zero).as("_d"),
+        coalesce(sum(when(col("_x") === col("_x2"), prod)), zero)
+          .as("_tx"),
+        coalesce(sum(when(col("_y") === col("_y2"), prod)), zero)
+          .as("_ty"))
+    base.crossJoin(broadcast(pairAgg))
+      .select(col("n"),
+        col("_c").cast("long").as("n_concordant"),
+        col("_d").cast("long").as("n_discordant"),
+        col("_tx").cast("long").as("n_tied_x"),
+        col("_ty").cast("long").as("n_tied_y"),
+        col("n_tied_xy"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr("""CAST((_c - _d) * 1000000
+            div (CAST(n AS DECIMAL(38,0)) * (n - 1) div 2)
+            AS BIGINT)""")).as("tau_a_micro"),
+        when(col("_c") + col("_d") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((_c - _d) * 1000000 div (_c + _d) AS BIGINT)"))
+          .as("gamma_micro"))
+  }
+
   def giniConcentration(df: DataFrame, groupCol: String): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("cnt"))
     Curation.globalRank(counts, groupCol, "cnt", descending = false)

@@ -355,4 +355,25 @@ class DriftSpec extends SparkSpec {
       graft.operators.Drift.wasserstein1(a, b.limit(0), "v")
     }
   }
+  test("cliffsDelta: dominance counts and effect size") {
+    import spark.implicits._
+    // A = {1,2}, B = {1,3}: pairs (1,1)eq (1,3)lt (2,1)gt (2,3)lt
+    val a = Seq(1L, 2L).toDF("v")
+    val b = Seq(1L, 3L).toDF("v")
+    val r = graft.operators.Drift.cliffsDelta(a, b, "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 2L, 1L, 2L, 1L)))
+    // delta = (1-2)/4 = -0.25 -> truncated micros
+    assert(r.getLong(5) == -250000L, s"delta: ${r.getLong(5)}")
+    // complete dominance: delta = 1
+    val hi = Seq(10L, 11L).toDF("v")
+    assert(graft.operators.Drift.cliffsDelta(hi, a, "v")
+      .collect().head.getLong(5) == 1000000L)
+    // identical: 0
+    assert(graft.operators.Drift.cliffsDelta(a, a, "v")
+      .collect().head.getLong(5) == 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Drift.cliffsDelta(a, b.limit(0), "v")
+    }
+  }
 }

@@ -168,4 +168,37 @@ class StatsSpec extends SparkSpec {
     val r = Stats.spearmanRho(tied, "id", "a", "b").collect().head
     assert(r.getLong(1) == 0L && r.getLong(2) == 1000000L)
   }
+  test("kendallConcordance: hand-counted pairs, ties, tau-a and gamma") {
+    import spark.implicits._
+    // rows (x, y): (1,1), (2,2), (3,1) -> pairs: (1,2) concordant,
+    // (1,3) tied_y, (2,3) discordant
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val r = graft.operators.Stats.kendallConcordance(df, "x", "y")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 1L, 1L, 0L, 1L, 0L)))
+    // tau_a = (1-1)/3 = 0; gamma = 0/2 = 0
+    assert(r.getLong(6) == 0L && r.getLong(7) == 0L)
+    // perfect concordance with duplicates: cells collapse, tau_a
+    // counts tied pairs in the denominator
+    val perf = Seq((1L, 10L), (1L, 10L), (2L, 20L)).toDF("x", "y")
+    val p2 = graft.operators.Stats.kendallConcordance(perf, "x", "y")
+      .collect().head
+    // pairs: 3 total; 1 within-cell tie_xy, 2 concordant
+    assert((p2.getLong(1), p2.getLong(5)) == ((2L, 1L)))
+    assert(p2.getLong(6) == 666666L) // (2-0)/3
+    assert(p2.getLong(7) == 1000000L) // gamma excludes ties
+    // anti-correlated: negative micros truncate toward zero
+    val anti = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val a2 = graft.operators.Stats.kendallConcordance(anti, "x", "y")
+      .collect().head
+    assert(a2.getLong(6) == -1000000L && a2.getLong(7) == -1000000L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Stats.kendallConcordance(df.limit(0), "x", "y")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Stats.kendallConcordance(df, "x", "y",
+        maxCells = 2)
+    }
+  }
 }
