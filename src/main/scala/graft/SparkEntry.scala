@@ -3203,6 +3203,21 @@ object SparkEntry {
       graft.operators.Drift.cliffsDelta(
         e.filter(col("event_id") % 2 === 0).select("vu"),
         e.filter(col("event_id") % 2 === 1).select("vu"), "vu")
+    }),
+    // ---- incremental perceptual-hash gate: even media ids live in
+    //      the persisted 8-byte dHash store, odd ids arrive as a new
+    //      batch; asymmetric banded Hamming join, nothing stored is
+    //      re-decoded (the q198 store pattern for images). ----
+    "q276_phash_store_gate" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          plantedThumb(col("doc_id")).as("thumb"))
+      val store = media.filter(col("media_id") % 2 === 0)
+        .select(col("media_id"),
+          Multimodal.dHash64(col("thumb")).as("dhash"))
+      Multimodal.phashDedupAgainstStore(
+        media.filter(col("media_id") % 2 === 1), "media_id", "thumb",
+        store, maxHamming = 6)
     })
   )
 
@@ -7854,7 +7869,8 @@ SELECT t.n_a, t.n_b, CAST(p.gt AS BIGINT) AS n_gt,
   CAST(p.lt AS BIGINT) AS n_lt, CAST(p.eq AS BIGINT) AS n_eq,
   CAST((p.gt - p.lt) * 1000000
     // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS delta_micro
-FROM t CROSS JOIN p"""
+FROM t CROSS JOIN p""",
+    "q276_phash_store_gate" -> phashStoreOracle
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two
@@ -8004,6 +8020,30 @@ pcand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   private def phashNearDupOracle: String =
     s"""WITH $phashCtes
 SELECT id_a, id_b, hamming FROM pcand ORDER BY id_a, id_b"""
+
+  /** q276: the q178 band columns split by id parity — odd = new
+    * batch, even = store; best match per new id under (hamming ASC,
+    * store id ASC) via one ranked window, batch spine kept by a left
+    * join so no-match rows report (0, null, null, false). */
+  private def phashStoreOracle: String = {
+    val hamming = (0 until 8).map(j =>
+      s"bit_count(xor(a.b$j, b.b$j))").mkString(" + ")
+    s"""WITH $phashCtes,
+pc AS (SELECT a.doc_id AS nid, b.doc_id AS sid,
+    CAST($hamming AS INTEGER) AS h
+  FROM bands a JOIN bands b
+    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  WHERE $hamming <= 6),
+rk AS (SELECT nid, sid, h,
+    row_number() OVER (PARTITION BY nid ORDER BY h, sid) AS rn,
+    CAST(count(*) OVER (PARTITION BY nid) AS BIGINT) AS nm FROM pc)
+SELECT d.doc_id AS media_id,
+  coalesce(rk.nm, 0) AS n_matches,
+  rk.sid AS best_store_id, rk.h AS best_hamming,
+  rk.nm IS NOT NULL AS is_dup
+FROM documents d LEFT JOIN rk ON rk.nid = d.doc_id AND rk.rn = 1
+WHERE d.doc_id % 2 = 1 ORDER BY media_id"""
+  }
 
   /** q186: the q49 recursive min-label closure over the q178 pairs. */
   private def phashClustersOracle: String =

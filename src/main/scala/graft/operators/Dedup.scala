@@ -244,6 +244,84 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Incremental banded-Hamming near-dup gate against a PERSISTED
+    * bit-signature store — [[lshDedupAgainstStore]]'s shape for
+    * FIXED-WIDTH signatures (dHash/SimHash): the store holds one
+    * 64-bit (or narrower) signature per accepted item, each new batch
+    * is signed once and banded, and the asymmetric probe join (batch
+    * side enumerates single-bit band flips, store side stays exact)
+    * finds every pair within `maxHamming` by the [[signatureNearDup]]
+    * pigeonhole — without ever re-reading a stored payload. The
+    * production pass an hourly image/media feed runs.
+    *
+    * Returns one row per NEW item: (idCol, n_matches, best_store_id —
+    * null when nothing within range, best_hamming, is_dup), ordered
+    * by idCol; best is min under (hamming ASC, store id ASC). */
+  def signatureDedupAgainstStore(batchSigs: DataFrame, idCol: String,
+                                 sigCol: String, storeSigs: DataFrame,
+                                 maxHamming: Int, bands: Int, bits: Int,
+                                 bandErrors: Int = 1): DataFrame = {
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(bits >= 1 && bits <= 64, s"bits ($bits) must be in [1, 64]")
+    require(bandErrors == 0 || bandErrors == 1,
+      s"bandErrors ($bandErrors) must be 0 or 1")
+    require(maxHamming <= bands * (bandErrors + 1) - 1,
+      s"maxHamming ($maxHamming) must be ≤ bands·(bandErrors+1)−1 " +
+        s"(${bands * (bandErrors + 1) - 1}) for the banded join to be " +
+        "exact; raise bands/bandErrors or lower the threshold")
+    val rb = bits / bands
+    require(rb <= 62, s"band width $rb overflows the long mask")
+    val reserved = Set("band", "bv", "n_matches", "best_store_id",
+      "best_hamming", "is_dup")
+    require(!reserved.contains(idCol),
+      s"signatureDedupAgainstStore: idCol `$idCol` collides with a " +
+        s"reserved column (${reserved.toSeq.sorted.mkString(", ")})")
+    require(storeSigs.columns.contains(idCol) &&
+        storeSigs.columns.contains(sigCol),
+      s"storeSigs must carry `$idCol` and `$sigCol` " +
+        s"(found: ${storeSigs.columns.mkString(", ")})")
+    def bandsOf(sig: Column) = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * rb).bitwiseAND(lit((1L << rb) - 1))
+          .as("bv"))
+    }
+    val nb = batchSigs
+      .select(col(idCol).as("_new_id"), col(sigCol).as("_nsig"))
+      .select(col("_new_id"), col("_nsig"),
+        explode(array(bandsOf(col("_nsig")): _*)).as("bs"))
+      .select(col("_new_id"), col("_nsig"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val probe =
+      if (bandErrors == 0) nb
+      else nb.select(col("_new_id"), col("_nsig"), col("band"),
+        explode(array((col("bv") +: (0 until rb).map(i =>
+          col("bv").bitwiseXOR(lit(1L << i)))): _*)).as("bv"))
+    val build = storeSigs
+      .select(col(idCol).as("_store_id"), col(sigCol).as("_ssig"))
+      .select(col("_store_id"), col("_ssig"),
+        explode(array(bandsOf(col("_ssig")): _*)).as("bs"))
+      .select(col("_store_id"), col("_ssig"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val cand = probe.join(build, Seq("band", "bv"))
+      .select(col("_new_id"), col("_store_id"),
+        bit_count(col("_nsig").bitwiseXOR(col("_ssig"))).cast("int")
+          .as("_h"))
+      .filter(col("_h") <= maxHamming)
+      .distinct()
+    val best = cand.groupBy("_new_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct(col("_h").as("_hm"), col("_store_id").as("_sid")))
+          .as("_b"))
+    batchSigs.select(col(idCol))
+      .join(best, col(idCol) === col("_new_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("_b._sid").as("best_store_id"),
+        col("_b._hm").as("best_hamming"),
+        (coalesce(col("n_matches"), lit(0L)) > 0L).as("is_dup"))
+      .orderBy(idCol)
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     * the MOSS algorithm): the local-minimum kgram-hash selection whose
     * guarantee is positional — any shared run of `window + kgram − 1`

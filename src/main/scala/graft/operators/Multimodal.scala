@@ -334,4 +334,21 @@ object Multimodal {
       bands = if (bandErrors == 1) 4 else 8, bits = 64,
       bandErrors = bandErrors)
   }
+
+  /** Incremental perceptual-hash gate against a PERSISTED dHash store
+    * — the image-side twin of the q198 text signature store: accepted
+    * media persist only their 64-bit dHash (8 bytes per image — the
+    * store for a billion images is 8 GB, the thumbnails it replaces
+    * are terabytes); each new batch hashes its own thumbnails ONCE
+    * and runs the [[Dedup.signatureDedupAgainstStore]] asymmetric
+    * banded join. Nothing stored is ever re-decoded or re-hashed.
+    * Returns one row per new media item: (idCol, n_matches,
+    * best_store_id, best_hamming, is_dup), ordered by idCol. */
+  def phashDedupAgainstStore(batch: DataFrame, idCol: String,
+                             thumbCol: String, storeSigs: DataFrame,
+                             maxHamming: Int = 6): DataFrame = {
+    val sigs = batch.select(col(idCol), dHash64(col(thumbCol)).as("dhash"))
+    Dedup.signatureDedupAgainstStore(sigs, idCol, "dhash", storeSigs,
+      maxHamming, bands = 4, bits = 64, bandErrors = 1)
+  }
 }

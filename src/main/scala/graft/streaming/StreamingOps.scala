@@ -478,6 +478,71 @@ object StreamingOps {
         }) _)
   }
 
+  final case class DebounceState(last: Long)
+
+  /** Streaming twin of [[graft.operators.TemporalJoins.debounce]] —
+    * at-least-once delivery hygiene as a live filter: per (key,
+    * payload) group, an event is KEPT iff it arrives more than
+    * `withinSeconds` after the previous same-group EVENT (kept or
+    * dropped — the batch lag semantics), so redelivery bursts pass
+    * only their first element while the burst keeps extending the
+    * window. State per group is ONE long (the last event's
+    * epoch-micros).
+    *
+    * Ordering contract (the [[sessionize]] conventions): rows fold in
+    * event-time order within each micro-batch; the watermark bounds
+    * cross-batch disorder. A cross-batch late event landing more than
+    * a window BEFORE the group's last seen event emits as kept — its
+    * true predecessor is unknowable and already-emitted output cannot
+    * be retracted (the documented at-once semantics); within-window
+    * stragglers drop. State EVICTS safely on event-time timeout once
+    * the watermark passes last + window: any event Spark still admits
+    * after that is beyond the window by construction and starts a
+    * fresh group. */
+  def debounceStream(events: Dataset[Event], withinSeconds: Long,
+                     watermark: String): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    require(withinSeconds >= 1, s"withinSeconds must be >= 1: $withinSeconds")
+    val winUs = withinSeconds * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, Event](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
+            var last = state.getOption.map(_.last)
+            val kept = List.newBuilder[Event]
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              last match {
+                case None =>
+                  kept += e; last = Some(t)
+                case Some(l) if t - l > winUs =>
+                  kept += e; last = Some(t)
+                case Some(l) if l - t > winUs =>
+                  // late beyond the window on the EARLY side: keep,
+                  // leave `last` (the max) in place
+                  kept += e
+                case Some(l) =>
+                  last = Some(math.max(l, t))
+              }
+            }
+            last.foreach { l =>
+              state.update(DebounceState(l))
+              val fireAtMs = math.floorDiv(l, 1000L) + winUs / 1000L + 1
+              state.setTimeoutTimestamp(
+                math.max(fireAtMs, state.getCurrentWatermarkMs() + 1))
+            }
+            kept.result().iterator
+          }
+      }
+  }
+
   // ---------- streaming SCD2 (state-run collapse) ----------
 
   final case class RunState(state: Option[String], start: Long,

@@ -213,4 +213,51 @@ class MultimodalSpec extends SparkSpec {
     // 2500 still over; two -> 350 -> 25x25 = 625 fits
     assert(got(4L) == ((100L, 100L, 10000L, 0L, 0L, 2, true)))
   }
+  test("signatureDedupAgainstStore: asymmetric banded Hamming gate") {
+    import spark.implicits._
+    // store: sig 0 (id 10), far sig (id 11), sig 1 (id 12)
+    val store = Seq((10L, 0L), (11L, 0xFFFFFFFFL), (12L, 1L))
+      .toDF("media_id", "dhash")
+    // batch: exact hit, 3-bit hit, no hit (8+ bits from everything),
+    // and a tie broken by (hamming ASC, store id ASC)
+    val batch = Seq((1L, 0L), (2L, 7L), (3L, 0xFF00L), (4L, 1L))
+      .toDF("media_id", "dhash")
+    val got = graft.operators.Dedup.signatureDedupAgainstStore(
+      batch, "media_id", "dhash", store, maxHamming = 6,
+      bands = 4, bits = 64, bandErrors = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        r.getBoolean(4))).toList
+    // id 1: h0 vs store 10, h1 vs store 12 -> best (0, 10), 2 matches
+    assert(got(0) == ((1L, 2L, 10L, 0, true)), s"got ${got(0)}")
+    // id 2 (sig 7): h3 vs 10, h2 vs 12 -> best (2, 12)
+    assert(got(1) == ((2L, 2L, 12L, 2, true)), s"got ${got(1)}")
+    // id 3: hamming 8 / 24 / 9 from the store -> no match
+    assert(got(2) == ((3L, 0L, -1L, -1, false)), s"got ${got(2)}")
+    // id 4 (sig 1): h0 vs 12 beats h1 vs 10
+    assert(got(3) == ((4L, 2L, 12L, 0, true)), s"got ${got(3)}")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.signatureDedupAgainstStore(
+        batch, "media_id", "dhash", store.drop("dhash"),
+        maxHamming = 6, bands = 4, bits = 64)
+    }
+  }
+
+  test("phashDedupAgainstStore: batch thumbs vs persisted dHash store") {
+    import spark.implicits._
+    // identical thumbnails in batch and store -> hamming-0 dup
+    val thumbs = Multimodal.syntheticMedia(
+      Seq((1L, "alpha"), (2L, "alpha"), (3L, "wholly different text"))
+        .toDF("i", "t"), "i", "t")
+      .select(col("media_id"),
+        expr("substring(concat(payload, payload, payload), 1, 72)")
+          .as("thumb"))
+    val store = thumbs.filter(col("media_id") === 1L)
+      .select(col("media_id"), Multimodal.dHash64(col("thumb")).as("dhash"))
+    val got = Multimodal.phashDedupAgainstStore(
+      thumbs.filter(col("media_id") > 1L), "media_id", "thumb", store)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).toList
+    assert(got == List((2L, true), (3L, false)), s"got $got")
+  }
 }

@@ -1456,4 +1456,54 @@ class StreamingOpsSpec extends SparkSpec {
       store.select("doc_id", "_dig").distinct().count(),
       "replay must not duplicate store span rows")
   }
+  test("streaming debounce matches the batch operator; state survives restart") {
+    // batch reference: TemporalJoins.debounce with the SAME events —
+    // key = user_id, payload = event_type, 60 s window
+    val events = Seq(
+      StreamingOps.Event(1L, ts("2024-01-01 00:00:00"), "click"), // keep
+      StreamingOps.Event(1L, ts("2024-01-01 00:00:30"), "click"), // drop
+      StreamingOps.Event(1L, ts("2024-01-01 00:01:15"), "click"), // drop (45s after previous EVENT)
+      StreamingOps.Event(1L, ts("2024-01-01 00:05:00"), "click"), // keep
+      StreamingOps.Event(1L, ts("2024-01-01 00:00:10"), "view"),  // keep (own payload group)
+      StreamingOps.Event(2L, ts("2024-01-01 00:00:20"), "click")) // keep (own key)
+    val batch = graft.operators.TemporalJoins.debounce(
+      events.toDF(), "user_id", "ts", Seq("event_type"), "event_type",
+      withinSeconds = 60)
+      .select("user_id", "ts", "event_type")
+      .as[(Long, Timestamp, String)].collect().toSet
+    assert(batch == Set(
+      (1L, ts("2024-01-01 00:00:00"), "click"),
+      (1L, ts("2024-01-01 00:05:00"), "click"),
+      (1L, ts("2024-01-01 00:00:10"), "view"),
+      (2L, ts("2024-01-01 00:00:20"), "click")), s"batch: $batch")
+    // stream over TWO AvailableNow runs on one checkpoint: the second
+    // batch's 00:00:30/00:01:15 stragglers must still drop against the
+    // RESTORED state from run 1
+    val mem = MemoryStream[StreamingOps.Event](spark)
+    val ckpt = s"/tmp/graft-stream-ckpt-${System.nanoTime()}"
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Timestamp, String)]()
+    def runBatch(): Unit = {
+      val q = StreamingOps.debounceStream(mem.toDS(),
+        withinSeconds = 60, watermark = "2 hours")
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingOps.Event],
+           _: Long) =>
+            df.collect().foreach(e =>
+              out.add((e.user_id, e.ts, e.event_type)))
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    mem.addData(events(0), events(4), events(5))
+    runBatch()
+    mem.addData(events(1), events(2), events(3))
+    runBatch()
+    val got = out.toArray(Array.empty[(Long, Timestamp, String)]).toSet
+    assert(got == batch, s"stream $got != batch $batch")
+  }
 }
