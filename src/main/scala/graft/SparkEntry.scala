@@ -3218,7 +3218,29 @@ object SparkEntry {
       Multimodal.phashDedupAgainstStore(
         media.filter(col("media_id") % 2 === 1), "media_id", "thumb",
         store, maxHamming = 6)
-    })
+    }),
+    // ---- isotonic calibration (PAV, exact BigInt fractions) over a
+    //      deterministically noisy bucket→rate fixture: q161
+    //      diagnoses, this produces the monotone correction. ----
+    "q277_isotonic" -> ((s, dir) =>
+      Eval.isotonicCalibration(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .select(expr("CAST(floor(value) AS BIGINT) div 25").as("bkt"),
+            expr("""(event_id * 13) % 100 <
+              (CAST(floor(value) AS BIGINT) div 25 * 7919) % 97""")
+              .as("y")),
+        "bkt", "y")),
+    // ---- split-conformal threshold at α = 10% over exact-cent
+    //      nonconformity scores: the ⌈(n+1)(1−α)⌉-th order statistic
+    //      via the bucketed global rank. ----
+    "q278_conformal" -> ((s, dir) =>
+      Eval.conformalThreshold(
+        t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("cal_id"),
+          expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+            AS BIGINT)""").as("cents")),
+        "cal_id", "cents", alphaMicro = 100000L))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7870,7 +7892,49 @@ SELECT t.n_a, t.n_b, CAST(p.gt AS BIGINT) AS n_gt,
   CAST((p.gt - p.lt) * 1000000
     // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS delta_micro
 FROM t CROSS JOIN p""",
-    "q276_phash_store_gate" -> phashStoreOracle
+    "q276_phash_store_gate" -> phashStoreOracle,
+    // q277: the max-min span identity fit(i) = max_{j≤i} min_{k≥i}
+    // rate(j..k) — provably the PAV solution — over exact
+    // 10¹⁸-scaled HUGEINT keys (distinct fractions with these
+    // denominators cannot share a key cell); micros = key // 10¹².
+    "q277_isotonic" ->
+      """WITH src AS (SELECT CAST(floor(value) AS BIGINT) // 25 AS b,
+  CASE WHEN (event_id * 13) % 100 <
+    (CAST(floor(value) AS BIGINT) // 25 * 7919) % 97
+    THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+bb AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(y) AS BIGINT) AS p FROM src GROUP BY 1),
+sp AS (SELECT j.b AS jb, k.b AS kb, CAST(sum(m.p) AS HUGEINT) AS pp,
+    CAST(sum(m.n) AS HUGEINT) AS qq
+  FROM bb j JOIN bb k ON j.b <= k.b
+  JOIN bb m ON m.b BETWEEN j.b AND k.b GROUP BY 1, 2),
+ky AS (SELECT jb, kb,
+  pp * CAST(1000000000000000000 AS HUGEINT) // qq AS kk FROM sp),
+mn AS (SELECT i.b, ky.jb, min(kk) AS mk FROM bb i
+  JOIN ky ON ky.jb <= i.b AND ky.kb >= i.b GROUP BY 1, 2),
+ft AS (SELECT b, max(mk) AS fk FROM mn GROUP BY 1)
+SELECT bb.b AS bucket, bb.n, bb.p AS n_pos,
+  CAST(bb.p * 1000000 // bb.n AS BIGINT) AS raw_rate_micro,
+  CAST(ft.fk // 1000000000000 AS BIGINT) AS fit_rate_micro
+FROM bb JOIN ft ON ft.b = bb.b ORDER BY bucket""",
+    // q278: the ⌈(n+1)·0.9⌉ rank in exact integers, the order
+    // statistic under (score ASC, id ASC), coverage by count-≤.
+    "q278_conformal" ->
+      """WITH s AS (SELECT
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sc,
+    l_orderkey * 10 + l_linenumber AS id FROM lineitem),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+kk AS (SELECT n, ((n + 1) * 900000 + 999999) // 1000000 AS k FROM nn),
+r AS (SELECT sc, row_number() OVER (ORDER BY sc, id) AS rn FROM s),
+th AS (SELECT kk.n, kk.k, (SELECT sc FROM r WHERE rn = kk.k)
+  AS threshold FROM kk)
+SELECT n, k AS k_rank, threshold AS threshold_score,
+  (SELECT CAST(count(*) AS BIGINT) FROM s WHERE sc <= threshold)
+    AS n_at_or_below,
+  CAST((SELECT count(*) FROM s WHERE sc <= threshold) * 1000000 // n
+    AS BIGINT) AS coverage_micro
+FROM th"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -57,6 +57,111 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Isotonic calibration (pool-adjacent-violators) over pre-bucketed
+    * scores — [[calibrationBins]] DIAGNOSES miscalibration; this
+    * produces the monotone CORRECTION a scorer applies before its
+    * output drives thresholded decisions: the fitted rate per bucket
+    * is the isotonic regression of the empirical positive rates under
+    * bucket-count weights, the classic post-hoc calibrator
+    * (Zadrozny & Elkan 2002) that never inverts the score order.
+    *
+    * Exactness: PAV runs on the driver over the BUCKET frame (≤
+    * `maxBuckets` rows — the corpus itself is reduced by one hash
+    * aggregate) with block rates as exact BigInt fractions — two
+    * blocks violate iff p₁·q₂ > p₂·q₁, no float ever compares. The
+    * fitted fraction equals the max-min span identity
+    * fit(i) = max_{j≤i} min_{k≥i} rate(j..k), which is what the
+    * DuckDB oracle replays (O(B³) over spans, exact 10¹⁸-scaled
+    * keys); outputs floor to micros only at the end.
+    *
+    * Returns one row per bucket: (bucket, n, n_pos, raw_rate_micro,
+    * fit_rate_micro — monotone non-decreasing), ordered by bucket. */
+  def isotonicCalibration(df: DataFrame, bucketCol: String,
+                          labelCol: String,
+                          maxBuckets: Int = 200): DataFrame = {
+    val ss = df.sparkSession
+    val bins = df
+      .filter(col(bucketCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(bucketCol).cast("long").as("_b"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("_p"))
+      .orderBy("_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(bins.nonEmpty, "isotonicCalibration needs a non-empty frame")
+    require(bins.length <= maxBuckets,
+      s"${bins.length} buckets exceed maxBuckets=$maxBuckets — " +
+        "coarsen the bucketing first")
+    // PAV: maintain a stack of pooled blocks; merge while the last
+    // two violate monotonicity (exact cross-multiplied comparison)
+    final case class Block(nBuckets: Int, p: BigInt, q: BigInt)
+    var stack = List.empty[Block]
+    bins.foreach { case (_, n, p) =>
+      var cur = Block(1, BigInt(p), BigInt(n))
+      while (stack.nonEmpty &&
+          stack.head.p * cur.q > cur.p * stack.head.q) {
+        cur = Block(stack.head.nBuckets + cur.nBuckets,
+          stack.head.p + cur.p, stack.head.q + cur.q)
+        stack = stack.tail
+      }
+      stack = cur :: stack
+    }
+    val fits = stack.reverse.flatMap(b =>
+      List.fill(b.nBuckets)((b.p * 1000000 / b.q).toLong))
+    import ss.implicits._
+    bins.zip(fits).map { case ((b, n, p), fit) =>
+      (b, n, p, (BigInt(p) * 1000000 / BigInt(n)).toLong, fit)
+    }.toSeq
+      .toDF("bucket", "n", "n_pos", "raw_rate_micro", "fit_rate_micro")
+      .orderBy("bucket")
+  }
+
+  /** Split-conformal prediction threshold — the distribution-free
+    * coverage guarantee over a calibration set (Vovk et al.; the
+    * modern "guaranteed abstention" recipe): given n held-out
+    * nonconformity scores, the threshold is the ⌈(n+1)(1−α)⌉-th
+    * smallest score, and any future score ≤ threshold is accepted
+    * with P(accept | exchangeable) ≥ 1−α — no model assumptions.
+    * Scores must be integer-valued (micro-scale floats first, the
+    * house exactness rule); the rank index is computed in exact
+    * integer arithmetic, the order statistic via the bucketed
+    * [[Curation.globalRank]] total order (score ASC, id ASC — never a
+    * single-partition sort).
+    *
+    * Returns ONE row: (n, k_rank, threshold_score, n_at_or_below,
+    * coverage_micro); all three result columns null when
+    * k_rank > n (too few calibration points for the requested α). */
+  def conformalThreshold(df: DataFrame, idCol: String, scoreCol: String,
+                         alphaMicro: Long): DataFrame = {
+    require(alphaMicro >= 1 && alphaMicro < 1000000,
+      s"alphaMicro must be in [1, 999999]: $alphaMicro")
+    val clean = df
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), col(scoreCol).cast("long").as("_s"))
+    val n = clean.count()
+    require(n > 0, "conformalThreshold needs a non-empty calibration set")
+    require(n < (1L << 43),
+      s"n=$n overflows the exact rank arithmetic — subsample first")
+    val k = ((n + 1) * (1000000L - alphaMicro) + 999999L) / 1000000L
+    val ss = df.sparkSession
+    import ss.implicits._
+    if (k > n)
+      Seq((n, k, Option.empty[Long], Option.empty[Long],
+        Option.empty[Long]))
+        .toDF("n", "k_rank", "threshold_score", "n_at_or_below",
+          "coverage_micro")
+    else {
+      val thr = Curation.globalRank(clean, idCol, "_s",
+        descending = false)
+        .filter(col("rank") === k).select("_s").head().getLong(0)
+      val below = clean.filter(col("_s") <= thr).count()
+      Seq((n, k, Some(thr), Some(below),
+        Some((BigInt(below) * 1000000 / BigInt(n)).toLong)))
+        .toDF("n", "k_rank", "threshold_score", "n_at_or_below",
+          "coverage_micro")
+    }
+  }
+
   /** Confusion matrix + exact-micro metrics at one threshold:
     * predicted positive iff `score > threshold`. ONE fused aggregate;
     * precision/recall/F1 as integer-micro floor divisions of the

@@ -434,4 +434,52 @@ class EvalSpec extends SparkSpec {
     assert(eDup.getMessage.contains("rated more than once"),
       s"got: ${eDup.getMessage}")
   }
+  test("isotonicCalibration: PAV pools violating blocks exactly") {
+    import spark.implicits._
+    // bucket rates: b0 = 2/3, b1 = 0/2, b2 = 1/2 — b0 > b1 violates,
+    // pool(b0, b1) = 2/5; 2/5 < 1/2 so b2 stands alone
+    val rows = Seq((0L, true), (0L, true), (0L, false),
+      (1L, false), (1L, false), (2L, true), (2L, false))
+    val got = Eval.isotonicCalibration(rows.toDF("b", "y"), "b", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(got == List(
+      (0L, 3L, 2L, 666666L, 400000L),
+      (1L, 2L, 0L, 0L, 400000L),
+      (2L, 2L, 1L, 500000L, 500000L)), s"got $got")
+    // cascading merge: rates 1, 0, 0 -> all pool to 1/3
+    val cas = Seq((0L, true), (1L, false), (2L, false))
+    val g2 = Eval.isotonicCalibration(cas.toDF("b", "y"), "b", "y")
+      .collect().map(_.getLong(4)).toList
+    assert(g2 == List(333333L, 333333L, 333333L), s"got $g2")
+    // already monotone: fit == raw
+    val mono = Seq((0L, false), (1L, true))
+    val g3 = Eval.isotonicCalibration(mono.toDF("b", "y"), "b", "y")
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toList
+    assert(g3 == List((0L, 0L), (1000000L, 1000000L)))
+    intercept[IllegalArgumentException] {
+      Eval.isotonicCalibration(rows.toDF("b", "y").limit(0), "b", "y")
+    }
+  }
+
+  test("conformalThreshold: exact order-statistic rank and coverage") {
+    import spark.implicits._
+    // n = 9, alpha = 10%: k = ceil(10 * 0.9) = 9 -> max score kept
+    val df = (1L to 9L).map(i => (i, i * 10L)).toDF("id", "s")
+    val r = Eval.conformalThreshold(df, "id", "s", 100000L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((9L, 9L, 90L, 9L)))
+    assert(r.getLong(4) == 1000000L)
+    // alpha = 50% on n = 9: k = 5 -> median-ish
+    val r2 = Eval.conformalThreshold(df, "id", "s", 500000L)
+      .collect().head
+    assert(r2.getLong(1) == 5L && r2.getLong(2) == 50L &&
+      r2.getLong(3) == 5L)
+    // k > n: one point, alpha 10% -> k = ceil(2*0.9) = 2 > 1 -> nulls
+    val tiny = Eval.conformalThreshold(
+      Seq((1L, 5L)).toDF("id", "s"), "id", "s", 100000L)
+      .collect().head
+    assert(tiny.getLong(1) == 2L && tiny.isNullAt(2) && tiny.isNullAt(4))
+  }
 }
