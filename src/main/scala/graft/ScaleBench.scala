@@ -138,7 +138,16 @@ object ScaleBench {
     // per-key grids; 10× keys, same per-key span), and TextRank
     // (q267 — the replica-suffixed vocab grows the co-occurrence
     // graph ~10×, PR supersteps ride it)
-    "q264_k_truss", "q265_resample_ffill", "q267_textrank")
+    "q264_k_truss", "q265_resample_ffill", "q267_textrank",
+    // round-10 legs: per-vertex local clustering (q270 — the q156
+    // wedge join kept as rows + a 3-wide explode; graph grows with
+    // max doc id), resource-allocation link prediction (q271 — the
+    // q244 wedge frame with midpoint degrees; cluster count grows
+    // 10×, wedge volume per cluster constant), and the perceptual-
+    // hash store gate (q276 — banded asymmetric join, both sides
+    // grow 10× with the replica-sharded thumbs)
+    "q270_local_clustering", "q271_resource_alloc",
+    "q276_phash_store_gate")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per

@@ -3240,7 +3240,21 @@ object SparkEntry {
           (col("l_orderkey") * 10 + col("l_linenumber")).as("cal_id"),
           expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
             AS BIGINT)""").as("cents")),
-        "cal_id", "cents", alphaMicro = 100000L))
+        "cal_id", "cents", alphaMicro = 100000L)),
+    // ---- hash-Poisson bootstrap CI for the mean order price: B=40
+    //      deterministic replicates as extra aggregate columns of ONE
+    //      scan — error bars with zero extra passes. ----
+    "q279_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Stats.bootstrapMeanCI(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          expr("""CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+            AS BIGINT)""").as("cents")),
+        "o_orderkey", "cents", replicates = 40, alphaMicro = 50000L)),
+    // ---- Simpson diversity of languages within each source: the
+    //      exact same-category collision probability per slice. ----
+    "q280_simpson" -> ((s, dir) =>
+      graft.operators.Stats.simpsonDiversity(
+        t(s, dir, "documents"), "source", "lang"))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7934,7 +7948,26 @@ SELECT n, k AS k_rank, threshold AS threshold_score,
     AS n_at_or_below,
   CAST((SELECT count(*) FROM s WHERE sc <= threshold) * 1000000 // n
     AS BIGINT) AS coverage_micro
-FROM th"""
+FROM th""",
+    "q279_bootstrap_ci" -> bootstrapCiOracle,
+    // q280: (source, lang) cells, per-source collision probability in
+    // exact HUGEINT rationals.
+    "q280_simpson" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2),
+g AS (SELECT source AS "group", CAST(sum(n) AS BIGINT) AS n,
+  CAST(count(*) AS BIGINT) AS n_categories,
+  CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS coll
+  FROM c GROUP BY 1)
+SELECT "group", n, n_categories,
+  CASE WHEN n < 2 THEN NULL
+    ELSE CAST(coll * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
+      AS BIGINT) END AS simpson_micro,
+  CASE WHEN n < 2 THEN NULL
+    ELSE 1000000 - CAST(coll * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
+      AS BIGINT) END AS diversity_micro
+FROM g ORDER BY "group""""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two
@@ -8084,6 +8117,39 @@ pcand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   private def phashNearDupOracle: String =
     s"""WITH $phashCtes
 SELECT id_a, id_b, hamming FROM pcand ORDER BY id_a, id_b"""
+
+  /** q279: the full Poisson-bootstrap replay — 60-bit md5 slices,
+    * the SAME threshold ladder literals the engine embeds
+    * (Stats.poissonThresholds — one float provenance, two engines),
+    * per-replicate HUGEINT means, exact order-statistic bounds. */
+  private def bootstrapCiOracle: String = {
+    val ts = graft.operators.Stats.poissonThresholds
+    val ladder = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH s AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+jj AS (SELECT unnest(range(0, 40)) AS j),
+u AS (SELECT j, x,
+  CAST(('0x' || substr(md5(id || ':' || CAST(j AS VARCHAR)), 1, 15))
+    AS BIGINT) AS u FROM s CROSS JOIN jj),
+w AS (SELECT j, x, $ladder AS w FROM u),
+rep AS (SELECT j, CAST(sum(CAST(w AS HUGEINT) * x) AS HUGEINT) AS sw,
+  CAST(sum(w) AS BIGINT) AS ww FROM w GROUP BY j),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx FROM s),
+means AS (SELECT j, CASE WHEN ww = 0
+    THEN (SELECT CAST(sx * 1000000 // n AS BIGINT) FROM tot)
+    ELSE CAST(sw * 1000000 // ww AS BIGINT) END AS m FROM rep),
+rk AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means)
+SELECT tot.n, 40 AS b,
+  CAST(tot.sx * 1000000 // tot.n AS BIGINT) AS mean_micro,
+  (SELECT m FROM rk WHERE rn = 2) AS lo_micro,
+  (SELECT m FROM rk WHERE rn = 39) AS hi_micro
+FROM tot"""
+  }
 
   /** q276: the q178 band columns split by id parity — odd = new
     * batch, even = store; best match per new id under (hamming ASC,

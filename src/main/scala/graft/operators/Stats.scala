@@ -261,6 +261,121 @@ object Stats {
     * tie is id-determined but Σ rank·cnt is tie-permutation-invariant.
     *
     * Returns one row: (n_groups, total, gini_micro ∈ [0, 1e6)). */
+  /** Cumulative Poisson(1) CDF thresholds scaled to 2⁶⁰, shared
+    * verbatim by the engine plan and the generated oracle SQL (the
+    * constants are computed ONCE here and embedded as literals in
+    * both, so float provenance cannot diverge between engines). */
+  private[graft] val poissonThresholds: Seq[Long] = {
+    val probs = (0 to 5).scanLeft(0.0) { (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).map(_.toDouble).product
+    }.tail // cumulative P(X <= k) for k = 0..5
+    probs.map(c => (c * math.pow(2.0, 60)).toLong)
+  }
+
+  /** Hash-Poisson bootstrap confidence interval for a mean — error
+    * bars without distributional assumptions, as ONE deterministic
+    * pass: each (row, replicate) pair draws a Poisson(1) weight from
+    * a 60-bit md5 slice of (id, replicate) — the standard online
+    * bootstrap approximation of multinomial resampling (Poisson
+    * bootstrap; Oza & Russell 2001) — and every replicate's weighted
+    * (Σwx, Σw) accumulates as two columns of a single fused
+    * aggregate. No explode, no shuffle blow-up: B replicates cost B
+    * extra aggregation columns over one corpus scan, and the B-row
+    * replicate frame folds to percentile bounds on the driver in
+    * exact integers. Deterministic end-to-end: same ids → same
+    * weights → same CI, on any partitioning or engine (the
+    * [[poissonThresholds]] literals are shared with the oracle).
+    *
+    * Values must be integer-valued (micro/cent-scale first). Returns
+    * ONE row: (n, b, mean_micro — full-sample point estimate,
+    * lo_micro, hi_micro — the ⌊B·α/2⌋+1-th and B−⌊B·α/2⌋-th smallest
+    * replicate means). A replicate whose total weight lands on 0
+    * (vanishing probability beyond toy inputs) reports the
+    * full-sample mean. */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+                      replicates: Int = 40,
+                      alphaMicro: Long = 50000L): DataFrame = {
+    require(replicates >= 8 && replicates <= 200,
+      s"replicates must be in [8, 200]: $replicates")
+    require(alphaMicro >= 1 && alphaMicro <= 500000,
+      s"alphaMicro must be in [1, 500000]: $alphaMicro")
+    val clean = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"),
+        col(valueCol).cast("long").as("_x"))
+    def weight(j: Int): Column = {
+      val u = expr(
+        s"CAST(conv(substring(md5(concat(_id, ':', '$j')), 1, 15), " +
+          "16, 10) AS BIGINT)")
+      poissonThresholds.zipWithIndex.reverse
+        .foldLeft(lit(6L)) { case (e, (t, k)) =>
+          when(u < t, k.toLong).otherwise(e)
+        }
+    }
+    val repAggs = (0 until replicates).flatMap { j =>
+      val w = weight(j)
+      Seq(coalesce(sum(w.cast("decimal(38,0)") * col("_x")),
+          lit(0).cast("decimal(38,0)")).as(s"_s$j"),
+        coalesce(sum(w), lit(0L)).as(s"_w$j"))
+    }
+    val baseAggs = Seq(count(lit(1)).as("_n"),
+      coalesce(sum(col("_x").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("_sx"))
+    val all = baseAggs ++ repAggs
+    val row = clean.agg(all.head, all.tail: _*).head()
+    val n = row.getLong(0)
+    require(n > 0, "bootstrapMeanCI needs a non-empty sample")
+    val sx = BigInt(row.getDecimal(1).toBigInteger)
+    val meanMicro = (sx * 1000000 / BigInt(n)).toLong
+    val repMeans = (0 until replicates).map { j =>
+      val s = BigInt(row.getDecimal(2 + 2 * j).toBigInteger)
+      val w = row.getLong(3 + 2 * j)
+      if (w == 0L) meanMicro else (s * 1000000 / BigInt(w)).toLong
+    }.sorted
+    val kLo = (BigInt(replicates) * alphaMicro / 2 / 1000000).toInt + 1
+    val lo = repMeans(kLo - 1)
+    val hi = repMeans(replicates - kLo)
+    val ss = df.sparkSession
+    import ss.implicits._
+    Seq((n, replicates, meanMicro, lo, hi))
+      .toDF("n", "b", "mean_micro", "lo_micro", "hi_micro")
+  }
+
+  /** Simpson diversity per group — the collision probability the
+    * [[giniConcentration]] curve and Shannon entropy both blur into a
+    * less actionable number: λ = Σ nᵢ(nᵢ−1) / (N(N−1)) is EXACTLY the
+    * probability that two documents drawn without replacement from
+    * the group share a category, and 1−λ the probability a training
+    * batch sampled from that slice mixes categories. Exact rational →
+    * floor micros (entropy needs logs; Simpson never leaves the
+    * integers). One (group, category) hash aggregate, one per-group
+    * fold. Returns one row per group: (group, n, n_categories,
+    * simpson_micro — the collision probability λ, diversity_micro =
+    * 1e6 − λ floor-complement; both null when n < 2), ordered by
+    * group. */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+                       catCol: String): DataFrame = {
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(groupCol).as("group"),
+        col(catCol).cast("string").as("_c"))
+      .agg(count(lit(1)).as("_n"))
+    cells.groupBy("group")
+      .agg(coalesce(sum("_n"), lit(0L)).as("n"),
+        count(lit(1)).as("n_categories"),
+        coalesce(sum((col("_n").cast("decimal(38,0)") *
+          (col("_n") - 1))), lit(0).cast("decimal(38,0)")).as("_coll"))
+      .select(col("group"), col("n"), col("n_categories"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr("""CAST(_coll * 1000000 div
+            (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"""))
+          .as("simpson_micro"))
+      .withColumn("diversity_micro",
+        when(col("simpson_micro").isNull, lit(null).cast("long"))
+          .otherwise(lit(1000000L) - col("simpson_micro")))
+      .orderBy("group")
+  }
+
   /** Kendall concordance over two ORDINAL columns — the pair-order
     * agreement [[spearmanRho]]'s rank differences blur: every pair of
     * rows either agrees in order on both columns (concordant),

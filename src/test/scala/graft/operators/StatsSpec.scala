@@ -201,4 +201,47 @@ class StatsSpec extends SparkSpec {
         maxCells = 2)
     }
   }
+  test("bootstrapMeanCI: deterministic, ordered, brackets the mean") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, 100L + (i * 37 % 50)))
+      .toDF("id", "x")
+    val r = graft.operators.Stats.bootstrapMeanCI(df, "id", "x",
+      replicates = 40, alphaMicro = 50000L).collect().head
+    val (n, b, m, lo, hi) = (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(n == 200L && b == 40)
+    assert(lo <= m && m <= hi, s"CI [$lo, $hi] must bracket $m")
+    assert(lo < hi, "resampled means must spread")
+    // deterministic: a second run is bit-identical
+    val r2 = graft.operators.Stats.bootstrapMeanCI(df, "id", "x",
+      replicates = 40, alphaMicro = 50000L).collect().head
+    assert(r2.getLong(3) == lo && r2.getLong(4) == hi)
+    // constant data: every replicate mean equals the constant
+    val const = (1L to 50L).map(i => (i, 7L)).toDF("id", "x")
+    val rc = graft.operators.Stats.bootstrapMeanCI(const, "id", "x")
+      .collect().head
+    assert(rc.getLong(2) == 7000000L && rc.getLong(3) == 7000000L &&
+      rc.getLong(4) == 7000000L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Stats.bootstrapMeanCI(df, "id", "x",
+        replicates = 4)
+    }
+  }
+
+  test("simpsonDiversity: exact collision probability per group") {
+    import spark.implicits._
+    // g1: {a, a, b} -> coll = 2·1/(3·2) = 1/3; g2 single row -> null
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "z"))
+      .toDF("src", "cat")
+    val got = graft.operators.Stats.simpsonDiversity(df, "src", "cat")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toList
+    assert(got == List(("g1", 3L, 2L, 333333L, 666667L),
+      ("g2", 1L, 1L, -1L, -1L)), s"got $got")
+    // all same category: collision certainty
+    val mono = Seq(("g", "x"), ("g", "x")).toDF("src", "cat")
+    assert(graft.operators.Stats.simpsonDiversity(mono, "src", "cat")
+      .collect().head.getLong(3) == 1000000L)
+  }
 }
