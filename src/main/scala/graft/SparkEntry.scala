@@ -3254,7 +3254,17 @@ object SparkEntry {
     //      exact same-category collision probability per slice. ----
     "q280_simpson" -> ((s, dir) =>
       graft.operators.Stats.simpsonDiversity(
-        t(s, dir, "documents"), "source", "lang"))
+        t(s, dir, "documents"), "source", "lang")),
+    // ---- DISTKEY advisor over orders: the recommendation half of
+    //      the reference's distkey parameter — join-key bonus +
+    //      cardinality − skew − null share, all exact micros, one
+    //      melt pass; o_custkey's declared-join bonus competes with
+    //      o_orderkey's perfect cardinality. ----
+    "q281_distkey_advisor" -> ((s, dir) =>
+      Audit.distkeyAdvisor(t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderkey", "o_orderpriority",
+          "o_orderstatus"),
+        joinKeys = Set("o_custkey")))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7967,7 +7977,8 @@ SELECT "group", n, n_categories,
   CASE WHEN n < 2 THEN NULL
     ELSE 1000000 - CAST(coll * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
       AS BIGINT) END AS diversity_micro
-FROM g ORDER BY "group""""
+FROM g ORDER BY "group"""",
+    "q281_distkey_advisor" -> distkeyAdvisorOracle
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two
@@ -8149,6 +8160,45 @@ SELECT tot.n, 40 AS b,
   (SELECT m FROM rk WHERE rn = 2) AS lo_micro,
   (SELECT m FROM rk WHERE rn = 39) AS hi_micro
 FROM tot"""
+  }
+
+  /** q281: per-candidate aggregates unioned, the same micro score
+    * formula, recommendation = arg-max under (score DESC, name ASC). */
+  private def distkeyAdvisorOracle: String = {
+    val cands = Seq("o_custkey", "o_orderkey", "o_orderpriority",
+      "o_orderstatus")
+    val joins = Set("o_custkey")
+    val parts = cands.map { c =>
+      val bonus = if (joins(c)) 1000000L else 0L
+      s"""SELECT '$c' AS "column",
+  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+  (SELECT CAST(count(DISTINCT $c) AS BIGINT) FROM orders)
+    AS n_distinct,
+  (SELECT CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) * 1000000
+    // greatest(count(*), 1) AS BIGINT) FROM orders)
+    AS null_share_micro,
+  (SELECT CAST(coalesce(max(cc), 0) * 1000000
+      // greatest((SELECT count(*) FROM orders), 1) AS BIGINT)
+    FROM (SELECT count(*) AS cc FROM orders WHERE $c IS NOT NULL
+      GROUP BY $c)) AS top_share_micro,
+  CAST($bonus AS BIGINT) AS bonus"""
+    }
+    s"""WITH raw AS (
+${parts.mkString("\nUNION ALL\n")}),
+sc AS (SELECT "column", n_rows, n_distinct, null_share_micro,
+  top_share_micro,
+  CAST(least(n_distinct * 1000000 // greatest(n_rows, 1), 1000000)
+    AS BIGINT) AS cardinality_micro,
+  bonus > 0 AS is_join_key,
+  CAST(bonus
+    + least(n_distinct * 1000000 // greatest(n_rows, 1), 1000000)
+    - 2 * top_share_micro - null_share_micro AS BIGINT) AS score_micro
+  FROM raw)
+SELECT "column", n_rows, n_distinct, null_share_micro, top_share_micro,
+  cardinality_micro, is_join_key, score_micro,
+  ("column" = (SELECT "column" FROM sc
+    ORDER BY score_micro DESC, "column" ASC LIMIT 1)) AS recommended
+FROM sc ORDER BY "column""""
   }
 
   /** q276: the q178 band columns split by id parity — odd = new

@@ -664,6 +664,84 @@ object Audit {
     singles.unionByName(pairRows).orderBy("arity", "candidate")
   }
 
+  /** Distribution-key advisor — the recommendation half of the
+    * reference's DISTKEY parameter (reference RAS:36 takes the key on
+    * faith from the caller; this scores the candidates the way a
+    * warehouse engineer would): a good distkey is JOINED ON (co-
+    * located joins skip the shuffle), HIGH-CARDINALITY (spreads
+    * across slices), LOW-SKEW (no dominant value hot-spots one
+    * slice), and rarely null (nulls co-locate on one slice). All four
+    * signals reduce to exact integers from ONE melt pass:
+    *
+    *   score = join_bonus(10⁶ if declared a join key)
+    *         + cardinality_micro (distinct/n, capped at 10⁶)
+    *         − 2·top_share_micro (the dominant value's row share)
+    *         − null_share_micro
+    *
+    * The formula is an ADVISORY ranking, not a truth claim — the
+    * components are reported alongside so a human can overrule;
+    * `recommended` marks the arg-max (ties by column name ASC).
+    * Declared join keys come from the caller — compose with
+    * [[fkAudit]] / [[indDiscovery]], whose verified relations are
+    * exactly this input. Nulls render as absent from distinct/top
+    * counts and surface only in null_share.
+    *
+    * Returns one row per candidate: (column, n_rows, n_distinct,
+    * null_share_micro, top_share_micro, cardinality_micro,
+    * is_join_key, score_micro, recommended), ordered by column. */
+  def distkeyAdvisor(df: DataFrame, candidateCols: Seq[String],
+                     joinKeys: Set[String] = Set.empty): DataFrame = {
+    require(candidateCols.nonEmpty, "distkeyAdvisor needs candidates")
+    require(candidateCols.distinct == candidateCols,
+      s"duplicate candidates: $candidateCols")
+    require(candidateCols.size <= 16,
+      s"${candidateCols.size} candidates melt ${candidateCols.size}× " +
+        "per row — profile a declared subset")
+    require(joinKeys.subsetOf(candidateCols.toSet),
+      s"joinKeys ${joinKeys -- candidateCols.toSet} are not candidates")
+    val cells = df
+      .select(explode(array(candidateCols.map(c =>
+        struct(lit(c).as("cn"), col(c).cast("string").as("cv"))): _*))
+        .as("_p"))
+      .select(col("_p.cn"), col("_p.cv"))
+      .groupBy("cn", "cv")
+      .agg(count(lit(1)).as("_n"))
+    val perCol = cells.groupBy("cn")
+      .agg(coalesce(sum("_n"), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("cv").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_distinct"),
+        coalesce(sum(when(col("cv").isNull, col("_n")).otherwise(0L)),
+          lit(0L)).as("_nulls"),
+        coalesce(max(when(col("cv").isNotNull, col("_n"))
+          .otherwise(0L)), lit(0L)).as("_top"))
+    val joinBonus = candidateCols.map(c =>
+      c -> (if (joinKeys.contains(c)) 1000000L else 0L)).toMap
+    val bonus = map(candidateCols.flatMap(c =>
+      Seq(lit(c), lit(joinBonus(c)))): _*)
+    val scored = perCol
+      .select(col("cn").as("column"), col("n_rows"), col("n_distinct"),
+        expr("_nulls * 1000000 div greatest(n_rows, 1)")
+          .as("null_share_micro"),
+        expr("_top * 1000000 div greatest(n_rows, 1)")
+          .as("top_share_micro"),
+        least(expr("n_distinct * 1000000 div greatest(n_rows, 1)"),
+          lit(1000000L)).as("cardinality_micro"),
+        element_at(bonus, col("cn")).as("_bonus"))
+      .withColumn("is_join_key", col("_bonus") > 0L)
+      .withColumn("score_micro",
+        col("_bonus") + col("cardinality_micro")
+          - lit(2L) * col("top_share_micro") - col("null_share_micro"))
+      .drop("_bonus")
+    val best = scored
+      .agg(min(struct((-col("score_micro")).as("ns"),
+        col("column").as("c"))).as("_b"))
+      .select(col("_b.c").as("column"), lit(true).as("_best"))
+    scored.join(broadcast(best), Seq("column"), "left")
+      .withColumn("recommended", coalesce(col("_best"), lit(false)))
+      .drop("_best")
+      .orderBy("column")
+  }
+
   /** One column of an inclusion-dependency candidate set: a display
     * label (conventionally `table.column`), the frame, the column. */
   final case class IndColumn(label: String, df: DataFrame,

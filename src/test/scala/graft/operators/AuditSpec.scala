@@ -472,4 +472,34 @@ class AuditSpec extends SparkSpec {
       Audit.keyDiscovery(df, Seq("a"))
     }
   }
+  test("distkeyAdvisor: join bonus, skew penalty, null penalty, argmax") {
+    import spark.implicits._
+    // id: unique (card 1e6, no skew); g: skewed 3-of-4 on 'a';
+    // k: has a null; fk: declared join key, card 1/2
+    val df = Seq(
+      (1L, "a", Some(1L), 10L), (2L, "a", Some(2L), 10L),
+      (3L, "a", Some(3L), 20L), (4L, "b", None, 20L))
+      .toDF("id", "g", "k", "fk")
+    val got = Audit.distkeyAdvisor(df, Seq("id", "g", "k", "fk"),
+      joinKeys = Set("fk")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+        r.getLong(7), r.getBoolean(8)))).toMap
+    // id: 4 rows, 4 distinct, 0 nulls, top 1/4, card 1e6
+    assert(got("id") == ((4L, 4L, 0L, 250000L, 1000000L, false,
+      500000L, false)), s"id: ${got("id")}")
+    // g: 2 distinct, top 3/4 -> score 0.5e6 - 1.5e6 = -1e6
+    assert(got("g") == ((4L, 2L, 0L, 750000L, 500000L, false,
+      -1000000L, false)), s"g: ${got("g")}")
+    // k: 3 distinct, 1 null -> null 1/4, top 1/4 -> 750000-500000-250000
+    assert(got("k") == ((4L, 3L, 250000L, 250000L, 750000L, false,
+      0L, false)), s"k: ${got("k")}")
+    // fk: bonus 1e6 + card 0.5e6 - 2*0.5e6 = 0.5e6; ties with id ->
+    // name ASC picks fk
+    assert(got("fk") == ((4L, 2L, 0L, 500000L, 500000L, true,
+      500000L, true)), s"fk: ${got("fk")}")
+    intercept[IllegalArgumentException] {
+      Audit.distkeyAdvisor(df, Seq("id"), joinKeys = Set("nope"))
+    }
+  }
 }
