@@ -223,6 +223,22 @@ object ScaleBench {
         s.read.parquet(s"$dir/events.parquet"), "user_id")))
   }
 
+  /** q206 OPERATOR leg — the IVF-celled mutual-align at PARTIAL probe
+    * (nCells = 16, nProbe = 4): the production scale path for bitext
+    * pairing. The gate query deliberately runs the brute mode (it is
+    * the oracle twin, spec-≡ to IVF at full probe), and brute is
+    * Θ(|L|·|R|) by construction — 13.0× measured on the gate leg in
+    * this same sweep, which is the expected quadratic, not a defect;
+    * THIS leg documents what the operator costs when routed the way a
+    * 100 TB corpus would actually run it. */
+  private def q206IvfLeg(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.Similarity.mutualAlign(
+      e.filter(col("vec_id") % 2 === 0),
+      e.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", nCells = 16, nProbe = 4)
+  }
+
   /** q55's OPERATOR-ONLY legs: the full q55 figure is output-bound
     * (at sf1 the 18.9M-pair result sort/materialization dominates and
     * its shuffle-spill luck swung the recorded growth 5.8×–18.5×
@@ -281,6 +297,7 @@ object ScaleBench {
         ("q198_store_growth" -> (q198StoreGrowthLeg _)) :+
         ("q237_ind_discovery_op" -> (q237OperatorLeg _)) :+
         ("q268_ind_approx_op" -> (q268OperatorLeg _)) :+
+        ("q206_mutual_align_ivf_op" -> (q206IvfLeg _)) :+
         ("q55_simhash_count_b" -> (q55CountLeg _)))
     def time(dir: String): Seq[(String, Double)] = legs.map { case (n, fn) =>
       System.gc() // steady storage state per query (see builder note)

@@ -3264,7 +3264,45 @@ object SparkEntry {
       Audit.distkeyAdvisor(t(s, dir, "orders"),
         Seq("o_custkey", "o_orderkey", "o_orderpriority",
           "o_orderstatus"),
-        joinKeys = Set("o_custkey")))
+        joinKeys = Set("o_custkey")))  ,
+    // ---- semantic-type detection over deterministically synthesized
+    //      string columns (email/ip/date/decimal/word/int): the layer
+    //      above the reference's primitive cascade — drives PII
+    //      handling and FK candidacy. ----
+    "q282_semantic_types" -> ((s, dir) =>
+      Audit.semanticTypes(
+        t(s, dir, "customer").select(
+          expr("concat('user', CAST(c_custkey AS STRING), " +
+            "'@example.com')").as("email_col"),
+          expr("""concat('10.', CAST(c_custkey % 256 AS STRING), '.',
+            CAST(c_nationkey % 256 AS STRING), '.',
+            CAST(c_custkey % 100 AS STRING))""").as("ip_col"),
+          expr("""concat('2024-',
+            lpad(CAST(c_custkey % 12 + 1 AS STRING), 2, '0'), '-',
+            lpad(CAST(c_custkey % 28 + 1 AS STRING), 2, '0'))""")
+            .as("date_col"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING)")
+            .as("dec_col"),
+          col("c_mktsegment").as("seg_col"),
+          col("c_custkey").cast("string").as("int_col")),
+        Seq("email_col", "ip_col", "date_col", "dec_col", "seg_col",
+          "int_col"))),
+    // ---- interval union over three planted spans per doc (the
+    //      middle one overlaps the first iff doc_id % 25 < 15): the
+    //      consumer every span producer needs before redacting. ----
+    "q283_span_union" -> ((s, dir) => {
+      val spans = t(s, dir, "documents").select(col("doc_id"),
+        explode(array(
+          struct((col("doc_id") % 40).as("s"),
+            (col("doc_id") % 40 + 15).as("e")),
+          struct((col("doc_id") % 40 + col("doc_id") % 25).as("s"),
+            (col("doc_id") % 40 + col("doc_id") % 25 + 5).as("e")),
+          struct((col("doc_id") % 40 + 50).as("s"),
+            (col("doc_id") % 40 + 58).as("e")))).as("_sp"))
+        .select(col("doc_id"), col("_sp.s").as("s"), col("_sp.e").as("e"))
+      graft.operators.TemporalJoins.intervalUnion(
+        spans, "doc_id", "s", "e")
+    })
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -7978,7 +8016,32 @@ SELECT "group", n, n_categories,
     ELSE 1000000 - CAST(coll * 1000000 // (CAST(n AS HUGEINT) * (n - 1))
       AS BIGINT) END AS diversity_micro
 FROM g ORDER BY "group"""",
-    "q281_distkey_advisor" -> distkeyAdvisorOracle
+    "q281_distkey_advisor" -> distkeyAdvisorOracle,
+    "q282_semantic_types" -> semanticTypesOracle,
+    // q283: the same sweep — running max of previous ends per doc,
+    // group-start flags, cumulative group ids, min/max per group.
+    "q283_span_union" ->
+      """WITH sp AS (
+  SELECT doc_id, doc_id % 40 AS s, doc_id % 40 + 15 AS e FROM documents
+  UNION ALL SELECT doc_id, doc_id % 40 + doc_id % 25,
+    doc_id % 40 + doc_id % 25 + 5 FROM documents
+  UNION ALL SELECT doc_id, doc_id % 40 + 50, doc_id % 40 + 58
+    FROM documents),
+f AS (SELECT doc_id, s, e,
+  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM sp WHERE e > s),
+g AS (SELECT doc_id, s, e,
+  sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+    OVER (PARTITION BY doc_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM f)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS merged_start,
+  CAST(max(e) AS BIGINT) AS merged_end,
+  CAST(max(e) - min(s) AS BIGINT) AS merged_len,
+  CAST(count(*) AS BIGINT) AS n_spans
+FROM g GROUP BY doc_id, grp
+ORDER BY doc_id, merged_start"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two
@@ -8199,6 +8262,54 @@ SELECT "column", n_rows, n_distinct, null_share_micro, top_share_micro,
   ("column" = (SELECT "column" FROM sc
     ORDER BY score_micro DESC, "column" ASC LIMIT 1)) AS recommended
 FROM sc ORDER BY "column""""
+  }
+
+  /** q282: the synthesized columns rebuilt verbatim, the SAME
+    * anchored patterns interpolated (Audit.semanticPatterns — one
+    * regex source, two engines), ties by declared class order via a
+    * first-true CASE ladder. */
+  private def semanticTypesOracle: String = {
+    val classes = graft.operators.Audit.semanticPatterns
+    val cols = Seq("email_col", "ip_col", "date_col", "dec_col",
+      "seg_col", "int_col")
+    def counts = classes.map { case (nm, pat) =>
+      s"""CAST(coalesce(sum(CASE WHEN regexp_matches(cv, '$pat')
+    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_$nm"""
+    }.mkString(",\n  ")
+    val parts = cols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_values,
+  $counts
+FROM (SELECT $c AS cv FROM src) WHERE cv IS NOT NULL"""
+    }
+    val names = classes.map(_._1)
+    val bestLadder = names.zipWithIndex.map { case (nm, i) =>
+      val conds = names.zipWithIndex.collect {
+        case (o, j) if j != i => s"n_$nm >= n_$o"
+      }.mkString(" AND ")
+      s"WHEN $conds THEN '$nm'"
+    }.mkString("CASE ", " ", " END")
+    val maxCnt = s"greatest(${names.map(n => s"n_$n").mkString(", ")})"
+    s"""WITH src AS (SELECT
+  'user' || CAST(c_custkey AS VARCHAR) || '@example.com' AS email_col,
+  '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.'
+    || CAST(c_nationkey % 256 AS VARCHAR) || '.'
+    || CAST(c_custkey % 100 AS VARCHAR) AS ip_col,
+  '2024-' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0') || '-'
+    || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') AS date_col,
+  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS dec_col,
+  c_mktsegment AS seg_col,
+  CAST(c_custkey AS VARCHAR) AS int_col
+  FROM customer),
+per AS (
+${parts.mkString("\nUNION ALL\n")})
+SELECT "column", n_values, ${names.map(n => s"n_$n").mkString(", ")},
+  $bestLadder AS best_type,
+  CAST($maxCnt * 1000000 // greatest(n_values, 1) AS BIGINT)
+    AS best_share_micro,
+  CASE WHEN n_values > 0 AND
+      $maxCnt * 1000000 // greatest(n_values, 1) >= 900000
+    THEN $bestLadder ELSE 'unknown' END AS semantic_type
+FROM per ORDER BY "column""""
   }
 
   /** q276: the q178 band columns split by id parity — odd = new

@@ -955,6 +955,75 @@ object Audit {
     "hex" -> "\\b[0-9a-f]{32,}\\b",
     "jwt" -> "eyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}")
 
+  /** The semantic string classes (name → ANCHORED regex, Java∩RE2 so
+    * the DuckDB oracle interpolates the SAME patterns — the
+    * [[secretPatterns]] convention). ORDER IS CONTRACT: earlier
+    * classes win count ties, and output columns follow it. */
+  val semanticPatterns: Seq[(String, String)] = Seq(
+    "email" -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
+    "url" -> "^https?://[^ ]+$",
+    "uuid" -> ("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    "ipv4" -> "^([0-9]{1,3}\\.){3}[0-9]{1,3}$",
+    "phone" -> "^\\+?[0-9][0-9 ()-]{6,18}[0-9]$",
+    "date_iso" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "int_string" -> "^-?[0-9]+$",
+    "dec_string" -> "^-?[0-9]+\\.[0-9]+$")
+
+  /** Semantic-type detection — the layer ABOVE the reference's
+    * primitive-type cascade: a column that parses as VARCHAR may
+    * still BE an email / URL / UUID / IP / phone / ISO date /
+    * numeric string, and that verdict drives PII handling, FK
+    * candidacy and tokenizer routing. Every non-null value is
+    * full-matched against [[semanticPatterns]]; a column is assigned
+    * the class with the highest match count (ties → declared order)
+    * iff that class covers at least `minShareMicro` of the column's
+    * non-null values, else `unknown`.
+    *
+    * ONE melt pass (|cols| structs per row) + one hash aggregate with
+    * a fused counter per class; the per-column verdict is a constant
+    * array_min fold. Returns one row per column: (column, n_values,
+    * n_<class>…, best_type, best_share_micro, semantic_type),
+    * ordered by column. */
+  def semanticTypes(df: DataFrame, cols: Seq[String],
+                    minShareMicro: Long = 900000L): DataFrame = {
+    require(cols.nonEmpty, "semanticTypes needs columns")
+    require(cols.distinct == cols, s"duplicate columns: $cols")
+    require(cols.size <= 32,
+      s"${cols.size} columns melt ${cols.size}× per row — declare a subset")
+    require(minShareMicro >= 1 && minShareMicro <= 1000000,
+      s"minShareMicro must be in [1, 1e6]: $minShareMicro")
+    val cells = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("cn"), col(c).cast("string").as("cv"))): _*))
+        .as("_p"))
+      .select(col("_p.cn"), col("_p.cv"))
+      .filter(col("cv").isNotNull)
+    val classAggs = semanticPatterns.map { case (nm, pat) =>
+      coalesce(sum(when(col("cv").rlike(pat), 1L).otherwise(0L)),
+        lit(0L)).as(s"n_$nm")
+    }
+    val aggs = (count(lit(1)).as("n_values") +: classAggs)
+    val perCol = cells.groupBy(col("cn").as("column"))
+      .agg(aggs.head, aggs.tail: _*)
+    val bestArr = array(semanticPatterns.zipWithIndex.map {
+      case ((nm, _), i) =>
+        struct((-col(s"n_$nm")).as("nc"), lit(i).as("i"),
+          lit(nm).as("nm"))
+    }: _*)
+    perCol
+      .withColumn("_b", array_min(bestArr))
+      .withColumn("best_type", col("_b.nm"))
+      .withColumn("best_share_micro",
+        expr("(-_b.nc) * 1000000 div greatest(n_values, 1)"))
+      .withColumn("semantic_type",
+        when(col("n_values") > 0 &&
+            col("best_share_micro") >= minShareMicro, col("best_type"))
+          .otherwise(lit("unknown")))
+      .drop("_b")
+      .orderBy("column")
+  }
+
   def tableFingerprint(df: DataFrame, partitionCols: Seq[String],
                        hashCols: Seq[String]): DataFrame = {
     require(partitionCols.nonEmpty, "tableFingerprint needs partition cols")

@@ -505,6 +505,46 @@ object TemporalJoins {
       .orderBy(col(key), col(tsCol), col(tiebreak))
   }
 
+  /** Interval union per key — merge overlapping-or-touching half-open
+    * [start, end) spans into maximal disjoint intervals: the
+    * span-consumer the redaction/dedup span producers (PII spans, C4
+    * sentence spans, winnow matches) all need before acting — acting
+    * on raw spans double-deletes overlaps and miscounts coverage.
+    * Classic sweep as a dataflow: per key, a span starts a NEW merged
+    * group iff its start exceeds the running max of all previous
+    * ends; group ids are the running count of group-starts. Both are
+    * windows PARTITIONED BY KEY (never global), ordered (start ASC,
+    * end ASC) — deterministic for any input order. Invalid spans
+    * (null bounds, end ≤ start) drop.
+    *
+    * Returns one row per merged interval: (keyCol, merged_start,
+    * merged_end, merged_len, n_spans), ordered by (key, start). */
+  def intervalUnion(df: DataFrame, keyCol: String, startCol: String,
+                    endCol: String): DataFrame = {
+    val clean = df
+      .select(col(keyCol).as("_k"), col(startCol).cast("long").as("_s"),
+        col(endCol).cast("long").as("_e"))
+      .filter(col("_k").isNotNull && col("_s").isNotNull &&
+        col("_e").isNotNull && col("_e") > col("_s"))
+    val w = Window.partitionBy("_k").orderBy(col("_s"), col("_e"))
+    val flagged = clean
+      .withColumn("_pmax", max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("_s") > col("_pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("_grp", sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("_k"), col("_grp"))
+      .agg(min("_s").as("merged_start"), max("_e").as("merged_end"),
+        count(lit(1)).as("n_spans"))
+      .select(col("_k").as(keyCol), col("merged_start"),
+        col("merged_end"),
+        (col("merged_end") - col("merged_start")).as("merged_len"),
+        col("n_spans"))
+      .orderBy(keyCol, "merged_start")
+  }
+
   def resampleOhlc(df: DataFrame, key: String, tsCol: String,
                    valueCol: String, tiebreak: String,
                    unit: String = "hour"): DataFrame = {

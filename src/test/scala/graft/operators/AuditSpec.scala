@@ -502,4 +502,38 @@ class AuditSpec extends SparkSpec {
       Audit.distkeyAdvisor(df, Seq("id"), joinKeys = Set("nope"))
     }
   }
+  test("semanticTypes: full-match classes, tie order, threshold to unknown") {
+    import spark.implicits._
+    val df = Seq(
+      ("a@b.io", "550e8400-e29b-41d4-a716-446655440000", "12", "word"),
+      ("x.y@corp.example.com", "550E8400-E29B-41D4-A716-446655440000",
+        "-7", "two words"),
+      (null, "not a uuid", "3.5", "word"))
+      .toDF("em", "uu", "num", "tx")
+    val got = Audit.semanticTypes(df, Seq("em", "uu", "num", "tx"),
+      minShareMicro = 600000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        r.getAs[String]("best_type"),
+        r.getAs[Long]("best_share_micro"),
+        r.getAs[String]("semantic_type")))).toMap
+    // em: 2 non-null, both email -> 100%
+    assert(got("em") == ((2L, "email", 1000000L, "email")))
+    // uu: 2 of 3 uuid -> 66%, over the 60% threshold
+    assert(got("uu") == ((3L, "uuid", 666666L, "uuid")))
+    // num: "12", "-7" int; "3.5" dec -> int wins 2/3
+    assert(got("num") == ((3L, "int_string", 666666L, "int_string")))
+    // tx: nothing matches -> every count 0; ties resolve to the FIRST
+    // declared class but the threshold sends it to unknown
+    assert(got("tx")._2 == "email" && got("tx")._4 == "unknown")
+    // phone and ipv4 classes full-match their shapes
+    val ph = Audit.semanticTypes(
+      Seq(("+1 (212) 555-0199", "10.0.0.1"), ("212 555 0199", "8.8.8.8"))
+        .toDF("p", "ip"), Seq("p", "ip"))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[String]("semantic_type")).toMap
+    assert(ph == Map("p" -> "phone", "ip" -> "ipv4"), s"got $ph")
+    intercept[IllegalArgumentException] {
+      Audit.semanticTypes(df, Seq.empty)
+    }
+  }
 }

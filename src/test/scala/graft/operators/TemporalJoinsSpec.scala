@@ -611,4 +611,28 @@ class TemporalJoinsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L, 5L, 6L), s"kept: $kept")
   }
+  test("intervalUnion: overlap and touch merge, gaps split, invalid drop") {
+    import spark.implicits._
+    val spans = Seq(
+      (1L, 0L, 10L), (1L, 5L, 12L),   // overlap -> [0,12)
+      (1L, 12L, 20L),                 // touching -> merges to [0,20)
+      (1L, 30L, 35L),                 // gap -> own interval
+      (2L, 7L, 7L),                   // empty span drops
+      (2L, 1L, 3L))
+      .toDF("k", "s", "e")
+    val got = graft.operators.TemporalJoins.intervalUnion(
+      spans, "k", "s", "e")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 0L, 20L, 20L, 3L),
+      (1L, 30L, 35L, 5L, 1L),
+      (2L, 1L, 3L, 2L, 1L)), s"got $got")
+    // containment: a span inside another never re-opens a group
+    val nest = Seq((9L, 0L, 100L), (9L, 10L, 20L), (9L, 99L, 150L))
+      .toDF("k", "s", "e")
+    val g2 = graft.operators.TemporalJoins.intervalUnion(
+      nest, "k", "s", "e")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(g2 == List((9L, 0L, 150L, 150L, 3L)), s"got $g2")
+  }
 }
