@@ -3302,7 +3302,16 @@ object SparkEntry {
         .select(col("doc_id"), col("_sp.s").as("s"), col("_sp.e").as("e"))
       graft.operators.TemporalJoins.intervalUnion(
         spans, "doc_id", "s", "e")
-    })
+    }),
+    // ---- per-language slice metrics (positive rate + exact rank-sum
+    //      AUC) for a deterministic scorer — the fairness surface a
+    //      single corpus-wide AUC hides. ----
+    "q284_slice_metrics" -> ((s, dir) =>
+      Eval.sliceMetrics(
+        t(s, dir, "documents").select(col("lang"), col("doc_id"),
+          ((col("doc_id") * 37) % 101).as("score"),
+          (col("doc_id") % 3 === 0).as("y")),
+        "lang", "doc_id", "score", "y"))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8041,7 +8050,29 @@ SELECT doc_id, CAST(min(s) AS BIGINT) AS merged_start,
   CAST(max(e) - min(s) AS BIGINT) AS merged_len,
   CAST(count(*) AS BIGINT) AS n_spans
 FROM g GROUP BY doc_id, grp
-ORDER BY doc_id, merged_start"""
+ORDER BY doc_id, merged_start""",
+    // q284: per-slice row_number under (score ASC, id ASC), the
+    // rank-sum U identity in HUGEINT, null AUC on one-class slices.
+    "q284_slice_metrics" ->
+      """WITH s AS (SELECT lang AS g, doc_id AS id,
+  (doc_id * 37) % 101 AS sc, doc_id % 3 = 0 AS y FROM documents
+  WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+r AS (SELECT g, sc, y, CAST(row_number() OVER
+  (PARTITION BY g ORDER BY sc, id) AS BIGINT) AS rnk FROM s)
+SELECT g AS slice, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000 // count(*)
+    AS BIGINT) AS pos_rate_micro,
+  CASE WHEN sum(CASE WHEN y THEN 1 ELSE 0 END) = 0
+      OR sum(CASE WHEN y THEN 0 ELSE 1 END) = 0 THEN NULL
+    ELSE CAST((CAST(sum(CASE WHEN y THEN rnk ELSE 0 END) AS HUGEINT)
+        - CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT)
+          * (sum(CASE WHEN y THEN 1 ELSE 0 END) + 1) // 2) * 1000000
+      // (CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT)
+        * sum(CASE WHEN y THEN 0 ELSE 1 END)) AS BIGINT) END
+    AS auc_micro
+FROM r GROUP BY g ORDER BY slice"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classifier-evaluation operators over scored frames — the
@@ -160,6 +161,53 @@ object Eval {
         .toDF("n", "k_rank", "threshold_score", "n_at_or_below",
           "coverage_micro")
     }
+  }
+
+  /** Per-slice evaluation metrics — the fairness/regression-surface
+    * pass a single corpus-wide AUC hides: a scorer can hold its
+    * aggregate AUC while collapsing on one language or source slice.
+    * Per slice: positive rate and the rank-sum AUC
+    * (Mann–Whitney U), both EXACT — ranks come from a window
+    * PARTITIONED BY SLICE ordered by (score ASC, id ASC) (the
+    * [[graft.operators.Stats.aucRankSum]] total order: ties break by
+    * id deterministically rather than mid-ranked, identical on both
+    * engines), and
+    *
+    *   auc_micro = (Σ rank⁺ − n⁺(n⁺+1)/2)·10⁶ div (n⁺·n⁻)
+    *
+    * rides DECIMAL(38,0). Slices whose positives or negatives are
+    * empty report a null AUC (undefined, not 0). Scores must be
+    * integer-valued (micro-scale floats first). The window is
+    * per-slice, never global — slices are the parallelism.
+    *
+    * Returns one row per slice: (slice, n, n_pos, n_neg,
+    * pos_rate_micro, auc_micro), ordered by slice. */
+  def sliceMetrics(df: DataFrame, sliceCol: String, idCol: String,
+                   scoreCol: String, labelCol: String): DataFrame = {
+    val clean = df.filter(col(sliceCol).isNotNull &&
+      col(idCol).isNotNull && col(scoreCol).isNotNull &&
+      col(labelCol).isNotNull)
+      .select(col(sliceCol).cast("string").as("_g"), col(idCol),
+        col(scoreCol).cast("long").as("_s"), col(labelCol).as("_y"))
+    val w = Window.partitionBy("_g")
+      .orderBy(col("_s").asc, col(idCol).asc)
+    clean
+      .withColumn("_rank", row_number().over(w).cast("long"))
+      .groupBy(col("_g").as("slice"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("n_neg"),
+        coalesce(sum(when(col("_y"), col("_rank")).otherwise(0L)),
+          lit(0L)).as("_rp"))
+      .select(col("slice"), col("n"), col("n_pos"), col("n_neg"),
+        expr("n_pos * 1000000 div n").as("pos_rate_micro"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+            lit(null).cast("long"))
+          .otherwise(expr("""CAST((CAST(_rp AS DECIMAL(38,0))
+            - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) div 2)
+            * 1000000 div (CAST(n_pos AS DECIMAL(38,0)) * n_neg)
+            AS BIGINT)""")).as("auc_micro"))
+      .orderBy("slice")
   }
 
   /** Confusion matrix + exact-micro metrics at one threshold:

@@ -1175,6 +1175,52 @@ object StreamingOps {
     *
     * @param sink receives each batch's per-document report (the
     *             spanDedupAgainstStore schema) */
+  /** Streaming twin of
+    * [[graft.operators.Multimodal.phashDedupAgainstStore]] — the live
+    * perceptual-hash gate an image feed runs: per micro-batch the
+    * persisted dHash store loads (8 bytes per accepted image — never
+    * a thumbnail re-decode), the asymmetric banded-Hamming join flags
+    * near-dups, and the NON-dup batch hashes append back under a
+    * `_batch_id=` partition so a checkpoint replay of the same batch
+    * OVERWRITES its own prior write instead of duplicating store rows
+    * (the [[spanDedupStream]] idempotence contract; the store filter
+    * drops the replaying batch's own partition before matching). */
+  def phashDedupStream(stream: DataFrame, idCol: String,
+                       thumbCol: String, statePath: String,
+                       checkpoint: String, maxHamming: Int = 6)
+                      (sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        val store: DataFrame =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            s.read.parquet(statePath)
+              .filter(col("_batch_id") =!= lit(batchId))
+              .select(col(idCol), col("dhash"))
+          else
+            batch.select(col(idCol)).limit(0)
+              .withColumn("dhash", lit(0L))
+        val report = graft.operators.Multimodal.phashDedupAgainstStore(
+            batch, idCol, thumbCol, store, maxHamming)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(report)
+          val accepted = report.filter(!col("is_dup")).select(col(idCol))
+          batch.select(col(idCol),
+              graft.operators.Multimodal.dHash64(col(thumbCol))
+                .as("dhash"))
+            .join(accepted, Seq(idCol), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$statePath/_batch_id=$batchId")
+        } finally report.unpersist(false)
+      }
+      .start()
+
   def spanDedupStream(stream: DataFrame, idCol: String, textCol: String,
                       statePath: String, checkpoint: String,
                       span: Int = 3, minDup: Int = 1)

@@ -482,4 +482,28 @@ class EvalSpec extends SparkSpec {
       .collect().head
     assert(tiny.getLong(1) == 2L && tiny.isNullAt(2) && tiny.isNullAt(4))
   }
+  test("sliceMetrics: per-slice rate and exact rank-sum AUC") {
+    import spark.implicits._
+    // slice A: scores separate classes perfectly -> AUC 1; slice B:
+    // anti-separated -> AUC 0; slice C: one class -> null AUC
+    val rows = Seq(
+      ("A", 1L, 10L, false), ("A", 2L, 20L, false),
+      ("A", 3L, 30L, true), ("A", 4L, 40L, true),
+      ("B", 5L, 40L, false), ("B", 6L, 10L, true),
+      ("C", 7L, 5L, true))
+    val got = Eval.sliceMetrics(rows.toDF("g", "id", "s", "y"),
+      "g", "id", "s", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(got("A") == ((4L, 2L, 2L, 500000L, 1000000L)), s"${got("A")}")
+    assert(got("B") == ((2L, 1L, 1L, 500000L, 0L)), s"${got("B")}")
+    assert(got("C") == ((1L, 1L, 0L, 1000000L, -1L)), s"${got("C")}")
+    // tie on score: rank breaks by id ASC (the aucRankSum convention)
+    val tie = Seq(("T", 1L, 5L, true), ("T", 2L, 5L, false))
+      .toDF("g", "id", "s", "y")
+    // positive holds rank 1 -> U = 1 - 1 = 0 -> AUC 0
+    assert(Eval.sliceMetrics(tie, "g", "id", "s", "y")
+      .collect().head.getLong(5) == 0L)
+  }
 }

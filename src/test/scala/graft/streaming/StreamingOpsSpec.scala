@@ -1506,4 +1506,64 @@ class StreamingOpsSpec extends SparkSpec {
     val got = out.toArray(Array.empty[(Long, Timestamp, String)]).toSet
     assert(got == batch, s"stream $got != batch $batch")
   }
+  test("streaming phash gate equals the batch operator and replays idempotently") {
+    import graft.operators.Multimodal
+    def thumbs(rows: Seq[(Long, String)]) =
+      Multimodal.syntheticMedia(rows.toDF("i", "t"), "i", "t")
+        .select(col("media_id"),
+          expr("substring(concat(payload, payload, payload), 1, 72)")
+            .as("thumb"))
+    val batch1 = Seq((1L, "alpha"), (2L, "beta"))
+    val batch2 = Seq((10L, "alpha"), (11L, "wholly new content"))
+    val key = System.nanoTime()
+    val state = s"/tmp/graft-phash-stream-state-$key"
+    def runOnce(ckpt: String, mem: MemoryStream[(Long, String)])
+        : List[(Long, Long, Boolean)] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Boolean)]
+      val q = StreamingOps.phashDedupStream(
+        thumbsFromStream(mem), "media_id", "thumb", state, ckpt) {
+        rep =>
+          out ++= rep.select("media_id", "n_matches", "is_dup")
+            .as[(Long, Long, Boolean)].collect()
+      }
+      q.awaitTermination(60000)
+      out.sortBy(_._1).toList
+    }
+    def thumbsFromStream(mem: MemoryStream[(Long, String)]) =
+      mem.toDF().toDF("i", "t")
+        .select(col("i").as("media_id"),
+          expr("""substring(concat(
+            unhex(concat(md5(t), md5(reverse(t)))),
+            unhex(concat(md5(t), md5(reverse(t)))),
+            unhex(concat(md5(t), md5(reverse(t))))), 1, 72)""")
+            .as("thumb"))
+    val ckptA = s"/tmp/graft-phash-stream-ckpt-$key-a"
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData(batch1: _*)
+    val rep1 = runOnce(ckptA, mem)
+    assert(rep1.forall(!_._3), "an empty store flags nothing")
+    mem.addData(batch2: _*)
+    val rep2 = runOnce(ckptA, mem)
+    // batch twin: same batch against the accepted batch-1 hashes
+    val storeTwin = thumbs(batch1)
+      .select(col("media_id"), Multimodal.dHash64(col("thumb"))
+        .as("dhash"))
+    val twin2 = Multimodal.phashDedupAgainstStore(
+      thumbs(batch2), "media_id", "thumb", storeTwin)
+      .select("media_id", "n_matches", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toList.sortBy(_._1)
+    assert(rep2 == twin2, s"stream $rep2 != batch twin $twin2")
+    assert(rep2.find(_._1 == 10L).get._3, "identical thumb flags")
+    assert(!rep2.find(_._1 == 11L).get._3, "novel thumb passes")
+    // replay on a fresh checkpoint: same report, no store duplication
+    val mem2 = MemoryStream[(Long, String)](spark)
+    mem2.addData(batch1: _*)
+    val replayed = runOnce(s"/tmp/graft-phash-stream-ckpt-$key-b", mem2)
+    assert(replayed == rep1, s"replayed $replayed != $rep1")
+    val store = spark.read.parquet(state)
+    assert(store.count() ==
+      store.select("media_id").distinct().count(),
+      "replay must not duplicate store hash rows")
+  }
 }
