@@ -3311,7 +3311,16 @@ object SparkEntry {
         t(s, dir, "documents").select(col("lang"), col("doc_id"),
           ((col("doc_id") * 37) % 101).as("score"),
           (col("doc_id") % 3 === 0).as("y")),
-        "lang", "doc_id", "score", "y"))
+        "lang", "doc_id", "score", "y")),
+    // ---- survivorship merge: 5-member customer clusters fold to
+    //      golden records under most-frequent-non-null (ties by
+    //      value ASC) — the end product of the linkage family. ----
+    "q285_survivorship" -> ((s, dir) =>
+      graft.operators.Linkage.survivorship(
+        t(s, dir, "customer").select(
+          expr("c_custkey div 5").as("cluster"), col("c_custkey"),
+          col("c_mktsegment"), col("c_nationkey")),
+        "cluster", "c_custkey", Seq("c_mktsegment", "c_nationkey")))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8072,7 +8081,30 @@ SELECT g AS slice, CAST(count(*) AS BIGINT) AS n,
       // (CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT)
         * sum(CASE WHEN y THEN 0 ELSE 1 END)) AS BIGINT) END
     AS auc_micro
-FROM r GROUP BY g ORDER BY slice"""
+FROM r GROUP BY g ORDER BY slice""",
+    // q285: per-field mode via (count DESC, value ASC) row_number,
+    // string renders, left joins keep all-null fields null.
+    "q285_survivorship" ->
+      """WITH base AS (SELECT c_custkey // 5 AS cluster,
+  c_custkey AS id, c_mktsegment AS f1,
+  CAST(c_nationkey AS VARCHAR) AS f2 FROM customer
+  WHERE c_custkey IS NOT NULL),
+m AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+  min(id) AS canonical_id FROM base GROUP BY 1),
+g1 AS (SELECT cluster, fv FROM (SELECT cluster, fv,
+  row_number() OVER (PARTITION BY cluster ORDER BY c DESC, fv ASC)
+    AS rn
+  FROM (SELECT cluster, f1 AS fv, count(*) AS c FROM base
+    WHERE f1 IS NOT NULL GROUP BY 1, 2)) WHERE rn = 1),
+g2 AS (SELECT cluster, fv FROM (SELECT cluster, fv,
+  row_number() OVER (PARTITION BY cluster ORDER BY c DESC, fv ASC)
+    AS rn
+  FROM (SELECT cluster, f2 AS fv, count(*) AS c FROM base
+    WHERE f2 IS NOT NULL GROUP BY 1, 2)) WHERE rn = 1)
+SELECT m.cluster, m.n_members, m.canonical_id,
+  g1.fv AS golden_c_mktsegment, g2.fv AS golden_c_nationkey
+FROM m LEFT JOIN g1 USING (cluster) LEFT JOIN g2 USING (cluster)
+ORDER BY cluster"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two
@@ -8238,8 +8270,8 @@ SELECT id_a, id_b, hamming FROM pcand ORDER BY id_a, id_b"""
   WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
 jj AS (SELECT unnest(range(0, 40)) AS j),
 u AS (SELECT j, x,
-  CAST(('0x' || substr(md5(id || ':' || CAST(j AS VARCHAR)), 1, 15))
-    AS BIGINT) AS u FROM s CROSS JOIN jj),
+  CAST(('0x' || substr(md5(id || ':' || CAST(j // 4 AS VARCHAR)),
+    1 + 8 * (j % 4), 8)) AS BIGINT) AS u FROM s CROSS JOIN jj),
 w AS (SELECT j, x, $ladder AS w FROM u),
 rep AS (SELECT j, CAST(sum(CAST(w AS HUGEINT) * x) AS HUGEINT) AS sw,
   CAST(sum(w) AS BIGINT) AS ww FROM w GROUP BY j),

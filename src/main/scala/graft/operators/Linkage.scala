@@ -97,6 +97,59 @@ object Linkage {
     * Returns one row per field: (field, n_match, n_unmatch,
     * m_micro — null when no match pairs, u_micro — null when no
     * unmatch pairs), ordered by field. */
+  /** Survivorship merge — the golden record the linkage pipeline
+    * exists to produce: after [[linkByNameEdit1]] (or any matcher)
+    * and connected-components grouping, each cluster's member records
+    * MERGE into one canonical row, field by field, under the
+    * most-frequent-non-null rule (ties → value ASC — deterministic on
+    * both engines; the standard MDM "most common value" survivorship
+    * policy). Field values compare and survive as their STRING
+    * renders (the fdDiscovery injectivity convention); an all-null
+    * field in a cluster survives as null. canonical_id = min member
+    * id (the [[Clustering.connectedComponents]] label convention).
+    *
+    * ONE melt pass (|fields| structs per row) + two hash aggregates +
+    * one pivot-by-when; no windows, no per-cluster sort. Returns one
+    * row per cluster: (clusterCol, n_members, canonical_id,
+    * golden_<field>…), ordered by cluster. */
+  def survivorship(df: DataFrame, clusterCol: String, idCol: String,
+                   fieldCols: Seq[String]): DataFrame = {
+    require(fieldCols.nonEmpty, "survivorship needs field columns")
+    require(fieldCols.distinct == fieldCols,
+      s"duplicate fields: $fieldCols")
+    require(fieldCols.size <= 16,
+      s"${fieldCols.size} fields melt ${fieldCols.size}× per row — " +
+        "declare a subset")
+    require(!fieldCols.contains(clusterCol) &&
+        !fieldCols.contains(idCol),
+      "cluster/id columns cannot also be survivorship fields")
+    val base = df.filter(col(clusterCol).isNotNull &&
+      col(idCol).isNotNull)
+    val members = base.groupBy(col(clusterCol).as("_cl"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col(idCol)).as("canonical_id"))
+    val cells = base
+      .select(col(clusterCol).as("_cl"),
+        explode(array(fieldCols.map(f =>
+          struct(lit(f).as("fn"), col(f).cast("string").as("fv"))): _*))
+          .as("_p"))
+      .select(col("_cl"), col("_p.fn"), col("_p.fv"))
+      .filter(col("fv").isNotNull)
+      .groupBy("_cl", "fn", "fv")
+      .agg(count(lit(1)).as("_c"))
+    val golden = cells.groupBy("_cl", "fn")
+      .agg(min(struct((-col("_c")).as("nc"), col("fv").as("v")))
+        .as("_b"))
+      .select(col("_cl"), col("fn"), col("_b.v").as("gv"))
+    val goldenAggs = fieldCols.map(f =>
+      max(when(col("fn") === f, col("gv"))).as(s"golden_$f"))
+    val pivoted = golden.groupBy("_cl")
+      .agg(goldenAggs.head, goldenAggs.tail: _*)
+    members.join(pivoted, Seq("_cl"), "left")
+      .withColumnRenamed("_cl", clusterCol)
+      .orderBy(clusterCol)
+  }
+
   def fellegiSunter(pairs: DataFrame, matchCol: String,
                     fieldCols: Seq[String]): DataFrame = {
     require(fieldCols.nonEmpty, "fellegiSunter needs agreement fields")

@@ -261,15 +261,18 @@ object Stats {
     * tie is id-determined but Σ rank·cnt is tie-permutation-invariant.
     *
     * Returns one row: (n_groups, total, gini_micro ∈ [0, 1e6)). */
-  /** Cumulative Poisson(1) CDF thresholds scaled to 2⁶⁰, shared
+  /** Cumulative Poisson(1) CDF thresholds scaled to 2³², shared
     * verbatim by the engine plan and the generated oracle SQL (the
     * constants are computed ONCE here and embedded as literals in
-    * both, so float provenance cannot diverge between engines). */
+    * both, so float provenance cannot diverge between engines).
+    * 32-bit uniforms quantize each threshold by < 2⁻³² — immaterial
+    * to a resampling CI, and they let one 32-hex digest feed FOUR
+    * replicates. */
   private[graft] val poissonThresholds: Seq[Long] = {
     val probs = (0 to 5).scanLeft(0.0) { (acc, k) =>
       acc + math.exp(-1.0) / (1 to k).map(_.toDouble).product
     }.tail // cumulative P(X <= k) for k = 0..5
-    probs.map(c => (c * math.pow(2.0, 60)).toLong)
+    probs.map(c => (c * math.pow(2.0, 32)).toLong)
   }
 
   /** Hash-Poisson bootstrap confidence interval for a mean — error
@@ -303,34 +306,65 @@ object Stats {
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(idCol).cast("string").as("_id"),
         col(valueCol).cast("long").as("_x"))
-    def weight(j: Int): Column = {
-      val u = expr(
-        s"CAST(conv(substring(md5(concat(_id, ':', '$j')), 1, 15), " +
-          "16, 10) AS BIGINT)")
+    // ONE md5 per FOUR replicates: a 32-hex digest carries four
+    // independent 32-bit uniforms (chars 1–8, 9–16, 17–24, 25–32).
+    // Shape history, measured at sf0.1 on identical output: folding
+    // the hash into 2·B aggregate expressions — 33 s; digest/uniform/
+    // weight as chained PROJECTIONS — 6 s, because CollapseProject
+    // re-inlines each md5 into all four of its consumers (the exact
+    // trap Dedup's shingle docstring documents) and conv()'s
+    // interpreted radix parse pays it again; THIS shape fences with
+    // two generators (a Generate's input is evaluated once per row —
+    // the shingleMultiset idiom), decodes with the native
+    // HexSliceToLong kernel, and aggregates (x, replicate, weight)
+    // rows into a replicate-count-sized hash aggregate — ~1.5 s.
+    val nDigests = (replicates + 3) / 4
+    val exploded = clean.select(col("_x"),
+      posexplode(array((0 until nDigests).map(k =>
+        md5(concat(col("_id"), lit(s":$k")))): _*))
+        .as(Seq("_k", "_h")))
+    def weightOf(u: Column): Column =
       poissonThresholds.zipWithIndex.reverse
         .foldLeft(lit(6L)) { case (e, (t, k)) =>
           when(u < t, k.toLong).otherwise(e)
         }
+    val slices = (0 until 4).map { m =>
+      struct(lit(m).as("m"), weightOf(graft.functions.VectorExpressions
+        .hexSliceToLong(col("_h"), 1 + 8 * m, 8)).as("w"))
     }
-    val repAggs = (0 until replicates).flatMap { j =>
-      val w = weight(j)
-      Seq(coalesce(sum(w.cast("decimal(38,0)") * col("_x")),
-          lit(0).cast("decimal(38,0)")).as(s"_s$j"),
-        coalesce(sum(w), lit(0L)).as(s"_w$j"))
-    }
-    val baseAggs = Seq(count(lit(1)).as("_n"),
-      coalesce(sum(col("_x").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as("_sx"))
-    val all = baseAggs ++ repAggs
-    val row = clean.agg(all.head, all.tail: _*).head()
-    val n = row.getLong(0)
+    val wRows = exploded
+      .select(col("_x"), col("_k"),
+        explode(array(slices: _*)).as("_p"))
+      .select(col("_x"),
+        (col("_k") * 4 + col("_p.m")).as("_j"), col("_p.w").as("_w"))
+      .filter(col("_j") < replicates)
+    // LONG sums, guarded post hoc: the same aggregate carries n and
+    // max|x| (overflow-free), and the exact bound n·max|x|·6 < 2⁶³ is
+    // REQUIRED before any sum is read — if the long sums could have
+    // wrapped, the exception discards them. (A decimal(38,0)
+    // accumulator per replicate measured 3× slower end-to-end.)
+    val rep = wRows.groupBy("_j")
+      .agg(coalesce(sum(col("_w") * col("_x")), lit(0L)).as("_s"),
+        coalesce(sum(col("_w")), lit(0L)).as("_w"),
+        count(lit(1)).as("_n"),
+        coalesce(sum(col("_x")), lit(0L)).as("_sx"),
+        coalesce(max(abs(col("_x"))), lit(0L)).as("_mx"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    require(rep.nonEmpty, "bootstrapMeanCI needs a non-empty sample")
+    require(rep.size == replicates,
+      s"internal: expected $replicates replicate rows, got ${rep.size}")
+    val (_, _, n, sxL, mx) = rep(0)
     require(n > 0, "bootstrapMeanCI needs a non-empty sample")
-    val sx = BigInt(row.getDecimal(1).toBigInteger)
-    val meanMicro = (sx * 1000000 / BigInt(n)).toLong
+    require(BigInt(n) * BigInt(mx) * 6 < BigInt(Long.MaxValue),
+      s"bootstrapMeanCI exactness bound exceeded (n·max|x|·6 ≥ 2⁶³ " +
+        s"at n=$n, max|x|=$mx) — rescale or subsample first")
+    val meanMicro = (BigInt(sxL) * 1000000 / BigInt(n)).toLong
     val repMeans = (0 until replicates).map { j =>
-      val s = BigInt(row.getDecimal(2 + 2 * j).toBigInteger)
-      val w = row.getLong(3 + 2 * j)
-      if (w == 0L) meanMicro else (s * 1000000 / BigInt(w)).toLong
+      val (s, w, _, _, _) = rep(j)
+      if (w == 0L) meanMicro else (BigInt(s) * 1000000 / BigInt(w)).toLong
     }.sorted
     val kLo = (BigInt(replicates) * alphaMicro / 2 / 1000000).toInt + 1
     val lo = repMeans(kLo - 1)

@@ -1232,4 +1232,53 @@ class PlanShapeSpec extends SparkSpec {
         s"$name must not serialize the corpus:\n$p")
     }
   }
+  test("round-10 operators keep their scale shapes (q269-q285)") {
+    // q269: the W1 prefix sum must window WITHIN quantile buckets —
+    // a regression to one global window serializes the value frame
+    val p269 = finalPlan(q("q269_wasserstein"))
+    assert(!p269.contains("Exchange SinglePartition"),
+      s"wasserstein1 windows must stay per-bucket:\n$p269")
+    // q270/q271: triangle rows and wedges are equi-joins over the
+    // oriented edge frame — never a product
+    for (name <- Seq("q270_local_clustering", "q271_resource_alloc")) {
+      val p = finalPlan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay equi-join-based:\n$p")
+    }
+    // q272/q273: melt + cascaded hash aggregates; q273's only join
+    // shape is none at all (two aggregates union a literal frame)
+    for (name <- Seq("q272_fd_approx", "q273_key_discovery")) {
+      val p = finalPlan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"),
+        s"$name is melt + hash aggregates:\n$p")
+    }
+    // q274/q275: the ONLY nested-loop joins allowed are over the
+    // broadcast domain-sized cell/histogram frames — the corpus side
+    // must reduce to a hash aggregate first (no corpus-sized SMJ)
+    for (name <- Seq("q274_kendall", "q275_cliffs_delta")) {
+      val p = finalPlan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"),
+        s"$name compares broadcast cell frames only:\n$p")
+    }
+    // q276: the banded store join is an equi-join on (band, bv)
+    val p276 = finalPlan(q("q276_phash_store_gate"))
+    assert(!p276.contains("CartesianProduct") &&
+      !p276.contains("BroadcastNestedLoopJoin"),
+      s"phash store gate must stay a banded equi-join:\n$p276")
+    // q284: the rank window partitions by slice — never global
+    val p284 = finalPlan(q("q284_slice_metrics"))
+    assert(!p284.contains("Exchange SinglePartition"),
+      s"slice metrics windows must partition by slice:\n$p284")
+    assert(!p284.contains("Join"),
+      s"slice metrics is one window + one aggregate:\n$p284")
+    // q285: melt + two hash aggregates + pivot; joins only on the
+    // cluster-sized frames
+    val p285 = finalPlan(q("q285_survivorship"))
+    assert(!p285.contains("CartesianProduct") &&
+      !p285.contains("BroadcastNestedLoopJoin"),
+      s"survivorship joins cluster-keyed frames only:\n$p285")
+  }
 }

@@ -73,4 +73,35 @@ class VectorExpressionsSpec extends SparkSpec {
       case None    => spark.conf.unset(k)
     }
   }
+  test("hexSliceToLong equals the conv twin on md5 output; edge cases null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 500L).map(i => s"row$i").toDF("t")
+      .select(md5(col("t")).as("h"))
+    // every offset/length the engine uses, against the conv twin
+    for ((off, len) <- Seq((1, 8), (9, 8), (17, 8), (25, 8), (1, 15),
+        (17, 15), (1, 1), (32, 1))) {
+      val n = df.select(
+        VectorExpressions.hexSliceToLong(col("h"), off, len).as("k"),
+        expr(s"CAST(conv(substring(h, $off, $len), 16, 10) AS BIGINT)")
+          .as("c"))
+        .filter(col("k") =!= col("c") || col("k").isNull).count()
+      assert(n == 0L, s"kernel != conv twin at offset=$off len=$len")
+    }
+    // uppercase hex decodes; short strings and non-hex are null
+    val edge = Seq("ABCDEF01", "short", "zzzzzzzz")
+      .toDF("h")
+      .select(VectorExpressions.hexSliceToLong(col("h"), 1, 8).as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(edge(0).contains(0xABCDEF01L))
+    assert(edge(1).isEmpty && edge(2).isEmpty)
+    // null input propagates
+    assert(Seq(Option.empty[String]).toDF("h")
+      .select(VectorExpressions.hexSliceToLong(col("h"), 1, 4))
+      .collect().head.isNullAt(0))
+    // literal bounds are rejected eagerly
+    intercept[IllegalArgumentException] {
+      VectorExpressions.hexSliceToLong(lit("ff"), 1, 16)
+    }
+  }
 }

@@ -75,4 +75,25 @@ class LinkageSpec extends SparkSpec {
         "is_match", Seq("m_micro"))
     }
   }
+  test("survivorship: most-frequent-non-null per field, ties by value") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, Some("x"), Some("a")),
+      (1L, 11L, Some("x"), Some("b")),
+      (1L, 12L, Some("y"), None),
+      (2L, 20L, None, Some("q")),
+      (2L, 21L, None, Some("q")))
+      .toDF("cl", "id", "f1", "f2")
+    val got = Linkage.survivorship(df, "cl", "id", Seq("f1", "f2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toList
+    assert(got == List(
+      // cluster 1: f1 mode = x (2 of 3); f2 ties a/b -> value ASC = a
+      (1L, 3L, 10L, Some("x"), Some("a")),
+      // cluster 2: f1 all null -> null survives
+      (2L, 2L, 20L, None, Some("q"))), s"got $got")
+    intercept[IllegalArgumentException] {
+      Linkage.survivorship(df, "cl", "id", Seq("cl"))
+    }
+  }
 }
