@@ -3320,7 +3320,15 @@ object SparkEntry {
         t(s, dir, "customer").select(
           expr("c_custkey div 5").as("cluster"), col("c_custkey"),
           col("c_mktsegment"), col("c_nationkey")),
-        "cluster", "c_custkey", Seq("c_mktsegment", "c_nationkey")))
+        "cluster", "c_custkey", Seq("c_mktsegment", "c_nationkey"))),
+    // ---- HLL-prefiltered key discovery over the q273 columns: the
+    //      q268 exact-behind-sketch pattern for uniqueness — only
+    //      candidates whose estimate reaches n·(1−slack) pay the
+    //      exact distinct count. ----
+    "q286_key_approx" -> ((s, dir) =>
+      Audit.keyDiscoveryApprox(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        slackMicro = 150000L))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8104,7 +8112,8 @@ g2 AS (SELECT cluster, fv FROM (SELECT cluster, fv,
 SELECT m.cluster, m.n_members, m.canonical_id,
   g1.fv AS golden_c_mktsegment, g2.fv AS golden_c_nationkey
 FROM m LEFT JOIN g1 USING (cluster) LEFT JOIN g2 USING (cluster)
-ORDER BY cluster"""
+ORDER BY cluster""",
+    "q286_key_approx" -> keyApproxOracle
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two
@@ -8373,6 +8382,69 @@ SELECT "column", n_values, ${names.map(n => s"n_$n").mkString(", ")},
       $maxCnt * 1000000 // greatest(n_values, 1) >= 900000
     THEN $bestLadder ELSE 'unknown' END AS semantic_type
 FROM per ORDER BY "column""""
+  }
+
+  /** q286: the q268 HLL register replay (12-hex md5 slice, 256
+    * buckets, the same alpha literal) over the candidate melt —
+    * singles plus chr(2)-joined pairs with the chr(1) null sentinel —
+    * prune at n·0.85, exact distinct counts for survivors only,
+    * minimality via split_part member lookups. */
+  private def keyApproxOracle: String = {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+      "l_suppkey")
+    def render(c: String) = s"coalesce(CAST($c AS VARCHAR), chr(1))"
+    val cands = cols.map(c => c -> render(c)) ++
+      cols.combinations(2).toSeq.map { pq =>
+        val (a, b) = (pq(0), pq(1))
+        s"$a+$b" -> s"${render(a)} || chr(2) || ${render(b)}"
+      }
+    val meltParts = cands.map { case (nm, v) =>
+      s"SELECT '$nm' AS cand, $v AS v FROM lineitem"
+    }
+    val ladder = (1 to 39)
+      .map(i => s"(CASE WHEN rem >= ${1L << i} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val alpha = graft.operators.Sketch.alphaLiteral
+    s"""WITH melt AS MATERIALIZED (
+${meltParts.mkString("\nUNION ALL\n")}),
+h AS (SELECT cand,
+  CAST(('0x' || substr(md5(v), 1, 12)) AS BIGINT) AS h FROM melt),
+b AS (SELECT cand, CAST(h % 256 AS INTEGER) AS bucket, h >> 8 AS rem
+  FROM h),
+r AS (SELECT cand, bucket,
+  CASE WHEN rem = 0 THEN 41 ELSE 40 - ($ladder) END AS reg FROM b),
+regs AS (SELECT cand, bucket, max(reg) AS reg FROM r GROUP BY 1, 2),
+ests AS (SELECT cand, round(CASE
+    WHEN (CAST($alpha AS DOUBLE) * 65536.0 / (s + (256.0 - nz)))
+      <= 640.0 AND (256.0 - nz) > 0
+    THEN 256.0 * ln(256.0 / (256.0 - nz))
+    ELSE CAST($alpha AS DOUBLE) * 65536.0 / (s + (256.0 - nz))
+    END, 6) AS e
+  FROM (SELECT cand, sum(1.0 / (CAST(1 AS BIGINT) << reg)) AS s,
+    count(*) AS nz FROM regs GROUP BY cand)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+ver AS (SELECT cand, e,
+  e * 1000000 < n * (1000000 - 150000) AS pruned
+  FROM ests CROSS JOIN nn),
+ex AS (SELECT cand, CAST(count(*) AS BIGINT) AS nd
+  FROM (SELECT DISTINCT cand, v FROM melt) GROUP BY cand),
+base AS (SELECT v.cand,
+  CASE WHEN v.cand LIKE '%+%' THEN 2 ELSE 1 END AS arity,
+  nn.n AS n_rows, v.e AS est_distinct, v.pruned,
+  CASE WHEN v.pruned THEN NULL ELSE coalesce(ex.nd, 0) END
+    AS n_distinct,
+  CASE WHEN v.pruned THEN false
+    ELSE coalesce(ex.nd, 0) = nn.n END AS is_key
+  FROM ver v CROSS JOIN nn LEFT JOIN ex USING (cand))
+SELECT b.cand AS candidate, b.arity, b.n_rows, b.est_distinct,
+  b.pruned, b.n_distinct, b.is_key,
+  CASE WHEN b.arity = 1 THEN b.is_key
+    ELSE b.is_key AND NOT ma.is_key AND NOT mb.is_key END
+    AS is_minimal
+FROM base b
+LEFT JOIN base ma ON ma.cand = split_part(b.cand, '+', 1)
+LEFT JOIN base mb ON mb.cand = split_part(b.cand, '+', 2)
+ORDER BY b.arity, candidate"""
   }
 
   /** q276: the q178 band columns split by id parity — odd = new

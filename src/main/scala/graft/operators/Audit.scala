@@ -742,6 +742,92 @@ object Audit {
       .orderBy("column")
   }
 
+  /** HLL-prefiltered candidate-key discovery — [[keyDiscovery]]'s
+    * scale path, the [[indDiscoveryApprox]] pattern applied to
+    * uniqueness: a key candidate must have (approximately) as many
+    * distinct values as the table has rows, so a 256-register HLL per
+    * candidate — singles AND pairs, from ONE melt scan — prunes
+    * everything whose estimate falls below n·(1−slack), and only
+    * SURVIVORS pay the exact distinct count. The prune is the
+    * documented recall trade (HLL σ ≈ 6.5% at 256 registers; size
+    * `slackMicro` above it): pruned candidates report is_key = false
+    * on sketch evidence with a null exact count; survivor verdicts
+    * are exact. Minimality treats pruned members as non-keys (the
+    * same evidence standard).
+    *
+    * Null field values render to the [[fdDiscovery]] sentinel and
+    * count as ordinary values; pair values join their members with a
+    * U+0002 separator (collision-free against the U+0001 sentinel).
+    * The candidate axis is |cols| + C(|cols|,2) rows — every verdict
+    * assembles driver-side on that frame. Returns one row per
+    * candidate: (candidate, arity, n_rows, est_distinct, pruned,
+    * n_distinct — null when pruned, is_key, is_minimal), ordered by
+    * (arity, candidate). */
+  def keyDiscoveryApprox(df: DataFrame, cols: Seq[String],
+                         slackMicro: Long = 150000L): DataFrame = {
+    require(cols.size >= 2, s"keyDiscoveryApprox needs >= 2 columns: $cols")
+    require(cols.distinct == cols, s"duplicate columns: $cols")
+    require(cols.size <= 12,
+      s"${cols.size} columns melt to ${cols.size * (cols.size + 1) / 2} " +
+        "candidates per row — profile a declared subset")
+    require(slackMicro >= 0 && slackMicro <= 1000000,
+      s"slackMicro must be in [0, 1e6]: $slackMicro")
+    val ss = df.sparkSession
+    def rendered(c: String): Column =
+      coalesce(col(c).cast("string"), lit("\u0001"))
+    val singleStructs = cols.map(c =>
+      struct(lit(c).as("cand"), rendered(c).as("v")))
+    val pairStructs = cols.combinations(2).toSeq.map { pq =>
+      val (a, b) = (pq(0), pq(1))
+      struct(lit(s"$a+$b").as("cand"),
+        concat_ws("\u0002", rendered(a), rendered(b)).as("v"))
+    }
+    def melt = df
+      .select(explode(array((singleStructs ++ pairStructs): _*))
+        .as("_p"))
+      .select(col("_p.cand").as("cand"), col("_p.v").as("v"))
+    val n = df.count()
+    require(n > 0, "keyDiscoveryApprox needs a non-empty frame")
+    val ests = Sketch.hllEstimate(
+      Sketch.hllRegisters(melt, "v", Seq("cand")), Seq("cand"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val arity = (c: String) => if (c.contains("+")) 2 else 1
+    val candidates =
+      (cols.map(c => c) ++ cols.combinations(2).toSeq.map(pq =>
+        s"${pq(0)}+${pq(1)}"))
+    val pruned = candidates.map(c => c ->
+      (ests.getOrElse(c, 0.0) * 1000000.0 <
+        n.toDouble * (1000000L - slackMicro).toDouble)).toMap
+    val survivors = candidates.filterNot(pruned)
+    val exact: Map[String, Long] =
+      if (survivors.isEmpty) Map.empty
+      else {
+        val surv = ss.createDataFrame(survivors.map(Tuple1(_)))
+          .toDF("cand")
+        melt.join(broadcast(surv), Seq("cand"), "left_semi")
+          .distinct()
+          .groupBy("cand").agg(count(lit(1)).as("_nd"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    val isKey = candidates.map(c => c ->
+      (!pruned(c) && exact.getOrElse(c, 0L) == n)).toMap
+    import ss.implicits._
+    candidates.map { c =>
+      val minimal =
+        if (arity(c) == 1) isKey(c)
+        else {
+          val Array(a, b) = c.split("\\+", 2)
+          isKey(c) && !isKey(a) && !isKey(b)
+        }
+      (c, arity(c), n,
+        math.rint(ests.getOrElse(c, 0.0) * 1e6) / 1e6, pruned(c),
+        if (pruned(c)) None else Some(exact.getOrElse(c, 0L)),
+        isKey(c), minimal)
+    }.toDF("candidate", "arity", "n_rows", "est_distinct", "pruned",
+      "n_distinct", "is_key", "is_minimal")
+      .orderBy("arity", "candidate")
+  }
+
   /** One column of an inclusion-dependency candidate set: a display
     * label (conventionally `table.column`), the frame, the column. */
   final case class IndColumn(label: String, df: DataFrame,

@@ -536,4 +536,28 @@ class AuditSpec extends SparkSpec {
       Audit.semanticTypes(df, Seq.empty)
     }
   }
+  test("keyDiscoveryApprox: sketch prunes non-keys, survivors exact") {
+    import spark.implicits._
+    // a is unique; b has 2 values; (a, b) trivially unique but NOT
+    // minimal (a already is); (b, c) is a real composite key here
+    val df = (0L until 64L).map(i => (i, i % 2, i / 2))
+      .toDF("a", "b", "c")
+    val got = Audit.keyDiscoveryApprox(df, Seq("a", "b", "c"),
+      slackMicro = 150000L).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2),
+        r.getBoolean(4), if (r.isNullAt(5)) -1L else r.getLong(5),
+        r.getBoolean(6), r.getBoolean(7)))).toMap
+    // b: 2 distinct over 64 rows -> pruned on sketch evidence
+    assert(got("b") == ((1, 64L, true, -1L, false, false)), s"${got("b")}")
+    // a: unique -> survives, exact 64, key, minimal
+    assert(got("a") == ((1, 64L, false, 64L, true, true)), s"${got("a")}")
+    // a+b: key but a already is -> not minimal
+    assert(got("a+b")._5 && !got("a+b")._6, s"${got("a+b")}")
+    // b+c: (i%2, i/2) is a bijection over 0..63 -> minimal key
+    assert(got("b+c") == ((2, 64L, false, 64L, true, true)),
+      s"${got("b+c")}")
+    // c alone: 32 distinct of 64 -> not a key (pruned or exact-false)
+    assert(!got("c")._5)
+    assert(got.size == 6)
+  }
 }
