@@ -3328,7 +3328,17 @@ object SparkEntry {
     "q286_key_approx" -> ((s, dir) =>
       Audit.keyDiscoveryApprox(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
-        slackMicro = 150000L))
+        slackMicro = 150000L)),
+    // ---- hourly TWAP of event values per type: each observation's
+    //      value holds until the next one — the duration-weighted
+    //      mean q103's arithmetic OHLC mean ignores. ----
+    "q287_twap" -> ((s, dir) =>
+      graft.operators.TemporalJoins.twap(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("vmilli")),
+        "event_type", "ts", "vmilli", tiebreak = "event_id"))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8113,7 +8123,25 @@ SELECT m.cluster, m.n_members, m.canonical_id,
   g1.fv AS golden_c_mktsegment, g2.fv AS golden_c_nationkey
 FROM m LEFT JOIN g1 USING (cluster) LEFT JOIN g2 USING (cluster)
 ORDER BY cluster""",
-    "q286_key_approx" -> keyApproxOracle
+    "q286_key_approx" -> keyApproxOracle,
+    // q287: per-(type, hour) lead window over (ts, id), the last
+    // observation holds to the bucket end, HUGEINT value·duration
+    // products, floor-div by observed span.
+    "q287_twap" ->
+      """WITH s AS (SELECT event_type,
+  CAST(floor(value * 1000) AS BIGINT) AS v, ts, event_id,
+  date_trunc('hour', ts) AS b, epoch_us(ts) AS t,
+  epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS e
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+d AS (SELECT event_type, b, v,
+  coalesce(lead(t) OVER (PARTITION BY event_type, b
+    ORDER BY ts, event_id), e) - t AS dt FROM s)
+SELECT event_type, b AS bucket, CAST(count(*) AS BIGINT) AS n_obs,
+  CAST(coalesce(sum(dt), 0) AS BIGINT) AS span_micros,
+  CASE WHEN coalesce(sum(dt), 0) = 0 THEN NULL
+    ELSE CAST(sum(CAST(v AS HUGEINT) * dt) * 1000000
+      // CAST(sum(dt) AS HUGEINT) AS BIGINT) END AS twap_value_micro
+FROM d GROUP BY 1, 2 ORDER BY event_type, bucket"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -545,6 +545,59 @@ object TemporalJoins {
       .orderBy(keyCol, "merged_start")
   }
 
+  /** Time-weighted average value (TWAP) per (key, bucket) — what
+    * [[resampleOhlc]]'s arithmetic mean gets WRONG for irregular
+    * observations: a value that held for 59 minutes should not weigh
+    * the same as one that held for one second. Each observation's
+    * value holds from its timestamp until the NEXT observation in the
+    * bucket; the last holds to the bucket's end; the window starts at
+    * the bucket's FIRST observation (no carry-in across buckets — the
+    * self-contained convention, documented so both engines agree).
+    *
+    *   twap·10⁶ = Σ vᵢ·Δtᵢ·10⁶ div Σ Δtᵢ    (Δt in epoch micros)
+    *
+    * Values must be integer-valued (micro/milli-scale floats first);
+    * products ride DECIMAL(38,0). Duplicate timestamps order by
+    * `tiebreak` and the earlier duplicate holds for zero micros —
+    * deterministic, never double-counted. The lead window partitions
+    * by (key, bucket) — never global.
+    *
+    * Returns one row per (key, bucket): (key, bucket, n_obs,
+    * span_micros — observed coverage Σ Δt, twap_value_micro), ordered
+    * by (key, bucket). */
+  def twap(df: DataFrame, key: String, tsCol: String,
+           valueCol: String, tiebreak: String,
+           unit: String = "hour"): DataFrame = {
+    val units = Set("minute", "hour", "day")
+    require(units.contains(unit),
+      s"unit must be one of ${units.mkString(", ")}: $unit")
+    val clean = df
+      .filter(col(key).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(key), col(tsCol), col(tiebreak),
+        col(valueCol).cast("long").as("_v"))
+      .withColumn("_b", date_trunc(unit, col(tsCol)))
+      .withColumn("_t", unix_micros(col(tsCol)))
+      .withColumn("_end",
+        unix_micros(expr(s"timestampadd($unit, 1, _b)")))
+    val w = Window.partitionBy(col(key), col("_b"))
+      .orderBy(col(tsCol).asc, col(tiebreak).asc)
+    clean
+      .withColumn("_dt",
+        coalesce(lead("_t", 1).over(w), col("_end")) - col("_t"))
+      .groupBy(col(key), col("_b").as("bucket"))
+      .agg(count(lit(1)).as("n_obs"),
+        coalesce(sum("_dt"), lit(0L)).as("span_micros"),
+        coalesce(sum(col("_v").cast("decimal(38,0)") * col("_dt")),
+          lit(0).cast("decimal(38,0)")).as("_wv"))
+      .select(col(key), col("bucket"), col("n_obs"), col("span_micros"),
+        when(col("span_micros") === 0L, lit(null).cast("long"))
+          .otherwise(expr("""CAST(_wv * 1000000
+            div CAST(span_micros AS DECIMAL(38,0)) AS BIGINT)"""))
+          .as("twap_value_micro"))
+      .orderBy(key, "bucket")
+  }
+
   def resampleOhlc(df: DataFrame, key: String, tsCol: String,
                    valueCol: String, tiebreak: String,
                    unit: String = "hour"): DataFrame = {

@@ -635,4 +635,33 @@ class TemporalJoinsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toList
     assert(g2 == List((9L, 0L, 150L, 150L, 3L)), s"got $g2")
   }
+  test("twap: duration-weighted mean, last value holds to bucket end") {
+    import spark.implicits._
+    def ts(m: Int, sec: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$sec%02d")
+    // value 100 holds 00:00-30:00 (1800 s), 200 holds 30:00-60:00
+    // -> twap = 150
+    val rows = Seq(("k", ts(0), 1L, 100L), ("k", ts(30), 2L, 200L))
+      .toDF("k", "ts", "id", "v")
+    val r = graft.operators.TemporalJoins.twap(rows, "k", "ts", "v",
+      "id").collect().head
+    assert(r.getLong(2) == 2L, "n_obs")
+    assert(r.getLong(3) == 3600L * 1000000L, "span covers the hour")
+    assert(r.getLong(4) == 150L * 1000000L, s"twap: ${r.getLong(4)}")
+    // uneven holds: 0 for 54 min, 1000 for 6 min -> 100
+    val uneven = Seq(("k", ts(0), 1L, 0L), ("k", ts(54), 2L, 1000L))
+      .toDF("k", "ts", "id", "v")
+    assert(graft.operators.TemporalJoins.twap(uneven, "k", "ts", "v",
+      "id").collect().head.getLong(4) == 100L * 1000000L)
+    // duplicate timestamp: earlier tiebreak holds zero micros
+    val dup = Seq(("k", ts(0), 1L, 999L), ("k", ts(0), 2L, 50L))
+      .toDF("k", "ts", "id", "v")
+    assert(graft.operators.TemporalJoins.twap(dup, "k", "ts", "v",
+      "id").collect().head.getLong(4) == 50L * 1000000L)
+    // single observation mid-bucket: holds to bucket end only
+    val one = Seq(("k", ts(45), 1L, 80L)).toDF("k", "ts", "id", "v")
+    val r1 = graft.operators.TemporalJoins.twap(one, "k", "ts", "v",
+      "id").collect().head
+    assert(r1.getLong(3) == 900L * 1000000L && r1.getLong(4) == 80000000L)
+  }
 }
