@@ -141,17 +141,34 @@ object Bench {
     val canaryMidJson = midProbes.map(p => f"$p%.3f").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"canary":$canaryJson,"canary_mid":$canaryMidJson,"canary_contaminated":$canaryContaminated,"sf":"$sfDir"}"""
-    println(json)
-    // Durable twin of the stdout line: a long per-query map can exceed
-    // the harness's stdout capture window (round-4 BENCH json was
-    // tail-clipped → "parsed": null); the file can't be truncated.
-    try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench.json: $e")
+    // The harness captures only the last ~2000 BYTES of stdout and the
+    // full per-query map is ~9 KB at 287 queries, so every round's
+    // stdout line since the map outgrew the window came back
+    // "parsed": null with its head clipped (r04/r08/r09 alike). The
+    // stdout line therefore carries the headline plus ONLY the 25
+    // slowest queries (~1.3 KB, survives the window alongside sbt's
+    // trailing status line); the complete map goes to the durable
+    // files below — BENCH_FULL.json at the repo root is committed each
+    // closing sweep so per-query history stays readable.
+    def r3(v: Double): String = f"$v%.3f"
+    val okResults = results.filter(_._2 >= 0)
+    val slowJson = okResults.sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val p50 = { val s = okResults.map(_._2).sorted
+      if (s.isEmpty) -1.0 else s(s.size / 2) }
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_omitted":${results.size - math.min(25, okResults.size)},"failed":[${failed.mkString(",")}],"mean_sec":${r3(if (okResults.nonEmpty) total / okResults.size else -1.0)},"p50_sec":${r3(p50)},"queries":$slowJson,"canary":$canaryJson,"canary_mid":$canaryMidJson,"canary_contaminated":$canaryContaminated,"full":"BENCH_FULL.json"}"""
+    println(compact)
+    for (path <- Seq("target/bench.json", "BENCH_FULL.json")) {
+      try {
+        val out = java.nio.file.Paths.get(path)
+        if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out,
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: $e")
+      }
     }
     spark.stop()
   }

@@ -147,7 +147,22 @@ object ScaleBench {
     // hash store gate (q276 — banded asymmetric join, both sides
     // grow 10× with the replica-sharded thumbs)
     "q270_local_clustering", "q271_resource_alloc",
-    "q276_phash_store_gate")
+    "q276_phash_store_gate",
+    // round-10b legs: multi-source BFS (q288 — 10× vertices AND 10×
+    // seeds, frontier joins ride both), the compression advisor's
+    // melt + blocked lag windows + distinct aggregate over 10× orders
+    // (q289), Kruskal–Wallis midrank cells (q291 — 10× scan into a
+    // near-constant cell frame), join-paired ACF over hourly event
+    // volume (q292 — 10× scan into the same hour keyspace, pair
+    // volume constant), Chao1 type counts (q295 — token explode with
+    // the replica-suffixed vocab growing the type frame ~10×), the
+    // seasonal-profile cell aggregate (q297 — 10× scan, 168-cell
+    // output), and gaps-and-islands (q298 — replica id ranges are
+    // disjoint so island output grows 10×; two anti-joins + the
+    // island-sized pairing pass)
+    "q288_bfs_hops", "q289_compression_advisor", "q291_kruskal_wallis",
+    "q292_acf", "q295_chao1", "q297_seasonal_profile",
+    "q298_gaps_islands")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per

@@ -3338,7 +3338,131 @@ object SparkEntry {
           .filter(col("value").isNotNull && !isnan(col("value")))
           .select(col("event_type"), col("ts"), col("event_id"),
             floor(col("value") * 1000).cast("long").as("vmilli")),
-        "event_type", "ts", "vmilli", tiebreak = "event_id"))
+        "event_type", "ts", "vmilli", tiebreak = "event_id"))  ,
+    // ---- multi-source BFS over the q132 link fixture: hop distance
+    //      from the doc_id%100==0 seed set, capped at 3 supersteps —
+    //      the TrustRank/crawl-frontier distance signal. ----
+    "q288_bfs_hops" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % m,
+          (col("doc_id") * 13 + 5) % m,
+          (col("doc_id") * 29 + 11) % m)).as("dst"))
+      graft.operators.Graph.bfsHops(edges, "src", "dst",
+        d.filter(col("doc_id") % 100 === 0), "doc_id", maxHops = 3)
+    }),
+    // ---- compression-encoding advisor over orders under its unique
+    //      o_orderkey physical order: exact raw/RLE/dict/delta byte
+    //      models pick the ENCODE clause per column. ----
+    "q289_compression_advisor" -> ((s, dir) =>
+      Audit.compressionAdvisor(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          expr("""CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+            AS BIGINT)""").as("cents"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        "o_orderkey", Seq("o_custkey", "cents"),
+        Seq("o_orderstatus", "o_orderpriority"), blockSpan = 4096L)),
+    // ---- sort-key advisor on the same physical order: zone-map
+    //      block-span quality per candidate — o_orderkey is the
+    //      physical order itself and must win. ----
+    "q290_sortkey_advisor" -> ((s, dir) =>
+      Audit.sortkeyAdvisor(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          expr("""CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+            AS BIGINT)""").as("cents"),
+          expr("unix_micros(o_orderdate) div 86400000000")
+            .as("o_days")),
+        "o_orderkey", Seq("o_orderkey", "o_custkey", "cents",
+          "o_days"), blockSpan = 4096L)),
+    // ---- Kruskal–Wallis omnibus: do the language slices share a
+    //      length location? Midranks + tie correction, exact pinned
+    //      integer divisions. ----
+    "q291_kruskal_wallis" -> ((s, dir) =>
+      graft.operators.Stats.kruskalWallis(
+        t(s, dir, "documents"), "lang", "n_chars")),
+    // ---- lag-k autocorrelation of hourly event volume per type:
+    //      dense hours-since-epoch index, join-based lag pairing —
+    //      the seasonality detector (a daily cycle spikes lag 24). ----
+    "q292_acf" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Stats.acf(hourly, "event_type", "h", "cnt",
+        maxLag = 30)
+    }),
+    // ---- Theil–Sen robust trend of daily event volume per type:
+    //      median pairwise slope in micros — the drift line one bad
+    //      day can't bend. ----
+    "q293_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Stats.theilSenSlope(daily, "event_type", "d",
+        "cnt")
+    }),
+    // ---- ICC(1,1) over a balanced synthetic rating panel: 3 raters
+    //      per document, item effect doc_id%50 vs ±2 rater noise —
+    //      variance-decomposition agreement for continuous scores. ----
+    "q294_icc" -> ((s, dir) =>
+      graft.operators.Stats.icc(
+        t(s, dir, "documents").select(col("doc_id"),
+          explode(sequence(lit(0), lit(2))).as("rater"))
+          .select(col("doc_id"), col("rater"),
+            (col("doc_id") % 50 +
+              (col("doc_id") * 7 + col("rater") * 13) % 5).as("y")),
+        "doc_id", "rater", "y")),
+    // ---- Chao1 vocabulary richness per language: the unseen-types
+    //      extrapolation from singleton/doubleton counts, plus Good
+    //      sample coverage — pairs with the q255 GT spectrum. ----
+    "q295_chao1" -> ((s, dir) =>
+      TextAnalysis.chao1Richness(t(s, dir, "documents"), "lang",
+        "text")),
+    // ---- missingness co-occurrence over three planted null patterns
+    //      (mod-3 / mod-5-overlapping / independent mod-7): pairwise
+    //      null Jaccard from ONE fused aggregate. ----
+    "q296_null_cooccurrence" -> ((s, dir) =>
+      Audit.nullCooccurrence(
+        t(s, dir, "documents").select(
+          when(col("doc_id") % 3 =!= 0, col("n_chars")).as("a"),
+          when(col("doc_id") % 3 =!= 0 || col("doc_id") % 5 =!= 0,
+            col("n_chars")).as("b"),
+          when(col("doc_id") % 7 =!= 0, col("n_chars")).as("c")),
+        Seq("a", "b", "c"))),
+    // ---- (iso-dow, hour) seasonal fingerprint of the event stream
+    //      per type with exact deviation micros and peak flags — the
+    //      baseline q99's rate anomalies compare against. ----
+    "q297_seasonal_profile" -> ((s, dir) =>
+      graft.operators.TemporalJoins.seasonalProfile(
+        t(s, dir, "events"), "event_type", "ts")),
+    // ---- gaps-and-islands over a sparsified key set (mod-97 ranges
+    //      dropped — the synthetic orderkeys are dense): consecutive
+    //      runs + gap widths, boundary-paired with no data-sized
+    //      ordered pass. ----
+    "q298_gaps_islands" -> ((s, dir) =>
+      Audit.gapsIslands(
+        t(s, dir, "orders").filter(col("o_orderkey") % 97 < 90),
+        "o_orderkey")),
+    // ---- Dunning G² collocations: the log-likelihood-ratio test
+    //      over each bigram's 2×2 table — calibrated where q107's
+    //      PMI explodes on hapax pairs. ----
+    "q299_collocations" -> ((s, dir) =>
+      TextAnalysis.collocationsG2(t(s, dir, "documents"), "text",
+        minCount = 5, k = 40)),
+    // ---- ANALYZE statistics over orders: meta counts + MCV lists +
+    //      equi-depth histogram bounds from one melt, all ranks on
+    //      value cells — what a cost-based planner reads first. ----
+    "q300_analyze_stats" -> ((s, dir) =>
+      Audit.analyzeStats(
+        t(s, dir, "orders").select(col("o_custkey"),
+          expr("""CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+            AS BIGINT)""").as("cents"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        Seq("o_custkey", "cents"),
+        Seq("o_orderstatus", "o_orderpriority")))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8141,7 +8265,322 @@ SELECT event_type, b AS bucket, CAST(count(*) AS BIGINT) AS n_obs,
   CASE WHEN coalesce(sum(dt), 0) = 0 THEN NULL
     ELSE CAST(sum(CAST(v AS HUGEINT) * dt) * 1000000
       // CAST(sum(dt) AS HUGEINT) AS BIGINT) END AS twap_value_micro
-FROM d GROUP BY 1, 2 ORDER BY event_type, bucket"""
+FROM d GROUP BY 1, 2 ORDER BY event_type, bucket""",
+    // q288: recursive-CTE BFS — the recursive term expands only the
+    // previous step's rows, UNION dedups exact (vertex, hops)
+    // duplicates, min() collapses to the shortest hop.
+    "q288_bfs_hops" ->
+      """WITH RECURSIVE mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+half AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT m FROM mm) AS dst
+    FROM documents
+  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % (SELECT m FROM mm)
+    FROM documents
+  UNION ALL SELECT doc_id, (doc_id * 29 + 11) % (SELECT m FROM mm)
+    FROM documents),
+edges AS (SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half)
+  WHERE src <> dst),
+bfs AS (
+  SELECT doc_id AS vertex, 0 AS hops FROM documents
+    WHERE doc_id % 100 = 0
+  UNION
+  SELECT e.dst, b.hops + 1 FROM bfs b JOIN edges e ON e.src = b.vertex
+    WHERE b.hops < 3)
+SELECT vertex, CAST(min(hops) AS INT) AS hops FROM bfs
+GROUP BY vertex ORDER BY hops, vertex""",
+    // q289: the oracle lags over the FULL physical order per column —
+    // the engine's block+stitch must equal it exactly. Byte models and
+    // the bin()-based bit width are shared identities.
+    "q289_compression_advisor" -> compressionAdvisorOracle,
+    // q290: per-candidate zone-map spans over ord-div blocks.
+    "q290_sortkey_advisor" ->
+      """WITH base AS (SELECT o_orderkey AS ord, o_orderkey, o_custkey,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+  epoch_us(o_orderdate) // 86400000000 AS o_days
+  FROM orders),
+m AS (
+  SELECT 'o_orderkey' AS "column", ord // 4096 AS blk,
+    CAST(o_orderkey AS BIGINT) AS v FROM base
+  UNION ALL SELECT 'o_custkey', ord // 4096, o_custkey FROM base
+  UNION ALL SELECT 'cents', ord // 4096, cents FROM base
+  UNION ALL SELECT 'o_days', ord // 4096, o_days FROM base),
+blocks AS (SELECT "column", blk, min(v) AS bmin, max(v) AS bmax
+  FROM m WHERE v IS NOT NULL GROUP BY 1, 2),
+pc AS (SELECT "column", CAST(count(*) AS BIGINT) AS n_blocks,
+  sum(bmax - bmin) AS spansum, min(bmin) AS gmin, max(bmax) AS gmax
+  FROM blocks GROUP BY 1),
+scored AS (SELECT "column", n_blocks,
+  CAST(gmax - gmin AS BIGINT) AS global_span,
+  CAST(CASE WHEN gmax - gmin = 0 THEN 0
+    ELSE CAST(spansum AS HUGEINT) * 1000000
+      // (CAST(n_blocks AS HUGEINT) * (gmax - gmin)) END AS BIGINT)
+    AS avg_block_span_micro FROM pc)
+SELECT "column", n_blocks, global_span, avg_block_span_micro,
+  1000000 - avg_block_span_micro AS score_micro,
+  ("column" = (SELECT "column" FROM scored
+    ORDER BY 1000000 - avg_block_span_micro DESC, "column" ASC
+    LIMIT 1)) AS recommended
+FROM scored ORDER BY "column"""",
+    // q291: midrank2 cells, pinned per-group and global floor
+    // divisions in HUGEINT — the engine's DECIMAL(38,0) twin.
+    "q291_kruskal_wallis" ->
+      """WITH base AS (SELECT lang AS g, n_chars AS v FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+gcells AS (SELECT g, v, count(*) AS n FROM base GROUP BY 1, 2),
+cells AS (SELECT v, sum(n) AS t FROM gcells GROUP BY 1),
+ranked AS (SELECT v,
+  2 * coalesce(sum(t) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+    AS mid2 FROM cells),
+pg AS (SELECT g, sum(n) AS ni,
+  sum(CAST(n AS HUGEINT) * mid2) AS s2
+  FROM gcells JOIN ranked USING (v) GROUP BY 1),
+q AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(ni) AS BIGINT) AS n,
+  sum(s2 * s2 * 3000000 // CAST(ni AS HUGEINT)) AS qq FROM pg),
+tc AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * t * t - t),
+    CAST(0 AS HUGEINT)) AS tsum,
+  CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+h AS (SELECT n, n_groups, n_cells, tsum,
+  CAST((qq // (CAST(n AS HUGEINT) * (n + 1))
+    - CAST(3 AS HUGEINT) * (n + 1) * 1000000) // 1000 AS BIGINT)
+    AS h_milli FROM q CROSS JOIN tc)
+SELECT n, n_groups, n_cells, h_milli,
+  CASE WHEN CAST(n AS HUGEINT) * n * n - n - tsum = 0 THEN NULL
+    ELSE CAST(h_milli * (CAST(n AS HUGEINT) * n * n - n)
+      // (CAST(n AS HUGEINT) * n * n - n - tsum) AS BIGINT) END
+    AS h_tie_adj_milli
+FROM h""",
+    // q292: the n²-cleared identity with join-based lag pairing; the
+    // truncating // on a signed numerator matches `div`.
+    "q292_acf" ->
+      """WITH hourly AS (SELECT event_type AS k,
+  epoch_us(ts) // 3600000000 AS i, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+stats AS (SELECT k, CAST(count(*) AS HUGEINT) AS n,
+  CAST(sum(x) AS HUGEINT) AS sx,
+  sum(CAST(x AS HUGEINT) * x) AS sxx FROM hourly GROUP BY 1),
+y AS (SELECT h.k, h.i, s.n * h.x - s.sx AS yv
+  FROM hourly h JOIN stats s USING (k)),
+lg AS (SELECT unnest(range(1, 31)) AS lag),
+pairs AS (SELECT y1.k, l.lag AS lag, y1.yv AS ya, y2.yv AS yb
+  FROM y y1 CROSS JOIN lg l
+  JOIN y y2 ON y2.k = y1.k AND y2.i = y1.i + l.lag),
+num AS (SELECT k, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+  sum(ya * yb) AS nm FROM pairs GROUP BY 1, 2),
+den AS (SELECT k, n * n * sxx - n * sx * sx AS dn FROM stats)
+SELECT num.k AS key, CAST(lag AS INT) AS lag, n_pairs,
+  CASE WHEN dn = 0 THEN NULL
+    ELSE CAST(nm * 1000000 // dn AS BIGINT) END AS acf_micro
+FROM num JOIN den ON den.k = num.k ORDER BY key, lag""",
+    // q293: all xi<xj pairwise slopes in floor... truncating micros,
+    // lower median by row_number at ⌈m/2⌉.
+    "q293_theil_sen" ->
+      """WITH daily AS (SELECT event_type AS g,
+  epoch_us(ts) // 86400000000 AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points
+  FROM daily GROUP BY 1),
+slopes AS (SELECT a.g,
+  CAST((CAST(b.y AS HUGEINT) - a.y) * 1000000
+    // (CAST(b.x AS HUGEINT) - a.x) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x),
+ranked AS (SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s)
+    AS rn, count(*) OVER (PARTITION BY g) AS m FROM slopes),
+med AS (SELECT g, CAST(m AS BIGINT) AS n_pairs, s AS slope_micro
+  FROM ranked WHERE rn = (m + 1) // 2)
+SELECT sizes.g AS "group", n_points,
+  coalesce(n_pairs, 0) AS n_pairs, slope_micro
+FROM sizes LEFT JOIN med USING (g) ORDER BY "group"""",
+    // q294: denominator-cleared ICC identity in HUGEINT.
+    "q294_icc" ->
+      """WITH r AS (SELECT doc_id,
+  unnest([0, 1, 2]) AS rater FROM documents),
+base AS (SELECT doc_id AS i, rater,
+  doc_id % 50 + (doc_id * 7 + rater * 13) % 5 AS y FROM r),
+pi AS (SELECT i, sum(y) AS t,
+  sum(CAST(y AS HUGEINT) * y) AS yy FROM base GROUP BY 1),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+  CAST(3 AS BIGINT) AS n_raters,
+  CAST(count(*) * 3 AS HUGEINT) AS ntot,
+  sum(CAST(t AS HUGEINT) * t) AS tt, sum(yy) AS syy,
+  CAST(sum(t) AS HUGEINT) AS grand FROM pi),
+ab AS (SELECT n_items, n_raters,
+  ntot * tt - 3 * grand * grand AS a,
+  3 * ntot * syy - ntot * tt AS b FROM agg)
+SELECT n_items, n_raters,
+  CASE WHEN a * (n_items * (n_raters - 1))
+      + b * ((n_items - 1) * (n_raters - 1)) = 0 THEN NULL
+    ELSE CAST((a * (n_items * (n_raters - 1)) - b * (n_items - 1))
+      * 1000000 // (a * (n_items * (n_raters - 1))
+      + b * ((n_items - 1) * (n_raters - 1))) AS BIGINT) END
+    AS icc_micro
+FROM ab""",
+    // q295: token type counts per language → f1/f2 → the pinned
+    // Chao1 and coverage floor divisions.
+    "q295_chao1" ->
+      s"""WITH toks AS (SELECT lang AS g, unnest($tokensSql) AS tk
+  FROM documents WHERE lang IS NOT NULL),
+tc AS (SELECT g, tk, count(*) AS r FROM toks GROUP BY 1, 2),
+pg AS (SELECT g AS "group", CAST(sum(r) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_types,
+  CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+  CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM tc GROUP BY 1)
+SELECT "group", n_tokens, n_types, f1, f2,
+  CAST(CASE WHEN f2 > 0
+    THEN CAST(1000000 AS HUGEINT) * n_types
+      + CAST(f1 AS HUGEINT) * f1 * 1000000 // (2 * f2)
+    ELSE CAST(1000000 AS HUGEINT) * n_types
+      + CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000 // 2
+    END AS BIGINT) AS chao1_micro,
+  CAST(1000000 - CAST(f1 AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+    AS coverage_micro
+FROM pg ORDER BY "group"""",
+    // q296: one aggregate row, pair rows unfolded — the oracle just
+    // computes each pair's counters directly.
+    "q296_null_cooccurrence" ->
+      """WITH base AS (SELECT
+  CASE WHEN doc_id % 3 <> 0 THEN n_chars END AS a,
+  CASE WHEN doc_id % 3 <> 0 OR doc_id % 5 <> 0 THEN n_chars END AS b,
+  CASE WHEN doc_id % 7 <> 0 THEN n_chars END AS c FROM documents),
+agg AS (SELECT
+  CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na,
+  CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+  CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+  CAST(sum(CASE WHEN a IS NULL AND b IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS nab,
+  CAST(sum(CASE WHEN a IS NULL AND c IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS nac,
+  CAST(sum(CASE WHEN b IS NULL AND c IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS nbc FROM base),
+pairs AS (
+  SELECT 'a' AS col_a, 'b' AS col_b, na AS n_a_null, nb AS n_b_null,
+    nab AS n_both_null FROM agg
+  UNION ALL SELECT 'a', 'c', na, nc, nac FROM agg
+  UNION ALL SELECT 'b', 'c', nb, nc, nbc FROM agg)
+SELECT col_a, col_b, n_a_null, n_b_null, n_both_null,
+  CASE WHEN n_a_null + n_b_null - n_both_null > 0
+    THEN CAST(n_both_null * 1000000
+      // (n_a_null + n_b_null - n_both_null) AS BIGINT) END
+    AS jaccard_micro
+FROM pairs ORDER BY col_a, col_b""",
+    // q297: isodow/hour cells, uniform-across-populated-cells
+    // deviation, truncating signed //.
+    "q297_seasonal_profile" ->
+      """WITH cells AS (SELECT event_type AS key,
+  CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hour,
+  CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2, 3),
+tot AS (SELECT key, sum(n_events) AS tt,
+  CAST(count(*) AS BIGINT) AS cc FROM cells GROUP BY 1)
+SELECT cells.key, dow, hour, n_events,
+  CAST(n_events * 1000000 // tt AS BIGINT) AS share_micro,
+  CAST((n_events * cc - tt) * 1000000 // tt AS BIGINT)
+    AS deviation_micro,
+  (n_events * cc - tt) * 1000000 // tt >= 500000 AS is_peak
+FROM cells JOIN tot USING (key) ORDER BY cells.key, dow, hour""",
+    // q298: the oracle uses the classic id − row_number() island key —
+    // the engine's boundary pairing must reproduce it exactly.
+    "q298_gaps_islands" ->
+      """WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderkey % 97 < 90),
+g AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grp FROM ids),
+isl AS (SELECT min(id) AS island_start, max(id) AS island_end,
+  CAST(count(*) AS BIGINT) AS n_ids FROM g GROUP BY grp)
+SELECT island_start, island_end, n_ids,
+  lead(island_start) OVER (ORDER BY island_start) - island_end - 1
+    AS gap_to_next
+FROM isl ORDER BY island_start""",
+    // q299: the q107 bigram construction into a 2×2 G² with each ln
+    // pinned at 6 dp (the q211 convention) and the k-weighted sum
+    // exact in DECIMAL; ×2·10⁶ lands on an integral value, so the
+    // final cast is exact in both engines.
+    "q299_collocations" ->
+      s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
+bg AS (SELECT unnest(CASE WHEN len(tk) >= 2
+  THEN list_transform(range(0, len(tk) - 1),
+    i -> array_to_string(tk[i+1:i+2], ' '))
+  ELSE [] END) AS ngram FROM toks),
+cells AS (SELECT string_split(ngram, ' ')[1] AS x,
+  string_split(ngram, ' ')[2] AS y,
+  CAST(count(*) AS BIGINT) AS k11 FROM bg GROUP BY 1, 2),
+r AS (SELECT x, CAST(sum(k11) AS BIGINT) AS rr FROM cells GROUP BY 1),
+c AS (SELECT y, CAST(sum(k11) AS BIGINT) AS cc FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(k11) AS BIGINT) AS nn FROM cells),
+f AS (SELECT cells.x, cells.y, k11, rr, cc, nn,
+  rr - k11 AS k12, cc - k11 AS k21, nn - rr - cc + k11 AS k22
+  FROM cells JOIN r USING (x) JOIN c USING (y) CROSS JOIN n
+  WHERE k11 >= 5)
+SELECT x AS w1, y AS w2, k11 AS n_pair, rr AS n_left, cc AS n_right,
+  CAST((
+    (CASE WHEN k11 > 0 THEN CAST(k11 AS DECIMAL(18,0)) *
+      CAST(round(ln((CAST(k11 AS DOUBLE) * nn) /
+        (CAST(rr AS DOUBLE) * cc)), 6) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END)
+    + (CASE WHEN k12 > 0 THEN CAST(k12 AS DECIMAL(18,0)) *
+      CAST(round(ln((CAST(k12 AS DOUBLE) * nn) /
+        (CAST(rr AS DOUBLE) * (nn - cc))), 6) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END)
+    + (CASE WHEN k21 > 0 THEN CAST(k21 AS DECIMAL(18,0)) *
+      CAST(round(ln((CAST(k21 AS DOUBLE) * nn) /
+        (CAST(nn - rr AS DOUBLE) * cc)), 6) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END)
+    + (CASE WHEN k22 > 0 THEN CAST(k22 AS DECIMAL(18,0)) *
+      CAST(round(ln((CAST(k22 AS DOUBLE) * nn) /
+        (CAST(nn - rr AS DOUBLE) * (nn - cc))), 6) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END)
+  ) * 2000000 AS BIGINT) AS g2_micro
+FROM f ORDER BY g2_micro DESC, w1, w2 LIMIT 40""",
+    // q300: melt → value cells; MCV by (count DESC, value ASC)
+    // row_number; hist bounds = min value whose cell-cumulative count
+    // reaches the exact ⌈idx·n/buckets⌉ rank target.
+    "q300_analyze_stats" ->
+      """WITH base AS (SELECT o_custkey,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+  o_orderstatus, o_orderpriority FROM orders),
+m AS (
+  SELECT 'o_custkey' AS "column",
+    CAST(CAST(o_custkey AS BIGINT) AS VARCHAR) AS vs,
+    CAST(o_custkey AS BIGINT) AS vl FROM base
+  UNION ALL SELECT 'cents', CAST(cents AS VARCHAR), cents FROM base
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus,
+    CAST(NULL AS BIGINT) FROM base
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority,
+    CAST(NULL AS BIGINT) FROM base),
+cells AS (SELECT "column", vs, vl, CAST(count(*) AS BIGINT) AS cnt
+  FROM m WHERE vs IS NOT NULL GROUP BY 1, 2, 3),
+counts AS (SELECT "column", CAST(count(*) AS BIGINT) AS nr,
+  CAST(sum(CASE WHEN vs IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn
+  FROM m GROUP BY 1),
+dist AS (SELECT "column", CAST(count(*) AS BIGINT) AS nd,
+  CAST(sum(cnt) AS BIGINT) AS nv FROM cells GROUP BY 1),
+meta AS (
+  SELECT c."column", 'meta' AS stat, 1 AS idx,
+    CAST(NULL AS VARCHAR) AS value, nr AS n FROM counts c
+  UNION ALL SELECT "column", 'meta', 2, NULL, nn FROM counts
+  UNION ALL SELECT c."column", 'meta', 3, NULL, coalesce(d.nd, 0)
+    FROM counts c LEFT JOIN dist d USING ("column")),
+mcv AS (SELECT "column", 'mcv' AS stat, CAST(rn AS INT) AS idx,
+  vs AS value, cnt AS n FROM (
+    SELECT "column", vs, cnt, row_number() OVER (PARTITION BY "column"
+      ORDER BY cnt DESC, vs ASC) AS rn FROM cells) WHERE rn <= 5),
+cum AS (SELECT "column", vl,
+  sum(cnt) OVER (PARTITION BY "column" ORDER BY vl) AS cm
+  FROM cells WHERE vl IS NOT NULL),
+tgt AS (SELECT "column", CAST(idx AS INT) AS idx,
+  (idx * nv + 7) // 8 AS r FROM (
+    SELECT "column", nv, unnest(range(1, 9)) AS idx FROM dist
+    WHERE nv > 0)),
+hist AS (SELECT cum."column", 'hist' AS stat, t.idx,
+  CAST(min(vl) AS VARCHAR) AS value, t.r AS n
+  FROM cum JOIN tgt t USING ("column") WHERE cm >= t.r
+  GROUP BY 1, 2, 3, 5)
+SELECT * FROM (SELECT * FROM meta UNION ALL SELECT * FROM mcv
+  UNION ALL SELECT * FROM hist)
+ORDER BY "column", stat, idx"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two
@@ -9473,5 +9912,69 @@ SELECT doc_id,
     '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
     '$ip', '<IP>', 'g')) AS rhash
 FROM planted ORDER BY doc_id"""
+  }
+
+  /** q289 oracle: melt the five columns, lag over the FULL physical
+    * order per column (the engine's block+stitch must equal this
+    * exactly — unique `ord` guarantees the same total order), then the
+    * byte models and the bin()-based bit width as shared identities. */
+  private def compressionAdvisorOracle: String = {
+    val intCols = Seq("o_custkey", "cents")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val melt = (intCols.map(c =>
+      s"""SELECT '$c' AS "column", TRUE AS is_int, ord,
+  CAST(CAST($c AS BIGINT) AS VARCHAR) AS vs,
+  CAST($c AS BIGINT) AS vl FROM base""") ++
+      strCols.map(c =>
+        s"""SELECT '$c', FALSE, ord, $c,
+  CAST(NULL AS BIGINT) FROM base""")).mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT o_orderkey AS ord, o_custkey,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+    AS cents,
+  o_orderstatus, o_orderpriority FROM orders),
+m AS MATERIALIZED (
+$melt),
+counts AS (SELECT "column", CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN vs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_nulls,
+  bool_or(is_int) AS is_int FROM m GROUP BY 1),
+nn AS (SELECT "column", ord, vs, vl,
+  CASE WHEN is_int THEN 8 ELSE strlen(vs) + 4 END AS vb
+  FROM m WHERE vs IS NOT NULL),
+w AS (SELECT "column", vs, vl, vb,
+  lag(vs) OVER (PARTITION BY "column" ORDER BY ord) AS pvs,
+  lag(vl) OVER (PARTITION BY "column" ORDER BY ord) AS pvl FROM nn),
+pc AS (SELECT "column", CAST(count(*) AS BIGINT) AS nnn,
+  CAST(sum(vb) AS BIGINT) AS rawsum,
+  CAST(sum(CASE WHEN pvs IS NULL OR vs <> pvs THEN vb + 4 ELSE 0 END)
+    AS BIGINT) AS rlesum,
+  coalesce(max(CASE WHEN vl IS NOT NULL AND pvl IS NOT NULL
+    THEN abs(vl - pvl) END), 0) AS maxd
+  FROM w GROUP BY 1),
+dict AS (SELECT "column", CAST(count(*) AS BIGINT) AS d,
+  CAST(sum(vb1) AS BIGINT) AS dictvals FROM (
+    SELECT "column", vs, min(vb) AS vb1 FROM nn GROUP BY 1, 2)
+  GROUP BY 1),
+est AS (SELECT c."column", c.n_rows, c.n_nulls,
+  coalesce(p.rawsum, 0) + (c.n_rows + 7) // 8 AS raw_bytes,
+  coalesce(p.rlesum, 0) + (c.n_rows + 7) // 8 AS rle_bytes,
+  CASE WHEN coalesce(p.nnn, 0) = 0 THEN (c.n_rows + 7) // 8
+    ELSE d.dictvals + (p.nnn * (CASE WHEN d.d <= 1 THEN 1
+      ELSE length(bin(d.d - 1)) END) + 7) // 8 + (c.n_rows + 7) // 8
+    END AS dict_bytes,
+  CASE WHEN c.is_int AND coalesce(p.nnn, 0) > 0 THEN
+    8 + (p.nnn - 1) * (CASE WHEN p.maxd <= 127 THEN 1
+      WHEN p.maxd <= 32767 THEN 2 WHEN p.maxd <= 2147483647 THEN 4
+      ELSE 8 END) + (c.n_rows + 7) // 8 END AS delta_bytes
+  FROM counts c LEFT JOIN pc p USING ("column")
+  LEFT JOIN dict d USING ("column"))
+SELECT "column", n_rows, n_nulls, raw_bytes, rle_bytes, dict_bytes,
+  delta_bytes,
+  CASE WHEN coalesce(delta_bytes, 9223372036854775807)
+      <= least(dict_bytes, raw_bytes, rle_bytes) THEN 'delta'
+    WHEN dict_bytes <= least(raw_bytes, rle_bytes) THEN 'dict'
+    WHEN raw_bytes <= rle_bytes THEN 'raw'
+    ELSE 'rle' END AS best_encoding
+FROM est ORDER BY "column""""
   }
 }

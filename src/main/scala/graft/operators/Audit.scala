@@ -1122,4 +1122,389 @@ object Audit {
       .agg(count(lit(1)).as("n_rows"), sum(rowDigest).as("digest"))
       .orderBy(partitionCols.map(col): _*)
   }
+
+  /** Gaps-and-islands audit over an integer key: maximal runs of
+    * consecutive ids present in the table, plus the gap to the next
+    * island — "did the upstream extract drop a range" (a sequence
+    * audit every id-keyed landing zone runs; TPC-H orders keys are
+    * deliberately sparse, which makes them the perfect fixture).
+    *
+    * Scale shape: NO global rank over the data. Island boundaries
+    * come from two self-anti-joins on id±1 (start ⇔ id−1 absent,
+    * end ⇔ id+1 absent) — each a shuffle-on-id equi-join over the
+    * DISTINCT key frame. Starts and ends strictly interleave
+    * (s₁ ≤ e₁ < s₂ ≤ e₂ …), so the i-th start pairs with the i-th
+    * end: the only ordered pass runs over the BOUNDARY frame, which
+    * is output-sized (one row per island), not data-sized — the same
+    * output-bound window concession as [[Scale.compactionPlan]].
+    * Member counts are closed-form (end − start + 1), not a rescan.
+    *
+    * Returns (island_start, island_end, n_ids, gap_to_next) ordered
+    * by island_start; gap_to_next is null on the last island. */
+  def gapsIslands(df: DataFrame, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("_id"))
+      .filter(col("_id").isNotNull).distinct()
+    val starts = ids.join(ids.select((col("_id") + 1).as("_id")),
+        Seq("_id"), "left_anti")
+      .select(col("_id").as("island_start"))
+    val ends = ids.join(ids.select((col("_id") - 1).as("_id")),
+        Seq("_id"), "left_anti")
+      .select(col("_id").as("island_end"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .orderBy("island_start")
+    val we = org.apache.spark.sql.expressions.Window
+      .orderBy("island_end")
+    val paired = starts.withColumn("_i", row_number().over(ws))
+      .join(ends.withColumn("_i", row_number().over(we)), Seq("_i"))
+    paired
+      .withColumn("n_ids", col("island_end") - col("island_start") + 1)
+      .withColumn("gap_to_next",
+        lead(col("island_start"), 1).over(ws) - col("island_end") - 1)
+      .select("island_start", "island_end", "n_ids", "gap_to_next")
+      .orderBy("island_start")
+  }
+
+  /** Missingness co-occurrence — for every unordered column pair, how
+    * often the two are null TOGETHER. Structured nulls (a whole
+    * upstream record section absent) show up as near-1 Jaccard;
+    * independent sparse nulls as near-0 — the first question a schema
+    * debugger asks of a column that "suddenly went null". The
+    * reference profiles each column's nullability in isolation
+    * (RAS:294–339 per-column checks); this is the pairwise layer.
+    *
+    * ONE fused aggregate computes all k + k(k−1)/2 counters in a
+    * single scan (the ColumnProfiler house pattern), and the per-pair
+    * rows unfold from that one aggregate row via a literal
+    * struct-array explode — no collect, no second scan, no join.
+    *
+    * Returns (col_a, col_b, n_a_null, n_b_null, n_both_null,
+    * jaccard_micro) for a < b by name, ordered by (col_a, col_b);
+    * jaccard_micro is null when neither column has a null. */
+  def nullCooccurrence(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"need 2..16 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val sorted = cols.sorted
+    val singles = sorted.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_n_$c"))
+    val pairs = for {
+      (a, i) <- sorted.zipWithIndex; b <- sorted.drop(i + 1)
+    } yield (a, b)
+    val pairAggs = pairs.map { case (a, b) =>
+      sum(when(col(a).isNull && col(b).isNull, 1L).otherwise(0L))
+        .as(s"_nb_${a}_$b")
+    }
+    val aggRow = df.agg(singles.head, (singles.tail ++ pairAggs): _*)
+    val pairStructs = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"_n_$a").as("n_a_null"), col(s"_n_$b").as("n_b_null"),
+        col(s"_nb_${a}_$b").as("n_both_null"))
+    }
+    aggRow.select(explode(array(pairStructs: _*)).as("_p"))
+      .select(col("_p.*"))
+      .withColumn("jaccard_micro",
+        expr("""CASE WHEN n_a_null + n_b_null - n_both_null > 0
+          THEN CAST(n_both_null * 1000000
+            div (n_a_null + n_b_null - n_both_null) AS BIGINT) END"""))
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Compression-encoding advisor — exact encoded-size estimates per
+    * column under four storage encodings, from the column's own
+    * statistics (the ANALYZE COMPRESSION companion to
+    * [[distkeyAdvisor]]: the reference emits the DDL, this chooses
+    * the ENCODE clause a warehouse engineer would add):
+    *
+    *   raw    8 B/value (ints) or bytes+4 B offset (strings)
+    *   rle    per RUN under the table's physical order: value + 4 B
+    *          run length
+    *   dict   the distinct values once + ⌈log₂ d⌉-bit indexes
+    *   delta  (ints only) 8 B anchor + 1/2/4/8 B per step, sized by
+    *          the max |Δ| under the physical order
+    *
+    * every estimate plus a ⌈n/8⌉ B null bitmap; nulls are excluded
+    * from the value stream (so a run — and a delta step — MAY span a
+    * null gap; the bitmap alone pays for the nulls). All integer
+    * arithmetic — ⌈log₂ d⌉ via `length(bin(d−1))`, which DuckDB's
+    * `bin()` reproduces bit-for-bit, so the oracle replays exactly.
+    *
+    * Scale shape: run/delta statistics need the table's total order,
+    * but NOT a single-partition window — rows group into value-range
+    * blocks of the (unique, non-negative) `orderCol`
+    * (`ord div blockSpan`), lag windows run per (column, block) in
+    * parallel, and a per-column pass over the BLOCK-SUMMARY frame
+    * (one row per block — the [[Scale.compactionPlan]] concession)
+    * stitches boundaries: a block whose first value equals the
+    * previous block's last value un-counts that first "run start",
+    * and the cross-block |Δ| joins the max. Distinct stats are one
+    * hash aggregate. Empty blocks (sparse ord) are skipped by
+    * construction since blocks exist only where rows do.
+    *
+    * Returns (column, n_rows, n_nulls, raw_bytes, rle_bytes,
+    * dict_bytes, delta_bytes, best_encoding) ordered by column;
+    * delta_bytes is null for string columns; best_encoding is the
+    * byte-minimal encoding, ties by encoding name ASC. */
+  def compressionAdvisor(df: DataFrame, orderCol: String,
+                         intCols: Seq[String], strCols: Seq[String],
+                         blockSpan: Long = 4096L): DataFrame = {
+    val all = intCols ++ strCols
+    require(all.nonEmpty && all.size <= 32,
+      s"need 1..32 columns, got ${all.size}")
+    require(all.distinct.size == all.size, "duplicate columns")
+    require(blockSpan >= 2, s"blockSpan must be >= 2: $blockSpan")
+    val intStructs = intCols.map(c =>
+      struct(lit(c).as("column"), lit(true).as("is_int"),
+        col(c).cast("long").cast("string").as("vs"),
+        col(c).cast("long").as("vl")))
+    val strStructs = strCols.map(c =>
+      struct(lit(c).as("column"), lit(false).as("is_int"),
+        col(c).cast("string").as("vs"),
+        lit(null).cast("long").as("vl")))
+    val m = df
+      .select(col(orderCol).cast("long").as("_ord"),
+        explode(array((intStructs ++ strStructs): _*)).as("_e"))
+      .select(col("_ord"), col("_e.*"))
+    val counts = m.groupBy("column")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("vs").isNull, 1L).otherwise(0L)).as("n_nulls"))
+    val nn = m.filter(col("vs").isNotNull)
+      .withColumn("_blk", expr("_ord div " + blockSpan))
+    // per-value byte cost under raw/rle (strings carry a 4 B offset)
+    val valBytes = when(col("is_int"), lit(8L))
+      .otherwise(octet_length(col("vs")) + 4L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("column", "_blk").orderBy("_ord")
+    val lagVs = lag(col("vs"), 1).over(w)
+    val lagVl = lag(col("vl"), 1).over(w)
+    val isStart = lagVs.isNull || !(col("vs") <=> lagVs)
+    val rowLevel = nn.select(col("column"), col("is_int"), col("_blk"),
+      col("_ord"), col("vs"), col("vl"), valBytes.as("_vb"),
+      isStart.as("_st"),
+      when(col("vl").isNotNull && lagVl.isNotNull,
+        abs(col("vl") - lagVl)).as("_ad"))
+    val blocks = rowLevel.groupBy("column", "_blk")
+      .agg(first(col("is_int")).as("is_int"),
+        count(lit(1)).as("_nb"),
+        sum(col("_vb")).as("_raw"),
+        sum(when(col("_st"), col("_vb") + 4L).otherwise(0L)).as("_rle"),
+        sum(when(col("_st"), 1L).otherwise(0L)).as("_runs"),
+        max(col("_ad")).as("_maxd"),
+        min(struct(col("_ord"), col("vs"), col("vl"), col("_vb")))
+          .as("_first"),
+        max(struct(col("_ord"), col("vs"), col("vl"))).as("_last"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("column").orderBy("_blk")
+    val prevLast = lag(col("_last"), 1).over(wb)
+    val stitched = blocks
+      .withColumn("_contRun",
+        prevLast.isNotNull && col("_first.vs") <=> prevLast("vs"))
+      .withColumn("_bd",
+        when(prevLast.isNotNull && col("_first.vl").isNotNull,
+          abs(col("_first.vl") - prevLast("vl"))))
+    val perCol = stitched.groupBy("column")
+      .agg(first(col("is_int")).as("is_int"),
+        sum(col("_nb")).as("_n"),
+        sum(col("_raw")).as("_rawSum"),
+        (sum(col("_rle")) - sum(when(col("_contRun"),
+          col("_first._vb") + 4L).otherwise(0L))).as("_rleSum"),
+        (sum(col("_runs")) - sum(when(col("_contRun"), 1L)
+          .otherwise(0L))).as("_runCount"),
+        greatest(coalesce(max(col("_maxd")), lit(0L)),
+          coalesce(max(col("_bd")), lit(0L))).as("_maxd"))
+    val dict = nn.groupBy(col("column"), col("vs"))
+      .agg(first(valBytes).as("_vb1"))
+      .groupBy("column")
+      .agg(count(lit(1)).as("_d"), sum(col("_vb1")).as("_dictVals"))
+    val joined = counts
+      .join(perCol, Seq("column"), "left")
+      .join(dict, Seq("column"), "left")
+    val bitmap = expr("(n_rows + 7) div 8")
+    val bits = when(col("_d") <= 1, lit(1L))
+      .otherwise(length(bin(col("_d") - 1)).cast("long"))
+    val deltaStep = when(col("_maxd") <= 127L, 1L)
+      .when(col("_maxd") <= 32767L, 2L)
+      .when(col("_maxd") <= 2147483647L, 4L).otherwise(8L)
+    val nnn = coalesce(col("_n"), lit(0L))
+    val out = joined
+      .withColumn("_bits", bits)
+      .withColumn("_nnn", nnn)
+      .withColumn("raw_bytes", coalesce(col("_rawSum"), lit(0L)) + bitmap)
+      .withColumn("rle_bytes", coalesce(col("_rleSum"), lit(0L)) + bitmap)
+      .withColumn("dict_bytes",
+        when(nnn === 0, bitmap)
+          .otherwise(col("_dictVals") +
+            expr("(_nnn * _bits + 7) div 8") + bitmap))
+      .withColumn("delta_bytes",
+        when(col("is_int") && nnn > 0,
+          lit(8L) + (nnn - 1L) * deltaStep + bitmap))
+    // argmin over (bytes, name ASC): CASE arms in name order with <=
+    // reproduce the lexicographic tie-break exactly in both engines
+    val huge = lit(Long.MaxValue)
+    val t = coalesce(col("delta_bytes"), huge)
+    out.withColumn("best_encoding",
+        when(t <= least(col("dict_bytes"), col("raw_bytes"),
+          col("rle_bytes")), "delta")
+          .when(col("dict_bytes") <= least(col("raw_bytes"),
+            col("rle_bytes")), "dict")
+          .when(col("raw_bytes") <= col("rle_bytes"), "raw")
+          .otherwise("rle"))
+      .select("column", "n_rows", "n_nulls", "raw_bytes", "rle_bytes",
+        "dict_bytes", "delta_bytes", "best_encoding")
+      .orderBy("column")
+  }
+
+  /** Sort-key advisor — scores each candidate by how well the
+    * table's CURRENT physical order already clusters it, i.e. how
+    * much a zone map (block min/max) on that column would prune
+    * (completing the reference's SORTKEY parameter the way
+    * [[distkeyAdvisor]] completes DISTKEY: RAS:36 takes the key on
+    * faith; this measures the candidates). Rows group into
+    * value-range blocks of the physical `orderCol`
+    * (`ord div blockSpan` — the zone granule); per candidate:
+    *
+    *   avg_block_span_micro = 10⁶ · Σ_b (max_b − min_b)
+    *                          div (n_blocks · (gmax − gmin))
+    *   score_micro          = 10⁶ − avg_block_span_micro
+    *
+    * A column monotone in the physical order scores ~10⁶ (each block
+    * covers ~1/n_blocks of the range — point predicates prune all
+    * but one block); a random column scores ~0 (every block spans
+    * the whole range — nothing prunes). A constant column
+    * (gmax = gmin) scores 10⁶ by convention. Advisory ranking, not a
+    * truth claim: components reported, `recommended` marks the
+    * arg-max (ties by column name ASC).
+    *
+    * Scale shape: one melt pass → per-(column, block) min/max hash
+    * aggregate → per-column fold; no windows, no data-sized ordered
+    * pass. Returns (column, n_blocks, global_span,
+    * avg_block_span_micro, score_micro, recommended) by column. */
+  def sortkeyAdvisor(df: DataFrame, orderCol: String,
+                     candidateCols: Seq[String],
+                     blockSpan: Long = 4096L): DataFrame = {
+    require(candidateCols.nonEmpty && candidateCols.size <= 32,
+      s"need 1..32 candidates, got ${candidateCols.size}")
+    require(candidateCols.distinct.size == candidateCols.size,
+      "duplicate candidates")
+    require(blockSpan >= 2, s"blockSpan must be >= 2: $blockSpan")
+    val structs = candidateCols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("long").as("v")))
+    val m = df
+      .select(col(orderCol).cast("long").as("_ord"),
+        explode(array(structs: _*)).as("_e"))
+      .select(expr("_ord div " + blockSpan).as("_blk"), col("_e.*"))
+      .filter(col("v").isNotNull)
+    val blocks = m.groupBy("column", "_blk")
+      .agg(min("v").as("_bmin"), max("v").as("_bmax"))
+    val perCol = blocks.groupBy("column")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("_bmax") - col("_bmin")).as("_spanSum"),
+        min("_bmin").as("_gmin"), max("_bmax").as("_gmax"))
+      .withColumn("global_span", col("_gmax") - col("_gmin"))
+      .withColumn("avg_block_span_micro",
+        expr("""CASE WHEN global_span = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(CAST(_spanSum AS DECIMAL(38,0)) * 1000000
+            div (CAST(n_blocks AS DECIMAL(38,0)) * global_span)
+            AS BIGINT) END"""))
+      .withColumn("score_micro",
+        lit(1000000L) - col("avg_block_span_micro"))
+    val best = perCol
+      .agg(min(struct((-col("score_micro")).as("ns"),
+        col("column").as("c"))).as("_b"))
+      .select(col("_b.c").as("_bestCol"))
+    perCol.crossJoin(broadcast(best))
+      .withColumn("recommended", col("column") === col("_bestCol"))
+      .select("column", "n_blocks", "global_span",
+        "avg_block_span_micro", "score_micro", "recommended")
+      .orderBy("column")
+  }
+
+  /** ANALYZE-style optimizer statistics — per column: meta counts,
+    * the most-common-value list, and (numeric columns) equi-depth
+    * histogram bounds; the stats a cost-based planner (and the
+    * [[distkeyAdvisor]]/[[sortkeyAdvisor]] pair) reads before
+    * choosing anything. One tall frame, uniform schema:
+    *
+    *   (column, stat, idx, value, n) where stat ∈
+    *     meta  idx 1/2/3       → n_rows / n_nulls / n_distinct
+    *     mcv   idx 1..mcvK     → value, its count (count DESC, value
+    *                             ASC — deterministic, both engines)
+    *     hist  idx 1..buckets  → bound = MIN value whose cumulative
+    *                             count ≥ ⌈idx·n/buckets⌉ (exact
+    *                             integer rank targets; bound idx =
+    *                             buckets is the column max)
+    *
+    * Scale shape: one melt → (column, value) cell aggregate; MCV and
+    * histogram both run over the CELL frame (windows partitioned by
+    * column, cell-sized — never the data), rank targets are
+    * closed-form, and the bound lookup is one join + min aggregate.
+    * The [[Scale.exactQuantiles]] bucketed machinery is the
+    * row-rank generalization; here ranks live on value cells, which
+    * is exact for the same reason midranks are
+    * ([[graft.operators.Stats.kruskalWallis]]). Returns the tall
+    * frame ordered by (column, stat, idx). */
+  def analyzeStats(df: DataFrame, intCols: Seq[String],
+                   strCols: Seq[String], mcvK: Int = 5,
+                   histBuckets: Int = 8): DataFrame = {
+    val all = intCols ++ strCols
+    require(all.nonEmpty && all.size <= 32,
+      s"need 1..32 columns, got ${all.size}")
+    require(all.distinct.size == all.size, "duplicate columns")
+    require(mcvK >= 1 && mcvK <= 100, s"bad mcvK=$mcvK")
+    require(histBuckets >= 2 && histBuckets <= 1000,
+      s"bad histBuckets=$histBuckets")
+    val intStructs = intCols.map(c =>
+      struct(lit(c).as("column"),
+        col(c).cast("long").cast("string").as("vs"),
+        col(c).cast("long").as("vl")))
+    val strStructs = strCols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("vs"),
+        lit(null).cast("long").as("vl")))
+    val m = df.select(
+      explode(array((intStructs ++ strStructs): _*)).as("_e"))
+      .select(col("_e.*"))
+    val cells = m.filter(col("vs").isNotNull)
+      .groupBy("column", "vs", "vl").agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint()
+    val counts = m.groupBy("column")
+      .agg(count(lit(1)).as("_nr"),
+        sum(when(col("vs").isNull, 1L).otherwise(0L)).as("_nn"))
+      .join(cells.groupBy("column").agg(count(lit(1)).as("_nd"),
+        sum("_cnt").as("_nv")), Seq("column"), "left")
+    val meta = counts.select(col("column"),
+      explode(array(
+        struct(lit("meta").as("stat"), lit(1).as("idx"),
+          lit(null).cast("string").as("value"), col("_nr").as("n")),
+        struct(lit("meta").as("stat"), lit(2).as("idx"),
+          lit(null).cast("string").as("value"), col("_nn").as("n")),
+        struct(lit("meta").as("stat"), lit(3).as("idx"),
+          lit(null).cast("string").as("value"),
+          coalesce(col("_nd"), lit(0L)).as("n")))).as("_s"))
+      .select(col("column"), col("_s.*"))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy("column")
+      .orderBy(col("_cnt").desc, col("vs").asc)
+    val mcv = cells.withColumn("_rn", row_number().over(wm))
+      .filter(col("_rn") <= mcvK)
+      .select(col("column"), lit("mcv").as("stat"),
+        col("_rn").as("idx"), col("vs").as("value"),
+        col("_cnt").as("n"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy("column").orderBy("vl")
+    val cum = cells.filter(col("vl").isNotNull)
+      .withColumn("_cum", sum("_cnt").over(
+        wh.rowsBetween(Long.MinValue, 0)))
+    val targets = counts.filter(col("_nv") > 0)
+      .select(col("column"), col("_nv"),
+        explode(sequence(lit(1), lit(histBuckets))).as("idx"))
+      .withColumn("_r", expr(s"(idx * _nv + $histBuckets - 1) " +
+        s"div $histBuckets"))
+    val hist = cum.join(targets, Seq("column"))
+      .filter(col("_cum") >= col("_r"))
+      .groupBy(col("column"), col("idx"), col("_r"))
+      .agg(min("vl").as("_bound"))
+      .select(col("column"), lit("hist").as("stat"), col("idx"),
+        col("_bound").cast("string").as("value"), col("_r").as("n"))
+    meta.unionByName(mcv).unionByName(hist)
+      .orderBy("column", "stat", "idx")
+  }
 }

@@ -914,4 +914,62 @@ object Graph {
       .select(col("id_a"), col("id_b"), col("n_common"), col("ra_micro"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Multi-source BFS hop distance, capped at `maxHops` supersteps —
+    * "how far is every page from the seed set", the crawl-frontier /
+    * link-distance-from-trusted-hosts signal (TrustRank's seed
+    * propagation starts exactly here). Returns only vertices REACHED
+    * within the cap: (vertex, hops), hops = exact shortest unweighted
+    * distance to the nearest seed, ordered by (hops, vertex).
+    *
+    * Graph normalization matches [[labelPropagation]] (self-loops
+    * dropped, deduplicated, symmetrized). Seeds not present in the
+    * edge set still report hops = 0 — distance is to the seed SET,
+    * not to the subgraph it touches.
+    *
+    * Scale shape: frontier-only expansion — each superstep joins the
+    * PREVIOUS FRONTIER (not the full visited set) against the
+    * symmetrized edges, anti-joins the visited set, and the visited
+    * set localCheckpoints per step (it feeds both the anti-join and
+    * the final result; lineage would otherwise double per step, the
+    * kCore survivor pattern). Work per step is O(frontier-degree sum)
+    * — the textbook distributed BFS; a 1000-executor run shuffles
+    * each step on vertex id, and the frontier shrinks to empty at the
+    * true eccentricity, after which steps are no-ops (the kTruss
+    * fixpoint argument — "exactly K supersteps" both replays in a SQL
+    * oracle and equals true BFS whenever K covers the diameter). */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String,
+              maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20,
+      s"maxHops must be in [1, 20], got $maxHops")
+    val half = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = half
+      .unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = seeds
+      .select(col(seedCol).cast("long").as("vertex"))
+      .filter(col("vertex").isNotNull)
+      .distinct()
+      .withColumn("hops", lit(0))
+      .localCheckpoint(true)
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = sym
+        .join(frontier.select(col("vertex").as("src")), Seq("src"))
+        .select(col("dst").as("vertex")).distinct()
+        .join(visited.select("vertex"), Seq("vertex"), "left_anti")
+        .withColumn("hops", lit(h))
+      visited = visited.unionAll(next).localCheckpoint(true)
+      // re-derive the frontier FROM the checkpointed union so neither
+      // frame chains un-truncated lineage across supersteps
+      frontier = visited.filter(col("hops") === h)
+    }
+    visited.orderBy("hops", "vertex")
+  }
 }

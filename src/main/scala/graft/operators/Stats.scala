@@ -559,4 +559,263 @@ object Stats {
         col("n_cells"), col("mi_micro"), col("h_a_micro"),
         col("h_b_micro"))
   }
+
+  /** Kruskal–Wallis H — the k-group generalization of the rank-sum
+    * test ([[aucRankSum]] is the 2-group case): do the groups share a
+    * location, judged on ranks rather than means, so heavy-tailed
+    * quality scores can't dominate. With MIDRANKS for ties and the
+    * standard tie correction:
+    *
+    *   H  = 12/(N(N+1)) · Σᵢ Sᵢ²/nᵢ − 3(N+1)
+    *   H' = H · (N³−N) / (N³−N − Σ(t³−t))
+    *
+    * Midranks come rank-free from the VALUE CELLS: midrank(v) =
+    * cumBelow(v) + (cnt(v)+1)/2, carried ×2 (`midrank2`) so ties at
+    * .5 stay integral; Sᵢ accumulates midrank2 and every identity
+    * below is written against the doubled scale (Σᵢ midrank2ᵢ =
+    * N(N+1) exactly, so H ≥ 0 as an exact rational). The floor
+    * divisions are pinned in evaluation order — per group
+    * (Σᵢmidrank2)²·3·10⁶ div nᵢ (12·Sᵢ² = 3·(2Sᵢ)²), then div N(N+1),
+    * minus 3(N+1)·10⁶, then div 10³ — and the oracle replays them
+    * verbatim; each floor introduces < 1 micro, bounded by
+    * n_groups + 2 micros total.
+    *
+    * Scale shape: the corpus collapses to (value, count) CELLS in one
+    * hash aggregate — the [[kendallConcordance]] concession: for
+    * ordinal/bucketed inputs the cell frame is domain-sized, and the
+    * one ordered pass (cumulative counts) runs over cells, not rows;
+    * `maxCells` guards against misuse on continuous columns
+    * (bucketize first). Returns ONE row: (n, n_groups, n_cells,
+    * h_milli, h_tie_adj_milli) — milli (10³) reported; the binding
+    * headroom is the per-group (2Sᵢ)²·3·10⁶ product (≾ 1.2·10⁷·N⁴),
+    * exact to N ≈ 10⁷ rows — pre-aggregate beyond that. */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    maxCells: Int = 100000): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("long").as("_v"))
+      .filter(col("_g").isNotNull && col("_v").isNotNull)
+    val gcells = base.groupBy("_g", "_v").agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
+    val cells = gcells.groupBy("_v").agg(sum("_n").as("_t"))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"$nCells distinct values exceeds maxCells=$maxCells — " +
+        "bucketize the value column first")
+    val wc = org.apache.spark.sql.expressions.Window.orderBy("_v")
+    val ranked = cells
+      .withColumn("_cumBelow",
+        coalesce(sum("_t").over(wc.rowsBetween(Long.MinValue, -1)),
+          lit(0L)))
+      .withColumn("_mid2", col("_cumBelow") * 2 + col("_t") + 1)
+    val perGroup = gcells.join(ranked.select("_v", "_mid2"), Seq("_v"))
+      .groupBy("_g")
+      .agg(sum("_n").as("_ni"),
+        sum(col("_n").cast("decimal(38,0)") * col("_mid2")).as("_s2"))
+    val ties = cells
+      .agg(coalesce(sum(col("_t").cast("decimal(38,0)") *
+        col("_t") * col("_t") - col("_t")), lit(0).cast("decimal(38,0)"))
+        .as("_tsum"), count(lit(1)).as("n_cells"))
+    perGroup
+      .agg(count(lit(1)).as("n_groups"),
+        sum("_ni").as("n"),
+        // Σᵢ (2Sᵢ)²·3·10⁶ div nᵢ — 12·Sᵢ² = 3·(2Sᵢ)², so the doubled
+        // scale clears with coefficient 3; one pinned floor per group
+        sum(expr("""_s2 * _s2 * 3000000 div
+          CAST(_ni AS DECIMAL(38,0))""")).as("_q"))
+      .crossJoin(ties)
+      .withColumn("h_milli", expr(
+        """CAST((_q div (CAST(n AS DECIMAL(38,0)) * (n + 1))
+             - CAST(3 AS DECIMAL(38,0)) * (n + 1) * 1000000) div 1000
+           AS BIGINT)"""))
+      .withColumn("h_tie_adj_milli", expr(
+        """CASE WHEN CAST(n AS DECIMAL(38,0)) * n * n - n - _tsum = 0
+           THEN NULL ELSE
+           CAST(h_milli * (CAST(n AS DECIMAL(38,0)) * n * n - n)
+             div (CAST(n AS DECIMAL(38,0)) * n * n - n - _tsum)
+           AS BIGINT) END"""))
+      .select(col("n"), col("n_groups"), col("n_cells"),
+        col("h_milli"), col("h_tie_adj_milli"))
+  }
+
+  /** Lag-k autocorrelation of a DENSELY-INDEXED series per key — the
+    * seasonality detector for event volume (a daily cycle in hourly
+    * counts shows as a spike at lag 24). Exact integers end-to-end via
+    * the n²-cleared identity: with S = Σx and centered yₜ = n·xₜ − S,
+    *
+    *   acf(k)·10⁶ = (Σₜ yₜ·yₜ₊ₖ)·10⁶ div (Σₜ yₜ²)
+    *
+    * (the n² factors cancel; the div is the truncating `div`/`//` on
+    * a possibly-negative numerator — the [[spearmanRho]] convention).
+    *
+    * Scale shape: NO windows — lag pairing is a shuffle equi-join on
+    * (key, idx − k) after an explode of k ∈ [1, maxLag] (pairs where
+    * idx − k is absent simply don't join: gaps shorten the overlap,
+    * they don't fabricate zeros), plus one per-key (n, S) aggregate
+    * broadcast back. The caller supplies the dense integer index
+    * (hours-since-epoch, batch sequence); ACF over an irregular axis
+    * is not defined here. Returns (key, lag, n_pairs, acf_micro)
+    * ordered by (key, lag); acf_micro null when the variance is 0. */
+  def acf(df: DataFrame, keyCol: String, idxCol: String,
+          valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000,
+      s"maxLag must be in [1, 1000]: $maxLag")
+    val base = df.select(col(keyCol).cast("string").as("_k"),
+        col(idxCol).cast("long").as("_i"),
+        col(valueCol).cast("long").as("_x"))
+      .filter(col("_k").isNotNull && col("_i").isNotNull &&
+        col("_x").isNotNull)
+      .localCheckpoint(true)
+    val stats = base.groupBy("_k")
+      .agg(count(lit(1)).as("_n"), sum("_x").as("_sx"),
+        sum(col("_x").cast("decimal(38,0)") * col("_x")).as("_sxx"))
+    // y_t = n·x_t − S needs (n, S); denominator Σy² = n²Σx² − n·S²
+    // comes closed-form from the same aggregate
+    val y = base.join(broadcast(stats), Seq("_k"))
+      .select(col("_k"), col("_i"),
+        (col("_n").cast("decimal(38,0)") * col("_x") - col("_sx"))
+          .as("_y"))
+    val lags = y.select(col("_k"), col("_i"), col("_y"),
+      explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .select(col("_k"), (col("_i") - col("lag")).as("_i"),
+        col("lag"), col("_y").as("_ylead"))
+    val num = y.join(lags, Seq("_k", "_i"))
+      .groupBy("_k", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_y") * col("_ylead")).as("_num"))
+    val den = stats.select(col("_k"),
+      (col("_n").cast("decimal(38,0)") * col("_n") * col("_sxx") -
+        col("_n").cast("decimal(38,0)") * col("_sx") * col("_sx"))
+        .as("_den"))
+    num.join(broadcast(den), Seq("_k"))
+      .select(col("_k").as("key"), col("lag"), col("n_pairs"),
+        expr("""CASE WHEN _den = 0 THEN NULL
+          ELSE CAST(_num * 1000000 div _den AS BIGINT) END""")
+          .as("acf_micro"))
+      .orderBy("key", "lag")
+  }
+
+  /** Theil–Sen slope per group — the robust trend estimate (median of
+    * all pairwise slopes) that a single outlier batch can't bend,
+    * where [[groupedOls]]'s least-squares line can: the drift monitor
+    * for per-source quality over time. Slopes are
+    *
+    *   slope(i,j)·10⁶ = (yⱼ−yᵢ)·10⁶ div (xⱼ−xᵢ),   xᵢ ≠ xⱼ
+    *
+    * (truncating div, [[spearmanRho]] convention) and the reported
+    * value is the ⌈m/2⌉-th smallest of the m slopes (the LOWER
+    * median — medians of even multisets must pick a side to stay
+    * oracle-replayable; interpolating would leave integers).
+    *
+    * Scale shape: pairs come from a WITHIN-GROUP self-join — O(nᵢ²)
+    * per group by definition of the estimator (`maxGroupRows` guards;
+    * Theil–Sen is a small-n-per-group tool — per-source daily
+    * aggregates, not raw rows). Median selection is cell-based: slopes
+    * collapse to (group, slope, count) cells, one cumulative pass per
+    * group over its cell frame (window partitioned BY GROUP — the
+    * parallelism is the group count, frames are cell-sized).
+    * Pairs with equal x are excluded (slope undefined), so the pair
+    * set is exactly { (i,j) : xᵢ < xⱼ }.
+    * Returns (group, n_points, n_pairs, slope_micro) by group. */
+  def theilSenSlope(df: DataFrame, groupCol: String, xCol: String,
+                    yCol: String, maxGroupRows: Int = 2000): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("_g"),
+        col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+      .filter(col("_g").isNotNull && col("_x").isNotNull &&
+        col("_y").isNotNull)
+      .localCheckpoint(true)
+    val sizes = base.groupBy("_g").agg(count(lit(1)).as("n_points"))
+    val over = sizes.filter(col("n_points") > maxGroupRows).limit(1)
+      .collect()
+    require(over.isEmpty,
+      s"group ${over.headOption.map(_.getString(0)).getOrElse("")} " +
+        s"exceeds maxGroupRows=$maxGroupRows — pre-aggregate the series")
+    val l = base.as("l"); val r = base.as("r")
+    val slopes = l.join(r, col("l._g") === col("r._g") &&
+        col("l._x") < col("r._x"))
+      .select(col("l._g").as("_g"), col("l._x").as("_x1"),
+        col("l._y").as("_y1"), col("r._x").as("_x2"),
+        col("r._y").as("_y2"))
+      .select(col("_g"),
+        expr("""CAST((CAST(_y2 AS DECIMAL(38,0)) - _y1) * 1000000
+          div (CAST(_x2 AS DECIMAL(38,0)) - _x1) AS BIGINT)""")
+          .as("_s"))
+    val cells = slopes.groupBy("_g", "_s").agg(count(lit(1)).as("_n"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy("_s")
+    val cum = cells
+      .withColumn("_cum", sum("_n").over(
+        wg.rowsBetween(Long.MinValue, 0)))
+      .withColumn("_m", sum("_n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_g")))
+    val med = cum
+      .withColumn("_target", expr("(_m + 1) div 2"))
+      .filter(col("_cum") - col("_n") < col("_target") &&
+        col("_target") <= col("_cum"))
+      .select(col("_g"), col("_m").as("n_pairs"),
+        col("_s").as("slope_micro"))
+    sizes.join(med, Seq("_g"), "left")
+      .select(col("_g").as("group"), col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("slope_micro"))
+      .orderBy("group")
+  }
+
+  /** Intraclass correlation ICC(1,1) — one-way random effects: how
+    * much of a rating's variance is the ITEM rather than the rater,
+    * the agreement statistic for CONTINUOUS scores where
+    * [[Eval.cohensKappa]]/Fleiss need categories. Balanced designs
+    * only (every item rated by exactly k raters, each (item, rater)
+    * once — the [[Eval.cochranQ]] guard, enforced the same way).
+    * Denominators clear EXACTLY: with Tᵢ = item sums, G = ΣTᵢ,
+    * N = nk, A = N·ΣTᵢ² − k·G² (= kN·SSB), B = kN·Σy² − N·ΣTᵢ²
+    * (= kN·SSW),
+    *
+    *   ICC·10⁶ = (A·n(k−1) − B(n−1))·10⁶ div (A·n(k−1) + B(n−1)(k−1))
+    *
+    * — a single truncating division of exact DECIMAL(38,0) integers
+    * (possibly negative: raters disagreeing more within items than
+    * across is a legal, diagnostic result). Returns ONE row:
+    * (n_items, n_raters, icc_micro); null when the denominator is 0
+    * (all ratings identical). */
+  def icc(df: DataFrame, itemCol: String, raterCol: String,
+          valueCol: String): DataFrame = {
+    val base = df.select(col(itemCol).cast("string").as("_i"),
+        col(raterCol).cast("string").as("_r"),
+        col(valueCol).cast("long").as("_y"))
+      .filter(col("_i").isNotNull && col("_r").isNotNull &&
+        col("_y").isNotNull)
+      .localCheckpoint(true)
+    val perItem = base.groupBy("_i")
+      .agg(count(lit(1)).as("_cnt"),
+        countDistinct(col("_r")).as("_kd"),
+        sum("_y").as("_t"),
+        sum(col("_y").cast("decimal(38,0)") * col("_y")).as("_yy"))
+    val kGlobal = base.agg(countDistinct(col("_r"))).head().getLong(0)
+    val bad = perItem.filter(col("_cnt") =!= col("_kd") ||
+      col("_kd") =!= kGlobal).limit(1).collect()
+    require(bad.isEmpty,
+      "unbalanced design: every item needs exactly the same rater " +
+        "set, one rating per (item, rater)")
+    perItem
+      .agg(count(lit(1)).as("n_items"),
+        sum("_cnt").as("_nTot"),
+        sum(col("_t").cast("decimal(38,0)") * col("_t")).as("_tt"),
+        sum("_yy").as("_syy"),
+        sum("_t").cast("decimal(38,0)").as("_grand"))
+      .withColumn("n_raters", lit(kGlobal))
+      .withColumn("_a", col("_nTot").cast("decimal(38,0)") * col("_tt") -
+        col("n_raters") * col("_grand") * col("_grand"))
+      .withColumn("_b", col("n_raters").cast("decimal(38,0)") *
+        col("_nTot") * col("_syy") -
+        col("_nTot").cast("decimal(38,0)") * col("_tt"))
+      .withColumn("icc_micro", expr(
+        """CASE WHEN _a * (n_items * (n_raters - 1))
+               + _b * ((n_items - 1) * (n_raters - 1)) = 0 THEN NULL
+           ELSE CAST((_a * (n_items * (n_raters - 1))
+               - _b * (n_items - 1)) * 1000000
+             div (_a * (n_items * (n_raters - 1))
+               + _b * ((n_items - 1) * (n_raters - 1))) AS BIGINT)
+           END"""))
+      .select(col("n_items"), col("n_raters"), col("icc_micro"))
+  }
 }

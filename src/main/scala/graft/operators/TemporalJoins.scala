@@ -738,4 +738,49 @@ object TemporalJoins {
       .select(col("_c.*"))
       .orderBy("channel")
   }
+
+  /** Seasonal profile — the (day-of-week, hour-of-day) fingerprint of
+    * an event stream per key, with each cell's deviation from the
+    * key's mean cell load in exact micros: the baseline a rate-anomaly
+    * monitor (q99's family) compares against, and the first chart an
+    * on-call engineer draws. A cell covering `share_micro` of the
+    * key's events deviates by
+    *
+    *   deviation_micro = (n_cell·C − N)·10⁶ div N
+    *
+    * (C = populated cells for the key, N = key total — i.e. the
+    * cell's load relative to a uniform spread across the POPULATED
+    * cells; +10⁶ = double the uniform load). `is_peak` flags cells at
+    * or above `peakMicro` deviation. Exact integers; truncating div
+    * on a possibly-negative numerator (the [[Stats.spearmanRho]]
+    * convention).
+    *
+    * Shape: one hash aggregate (key, dow, hour) + one per-key
+    * aggregate joined back broadcast — two scans of nothing but group
+    * keys; no windows. dow follows ISO (1 = Monday … 7 = Sunday) via
+    * `dayofweek` re-mapped, matching DuckDB's `isodow`. Returns
+    * (key, dow, hour, n_events, share_micro, deviation_micro,
+    * is_peak) ordered by (key, dow, hour). */
+  def seasonalProfile(df: DataFrame, keyCol: String, tsCol: String,
+                      peakMicro: Long = 500000L): DataFrame = {
+    val cells = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        // Spark dayofweek: 1 = Sunday … 7 = Saturday → ISO 1 = Mon … 7 = Sun
+        ((dayofweek(col(tsCol)) + 5) % 7 + 1).as("dow"),
+        hour(col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = cells.groupBy("key")
+      .agg(sum("n_events").as("_tot"), count(lit(1)).as("_cells"))
+    cells.join(broadcast(totals), Seq("key"))
+      .withColumn("share_micro",
+        expr("CAST(n_events * 1000000 div _tot AS BIGINT)"))
+      .withColumn("deviation_micro",
+        expr("""CAST((n_events * _cells - _tot) * 1000000 div _tot
+          AS BIGINT)"""))
+      .withColumn("is_peak", col("deviation_micro") >= peakMicro)
+      .select("key", "dow", "hour", "n_events", "share_micro",
+        "deviation_micro", "is_peak")
+      .orderBy("key", "dow", "hour")
+  }
 }

@@ -356,6 +356,68 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Log-likelihood-ratio collocations (Dunning 1993) — the G²
+    * statistic over each bigram's 2×2 contingency table, the
+    * collocation test that stays calibrated at low counts where
+    * [[pmiBigrams]] famously explodes (PMI's pathological love of
+    * hapax pairs is the textbook motivation for G²). Events are the
+    * N = Σ(len−1) bigram slots; for bigram (x, y): k₁₁ = c(x,y),
+    * row total R = c(x, ·), column total C = c(·, y),
+    *
+    *   G² = 2·Σ_{cells, k>0} k · ln(k·N / (rowᵢ·colⱼ))
+    *
+    * with each ln pinned at 6 dp (the [[Stats.mutualInfo]]
+    * convention: an exact integer ratio into one rounded double, so
+    * both engines compute the identical DECIMAL(18,6) term) and the
+    * k-weighted sum exact in DECIMAL — reported as g2_micro.
+    *
+    * Shape: one bigram explode → cell counts; first-/second-token
+    * totals are two aggregates OVER THE CELL FRAME (not the corpus);
+    * two broadcast joins put row/column totals on each surviving
+    * bigram; TakeOrdered cuts the top k. minCount prunes before the
+    * joins. Returns (w1, w2, n_pair, n_left, n_right, g2_micro)
+    * ordered by (g2_micro DESC, w1, w2), limit k. */
+  def collocationsG2(df: DataFrame, textCol: String,
+                     minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad minCount=$minCount / k=$k")
+    val toks = df.select(tokens(col(textCol)).as("_toks"))
+    val cells = toks
+      .select(explode(Dedup.shingleArray(col("_toks"), 2)).as("ngram"))
+      .withColumn("_x", split(col("ngram"), " ").getItem(0))
+      .withColumn("_y", split(col("ngram"), " ").getItem(1))
+      .groupBy("_x", "_y").agg(count(lit(1)).as("k11"))
+      .localCheckpoint()
+    val rowTot = cells.groupBy("_x").agg(sum("k11").as("_r"))
+    val colTot = cells.groupBy("_y").agg(sum("k11").as("_c"))
+    val n = cells.agg(coalesce(sum("k11"), lit(0L)).as("_n"))
+    // pinned per-cell term: k · round(ln(k·N / (row·col)), 6), zero
+    // cells contribute nothing (the k → 0 limit)
+    def term(kk: Column, row: Column, colT: Column, nn: Column) =
+      when(kk > 0, kk.cast("decimal(18,0)") *
+        round(log((kk.cast("double") * nn.cast("double")) /
+          (row.cast("double") * colT.cast("double"))), 6)
+          .cast("decimal(18,6)"))
+        .otherwise(lit(0).cast("decimal(18,6)"))
+    cells.filter(col("k11") >= minCount)
+      .join(broadcast(rowTot), "_x")
+      .join(broadcast(colTot), "_y")
+      .crossJoin(broadcast(n))
+      .withColumn("_k12", col("_r") - col("k11"))
+      .withColumn("_k21", col("_c") - col("k11"))
+      .withColumn("_k22", col("_n") - col("_r") - col("_c") + col("k11"))
+      .withColumn("g2_micro",
+        ((term(col("k11"), col("_r"), col("_c"), col("_n")) +
+          term(col("_k12"), col("_r"), col("_n") - col("_c"), col("_n")) +
+          term(col("_k21"), col("_n") - col("_r"), col("_c"), col("_n")) +
+          term(col("_k22"), col("_n") - col("_r"), col("_n") - col("_c"),
+            col("_n"))) * 2000000).cast("long"))
+      .select(col("_x").as("w1"), col("_y").as("w2"),
+        col("k11").as("n_pair"), col("_r").as("n_left"),
+        col("_c").as("n_right"), col("g2_micro"))
+      .orderBy(col("g2_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Top-k most distinctive terms per document by TF-IDF (tf ×
     * ln(N/df)). The corpus pass is two hash aggregations — (doc, term)
     * counts, then per-term document frequency over that frame (already
@@ -1276,4 +1338,50 @@ object TextAnalysis {
     "date" -> "\\b[0-9]{4}-[0-9]{2}-[0-9]{2}\\b",
     "number" -> "\\b[0-9]+\\b",
     "proper" -> "\\b[A-Z][a-z]+( [A-Z][a-z]+)+\\b")
+
+  /** Chao1 vocabulary-richness estimate per group — "how many word
+    * types does this source REALLY have", extrapolated from the
+    * singleton/doubleton counts the sample exposes (Chao 1984; the
+    * estimator ecology uses for species richness, applied to the
+    * token multiset — the natural companion to
+    * [[goodTuringSpectrum]], whose r = 1, 2 rows are exactly f₁, f₂).
+    * With D observed types, f₁ singletons, f₂ doubletons:
+    *
+    *   chao1·10⁶    = 10⁶·D + f₁²·10⁶ div (2·f₂)            (f₂ > 0)
+    *                = 10⁶·D + f₁(f₁−1)·10⁶ div 2            (f₂ = 0,
+    *                  the bias-corrected form)
+    *   coverage·10⁶ = 10⁶ − f₁·10⁶ div N     (Good's sample coverage)
+    *
+    * — exact floor micros, replayed verbatim by the oracle.
+    *
+    * Shape: one token explode → (group, token) hash aggregate →
+    * per-group fold over the type frame. The type frame is
+    * vocabulary-sized, the fold is map-side partial — no windows, no
+    * driver state. Returns (group, n_tokens, n_types, f1, f2,
+    * chao1_micro, coverage_micro) ordered by group; groups with no
+    * tokens don't appear (nothing to estimate from). */
+  def chao1Richness(df: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    val typeCounts = df
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("group", "token").agg(count(lit(1)).as("_r"))
+    typeCounts.groupBy("group")
+      .agg(sum("_r").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("_r") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("_r") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_micro", expr(
+        """CAST(CASE WHEN f2 > 0
+           THEN CAST(1000000 AS DECIMAL(38,0)) * n_types
+             + CAST(f1 AS DECIMAL(38,0)) * f1 * 1000000 div (2 * f2)
+           ELSE CAST(1000000 AS DECIMAL(38,0)) * n_types
+             + CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000 div 2
+           END AS BIGINT)"""))
+      .withColumn("coverage_micro", expr(
+        """CAST(1000000 - CAST(f1 AS DECIMAL(38,0)) * 1000000
+           div n_tokens AS BIGINT)"""))
+      .orderBy("group")
+  }
 }

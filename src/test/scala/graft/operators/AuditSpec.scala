@@ -560,4 +560,114 @@ class AuditSpec extends SparkSpec {
     assert(!got("c")._5)
     assert(got.size == 6)
   }
+
+  test("gapsIslands: boundaries, member counts, gap widths") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 7L, 10L, 11L, 2L).toDF("id") // dup 2 folds
+    val got = Audit.gapsIslands(df, "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toList
+    assert(got == List((1L, 3L, 3L, 3L), (7L, 7L, 1L, 2L),
+      (10L, 11L, 2L, -1L)), s"$got")
+    // single id: one island of one, no gap
+    val one = Seq(5L).toDF("id")
+    val g1 = Audit.gapsIslands(one, "id").collect().head
+    assert(g1.getLong(0) == 5L && g1.getLong(2) == 1L && g1.isNullAt(3))
+  }
+
+  test("nullCooccurrence: pairwise null jaccard from one aggregate") {
+    import spark.implicits._
+    val df = Seq[(Option[Int], Option[Int], Option[Int])](
+      (None, None, Some(1)), (None, Some(1), None),
+      (Some(1), Some(1), Some(1)), (None, None, None))
+      .toDF("a", "b", "c")
+    val got = Audit.nullCooccurrence(df, Seq("a", "b", "c")).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("a", "b")) == (3L, 2L, 2L, 666666L), s"${got(("a", "b"))}")
+    assert(got(("a", "c")) == (3L, 2L, 2L, 666666L))
+    assert(got(("b", "c")) == (2L, 2L, 1L, 333333L))
+    // never-null pair: jaccard undefined
+    val clean = Seq((1, 2), (3, 4)).toDF("x", "y")
+    assert(Audit.nullCooccurrence(clean, Seq("x", "y")).collect()
+      .head.isNullAt(5))
+  }
+
+  test("compressionAdvisor: byte models, block stitching, best pick") {
+    import spark.implicits._
+    // constant int column split across two blocks: stitch folds the
+    // cross-block run; dict (d = 1) wins
+    val const = (0L to 7L).map(i => (i, 5L)).toDF("ord", "v")
+    val c = Audit.compressionAdvisor(const, "ord", Seq("v"), Seq(),
+      blockSpan = 4L).collect().head
+    // bitmap (8+7)//8 = 1; raw 64+1; rle one 12 B run + 1; dict 8 + 1 + 1
+    assert(c.getLong(3) == 65L && c.getLong(4) == 13L, s"$c")
+    assert(c.getLong(5) == 10L, s"dict: $c")
+    assert(c.getLong(6) == 16L && c.getString(7) == "dict", s"$c")
+    // ramp: delta wins (8 anchor + 3×1 B steps + bitmap)
+    val ramp = Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("ord", "v")
+    val d = Audit.compressionAdvisor(ramp, "ord", Seq("v"), Seq(),
+      blockSpan = 2L).collect().head
+    assert(d.getLong(6) == 12L && d.getString(7) == "delta", s"$d")
+    // strings: runs priced at value-bytes+4, dict at distinct+indexes
+    val strs = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "b"))
+      .toDF("ord", "s")
+    val s = Audit.compressionAdvisor(strs, "ord", Seq(), Seq("s"),
+      blockSpan = 2L).collect().head
+    assert(s.getLong(3) == 21L && s.getLong(4) == 19L, s"$s")
+    assert(s.getLong(5) == 12L && s.isNullAt(6), s"$s")
+    assert(s.getString(7) == "dict")
+    // null in the middle: excluded from the stream, run spans the gap;
+    // delta ties dict at 10 B and wins alphabetically
+    val withNull = Seq((0L, Some(1L)), (1L, None), (2L, Some(1L)))
+      .toDF("ord", "v")
+    val n = Audit.compressionAdvisor(withNull, "ord", Seq("v"), Seq(),
+      blockSpan = 10L).collect().head
+    assert(n.getLong(1) == 3L && n.getLong(2) == 1L)
+    assert(n.getLong(4) == 13L && n.getLong(5) == 10L &&
+      n.getLong(6) == 10L && n.getString(7) == "delta", s"$n")
+  }
+
+  test("sortkeyAdvisor: monotone beats shuffled, constant is perfect") {
+    import spark.implicits._
+    val df = (0L to 9L).map(i =>
+      (i, i, 7L, if (i % 2 == 0) 0L else 100L))
+      .toDF("ord", "mono", "const", "alt")
+    val got = Audit.sortkeyAdvisor(df, "ord",
+      Seq("mono", "const", "alt"), blockSpan = 5L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got("const") == (2L, 0L, 1000000L, true), s"${got("const")}")
+    // mono: two blocks of span 4 over global span 9 → avg 444444
+    assert(got("mono") == (2L, 444444L, 555556L, false), s"${got("mono")}")
+    // alt: every block spans the whole range → score 0
+    assert(got("alt") == (2L, 1000000L, 0L, false), s"${got("alt")}")
+  }
+
+  test("analyzeStats: meta counts, MCV order, equi-depth bounds") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some("x")), (Some(1L), Some("x")),
+      (Some(2L), Some("y")), (Some(3L), None))
+      .toDF("v", "s")
+    val rows = Audit.analyzeStats(df, Seq("v"), Seq("s"), mcvK = 2,
+      histBuckets = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        (Option(r.getString(3)), r.getLong(4))).toMap
+    assert(rows(("v", "meta", 1)) == (None, 4L))
+    assert(rows(("v", "meta", 2)) == (None, 0L))
+    assert(rows(("v", "meta", 3)) == (None, 3L))
+    assert(rows(("s", "meta", 2)) == (None, 1L), "one null in s")
+    assert(rows(("s", "meta", 3)) == (None, 2L))
+    // MCV: count DESC then value ASC ("2" before "3" on the tie)
+    assert(rows(("v", "mcv", 1)) == (Some("1"), 2L))
+    assert(rows(("v", "mcv", 2)) == (Some("2"), 1L))
+    assert(rows(("s", "mcv", 1)) == (Some("x"), 2L))
+    // hist over v = [1,1,2,3]: targets r₁=2, r₂=4 → bounds 1 and 3
+    assert(rows(("v", "hist", 1)) == (Some("1"), 2L))
+    assert(rows(("v", "hist", 2)) == (Some("3"), 4L))
+    // strings get no histogram
+    assert(!rows.contains(("s", "hist", 1)))
+  }
 }

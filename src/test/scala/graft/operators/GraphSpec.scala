@@ -494,4 +494,26 @@ class GraphSpec extends SparkSpec {
       Graph.resourceAllocationScores(sq, "src", "dst", minCommon = 0)
     }
   }
+
+  test("bfsHops: multi-source shortest hops, cap, isolated seed") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 5L, 9L).toDF("id")
+    val got = Graph.bfsHops(edges, "src", "dst", seeds, "id",
+      maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 5L -> 0, 9L -> 0, 2L -> 1, 6L -> 1,
+      3L -> 2), s"$got")
+    // vertex 4 is 3 hops out: unreached under the cap, present at 3
+    val far = Graph.bfsHops(edges, "src", "dst", seeds, "id",
+      maxHops = 3).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(far(4L) == 3)
+    // seed distance is 0 even when a shorter re-visit is impossible:
+    // symmetric edges must not pull a seed to a positive hop
+    assert(far(1L) == 0 && far(5L) == 0)
+    intercept[IllegalArgumentException] {
+      Graph.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 0)
+    }
+  }
 }

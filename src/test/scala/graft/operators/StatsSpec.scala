@@ -244,4 +244,93 @@ class StatsSpec extends SparkSpec {
     assert(graft.operators.Stats.simpsonDiversity(mono, "src", "cat")
       .collect().head.getLong(3) == 1000000L)
   }
+
+  test("kruskalWallis: hand-computed H, midranks, tie correction") {
+    import spark.implicits._
+    // a = {1, 2}, b = {3, 4}: ranks 1..4, S_a = 3, S_b = 7 → H = 2.4
+    val distinct = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val r1 = Stats.kruskalWallis(distinct, "g", "v").collect().head
+    assert(r1.getLong(0) == 4L && r1.getLong(1) == 2L)
+    assert(r1.getLong(3) == 2400L, s"H = 2.4 expected, got ${r1.getLong(3)}")
+    // full ties within groups: midranks 1.5/1.5/3.5/3.5 → same H = 2.4,
+    // tie-adjusted H' = 2.4 / (1 − 12/60) = 3.0
+    val tied = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+      .toDF("g", "v")
+    val r2 = Stats.kruskalWallis(tied, "g", "v").collect().head
+    assert(r2.getLong(3) == 2400L, s"midrank H, got ${r2.getLong(3)}")
+    assert(r2.getLong(4) == 3000L, s"tie-adjusted, got ${r2.getLong(4)}")
+    // identical groups: H = 0
+    val same = Seq(("a", 5L), ("b", 5L)).toDF("g", "v")
+    assert(Stats.kruskalWallis(same, "g", "v").collect().head
+      .getLong(3) == 0L)
+    intercept[IllegalArgumentException] {
+      Stats.kruskalWallis(distinct, "g", "v", maxCells = 2).collect()
+    }
+  }
+
+  test("acf: exact signed micros on an alternating series") {
+    import spark.implicits._
+    // x = 1,2,1,2 → y = 4x−6 = −2,2,−2,2; Σy² = 16
+    val df = Seq(("k", 0L, 1L), ("k", 1L, 2L), ("k", 2L, 1L),
+      ("k", 3L, 2L)).toDF("key", "i", "x")
+    val got = Stats.acf(df, "key", "i", "x", maxLag = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List((1, 3L, -750000L), (2, 2L, 500000L)), s"$got")
+    // a gap shortens the overlap: drop idx 2 → lag-1 pairs only (0,1)
+    val gap = Seq(("k", 0L, 1L), ("k", 1L, 2L), ("k", 3L, 2L))
+      .toDF("key", "i", "x")
+    val g1 = Stats.acf(gap, "key", "i", "x", maxLag = 1).collect().head
+    assert(g1.getLong(2) == 1L, "one pair across the gap-free step")
+    // constant series: zero variance → null
+    val const = Seq(("k", 0L, 7L), ("k", 1L, 7L)).toDF("key", "i", "x")
+    assert(Stats.acf(const, "key", "i", "x", 1).collect().head.isNullAt(3))
+  }
+
+  test("theilSenSlope: lower median of pairwise slopes, outlier-robust") {
+    import spark.implicits._
+    // y = 2x with one wild outlier at x = 3: median slope stays 2
+    val df = Seq(("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 4L),
+      ("g", 3L, 100L)).toDF("g", "x", "y")
+    val r = Stats.theilSenSlope(df, "g", "x", "y").collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 6L)
+    assert(r.getLong(3) == 2000000L, s"got ${r.getLong(3)}")
+    // vertical-only group: no valid pairs → null slope, n_pairs 0
+    val vert = Seq(("v", 1L, 1L), ("v", 1L, 9L)).toDF("g", "x", "y")
+    val rv = Stats.theilSenSlope(vert, "g", "x", "y").collect().head
+    assert(rv.getLong(2) == 0L && rv.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Stats.theilSenSlope(df, "g", "x", "y", maxGroupRows = 2)
+    }
+  }
+
+  test("icc: perfect item effect = 1e6, pure rater noise negative") {
+    import spark.implicits._
+    val perfect = Seq(("i1", "r1", 1L), ("i1", "r2", 1L),
+      ("i2", "r1", 5L), ("i2", "r2", 5L)).toDF("item", "rater", "y")
+    val p = Stats.icc(perfect, "item", "rater", "y").collect().head
+    assert(p.getLong(0) == 2L && p.getLong(1) == 2L)
+    assert(p.getLong(2) == 1000000L, s"got ${p.getLong(2)}")
+    // antithetic raters: ICC(1) floor −1/(k−1) = −1 for k = 2
+    val anti = Seq(("i1", "r1", 1L), ("i1", "r2", 5L),
+      ("i2", "r1", 5L), ("i2", "r2", 1L)).toDF("item", "rater", "y")
+    assert(Stats.icc(anti, "item", "rater", "y").collect().head
+      .getLong(2) == -1000000L)
+    // all-identical ratings: denominator 0 → null
+    val flat = Seq(("i1", "r1", 3L), ("i1", "r2", 3L),
+      ("i2", "r1", 3L), ("i2", "r2", 3L)).toDF("item", "rater", "y")
+    assert(Stats.icc(flat, "item", "rater", "y").collect().head.isNullAt(2))
+    // unbalanced: equal-sized DIFFERENT rater subsets must be rejected
+    val subsets = Seq(("i1", "r1", 1L), ("i1", "r2", 2L),
+      ("i2", "r3", 3L), ("i2", "r4", 4L)).toDF("item", "rater", "y")
+    intercept[IllegalArgumentException] {
+      Stats.icc(subsets, "item", "rater", "y")
+    }
+    // duplicate (item, rater) rating must be rejected
+    val dup = Seq(("i1", "r1", 1L), ("i1", "r1", 2L), ("i1", "r2", 3L),
+      ("i2", "r1", 1L), ("i2", "r2", 2L)).toDF("item", "rater", "y")
+    intercept[IllegalArgumentException] {
+      Stats.icc(dup, "item", "rater", "y")
+    }
+  }
 }

@@ -664,4 +664,25 @@ class TemporalJoinsSpec extends SparkSpec {
       "id").collect().head
     assert(r1.getLong(3) == 900L * 1000000L && r1.getLong(4) == 80000000L)
   }
+
+  test("seasonalProfile: ISO dow cells, shares, deviation, peaks") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday: 3 events Mon 10h, 1 event Tue 10h
+    val df = Seq(("A", t("2024-01-01 10:05:00")),
+      ("A", t("2024-01-01 10:25:00")), ("A", t("2024-01-08 10:45:00")),
+      ("A", t("2024-01-02 10:00:00"))).toDF("k", "ts")
+    val got = graft.operators.TemporalJoins.seasonalProfile(df, "k", "ts")
+      .collect().map(r => (r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    assert(got((1, 10)) == (3L, 750000L, 500000L, true), s"$got")
+    assert(got((2, 10)) == (1L, 250000L, -500000L, false), s"$got")
+    // Sunday maps to ISO 7
+    val sun = Seq(("B", t("2024-01-07 23:10:00"))).toDF("k", "ts")
+    val s = graft.operators.TemporalJoins.seasonalProfile(sun, "k", "ts")
+      .collect().head
+    assert(s.getInt(1) == 7 && s.getInt(2) == 23)
+    assert(s.getLong(4) == 1000000L && s.getLong(5) == 0L)
+  }
 }

@@ -634,4 +634,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_._2).toSet == Set("hub", "alpha", "beta", "gamma"))
     assert(got.map(_._1).toList == List(1, 2, 3, 4))
   }
+
+  test("chao1Richness: singleton/doubleton estimate and coverage") {
+    import spark.implicits._
+    // "a a b b c": D = 3, f1 = 1, f2 = 2, N = 5
+    val df = Seq(("g", "a a b b c")).toDF("src", "text")
+    val r = TextAnalysis.chao1Richness(df, "src", "text").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (5L, 3L, 1L, 2L), s"$r")
+    assert(r.getLong(5) == 3250000L, s"chao1: ${r.getLong(5)}")
+    assert(r.getLong(6) == 800000L, s"coverage: ${r.getLong(6)}")
+    // all singletons, f2 = 0: bias-corrected form D + f1(f1−1)/2
+    val sing = Seq(("g", "a b")).toDF("src", "text")
+    val s = TextAnalysis.chao1Richness(sing, "src", "text").collect().head
+    assert(s.getLong(5) == 3000000L && s.getLong(6) == 0L, s"$s")
+    // saturated sample (no singletons): chao1 = D, coverage = 1
+    val sat = Seq(("g", "a a b b")).toDF("src", "text")
+    val t = TextAnalysis.chao1Richness(sat, "src", "text").collect().head
+    assert(t.getLong(5) == 2000000L && t.getLong(6) == 1000000L)
+  }
+
+  test("collocationsG2: hand-computed 2x2 log-likelihood ratios") {
+    import spark.implicits._
+    // tokens a b a b a c → bigrams ab×2, ba×2, ac×1; N = 5
+    val df = Seq("a b a b a c").toDF("text")
+    val got = TextAnalysis.collocationsG2(df, "text", minCount = 2,
+      k = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    // (b,a): k=2, R=C=2 → G² = 2(2·ln2.5 + 3·ln(5/3)) = 6.730120
+    assert(got.head._1 == ("b", "a"), s"${got.toList}")
+    assert(got.head._2 == (2L, 2L, 2L, 6730120L), s"${got.head._2}")
+    // (a,b): k=2, R=3, C=2 → 2(2·ln(5/3) + ln(5/9) + 2·ln(5/3))
+    val ab = got.find(_._1 == ("a", "b")).get._2
+    assert(ab == (2L, 3L, 2L, 2911034L), s"$ab")
+    // minCount prunes the hapax bigram
+    assert(!got.exists(_._1 == ("a", "c")))
+  }
 }
