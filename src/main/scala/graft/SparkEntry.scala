@@ -3462,7 +3462,36 @@ object SparkEntry {
             AS BIGINT)""").as("cents"),
           col("o_orderstatus"), col("o_orderpriority")),
         Seq("o_custkey", "cents"),
-        Seq("o_orderstatus", "o_orderpriority")))
+        Seq("o_orderstatus", "o_orderpriority"))),
+    // ---- Mann–Kendall monotone-trend test on the q293 daily series:
+    //      exact S and 18·Var(S) (tie-corrected) — the significance
+    //      companion to the Theil–Sen slope. ----
+    "q301_mann_kendall" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Stats.mannKendall(daily, "event_type", "d",
+        "cnt")
+    }),
+    // ---- Benjamini–Hochberg FDR threshold over a planted p-value
+    //      mix (every 4th doc is signal): the no-division integer BH
+    //      test p·m ≤ k·α on value cells. ----
+    "q302_bh_fdr" -> ((s, dir) =>
+      graft.operators.Eval.bhThreshold(
+        t(s, dir, "documents").select(
+          when(col("doc_id") % 4 === 0, (col("doc_id") * 7) % 1000)
+            .otherwise((col("doc_id") * 37) % 1000000)
+            .as("p_micro")),
+        "p_micro", alphaMicro = 50000L)),
+    // ---- effective sample size / design effect of a deterministic
+    //      importance weighting per language — how many unweighted
+    //      rows the reweighted corpus is worth (Kish). ----
+    "q303_ess" -> ((s, dir) =>
+      graft.operators.Stats.effectiveSampleSize(
+        t(s, dir, "documents").select(col("lang"),
+          ((col("doc_id") * 31) % 100 + 1).as("w")),
+        "lang", "w"))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8580,7 +8609,55 @@ hist AS (SELECT cum."column", 'hist' AS stat, t.idx,
   GROUP BY 1, 2, 3, 5)
 SELECT * FROM (SELECT * FROM meta UNION ALL SELECT * FROM mcv
   UNION ALL SELECT * FROM hist)
-ORDER BY "column", stat, idx"""
+ORDER BY "column", stat, idx""",
+    // q301: xi<xj sign pairs + the exact tie-corrected 18·Var(S)
+    // integer identity.
+    "q301_mann_kendall" ->
+      """WITH daily AS (SELECT event_type AS g,
+  epoch_us(ts) // 86400000000 AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points
+  FROM daily GROUP BY 1),
+p AS (SELECT a.g, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(coalesce(sum(CASE WHEN b.y > a.y THEN 1
+    WHEN b.y < a.y THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x GROUP BY 1),
+tt AS (SELECT g, CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+    AS BIGINT) AS tie
+  FROM (SELECT g, y, count(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT sizes.g AS "group", n_points,
+  coalesce(n_pairs, 0) AS n_pairs, coalesce(s, 0) AS s,
+  n_points * (n_points - 1) * (2 * n_points + 5) - coalesce(tie, 0)
+    AS var18_s
+FROM sizes LEFT JOIN p USING (g) LEFT JOIN tt USING (g)
+ORDER BY "group"""",
+    // q302: value-cell cumulative counts, the divisionless
+    // p·m ≤ k·α test, most-lenient rank per tied cell.
+    "q302_bh_fdr" ->
+      """WITH ps AS (SELECT CASE WHEN doc_id % 4 = 0
+    THEN (doc_id * 7) % 1000
+    ELSE (doc_id * 37) % 1000000 END AS p FROM documents),
+cells AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM ps GROUP BY 1),
+cum AS (SELECT p, sum(c) OVER (ORDER BY p) AS cm FROM cells),
+mm AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM cells),
+best AS (SELECT CAST(cm AS BIGINT) AS k, p FROM cum CROSS JOIN mm
+  WHERE p * m <= cm * 50000 ORDER BY cm DESC LIMIT 1)
+SELECT mm.m, CAST(50000 AS BIGINT) AS alpha_micro,
+  coalesce(best.k, 0) AS n_rejected, best.p AS p_threshold_micro
+FROM mm LEFT JOIN best ON TRUE""",
+    // q303: Kish ESS/deff, one aggregate, floor-micro HUGEINT ratios.
+    "q303_ess" ->
+      """WITH base AS (SELECT lang AS "group",
+  (doc_id * 31) % 100 + 1 AS w FROM documents WHERE lang IS NOT NULL)
+SELECT "group", CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(w) AS BIGINT) AS sum_w,
+  CAST(CAST(sum(w) AS HUGEINT) * sum(w) * 1000000
+    // sum(CAST(w AS HUGEINT) * w) AS BIGINT) AS ess_micro,
+  CAST(CAST(count(*) AS HUGEINT) * sum(CAST(w AS HUGEINT) * w)
+    * 1000000 // (CAST(sum(w) AS HUGEINT) * sum(w)) AS BIGINT)
+    AS deff_micro
+FROM base GROUP BY 1 ORDER BY "group""""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

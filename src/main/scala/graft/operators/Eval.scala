@@ -1058,4 +1058,46 @@ object Eval {
                div (_po_d * _pe_d - _pe_n * _po_d) AS BIGINT)"""))
           .as("kappa_micro"))
   }
+
+  /** Benjamini–Hochberg FDR threshold — which of m simultaneous
+    * p-values survive multiple-testing control at level α: the gate
+    * every drift battery / slice-metric sweep needs before declaring
+    * "17 of my 300 monitors fired" (at α = 0.05, 15 of 300 fire by
+    * chance alone). BH: sort p ascending, reject the largest k with
+    * p₍ₖ₎ ≤ k·α/m and everything below it. In integer micros the
+    * test is exactly p_micro·m ≤ k·α_micro — no division at all.
+    *
+    * Scale shape: p-values collapse to VALUE CELLS with cumulative
+    * counts (the [[graft.operators.Stats.kruskalWallis]] midrank
+    * machinery — the ordered pass runs over distinct p values, not
+    * rows); within a tied-p cell the largest rank is the most
+    * lenient, so checking each cell's cumulative count suffices.
+    * Returns ONE row: (m, alpha_micro, n_rejected,
+    * p_threshold_micro — null when nothing survives). */
+  def bhThreshold(df: DataFrame, pMicroCol: String,
+                  alphaMicro: Long = 50000L,
+                  maxCells: Int = 1000000): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000,
+      s"alphaMicro must be in (0, 1e6): $alphaMicro")
+    val ps = df.select(col(pMicroCol).cast("long").as("_p"))
+      .filter(col("_p").isNotNull)
+    val cells = ps.groupBy("_p").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"$nCells distinct p-values exceeds maxCells=$maxCells")
+    val wc = org.apache.spark.sql.expressions.Window.orderBy("_p")
+    val cum = cells.withColumn("_cum",
+      sum("_c").over(wc.rowsBetween(Long.MinValue, 0)))
+    val m = cells.agg(coalesce(sum("_c"), lit(0L)).as("m"))
+    val best = cum.crossJoin(broadcast(m))
+      .filter(col("_p") * col("m") <= col("_cum") * alphaMicro)
+      .agg(max(struct(col("_cum").as("k"), col("_p").as("p"))).as("_b"))
+      .select(col("_b.k").as("n_rejected"),
+        col("_b.p").as("p_threshold_micro"))
+    m.crossJoin(best)
+      .select(col("m"), lit(alphaMicro).as("alpha_micro"),
+        coalesce(col("n_rejected"), lit(0L)).as("n_rejected"),
+        col("p_threshold_micro"))
+  }
 }

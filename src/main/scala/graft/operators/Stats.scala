@@ -760,6 +760,89 @@ object Stats {
       .orderBy("group")
   }
 
+  /** Mann–Kendall trend test — the significance companion to
+    * [[theilSenSlope]] (Theil–Sen gives the robust slope, MK says
+    * whether a monotone trend exists at all): over all pairs with
+    * xᵢ < xⱼ,
+    *
+    *   S = Σ sign(yⱼ − yᵢ)            (exact integer; y-ties add 0)
+    *   18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)   (tie-corrected,
+    *               exact integer — reported ×18 so no division ever
+    *               happens; a z-score needs √Var, which cannot be
+    *               exact-integer, so the caller owns that last step)
+    *
+    * Same pair discipline as Theil–Sen: equal-x pairs excluded,
+    * within-group self-join bounded by `maxGroupRows` (pre-aggregate
+    * the series — MK is a small-n-per-group test). Returns
+    * (group, n_points, n_pairs, s, var18_s) ordered by group. */
+  def mannKendall(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, maxGroupRows: Int = 2000): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("_g"),
+        col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+      .filter(col("_g").isNotNull && col("_x").isNotNull &&
+        col("_y").isNotNull)
+      .localCheckpoint(true)
+    val sizes = base.groupBy("_g").agg(count(lit(1)).as("n_points"))
+    val over = sizes.filter(col("n_points") > maxGroupRows).limit(1)
+      .collect()
+    require(over.isEmpty,
+      s"group ${over.headOption.map(_.getString(0)).getOrElse("")} " +
+        s"exceeds maxGroupRows=$maxGroupRows — pre-aggregate the series")
+    val l = base.as("l"); val r = base.as("r")
+    val pairs = l.join(r, col("l._g") === col("r._g") &&
+        col("l._x") < col("r._x"))
+      .select(col("l._g").as("_g"),
+        signum(col("r._y") - col("l._y")).cast("long").as("_sgn"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum("_sgn"), lit(0L)).as("s"))
+    val ties = base.groupBy("_g", "_y").agg(count(lit(1)).as("_t"))
+      .groupBy("_g")
+      .agg(coalesce(sum(expr("_t * (_t - 1) * (2 * _t + 5)")), lit(0L))
+        .as("_tieTerm"))
+    sizes.join(pairs, Seq("_g"), "left").join(ties, Seq("_g"), "left")
+      .select(col("_g").as("group"), col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        (expr("n_points * (n_points - 1) * (2 * n_points + 5)") -
+          coalesce(col("_tieTerm"), lit(0L))).as("var18_s"))
+      .orderBy("group")
+  }
+
+  /** Effective sample size & design effect of a weighted corpus —
+    * "my reweighted 10M documents behave like how many unweighted
+    * ones?" (Kish): ESS = (Σw)²/Σw², deff = n·Σw²/(Σw)². The first
+    * sanity number after any importance/mixture reweighting
+    * (DSIR-style scores, mixture rates, temperature sampling): a
+    * deff of 4 means the reweighting threw away 3/4 of the corpus.
+    * Exact floor micros via one DECIMAL(38,0) division each; ONE
+    * hash aggregate per group, nothing else. Weights must be
+    * nonneg integers (micro-scale them upstream); zero/null-weight
+    * rows count toward n but not ESS. Returns (group, n, sum_w,
+    * ess_micro — ESS·10⁶ in row units, deff_micro) by group. */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+                          weightCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("group"),
+      coalesce(col(weightCol).cast("long"), lit(0L)).as("_w"))
+      .filter(col("group").isNotNull)
+    base.groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("_w"), lit(0L)).as("sum_w"),
+        coalesce(sum(col("_w").cast("decimal(38,0)") * col("_w")),
+          lit(0).cast("decimal(38,0)")).as("_ww"))
+      .withColumn("ess_micro", expr(
+        """CASE WHEN _ww = 0 THEN NULL
+           ELSE CAST(CAST(sum_w AS DECIMAL(38,0)) * sum_w * 1000000
+             div _ww AS BIGINT) END"""))
+      .withColumn("deff_micro", expr(
+        """CASE WHEN sum_w = 0 THEN NULL
+           ELSE CAST(CAST(n AS DECIMAL(38,0)) * _ww * 1000000
+             div (CAST(sum_w AS DECIMAL(38,0)) * sum_w) AS BIGINT)
+           END"""))
+      .select("group", "n", "sum_w", "ess_micro", "deff_micro")
+      .orderBy("group")
+  }
+
   /** Intraclass correlation ICC(1,1) — one-way random effects: how
     * much of a rating's variance is the ITEM rather than the rater,
     * the agreement statistic for CONTINUOUS scores where

@@ -506,4 +506,30 @@ class EvalSpec extends SparkSpec {
     assert(Eval.sliceMetrics(tie, "g", "id", "s", "y")
       .collect().head.getLong(5) == 0L)
   }
+
+  test("bhThreshold: largest surviving rank, ties, empty rejection") {
+    import spark.implicits._
+    // p = [10, 20, 30, 900000] micro, α = 0.05: m = 4,
+    // 30·4 = 120 ≤ 3·50000 ✓, 900000·4 ✗ → reject 3 at p* = 30
+    val df = Seq(10L, 20L, 30L, 900000L).toDF("p_micro")
+    val r = Eval.bhThreshold(df, "p_micro",
+      alphaMicro = 50000L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 50000L, 3L, 30L), s"$r")
+    // nothing survives: threshold null, zero rejections
+    val hi = Seq(999999L, 999998L).toDF("p_micro")
+    val rh = Eval.bhThreshold(hi, "p_micro",
+      alphaMicro = 1000L).collect().head
+    assert(rh.getLong(2) == 0L && rh.isNullAt(3), s"$rh")
+    // tied p-values test at the cell's LARGEST rank: p = [100, 100]
+    // at α = 150 micro — k=1 fails (200 > 150) but k=2 passes
+    // (200 ≤ 300), so BOTH reject
+    val tie2 = Seq(100L, 100L).toDF("p_micro")
+    val rt = Eval.bhThreshold(tie2, "p_micro",
+      alphaMicro = 150L).collect().head
+    assert(rt.getLong(2) == 2L && rt.getLong(3) == 100L, s"$rt")
+    intercept[IllegalArgumentException] {
+      Eval.bhThreshold(df, "p_micro", alphaMicro = 0L)
+    }
+  }
 }

@@ -333,4 +333,41 @@ class StatsSpec extends SparkSpec {
       Stats.icc(dup, "item", "rater", "y")
     }
   }
+
+  test("mannKendall: exact S and tie-corrected 18-scaled variance") {
+    import spark.implicits._
+    // strictly increasing: S = 3, var18 = 3·2·11 = 66
+    val up = Seq(("g", 0L, 1L), ("g", 1L, 2L), ("g", 2L, 3L))
+      .toDF("g", "x", "y")
+    val r = Stats.mannKendall(up, "g", "x", "y").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (3L, 3L, 3L, 66L), s"$r")
+    // a y-tie: S = 2, tie term 2·1·9 = 18 → var18 = 48
+    val tied = Seq(("g", 0L, 1L), ("g", 1L, 1L), ("g", 2L, 2L))
+      .toDF("g", "x", "y")
+    val rt = Stats.mannKendall(tied, "g", "x", "y").collect().head
+    assert((rt.getLong(3), rt.getLong(4)) == (2L, 48L), s"$rt")
+    // strictly decreasing: S = −3
+    val down = Seq(("g", 0L, 3L), ("g", 1L, 2L), ("g", 2L, 1L))
+      .toDF("g", "x", "y")
+    assert(Stats.mannKendall(down, "g", "x", "y").collect().head
+      .getLong(3) == -3L)
+  }
+
+  test("effectiveSampleSize: Kish ESS and design effect") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 3L), ("b", 1L))
+      .toDF("g", "w")
+    val got = Stats.effectiveSampleSize(df, "g", "w").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // uniform weights: ESS = n, deff = 1
+    assert(got("a") == (2L, 2L, 2000000L, 1000000L), s"${got("a")}")
+    // 3:1 weights: ESS = 16/10 = 1.6, deff = 2·10/16 = 1.25
+    assert(got("b") == (2L, 4L, 1600000L, 1250000L), s"${got("b")}")
+    // all-zero weights: ESS/deff undefined
+    val z = Seq(("z", 0L)).toDF("g", "w")
+    val rz = Stats.effectiveSampleSize(z, "g", "w").collect().head
+    assert(rz.isNullAt(3) && rz.isNullAt(4))
+  }
 }
