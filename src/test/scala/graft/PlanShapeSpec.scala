@@ -1281,4 +1281,62 @@ class PlanShapeSpec extends SparkSpec {
       !p285.contains("BroadcastNestedLoopJoin"),
       s"survivorship joins cluster-keyed frames only:\n$p285")
   }
+
+  test("round-10b operators keep their scale shapes (q288-q303)") {
+    // q288: BFS supersteps are equi-joins on vertex id — never a
+    // product, never a global window
+    val p288 = finalPlan(q("q288_bfs_hops"))
+    assert(!p288.contains("CartesianProduct") &&
+      !p288.contains("BroadcastNestedLoopJoin"),
+      s"bfs expands frontiers by equi-join:\n$p288")
+    assert(!p288.contains("Window"),
+      s"bfs needs no window at all:\n$p288")
+    // q289: run/delta lag windows must partition by (column, block) —
+    // a regression to one global window serializes the melt. The only
+    // single-partition window allowed is over the BLOCK-SUMMARY frame
+    // (column-partitioned), which the partition spec also covers.
+    val p289 = finalPlan(q("q289_compression_advisor"))
+    assert(!p289.contains("CartesianProduct"),
+      s"compression advisor joins per-column stat frames:\n$p289")
+    assert(p289.contains("_blk"),
+      s"lag windows must carry the block key:\n$p289")
+    // q292: ACF is join-paired — NO window anywhere in the plan
+    val p292 = finalPlan(q("q292_acf"))
+    assert(!p292.contains("Window"),
+      s"acf must pair lags by equi-join, not window:\n$p292")
+    assert(!p292.contains("CartesianProduct"),
+      s"acf joins on (key, idx):\n$p292")
+    // q296: ONE aggregate row, pair rows unfolded by a literal
+    // explode — no join of any kind
+    val p296 = finalPlan(q("q296_null_cooccurrence"))
+    assert(!p296.contains("Join"),
+      s"null co-occurrence is one fused aggregate:\n$p296")
+    // q298: the only ordered pass runs over the island-boundary
+    // frame; the data-sized work is two anti-joins
+    val p298 = finalPlan(q("q298_gaps_islands"))
+    assert(!p298.contains("CartesianProduct") &&
+      !p298.contains("BroadcastNestedLoopJoin"),
+      s"gaps-islands bounds by anti-joins:\n$p298")
+    // q299: G² cells join broadcast row/column totals; the corpus
+    // reduces to a hash aggregate before any join
+    val p299 = finalPlan(q("q299_collocations"))
+    assert(!p299.contains("CartesianProduct") &&
+      !p299.contains("SortMergeJoin"),
+      s"collocations join broadcast total frames only:\n$p299")
+    // q300: MCV/hist windows run over value cells partitioned by
+    // column — never the data, never single-partition
+    val p300 = finalPlan(q("q300_analyze_stats"))
+    assert(!p300.contains("Exchange SinglePartition"),
+      s"analyze windows must partition by column:\n$p300")
+    // q302: the BH scan collapses to p-value cells; the only
+    // single-partition pass is the cell-sized cumulative window
+    val p302 = finalPlan(q("q302_bh_fdr"))
+    assert(!p302.contains("CartesianProduct") &&
+      !p302.contains("SortMergeJoin"),
+      s"bh-fdr reduces to cells before the ordered pass:\n$p302")
+    // q303: ESS is exactly one hash aggregate — no join, no window
+    val p303 = finalPlan(q("q303_ess"))
+    assert(!p303.contains("Join") && !p303.contains("Window"),
+      s"ess is one aggregate:\n$p303")
+  }
 }
