@@ -293,19 +293,27 @@ object ScaleBench {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = "target/sf1"
     buildScaled(spark, src, sf1, replicas = 10)
+    // Dev-only subset filter (comma-separated leg names) for
+    // incremental leg runs — the committed decade table always comes
+    // from a FULL sweep; subset runs feed BASELINE.md notes only.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // untimed warmup (same rationale as Bench: JVM/codegen cost once)
-    heavy.foreach { n =>
+    heavy.filter(n => only.forall(_.contains(n))).foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     // pre-compute the q198 store-growth signature stores (untimed —
-    // the production store is persisted, never re-derived per batch)
-    prepQ198Store(spark, src)
-    prepQ198Store(spark, sf1)
+    // the production store is persisted, never re-derived per batch);
+    // skipped when a dev subset run excludes that leg
+    if (only.forall(_.contains("q198_store_growth"))) {
+      prepQ198Store(spark, src)
+      prepQ198Store(spark, sf1)
+    }
     // q55 operator-only stability pair: leg A runs early in the sweep,
     // leg B after everything else — a same-session ±20% band check
-    val legs: Seq[(String, (SparkSession, String) => DataFrame)] =
+    val allLegs: Seq[(String, (SparkSession, String) => DataFrame)] =
       (("q55_simhash_count_a" -> (q55CountLeg _)) +:
         heavy.map(n => n -> SparkEntry.queries(n)) :+
         ("q212_winnow_overlap_op" -> (q212OperatorLeg _)) :+
@@ -314,6 +322,7 @@ object ScaleBench {
         ("q268_ind_approx_op" -> (q268OperatorLeg _)) :+
         ("q206_mutual_align_ivf_op" -> (q206IvfLeg _)) :+
         ("q55_simhash_count_b" -> (q55CountLeg _)))
+    val legs = allLegs.filter { case (n, _) => only.forall(_.contains(n)) }
     def time(dir: String): Seq[(String, Double)] = legs.map { case (n, fn) =>
       System.gc() // steady storage state per query (see builder note)
       val t0 = System.nanoTime()
