@@ -3491,7 +3491,32 @@ object SparkEntry {
       graft.operators.Stats.effectiveSampleSize(
         t(s, dir, "documents").select(col("lang"),
           ((col("doc_id") * 31) % 100 + 1).as("w")),
-        "lang", "w"))
+        "lang", "w")),
+    // ---- exact weighted quantiles of doc length per language under
+    //      the q303 importance weights: the percentile training
+    //      actually sees after reweighting. ----
+    "q304_weighted_quantiles" -> ((s, dir) =>
+      graft.operators.Scale.weightedQuantilesByGroup(
+        t(s, dir, "documents").select(col("lang"), col("n_chars"),
+          ((col("doc_id") * 31) % 100 + 1).as("w")),
+        "lang", "n_chars", "w",
+        Seq(250000L, 500000L, 750000L, 1000000L))),
+    // ---- Wald–Wolfowitz runs test on the above-mean flag of the
+    //      daily series: does event volume clump or alternate?
+    //      Exact runs + exact null moments in floor micros. ----
+    "q305_runs_test" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("_n"), sum("cnt").as("_s"))
+      graft.operators.Stats.runsTest(
+        daily.join(broadcast(stats), Seq("event_type"))
+          .select(col("event_type"), col("d"),
+            (col("cnt") * col("_n") >= col("_s")).as("hot")),
+        "event_type", "d", "hot")
+    })
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8657,7 +8682,54 @@ SELECT "group", CAST(count(*) AS BIGINT) AS n,
   CAST(CAST(count(*) AS HUGEINT) * sum(CAST(w AS HUGEINT) * w)
     * 1000000 // (CAST(sum(w) AS HUGEINT) * sum(w)) AS BIGINT)
     AS deff_micro
-FROM base GROUP BY 1 ORDER BY "group""""
+FROM base GROUP BY 1 ORDER BY "group"""",
+    // q304: weight cells, per-group cumulative weight, exact
+    // ⌈q·W⌉ targets, min-value bound per target.
+    "q304_weighted_quantiles" ->
+      """WITH base AS (SELECT lang AS "group", n_chars AS v,
+  (doc_id * 31) % 100 + 1 AS w FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+cells AS (SELECT "group", v, CAST(sum(w) AS BIGINT) AS cw
+  FROM base GROUP BY 1, 2),
+cum AS (SELECT "group", v,
+  sum(cw) OVER (PARTITION BY "group" ORDER BY v) AS cm FROM cells),
+tot AS (SELECT "group", CAST(sum(cw) AS BIGINT) AS total_weight
+  FROM cells GROUP BY 1),
+tgt AS (SELECT "group", total_weight, CAST(q AS BIGINT) AS q_micro,
+  (q * total_weight + 999999) // 1000000 AS r
+  FROM tot CROSS JOIN
+    (SELECT unnest([250000, 500000, 750000, 1000000]) AS q))
+SELECT cum."group", q_micro, total_weight,
+  CAST(min(v) AS BIGINT) AS value
+FROM cum JOIN tgt USING ("group") WHERE cm >= r
+GROUP BY 1, 2, 3 ORDER BY "group", q_micro""",
+    // q305: above-mean flag via the exact integer compare cnt·n ≥ Σ,
+    // runs from the per-group lag, moments as pinned floor micros.
+    "q305_runs_test" ->
+      """WITH daily AS (SELECT event_type AS g,
+  epoch_us(ts) // 86400000000 AS x, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+st AS (SELECT g, CAST(count(*) AS BIGINT) AS nn,
+  CAST(sum(cnt) AS BIGINT) AS s FROM daily GROUP BY 1),
+b AS (SELECT daily.g, x, cnt * nn >= s AS hot
+  FROM daily JOIN st USING (g)),
+r AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+  CAST(sum(CASE WHEN hot THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+  CAST(sum(nr) AS BIGINT) AS runs FROM (
+    SELECT g, hot, CASE WHEN lag(hot) OVER (PARTITION BY g ORDER BY x)
+        IS DISTINCT FROM hot THEN 1 ELSE 0 END AS nr FROM b)
+  GROUP BY 1)
+SELECT g AS "group", n, n1, n2, runs,
+  CASE WHEN n < 2 THEN NULL ELSE CAST(1000000 +
+    CAST(2 AS HUGEINT) * n1 * n2 * 1000000 // n AS BIGINT) END
+    AS e_runs_micro,
+  CASE WHEN n < 2 THEN NULL ELSE CAST(
+    CAST(2 AS HUGEINT) * n1 * n2 *
+      (CAST(2 AS HUGEINT) * n1 * n2 - n) * 1000000
+    // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) END
+    AS var_runs_micro
+FROM r ORDER BY "group""""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -686,4 +686,52 @@ object Scale {
           .as("share_micro"))
       .orderBy("partition_id")
   }
+
+  /** Exact WEIGHTED quantiles per group — the percentile that
+    * respects importance weights ([[exactQuantilesByGroup]] treats
+    * every row as weight 1; after a DSIR/mixture reweighting the
+    * median document BY WEIGHT is the one training actually sees).
+    * Quantile q = the smallest value v whose cumulative weight
+    * reaches ⌈q·W⌉ — the rank target is the exact integer
+    * (q_micro·W + 10⁶ − 1) div 10⁶, no doubles anywhere (weights are
+    * caller-scaled nonneg integers).
+    *
+    * Scale shape: rows collapse to (group, value) WEIGHT CELLS in one
+    * hash aggregate; the ordered pass (cumulative weight) runs over
+    * cells partitioned BY GROUP — never the data; quantile targets
+    * explode from a literal array on the per-group totals and resolve
+    * with one join + min aggregate (the [[Audit.analyzeStats]]
+    * histogram machinery, weighted). Zero/negative/null weights drop.
+    * Returns (group, q_micro, total_weight, value) ordered by
+    * (group, q_micro). */
+  def weightedQuantilesByGroup(df: DataFrame, groupCol: String,
+                               valueCol: String, weightCol: String,
+                               qsMicro: Seq[Long]): DataFrame = {
+    require(qsMicro.nonEmpty &&
+      qsMicro.forall(q => q > 0L && q <= 1000000L),
+      s"quantile micros must lie in (0, 1e6]: $qsMicro")
+    require(qsMicro.distinct.size == qsMicro.size, "duplicate quantiles")
+    val cells = df
+      .select(col(groupCol).cast("string").as("group"),
+        col(valueCol).cast("long").as("_v"),
+        col(weightCol).cast("long").as("_w"))
+      .filter(col("group").isNotNull && col("_v").isNotNull &&
+        col("_w").isNotNull && col("_w") > 0)
+      .groupBy("group", "_v").agg(sum("_w").as("_cw"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy("_v")
+    val cum = cells.withColumn("_cum",
+      sum("_cw").over(wg.rowsBetween(Long.MinValue, 0)))
+    val targets = cells.groupBy("group")
+      .agg(sum("_cw").as("total_weight"))
+      .select(col("group"), col("total_weight"),
+        explode(array(qsMicro.sorted.map(lit): _*)).as("q_micro"))
+      .withColumn("_r",
+        expr("(q_micro * total_weight + 999999) div 1000000"))
+    cum.join(targets, Seq("group"))
+      .filter(col("_cum") >= col("_r"))
+      .groupBy("group", "q_micro", "total_weight")
+      .agg(min("_v").as("value"))
+      .orderBy("group", "q_micro")
+  }
 }

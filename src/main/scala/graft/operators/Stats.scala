@@ -809,6 +809,54 @@ object Stats {
       .orderBy("group")
   }
 
+  /** Wald–Wolfowitz runs test — is a binary sequence RANDOMLY
+    * interleaved, or does it clump (fewer runs than chance) /
+    * alternate (more)? The randomness audit for monitor flags over
+    * time: a quality gate that fires in one solid block is drift, the
+    * same count scattered uniformly is noise. Exact observed runs
+    * plus the exact first two moments under the null, cleared to
+    * floor micros (z needs √Var — the caller owns the last step, the
+    * [[mannKendall]] contract):
+    *
+    *   E[R]·10⁶   = 10⁶ + 2n₁n₂·10⁶ div n
+    *   Var[R]·10⁶ = 2n₁n₂(2n₁n₂ − n)·10⁶ div (n²(n−1))
+    *
+    * The sequence orders by `xCol` (unique per group — series data);
+    * runs count via one lag window partitioned BY GROUP (the series
+    * axis — the [[theilSenSlope]] per-group concession). Returns
+    * (group, n, n1, n2, runs, e_runs_micro, var_runs_micro) by
+    * group; moments null when n < 2. */
+  def runsTest(df: DataFrame, groupCol: String, xCol: String,
+               boolCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("_g"),
+        col(xCol).cast("long").as("_x"),
+        col(boolCol).cast("boolean").as("_b"))
+      .filter(col("_g").isNotNull && col("_x").isNotNull &&
+        col("_b").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy("_x")
+    val runs = base
+      .withColumn("_newRun",
+        when(lag(col("_b"), 1).over(w).isNull ||
+          !(col("_b") <=> lag(col("_b"), 1).over(w)), 1L).otherwise(0L))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("_b"), 1L).otherwise(0L)).as("n2"),
+        sum("_newRun").as("runs"))
+    runs.select(col("_g").as("group"), col("n"), col("n1"), col("n2"),
+        col("runs"),
+        expr("""CASE WHEN n < 2 THEN NULL ELSE CAST(1000000 +
+          CAST(2 AS DECIMAL(38,0)) * n1 * n2 * 1000000 div n
+          AS BIGINT) END""").as("e_runs_micro"),
+        expr("""CASE WHEN n < 2 THEN NULL ELSE CAST(
+          CAST(2 AS DECIMAL(38,0)) * n1 * n2 *
+            (CAST(2 AS DECIMAL(38,0)) * n1 * n2 - n) * 1000000
+          div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))
+          AS BIGINT) END""").as("var_runs_micro"))
+      .orderBy("group")
+  }
+
   /** Effective sample size & design effect of a weighted corpus —
     * "my reweighted 10M documents behave like how many unweighted
     * ones?" (Kish): ESS = (Σw)²/Σw², deff = n·Σw²/(Σw)². The first

@@ -398,4 +398,27 @@ class ScaleSpec extends SparkSpec {
       Scale.winsorize(df, "v", "id", 0.9, 0.5)
     }
   }
+
+  test("weightedQuantilesByGroup: ceil targets on cumulative weight") {
+    import spark.implicits._
+    // values 1/2/3 with weights 1/1/2: W = 4; cum = 1, 2, 4
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 2L))
+      .toDF("grp", "v", "w")
+    val got = Scale.weightedQuantilesByGroup(df, "grp", "v", "w",
+      Seq(250000L, 500000L, 750000L, 1000000L)).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(250000L) == (4L, 1L), s"$got")   // r = 1 → value 1
+    assert(got(500000L) == (4L, 2L))            // r = 2 → value 2
+    assert(got(750000L) == (4L, 3L))            // r = 3 → value 3
+    assert(got(1000000L) == (4L, 3L))           // r = 4 → max
+    // zero/negative weights drop; duplicate values fold their weights
+    val zw = Seq(("g", 5L, 0L), ("g", 5L, 3L), ("g", 5L, -2L),
+      ("g", 9L, 1L)).toDF("grp", "v", "w")
+    val gz = Scale.weightedQuantilesByGroup(zw, "grp", "v", "w",
+      Seq(500000L)).collect().head
+    assert(gz.getLong(2) == 4L && gz.getLong(3) == 5L, s"$gz")
+    intercept[IllegalArgumentException] {
+      Scale.weightedQuantilesByGroup(df, "grp", "v", "w", Seq(0L))
+    }
+  }
 }

@@ -354,6 +354,28 @@ class StatsSpec extends SparkSpec {
       .getLong(3) == -3L)
   }
 
+  test("runsTest: exact runs and null moments, clump vs alternate") {
+    import spark.implicits._
+    // T T F F T T → 3 runs, n1 = 4, n2 = 2
+    val seq1 = Seq(true, true, false, false, true, true).zipWithIndex
+      .map { case (b, i) => ("g", i.toLong, b) }.toDF("g", "x", "b")
+    val r = Stats.runsTest(seq1, "g", "x", "b").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (6L, 4L, 2L, 3L), s"$r")
+    assert(r.getLong(5) == 3666666L, s"E[R]: ${r.getLong(5)}")
+    assert(r.getLong(6) == 888888L, s"Var[R]: ${r.getLong(6)}")
+    // perfect alternation: max runs
+    val alt = Seq(true, false, true, false).zipWithIndex
+      .map { case (b, i) => ("a", i.toLong, b) }.toDF("g", "x", "b")
+    val ra = Stats.runsTest(alt, "g", "x", "b").collect().head
+    assert(ra.getLong(4) == 4L && ra.getLong(5) == 3000000L &&
+      ra.getLong(6) == 666666L, s"$ra")
+    // single observation: 1 run, moments undefined
+    val one = Seq(("o", 0L, true)).toDF("g", "x", "b")
+    val ro = Stats.runsTest(one, "g", "x", "b").collect().head
+    assert(ro.getLong(4) == 1L && ro.isNullAt(5) && ro.isNullAt(6))
+  }
+
   test("effectiveSampleSize: Kish ESS and design effect") {
     import spark.implicits._
     val df = Seq(("a", 1L), ("a", 1L), ("b", 3L), ("b", 1L))
