@@ -162,7 +162,10 @@ object ScaleBench {
     // island-sized pairing pass)
     "q288_bfs_hops", "q289_compression_advisor", "q291_kruskal_wallis",
     "q292_acf", "q295_chao1", "q297_seasonal_profile",
-    "q298_gaps_islands")
+    "q298_gaps_islands",
+    // weighted quantiles (q304 — 10× scan into per-language value
+    // cells; the cell frame grows with distinct n_chars, sub-10×)
+    "q304_weighted_quantiles")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per

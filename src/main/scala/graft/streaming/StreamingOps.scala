@@ -1256,4 +1256,26 @@ object StreamingOps {
         } finally report.unpersist(false)
       }
       .start()
+
+  /** Streaming twin of
+    * [[graft.operators.TemporalJoins.seasonalProfile]]'s CELL layer:
+    * running (key, iso-dow, hour-of-day) event counts in Update mode.
+    * Seasonal cells never close — every future Monday-10am event
+    * updates the same cell — so there is no watermark and no
+    * eviction; state is bounded by construction at keys × 168 cells,
+    * the rare aggregation that is LEGITIMATELY unwatermarked. The
+    * share/deviation layer needs per-key totals (a second aggregation
+    * level Structured Streaming cannot stack) and stays a batch
+    * finishing step over the emitted cells — the same
+    * cells-then-finish split as [[corpusCardStream]]. Batch parity:
+    * the cell counts after processing a bounded stream equal the
+    * batch operator's n_events exactly (spec-pinned). */
+  def seasonalCellsStream(events: DataFrame, keyCol: String,
+                          tsCol: String): DataFrame =
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        ((dayofweek(col(tsCol)) + 5) % 7 + 1).as("dow"),
+        hour(col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
 }

@@ -1566,4 +1566,31 @@ class StreamingOpsSpec extends SparkSpec {
       store.select("media_id").distinct().count(),
       "replay must not duplicate store hash rows")
   }
+
+  test("streaming seasonal cells equal the batch seasonalProfile counts") {
+    val mem = MemoryStream[(String, Timestamp)](spark)
+    val rows = Seq(
+      ("A", ts("2024-01-01 10:05:00")), // Monday 10h
+      ("A", ts("2024-01-01 10:25:00")),
+      ("A", ts("2024-01-08 10:45:00")), // next Monday, same cell
+      ("A", ts("2024-01-02 10:00:00")), // Tuesday 10h
+      ("B", ts("2024-01-07 23:10:00"))) // Sunday → iso 7
+    mem.addData(rows: _*)
+    val cells = StreamingOps.seasonalCellsStream(
+      mem.toDF().toDF("k", "ts"), "k", "ts")
+    val q = cells.writeStream.format("memory")
+      .queryName("seasonal_cells_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(30000)
+    val streamed = spark.table("seasonal_cells_test")
+      .as[(String, Int, Int, Long)].collect().toSet
+    val batch = graft.operators.TemporalJoins.seasonalProfile(
+      rows.toDF("k", "ts"), "k", "ts")
+      .select("key", "dow", "hour", "n_events")
+      .as[(String, Int, Int, Long)].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.contains(("A", 1, 10, 3L)), s"$streamed")
+  }
 }
