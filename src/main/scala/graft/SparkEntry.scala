@@ -3516,7 +3516,31 @@ object SparkEntry {
           .select(col("event_type"), col("d"),
             (col("cnt") * col("_n") >= col("_s")).as("hot")),
         "event_type", "d", "hot")
-    })
+    }),
+    // ---- diameter lower bound by double BFS sweep over the q132
+    //      link graph (seed 0, ties by id DESC): the "how many hops
+    //      across this corpus" census number. ----
+    "q306_diameter" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val m = d.agg(max("doc_id")).head().getLong(0) + 1
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % m,
+          (col("doc_id") * 13 + 5) % m,
+          (col("doc_id") * 29 + 11) % m)).as("dst"))
+      graft.operators.Graph.diameterDoubleSweep(edges, "src", "dst",
+        seed = 0L, maxHops = 8)
+    }),
+    // ---- Cochran–Armitage trend: does a deterministic pass flag
+    //      rate rise monotonically with the dose bucket? The
+    //      N-cleared exact z² identity, one pinned floor. ----
+    "q307_cochran_armitage" -> ((s, dir) =>
+      graft.operators.Stats.cochranArmitage(
+        t(s, dir, "documents").select(
+          (col("doc_id") % 5).as("dose"),
+          ((col("doc_id") * 13) % 10 < col("doc_id") % 5 + 3)
+            .as("pass")),
+        "dose", "pass"))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8729,7 +8753,64 @@ SELECT g AS "group", n, n1, n2, runs,
       (CAST(2 AS HUGEINT) * n1 * n2 - n) * 1000000
     // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) END
     AS var_runs_micro
-FROM r ORDER BY "group""""
+FROM r ORDER BY "group"""",
+    // q306: two recursive-CTE BFS runs; the far vertex is the
+    // (hops DESC, vertex DESC) argmax of the first min-hop frame.
+    "q306_diameter" ->
+      """WITH RECURSIVE mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+half AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT m FROM mm) AS dst
+    FROM documents
+  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % (SELECT m FROM mm)
+    FROM documents
+  UNION ALL SELECT doc_id, (doc_id * 29 + 11) % (SELECT m FROM mm)
+    FROM documents),
+edges AS (SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half)
+  WHERE src <> dst),
+b1 AS (
+  SELECT CAST(0 AS BIGINT) AS vertex, 0 AS hops
+  UNION
+  SELECT e.dst, b.hops + 1 FROM b1 b JOIN edges e ON e.src = b.vertex
+    WHERE b.hops < 8),
+b1m AS (SELECT vertex, min(hops) AS hops FROM b1 GROUP BY 1),
+far AS (SELECT vertex, hops FROM b1m
+  ORDER BY hops DESC, vertex DESC LIMIT 1),
+b2 AS (
+  SELECT (SELECT vertex FROM far) AS vertex, 0 AS hops
+  UNION
+  SELECT e.dst, b.hops + 1 FROM b2 b JOIN edges e ON e.src = b.vertex
+    WHERE b.hops < 8),
+b2m AS (SELECT vertex, min(hops) AS hops FROM b2 GROUP BY 1)
+SELECT CAST(0 AS BIGINT) AS seed,
+  CAST((SELECT hops FROM far) AS INT) AS ecc_seed,
+  (SELECT vertex FROM far) AS far_vertex,
+  CAST((SELECT max(hops) FROM b2m) AS INT) AS diameter_lb,
+  (SELECT CAST(count(*) AS BIGINT) FROM b1m) AS n_reached_1,
+  (SELECT CAST(count(*) AS BIGINT) FROM b2m) AS n_reached_2""",
+    // q307: the N-cleared z² identity in HUGEINT, one pinned floor.
+    "q307_cochran_armitage" ->
+      """WITH base AS (SELECT doc_id % 5 AS w,
+  (doc_id * 13) % 10 < doc_id % 5 + 3 AS y FROM documents),
+g AS (SELECT w, CAST(count(*) AS BIGINT) AS ni,
+  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ri
+  FROM base GROUP BY 1),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ri) AS BIGINT) AS successes,
+  sum(CAST(w AS HUGEINT) * ri) AS wr,
+  sum(CAST(w AS HUGEINT) * ni) AS wn,
+  sum(CAST(w AS HUGEINT) * w * ni) AS wwn FROM g)
+SELECT n, successes, n_groups,
+  CAST(wr * n - CAST(successes AS HUGEINT) * wn AS BIGINT)
+    AS trend_num,
+  CASE WHEN CAST(successes AS HUGEINT) * (n - successes)
+      * (CAST(n AS HUGEINT) * wwn - wn * wn) = 0 THEN NULL
+    ELSE CAST((wr * n - CAST(successes AS HUGEINT) * wn)
+      * (wr * n - CAST(successes AS HUGEINT) * wn) * n * 1000000
+      // (CAST(successes AS HUGEINT) * (n - successes)
+        * (CAST(n AS HUGEINT) * wwn - wn * wn)) AS BIGINT) END
+    AS z2_micro
+FROM agg"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

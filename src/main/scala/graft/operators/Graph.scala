@@ -972,4 +972,40 @@ object Graph {
     }
     visited.orderBy("hops", "vertex")
   }
+
+  /** Diameter lower bound by the classic DOUBLE BFS SWEEP (the iFUB /
+    * Magnien–Latapy–Habib heuristic): BFS from a fixed seed, take the
+    * farthest vertex found (ties by vertex id DESC — deterministic),
+    * BFS again from there; the second eccentricity is a lower bound
+    * on the true diameter that is exact on trees and empirically
+    * tight on real graphs — the "how many link hops across this web
+    * corpus" census number. Composes two [[bfsHops]] runs; `maxHops`
+    * must exceed the true eccentricities for the bound to be the
+    * sweep's full value (unreached vertices are simply absent, the
+    * bfsHops contract).
+    *
+    * Two driver actions sit between the sweeps (the farthest-vertex
+    * argmax — one row each), same footing as pageRank's max-id read.
+    * Returns ONE row: (seed, ecc_seed, far_vertex, diameter_lb,
+    * n_reached_1, n_reached_2). */
+  def diameterDoubleSweep(edges: DataFrame, srcCol: String,
+                          dstCol: String, seed: Long,
+                          maxHops: Int = 10): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val b1 = bfsHops(edges, srcCol, dstCol,
+      Seq(seed).toDF("_seed"), "_seed", maxHops).localCheckpoint(true)
+    val far = b1.agg(max(struct(col("hops"), col("vertex"))).as("_f"))
+      .select(col("_f.hops").as("ecc"), col("_f.vertex").as("v"))
+      .head()
+    val (eccSeed, farVertex) = (far.getInt(0), far.getLong(1))
+    val b2 = bfsHops(edges, srcCol, dstCol,
+      Seq(farVertex).toDF("_seed"), "_seed", maxHops)
+      .localCheckpoint(true)
+    val n1 = b1.count(); val n2 = b2.count()
+    val d2 = b2.agg(max("hops")).head().getInt(0)
+    Seq((seed, eccSeed, farVertex, d2, n1, n2))
+      .toDF("seed", "ecc_seed", "far_vertex", "diameter_lb",
+        "n_reached_1", "n_reached_2")
+  }
 }

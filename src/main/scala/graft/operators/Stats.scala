@@ -809,6 +809,54 @@ object Stats {
       .orderBy("group")
   }
 
+  /** Cochran–Armitage trend test — is a binary rate MONOTONE in an
+    * ordinal dose (quality-pass rate vs quality bucket, dup rate vs
+    * crawl depth)? The chi-square-for-trend that a plain 2×k
+    * independence test wastes power on. With group scores wᵢ, sizes
+    * nᵢ, successes rᵢ, N = Σnᵢ, R = Σrᵢ, everything clears to two
+    * exact integers:
+    *
+    *   A = Σwᵢrᵢ·N − R·Σwᵢnᵢ                (the trend numerator)
+    *   B = R(N−R)·(N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²)
+    *   z²·10⁶ = A²·N·10⁶ div B              (one pinned floor)
+    *
+    * (the N-cleared identity: z² = T₀²/Var with T₀ = A/N and
+    * Var = B/N³). B = 0 — all successes, none, or one group — yields
+    * null. DECIMAL(38,0) headroom: |A| ≾ w·N², so A²·N·10⁶ needs
+    * w²·N⁵·10⁶ < 10³⁸ — fine to N ≈ 10⁶ at w ≤ 10; pre-aggregate or
+    * rescale scores beyond. ONE hash aggregate over (score) groups,
+    * then a 1-row fold. Returns ONE row: (n, successes, n_groups,
+    * trend_num, z2_micro). */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      successCol: String): DataFrame = {
+    val base = df.select(col(scoreCol).cast("long").as("_w"),
+        col(successCol).cast("boolean").as("_y"))
+      .filter(col("_w").isNotNull && col("_y").isNotNull)
+    base.groupBy("_w")
+      .agg(count(lit(1)).as("_ni"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_ri"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum("_ni").as("n"), sum("_ri").as("successes"),
+        sum(col("_w").cast("decimal(38,0)") * col("_ri")).as("_wr"),
+        sum(col("_w").cast("decimal(38,0)") * col("_ni")).as("_wn"),
+        sum(col("_w").cast("decimal(38,0)") * col("_w") * col("_ni"))
+          .as("_wwn"))
+      .withColumn("trend_num", expr(
+        "CAST(_wr * n - CAST(successes AS DECIMAL(38,0)) * _wn " +
+          "AS BIGINT)"))
+      .withColumn("z2_micro", expr(
+        """CASE WHEN CAST(successes AS DECIMAL(38,0)) * (n - successes)
+             * (CAST(n AS DECIMAL(38,0)) * _wwn - _wn * _wn) = 0
+           THEN NULL ELSE
+           CAST((_wr * n - CAST(successes AS DECIMAL(38,0)) * _wn)
+             * (_wr * n - CAST(successes AS DECIMAL(38,0)) * _wn)
+             * n * 1000000
+             div (CAST(successes AS DECIMAL(38,0)) * (n - successes)
+               * (CAST(n AS DECIMAL(38,0)) * _wwn - _wn * _wn))
+           AS BIGINT) END"""))
+      .select("n", "successes", "n_groups", "trend_num", "z2_micro")
+  }
+
   /** Wald–Wolfowitz runs test — is a binary sequence RANDOMLY
     * interleaved, or does it clump (fewer runs than chance) /
     * alternate (more)? The randomness audit for monitor flags over

@@ -516,4 +516,22 @@ class GraphSpec extends SparkSpec {
       Graph.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 0)
     }
   }
+
+  test("diameterDoubleSweep: exact on a path, ties by id DESC") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    // from an endpoint: ecc 4, far vertex 5, sweep finds diameter 4
+    val r1 = Graph.diameterDoubleSweep(path, "src", "dst", seed = 1L,
+      maxHops = 6).collect().head
+    assert((r1.getLong(0), r1.getInt(1), r1.getLong(2), r1.getInt(3)) ==
+      (1L, 4, 5L, 4), s"$r1")
+    assert(r1.getLong(4) == 5L && r1.getLong(5) == 5L)
+    // from the middle: ecc 2, far tie {1, 5} breaks to 5 (id DESC),
+    // second sweep still finds the true diameter 4
+    val r3 = Graph.diameterDoubleSweep(path, "src", "dst", seed = 3L,
+      maxHops = 6).collect().head
+    assert((r3.getInt(1), r3.getLong(2), r3.getInt(3)) == (2, 5L, 4),
+      s"$r3")
+  }
 }

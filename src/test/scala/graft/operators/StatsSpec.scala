@@ -354,6 +354,26 @@ class StatsSpec extends SparkSpec {
       .getLong(3) == -3L)
   }
 
+  test("cochranArmitage: hand-computed trend z², degenerate null") {
+    import spark.implicits._
+    // doses 0/1/2 with 0, 1, 2 successes of 2 each: A = 12, B = 216,
+    // z² = 144·6/216 = 4.0
+    val df = Seq((0L, false), (0L, false), (1L, true), (1L, false),
+      (2L, true), (2L, true)).toDF("dose", "y")
+    val r = Stats.cochranArmitage(df, "dose", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (6L, 3L, 3L))
+    assert(r.getLong(3) == 12L, s"trend_num: ${r.getLong(3)}")
+    assert(r.getLong(4) == 4000000L, s"z2: ${r.getLong(4)}")
+    // all successes: variance 0 → null z²
+    val flat = Seq((0L, true), (1L, true)).toDF("dose", "y")
+    assert(Stats.cochranArmitage(flat, "dose", "y").collect().head
+      .isNullAt(4))
+    // single group: trend undefined (B = 0) → null
+    val one = Seq((1L, true), (1L, false)).toDF("dose", "y")
+    assert(Stats.cochranArmitage(one, "dose", "y").collect().head
+      .isNullAt(4))
+  }
+
   test("runsTest: exact runs and null moments, clump vs alternate") {
     import spark.implicits._
     // T T F F T T → 3 runs, n1 = 4, n2 = 2
