@@ -799,12 +799,31 @@ object Audit {
       (ests.getOrElse(c, 0.0) * 1000000.0 <
         n.toDouble * (1000000L - slackMicro).toDouble)).toMap
     val survivors = candidates.filterNot(pruned)
+    // Survivor-only melt: exploding the FULL candidate set and
+    // left-semi-filtering afterwards (the original shape) paid the
+    // explode + string render for every PRUNED candidate too —
+    // Catalyst cannot prune array elements through a post-explode
+    // filter, so the prefilter saved distinct work but not melt work
+    // (BENCH r10: 9.25 s, slower than the exact q273's 5.8 s —
+    // inverting the operator's purpose). Building the struct array
+    // from survivors alone makes the exact pass cost proportional to
+    // what SURVIVED the sketch, which is the whole point.
     val exact: Map[String, Long] =
       if (survivors.isEmpty) Map.empty
       else {
-        val surv = ss.createDataFrame(survivors.map(Tuple1(_)))
-          .toDF("cand")
-        melt.join(broadcast(surv), Seq("cand"), "left_semi")
+        val survSet = survivors.toSet
+        val survStructs =
+          (cols.filter(survSet.contains).map(c =>
+            struct(lit(c).as("cand"), rendered(c).as("v"))) ++
+            cols.combinations(2).toSeq
+              .filter(pq => survSet.contains(s"${pq(0)}+${pq(1)}"))
+              .map { pq =>
+                val (a, b) = (pq(0), pq(1))
+                struct(lit(s"$a+$b").as("cand"),
+                  concat_ws("\u0002", rendered(a), rendered(b)).as("v"))
+              })
+        df.select(explode(array(survStructs: _*)).as("_p"))
+          .select(col("_p.cand").as("cand"), col("_p.v").as("v"))
           .distinct()
           .groupBy("cand").agg(count(lit(1)).as("_nd"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

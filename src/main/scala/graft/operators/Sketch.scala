@@ -46,7 +46,12 @@ object Sketch {
 
   /** 48-bit md5 digest of the value's string form. */
   private def h48(v: Column): Column =
-    conv(substring(md5(v.cast("string")), 1, 12), 16, 10).cast("long")
+    // native hex-slice kernel (spec-pinned ≡ the conv/substring twin,
+    // the q279 precedent): value-identical, but codegen'd — conv's
+    // NumberConverter call was the dominant per-row cost of every
+    // HLL register build (measured on q286's 6M-row melt)
+    graft.functions.VectorExpressions.hexSliceToLong(
+      md5(v.cast("string")), 1, 12)
 
   /** floor(log2(x)) for x ≥ 1 via comparison ladder (40-bit domain). */
   private def floorLog2(x: Column): Column =
