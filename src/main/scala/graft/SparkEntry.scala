@@ -3540,7 +3540,31 @@ object SparkEntry {
           (col("doc_id") % 5).as("dose"),
           ((col("doc_id") * 13) % 10 < col("doc_id") % 5 + 3)
             .as("pass")),
-        "dose", "pass"))
+        "dose", "pass")),
+    // ---- cluster purity of length buckets against language labels:
+    //      per-cluster majority label and share — the first
+    //      diagnostic after any clustering pass. ----
+    "q308_cluster_purity" -> ((s, dir) =>
+      graft.operators.Eval.clusterPurity(
+        t(s, dir, "documents").select(
+          expr("n_chars div 500").as("bkt"), col("lang")),
+        "bkt", "lang")),
+    // ---- Rand / adjusted Rand agreement between the language and
+    //      source partitions: chance-corrected pair counting, exact
+    //      integers end to end. ----
+    "q309_adjusted_rand" -> ((s, dir) =>
+      graft.operators.Eval.adjustedRand(
+        t(s, dir, "documents"), "lang", "source")),
+    // ---- information-gain ranking of three candidate features
+    //      against the language label (source predicts, the mod-10
+    //      column is planted noise): per-feature MI in pinned
+    //      micronats. ----
+    "q310_info_gain" -> ((s, dir) =>
+      graft.operators.Stats.infoGainRank(
+        t(s, dir, "documents").select(col("lang"), col("source"),
+          expr("n_chars div 1000").as("len_bkt"),
+          (col("doc_id") % 10).as("noise")),
+        "lang", Seq("source", "len_bkt", "noise")))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8810,7 +8834,80 @@ SELECT n, successes, n_groups,
       // (CAST(successes AS HUGEINT) * (n - successes)
         * (CAST(n AS HUGEINT) * wwn - wn * wn)) AS BIGINT) END
     AS z2_micro
-FROM agg"""
+FROM agg""",
+    // q308: per-cluster majority by (count DESC, label ASC), exact
+    // floor-micro share.
+    "q308_cluster_purity" ->
+      """WITH cells AS (SELECT CAST(n_chars // 500 AS VARCHAR)
+    AS cluster, lang AS l, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2),
+m AS (SELECT cluster, l, n,
+  row_number() OVER (PARTITION BY cluster ORDER BY n DESC, l ASC)
+    AS rn,
+  sum(n) OVER (PARTITION BY cluster) AS tot FROM cells)
+SELECT cluster, CAST(tot AS BIGINT) AS n, l AS majority_label,
+  CAST(n * 1000000 // tot AS BIGINT) AS majority_share_micro
+FROM m WHERE rn = 1 ORDER BY cluster""",
+    // q309: pair-counting over contingency cells, the /2-cancelled
+    // exact RI/ARI identities, signed truncating //.
+    "q309_adjusted_rand" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+  CAST(count(*) AS BIGINT) AS n FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+p AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+  CAST(sum(n) AS BIGINT) AS n,
+  coalesce(sum(CAST(n AS HUGEINT) * (n - 1)), CAST(0 AS HUGEINT))
+    AS pp FROM cells),
+ra AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters_a,
+  coalesce(sum(CAST(s AS HUGEINT) * (s - 1)), CAST(0 AS HUGEINT))
+    AS aa FROM (SELECT sum(n) AS s FROM cells GROUP BY a)),
+rb AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters_b,
+  coalesce(sum(CAST(s AS HUGEINT) * (s - 1)), CAST(0 AS HUGEINT))
+    AS bb FROM (SELECT sum(n) AS s FROM cells GROUP BY b))
+SELECT n, n_cells, n_clusters_a, n_clusters_b,
+  CASE WHEN CAST(n AS HUGEINT) * (n - 1) = 0 THEN NULL
+    ELSE CAST((CAST(n AS HUGEINT) * (n - 1) + 2 * pp - aa - bb)
+      * 1000000 // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END
+    AS ri_micro,
+  CASE WHEN (aa + bb) * (CAST(n AS HUGEINT) * (n - 1)) - 2 * aa * bb
+      = 0 THEN NULL
+    ELSE CAST((pp * (CAST(n AS HUGEINT) * (n - 1)) - aa * bb) * 2
+      * 1000000
+      // ((aa + bb) * (CAST(n AS HUGEINT) * (n - 1)) - 2 * aa * bb)
+      AS BIGINT) END AS ari_micro
+FROM p CROSS JOIN ra CROSS JOIN rb""",
+    // q310: the q211 pinned-log MI per melted feature; per-feature N
+    // counts that feature's own non-null rows.
+    "q310_info_gain" ->
+      """WITH base AS (SELECT lang AS l, source,
+  CAST(n_chars // 1000 AS VARCHAR) AS len_bkt,
+  CAST(doc_id % 10 AS VARCHAR) AS noise FROM documents
+  WHERE lang IS NOT NULL),
+m AS (
+  SELECT 'source' AS feature, source AS fv, l FROM base
+  UNION ALL SELECT 'len_bkt', len_bkt, l FROM base
+  UNION ALL SELECT 'noise', noise, l FROM base),
+cells AS (SELECT feature, fv, l, CAST(count(*) AS BIGINT) AS nij
+  FROM m WHERE fv IS NOT NULL GROUP BY 1, 2, 3),
+ni AS (SELECT feature, fv, CAST(sum(nij) AS BIGINT) AS nvi
+  FROM cells GROUP BY 1, 2),
+nj AS (SELECT feature, l, CAST(sum(nij) AS BIGINT) AS nlj
+  FROM cells GROUP BY 1, 2),
+nn AS (SELECT feature, CAST(sum(nij) AS BIGINT) AS n,
+  CAST(count(*) AS BIGINT) AS n_cells FROM cells GROUP BY 1),
+t AS (SELECT cells.feature, nij,
+  round(ln(CAST(n * nij AS DOUBLE) / CAST(nvi * nlj AS DOUBLE)), 6)
+    AS tt
+  FROM cells JOIN ni USING (feature, fv)
+  JOIN nj ON nj.feature = cells.feature AND nj.l = cells.l
+  JOIN nn ON nn.feature = cells.feature),
+mi AS (SELECT feature,
+  CAST(coalesce(sum(CAST(nij AS DECIMAL(18,0))
+    * CAST(tt AS DECIMAL(18,6))) * 1000000, 0) AS BIGINT) AS mi_micro
+  FROM t GROUP BY 1)
+SELECT mi.feature, n, n_cells, mi_micro FROM mi JOIN nn USING (feature)
+ORDER BY mi_micro DESC, feature"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -1059,6 +1059,86 @@ object Eval {
           .as("kappa_micro"))
   }
 
+  /** Cluster purity against reference labels — per cluster, the
+    * majority label and its share: the first diagnostic after any
+    * clustering pass (SemDeDup cells, LSH bands, k-medians coarse
+    * quantizers) when a labeled subset exists. Exact integers; ties
+    * on the majority break by label ASC (the [[majorityLabel]]
+    * convention — deterministic on both engines). One hash aggregate
+    * to (cluster, label) cells, a cell-frame fold after. Returns one
+    * row per cluster: (cluster, n, majority_label,
+    * majority_share_micro), ordered by cluster. */
+  def clusterPurity(df: DataFrame, clusterCol: String,
+                    labelCol: String): DataFrame = {
+    val cells = df
+      .filter(col(clusterCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(clusterCol).cast("string").as("cluster"),
+        col(labelCol).cast("string").as("_l"))
+      .agg(count(lit(1)).as("_n"))
+    cells.groupBy("cluster")
+      .agg(sum("_n").as("n"),
+        min(struct((-col("_n")).as("nn"), col("_l").as("l"))).as("_b"))
+      .select(col("cluster"), col("n"),
+        col("_b.l").as("majority_label"),
+        expr("CAST((-_b.nn) * 1000000 div n AS BIGINT)")
+          .as("majority_share_micro"))
+      .orderBy("cluster")
+  }
+
+  /** Rand index and ADJUSTED Rand index between two partitions of
+    * the same rows — the chance-corrected pair-counting agreement
+    * (Hubert & Arabie 1985): do two clusterings (or a clustering and
+    * a label column) group the same pairs together? Everything is
+    * pair-counting over the contingency cells, so the whole statistic
+    * clears to exact integers with ONE pinned signed division each:
+    *
+    *   with P = Σᵢⱼ nᵢⱼ(nᵢⱼ−1), A = Σᵢ aᵢ(aᵢ−1), B = Σⱼ bⱼ(bⱼ−1),
+    *   C = n(n−1):
+    *   RI·10⁶  = (C + 2P − A − B)·10⁶ div C
+    *   ARI·10⁶ = (P·C − A·B)·2·10⁶ div ((A+B)·C − 2·A·B)
+    *
+    * (the usual C(·,2) binomials carry a /2 that cancels throughout).
+    * ARI is null when the denominator is 0 (both partitions trivial —
+    * all-singletons or one cluster on both sides). DECIMAL(38,0)
+    * throughout; the one corpus-sized stage is the cell aggregate.
+    * Returns ONE row: (n, n_cells, n_clusters_a, n_clusters_b,
+    * ri_micro, ari_micro). */
+  def adjustedRand(df: DataFrame, aCol: String,
+                   bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(38,0)")
+    val p = cells.agg(count(lit(1)).as("n_cells"),
+      coalesce(sum("_n"), lit(0L)).as("n"),
+      coalesce(sum(dec(col("_n")) * (col("_n") - 1)),
+        lit(0).cast("decimal(38,0)")).as("_p"))
+    val ra = cells.groupBy("_a").agg(sum("_n").as("_ai"))
+      .agg(count(lit(1)).as("n_clusters_a"),
+        coalesce(sum(dec(col("_ai")) * (col("_ai") - 1)),
+          lit(0).cast("decimal(38,0)")).as("_A"))
+    val rb = cells.groupBy("_b").agg(sum("_n").as("_bj"))
+      .agg(count(lit(1)).as("n_clusters_b"),
+        coalesce(sum(dec(col("_bj")) * (col("_bj") - 1)),
+          lit(0).cast("decimal(38,0)")).as("_B"))
+    p.crossJoin(broadcast(ra)).crossJoin(broadcast(rb))
+      .withColumn("_C", dec(col("n")) * (col("n") - 1))
+      .withColumn("ri_micro", expr(
+        """CASE WHEN _C = 0 THEN NULL ELSE
+           CAST((_C + 2 * _p - _A - _B) * 1000000 div _C AS BIGINT)
+           END"""))
+      .withColumn("ari_micro", expr(
+        """CASE WHEN (_A + _B) * _C - 2 * _A * _B = 0 THEN NULL ELSE
+           CAST((_p * _C - _A * _B) * 2 * 1000000
+             div ((_A + _B) * _C - 2 * _A * _B) AS BIGINT) END"""))
+      .select("n", "n_cells", "n_clusters_a", "n_clusters_b",
+        "ri_micro", "ari_micro")
+  }
+
   /** Benjamini–Hochberg FDR threshold — which of m simultaneous
     * p-values survive multiple-testing control at level α: the gate
     * every drift battery / slice-metric sweep needs before declaring

@@ -560,6 +560,57 @@ object Stats {
         col("h_b_micro"))
   }
 
+  /** Information-gain feature ranking — MI(feature; label) per
+    * candidate feature in exact micronats, ranked: which metadata
+    * column (source, length bucket, URL depth …) actually predicts
+    * the label a curation model is about to be trained on, and which
+    * is noise. [[mutualInfo]] generalized across a melt: one explode
+    * → (feature, value, label) cells, per-feature marginals joined
+    * back broadcast, each cell's log pinned at 6 dp (the mutualInfo
+    * convention — identical DECIMAL(18,6) terms on both engines).
+    * Per-feature N counts that feature's non-null rows, so features
+    * with different null patterns stay comparable. Categorical
+    * features only — bucketize continuous ones first (the
+    * kendallConcordance rule). Returns (feature, n, n_cells,
+    * mi_micro) ordered by (mi_micro DESC, feature). */
+  def infoGainRank(df: DataFrame, labelCol: String,
+                   featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty && featureCols.size <= 32,
+      s"need 1..32 features, got ${featureCols.size}")
+    require(featureCols.distinct.size == featureCols.size,
+      "duplicate features")
+    val structs = featureCols.map(c =>
+      struct(lit(c).as("feature"), col(c).cast("string").as("fv")))
+    val cells = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("_l"),
+        explode(array(structs: _*)).as("_e"))
+      .select(col("_e.feature").as("feature"), col("_e.fv").as("fv"),
+        col("_l"))
+      .filter(col("fv").isNotNull)
+      .groupBy("feature", "fv", "_l")
+      .agg(count(lit(1)).as("_nij"))
+      .localCheckpoint()
+    val ni = cells.groupBy("feature", "fv").agg(sum("_nij").as("_ni"))
+    val nj = cells.groupBy("feature", "_l").agg(sum("_nij").as("_nj"))
+    val nn = cells.groupBy("feature")
+      .agg(sum("_nij").as("n"), count(lit(1)).as("n_cells"))
+    cells
+      .join(broadcast(ni), Seq("feature", "fv"))
+      .join(broadcast(nj), Seq("feature", "_l"))
+      .join(broadcast(nn), Seq("feature"))
+      .select(col("feature"), col("_nij"),
+        round(log((col("n") * col("_nij")).cast("double") /
+          (col("_ni") * col("_nj")).cast("double")), 6).as("_t"))
+      .groupBy("feature")
+      .agg(coalesce((sum(col("_nij").cast("decimal(18,0)") *
+        col("_t").cast("decimal(18,6)")) * lit(1000000))
+        .cast("long"), lit(0L)).as("mi_micro"))
+      .join(broadcast(nn), Seq("feature"))
+      .select("feature", "n", "n_cells", "mi_micro")
+      .orderBy(col("mi_micro").desc, col("feature"))
+  }
+
   /** Kruskal–Wallis H — the k-group generalization of the rank-sum
     * test ([[aucRankSum]] is the 2-group case): do the groups share a
     * location, judged on ranks rather than means, so heavy-tailed

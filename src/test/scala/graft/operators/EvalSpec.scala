@@ -507,6 +507,35 @@ class EvalSpec extends SparkSpec {
       .collect().head.getLong(5) == 0L)
   }
 
+  test("clusterPurity: majority share, tie by label ASC") {
+    import spark.implicits._
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "y"), ("B", "y"), ("C", "y"), ("C", "x"))
+      .toDF("c", "l")
+    val got = Eval.clusterPurity(df, "c", "l").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    assert(got("A") == (3L, "x", 666666L), s"${got("A")}")
+    assert(got("B") == (2L, "y", 1000000L))
+    assert(got("C") == (2L, "x", 500000L), "tie breaks to label ASC")
+  }
+
+  test("adjustedRand: identity = 1, anti-correlated negative, trivial null") {
+    import spark.implicits._
+    val same = Seq((1, 1), (1, 1), (2, 2)).toDF("a", "b")
+    val rs = Eval.adjustedRand(same, "a", "b").collect().head
+    assert(rs.getLong(4) == 1000000L && rs.getLong(5) == 1000000L,
+      s"$rs")
+    // 2×2 Latin square: RI = 1/3, ARI = −1/2
+    val anti = Seq((1, 1), (1, 2), (2, 1), (2, 2)).toDF("a", "b")
+    val ra = Eval.adjustedRand(anti, "a", "b").collect().head
+    assert(ra.getLong(4) == 333333L && ra.getLong(5) == -500000L,
+      s"$ra")
+    // all singletons on both sides: ARI undefined
+    val sing = Seq((1, 1), (2, 2)).toDF("a", "b")
+    assert(Eval.adjustedRand(sing, "a", "b").collect().head.isNullAt(5))
+  }
+
   test("bhThreshold: largest surviving rank, ties, empty rejection") {
     import spark.implicits._
     // p = [10, 20, 30, 900000] micro, α = 0.05: m = 4,

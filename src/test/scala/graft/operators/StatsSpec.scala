@@ -354,6 +354,23 @@ class StatsSpec extends SparkSpec {
       .getLong(3) == -3L)
   }
 
+  test("infoGainRank: perfect feature scores ln2 per row, constant scores 0") {
+    import spark.implicits._
+    val df = Seq(("x", "x", "c"), ("x", "x", "c"),
+      ("y", "y", "c"), ("y", "y", "c"))
+      .toDF("label", "perfect", "const")
+    val got = Stats.infoGainRank(df, "label", Seq("perfect", "const"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // MI = 4 · ln 2 = 2.772588 nats
+    assert(got("perfect") == (4L, 2L, 2772588L), s"${got("perfect")}")
+    assert(got("const") == (4L, 2L, 0L), s"${got("const")}")
+    // ranking order: perfect first
+    val order = Stats.infoGainRank(df, "label", Seq("perfect", "const"))
+      .collect().map(_.getString(0)).toList
+    assert(order == List("perfect", "const"))
+  }
+
   test("cochranArmitage: hand-computed trend z², degenerate null") {
     import spark.implicits._
     // doses 0/1/2 with 0, 1, 2 successes of 2 each: A = 12, B = 216,
