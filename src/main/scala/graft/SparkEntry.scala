@@ -3564,7 +3564,16 @@ object SparkEntry {
         t(s, dir, "documents").select(col("lang"), col("source"),
           expr("n_chars div 1000").as("len_bkt"),
           (col("doc_id") % 10).as("noise")),
-        "lang", Seq("source", "len_bkt", "noise")))
+        "lang", Seq("source", "len_bkt", "noise"))),
+    // ---- Heaps'-law vocabulary-growth fit per language over 16
+    //      hash-slice sub-corpora: β says what another 10× of data
+    //      buys in new vocabulary; pinned logs + the q143 OLS. ----
+    "q311_heaps_fit" -> ((s, dir) =>
+      TextAnalysis.heapsFit(
+        t(s, dir, "documents")
+          .select(col("lang"), (col("doc_id") % 16).as("slice"),
+            col("text")),
+        "lang", "slice", "text"))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8907,7 +8916,29 @@ mi AS (SELECT feature,
     * CAST(tt AS DECIMAL(18,6))) * 1000000, 0) AS BIGINT) AS mi_micro
   FROM t GROUP BY 1)
 SELECT mi.feature, n, n_cells, mi_micro FROM mi JOIN nn USING (feature)
-ORDER BY mi_micro DESC, feature"""
+ORDER BY mi_micro DESC, feature""",
+    // q311: per-(lang, slice) token/type counts → 6-dp-pinned log
+    // points → the q143 OLS formula verbatim.
+    "q311_heaps_fit" ->
+      s"""WITH toks AS (SELECT lang AS g, doc_id % 16 AS u,
+  unnest($tokensSql) AS tk FROM documents WHERE lang IS NOT NULL),
+pts AS (SELECT g, round(ln(CAST(count(*) AS DOUBLE)), 6) AS x,
+  round(ln(CAST(count(DISTINCT tk) AS DOUBLE)), 6) AS y
+  FROM toks GROUP BY g, u),
+s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+  sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+  sum(y * y) AS syy FROM pts GROUP BY g)
+SELECT g AS "group", n AS n_points,
+  round(CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 THEN NULL
+    ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS beta,
+  round((sy - CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 THEN NULL
+    ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END * sx) / n, 6)
+    AS ln_k,
+  round(CASE WHEN n < 2 OR n * sxx - sx * sx <= 0
+      OR n * syy - sy * sy <= 0 THEN NULL
+    ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+FROM s ORDER BY "group""""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -1339,6 +1339,41 @@ object TextAnalysis {
     "number" -> "\\b[0-9]+\\b",
     "proper" -> "\\b[A-Z][a-z]+( [A-Z][a-z]+)+\\b")
 
+  /** Heaps'-law fit — vocabulary growth V = K·Nᵝ estimated per group
+    * from its (tokens, types) sub-corpus points: the growth exponent
+    * β tells a corpus planner how much NEW vocabulary another 10× of
+    * data buys (β ≈ 0.5 for natural text; β near 1 flags id-like /
+    * templated "vocabulary"), the complement to [[chao1Richness]]'s
+    * fixed-sample estimate and [[TextAnalysis]]'s Zipf slope. Each
+    * `unitCol` slice contributes one (ln N, ln V) point (both logs
+    * pinned at 6 dp — the [[graft.operators.Stats.mutualInfo]]
+    * convention) and the per-group line is
+    * [[graft.operators.Stats.groupedOls]]: slope = β,
+    * intercept = ln K.
+    *
+    * Shape: one token explode → (group, unit, token) distinct-count
+    * aggregate → point frame (group × unit sized) → the OLS fold.
+    * Returns (group, n_points, beta, ln_k, r2) ordered by group;
+    * degenerate groups (< 2 points or zero x-variance) report nulls
+    * (the groupedOls contract). */
+  def heapsFit(df: DataFrame, groupCol: String, unitCol: String,
+               textCol: String): DataFrame = {
+    val points = df
+      .filter(col(groupCol).isNotNull && col(unitCol).isNotNull)
+      .select(col(groupCol).as("group"), col(unitCol).as("_u"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("group", "_u")
+      .agg(count(lit(1)).as("_n"), countDistinct(col("token")).as("_v"))
+      .select(col("group"),
+        round(log(col("_n").cast("double")), 6).as("_lx"),
+        round(log(col("_v").cast("double")), 6).as("_ly"))
+    graft.operators.Stats.groupedOls(points, "group", "_lx", "_ly")
+      .select(col("group"), col("n").as("n_points"),
+        col("slope").as("beta"), col("intercept").as("ln_k"),
+        col("r2"))
+      .orderBy("group")
+  }
+
   /** Chao1 vocabulary-richness estimate per group — "how many word
     * types does this source REALLY have", extrapolated from the
     * singleton/doubleton counts the sample exposes (Chao 1984; the

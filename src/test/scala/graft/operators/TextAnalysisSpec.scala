@@ -654,6 +654,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t.getLong(5) == 2000000L && t.getLong(6) == 1000000L)
   }
 
+  test("heapsFit: colinear log points give an exact line") {
+    import spark.implicits._
+    // all-distinct slices: V = N exactly → β = 1, ln K = 0, r² = 1
+    val lin = Seq(("g", 1L, "a b"), ("g", 2L, "c d e f"),
+      ("g", 3L, "h i j k l m n o")).toDF("grp", "u", "text")
+    val r = TextAnalysis.heapsFit(lin, "grp", "u", "text")
+      .collect().head
+    assert(r.getLong(1) == 3L, s"$r")
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0 &&
+      r.getDouble(4) == 1.0, s"$r")
+    // saturated vocabulary: V constant → β = 0, intercept = ln 2
+    val flat = Seq(("f", 1L, "a b"), ("f", 2L, "a b a b"))
+      .toDF("grp", "u", "text")
+    val rf = TextAnalysis.heapsFit(flat, "grp", "u", "text")
+      .collect().head
+    assert(rf.getDouble(2) == 0.0, s"$rf")
+    assert(rf.getDouble(3) == 0.693147, s"$rf")
+    // single point: degenerate → null fit
+    val one = Seq(("o", 1L, "a b c")).toDF("grp", "u", "text")
+    assert(TextAnalysis.heapsFit(one, "grp", "u", "text")
+      .collect().head.isNullAt(2))
+  }
+
   test("collocationsG2: hand-computed 2x2 log-likelihood ratios") {
     import spark.implicits._
     // tokens a b a b a c → bigrams ab×2, ba×2, ac×1; N = 5
