@@ -3573,7 +3573,18 @@ object SparkEntry {
         t(s, dir, "documents")
           .select(col("lang"), (col("doc_id") % 16).as("slice"),
             col("text")),
-        "lang", "slice", "text"))
+        "lang", "slice", "text")),
+    // ---- hash-permutation two-sample test: urgent/high orders vs
+    //      the rest on exact cents — 32 deterministic pseudo-label
+    //      draws from one md5 per row, divisionless extreme-count
+    //      comparison, add-one p. ----
+    "q312_perm_test" -> ((s, dir) =>
+      graft.operators.Stats.hashPermutationTest(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          expr("""CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+            AS BIGINT)""").as("cents"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("ab")),
+        "o_orderkey", "cents", "ab"))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8938,7 +8949,45 @@ SELECT g AS "group", n AS n_points,
       OR n * syy - sy * sy <= 0 THEN NULL
     ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy) /
       ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
-FROM s ORDER BY "group""""
+FROM s ORDER BY "group"""",
+    // q312: one md5 per row, 32 nibble-parity pseudo-labels, the
+    // divisionless cross-multiplied extreme test, add-one p.
+    "q312_perm_test" ->
+      """WITH base AS (SELECT
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+  o_orderpriority IN ('1-URGENT', '2-HIGH') AS a,
+  md5('perm' || '|' || CAST(o_orderkey AS VARCHAR)) AS h
+  FROM orders WHERE o_orderkey IS NOT NULL
+    AND o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+obs AS (SELECT
+  CAST(sum(CASE WHEN a THEN x ELSE 0 END) AS HUGEINT) AS saobs,
+  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS naobs,
+  CAST(sum(x) AS HUGEINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM base),
+reps AS (SELECT k,
+  CAST(sum(CASE WHEN CAST(('0x' || substr(h, CAST(k AS INT), 1))
+      AS BIGINT) % 2 = 1 THEN x ELSE 0 END) AS HUGEINT) AS sak,
+  CAST(sum(CASE WHEN CAST(('0x' || substr(h, CAST(k AS INT), 1))
+      AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nak
+  FROM base, (SELECT unnest(range(1, 33)) AS k) GROUP BY k),
+j AS (SELECT naobs, n - naobs AS nbobs,
+  saobs * (n - naobs) - (s - saobs) * naobs AS dobs,
+  sak, nak, n - nak AS nbk,
+  sak * (n - nak) - (s - sak) * nak AS dk
+  FROM reps CROSS JOIN obs),
+e AS (SELECT naobs, nbobs, dobs,
+  CAST(sum(CASE WHEN nak = 0 OR nbk = 0
+    OR abs(dk) * (CAST(naobs AS HUGEINT) * nbobs)
+      >= abs(dobs) * (CAST(nak AS HUGEINT) * nbk)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM j GROUP BY 1, 2, 3)
+SELECT naobs AS n_a, nbobs AS n_b,
+  CASE WHEN naobs = 0 OR nbobs = 0 THEN NULL
+    ELSE CAST(dobs * 1000000 // (CAST(naobs AS HUGEINT) * nbobs)
+      AS BIGINT) END AS diff_obs_micro,
+  CAST(32 AS BIGINT) AS n_perm, n_extreme,
+  CAST((n_extreme + 1) * 1000000 // 33 AS BIGINT) AS p_micro
+FROM e"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -560,6 +560,91 @@ object Stats {
         col("h_b_micro"))
   }
 
+  /** Hash-permutation two-sample test — is the mean of group A
+    * really different from group B, judged against DETERMINISTIC
+    * label permutations (the [[bootstrapMeanCI]] companion: bootstrap
+    * gives the error bar, permutation gives the p-value, both as ONE
+    * fused scan). Each row draws 32 pseudo-labels from the 32 nibbles
+    * of one md5(id) digest (parity of each hex char — one digest per
+    * row, the q279 "four uniforms per digest" trick taken to 32);
+    * replicate k's pseudo-A mean difference compares against the
+    * observed difference ENTIRELY in cross-multiplied integers:
+    *
+    *   |dₖ_num|·(nA·nB) ≥ |d_obs_num|·(nAₖ·nBₖ),
+    *   d_num = sA·nB − sB·nA
+    *
+    * — no division anywhere; a degenerate replicate (a side empty)
+    * counts as extreme (conservative). The p-value uses the add-one
+    * convention p = (#extreme + 1)/(B + 1) in floor micros.
+    *
+    * Scale shape: ONE scan — the md5 is fenced behind a
+    * single-element explode (a Generate's input is evaluated once per
+    * row — the q279 lesson; 64 direct consumers would re-evaluate it
+    * 64×), 32 replicate (Σx·bit, Σbit) pairs ride one fused hash
+    * aggregate, and the replicate axis unfolds from the one aggregate
+    * row by literal struct-array explode (the nullCooccurrence
+    * pattern). Returns ONE row: (n_a, n_b, diff_obs_micro — the exact
+    * floor-micro observed mean difference, n_perm, n_extreme,
+    * p_micro). */
+  def hashPermutationTest(df: DataFrame, idCol: String,
+                          valueCol: String,
+                          isACol: String): DataFrame = {
+    val nPerm = 32
+    val fenced = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull &&
+        col(isACol).isNotNull)
+      .select(explode(array(struct(
+        col(valueCol).cast("long").as("x"),
+        col(isACol).cast("boolean").as("a"),
+        md5(concat_ws("|", lit("perm"), col(idCol).cast("string")))
+          .as("h")))).as("_e"))
+      .select(col("_e.*"))
+    val repAggs = (1 to nPerm).flatMap { k =>
+      val bit = graft.functions.VectorExpressions
+        .hexSliceToLong(col("h"), k, 1) % 2
+      Seq(
+        sum(when(bit === 1, col("x")).otherwise(0L))
+          .cast("decimal(38,0)").as(s"_sa$k"),
+        sum(when(bit === 1, 1L).otherwise(0L)).as(s"_na$k"))
+    }
+    val obsAggs = Seq(
+      sum(when(col("a"), col("x")).otherwise(0L))
+        .cast("decimal(38,0)").as("_saObs"),
+      sum(when(col("a"), 1L).otherwise(0L)).as("_naObs"),
+      coalesce(sum(col("x")), lit(0L)).cast("decimal(38,0)").as("_s"),
+      count(lit(1)).as("_n"))
+    val aggRow = fenced.agg(obsAggs.head,
+      (obsAggs.tail ++ repAggs): _*)
+    val reps = (1 to nPerm).map(k =>
+      struct(col(s"_sa$k").as("sa"), col(s"_na$k").as("na")))
+    val exploded = aggRow
+      .withColumn("_rep", explode(array(reps: _*)))
+      .select(col("_saObs"), col("_naObs"), col("_s"), col("_n"),
+        col("_rep.sa").as("_sak"), col("_rep.na").as("_nak"))
+      // observed and per-replicate cross-multiplied differences
+      .withColumn("_nbObs", col("_n") - col("_naObs"))
+      .withColumn("_nbk", col("_n") - col("_nak"))
+      .withColumn("_dObs", col("_saObs") * col("_nbObs") -
+        (col("_s") - col("_saObs")) * col("_naObs"))
+      .withColumn("_dk", col("_sak") * col("_nbk") -
+        (col("_s") - col("_sak")) * col("_nak"))
+      .withColumn("_extreme",
+        col("_nak") === 0 || col("_nbk") === 0 ||
+          abs(col("_dk")) * (col("_naObs") * col("_nbObs")) >=
+            abs(col("_dObs")) * (col("_nak") * col("_nbk")))
+    exploded
+      .groupBy("_saObs", "_naObs", "_s", "_n", "_dObs", "_nbObs")
+      .agg(sum(when(col("_extreme"), 1L).otherwise(0L)).as("n_extreme"))
+      .select(col("_naObs").as("n_a"), col("_nbObs").as("n_b"),
+        expr("""CASE WHEN _naObs = 0 OR _nbObs = 0 THEN NULL
+          ELSE CAST(_dObs * 1000000 div (_naObs * _nbObs) AS BIGINT)
+          END""").as("diff_obs_micro"),
+        lit(nPerm.toLong).as("n_perm"),
+        col("n_extreme"),
+        expr(s"""CAST((n_extreme + 1) * 1000000 div ${nPerm + 1}
+          AS BIGINT)""").as("p_micro"))
+  }
+
   /** Information-gain feature ranking — MI(feature; label) per
     * candidate feature in exact micronats, ranked: which metadata
     * column (source, length bucket, URL depth …) actually predicts

@@ -371,6 +371,29 @@ class StatsSpec extends SparkSpec {
     assert(order == List("perfect", "const"))
   }
 
+  test("hashPermutationTest: exact observed diff, degenerate-null p = 1") {
+    import spark.implicits._
+    // constant values: observed diff 0 → every permutation is at
+    // least as extreme → n_extreme = 32, p = 1 exactly
+    val const = (1L to 20L).map(i => (i, 5L, i <= 10))
+      .toDF("id", "x", "ab")
+    val rc = Stats.hashPermutationTest(const, "id", "x", "ab")
+      .collect().head
+    assert((rc.getLong(0), rc.getLong(1)) == (10L, 10L), s"$rc")
+    assert(rc.getLong(2) == 0L, "constant x has zero mean diff")
+    assert(rc.getLong(4) == 32L && rc.getLong(5) == 1000000L, s"$rc")
+    // strong separation: observed diff micro exact; p bounded below
+    // by the add-one convention
+    val sep = (1L to 20L).map(i =>
+      (i, if (i <= 10) 100L else 0L, i <= 10)).toDF("id", "x", "ab")
+    val rs = Stats.hashPermutationTest(sep, "id", "x", "ab")
+      .collect().head
+    assert(rs.getLong(2) == 100000000L, s"diff: ${rs.getLong(2)}")
+    assert(rs.getLong(3) == 32L)
+    assert(rs.getLong(5) >= 30303L && rs.getLong(5) <= 1000000L)
+    assert(rs.getLong(5) == (rs.getLong(4) + 1) * 1000000L / 33L)
+  }
+
   test("cochranArmitage: hand-computed trend z², degenerate null") {
     import spark.implicits._
     // doses 0/1/2 with 0, 1, 2 successes of 2 each: A = 12, B = 216,
