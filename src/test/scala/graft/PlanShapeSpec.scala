@@ -1339,4 +1339,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p303.contains("Join") && !p303.contains("Window"),
       s"ess is one aggregate:\n$p303")
   }
+
+  test("round-10c operators keep their scale shapes (q304-q312)") {
+    // q304: the cumulative pass is group-partitioned over value
+    // cells; the target join must not plan a product
+    val p304 = finalPlan(q("q304_weighted_quantiles"))
+    assert(!p304.contains("CartesianProduct") &&
+      !p304.contains("BroadcastNestedLoopJoin"),
+      s"weighted quantiles join bounded target frames:\n$p304")
+    // q309: contingency cells + three 1-row folds; never a
+    // sort-merge join of anything data-sized
+    val p309 = finalPlan(q("q309_adjusted_rand"))
+    assert(!p309.contains("SortMergeJoin") &&
+      !p309.contains("CartesianProduct"),
+      s"adjusted rand folds broadcast 1-row frames:\n$p309")
+    // q310: marginals join back BROADCAST onto the cell frame
+    val p310 = finalPlan(q("q310_info_gain"))
+    assert(!p310.contains("SortMergeJoin"),
+      s"info gain joins broadcast marginal frames:\n$p310")
+    // q312: the whole test is ONE scan — md5 fenced behind the
+    // single-element Generate, 65 aggregates fused, replicate axis
+    // unfolded from one row; no join anywhere
+    val p312 = finalPlan(q("q312_perm_test"))
+    val scans312 = p312.split("FileScan parquet").length - 1
+    assert(scans312 == 1, s"perm test must scan ONCE, found $scans312:\n$p312")
+    assert(!p312.contains("Join"), s"perm test has no join:\n$p312")
+  }
 }
