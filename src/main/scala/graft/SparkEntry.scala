@@ -3584,7 +3584,27 @@ object SparkEntry {
           expr("""CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
             AS BIGINT)""").as("cents"),
           col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("ab")),
-        "o_orderkey", "cents", "ab"))
+        "o_orderkey", "cents", "ab")),
+    // ---- CUPED variance-reduced A/B diff: a covariate built to
+    //      explain most of the metric (cents div 2 + key noise) —
+    //      the adjusted diff must shrink toward the unexplained
+    //      part; pinned θ/diff floors. ----
+    "q313_cuped" -> ((s, dir) =>
+      graft.operators.Stats.cupedAdjustedDiff(
+        t(s, dir, "orders").select(
+          expr("""CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+            AS BIGINT)""").as("cents"),
+          expr("""CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+            AS BIGINT) div 2 + o_orderkey % 100""").as("pre"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("ab")),
+        "cents", "pre", "ab")),
+    // ---- post-stratified mean document length under the q154
+    //      reference language mix: what the metric would read if the
+    //      corpus matched production shares. ----
+    "q314_post_stratified" -> ((s, dir) =>
+      graft.operators.Stats.postStratifiedMean(
+        t(s, dir, "documents"), "lang", "n_chars",
+        mixtureWeightsFixture))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -8987,7 +9007,45 @@ SELECT naobs AS n_a, nbobs AS n_b,
       AS BIGINT) END AS diff_obs_micro,
   CAST(32 AS BIGINT) AS n_perm, n_extreme,
   CAST((n_extreme + 1) * 1000000 // 33 AS BIGINT) AS p_micro
-FROM e"""
+FROM e""",
+    // q313: pooled-moment θ and the pinned adjusted-diff evaluation
+    // order, all HUGEINT.
+    "q313_cuped" ->
+      """WITH base AS (SELECT
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 2
+    + o_orderkey % 100 AS x,
+  o_orderpriority IN ('1-URGENT', '2-HIGH') AS a
+  FROM orders WHERE o_totalprice IS NOT NULL
+    AND o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+  sum(CAST(x AS HUGEINT) * x) AS sxx,
+  sum(CAST(x AS HUGEINT) * y) AS sxy,
+  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+  CAST(sum(CASE WHEN a THEN CAST(y AS HUGEINT) ELSE
+    CAST(0 AS HUGEINT) END) AS HUGEINT) AS sya,
+  CAST(sum(CASE WHEN a THEN CAST(x AS HUGEINT) ELSE
+    CAST(0 AS HUGEINT) END) AS HUGEINT) AS sxa FROM base),
+c AS (SELECT n_a, n - n_a AS n_b,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+    ELSE CAST((n * sxy - sx * sy) * 1000000
+      // (n * sxx - sx * sx) AS BIGINT) END AS theta_micro,
+  CASE WHEN n_a = 0 OR n - n_a = 0 THEN NULL
+    ELSE CAST(sya * 1000000 // n_a
+      - (sy - sya) * 1000000 // (n - n_a) AS BIGINT) END AS diff_micro,
+  sxa, sx, n FROM agg)
+SELECT n_a, n_b, theta_micro, diff_micro,
+  CASE WHEN theta_micro IS NULL OR diff_micro IS NULL THEN NULL
+    ELSE CAST(diff_micro
+      - (CAST(theta_micro AS HUGEINT)
+         * (sxa * 1000000 // n_a - (sx - sxa) * 1000000 // n_b))
+        // 1000000 AS BIGINT) END AS adj_diff_micro
+FROM c""",
+    // q314: per-stratum pinned mean floors weighted by the shared
+    // q154 reference-mix literals.
+    "q314_post_stratified" -> postStratifiedOracle
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two
@@ -10319,6 +10377,29 @@ SELECT doc_id,
     '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
     '$ip', '<IP>', 'g')) AS rhash
 FROM planted ORDER BY doc_id"""
+  }
+
+  /** q314 oracle: the reference-mix weights interpolate from the SAME
+    * [[mixtureWeightsFixture]] the engine call uses — one source of
+    * truth for the literals. */
+  private def postStratifiedOracle: String = {
+    val cases = mixtureWeightsFixture.toSeq.sortBy(_._1)
+      .map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+    s"""WITH cells AS (SELECT lang AS s, CAST(count(*) AS BIGINT) AS ns,
+  sum(CAST(n_chars AS HUGEINT)) AS sm FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+w AS (SELECT s, ns, sm,
+  CAST(CASE s $cases ELSE 0 END AS BIGINT) AS w FROM cells)
+SELECT CAST(sum(ns) AS BIGINT) AS n,
+  CAST(count(*) AS BIGINT) AS n_strata,
+  CASE WHEN sum(ns) = 0 THEN NULL
+    ELSE CAST(sum(sm) * 1000000 // sum(ns) AS BIGINT) END
+    AS raw_mean_micro,
+  CASE WHEN sum(ns) = 0 THEN NULL
+    ELSE CAST(sum(CAST(w AS HUGEINT) * (sm * 1000000 // ns))
+      // 1000000 AS BIGINT) END AS post_mean_micro,
+  CAST(sum(w) AS BIGINT) AS weight_covered_micro
+FROM w"""
   }
 
   /** q289 oracle: melt the five columns, lag over the FULL physical

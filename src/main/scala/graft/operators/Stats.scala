@@ -560,6 +560,117 @@ object Stats {
         col("h_b_micro"))
   }
 
+  /** CUPED variance-reduced mean difference (Deng et al. 2013) — the
+    * A/B comparison after removing the part of the metric a
+    * PRE-PERIOD covariate already explains: adjusted
+    * yᵢ' = yᵢ − θ(xᵢ − x̄) with θ = Cov(x,y)/Var(x) pooled over both
+    * groups. The experimentation standard for "same comparison,
+    * tighter error bars"; here the companion to
+    * [[hashPermutationTest]] (run CUPED first, permute after). All
+    * moments come from ONE fused aggregate; θ and the adjusted
+    * difference are reported as PINNED floor micros in a documented
+    * evaluation order the oracle replays verbatim:
+    *
+    *   θ_micro        = (N·Σxy − Σx·Σy)·10⁶ div (N·Σxx − Σx·Σx)
+    *   diff_micro     = sYa·10⁶ div nA − sYb·10⁶ div nB
+    *   adj_diff_micro = diff_micro
+    *                    − (θ_micro·(sXa·10⁶ div nA − sXb·10⁶ div nB))
+    *                      div 10⁶
+    *
+    * (signed truncating div throughout — the [[spearmanRho]]
+    * convention; each floor < 1 micro). Null θ / adjusted diff when
+    * Var(x) = 0 or either group is empty. Returns ONE row:
+    * (n_a, n_b, theta_micro, diff_micro, adj_diff_micro). */
+  def cupedAdjustedDiff(df: DataFrame, valueCol: String,
+                        covCol: String, isACol: String): DataFrame = {
+    val base = df.select(col(valueCol).cast("long").as("_y"),
+        col(covCol).cast("long").as("_x"),
+        col(isACol).cast("boolean").as("_a"))
+      .filter(col("_y").isNotNull && col("_x").isNotNull &&
+        col("_a").isNotNull)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    base.agg(
+        count(lit(1)).as("_n"),
+        coalesce(sum(dec(col("_x"))), lit(0).cast("decimal(38,0)"))
+          .as("_sx"),
+        coalesce(sum(dec(col("_y"))), lit(0).cast("decimal(38,0)"))
+          .as("_sy"),
+        coalesce(sum(dec(col("_x")) * col("_x")),
+          lit(0).cast("decimal(38,0)")).as("_sxx"),
+        coalesce(sum(dec(col("_x")) * col("_y")),
+          lit(0).cast("decimal(38,0)")).as("_sxy"),
+        sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        coalesce(sum(when(col("_a"), dec(col("_y")))),
+          lit(0).cast("decimal(38,0)")).as("_sya"),
+        coalesce(sum(when(col("_a"), dec(col("_x")))),
+          lit(0).cast("decimal(38,0)")).as("_sxa"))
+      .withColumn("n_b", col("_n") - col("n_a"))
+      .withColumn("theta_micro", expr(
+        """CASE WHEN _n * _sxx - _sx * _sx = 0 THEN NULL
+           ELSE CAST((_n * _sxy - _sx * _sy) * 1000000
+             div (_n * _sxx - _sx * _sx) AS BIGINT) END"""))
+      .withColumn("diff_micro", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+           ELSE CAST(_sya * 1000000 div n_a
+             - (_sy - _sya) * 1000000 div n_b AS BIGINT) END"""))
+      .withColumn("adj_diff_micro", expr(
+        """CASE WHEN theta_micro IS NULL OR diff_micro IS NULL
+           THEN NULL
+           ELSE CAST(diff_micro
+             - CAST(theta_micro AS DECIMAL(38,0))
+               * (CAST(_sxa AS DECIMAL(38,0)) * 1000000 div n_a
+                  - (_sx - _sxa) * 1000000 div n_b) div 1000000
+             AS BIGINT) END"""))
+      .select("n_a", "n_b", "theta_micro", "diff_micro",
+        "adj_diff_micro")
+  }
+
+  /** Post-stratified mean — reweight per-stratum means to REFERENCE
+    * shares (survey post-stratification): "what would the corpus
+    * quality score be if the language mix matched production"; the
+    * one-aggregate preview of a [[graft.operators.Curation]] mixture
+    * re-sampling before anyone moves data. Reference shares arrive
+    * as literal micros (Σ over strata PRESENT in the data is
+    * reported so partial coverage is visible, not silently
+    * renormalized):
+    *
+    *   post_mean_micro = Σ_s w_s · (sum_s div n_s) pinned per
+    *   stratum, div 10⁶
+    *
+    * Returns ONE row: (n, n_strata, raw_mean_micro, post_mean_micro,
+    * weight_covered_micro). */
+  def postStratifiedMean(df: DataFrame, strataCol: String,
+                         valueCol: String,
+                         weightsMicro: Map[String, Long]): DataFrame = {
+    require(weightsMicro.nonEmpty, "need reference weights")
+    require(weightsMicro.values.forall(w => w >= 0 && w <= 1000000L),
+      s"weights must be micros in [0, 1e6]: $weightsMicro")
+    val wMap = typedLit(weightsMicro)
+    val cells = df
+      .filter(col(strataCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_ns"),
+        sum(col(valueCol).cast("long").cast("decimal(38,0)"))
+          .as("_sum"))
+      .withColumn("_w", coalesce(element_at(wMap, col("_s")), lit(0L)))
+    cells.agg(
+        coalesce(sum("_ns"), lit(0L)).as("n"),
+        count(lit(1)).as("n_strata"),
+        coalesce(sum("_sum"), lit(0).cast("decimal(38,0)")).as("_tot"),
+        coalesce(sum(expr(
+          "CAST(_w AS DECIMAL(38,0)) * (_sum * 1000000 div _ns)")),
+          lit(0).cast("decimal(38,0)")).as("_post"),
+        coalesce(sum("_w"), lit(0L)).as("weight_covered_micro"))
+      .withColumn("raw_mean_micro", expr(
+        """CASE WHEN n = 0 THEN NULL
+           ELSE CAST(_tot * 1000000 div n AS BIGINT) END"""))
+      .withColumn("post_mean_micro", expr(
+        """CASE WHEN n = 0 THEN NULL
+           ELSE CAST(_post div 1000000 AS BIGINT) END"""))
+      .select("n", "n_strata", "raw_mean_micro", "post_mean_micro",
+        "weight_covered_micro")
+  }
+
   /** Hash-permutation two-sample test — is the mean of group A
     * really different from group B, judged against DETERMINISTIC
     * label permutations (the [[bootstrapMeanCI]] companion: bootstrap

@@ -371,6 +371,39 @@ class StatsSpec extends SparkSpec {
     assert(order == List("perfect", "const"))
   }
 
+  test("cupedAdjustedDiff: perfect covariate absorbs the whole diff") {
+    import spark.implicits._
+    // y = 2x exactly; groups differ only through x → θ = 2 and the
+    // adjusted difference collapses to 0
+    val df = Seq((20L, 10L, true), (40L, 20L, true),
+      (0L, 0L, false), (20L, 10L, false)).toDF("y", "x", "a")
+    val r = Stats.cupedAdjustedDiff(df, "y", "x", "a").collect().head
+    assert((r.getLong(0), r.getLong(1)) == (2L, 2L))
+    assert(r.getLong(2) == 2000000L, s"theta: ${r.getLong(2)}")
+    assert(r.getLong(3) == 20000000L, s"diff: ${r.getLong(3)}")
+    assert(r.getLong(4) == 0L, s"adjusted: ${r.getLong(4)}")
+    // zero covariate variance: θ and adjusted diff undefined
+    val flat = Seq((1L, 5L, true), (9L, 5L, false)).toDF("y", "x", "a")
+    val rf = Stats.cupedAdjustedDiff(flat, "y", "x", "a").collect().head
+    assert(rf.isNullAt(2) && rf.isNullAt(4) && !rf.isNullAt(3))
+  }
+
+  test("postStratifiedMean: reference shares reweight strata means") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("a", 10L), ("b", 30L), ("c", 100L))
+      .toDF("s", "v")
+    val r = Stats.postStratifiedMean(df, "s", "v",
+      Map("a" -> 500000L, "b" -> 250000L)).collect().head
+    assert((r.getLong(0), r.getLong(1)) == (4L, 3L))
+    assert(r.getLong(2) == 37500000L, s"raw: ${r.getLong(2)}")
+    // 0.5·10 + 0.25·30 = 12.5; stratum c has no reference weight
+    assert(r.getLong(3) == 12500000L, s"post: ${r.getLong(3)}")
+    assert(r.getLong(4) == 750000L, s"covered: ${r.getLong(4)}")
+    intercept[IllegalArgumentException] {
+      Stats.postStratifiedMean(df, "s", "v", Map("a" -> 2000000L))
+    }
+  }
+
   test("hashPermutationTest: exact observed diff, degenerate-null p = 1") {
     import spark.implicits._
     // constant values: observed diff 0 → every permutation is at
