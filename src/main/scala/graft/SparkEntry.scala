@@ -3604,7 +3604,22 @@ object SparkEntry {
     "q314_post_stratified" -> ((s, dir) =>
       graft.operators.Stats.postStratifiedMean(
         t(s, dir, "documents"), "lang", "n_chars",
-        mixtureWeightsFixture))
+        mixtureWeightsFixture)),
+    // ---- scene-cut detection over 8 planted frames per video: the
+    //      scene flips at frame (id%5)+2, within-scene frames are
+    //      single-byte near-dups — the dHash jump marks the cut. ----
+    "q315_scene_cuts" -> ((s, dir) => {
+      val frames = t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(7L))).as("f"))
+        .select(col("doc_id"), col("f"),
+          plantedThumb((col("doc_id") * 2 +
+            when(col("f") >= col("doc_id") % 5 + 2, 1L).otherwise(0L))
+            * 5 + col("f") % 5).as("thumb"))
+      Multimodal.sceneCuts(frames, "doc_id", "f", "thumb",
+        minHamming = 16)
+    })
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -9045,7 +9060,9 @@ SELECT n_a, n_b, theta_micro, diff_micro,
 FROM c""",
     // q314: per-stratum pinned mean floors weighted by the shared
     // q154 reference-mix literals.
-    "q314_post_stratified" -> postStratifiedOracle
+    "q314_post_stratified" -> postStratifiedOracle,
+    // q315: the planted-frame splice + 8-band dHash lag replay.
+    "q315_scene_cuts" -> sceneCutsOracle
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two
@@ -10377,6 +10394,53 @@ SELECT doc_id,
     '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
     '$ip', '<IP>', 'g')) AS rhash
 FROM planted ORDER BY doc_id"""
+  }
+
+  /** q315 oracle: the planted-thumbnail splice replayed for the
+    * synthetic frame id, dHash as 8 byte-bands (a 64-bit literal
+    * would sign-overflow BIGINT), per-video lag of all 8 bands,
+    * hamming = Σ bit_count(xor). */
+  private def sceneCutsOracle: String = {
+    val base = (0 until 5).map(k =>
+      s"md5(CAST(id // 5 AS VARCHAR) || ':$k')").mkString(" || ")
+    def byteAt(h: String, p: Int) =
+      s"CAST(('0x' || substr($h, ${2 * p + 1}, 2)) AS INTEGER)"
+    val bandCols = (0 until 8).map { j =>
+      (0 until 8).map { c =>
+        s"CASE WHEN ${byteAt("h", j * 9 + c)} > ${byteAt("h", j * 9 + c + 1)} " +
+          s"THEN ${1 << c} ELSE 0 END"
+      }.mkString("(", " + ", s") AS b$j")
+    }.mkString(",\n  ")
+    val lags = (0 until 8).map(j =>
+      s"lag(b$j) OVER w AS p$j").mkString(",\n  ")
+    val hamming = (0 until 8).map(j =>
+      s"bit_count(xor(b$j, p$j))").mkString(" + ")
+    s"""WITH f AS (SELECT doc_id, unnest(range(0, 8)) AS fr
+  FROM documents WHERE doc_id < 200),
+fid AS (SELECT doc_id, fr,
+  (doc_id * 2 + CASE WHEN fr >= doc_id % 5 + 2 THEN 1 ELSE 0 END) * 5
+    + fr % 5 AS id FROM f),
+grid AS (SELECT doc_id, fr, substr($base, 1, 144) AS g,
+  CAST(id % 5 AS INTEGER) AS v FROM fid),
+th AS (SELECT doc_id, fr,
+  substr(g, 1, v * 26) ||
+  CASE v WHEN 0 THEN '00' WHEN 1 THEN '3f' WHEN 2 THEN '7f'
+    WHEN 3 THEN 'bf' ELSE 'ff' END ||
+  substr(g, v * 26 + 3, 142 - v * 26) AS h FROM grid),
+bands AS (SELECT doc_id, fr,
+  $bandCols
+  FROM th),
+lagged AS (SELECT doc_id, fr,
+  $lags
+  FROM bands
+  WINDOW w AS (PARTITION BY doc_id ORDER BY fr))
+SELECT bands.doc_id AS video, CAST(bands.fr AS BIGINT) AS frame_idx,
+  CASE WHEN p0 IS NULL THEN NULL
+    ELSE CAST($hamming AS INTEGER) END AS hamming_prev,
+  coalesce(CASE WHEN p0 IS NULL THEN NULL
+    ELSE ($hamming) >= 16 END, false) AS is_cut
+FROM bands JOIN lagged USING (doc_id, fr)
+ORDER BY video, frame_idx"""
   }
 
   /** q314 oracle: the reference-mix weights interpolate from the SAME

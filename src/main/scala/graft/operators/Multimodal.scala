@@ -351,4 +351,40 @@ object Multimodal {
     Dedup.signatureDedupAgainstStore(sigs, idCol, "dhash", storeSigs,
       maxHamming, bands = 4, bits = 64, bandErrors = 1)
   }
+
+  /** Scene-cut detection over sampled video frames — a cut is a
+    * frame whose perceptual hash jumps ≥ `minHamming` bits from its
+    * predecessor (consecutive frames within a scene are near-dups;
+    * a cut re-randomizes half the dHash bits): the shot-boundary
+    * pass a video-training pipeline runs right after
+    * [[frameSamplePlan]], feeding per-scene sampling/dedup. Same
+    * 72-byte thumbnail contract as [[dHash64]] (the JNI decode seam
+    * upstream produces them).
+    *
+    * Scale shape: one native-kernel hash per frame (codegen'd, the
+    * scan stage) + ONE lag window partitioned by video ordered by
+    * frame index — videos are the parallelism, frames-per-video the
+    * partition size. Returns one row per frame: (video, frame_idx,
+    * hamming_prev — null on each video's first frame, is_cut),
+    * ordered by (video, frame_idx). */
+  def sceneCuts(frames: DataFrame, videoCol: String, idxCol: String,
+                thumbCol: String, minHamming: Int = 16): DataFrame = {
+    require(minHamming >= 1 && minHamming <= 64,
+      s"minHamming must be in [1, 64]: $minHamming")
+    frames
+      .filter(col(videoCol).isNotNull && col(idxCol).isNotNull)
+      .select(col(videoCol).as("video"),
+        col(idxCol).cast("long").as("frame_idx"),
+        dHash64(col(thumbCol)).as("_h"))
+      .withColumn("_prev", lag(col("_h"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("video").orderBy("frame_idx")))
+      .withColumn("hamming_prev",
+        when(col("_prev").isNotNull,
+          bit_count(col("_h").bitwiseXOR(col("_prev"))).cast("int")))
+      .withColumn("is_cut",
+        coalesce(col("hamming_prev") >= minHamming, lit(false)))
+      .select("video", "frame_idx", "hamming_prev", "is_cut")
+      .orderBy("video", "frame_idx")
+  }
 }

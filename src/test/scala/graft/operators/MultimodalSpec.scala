@@ -260,4 +260,20 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getBoolean(4))).toList
     assert(got == List((2L, true), (3L, false)), s"got $got")
   }
+
+  test("sceneCuts: identical frames no cut, inverted frame cuts") {
+    import spark.implicits._
+    // ascending rows → every dHash bit 0; descending → every bit 1
+    val asc = Array.tabulate(72)(i => (i % 9).toByte)
+    val desc = Array.tabulate(72)(i => (8 - i % 9).toByte)
+    val frames = Seq(("v", 0L, asc), ("v", 1L, asc), ("v", 2L, desc),
+      ("w", 0L, desc)).toDF("vid", "f", "thumb")
+    val got = Multimodal.sceneCuts(frames, "vid", "f", "thumb",
+      minHamming = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), r.getBoolean(3)))
+      .toList
+    assert(got == List(("v", 0L, -1, false), ("v", 1L, 0, false),
+      ("v", 2L, 64, true), ("w", 0L, -1, false)), s"$got")
+  }
 }
