@@ -165,7 +165,13 @@ object ScaleBench {
     "q298_gaps_islands",
     // weighted quantiles (q304 — 10× scan into per-language value
     // cells; the cell frame grows with distinct n_chars, sub-10×)
-    "q304_weighted_quantiles")
+    "q304_weighted_quantiles",
+    // round-10c legs: the one-scan hash-permutation test (q312 — 65
+    // fused aggregates over a 10× scan, md5 per row behind the
+    // generator fence) and adjusted Rand (q309 — contingency cells +
+    // 1-row folds); q315's gate fixture caps at 200 videos, so its
+    // decade runs as the uncapped operator leg below
+    "q312_perm_test", "q309_adjusted_rand")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per
@@ -239,6 +245,25 @@ object ScaleBench {
         s.read.parquet(s"$dir/orders.parquet"), "o_custkey"),
       Audit.IndColumn("events.user_id",
         s.read.parquet(s"$dir/events.parquet"), "user_id")))
+  }
+
+  /** q315 OPERATOR leg — scene cuts over EVERY document (the gate
+    * fixture caps at 200 videos for oracle size; the decade question
+    * is 10× videos × 8 frames through the native dHash + per-video
+    * lag). Thumb synthesis matches the gate's cost shape (5 md5s +
+    * splice + unhex per frame). */
+  private def q315OperatorLeg(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+    val fid = (col("doc_id") * 8 + col("f")).cast("long")
+    val grp = (fid / lit(5)).cast("long")
+    val baseHex = concat((0 until 5).map(k =>
+      md5(concat(grp.cast("string"), lit(s":$k")))): _*)
+    val frames = d
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(7L))).as("f"))
+      .select(col("doc_id"), col("f"),
+        unhex(substring(baseHex, 1, 144)).as("thumb"))
+    graft.operators.Multimodal.sceneCuts(frames, "doc_id", "f",
+      "thumb", minHamming = 16)
   }
 
   /** q206 OPERATOR leg — the IVF-celled mutual-align at PARTIAL probe
@@ -324,6 +349,7 @@ object ScaleBench {
         ("q237_ind_discovery_op" -> (q237OperatorLeg _)) :+
         ("q268_ind_approx_op" -> (q268OperatorLeg _)) :+
         ("q206_mutual_align_ivf_op" -> (q206IvfLeg _)) :+
+        ("q315_scene_cuts_op" -> (q315OperatorLeg _)) :+
         ("q55_simhash_count_b" -> (q55CountLeg _)))
     val legs = allLegs.filter { case (n, _) => only.forall(_.contains(n)) }
     def time(dir: String): Seq[(String, Double)] = legs.map { case (n, fn) =>
