@@ -1364,5 +1364,20 @@ class PlanShapeSpec extends SparkSpec {
     val scans312 = p312.split("FileScan parquet").length - 1
     assert(scans312 == 1, s"perm test must scan ONCE, found $scans312:\n$p312")
     assert(!p312.contains("Join"), s"perm test has no join:\n$p312")
+    // q313: CUPED is ONE fused aggregate over one scan — no join
+    val p313 = finalPlan(q("q313_cuped"))
+    val scans313 = p313.split("FileScan parquet").length - 1
+    assert(scans313 == 1 && !p313.contains("Join"),
+      s"cuped is one fused scan ($scans313 scans):\n$p313")
+    // q314: stratum cells + one fold, weights are a literal map —
+    // no join of any kind
+    val p314 = finalPlan(q("q314_post_stratified"))
+    assert(!p314.contains("Join"),
+      s"post-stratified mean joins nothing:\n$p314")
+    // q315: the only window partitions by video — never global
+    val p315 = finalPlan(q("q315_scene_cuts"))
+    assert(!p315.contains("Exchange SinglePartition"),
+      s"scene cuts lag per video:\n$p315")
+    assert(!p315.contains("Join"), s"scene cuts have no join:\n$p315")
   }
 }
