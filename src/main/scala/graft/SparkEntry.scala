@@ -3619,7 +3619,17 @@ object SparkEntry {
             * 5 + col("f") % 5).as("thumb"))
       Multimodal.sceneCuts(frames, "doc_id", "f", "thumb",
         minHamming = 16)
-    })
+    }),
+    // ---- calibration decomposition of a deliberately 20%-over-
+    //      confident scorer: ECE + Murphy REL/RES/UNC in pinned
+    //      floor micros — what the q161 bin table rolls up to. ----
+    "q316_calibration_decomp" -> ((s, dir) =>
+      graft.operators.Eval.calibrationDecomposition(
+        t(s, dir, "documents").select(
+          ((col("doc_id") * 37) % 1000000).as("p"),
+          expr("""(doc_id * 13) % 1000000 <
+            ((doc_id * 37) % 1000000 div 10) * 8""").as("y")),
+        "p", "y"))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -9062,7 +9072,36 @@ FROM c""",
     // q154 reference-mix literals.
     "q314_post_stratified" -> postStratifiedOracle,
     // q315: the planted-frame splice + 8-band dHash lag replay.
-    "q315_scene_cuts" -> sceneCutsOracle
+    "q315_scene_cuts" -> sceneCutsOracle,
+    // q316: bin counts → the pinned ECE / REL / RES / UNC floors.
+    "q316_calibration_decomp" ->
+      """WITH base AS (SELECT (doc_id * 37) % 1000000 AS p,
+  (doc_id * 13) % 1000000 < ((doc_id * 37) % 1000000 // 10) * 8 AS y
+  FROM documents),
+b AS (SELECT least(p // 100000, 9) AS bb,
+  CAST(count(*) AS BIGINT) AS nb,
+  CAST(sum(p) AS HUGEINT) AS sp,
+  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS kb
+  FROM base GROUP BY 1),
+nk AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+  CAST(sum(kb) AS BIGINT) AS k,
+  CAST(count(*) AS BIGINT) AS n_bins_used FROM b),
+f AS (SELECT
+  sum(abs(sp - CAST(kb AS HUGEINT) * 1000000)) AS sad,
+  sum((sp - CAST(kb AS HUGEINT) * 1000000)
+    * (sp - CAST(kb AS HUGEINT) * 1000000)
+    // CAST(nb AS HUGEINT)) AS srel FROM b),
+r AS (SELECT sum((CAST(kb AS HUGEINT) * n - CAST(k AS HUGEINT) * nb)
+    * (CAST(kb AS HUGEINT) * n - CAST(k AS HUGEINT) * nb)
+    // CAST(nb AS HUGEINT)) AS sres FROM b CROSS JOIN nk)
+SELECT n, k AS n_pos, n_bins_used,
+  CAST(sad // n AS BIGINT) AS ece_micro,
+  CAST(srel // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS rel_micro,
+  CAST(sres * 1000000 // (CAST(n AS HUGEINT) * n * n) AS BIGINT)
+    AS res_micro,
+  CAST(CAST(k AS HUGEINT) * (n - k) * 1000000
+    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_micro
+FROM nk CROSS JOIN f CROSS JOIN r"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -1059,6 +1059,74 @@ object Eval {
           .as("kappa_micro"))
   }
 
+  /** Calibration decomposition — ECE plus the Murphy (1973) Brier
+    * decomposition REL − RES + UNC over equal-width probability
+    * bins: not just "is the scorer miscalibrated" (ECE, reliability)
+    * but "does it even separate" (resolution) against the base-rate
+    * floor (uncertainty). The number the q161 calibration-bin TABLE
+    * rolls up to. With per-bin (n_b, Σp_b micros, k_b positives),
+    * d_b = Σp_b − k_b·10⁶, N rows, K positives:
+    *
+    *   ece_micro = Σ|d_b| div N                    (ONE exact division)
+    *   rel_micro = (Σ d_b² div n_b) div (N·10⁶)    (pinned per bin)
+    *   res_micro = (Σ (k_b·N − K·n_b)² div n_b)·10⁶ div N³
+    *   unc_micro = K·(N−K)·10⁶ div N²
+    *
+    * — signed-free (all numerators squared or absolute), every floor
+    * documented and replayed by the oracle. Scores are micro-scaled
+    * probabilities in [0, 10⁶]; bins are p div (10⁶/bins), with
+    * p = 10⁶ folded into the top bin. One hash aggregate to bins,
+    * one fold. Returns ONE row: (n, n_pos, n_bins_used, ece_micro,
+    * rel_micro, res_micro, unc_micro). */
+  def calibrationDecomposition(df: DataFrame, pMicroCol: String,
+                               labelCol: String,
+                               bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000]: $bins")
+    val width = 1000000L / bins
+    val base = df.select(col(pMicroCol).cast("long").as("_p"),
+        col(labelCol).cast("boolean").as("_y"))
+      .filter(col("_p").isNotNull && col("_y").isNotNull &&
+        col("_p") >= 0 && col("_p") <= 1000000L)
+    // the bin frame feeds two folds (ECE/REL and the N,K-dependent
+    // RES) — materialize once so the corpus is scanned exactly once
+    val binned = base.groupBy(
+        least(expr(s"_p div $width"), lit(bins - 1L)).as("_b"))
+      .agg(count(lit(1)).as("_nb"),
+        sum("_p").cast("decimal(38,0)").as("_sp"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_kb"))
+      .localCheckpoint()
+    binned
+      .agg(count(lit(1)).as("n_bins_used"),
+        sum("_nb").as("n"), sum("_kb").as("n_pos"),
+        sum(expr("abs(_sp - CAST(_kb AS DECIMAL(38,0)) * 1000000)"))
+          .as("_sad"),
+        sum(expr("""(_sp - CAST(_kb AS DECIMAL(38,0)) * 1000000)
+          * (_sp - CAST(_kb AS DECIMAL(38,0)) * 1000000)
+          div CAST(_nb AS DECIMAL(38,0))""")).as("_srel"))
+      .crossJoin(broadcast(binned.crossJoin(
+          broadcast(binned.agg(sum("_nb").as("_N"),
+            sum("_kb").as("_K"))))
+        .agg(coalesce(sum(expr(
+          """(CAST(_kb AS DECIMAL(38,0)) * _N
+             - CAST(_K AS DECIMAL(38,0)) * _nb)
+            * (CAST(_kb AS DECIMAL(38,0)) * _N
+              - CAST(_K AS DECIMAL(38,0)) * _nb)
+            div CAST(_nb AS DECIMAL(38,0))""")),
+          lit(0).cast("decimal(38,0)")).as("_sres"))))
+      .withColumn("ece_micro",
+        expr("CAST(_sad div n AS BIGINT)"))
+      .withColumn("rel_micro", expr(
+        "CAST(_srel div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)"))
+      .withColumn("res_micro", expr(
+        """CAST(_sres * 1000000 div (CAST(n AS DECIMAL(38,0)) * n * n)
+           AS BIGINT)"""))
+      .withColumn("unc_micro", expr(
+        """CAST(CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos) * 1000000
+           div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""))
+      .select("n", "n_pos", "n_bins_used", "ece_micro", "rel_micro",
+        "res_micro", "unc_micro")
+  }
+
   /** Cluster purity against reference labels — per cluster, the
     * majority label and its share: the first diagnostic after any
     * clustering pass (SemDeDup cells, LSH bands, k-medians coarse

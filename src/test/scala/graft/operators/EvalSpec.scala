@@ -507,6 +507,31 @@ class EvalSpec extends SparkSpec {
       .collect().head.getLong(5) == 0L)
   }
 
+  test("calibrationDecomposition: hand-computed Murphy identity") {
+    import spark.implicits._
+    // two bins, constant p within each → the decomposition is exact:
+    // Brier 0.19 = REL 0.065 − RES 0.0625 + UNC 0.1875
+    val df = Seq((200000L, false), (200000L, false),
+      (800000L, true), (800000L, false)).toDF("p", "y")
+    val r = graft.operators.Eval.calibrationDecomposition(df, "p", "y",
+      bins = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 1L, 2L))
+    assert(r.getLong(3) == 250000L, s"ece: ${r.getLong(3)}")
+    assert(r.getLong(4) == 65000L, s"rel: ${r.getLong(4)}")
+    assert(r.getLong(5) == 62500L, s"res: ${r.getLong(5)}")
+    assert(r.getLong(6) == 187500L, s"unc: ${r.getLong(6)}")
+    // perfectly calibrated constant scorer: ECE/REL/RES all 0
+    val flat = Seq((500000L, true), (500000L, false)).toDF("p", "y")
+    val rf = graft.operators.Eval.calibrationDecomposition(flat, "p",
+      "y", bins = 2).collect().head
+    assert(rf.getLong(3) == 0L && rf.getLong(4) == 0L &&
+      rf.getLong(5) == 0L && rf.getLong(6) == 250000L, s"$rf")
+    // p = 1e6 folds into the top bin, not an 11th
+    val edge = Seq((1000000L, true)).toDF("p", "y")
+    assert(graft.operators.Eval.calibrationDecomposition(edge, "p", "y")
+      .collect().head.getLong(2) == 1L)
+  }
+
   test("clusterPurity: majority share, tie by label ASC") {
     import spark.implicits._
     val df = Seq(("A", "x"), ("A", "x"), ("A", "y"),
