@@ -3629,7 +3629,13 @@ object SparkEntry {
           ((col("doc_id") * 37) % 1000000).as("p"),
           expr("""(doc_id * 13) % 1000000 <
             ((doc_id * 37) % 1000000 div 10) * 8""").as("y")),
-        "p", "y"))
+        "p", "y")),
+    // ---- per-slice KS vs the rest of the corpus: one exact
+    //      cross-multiplied D per language over doc length — the
+    //      slice-resolved drift dashboard (feed q302's BH gate). ----
+    "q317_ks_per_slice" -> ((s, dir) =>
+      graft.operators.Drift.ksPerSlice(
+        t(s, dir, "documents"), "lang", "n_chars"))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -9101,7 +9107,36 @@ SELECT n, k AS n_pos, n_bins_used,
     AS res_micro,
   CAST(CAST(k AS HUGEINT) * (n - k) * 1000000
     // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_micro
-FROM nk CROSS JOIN f CROSS JOIN r"""
+FROM nk CROSS JOIN f CROSS JOIN r""",
+    // q317: value cells → pooled + per-slice cumulative CDFs on the
+    // shared grid, cross-multiplied max gap, one pinned division.
+    "q317_ks_per_slice" ->
+      """WITH base AS (SELECT lang AS slice, n_chars AS v
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+cells AS (SELECT slice, v, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2),
+slices AS (SELECT slice, CAST(sum(n) AS BIGINT) AS n_slice
+  FROM cells GROUP BY 1),
+nt AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+pooled AS (SELECT v, sum(gn) OVER (ORDER BY v) AS g FROM (
+  SELECT v, sum(n) AS gn FROM cells GROUP BY 1)),
+grid AS (SELECT p.v, s.slice, coalesce(c.n, 0) AS n
+  FROM pooled p CROSS JOIN slices s
+  LEFT JOIN cells c ON c.slice = s.slice AND c.v = p.v),
+cum AS (SELECT slice, v,
+  sum(n) OVER (PARTITION BY slice ORDER BY v) AS sv FROM grid),
+d AS (SELECT cum.slice, sl.n_slice, nt.nn,
+  max(abs(CAST(sv AS HUGEINT) * (nn - n_slice)
+    - (CAST(g AS HUGEINT) - sv) * n_slice)) AS dd
+  FROM cum JOIN pooled USING (v)
+  JOIN slices sl ON sl.slice = cum.slice CROSS JOIN nt
+  GROUP BY 1, 2, 3)
+SELECT slice, n_slice, nn - n_slice AS n_rest,
+  CASE WHEN nn - n_slice = 0 THEN NULL
+    ELSE CAST(dd * 1000000
+      // (CAST(n_slice AS HUGEINT) * (nn - n_slice)) AS BIGINT) END
+    AS d_micro
+FROM d ORDER BY slice"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -778,4 +778,74 @@ object Drift {
       .agg(round(sum(term), 6).as("jsd"))
       .orderBy("group_a", "group_b")
   }
+
+  /** Per-slice KS against the REST of the corpus — which language /
+    * source slice's value distribution deviates most from everything
+    * else: the slice-resolved form of [[ksStatistic]]'s single
+    * two-sample D (the drift dashboards want one D per slice, not one
+    * global number; feed the D's into [[graft.operators.Eval
+    * .bhThreshold]] for the multiple-testing gate). EXACT — the
+    * supremum compares cross-multiplied integer CDFs, no doubles:
+    *
+    *   D_s·10⁶ = max_v |S_v·(N−n_s) − (G_v−S_v)·n_s| · 10⁶
+    *             div (n_s·(N−n_s))
+    *
+    * (S = slice cumulative count, G = pooled cumulative count, both
+    * right-continuous at every pooled distinct value).
+    *
+    * Scale shape: rows collapse to (slice, value) cells once; the
+    * evaluation grid is |distinct values| × |slices| (guarded by
+    * `maxCells` on the product — bucketize continuous values first,
+    * the [[graft.operators.Stats.kruskalWallis]] rule); slice
+    * cumulatives window per slice over the grid, the pooled
+    * cumulative windows once over the value cells. Returns
+    * (slice, n_slice, n_rest, d_micro — null when the rest is
+    * empty), ordered by slice. */
+  def ksPerSlice(df: DataFrame, sliceCol: String, valueCol: String,
+                 maxCells: Long = 2000000L): DataFrame = {
+    val base = df.select(col(sliceCol).cast("string").as("slice"),
+        col(valueCol).cast("long").as("_v"))
+      .filter(col("slice").isNotNull && col("_v").isNotNull)
+    val cells = base.groupBy("slice", "_v")
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
+    val nVals = cells.select("_v").distinct().count()
+    val nSlices = cells.select("slice").distinct().count()
+    require(nVals * nSlices <= maxCells,
+      s"evaluation grid $nVals×$nSlices exceeds maxCells=$maxCells — " +
+        "bucketize the value column first")
+    val slices = cells.groupBy("slice").agg(sum("_n").as("n_slice"))
+    val nTot = cells.agg(coalesce(sum("_n"), lit(0L)).as("_tot"))
+    // pooled right-continuous cumulative at every distinct value —
+    // one ordered pass over the value-cell frame (the kruskalWallis
+    // concession)
+    val wg = Window.orderBy("_v")
+    val pooled = cells.groupBy("_v").agg(sum("_n").as("_gn"))
+      .withColumn("_G", sum("_gn").over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("_v", "_G")
+    val grid = pooled.select("_v")
+      .crossJoin(slices.select("slice"))
+      .join(cells, Seq("slice", "_v"), "left")
+      .withColumn("_n", coalesce(col("_n"), lit(0L)))
+    val ws = Window.partitionBy("slice").orderBy("_v")
+    grid
+      .withColumn("_S", sum("_n").over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(pooled, Seq("_v"))
+      .join(broadcast(slices), Seq("slice"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("_diff", expr(
+        """abs(CAST(_S AS DECIMAL(38,0)) * (_tot - n_slice)
+           - (CAST(_G AS DECIMAL(38,0)) - _S) * n_slice)"""))
+      .groupBy("slice", "n_slice", "_tot")
+      .agg(max("_diff").as("_D"))
+      .select(col("slice"), col("n_slice"),
+        (col("_tot") - col("n_slice")).as("n_rest"),
+        expr("""CASE WHEN _tot - n_slice = 0 THEN NULL
+          ELSE CAST(_D * 1000000
+            div (CAST(n_slice AS DECIMAL(38,0)) * (_tot - n_slice))
+            AS BIGINT) END""").as("d_micro"))
+      .orderBy("slice")
+  }
 }

@@ -376,4 +376,29 @@ class DriftSpec extends SparkSpec {
       graft.operators.Drift.cliffsDelta(a, b.limit(0), "v")
     }
   }
+
+  test("ksPerSlice: disjoint supports D = 1, identical slices D = 0") {
+    import spark.implicits._
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+      .toDF("s", "v")
+    val got = graft.operators.Drift.ksPerSlice(df, "s", "v").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("A") == (2L, 2L, 1000000L), s"${got("A")}")
+    assert(got("B") == (2L, 2L, 1000000L))
+    val same = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L))
+      .toDF("s", "v")
+    val gs = graft.operators.Drift.ksPerSlice(same, "s", "v").collect()
+      .map(_.getLong(3)).toList
+    assert(gs == List(0L, 0L), s"$gs")
+    // one slice only: the rest is empty → D undefined
+    val solo = Seq(("A", 1L)).toDF("s", "v")
+    assert(graft.operators.Drift.ksPerSlice(solo, "s", "v")
+      .collect().head.isNullAt(3))
+    // half-overlap: A = {1,2}, B = {2,3} → max gap at v = 1: D = 1/2
+    val half = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .toDF("s", "v")
+    assert(graft.operators.Drift.ksPerSlice(half, "s", "v").collect()
+      .head.getLong(3) == 500000L)
+  }
 }
