@@ -3635,7 +3635,16 @@ object SparkEntry {
     //      slice-resolved drift dashboard (feed q302's BH gate). ----
     "q317_ks_per_slice" -> ((s, dir) =>
       graft.operators.Drift.ksPerSlice(
-        t(s, dir, "documents"), "lang", "n_chars"))
+        t(s, dir, "documents"), "lang", "n_chars")),
+    // ---- MAD outlier quarantine rows: |v − median| > 3.5·MAD per
+    //      event type — the row-level consumer of q108's robust
+    //      centers; only the offending rows come back. ----
+    "q318_mad_outliers" -> ((s, dir) =>
+      graft.operators.Scale.madOutliers(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && !isnan(col("value")))
+          .select(col("event_type"), col("event_id"), col("value")),
+        "event_type", "value", "event_id", kTenths = 35))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -9136,7 +9145,31 @@ SELECT slice, n_slice, nn - n_slice AS n_rest,
     ELSE CAST(dd * 1000000
       // (CAST(n_slice AS HUGEINT) * (nn - n_slice)) AS BIGINT) END
     AS d_micro
-FROM d ORDER BY slice"""
+FROM d ORDER BY slice""",
+    // q318: the q108 rank-statistic medians + the double-comparison
+    // flag join; only offending rows return.
+    "q318_mad_outliers" ->
+      """WITH v AS (SELECT event_type AS g, value AS v, event_id AS i
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+r AS (SELECT g, v, row_number() OVER (
+    PARTITION BY g ORDER BY v, i) AS rk FROM v),
+med AS (SELECT r.g, r.v AS med FROM r JOIN n USING (g)
+  WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+a AS (SELECT v.g, abs(v.v - med.med) AS av, v.i
+  FROM v JOIN med ON v.g IS NOT DISTINCT FROM med.g),
+n2 AS (SELECT g, count(*) AS n FROM a GROUP BY g),
+r2 AS (SELECT g, av, row_number() OVER (
+    PARTITION BY g ORDER BY av, i) AS rk FROM a),
+mad AS (SELECT r2.g, r2.av AS mad FROM r2 JOIN n2 USING (g)
+  WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+st AS (SELECT med.g, med.med, mad.mad
+  FROM med JOIN mad ON med.g IS NOT DISTINCT FROM mad.g)
+SELECT v.g AS event_type, v.i AS event_id, v.v AS value,
+  st.med AS median, st.mad AS mad
+FROM v JOIN st ON v.g IS NOT DISTINCT FROM st.g
+WHERE abs(v.v - st.med) > st.mad * 3.5
+ORDER BY event_type, event_id"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -687,6 +687,41 @@ object Scale {
       .orderBy("partition_id")
   }
 
+  /** MAD outlier flags — the rows a robust gate would exclude: flag
+    * |v − median| > k·MAD per group, the modified-z-score cut that a
+    * single wild batch cannot move (mean/stddev cuts famously chase
+    * their own outliers). The row-level consumer of
+    * [[robustStatsByGroup]] — that operator reports the centers, this
+    * one returns the actual offending rows for quarantine.
+    * `kTenths` is the multiplier ×10 (35 ≈ the classic 3.5 modified-z
+    * cut when the caller folds the 1.4826 consistency factor into k;
+    * the comparison is |v − med| > (kTenths/10)·mad in IEEE doubles —
+    * medians are exact rank statistics, so both engines compare the
+    * identical numbers). A zero-MAD group (over half the mass on one
+    * value) flags every v ≠ median — the conservative reading.
+    *
+    * Scale shape: [[robustStatsByGroup]]'s two bounded quantile
+    * passes + ONE broadcast-join corpus pass for the flags; no
+    * windows over raw rows. Returns only the FLAGGED rows:
+    * (group, id, value, median, mad), ordered by (group, id). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String, kTenths: Int = 35,
+                  maxGroups: Int = 100000): DataFrame = {
+    require(kTenths >= 1 && kTenths <= 1000,
+      s"kTenths must be in [1, 1000]: $kTenths")
+    val stats = robustStatsByGroup(df, groupCol, valueCol, idCol,
+      maxGroups)
+      .select(col(groupCol).as("_sg"), col("median"), col("mad"))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(stats), col(groupCol) <=> col("_sg"))
+      .filter(abs(col(valueCol).cast("double") - col("median")) >
+        col("mad") * lit(kTenths / 10.0))
+      .select(col(groupCol), col(idCol),
+        col(valueCol).cast("double").as("value"),
+        col("median"), col("mad"))
+      .orderBy(col(groupCol), col(idCol))
+  }
+
   /** Exact WEIGHTED quantiles per group — the percentile that
     * respects importance weights ([[exactQuantilesByGroup]] treats
     * every row as weight 1; after a DSIR/mixture reweighting the

@@ -399,6 +399,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers: only rows beyond k·MAD come back; zero MAD flags any deviation") {
+    import spark.implicits._
+    // group g: values 1..9 + wild 1000: median 5 (lower of 10),
+    // MAD over |v−5| = [4,3,2,1,0,1,2,3,4,995] sorted → rank 5 → 2
+    // (values 0,1,1,2,2,...): k=3.5 → cut 7 → flag 1000 only...
+    // and any |v−5| > 7: none of 1..9 qualify
+    val df = ((1L to 9L).map(v => ("g", v, v.toDouble)) :+
+      ("g", 10L, 1000.0)).toDF("grp", "id", "v")
+    val got = Scale.madOutliers(df, "grp", "v", "id").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toList
+    assert(got == List((10L, 1000.0)), s"$got")
+    // over half the mass on one value: MAD 0 → every v ≠ median flags
+    val const = Seq(("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0),
+      ("c", 4L, 7.0)).toDF("grp", "id", "v")
+    val gc = Scale.madOutliers(const, "grp", "v", "id").collect()
+      .map(_.getLong(1)).toList
+    assert(gc == List(4L), s"$gc")
+  }
+
   test("weightedQuantilesByGroup: ceil targets on cumulative weight") {
     import spark.implicits._
     // values 1/2/3 with weights 1/1/2: W = 4; cum = 1, 2, 4
