@@ -171,7 +171,13 @@ object ScaleBench {
     // generator fence) and adjusted Rand (q309 — contingency cells +
     // 1-row folds); q315's gate fixture caps at 200 videos, so its
     // decade runs as the uncapped operator leg below
-    "q312_perm_test", "q309_adjusted_rand")
+    "q312_perm_test", "q309_adjusted_rand",
+    // round-10d legs: calibration decomposition (q316 — one scan into
+    // ten bins), per-slice KS (q317 — the value×slice grid grows with
+    // distinct n_chars), MAD quarantine (q318 — two bounded quantile
+    // passes + one broadcast-join flag pass, the q108 family)
+    "q316_calibration_decomp", "q317_ks_per_slice",
+    "q318_mad_outliers")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per
