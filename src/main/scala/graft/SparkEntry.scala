@@ -3644,7 +3644,13 @@ object SparkEntry {
         t(s, dir, "events")
           .filter(col("value").isNotNull && !isnan(col("value")))
           .select(col("event_type"), col("event_id"), col("value")),
-        "event_type", "value", "event_id", kTenths = 35))
+        "event_type", "value", "event_id", kTenths = 35)),
+    // ---- keyness terms per language: the G² group-vs-rest keyword
+    //      measure — which vocabulary makes each slice different;
+    //      signed for direction, per-group top-5. ----
+    "q319_keyness" -> ((s, dir) =>
+      TextAnalysis.keynessTerms(t(s, dir, "documents"), "lang",
+        "text", minCount = 5, k = 5))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -9169,7 +9175,51 @@ SELECT v.g AS event_type, v.i AS event_id, v.v AS value,
   st.med AS median, st.mad AS mad
 FROM v JOIN st ON v.g IS NOT DISTINCT FROM st.g
 WHERE abs(v.v - st.med) > st.mad * 3.5
-ORDER BY event_type, event_id"""
+ORDER BY event_type, event_id""",
+    // q319: the q299 pinned-ln G² per (group, term) cell with the
+    // exact-integer direction sign, per-group top-k by row_number.
+    "q319_keyness" ->
+      s"""WITH toks AS (SELECT lang AS g, unnest($tokensSql) AS term
+  FROM documents WHERE lang IS NOT NULL),
+cells AS (SELECT g, term, CAST(count(*) AS BIGINT) AS k11
+  FROM toks GROUP BY 1, 2),
+r AS (SELECT term, CAST(sum(k11) AS BIGINT) AS rr
+  FROM cells GROUP BY 1),
+c AS (SELECT g, CAST(sum(k11) AS BIGINT) AS cc FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(k11) AS BIGINT) AS nn FROM cells),
+f AS (SELECT cells.g, cells.term, k11, rr, cc, nn,
+  rr - k11 AS k12, cc - k11 AS k21, nn - rr - cc + k11 AS k22
+  FROM cells JOIN r USING (term) JOIN c USING (g) CROSS JOIN n
+  WHERE k11 >= 5),
+sc AS (SELECT g, term, k11, rr,
+  CAST((
+    (CASE WHEN k11 > 0 THEN CAST(k11 AS DECIMAL(18,0)) *
+      CAST(round(ln((CAST(k11 AS DOUBLE) * nn) /
+        (CAST(rr AS DOUBLE) * cc)), 6) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END)
+    + (CASE WHEN k12 > 0 THEN CAST(k12 AS DECIMAL(18,0)) *
+      CAST(round(ln((CAST(k12 AS DOUBLE) * nn) /
+        (CAST(rr AS DOUBLE) * (nn - cc))), 6) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END)
+    + (CASE WHEN k21 > 0 THEN CAST(k21 AS DECIMAL(18,0)) *
+      CAST(round(ln((CAST(k21 AS DOUBLE) * nn) /
+        (CAST(nn - rr AS DOUBLE) * cc)), 6) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END)
+    + (CASE WHEN k22 > 0 THEN CAST(k22 AS DECIMAL(18,0)) *
+      CAST(round(ln((CAST(k22 AS DOUBLE) * nn) /
+        (CAST(nn - rr AS DOUBLE) * (nn - cc))), 6) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END)
+  ) * 2000000 AS BIGINT) AS g2,
+  CAST(k11 AS HUGEINT) * nn >= CAST(rr AS HUGEINT) * cc AS pos
+  FROM f),
+rk AS (SELECT g, term, k11, rr,
+  CASE WHEN pos THEN g2 ELSE -g2 END AS sg,
+  row_number() OVER (PARTITION BY g
+    ORDER BY CASE WHEN pos THEN g2 ELSE -g2 END DESC, term ASC)
+    AS rank FROM sc)
+SELECT g AS "group", CAST(rank AS INT) AS rank, term,
+  k11 AS n_in_group, rr AS n_total, sg AS signed_g2_micro
+FROM rk WHERE rank <= 5 ORDER BY "group", rank"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

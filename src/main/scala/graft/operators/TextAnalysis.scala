@@ -418,6 +418,68 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Keyness terms — per group, the k terms most OVER-represented
+    * against the rest of the corpus by the G² log-likelihood ratio
+    * (Rayson & Garside 2000; the corpus-linguistics "keyword"
+    * measure): what [[tfidfTopTerms]] does for one document against
+    * the corpus, done for a whole slice — "what vocabulary makes this
+    * source/language slice different". Each (group, term) cell gets
+    * the [[collocationsG2]] 2×2 table — k₁₁ = count in group,
+    * row = term total, column = group total, N = all tokens — with
+    * the identical 6-dp-pinned ln terms and exact DECIMAL sums;
+    * `signed_g2_micro` carries the DIRECTION (negative =
+    * under-represented), and the per-group top-k ranks by
+    * (g2 DESC, term ASC) over a window partitioned by group (cells,
+    * never rows). minCount prunes before the joins. Returns
+    * (group, rank, term, n_in_group, n_total, signed_g2_micro)
+    * ordered by (group, rank). */
+  def keynessTerms(df: DataFrame, groupCol: String, textCol: String,
+                   minCount: Long = 5, k: Int = 10): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad minCount=$minCount / k=$k")
+    val cells = df
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("_g", "term").agg(count(lit(1)).as("k11"))
+      .localCheckpoint()
+    val rowTot = cells.groupBy("term").agg(sum("k11").as("_r"))
+    val colTot = cells.groupBy("_g").agg(sum("k11").as("_c"))
+    val n = cells.agg(coalesce(sum("k11"), lit(0L)).as("_n"))
+    def term(kk: Column, row: Column, colT: Column, nn: Column) =
+      when(kk > 0, kk.cast("decimal(18,0)") *
+        round(log((kk.cast("double") * nn.cast("double")) /
+          (row.cast("double") * colT.cast("double"))), 6)
+          .cast("decimal(18,6)"))
+        .otherwise(lit(0).cast("decimal(18,6)"))
+    val scored = cells.filter(col("k11") >= minCount)
+      .join(broadcast(rowTot), "term")
+      .join(broadcast(colTot), "_g")
+      .crossJoin(broadcast(n))
+      .withColumn("_k12", col("_r") - col("k11"))
+      .withColumn("_k21", col("_c") - col("k11"))
+      .withColumn("_k22", col("_n") - col("_r") - col("_c") + col("k11"))
+      .withColumn("_g2",
+        ((term(col("k11"), col("_r"), col("_c"), col("_n")) +
+          term(col("_k12"), col("_r"), col("_n") - col("_c"), col("_n")) +
+          term(col("_k21"), col("_n") - col("_r"), col("_c"), col("_n")) +
+          term(col("_k22"), col("_n") - col("_r"), col("_n") - col("_c"),
+            col("_n"))) * 2000000).cast("long"))
+      // over-represented ⇔ k11·N > row·col (exact integer compare)
+      .withColumn("signed_g2_micro",
+        when(col("k11").cast("decimal(38,0)") * col("_n") >=
+          col("_r").cast("decimal(38,0)") * col("_c"), col("_g2"))
+          .otherwise(-col("_g2")))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g")
+      .orderBy(col("signed_g2_micro").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("_g").as("group"), col("rank"), col("term"),
+        col("k11").as("n_in_group"), col("_r").as("n_total"),
+        col("signed_g2_micro"))
+      .orderBy("group", "rank")
+  }
+
   /** Top-k most distinctive terms per document by TF-IDF (tf ×
     * ln(N/df)). The corpus pass is two hash aggregations — (doc, term)
     * counts, then per-term document frequency over that frame (already

@@ -654,6 +654,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t.getLong(5) == 2000000L && t.getLong(6) == 1000000L)
   }
 
+  test("keynessTerms: exclusive vocabulary tops its group, shared is negative") {
+    import spark.implicits._
+    val df = Seq(("A", "zebra zebra zebra zebra zebra cat"),
+      ("B", "cat cat cat cat cat dog dog dog dog dog"))
+      .toDF("g", "text")
+    val got = TextAnalysis.keynessTerms(df, "g", "text", minCount = 1,
+      k = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(5)))
+    val aTop = got.find(t => t._1 == "A" && t._2 == 1).get
+    assert(aTop._3 == "zebra" && aTop._4 > 0, s"$aTop")
+    // 'cat' in A: 1 of 6 tokens vs 6 of 16 overall → under-represented
+    val aCat = got.find(t => t._1 == "A" && t._3 == "cat").get
+    assert(aCat._4 < 0, s"$aCat")
+    val bTop = got.find(t => t._1 == "B" && t._2 == 1).get
+    assert(Set("cat", "dog").contains(bTop._3) && bTop._4 > 0, s"$bTop")
+  }
+
   test("heapsFit: colinear log points give an exact line") {
     import spark.implicits._
     // all-distinct slices: V = N exactly → β = 1, ln K = 0, r² = 1
