@@ -3650,7 +3650,15 @@ object SparkEntry {
     //      signed for direction, per-group top-5. ----
     "q319_keyness" -> ((s, dir) =>
       TextAnalysis.keynessTerms(t(s, dir, "documents"), "lang",
-        "text", minCount = 5, k = 5))
+        "text", minCount = 5, k = 5)),
+    // ---- URL path-prefix rollup over the q124 planted URLs: page
+    //      counts + per-depth host shares — the crawl-budget view
+    //      between host stats and full URLs. ----
+    "q320_url_prefix_rollup" -> ((s, dir) =>
+      UrlOps.urlPrefixRollup(
+        t(s, dir, "documents")
+          .select(plantedUrl(col("doc_id")).as("url")),
+        "url", maxDepth = 3))
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -9219,7 +9227,23 @@ rk AS (SELECT g, term, k11, rr,
     AS rank FROM sc)
 SELECT g AS "group", CAST(rank AS INT) AS rank, term,
   k11 AS n_in_group, rr AS n_total, sg AS signed_g2_micro
-FROM rk WHERE rank <= 5 ORDER BY "group", rank"""
+FROM rk WHERE rank <= 5 ORDER BY "group", rank""",
+    // q320: the urlCtes host/path, list prefixes per depth, cell
+    // counts + per-(host, depth) floor-micro shares.
+    "q320_url_prefix_rollup" ->
+      s"""WITH $urlCtes,
+segs AS (SELECT host,
+  list_filter(string_split(path1, '/'), s -> s <> '') AS sg
+  FROM n2 WHERE host <> ''),
+pref AS (SELECT host, CAST(i AS INT) AS depth,
+  '/' || array_to_string(sg[1:i], '/') AS prefix
+  FROM segs, unnest(range(1, least(len(sg), 3) + 1)) AS t(i)),
+cells AS (SELECT host, depth, prefix,
+  CAST(count(*) AS BIGINT) AS n_pages FROM pref GROUP BY 1, 2, 3)
+SELECT host, depth, prefix, n_pages,
+  CAST(n_pages * 1000000 // sum(n_pages)
+    OVER (PARTITION BY host, depth) AS BIGINT) AS share_micro
+FROM cells ORDER BY host, depth, prefix"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

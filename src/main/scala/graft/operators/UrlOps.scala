@@ -59,6 +59,53 @@ object UrlOps {
       when(q =!= "", concat(lit("?"), q)).otherwise(""))
   }
 
+  /** URL path-prefix rollup — page counts per (host, path prefix)
+    * at depths 1..`maxDepth`: the crawl-budget / sitemap view of a
+    * URL corpus ("/articles holds 92% of site3.com's pages") that
+    * host-level stats ([[hostStats]]) are too coarse for and full
+    * URLs too fine. Prefixes come from the RAW path with trailing
+    * slashes stripped (query/fragment never contribute segments);
+    * a URL contributes one row per prefix depth it reaches.
+    * share_micro is the prefix's floor-micro share of its host's
+    * rows AT THAT DEPTH.
+    *
+    * Shape: one expression pass (host + path regex + a
+    * transform/sequence prefix array), one explode, one hash
+    * aggregate; the share join is a window over the (host, depth)
+    * CELL frame, never the data. Returns (host, depth, prefix,
+    * n_pages, share_micro) ordered by (host, depth, prefix). */
+  def urlPrefixRollup(df: DataFrame, urlCol: String,
+                      maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 10,
+      s"maxDepth must be in [1, 10]: $maxDepth")
+    val host = urlHost(col(urlCol))
+    val path0 = regexp_replace(regexp_extract(col(urlCol), pathRe, 1),
+      "/+$", "")
+    val segs = filter(split(path0, "/"), s => s =!= "")
+    val prefixes = when(size(segs) >= 1,
+      transform(sequence(lit(1), least(size(segs), lit(maxDepth))),
+        i => struct(i.as("depth"),
+          concat(lit("/"), array_join(slice(segs, lit(1), i), "/"))
+            .as("prefix"))))
+      .otherwise(array().cast("array<struct<depth:int,prefix:string>>"))
+    val cells = df
+      .filter(col(urlCol).isNotNull)
+      .select(host.as("host"), explode(prefixes).as("_p"))
+      .filter(col("host") =!= "")
+      .select(col("host"), col("_p.depth").as("depth"),
+        col("_p.prefix").as("prefix"))
+      .groupBy("host", "depth", "prefix")
+      .agg(count(lit(1)).as("n_pages"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("host", "depth")
+    cells
+      .withColumn("_tot", sum("n_pages").over(wd))
+      .withColumn("share_micro",
+        expr("CAST(n_pages * 1000000 div _tot AS BIGINT)"))
+      .select("host", "depth", "prefix", "n_pages", "share_micro")
+      .orderBy("host", "depth", "prefix")
+  }
+
   /** URL-level dedup: one survivor (min id) per normalized URL. */
   def dedupeByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
     df.withColumn("norm_url", normalizeUrl(col(urlCol)))

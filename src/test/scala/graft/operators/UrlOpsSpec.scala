@@ -84,4 +84,20 @@ class UrlOpsSpec extends SparkSpec {
       UrlOps.blocklistFilter(df, "id", "url", Seq("UPPER.com"), Nil)
     }
   }
+
+  test("urlPrefixRollup: depth shares, host folding, rootless pages") {
+    import spark.implicits._
+    val urls = Seq("https://a.com/x/y?q=1", "https://a.com/x/z",
+      "https://b.com/", "HTTP://A.com:80/x").toDF("url")
+    val got = UrlOps.urlPrefixRollup(urls, "url", maxDepth = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(got == List(
+      ("a.com", 1, "/x", 3L, 1000000L),
+      ("a.com", 2, "/x/y", 1L, 500000L),
+      ("a.com", 2, "/x/z", 1L, 500000L)), s"$got")
+    intercept[IllegalArgumentException] {
+      UrlOps.urlPrefixRollup(urls, "url", maxDepth = 0)
+    }
+  }
 }
