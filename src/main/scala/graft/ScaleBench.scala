@@ -177,7 +177,12 @@ object ScaleBench {
     // distinct n_chars), MAD quarantine (q318 — two bounded quantile
     // passes + one broadcast-join flag pass, the q108 family)
     "q316_calibration_decomp", "q317_ks_per_slice",
-    "q318_mad_outliers")
+    "q318_mad_outliers",
+    // keyness (q319 — the (group, term) cell frame grows with the
+    // replica-suffixed vocab ~10×) and the URL prefix rollup (q320 —
+    // one explode + cell aggregate; the planted URL keyspace is
+    // fixed, the scan grows 10×)
+    "q319_keyness", "q320_url_prefix_rollup")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per
