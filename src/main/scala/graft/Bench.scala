@@ -158,7 +158,7 @@ object Bench {
     val p50 = { val s = okResults.map(_._2).sorted
       if (s.isEmpty) -1.0 else s(s.size / 2) }
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_omitted":${results.size - math.min(25, okResults.size)},"failed":[${failed.mkString(",")}],"mean_sec":${r3(if (okResults.nonEmpty) total / okResults.size else -1.0)},"p50_sec":${r3(p50)},"queries":$slowJson,"canary":$canaryJson,"canary_mid":$canaryMidJson,"canary_contaminated":$canaryContaminated,"full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_omitted":${okResults.size - math.min(25, okResults.size)},"failed":[${failed.mkString(",")}],"mean_sec":${r3(if (okResults.nonEmpty) total / okResults.size else -1.0)},"p50_sec":${r3(p50)},"queries":$slowJson,"canary":$canaryJson,"canary_mid":$canaryMidJson,"canary_contaminated":$canaryContaminated,"full":"BENCH_FULL.json"}"""
     println(compact)
     for (path <- Seq("target/bench.json", "BENCH_FULL.json")) {
       try {

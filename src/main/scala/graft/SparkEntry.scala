@@ -3658,7 +3658,42 @@ object SparkEntry {
       UrlOps.urlPrefixRollup(
         t(s, dir, "documents")
           .select(plantedUrl(col("doc_id")).as("url")),
-        "url", maxDepth = 3))
+        "url", maxDepth = 3)),
+    // ---- duplicated-span REMOVAL over the q239 planted shared
+    //      passage: the Lee-et-al rewrite (excise every sentence a
+    //      corpus-duplicated 3-sentence span covers), not the census.
+    "q321_span_remove" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text",
+        concat(replace(col("text"), lit(" table "), lit(". ")),
+          when(col("doc_id") % 20 === 0, lit(
+            " Shared passage one. It recurs verbatim. " +
+              "Across many documents. In every planted copy. " +
+              "Tail sentence here.")).otherwise(lit(""))))
+      Dedup.duplicatedSpanRemove(d, "doc_id", "text", span = 3)
+    }),
+    // ---- melt-route agreement: the exact key discoverer (q273) and
+    //      the sketch-prefiltered route (q286) must return identical
+    //      survivor verdicts — the pin that makes the meltRouteGuard's
+    //      "route through the sketch" redirect safe. ----
+    "q322_key_route_agree" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val kc = Seq("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey")
+      val exact = Audit.keyDiscovery(li, kc)
+        .select(col("candidate"), col("arity"),
+          col("is_key").as("is_key_exact"),
+          col("is_minimal").as("is_minimal_exact"))
+      val routed = Audit.keyDiscoveryApprox(li, kc,
+          slackMicro = 150000L)
+        .select(col("candidate"),
+          col("is_key").as("is_key_routed"),
+          col("is_minimal").as("is_minimal_routed"))
+      exact.join(routed, Seq("candidate"))
+        .withColumn("verdicts_agree",
+          col("is_key_exact") === col("is_key_routed") &&
+            col("is_minimal_exact") === col("is_minimal_routed"))
+        .orderBy("arity", "candidate")
+    })
   )
 
   /** q212's planted shared passage (9 tokens ≥ window+kgram−1 = 6, so
@@ -9243,7 +9278,58 @@ cells AS (SELECT host, depth, prefix,
 SELECT host, depth, prefix, n_pages,
   CAST(n_pages * 1000000 // sum(n_pages)
     OVER (PARTITION BY host, depth) AS BIGINT) AS share_micro
-FROM cells ORDER BY host, depth, prefix"""
+FROM cells ORDER BY host, depth, prefix""",
+    // q321: the q239 sentence/span CTEs with span START indices, a
+    // count>=2 digest census, covered-index anti-join, ordered
+    // string_agg rebuild.
+    "q321_span_remove" ->
+      """WITH pl AS (SELECT doc_id,
+  replace(text, ' table ', '. ') ||
+  CASE WHEN doc_id % 20 = 0 THEN ' Shared passage one. It recurs verbatim. Across many documents. In every planted copy. Tail sentence here.'
+    ELSE '' END AS tx FROM documents),
+d AS (SELECT doc_id,
+  list_filter(list_transform(string_split_regex(tx, '[.!?]+(\s+|$)'),
+    x -> regexp_replace(trim(lower(x)), '\s+', ' ', 'g')),
+    x -> x <> '') AS ls FROM pl),
+sp AS (SELECT doc_id, i + 1 AS si,
+  md5(array_to_string(ls[i+1:i+3], chr(1))) AS dig
+  FROM (SELECT doc_id, ls, unnest(range(0, len(ls) - 2)) AS i
+    FROM d WHERE len(ls) >= 3)),
+c AS (SELECT dig FROM sp GROUP BY dig HAVING count(*) >= 2),
+ds AS (SELECT doc_id, si FROM sp JOIN c USING (dig)),
+cov AS (SELECT DISTINCT doc_id, si + j AS idx
+  FROM ds, unnest(range(0, 3)) AS t(j)),
+sents AS (SELECT doc_id, i + 1 AS idx, ls[i+1] AS s
+  FROM (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM d)),
+k AS (SELECT doc_id, idx, s FROM sents
+  ANTI JOIN cov USING (doc_id, idx)),
+ka AS (SELECT doc_id, count(*) AS n_kept,
+  sum(length(s)) AS chars_kept,
+  string_agg(s, '. ' ORDER BY idx) AS txt
+  FROM k GROUP BY doc_id),
+sa AS (SELECT doc_id, count(*) AS n_all,
+  sum(length(s)) AS chars_all FROM sents GROUP BY doc_id),
+dd AS (SELECT doc_id, count(*) AS n_dup FROM ds GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.ls) AS BIGINT) AS n_sentences,
+  CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup_spans,
+  CAST(coalesce(sa.n_all, 0) - coalesce(ka.n_kept, 0) AS BIGINT)
+    AS n_sentences_removed,
+  CAST(coalesce(sa.chars_all, 0) - coalesce(ka.chars_kept, 0)
+    AS BIGINT) AS chars_removed,
+  coalesce(ka.txt, '') AS text_cleaned
+FROM d LEFT JOIN ka USING (doc_id) LEFT JOIN sa USING (doc_id)
+LEFT JOIN dd USING (doc_id) ORDER BY d.doc_id""",
+    // q322: both discovery oracles as subqueries (DuckDB allows WITH
+    // inside a derived table), joined on the candidate.
+    "q322_key_route_agree" ->
+      s"""SELECT e.candidate, e.arity,
+  e.is_key AS is_key_exact, e.is_minimal AS is_minimal_exact,
+  r.is_key AS is_key_routed, r.is_minimal AS is_minimal_routed,
+  (e.is_key = r.is_key AND e.is_minimal = r.is_minimal)
+    AS verdicts_agree
+FROM ($keyDiscoveryOracle) e
+JOIN ($keyApproxOracle) r USING (candidate)
+ORDER BY e.arity, e.candidate"""
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two

@@ -471,6 +471,32 @@ object Audit {
       .orderBy("rule_id")
   }
 
+  /** Route guard for the exact C(n,2) VALUE melts ([[fdDiscovery]],
+    * [[fdApprox]], [[keyDiscovery]]): the exact route shuffles one
+    * rendered value cell per (row, pair) — fine while rows × pairs is
+    * node-sized, a corpus-sized string shuffle per candidate beyond
+    * that. Above `maxMeltCells` (default 2·10⁹ melted cells — a few
+    * tens of GB of rendered-value shuffle) the call THROWS and names
+    * the sketch route: [[keyDiscoveryApprox]]'s HLL prefilter pays
+    * one streaming register pass and exact distincts only for
+    * survivors (the q286 shape, verdict-identical on keys — the
+    * q322 gate pins the agreement). The row count is one
+    * column-pruned aggregate (or reuses a count the caller already
+    * paid); returns n for reuse. */
+  private def meltRouteGuard(df: DataFrame, nPairs: Long, who: String,
+                             maxMeltCells: Long,
+                             nRowsKnown: Option[Long] = None): Long = {
+    require(maxMeltCells > 0, s"maxMeltCells must be > 0: $maxMeltCells")
+    val n = nRowsKnown.getOrElse(df.count())
+    require(n * nPairs <= maxMeltCells,
+      s"$who: $n rows × $nPairs candidate pairs = ${n * nPairs} melted " +
+        s"cells exceeds maxMeltCells=$maxMeltCells — the exact VALUE " +
+        "shuffle per candidate does not scale there; route through " +
+        "keyDiscoveryApprox's sketch prefilter (exact distincts only " +
+        "for sketch survivors) or raise the bound deliberately")
+    n
+  }
+
   /** Functional-dependency + candidate-key discovery over a declared
     * column set — the data-profiling pass that turns the reference's
     * per-column TYPE inference (RAS:294–339) into STRUCTURE inference:
@@ -494,12 +520,15 @@ object Audit {
     * n_det_values, n_violating_det_values — determinant values seen
     * with ≥2 dependent values, fd_holds, det_is_unique_key — the
     * determinant's distinct count equals the row count). */
-  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def fdDiscovery(df: DataFrame, cols: Seq[String],
+                  maxMeltCells: Long = 2000000000L): DataFrame = {
     require(cols.size >= 2, s"fdDiscovery needs >= 2 columns: $cols")
     require(cols.distinct == cols, s"duplicate columns: $cols")
     require(cols.size <= 12,
       s"${cols.size} columns melt to ${cols.size * (cols.size - 1)} " +
         "pairs per row — profile a declared subset, not the whole table")
+    meltRouteGuard(df, cols.size.toLong * (cols.size - 1) / 2,
+      "fdDiscovery", maxMeltCells)
     def rendered(c: String): Column =
       coalesce(col(c).cast("string"), lit("\u0001"))
     // melt UNORDERED pairs only: the (A, B) and (B, A) verdicts both
@@ -559,12 +588,15 @@ object Audit {
     * Returns one row per ordered pair: (determinant, dependent,
     * n_det_values, n_rows, g3_micro, fd_holds), ordered by
     * (determinant, dependent). */
-  def fdApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def fdApprox(df: DataFrame, cols: Seq[String],
+               maxMeltCells: Long = 2000000000L): DataFrame = {
     require(cols.size >= 2, s"fdApprox needs >= 2 columns: $cols")
     require(cols.distinct == cols, s"duplicate columns: $cols")
     require(cols.size <= 12,
       s"${cols.size} columns melt to ${cols.size * (cols.size - 1)} " +
         "pairs per row — profile a declared subset, not the whole table")
+    meltRouteGuard(df, cols.size.toLong * (cols.size - 1) / 2,
+      "fdApprox", maxMeltCells)
     def rendered(c: String): Column =
       coalesce(col(c).cast("string"), lit("\u0001"))
     val pairs = cols.combinations(2).map { pq =>
@@ -616,7 +648,8 @@ object Audit {
     * (candidate — `a` or `a+b`, arity, n_distinct, n_rows, is_key,
     * is_minimal — keys only, singles trivially minimal), ordered by
     * (arity, candidate). */
-  def keyDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def keyDiscovery(df: DataFrame, cols: Seq[String],
+                   maxMeltCells: Long = 2000000000L): DataFrame = {
     require(cols.size >= 2, s"keyDiscovery needs >= 2 columns: $cols")
     require(cols.distinct == cols, s"duplicate columns: $cols")
     require(cols.size <= 12,
@@ -631,6 +664,8 @@ object Audit {
     val singleAgg = df.agg(singleAggExprs.head, singleAggExprs.tail: _*)
       .head()
     val nRows = singleAgg.getLong(0)
+    meltRouteGuard(df, cols.size.toLong * (cols.size - 1) / 2,
+      "keyDiscovery", maxMeltCells, nRowsKnown = Some(nRows))
     val singleDistinct = cols.indices
       .map(i => cols(i) -> singleAgg.getLong(i + 1)).toMap
     val pairs = cols.combinations(2).map { pq =>
@@ -1271,6 +1306,21 @@ object Audit {
       s"need 1..32 columns, got ${all.size}")
     require(all.distinct.size == all.size, "duplicate columns")
     require(blockSpan >= 2, s"blockSpan must be >= 2: $blockSpan")
+    // enforce the scaladoc's unique/non-negative orderCol contract (the
+    // icc/theilSen guard style): duplicate ord values make the per-block
+    // lag order among ties ARBITRARY, so rle/delta estimates would be
+    // nondeterministic — exactly the non-unique (orderkey, linenumber)
+    // failure BASELINE.md records. One narrow aggregate, never silent.
+    val ordStats = df.agg(count(lit(1)).as("n"),
+      count(col(orderCol)).as("nn"),
+      countDistinct(col(orderCol)).as("nd"),
+      min(col(orderCol).cast("long")).as("mn")).head()
+    require(ordStats.getLong(0) == ordStats.getLong(1),
+      s"orderCol `$orderCol` has ${ordStats.getLong(0) - ordStats.getLong(1)} nulls — the physical order must cover every row")
+    require(ordStats.getLong(1) == ordStats.getLong(2),
+      s"orderCol `$orderCol` is not unique (${ordStats.getLong(1)} rows, ${ordStats.getLong(2)} distinct) — rle/delta run statistics would be nondeterministic under tied order values")
+    require(ordStats.isNullAt(3) || ordStats.getLong(3) >= 0L,
+      s"orderCol `$orderCol` must be non-negative: min=${ordStats.getLong(3)}")
     val intStructs = intCols.map(c =>
       struct(lit(c).as("column"), lit(true).as("is_int"),
         col(c).cast("long").cast("string").as("vs"),

@@ -41,9 +41,13 @@ object Clustering {
     * would participate in the min and could become a component's
     * label even though it never appears in the output rows. Every
     * engine caller derives `edges` from the node frame, so this
-    * holds by construction; external callers must enforce it (a
-    * semi-join here would scan the corpus-sized node frame a second
-    * time, which the iteration deliberately avoids).
+    * holds by construction; external callers should pass
+    * `requireNodeCover = true`, which ANTI-JOIN-COUNTS phantom
+    * endpoints (one aggregate over the distinct-endpoint frame the
+    * iteration already materializes, plus one extra pass over
+    * `nodes`) and throws with the phantom count instead of silently
+    * mislabeling. Off by default: the check's node-frame scan is
+    * exactly what the edge-nodes-only iteration avoids paying.
     *
     * Min-label propagation WITH POINTER JUMPING: labels start as the
     * node's own id; each round every node takes the min of its own
@@ -64,7 +68,8 @@ object Clustering {
     *                a partial clustering.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          requireNodeCover: Boolean = false): DataFrame = {
     // Undirected: materialize both directions once; `src`'s label flows
     // to `dst`. Checkpointed — re-joined every round.
     val bidir = edges
@@ -83,6 +88,17 @@ object Clustering {
     var labels = bidir.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(eager = true)
+    if (requireNodeCover) {
+      val phantom = labels.select("id")
+        .join(nodes.select(col(idCol).cast("long").as("id")),
+          Seq("id"), "left_anti")
+        .count()
+      require(phantom == 0L,
+        s"connectedComponents: $phantom edge endpoint(s) absent from " +
+          "`nodes` (edges must be ⊆ nodes × nodes) — a phantom " +
+          "endpoint can become a component label that no output row " +
+          "carries")
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {

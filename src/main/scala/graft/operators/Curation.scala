@@ -384,6 +384,81 @@ object Curation {
     } finally slim.unpersist(false)
   }
 
+  /** Bucketed prefix sums over an already-collapsed CELL frame — the
+    * multi-token sibling of [[bucketedCumSum]] for the kruskalWallis /
+    * ksPerSlice / bhThreshold shape: the corpus has ALREADY collapsed
+    * to one row per distinct `valueCol` (a maxCells-guarded,
+    * domain-sized frame), and the operator needs running sums of one
+    * or more token columns in `valueCol` order. Historically these
+    * sites ran `Window.orderBy(value)` — correct but single-partition
+    * (the `WindowExec: No Partition Defined` warning): at the guard
+    * ceiling one task sorts 2M cells while every other core idles.
+    *
+    * This helper reuses the [[graft.operators.Drift.ksStatistic]]
+    * recipe: approxQuantile range buckets over the cell values (the
+    * bucket is a pure function of the value, so equal values never
+    * split), ONE per-bucket subtotal aggregate carrying ALL tokens
+    * (a #buckets-row driver round-trip), then a window only WITHIN
+    * each bucket plus the literal offset. `inclusive = false` yields
+    * the strictly-below cumulative (the midrank form) without a
+    * second pass. The cell frame should be materialized by the caller
+    * (localCheckpoint/persist) — the helper runs two internal passes
+    * over it (quantiles + subtotals) before the windowed result.
+    *
+    * Returns `cells` with one extra LONG column per (tokenCol,
+    * cumName) pair; `_bkt` never escapes. */
+  private[operators] def bucketedCellCumSums(cells: DataFrame,
+                                             valueCol: String,
+                                             tokenCols: Seq[String],
+                                             cumNames: Seq[String],
+                                             inclusive: Boolean = true): DataFrame = {
+    require(tokenCols.nonEmpty && tokenCols.size == cumNames.size,
+      s"tokenCols/cumNames must pair up: $tokenCols vs $cumNames")
+    require(!cells.columns.contains("_bkt") &&
+      cumNames.forall(!cells.columns.contains(_)),
+      "input must not already contain `_bkt` or a requested cum column")
+    val ss = cells.sparkSession
+    val slim = cells.select((valueCol +: tokenCols).distinct.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBuckets = math.max(1, ss.sparkContext.defaultParallelism)
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val bounds =
+        if (probs.isEmpty) Array.empty[Double]
+        else slim.stat.approxQuantile(valueCol, probs, 0.001)
+      val bucketExpr = bounds.distinct.zipWithIndex.foldLeft(lit(0)) {
+        case (e, (b, i)) =>
+          when(col(valueCol).cast("double") > b, i + 1).otherwise(e)
+      }
+      val rows = slim.withColumn("_bkt", bucketExpr).groupBy("_bkt")
+        .agg(sum(col(tokenCols.head).cast("long")).as("_s0"),
+          tokenCols.tail.zipWithIndex.map { case (t, i) =>
+            sum(col(t).cast("long")).as(s"_s${i + 1}") }: _*)
+        .collect()
+      val offsetExprs = tokenCols.indices.map { ti =>
+        val subs = rows
+          .map(r => r.getInt(0) ->
+            (if (r.isNullAt(1 + ti)) 0L else r.getLong(1 + ti)))
+          .sortBy(_._1)
+        val offs = subs.scanLeft((0, 0L)) {
+          case ((_, acc), (bkt, sub)) => (bkt, acc + sub)
+        }.sliding(2).collect { case Array((_, acc), (bkt, _)) => (bkt, acc) }
+        offs.foldLeft(lit(0L)) { case (e, (bkt, off)) =>
+          when(col("_bkt") === bkt, lit(off)).otherwise(e)
+        }
+      }
+      val frameEnd = if (inclusive) 0L else -1L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_bkt").orderBy(valueCol)
+        .rowsBetween(Long.MinValue, frameEnd)
+      tokenCols.indices.foldLeft(cells.withColumn("_bkt", bucketExpr)) {
+        case (acc, ti) => acc.withColumn(cumNames(ti),
+          coalesce(sum(col(tokenCols(ti)).cast("long")).over(w), lit(0L))
+            + offsetExprs(ti))
+      }.drop("_bkt")
+    } finally slim.unpersist(false)
+  }
+
   /** Mixture sampling to explicit TARGET shares — the domain-
     * reweighting step of training-mix construction ("mix to 40% web,
     * 25% code, …") that [[temperatureSample]]'s uniform-flattening is a

@@ -1693,7 +1693,9 @@ object Dedup {
     require(span >= 1 && span <= 16, s"span must be in [1, 16]: $span")
     val reserved = Set("_sents", "_ns", "_dig", "_cnt", "n_sentences",
       "n_spans", "n_dup_spans", "dup_span_micro",
-      "n_store_dup_spans", "is_flagged")
+      "n_store_dup_spans", "is_flagged",
+      "_i", "_idx", "_cov", "_p", "_s", "_sp",
+      "n_sentences_removed", "chars_removed", "text_cleaned")
     val clash = Seq(idCol, textCol).filter(reserved)
     require(clash.isEmpty,
       s"$who reserved column names in use: ${clash.mkString(", ")}")
@@ -1789,6 +1791,94 @@ object Dedup {
       .withColumn("dup_span_micro",
         expr("n_store_dup_spans * 1000000L div greatest(n_spans, 1L)"))
       .withColumn("is_flagged", col("n_store_dup_spans") >= minDup)
+      .orderBy(idCol)
+  }
+
+  /** Duplicated-span REMOVAL — the rewrite step the span CENSUS ops
+    * ([[sentenceSpanDedup]], [[repeatedSubstrings]]) stop short of:
+    * the Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") ExactSubstr deliverable at sentence granularity.
+    * A span of `span` consecutive normalized sentences whose digest
+    * occurs ≥ `minCount` times CORPUS-WIDE (within-doc repetition
+    * counts, the [[sentenceSpanDedup]] census rule) marks every
+    * sentence it covers for excision; the document is rebuilt from
+    * the surviving sentences. Removal policy is REMOVE-ALL (every
+    * occurrence goes — the boilerplate-strip convention): keep-one
+    * needs a global occurrence order and is a composition
+    * (remove-all + reinsert from [[exactDupGroups]]' canonical copy)
+    * rather than a primitive.
+    *
+    * `text_cleaned` is the NORMALIZED rewrite — surviving sentences
+    * (lowered, whitespace-squeezed, terminal punctuation consumed by
+    * the split) joined by ". " in original order; `chars_removed`
+    * counts sentence characters only (separator-free), so engines
+    * can't disagree about reconstruction whitespace. Docs shorter
+    * than `span` sentences pass through untouched by construction.
+    *
+    * Scale shape: one sentence-split pass; span digests explode with
+    * their START INDEX once and checkpoint (two consumers — the
+    * digest census and the dup-span join); duplicated digests are a
+    * census-sized semi-join side; covered indices explode only from
+    * DUP spans (cost tracks duplication density, not corpus size);
+    * the rebuild is one per-doc hash aggregate whose collect_list is
+    * doc-sized. No pairwise comparison, no window, no sort outside
+    * the per-doc array_sort. Returns one row per document: (idCol,
+    * n_sentences, n_dup_spans, n_sentences_removed, chars_removed,
+    * text_cleaned), ordered by idCol. */
+  def duplicatedSpanRemove(df: DataFrame, idCol: String,
+                           textCol: String, span: Int = 3,
+                           minCount: Long = 2L): DataFrame = {
+    spanGuard(idCol, textCol, span, "duplicatedSpanRemove")
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    val docs = sentenceFrame(df, idCol, textCol)
+    // span digests WITH their 1-based start index — the census form
+    // of [[spanFrame]] plus the position the excision needs
+    val spans = docs.filter(col("_ns") >= span)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(1, int(_ns) - ${span - 1}),
+            i -> struct(i AS _i,
+              md5(concat_ws(chr(1), slice(_sents, i, $span))) AS _dig))"""))
+        .as("_sp"))
+      .select(col(idCol), col("_sp._i").as("_i"),
+        col("_sp._dig").as("_dig"))
+      .localCheckpoint()
+    val dupDigs = spans.groupBy("_dig").agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= minCount).select("_dig")
+    val dupSpans = spans.join(dupDigs, Seq("_dig"))
+      .select(col(idCol), col("_i"))
+      .localCheckpoint()
+    val covered = dupSpans
+      .select(col(idCol),
+        explode(expr(s"sequence(_i, _i + ${span - 1})")).as("_idx"))
+      .distinct()
+      .withColumn("_cov", lit(true))
+    val perDocDup = dupSpans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"))
+    val sents = docs
+      .select(col(idCol), posexplode(col("_sents")).as(Seq("_p", "_s")))
+      .withColumn("_idx", col("_p") + 1)
+    val keptAgg = sents
+      .join(covered, Seq(idCol, "_idx"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(length(col("_s")).cast("long")).as("_chars_all"),
+        coalesce(sum(when(col("_cov"),
+          length(col("_s")).cast("long"))), lit(0L)).as("_chars_rm"),
+        coalesce(sum(when(col("_cov"), 1L)), lit(0L))
+          .as("n_sentences_removed"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("_cov").isNull, struct(col("_idx"), col("_s"))))),
+          x => x.getField("_s")), ". ").as("text_cleaned"))
+    docs.select(col(idCol), col("_ns").as("n_sentences"))
+      .join(keptAgg, Seq(idCol), "left")
+      .join(perDocDup, Seq(idCol), "left")
+      .select(col(idCol), col("n_sentences"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_sentences_removed"), lit(0L))
+          .as("n_sentences_removed"),
+        coalesce(col("_chars_rm"), lit(0L)).as("chars_removed"),
+        coalesce(col("text_cleaned"), lit("")).as("text_cleaned"))
       .orderBy(idCol)
   }
 

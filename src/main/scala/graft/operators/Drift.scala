@@ -817,12 +817,12 @@ object Drift {
     val slices = cells.groupBy("slice").agg(sum("_n").as("n_slice"))
     val nTot = cells.agg(coalesce(sum("_n"), lit(0L)).as("_tot"))
     // pooled right-continuous cumulative at every distinct value —
-    // one ordered pass over the value-cell frame (the kruskalWallis
-    // concession)
-    val wg = Window.orderBy("_v")
-    val pooled = cells.groupBy("_v").agg(sum("_n").as("_gn"))
-      .withColumn("_G", sum("_gn").over(
-        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the shared bucketed prefix sum over the value-cell frame (never
+    // a single-partition window, even at the maxCells ceiling)
+    val pooled = Curation.bucketedCellCumSums(
+        cells.groupBy("_v").agg(sum("_n").as("_gn"))
+          .localCheckpoint(true),
+        "_v", Seq("_gn"), Seq("_G"))
       .select("_v", "_G")
     val grid = pooled.select("_v")
       .crossJoin(slices.select("slice"))

@@ -131,7 +131,16 @@ object Eval {
     *
     * Returns ONE row: (n, k_rank, threshold_score, n_at_or_below,
     * coverage_micro); all three result columns null when
-    * k_rank > n (too few calibration points for the requested α). */
+    * k_rank > n (too few calibration points for the requested α).
+    *
+    * Scan economy: the raw corpus is read ONCE — the narrow
+    * (id, score) projection persists before the count, so the rank
+    * pass, the k-th order statistic and the tie-widened coverage count
+    * all replay the cache; the ranked frame itself persists too, and
+    * `n_at_or_below` is read off it as max(rank WHERE _s = thr) (the
+    * rank order is (_s ASC, id ASC), so the greatest rank among
+    * threshold-tied rows IS the count of scores ≤ thr) — no extra
+    * filter-count pass over the calibration set. */
   def conformalThreshold(df: DataFrame, idCol: String, scoreCol: String,
                          alphaMicro: Long): DataFrame = {
     require(alphaMicro >= 1 && alphaMicro < 1000000,
@@ -139,28 +148,37 @@ object Eval {
     val clean = df
       .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
       .select(col(idCol), col(scoreCol).cast("long").as("_s"))
-    val n = clean.count()
-    require(n > 0, "conformalThreshold needs a non-empty calibration set")
-    require(n < (1L << 43),
-      s"n=$n overflows the exact rank arithmetic — subsample first")
-    val k = ((n + 1) * (1000000L - alphaMicro) + 999999L) / 1000000L
-    val ss = df.sparkSession
-    import ss.implicits._
-    if (k > n)
-      Seq((n, k, Option.empty[Long], Option.empty[Long],
-        Option.empty[Long]))
-        .toDF("n", "k_rank", "threshold_score", "n_at_or_below",
-          "coverage_micro")
-    else {
-      val thr = Curation.globalRank(clean, idCol, "_s",
-        descending = false)
-        .filter(col("rank") === k).select("_s").head().getLong(0)
-      val below = clean.filter(col("_s") <= thr).count()
-      Seq((n, k, Some(thr), Some(below),
-        Some((BigInt(below) * 1000000 / BigInt(n)).toLong)))
-        .toDF("n", "k_rank", "threshold_score", "n_at_or_below",
-          "coverage_micro")
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = clean.count()
+      require(n > 0, "conformalThreshold needs a non-empty calibration set")
+      require(n < (1L << 43),
+        s"n=$n overflows the exact rank arithmetic — subsample first")
+      val k = ((n + 1) * (1000000L - alphaMicro) + 999999L) / 1000000L
+      val ss = df.sparkSession
+      import ss.implicits._
+      if (k > n)
+        Seq((n, k, Option.empty[Long], Option.empty[Long],
+          Option.empty[Long]))
+          .toDF("n", "k_rank", "threshold_score", "n_at_or_below",
+            "coverage_micro")
+      else {
+        val ranked = Curation.globalRank(clean, idCol, "_s",
+          descending = false)
+          .select(col("_s"), col("rank"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val thr = ranked.filter(col("rank") === k)
+            .select("_s").head().getLong(0)
+          val below = ranked.filter(col("_s") === thr)
+            .agg(max("rank")).head().getLong(0)
+          Seq((n, k, Some(thr), Some(below),
+            Some((BigInt(below) * 1000000 / BigInt(n)).toLong)))
+            .toDF("n", "k_rank", "threshold_score", "n_at_or_below",
+              "coverage_micro")
+        } finally ranked.unpersist(false)
+      }
+    } finally clean.unpersist(false)
   }
 
   /** Per-slice evaluation metrics — the fairness/regression-surface
@@ -484,16 +502,17 @@ object Eval {
     * micros with DECIMAL(38,0) products.
     *
     * The rank is [[Curation.globalRank]]'s bucketed global rank (no
-    * single-partition window over data); the cumulative pass is a
-    * window over the B-row bucket frame (B is a parameter, not a
-    * key). Null scores/labels drop. Returns one row per bucket:
+    * single-partition window over data); the cumulative pass FOLDS ON
+    * THE DRIVER over the collected B-row bucket frame (B ≤ 1000 is a
+    * parameter, not a key — the house stats-row convention, and it
+    * retires the one unpartitioned window this report used to carry).
+    * Null scores/labels drop. Returns one row per bucket:
     * (bucket 0-based, n, n_pos, response_micro, cum_n, cum_pos,
     * cum_lift_micro — null when total_pos = 0), ordered by bucket. */
   def liftTable(df: DataFrame, idCol: String, scoreCol: String,
                 labelCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 1000,
       s"buckets must be in [2, 1000]: $buckets")
-    import org.apache.spark.sql.expressions.Window
     val scored = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(col(idCol), col(scoreCol), col(labelCol))
@@ -512,18 +531,25 @@ object Eval {
         max("_n").as("_n"), max("_pos").as("_pos"))
       .withColumn("response_micro",
         expr("n_pos * 1000000 div greatest(n, 1)"))
-    val w = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perBucket
-      .withColumn("cum_n", sum("n").over(w))
-      .withColumn("cum_pos", sum("n_pos").over(w))
-      .withColumn("cum_lift_micro",
-        when(col("_pos") === 0L, lit(null).cast("long"))
-          .otherwise(expr(
-            """CAST(CAST(cum_pos AS DECIMAL(38,0)) * _n * 1000000
-               div (CAST(cum_n AS DECIMAL(38,0)) * _pos) AS BIGINT)""")))
-      .drop("_n", "_pos")
-      .orderBy("bucket")
+    // ≤ B rows of aggregates — collect and fold the cumulative on the
+    // driver in exact BigInt (all terms non-negative, so BigInt's
+    // truncating / IS the floor div the SQL form used)
+    val folded = perBucket.orderBy("bucket").collect().toSeq
+      .scanLeft((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)) { case ((_, _, _, _, cn, cp, _, _), r) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5),
+          cn + r.getLong(1), cp + r.getLong(2),
+          r.getLong(3), r.getLong(4))
+      }.drop(1)
+      .map { case (bucket, nB, nPos, resp, cumN, cumPos, nTot, posTot) =>
+        val lift = if (posTot == 0L) None
+          else Some((BigInt(cumPos) * nTot * 1000000 /
+            (BigInt(cumN) * posTot)).toLong)
+        (bucket, nB, nPos, resp, cumN, cumPos, lift)
+      }
+    val ss = df.sparkSession
+    import ss.implicits._
+    folded.toDF("bucket", "n", "n_pos", "response_micro",
+      "cum_n", "cum_pos", "cum_lift_micro")
   }
 
   /** McNemar's paired test (McNemar 1947) — the right significance
@@ -1234,9 +1260,10 @@ object Eval {
     val nCells = cells.count()
     require(nCells <= maxCells,
       s"$nCells distinct p-values exceeds maxCells=$maxCells")
-    val wc = org.apache.spark.sql.expressions.Window.orderBy("_p")
-    val cum = cells.withColumn("_cum",
-      sum("_c").over(wc.rowsBetween(Long.MinValue, 0)))
+    // cumulative count per tied-p cell via the shared bucketed prefix
+    // sum — never a single-partition window over the cell frame
+    val cum = Curation.bucketedCellCumSums(cells, "_p",
+      Seq("_c"), Seq("_cum"))
     val m = cells.agg(coalesce(sum("_c"), lit(0L)).as("m"))
     val best = cum.crossJoin(broadcast(m))
       .filter(col("_p") * col("m") <= col("_cum") * alphaMicro)

@@ -761,8 +761,13 @@ object Scale {
       .agg(sum("_cw").as("total_weight"))
       .select(col("group"), col("total_weight"),
         explode(array(qsMicro.sorted.map(lit): _*)).as("q_micro"))
+      // decimal(38,0) before the multiply — q_micro·total_weight wraps
+      // LongType once a group's weight sum exceeds ~9.2e12 (plausible
+      // with micro-scaled weights on a ~10M-row group); `div` returns
+      // BIGINT either way, so the output type is unchanged
       .withColumn("_r",
-        expr("(q_micro * total_weight + 999999) div 1000000"))
+        expr("(CAST(q_micro AS DECIMAL(38,0)) * total_weight + 999999)" +
+          " div 1000000"))
     cum.join(targets, Seq("group"))
       .filter(col("_cum") >= col("_r"))
       .groupBy("group", "q_micro", "total_weight")

@@ -739,10 +739,15 @@ object Stats {
         (col("_s") - col("_saObs")) * col("_naObs"))
       .withColumn("_dk", col("_sak") * col("_nbk") -
         (col("_s") - col("_sak")) * col("_nak"))
+      // group-size products ride decimal(38,0) like the _dObs/_dk side:
+      // n_a·n_b as Long wraps silently past 2⁶³ (n ≈ 6e9 rows) and
+      // would invert the extremeness verdict
       .withColumn("_extreme",
         col("_nak") === 0 || col("_nbk") === 0 ||
-          abs(col("_dk")) * (col("_naObs") * col("_nbObs")) >=
-            abs(col("_dObs")) * (col("_nak") * col("_nbk")))
+          abs(col("_dk")) *
+            (col("_naObs").cast("decimal(38,0)") * col("_nbObs")) >=
+            abs(col("_dObs")) *
+              (col("_nak").cast("decimal(38,0)") * col("_nbk")))
     exploded
       .groupBy("_saObs", "_naObs", "_s", "_n", "_dObs", "_nbObs")
       .agg(sum(when(col("_extreme"), 1L).otherwise(0L)).as("n_extreme"))
@@ -844,15 +849,15 @@ object Stats {
     val gcells = base.groupBy("_g", "_v").agg(count(lit(1)).as("_n"))
       .localCheckpoint(true)
     val cells = gcells.groupBy("_v").agg(sum("_n").as("_t"))
+      .localCheckpoint(true)
     val nCells = cells.count()
     require(nCells <= maxCells,
       s"$nCells distinct values exceeds maxCells=$maxCells — " +
         "bucketize the value column first")
-    val wc = org.apache.spark.sql.expressions.Window.orderBy("_v")
-    val ranked = cells
-      .withColumn("_cumBelow",
-        coalesce(sum("_t").over(wc.rowsBetween(Long.MinValue, -1)),
-          lit(0L)))
+    // strictly-below cumulative via the shared bucketed prefix sum —
+    // never a single-partition window, even at the maxCells ceiling
+    val ranked = Curation.bucketedCellCumSums(cells, "_v",
+        Seq("_t"), Seq("_cumBelow"), inclusive = false)
       .withColumn("_mid2", col("_cumBelow") * 2 + col("_t") + 1)
     val perGroup = gcells.join(ranked.select("_v", "_mid2"), Seq("_v"))
       .groupBy("_g")

@@ -289,6 +289,23 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("meltRouteGuard: exact discovery beyond maxMeltCells names the sketch route") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, i % 3, i % 2)).toDF("a", "b", "c")
+    // 10 rows × 3 pairs = 30 melted cells > 29 → throw on all three
+    for (f <- Seq(
+        () => Audit.fdDiscovery(df, Seq("a", "b", "c"), maxMeltCells = 29L),
+        () => Audit.fdApprox(df, Seq("a", "b", "c"), maxMeltCells = 29L),
+        () => Audit.keyDiscovery(df, Seq("a", "b", "c"), maxMeltCells = 29L))) {
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("keyDiscoveryApprox"), e.getMessage)
+      assert(e.getMessage.contains("30 melted"), e.getMessage)
+    }
+    // at the bound exactly, the exact route still runs
+    assert(Audit.keyDiscovery(df, Seq("a", "b", "c"),
+      maxMeltCells = 30L).count() == 6L)
+  }
+
   test("secretScan counts each pattern class per document") {
     import spark.implicits._
     val docs = Seq(

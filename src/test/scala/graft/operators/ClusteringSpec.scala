@@ -22,6 +22,24 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: requireNodeCover counts phantom endpoints") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    // endpoints 7 and 8 never appear in nodes — without the check, 7
+    // would silently become {2, 3}'s component label
+    val edges = Seq((2L, 7L), (7L, 3L), (8L, 8L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.connectedComponents(nodes, edges, "id",
+        requireNodeCover = true)
+    }
+    assert(e.getMessage.contains("2 edge endpoint(s) absent"),
+      e.getMessage)
+    // a covered graph passes the check and answers identically
+    val okEdges = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Clustering.connectedComponents(nodes, okEdges, "id",
+      requireNodeCover = true).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("connectedComponents: long chain beyond maxIter throws, not partial") {
     val n = 12
     val nodes = (0L until n.toLong).toDF("id")

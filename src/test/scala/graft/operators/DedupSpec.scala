@@ -955,6 +955,39 @@ class DedupSpec extends SparkSpec {
     assert(t2(1L) == 0L && t2(2L) == 0L, "no cross-doc collision")
   }
 
+  test("duplicatedSpanRemove: excises covered sentences, rebuilds in order") {
+    import spark.implicits._
+    val shared = "One shared line. Two  SHARED lines! Three shared lines? "
+    val df = Seq(
+      (1L, "Head sentence A. " + shared + "Unique tail A."),
+      (2L, shared + "Unique tail B."),
+      (3L, "Entirely different. Nothing here. Matches nothing else."),
+      (4L, "Too short. Only two."),
+      (5L, "")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanRemove(df, "doc_id", "text", span = 3)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // the 3-sentence shared span recurs across docs 1 and 2 → its
+    // sentences go; head/tail survive in original order
+    assert(got(1L) == ((1L, 5L, 1L, 3L,
+      ("one shared line" + "two shared lines" + "three shared lines")
+        .length.toLong,
+      "head sentence a. unique tail a")), s"doc1: ${got(1L)}")
+    assert(got(2L)._4 == 3L && got(2L)._6 == "unique tail b",
+      s"doc2: ${got(2L)}")
+    // untouched docs keep every sentence; chars_removed 0
+    assert(got(3L) == ((3L, 3L, 0L, 0L, 0L,
+      "entirely different. nothing here. matches nothing else")))
+    assert(got(4L) == ((4L, 2L, 0L, 0L, 0L, "too short. only two")))
+    assert(got(5L) == ((5L, 0L, 0L, 0L, 0L, "")))
+    // within-doc repetition alone also trips the census (count >= 2)
+    val selfDup = Seq((9L, ("Alpha beta. Gamma delta. Epsilon zeta. " * 2)
+      + "Coda here.")).toDF("doc_id", "text")
+    val sd = Dedup.duplicatedSpanRemove(selfDup, "doc_id", "text",
+      span = 3).as[(Long, Long, Long, Long, Long, String)].head()
+    assert(sd._3 >= 1L && sd._6 == "coda here", s"selfDup: $sd")
+  }
+
   test("spanDedupAgainstStore: store membership, short docs, distinct store") {
     import spark.implicits._
     val store = Dedup.sentenceSpanDigests(Seq(
