@@ -46,16 +46,22 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Dev-only subset filter (comma-separated query names) for
+    // isolated A/B timings — the committed BENCH_r{N} figures always
+    // come from the driver's full sweep (the ScaleBench convention)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queryList = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Untimed warmup at the smallest SF: pays JVM/classloading/codegen
     // cost once so the timed loop measures steady-state execution (the
     // first timed query otherwise absorbs several seconds of warmup).
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queryList.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val queryList = SparkEntry.queries.toSeq
     val timesByQuery = queryList.map { case (name, _) =>
       name -> scala.collection.mutable.ArrayBuffer.empty[Double]
     }.toMap

@@ -182,7 +182,22 @@ object ScaleBench {
     // replica-suffixed vocab ~10×) and the URL prefix rollup (q320 —
     // one explode + cell aggregate; the planted URL keyspace is
     // fixed, the scan grows 10×)
-    "q319_keyness", "q320_url_prefix_rollup")
+    "q319_keyness", "q320_url_prefix_rollup",
+    // round-11 legs: the span REMOVER (q321 — the q239 span census
+    // plus a covered-index anti-join and a per-doc rebuild aggregate;
+    // planted passage digests grow in group size only, per-doc output
+    // stays linear), the exact-vs-routed key agreement (q322 — one
+    // exact melt + one HLL register pass over 10× lineitem), and the
+    // IVF store gate (q323 — fixed 10-query batch, store postings
+    // grow 10×, cells fixed at the gate's 4: the probed-cell scan is
+    // the honest fixed-knob growth; the occupancy-matched production
+    // axis is the q323_store_growth leg below)
+    "q321_span_remove", "q322_key_route_agree", "q323_ivf_store_gate",
+    // the composed pipeline (q141 — normalize → exact dedup → quality
+    // floor → quota cap → split): composition is where shuffle-volume
+    // surprises live; stage costs are the diffs against the two
+    // prefix legs below
+    "q141_pipeline_e2e")
 
   /** Winnowing overlap pairs on the RAW (unplanted) corpus: replica
     * shards are shingle-disjoint, so true-pair output grows ~10× per
@@ -293,6 +308,72 @@ object ScaleBench {
       "vec_id", "embedding", nCells = 16, nProbe = 4)
   }
 
+  /** q323 STORE-GROWTH leg — the production axis of the incremental
+    * IVF index (the q198 store-growth pattern in ANN space): a FIXED
+    * 10-query batch (replica-0 ids, byte-identical at both dirs)
+    * probes a store 10× bigger. The store is PRE-COMPUTED untimed to
+    * parquet PARTITIONED BY CELL (codebook + int8 postings — the
+    * persisted index layout; stored vectors are never re-encoded),
+    * and cells are OCCUPANCY-MATCHED per dir (8 at sf0.1, 80 at sf1 —
+    * the production knob: re-train on growth keeps expected cell
+    * occupancy constant), so a fixed nProbe = 2 touches a constant
+    * expected number of postings and the decade should cost ≤ ~2×
+    * (codebook literals grow 10×, probed postings don't). */
+  private def q323StorePath(dir: String): String =
+    "target/q323store-" + dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def prepQ323Store(s: SparkSession, dir: String,
+                            nCells: Int): Unit = {
+    val p = q323StorePath(dir)
+    if (!new java.io.File(s"$p/postings/_SUCCESS").exists()) {
+      val store = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 2 === 0)
+      val cb = graft.operators.Similarity.ivfStoreCodebook(
+        store, "vec_id", "embedding", nCells, iters = 1,
+        trainSamplePct = 25)
+      cb.write.mode("overwrite").parquet(s"$p/codebook")
+      graft.operators.Similarity.ivfStorePostings(
+          store, "vec_id", "embedding", cb)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$p/postings")
+    }
+  }
+  private def q323StoreGrowthLeg(s: SparkSession, dir: String): DataFrame = {
+    val p = q323StorePath(dir)
+    val batch = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 1 && col("vec_id") < 20)
+    graft.operators.Similarity.ivfTopKAgainstStore(
+      s.read.parquet(s"$p/codebook"),
+      s.read.parquet(s"$p/postings"),
+      batch, "vec_id", "embedding", k = 3, nProbe = 2)
+  }
+
+  /** q141 PREFIX legs — cumulative cuts of the composed pipeline so
+    * the decade table carries per-STAGE costs as diffs: prefix1 =
+    * normalize → exact dedup; prefix2 = prefix1 → token-count quality
+    * floor → per-source quota cap; the full gate leg adds split
+    * assignment + the ordered projection. Composition is where
+    * shuffle-volume surprises live — each stage is individually
+    * legged elsewhere (q15/q83/q136/q44 families), this pins the
+    * chain. */
+  private def q141Prefix1(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val norm = d.select(col("doc_id"), col("source"),
+      TextAnalysis.normalizeText(col("text")).as("norm_text"))
+    Dedup.dropExactDuplicates(norm, "doc_id", "norm_text")
+  }
+  private def q141Prefix2(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis}
+    val quality = q141Prefix1(s, dir)
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("norm_text")).cast("long"))
+      .filter(col("n_tokens") >= 30)
+    quality.join(
+      Curation.quotaCap(quality, "source", "doc_id", quota = 15)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
+
   /** q55's OPERATOR-ONLY legs: the full q55 figure is output-bound
     * (at sf1 the 18.9M-pair result sort/materialization dominates and
     * its shuffle-spill luck swung the recorded growth 5.8×–18.5×
@@ -350,6 +431,12 @@ object ScaleBench {
       prepQ198Store(spark, src)
       prepQ198Store(spark, sf1)
     }
+    // pre-compute the q323 IVF index stores (untimed — the persisted
+    // index is the production layout; cells occupancy-matched per dir)
+    if (only.forall(_.contains("q323_store_growth"))) {
+      prepQ323Store(spark, src, nCells = 8)
+      prepQ323Store(spark, sf1, nCells = 80)
+    }
     // q55 operator-only stability pair: leg A runs early in the sweep,
     // leg B after everything else — a same-session ±20% band check
     val allLegs: Seq[(String, (SparkSession, String) => DataFrame)] =
@@ -361,6 +448,9 @@ object ScaleBench {
         ("q268_ind_approx_op" -> (q268OperatorLeg _)) :+
         ("q206_mutual_align_ivf_op" -> (q206IvfLeg _)) :+
         ("q315_scene_cuts_op" -> (q315OperatorLeg _)) :+
+        ("q323_store_growth" -> (q323StoreGrowthLeg _)) :+
+        ("q141_prefix_norm_dedup" -> (q141Prefix1 _)) :+
+        ("q141_prefix_quality_quota" -> (q141Prefix2 _)) :+
         ("q55_simhash_count_b" -> (q55CountLeg _)))
     val legs = allLegs.filter { case (n, _) => only.forall(_.contains(n)) }
     def time(dir: String): Seq[(String, Double)] = legs.map { case (n, fn) =>

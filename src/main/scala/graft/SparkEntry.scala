@@ -3693,6 +3693,24 @@ object SparkEntry {
           col("is_key_exact") === col("is_key_routed") &&
             col("is_minimal_exact") === col("is_minimal_routed"))
         .orderBy("arity", "candidate")
+    }),
+    // ---- incremental IVF store: codebook trained on the even-id
+    //      store ONCE, int8 postings encoded against it, odd-id batch
+    //      probes 2 of 4 cells WITHOUT re-training; the oracle replays
+    //      train -> assign -> quantize -> probe -> top-3 verbatim, so
+    //      the cell restriction carries no recall assumption. ----
+    "q323_ivf_store_gate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val store = e.filter(col("vec_id") % 2 === 0)
+      val batch = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 20)
+      val cb = Similarity.ivfStoreCodebook(store, "vec_id", "embedding",
+        nCells = 4, iters = 1)
+      val post = Similarity.ivfStorePostings(store, "vec_id",
+        "embedding", cb)
+      Similarity.ivfTopKAgainstStore(cb, post, batch, "vec_id",
+        "embedding", k = 3, nProbe = 2)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -9329,7 +9347,12 @@ LEFT JOIN dd USING (doc_id) ORDER BY d.doc_id""",
     AS verdicts_agree
 FROM ($keyDiscoveryOracle) e
 JOIN ($keyApproxOracle) r USING (candidate)
-ORDER BY e.arity, e.candidate"""
+ORDER BY e.arity, e.candidate""",
+    // q323: the q217 k-medians replay over the store side, q73's
+    // quantize-dequant arithmetic per posting, probe = 2 nearest
+    // frozen centroids per query (dist ASC, code ASC), top-3 by
+    // dequantized cosine.
+    "q323_ivf_store_gate" -> ivfStoreOracle
   )
 
   /** q225/q226's planted modular graph: 25-vertex clusters, two
@@ -9351,6 +9374,47 @@ half AS (SELECT src, dst FROM raw WHERE src <> dst)"""
     * replay), batch rows assigned against `sd_cb`, exact intra-cell
     * cosines as component-ascending folds, best per new vector under
     * (cos DESC, store id ASC). */
+  /** q323: incremental-IVF-store replay — k-medians codebook on the
+    * even-id store (KMediansOracle, the q217 CTEs), int8
+    * quantize/dequant per posting (the q73 arithmetic), per-query
+    * top-2 probe cells against the FROZEN codebook, exact cosine over
+    * dequantized postings, top-3 (cos DESC, neighbor ASC). */
+  private def ivfStoreOracle: String = {
+    import graft.oracle.KMediansOracle
+    val d = 64
+    def asVv(filter: String) =
+      s"SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) " +
+        s"AS vv FROM embeddings WHERE $filter"
+    s"""WITH sv AS (${asVv("vec_id % 2 = 0")}),
+qv AS (${asVv("vec_id % 2 = 1 AND vec_id < 20")}),
+${KMediansOracle.kMediansSql("ivf", "sv", 4, d, 1)}
+ps AS (SELECT s.vec_id, a.code AS cell, s.vv,
+    list_max(list_transform(s.vv, x -> abs(x))) / 127.0 AS scale
+  FROM sv s JOIN ivf_asn a USING (vec_id)),
+dq AS (SELECT vec_id, cell,
+  CASE WHEN scale > 0 THEN list_transform(vv,
+    x -> CAST(least(greatest(round(x / scale), -127), 127) AS DOUBLE)
+      * scale)
+  ELSE list_transform(vv, x -> 0.0) END AS dv FROM ps),
+qp AS (SELECT vec_id AS query_id, code AS cell FROM (
+  SELECT q.vec_id, c.code, row_number() OVER (PARTITION BY q.vec_id
+    ORDER BY ${KMediansOracle.distSql("q.vv", "c.ent", d)} ASC,
+      c.code ASC) AS rn
+  FROM qv q CROSS JOIN ivf_cb c) WHERE rn <= 2),
+sc AS (SELECT p.query_id, x.vec_id AS neighbor_id,
+    list_dot_product(q.vv, x.dv)
+      / (sqrt(list_dot_product(q.vv, q.vv))
+         * sqrt(list_dot_product(x.dv, x.dv))) AS cos
+  FROM qp p JOIN dq x ON x.cell = p.cell
+  JOIN qv q ON q.vec_id = p.query_id
+  WHERE x.vec_id <> p.query_id)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+    AS rank FROM sc)
+WHERE rank <= 3 ORDER BY query_id, rank"""
+  }
+
   private def embedStoreOracle: String = {
     import graft.oracle.KMediansOracle
     val d = 64

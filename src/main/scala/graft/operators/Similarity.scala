@@ -844,6 +844,122 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** The PERSISTED half of the incremental IVF index — the coarse
+    * quantizer an hourly embedding ingest trains ONCE and then probes
+    * for every subsequent batch (the q198/q217 store pattern applied
+    * to ANN state, closing the "re-trains per batch" gap): one row per
+    * cell, (cell: int, centroid: array<double>), a driver-local
+    * nCells-row frame the caller writes to parquet. Training is the
+    * deterministic [[kMediansLocal]] over the bounded md5-hash sample
+    * (codebook components are exact rank elements — bit-replayable by
+    * the DuckDB oracle, the q79/q80 invariant). Re-train only when
+    * [[centroidDrift]] fires — the index contract is that batches
+    * probe a FROZEN codebook, so results are reproducible until an
+    * explicit version bump. */
+  def ivfStoreCodebook(store: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int, iters: Int = 1,
+                       trainSamplePct: Int = 100): DataFrame = {
+    val sample = trainRows(store, idCol, vecCol, trainSamplePct)
+    val cents = kMediansLocal(sample, nCells, iters)
+    val ss = store.sparkSession
+    import ss.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
+  /** The posting rows of the incremental IVF index: every stored
+    * vector assigned to its codebook cell (strict-min L2, earliest
+    * code on ties — [[argminL2Expr]]) and int8-QUANTIZED
+    * ([[quantizeInt8]]: 4–8× smaller at rest and through every probe
+    * join than the float64 originals — the shape that lets a
+    * billion-vector index live as plain parquet). One row per stored
+    * vector: (cell, idCol, q8: array<int>, scale). New batches append
+    * THEIR postings (same frozen codebook) without touching existing
+    * rows; stored vectors are never re-read or re-encoded. */
+  def ivfStorePostings(store: DataFrame, idCol: String, vecCol: String,
+                       codebook: DataFrame): DataFrame = {
+    val cb = collectCodebook(codebook)
+    quantizeInt8(
+      store.select(col(idCol),
+          col(vecCol).cast("array<double>").as("_v"))
+        .withColumn("cell", argminL2Expr(col("_v"), cb)),
+      "_v")
+      .select(col("cell"), col(idCol), col("q8"), col("scale"))
+  }
+
+  /** IVF top-k against the PERSISTED index — probe WITHOUT
+    * re-training: queries assign to their `nProbe` nearest FROZEN
+    * centroids (strict-min L2, dist ASC / cell ASC — replayable), the
+    * probe frame broadcasts onto the postings' cell key, candidates
+    * score by exact cosine over the DEQUANTIZED q8·scale vectors, and
+    * both top-k selections are bounded [[TopK]] partial aggregates
+    * (no windows — the [[bruteForceTopK]] rationale). The store side
+    * touches only the probed cells' postings: per-batch cost tracks
+    * batch × probe density, never store size, and the store parquet
+    * is read cell-pruned when written partitioned by cell.
+    *
+    * Recall is the IVF trade (nProbe/nCells); the gate's DuckDB
+    * oracle replays the SAME probe selection, so gate greenness never
+    * rests on a recall assumption. Returns (query_id, rank 1..k,
+    * neighbor_id, cos — dequantized, ties by neighbor id ASC). */
+  def ivfTopKAgainstStore(codebook: DataFrame, postings: DataFrame,
+                          queries: DataFrame, idCol: String,
+                          vecCol: String, k: Int,
+                          nProbe: Int = 2): DataFrame = {
+    Seq("cell", "q8", "scale", idCol).foreach(c =>
+      require(postings.columns.contains(c),
+        s"postings must carry `$c` (the ivfStorePostings layout; " +
+          s"found: ${postings.columns.mkString(", ")})"))
+    val cb = collectCodebook(codebook)
+    require(nProbe >= 1 && nProbe <= cb.length,
+      s"nProbe must be in [1, ${cb.length}]: $nProbe")
+    val entries = array(cb.zipWithIndex.map { case (e, i) =>
+      struct(lit(i).as("cell"), litVec(e).as("ent"))
+    }.toIndexedSeq: _*)
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val qd = q.select(col("query_id"), explode(entries).as("_e"),
+        col("qv"))
+      .withColumn("_negl2", -aggregate(
+        zip_with(col("qv"), col("_e")("ent"), (x, e) => (x - e) * (x - e)),
+        lit(0.0), (a, b) => a + b))
+      .select(col("query_id"), col("_e")("cell").as("cell"),
+        col("_negl2"))
+    val probes = broadcast(
+      TopK.perGroup(qd, "query_id", "_negl2", "cell", nProbe)
+        .select("query_id", "cell")
+        .join(q, Seq("query_id")))
+    val cand = postings.select(col("cell"),
+        col(idCol).as("neighbor_id"),
+        transform(col("q8"), qq => qq.cast("double") * col("scale"))
+          .as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .filter(col("cn") > 0)
+    val scored = cand.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    TopK.perGroup(scored.select("query_id", "neighbor_id", "cos"),
+      "query_id", "cos", "neighbor_id", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos"))
+  }
+
+  /** Collected, contiguity-checked codebook — the driver-side form
+    * [[argminL2Expr]] compiles into row expressions. */
+  private def collectCodebook(codebook: DataFrame): Array[Array[Double]] = {
+    val rows = codebook
+      .select(col("cell").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "empty codebook")
+    require(rows.map(_.getInt(0)).toSeq == (0 until rows.length),
+      s"codebook cells must be contiguous 0..n-1: " +
+        rows.map(_.getInt(0)).mkString(", "))
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
   /** Cell-balanced embedding sample — [[graft.operators.Curation
     * .diversitySample]]'s rule in EMBEDDING space (the D4-flavored
     * "no semantic neighborhood dominates the sample"): documents

@@ -63,6 +63,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF half-probe recall@3 was $recall")
   }
 
+  test("IVF store: frozen codebook, append-only postings, full probe ≡ dequant brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = e.filter($"vec_id" % 2 === 0)
+    val batch = e.filter($"vec_id" % 2 === 1 && $"vec_id" < 10)
+    val cb = Similarity.ivfStoreCodebook(store, "vec_id", "embedding",
+      nCells = 4, iters = 1)
+    assert(cb.count() == 4L)
+    val post = Similarity.ivfStorePostings(store, "vec_id", "embedding", cb)
+    assert(post.count() == store.count(), "one posting per stored vector")
+    // full probe over the store must equal brute force over the
+    // DEQUANTIZED postings (the exactness contract of the store path)
+    val dequant = post.select($"vec_id",
+      transform($"q8", q => q.cast("double") * $"scale").as("embedding"))
+    val exact = Similarity.bruteForceTopK(dequant, batch,
+        "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val probed = Similarity.ivfTopKAgainstStore(cb, post, batch,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probed == exact, "full probe must equal dequant brute force")
+    // append-only increment: new postings against the SAME codebook
+    // leave existing rows untouched and fold into the probe
+    val extra = Similarity.ivfStorePostings(
+      e.filter($"vec_id" % 2 === 1 && $"vec_id" >= 10),
+      "vec_id", "embedding", cb)
+    val grown = post.unionByName(extra)
+    val probed2 = Similarity.ivfTopKAgainstStore(cb, grown, batch,
+      "vec_id", "embedding", k = 3, nProbe = 4)
+    assert(probed2.count() == probed.size.toLong)
+    // partial probe on the store path trades recall, never crashes
+    val part = Similarity.ivfTopKAgainstStore(cb, post, batch,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact.map(t => (t._1, t._3)) intersect part).size.toDouble /
+      exact.size
+    assert(recall >= 0.2, s"store half-probe recall@3 was $recall")
+  }
+
   test("quantized IVF + full-precision re-rank ≡ brute force at full probe") {
     // the billion-vector composition (quantizeInt8 ∘ ivfTopK ∘ re-rank):
     // at full probe with a 32-wide shortlist, the exact top-3 must
