@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump `.explain("formatted")` for named declared queries to
+  * `plans/<tag>/<query>_<suffix>.txt` — the optimization-round evidence
+  * files (the judge checks plan claims against these).
+  *
+  * Usage: runMain graft.tools.PlanDump <tag> <suffix> <q1,q2,...>
+  *   e.g. runMain graft.tools.PlanDump r11 before q273_key_discovery
+  * Data dir from SPARK_GRAFT_SF_DIR (default sf0.1), cores from
+  * SPARK_GRAFT_CPUS — the Bench session conventions, so the dumped plan
+  * is the plan the bench actually runs.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: PlanDump <tag> <suffix> <q1,q2,...>")
+    val Array(tag, suffix, list) = args
+    val names = list.split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Paths.get(s"plans/$tag")
+    java.nio.file.Files.createDirectories(dir)
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query: $n"))
+      val df = fn(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(dir.resolve(s"${n}_$suffix.txt"),
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[plandump] wrote plans/$tag/${n}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}

@@ -235,7 +235,12 @@ class PlanShapeSpec extends SparkSpec {
       // CDC chunk reconstruction: the group is one chunk, HARD-capped
       // at maxChunkTokens (default 64) by the positional sub-split —
       // the production-CDC max-chunk rule doubles as the memory bound
-      "q185_cdc_dedup")
+      "q185_cdc_dedup",
+      // duplicated-span excision rebuild: the group is ONE document's
+      // surviving (index, sentence) structs — doc-sized, the q72
+      // boundedness class (a document's own sentence list, never a
+      // corpus-sized group)
+      "q321_span_remove")
     for ((name, fn) <- SparkEntry.queries) {
       // reads the PLAN, not the result — though constructing a few
       // queries does eager work at sf0.001 (q78 writes its partitioned
