@@ -2307,8 +2307,9 @@ object SparkEntry {
       val d = t(s, dir, "documents").select(
         (col("doc_id") % 97).as("prompt_id"),
         col("doc_id").as("resp_id"),
-        (conv(substring(md5(concat(lit("r"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        (graft.functions.VectorExpressions
+          .md5SliceToLong(concat(lit("r"),
+            col("doc_id").cast("string")), 1, 8)
           % 1000).as("score"))
       Eval.preferencePairs(d, "prompt_id", "resp_id", "score")
     }),

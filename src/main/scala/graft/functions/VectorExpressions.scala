@@ -126,6 +126,107 @@ object VectorExpressions {
   def hexSliceToLong(s: Column, offset: Int, length: Int): Column =
     GraftColumnBridge.column(HexSliceToLong(
       GraftColumnBridge.expression(s), offset, length))
+
+  /** Fused md5-digest-slice decode — the native twin of
+    * CAST(conv(substring(md5(s), offset, length), 16, 10) AS BIGINT),
+    * the idiom behind every 48/60-bit house digest (samplers, MinHash
+    * base hash, HLL registers, content-defined gram sampling). The
+    * composed chain computes the 16-byte MD5, hex-ENCODES it to a
+    * 32-char string (Spark's `md5`), then re-PARSES a slice of those
+    * chars back into a long; this expression reads the nibbles straight
+    * from the digest bytes — same value, no intermediate string, one
+    * MessageDigest reused per task instead of one per row. */
+  def md5SliceToLong(s: Column, offset: Int, length: Int): Column =
+    GraftColumnBridge.column(Md5SliceToLong(
+      GraftColumnBridge.expression(s), offset, length))
+}
+
+/** Native fused md5 + hex-slice decoder: MD5 of the UTF-8 bytes of a
+  * string column, then the value of hex chars [offset, offset+length-1]
+  * of its lowercase-hex rendering as a BIGINT — bit-identical to
+  * `CAST(conv(substring(md5(s), offset, length), 16, 10) AS BIGINT)`
+  * (spec-pinned against that composed twin, the HexSliceToLong
+  * precedent). Hex char j (1-based) is nibble j−1 of the digest: the
+  * high half-byte of digest[(j−1)/2] when j is odd, the low half when
+  * even — so the slice never needs the hex string at all. Null input →
+  * null. `length` ≤ 15 keeps the value positive in a signed long;
+  * `offset + length − 1` ≤ 32 stays inside the 32-char digest. */
+case class Md5SliceToLong(child: Expression, offset: Int, length: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  require(offset >= 1, s"offset must be >= 1 (substring convention): $offset")
+  require(length >= 1 && length <= 15,
+    s"length must be in [1, 15] (signed-long headroom): $length")
+  require(offset - 1 + length <= 32,
+    s"slice [$offset, ${offset - 1 + length}] exceeds the 32 hex chars " +
+      "of an md5 digest")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.catalogString)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_md5_slice"
+
+  override def nullSafeEval(s: Any): Any = {
+    val dig = Md5SliceToLong.digest(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    var acc = 0L
+    var j = offset - 1
+    val end = offset - 1 + length
+    while (j < end) {
+      val b = dig(j >> 1) & 0xff
+      val nib = if ((j & 1) == 0) b >>> 4 else b & 0xf
+      acc = (acc << 4) | nib
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    // one MessageDigest per generated-class instance (per task), reset
+    // implicitly by digest() — never one per row
+    val md = ctx.addMutableState("java.security.MessageDigest",
+      "graftMd5Digest",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) {
+              |  throw new RuntimeException(e);
+              |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, in => {
+      val dig = ctx.freshName("dig")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      s"""
+         |final byte[] $dig = $md.digest($in.getBytes());
+         |long $acc = 0L;
+         |for (int $j = ${offset - 1}; $j < ${offset - 1 + length}; $j++) {
+         |  final int $b = $dig[$j >> 1] & 0xff;
+         |  $acc = ($acc << 4) | (($j & 1) == 0 ? ($b >>> 4) : ($b & 0xf));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5SliceToLong = copy(child = newChild)
+}
+
+object Md5SliceToLong {
+  // MessageDigest is stateful and not thread-safe — one per thread for
+  // the interpreted path (codegen holds one per generated class)
+  private val local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  private[functions] def digest(bytes: Array[Byte]): Array[Byte] =
+    local.get().digest(bytes)
 }
 
 /** Native dHash64 (difference hash) over a BINARY thumbnail column.

@@ -658,45 +658,60 @@ object Audit {
     val ss = df.sparkSession
     def rendered(c: String): Column =
       coalesce(col(c).cast("string"), lit("\u0001"))
-    val singleAggExprs = count(lit(1)).as("_nrows") +:
-      cols.zipWithIndex.map { case (c, i) =>
-        countDistinct(rendered(c)).as(s"_d$i") }
-    val singleAgg = df.agg(singleAggExprs.head, singleAggExprs.tail: _*)
-      .head()
-    val nRows = singleAgg.getLong(0)
+    // ONE unified melt for singles AND pairs (was: a separate
+    // multi-countDistinct aggregate — an Expand ×(|cols|+1) corpus
+    // pass — plus the pair melt, i.e. two full scans each rendering
+    // every column to a string). Every candidate's cell is keyed
+    // (cand, va, vb): singles carry vb = '' (a constant, so their
+    // distinct count is exactly distinct(va)); pairs keep BOTH
+    // rendered members as separate struct fields — deliberately NOT
+    // concatenated, so no separator collision can merge two distinct
+    // pairs (the fdDiscovery cell convention). distinct-per-candidate
+    // is then one cascaded hash aggregate, collected on the
+    // |cols| + C(|cols|,2) candidate axis (the keyDiscoveryApprox
+    // assembly shape). Row count is a column-pruned count that also
+    // feeds the melt-route guard, which must fire BEFORE the melt.
+    // Guide §1.2/§2.4: one corpus pass instead of two, one string
+    // render per struct field, no Expand. (A/B in OPTIMIZATION_r11.md.)
+    val nRows = df.count()
     meltRouteGuard(df, cols.size.toLong * (cols.size - 1) / 2,
       "keyDiscovery", maxMeltCells, nRowsKnown = Some(nRows))
-    val singleDistinct = cols.indices
-      .map(i => cols(i) -> singleAgg.getLong(i + 1)).toMap
-    val pairs = cols.combinations(2).map { pq =>
+    val singleStructs = cols.map(c =>
+      struct(lit(c).as("cand"), rendered(c).as("va"), lit("").as("vb")))
+    val pairStructs = cols.combinations(2).toSeq.map { pq =>
       val (a, b) = (pq(0), pq(1))
-      struct(lit(a).as("pa"), lit(b).as("pb"),
+      struct(lit(s"$a+$b").as("cand"),
         rendered(a).as("va"), rendered(b).as("vb"))
-    }.toSeq
-    val pairDistinct = df
-      .select(explode(array(pairs: _*)).as("_p"))
-      .select(col("_p.pa"), col("_p.pb"), col("_p.va"), col("_p.vb"))
-      .groupBy("pa", "pb", "va", "vb")
+    }
+    val perCand = df
+      .select(explode(array((singleStructs ++ pairStructs): _*)).as("_p"))
+      .select(col("_p.cand").as("cand"), col("_p.va").as("va"),
+        col("_p.vb").as("vb"))
+      .groupBy("cand", "va", "vb")
       .agg(count(lit(1)).as("_n"))
-      .groupBy("pa", "pb")
+      .groupBy("cand")
       .agg(count(lit(1)).as("_nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def nd(c: String): Long = perCand.getOrElse(c, 0L)
+    def isKey(c: String): Boolean = nd(c) == nRows
     import ss.implicits._
-    val singles = cols.map { c =>
-      val d = singleDistinct(c)
-      (c, 1, d, nRows, d == nRows, d == nRows)
-    }.toDF("candidate", "arity", "n_distinct", "n_rows", "is_key",
-      "is_minimal")
-    // pair minimality needs the MEMBERS' uniqueness: ride the single
-    // verdicts in as a literal name→unique map (driver-known, tiny)
-    val uniqMap = map(cols.flatMap(c =>
-      Seq(lit(c), lit(singleDistinct(c) == nRows))): _*)
-    val pairRows = pairDistinct
-      .select(concat_ws("+", col("pa"), col("pb")).as("candidate"),
-        lit(2).as("arity"), col("_nd").as("n_distinct"),
-        lit(nRows).as("n_rows"), (col("_nd") === nRows).as("is_key"),
-        ((col("_nd") === nRows) && !element_at(uniqMap, col("pa")) &&
-          !element_at(uniqMap, col("pb"))).as("is_minimal"))
-    singles.unionByName(pairRows).orderBy("arity", "candidate")
+    val singles = cols.map(c =>
+      (c, 1, nd(c), nRows, isKey(c), isKey(c)))
+    // pair rows only for a non-empty frame — the previous lazy pair
+    // aggregate produced zero rows on empty input (no cells to
+    // aggregate), and that surface is contract
+    val pairRows =
+      if (nRows == 0L) Seq.empty
+      else cols.combinations(2).toSeq.map { pq =>
+        val (a, b) = (pq(0), pq(1))
+        val c = s"$a+$b"
+        (c, 2, nd(c), nRows, isKey(c),
+          isKey(c) && !isKey(a) && !isKey(b))
+      }
+    (singles ++ pairRows)
+      .toDF("candidate", "arity", "n_distinct", "n_rows", "is_key",
+        "is_minimal")
+      .orderBy("arity", "candidate")
   }
 
   /** Distribution-key advisor — the recommendation half of the
@@ -1170,8 +1185,8 @@ object Audit {
     require(hashCols.nonEmpty, "tableFingerprint needs hash cols")
     val rendered = hashCols.map(c =>
       coalesce(col(c).cast("string"), lit("\u0001")))
-    val rowDigest = conv(substring(md5(concat_ws("|", rendered: _*)),
-      1, 8), 16, 10).cast("long")
+    val rowDigest = graft.functions.VectorExpressions
+      .md5SliceToLong(concat_ws("|", rendered: _*), 1, 8)
     df.groupBy(partitionCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), sum(rowDigest).as("digest"))
       .orderBy(partitionCols.map(col): _*)

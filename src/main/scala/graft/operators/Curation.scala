@@ -39,7 +39,9 @@ object Curation {
     * against [[hashBucket48]] since the granularity widening. Oracles
     * replay whichever bucket their operator uses, bit for bit. */
   def hashBucket16(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
+    // fused md5-slice kernel (spec-pinned ≡ the conv/substring twin)
+    graft.functions.VectorExpressions
+      .md5SliceToLong(id.cast("string"), 1, 4).cast("int")
 
   /** 48-bit md5 bucket ([0, 2⁴⁸)) — the samplers' keep-rate domain.
     * 16 bits quantized keep-rates to multiples of ~1.5e-5 (any rate
@@ -49,7 +51,9 @@ object Curation {
     * (and in the evalCarve double). One definition shared by every
     * sampler so the q51/q67 oracles replay a single arithmetic. */
   def hashBucket48(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long")
+    // fused md5-slice kernel (spec-pinned ≡ the conv/substring twin)
+    graft.functions.VectorExpressions
+      .md5SliceToLong(id.cast("string"), 1, 12)
 
   /** 2⁴⁸ as the samplers' cut scale (rate 1.0 → cut 2⁴⁸ > every
     * bucket, keeps all rows). */
@@ -152,7 +156,8 @@ object Curation {
                 k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val scored = df.select(col(stratumCol), col(idCol),
-      conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      graft.functions.VectorExpressions
+        .md5SliceToLong(col(idCol).cast("string"), 1, 12)
         .cast("double").as("hscore"))
     TopK.perGroup(scored, stratumCol, "hscore", idCol, k)
   }
@@ -575,8 +580,16 @@ object Curation {
         .select(keep :+ explode(concat(col("_toks"),
           Dedup.shingleArray(col("_toks"), 2))).as("_ng"): _*)
         .withColumn("bucket", hashBucket48(col("_ng")) % buckets)
+    // localCheckpoint: the cell frame feeds BOTH the raw-model collect
+    // and the lazy scoring pass — left lazy, the scoring pass
+    // re-tokenized and re-md5'd the whole corpus a second time (the
+    // feature explode is the dominant cost of this operator; measured
+    // ~2× on the q82 gate). Eager: the model collect pays the
+    // materialization anyway, and the checkpoint stores (id, bucket,
+    // count) cells — corpus-bounded, never the exploded n-grams.
     val docFeats = feats(df, textCol, Seq(col(idCol)))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
     // ---- eager model training: two ≤buckets-row collects ----
     val rawRows = docFeats.groupBy("bucket")
       .agg(sum("c").as("cr")).collect()
@@ -1113,8 +1126,8 @@ object Curation {
       s"dim must be in [2, 2^20], got $dim")
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
-    val bucket = pmod(conv(substring(md5(col("_tok")), 1, 8), 16, 10)
-      .cast("long"), lit(dim.toLong))
+    val bucket = pmod(graft.functions.VectorExpressions
+      .md5SliceToLong(col("_tok"), 1, 8), lit(dim.toLong))
     val scored = toks.withColumn("_w", hashedWeight(bucket))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum("_w").as("score"))
@@ -1156,7 +1169,8 @@ object Curation {
       // 48-bit md5 prefix, exact as a double (< 2^53); negated so the
       // TopK (score DESC) keeps the SMALLEST hashes, ties id ASC
       .withColumn("_neg",
-        -conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+        -graft.functions.VectorExpressions
+          .md5SliceToLong(col(idCol).cast("string"), 1, 12)
           .cast("double"))
     TopK.perGroup(scored, "bucket", "_neg", idCol, perBucket)
       .select(col("bucket"), col("rank"), col(idCol))

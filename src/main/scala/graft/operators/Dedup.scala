@@ -90,7 +90,9 @@ object Dedup {
   def minHashSignatures(shingles: DataFrame, idCol: String,
                         numHashes: Int = 16): DataFrame = {
     val base = pmod(
-      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"),
+      // fused md5-slice kernel (spec-pinned ≡ the conv/substring twin)
+      graft.functions.VectorExpressions
+        .md5SliceToLong(col("shingle"), 1, 15),
       lit(minHashP))
     val withBase = shingles.withColumn("_hh", base)
     val aggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), k) =>
@@ -361,7 +363,8 @@ object Dedup {
         posexplode(shingleArray(col("_toks"), kgram))
           .as(Seq("_pos", "_shingle")))
       .withColumn("_h", pmod(
-        conv(substring(md5(col("_shingle")), 1, 15), 16, 10).cast("long"),
+        graft.functions.VectorExpressions
+          .md5SliceToLong(col("_shingle"), 1, 15),
         lit(minHashP)))
     val w = Window.partitionBy(idCol).orderBy("_pos")
       .rowsBetween(Window.currentRow, window - 1)
@@ -1328,7 +1331,8 @@ object Dedup {
     val sampled =
       if (sampleMod == 1) grams
       else grams.filter(
-        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long")
+        graft.functions.VectorExpressions
+          .md5SliceToLong(col("gram"), 1, 12)
           % sampleMod === 0)
     sampled
       .groupBy(col("gram"), col(idCol))

@@ -209,9 +209,29 @@ object Scale {
     try {
       val nBuckets = math.max(1, s.sparkContext.defaultParallelism)
       val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
-      // pass 1: per-group counts → ⌈q·n_g⌉ targets (driver doubles,
-      // the same IEEE product+ceil the oracle replays)
-      val counts = vals.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+      // pass 1 (ONE fused job): per-group counts → ⌈q·n_g⌉ targets
+      // (driver doubles, the same IEEE product+ceil the oracle
+      // replays) AND the per-group bucket SPLITTERS, COLLECTED once
+      // and shipped back as a local frame. The two used to be separate
+      // aggregation jobs over the same cached projection — same
+      // grouping key, so one hash aggregate carries both (guide §1.2:
+      // fewer passes; measured on the q108/q318 robust-stats path,
+      // which pays this training twice per call).
+      // approx_percentile's sketch merge is shuffle-order dependent,
+      // so a lazily re-executed bounds frame could return different
+      // splitters in the final pass than the ones the offsets below
+      // were pinned against — rows would land in buckets with stale
+      // offsets and ranks would silently shift (the same reason
+      // bucketedCumSum collects its splitters to literals). Exactness
+      // never depends on the splitter VALUES — only on both passes
+      // seeing the SAME values — and the collect is ≤maxGroups rows.
+      val trainAggs =
+        if (probs.isEmpty) Seq(count(lit(1)).as("_n"))
+        else Seq(count(lit(1)).as("_n"),
+          expr(s"approx_percentile(_v, array(${probs.mkString(",")})" +
+            ", 10000)").as("_bs"))
+      val counts = vals.groupBy(col("_g"))
+        .agg(trainAggs.head, trainAggs.tail: _*)
         .limit(maxGroups + 1).collect()
       require(counts.length <= maxGroups,
         s"`$groupCol` has more than $maxGroups groups — that is a key, " +
@@ -226,23 +246,10 @@ object Scale {
                 fields: StructField*): DataFrame =
         s.createDataFrame(s.sparkContext.parallelize(rows, 1),
           StructType(fields))
-      // pass 2: per-group bucket SPLITTERS, COLLECTED once and shipped
-      // back as a local frame. approx_percentile's sketch merge is
-      // shuffle-order dependent, so a lazily re-executed bounds frame
-      // could return different splitters in the final pass than the
-      // ones the offsets below were pinned against — rows would land in
-      // buckets with stale offsets and ranks would silently shift (the
-      // same reason bucketedCumSum collects its splitters to literals).
-      // Exactness never depends on the splitter VALUES — only on both
-      // passes seeing the SAME values — and the collect is ≤maxGroups
-      // rows.
       val bucketed =
         if (probs.isEmpty) vals.withColumn("_bkt", lit(0))
         else {
-          val boundRows = vals.groupBy(col("_g"))
-            .agg(expr(s"approx_percentile(_v, array(${probs.mkString(",")})" +
-              ", 10000)").as("_bs")).collect()
-            .map(r => Row(r.get(0), r.getSeq[Double](1)))
+          val boundRows = counts.map(r => Row(r.get(0), r.getSeq[Double](2)))
           val boundsDf = frame(boundRows.toSeq,
             StructField("_bg", gType),
             StructField("_bs", ArrayType(DoubleType), nullable = false))
@@ -503,8 +510,9 @@ object Scale {
     require(shards.distinct.size == shards.size,
       "shard names must be unique")
     val entries = shards.sorted.map { s =>
-      val w = conv(substring(md5(concat_ws(":", lit(s),
-        col(idCol).cast("string"))), 1, 12), 16, 10).cast("long")
+      val w = graft.functions.VectorExpressions
+        .md5SliceToLong(concat_ws(":", lit(s),
+          col(idCol).cast("string")), 1, 12)
       struct((-w).as("_nw"), lit(s).as("_shard"))
     }
     df.withColumn("shard",

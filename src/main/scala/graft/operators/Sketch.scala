@@ -50,8 +50,8 @@ object Sketch {
     // the q279 precedent): value-identical, but codegen'd — conv's
     // NumberConverter call was the dominant per-row cost of every
     // HLL register build (measured on q286's 6M-row melt)
-    graft.functions.VectorExpressions.hexSliceToLong(
-      md5(v.cast("string")), 1, 12)
+    graft.functions.VectorExpressions.md5SliceToLong(
+      v.cast("string"), 1, 12)
 
   /** floor(log2(x)) for x ≥ 1 via comparison ladder (40-bit domain). */
   private def floorLog2(x: Column): Column =
@@ -141,8 +141,8 @@ object Sketch {
 
   /** Position of value `v` under hash seed `i`, in [0, m). */
   def bloomPos(v: Column, i: Int, m: Int): Column =
-    conv(substring(md5(concat(lit(s"$i:"), v)), 1, 12), 16, 10)
-      .cast("long") % m
+    graft.functions.VectorExpressions
+      .md5SliceToLong(concat(lit(s"$i:"), v), 1, 12) % m
 
   /** Build the filter over the DISTINCT values of `valueCol`: the k·n
     * positions are set in an m-bit set collected as (m/64) longs.
@@ -330,8 +330,9 @@ object Sketch {
     require(k >= 2, s"k must be >= 2, got $k")
     val hashed = Dedup.shingleMultiset(df, groupCol, textCol, shingleN)
       .select(col(groupCol),
-        pmod(conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-          .cast("long"), lit(Dedup.minHashP)).as("h"))
+        pmod(graft.functions.VectorExpressions
+          .md5SliceToLong(col("shingle"), 1, 15),
+          lit(Dedup.minHashP)).as("h"))
       .distinct()
       .withColumn("_neg", -col("h").cast("double"))
     TopK.perGroup(hashed, groupCol, "_neg", "h", k)

@@ -133,8 +133,9 @@ object Stats {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
     def bucketed(df: DataFrame, key: String, cnt: String): DataFrame =
       df.filter(col(key).isNotNull)
-        .select((conv(substring(md5(col(key).cast("string")), 1, 4),
-          16, 10).cast("long") % nBuckets).as("_b"))
+        .select((graft.functions.VectorExpressions
+          .md5SliceToLong(col(key).cast("string"), 1, 4)
+          % nBuckets).as("_b"))
         .groupBy("_b").agg(count(lit(1)).as(cnt))
     def nulls(df: DataFrame, key: String) =
       df.agg(count(lit(1)).as("_total"),

@@ -1229,7 +1229,7 @@ object TextAnalysis {
       .filter(col("_n") >= minCount)
       .localCheckpoint()
     def wid(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+      graft.functions.VectorExpressions.md5SliceToLong(c, 1, 12)
     val edges = pairs.select(wid(col("_a")).as("src"),
         wid(col("_b")).as("dst"))
       .unionAll(pairs.select(wid(col("_b")).as("src"),

@@ -104,4 +104,40 @@ class VectorExpressionsSpec extends SparkSpec {
       VectorExpressions.hexSliceToLong(lit("ff"), 1, 16)
     }
   }
+
+  test("md5SliceToLong equals the conv(substring(md5)) twin; null/edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // unicode, empty, and long strings — the digest input domain the
+    // samplers/minhash/HLL paths feed (ids, shingles, grams)
+    val df = ((1L to 500L).map(i => s"row$i:\u00e9\u4e2d $i") :+ "")
+      .toDF("t")
+    // every offset/length the engine uses, against the composed twin
+    for ((off, len) <- Seq((1, 12), (1, 15), (1, 4), (9, 8), (18, 15))) {
+      val n = df.select(
+        VectorExpressions.md5SliceToLong(col("t"), off, len).as("k"),
+        expr(s"CAST(conv(substring(md5(t), $off, $len), 16, 10) " +
+          "AS BIGINT)").as("c"))
+        .filter(col("k") =!= col("c") || col("k").isNull).count()
+      assert(n == 0L, s"kernel != md5 conv twin at offset=$off len=$len")
+    }
+    // interpreted (non-codegen) path agrees with the twin too
+    val row = VectorExpressions.md5SliceToLong(lit("abc"), 1, 12)
+    val interp = spark.range(1).select(row.as("k")).collect().head.getLong(0)
+    val twin = spark.range(1).select(
+      expr("CAST(conv(substring(md5('abc'), 1, 12), 16, 10) AS BIGINT)"))
+      .collect().head.getLong(0)
+    assert(interp == twin)
+    // null input propagates
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(VectorExpressions.md5SliceToLong(col("t"), 1, 12))
+      .collect().head.isNullAt(0))
+    // literal bounds are rejected eagerly
+    intercept[IllegalArgumentException] {
+      VectorExpressions.md5SliceToLong(lit("x"), 1, 16)
+    }
+    intercept[IllegalArgumentException] {
+      VectorExpressions.md5SliceToLong(lit("x"), 19, 15)
+    }
+  }
 }
