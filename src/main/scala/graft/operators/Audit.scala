@@ -536,22 +536,34 @@ object Audit {
     // explodes to C(n,2) structs per row instead of n·(n-1) and the
     // heavy first shuffle halves; directions fan out AFTER the
     // collapse, over the far smaller cell frame (measured 5.4 -> 2.1 s
-    // on the 4-column gate at sf0.1)
-    val pairs = cols.combinations(2).map { pq =>
+    // on the 4-column gate at sf0.1).
+    // Pair identity travels as a SMALL INT, not two column-name
+    // strings (guide §2.3, shuffle fewer bytes): both heavy shuffle
+    // keys used to repeat two ~10-char names on every cell; the int
+    // id maps back to names on the pair-count-sized verdict frame via
+    // literal arrays. Values and output order are unchanged.
+    val pairSeq = cols.combinations(2).toSeq
+    val pairs = pairSeq.zipWithIndex.map { case (pq, pi) =>
       val (a, b) = (pq(0), pq(1))
-      struct(lit(a).as("pa"), lit(b).as("pb"),
-        rendered(a).as("va"), rendered(b).as("vb"))
-    }.toSeq
+      struct(lit(pi).as("pi"), rendered(a).as("va"), rendered(b).as("vb"))
+    }
+    // pi → member column indexes, as literal int arrays
+    val iaArr = array(pairSeq.map(pq => lit(cols.indexOf(pq(0)))): _*)
+    val ibArr = array(pairSeq.map(pq => lit(cols.indexOf(pq(1)))): _*)
+    val nameArr = array(cols.map(lit): _*)
     val cells = df
       .select(explode(array(pairs: _*)).as("_p"))
-      .select(col("_p.pa"), col("_p.pb"), col("_p.va"), col("_p.vb"))
-      .groupBy("pa", "pb", "va", "vb")
+      .select(col("_p.pi"), col("_p.va"), col("_p.vb"))
+      .groupBy("pi", "va", "vb")
       .agg(count(lit(1)).as("_n"))
     val perDet = cells
+      .select(element_at(iaArr, col("pi") + 1).as("_ia"),
+        element_at(ibArr, col("pi") + 1).as("_ib"),
+        col("va"), col("vb"), col("_n"))
       .select(explode(array(
-        struct(col("pa").as("det"), col("pb").as("dep"),
+        struct(col("_ia").as("det"), col("_ib").as("dep"),
           col("va").as("dval")),
-        struct(col("pb").as("det"), col("pa").as("dep"),
+        struct(col("_ib").as("det"), col("_ia").as("dep"),
           col("vb").as("dval")))).as("_d"), col("_n"))
       .select(col("_d.det"), col("_d.dep"), col("_d.dval"), col("_n"))
       .groupBy("det", "dep", "dval")
@@ -561,7 +573,8 @@ object Audit {
         sum(when(col("_ndep") > 1L, 1L).otherwise(0L))
           .as("n_violating_det_values"),
         sum("_nrows").as("_total"))
-      .select(col("det").as("determinant"), col("dep").as("dependent"),
+      .select(element_at(nameArr, col("det") + 1).as("determinant"),
+        element_at(nameArr, col("dep") + 1).as("dependent"),
         col("n_det_values"), col("n_violating_det_values"),
         (col("n_violating_det_values") === 0L).as("fd_holds"),
         (col("n_det_values") === col("_total")).as("det_is_unique_key"))
@@ -599,21 +612,30 @@ object Audit {
       "fdApprox", maxMeltCells)
     def rendered(c: String): Column =
       coalesce(col(c).cast("string"), lit("\u0001"))
-    val pairs = cols.combinations(2).map { pq =>
+    // int pair ids on both shuffle keys (the fdDiscovery trim —
+    // guide §2.3): names rejoin on the verdict frame via literal
+    // arrays; values and output order unchanged
+    val pairSeq = cols.combinations(2).toSeq
+    val pairs = pairSeq.zipWithIndex.map { case (pq, pi) =>
       val (a, b) = (pq(0), pq(1))
-      struct(lit(a).as("pa"), lit(b).as("pb"),
-        rendered(a).as("va"), rendered(b).as("vb"))
-    }.toSeq
+      struct(lit(pi).as("pi"), rendered(a).as("va"), rendered(b).as("vb"))
+    }
+    val iaArr = array(pairSeq.map(pq => lit(cols.indexOf(pq(0)))): _*)
+    val ibArr = array(pairSeq.map(pq => lit(cols.indexOf(pq(1)))): _*)
+    val nameArr = array(cols.map(lit): _*)
     val cells = df
       .select(explode(array(pairs: _*)).as("_p"))
-      .select(col("_p.pa"), col("_p.pb"), col("_p.va"), col("_p.vb"))
-      .groupBy("pa", "pb", "va", "vb")
+      .select(col("_p.pi"), col("_p.va"), col("_p.vb"))
+      .groupBy("pi", "va", "vb")
       .agg(count(lit(1)).as("_n"))
     val perDet = cells
+      .select(element_at(iaArr, col("pi") + 1).as("_ia"),
+        element_at(ibArr, col("pi") + 1).as("_ib"),
+        col("va"), col("vb"), col("_n"))
       .select(explode(array(
-        struct(col("pa").as("det"), col("pb").as("dep"),
+        struct(col("_ia").as("det"), col("_ib").as("dep"),
           col("va").as("dval")),
-        struct(col("pb").as("det"), col("pa").as("dep"),
+        struct(col("_ib").as("det"), col("_ia").as("dep"),
           col("vb").as("dval")))).as("_d"), col("_n"))
       .select(col("_d.det"), col("_d.dep"), col("_d.dval"), col("_n"))
       .groupBy("det", "dep", "dval")
@@ -621,7 +643,8 @@ object Audit {
     perDet.groupBy("det", "dep")
       .agg(count(lit(1)).as("n_det_values"),
         sum("_mx").as("_keep"), sum("_rows").as("n_rows"))
-      .select(col("det").as("determinant"), col("dep").as("dependent"),
+      .select(element_at(nameArr, col("det") + 1).as("determinant"),
+        element_at(nameArr, col("dep") + 1).as("dependent"),
         col("n_det_values"), col("n_rows"),
         expr("(n_rows - _keep) * 1000000 div n_rows").as("g3_micro"),
         (col("_keep") === col("n_rows")).as("fd_holds"))
@@ -676,14 +699,20 @@ object Audit {
     val nRows = df.count()
     meltRouteGuard(df, cols.size.toLong * (cols.size - 1) / 2,
       "keyDiscovery", maxMeltCells, nRowsKnown = Some(nRows))
-    val singleStructs = cols.map(c =>
-      struct(lit(c).as("cand"), rendered(c).as("va"), lit("").as("vb")))
-    val pairStructs = cols.combinations(2).toSeq.map { pq =>
-      val (a, b) = (pq(0), pq(1))
-      struct(lit(s"$a+$b").as("cand"),
-        rendered(a).as("va"), rendered(b).as("vb"))
+    // candidate identity travels as a SMALL INT (guide §2.3 — the
+    // shuffle key drops a repeated candidate-name string per cell);
+    // ids decode on the collected |candidates|-row axis
+    val candNames = cols ++
+      cols.combinations(2).toSeq.map(pq => s"${pq(0)}+${pq(1)}")
+    val singleStructs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cand"), rendered(c).as("va"), lit("").as("vb"))
     }
-    val perCand = df
+    val pairStructs = cols.combinations(2).toSeq.zipWithIndex.map {
+      case (pq, pi) =>
+        struct(lit(cols.size + pi).as("cand"),
+          rendered(pq(0)).as("va"), rendered(pq(1)).as("vb"))
+    }
+    val perCandId = df
       .select(explode(array((singleStructs ++ pairStructs): _*)).as("_p"))
       .select(col("_p.cand").as("cand"), col("_p.va").as("va"),
         col("_p.vb").as("vb"))
@@ -691,7 +720,8 @@ object Audit {
       .agg(count(lit(1)).as("_n"))
       .groupBy("cand")
       .agg(count(lit(1)).as("_nd"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perCand = perCandId.map { case (i, v) => candNames(i) -> v }
     def nd(c: String): Long = perCand.getOrElse(c, 0L)
     def isKey(c: String): Boolean = nd(c) == nRows
     import ss.implicits._
@@ -825,11 +855,19 @@ object Audit {
     val ss = df.sparkSession
     def rendered(c: String): Column =
       coalesce(col(c).cast("string"), lit("\u0001"))
-    val singleStructs = cols.map(c =>
-      struct(lit(c).as("cand"), rendered(c).as("v")))
-    val pairStructs = cols.combinations(2).toSeq.map { pq =>
-      val (a, b) = (pq(0), pq(1))
-      struct(lit(s"$a+$b").as("cand"),
+    // candidate identity travels as a SMALL INT through the register
+    // melt (guide §2.3 — the cell key used to repeat a candidate-name
+    // string on every row); ids decode on the |candidates|-row axis
+    val candidates =
+      (cols.map(c => c) ++ cols.combinations(2).toSeq.map(pq =>
+        s"${pq(0)}+${pq(1)}"))
+    val singleStructs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cand"), rendered(c).as("v"))
+    }
+    val pairStructs = cols.combinations(2).toSeq.zipWithIndex.map {
+      case (pq, pi) =>
+        val (a, b) = (pq(0), pq(1))
+        struct(lit(cols.size + pi).as("cand"),
         concat_ws("\u0002", rendered(a), rendered(b)).as("v"))
     }
     def melt = df
@@ -840,11 +878,8 @@ object Audit {
     require(n > 0, "keyDiscoveryApprox needs a non-empty frame")
     val ests = Sketch.hllEstimate(
       Sketch.hllRegisters(melt, "v", Seq("cand")), Seq("cand"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .collect().map(r => candidates(r.getInt(0)) -> r.getDouble(1)).toMap
     val arity = (c: String) => if (c.contains("+")) 2 else 1
-    val candidates =
-      (cols.map(c => c) ++ cols.combinations(2).toSeq.map(pq =>
-        s"${pq(0)}+${pq(1)}"))
     val pruned = candidates.map(c => c ->
       (ests.getOrElse(c, 0.0) * 1000000.0 <
         n.toDouble * (1000000L - slackMicro).toDouble)).toMap
@@ -863,20 +898,23 @@ object Audit {
       else {
         val survSet = survivors.toSet
         val survStructs =
-          (cols.filter(survSet.contains).map(c =>
-            struct(lit(c).as("cand"), rendered(c).as("v"))) ++
-            cols.combinations(2).toSeq
-              .filter(pq => survSet.contains(s"${pq(0)}+${pq(1)}"))
-              .map { pq =>
+          (cols.zipWithIndex.filter(ci => survSet.contains(ci._1)).map {
+            case (c, i) => struct(lit(i).as("cand"), rendered(c).as("v"))
+          } ++
+            cols.combinations(2).toSeq.zipWithIndex
+              .filter { case (pq, _) =>
+                survSet.contains(s"${pq(0)}+${pq(1)}") }
+              .map { case (pq, pi) =>
                 val (a, b) = (pq(0), pq(1))
-                struct(lit(s"$a+$b").as("cand"),
+                struct(lit(cols.size + pi).as("cand"),
                   concat_ws("\u0002", rendered(a), rendered(b)).as("v"))
               })
         df.select(explode(array(survStructs: _*)).as("_p"))
           .select(col("_p.cand").as("cand"), col("_p.v").as("v"))
           .distinct()
           .groupBy("cand").agg(count(lit(1)).as("_nd"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          .collect().map(r => candidates(r.getInt(0)) -> r.getLong(1))
+          .toMap
       }
     val isKey = candidates.map(c => c ->
       (!pruned(c) && exact.getOrElse(c, 0L) == n)).toMap
