@@ -141,32 +141,59 @@ object Bench {
         sweep > 0 && rerun > 0 &&
           (sweep / rerun > 2.0 || rerun / sweep > 2.0)
       }
+    // Self-adjudication (the round-11 verdict's item 3): a tripped
+    // canary means the box was loaded DURING the sweep, and the
+    // queries most damaged by a load window are the expensive ones
+    // (they overlap more wall-clock). When the canary trips, re-run
+    // the N slowest sweep medians back-to-back (median of 3) right
+    // here, after the load signal, and report BOTH figures — the
+    // sweep median stays the headline (methodology unchanged across
+    // rounds); `readjudicated` gives the reader the isolated figure
+    // the builder previously had to reconstruct by hand
+    // (OPTIMIZATION_r11.md's protocol, mechanized).
+    val readjN = sys.env.getOrElse("SPARK_GRAFT_BENCH_READJ", "10").toInt
+    val readjudicated: Seq[(String, Double, Double)] =
+      if (!canaryContaminated || readjN <= 0) Seq.empty
+      else results.filter(_._2 >= 0).sortBy(-_._2).take(readjN).map {
+        case (name, sweepMedian) =>
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            val ok =
+              try { SparkEntry.queries(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save(); true }
+              catch { case _: Throwable => false }
+            if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          }
+          val med = if (ts.exists(_ < 0)) -1.0
+                    else ts.sorted.apply(ts.size / 2)
+          (name, sweepMedian, med)
+      }
     val canaryJson = canary.map { case (n, sweep, rerun) =>
       f""""$n":{"sweep":$sweep%.3f,"rerun":$rerun%.3f}"""
     }.mkString("{", ",", "}")
     val canaryMidJson = midProbes.map(p => f"$p%.3f").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"canary":$canaryJson,"canary_mid":$canaryMidJson,"canary_contaminated":$canaryContaminated,"sf":"$sfDir"}"""
-    // The harness captures only the last ~2000 BYTES of stdout and the
-    // full per-query map is ~9 KB at 287 queries, so every round's
-    // stdout line since the map outgrew the window came back
-    // "parsed": null with its head clipped (r04/r08/r09 alike). The
-    // stdout line therefore carries the headline plus ONLY the 25
-    // slowest queries (~1.3 KB, survives the window alongside sbt's
-    // trailing status line); the complete map goes to the durable
-    // files below — BENCH_FULL.json at the repo root is committed each
-    // closing sweep so per-query history stays readable.
     def r3(v: Double): String = f"$v%.3f"
+    val readjJson = readjudicated.map { case (n, s, iso) =>
+      s""""$n":{"sweep":${r3(s)},"isolated":${r3(iso)}}"""
+    }.mkString("{", ",", "}")
     val okResults = results.filter(_._2 >= 0)
-    val slowJson = okResults.sortBy(-_._2).take(25)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val p50 = { val s = okResults.map(_._2).sorted
       if (s.isEmpty) -1.0 else s(s.size / 2) }
-    val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_omitted":${okResults.size - math.min(25, okResults.size)},"failed":[${failed.mkString(",")}],"mean_sec":${r3(if (okResults.nonEmpty) total / okResults.size else -1.0)},"p50_sec":${r3(p50)},"queries":$slowJson,"canary":$canaryJson,"canary_mid":$canaryMidJson,"canary_contaminated":$canaryContaminated,"full":"BENCH_FULL.json"}"""
-    println(compact)
-    for (path <- Seq("target/bench.json", "BENCH_FULL.json")) {
+    // One stdout line with the COMPLETE per-query map. Earlier rounds
+    // truncated this to the 25 slowest on a (stale) assumption that
+    // the harness window kept only ~2 KB of stdout — and the driver's
+    // parser returned `parsed: null` on the truncated line two rounds
+    // running (PERF_r10/r11 both empty). The round-11 verdict's item 2
+    // explicitly asks for the full map here (~12 KB at 323 queries);
+    // the durable copies below stay for history.
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_omitted":0,"failed":[${failed.mkString(",")}],"mean_sec":${r3(if (okResults.nonEmpty) total / okResults.size else -1.0)},"p50_sec":${r3(p50)},"queries":$qs,"canary":$canaryJson,"canary_mid":$canaryMidJson,"canary_contaminated":$canaryContaminated,"readjudicated":$readjJson,"full":"BENCH_FULL.json"}"""
+    println(json)
+    // BENCH_FULL.json used to be clobbered by whichever same-session
+    // run happened last (the r11 8-core sweep overwrote the 32-core
+    // map); the cpus-suffixed copy keeps every core count's map.
+    for (path <- Seq("target/bench.json", "BENCH_FULL.json",
+                     s"BENCH_FULL_c$cpus.json")) {
       try {
         val out = java.nio.file.Paths.get(path)
         if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)

@@ -50,14 +50,21 @@ class PlanShapeSpec extends SparkSpec {
       s"window partitioning must include the time-slice salt:\n$plan")
   }
 
-  test("q82 dsir: the lazy plan reads the corpus exactly twice, model broadcast") {
+  test("q82 dsir: the lazy plan reads the corpus exactly once, model broadcast") {
     // the eager-trained model exists so the returned frame costs the
     // scoring pass + the single-column restore and nothing else; a
     // regression to the lazy model re-derives the feature frame per
-    // consumer (six scans, measured before the fix)
+    // consumer (six scans, measured before the fix). Since the r11
+    // checkpoint of the (id, bucket, count) cell frame, the scoring
+    // side reads the checkpoint (Scan ExistingRDD) rather than
+    // re-tokenizing the corpus, so exactly ONE FileScan remains (the
+    // doc_id restore); two scans would mean the checkpoint reuse
+    // regressed, three or more the lazy-model re-derivation returned.
     val plan = finalPlan(q("q82_dsir_score"))
     val scans = plan.split("FileScan parquet").length - 1
-    assert(scans == 2, s"expected exactly 2 corpus scans, found $scans:\n$plan")
+    assert(scans == 1, s"expected exactly 1 corpus scan, found $scans:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the scoring side must read the checkpointed cell frame:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"the ≤buckets-row model table must broadcast:\n$plan")
   }
