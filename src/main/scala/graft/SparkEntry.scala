@@ -3680,12 +3680,18 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val kc = Seq("l_orderkey", "l_linenumber", "l_partkey",
         "l_suppkey")
-      val exact = Audit.keyDiscovery(li, kc)
+      // fused base (r11 verdict item 4): both legs share ONE corpus
+      // melt + row count instead of three corpus passes + two counts;
+      // each leg's frame is row-identical to the public API's output
+      // (keyRouteAgreeFrames scaladoc has the register/max-fold proof,
+      // the oracle re-pins it every round)
+      val (exactFull, routedFull) = Audit.keyRouteAgreeFrames(li, kc,
+        slackMicro = 150000L)
+      val exact = exactFull
         .select(col("candidate"), col("arity"),
           col("is_key").as("is_key_exact"),
           col("is_minimal").as("is_minimal_exact"))
-      val routed = Audit.keyDiscoveryApprox(li, kc,
-          slackMicro = 150000L)
+      val routed = routedFull
         .select(col("candidate"),
           col("is_key").as("is_key_routed"),
           col("is_minimal").as("is_minimal_routed"))

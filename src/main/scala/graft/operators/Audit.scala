@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Referential-integrity audit — the data-quality gate a star-schema
@@ -483,15 +483,16 @@ object Audit {
     * q322 gate pins the agreement). The row count is one
     * column-pruned aggregate (or reuses a count the caller already
     * paid); returns n for reuse. */
-  private def meltRouteGuard(df: DataFrame, nPairs: Long, who: String,
+  private def meltRouteGuard(df: DataFrame, nCands: Long, who: String,
                              maxMeltCells: Long,
                              nRowsKnown: Option[Long] = None): Long = {
     require(maxMeltCells > 0, s"maxMeltCells must be > 0: $maxMeltCells")
     val n = nRowsKnown.getOrElse(df.count())
-    require(n * nPairs <= maxMeltCells,
-      s"$who: $n rows × $nPairs candidate pairs = ${n * nPairs} melted " +
-        s"cells exceeds maxMeltCells=$maxMeltCells — the exact VALUE " +
-        "shuffle per candidate does not scale there; route through " +
+    require(n * nCands <= maxMeltCells,
+      s"$who: $n rows × $nCands melted candidates (singles AND pairs " +
+        s"where the melt carries both) = ${n * nCands} cells exceeds " +
+        s"maxMeltCells=$maxMeltCells — the exact VALUE shuffle per " +
+        "candidate does not scale there; route through " +
         "keyDiscoveryApprox's sketch prefilter (exact distincts only " +
         "for sketch survivors) or raise the bound deliberately")
     n
@@ -697,7 +698,11 @@ object Audit {
     // Guide §1.2/§2.4: one corpus pass instead of two, one string
     // render per struct field, no Expand. (A/B in OPTIMIZATION_r11.md.)
     val nRows = df.count()
-    meltRouteGuard(df, cols.size.toLong * (cols.size - 1) / 2,
+    // the unified melt emits |cols| single cells PLUS C(|cols|,2) pair
+    // cells per row, so the guard bounds the FULL exploded width (the
+    // r11 ADVICE undercount: pairs alone missed ~18% at the 12-col cap)
+    meltRouteGuard(df, cols.size.toLong +
+      cols.size.toLong * (cols.size - 1) / 2,
       "keyDiscovery", maxMeltCells, nRowsKnown = Some(nRows))
     // candidate identity travels as a SMALL INT (guide §2.3 — the
     // shuffle key drops a repeated candidate-name string per cell);
@@ -722,14 +727,23 @@ object Audit {
       .agg(count(lit(1)).as("_nd"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val perCand = perCandId.map { case (i, v) => candNames(i) -> v }
+    kdAssembleExact(ss, cols, nRows, perCand)
+  }
+
+  /** Driver-side verdict assembly shared by [[keyDiscovery]] and the
+    * fused q322 base [[keyRouteAgreeFrames]]: exact rows from the
+    * per-candidate distinct-count map. Pair rows only for a non-empty
+    * frame — the original lazy pair aggregate produced zero rows on
+    * empty input (no cells to aggregate), and that surface is
+    * contract. */
+  private def kdAssembleExact(ss: SparkSession, cols: Seq[String],
+                              nRows: Long,
+                              perCand: Map[String, Long]): DataFrame = {
     def nd(c: String): Long = perCand.getOrElse(c, 0L)
     def isKey(c: String): Boolean = nd(c) == nRows
     import ss.implicits._
     val singles = cols.map(c =>
       (c, 1, nd(c), nRows, isKey(c), isKey(c)))
-    // pair rows only for a non-empty frame — the previous lazy pair
-    // aggregate produced zero rows on empty input (no cells to
-    // aggregate), and that surface is contract
     val pairRows =
       if (nRows == 0L) Seq.empty
       else cols.combinations(2).toSeq.map { pq =>
@@ -874,12 +888,26 @@ object Audit {
       .select(explode(array((singleStructs ++ pairStructs): _*))
         .as("_p"))
       .select(col("_p.cand").as("cand"), col("_p.v").as("v"))
-    val n = df.count()
+    // n rides the register pass (r11 verdict item 5): the melt emits
+    // exactly one never-null cell per (row, candidate) — `rendered`
+    // coalesces nulls to the sentinel — so candidate 0's per-bucket
+    // cell counts sum to the row count, and ONE corpus aggregate
+    // carries registers AND n instead of a separate count() job. The
+    // counted register frame is |candidates|×256-bounded;
+    // localCheckpoint materializes the corpus pass once for its two
+    // consumers (n, estimates). Register values are untouched, and
+    // hllEstimate's harmonic sum is order-independent (each term is a
+    // power of two ≥ 2⁻⁴¹, so ≤256-term sums are exact in a double) —
+    // estimates stay bit-identical.
+    val regs = Sketch.hllRegistersCounted(melt, "v", Seq("cand"))
+      .localCheckpoint()
+    val n = regs.filter(col("cand") === 0)
+      .agg(coalesce(sum("_cells"), lit(0L)).as("_n"))
+      .collect()(0).getLong(0)
     require(n > 0, "keyDiscoveryApprox needs a non-empty frame")
     val ests = Sketch.hllEstimate(
-      Sketch.hllRegisters(melt, "v", Seq("cand")), Seq("cand"))
+      regs.select("cand", "bucket", "reg"), Seq("cand"))
       .collect().map(r => candidates(r.getInt(0)) -> r.getDouble(1)).toMap
-    val arity = (c: String) => if (c.contains("+")) 2 else 1
     val pruned = candidates.map(c => c ->
       (ests.getOrElse(c, 0.0) * 1000000.0 <
         n.toDouble * (1000000L - slackMicro).toDouble)).toMap
@@ -916,6 +944,21 @@ object Audit {
           .collect().map(r => candidates(r.getInt(0)) -> r.getLong(1))
           .toMap
       }
+    kdaAssembleRouted(ss, cols, n, ests, pruned, exact)
+  }
+
+  /** Driver-side verdict assembly shared by [[keyDiscoveryApprox]] and
+    * the fused q322 base [[keyRouteAgreeFrames]]: routed rows from the
+    * sketch estimates, the prune verdicts, and the survivor-only exact
+    * distinct counts. */
+  private def kdaAssembleRouted(ss: SparkSession, cols: Seq[String],
+                                n: Long, ests: Map[String, Double],
+                                pruned: Map[String, Boolean],
+                                exact: Map[String, Long]): DataFrame = {
+    val candidates =
+      (cols.map(c => c) ++ cols.combinations(2).toSeq.map(pq =>
+        s"${pq(0)}+${pq(1)}"))
+    val arity = (c: String) => if (c.contains("+")) 2 else 1
     val isKey = candidates.map(c => c ->
       (!pruned(c) && exact.getOrElse(c, 0L) == n)).toMap
     import ss.implicits._
@@ -933,6 +976,103 @@ object Audit {
     }.toDF("candidate", "arity", "n_rows", "est_distinct", "pruned",
       "n_distinct", "is_key", "is_minimal")
       .orderBy("arity", "candidate")
+  }
+
+  /** Fused base for the q322 agreement gate — package-private: when a
+    * caller runs [[keyDiscovery]] AND [[keyDiscoveryApprox]] over the
+    * SAME input (the route-agreement pin), running the two public
+    * entries independently pays three full corpus passes (exact melt;
+    * HLL register melt; survivor exact melt) plus two row counts, each
+    * re-rendering every declared column to a string. This entry
+    * computes the row count and ONE distinct-cell frame (cand, va, vb)
+    * once, and derives both verdicts from it:
+    *
+    *   - exact leg: per-candidate cell counts — exactly keyDiscovery's
+    *     distinct-of-(va, vb), same cascaded aggregate.
+    *   - sketch leg: HLL registers are MAX-folds of per-value hashes,
+    *     so registers over the distinct value set are bit-identical to
+    *     registers over the corpus melt (same value SET, same maxima).
+    *     The sketch leg's value form (singles: va; pairs: va⊕U+0002⊕vb)
+    *     is rebuilt from the cells, and the survivor exact distincts
+    *     count distinct rebuilt values — the set image of the distinct
+    *     cells equals the set of corpus-melt values, so counts match
+    *     keyDiscoveryApprox's exactly.
+    *
+    * Both returned frames are row-for-row identical to the public
+    * APIs' outputs (same requires, same assembly, oracle-pinned by
+    * q273/q286/q322). The cell frame localCheckpoint is corpus-bounded
+    * intra-query reuse (the dsirScores convention), recomputed per
+    * call. Returns (exact, routed). */
+  private[graft] def keyRouteAgreeFrames(
+      df: DataFrame, cols: Seq[String], slackMicro: Long = 150000L,
+      maxMeltCells: Long = 2000000000L): (DataFrame, DataFrame) = {
+    require(cols.size >= 2, s"keyDiscovery needs >= 2 columns: $cols")
+    require(cols.distinct == cols, s"duplicate columns: $cols")
+    require(cols.size <= 12,
+      s"${cols.size} columns melt to ${cols.size * (cols.size - 1) / 2} " +
+        "pairs per row — profile a declared subset, not the whole table")
+    require(slackMicro >= 0 && slackMicro <= 1000000,
+      s"slackMicro must be in [0, 1e6]: $slackMicro")
+    val ss = df.sparkSession
+    def rendered(c: String): Column =
+      coalesce(col(c).cast("string"), lit("\u0001"))
+    val nRows = df.count()
+    meltRouteGuard(df, cols.size.toLong +
+      cols.size.toLong * (cols.size - 1) / 2,
+      "keyDiscovery", maxMeltCells, nRowsKnown = Some(nRows))
+    require(nRows > 0, "keyDiscoveryApprox needs a non-empty frame")
+    val candNames = cols ++
+      cols.combinations(2).toSeq.map(pq => s"${pq(0)}+${pq(1)}")
+    val singleStructs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cand"), rendered(c).as("va"), lit("").as("vb"))
+    }
+    val pairStructs = cols.combinations(2).toSeq.zipWithIndex.map {
+      case (pq, pi) =>
+        struct(lit(cols.size + pi).as("cand"),
+          rendered(pq(0)).as("va"), rendered(pq(1)).as("vb"))
+    }
+    // THE one corpus pass: melt every candidate's rendered cell and
+    // collapse to distinct cells (partial aggregation map-side — the
+    // shuffle carries cells, never the row multiple)
+    val cells = df
+      .select(explode(array((singleStructs ++ pairStructs): _*)).as("_p"))
+      .select(col("_p.cand").as("cand"), col("_p.va").as("va"),
+        col("_p.vb").as("vb"))
+      .distinct()
+      .localCheckpoint()
+    val perCandId = cells.groupBy("cand")
+      .agg(count(lit(1)).as("_nd"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perCand = perCandId.map { case (i, v) => candNames(i) -> v }
+    val exactLeg = kdAssembleExact(ss, cols, nRows, perCand)
+    // sketch leg's value form, rebuilt from the cells (singles melt
+    // va directly; pairs join members with the U+0002 separator —
+    // keyDiscoveryApprox's exact forms)
+    val vCol = when(col("cand") < cols.size, col("va"))
+      .otherwise(concat_ws("\u0002", col("va"), col("vb"))).as("v")
+    val ests = Sketch.hllEstimate(
+      Sketch.hllRegisters(cells.select(col("cand"), vCol), "v",
+        Seq("cand")), Seq("cand"))
+      .collect().map(r => candNames(r.getInt(0)) -> r.getDouble(1)).toMap
+    val pruned = candNames.map(c => c ->
+      (ests.getOrElse(c, 0.0) * 1000000.0 <
+        nRows.toDouble * (1000000L - slackMicro).toDouble)).toMap
+    val survivors = candNames.filterNot(pruned)
+    val exactApprox: Map[String, Long] =
+      if (survivors.isEmpty) Map.empty
+      else {
+        val survIds = candNames.zipWithIndex
+          .collect { case (c, i) if !pruned(c) => i }
+        cells.filter(col("cand")
+            .isin(survIds.map(Int.box): _*))
+          .select(col("cand"), vCol).distinct()
+          .groupBy("cand").agg(count(lit(1)).as("_nd"))
+          .collect().map(r => candNames(r.getInt(0)) -> r.getLong(1))
+          .toMap
+      }
+    val routedLeg =
+      kdaAssembleRouted(ss, cols, nRows, ests, pruned, exactApprox)
+    (exactLeg, routedLeg)
   }
 
   /** One column of an inclusion-dependency candidate set: a display

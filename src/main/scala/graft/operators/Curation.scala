@@ -1374,11 +1374,26 @@ object Curation {
     * extra ∈ {0,1}, allocation), ordered by groupCol; Σ allocation =
     * budget (spec-pinned). */
   def apportionBudget(df: DataFrame, groupCol: String,
-                      budget: Long): DataFrame = {
+                      budget: Long, maxGroups: Long = 10000000L): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
+    require(maxGroups > 0, s"maxGroups must be > 0: $maxGroups")
     import org.apache.spark.sql.expressions.Window
+    // The group-size aggregate materializes ONCE (the lazy plan
+    // re-derived it three times: based, total, leftover), and its row
+    // count feeds the size guard below — the remainder rank is a
+    // single-partition window over exactly this frame, so above
+    // `maxGroups` the call THROWS (the meltRouteGuard pattern: a loud
+    // error instead of one executor sorting the world at 100 TB);
+    // callers with more groups apportion within coarser shards first.
     val sizes = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    val nGroups = sizes.count()
+    require(nGroups <= maxGroups,
+      s"apportionBudget: $nGroups groups exceed maxGroups=$maxGroups — " +
+        "the largest-remainder rank is a single-partition window over " +
+        "the group frame; apportion within coarser shards or raise the " +
+        "bound deliberately")
     val total = sizes.agg(coalesce(sum("n_rows"), lit(0L)).as("_n"))
     val based = sizes.crossJoin(broadcast(total))
       .select(col(groupCol), col("n_rows"),

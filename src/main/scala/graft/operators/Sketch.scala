@@ -75,6 +75,25 @@ object Sketch {
       .agg(max("reg").as("reg"))
   }
 
+  /** [[hllRegisters]] plus a per-(group, bucket) cell count `_cells` —
+    * one aggregate carries the registers AND the non-null row count
+    * (Σ `_cells` over a group's buckets), so a caller that needs both
+    * pays one corpus pass instead of two (the q286 count-fold).
+    * Register columns are identical to [[hllRegisters]]'; select them
+    * out before [[hllEstimate]]. */
+  private[graft] def hllRegistersCounted(df: DataFrame, valueCol: String,
+                                         groupCols: Seq[String]): DataFrame = {
+    val h = h48(col(valueCol))
+    val rem = shiftright(h, 8) // upper 40 bits (h >= 0)
+    val rho = when(rem === 0L, lit(41))
+      .otherwise(lit(40) - floorLog2(rem))
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ (h % m).cast("int").as("bucket")
+        :+ rho.as("reg"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max("reg").as("reg"), count(lit(1)).as("_cells"))
+  }
+
   /** Estimate from a register frame grouped by `groupCols`: one row per
     * group with `hll_estimate` (rounded to 6). Empty buckets contribute
     * 2⁰ = 1 to the harmonic sum. */

@@ -292,18 +292,23 @@ class AuditSpec extends SparkSpec {
   test("meltRouteGuard: exact discovery beyond maxMeltCells names the sketch route") {
     import spark.implicits._
     val df = (1L to 10L).map(i => (i, i % 3, i % 2)).toDF("a", "b", "c")
-    // 10 rows × 3 pairs = 30 melted cells > 29 → throw on all three
+    // fd melts emit C(3,2) = 3 pair cells per row: 10 × 3 = 30 > 29
     for (f <- Seq(
         () => Audit.fdDiscovery(df, Seq("a", "b", "c"), maxMeltCells = 29L),
-        () => Audit.fdApprox(df, Seq("a", "b", "c"), maxMeltCells = 29L),
-        () => Audit.keyDiscovery(df, Seq("a", "b", "c"), maxMeltCells = 29L))) {
+        () => Audit.fdApprox(df, Seq("a", "b", "c"), maxMeltCells = 29L))) {
       val e = intercept[IllegalArgumentException](f())
       assert(e.getMessage.contains("keyDiscoveryApprox"), e.getMessage)
-      assert(e.getMessage.contains("30 melted"), e.getMessage)
+      assert(e.getMessage.contains("30 cells"), e.getMessage)
     }
-    // at the bound exactly, the exact route still runs
+    // keyDiscovery's unified melt carries 3 singles PLUS 3 pairs per
+    // row (the r11 ADVICE undercount fix): 10 × 6 = 60 > 59 throws...
+    val e = intercept[IllegalArgumentException](
+      Audit.keyDiscovery(df, Seq("a", "b", "c"), maxMeltCells = 59L))
+    assert(e.getMessage.contains("keyDiscoveryApprox"), e.getMessage)
+    assert(e.getMessage.contains("60 cells"), e.getMessage)
+    // ...and at the bound exactly, the exact route still runs
     assert(Audit.keyDiscovery(df, Seq("a", "b", "c"),
-      maxMeltCells = 30L).count() == 6L)
+      maxMeltCells = 60L).count() == 6L)
   }
 
   test("secretScan counts each pattern class per document") {
@@ -576,6 +581,37 @@ class AuditSpec extends SparkSpec {
     // c alone: 32 distinct of 64 -> not a key (pruned or exact-false)
     assert(!got("c")._5)
     assert(got.size == 6)
+  }
+
+  test("keyRouteAgreeFrames: both legs row-identical to the public APIs") {
+    import spark.implicits._
+    // stress the shared-melt edges: nulls (sentinel render), a value
+    // CONTAINING the U+0002 pair separator (the sketch leg's concat
+    // form must still count distinct CONCAT values, the exact leg
+    // distinct PAIRS), and a composite key
+    val df = Seq(
+      (Some(1L), "x\u0002", "p"), (Some(1L), "y", "q"),
+      (Some(2L), "x", "\u0002p"), (None, "y", "r"),
+      (Some(3L), "z", "p"), (Some(3L), "z", "q"))
+      .toDF("a", "b", "c")
+    val cols = Seq("a", "b", "c")
+    val (exactLeg, routedLeg) =
+      Audit.keyRouteAgreeFrames(df, cols, slackMicro = 150000L)
+    val wantExact = Audit.keyDiscovery(df, cols).collect().toSeq
+    val wantRouted = Audit.keyDiscoveryApprox(df, cols,
+      slackMicro = 150000L).collect().toSeq
+    assert(exactLeg.schema == Audit.keyDiscovery(df, cols).schema)
+    assert(routedLeg.schema ==
+      Audit.keyDiscoveryApprox(df, cols).schema)
+    assert(exactLeg.collect().toSeq == wantExact)
+    assert(routedLeg.collect().toSeq == wantRouted)
+    // the fused entry keeps both publics' requires
+    intercept[IllegalArgumentException] {
+      Audit.keyRouteAgreeFrames(df, Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Audit.keyRouteAgreeFrames(df.filter(lit(false)), cols)
+    }
   }
 
   test("gapsIslands: boundaries, member counts, gap widths") {
