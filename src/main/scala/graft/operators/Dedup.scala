@@ -627,12 +627,19 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1]: $threshold")
     // The shingle-set frame feeds five consumers (frequency, sizes,
-    // prefix, both verification joins). Deliberately NOT persisted:
-    // the identical distinct-exchange subplan is deduplicated by
-    // ReuseExchange, and an explicit MEMORY_AND_DISK persist measured
-    // ~20% SLOWER at sf0.1 (materialization cost exceeds the residual
-    // recompute).
-    val sh = shingleSets(df, idCol, textCol, shingleN)
+    // prefix, both verification joins). The r6-era assumption that
+    // ReuseExchange deduplicates the identical distinct subplans did
+    // NOT hold in the executed plan by round 12: the q126 dump showed
+    // TWELVE parquet scans of the corpus, because most consumers reach
+    // sh through BroadcastHashJoin build sides with differing
+    // projections — no exchange to reuse. localCheckpoint (eager)
+    // materializes tokenize+shingle+distinct ONCE; unlike the
+    // MEMORY_AND_DISK persist measured ~20% slower back then, the
+    // checkpoint stores the post-distinct frame as-is and every
+    // consumer reads it (A/B r12: q126 6.5→3.3 s, q60 — see
+    // OPTIMIZATION_r12.md). Corpus-bounded intra-query reuse, the
+    // dsirScores convention.
+    val sh = shingleSets(df, idCol, textCol, shingleN).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("gf"))
     val w = Window.partitionBy(col(idCol))
