@@ -1,0 +1,77 @@
+package graft.tools
+
+// SCRATCH measurement drive (never committed): rows-per-stage
+// adjudication for q105/q126 (VERDICT r12 item 6) and a time split for
+// q267 (item 7).
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object VerifyDrive {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[drive] $label took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- q105 rows per stage ----
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    val strs = part.filter(col("p_name").isNotNull)
+      .select(col("p_partkey"), col("p_name").as("_s"))
+    val nRows = strs.count()
+    val nDistinct = strs.select("_s").distinct().count()
+    // dist-0 output pairs = sum over same-name groups of C(g,2)
+    val zeroPairs = strs.groupBy("_s").agg(count(lit(1)).as("g"))
+      .agg(sum(expr("g * (g - 1) div 2"))).collect()(0).getLong(0)
+    println(s"[drive] q105 nRows=$nRows distinctNames=$nDistinct " +
+      s"dist0Pairs=$zeroPairs")
+    val out105 = graft.SparkEntry.queries("q105_fuzzy_join")(spark, sfDir)
+    val byDist = out105.groupBy("dist").agg(count(lit(1)).as("n"))
+      .orderBy("dist").collect()
+      .map(r => s"dist=${r.get(0)}:${r.getLong(1)}").mkString(" ")
+    println(s"[drive] q105 output rows by dist: $byDist")
+
+    // ---- q126 rows per stage ----
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[drive] q126 corpus docs=${docs.count()}")
+    val truth = graft.operators.Dedup.jaccardPairsComplete(
+      docs, "doc_id", "text", 3, 0.5)
+    println(s"[drive] q126 true pairs (jaccard>=0.5)=${time("jaccardPairsComplete")(truth.count())}")
+    val cands = graft.operators.Dedup.minHashCandidates(
+      docs, "doc_id", "text", 3, 16, 4)
+    println(s"[drive] q126 LSH candidate pairs=${time("minHashCandidates")(cands.count())}")
+
+    // ---- q267 time split: bigram census vs PR loop ----
+    val toks = docs.select(graft.operators.TextAnalysis.tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= 2)
+    val pairs = toks.select(explode(expr(
+        """transform(sequence(1, size(_t) - 1),
+           i -> struct(least(_t[i - 1], _t[i]) AS a,
+                       greatest(_t[i - 1], _t[i]) AS b))"""))
+        .as("_p"))
+      .select(col("_p.a").as("_a"), col("_p.b").as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 20L)
+    val nEdges = time("q267 bigram census (count)")(pairs.count())
+    println(s"[drive] q267 edges(minCount=20)=$nEdges")
+    time("q267 full")(
+      graft.SparkEntry.queries("q267_textrank")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    time("q267 full again")(
+      graft.SparkEntry.queries("q267_textrank")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}
